@@ -1,0 +1,161 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** CHECK_MIGRATION — the reference's validation subsystem and its
+  * closest thing to a query engine (SURVEY.md §2.E;
+  * postgresql_to_exasol.sql:295-357): ONE wide single-scan aggregation
+  * per table computing type-gated metrics (ROW_CNT, per-column NULLS /
+  * MIN / MAX / SUM / DISTINCT / MINLEN / MAXLEN), executed on both
+  * systems, then unpivoted and joined null-safely to flag deviations.
+  *
+  * Scale note: the whole metric set for a table is one `agg(...)` —
+  * Catalyst fuses it into a single scan with partial (map-side)
+  * aggregation, so at 100 TB this costs exactly one pass over the
+  * table and shuffles only the tiny per-partition partial rows.
+  * Exact numeric metrics are computed in DECIMAL(36,s) as the
+  * reference does, which also makes them order-independent
+  * (double summation is not associative).
+  */
+object CheckMigration {
+  type Q = (SparkSession, String) => DataFrame
+  import Fixtures._
+
+  private def dec(c: Column, scale: Int): Column = c.cast(DecimalType(36, scale))
+
+  /** One wide, single-scan metrics row, mirroring the reference's
+    * type-gated metric compiler (numeric → MIN/MAX/SUM in
+    * DECIMAL(36,s); varchar → DISTINCT/MINLEN/MAXLEN; timestamp →
+    * MIN/MAX rendered to text exactly like the reference renders
+    * temporal metrics for cross-system compare).
+    */
+  def wideMetricsAgg(
+      df: DataFrame,
+      numericCols: Seq[(String, Int)],
+      stringCols: Seq[String],
+      timestampCols: Seq[String]
+  ): DataFrame = {
+    val metrics: Seq[Column] =
+      Seq(count(lit(1)).as("row_cnt")) ++
+        numericCols.flatMap { case (c, s) =>
+          Seq(
+            sum(when(col(c).isNull, 1).otherwise(0)).cast("bigint").as(s"${c}_nulls"),
+            min(dec(col(c), s)).as(s"${c}_min"),
+            max(dec(col(c), s)).as(s"${c}_max"),
+            sum(dec(col(c), s)).cast(DecimalType(38, s)).as(s"${c}_sum")
+          )
+        } ++
+        stringCols.flatMap { c =>
+          Seq(
+            sum(when(col(c).isNull, 1).otherwise(0)).cast("bigint").as(s"${c}_nulls"),
+            countDistinct(col(c)).as(s"${c}_distinct"),
+            min(length(col(c))).cast("bigint").as(s"${c}_minlen"),
+            max(length(col(c))).cast("bigint").as(s"${c}_maxlen")
+          )
+        } ++
+        timestampCols.flatMap { c =>
+          Seq(
+            date_format(min(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"${c}_min"),
+            date_format(max(col(c)), "yyyy-MM-dd HH:mm:ss").as(s"${c}_max")
+          )
+        }
+    df.agg(metrics.head, metrics.tail: _*)
+  }
+
+  private val lineitemNumeric = Seq("l_quantity" -> 2, "l_extendedprice" -> 2)
+  private val lineitemStrings = Seq("l_returnflag")
+  private val lineitemTs = Seq("l_shipdate")
+
+  val wideMetricsLineitem: Q = (s, d) =>
+    wideMetricsAgg(lineitem(s, d), lineitemNumeric, lineitemStrings, lineitemTs)
+
+  /** The unpivot + deviation join (postgresql_to_exasol.sql:339-356):
+    * side A = the migrated table, side B = the "source" (here: a
+    * deliberately deviating filtered view so both OK and DEVIATION
+    * rows appear). stack() melts the wide row; the compare is
+    * null-safe (`<=>` ↔ the reference's coalesce-sentinel equality).
+    */
+  def deviationReport(wideA: DataFrame, wideB: DataFrame, metricCols: Seq[String]): DataFrame = {
+    def melt(df: DataFrame, valName: String): DataFrame = {
+      val pairs = metricCols
+        .map(m => s"'$m', cast($m as string)")
+        .mkString(", ")
+      df.selectExpr(s"stack(${metricCols.size}, $pairs) as (metric, $valName)")
+    }
+    val a = melt(wideA, "val_a")
+    val b = melt(wideB, "val_b")
+    a.join(b.withColumnRenamed("metric", "metric_b"), col("metric") === col("metric_b"), "full_outer")
+      .select(
+        coalesce(col("metric"), col("metric_b")).as("metric"),
+        col("val_a"),
+        col("val_b"),
+        when(col("val_a") <=> col("val_b"), "OK").otherwise("DEVIATION").as("status")
+      )
+      .orderBy("metric")
+  }
+
+  private val deviationMetrics = Seq(
+    "row_cnt",
+    "l_quantity_min",
+    "l_quantity_max",
+    "l_quantity_sum",
+    "l_extendedprice_sum",
+    "l_returnflag_distinct"
+  )
+
+  val metricsDeviation: Q = (s, d) => {
+    val full = wideMetricsAgg(lineitem(s, d), lineitemNumeric, lineitemStrings, lineitemTs)
+    val filtered = wideMetricsAgg(
+      lineitem(s, d).filter(col("l_linenumber") <= 4),
+      lineitemNumeric,
+      lineitemStrings,
+      lineitemTs
+    )
+    deviationReport(full, filtered, deviationMetrics)
+  }
+
+  def queries: Map[String, Q] = Map(
+    "agg_wide_metrics_lineitem" -> wideMetricsLineitem,
+    "agg_metrics_deviation" -> metricsDeviation
+  )
+
+  private val wideSqlBody =
+    """SELECT CAST(count(*) AS BIGINT) AS row_cnt,
+      |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_quantity_nulls,
+      |  min(CAST(l_quantity AS DECIMAL(36,2))) AS l_quantity_min,
+      |  max(CAST(l_quantity AS DECIMAL(36,2))) AS l_quantity_max,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(36,2))) AS DECIMAL(38,2)) AS l_quantity_sum,
+      |  CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_extendedprice_nulls,
+      |  min(CAST(l_extendedprice AS DECIMAL(36,2))) AS l_extendedprice_min,
+      |  max(CAST(l_extendedprice AS DECIMAL(36,2))) AS l_extendedprice_max,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(36,2))) AS DECIMAL(38,2)) AS l_extendedprice_sum,
+      |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_returnflag_nulls,
+      |  CAST(count(DISTINCT l_returnflag) AS BIGINT) AS l_returnflag_distinct,
+      |  CAST(min(length(l_returnflag)) AS BIGINT) AS l_returnflag_minlen,
+      |  CAST(max(length(l_returnflag)) AS BIGINT) AS l_returnflag_maxlen,
+      |  strftime(min(l_shipdate), '%Y-%m-%d %H:%M:%S') AS l_shipdate_min,
+      |  strftime(max(l_shipdate), '%Y-%m-%d %H:%M:%S') AS l_shipdate_max
+      |FROM lineitem""".stripMargin
+
+  private def meltSql(src: String, valName: String): String = {
+    val arms = deviationMetrics
+      .map(m => s"SELECT '$m' AS metric, CAST($m AS VARCHAR) AS $valName FROM $src")
+      .mkString(" UNION ALL ")
+    arms
+  }
+
+  def oracles: Map[String, String] = Map(
+    "agg_wide_metrics_lineitem" -> wideSqlBody,
+    "agg_metrics_deviation" ->
+      s"""WITH wa AS ($wideSqlBody),
+         |wb AS (${wideSqlBody.replace("FROM lineitem", "FROM lineitem WHERE l_linenumber <= 4")}),
+         |ua AS (${meltSql("wa", "val_a")}),
+         |ub AS (${meltSql("wb", "val_b")})
+         |SELECT coalesce(ua.metric, ub.metric) AS metric, val_a, val_b,
+         |  CASE WHEN val_a IS NOT DISTINCT FROM val_b THEN 'OK' ELSE 'DEVIATION' END AS status
+         |FROM ua FULL JOIN ub ON ua.metric = ub.metric
+         |ORDER BY metric""".stripMargin
+  )
+}

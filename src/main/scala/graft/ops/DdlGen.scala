@@ -1,0 +1,222 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DDL / metadata generators (SURVEY.md §2.C): CREATE SCHEMA / CREATE
+  * TABLE / ADD PRIMARY KEY / ADD FOREIGN KEY statement streams built as
+  * sort-within-group text aggregation over column metadata — the exact
+  * operator shape of the reference's generators
+  * (postgresql_to_exasol.sql:369-383: `group_concat(... order by
+  * ordinal)`), re-expressed as
+  * `groupBy(...).agg(concat_ws(transform(sort_array(collect_list(struct(ord, def))))))`.
+  *
+  * Identifiers are upper-folded (IDENTIFIER_CASE_INSENSITIVE policy,
+  * postgresql_to_exasol.sql:62-69) and double-quoted. Metadata is tiny
+  * relative to data, so these run as a single narrow shuffle; the
+  * pattern scales to catalogs of millions of columns.
+  */
+object DdlGen {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def qIdent(c: Column): Column = concat(lit("\""), upper(c), lit("\""))
+
+  /** Per-column definition text: `"NAME" TYPE [DEFAULT x] [NOT NULL]`. */
+  private def colDef: Column =
+    concat(
+      qIdent(col("col_name")),
+      lit(" "),
+      col("type_name"),
+      when(col("col_default").isNotNull, concat(lit(" DEFAULT "), col("col_default")))
+        .otherwise(lit("")),
+      when(!col("is_nullable"), lit(" NOT NULL")).otherwise(lit(""))
+    )
+
+  /** Ordered within-group concatenation: collect (ord, txt) structs,
+    * sort by ord, project txt, join with the separator.
+    */
+  private def orderedConcat(ord: Column, txt: Column, sep: String): Column =
+    concat_ws(
+      sep,
+      transform(array_sort(collect_list(struct(ord.as("o"), txt.as("t")))), x => x.getField("t"))
+    )
+
+  /** CREATE TABLE statements from a column-metadata DataFrame
+    * (schema_name, table_name, ordinal, col_name, type_name,
+    * is_nullable, col_default). Reference: postgresql_to_exasol.sql:380-383.
+    */
+  def createTableStmts(cols: DataFrame): DataFrame =
+    cols
+      .groupBy(col("schema_name"), col("table_name"))
+      .agg(orderedConcat(col("ordinal"), colDef, ", ").as("cols_txt"))
+      .select(
+        col("schema_name"),
+        col("table_name"),
+        concat(
+          lit("CREATE TABLE "),
+          qIdent(col("schema_name")),
+          lit("."),
+          qIdent(col("table_name")),
+          lit(" ("),
+          col("cols_txt"),
+          lit(");")
+        ).as("stmt")
+      )
+
+  /** CREATE SCHEMA statements (distinct — postgresql_to_exasol.sql:379). */
+  def createSchemaStmts(cols: DataFrame): DataFrame =
+    cols
+      .select(col("schema_name"))
+      .distinct()
+      .select(
+        col("schema_name"),
+        concat(lit("CREATE SCHEMA IF NOT EXISTS "), qIdent(col("schema_name")), lit(";")).as("stmt")
+      )
+
+  /** ADD PRIMARY KEY — composite columns in key order, created
+    * DISABLE(d) for order-independent fast loads
+    * (postgresql_to_exasol.sql:369-373).
+    */
+  def primaryKeyStmts(keys: DataFrame): DataFrame =
+    keys
+      .filter(col("kind") === "P")
+      .groupBy(col("schema_name"), col("table_name"), col("constraint_name"))
+      .agg(orderedConcat(col("position"), qIdent(col("col_name")), ",").as("key_cols"))
+      .select(
+        col("schema_name"),
+        col("table_name"),
+        concat(
+          lit("ALTER TABLE "),
+          qIdent(col("schema_name")),
+          lit("."),
+          qIdent(col("table_name")),
+          lit(" ADD CONSTRAINT "),
+          qIdent(col("constraint_name")),
+          lit(" PRIMARY KEY ("),
+          col("key_cols"),
+          lit(") DISABLE;")
+        ).as("stmt")
+      )
+
+  /** ADD FOREIGN KEY with the out-of-scope-parent skip: an FK whose
+    * referenced table is not part of the migrated set is dropped via a
+    * semi-join against the table list (the reference's `exists`
+    * guard, postgresql_to_exasol.sql:374-378).
+    */
+  def foreignKeyStmts(keys: DataFrame, cols: DataFrame): DataFrame = {
+    val migrated = cols.select(col("schema_name").as("m_schema"), col("table_name").as("m_table")).distinct()
+    keys
+      .filter(col("kind") === "F")
+      .join(
+        migrated,
+        col("ref_schema") === col("m_schema") && col("ref_table") === col("m_table"),
+        "left_semi"
+      )
+      .groupBy(
+        col("schema_name"),
+        col("table_name"),
+        col("constraint_name"),
+        col("ref_schema"),
+        col("ref_table")
+      )
+      .agg(orderedConcat(col("position"), qIdent(col("col_name")), ",").as("key_cols"))
+      .select(
+        col("schema_name"),
+        col("table_name"),
+        concat(
+          lit("ALTER TABLE "),
+          qIdent(col("schema_name")),
+          lit("."),
+          qIdent(col("table_name")),
+          lit(" ADD CONSTRAINT "),
+          qIdent(col("constraint_name")),
+          lit(" FOREIGN KEY ("),
+          col("key_cols"),
+          lit(") REFERENCES "),
+          qIdent(col("ref_schema")),
+          lit("."),
+          qIdent(col("ref_table")),
+          lit(" DISABLE;")
+        ).as("stmt")
+      )
+  }
+
+  /** The ordered statement stream: UNION ALL of the sections with the
+    * reference's fixed ord numbers, globally sorted (ord, stmt) —
+    * postgresql_to_exasol.sql:388-403.
+    */
+  def statementStream(cols: DataFrame, keys: DataFrame): DataFrame = {
+    val s2 = createSchemaStmts(cols).select(lit(2).as("ord"), col("stmt"))
+    val s4 = createTableStmts(cols).select(lit(4).as("ord"), col("stmt"))
+    val s6 = primaryKeyStmts(keys).select(lit(6).as("ord"), col("stmt"))
+    val s8 = foreignKeyStmts(keys, cols).select(lit(8).as("ord"), col("stmt"))
+    s2.unionByName(s4).unionByName(s6).unionByName(s8).orderBy("ord", "stmt")
+  }
+
+  def queries: Map[String, Q] = Map(
+    "ddl_create_table" -> ((s, _) =>
+      createTableStmts(FixtureCatalog.columnsDf(s)).orderBy("schema_name", "table_name")),
+    "ddl_primary_keys" -> ((s, _) =>
+      primaryKeyStmts(FixtureCatalog.keysDf(s))
+        .select("schema_name", "table_name", "stmt")
+        .orderBy("schema_name", "table_name")),
+    "ddl_foreign_keys" -> ((s, _) =>
+      foreignKeyStmts(FixtureCatalog.keysDf(s), FixtureCatalog.columnsDf(s))
+        .select("schema_name", "table_name", "stmt")
+        .orderBy("schema_name", "table_name", "stmt")),
+    "ddl_statement_stream" -> ((s, _) =>
+      statementStream(FixtureCatalog.columnsDf(s), FixtureCatalog.keysDf(s)))
+  )
+
+  private val colDefSql =
+    """'"' || upper(col_name) || '" ' || type_name ||
+      |  CASE WHEN col_default IS NOT NULL THEN ' DEFAULT ' || col_default ELSE '' END ||
+      |  CASE WHEN NOT is_nullable THEN ' NOT NULL' ELSE '' END""".stripMargin
+
+  private def createTableSql: String =
+    s"""SELECT schema_name, table_name,
+       |  'CREATE TABLE "' || upper(schema_name) || '"."' || upper(table_name) || '" (' ||
+       |  string_agg($colDefSql, ', ' ORDER BY ordinal) || ');' AS stmt
+       |FROM ${FixtureCatalog.columnsValuesSql}
+       |GROUP BY schema_name, table_name""".stripMargin
+
+  private def createSchemaSql: String =
+    s"""SELECT schema_name,
+       |  'CREATE SCHEMA IF NOT EXISTS "' || upper(schema_name) || '";' AS stmt
+       |FROM (SELECT DISTINCT schema_name FROM ${FixtureCatalog.columnsValuesSql})""".stripMargin
+
+  private def primaryKeySql: String =
+    s"""SELECT schema_name, table_name,
+       |  'ALTER TABLE "' || upper(schema_name) || '"."' || upper(table_name) ||
+       |  '" ADD CONSTRAINT "' || upper(constraint_name) || '" PRIMARY KEY (' ||
+       |  string_agg('"' || upper(col_name) || '"', ',' ORDER BY position) || ') DISABLE;' AS stmt
+       |FROM ${FixtureCatalog.keysValuesSql}
+       |WHERE kind = 'P'
+       |GROUP BY schema_name, table_name, constraint_name""".stripMargin
+
+  private def foreignKeySql: String =
+    s"""SELECT schema_name, table_name,
+       |  'ALTER TABLE "' || upper(schema_name) || '"."' || upper(table_name) ||
+       |  '" ADD CONSTRAINT "' || upper(constraint_name) || '" FOREIGN KEY (' ||
+       |  string_agg('"' || upper(col_name) || '"', ',' ORDER BY position) ||
+       |  ') REFERENCES "' || upper(ref_schema) || '"."' || upper(ref_table) || '" DISABLE;' AS stmt
+       |FROM ${FixtureCatalog.keysValuesSql}
+       |WHERE kind = 'F' AND EXISTS (
+       |  SELECT 1 FROM ${FixtureCatalog.columnsValuesSql}
+       |  WHERE cols.schema_name = keys.ref_schema AND cols.table_name = keys.ref_table)
+       |GROUP BY schema_name, table_name, constraint_name, ref_schema, ref_table""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "ddl_create_table" -> s"""SELECT * FROM ($createTableSql) ORDER BY schema_name, table_name""",
+    "ddl_primary_keys" -> s"""SELECT * FROM ($primaryKeySql) ORDER BY schema_name, table_name""",
+    "ddl_foreign_keys" ->
+      s"""SELECT * FROM ($foreignKeySql) ORDER BY schema_name, table_name, stmt""",
+    "ddl_statement_stream" ->
+      s"""SELECT ord, stmt FROM (
+         |  SELECT 2 AS ord, stmt FROM ($createSchemaSql)
+         |  UNION ALL SELECT 4 AS ord, stmt FROM ($createTableSql)
+         |  UNION ALL SELECT 6 AS ord, stmt FROM ($primaryKeySql)
+         |  UNION ALL SELECT 8 AS ord, stmt FROM ($foreignKeySql)
+         |) ORDER BY ord, stmt""".stripMargin
+  )
+}

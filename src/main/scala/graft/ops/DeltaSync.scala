@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental delta sync (SURVEY.md §2.D #49; reference
+  * delta_import/delta_import_on_primary_keys.sql:7-481): read the
+  * target's watermark `max(delta_col)`, pull only source rows with
+  * `delta_col >= watermark`, and MERGE them into the target on the
+  * primary key (matched → update non-key columns, not matched →
+  * insert).
+  *
+  * Delta Lake is not on this classpath, so MERGE is implemented as the
+  * full-outer-join rewrite behind [[merge]] (SURVEY.md §7.4.5
+  * MergeExecutor): one shuffle on the PK for target and delta each —
+  * at 100 TB the delta side is small by construction (that is the
+  * point of the watermark), so AQE turns this into a broadcast join of
+  * delta against the bucketed/partitioned target.
+  *
+  * The watermark is *not* collected to the driver: it is a 1-row agg
+  * crossJoin-broadcast into the filter, keeping the whole pipeline
+  * declarative (and letting the JDBC-source variant push
+  * `delta >= wm` down to the source as the reference does,
+  * delta_import:421).
+  */
+object DeltaSync {
+  type Q = (SparkSession, String) => DataFrame
+  import Fixtures._
+
+  /** MERGE target←delta on `keys`: delta rows win on key match
+    * (UPDATE), unmatched delta rows are inserted, unmatched target
+    * rows are kept. Pure full-outer-join rewrite, no table format
+    * required.
+    */
+  def merge(target: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
+    val t = target.alias("t")
+    val dl = delta.alias("d")
+    val cond = keys.map(k => col(s"t.$k") === col(s"d.$k")).reduce(_ && _)
+    // "Matched" = the delta side is present (keys are non-null by
+    // contract). Matched/inserted rows take ALL delta values — not a
+    // per-column coalesce, which would silently keep stale target
+    // values wherever the update carries a legitimate NULL.
+    val matched = col(s"d.${keys.head}").isNotNull
+    val cols = target.columns.map { c =>
+      when(matched, col(s"d.$c")).otherwise(col(s"t.$c")).as(c)
+    }
+    t.join(dl, cond, "full_outer").select(cols.toSeq: _*)
+  }
+
+  /** Watermark rows of `source` strictly at/after the max of
+    * `deltaCol` in `target` (reference: re-imports the boundary value
+    * too, `WHERE delta >= max` — delta_import:421).
+    */
+  def deltaRows(source: DataFrame, target: DataFrame, deltaCol: String): DataFrame = {
+    val wm = target.agg(max(col(deltaCol)).as("__wm"))
+    source.crossJoin(broadcast(wm)).filter(col(deltaCol) >= col("__wm")).drop("__wm")
+  }
+
+  /** End-to-end: target = orders before 1998, source = all orders;
+    * delta = watermark read; merged = MERGE on o_orderkey.
+    */
+  val mergeUpsert: Q = (s, d) => {
+    val all = orders(s, d)
+    val target = all.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val delta = deltaRows(all, target, "o_orderdate")
+    merge(target, delta, Seq("o_orderkey"))
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        col("o_orderstatus"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate_s")
+      )
+      .orderBy("o_orderkey")
+  }
+
+  def queries: Map[String, Q] = Map(
+    "delta_merge_upsert" -> mergeUpsert
+  )
+
+  def oracles: Map[String, String] = Map(
+    "delta_merge_upsert" ->
+      """WITH tgt AS (SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+        |wm AS (SELECT max(o_orderdate) AS m FROM tgt),
+        |delta AS (SELECT o.* FROM orders o, wm WHERE o.o_orderdate >= wm.m)
+        |SELECT coalesce(d.o_orderkey, t.o_orderkey) AS o_orderkey,
+        |       CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_custkey ELSE t.o_custkey END AS o_custkey,
+        |       CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+        |       strftime(CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_orderdate ELSE t.o_orderdate END, '%Y-%m-%d') AS o_orderdate_s
+        |FROM tgt t FULL JOIN delta d ON t.o_orderkey = d.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin
+  )
+}

@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Readers for the driver-generated parquet fixtures (TESTDATA.md).
+  *
+  * All queries read through here so schema quirks are normalized in one
+  * place. The only quirk: `events.ts` is written as parquet
+  * TIMESTAMP(NANOS) which Spark cannot represent natively (micros
+  * ceiling — SURVEY.md §7.4.1); with
+  * `spark.sql.legacy.parquet.nanosAsLong=true` it surfaces as a Long of
+  * epoch nanos, which we normalize to a micros TimestampType column
+  * plus the raw nanos (kept for full fidelity, the same split-column
+  * strategy SURVEY.md §7.3 picks for sub-micro timestamps).
+  */
+object Fixtures {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** events with `ts` normalized to TimestampType (micros) and
+    * `ts_nanos` holding the original epoch-nanos Long.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw
+          .withColumn("ts_nanos", col("ts"))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts_nanos", unix_micros(col("ts")) * lit(1000L))
+    }
+  }
+
+  /** Session settings every entry point applies: 32 shuffle partitions
+    * (local[32] harness — at cluster scale this is sized to the data,
+    * see NOTES in Bench), AQE on, UTC, nanos-as-long for `events`.
+    */
+  def sessionBuilder(master: String, cpus: String): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+}

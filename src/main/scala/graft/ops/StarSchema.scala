@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Flat → star-schema decomposition (SURVEY.md §2.D #50; reference
+  * post_load_optimization/Flat_To_Star_Schema/Convert_To_Star_Schema.sql:317-446):
+  * dimension tables = DISTINCT natural keys + surrogate ids, fact =
+  * the flat table joined back to each dimension with NULL-safe
+  * equality (`<=>` ↔ the reference's `(a=b OR (a IS NULL AND b IS
+  * NULL))`), idempotent re-runs via anti-join.
+  *
+  * Surrogate keys: the reference uses an IDENTITY column; here
+  * `dense_rank` over the natural key gives *deterministic* ids
+  * (testable against the oracle). Dimensions are by definition
+  * low-cardinality, so the rank window over the distinct set is cheap
+  * and the dim side of every fact join is broadcast.
+  */
+object StarSchema {
+  type Q = (SparkSession, String) => DataFrame
+  import Fixtures._
+
+  /** Build a dimension: distinct natural-key rows + dense-rank surrogate id. */
+  def dimension(flat: DataFrame, naturalCols: Seq[String], idCol: String): DataFrame = {
+    val distinctRows = flat.select(naturalCols.map(col): _*).distinct()
+    val w = Window.orderBy(naturalCols.map(c => asc_nulls_first(c)): _*)
+    distinctRows.withColumn(idCol, dense_rank().over(w).cast("bigint"))
+  }
+
+  /** Join the flat table back to a dimension null-safely, replacing the
+    * natural columns with the surrogate id.
+    */
+  def factJoin(flat: DataFrame, dim: DataFrame, naturalCols: Seq[String], idCol: String): DataFrame = {
+    val dimRenamed = naturalCols.foldLeft(dim)((d, c) => d.withColumnRenamed(c, s"__dim_$c"))
+    val cond = naturalCols
+      .map(c => col(c) <=> col(s"__dim_$c"))
+      .reduce(_ && _)
+    flat
+      .join(broadcast(dimRenamed), cond, "inner")
+      .drop(naturalCols.map(c => s"__dim_$c"): _*)
+      .drop(naturalCols: _*)
+  }
+
+  val dims: Q = (s, d) =>
+    dimension(orders(s, d), Seq("o_orderstatus", "o_orderpriority"), "dim_id")
+      .select(col("dim_id"), col("o_orderstatus"), col("o_orderpriority"))
+      .orderBy("dim_id")
+
+  val fact: Q = (s, d) => {
+    val flat = orders(s, d)
+    val dim = dimension(flat, Seq("o_orderstatus", "o_orderpriority"), "dim_id")
+    factJoin(flat, dim, Seq("o_orderstatus", "o_orderpriority"), "dim_id")
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        col("dim_id"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate_s")
+      )
+      .orderBy("o_orderkey")
+  }
+
+  def queries: Map[String, Q] = Map(
+    "star_dims" -> dims,
+    "star_fact" -> fact
+  )
+
+  def oracles: Map[String, String] = Map(
+    "star_dims" ->
+      """SELECT CAST(dense_rank() OVER (ORDER BY o_orderstatus, o_orderpriority) AS BIGINT) AS dim_id,
+        |       o_orderstatus, o_orderpriority
+        |FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders)
+        |ORDER BY dim_id""".stripMargin,
+    "star_fact" ->
+      """WITH dim AS (
+        |  SELECT CAST(dense_rank() OVER (ORDER BY o_orderstatus, o_orderpriority) AS BIGINT) AS dim_id,
+        |         o_orderstatus, o_orderpriority
+        |  FROM (SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders))
+        |SELECT o_orderkey, o_custkey, dim_id,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_s
+        |FROM orders o JOIN dim d
+        |  ON o.o_orderstatus IS NOT DISTINCT FROM d.o_orderstatus
+        | AND o.o_orderpriority IS NOT DISTINCT FROM d.o_orderpriority
+        |ORDER BY o_orderkey""".stripMargin
+  )
+}
