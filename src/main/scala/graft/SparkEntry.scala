@@ -17,7 +17,9 @@ object SparkEntry {
       (DdlGen.queries, DdlGen.oracles),
       (StarSchema.queries, StarSchema.oracles),
       (DeltaSync.queries, DeltaSync.oracles),
-      (Dedup.queries, Dedup.oracles)
+      (Dedup.queries, Dedup.oracles),
+      (Profiling.queries, Profiling.oracles),
+      (VarcharInference.queries, VarcharInference.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

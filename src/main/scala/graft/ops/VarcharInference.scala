@@ -1,0 +1,225 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Sampled VARCHAR type inference + multi-format date probe + the
+  * legacy rich metric set (SURVEY.md §2.E #54, #56, #57).
+  *
+  * classify_varchar mirrors convert_varchar.sql:385-461: take a
+  * deterministic LIMIT sample, classify every value ONCE with a
+  * short-circuiting precedence chain (cheapest test first), then
+  * aggregate conditional counts and derive a type verdict per column.
+  * date_probe mirrors convert_varchar.sql:119-172: success-count each
+  * candidate date format and detect day/month ambiguity.
+  *
+  * Scale: sampling bounds the scan (the reference's "1-5% is
+  * statistically sufficient" rule); classification is a codegen'd
+  * `when` chain over the sample — no UDFs, no extra shuffle beyond
+  * the per-column aggregation.
+  */
+object VarcharInference {
+  type Q = (SparkSession, String) => DataFrame
+  import Fixtures._
+
+  private val sampleRows = 2000
+
+  /** Tall (col_name, val) sample of string-rendered columns — stands in
+    * for the reference's all-VARCHAR staging table.
+    */
+  private def tallSample(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .orderBy("o_orderkey")
+      .limit(sampleRows)
+      .selectExpr(
+        """stack(4,
+          |  'num_dec', cast(cast(o_totalprice as decimal(18,2)) as string),
+          |  'num_int', cast(o_orderkey as string),
+          |  'date_iso', date_format(o_orderdate, 'yyyy-MM-dd'),
+          |  'bool01', cast(o_orderkey % 2 as string)
+          |) as (col_name, val)""".stripMargin
+      )
+
+  /** Exclusive classification: precedence boolean → integer → decimal
+    * → date → other (the reference's short-circuit CASE).
+    */
+  private def classify: org.apache.spark.sql.Column =
+    when(col("val").isNull, "null")
+      .when(col("val").isin("0", "1"), "bool")
+      .when(col("val").rlike("^-?[0-9]+$"), "int")
+      .when(col("val").rlike("^-?[0-9]+\\.[0-9]+$"), "dec")
+      .when(col("val").rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$"), "date")
+      .otherwise("oth")
+
+  val classifyVarchar: Q = (s, d) =>
+    tallSample(s, d)
+      .withColumn("cls", classify)
+      .groupBy(col("col_name"))
+      .agg(
+        count(lit(1)).as("n_vals"),
+        sum(when(col("cls") === "bool", 1).otherwise(0)).cast("bigint").as("n_bool"),
+        sum(when(col("cls") === "int", 1).otherwise(0)).cast("bigint").as("n_int"),
+        sum(when(col("cls") === "dec", 1).otherwise(0)).cast("bigint").as("n_dec"),
+        sum(when(col("cls") === "date", 1).otherwise(0)).cast("bigint").as("n_date"),
+        sum(when(col("cls") === "oth", 1).otherwise(0)).cast("bigint").as("n_oth"),
+        max(length(col("val"))).cast("bigint").as("max_len")
+      )
+      .withColumn(
+        "verdict",
+        when(col("n_oth") > 0, concat(lit("VARCHAR("), col("max_len").cast("string"), lit(")")))
+          .when(col("n_date") === col("n_vals"), "DATE")
+          .when(col("n_bool") === col("n_vals"), "BOOLEAN")
+          .when(col("n_bool") + col("n_int") === col("n_vals"), "DECIMAL(18,0)")
+          .when(col("n_bool") + col("n_int") + col("n_dec") === col("n_vals"), "DECIMAL(18,6)")
+          .otherwise(concat(lit("VARCHAR("), col("max_len").cast("string"), lit(")")))
+      )
+      .orderBy("col_name")
+
+  /** Multi-format date probe over a mixed-format string column: count
+    * parse successes per candidate format and day/month-ambiguous
+    * values (parseable as both dd/MM and MM/dd).
+    */
+  val dateProbe: Q = (s, d) =>
+    orders(s, d)
+      .select(
+        when(col("o_orderkey") % 2 === 0, date_format(col("o_orderdate"), "dd/MM/yyyy"))
+          .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd"))
+          .as("sval")
+      )
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(expr("try_to_date(sval, 'yyyy-MM-dd')")).as("n_iso"),
+        count(expr("try_to_date(sval, 'dd/MM/yyyy')")).as("n_dmy"),
+        count(expr("try_to_date(sval, 'MM/dd/yyyy')")).as("n_mdy"),
+        sum(
+          when(
+            expr("try_to_date(sval, 'dd/MM/yyyy')").isNotNull &&
+              expr("try_to_date(sval, 'MM/dd/yyyy')").isNotNull,
+            1
+          ).otherwise(0)
+        ).cast("bigint").as("n_ambiguous")
+      )
+
+  /** Legacy rich metrics (oracle_to_exasol.sql:587-801): per-group row
+    * count, exact median, decimal sum, double average, the TOP/mode
+    * value via max-count, and length stats.
+    */
+  val richMetrics: Q = (s, d) => {
+    val base = orders(s, d)
+    val metrics = base
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        median(col("o_custkey")).cast(DecimalType(18, 1)).as("custkey_median"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("totalprice_sum"),
+        min(length(col("o_orderpriority"))).cast("bigint").as("priority_minlen"),
+        max(length(col("o_orderpriority"))).cast("bigint").as("priority_maxlen")
+      )
+    val mode = base
+      .groupBy(col("o_orderstatus").as("st2"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy(col("st2")).orderBy(col("cnt").desc, col("o_orderpriority").asc))
+      )
+      .filter(col("rn") === 1)
+      .select(col("st2"), col("o_orderpriority").as("priority_mode"))
+    metrics
+      .join(mode, col("o_orderstatus") === col("st2"))
+      .drop("st2")
+      .select(
+        col("o_orderstatus"),
+        col("n_rows"),
+        col("custkey_median"),
+        col("totalprice_sum"),
+        (col("totalprice_sum").cast("double") / col("n_rows")).as("totalprice_avg"),
+        col("priority_mode"),
+        col("priority_minlen"),
+        col("priority_maxlen")
+      )
+      .orderBy("o_orderstatus")
+  }
+
+  def queries: Map[String, Q] = Map(
+    "classify_varchar" -> classifyVarchar,
+    "date_probe" -> dateProbe,
+    "rich_metrics" -> richMetrics
+  )
+
+  private val tallSampleSql =
+    s"""WITH sample AS (SELECT * FROM orders ORDER BY o_orderkey LIMIT $sampleRows),
+       |tall AS (
+       |  SELECT 'num_dec' AS col_name, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS val FROM sample
+       |  UNION ALL SELECT 'num_int', CAST(o_orderkey AS VARCHAR) FROM sample
+       |  UNION ALL SELECT 'date_iso', strftime(o_orderdate, '%Y-%m-%d') FROM sample
+       |  UNION ALL SELECT 'bool01', CAST(o_orderkey % 2 AS VARCHAR) FROM sample)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "classify_varchar" ->
+      s"""$tallSampleSql,
+         |classified AS (
+         |  SELECT col_name, val,
+         |    CASE WHEN val IS NULL THEN 'null'
+         |         WHEN val IN ('0','1') THEN 'bool'
+         |         WHEN regexp_matches(val, '^-?[0-9]+$$') THEN 'int'
+         |         WHEN regexp_matches(val, '^-?[0-9]+\\.[0-9]+$$') THEN 'dec'
+         |         WHEN regexp_matches(val, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$$') THEN 'date'
+         |         ELSE 'oth' END AS cls
+         |  FROM tall),
+         |aggd AS (
+         |  SELECT col_name,
+         |    CAST(count(*) AS BIGINT) AS n_vals,
+         |    CAST(sum(CASE WHEN cls='bool' THEN 1 ELSE 0 END) AS BIGINT) AS n_bool,
+         |    CAST(sum(CASE WHEN cls='int' THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+         |    CAST(sum(CASE WHEN cls='dec' THEN 1 ELSE 0 END) AS BIGINT) AS n_dec,
+         |    CAST(sum(CASE WHEN cls='date' THEN 1 ELSE 0 END) AS BIGINT) AS n_date,
+         |    CAST(sum(CASE WHEN cls='oth' THEN 1 ELSE 0 END) AS BIGINT) AS n_oth,
+         |    CAST(max(length(val)) AS BIGINT) AS max_len
+         |  FROM classified GROUP BY col_name)
+         |SELECT aggd.*,
+         |  CASE WHEN n_oth > 0 THEN 'VARCHAR(' || CAST(max_len AS VARCHAR) || ')'
+         |       WHEN n_date = n_vals THEN 'DATE'
+         |       WHEN n_bool = n_vals THEN 'BOOLEAN'
+         |       WHEN n_bool + n_int = n_vals THEN 'DECIMAL(18,0)'
+         |       WHEN n_bool + n_int + n_dec = n_vals THEN 'DECIMAL(18,6)'
+         |       ELSE 'VARCHAR(' || CAST(max_len AS VARCHAR) || ')' END AS verdict
+         |FROM aggd ORDER BY col_name""".stripMargin,
+    "date_probe" ->
+      """WITH src AS (
+        |  SELECT CASE WHEN o_orderkey % 2 = 0 THEN strftime(o_orderdate, '%d/%m/%Y')
+        |              ELSE strftime(o_orderdate, '%Y-%m-%d') END AS sval
+        |  FROM orders)
+        |SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(count(try_strptime(sval, '%Y-%m-%d')) AS BIGINT) AS n_iso,
+        |  CAST(count(try_strptime(sval, '%d/%m/%Y')) AS BIGINT) AS n_dmy,
+        |  CAST(count(try_strptime(sval, '%m/%d/%Y')) AS BIGINT) AS n_mdy,
+        |  CAST(sum(CASE WHEN try_strptime(sval, '%d/%m/%Y') IS NOT NULL
+        |                 AND try_strptime(sval, '%m/%d/%Y') IS NOT NULL
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_ambiguous
+        |FROM src""".stripMargin,
+    "rich_metrics" ->
+      """WITH metrics AS (
+        |  SELECT o_orderstatus,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(median(o_custkey) AS DECIMAL(18,1)) AS custkey_median,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS totalprice_sum,
+        |    CAST(min(length(o_orderpriority)) AS BIGINT) AS priority_minlen,
+        |    CAST(max(length(o_orderpriority)) AS BIGINT) AS priority_maxlen
+        |  FROM orders GROUP BY o_orderstatus),
+        |mode AS (
+        |  SELECT o_orderstatus AS st2, o_orderpriority AS priority_mode
+        |  FROM (
+        |    SELECT o_orderstatus, o_orderpriority,
+        |      row_number() OVER (PARTITION BY o_orderstatus
+        |                         ORDER BY count(*) DESC, o_orderpriority ASC) AS rn
+        |    FROM orders GROUP BY o_orderstatus, o_orderpriority)
+        |  WHERE rn = 1)
+        |SELECT o_orderstatus, n_rows, custkey_median, totalprice_sum,
+        |  CAST(totalprice_sum AS DOUBLE) / n_rows AS totalprice_avg,
+        |  priority_mode, priority_minlen, priority_maxlen
+        |FROM metrics JOIN mode ON o_orderstatus = st2
+        |ORDER BY o_orderstatus""".stripMargin
+  )
+}
