@@ -19,7 +19,10 @@ object SparkEntry {
       (DeltaSync.queries, DeltaSync.oracles),
       (Dedup.queries, Dedup.oracles),
       (Profiling.queries, Profiling.oracles),
-      (VarcharInference.queries, VarcharInference.oracles)
+      (VarcharInference.queries, VarcharInference.oracles),
+      (Similarity.queries, Similarity.oracles),
+      (TextAnalysis.queries, TextAnalysis.oracles),
+      (Multimodal.queries, Multimodal.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

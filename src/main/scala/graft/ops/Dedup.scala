@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for LLM training-data pipelines (the
@@ -10,6 +10,18 @@ import org.apache.spark.sql.functions._
   * this is one shuffle on the 128-bit hash (never on the document text
   * itself), with map-side partial aggregation; the surviving-id policy
   * (min id) is deterministic and rerun-stable.
+  *
+  * Near-dup (MinHash + LSH banding): shingle → per-seed min-hash →
+  * band keys → candidates = docs sharing a band bucket — NEVER
+  * all-pairs. The exact Jaccard verification join runs only over the
+  * candidate set, so total cost is O(shingles) + O(candidates), which
+  * is what survives a 100×-scale-up; an all-pairs similarity join
+  * would not. Hashing uses md5 (engine-portable, uniform); min() over
+  * hex strings is a valid min-hash because md5's order is uniform.
+  *
+  * SimHash: 16-bit sign-aggregated token fingerprint; identical
+  * fingerprints are near-dup candidates. One groupBy(doc) + one
+  * groupBy(fingerprint) — two narrow shuffles, no pairs materialized.
   */
 object Dedup {
   type Q = (SparkSession, String) => DataFrame
@@ -29,13 +41,233 @@ object Dedup {
       .select("content_hash", "keep_id", "n_copies")
       .orderBy("keep_id")
 
+  // ---- MinHash + LSH -------------------------------------------------
+
+  private val numHashes = 8
+  private val bandSize = 2 // 4 bands of 2 → candidate prob = J^2 per band
+
+  /** Distinct word-3-gram shingles per document. */
+  def shingles(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .select(
+        col("doc_id"),
+        explode(
+          when(
+            size(col("w")) >= 3,
+            expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")
+          ).otherwise(array())
+        ).as("shingle")
+      )
+      .distinct()
+
+  /** Per-document min-hash signature: numHashes columns h0..hN-1. */
+  def minhashSignature(sh: DataFrame): DataFrame = {
+    val mins: Seq[Column] =
+      (0 until numHashes).map(i => min(md5(concat(lit(s"$i|"), col("shingle")).cast("binary"))).as(s"h$i"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Tall (doc_id, band_id, band_key) from a signature. */
+  def bandKeys(sig: DataFrame): DataFrame = {
+    val nBands = numHashes / bandSize
+    val arms = (0 until nBands)
+      .map { b =>
+        val parts = (0 until bandSize).map(j => s"h${b * bandSize + j}").mkString(", ")
+        s"$b, md5(cast(concat($parts) as binary))"
+      }
+      .mkString(", ")
+    sig.selectExpr("doc_id", s"stack($nBands, $arms) as (band_id, band_key)")
+  }
+
+  /** LSH candidate pairs (doc_a < doc_b, distinct) + exact Jaccard
+    * verification over the candidates only.
+    */
+  def lshCandidatesWithJaccard(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sh = shingles(docs, idCol, textCol).cache()
+    val bands = bandKeys(minhashSignature(sh))
+    val a = bands.select(col("doc_id").as("doc_a"), col("band_id"), col("band_key"))
+    val b = bands.select(col("doc_id").as("doc_b"), col("band_id").as("band_id_b"), col("band_key").as("band_key_b"))
+    val pairs = a
+      .join(b, col("band_id") === col("band_id_b") && col("band_key") === col("band_key_b") && col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val shB = sh.select(col("doc_id").as("doc_b2"), col("shingle").as("shingle_b"))
+    val inter = pairs
+      .join(shA, "doc_a")
+      .join(shB, col("doc_b") === col("doc_b2") && col("shingle") === col("shingle_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), "doc_b")
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("n_inter"),
+        (col("n_a") + col("n_b") - col("n_inter")).as("n_union"),
+        round(col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard")
+      )
+  }
+
+  val dedupMinhashLsh: Q = (s, d) =>
+    lshCandidatesWithJaccard(documents(s, d), "doc_id", "text")
+      .orderBy("doc_a", "doc_b")
+
+  // ---- SimHash -------------------------------------------------------
+
+  /** Engine-portable SQL for the value of 4 hex chars (ascii-based so
+    * the identical expression text runs in Spark and DuckDB).
+    */
+  private def hex4ValSql(h: String): String = {
+    def v(pos: Int) =
+      s"(CASE WHEN ascii(substr($h, $pos, 1)) >= 97 THEN ascii(substr($h, $pos, 1)) - 87 ELSE ascii(substr($h, $pos, 1)) - 48 END)"
+    s"(${v(1)} * 4096 + ${v(2)} * 256 + ${v(3)} * 16 + ${v(4)})"
+  }
+
+  /** Portable bit extraction: (hv / 2^j) floor-div, mod 2. */
+  private def bitSql(hv: String, j: Int): String =
+    s"CAST(floor($hv / ${1 << j}.0) AS BIGINT) % 2"
+
+  /** 16-bit SimHash per document over its distinct words. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String, spark: SparkSession): DataFrame = {
+    val words = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("word"))
+      .distinct()
+    val hv = hex4ValSql("substr(md5(cast(word as binary)), 1, 4)")
+    val bitSums: Seq[Column] = (0 until 16).map { j =>
+      sum(expr(s"CASE WHEN ${bitSql(hv, j)} = 1 THEN 1 ELSE -1 END")).as(s"s$j")
+    }
+    val sums = words.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 16)
+      .map(j => s"(CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    sums.selectExpr("doc_id", s"CAST($fp AS BIGINT) AS simhash")
+  }
+
+  val dedupSimhash: Q = (s, d) =>
+    simhash(documents(s, d), "doc_id", "text", s).orderBy("doc_id")
+
+  // ---- blocked exact n-gram Jaccard ----------------------------------
+
+  /** Exact word-set Jaccard restricted to blocking buckets
+    * (lang, length-bucket) — the classic blocked near-dup join: pairs
+    * exist only within a block, never across the whole corpus.
+    */
+  val dedupNgramJaccard: Q = (s, d) => {
+    val docs = documents(s, d)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        expr("CAST(floor(n_chars / 100.0) AS BIGINT)").as("len_bucket"),
+        array_distinct(split(col("text"), " ")).as("ws")
+      )
+    val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("len_bucket"), col("ws").as("ws_a"))
+    val b = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("len_bucket").as("lb_b"), col("ws").as("ws_b"))
+    a.join(b, col("lang") === col("lang_b") && col("len_bucket") === col("lb_b") && col("doc_a") < col("doc_b"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        size(array_intersect(col("ws_a"), col("ws_b"))).cast("bigint").as("n_inter"),
+        size(array_union(col("ws_a"), col("ws_b"))).cast("bigint").as("n_union")
+      )
+      .withColumn("jaccard", round(col("n_inter").cast("double") / col("n_union"), 6))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
   def queries: Map[String, Q] = Map(
-    "dedup_exact" -> dedupExact
+    "dedup_exact" -> dedupExact,
+    "dedup_minhash_lsh" -> dedupMinhashLsh,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_ngram_jaccard" -> dedupNgramJaccard
   )
+
+  // ---- DuckDB oracles ------------------------------------------------
+
+  private val shinglesSql =
+    """sh AS (
+      |  SELECT DISTINCT doc_id, shingle FROM (
+      |    SELECT doc_id,
+      |      unnest(list_transform(generate_series(1, len(w)-2),
+      |                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)))""".stripMargin
+
+  private def minhashSql: String = {
+    val mins = (0 until numHashes).map(i => s"min(md5('$i|' || shingle)) AS h$i").mkString(", ")
+    s"mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)"
+  }
+
+  private def bandsSql: String = {
+    val nBands = numHashes / bandSize
+    val arms = (0 until nBands)
+      .map { bnd =>
+        val parts = (0 until bandSize).map(j => s"h${bnd * bandSize + j}").mkString(" || ")
+        s"SELECT doc_id, $bnd AS band_id, md5($parts) AS band_key FROM mh"
+      }
+      .mkString(" UNION ALL ")
+    s"bands AS ($arms)"
+  }
 
   def oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
-        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "dedup_minhash_lsh" ->
+      s"""WITH $shinglesSql,
+         |$minhashSql,
+         |$bandsSql,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM pairs p
+         |  JOIN sh x ON x.doc_id = p.doc_a
+         |  JOIN sh y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
+         |  GROUP BY p.doc_a, p.doc_b)
+         |SELECT p.doc_a, p.doc_b,
+         |  coalesce(i.n_inter, 0) AS n_inter,
+         |  sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0) AS n_union,
+         |  round(CAST(coalesce(i.n_inter, 0) AS DOUBLE) / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard
+         |FROM pairs p
+         |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         |JOIN sizes sa ON sa.doc_id = p.doc_a
+         |JOIN sizes sb ON sb.doc_id = p.doc_b
+         |ORDER BY p.doc_a, p.doc_b""".stripMargin,
+    "dedup_simhash" -> {
+      val hv = hex4ValSql("substr(md5(word), 1, 4)")
+      val bitSums = (0 until 16)
+        .map(j => s"sum(CASE WHEN ${bitSql(hv, j)} = 1 THEN 1 ELSE -1 END) AS s$j")
+        .mkString(", ")
+      val fp = (0 until 16)
+        .map(j => s"(CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH words AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |sums AS (SELECT doc_id, $bitSums FROM words GROUP BY doc_id)
+         |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM sums ORDER BY doc_id""".stripMargin
+    },
+    "dedup_ngram_jaccard" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket,
+        |         list_distinct(string_split(text, ' ')) AS ws
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS n_inter,
+        |    CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS BIGINT) AS n_union
+        |  FROM docs a JOIN docs b
+        |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, n_inter, n_union,
+        |  round(CAST(n_inter AS DOUBLE) / n_union, 6) AS jaccard
+        |FROM pairs WHERE round(CAST(n_inter AS DOUBLE) / n_union, 6) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`) — the
+  * BASELINE.json ANN component.
+  *
+  * Baseline: brute-force cosine top-k against a query vector. The
+  * query side is a 1-row broadcast; the scan side computes dot/norm
+  * with codegen'd higher-order functions (`zip_with` + `aggregate`) —
+  * no UDFs, no collect. At 100 TB this is one pass, embarrassingly
+  * parallel, with only the top-k rows shuffled (TakeOrderedAndProject).
+  *
+  * Scale path: random-hyperplane LSH — 8 deterministic hyperplanes
+  * derived from an integer formula (no RNG at runtime), sign bits →
+  * 256 buckets; search visits only the query's bucket, cutting the
+  * scan ~256× at the cost of recall (the standard IVF/LSH trade).
+  */
+object Similarity {
+  type Q = (SparkSession, String) => DataFrame
+  import Fixtures._
+
+  private val dims = 64
+  private val nPlanes = 8
+
+  private def withVec(df: DataFrame): DataFrame =
+    df.withColumn("v", col("embedding").cast("array<double>"))
+
+  private val dotQ = "aggregate(zip_with(v, qv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+  private val normV = "sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"
+  private val normQ = "sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x))"
+
+  /** Brute-force cosine top-k against the embedding of `queryId`. */
+  def cosineTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val e = withVec(emb)
+    val q = e.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    e.crossJoin(broadcast(q))
+      .withColumn("cos_sim", round(expr(dotQ) / (expr(normV) * expr(normQ)), 6))
+      .select(col("vec_id"), col("label"), col("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Deterministic hyperplane component (j = plane, k = dimension):
+    * integer formula, identical in the DuckDB oracle.
+    */
+  private def planeSql(j: Int): String =
+    s"transform(sequence(0, ${dims - 1}), k -> CAST((k * 37 + $j * 101) % 19 - 9 AS DOUBLE))"
+
+  /** Sign-bit LSH bucket id per vector. */
+  def lshBuckets(emb: DataFrame): DataFrame = {
+    val e = withVec(emb)
+    val bits = (0 until nPlanes)
+      .map { j =>
+        val dot = s"aggregate(zip_with(v, ${planeSql(j)}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+        s"(CASE WHEN $dot >= 0 THEN ${1 << j} ELSE 0 END)"
+      }
+      .mkString(" + ")
+    e.withColumn("bucket_id", expr(s"CAST($bits AS BIGINT)"))
+  }
+
+  val annCosineTopk: Q = (s, d) => cosineTopK(embeddings(s, d), 0L, 20)
+
+  val annLshBuckets: Q = (s, d) =>
+    lshBuckets(embeddings(s, d))
+      .groupBy(col("bucket_id"))
+      .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
+      .orderBy("bucket_id")
+
+  /** Top-k restricted to the query's LSH bucket (the ANN scale path). */
+  val annLshTopk: Q = (s, d) => {
+    val bucketed = lshBuckets(embeddings(s, d))
+    val q = bucketed
+      .filter(col("vec_id") === 0L)
+      .select(col("v").as("qv"), col("bucket_id").as("q_bucket"))
+    bucketed
+      .join(broadcast(q), col("bucket_id") === col("q_bucket"))
+      .withColumn("cos_sim", round(expr(dotQ) / (expr(normV) * expr(normQ)), 6))
+      .select(col("vec_id"), col("label"), col("bucket_id"), col("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(10)
+  }
+
+  def queries: Map[String, Q] = Map(
+    "ann_cosine_topk" -> annCosineTopk,
+    "ann_lsh_buckets" -> annLshBuckets,
+    "ann_lsh_topk" -> annLshTopk
+  )
+
+  // ---- DuckDB oracles ------------------------------------------------
+
+  private val cosSqlBase =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)""".stripMargin
+
+  private def planeDuckSql(j: Int): String =
+    s"list_transform(generate_series(0, ${dims - 1}), k -> CAST((k * 37 + $j * 101) % 19 - 9 AS DOUBLE))"
+
+  private def bucketDuckSql: String =
+    (0 until nPlanes)
+      .map(j => s"(CASE WHEN list_dot_product(v, ${planeDuckSql(j)}) >= 0 THEN ${1 << j} ELSE 0 END)")
+      .mkString(" + ")
+
+  def oracles: Map[String, String] = Map(
+    "ann_cosine_topk" ->
+      s"""$cosSqlBase
+         |SELECT vec_id, label,
+         |  round(list_dot_product(v, qv) /
+         |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+         |FROM e, q ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+    "ann_lsh_buckets" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, CAST($bucketDuckSql AS BIGINT) AS bucket_id FROM e)
+         |SELECT bucket_id, CAST(count(*) AS BIGINT) AS n_vectors, min(vec_id) AS min_vec_id
+         |FROM b GROUP BY bucket_id ORDER BY bucket_id""".stripMargin,
+    "ann_lsh_topk" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, label, v, CAST($bucketDuckSql AS BIGINT) AS bucket_id FROM e),
+         |q AS (SELECT v AS qv, bucket_id AS q_bucket FROM b WHERE vec_id = 0)
+         |SELECT vec_id, label, bucket_id,
+         |  round(list_dot_product(v, qv) /
+         |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+         |FROM b, q WHERE bucket_id = q_bucket
+         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
+  )
+}

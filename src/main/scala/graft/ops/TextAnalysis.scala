@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: quality
+  * scoring, token counting (whitespace + BPE-ish regex), a language-ID
+  * heuristic and a document fingerprint (min-hash of shingles — the
+  * rolling-hash/winnowing idea with an engine-portable hash).
+  *
+  * All per-document computations are codegen'd expressions (no UDFs) —
+  * one pass, no shuffle except the final aggregations.
+  */
+object TextAnalysis {
+  type Q = (SparkSession, String) => DataFrame
+  import Fixtures._
+
+  private val stopwords = Seq("the", "a", "of", "to", "and", "in")
+  private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Per-document stats + integer-arithmetic quality score. */
+  val textStats: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("n_chars2", length(col("text")).cast("bigint"))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("bigint"))
+      .withColumn("n_stop", expr(s"CAST(size(filter(toks, w -> w IN ($stopList))) AS BIGINT)"))
+      .withColumn("n_alpha", expr("CAST(size(regexp_extract_all(text, '[a-z]+', 0)) AS BIGINT)"))
+      .withColumn(
+        "stop_pct",
+        expr("CAST(floor(n_stop * 100.0 / n_tokens) AS BIGINT)")
+      )
+      .withColumn(
+        "quality",
+        when(col("n_tokens") >= 20 && col("stop_pct").between(2, 60), "ok").otherwise("low")
+      )
+      .select("doc_id", "lang", "n_chars2", "n_tokens", "n_stop", "n_alpha", "stop_pct", "quality")
+      .orderBy("doc_id")
+
+  /** Token counting: whitespace tokens vs a BPE-ish regex tokenizer
+    * ([a-z]+ | digit runs | single other chars), plus chars-per-token.
+    */
+  val tokenCount: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("n_ws", size(split(col("text"), " ")).cast("bigint"))
+      .withColumn(
+        "n_bpe",
+        expr("CAST(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT)")
+      )
+      .withColumn(
+        "chars_per_token_pct",
+        expr("CAST(floor(length(text) * 100.0 / n_bpe) AS BIGINT)")
+      )
+      .select("doc_id", "n_ws", "n_bpe", "chars_per_token_pct")
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic: stopword-marker voting per language,
+    * aggregated into per-language accuracy stats against the labeled
+    * `lang` column. (The fixture corpus shares one vocabulary, so the
+    * interesting output is the *agreement table*, which is exactly
+    * what a quality dashboard for this operator looks like.)
+    */
+  val langIdHeuristic: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_en", expr(s"CAST(size(filter(toks, w -> w IN ($stopList))) AS BIGINT)"))
+      .withColumn("pred", when(col("n_en") > 0, "en").otherwise("unknown"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("pred") === col("lang"), 1).otherwise(0)).cast("bigint").as("n_correct"),
+        sum(when(col("pred") === "en", 1).otherwise(0)).cast("bigint").as("n_pred_en")
+      )
+      .orderBy("lang")
+
+  /** Document fingerprint: min of md5 over word-3-gram shingles
+    * (winnowing-style content signature, stable under whitespace-level
+    * noise at the boundaries).
+    */
+  val docFingerprint: Q = (s, d) =>
+    Dedup
+      .shingles(documents(s, d), "doc_id", "text")
+      .groupBy(col("doc_id"))
+      .agg(min(md5(concat(lit("fp|"), col("shingle")).cast("binary"))).as("fingerprint"))
+      .orderBy("doc_id")
+
+  def queries: Map[String, Q] = Map(
+    "text_stats" -> textStats,
+    "token_count" -> tokenCount,
+    "lang_id_heuristic" -> langIdHeuristic,
+    "doc_fingerprint" -> docFingerprint
+  )
+
+  def oracles: Map[String, String] = Map(
+    "text_stats" ->
+      s"""SELECT doc_id, lang,
+         |  CAST(length(text) AS BIGINT) AS n_chars2,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) AS BIGINT) AS n_stop,
+         |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha,
+         |  CAST(floor(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) * 100.0
+         |             / len(string_split(text, ' '))) AS BIGINT) AS stop_pct,
+         |  CASE WHEN len(string_split(text, ' ')) >= 20
+         |        AND CAST(floor(len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) * 100.0
+         |                       / len(string_split(text, ' '))) AS BIGINT) BETWEEN 2 AND 60
+         |       THEN 'ok' ELSE 'low' END AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe,
+        |  CAST(floor(length(text) * 100.0 / len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+        |    AS chars_per_token_pct
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "lang_id_heuristic" ->
+      s"""WITH scored AS (
+         |  SELECT lang,
+         |    CASE WHEN len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) > 0
+         |         THEN 'en' ELSE 'unknown' END AS pred
+         |  FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |  CAST(sum(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_en
+         |FROM scored GROUP BY lang ORDER BY lang""".stripMargin,
+    "doc_fingerprint" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(w)-2),
+        |                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)))
+        |SELECT doc_id, min(md5('fp|' || shingle)) AS fingerprint
+        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}
