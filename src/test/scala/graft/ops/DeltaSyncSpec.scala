@@ -1,0 +1,32 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class DeltaSyncSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("merge: delta wins on match, inserts new keys, keeps unmatched target rows") {
+    val target = Seq((1L, "old", 10), (2L, "keep", 20)).toDF("id", "v", "n")
+    val delta = Seq((1L, "new", 11), (3L, "ins", 30)).toDF("id", "v", "n")
+    val out = DeltaSync
+      .merge(target, delta, Seq("id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+      .sortBy(_._1)
+    assert(out.toSeq == Seq((1L, "new", 11), (2L, "keep", 20), (3L, "ins", 30)))
+  }
+
+  test("merge: a legitimate NULL in the delta overwrites the target value") {
+    val target = Seq((1L, Some("old"))).toDF("id", "v")
+    val delta = Seq((1L, None: Option[String])).toDF("id", "v")
+    val out = DeltaSync.merge(target, delta, Seq("id")).collect()
+    assert(out.length == 1 && out(0).isNullAt(1)) // not per-column coalesce
+  }
+
+  test("deltaRows: watermark is inclusive (re-imports the boundary row)") {
+    val src = Seq((1L, 10), (2L, 20), (3L, 30)).toDF("id", "ts")
+    val tgt = Seq((1L, 10), (2L, 20)).toDF("id", "ts")
+    val got = DeltaSync.deltaRows(src, tgt, "ts").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(2L, 3L)) // >= max(ts)=20: rows 2 and 3
+  }
+}
