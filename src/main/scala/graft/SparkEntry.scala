@@ -22,7 +22,8 @@ object SparkEntry {
       (VarcharInference.queries, VarcharInference.oracles),
       (Similarity.queries, Similarity.oracles),
       (TextAnalysis.queries, TextAnalysis.oracles),
-      (Multimodal.queries, Multimodal.oracles)
+      (Multimodal.queries, Multimodal.oracles),
+      (Movement.queries, Movement.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -15,10 +15,14 @@ final case class ColumnMeta(
     table: String,
     ordinal: Int,
     name: String,
-    typeName: String,       // target type string, e.g. "DECIMAL(18,2)"
+    typeName: String,       // source-side type name, e.g. "numeric", "varchar"
     nullable: Boolean = true,
     default: Option[String] = None,
-    comment: Option[String] = None
+    comment: Option[String] = None,
+    charLength: Option[Int] = None,
+    precision: Option[Int] = None,
+    scale: Option[Int] = None,
+    datetimePrecision: Option[Int] = None
 )
 
 /** Ordered member of a PK or FK (composite order matters — reference

@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.{ColumnMeta, KeyColumnMeta, KeyType, PartitionPlanner, PlanBuilder, GenericJdbcDialect}
+import graft.sync.FileStateSync
+
+/** Data-movement operator queries (SURVEY.md §2.D): the bin-packed
+  * partition-parallel read, the end-to-end migration plan stream, and
+  * the incremental file-state merge.
+  */
+object Movement {
+  type Q = (SparkSession, String) => DataFrame
+  import Fixtures._
+
+  /** Partition-parallel read via the bin-packing planner: per-year row
+    * counts (metadata-scale, collected driver-side exactly like the
+    * reference's Lua planner reads partition counts,
+    * oracle_to_exasol.sql:142-262) → 3 bins → one predicate-filtered
+    * read per bin → union. The verified invariant is the one that
+    * matters for a parallel read: the union of all bins is exactly the
+    * table (no row lost, none duplicated).
+    */
+  val parallelReadUnion: Q = (s, d) => {
+    val o = orders(s, d)
+    val counts = o
+      .groupBy(year(col("o_orderdate")).as("y"))
+      .agg(count(lit(1)).as("rows"))
+      .collect()
+      .map(r => PartitionPlanner.SourcePartition(r.getAs[Int]("y").toString, r.getAs[Long]("rows")))
+    val preds = PartitionPlanner.partitionPredicates(counts.toSeq, 3, "year(o_orderdate)")
+    val parts = preds.map(p => o.filter(expr(p)))
+    parts
+      .reduce(_ unionAll _)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total")
+      )
+  }
+
+  // ---- migration plan stream ----------------------------------------
+
+  /** FixtureCatalog rows as source-side ColumnMeta (parse the target
+    * type strings back into (typeName, len, p, s)).
+    */
+  def fixtureColumnMeta: Seq[ColumnMeta] =
+    FixtureCatalog.columns.map { c =>
+      val t = c.type_name
+      val (tn, len, p, sc) =
+        if (t.startsWith("DECIMAL")) {
+          val Array(pp, ss) = t.stripPrefix("DECIMAL(").stripSuffix(")").split(",")
+          ("decimal", None, Some(pp.trim.toInt), Some(ss.trim.toInt))
+        } else if (t.startsWith("VARCHAR"))
+          ("varchar", Some(t.stripPrefix("VARCHAR(").stripSuffix(")").toInt), None, None)
+        else if (t == "DOUBLE") ("double", None, None, None)
+        else if (t.startsWith("TIMESTAMP")) ("timestamp", None, None, None)
+        else (t.toLowerCase, None, None, None)
+      ColumnMeta(
+        schema = c.schema_name,
+        table = c.table_name,
+        ordinal = c.ordinal,
+        name = c.col_name,
+        typeName = tn,
+        nullable = c.is_nullable,
+        default = c.col_default,
+        charLength = len,
+        precision = p,
+        scale = sc
+      )
+    }
+
+  def fixtureKeyMeta: Seq[KeyColumnMeta] =
+    FixtureCatalog.keys.map { k =>
+      KeyColumnMeta(
+        schema = k.schema_name,
+        table = k.table_name,
+        constraintName = k.constraint_name,
+        keyType = if (k.kind == "P") KeyType.PrimaryKey else KeyType.ForeignKey,
+        position = k.position,
+        column = k.col_name,
+        refSchema = k.ref_schema,
+        refTable = k.ref_table
+      )
+    }
+
+  /** The full ordered statement stream of the plan builder over the
+    * literal fixture catalog. Oracle = the same pure function
+    * evaluated at registration time and pinned as a VALUES literal —
+    * i.e. a golden-file check run through the driver's compare.
+    */
+  val migrationPlan: Q = (s, _) => {
+    import s.implicits._
+    PlanBuilder
+      .build(GenericJdbcDialect, fixtureColumnMeta, fixtureKeyMeta)
+      .rendered
+      .toDF("ord", "stmt")
+      .orderBy("ord", "stmt")
+  }
+
+  private def migrationPlanOracle: String = {
+    val rows = PlanBuilder
+      .build(GenericJdbcDialect, fixtureColumnMeta, fixtureKeyMeta)
+      .rendered
+      .map { case (o, st) => s"($o, '${st.replace("'", "''")}')" }
+      .mkString(", ")
+    s"SELECT ord, stmt FROM (VALUES $rows) AS plan(ord, stmt) ORDER BY ord, stmt"
+  }
+
+  // ---- incremental file-state merge ---------------------------------
+
+  /** Deterministic listing/state frames derived from `documents`:
+    * listing = every doc as a file; state = docs with doc_id % 3 == 0
+    * loaded 'done' (odd ones with an older last_modified → modified),
+    * doc_id % 3 == 1 errored (quarantine retry), doc_id % 3 == 2 new.
+    */
+  val fileStateMerge: Q = (s, d) => {
+    val docs = documents(s, d)
+    val listing = docs.select(
+      concat(col("source"), lit("/"), col("doc_id").cast("string")).as("file_name"),
+      col("n_chars").as("last_modified")
+    )
+    val state = docs
+      .filter(col("doc_id") % 3 =!= 2)
+      .select(
+        concat(col("source"), lit("/"), col("doc_id").cast("string")).as("file_name"),
+        (col("n_chars") - col("doc_id") % 2).as("last_modified"),
+        when(col("doc_id") % 3 === 0, FileStateSync.StatusDone)
+          .otherwise("Error: load failed")
+          .as("status")
+      )
+    FileStateSync
+      .reconcile(listing, state)
+      .orderBy("file_name")
+  }
+
+  def queries: Map[String, Q] = Map(
+    "parallel_read_union" -> parallelReadUnion,
+    "migration_plan" -> migrationPlan,
+    "file_state_merge" -> fileStateMerge
+  )
+
+  def oracles: Map[String, String] = Map(
+    "parallel_read_union" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |FROM orders""".stripMargin,
+    "migration_plan" -> migrationPlanOracle,
+    "file_state_merge" ->
+      s"""WITH listing AS (
+         |  SELECT source || '/' || CAST(doc_id AS VARCHAR) AS file_name,
+         |         n_chars AS last_modified
+         |  FROM documents),
+         |state AS (
+         |  SELECT source || '/' || CAST(doc_id AS VARCHAR) AS file_name,
+         |         n_chars - doc_id % 2 AS last_modified,
+         |         CASE WHEN doc_id % 3 = 0 THEN '${FileStateSync.StatusDone}'
+         |              ELSE 'Error: load failed' END AS status
+         |  FROM documents WHERE doc_id % 3 <> 2)
+         |SELECT coalesce(l.file_name, s.file_name) AS file_name,
+         |  coalesce(l.last_modified, s.last_modified) AS last_modified,
+         |  CASE WHEN s.file_name IS NULL THEN '${FileStateSync.StatusNew}'
+         |       WHEN l.file_name IS NULL THEN s.status
+         |       WHEN l.last_modified > s.last_modified THEN '${FileStateSync.StatusUpdate}'
+         |       WHEN s.status <> '${FileStateSync.StatusDone}' THEN '${FileStateSync.StatusUpdate}'
+         |       ELSE '${FileStateSync.StatusDone}' END AS status
+         |FROM listing l FULL JOIN state s ON l.file_name = s.file_name
+         |ORDER BY file_name""".stripMargin
+  )
+}
