@@ -1,0 +1,76 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+class StreamingIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("file-source ingestion processes each file exactly once across restarts") {
+    val src = Files.createTempDirectory("graft_stream_src")
+    val out = Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    def copyFixture(name: String): Unit = {
+      val from = Paths.get("/root/testdata/sf0.001/nation.parquet")
+      Files.copy(from, src.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    val schema = spark.read.parquet("/root/testdata/sf0.001/nation.parquet").schema
+    val nPerFile = spark.read.parquet("/root/testdata/sf0.001/nation.parquet").count()
+
+    copyFixture("a.parquet")
+    val q1 = StreamingIngest.ingestParquetDir(spark, src.toString, schema, ckpt, out)
+    q1.awaitTermination()
+    assert(spark.read.parquet(out).count() == nPerFile)
+
+    // restart with one new file: only the new file is processed
+    copyFixture("b.parquet")
+    val q2 = StreamingIngest.ingestParquetDir(spark, src.toString, schema, ckpt, out)
+    q2.awaitTermination()
+    assert(spark.read.parquet(out).count() == 2 * nPerFile)
+  }
+
+  test("watermarked windowed aggregation over a memory stream") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingIngest.windowedEventCounts(df, "5 minutes", "10 minutes", "10 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_counts").outputMode("complete").start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    mem.addData((ts(1), "click", 1.0), (ts(2), "click", 2.0), (ts(11), "view", 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("win_counts").collect()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == 3)
+    assert(rows.length == 2) // two 10-minute windows
+    q.stop()
+  }
+
+  test("sessionization groups events by gap and keeps the last session open") {
+    import StreamingIngest._
+    val minute = 60L * 1000000
+    val events = Seq(
+      Event(1L, 0 * minute, "a", 1.0),
+      Event(1L, 5 * minute, "b", 1.0),
+      Event(1L, 60 * minute, "c", 1.0), // > 30-min gap → new session
+      Event(2L, 0 * minute, "x", 1.0)
+    ).toDS()
+    val sessions = sessionize(events, gapMicros = 30 * minute).collect().sortBy(s => (s.user_id, s.start_micros))
+    assert(sessions.length == 3)
+    val u1 = sessions.filter(_.user_id == 1L)
+    assert(u1(0).n_events == 2 && u1(0).closed)
+    assert(u1(1).n_events == 1 && !u1(1).closed)
+    assert(sessions.count(_.user_id == 2L) == 1)
+  }
+
+  test("windowed counts run on the real events fixture in batch mode") {
+    val ev = graft.ops.Fixtures.events(spark, "/root/testdata/sf0.001")
+    // same aggregation shape, batch execution (no watermark needed)
+    val out = ev
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .collect()
+    assert(out.map(_.getAs[Long]("n_events")).sum == ev.count())
+  }
+}
