@@ -85,16 +85,28 @@ object Dedup {
     */
   def lshCandidatesWithJaccard(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sh = shingles(docs, idCol, textCol).cache()
-    val bands = bandKeys(minhashSignature(sh))
+    // bands/pairs are doc-count-sized (tiny next to the shingle set);
+    // caching them stops the signature aggregation from being
+    // recomputed once per self-join branch and downstream join.
+    val bands = bandKeys(minhashSignature(sh)).cache()
     val a = bands.select(col("doc_id").as("doc_a"), col("band_id"), col("band_key"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band_id").as("band_id_b"), col("band_key").as("band_key_b"))
     val pairs = a
       .join(b, col("band_id") === col("band_id_b") && col("band_key") === col("band_key_b") && col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val shA = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val shB = sh.select(col("doc_id").as("doc_b2"), col("shingle").as("shingle_b"))
+      .cache()
+    // Only candidate docs (a tiny fraction of the corpus — that is the
+    // point of LSH) need their shingle sets in the verification join:
+    // semi-join-filter first so the exact-Jaccard work is
+    // O(candidates), not another pass over all shingles.
+    val candidateIds = pairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val shCand = sh.join(broadcast(candidateIds), "doc_id")
+    val sizes = shCand.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val shA = shCand.select(col("doc_id").as("doc_a"), col("shingle"))
+    val shB = shCand.select(col("doc_id").as("doc_b2"), col("shingle").as("shingle_b"))
     val inter = pairs
       .join(shA, "doc_a")
       .join(shB, col("doc_b") === col("doc_b2") && col("shingle") === col("shingle_b"))
@@ -166,17 +178,27 @@ object Dedup {
         expr("CAST(floor(n_chars / 100.0) AS BIGINT)").as("len_bucket"),
         array_distinct(split(col("text"), " ")).as("ws")
       )
-    val a = docs.select(col("doc_id").as("doc_a"), col("lang"), col("len_bucket"), col("ws").as("ws_a"))
+    // The blocking key (lang, len_bucket) has tiny cardinality (~30),
+    // so a shuffle join would put whole blocks on single tasks (skew).
+    // Word-set metadata is small → broadcast the build side; the probe
+    // side is already spread across cores by the reader, so the pair
+    // expansion runs skew-free at full parallelism.
+    val a = docs
+      .select(col("doc_id").as("doc_a"), col("lang"), col("len_bucket"), col("ws").as("ws_a"))
     val b = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("len_bucket").as("lb_b"), col("ws").as("ws_b"))
-    a.join(b, col("lang") === col("lang_b") && col("len_bucket") === col("lb_b") && col("doc_a") < col("doc_b"))
+    a.join(broadcast(b), col("lang") === col("lang_b") && col("len_bucket") === col("lb_b") && col("doc_a") < col("doc_b"))
       .select(
         col("doc_a"),
         col("doc_b"),
         size(array_intersect(col("ws_a"), col("ws_b"))).cast("bigint").as("n_inter"),
-        size(array_union(col("ws_a"), col("ws_b"))).cast("bigint").as("n_union")
+        // |a ∪ b| = |a| + |b| − |a ∩ b|: no second per-pair array op
+        size(col("ws_a")).cast("bigint").as("n_a"),
+        size(col("ws_b")).cast("bigint").as("n_b")
       )
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
       .withColumn("jaccard", round(col("n_inter").cast("double") / col("n_union"), 6))
       .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")
       .orderBy("doc_a", "doc_b")
   }
 

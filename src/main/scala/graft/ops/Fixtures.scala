@@ -19,21 +19,41 @@ object Fixtures {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  /** The fixture parquet files are written as ONE row group each, so a
+    * scan is a single task no matter how many cores exist — on a real
+    * lake `spark.sql.files.maxPartitionBytes` splits multi-row-group /
+    * multi-file tables and this helper is a no-op concern. For the
+    * fact-sized fixtures we rebalance by the table's key right after
+    * the scan with an EXPLICIT partition count: `repartition(col)`
+    * without a count lets AQE coalesce the tiny shuffle back to one
+    * partition, single-threading every downstream operator (measured
+    * 6× slower on the pair-expansion ops). Filters/pruning still push
+    * to the scan below the exchange.
+    */
+  private def spread(df: DataFrame, key: String): DataFrame = {
+    val n = df.sparkSession.sparkContext.defaultParallelism
+    df.repartition(n, col(key))
+  }
+
+  def lineitem(s: SparkSession, d: String): DataFrame =
+    spread(table(s, d, "lineitem"), "l_orderkey")
+  def orders(s: SparkSession, d: String): DataFrame =
+    spread(table(s, d, "orders"), "o_orderkey")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+  def documents(s: SparkSession, d: String): DataFrame =
+    spread(table(s, d, "documents"), "doc_id")
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    spread(table(s, d, "embeddings"), "vec_id")
 
   /** events with `ts` normalized to TimestampType (micros) and
     * `ts_nanos` holding the original epoch-nanos Long.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    val raw = table(s, d, "events")
+    val raw = spread(table(s, d, "events"), "event_id")
     raw.schema("ts").dataType match {
       case LongType =>
         raw
