@@ -23,7 +23,9 @@ object SparkEntry {
       (Similarity.queries, Similarity.oracles),
       (TextAnalysis.queries, TextAnalysis.oracles),
       (Multimodal.queries, Multimodal.oracles),
-      (Movement.queries, Movement.oracles)
+      (Movement.queries, Movement.oracles),
+      (Events.queries, Events.oracles),
+      (TolerantMetrics.queries, TolerantMetrics.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

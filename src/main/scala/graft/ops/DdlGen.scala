@@ -141,6 +141,82 @@ object DdlGen {
       )
   }
 
+  /** COMMENT ON TABLE / COLUMN with quote-doubled comment text
+    * (postgresql_to_exasol.sql:253-262).
+    */
+  def commentStmts(comments: DataFrame): DataFrame =
+    comments.select(
+      col("schema_name"),
+      col("table_name"),
+      when(
+        col("col_name").isNull,
+        concat(
+          lit("COMMENT ON TABLE "),
+          qIdent(col("schema_name")),
+          lit("."),
+          qIdent(col("table_name")),
+          lit(" IS '"),
+          expr("replace(comment, '''', '''''')"),
+          lit("';")
+        )
+      ).otherwise(
+        concat(
+          lit("COMMENT ON COLUMN "),
+          qIdent(col("schema_name")),
+          lit("."),
+          qIdent(col("table_name")),
+          lit("."),
+          qIdent(col("col_name")),
+          lit(" IS '"),
+          expr("replace(comment, '''', '''''')"),
+          lit("';")
+        )
+      ).as("stmt")
+    )
+
+  /** Best-effort single-column PARTITION BY
+    * (postgresql_to_exasol.sql:273-288 — multi-column defs fall back
+    * to a commented review note there; the fixture metadata carries
+    * only the supported single-column form).
+    */
+  def partitionStmts(extras: DataFrame): DataFrame =
+    extras
+      .filter(col("partition_col").isNotNull)
+      .select(
+        col("schema_name"),
+        col("table_name"),
+        concat(
+          lit("ALTER TABLE "),
+          qIdent(col("schema_name")),
+          lit("."),
+          qIdent(col("table_name")),
+          lit(" PARTITION BY ("),
+          qIdent(col("partition_col")),
+          lit(");")
+        ).as("stmt")
+      )
+
+  /** DISTRIBUTE BY from the source distribution key, order preserved
+    * (db2_to_exasol.sql:221-229; Spark-side execution analog:
+    * `repartition(cols)` / bucketBy on write).
+    */
+  def distributeStmts(extras: DataFrame): DataFrame =
+    extras
+      .filter(col("dist_cols").isNotNull)
+      .select(
+        col("schema_name"),
+        col("table_name"),
+        concat(
+          lit("ALTER TABLE "),
+          qIdent(col("schema_name")),
+          lit("."),
+          qIdent(col("table_name")),
+          lit(" DISTRIBUTE BY ("),
+          expr("""concat_ws(',', transform(split(dist_cols, ','), x -> concat('"', upper(x), '"')))"""),
+          lit(");")
+        ).as("stmt")
+      )
+
   /** The ordered statement stream: UNION ALL of the sections with the
     * reference's fixed ord numbers, globally sorted (ord, stmt) —
     * postgresql_to_exasol.sql:388-403.
@@ -151,6 +227,27 @@ object DdlGen {
     val s6 = primaryKeyStmts(keys).select(lit(6).as("ord"), col("stmt"))
     val s8 = foreignKeyStmts(keys, cols).select(lit(8).as("ord"), col("stmt"))
     s2.unionByName(s4).unionByName(s6).unionByName(s8).orderBy("ord", "stmt")
+  }
+
+  /** Full stream incl. distribution (ord 35), partition (38), comments
+    * (42) — the complete section layout of §0.
+    */
+  def fullStatementStream(
+      cols: DataFrame,
+      keys: DataFrame,
+      comments: DataFrame,
+      extras: DataFrame
+  ): DataFrame = {
+    val base = Seq(
+      createSchemaStmts(cols).select(lit(2).as("ord"), col("stmt")),
+      createTableStmts(cols).select(lit(4).as("ord"), col("stmt")),
+      primaryKeyStmts(keys).select(lit(6).as("ord"), col("stmt")),
+      foreignKeyStmts(keys, cols).select(lit(8).as("ord"), col("stmt")),
+      distributeStmts(extras).select(lit(35).as("ord"), col("stmt")),
+      partitionStmts(extras).select(lit(38).as("ord"), col("stmt")),
+      commentStmts(comments).select(lit(42).as("ord"), col("stmt"))
+    )
+    base.reduce(_ unionByName _).orderBy("ord", "stmt")
   }
 
   def queries: Map[String, Q] = Map(
@@ -165,7 +262,14 @@ object DdlGen {
         .select("schema_name", "table_name", "stmt")
         .orderBy("schema_name", "table_name", "stmt")),
     "ddl_statement_stream" -> ((s, _) =>
-      statementStream(FixtureCatalog.columnsDf(s), FixtureCatalog.keysDf(s)))
+      statementStream(FixtureCatalog.columnsDf(s), FixtureCatalog.keysDf(s))),
+    "ddl_comments" -> ((s, _) =>
+      commentStmts(FixtureCatalog.commentsDf(s)).orderBy("schema_name", "table_name", "stmt")),
+    "ddl_partition_distribute" -> ((s, _) =>
+      distributeStmts(FixtureCatalog.extrasDf(s))
+        .select(lit(35).as("ord"), col("stmt"))
+        .unionByName(partitionStmts(FixtureCatalog.extrasDf(s)).select(lit(38).as("ord"), col("stmt")))
+        .orderBy("ord", "stmt"))
   )
 
   private val colDefSql =
@@ -217,6 +321,31 @@ object DdlGen {
          |  UNION ALL SELECT 4 AS ord, stmt FROM ($createTableSql)
          |  UNION ALL SELECT 6 AS ord, stmt FROM ($primaryKeySql)
          |  UNION ALL SELECT 8 AS ord, stmt FROM ($foreignKeySql)
+         |) ORDER BY ord, stmt""".stripMargin,
+    "ddl_comments" ->
+      s"""SELECT schema_name, table_name,
+         |  CASE WHEN col_name IS NULL THEN
+         |    'COMMENT ON TABLE "' || upper(schema_name) || '"."' || upper(table_name) ||
+         |    '" IS ''' || replace(comment, '''', '''''') || ''';'
+         |  ELSE
+         |    'COMMENT ON COLUMN "' || upper(schema_name) || '"."' || upper(table_name) ||
+         |    '"."' || upper(col_name) || '" IS ''' || replace(comment, '''', '''''') || ''';'
+         |  END AS stmt
+         |FROM ${FixtureCatalog.commentsValuesSql}
+         |ORDER BY schema_name, table_name, stmt""".stripMargin,
+    "ddl_partition_distribute" ->
+      s"""SELECT ord, stmt FROM (
+         |  SELECT 35 AS ord,
+         |    'ALTER TABLE "' || upper(schema_name) || '"."' || upper(table_name) ||
+         |    '" DISTRIBUTE BY (' ||
+         |    array_to_string(list_transform(string_split(dist_cols, ','), x -> '"' || upper(x) || '"'), ',') ||
+         |    ');' AS stmt
+         |  FROM ${FixtureCatalog.extrasValuesSql} WHERE dist_cols IS NOT NULL
+         |  UNION ALL
+         |  SELECT 38 AS ord,
+         |    'ALTER TABLE "' || upper(schema_name) || '"."' || upper(table_name) ||
+         |    '" PARTITION BY ("' || upper(partition_col) || '");' AS stmt
+         |  FROM ${FixtureCatalog.extrasValuesSql} WHERE partition_col IS NOT NULL
          |) ORDER BY ord, stmt""".stripMargin
   )
 }

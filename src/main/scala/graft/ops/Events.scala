@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-stream operators over the `events` fixture: time-bucketed
+  * aggregation, gap-based sessionization expressed relationally
+  * (lag + cumulative gap counter — the batch/backfill analog of the
+  * streaming flatMapGroupsWithState path in graft.streaming), and JSON
+  * property extraction.
+  *
+  * Timestamps: `events.ts` is nanosecond parquet; all arithmetic here
+  * runs on epoch-micros longs (exact, engine-portable) rather than
+  * engine timestamp types.
+  */
+object Events {
+  type Q = (SparkSession, String) => DataFrame
+  import Fixtures._
+
+  /** Tumbling-window counts per event type (1-hour buckets on epoch
+    * micros — integer arithmetic, no timezone surface).
+    */
+  val eventsWindowCounts: Q = (s, d) =>
+    events(s, d)
+      .withColumn("hour_bucket", expr("ts_nanos div 1000 div 3600000000"))
+      .groupBy(col("hour_bucket"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total_value"),
+        countDistinct(col("user_id")).as("n_users")
+      )
+      .orderBy("hour_bucket", "event_type")
+
+  /** Relational sessionization: per user, order events by time; a gap
+    * > 30 min starts a new session (lag + cumulative sum of
+    * session-start flags — single shuffle on user_id, the standard
+    * scale-safe formulation; no per-user state object).
+    */
+  val eventsSessions: Q = (s, d) => {
+    val gapMicros = 30L * 60 * 1000000
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    events(s, d)
+      .withColumn("ts_us", expr("ts_nanos div 1000"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
+      .withColumn(
+        "new_session",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapMicros, 1).otherwise(0)
+      )
+      .withColumn("session_id", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("session_id")).cast("bigint").as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        sum(col("n_events")).as("n_total_events")
+      )
+      .orderBy("user_id")
+  }
+
+  /** JSON property extraction from the `props` column. */
+  val eventsJsonExtract: Q = (s, d) =>
+    events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n_with_k"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"),
+        sum(col("k")).as("k_sum")
+      )
+      .orderBy("event_type")
+
+  def queries: Map[String, Q] = Map(
+    "events_window_counts" -> eventsWindowCounts,
+    "events_sessions" -> eventsSessions,
+    "events_json_extract" -> eventsJsonExtract
+  )
+
+  def oracles: Map[String, String] = Map(
+    "events_window_counts" ->
+      """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin,
+    "events_sessions" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_ts
+        |  FROM events),
+        |flagged AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM t),
+        |sessions AS (
+        |  SELECT user_id,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |                           ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged),
+        |per_session AS (
+        |  SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM sessions GROUP BY user_id, session_id)
+        |SELECT user_id, CAST(max(session_id) AS BIGINT) AS n_sessions,
+        |  max(n_events) AS max_session_events,
+        |  CAST(sum(n_events) AS BIGINT) AS n_total_events
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "events_json_extract" ->
+      """SELECT event_type,
+        |  CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_k,
+        |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}

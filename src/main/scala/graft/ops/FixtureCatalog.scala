@@ -100,6 +100,69 @@ object FixtureCatalog {
     KeyRow(S, "orders", "orders_currency_fk", "F", 1, "o_orderkey", Some(S), Some("currency"))
   )
 
+  /** (schema, table, column-or-null, comment text) — column rows carry
+    * a col_name, table rows NULL (reference pg_description scan,
+    * postgresql_to_exasol.sql:253-262).
+    */
+  final case class CommentRow(
+      schema_name: String,
+      table_name: String,
+      col_name: Option[String],
+      comment: String
+  )
+
+  /** Partition / distribution metadata (reference: pg_get_partkeydef
+    * parse :273-288; Db2 PARTKEYSEQ db2_to_exasol.sql:221-229).
+    */
+  final case class ExtraRow(
+      schema_name: String,
+      table_name: String,
+      partition_col: Option[String],
+      dist_cols: Option[String] // comma-separated, ordered
+  )
+
+  val comments: Seq[CommentRow] = Seq(
+    CommentRow(S, "orders", None, "All customer orders"),
+    CommentRow(S, "orders", Some("o_totalprice"), "Total incl. tax, 2 dp"),
+    CommentRow(S, "lineitem", None, "Order line items; Bob's 'fact' table"),
+    CommentRow(S, "customer", Some("c_mktsegment"), "Market segment")
+  )
+
+  val extras: Seq[ExtraRow] = Seq(
+    ExtraRow(S, "orders", Some("o_orderdate"), Some("o_orderkey")),
+    ExtraRow(S, "lineitem", Some("l_shipdate"), Some("l_orderkey,l_linenumber")),
+    ExtraRow(S, "customer", None, Some("c_custkey")),
+    ExtraRow(S, "nation", None, None)
+  )
+
+  def commentsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    comments.toDF()
+  }
+
+  def extrasDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    extras.toDF()
+  }
+
+  def commentsValuesSql: String = {
+    val rows = comments
+      .map(c =>
+        s"(${sqlLit(c.schema_name)}, ${sqlLit(c.table_name)}, ${sqlLit(c.col_name)}, ${sqlLit(c.comment)})"
+      )
+      .mkString(", ")
+    s"(VALUES $rows) AS comments(schema_name, table_name, col_name, comment)"
+  }
+
+  def extrasValuesSql: String = {
+    val rows = extras
+      .map(e =>
+        s"(${sqlLit(e.schema_name)}, ${sqlLit(e.table_name)}, ${sqlLit(e.partition_col)}, ${sqlLit(e.dist_cols)})"
+      )
+      .mkString(", ")
+    s"(VALUES $rows) AS extras(schema_name, table_name, partition_col, dist_cols)"
+  }
+
   def columnsDf(spark: SparkSession): DataFrame = {
     import spark.implicits._
     columns.toDF()

@@ -135,10 +135,22 @@ object Movement {
       .orderBy("file_name")
   }
 
+  /** Filesystem listing as a table function (the S3/Azure UDTF analog,
+    * §2.A #16 / §2.H #77). Name-only output: the DuckDB oracle can
+    * glob names but not sizes/mtimes. The oracle pins the correctness
+    * SF directory (the driver's gate always runs at sf0.01).
+    */
+  val fileListing: Q = (s, d) =>
+    graft.sources.FileListing
+      .listDf(s, s"$d/*.parquet")
+      .select("file_name")
+      .orderBy("file_name")
+
   def queries: Map[String, Q] = Map(
     "parallel_read_union" -> parallelReadUnion,
     "migration_plan" -> migrationPlan,
-    "file_state_merge" -> fileStateMerge
+    "file_state_merge" -> fileStateMerge,
+    "file_listing" -> fileListing
   )
 
   def oracles: Map[String, String] = Map(
@@ -148,6 +160,10 @@ object Movement {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
         |FROM orders""".stripMargin,
     "migration_plan" -> migrationPlanOracle,
+    "file_listing" ->
+      """SELECT list_extract(string_split(file, '/'), -1) AS file_name
+        |FROM glob('/root/testdata/sf0.01/*.parquet')
+        |ORDER BY file_name""".stripMargin,
     "file_state_merge" ->
       s"""WITH listing AS (
          |  SELECT source || '/' || CAST(doc_id AS VARCHAR) AS file_name,
