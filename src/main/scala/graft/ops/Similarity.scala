@@ -31,12 +31,19 @@ object Similarity {
   private val normV = "sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x))"
   private val normQ = "sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x))"
 
-  /** Brute-force cosine top-k against the embedding of `queryId`. */
+  /** Brute-force cosine top-k against the embedding of `queryId`,
+    * using the fused codegen expression (graft.functions
+    * .CosineSimilarity) — one loop per row instead of three
+    * aggregate/zip_with folds; numerically identical (same
+    * left-to-right summation, so the DuckDB oracle still
+    * hash-matches).
+    */
   def cosineTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val e = withVec(emb)
     val q = e.filter(col("vec_id") === queryId).select(col("v").as("qv"))
     e.crossJoin(broadcast(q))
-      .withColumn("cos_sim", round(expr(dotQ) / (expr(normV) * expr(normQ)), 6))
+      .withColumn("cos_sim", round(expr("cosine_sim(v, qv)"), 6))
       .select(col("vec_id"), col("label"), col("cos_sim"))
       .orderBy(desc("cos_sim"), asc("vec_id"))
       .limit(k)
@@ -70,13 +77,14 @@ object Similarity {
 
   /** Top-k restricted to the query's LSH bucket (the ANN scale path). */
   val annLshTopk: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
     val bucketed = lshBuckets(embeddings(s, d))
     val q = bucketed
       .filter(col("vec_id") === 0L)
       .select(col("v").as("qv"), col("bucket_id").as("q_bucket"))
     bucketed
       .join(broadcast(q), col("bucket_id") === col("q_bucket"))
-      .withColumn("cos_sim", round(expr(dotQ) / (expr(normV) * expr(normQ)), 6))
+      .withColumn("cos_sim", round(expr("cosine_sim(v, qv)"), 6))
       .select(col("vec_id"), col("label"), col("bucket_id"), col("cos_sim"))
       .orderBy(desc("cos_sim"), asc("vec_id"))
       .limit(10)
