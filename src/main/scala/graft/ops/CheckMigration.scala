@@ -116,9 +116,22 @@ object CheckMigration {
     deviationReport(full, filtered, deviationMetrics)
   }
 
+  /** Per-table deviation summary (the reference's per-schema summary
+    * table, postgresql_to_exasol.sql:339-356 tail): counts of
+    * OK/DEVIATION metrics and an overall status.
+    */
+  val metricsSummary: Q = (s, d) =>
+    metricsDeviation(s, d)
+      .agg(
+        sum(when(col("status") === "OK", 1).otherwise(0)).cast("bigint").as("n_ok"),
+        sum(when(col("status") === "DEVIATION", 1).otherwise(0)).cast("bigint").as("n_deviation")
+      )
+      .withColumn("overall", when(col("n_deviation") === 0, "OK").otherwise("DEVIATION"))
+
   def queries: Map[String, Q] = Map(
     "agg_wide_metrics_lineitem" -> wideMetricsLineitem,
-    "agg_metrics_deviation" -> metricsDeviation
+    "agg_metrics_deviation" -> metricsDeviation,
+    "agg_metrics_summary" -> metricsSummary
   )
 
   private val wideSqlBody =
@@ -156,6 +169,19 @@ object CheckMigration {
          |SELECT coalesce(ua.metric, ub.metric) AS metric, val_a, val_b,
          |  CASE WHEN val_a IS NOT DISTINCT FROM val_b THEN 'OK' ELSE 'DEVIATION' END AS status
          |FROM ua FULL JOIN ub ON ua.metric = ub.metric
-         |ORDER BY metric""".stripMargin
+         |ORDER BY metric""".stripMargin,
+    "agg_metrics_summary" ->
+      s"""WITH wa AS ($wideSqlBody),
+         |wb AS (${wideSqlBody.replace("FROM lineitem", "FROM lineitem WHERE l_linenumber <= 4")}),
+         |ua AS (${meltSql("wa", "val_a")}),
+         |ub AS (${meltSql("wb", "val_b")}),
+         |dev AS (
+         |  SELECT CASE WHEN val_a IS NOT DISTINCT FROM val_b THEN 'OK' ELSE 'DEVIATION' END AS status
+         |  FROM ua FULL JOIN ub ON ua.metric = ub.metric)
+         |SELECT CAST(sum(CASE WHEN status = 'OK' THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+         |  CAST(sum(CASE WHEN status = 'DEVIATION' THEN 1 ELSE 0 END) AS BIGINT) AS n_deviation,
+         |  CASE WHEN sum(CASE WHEN status = 'DEVIATION' THEN 1 ELSE 0 END) = 0
+         |       THEN 'OK' ELSE 'DEVIATION' END AS overall
+         |FROM dev""".stripMargin
   )
 }

@@ -217,6 +217,27 @@ object DdlGen {
         ).as("stmt")
       )
 
+  /** VIEW review section (ord 90): source view definitions emitted as
+    * commented CREATE VIEW statements for manual review — cross-dialect
+    * SQL translation stays out of scope exactly as in the reference
+    * (postgresql_to_exasol.sql:264-271; the Exasol→Exasol script emits
+    * them runnable, exasol_to_exasol.sql:94-109).
+    */
+  def viewReviewStmts(views: DataFrame): DataFrame =
+    views.select(
+      col("schema_name"),
+      col("view_name"),
+      concat(
+        lit("-- REVIEW: CREATE OR REPLACE FORCE VIEW "),
+        qIdent(col("schema_name")),
+        lit("."),
+        qIdent(col("view_name")),
+        lit(" AS "),
+        col("definition"),
+        lit(";")
+      ).as("stmt")
+    )
+
   /** The ordered statement stream: UNION ALL of the sections with the
     * reference's fixed ord numbers, globally sorted (ord, stmt) —
     * postgresql_to_exasol.sql:388-403.
@@ -269,7 +290,9 @@ object DdlGen {
       distributeStmts(FixtureCatalog.extrasDf(s))
         .select(lit(35).as("ord"), col("stmt"))
         .unionByName(partitionStmts(FixtureCatalog.extrasDf(s)).select(lit(38).as("ord"), col("stmt")))
-        .orderBy("ord", "stmt"))
+        .orderBy("ord", "stmt")),
+    "ddl_view_review" -> ((s, _) =>
+      viewReviewStmts(FixtureCatalog.viewsDf(s)).orderBy("schema_name", "view_name"))
   )
 
   private val colDefSql =
@@ -346,6 +369,12 @@ object DdlGen {
          |    'ALTER TABLE "' || upper(schema_name) || '"."' || upper(table_name) ||
          |    '" PARTITION BY ("' || upper(partition_col) || '");' AS stmt
          |  FROM ${FixtureCatalog.extrasValuesSql} WHERE partition_col IS NOT NULL
-         |) ORDER BY ord, stmt""".stripMargin
+         |) ORDER BY ord, stmt""".stripMargin,
+    "ddl_view_review" ->
+      s"""SELECT schema_name, view_name,
+         |  '-- REVIEW: CREATE OR REPLACE FORCE VIEW "' || upper(schema_name) || '"."' ||
+         |  upper(view_name) || '" AS ' || definition || ';' AS stmt
+         |FROM ${FixtureCatalog.viewsValuesSql}
+         |ORDER BY schema_name, view_name""".stripMargin
   )
 }

@@ -135,6 +135,29 @@ object FixtureCatalog {
     ExtraRow(S, "nation", None, None)
   )
 
+  /** View definitions (reference: pg_get_viewdef review section
+    * postgresql_to_exasol.sql:264-271; runnable Exasol form
+    * exasol_to_exasol.sql:94-109).
+    */
+  final case class ViewRow(schema_name: String, view_name: String, definition: String)
+
+  val views: Seq[ViewRow] = Seq(
+    ViewRow(S, "open_orders", "SELECT * FROM tpch.orders WHERE o_orderstatus = 'O'"),
+    ViewRow(S, "big_orders", "SELECT o_orderkey FROM tpch.orders WHERE o_totalprice > 100000")
+  )
+
+  def viewsDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    views.toDF()
+  }
+
+  def viewsValuesSql: String = {
+    val rows = views
+      .map(v => s"(${sqlLit(v.schema_name)}, ${sqlLit(v.view_name)}, ${sqlLit(v.definition)})")
+      .mkString(", ")
+    s"(VALUES $rows) AS views(schema_name, view_name, definition)"
+  }
+
   def commentsDf(spark: SparkSession): DataFrame = {
     import spark.implicits._
     comments.toDF()
