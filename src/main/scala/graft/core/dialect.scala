@@ -220,6 +220,24 @@ object PostgresDialect extends SourceDialect {
     }
   }
 
+  /** Default-expression translation (postgresql_to_exasol.sql:192-203):
+    * plain literals survive (with `::type` cast suffixes stripped),
+    * the now()-family normalizes to CURRENT_TIMESTAMP / CURRENT_DATE,
+    * and sequence defaults (`nextval(...)`) are dropped — identity
+    * values migrate as plain data, the generator does not.
+    */
+  def translateDefault(raw: String): Option[String] = {
+    val t = raw.trim
+    val lower = t.toLowerCase
+    if (lower.startsWith("nextval(")) None
+    else if (
+      Set("now()", "current_timestamp", "transaction_timestamp()", "statement_timestamp()",
+        "clock_timestamp()").contains(lower)
+    ) Some("CURRENT_TIMESTAMP")
+    else if (lower == "current_date" || lower == "('now'::text)::date") Some("CURRENT_DATE")
+    else Some(t.replaceAll("::[a-zA-Z_ ]+(\\([0-9,]*\\))?$", ""))
+  }
+
   /** Out-of-range temporal policy wrapper: dates outside 0001..9999
     * (postgresql_to_exasol.sql:206-219). Spark's DateType covers the
     * full range, so FAIL is a no-op here; NULL/CLAMP stay meaningful

@@ -90,10 +90,28 @@ object Similarity {
       .limit(10)
   }
 
+  /** Embedding-cosine near-duplicate pairs, LSH-bucketed: candidate
+    * pairs exist only within a sign-bucket (256 buckets → ~256× fewer
+    * pairs than all-pairs), then exact cosine ≥ threshold confirms.
+    * The dedup-by-embedding component of the BASELINE.json north-star.
+    */
+  val dedupEmbeddingCosine: Q = (s, d) => {
+    graft.functions.GraftFunctions.register(s)
+    val b = lshBuckets(embeddings(s, d)).select(col("vec_id"), col("bucket_id"), col("v"))
+    val a2 = b.select(col("vec_id").as("vec_a"), col("bucket_id"), col("v").as("va"))
+    val b2 = b.select(col("vec_id").as("vec_b"), col("bucket_id").as("bucket_b"), col("v").as("vb"))
+    a2.join(broadcast(b2), col("bucket_id") === col("bucket_b") && col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim", round(expr("cosine_sim(va, vb)"), 6))
+      .filter(col("cos_sim") >= 0.9)
+      .select("vec_a", "vec_b", "bucket_id", "cos_sim")
+      .orderBy("vec_a", "vec_b")
+  }
+
   def queries: Map[String, Q] = Map(
     "ann_cosine_topk" -> annCosineTopk,
     "ann_lsh_buckets" -> annLshBuckets,
-    "ann_lsh_topk" -> annLshTopk
+    "ann_lsh_topk" -> annLshTopk,
+    "dedup_embedding_cosine" -> dedupEmbeddingCosine
   )
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -130,6 +148,17 @@ object Similarity {
          |  round(list_dot_product(v, qv) /
          |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
          |FROM b, q WHERE bucket_id = q_bucket
-         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin
+         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "dedup_embedding_cosine" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, CAST($bucketDuckSql AS BIGINT) AS bucket_id FROM e),
+         |pairs AS (
+         |  SELECT a.vec_id AS vec_a, x.vec_id AS vec_b, a.bucket_id,
+         |    round(list_dot_product(a.v, x.v) /
+         |          (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(x.v, x.v))), 6) AS cos_sim
+         |  FROM b a JOIN b x ON a.bucket_id = x.bucket_id AND a.vec_id < x.vec_id)
+         |SELECT vec_a, vec_b, bucket_id, cos_sim
+         |FROM pairs WHERE cos_sim >= 0.9
+         |ORDER BY vec_a, vec_b""".stripMargin
   )
 }
