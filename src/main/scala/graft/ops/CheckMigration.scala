@@ -105,16 +105,50 @@ object CheckMigration {
     "l_returnflag_distinct"
   )
 
-  val metricsDeviation: Q = (s, d) => {
-    val full = wideMetricsAgg(lineitem(s, d), lineitemNumeric, lineitemStrings, lineitemTs)
-    val filtered = wideMetricsAgg(
-      lineitem(s, d).filter(col("l_linenumber") <= 4),
-      lineitemNumeric,
-      lineitemStrings,
-      lineitemTs
-    )
-    deviationReport(full, filtered, deviationMetrics)
+  /** Both sides of the compare in ONE scan: side A = all rows, side B
+    * = rows passing the predicate, computed as filtered aggregates in
+    * the same `agg` (the widest possible version of the reference's
+    * single-scan rule — when both inputs live in the same table, even
+    * the deviation check needs only one pass).
+    */
+  def dualDeviation(df: DataFrame, pred: Column, numeric: Seq[(String, Int)]): DataFrame = {
+    def g(c: Column): Column = when(pred, c)
+    val aggs: Seq[Column] =
+      Seq(
+        count(lit(1)).as("row_cnt_a"),
+        sum(when(pred, 1).otherwise(0)).cast("bigint").as("row_cnt_b")
+      ) ++
+        numeric.flatMap { case (c, s) =>
+          Seq(
+            min(dec(col(c), s)).as(s"${c}_min_a"),
+            min(dec(g(col(c)), s)).as(s"${c}_min_b"),
+            max(dec(col(c), s)).as(s"${c}_max_a"),
+            max(dec(g(col(c)), s)).as(s"${c}_max_b"),
+            sum(dec(col(c), s)).cast(DecimalType(38, s)).as(s"${c}_sum_a"),
+            sum(dec(g(col(c)), s)).cast(DecimalType(38, s)).as(s"${c}_sum_b")
+          )
+        } ++
+        Seq(
+          countDistinct(col("l_returnflag")).as("l_returnflag_distinct_a"),
+          countDistinct(g(col("l_returnflag"))).as("l_returnflag_distinct_b")
+        )
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val pairs = deviationMetrics
+      .map(m => s"'$m', cast(${m}_a as string), cast(${m}_b as string)")
+      .mkString(", ")
+    wide
+      .selectExpr(s"stack(${deviationMetrics.size}, $pairs) as (metric, val_a, val_b)")
+      .select(
+        col("metric"),
+        col("val_a"),
+        col("val_b"),
+        when(col("val_a") <=> col("val_b"), "OK").otherwise("DEVIATION").as("status")
+      )
+      .orderBy("metric")
   }
+
+  val metricsDeviation: Q = (s, d) =>
+    dualDeviation(lineitem(s, d), col("l_linenumber") <= 4, lineitemNumeric)
 
   /** Per-table deviation summary (the reference's per-schema summary
     * table, postgresql_to_exasol.sql:339-356 tail): counts of

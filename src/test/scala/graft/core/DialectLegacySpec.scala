@@ -1,0 +1,62 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types._
+import graft.core.options.MigrationOptions
+
+class DialectLegacySpec extends AnyFunSuite {
+  private val opts = MigrationOptions()
+  private def col(t: String, p: Option[Int] = None, s: Option[Int] = None) =
+    ColumnMeta("s", "t", 1, "c", t, precision = p, scale = s)
+
+  test("snowflake: NUMBER defaults, semi-structured JSON reads, geography WKT") {
+    assert(SnowflakeDialect.toSparkType(col("NUMBER", Some(38), Some(0)), opts) == DecimalType(38, 0))
+    assert(SnowflakeDialect.toSparkType(col("TIMESTAMP_LTZ"), opts) == TimestampType)
+    assert(SnowflakeDialect.readExpression(col("VARIANT"), opts) == "TO_JSON(\"c\")")
+    assert(SnowflakeDialect.readExpression(col("GEOGRAPHY"), opts) == "ST_ASTEXT(\"c\")")
+  }
+
+  test("redshift: SUPER serialization and int widths") {
+    assert(RedshiftDialect.toSparkType(col("INT4"), opts) == IntegerType)
+    assert(RedshiftDialect.readExpression(col("SUPER"), opts) == "JSON_SERIALIZE(\"c\")")
+  }
+
+  test("bigquery: per-dataset template expansion and nested JSON reads") {
+    val q = BigQueryDialect.multiDatasetColumnsQuery(Seq("ds1", "ds2"))
+    assert(q.contains("`ds1`.INFORMATION_SCHEMA.COLUMNS") && q.contains("`ds2`.INFORMATION_SCHEMA.COLUMNS"))
+    assert(q.split("UNION ALL").length == 2)
+    assert(BigQueryDialect.toSparkType(col("BIGNUMERIC"), opts) == DecimalType(38, 18))
+    assert(BigQueryDialect.readExpression(col("ARRAY<INT64>"), opts) == "TO_JSON_STRING(\"c\")")
+  }
+
+  test("vertica 64-bit ints; vectorwise iicolumns catalog") {
+    assert(VerticaDialect.toSparkType(col("INTEGER"), opts) == LongType)
+    assert(VectorwiseDialect.columnsQuery(SchemaFilter("%")).contains("iicolumns"))
+    assert(VectorwiseDialect.toSparkType(col("INGRESDATE"), opts) == DateType)
+  }
+
+  test("connection probe: URL prefix detection with generic fallback") {
+    assert(ConnectionProbe.detect("jdbc:postgresql://h/db").contains(PostgresDialect))
+    assert(ConnectionProbe.detect("jdbc:oracle:thin:@h:1521/x").contains(OracleDialect))
+    assert(ConnectionProbe.detect("jdbc:clickhouse://h:8123/d").contains(ClickHouseDialect))
+    assert(ConnectionProbe.detect("JDBC:EXA:host:8563").contains(ExasolDialect))
+    assert(ConnectionProbe.detect("jdbc:unknown://x").isEmpty)
+    assert(ConnectionProbe.detectOrGeneric("jdbc:unknown://x") == GenericJdbcDialect)
+    assert(ConnectionProbe.probeQuery.contains("Connection works"))
+  }
+
+  test("all 16 dialects expose coherent catalog queries") {
+    val dialects: Seq[SourceDialect] = Seq(
+      PostgresDialect, MySqlDialect, GenericJdbcDialect, ClickHouseDialect, TeradataDialect,
+      SqlServerDialect, OracleDialect, Db2Dialect, NetezzaDialect, SapHanaDialect, ExasolDialect,
+      SnowflakeDialect, RedshiftDialect, BigQueryDialect, VerticaDialect, VectorwiseDialect
+    )
+    assert(dialects.map(_.name).distinct.size == 16) // mysql additionally covers mariadb
+    dialects.foreach { d =>
+      val q = d.columnsQuery(SchemaFilter("myschema"))
+      assert(q.toLowerCase.contains("table_schema"), d.name)
+      assert(q.toLowerCase.contains("myschema"), d.name)
+      assert(d.keysQuery(SchemaFilter("%")).toLowerCase.contains("constraint"), d.name)
+    }
+  }
+}
