@@ -73,10 +73,37 @@ object Events {
       )
       .orderBy("event_type")
 
+  /** As-of join via window accumulation: each purchase picks the most
+    * recent prior click of the same user. This is the scale-safe
+    * formulation of an as-of join — one shuffle on user_id and a
+    * running max over the ordered stream, instead of a range-join
+    * explosion (at 100 TB a naive `b.ts <= a.ts` join is quadratic in
+    * events-per-user; the window is linear).
+    */
+  val eventsAsofJoin: Q = (s, d) => {
+    val w = Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, d)
+      .withColumn("ts_us", expr("ts_nanos div 1000"))
+      .withColumn("prev_click_ts", max(when(col("event_type") === "click", col("ts_us"))).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("user_id"),
+        col("event_id"),
+        col("ts_us"),
+        col("prev_click_ts"),
+        (col("ts_us") - col("prev_click_ts")).as("micros_since_click")
+      )
+      .orderBy("event_id")
+  }
+
   def queries: Map[String, Q] = Map(
     "events_window_counts" -> eventsWindowCounts,
     "events_sessions" -> eventsSessions,
-    "events_json_extract" -> eventsJsonExtract
+    "events_json_extract" -> eventsJsonExtract,
+    "events_asof_join" -> eventsAsofJoin
   )
 
   def oracles: Map[String, String] = Map(
@@ -112,6 +139,17 @@ object Events {
         |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
         |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "events_asof_join" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+        |    max(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+        |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_ts
+        |  FROM events)
+        |SELECT user_id, event_id, ts_us, prev_click_ts,
+        |       ts_us - prev_click_ts AS micros_since_click
+        |FROM t WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin
   )
 }

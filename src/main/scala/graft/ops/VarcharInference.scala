@@ -34,16 +34,20 @@ object VarcharInference {
       .orderBy("o_orderkey")
       .limit(sampleRows)
       .selectExpr(
-        """stack(4,
+        """stack(6,
           |  'num_dec', cast(cast(o_totalprice as decimal(18,2)) as string),
           |  'num_int', cast(o_orderkey as string),
           |  'date_iso', date_format(o_orderdate, 'yyyy-MM-dd'),
-          |  'bool01', cast(o_orderkey % 2 as string)
+          |  'bool01', cast(o_orderkey % 2 as string),
+          |  'geo_wkt', concat('POINT (', cast(o_orderkey % 100 as string), ' ', cast(o_custkey % 100 as string), ')'),
+          |  'interval_ds', concat(cast(o_orderkey % 30 as string), ' 12:30:45')
           |) as (col_name, val)""".stripMargin
       )
 
   /** Exclusive classification: precedence boolean → integer → decimal
-    * → date → other (the reference's short-circuit CASE).
+    * → date → day-second interval → WKT geometry → other (the
+    * reference's short-circuit CASE incl. IS_DSINTERVAL and the WKT
+    * regex → GEO branch, convert_varchar.sql:385-461).
     */
   private def classify: org.apache.spark.sql.Column =
     when(col("val").isNull, "null")
@@ -51,6 +55,8 @@ object VarcharInference {
       .when(col("val").rlike("^-?[0-9]+$"), "int")
       .when(col("val").rlike("^-?[0-9]+\\.[0-9]+$"), "dec")
       .when(col("val").rlike("^[0-9]{4}-[0-9]{2}-[0-9]{2}$"), "date")
+      .when(col("val").rlike("^[0-9]+ [0-9]{2}:[0-9]{2}:[0-9]{2}$"), "dsinterval")
+      .when(col("val").rlike("^(POINT|LINESTRING|POLYGON|MULTIPOINT) ?\\(.*\\)$"), "geo")
       .otherwise("oth")
 
   val classifyVarchar: Q = (s, d) =>
@@ -63,6 +69,8 @@ object VarcharInference {
         sum(when(col("cls") === "int", 1).otherwise(0)).cast("bigint").as("n_int"),
         sum(when(col("cls") === "dec", 1).otherwise(0)).cast("bigint").as("n_dec"),
         sum(when(col("cls") === "date", 1).otherwise(0)).cast("bigint").as("n_date"),
+        sum(when(col("cls") === "dsinterval", 1).otherwise(0)).cast("bigint").as("n_dsinterval"),
+        sum(when(col("cls") === "geo", 1).otherwise(0)).cast("bigint").as("n_geo"),
         sum(when(col("cls") === "oth", 1).otherwise(0)).cast("bigint").as("n_oth"),
         max(length(col("val"))).cast("bigint").as("max_len")
       )
@@ -70,6 +78,8 @@ object VarcharInference {
         "verdict",
         when(col("n_oth") > 0, concat(lit("VARCHAR("), col("max_len").cast("string"), lit(")")))
           .when(col("n_date") === col("n_vals"), "DATE")
+          .when(col("n_dsinterval") === col("n_vals"), "INTERVAL DAY TO SECOND")
+          .when(col("n_geo") === col("n_vals"), "GEOMETRY")
           .when(col("n_bool") === col("n_vals"), "BOOLEAN")
           .when(col("n_bool") + col("n_int") === col("n_vals"), "DECIMAL(18,0)")
           .when(col("n_bool") + col("n_int") + col("n_dec") === col("n_vals"), "DECIMAL(18,6)")
@@ -154,7 +164,9 @@ object VarcharInference {
        |  SELECT 'num_dec' AS col_name, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS val FROM sample
        |  UNION ALL SELECT 'num_int', CAST(o_orderkey AS VARCHAR) FROM sample
        |  UNION ALL SELECT 'date_iso', strftime(o_orderdate, '%Y-%m-%d') FROM sample
-       |  UNION ALL SELECT 'bool01', CAST(o_orderkey % 2 AS VARCHAR) FROM sample)""".stripMargin
+       |  UNION ALL SELECT 'bool01', CAST(o_orderkey % 2 AS VARCHAR) FROM sample
+       |  UNION ALL SELECT 'geo_wkt', 'POINT (' || CAST(o_orderkey % 100 AS VARCHAR) || ' ' || CAST(o_custkey % 100 AS VARCHAR) || ')' FROM sample
+       |  UNION ALL SELECT 'interval_ds', CAST(o_orderkey % 30 AS VARCHAR) || ' 12:30:45' FROM sample)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "classify_varchar" ->
@@ -166,6 +178,8 @@ object VarcharInference {
          |         WHEN regexp_matches(val, '^-?[0-9]+$$') THEN 'int'
          |         WHEN regexp_matches(val, '^-?[0-9]+\\.[0-9]+$$') THEN 'dec'
          |         WHEN regexp_matches(val, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$$') THEN 'date'
+         |         WHEN regexp_matches(val, '^[0-9]+ [0-9]{2}:[0-9]{2}:[0-9]{2}$$') THEN 'dsinterval'
+         |         WHEN regexp_matches(val, '^(POINT|LINESTRING|POLYGON|MULTIPOINT) ?\\(.*\\)$$') THEN 'geo'
          |         ELSE 'oth' END AS cls
          |  FROM tall),
          |aggd AS (
@@ -175,12 +189,16 @@ object VarcharInference {
          |    CAST(sum(CASE WHEN cls='int' THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
          |    CAST(sum(CASE WHEN cls='dec' THEN 1 ELSE 0 END) AS BIGINT) AS n_dec,
          |    CAST(sum(CASE WHEN cls='date' THEN 1 ELSE 0 END) AS BIGINT) AS n_date,
+         |    CAST(sum(CASE WHEN cls='dsinterval' THEN 1 ELSE 0 END) AS BIGINT) AS n_dsinterval,
+         |    CAST(sum(CASE WHEN cls='geo' THEN 1 ELSE 0 END) AS BIGINT) AS n_geo,
          |    CAST(sum(CASE WHEN cls='oth' THEN 1 ELSE 0 END) AS BIGINT) AS n_oth,
          |    CAST(max(length(val)) AS BIGINT) AS max_len
          |  FROM classified GROUP BY col_name)
          |SELECT aggd.*,
          |  CASE WHEN n_oth > 0 THEN 'VARCHAR(' || CAST(max_len AS VARCHAR) || ')'
          |       WHEN n_date = n_vals THEN 'DATE'
+         |       WHEN n_dsinterval = n_vals THEN 'INTERVAL DAY TO SECOND'
+         |       WHEN n_geo = n_vals THEN 'GEOMETRY'
          |       WHEN n_bool = n_vals THEN 'BOOLEAN'
          |       WHEN n_bool + n_int = n_vals THEN 'DECIMAL(18,0)'
          |       WHEN n_bool + n_int + n_dec = n_vals THEN 'DECIMAL(18,6)'
