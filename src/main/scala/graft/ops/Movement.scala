@@ -108,6 +108,83 @@ object Movement {
     s"SELECT ord, stmt FROM (VALUES $rows) AS plan(ord, stmt) ORDER BY ord, stmt"
   }
 
+  // ---- VALUES-pinned planner outputs --------------------------------
+  // The pure-Scala planners are deterministic functions; their exact
+  // outputs over literal inputs are pinned as DuckDB VALUES oracles —
+  // golden checks run through the driver's compare.
+
+  private val planPartitions = Seq(
+    PartitionPlanner.SourcePartition("p_2019", 1200L),
+    PartitionPlanner.SourcePartition("p_2020", 400L),
+    PartitionPlanner.SourcePartition("p_2021", 900L),
+    PartitionPlanner.SourcePartition("p_2022", 300L),
+    PartitionPlanner.SourcePartition("p_2023", 700L),
+    PartitionPlanner.SourcePartition("p_2024", 100L)
+  )
+
+  private def partitionPlanRows: Seq[(Int, String, Long)] =
+    PartitionPlanner.binPack(planPartitions, 3).zipWithIndex.flatMap { case (bin, i) =>
+      bin.map(p => (i, p.name, p.rows))
+    }
+
+  /** Greedy LPT bin assignment over a literal partition table. */
+  val partitionPlan: Q = (s, _) => {
+    import s.implicits._
+    partitionPlanRows.toDF("bin_id", "part_name", "n_rows").orderBy("bin_id", "part_name")
+  }
+
+  private val fkEdges = Seq(
+    graft.core.FkHarmonizer.FkEdge(
+      "orders_customer_fk",
+      graft.core.FkHarmonizer.ColRef("tpch", "orders", "o_custkey"),
+      graft.core.FkHarmonizer.ColRef("tpch", "customer", "c_custkey"),
+      enabled = true
+    ),
+    graft.core.FkHarmonizer.FkEdge(
+      "lineitem_orders_fk",
+      graft.core.FkHarmonizer.ColRef("tpch", "lineitem", "l_orderkey"),
+      graft.core.FkHarmonizer.ColRef("tpch", "orders", "o_orderkey"),
+      enabled = false
+    )
+  )
+  private val fkTypes: Map[graft.core.FkHarmonizer.ColRef, graft.core.FkHarmonizer.TypeSpec] = Map(
+    graft.core.FkHarmonizer.ColRef("tpch", "orders", "o_custkey") -> graft.core.FkHarmonizer.DecimalSpec(9, 0),
+    graft.core.FkHarmonizer.ColRef("tpch", "customer", "c_custkey") -> graft.core.FkHarmonizer.DecimalSpec(18, 0),
+    graft.core.FkHarmonizer.ColRef("tpch", "orders", "o_orderkey") -> graft.core.FkHarmonizer.DecimalSpec(18, 0),
+    graft.core.FkHarmonizer.ColRef("tpch", "lineitem", "l_orderkey") -> graft.core.FkHarmonizer.DecimalSpec(18, 0)
+  )
+
+  private def fkPlanRows: Seq[(Int, String)] =
+    graft.core.FkHarmonizer.plan(fkEdges, fkTypes).zipWithIndex.map { case (a, i) => (i + 1, a.sql) }
+
+  /** FK-group harmonization change plan over a literal FK graph:
+    * one referential group (customer↔orders↔lineitem), one member
+    * narrower than the rest → DROP both FKs, MODIFY it, RE-ADD in
+    * original state.
+    */
+  val fkHarmonizationPlan: Q = (s, _) => {
+    import s.implicits._
+    fkPlanRows.toDF("step", "stmt").orderBy("step")
+  }
+
+  /** Pin a deterministic Scala-computed result as a DuckDB VALUES
+    * oracle. `select` must cast integer columns explicitly (DuckDB
+    * infers INTEGER for small literals; Spark side may be BIGINT).
+    */
+  private def pinnedOracle(rows: Seq[Product], cols: String, select: String): String = {
+    val vals = rows
+      .map(r =>
+        "(" + r.productIterator
+          .map {
+            case s: String => "'" + s.replace("'", "''") + "'"
+            case x => x.toString
+          }
+          .mkString(", ") + ")"
+      )
+      .mkString(", ")
+    s"SELECT $select FROM (VALUES $vals) AS t($cols) ORDER BY 1, 2"
+  }
+
   // ---- incremental file-state merge ---------------------------------
 
   /** Deterministic listing/state frames derived from `documents`:
@@ -150,7 +227,9 @@ object Movement {
     "parallel_read_union" -> parallelReadUnion,
     "migration_plan" -> migrationPlan,
     "file_state_merge" -> fileStateMerge,
-    "file_listing" -> fileListing
+    "file_listing" -> fileListing,
+    "partition_plan" -> partitionPlan,
+    "fk_harmonization_plan" -> fkHarmonizationPlan
   )
 
   def oracles: Map[String, String] = Map(
@@ -160,6 +239,16 @@ object Movement {
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
         |FROM orders""".stripMargin,
     "migration_plan" -> migrationPlanOracle,
+    "partition_plan" -> pinnedOracle(
+      partitionPlanRows,
+      "bin_id, part_name, n_rows",
+      "CAST(bin_id AS INTEGER) AS bin_id, part_name, CAST(n_rows AS BIGINT) AS n_rows"
+    ),
+    "fk_harmonization_plan" -> pinnedOracle(
+      fkPlanRows,
+      "step, stmt",
+      "CAST(step AS INTEGER) AS step, stmt"
+    ),
     "file_listing" ->
       """SELECT list_extract(string_split(file, '/'), -1) AS file_name
         |FROM glob('/root/testdata/sf0.01/*.parquet')

@@ -84,11 +84,33 @@ object TextAnalysis {
       .agg(min(md5(concat(lit("fp|"), col("shingle")).cast("binary"))).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** Top-5 most frequent tokens per language — the built-in
+    * formulation (explode → count → rank). The fused one-aggregation
+    * alternative is [[graft.functions.TopKAggregator]]; its
+    * equivalence to this query is asserted in TopKAggregatorSpec.
+    */
+  val topTokensPerLang: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val counts = documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("lang"), col("token"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn(
+        "rank",
+        row_number().over(Window.partitionBy(col("lang")).orderBy(col("n").desc, col("token").asc))
+      )
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("rank").cast("bigint").as("rank"), col("token"), col("n"))
+      .orderBy("lang", "rank")
+  }
+
   def queries: Map[String, Q] = Map(
     "text_stats" -> textStats,
     "token_count" -> tokenCount,
     "lang_id_heuristic" -> langIdHeuristic,
-    "doc_fingerprint" -> docFingerprint
+    "doc_fingerprint" -> docFingerprint,
+    "top_tokens_per_lang" -> topTokensPerLang
   )
 
   def oracles: Map[String, String] = Map(
@@ -130,6 +152,19 @@ object TextAnalysis {
         |                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
         |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)))
         |SELECT doc_id, min(md5('fp|' || shingle)) AS fingerprint
-        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "top_tokens_per_lang" ->
+      """WITH counts AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |agg AS (
+        |  SELECT lang, token, CAST(count(*) AS BIGINT) AS n
+        |  FROM counts GROUP BY lang, token),
+        |ranked AS (
+        |  SELECT lang, token, n,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, token ASC) AS BIGINT) AS rank
+        |  FROM agg)
+        |SELECT lang, rank, token, n FROM ranked WHERE rank <= 5
+        |ORDER BY lang, rank""".stripMargin
   )
 }
