@@ -107,11 +107,64 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  // ---- IVF (inverted-file) ANN -------------------------------------
+
+  /** IVF index: k-means centroids over the embeddings; each vector is
+    * assigned to its nearest centroid's list. Searches probe only the
+    * `nProbe` nearest lists — the classic IVF recall/cost trade, and
+    * the ANN structure that scales past LSH when vectors cluster.
+    * KMeans is seeded for determinism within Spark, but centroid
+    * arithmetic is not portable across engines, so this operator's
+    * gate is the recall test (SimilarityIvfSpec), not a DuckDB oracle.
+    */
+  def ivfAssignments(emb: DataFrame, k: Int): (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = withVec(emb).withColumn("features", array_to_vector(col("v")))
+    val model = new KMeans().setK(k).setSeed(42L).setFeaturesCol("features").fit(e)
+    (model.transform(e).withColumnRenamed("prediction", "list_id"), model)
+  }
+
+  /** Top-k cosine within the `nProbe` centroid lists nearest to the
+    * query vector.
+    */
+  def ivfTopK(emb: DataFrame, queryId: Long, k: Int, nLists: Int, nProbe: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val (assigned, model) = ivfAssignments(emb, nLists)
+    val qRow = assigned.filter(col("vec_id") === queryId).select("v").head()
+    val qv = qRow.getSeq[Double](0).toArray
+    val centroids = model.clusterCenters.zipWithIndex
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probeLists = centroids.sortBy { case (c, _) => -cos(qv, c.toArray) }.take(nProbe).map(_._2)
+    val q = assigned.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    assigned
+      .filter(col("list_id").isin(probeLists.toSeq: _*))
+      .crossJoin(broadcast(q))
+      .withColumn("cos_sim", round(expr("cosine_sim(v, qv)"), 6))
+      .select(col("vec_id"), col("label"), col("list_id"), col("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** IVF list histogram (rows-only check: centroid arithmetic is not
+    * engine-portable — gated by SimilarityIvfSpec instead).
+    */
+  val annIvfLists: Q = (s, d) =>
+    ivfAssignments(embeddings(s, d), 16)._1
+      .groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n_vectors"))
+      .orderBy("list_id")
+
   def queries: Map[String, Q] = Map(
     "ann_cosine_topk" -> annCosineTopk,
     "ann_lsh_buckets" -> annLshBuckets,
     "ann_lsh_topk" -> annLshTopk,
-    "dedup_embedding_cosine" -> dedupEmbeddingCosine
+    "dedup_embedding_cosine" -> dedupEmbeddingCosine,
+    "ann_ivf_lists" -> annIvfLists
   )
 
   // ---- DuckDB oracles ------------------------------------------------

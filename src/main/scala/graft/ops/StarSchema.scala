@@ -42,6 +42,17 @@ object StarSchema {
       .drop(naturalCols: _*)
   }
 
+  /** Idempotent dimension maintenance: insert only natural-key rows
+    * not already present (the reference's `INSERT … SELECT DISTINCT …
+    * WHERE NOT EXISTS`, Convert_To_Star_Schema.sql:386,443) — null-safe
+    * anti-join, so re-running a load never duplicates dimension rows.
+    */
+  def insertMissing(dim: DataFrame, incoming: DataFrame, naturalCols: Seq[String]): DataFrame = {
+    val newRows = incoming.select(naturalCols.map(col): _*).distinct()
+    val cond = naturalCols.map(c => newRows(c) <=> dim(c)).reduce(_ && _)
+    newRows.join(dim, cond, "left_anti")
+  }
+
   val dims: Q = (s, d) =>
     dimension(orders(s, d), Seq("o_orderstatus", "o_orderpriority"), "dim_id")
       .select(col("dim_id"), col("o_orderstatus"), col("o_orderpriority"))
