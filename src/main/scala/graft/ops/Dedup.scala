@@ -46,26 +46,40 @@ object Dedup {
   private val numHashes = 8
   private val bandSize = 2 // 4 bands of 2 → candidate prob = J^2 per band
 
-  /** Distinct word-3-gram shingles per document. */
-  def shingles(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** Per-document shingle ARRAY (word 3-grams, duplicates kept — min()
+    * is duplicate-insensitive, and the Jaccard path dedups later).
+    */
+  def shingleArrays(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
       .select(
         col("doc_id"),
-        explode(
-          when(
-            size(col("w")) >= 3,
-            expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")
-          ).otherwise(array())
-        ).as("shingle")
+        when(
+          size(col("w")) >= 3,
+          expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")
+        ).otherwise(array()).as("shingles")
       )
+
+  /** Distinct exploded shingles per document (used only for the exact
+    * Jaccard verification over LSH candidates).
+    */
+  def shingles(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    shingleArrays(docs, idCol, textCol)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
       .distinct()
 
-  /** Per-document min-hash signature: numHashes columns h0..hN-1. */
-  def minhashSignature(sh: DataFrame): DataFrame = {
+  /** Per-document min-hash signature over DISTINCT (doc, shingle)
+    * rows. Shape notes (measured at sf0.1): the k seeded md5 calls
+    * dominate cost, so dedup the shingle relation BEFORE hashing —
+    * distinct first cuts hash work ~6× here and beat both the
+    * hash-then-min variant and an `array_min(transform(...))`
+    * formulation (higher-order lambdas are CodegenFallback →
+    * interpreted md5 per element).
+    */
+  def minhashSignature(distinctShingles: DataFrame): DataFrame = {
     val mins: Seq[Column] =
       (0 until numHashes).map(i => min(md5(concat(lit(s"$i|"), col("shingle")).cast("binary"))).as(s"h$i"))
-    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    distinctShingles.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** Tall (doc_id, band_id, band_key) from a signature. */
@@ -86,7 +100,7 @@ object Dedup {
   def lshCandidatesWithJaccard(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sh = shingles(docs, idCol, textCol).cache()
     // bands/pairs are doc-count-sized (tiny next to the shingle set);
-    // caching them stops the signature aggregation from being
+    // caching them stops the signature computation from being
     // recomputed once per self-join branch and downstream join.
     val bands = bandKeys(minhashSignature(sh)).cache()
     val a = bands.select(col("doc_id").as("doc_a"), col("band_id"), col("band_key"))

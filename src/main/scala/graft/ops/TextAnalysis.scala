@@ -75,7 +75,8 @@ object TextAnalysis {
 
   /** Document fingerprint: min of md5 over word-3-gram shingles
     * (winnowing-style content signature, stable under whitespace-level
-    * noise at the boundaries).
+    * noise at the boundaries). Computed per row over the shingle array
+    * — shuffle-free, like the minhash signature stage.
     */
   val docFingerprint: Q = (s, d) =>
     Dedup
