@@ -162,8 +162,21 @@ object CheckMigration {
       )
       .withColumn("overall", when(col("n_deviation") === 0, "OK").otherwise("DEVIATION"))
 
+  /** Same compiler over a different table shape (documents: strings +
+    * one numeric) — the metric compiler is type-gated, not
+    * table-specific.
+    */
+  val wideMetricsDocuments: Q = (s, d) =>
+    wideMetricsAgg(
+      documents(s, d),
+      numericCols = Seq("n_chars" -> 0),
+      stringCols = Seq("lang", "source"),
+      timestampCols = Nil
+    )
+
   def queries: Map[String, Q] = Map(
     "agg_wide_metrics_lineitem" -> wideMetricsLineitem,
+    "agg_wide_metrics_documents" -> wideMetricsDocuments,
     "agg_metrics_deviation" -> metricsDeviation,
     "agg_metrics_summary" -> metricsSummary
   )
@@ -195,6 +208,21 @@ object CheckMigration {
 
   def oracles: Map[String, String] = Map(
     "agg_wide_metrics_lineitem" -> wideSqlBody,
+    "agg_wide_metrics_documents" ->
+      """SELECT CAST(count(*) AS BIGINT) AS row_cnt,
+        |  CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_nulls,
+        |  min(CAST(n_chars AS DECIMAL(36,0))) AS n_chars_min,
+        |  max(CAST(n_chars AS DECIMAL(36,0))) AS n_chars_max,
+        |  CAST(sum(CAST(n_chars AS DECIMAL(36,0))) AS DECIMAL(38,0)) AS n_chars_sum,
+        |  CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lang_nulls,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS lang_distinct,
+        |  CAST(min(length(lang)) AS BIGINT) AS lang_minlen,
+        |  CAST(max(length(lang)) AS BIGINT) AS lang_maxlen,
+        |  CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS source_nulls,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS source_distinct,
+        |  CAST(min(length(source)) AS BIGINT) AS source_minlen,
+        |  CAST(max(length(source)) AS BIGINT) AS source_maxlen
+        |FROM documents""".stripMargin,
     "agg_metrics_deviation" ->
       s"""WITH wa AS ($wideSqlBody),
          |wb AS (${wideSqlBody.replace("FROM lineitem", "FROM lineitem WHERE l_linenumber <= 4")}),

@@ -152,8 +152,31 @@ object VarcharInference {
       .orderBy("o_orderstatus")
   }
 
+  /** The classifier's ALTER recipes (convert_varchar.sql:561-604):
+    * columns with a non-VARCHAR verdict get a MODIFY statement; the
+    * rest keep their type (NULL stmt).
+    */
+  val classifyVarcharStmts: Q = (s, d) =>
+    classifyVarchar(s, d)
+      .select(
+        col("col_name"),
+        col("verdict"),
+        when(
+          !col("verdict").startsWith("VARCHAR"),
+          concat(
+            lit("ALTER TABLE \"STAGE\".\"ORDERS_RAW\" MODIFY (\""),
+            upper(col("col_name")),
+            lit("\" "),
+            col("verdict"),
+            lit(");")
+          )
+        ).as("stmt")
+      )
+      .orderBy("col_name")
+
   def queries: Map[String, Q] = Map(
     "classify_varchar" -> classifyVarchar,
+    "classify_varchar_stmts" -> classifyVarcharStmts,
     "date_probe" -> dateProbe,
     "rich_metrics" -> richMetrics
   )
@@ -204,6 +227,50 @@ object VarcharInference {
          |       WHEN n_bool + n_int + n_dec = n_vals THEN 'DECIMAL(18,6)'
          |       ELSE 'VARCHAR(' || CAST(max_len AS VARCHAR) || ')' END AS verdict
          |FROM aggd ORDER BY col_name""".stripMargin,
+    "classify_varchar_stmts" -> {
+      val classifySql = // re-derive the classify oracle body (same CTEs)
+        s"""$tallSampleSql,
+           |classified AS (
+           |  SELECT col_name, val,
+           |    CASE WHEN val IS NULL THEN 'null'
+           |         WHEN val IN ('0','1') THEN 'bool'
+           |         WHEN regexp_matches(val, '^-?[0-9]+$$') THEN 'int'
+           |         WHEN regexp_matches(val, '^-?[0-9]+\\.[0-9]+$$') THEN 'dec'
+           |         WHEN regexp_matches(val, '^[0-9]{4}-[0-9]{2}-[0-9]{2}$$') THEN 'date'
+           |         WHEN regexp_matches(val, '^[0-9]+ [0-9]{2}:[0-9]{2}:[0-9]{2}$$') THEN 'dsinterval'
+           |         WHEN regexp_matches(val, '^(POINT|LINESTRING|POLYGON|MULTIPOINT) ?\\(.*\\)$$') THEN 'geo'
+           |         ELSE 'oth' END AS cls
+           |  FROM tall),
+           |aggd AS (
+           |  SELECT col_name,
+           |    CAST(count(*) AS BIGINT) AS n_vals,
+           |    CAST(sum(CASE WHEN cls='bool' THEN 1 ELSE 0 END) AS BIGINT) AS n_bool,
+           |    CAST(sum(CASE WHEN cls='int' THEN 1 ELSE 0 END) AS BIGINT) AS n_int,
+           |    CAST(sum(CASE WHEN cls='dec' THEN 1 ELSE 0 END) AS BIGINT) AS n_dec,
+           |    CAST(sum(CASE WHEN cls='date' THEN 1 ELSE 0 END) AS BIGINT) AS n_date,
+           |    CAST(sum(CASE WHEN cls='dsinterval' THEN 1 ELSE 0 END) AS BIGINT) AS n_dsinterval,
+           |    CAST(sum(CASE WHEN cls='geo' THEN 1 ELSE 0 END) AS BIGINT) AS n_geo,
+           |    CAST(sum(CASE WHEN cls='oth' THEN 1 ELSE 0 END) AS BIGINT) AS n_oth,
+           |    CAST(max(length(val)) AS BIGINT) AS max_len
+           |  FROM classified GROUP BY col_name),
+           |verdicts AS (
+           |  SELECT col_name,
+           |    CASE WHEN n_oth > 0 THEN 'VARCHAR(' || CAST(max_len AS VARCHAR) || ')'
+           |         WHEN n_date = n_vals THEN 'DATE'
+           |         WHEN n_dsinterval = n_vals THEN 'INTERVAL DAY TO SECOND'
+           |         WHEN n_geo = n_vals THEN 'GEOMETRY'
+           |         WHEN n_bool = n_vals THEN 'BOOLEAN'
+           |         WHEN n_bool + n_int = n_vals THEN 'DECIMAL(18,0)'
+           |         WHEN n_bool + n_int + n_dec = n_vals THEN 'DECIMAL(18,6)'
+           |         ELSE 'VARCHAR(' || CAST(max_len AS VARCHAR) || ')' END AS verdict
+           |  FROM aggd)
+           |SELECT col_name, verdict,
+           |  CASE WHEN verdict NOT LIKE 'VARCHAR%' THEN
+           |    'ALTER TABLE "STAGE"."ORDERS_RAW" MODIFY ("' || upper(col_name) || '" ' || verdict || ');'
+           |  END AS stmt
+           |FROM verdicts ORDER BY col_name""".stripMargin
+      classifySql
+    },
     "date_probe" ->
       """WITH src AS (
         |  SELECT CASE WHEN o_orderkey % 2 = 0 THEN strftime(o_orderdate, '%d/%m/%Y')
