@@ -107,22 +107,37 @@ object PlanBuilder {
     }
 
     // CONSTRAINT STATE epilogue — PKs before FKs
-    // (postgresql_to_exasol.sql:244-247,400-402)
-    val stateVerb = opts.constraintState match {
-      case ConstraintState.ForceEnable => Some("ENABLE")
-      case ConstraintState.ForceDisable => None // created DISABLE already
-      case ConstraintState.SetAsSource => Some("ENABLE") // per-key state would come from source metadata
-    }
-    val states = stateVerb.toSeq.flatMap { verb =>
+    // (postgresql_to_exasol.sql:244-247,400-402). SET_AS_SOURCE honors
+    // each key's recorded enabled/disabled state (the SQL Server
+    // per-key behavior, sqlserver_to_exasol.sql:369-379).
+    val emittedKeys: Seq[(String, String, String, String, Boolean)] =
       (pks.map(p => (p.schema, p.table, "PRIMARY KEY")) ++
         fks.collect { case f: AddForeignKey => (f.schema, f.table, "FOREIGN KEY") }).distinct.map {
         case (s, t, kind) =>
+          val kt = if (kind == "PRIMARY KEY") KeyType.PrimaryKey else KeyType.ForeignKey
+          val enabled = keys.exists(k => k.schema == s && k.table == t && k.keyType == kt && k.enabled)
+          (s, t, kind, if (enabled) "ENABLE" else "DISABLE", enabled)
+      }
+    val states = opts.constraintState match {
+      case ConstraintState.ForceDisable => Nil // created DISABLE already
+      case ConstraintState.ForceEnable =>
+        emittedKeys.map { case (s, t, kind, _, _) =>
           SetConstraintState(
             s,
             t,
-            s"ALTER TABLE ${qual(targetSchemaOf(s), t, opts)} MODIFY CONSTRAINT $kind $verb;"
+            s"ALTER TABLE ${qual(targetSchemaOf(s), t, opts)} MODIFY CONSTRAINT $kind ENABLE;"
           )
-      }
+        }
+      case ConstraintState.SetAsSource =>
+        // keys are created DISABLE; only source-enabled ones need a MODIFY
+        emittedKeys.collect {
+          case (s, t, kind, verb, true) =>
+            SetConstraintState(
+              s,
+              t,
+              s"ALTER TABLE ${qual(targetSchemaOf(s), t, opts)} MODIFY CONSTRAINT $kind $verb;"
+            )
+        }
     }
 
     val validates = byTable.map { case ((s, t), _) =>

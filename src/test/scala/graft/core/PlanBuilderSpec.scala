@@ -61,6 +61,22 @@ class PlanBuilderSpec extends AnyFunSuite {
     assert(states.exists(_.contains("PRIMARY KEY ENABLE")))
   }
 
+  test("SetAsSource honors per-key source state") {
+    val enabledPk = Movement.fixtureKeyMeta.map {
+      case k if k.table == "orders" && k.keyType == KeyType.PrimaryKey => k.copy(enabled = true)
+      case k => k
+    }
+    val p = PlanBuilder.build(
+      GenericJdbcDialect,
+      Movement.fixtureColumnMeta,
+      enabledPk,
+      MigrationOptions(constraintState = ConstraintState.SetAsSource)
+    )
+    val states = p.rendered.filter(_._1 == 60).map(_._2)
+    // only the source-enabled key gets a MODIFY back to ENABLE
+    assert(states == Seq("""ALTER TABLE "TPCH"."ORDERS" MODIFY CONSTRAINT PRIMARY KEY ENABLE;"""))
+  }
+
   test("case-sensitive mode preserves identifier case") {
     val p = PlanBuilder.build(
       GenericJdbcDialect,
