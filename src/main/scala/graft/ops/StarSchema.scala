@@ -71,9 +71,30 @@ object StarSchema {
       .orderBy("o_orderkey")
   }
 
+  /** Full decomposition with TWO dimensions — the reference's actual
+    * shape (one dim table per column group, fact holding only
+    * surrogate keys + measures).
+    */
+  val factMultiDim: Q = (s, d) => {
+    val flat = orders(s, d)
+    val dimStatus = dimension(flat, Seq("o_orderstatus"), "status_id")
+    val dimPriority = dimension(flat, Seq("o_orderpriority"), "priority_id")
+    val f1 = factJoin(flat, dimStatus, Seq("o_orderstatus"), "status_id")
+    factJoin(f1, dimPriority, Seq("o_orderpriority"), "priority_id")
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        col("status_id"),
+        col("priority_id"),
+        col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("totalprice")
+      )
+      .orderBy("o_orderkey")
+  }
+
   def queries: Map[String, Q] = Map(
     "star_dims" -> dims,
-    "star_fact" -> fact
+    "star_fact" -> fact,
+    "star_fact_multidim" -> factMultiDim
   )
 
   def oracles: Map[String, String] = Map(
@@ -92,6 +113,19 @@ object StarSchema {
         |FROM orders o JOIN dim d
         |  ON o.o_orderstatus IS NOT DISTINCT FROM d.o_orderstatus
         | AND o.o_orderpriority IS NOT DISTINCT FROM d.o_orderpriority
+        |ORDER BY o_orderkey""".stripMargin,
+    "star_fact_multidim" ->
+      """WITH dim_s AS (
+        |  SELECT CAST(dense_rank() OVER (ORDER BY o_orderstatus) AS BIGINT) AS status_id, o_orderstatus
+        |  FROM (SELECT DISTINCT o_orderstatus FROM orders)),
+        |dim_p AS (
+        |  SELECT CAST(dense_rank() OVER (ORDER BY o_orderpriority) AS BIGINT) AS priority_id, o_orderpriority
+        |  FROM (SELECT DISTINCT o_orderpriority FROM orders))
+        |SELECT o_orderkey, o_custkey, status_id, priority_id,
+        |       CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+        |FROM orders o
+        |JOIN dim_s s ON o.o_orderstatus IS NOT DISTINCT FROM s.o_orderstatus
+        |JOIN dim_p p ON o.o_orderpriority IS NOT DISTINCT FROM p.o_orderpriority
         |ORDER BY o_orderkey""".stripMargin
   )
 }
