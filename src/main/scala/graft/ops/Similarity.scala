@@ -121,7 +121,10 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val e = withVec(emb).withColumn("features", array_to_vector(col("v")))
-    val model = new KMeans().setK(k).setSeed(42L).setFeaturesCol("features").fit(e)
+    // bounded iterations: IVF lists need rough clusters, not converged
+    // ones — recall is governed by nProbe, and index build cost matters
+    // at scale
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(5).setFeaturesCol("features").fit(e)
     (model.transform(e).withColumnRenamed("prediction", "list_id"), model)
   }
 
