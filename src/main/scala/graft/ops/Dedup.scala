@@ -60,13 +60,15 @@ object Dedup {
         ).otherwise(array()).as("shingles")
       )
 
-  /** Distinct exploded shingles per document (used only for the exact
-    * Jaccard verification over LSH candidates).
+  /** Distinct shingles per document. Dedup happens INSIDE the
+    * per-document array (`array_distinct`, codegen'd) before the
+    * explode — per-doc distinct needs no corpus-wide `.distinct()`
+    * shuffle because a document's exploded rows are co-located by
+    * construction.
     */
   def shingles(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     shingleArrays(docs, idCol, textCol)
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .distinct()
+      .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("shingle"))
 
   /** Per-document min-hash signature over DISTINCT (doc, shingle)
     * rows. Shape notes (measured at sf0.1): the k seeded md5 calls
