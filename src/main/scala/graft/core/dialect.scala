@@ -348,6 +348,63 @@ object MySqlDialect extends SourceDialect {
   }
 }
 
+/** MariaDB — MySQL plus: SYSTEM VERSIONED tables included, SEQUENCE
+  * objects skipped (mariadb_to_exasol.sql:122-134), pre-quoted default
+  * literals (:179-189), and the zero-date FAIL policy transferring the
+  * literal text `'0000-00-00'` so the target rejects it loudly
+  * (:192-203).
+  */
+object MariaDbDialect extends SourceDialect {
+  val name = "mariadb"
+  val systemSchemas: Seq[String] = MySqlDialect.systemSchemas
+
+  def columnsQuery(filter: SchemaFilter): String =
+    s"""SELECT c.table_schema, c.table_name, c.ordinal_position AS ordinal,
+       |       c.column_name, c.column_type AS type_name,
+       |       c.is_nullable = 'YES' AS is_nullable, c.column_default,
+       |       c.character_maximum_length AS char_length,
+       |       c.numeric_precision AS num_precision, c.numeric_scale AS num_scale
+       |FROM information_schema.columns c
+       |JOIN information_schema.tables t
+       |  ON t.table_schema = c.table_schema AND t.table_name = c.table_name
+       |WHERE t.table_type IN ('BASE TABLE', 'SYSTEM VERSIONED')
+       |  AND t.table_type <> 'SEQUENCE'
+       |  AND c.table_schema NOT IN (${systemSchemas.map(s => s"'$s'").mkString(", ")})
+       |  AND ${filter.toSql("c.table_schema")}""".stripMargin
+
+  def keysQuery(filter: SchemaFilter): String = MySqlDialect.keysQuery(filter)
+
+  def toSparkType(c: ColumnMeta, opts: MigrationOptions): DataType =
+    MySqlDialect.toSparkType(c, opts)
+
+  def targetTypeString(c: ColumnMeta, opts: MigrationOptions): String =
+    MySqlDialect.targetTypeString(c, opts)
+
+  def readExpression(c: ColumnMeta, opts: MigrationOptions): String = {
+    val base = c.typeName.toLowerCase.takeWhile(_ != '(').trim.stripSuffix(" unsigned").trim
+    (base, opts.temporalOutOfRange) match {
+      // FAIL transfers the literal zero-date text so the load errors
+      // loudly instead of silently coercing (mariadb_to_exasol.sql:192-203)
+      case ("date" | "datetime" | "timestamp", TemporalOutOfRange.Fail) =>
+        val q = s"`${c.name.replace("`", "``")}`"
+        s"(CASE WHEN $q = 0 THEN '0000-00-00' ELSE CAST($q AS CHAR) END)"
+      case _ => MySqlDialect.readExpression(c, opts)
+    }
+  }
+
+  /** MariaDB pre-quotes default literals — strip one quoting layer
+    * (mariadb_to_exasol.sql:179-189).
+    */
+  def translateDefault(raw: String): Option[String] = {
+    val t = raw.trim
+    if (t.equalsIgnoreCase("NULL")) None
+    else if (t.startsWith("'") && t.endsWith("'")) Some(t)
+    else if (t.equalsIgnoreCase("current_timestamp()") || t.equalsIgnoreCase("current_timestamp"))
+      Some("CURRENT_TIMESTAMP")
+    else Some(t)
+  }
+}
+
 private object PostgresDialectLikeTarget {
   def render(dt: DataType, c: ColumnMeta): String = dt match {
     case ByteType => "DECIMAL(3,0)"

@@ -214,7 +214,7 @@ object ConnectionProbe {
   private val byPrefix: Seq[(String, SourceDialect)] = Seq(
     "jdbc:postgresql:" -> PostgresDialect,
     "jdbc:mysql:" -> MySqlDialect,
-    "jdbc:mariadb:" -> MySqlDialect,
+    "jdbc:mariadb:" -> MariaDbDialect,
     "jdbc:clickhouse:" -> ClickHouseDialect,
     "jdbc:ch:" -> ClickHouseDialect,
     "jdbc:sqlserver:" -> SqlServerDialect,

@@ -35,6 +35,19 @@ class DialectLegacySpec extends AnyFunSuite {
     assert(VectorwiseDialect.toSparkType(col("INGRESDATE"), opts) == DateType)
   }
 
+  test("mariadb: versioned tables in, sequences out, zero-date FAIL literal") {
+    val q = MariaDbDialect.columnsQuery(SchemaFilter("%"))
+    assert(q.contains("SYSTEM VERSIONED") && q.contains("<> 'SEQUENCE'"))
+    val e = MariaDbDialect.readExpression(
+      ColumnMeta("s", "t", 1, "d", "datetime"),
+      MigrationOptions() // FAIL default
+    )
+    assert(e.contains("'0000-00-00'"))
+    assert(MariaDbDialect.translateDefault("'abc'") == Some("'abc'"))
+    assert(MariaDbDialect.translateDefault("NULL") == None)
+    assert(MariaDbDialect.translateDefault("current_timestamp()") == Some("CURRENT_TIMESTAMP"))
+  }
+
   test("connection probe: URL prefix detection with generic fallback") {
     assert(ConnectionProbe.detect("jdbc:postgresql://h/db").contains(PostgresDialect))
     assert(ConnectionProbe.detect("jdbc:oracle:thin:@h:1521/x").contains(OracleDialect))
