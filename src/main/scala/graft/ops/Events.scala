@@ -99,11 +99,36 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Conversion funnel per user: click → purchase ordering, one
+    * aggregation over the per-user event set (conditional min/max —
+    * no joins, no window; the cheapest funnel shape).
+    */
+  val eventsFunnel: Q = (s, d) =>
+    events(s, d)
+      .withColumn("ts_us", expr("ts_nanos div 1000"))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "click", col("ts_us"))).as("first_click"),
+        max(when(col("event_type") === "purchase", col("ts_us"))).as("last_purchase"),
+        count(when(col("event_type") === "click", 1)).as("n_clicks"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases")
+      )
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum(when(col("n_clicks") > 0, 1).otherwise(0)).cast("bigint").as("n_clickers"),
+        sum(when(col("n_purchases") > 0, 1).otherwise(0)).cast("bigint").as("n_buyers"),
+        sum(
+          when(col("first_click").isNotNull && col("last_purchase") > col("first_click"), 1)
+            .otherwise(0)
+        ).cast("bigint").as("n_converted")
+      )
+
   def queries: Map[String, Q] = Map(
     "events_window_counts" -> eventsWindowCounts,
     "events_sessions" -> eventsSessions,
     "events_json_extract" -> eventsJsonExtract,
-    "events_asof_join" -> eventsAsofJoin
+    "events_asof_join" -> eventsAsofJoin,
+    "events_funnel" -> eventsFunnel
   )
 
   def oracles: Map[String, String] = Map(
@@ -150,6 +175,20 @@ object Events {
         |SELECT user_id, event_id, ts_us, prev_click_ts,
         |       ts_us - prev_click_ts AS micros_since_click
         |FROM t WHERE event_type = 'purchase'
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    "events_funnel" ->
+      """WITH per_user AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS first_click,
+        |    max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS last_purchase,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks,
+        |    count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases
+        |  FROM events GROUP BY user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(CASE WHEN n_clicks > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clickers,
+        |  CAST(sum(CASE WHEN n_purchases > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_buyers,
+        |  CAST(sum(CASE WHEN first_click IS NOT NULL AND last_purchase > first_click
+        |            THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+        |FROM per_user""".stripMargin
   )
 }
