@@ -136,6 +136,58 @@ object PostgresDialect extends SourceDialect {
        |  AND ns.nspname NOT IN (${systemSchemas.map(s => s"'$s'").mkString(", ")})
        |  AND ${filter.toSql("ns.nspname")}""".stripMargin
 
+  /** Comments scan: table + column descriptions from pg_description
+    * (postgresql_to_exasol.sql:253-262). objsubid 0 = table comment,
+    * > 0 = that column's ordinal.
+    */
+  def commentsQuery(filter: SchemaFilter): String =
+    s"""SELECT ns.nspname AS table_schema, c.relname AS table_name,
+       |       CASE WHEN d.objsubid = 0 THEN NULL ELSE a.attname END AS column_name,
+       |       d.description AS comment
+       |FROM pg_description d
+       |JOIN pg_class c ON c.oid = d.objoid AND c.relkind = 'r'
+       |JOIN pg_namespace ns ON ns.oid = c.relnamespace
+       |LEFT JOIN pg_attribute a
+       |  ON a.attrelid = c.oid AND a.attnum = d.objsubid AND d.objsubid > 0
+       |WHERE ${filter.toSql("ns.nspname")}""".stripMargin
+
+  /** Views scan for the review section (pg_get_viewdef,
+    * postgresql_to_exasol.sql:264-271).
+    */
+  def viewsQuery(filter: SchemaFilter): String =
+    s"""SELECT ns.nspname AS table_schema, c.relname AS view_name,
+       |       pg_get_viewdef(c.oid, true) AS definition
+       |FROM pg_class c
+       |JOIN pg_namespace ns ON ns.oid = c.relnamespace
+       |WHERE c.relkind = 'v'
+       |  AND ns.nspname NOT IN (${systemSchemas.map(s => s"'$s'").mkString(", ")})
+       |  AND ${filter.toSql("ns.nspname")}""".stripMargin
+
+  /** Partition-definition scan (pg_get_partkeydef,
+    * postgresql_to_exasol.sql:273-288) — the plan builder keeps only
+    * best-effort single-bare-column definitions.
+    */
+  def partitionDefQuery(filter: SchemaFilter): String =
+    s"""SELECT ns.nspname AS table_schema, c.relname AS table_name,
+       |       pg_get_partkeydef(c.oid) AS partition_def
+       |FROM pg_class c
+       |JOIN pg_namespace ns ON ns.oid = c.relnamespace
+       |WHERE c.relkind = 'p'
+       |  AND ${filter.toSql("ns.nspname")}""".stripMargin
+
+  /** Parse a pg_get_partkeydef result into a single bare partition
+    * column if (and only if) it is the supported shape
+    * `RANGE/LIST/HASH (col)` — anything else falls back to a review
+    * note, mirroring postgresql_to_exasol.sql:273-288.
+    */
+  def parsePartitionDef(d: String): Option[String] = {
+    val re = "^(?:RANGE|LIST|HASH)\\s*\\(\\s*([a-zA-Z_][a-zA-Z0-9_]*)\\s*\\)$".r
+    d.trim match {
+      case re(col) => Some(col)
+      case _ => None
+    }
+  }
+
   private def base(c: ColumnMeta): String =
     c.typeName.toLowerCase.takeWhile(ch => ch != '(').trim
 

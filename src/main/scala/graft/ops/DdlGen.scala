@@ -238,6 +238,20 @@ object DdlGen {
       ).as("stmt")
     )
 
+  /** Normalize a source view definition into a runnable
+    * `CREATE OR REPLACE FORCE VIEW` with a canonical quoted header —
+    * the Exasol→Exasol regex normalization
+    * (exasol_to_exasol.sql:94-109): whatever header form the source
+    * stored (`CREATE VIEW x`, `CREATE OR REPLACE VIEW "s"."x" AS`,
+    * bare SELECT), the emitted statement is canonical.
+    */
+  def normalizeViewDefinition(schema: String, view: String, definition: String): String = {
+    val headerRe =
+      "(?is)^\\s*CREATE\\s+(?:OR\\s+REPLACE\\s+)?(?:FORCE\\s+)?VIEW\\s+[^\\s]+\\s+AS\\s+".r
+    val body = headerRe.replaceFirstIn(definition.trim, "")
+    s"""CREATE OR REPLACE FORCE VIEW "${schema.toUpperCase}"."${view.toUpperCase}" AS $body;"""
+  }
+
   /** The ordered statement stream: UNION ALL of the sections with the
     * reference's fixed ord numbers, globally sorted (ord, stmt) —
     * postgresql_to_exasol.sql:388-403.

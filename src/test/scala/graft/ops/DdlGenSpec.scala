@@ -42,6 +42,34 @@ class DdlGenSpec extends SparkSpec {
     assert(!fks.exists(_.contains("CURRENCY")))
   }
 
+  test("view definitions normalize to canonical runnable headers") {
+    import DdlGen.normalizeViewDefinition
+    assert(
+      normalizeViewDefinition("s", "v", "SELECT 1") ==
+        """CREATE OR REPLACE FORCE VIEW "S"."V" AS SELECT 1;"""
+    )
+    assert(
+      normalizeViewDefinition("s", "v", "create view old_name as SELECT a FROM t") ==
+        """CREATE OR REPLACE FORCE VIEW "S"."V" AS SELECT a FROM t;"""
+    )
+    assert(
+      normalizeViewDefinition("s", "v", "CREATE OR REPLACE FORCE VIEW \"x\".\"y\" AS\nSELECT 2") ==
+        """CREATE OR REPLACE FORCE VIEW "S"."V" AS SELECT 2;"""
+    )
+  }
+
+  test("postgres partition-def parser keeps only single bare columns") {
+    import graft.core.PostgresDialect.parsePartitionDef
+    assert(parsePartitionDef("RANGE (o_orderdate)") == Some("o_orderdate"))
+    assert(parsePartitionDef("LIST (region)") == Some("region"))
+    assert(parsePartitionDef("RANGE (a, b)") == None) // multi-column → review note
+    assert(parsePartitionDef("RANGE (date_trunc('day', ts))") == None) // expression → review note
+    val q = graft.core.PostgresDialect.commentsQuery(graft.core.SchemaFilter("%"))
+    assert(q.contains("pg_description") && q.contains("objsubid"))
+    assert(graft.core.PostgresDialect.viewsQuery(graft.core.SchemaFilter("%")).contains("pg_get_viewdef"))
+    assert(graft.core.PostgresDialect.partitionDefQuery(graft.core.SchemaFilter("%")).contains("pg_get_partkeydef"))
+  }
+
   test("statement stream is section-ordered: schemas, tables, PKs, FKs") {
     val ords = DdlGen
       .statementStream(FixtureCatalog.columnsDf(spark), FixtureCatalog.keysDf(spark))
