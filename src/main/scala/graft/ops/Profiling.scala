@@ -170,12 +170,36 @@ object Profiling {
       .orderBy("col_name")
   }
 
+  /** Fixed-bound histogram of a numeric column — the distribution
+    * profile backing narrowing decisions (bucket arithmetic in
+    * integer/floor form so both engines agree bit-for-bit; out-of-range
+    * values clamp into the edge buckets).
+    */
+  val profileHistogram: Q = (s, d) => {
+    val (lo, hi, n) = (0.0, 600000.0, 12)
+    val w = (hi - lo) / n
+    orders(s, d)
+      .withColumn(
+        "bucket",
+        least(lit(n - 1), greatest(lit(0), expr(s"CAST(floor((o_totalprice - $lo) / $w) AS INT)")))
+          .cast("bigint")
+      )
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("o_totalprice").cast(DecimalType(18, 2))).as("lo_val"),
+        max(col("o_totalprice").cast(DecimalType(18, 2))).as("hi_val")
+      )
+      .orderBy("bucket")
+  }
+
   def queries: Map[String, Q] = Map(
     "profile_decimal_scale" -> profileDecimalScale,
     "narrow_double_to_decimal" -> narrowDoubleToDecimal,
     "narrow_decimal_width" -> narrowDecimalWidth,
     "narrow_timestamp_to_date" -> narrowTimestampToDate,
-    "narrow_varchar_shrink" -> narrowVarcharShrink
+    "narrow_varchar_shrink" -> narrowVarcharShrink,
+    "profile_histogram" -> profileHistogram
   )
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -242,6 +266,12 @@ object Profiling {
         |  CASE WHEN sum(CASE WHEN ts <> date_trunc('day', ts) THEN 1 ELSE 0 END) = 0
         |       THEN 'DATE' ELSE 'TIMESTAMP' END AS proposal
         |FROM tall GROUP BY col_name ORDER BY col_name""".stripMargin,
+    "profile_histogram" ->
+      """SELECT CAST(least(11, greatest(0, CAST(floor((o_totalprice - 0.0) / 50000.0) AS INTEGER))) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(CAST(o_totalprice AS DECIMAL(18,2))) AS lo_val,
+        |  max(CAST(o_totalprice AS DECIMAL(18,2))) AS hi_val
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
     "narrow_varchar_shrink" ->
       """WITH wide AS (
         |  SELECT CAST(max(length(c_name)) AS BIGINT) AS c_name_maxlen,
