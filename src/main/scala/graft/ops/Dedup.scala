@@ -180,6 +180,31 @@ object Dedup {
   val dedupSimhash: Q = (s, d) =>
     simhash(documents(s, d), "doc_id", "text", s).orderBy("doc_id")
 
+  /** SimHash near-dup pairs: candidates share at least one 4-bit band
+    * of the 16-bit fingerprint (by pigeonhole, any pair within hamming
+    * distance 3 must agree on ≥1 of the 4 nibbles — so banding is
+    * lossless for the ≤3 threshold), then the exact hamming distance
+    * filters. Standard simhash dedup: candidate generation is a
+    * band-key equi-join, never all-pairs.
+    */
+  val dedupSimhashPairs: Q = (s, d) => {
+    val fp = simhash(documents(s, d), "doc_id", "text", s)
+    val banded = fp.selectExpr(
+      "doc_id",
+      "simhash",
+      "stack(4, 0, simhash % 16, 1, (simhash div 16) % 16, 2, (simhash div 256) % 16, 3, (simhash div 4096) % 16) as (band_id, nibble)"
+    )
+    val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"), col("band_id"), col("nibble"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"), col("band_id").as("band_b"), col("nibble").as("nibble_b"))
+    a.join(b, col("band_id") === col("band_b") && col("nibble") === col("nibble_b") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)").cast("bigint"))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
   // ---- blocked exact n-gram Jaccard ----------------------------------
 
   /** Exact word-set Jaccard restricted to blocking buckets
@@ -222,6 +247,7 @@ object Dedup {
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
+    "dedup_simhash_pairs" -> dedupSimhashPairs,
     "dedup_ngram_jaccard" -> dedupNgramJaccard
   )
 
@@ -291,6 +317,32 @@ object Dedup {
          |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
          |sums AS (SELECT doc_id, $bitSums FROM words GROUP BY doc_id)
          |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM sums ORDER BY doc_id""".stripMargin
+    },
+    "dedup_simhash_pairs" -> {
+      val hv = hex4ValSql("substr(md5(word), 1, 4)")
+      val bitSums = (0 until 16)
+        .map(j => s"sum(CASE WHEN ${bitSql(hv, j)} = 1 THEN 1 ELSE -1 END) AS s$j")
+        .mkString(", ")
+      val fpExpr = (0 until 16)
+        .map(j => s"(CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH words AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |sums AS (SELECT doc_id, $bitSums FROM words GROUP BY doc_id),
+         |fp AS (SELECT doc_id, CAST($fpExpr AS BIGINT) AS simhash FROM sums),
+         |banded AS (
+         |  SELECT doc_id, simhash, 0 AS band_id, simhash % 16 AS nibble FROM fp
+         |  UNION ALL SELECT doc_id, simhash, 1, (simhash // 16) % 16 FROM fp
+         |  UNION ALL SELECT doc_id, simhash, 2, (simhash // 256) % 16 FROM fp
+         |  UNION ALL SELECT doc_id, simhash, 3, (simhash // 4096) % 16 FROM fp),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.simhash AS sim_a, b.simhash AS sim_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band_id = b.band_id AND a.nibble = b.nibble AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+         |FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
     },
     "dedup_ngram_jaccard" ->
       """WITH docs AS (
