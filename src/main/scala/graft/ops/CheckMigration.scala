@@ -174,8 +174,20 @@ object CheckMigration {
       timestampCols = Nil
     )
 
+  /** Third shape: the events stream table (numeric measure + string
+    * type + normalized timestamp).
+    */
+  val wideMetricsEvents: Q = (s, d) =>
+    wideMetricsAgg(
+      events(s, d),
+      numericCols = Seq("value" -> 2),
+      stringCols = Seq("event_type"),
+      timestampCols = Seq("ts")
+    )
+
   def queries: Map[String, Q] = Map(
     "agg_wide_metrics_lineitem" -> wideMetricsLineitem,
+    "agg_wide_metrics_events" -> wideMetricsEvents,
     "agg_wide_metrics_documents" -> wideMetricsDocuments,
     "agg_metrics_deviation" -> metricsDeviation,
     "agg_metrics_summary" -> metricsSummary
@@ -208,6 +220,19 @@ object CheckMigration {
 
   def oracles: Map[String, String] = Map(
     "agg_wide_metrics_lineitem" -> wideSqlBody,
+    "agg_wide_metrics_events" ->
+      """SELECT CAST(count(*) AS BIGINT) AS row_cnt,
+        |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_nulls,
+        |  min(CAST(value AS DECIMAL(36,2))) AS value_min,
+        |  max(CAST(value AS DECIMAL(36,2))) AS value_max,
+        |  CAST(sum(CAST(value AS DECIMAL(36,2))) AS DECIMAL(38,2)) AS value_sum,
+        |  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_type_nulls,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS event_type_distinct,
+        |  CAST(min(length(event_type)) AS BIGINT) AS event_type_minlen,
+        |  CAST(max(length(event_type)) AS BIGINT) AS event_type_maxlen,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS ts_min,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS ts_max
+        |FROM events""".stripMargin,
     "agg_wide_metrics_documents" ->
       """SELECT CAST(count(*) AS BIGINT) AS row_cnt,
         |  CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_nulls,
