@@ -188,21 +188,41 @@ object Dedup {
     * band-key equi-join, never all-pairs.
     */
   val dedupSimhashPairs: Q = (s, d) => {
-    val fp = simhash(documents(s, d), "doc_id", "text", s)
-    val banded = fp.selectExpr(
-      "doc_id",
+    val fp = simhash(documents(s, d), "doc_id", "text", s).cache()
+    // candidate generation runs on DISTINCT fingerprints (many docs
+    // share one — ~2× fewer at sf0.01, more at scale), then expands to
+    // doc pairs; the expansion is output-sized, which is the floor.
+    val fps = fp.select(col("simhash")).distinct()
+    val banded = fps.selectExpr(
       "simhash",
       "stack(4, 0, simhash % 16, 1, (simhash div 16) % 16, 2, (simhash div 256) % 16, 3, (simhash div 4096) % 16) as (band_id, nibble)"
     )
-    val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sim_a"), col("band_id"), col("nibble"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sim_b"), col("band_id").as("band_b"), col("nibble").as("nibble_b"))
-    a.join(b, col("band_id") === col("band_b") && col("nibble") === col("nibble_b") && col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
+    val a = banded.select(col("simhash").as("sim_a"), col("band_id"), col("nibble"))
+    val b = banded.select(col("simhash").as("sim_b"), col("band_id").as("band_b"), col("nibble").as("nibble_b"))
+    val fpPairs = a
+      .join(b, col("band_id") === col("band_b") && col("nibble") === col("nibble_b") && col("sim_a") < col("sim_b"))
+      .select("sim_a", "sim_b")
       .distinct()
       .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)").cast("bigint"))
       .filter(col("hamming") <= 3)
-      .select("doc_a", "doc_b", "hamming")
-      .orderBy("doc_a", "doc_b")
+    val da = fp.select(col("doc_id").as("ida"), col("simhash").as("sim_a"))
+    val db = fp.select(col("doc_id").as("idb"), col("simhash").as("sim_b"))
+    val cross = fpPairs
+      .join(da, "sim_a")
+      .join(db, "sim_b")
+      .select(
+        least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"),
+        col("hamming")
+      )
+    val same = fp
+      .select(col("doc_id").as("doc_a"), col("simhash"))
+      .join(
+        fp.select(col("doc_id").as("doc_b"), col("simhash").as("sim2")),
+        col("simhash") === col("sim2") && col("doc_a") < col("doc_b")
+      )
+      .select(col("doc_a"), col("doc_b"), lit(0L).as("hamming"))
+    cross.unionByName(same).orderBy("doc_a", "doc_b")
   }
 
   // ---- blocked exact n-gram Jaccard ----------------------------------
