@@ -42,9 +42,9 @@ object CheckMigration {
         numericCols.flatMap { case (c, s) =>
           Seq(
             sum(when(col(c).isNull, 1).otherwise(0)).cast("bigint").as(s"${c}_nulls"),
-            min(dec(col(c), s)).as(s"${c}_min"),
-            max(dec(col(c), s)).as(s"${c}_max"),
-            sum(dec(col(c), s)).cast(DecimalType(38, s)).as(s"${c}_sum")
+            decStr(min(dec(col(c), s))).as(s"${c}_min"),
+            decStr(max(dec(col(c), s))).as(s"${c}_max"),
+            decStr(sum(dec(col(c), s)).cast(DecimalType(38, s))).as(s"${c}_sum")
           )
         } ++
         stringCols.flatMap { c =>
@@ -196,13 +196,13 @@ object CheckMigration {
   private val wideSqlBody =
     """SELECT CAST(count(*) AS BIGINT) AS row_cnt,
       |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_quantity_nulls,
-      |  min(CAST(l_quantity AS DECIMAL(36,2))) AS l_quantity_min,
-      |  max(CAST(l_quantity AS DECIMAL(36,2))) AS l_quantity_max,
-      |  CAST(sum(CAST(l_quantity AS DECIMAL(36,2))) AS DECIMAL(38,2)) AS l_quantity_sum,
+      |  CAST(min(CAST(l_quantity AS DECIMAL(36,2))) AS VARCHAR) AS l_quantity_min,
+      |  CAST(max(CAST(l_quantity AS DECIMAL(36,2))) AS VARCHAR) AS l_quantity_max,
+      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(36,2))) AS DECIMAL(38,2)) AS VARCHAR) AS l_quantity_sum,
       |  CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_extendedprice_nulls,
-      |  min(CAST(l_extendedprice AS DECIMAL(36,2))) AS l_extendedprice_min,
-      |  max(CAST(l_extendedprice AS DECIMAL(36,2))) AS l_extendedprice_max,
-      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(36,2))) AS DECIMAL(38,2)) AS l_extendedprice_sum,
+      |  CAST(min(CAST(l_extendedprice AS DECIMAL(36,2))) AS VARCHAR) AS l_extendedprice_min,
+      |  CAST(max(CAST(l_extendedprice AS DECIMAL(36,2))) AS VARCHAR) AS l_extendedprice_max,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(36,2))) AS DECIMAL(38,2)) AS VARCHAR) AS l_extendedprice_sum,
       |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_returnflag_nulls,
       |  CAST(count(DISTINCT l_returnflag) AS BIGINT) AS l_returnflag_distinct,
       |  CAST(min(length(l_returnflag)) AS BIGINT) AS l_returnflag_minlen,
@@ -223,9 +223,9 @@ object CheckMigration {
     "agg_wide_metrics_events" ->
       """SELECT CAST(count(*) AS BIGINT) AS row_cnt,
         |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_nulls,
-        |  min(CAST(value AS DECIMAL(36,2))) AS value_min,
-        |  max(CAST(value AS DECIMAL(36,2))) AS value_max,
-        |  CAST(sum(CAST(value AS DECIMAL(36,2))) AS DECIMAL(38,2)) AS value_sum,
+        |  CAST(min(CAST(value AS DECIMAL(36,2))) AS VARCHAR) AS value_min,
+        |  CAST(max(CAST(value AS DECIMAL(36,2))) AS VARCHAR) AS value_max,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(36,2))) AS DECIMAL(38,2)) AS VARCHAR) AS value_sum,
         |  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_type_nulls,
         |  CAST(count(DISTINCT event_type) AS BIGINT) AS event_type_distinct,
         |  CAST(min(length(event_type)) AS BIGINT) AS event_type_minlen,
@@ -236,9 +236,9 @@ object CheckMigration {
     "agg_wide_metrics_documents" ->
       """SELECT CAST(count(*) AS BIGINT) AS row_cnt,
         |  CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_chars_nulls,
-        |  min(CAST(n_chars AS DECIMAL(36,0))) AS n_chars_min,
-        |  max(CAST(n_chars AS DECIMAL(36,0))) AS n_chars_max,
-        |  CAST(sum(CAST(n_chars AS DECIMAL(36,0))) AS DECIMAL(38,0)) AS n_chars_sum,
+        |  CAST(min(CAST(n_chars AS DECIMAL(36,0))) AS VARCHAR) AS n_chars_min,
+        |  CAST(max(CAST(n_chars AS DECIMAL(36,0))) AS VARCHAR) AS n_chars_max,
+        |  CAST(CAST(sum(CAST(n_chars AS DECIMAL(36,0))) AS DECIMAL(38,0)) AS VARCHAR) AS n_chars_sum,
         |  CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lang_nulls,
         |  CAST(count(DISTINCT lang) AS BIGINT) AS lang_distinct,
         |  CAST(min(length(lang)) AS BIGINT) AS lang_minlen,

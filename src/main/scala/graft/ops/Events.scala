@@ -28,7 +28,7 @@ object Events {
       .groupBy(col("hour_bucket"), col("event_type"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total_value"),
+        decStr(sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2))).as("total_value"),
         countDistinct(col("user_id")).as("n_users")
       )
       .orderBy("hour_bucket", "event_type")
@@ -135,7 +135,7 @@ object Events {
     "events_window_counts" ->
       """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
         |  CAST(count(*) AS BIGINT) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total_value,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin,
     "events_sessions" ->

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -18,6 +18,17 @@ import org.apache.spark.sql.types.LongType
 object Fixtures {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Canonical render of a final-output DECIMAL column. Different
+    * readers of the result disagree on the repr of trailing-zero
+    * decimals (`Decimal('1.00')` vs `1.0`), so every query that emits
+    * decimals stringifies them at the FINAL projection — and the
+    * matching oracle SQL wraps the same expression in
+    * `CAST(... AS VARCHAR)`. Both engines render scale-preserving
+    * strings ("1.00"), so the compare is repr-independent. Decimal
+    * stays the internal type (exact, order-independent sums).
+    */
+  def decStr(c: Column): Column = c.cast("string")
 
   /** The fixture parquet files are written as ONE row group each, so a
     * scan is a single task no matter how many cores exist — on a real

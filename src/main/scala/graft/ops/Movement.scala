@@ -36,7 +36,7 @@ object Movement {
       .agg(
         count(lit(1)).as("n_rows"),
         countDistinct(col("o_orderkey")).as("n_keys"),
-        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total")
+        Fixtures.decStr(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DecimalType(38, 2))).as("total")
       )
   }
 
@@ -236,7 +236,7 @@ object Movement {
     "parallel_read_union" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total
         |FROM orders""".stripMargin,
     "migration_plan" -> migrationPlanOracle,
     "partition_plan" -> pinnedOracle(

@@ -187,8 +187,8 @@ object Profiling {
       .groupBy(col("bucket"))
       .agg(
         count(lit(1)).as("n_rows"),
-        min(col("o_totalprice").cast(DecimalType(18, 2))).as("lo_val"),
-        max(col("o_totalprice").cast(DecimalType(18, 2))).as("hi_val")
+        Fixtures.decStr(min(col("o_totalprice").cast(DecimalType(18, 2)))).as("lo_val"),
+        Fixtures.decStr(max(col("o_totalprice").cast(DecimalType(18, 2)))).as("hi_val")
       )
       .orderBy("bucket")
   }
@@ -269,8 +269,8 @@ object Profiling {
     "profile_histogram" ->
       """SELECT CAST(least(11, greatest(0, CAST(floor((o_totalprice - 0.0) / 50000.0) AS INTEGER))) AS BIGINT) AS bucket,
         |  CAST(count(*) AS BIGINT) AS n_rows,
-        |  min(CAST(o_totalprice AS DECIMAL(18,2))) AS lo_val,
-        |  max(CAST(o_totalprice AS DECIMAL(18,2))) AS hi_val
+        |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS lo_val,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS hi_val
         |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
     "narrow_varchar_shrink" ->
       """WITH wide AS (

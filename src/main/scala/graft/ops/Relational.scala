@@ -115,7 +115,7 @@ object Relational {
         sum(dec182(col("l_extendedprice")) * dec182(lit(1.0) - col("l_discount"))).as("revenue"),
         count(lit(1)).as("n_items")
       )
-      .select(col("r_name"), col("n_name"), col("revenue"), col("n_items"))
+      .select(col("r_name"), col("n_name"), Fixtures.decStr(col("revenue")).as("revenue"), col("n_items"))
       .orderBy("r_name", "n_name")
 
   def queries: Map[String, Q] = Map(
@@ -170,7 +170,7 @@ object Relational {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "revenue_nation" ->
       """SELECT r_name, n_name,
-        |       sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS revenue,
+        |       CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS VARCHAR) AS revenue,
         |       count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey

@@ -86,7 +86,7 @@ object StarSchema {
         col("o_custkey"),
         col("status_id"),
         col("priority_id"),
-        col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("totalprice")
+        Fixtures.decStr(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("totalprice")
       )
       .orderBy("o_orderkey")
   }
@@ -122,7 +122,7 @@ object StarSchema {
         |  SELECT CAST(dense_rank() OVER (ORDER BY o_orderpriority) AS BIGINT) AS priority_id, o_orderpriority
         |  FROM (SELECT DISTINCT o_orderpriority FROM orders))
         |SELECT o_orderkey, o_custkey, status_id, priority_id,
-        |       CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS totalprice
         |FROM orders o
         |JOIN dim_s s ON o.o_orderstatus IS NOT DISTINCT FROM s.o_orderstatus
         |JOIN dim_p p ON o.o_orderpriority IS NOT DISTINCT FROM p.o_orderpriority

@@ -48,10 +48,10 @@ object TolerantMetrics {
         sum(when(isnan(col("qty")) || abs(col("qty")) === Double.PositiveInfinity, 1).otherwise(0))
           .cast("bigint")
           .as("qty_nonfinite"),
-        min(finite(col("qty")).cast(DecimalType(36, 2))).as("qty_min"),
-        max(finite(col("qty")).cast(DecimalType(36, 2))).as("qty_max"),
+        decStr(min(finite(col("qty")).cast(DecimalType(36, 2)))).as("qty_min"),
+        decStr(max(finite(col("qty")).cast(DecimalType(36, 2)))).as("qty_max"),
         // overflow-safe SUM through DECIMAL(38,2) (clickhouse_to_exasol.sql:204-246)
-        sum(finite(col("qty")).cast(DecimalType(36, 2))).cast(DecimalType(38, 2)).as("qty_sum")
+        decStr(sum(finite(col("qty")).cast(DecimalType(36, 2))).cast(DecimalType(38, 2))).as("qty_sum")
       )
 
   def queries: Map[String, Q] = Map("tolerant_metrics" -> tolerantMetrics)
@@ -68,9 +68,9 @@ object TolerantMetrics {
         |  CAST(sum(CASE WHEN sflag IS NULL OR sflag = '' THEN 1 ELSE 0 END) AS BIGINT) AS sflag_nulls,
         |  CAST(count(DISTINCT CASE WHEN sflag <> '' THEN sflag END) AS BIGINT) AS sflag_distinct,
         |  CAST(sum(CASE WHEN isnan(qty) OR NOT isfinite(qty) THEN 1 ELSE 0 END) AS BIGINT) AS qty_nonfinite,
-        |  min(CAST(CASE WHEN isfinite(qty) THEN qty END AS DECIMAL(36,2))) AS qty_min,
-        |  max(CAST(CASE WHEN isfinite(qty) THEN qty END AS DECIMAL(36,2))) AS qty_max,
-        |  CAST(sum(CAST(CASE WHEN isfinite(qty) THEN qty END AS DECIMAL(36,2))) AS DECIMAL(38,2)) AS qty_sum
+        |  CAST(min(CAST(CASE WHEN isfinite(qty) THEN qty END AS DECIMAL(36,2))) AS VARCHAR) AS qty_min,
+        |  CAST(max(CAST(CASE WHEN isfinite(qty) THEN qty END AS DECIMAL(36,2))) AS VARCHAR) AS qty_max,
+        |  CAST(CAST(sum(CAST(CASE WHEN isfinite(qty) THEN qty END AS DECIMAL(36,2))) AS DECIMAL(38,2)) AS VARCHAR) AS qty_sum
         |FROM t""".stripMargin
   )
 }

@@ -142,8 +142,8 @@ object VarcharInference {
       .select(
         col("o_orderstatus"),
         col("n_rows"),
-        col("custkey_median"),
-        col("totalprice_sum"),
+        Fixtures.decStr(col("custkey_median")).as("custkey_median"),
+        Fixtures.decStr(col("totalprice_sum")).as("totalprice_sum"),
         (col("totalprice_sum").cast("double") / col("n_rows")).as("totalprice_avg"),
         col("priority_mode"),
         col("priority_minlen"),
@@ -301,7 +301,9 @@ object VarcharInference {
         |                         ORDER BY count(*) DESC, o_orderpriority ASC) AS rn
         |    FROM orders GROUP BY o_orderstatus, o_orderpriority)
         |  WHERE rn = 1)
-        |SELECT o_orderstatus, n_rows, custkey_median, totalprice_sum,
+        |SELECT o_orderstatus, n_rows,
+        |  CAST(custkey_median AS VARCHAR) AS custkey_median,
+        |  CAST(totalprice_sum AS VARCHAR) AS totalprice_sum,
         |  CAST(totalprice_sum AS DOUBLE) / n_rows AS totalprice_avg,
         |  priority_mode, priority_minlen, priority_maxlen
         |FROM metrics JOIN mode ON o_orderstatus = st2
