@@ -19,9 +19,17 @@ import org.apache.spark.sql.functions._
   * would not. Hashing uses md5 (engine-portable, uniform); min() over
   * hex strings is a valid min-hash because md5's order is uniform.
   *
-  * SimHash: 16-bit sign-aggregated token fingerprint; identical
+  * SimHash: 60-bit sign-aggregated token fingerprint; identical
   * fingerprints are near-dup candidates. One groupBy(doc) + one
   * groupBy(fingerprint) — two narrow shuffles, no pairs materialized.
+  * 60 bits (not 16) so the fingerprint space does not saturate as the
+  * corpus grows: at 16 bits docs-per-fingerprint grows linearly with
+  * corpus size and pair expansion within a fingerprint group is
+  * quadratic — a scale-killer; at 60 bits only genuine near-dups
+  * collide. 60 = 15 md5 hex chars, which also keeps every bit
+  * extraction exact in 4-bit integer arithmetic (a full 64-bit
+  * assembly would need the sign bit, 2^63, which overflows signed
+  * 64-bit addition in both engines).
   */
 object Dedup {
   type Q = (SparkSession, String) => DataFrame
@@ -148,59 +156,74 @@ object Dedup {
 
   // ---- SimHash -------------------------------------------------------
 
-  /** Engine-portable SQL for the value of 4 hex chars (ascii-based so
+  /** Fingerprint width in bits; 15 hex chars of md5 = 60 bits. */
+  val simhashBits = 60
+
+  /** Engine-portable SQL for the value of ONE hex char (ascii-based so
     * the identical expression text runs in Spark and DuckDB).
     */
-  private def hex4ValSql(h: String): String = {
-    def v(pos: Int) =
-      s"(CASE WHEN ascii(substr($h, $pos, 1)) >= 97 THEN ascii(substr($h, $pos, 1)) - 87 ELSE ascii(substr($h, $pos, 1)) - 48 END)"
-    s"(${v(1)} * 4096 + ${v(2)} * 256 + ${v(3)} * 16 + ${v(4)})"
-  }
+  private def hexCharValSql(h: String, pos: Int): String =
+    s"(CASE WHEN ascii(substr($h, $pos, 1)) >= 97 THEN ascii(substr($h, $pos, 1)) - 87 ELSE ascii(substr($h, $pos, 1)) - 48 END)"
 
-  /** Portable bit extraction: (hv / 2^j) floor-div, mod 2. */
-  private def bitSql(hv: String, j: Int): String =
-    s"CAST(floor($hv / ${1 << j}.0) AS BIGINT) % 2"
+  /** Portable extraction of bit j from a hex string: bit (j mod 4) of
+    * hex char (j div 4). The divisor is at most 8 and the char value at
+    * most 15, so the floor-division arithmetic is exact in both
+    * engines.
+    */
+  private def bitOfHexSql(h: String, j: Int): String =
+    s"CAST(floor(${hexCharValSql(h, j / 4 + 1)} / ${1 << (j % 4)}.0) AS BIGINT) % 2"
 
-  /** 16-bit SimHash per document over its distinct words. */
+  /** 60-bit SimHash per document over its distinct words. */
   def simhash(docs: DataFrame, idCol: String, textCol: String, spark: SparkSession): DataFrame = {
     val words = docs
       .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("word"))
       .distinct()
-    val hv = hex4ValSql("substr(md5(cast(word as binary)), 1, 4)")
-    val bitSums: Seq[Column] = (0 until 16).map { j =>
-      sum(expr(s"CASE WHEN ${bitSql(hv, j)} = 1 THEN 1 ELSE -1 END")).as(s"s$j")
+      // materialize the word hash ONCE; the 60 bit extractions below
+      // then read a column instead of recomputing md5 per bit.
+      .withColumn("h", expr("md5(cast(word as binary))"))
+    val bitSums: Seq[Column] = (0 until simhashBits).map { j =>
+      sum(expr(s"CASE WHEN ${bitOfHexSql("h", j)} = 1 THEN 1 ELSE -1 END")).as(s"s$j")
     }
     val sums = words.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 16)
+    val fp = (0 until simhashBits)
       .map(j => s"(CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ")
     sums.selectExpr("doc_id", s"CAST($fp AS BIGINT) AS simhash")
   }
 
+  /** 4×15-bit band decomposition of a 60-bit fingerprint (tall:
+    * one row per band). By pigeonhole any pair within hamming
+    * distance 3 agrees on at least one of the 4 bands, so the band
+    * equi-join is a lossless candidate generator for the ≤3 threshold.
+    */
+  def simhashBands(fps: DataFrame): DataFrame =
+    fps.selectExpr(
+      "simhash",
+      "stack(4, 0, simhash % 32768, 1, (simhash div 32768) % 32768, 2, (simhash div 1073741824) % 32768, 3, (simhash div 35184372088832) % 32768) as (band_id, band_val)"
+    )
+
   val dedupSimhash: Q = (s, d) =>
     simhash(documents(s, d), "doc_id", "text", s).orderBy("doc_id")
 
-  /** SimHash near-dup pairs: candidates share at least one 4-bit band
-    * of the 16-bit fingerprint (by pigeonhole, any pair within hamming
-    * distance 3 must agree on ≥1 of the 4 nibbles — so banding is
-    * lossless for the ≤3 threshold), then the exact hamming distance
-    * filters. Standard simhash dedup: candidate generation is a
-    * band-key equi-join, never all-pairs.
+  /** SimHash near-dup pairs: candidates share at least one 15-bit band
+    * of the 60-bit fingerprint (lossless for hamming ≤ 3 — see
+    * simhashBands), then the exact hamming distance filters. Standard
+    * simhash dedup: candidate generation is a band-key equi-join,
+    * never all-pairs — and at 60 bits a band match is ~2^-15 likely
+    * for unrelated docs, so the candidate set stays output-sized as
+    * the corpus grows.
     */
   val dedupSimhashPairs: Q = (s, d) => {
     val fp = simhash(documents(s, d), "doc_id", "text", s).cache()
-    // candidate generation runs on DISTINCT fingerprints (many docs
-    // share one — ~2× fewer at sf0.01, more at scale), then expands to
-    // doc pairs; the expansion is output-sized, which is the floor.
+    // candidate generation runs on DISTINCT fingerprints (identical
+    // docs share one), then expands to doc pairs; the expansion is
+    // output-sized, which is the floor.
     val fps = fp.select(col("simhash")).distinct()
-    val banded = fps.selectExpr(
-      "simhash",
-      "stack(4, 0, simhash % 16, 1, (simhash div 16) % 16, 2, (simhash div 256) % 16, 3, (simhash div 4096) % 16) as (band_id, nibble)"
-    )
-    val a = banded.select(col("simhash").as("sim_a"), col("band_id"), col("nibble"))
-    val b = banded.select(col("simhash").as("sim_b"), col("band_id").as("band_b"), col("nibble").as("nibble_b"))
+    val banded = simhashBands(fps)
+    val a = banded.select(col("simhash").as("sim_a"), col("band_id"), col("band_val"))
+    val b = banded.select(col("simhash").as("sim_b"), col("band_id").as("band_b"), col("band_val").as("band_val_b"))
     val fpPairs = a
-      .join(b, col("band_id") === col("band_b") && col("nibble") === col("nibble_b") && col("sim_a") < col("sim_b"))
+      .join(b, col("band_id") === col("band_b") && col("band_val") === col("band_val_b") && col("sim_a") < col("sim_b"))
       .select("sim_a", "sim_b")
       .distinct()
       .withColumn("hamming", expr("bit_count(sim_a ^ sim_b)").cast("bigint"))
@@ -297,6 +320,16 @@ object Dedup {
     s"bands AS ($arms)"
   }
 
+  private def simhashBitSumsSql: String =
+    (0 until simhashBits)
+      .map(j => s"sum(CASE WHEN ${bitOfHexSql("h", j)} = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(", ")
+
+  private def simhashFpSql: String =
+    (0 until simhashBits)
+      .map(j => s"(CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+
   def oracles: Map[String, String] = Map(
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
@@ -326,40 +359,28 @@ object Dedup {
          |JOIN sizes sb ON sb.doc_id = p.doc_b
          |ORDER BY p.doc_a, p.doc_b""".stripMargin,
     "dedup_simhash" -> {
-      val hv = hex4ValSql("substr(md5(word), 1, 4)")
-      val bitSums = (0 until 16)
-        .map(j => s"sum(CASE WHEN ${bitSql(hv, j)} = 1 THEN 1 ELSE -1 END) AS s$j")
-        .mkString(", ")
-      val fp = (0 until 16)
-        .map(j => s"(CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END)")
-        .mkString(" + ")
       s"""WITH words AS (
          |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-         |sums AS (SELECT doc_id, $bitSums FROM words GROUP BY doc_id)
-         |SELECT doc_id, CAST($fp AS BIGINT) AS simhash FROM sums ORDER BY doc_id""".stripMargin
+         |hashed AS (SELECT doc_id, md5(word) AS h FROM words),
+         |sums AS (SELECT doc_id, $simhashBitSumsSql FROM hashed GROUP BY doc_id)
+         |SELECT doc_id, CAST($simhashFpSql AS BIGINT) AS simhash FROM sums ORDER BY doc_id""".stripMargin
     },
     "dedup_simhash_pairs" -> {
-      val hv = hex4ValSql("substr(md5(word), 1, 4)")
-      val bitSums = (0 until 16)
-        .map(j => s"sum(CASE WHEN ${bitSql(hv, j)} = 1 THEN 1 ELSE -1 END) AS s$j")
-        .mkString(", ")
-      val fpExpr = (0 until 16)
-        .map(j => s"(CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END)")
-        .mkString(" + ")
       s"""WITH words AS (
          |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
-         |sums AS (SELECT doc_id, $bitSums FROM words GROUP BY doc_id),
-         |fp AS (SELECT doc_id, CAST($fpExpr AS BIGINT) AS simhash FROM sums),
+         |hashed AS (SELECT doc_id, md5(word) AS h FROM words),
+         |sums AS (SELECT doc_id, $simhashBitSumsSql FROM hashed GROUP BY doc_id),
+         |fp AS (SELECT doc_id, CAST($simhashFpSql AS BIGINT) AS simhash FROM sums),
          |banded AS (
-         |  SELECT doc_id, simhash, 0 AS band_id, simhash % 16 AS nibble FROM fp
-         |  UNION ALL SELECT doc_id, simhash, 1, (simhash // 16) % 16 FROM fp
-         |  UNION ALL SELECT doc_id, simhash, 2, (simhash // 256) % 16 FROM fp
-         |  UNION ALL SELECT doc_id, simhash, 3, (simhash // 4096) % 16 FROM fp),
+         |  SELECT doc_id, simhash, 0 AS band_id, simhash % 32768 AS band_val FROM fp
+         |  UNION ALL SELECT doc_id, simhash, 1, (simhash // 32768) % 32768 FROM fp
+         |  UNION ALL SELECT doc_id, simhash, 2, (simhash // 1073741824) % 32768 FROM fp
+         |  UNION ALL SELECT doc_id, simhash, 3, (simhash // 35184372088832) % 32768 FROM fp),
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |         a.simhash AS sim_a, b.simhash AS sim_b
          |  FROM banded a JOIN banded b
-         |    ON a.band_id = b.band_id AND a.nibble = b.nibble AND a.doc_id < b.doc_id)
+         |    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
          |FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin
