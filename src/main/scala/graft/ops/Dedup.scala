@@ -263,14 +263,21 @@ object Dedup {
         array_distinct(split(col("text"), " ")).as("ws")
       )
     // The blocking key (lang, len_bucket) has tiny cardinality (~30),
-    // so a shuffle join would put whole blocks on single tasks (skew).
-    // Word-set metadata is small → broadcast the build side; the probe
-    // side is already spread across cores by the reader, so the pair
-    // expansion runs skew-free at full parallelism.
+    // so a plain shuffle join would put whole blocks on single tasks
+    // (skew), and broadcasting the word-set relation caps out at one
+    // executor's memory at corpus scale. Salted shuffle join instead
+    // (Salting.saltedJoin): the probe side scatters each block across
+    // `saltFactor` sub-keys by doc hash, the build side is replicated
+    // per salt, and the pair expansion runs at blocks × saltFactor
+    // parallelism with nothing corpus-sized on a single node. The
+    // shuffle_hash hint pins the distributed plan at test scale.
     val a = docs
-      .select(col("doc_id").as("doc_a"), col("lang"), col("len_bucket"), col("ws").as("ws_a"))
-    val b = docs.select(col("doc_id").as("doc_b"), col("lang").as("lang_b"), col("len_bucket").as("lb_b"), col("ws").as("ws_b"))
-    a.join(broadcast(b), col("lang") === col("lang_b") && col("len_bucket") === col("lb_b") && col("doc_a") < col("doc_b"))
+      .select(col("doc_id").as("doc_a"), concat_ws("", col("lang"), col("len_bucket")).as("block"), col("ws").as("ws_a"))
+    val b = docs
+      .select(col("doc_id").as("doc_b"), concat_ws("", col("lang"), col("len_bucket")).as("block_b"), col("ws").as("ws_b"))
+    graft.core.Salting
+      .saltedJoin(a, "block", "doc_a", b.hint("shuffle_hash"), "block_b", 16)
+      .filter(col("doc_a") < col("doc_b"))
       .select(
         col("doc_a"),
         col("doc_b"),

@@ -107,4 +107,20 @@ class DedupSpec extends SparkSpec {
     assert(outPairs.toDouble / allPairs < 0.05, s"$outPairs output pairs of $allPairs")
     fp.unpersist()
   }
+
+  test("pair-expansion joins never broadcast the corpus side") {
+    // a broadcast of the word-set / embedding relation caps out at one
+    // executor's memory at 100 TB — these plans must be salted shuffle
+    // joins end to end.
+    for (
+      df <- Seq(
+        Dedup.dedupNgramJaccard(spark, "/root/testdata/sf0.001"),
+        Similarity.queries("dedup_embedding_cosine")(spark, "/root/testdata/sf0.001")
+      )
+    ) {
+      df.collect() // materialize so AQE finalizes the physical plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"), s"corpus-side broadcast in:\n$plan")
+    }
+  }
 }
