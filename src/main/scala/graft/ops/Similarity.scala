@@ -132,7 +132,19 @@ object Similarity {
   def ivfAssignments(emb: DataFrame, k: Int): (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val e = withVec(emb).withColumn("features", array_to_vector(col("v")))
+    // FIXED partition count (not defaultParallelism): k-means|| init
+    // draws per-partition seeded samples, so the fitted centroids are
+    // deterministic only if the data distribution is — this pins the
+    // assignment histogram across machines/core counts and lets the
+    // query carry a golden VALUES oracle.
+    // sortWithinPartitions: the shuffle delivers rows in whatever
+    // order upstream blocks are fetched, and the sampler is
+    // order-sensitive — sorting makes each partition's content AND
+    // order a pure function of the data.
+    val e = withVec(emb)
+      .repartition(16, col("vec_id"))
+      .sortWithinPartitions("vec_id")
+      .withColumn("features", array_to_vector(col("v")))
     // bounded iterations: IVF lists need rough clusters, not converged
     // ones — recall is governed by nProbe, and index build cost matters
     // at scale
@@ -165,8 +177,12 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF list histogram (rows-only check: centroid arithmetic is not
-    * engine-portable — gated by SimilarityIvfSpec instead).
+  /** IVF list histogram. Centroid arithmetic is not engine-portable,
+    * but the seeded, fixed-partitioning KMeans build is deterministic
+    * in-engine (verified identical at local[8] vs local[32]), so the
+    * sf0.01 histogram is pinned as a golden VALUES oracle — the same
+    * pattern as Movement's planner outputs. Recall quality is gated
+    * separately by SimilarityIvfSpec.
     */
   val annIvfLists: Q = (s, d) =>
     ivfAssignments(embeddings(s, d), 16)._1
@@ -227,6 +243,16 @@ object Similarity {
          |  FROM b a JOIN b x ON a.bucket_id = x.bucket_id AND a.vec_id < x.vec_id)
          |SELECT vec_a, vec_b, bucket_id, cos_sim
          |FROM pairs WHERE cos_sim >= 0.9
-         |ORDER BY vec_a, vec_b""".stripMargin
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    // golden pin of the deterministic seeded-KMeans histogram at
+    // sf0.01 (the correctness-gate scale); see annIvfLists scaladoc.
+    "ann_ivf_lists" -> {
+      val pinned = Seq(
+        0 -> 41, 1 -> 39, 2 -> 49, 3 -> 17, 4 -> 17, 5 -> 23, 6 -> 59, 7 -> 11,
+        8 -> 33, 9 -> 25, 10 -> 44, 11 -> 61, 12 -> 54, 13 -> 1, 14 -> 21, 15 -> 5
+      ).map { case (l, n) => s"($l, $n)" }.mkString(", ")
+      s"""SELECT CAST(list_id AS INTEGER) AS list_id, CAST(n_vectors AS BIGINT) AS n_vectors
+         |FROM (VALUES $pinned) AS t(list_id, n_vectors) ORDER BY list_id""".stripMargin
+    }
   )
 }

@@ -36,9 +36,8 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(dangling.isEmpty, s"oracles without queries: $dangling")
   }
 
-  test("oracle coverage is near-total (rows-only checks are rare, deliberate exceptions)") {
+  test("oracle coverage is total — every registered query has an oracle") {
     val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // ann_ivf_lists: k-means centroid arithmetic is not engine-portable
-    assert(noOracle == Set("ann_ivf_lists"), s"unexpected rows-only queries: $noOracle")
+    assert(noOracle.isEmpty, s"queries without oracles: $noOracle")
   }
 }
