@@ -47,6 +47,30 @@ object DeltaSync {
     t.join(dl, cond, "full_outer").select(cols.toSeq: _*)
   }
 
+  /** MERGE tolerant of schema drift between source and target
+    * (reference delta_import_on_primary_keys.sql:95-161: the optional
+    * source∩target column intersection before the MERGE is built).
+    * Updates and inserts touch only the columns PRESENT ON BOTH
+    * sides; key columns are mandatory in the intersection.
+    * Target-only columns keep their target values on matched rows and
+    * are NULL on inserted rows; source-only columns are dropped —
+    * exactly the reference's behavior when the source has drifted.
+    */
+  def mergeIntersect(target: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
+    val deltaCols = delta.columns.toSet
+    val common = target.columns.filter(deltaCols.contains).toSet
+    require(keys.forall(common.contains), s"key columns $keys must exist on both sides")
+    val t = target.alias("t")
+    val dl = delta.alias("d")
+    val cond = keys.map(k => col(s"t.$k") === col(s"d.$k")).reduce(_ && _)
+    val matched = col(s"d.${keys.head}").isNotNull
+    val cols = target.columns.map { c =>
+      if (common.contains(c)) when(matched, col(s"d.$c")).otherwise(col(s"t.$c")).as(c)
+      else col(s"t.$c").as(c) // target-only: kept on match, NULL on insert
+    }
+    t.join(dl, cond, "full_outer").select(cols.toSeq: _*)
+  }
+
   /** Watermark rows of `source` strictly at/after the max of
     * `deltaCol` in `target` (reference: re-imports the boundary value
     * too, `WHERE delta >= max` — delta_import:421).
@@ -73,8 +97,32 @@ object DeltaSync {
       .orderBy("o_orderkey")
   }
 
+  /** Drifted-source variant: the delta feed lost `o_orderpriority`
+    * and gained a column the target does not have. The MERGE touches
+    * only the intersection — priorities survive on matched rows, are
+    * NULL on inserted rows, and the source-only column never reaches
+    * the target.
+    */
+  val mergeIntersectUpsert: Q = (s, d) => {
+    val all = orders(s, d)
+    val target = all.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val delta = deltaRows(all, target, "o_orderdate")
+      .drop("o_orderpriority")
+      .withColumn("src_extra", lit("drifted"))
+    mergeIntersect(target, delta, Seq("o_orderkey"))
+      .select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        col("o_orderstatus"),
+        col("o_orderpriority"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate_s")
+      )
+      .orderBy("o_orderkey")
+  }
+
   def queries: Map[String, Q] = Map(
-    "delta_merge_upsert" -> mergeUpsert
+    "delta_merge_upsert" -> mergeUpsert,
+    "delta_merge_intersect" -> mergeIntersectUpsert
   )
 
   def oracles: Map[String, String] = Map(
@@ -85,6 +133,18 @@ object DeltaSync {
         |SELECT coalesce(d.o_orderkey, t.o_orderkey) AS o_orderkey,
         |       CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_custkey ELSE t.o_custkey END AS o_custkey,
         |       CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+        |       strftime(CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_orderdate ELSE t.o_orderdate END, '%Y-%m-%d') AS o_orderdate_s
+        |FROM tgt t FULL JOIN delta d ON t.o_orderkey = d.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "delta_merge_intersect" ->
+      """WITH tgt AS (SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+        |wm AS (SELECT max(o_orderdate) AS m FROM tgt),
+        |delta AS (SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus, o.o_orderdate
+        |          FROM orders o, wm WHERE o.o_orderdate >= wm.m)
+        |SELECT coalesce(d.o_orderkey, t.o_orderkey) AS o_orderkey,
+        |       CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_custkey ELSE t.o_custkey END AS o_custkey,
+        |       CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+        |       t.o_orderpriority AS o_orderpriority,
         |       strftime(CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_orderdate ELSE t.o_orderdate END, '%Y-%m-%d') AS o_orderdate_s
         |FROM tgt t FULL JOIN delta d ON t.o_orderkey = d.o_orderkey
         |ORDER BY o_orderkey""".stripMargin

@@ -23,6 +23,30 @@ class DeltaSyncSpec extends SparkSpec {
     assert(out.length == 1 && out(0).isNullAt(1)) // not per-column coalesce
   }
 
+  test("mergeIntersect: drifted source — target-only kept, source-only dropped, inserts NULL") {
+    val target = Seq((1L, "old", 10), (2L, "keep", 20)).toDF("id", "v", "n")
+    // source lost `n`, gained `extra`
+    val delta = Seq((1L, "new", "x"), (3L, "ins", "y")).toDF("id", "v", "extra")
+    val out = DeltaSync.mergeIntersect(target, delta, Seq("id"))
+    // schema = target's schema exactly: no `extra`
+    assert(out.columns.toSeq == Seq("id", "v", "n"))
+    val rows = out
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) None else Some(r.getInt(2))))
+      .sortBy(_._1)
+    // matched row 1: v updated from delta, target-only n kept;
+    // row 2 untouched; inserted row 3: n is NULL
+    assert(rows.toSeq == Seq((1L, "new", Some(10)), (2L, "keep", Some(20)), (3L, "ins", None)))
+  }
+
+  test("mergeIntersect: refuses a delta that lost a key column") {
+    val target = Seq((1L, "a")).toDF("id", "v")
+    val delta = Seq("b").toDF("v")
+    intercept[IllegalArgumentException] {
+      DeltaSync.mergeIntersect(target, delta, Seq("id"))
+    }
+  }
+
   test("deltaRows: watermark is inclusive (re-imports the boundary row)") {
     val src = Seq((1L, 10), (2L, 20), (3L, 30)).toDF("id", "ts")
     val tgt = Seq((1L, 10), (2L, 20)).toDF("id", "ts")
