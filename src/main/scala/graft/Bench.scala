@@ -42,12 +42,19 @@ object Bench {
         case c if c < ' ' => " "
         case c => c.toString
       } + "\""
-    val qs = times.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    // millisecond precision keeps the line short — a long line risks
+    // head-truncation in tail-style output capture
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = times.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = times.map(_._2).sum
-    println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
-    )
+    val json =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+    // belt and braces: the full JSON also lands in a file, so a
+    // truncated stdout capture can always be reconstructed
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/graft_bench.json"), json)
+    catch { case _: Throwable => () }
+    println(json)
     spark.stop()
   }
 }

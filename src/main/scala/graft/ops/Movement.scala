@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.core.{ColumnMeta, KeyColumnMeta, KeyType, PartitionPlanner, PlanBuilder, GenericJdbcDialect}
+import graft.core.{ColumnMeta, KeyColumnMeta, KeyType, LiveJdbc, PartitionPlanner, PlanBuilder, GenericJdbcDialect}
 import graft.sync.FileStateSync
 
 /** Data-movement operator queries (SURVEY.md §2.D): the bin-packed
@@ -84,6 +84,32 @@ object Movement {
         refTable = k.ref_table
       )
     }
+
+  // ---- live-target execution loop -----------------------------------
+
+  /** The dimension slice migrated live (embedded Derby target). */
+  private val liveTables = Set("region", "nation", "customer", "orders")
+  private def liveCols: Seq[ColumnMeta] = fixtureColumnMeta.filter(c => liveTables(c.table))
+
+  /** End-to-end LIVE migration (§2.D #44 + §2.F #64 executed, not just
+    * planned): DDL + parallel JDBC load + post-load NOT NULL/PK/FK
+    * import + predicate-parallel read-back validation run for real
+    * against an embedded Derby database; the query returns the outcome
+    * stream. Oracle = the pure statement plan with each action's
+    * expected success status — a golden check that every live action
+    * (including the out-of-scope-FK skip) actually succeeded.
+    */
+  val liveMigration: Q = (s, d) => {
+    import s.implicits._
+    // unique in-memory db per invocation so reruns in one JVM are
+    // isolated; the name never appears in the output
+    val db = java.util.UUID.randomUUID().toString.replace("-", "")
+    val url = s"jdbc:derby:memory:graft_$db;create=true"
+    LiveJdbc
+      .execute(s, url, liveCols, fixtureKeyMeta, (_, t) => s.read.parquet(s"$d/$t.parquet"))
+      .toDF("ord", "stmt", "status")
+      .orderBy("ord", "stmt")
+  }
 
   /** The full ordered statement stream of the plan builder over the
     * literal fixture catalog. Oracle = the same pure function
@@ -226,11 +252,21 @@ object Movement {
   def queries: Map[String, Q] = Map(
     "parallel_read_union" -> parallelReadUnion,
     "migration_plan" -> migrationPlan,
+    "live_migration" -> liveMigration,
     "file_state_merge" -> fileStateMerge,
     "file_listing" -> fileListing,
     "partition_plan" -> partitionPlan,
     "fk_harmonization_plan" -> fkHarmonizationPlan
   )
+
+  private def liveMigrationOracle: String = {
+    val rows = LiveJdbc
+      .plan(liveCols, fixtureKeyMeta)
+      .map(p => s"(${p.ord}, '${p.sql.replace("'", "''")}', '${LiveJdbc.expectedStatus(p.kind)}')")
+      .mkString(", ")
+    s"""SELECT CAST(ord AS INTEGER) AS ord, stmt, status
+       |FROM (VALUES $rows) AS t(ord, stmt, status) ORDER BY ord, stmt""".stripMargin
+  }
 
   def oracles: Map[String, String] = Map(
     "parallel_read_union" ->
@@ -239,6 +275,7 @@ object Movement {
         |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total
         |FROM orders""".stripMargin,
     "migration_plan" -> migrationPlanOracle,
+    "live_migration" -> liveMigrationOracle,
     "partition_plan" -> pinnedOracle(
       partitionPlanRows,
       "bin_id, part_name, n_rows",
