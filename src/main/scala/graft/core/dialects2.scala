@@ -171,6 +171,34 @@ object TeradataDialect extends SourceDialect {
        |WHERE i.UniqueFlag = 'Y' AND i.IndexType = 'K'
        |  AND ${filter.toSql("i.DatabaseName")}""".stripMargin
 
+  /** Best-effort single-column extraction from a Teradata PPI
+    * constraint text (teradata_to_exasol.sql:282-300): a single-level
+    * `RANGE_N(<col> BETWEEN ...)` over a bare column yields that
+    * column; CASE_N, multi-level (second RANGE_N) or expression-based
+    * PPI yields None — no single-column PARTITION BY equivalent
+    * exists, so those become review notes.
+    */
+  def partitionColumnFromPpi(partText: String): Option[String] = {
+    val first = partText.indexOf("RANGE_N(")
+    val second = if (first < 0) -1 else partText.indexOf("RANGE_N", first + 7)
+    val between = partText.indexOf(" BETWEEN")
+    if (partText.contains("CASE_N") || first < 0 || second >= 0 || between <= first + 8) None
+    else {
+      val raw = partText.substring(first + 8, between).trim
+      if (raw.matches("^[A-Za-z_][A-Za-z0-9_]*$")) Some(raw) else None
+    }
+  }
+
+  /** PARTITION BY statement (or commented review note) for one PPI
+    * catalog row — the emission shape of teradata_to_exasol.sql:293-297.
+    */
+  def ppiPartitionStmt(schema: String, table: String, partText: String): String =
+    partitionColumnFromPpi(partText) match {
+      case Some(c) => s"""ALTER TABLE "$schema"."$table" PARTITION BY "$c";"""
+      case None =>
+        s"""-- "$schema"."$table" Teradata partitioning not auto-mapped (review and add PARTITION BY manually if appropriate): $partText"""
+    }
+
   /** One source column → N target columns: PERIOD(x) becomes
     * x_BEGINNING / x_END read via begin()/end()
     * (teradata_to_exasol.sql:196-202,214-217). Everything else is 1:1.

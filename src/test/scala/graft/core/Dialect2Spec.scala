@@ -87,6 +87,32 @@ class Dialect2Spec extends AnyFunSuite {
       "CONVERT(VARCHAR(MAX), [c], 2)")
   }
 
+  test("Teradata RANGE_N PPI text: single-column emission vs review notes") {
+    import TeradataDialect.{partitionColumnFromPpi, ppiPartitionStmt}
+    // single-level RANGE_N over a bare column → extracted
+    val simple =
+      "CHECK ((RANGE_N(sale_date BETWEEN DATE '2020-01-01' AND DATE '2023-12-31' EACH INTERVAL '1' MONTH)) BETWEEN 1 AND 65535)"
+    assert(partitionColumnFromPpi(simple).contains("sale_date"))
+    assert(
+      ppiPartitionStmt("sales", "fact", simple) ==
+        """ALTER TABLE "sales"."fact" PARTITION BY "sale_date";"""
+    )
+    // CASE_N → review note
+    val caseN = "CHECK ((CASE_N(amount < 100, amount < 1000, NO CASE) ) BETWEEN 1 AND 65535)"
+    assert(partitionColumnFromPpi(caseN).isEmpty)
+    assert(ppiPartitionStmt("s", "t", caseN).startsWith("-- \"s\".\"t\" Teradata partitioning not auto-mapped"))
+    // multi-level PPI (second RANGE_N) → review note
+    val multi =
+      "CHECK ((RANGE_N(d BETWEEN DATE '2020-01-01' AND DATE '2021-01-01' EACH INTERVAL '1' DAY)) * 10 + (RANGE_N(r BETWEEN 1 AND 10 EACH 1)) BETWEEN 1 AND 65535)"
+    assert(partitionColumnFromPpi(multi).isEmpty)
+    // expression-based RANGE_N (not a bare column) → review note
+    val exprPpi =
+      "CHECK ((RANGE_N(EXTRACT(YEAR FROM d) BETWEEN 2020 AND 2024 EACH 1)) BETWEEN 1 AND 65535)"
+    assert(partitionColumnFromPpi(exprPpi).isEmpty)
+    // no PPI marker at all → review note
+    assert(partitionColumnFromPpi("CHECK (x > 0)").isEmpty)
+  }
+
   test("delta import decision tree") {
     val d = PostgresDialect
     assert(decide(TableSync(Nil, None), d) == TruncateFullReload)
