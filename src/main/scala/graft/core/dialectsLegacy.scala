@@ -112,15 +112,36 @@ object BigQueryDialect extends InformationSchemaDialect {
   val name = "bigquery"
   val systemSchemas: Seq[String] = Seq("INFORMATION_SCHEMA")
 
-  def perDatasetColumnsQuery(dataset: String): String =
+  def perDatasetColumnsQuery(dataset: String, tableFilter: String = "%"): String =
     s"""SELECT table_schema, table_name, ordinal_position AS ordinal, column_name,
        |       data_type AS type_name, is_nullable = 'YES' AS is_nullable,
        |       NULL AS column_default, NULL AS char_length,
        |       NULL AS num_precision, NULL AS num_scale
-       |FROM `$dataset`.INFORMATION_SCHEMA.COLUMNS""".stripMargin
+       |FROM `$dataset`.INFORMATION_SCHEMA.COLUMNS
+       |JOIN `$dataset`.INFORMATION_SCHEMA.TABLES USING (table_catalog, table_schema, table_name)
+       |WHERE table_type = 'BASE TABLE'
+       |  AND table_schema NOT IN ('INFORMATION_SCHEMA')
+       |  AND table_name LIKE '${tableFilter.replace("'", "''")}'""".stripMargin
 
   def multiDatasetColumnsQuery(datasets: Seq[String]): String =
-    datasets.map(perDatasetColumnsQuery).mkString("\nUNION ALL\n")
+    datasets.map(d => perDatasetColumnsQuery(d)).mkString("\nUNION ALL\n")
+
+  /** Dataset discovery — step 1 of the reference's '%'-filter loop
+    * (bigquery_to_exasol.sql:27-31): BigQuery's INFORMATION_SCHEMA is
+    * dataset-scoped, so a wildcard scan must first list datasets.
+    */
+  def datasetsQuery: String = "SELECT schema_name FROM INFORMATION_SCHEMA.SCHEMATA"
+
+  /** The reference's per-dataset fan-out (bigquery_to_exasol.sql:27-49):
+    * a '%' schema filter expands into one catalog query per discovered
+    * dataset (run `datasetsQuery` on the source to obtain them); a
+    * concrete filter goes straight to that dataset. Evaluated lazily so
+    * the dataset listing is only fetched when the wildcard path runs.
+    */
+  def columnsQueriesFor(filter: SchemaFilter, datasets: => Seq[String], tableFilter: String = "%"): Seq[String] =
+    if (filter.pattern == "%")
+      datasets.filterNot(systemSchemas.contains).distinct.sorted.map(d => perDatasetColumnsQuery(d, tableFilter))
+    else Seq(perDatasetColumnsQuery(filter.pattern, tableFilter))
 
   def toSparkType(c: ColumnMeta, opts: MigrationOptions): DataType = base(c) match {
     case "INT64" | "INTEGER" => LongType

@@ -29,6 +29,30 @@ class DialectLegacySpec extends AnyFunSuite {
     assert(BigQueryDialect.readExpression(col("ARRAY<INT64>"), opts) == "TO_JSON_STRING(\"c\")")
   }
 
+  test("bigquery: wildcard filter iterates discovered datasets; concrete filter does not") {
+    // wildcard → one query per discovered dataset, system schemas out,
+    // table filter pushed into each
+    var listed = false
+    val qs = BigQueryDialect.columnsQueriesFor(
+      SchemaFilter("%"),
+      { listed = true; Seq("ds2", "ds1", "INFORMATION_SCHEMA") },
+      tableFilter = "fact%"
+    )
+    assert(listed)
+    assert(qs.length == 2 && qs.head.contains("`ds1`.") && qs(1).contains("`ds2`."))
+    assert(qs.forall(_.contains("table_name LIKE 'fact%'")))
+    assert(qs.forall(_.contains("table_type = 'BASE TABLE'")))
+    // concrete filter → single dataset query, no dataset listing fetch
+    var listedConcrete = false
+    val one = BigQueryDialect.columnsQueriesFor(
+      SchemaFilter("mydata"),
+      { listedConcrete = true; Seq("unused") }
+    )
+    assert(!listedConcrete)
+    assert(one.length == 1 && one.head.contains("`mydata`.INFORMATION_SCHEMA.COLUMNS"))
+    assert(BigQueryDialect.datasetsQuery.contains("INFORMATION_SCHEMA.SCHEMATA"))
+  }
+
   test("vertica 64-bit ints; vectorwise iicolumns catalog") {
     assert(VerticaDialect.toSparkType(col("INTEGER"), opts) == LongType)
     assert(VectorwiseDialect.columnsQuery(SchemaFilter("%")).contains("iicolumns"))
