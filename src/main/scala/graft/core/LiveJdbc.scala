@@ -171,7 +171,10 @@ object LiveJdbc {
               finally st.close()
               Outcome(p.ord, p.sql, "applied")
             case "load" =>
-              sourceTable(p.schema, p.table).write.mode("append").jdbc(url, s"${ident(p.schema)}.${ident(p.table)}", props)
+              sourceTable(p.schema, p.table).write
+                .mode("append")
+                .option("batchsize", "10000") // default 1000: 10× fewer round-trips per partition
+                .jdbc(url, s"${ident(p.schema)}.${ident(p.table)}", props)
               Outcome(p.ord, p.sql, "loaded")
             case "validate" =>
               val pk = keys
