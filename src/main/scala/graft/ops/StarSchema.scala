@@ -11,21 +11,57 @@ import org.apache.spark.sql.functions._
   * equality (`<=>` ↔ the reference's `(a=b OR (a IS NULL AND b IS
   * NULL))`), idempotent re-runs via anti-join.
   *
-  * Surrogate keys: the reference uses an IDENTITY column; here
-  * `dense_rank` over the natural key gives *deterministic* ids
-  * (testable against the oracle). Dimensions are by definition
-  * low-cardinality, so the rank window over the distinct set is cheap
-  * and the dim side of every fact join is broadcast.
+  * Surrogate keys: the reference uses an IDENTITY column; here the
+  * global dense rank over the natural key gives *deterministic* ids
+  * (testable against the oracle). The rank is computed WITHOUT a
+  * global single-partition window: distinct keys are range-partitioned
+  * (globally ordered across partitions), ranked per partition in
+  * parallel, and composed with per-partition offsets (a partition-
+  * count-sized driver list) — so a high-cardinality dimension ranks at
+  * full parallelism instead of collapsing onto one task.
   */
 object StarSchema {
   type Q = (SparkSession, String) => DataFrame
   import Fixtures._
 
-  /** Build a dimension: distinct natural-key rows + dense-rank surrogate id. */
+  /** Build a dimension: distinct natural-key rows + dense-rank
+    * surrogate id via range-partitioned parallel rank composition.
+    * Output ids are identical to a global `dense_rank` (keys are
+    * unique after distinct, and range partitioning preserves global
+    * order across partitions) at any partition count.
+    */
   def dimension(flat: DataFrame, naturalCols: Seq[String], idCol: String): DataFrame = {
-    val distinctRows = flat.select(naturalCols.map(col): _*).distinct()
-    val w = Window.orderBy(naturalCols.map(c => asc_nulls_first(c)): _*)
-    distinctRows.withColumn(idCol, dense_rank().over(w).cast("bigint"))
+    val order = naturalCols.map(c => asc_nulls_first(c))
+    val distinctRows = flat
+      .select(naturalCols.map(col): _*)
+      .distinct()
+      .repartitionByRange(order: _*)
+      .cache()
+    val w = Window.partitionBy(col("__pid")).orderBy(order: _*)
+    val local = distinctRows
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__rn", row_number().over(w))
+    // per-partition row counts → cumulative offsets; partition-count-
+    // sized, never data-sized
+    val counts = local
+      .groupBy(col("__pid"))
+      .agg(count(lit(1)).as("__cnt"))
+      .collect()
+      .map(r => (r.getAs[Int]("__pid"), r.getAs[Long]("__cnt")))
+      .sortBy(_._1)
+    val offsets = counts
+      .scanLeft((0, 0L)) { case ((_, acc), (pid, cnt)) => (pid, acc + cnt) }
+      .tail
+      .zip(counts)
+      .map { case ((pid, cumEnd), (_, cnt)) => (pid, cumEnd - cnt) }
+    val spark = flat.sparkSession
+    import spark.implicits._
+    val offsetDf = offsets.toSeq.toDF("__pid", "__offset")
+    local
+      .join(broadcast(offsetDf), "__pid")
+      .withColumn(idCol, (col("__rn") + col("__offset")).cast("bigint"))
+      .drop("__pid", "__rn", "__offset")
+      .select((naturalCols :+ idCol).map(col): _*)
   }
 
   /** Join the flat table back to a dimension null-safely, replacing the
