@@ -84,8 +84,56 @@ object Multimodal {
       )
       .orderBy("doc_id")
 
+  final case class ResizedMedia(doc_id: Long, width: Int, height: Int, out_width: Int, out_height: Int)
+
+  /** Resize seam: decode (stubbed), then fit into a `maxW`×`maxH` box
+    * with aspect-preserving integer arithmetic. The pixel transform
+    * itself lives behind the decoder; the mapPartitions batch shape,
+    * the scaling math and the output schema are the real, tested
+    * plumbing a codec-backed implementation drops into.
+    */
+  def resizeTo(media: Dataset[MediaRow], decoder: BinaryDecoder, maxW: Int, maxH: Int): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val m = decoder.decode(r.payload)
+        // scale = min(maxW/w, maxH/h), floor'd via cross-multiplication
+        // (no floating point), never upscaled past the original
+        val (ow, oh) =
+          if (m.width <= maxW && m.height <= maxH) (m.width, m.height)
+          else if (m.width.toLong * maxH <= m.height.toLong * maxW)
+            (math.max(1, (m.width.toLong * maxH / m.height).toInt), maxH)
+          else (maxW, math.max(1, (m.height.toLong * maxW / m.width).toInt))
+        ResizedMedia(r.doc_id, m.width, m.height, ow, oh)
+      }
+    }
+  }
+
+  /** Deterministic frame sampling: the payload is treated as a
+    * sequence of fixed-size frames (the video analog: every-Nth-frame
+    * selection BEFORE decode, so the expensive decode only ever runs
+    * on sampled frames). Pure SQL on both engines — frame boundaries
+    * and hashes are oracle-checked; char-based windows stand in for
+    * byte-frames (ASCII fixture, same equivalence multimodal_meta
+    * relies on).
+    */
+  private val frameChars = 256
+  private val sampleEveryNth = 4
+  val multimodalFrameSample: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("n_frames", expr(s"CAST(ceil(length(text) / $frameChars.0) AS INT)"))
+      .select(col("doc_id"), col("text"), explode(expr("sequence(0, n_frames - 1)")).as("frame_idx"))
+      .filter(col("frame_idx") % sampleEveryNth === 0)
+      .select(
+        col("doc_id"),
+        col("frame_idx").cast("bigint").as("frame_idx"),
+        md5(expr(s"cast(substring(text, frame_idx * $frameChars + 1, $frameChars) as binary)")).as("frame_md5")
+      )
+      .orderBy("doc_id", "frame_idx")
+
   def queries: Map[String, Q] = Map(
-    "multimodal_meta" -> multimodalMeta
+    "multimodal_meta" -> multimodalMeta,
+    "multimodal_frame_sample" -> multimodalFrameSample
   )
 
   def oracles: Map[String, String] = Map(
@@ -94,6 +142,15 @@ object Multimodal {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_md5,
         |  hex(encode(substr(text, 1, 8))) AS head_hex
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "multimodal_frame_sample" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, text,
+         |         unnest(generate_series(0, CAST(ceil(length(text) / $frameChars.0) AS INT) - 1)) AS frame_idx
+         |  FROM documents)
+         |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+         |       md5(substr(text, frame_idx * $frameChars + 1, $frameChars)) AS frame_md5
+         |FROM f WHERE frame_idx % $sampleEveryNth = 0
+         |ORDER BY doc_id, frame_idx""".stripMargin
   )
 }
