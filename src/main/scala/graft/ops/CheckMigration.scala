@@ -35,8 +35,20 @@ object CheckMigration {
       df: DataFrame,
       numericCols: Seq[(String, Int)],
       stringCols: Seq[String],
-      timestampCols: Seq[String]
+      timestampCols: Seq[String],
+      approxDistinct: Boolean = false
   ): DataFrame = {
+    // DISTINCT is the one metric whose exact form does not scale the
+    // way the rest of the single-scan agg does: exact countDistinct
+    // expands into a per-column shuffle of the distinct values, so a
+    // wide table at 100 TB pays one extra shuffle per string column.
+    // approxDistinct swaps in HyperLogLog++ (constant-size sketch,
+    // stays inside the single scan, ~2% default error) — the standard
+    // scale mode; both systems must then use the same sketch for the
+    // deviation compare, which is why it is a flag, not the default.
+    def distinctOf(c: String): Column =
+      if (approxDistinct) approx_count_distinct(col(c)).as(s"${c}_distinct")
+      else countDistinct(col(c)).as(s"${c}_distinct")
     val metrics: Seq[Column] =
       Seq(count(lit(1)).as("row_cnt")) ++
         numericCols.flatMap { case (c, s) =>
@@ -50,7 +62,7 @@ object CheckMigration {
         stringCols.flatMap { c =>
           Seq(
             sum(when(col(c).isNull, 1).otherwise(0)).cast("bigint").as(s"${c}_nulls"),
-            countDistinct(col(c)).as(s"${c}_distinct"),
+            distinctOf(c),
             min(length(col(c))).cast("bigint").as(s"${c}_minlen"),
             max(length(col(c))).cast("bigint").as(s"${c}_maxlen")
           )
