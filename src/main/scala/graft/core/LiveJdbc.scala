@@ -157,7 +157,8 @@ object LiveJdbc {
       columns: Seq[ColumnMeta],
       keys: Seq[KeyColumnMeta],
       sourceTable: (String, String) => DataFrame,
-      readParallelism: Int = 4
+      readParallelism: Int = 4,
+      writeParallelism: Int = 8
   ): Seq[Outcome] = {
     val props = new java.util.Properties()
     val conn = DriverManager.getConnection(url)
@@ -171,7 +172,13 @@ object LiveJdbc {
               finally st.close()
               Outcome(p.ord, p.sql, "applied")
             case "load" =>
-              sourceTable(p.schema, p.table).write
+              // writer parallelism = number of source partitions; cap
+              // it so an embedded/single-node target is not thrashed
+              // by table-lock contention (a real MPP target raises
+              // the cap, not the code)
+              val src = sourceTable(p.schema, p.table)
+              val bounded = if (src.rdd.getNumPartitions > writeParallelism) src.coalesce(writeParallelism) else src
+              bounded.write
                 .mode("append")
                 .option("batchsize", "10000") // default 1000: 10× fewer round-trips per partition
                 .jdbc(url, s"${ident(p.schema)}.${ident(p.table)}", props)
