@@ -1,0 +1,43 @@
+package graft
+
+import graft.ops.Relational
+
+/** Plan-shape regression proofs for the scan/join fundamentals: these
+  * assert the physical plans keep the properties that make the
+  * operators scale — filters and projections reaching the parquet
+  * scan, dimension joins broadcast, top-k never globally sorting.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("scan_filter_project: filter and projection reach the parquet scan") {
+    val df = Relational.scanFilterProject(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    // predicate pushdown into the scan (not evaluated post-shuffle only)
+    // (the rendered PushedFilters list is width-truncated, so match
+    // the stable prefixes)
+    assert(plan.contains("PushedFilters:") && plan.contains("GreaterThan(l_quantity"), plan.take(2000))
+    assert(plan.contains("EqualTo(l_returnfl"), plan.take(2000))
+    // column pruning: the 11-column table is scanned as only the used
+    // columns — the FileScan output list must not carry l_shipdate
+    val scanLine = plan.linesIterator.find(_.contains("FileScan parquet")).getOrElse("")
+    assert(scanLine.contains("l_quantity") && !scanLine.contains("l_shipdate"), scanLine)
+  }
+
+  test("revenue_nation: dimension joins broadcast, no cartesian products") {
+    val df = Relational.revenueNation(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "dims should broadcast")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("limit_sample: top-k via TakeOrderedAndProject, not a global sort") {
+    val df = Relational.limitSample(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+  }
+}
