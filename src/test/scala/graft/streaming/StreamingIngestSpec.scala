@@ -47,6 +47,20 @@ class StreamingIngestSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming dedup emits one copy per content hash within the watermark") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "text")
+    val deduped = StreamingIngest.dedupStream(df, "text", "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    mem.addData((ts(1), "alpha"), (ts(2), "alpha"), (ts(3), "beta"), (ts(4), "alpha"))
+    q.processAllAvailable()
+    val texts = spark.table("dedup_out").collect().map(_.getAs[String]("text")).sorted
+    assert(texts.toSeq == Seq("alpha", "beta")) // duplicates within horizon collapsed
+    q.stop()
+  }
+
   test("sessionization groups events by gap and keeps the last session open") {
     import StreamingIngest._
     val minute = 60L * 1000000
