@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** One-pass SimHash fingerprint as a typed Aggregator: consumes each
+  * word's md5 hex prefix and maintains all 60 signed bit counters in
+  * ONE Array[Int] buffer per group — a single agg column instead of
+  * 60 separate `sum(CASE ...)` columns, so partial-aggregation rows
+  * carry one compact buffer rather than 60 long fields and the
+  * codegen surface stays small.
+  *
+  * The arithmetic is bit-for-bit the SQL formulation in
+  * graft.ops.Dedup (sign of the ±1 counter per bit, ties → 1), so the
+  * DuckDB oracle for dedup_simhash/dedup_simhash_pairs is unchanged.
+  */
+class SimhashAggregator(bits: Int) extends Aggregator[String, Array[Int], Long] {
+
+  override def zero: Array[Int] = new Array[Int](bits)
+
+  /** Hex char value: '0'-'9' → 0-9, 'a'-'f' → 10-15. */
+  @inline private def hexVal(c: Char): Int = if (c >= 'a') c - 87 else c - '0'
+
+  override def reduce(buf: Array[Int], h: String): Array[Int] = {
+    var j = 0
+    while (j < bits) {
+      val v = hexVal(h.charAt(j / 4))
+      buf(j) += (if (((v >> (j % 4)) & 1) == 1) 1 else -1)
+      j += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+    var j = 0
+    while (j < bits) { a(j) += b(j); j += 1 }
+    a
+  }
+
+  override def finish(buf: Array[Int]): Long = {
+    var fp = 0L
+    var j = 0
+    while (j < bits) {
+      if (buf(j) >= 0) fp |= (1L << j)
+      j += 1
+    }
+    fp
+  }
+
+  override def bufferEncoder: Encoder[Array[Int]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+
+  override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+}

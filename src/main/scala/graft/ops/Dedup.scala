@@ -173,22 +173,23 @@ object Dedup {
   private def bitOfHexSql(h: String, j: Int): String =
     s"CAST(floor(${hexCharValSql(h, j / 4 + 1)} / ${1 << (j % 4)}.0) AS BIGINT) % 2"
 
-  /** 60-bit SimHash per document over its distinct words. */
+  /** 60-bit SimHash per document over its distinct words. The bit
+    * counters are maintained by the single-buffer typed aggregator
+    * (graft.functions.SimhashAggregator — one Array[Int] per group
+    * instead of 60 separate sum columns); arithmetic is bit-for-bit
+    * the SQL formulation the DuckDB oracle runs.
+    */
   def simhash(docs: DataFrame, idCol: String, textCol: String, spark: SparkSession): DataFrame = {
     val words = docs
       .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("word"))
       .distinct()
-      // materialize the word hash ONCE; the 60 bit extractions below
-      // then read a column instead of recomputing md5 per bit.
+      // materialize the word hash ONCE per distinct (doc, word)
       .withColumn("h", expr("md5(cast(word as binary))"))
-    val bitSums: Seq[Column] = (0 until simhashBits).map { j =>
-      sum(expr(s"CASE WHEN ${bitOfHexSql("h", j)} = 1 THEN 1 ELSE -1 END")).as(s"s$j")
-    }
-    val sums = words.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until simhashBits)
-      .map(j => s"(CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END)")
-      .mkString(" + ")
-    sums.selectExpr("doc_id", s"CAST($fp AS BIGINT) AS simhash")
+    val simhashUdaf =
+      udaf(new graft.functions.SimhashAggregator(simhashBits), org.apache.spark.sql.Encoders.STRING)
+    words
+      .groupBy(col("doc_id"))
+      .agg(simhashUdaf(col("h")).as("simhash"))
   }
 
   /** 4×15-bit band decomposition of a 60-bit fingerprint (tall:
