@@ -79,17 +79,40 @@ object Dedup {
       .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("shingle"))
 
   /** Per-document min-hash signature over DISTINCT (doc, shingle)
-    * rows. Shape notes (measured at sf0.1): the k seeded md5 calls
-    * dominate cost, so dedup the shingle relation BEFORE hashing —
-    * distinct first cuts hash work ~6× here and beat both the
-    * hash-then-min variant and an `array_min(transform(...))`
-    * formulation (higher-order lambdas are CodegenFallback →
-    * interpreted md5 per element).
+    * rows. Shape notes (measured at sf0.1): hashing dominates cost, so
+    * (a) dedup the shingle relation BEFORE hashing (distinct first cut
+    * hash work ~6×), and (b) the k hash families come from ONE md5 via
+    * the Kirsch–Mitzenmacher construction h_i = (h1 + i·h2) mod 2^48
+    * (h1/h2 = two 48-bit halves of the digest) instead of k seeded
+    * md5 calls — k× less hashing with the same collision behavior for
+    * min-hash. 48-bit values keep i·h2 well under 2^63, so the
+    * arithmetic is exact (and ANSI-safe) in both engines.
     */
+  private val mhMod = 1L << 48
+
+  /** Portable SQL for a 12-hex-char slice of column/expr `h` as a
+    * 48-bit BIGINT (ascii-based parse, identical text in both
+    * engines' dialects modulo the expression for `h`).
+    */
+  private def hex12ValSql(h: String, start: Int): String =
+    (0 until 12)
+      .map { k =>
+        val pos = start + k
+        val factor = 1L << (4 * (11 - k))
+        // CAST: an INT-literal factor would overflow ANSI INT
+        // arithmetic at 15 * 2^28; BIGINT keeps every term exact
+        s"(CASE WHEN ascii(substr($h, $pos, 1)) >= 97 THEN ascii(substr($h, $pos, 1)) - 87 ELSE ascii(substr($h, $pos, 1)) - 48 END) * CAST($factor AS BIGINT)"
+      }
+      .mkString("(", " + ", ")")
+
   def minhashSignature(distinctShingles: DataFrame): DataFrame = {
+    val hashed = distinctShingles
+      .withColumn("mh", expr("md5(cast(shingle as binary))"))
+      .withColumn("mh1", expr(s"CAST(${hex12ValSql("mh", 1)} AS BIGINT)"))
+      .withColumn("mh2", expr(s"CAST(${hex12ValSql("mh", 13)} AS BIGINT)"))
     val mins: Seq[Column] =
-      (0 until numHashes).map(i => min(md5(concat(lit(s"$i|"), col("shingle")).cast("binary"))).as(s"h$i"))
-    distinctShingles.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+      (0 until numHashes).map(i => min(expr(s"(mh1 + $i * mh2) % $mhMod")).as(s"h$i"))
+    hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
   }
 
   /** Tall (doc_id, band_id, band_key) from a signature. */
@@ -313,8 +336,13 @@ object Dedup {
       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)))""".stripMargin
 
   private def minhashSql: String = {
-    val mins = (0 until numHashes).map(i => s"min(md5('$i|' || shingle)) AS h$i").mkString(", ")
-    s"mh AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)"
+    val mins = (0 until numHashes).map(i => s"min((mh1 + $i * mh2) % $mhMod) AS h$i").mkString(", ")
+    s"""hv AS (
+       |  SELECT doc_id,
+       |         CAST(${hex12ValSql("mh", 1)} AS BIGINT) AS mh1,
+       |         CAST(${hex12ValSql("mh", 13)} AS BIGINT) AS mh2
+       |  FROM (SELECT doc_id, md5(shingle) AS mh FROM sh)),
+       |mh AS (SELECT doc_id, $mins FROM hv GROUP BY doc_id)""".stripMargin
   }
 
   private def bandsSql: String = {
