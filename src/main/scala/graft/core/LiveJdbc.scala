@@ -160,6 +160,8 @@ object LiveJdbc {
       readParallelism: Int = 4,
       writeParallelism: Int = 8
   ): Seq[Outcome] = {
+    // keep the embedded target's log file out of the working directory
+    if (sys.props.get("derby.system.home").isEmpty) System.setProperty("derby.system.home", "/tmp")
     val props = new java.util.Properties()
     val conn = DriverManager.getConnection(url)
     try {
