@@ -278,42 +278,74 @@ object Dedup {
     * (lang, length-bucket) — the classic blocked near-dup join: pairs
     * exist only within a block, never across the whole corpus.
     */
-  val dedupNgramJaccard: Q = (s, d) => {
-    val docs = documents(s, d)
-      .select(
-        col("doc_id"),
-        col("lang"),
-        expr("CAST(floor(n_chars / 100.0) AS BIGINT)").as("len_bucket"),
-        array_distinct(split(col("text"), " ")).as("ws")
-      )
-    // The blocking key (lang, len_bucket) has tiny cardinality (~30),
-    // so a plain shuffle join would put whole blocks on single tasks
-    // (skew), and broadcasting the word-set relation caps out at one
-    // executor's memory at corpus scale. Salted shuffle join instead
-    // (Salting.saltedJoin): the probe side scatters each block across
-    // `saltFactor` sub-keys by doc hash, the build side is replicated
-    // per salt, and the pair expansion runs at blocks × saltFactor
-    // parallelism with nothing corpus-sized on a single node. The
-    // shuffle_hash hint pins the distributed plan at test scale.
-    val a = docs
-      .select(col("doc_id").as("doc_a"), concat_ws("", col("lang"), col("len_bucket")).as("block"), col("ws").as("ws_a"))
-    val b = docs
-      .select(col("doc_id").as("doc_b"), concat_ws("", col("lang"), col("len_bucket")).as("block_b"), col("ws").as("ws_b"))
-    graft.core.Salting
+  /** Core of the blocked pair join: `docs` = (doc_id, block, ws).
+    * Returns (pairs, quarantinedBlocks).
+    *
+    * Join shape: the blocking key has tiny cardinality, so a plain
+    * shuffle join would put whole blocks on single tasks (skew), and
+    * broadcasting the word-set relation caps out at one executor's
+    * memory at corpus scale. Salted shuffle join instead
+    * (Salting.saltedJoin): the probe side scatters each block across
+    * 16 salted sub-keys by doc hash, the build side is replicated per
+    * salt, and the pair expansion runs at blocks x salt parallelism
+    * with nothing corpus-sized on a single node. The shuffle_hash
+    * hint pins the distributed plan at test scale.
+    *
+    * Oversized-block guard: within-block pair expansion is inherently
+    * quadratic - a block with n docs emits n(n-1)/2 pairs no matter
+    * how the join is distributed. Blocks over `maxDocsPerBlock` are
+    * QUARANTINED (returned separately with their avoided pair count)
+    * instead of exploded; the caller routes them to the
+    * candidate-bounded MinHash-LSH path, the correct tool at that
+    * density. Block sizes are a blocking-key-cardinality-sized
+    * relation, so the guard join broadcasts it for free.
+    */
+  def blockedJaccardPairs(
+      docs: DataFrame,
+      minJaccard: Double,
+      maxDocsPerBlock: Long
+  ): (DataFrame, DataFrame) = {
+    val sizes = docs.groupBy(col("block")).agg(count(lit(1)).as("n_docs"))
+    val quarantined = sizes
+      .filter(col("n_docs") > maxDocsPerBlock)
+      .withColumn("n_pairs_avoided", (col("n_docs") * (col("n_docs") - 1) / 2).cast("bigint"))
+    val bounded = docs
+      .join(broadcast(sizes.filter(col("n_docs") <= maxDocsPerBlock).select("block")), "block")
+    val a = bounded.select(col("doc_id").as("doc_a"), col("block"), col("ws").as("ws_a"))
+    val b = bounded.select(col("doc_id").as("doc_b"), col("block").as("block_b"), col("ws").as("ws_b"))
+    val pairs = graft.core.Salting
       .saltedJoin(a, "block", "doc_a", b.hint("shuffle_hash"), "block_b", 16)
       .filter(col("doc_a") < col("doc_b"))
       .select(
         col("doc_a"),
         col("doc_b"),
         size(array_intersect(col("ws_a"), col("ws_b"))).cast("bigint").as("n_inter"),
-        // |a ∪ b| = |a| + |b| − |a ∩ b|: no second per-pair array op
+        // |a u b| = |a| + |b| - |a n b|: no second per-pair array op
         size(col("ws_a")).cast("bigint").as("n_a"),
         size(col("ws_b")).cast("bigint").as("n_b")
       )
       .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
       .withColumn("jaccard", round(col("n_inter").cast("double") / col("n_union"), 6))
-      .filter(col("jaccard") >= 0.5)
+      .filter(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")
+    (pairs, quarantined)
+  }
+
+  /** Documents-per-block stays far under this at any realistic
+    * blocking granularity; a block breaching it signals degenerate
+    * blocking (e.g. every doc sharing one language+length bucket),
+    * where exact all-pairs is the wrong algorithm entirely.
+    */
+  val defaultMaxDocsPerBlock = 10000L
+
+  val dedupNgramJaccard: Q = (s, d) => {
+    val docs = documents(s, d)
+      .select(
+        col("doc_id"),
+        concat_ws("\u0001", col("lang"), expr("CAST(floor(n_chars / 100.0) AS BIGINT)")).as("block"),
+        array_distinct(split(col("text"), " ")).as("ws")
+      )
+    blockedJaccardPairs(docs, 0.5, defaultMaxDocsPerBlock)._1
       .orderBy("doc_a", "doc_b")
   }
 

@@ -108,10 +108,32 @@ class DedupSpec extends SparkSpec {
     fp.unpersist()
   }
 
+  test("oversized blocks are quarantined, not exploded into pairs") {
+    val docs = Seq(
+      // block "big": 4 docs > cap of 3 → quarantined (6 pairs avoided)
+      (1L, "big", Seq("a", "b")),
+      (2L, "big", Seq("a", "b")),
+      (3L, "big", Seq("a", "c")),
+      (4L, "big", Seq("a", "d")),
+      // block "ok": 2 identical docs → one surviving pair
+      (5L, "ok", Seq("x", "y")),
+      (6L, "ok", Seq("x", "y"))
+    ).toDF("doc_id", "block", "ws")
+    val (pairs, quarantined) = Dedup.blockedJaccardPairs(docs, 0.5, maxDocsPerBlock = 3)
+    val p = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(p.toSeq == Seq((5L, 6L))) // nothing from the oversized block
+    val q = quarantined.collect()
+    assert(q.length == 1 && q(0).getAs[String]("block") == "big")
+    assert(q(0).getAs[Long]("n_pairs_avoided") == 6L)
+  }
+
   test("pair-expansion joins never broadcast the corpus side") {
     // a broadcast of the word-set / embedding relation caps out at one
     // executor's memory at 100 TB — these plans must be salted shuffle
-    // joins end to end.
+    // joins end to end. Metadata-sized broadcasts (the block-size
+    // guard list) are fine; anything carrying an ARRAY column (word
+    // sets, vectors) is corpus data and must never broadcast.
+    val helper = new org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {}
     for (
       df <- Seq(
         Dedup.dedupNgramJaccard(spark, "/root/testdata/sf0.001"),
@@ -119,8 +141,15 @@ class DedupSpec extends SparkSpec {
       )
     ) {
       df.collect() // materialize so AQE finalizes the physical plan
-      val plan = df.queryExecution.executedPlan.toString
-      assert(!plan.contains("BroadcastExchange"), s"corpus-side broadcast in:\n$plan")
+      val broadcasts = helper.collectWithSubqueries(df.queryExecution.executedPlan) {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeLike => b
+      }
+      broadcasts.foreach { b =>
+        assert(
+          !b.output.exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]),
+          s"corpus-side (array-carrying) broadcast: ${b.output.map(a => s"${a.name}:${a.dataType.simpleString}")}"
+        )
+      }
     }
   }
 }
