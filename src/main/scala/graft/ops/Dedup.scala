@@ -94,7 +94,7 @@ object Dedup {
     * 48-bit BIGINT (ascii-based parse, identical text in both
     * engines' dialects modulo the expression for `h`).
     */
-  private def hex12ValSql(h: String, start: Int): String =
+  private[graft] def hex12ValSql(h: String, start: Int): String =
     (0 until 12)
       .map { k =>
         val pos = start + k

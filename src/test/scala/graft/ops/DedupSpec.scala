@@ -108,6 +108,21 @@ class DedupSpec extends SparkSpec {
     fp.unpersist()
   }
 
+  test("hex12ValSql parses any 12-hex-char slice exactly (vs JVM parse)") {
+    val rng = new scala.util.Random(7)
+    val hexes = Seq.fill(200)(Seq.fill(32)("0123456789abcdef"(rng.nextInt(16))).mkString)
+    val df = hexes.toDF("mh").selectExpr(
+      "mh",
+      s"CAST(${Dedup.hex12ValSql("mh", 1)} AS BIGINT) AS v1",
+      s"CAST(${Dedup.hex12ValSql("mh", 13)} AS BIGINT) AS v2"
+    )
+    df.collect().foreach { r =>
+      val mh = r.getString(0)
+      assert(r.getLong(1) == java.lang.Long.parseLong(mh.substring(0, 12), 16), mh)
+      assert(r.getLong(2) == java.lang.Long.parseLong(mh.substring(12, 24), 16), mh)
+    }
+  }
+
   test("oversized blocks are quarantined, not exploded into pairs") {
     val docs = Seq(
       // block "big": 4 docs > cap of 3 → quarantined (6 pairs avoided)
