@@ -177,6 +177,62 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist the IVF index: per-vector list assignments plus the
+    * centroid vectors, both as parquet. At 100 TB the index is built
+    * once and served by many queries — the rebuild-per-query shape of
+    * ivfTopK exists only so the oracle-gated query is self-contained.
+    * Assignments are written partitioned BY list id, so a probe of
+    * nProbe lists reads exactly those partitions (partition pruning
+    * does the list selection for free).
+    */
+  def saveIvfIndex(emb: DataFrame, nLists: Int, dir: String): Unit = {
+    val (assigned, model) = ivfAssignments(emb, nLists)
+    assigned
+      .select(col("vec_id"), col("label"), col("v"), col("list_id"))
+      .write
+      .mode("overwrite")
+      .partitionBy("list_id")
+      .parquet(s"$dir/assignments")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray) }
+      .toDF("list_id", "centroid")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/centroids")
+  }
+
+  /** Top-k cosine against a PERSISTED index: pick the nProbe nearest
+    * centroids (centroid table is nLists rows — driver-side), then
+    * scan only those list partitions. The list filter is a partition
+    * filter on the parquet layout, so the scan touches nProbe/nLists
+    * of the index.
+    */
+  def ivfTopKFromIndex(spark: SparkSession, dir: String, queryId: Long, k: Int, nProbe: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val assigned = spark.read.parquet(s"$dir/assignments")
+    val qv = assigned.filter(col("vec_id") === queryId).select("v").head().getSeq[Double](0).toArray
+    val centroids = spark.read.parquet(s"$dir/centroids").collect().map { r =>
+      (r.getAs[Int]("list_id"), r.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probeLists = centroids.sortBy { case (_, c) => -cos(qv, c) }.take(nProbe).map(_._1)
+    val q = assigned.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    assigned
+      .filter(col("list_id").isin(probeLists.toSeq: _*))
+      .crossJoin(broadcast(q))
+      .withColumn("cos_sim", round(expr("cosine_sim(v, qv)"), 6))
+      .select(col("vec_id"), col("label"), col("list_id"), col("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(k)
+  }
+
   /** IVF list histogram. Centroid arithmetic is not engine-portable,
     * but the seeded, fixed-partitioning KMeans build is deterministic
     * in-engine (verified identical at local[8] vs local[32]), so the

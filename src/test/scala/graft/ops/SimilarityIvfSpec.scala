@@ -38,4 +38,19 @@ class SimilarityIvfSpec extends SparkSpec {
       .toSet
     assert(full == brute)
   }
+
+  test("persisted IVF index serves queries identically and prunes list partitions") {
+    val emb = Fixtures.embeddings(spark, dir)
+    val idx = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    Similarity.saveIvfIndex(emb, nLists = 8, idx)
+    // same results as the rebuild-per-query path at the same probes
+    val live = Similarity.ivfTopK(emb, 0L, 10, nLists = 8, nProbe = 4).collect().map(_.getLong(0)).toSeq
+    val fromIndex = Similarity.ivfTopKFromIndex(spark, idx, 0L, 10, nProbe = 4)
+    assert(fromIndex.collect().map(_.getLong(0)).toSeq == live)
+    // the probe scan is partition-pruned: the list filter appears as a
+    // partition filter on the parquet layout, not a post-scan filter
+    fromIndex.collect()
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [list_id"), plan.take(2000))
+  }
 }
