@@ -16,8 +16,10 @@ import org.apache.spark.sql.functions._
   * all-pairs. The exact Jaccard verification join runs only over the
   * candidate set, so total cost is O(shingles) + O(candidates), which
   * is what survives a 100×-scale-up; an all-pairs similarity join
-  * would not. Hashing uses md5 (engine-portable, uniform); min() over
-  * hex strings is a valid min-hash because md5's order is uniform.
+  * would not. Hashing uses md5 (engine-portable, uniform); the k-hash
+  * family derives from one digest via Kirsch–Mitzenmacher (see
+  * minhashSignature), and min() over those uniform values is a valid
+  * min-hash.
   *
   * SimHash: 60-bit sign-aggregated token fingerprint; identical
   * fingerprints are near-dup candidates. One groupBy(doc) + one
