@@ -57,4 +57,37 @@ class LiveJdbcSpec extends SparkSpec {
       assert(orphan.getSQLState.startsWith("23"), s"expected FK violation, got ${orphan.getSQLState}")
     } finally conn.close()
   }
+
+  test("live key import surfaces real duplicate data and isolates the failure") {
+    // The synthetic fixture's lineitem (l_orderkey, l_linenumber)
+    // pairs are NOT unique (6000 rows, 4599 distinct pairs at
+    // sf0.001) — exactly the situation where the dry-run path would
+    // happily render an ADD PRIMARY KEY that can never hold. The live
+    // loop must surface the violation from the engine AND keep every
+    // other statement unaffected (per-statement outcome isolation,
+    // the reference's post-load importer behavior).
+    val url = "jdbc:derby:memory:graft_live_composite;create=true"
+    val tabs = Seq("orders", "lineitem")
+    val cols = Catalog.readParquetColumns(spark, sfDir, "tpch", tabs)
+    val outcomes = LiveJdbc.execute(
+      spark,
+      url,
+      cols,
+      Movement.fixtureKeyMeta,
+      (_, t) => spark.read.parquet(s"$sfDir/$t.parquet")
+    )
+    // the composite PK attempt fails honestly with the engine's
+    // duplicate-key diagnosis...
+    val pkFail = outcomes.filter(o => o.stmt.contains("PRIMARY KEY (L_ORDERKEY,L_LINENUMBER)"))
+    assert(pkFail.length == 1 && pkFail.head.status.startsWith("ERROR") && pkFail.head.status.contains("duplicate key"))
+    // ...while every other stage is untouched: loads, the orders PK,
+    // the in-scope FK, the out-of-scope skips, and validation
+    assert(outcomes.count(_.status == "loaded") == 2)
+    assert(outcomes.exists(o => o.stmt.contains("PRIMARY KEY (O_ORDERKEY)") && o.status == "applied"))
+    assert(outcomes.exists(o => o.stmt.contains("LINEITEM_ORDERS_FK") && o.status == "applied"))
+    assert(outcomes.count(o => o.status == "skipped" && o.stmt.contains("not in scope")) == 4) // part, supplier, currency, customer
+    assert(outcomes.count(_.status == "validated") == 2)
+    // and the only error in the whole run is that one PK statement
+    assert(outcomes.count(_.status.startsWith("ERROR")) == 1)
+  }
 }
