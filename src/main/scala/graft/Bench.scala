@@ -21,7 +21,10 @@ object Bench {
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // optional comma-separated filter for local iteration; the driver
+    // never sets it, so per-round benches always cover every query
+    val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted.filter(n => only.forall(_.contains(n)))
     var times = Vector.empty[(String, Double)]
     var errors = Vector.empty[(String, String)]
     names.foreach { name =>

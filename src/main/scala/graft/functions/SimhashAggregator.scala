@@ -6,9 +6,15 @@ import org.apache.spark.sql.expressions.Aggregator
 /** One-pass SimHash fingerprint as a typed Aggregator: consumes each
   * word's md5 hex prefix and maintains all 60 signed bit counters in
   * ONE Array[Int] buffer per group — a single agg column instead of
-  * 60 separate `sum(CASE ...)` columns, so partial-aggregation rows
-  * carry one compact buffer rather than 60 long fields and the
-  * codegen surface stays small.
+  * 60 separate `sum(CASE ...)` columns.
+  *
+  * A/B status (Dedup.simhashDeclarative scaladoc has the numbers):
+  * this buffer form wins warm steady-state but loses ~3.5× on the
+  * cold single-shot runs a batch dedup actually is, because
+  * udaf(Aggregator) forces ObjectHashAggregate outside whole-stage
+  * codegen — so the declarative 60-sum is the registered query path
+  * and this aggregator is kept for interactive (warm-loop) reuse.
+  * DedupSpec pins the two arithmetics equal on real data.
   *
   * The arithmetic is bit-for-bit the SQL formulation in
   * graft.ops.Dedup (sign of the ±1 counter per bit, ties → 1), so the

@@ -108,10 +108,16 @@ object Dedup {
       .mkString("(", " + ", ")")
 
   def minhashSignature(distinctShingles: DataFrame): DataFrame = {
+    // conv() gives the same 48-bit value as the 24-term ascii CASE
+    // tree in hex12ValSql (DedupSpec proves the equality); Spark runs
+    // the single codegen'd intrinsic while the DuckDB oracle keeps the
+    // ascii parse — the oracle needs identical VALUES, not identical
+    // SQL text, and the CASE tree was a measured hot spot (2 × 24
+    // branch expressions per shingle).
     val hashed = distinctShingles
       .withColumn("mh", expr("md5(cast(shingle as binary))"))
-      .withColumn("mh1", expr(s"CAST(${hex12ValSql("mh", 1)} AS BIGINT)"))
-      .withColumn("mh2", expr(s"CAST(${hex12ValSql("mh", 13)} AS BIGINT)"))
+      .withColumn("mh1", expr("CAST(conv(substring(mh, 1, 12), 16, 10) AS BIGINT)"))
+      .withColumn("mh2", expr("CAST(conv(substring(mh, 13, 12), 16, 10) AS BIGINT)"))
     val mins: Seq[Column] =
       (0 until numHashes).map(i => min(expr(s"(mh1 + $i * mh2) % $mhMod")).as(s"h$i"))
     hashed.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
@@ -133,10 +139,15 @@ object Dedup {
     * verification over the candidates only.
     */
   def lshCandidatesWithJaccard(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val sh = shingles(docs, idCol, textCol).cache()
-    // bands/pairs are doc-count-sized (tiny next to the shingle set);
-    // caching them stops the signature computation from being
-    // recomputed once per self-join branch and downstream join.
+    // The shingle relation is a ~|text|× expansion of the corpus —
+    // NEVER cached (at 100 TB it would only spill); it is consumed
+    // once by the signature scan, and the verification stage below
+    // recomputes shingles from the candidate-filtered documents
+    // instead (a tiny fraction of the corpus — that is the point of
+    // LSH). bands/pairs are doc-count-sized, so caching them stops
+    // the signature computation from being recomputed once per
+    // self-join branch and downstream join.
+    val sh = shingles(docs, idCol, textCol)
     val bands = bandKeys(minhashSignature(sh)).cache()
     val a = bands.select(col("doc_id").as("doc_a"), col("band_id"), col("band_key"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band_id").as("band_id_b"), col("band_key").as("band_key_b"))
@@ -145,14 +156,20 @@ object Dedup {
       .select("doc_a", "doc_b")
       .distinct()
       .cache()
-    // Only candidate docs (a tiny fraction of the corpus — that is the
-    // point of LSH) need their shingle sets in the verification join:
-    // semi-join-filter first so the exact-Jaccard work is
-    // O(candidates), not another pass over all shingles.
+    // Only candidate docs need their shingle sets in the verification
+    // join: semi-join-filter the DOCUMENTS (not the shingle relation)
+    // and re-shingle just those — O(candidates) work with nothing
+    // corpus-sized pinned in memory. candidateIds is candidate-pair-
+    // derived (output-sized), so its broadcast is metadata-scale.
     val candidateIds = pairs
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
       .distinct()
-    val shCand = sh.join(broadcast(candidateIds), "doc_id")
+    val candDocs = docs.join(
+      broadcast(candidateIds.withColumnRenamed("doc_id", idCol)),
+      Seq(idCol),
+      "left_semi"
+    )
+    val shCand = shingles(candDocs, idCol, textCol)
     val sizes = shCand.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val shA = shCand.select(col("doc_id").as("doc_a"), col("shingle"))
     val shB = shCand.select(col("doc_id").as("doc_b2"), col("shingle").as("shingle_b"))
@@ -204,7 +221,53 @@ object Dedup {
     * instead of 60 separate sum columns); arithmetic is bit-for-bit
     * the SQL formulation the DuckDB oracle runs.
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String, spark: SparkSession): DataFrame = {
+  def simhash(docs: DataFrame, idCol: String, textCol: String, spark: SparkSession): DataFrame =
+    simhashDeclarative(docs, idCol, textCol)
+
+  /** Declarative 60-sum formulation: the word's 60 hash bits come from
+    * ONE conv() of the md5 prefix (bit j of the oracle's per-char
+    * parse = bit 56 - 4*(j/4) + j%4 of the 15-hex-char integer — a
+    * per-char reversal, proven equal to SimhashAggregator in
+    * DedupSpec), and the ±1 counters are 60 codegen'd
+    * sum(CASE shiftright...) columns that stay inside whole-stage
+    * codegen with map-side partial aggregation.
+    *
+    * A/B at sf0.1 (tools.MicroBench): COLD single-shot — the shape a
+    * batch pipeline and the per-round bench actually run — declarative
+    * 0.56 s vs UDAF 1.97 s (the udaf(Aggregator) route forces
+    * ObjectHashAggregate, whose object-buffer path pays heavy
+    * first-run setup and breaks whole-stage codegen). WARM steady
+    * state flips: UDAF median 0.32 s vs declarative 0.60 s (one
+    * compact Array[Int] buffer beats 60 partial-agg long columns once
+    * JITed). Batch dedup is single-shot, so the declarative form is
+    * the query path; the aggregator stays (simhashUdafVariant) for
+    * interactive reuse and the equivalence proof in DedupSpec.
+    */
+  def simhashDeclarative(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = docs
+      .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("word"))
+      .distinct()
+      // ONE integer per distinct (doc, word): md5 prefix → 60-bit value
+      .withColumn("hv", expr("CAST(conv(substring(md5(cast(word as binary)), 1, 15), 16, 10) AS BIGINT)"))
+    val sums: Seq[Column] = (0 until simhashBits).map { j =>
+      val bit = 56 - 4 * (j / 4) + j % 4
+      sum(expr(s"CASE WHEN (shiftright(hv, $bit) & 1) = 1 THEN 1 ELSE -1 END")).as(s"s$j")
+    }
+    val fpExpr = (0 until simhashBits)
+      .map(j => s"(CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    words
+      .groupBy(col("doc_id"))
+      .agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), expr(s"CAST($fpExpr AS BIGINT)").as("simhash"))
+  }
+
+  /** The single-buffer UDAF formulation (graft.functions
+    * .SimhashAggregator) — the A/B loser at sf0.1 (see
+    * simhashDeclarative); kept callable so the equivalence test pins
+    * both arithmetics together.
+    */
+  def simhashUdafVariant(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val words = docs
       .select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("word"))
       .distinct()
@@ -286,12 +349,14 @@ object Dedup {
     * Join shape: the blocking key has tiny cardinality, so a plain
     * shuffle join would put whole blocks on single tasks (skew), and
     * broadcasting the word-set relation caps out at one executor's
-    * memory at corpus scale. Salted shuffle join instead
-    * (Salting.saltedJoin): the probe side scatters each block across
-    * 16 salted sub-keys by doc hash, the build side is replicated per
-    * salt, and the pair expansion runs at blocks x salt parallelism
-    * with nothing corpus-sized on a single node. The shuffle_hash
-    * hint pins the distributed plan at test scale.
+    * memory at corpus scale. Two-sided salt GRID join instead
+    * (Salting.saltedGridJoin): each side is pinned to one of `grid`
+    * salt classes by its own doc hash and replicated only across the
+    * other axis, so a block fans out over grid² sub-keys for 2·grid
+    * total replication — same hot-key parallelism as one-sided
+    * salting at factor=grid², at a fraction of the shuffle volume
+    * (the replicated rows carry word-set arrays, the dominant bytes).
+    * The shuffle_hash hint pins the distributed plan at test scale.
     *
     * Oversized-block guard: within-block pair expansion is inherently
     * quadratic - a block with n docs emits n(n-1)/2 pairs no matter
@@ -316,7 +381,7 @@ object Dedup {
     val a = bounded.select(col("doc_id").as("doc_a"), col("block"), col("ws").as("ws_a"))
     val b = bounded.select(col("doc_id").as("doc_b"), col("block").as("block_b"), col("ws").as("ws_b"))
     val pairs = graft.core.Salting
-      .saltedJoin(a, "block", "doc_a", b.hint("shuffle_hash"), "block_b", 16)
+      .saltedGridJoin(a, "block", "doc_a", b.hint("shuffle_hash"), "block_b", "doc_b", 4)
       .filter(col("doc_a") < col("doc_b"))
       .select(
         col("doc_a"),

@@ -97,21 +97,22 @@ object Similarity {
     *
     * The self-join is a salted SHUFFLE join on bucket_id — never a
     * broadcast of the embedding table, which caps out at one
-    * executor's memory. Salting (Salting.saltedJoin) sub-splits each
-    * of the 256 buckets across `saltFactor` tasks so one hot bucket
-    * cannot serialize the pair expansion; the shuffle_hash hint keeps
-    * the planner from re-broadcasting the replicated side at small
-    * test scale (at 100 TB both sides exceed the broadcast threshold
-    * anyway).
+    * executor's memory. Two-sided salt grid (Salting.saltedGridJoin)
+    * sub-splits each of the 256 buckets across grid² tasks so one hot
+    * bucket cannot serialize the pair expansion, at 2·grid total
+    * replication of the vector-carrying rows (the one-sided form paid
+    * grid²× on one side); the shuffle_hash hint keeps the planner
+    * from re-broadcasting the replicated side at small test scale (at
+    * 100 TB both sides exceed the broadcast threshold anyway).
     */
-  private val saltFactor = 16
+  private val saltGrid = 4
   val dedupEmbeddingCosine: Q = (s, d) => {
     graft.functions.GraftFunctions.register(s)
     val b = lshBuckets(embeddings(s, d)).select(col("vec_id"), col("bucket_id"), col("v"))
     val a2 = b.select(col("vec_id").as("vec_a"), col("bucket_id"), col("v").as("va"))
     val b2 = b.select(col("vec_id").as("vec_b"), col("bucket_id").as("bucket_b"), col("v").as("vb"))
     graft.core.Salting
-      .saltedJoin(a2, "bucket_id", "vec_a", b2.hint("shuffle_hash"), "bucket_b", saltFactor)
+      .saltedGridJoin(a2, "bucket_id", "vec_a", b2.hint("shuffle_hash"), "bucket_b", "vec_b", saltGrid)
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos_sim", round(expr("cosine_sim(va, vb)"), 6))
       .filter(col("cos_sim") >= 0.9)

@@ -123,6 +123,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("Spark-side conv() equals the oracle's ascii-parse on every hex slice") {
+    // the Spark query path uses conv(); the DuckDB oracle keeps the
+    // ascii CASE tree — this pins the two arithmetics together
+    val rng = new scala.util.Random(11)
+    val hexes = Seq.fill(200)(Seq.fill(32)("0123456789abcdef"(rng.nextInt(16))).mkString)
+    val mismatches = hexes
+      .toDF("mh")
+      .selectExpr(
+        "CAST(conv(substring(mh, 1, 12), 16, 10) AS BIGINT) AS c1",
+        s"CAST(${Dedup.hex12ValSql("mh", 1)} AS BIGINT) AS a1",
+        "CAST(conv(substring(mh, 13, 12), 16, 10) AS BIGINT) AS c2",
+        s"CAST(${Dedup.hex12ValSql("mh", 13)} AS BIGINT) AS a2"
+      )
+      .filter(col("c1") =!= col("a1") || col("c2") =!= col("a2"))
+      .count()
+    assert(mismatches == 0L)
+  }
+
+  test("declarative simhash equals the single-buffer UDAF formulation") {
+    val docs = Fixtures.documents(spark, "/root/testdata/sf0.001")
+    val decl = Dedup
+      .simhashDeclarative(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    val udafFps = Dedup
+      .simhashUdafVariant(docs, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(decl == udafFps)
+    assert(decl.nonEmpty)
+  }
+
   test("oversized blocks are quarantined, not exploded into pairs") {
     val docs = Seq(
       // block "big": 4 docs > cap of 3 → quarantined (6 pairs avoided)
