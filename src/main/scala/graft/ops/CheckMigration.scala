@@ -123,7 +123,13 @@ object CheckMigration {
     * single-scan rule — when both inputs live in the same table, even
     * the deviation check needs only one pass).
     */
-  def dualDeviation(df: DataFrame, pred: Column, numeric: Seq[(String, Int)]): DataFrame = {
+  def dualDeviation(df: DataFrame, pred: Column, numeric: Seq[(String, Int)]): DataFrame =
+    meltDual(dualWide(df, pred, numeric))
+
+  /** The ONE-scan side of the dual compare: every _a/_b metric as a
+    * single wide row (filtered aggregates share the scan).
+    */
+  def dualWide(df: DataFrame, pred: Column, numeric: Seq[(String, Int)]): DataFrame = {
     def g(c: Column): Column = when(pred, c)
     val aggs: Seq[Column] =
       Seq(
@@ -144,7 +150,13 @@ object CheckMigration {
           countDistinct(col("l_returnflag")).as("l_returnflag_distinct_a"),
           countDistinct(g(col("l_returnflag"))).as("l_returnflag_distinct_b")
         )
-    val wide = df.agg(aggs.head, aggs.tail: _*)
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Melt a dual wide row into the (metric, val_a, val_b, status)
+    * report — driver-free projection over one cached row.
+    */
+  def meltDual(wide: DataFrame): DataFrame = {
     val pairs = deviationMetrics
       .map(m => s"'$m', cast(${m}_a as string), cast(${m}_b as string)")
       .mkString(", ")
@@ -159,15 +171,40 @@ object CheckMigration {
       .orderBy("metric")
   }
 
-  val metricsDeviation: Q = (s, d) =>
-    dualDeviation(lineitem(s, d), col("l_linenumber") <= 4, lineitemNumeric)
+  /** agg_metrics_deviation and agg_metrics_summary are two projections
+    * of the SAME one-row dual wide aggregate (one full table scan).
+    * The reference materializes the metric table once and derives both
+    * reports from it (postgresql_to_exasol.sql:339-356); this memo is
+    * that materialization — per (session, sf-dir), one cached 1-row
+    * DataFrame, so running both queries costs one scan. WeakHashMap on
+    * the session so a stopped session's entry can be collected.
+    */
+  private val dualWideMemo =
+    new java.util.WeakHashMap[SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
+
+  private def dualWideLineitem(s: SparkSession, d: String): DataFrame = {
+    val perSession = dualWideMemo.synchronized {
+      var m = dualWideMemo.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        dualWideMemo.put(s, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(
+      d,
+      dualWide(lineitem(s, d), col("l_linenumber") <= 4, lineitemNumeric).cache()
+    )
+  }
+
+  val metricsDeviation: Q = (s, d) => meltDual(dualWideLineitem(s, d))
 
   /** Per-table deviation summary (the reference's per-schema summary
     * table, postgresql_to_exasol.sql:339-356 tail): counts of
     * OK/DEVIATION metrics and an overall status.
     */
   val metricsSummary: Q = (s, d) =>
-    metricsDeviation(s, d)
+    meltDual(dualWideLineitem(s, d))
       .agg(
         sum(when(col("status") === "OK", 1).otherwise(0)).cast("bigint").as("n_ok"),
         sum(when(col("status") === "DEVIATION", 1).otherwise(0)).cast("bigint").as("n_deviation")

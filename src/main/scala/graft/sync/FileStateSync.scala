@@ -42,4 +42,17 @@ object FileStateSync {
           .as("status")
       )
   }
+
+  /** force_reload mode (reference s3_to_exasol.sql:227-233): the
+    * reference TRUNCATEs the state (logging) table AND the target
+    * table, then merges the fresh listing into the now-empty state —
+    * so every listed file comes back 'waiting for insertion', and
+    * vanished files' quarantine history is dropped with the state.
+    * Expressed here as reconcile against the truncated state
+    * (state.limit(0) — one metadata-only plan node, no scan); the
+    * caller pairs it with truncating the target before the batch loop
+    * (QuarantineIntegrationSpec drives that end to end).
+    */
+  def reconcile(listing: DataFrame, state: DataFrame, forceReload: Boolean): DataFrame =
+    reconcile(listing, if (forceReload) state.limit(0) else state)
 }

@@ -63,5 +63,17 @@ class QuarantineIntegrationSpec extends SparkSpec {
     val retryFiles = FileListing.list(spark, s"$dir/*.csv").filter(f => state2(f.file_name) != FileStateSync.StatusDone)
     val loaded = CsvBatchLoader.loadAll(spark, dir, retryFiles, schema, 2)
     assert(loaded.map(_._3.count()).sum == 1)
+
+    // cycle 3: force_reload — state truncated, target truncated, ALL
+    // files reload from scratch (the reference's TRUNCATE + full merge)
+    val listing3 = FileListing.listDf(spark, s"$dir/*.csv").select(col("file_name"), col("last_modified"))
+    val state3in = state2.toSeq.map { case (f, s) => (f, lm(f), s) }.toDF("file_name", "last_modified", "status")
+    val state3 = FileStateSync.reconcile(listing3, state3in, forceReload = true)
+    val waiting3 = state3.filter(col("status") === FileStateSync.StatusNew).collect().map(_.getString(0)).sorted
+    assert(waiting3.toSeq == Seq("bad.csv", "good1.csv", "good2.csv")) // done files reload too
+    // target truncation + full batch reload: 2 + 1 + 1 rows
+    val allFiles = FileListing.list(spark, s"$dir/*.csv")
+    val reloaded = CsvBatchLoader.loadAll(spark, dir, allFiles, schema, 2)
+    assert(reloaded.map(_._3.count()).sum == 4)
   }
 }
