@@ -247,12 +247,37 @@ object Similarity {
       .agg(count(lit(1)).as("n_vectors"))
       .orderBy("list_id")
 
+  /** The AT-SCALE IVF path as an oracle-gated query: build + persist
+    * the partitioned index, then answer top-k from the index with
+    * partition-pruned probes (ivfTopKFromIndex). Deterministic like
+    * annIvfLists (seeded fixed-partitioning KMeans), so its sf0.01
+    * result is pinned as a golden VALUES oracle; SimilarityIvfSpec
+    * additionally proves it equals the rebuild path (ivfTopK) and
+    * that the probe scan carries parquet PartitionFilters. The index
+    * dir is keyed by the sf-dir and rebuilt each run so the query is
+    * self-contained (a served deployment would build once and only
+    * probe).
+    */
+  val annIvfTopkIndex: Q = (s, d) => {
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_ivf_" + java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(d.getBytes("UTF-8"))
+        .map("%02x".format(_))
+        .mkString
+    ).toString
+    saveIvfIndex(embeddings(s, d), 16, dir)
+    ivfTopKFromIndex(s, dir, queryId = 0L, k = 10, nProbe = 4)
+  }
+
   def queries: Map[String, Q] = Map(
     "ann_cosine_topk" -> annCosineTopk,
     "ann_lsh_buckets" -> annLshBuckets,
     "ann_lsh_topk" -> annLshTopk,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
-    "ann_ivf_lists" -> annIvfLists
+    "ann_ivf_lists" -> annIvfLists,
+    "ann_ivf_topk_index" -> annIvfTopkIndex
   )
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -310,6 +335,27 @@ object Similarity {
       ).map { case (l, n) => s"($l, $n)" }.mkString(", ")
       s"""SELECT CAST(list_id AS INTEGER) AS list_id, CAST(n_vectors AS BIGINT) AS n_vectors
          |FROM (VALUES $pinned) AS t(list_id, n_vectors) ORDER BY list_id""".stripMargin
+    },
+    // golden pin of the persisted-index probe at sf0.01 (same
+    // determinism argument as ann_ivf_lists; SimilarityIvfSpec proves
+    // index-path = rebuild-path, this pin makes it driver-checked).
+    "ann_ivf_topk_index" -> {
+      val pinned = Seq(
+        (0L, 2, 0, "1.0"),
+        (365L, 8, 0, "0.369994"),
+        (334L, 0, 0, "0.362722"),
+        (387L, 6, 0, "0.331139"),
+        (73L, 6, 5, "0.295434"),
+        (320L, 2, 5, "0.287861"),
+        (190L, 7, 0, "0.281795"),
+        (464L, 4, 0, "0.276628"),
+        (388L, 1, 10, "0.276301"),
+        (323L, 0, 0, "0.256455")
+      ).map { case (v, lb, li, c) => s"($v, $lb, $li, $c)" }.mkString(", ")
+      s"""SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS INTEGER) AS label,
+         |  CAST(list_id AS INTEGER) AS list_id, CAST(cos_sim AS DOUBLE) AS cos_sim
+         |FROM (VALUES $pinned) AS t(vec_id, label, list_id, cos_sim)
+         |ORDER BY cos_sim DESC, vec_id""".stripMargin
     }
   )
 }

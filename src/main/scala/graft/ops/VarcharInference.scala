@@ -115,6 +115,14 @@ object VarcharInference {
   /** Legacy rich metrics (oracle_to_exasol.sql:587-801): per-group row
     * count, exact median, decimal sum, double average, the TOP/mode
     * value via max-count, and length stats.
+    *
+    * The char-column TOP/OCC pair follows the reference's shape
+    * (oracle_to_exasol.sql:719-750): cnt per value with
+    * max(count(*)) over(), keep the rows where cnt = max_cnt, then
+    * TOP = listagg of the TIED values (ordered, capped at 2000 chars,
+    * the reference's substr(listagg(...), 1, 2000)) and OCC = that
+    * max count. priority_mode keeps the single deterministic
+    * representative (first tie).
     */
   val richMetrics: Q = (s, d) => {
     val base = orders(s, d)
@@ -130,12 +138,15 @@ object VarcharInference {
     val mode = base
       .groupBy(col("o_orderstatus").as("st2"), col("o_orderpriority"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn(
-        "rn",
-        row_number().over(Window.partitionBy(col("st2")).orderBy(col("cnt").desc, col("o_orderpriority").asc))
+      .withColumn("max_cnt", max(col("cnt")).over(Window.partitionBy(col("st2"))))
+      .filter(col("cnt") === col("max_cnt"))
+      .groupBy(col("st2"))
+      .agg(
+        min(col("o_orderpriority")).as("priority_mode"),
+        substring(array_join(array_sort(collect_list(col("o_orderpriority"))), ","), 1, 2000)
+          .as("priority_top"),
+        max(col("cnt")).as("priority_occ")
       )
-      .filter(col("rn") === 1)
-      .select(col("st2"), col("o_orderpriority").as("priority_mode"))
     metrics
       .join(mode, col("o_orderstatus") === col("st2"))
       .drop("st2")
@@ -146,6 +157,8 @@ object VarcharInference {
         Fixtures.decStr(col("totalprice_sum")).as("totalprice_sum"),
         (col("totalprice_sum").cast("double") / col("n_rows")).as("totalprice_avg"),
         col("priority_mode"),
+        col("priority_top"),
+        col("priority_occ"),
         col("priority_minlen"),
         col("priority_maxlen")
       )
@@ -293,19 +306,21 @@ object VarcharInference {
         |    CAST(min(length(o_orderpriority)) AS BIGINT) AS priority_minlen,
         |    CAST(max(length(o_orderpriority)) AS BIGINT) AS priority_maxlen
         |  FROM orders GROUP BY o_orderstatus),
+        |counted AS (
+        |  SELECT o_orderstatus AS st2, o_orderpriority, count(*) AS cnt,
+        |    max(count(*)) OVER (PARTITION BY o_orderstatus) AS max_cnt
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority),
         |mode AS (
-        |  SELECT o_orderstatus AS st2, o_orderpriority AS priority_mode
-        |  FROM (
-        |    SELECT o_orderstatus, o_orderpriority,
-        |      row_number() OVER (PARTITION BY o_orderstatus
-        |                         ORDER BY count(*) DESC, o_orderpriority ASC) AS rn
-        |    FROM orders GROUP BY o_orderstatus, o_orderpriority)
-        |  WHERE rn = 1)
+        |  SELECT st2,
+        |    min(o_orderpriority) AS priority_mode,
+        |    substr(string_agg(o_orderpriority, ',' ORDER BY o_orderpriority), 1, 2000) AS priority_top,
+        |    CAST(max(cnt) AS BIGINT) AS priority_occ
+        |  FROM counted WHERE cnt = max_cnt GROUP BY st2)
         |SELECT o_orderstatus, n_rows,
         |  CAST(custkey_median AS VARCHAR) AS custkey_median,
         |  CAST(totalprice_sum AS VARCHAR) AS totalprice_sum,
         |  CAST(totalprice_sum AS DOUBLE) / n_rows AS totalprice_avg,
-        |  priority_mode, priority_minlen, priority_maxlen
+        |  priority_mode, priority_top, priority_occ, priority_minlen, priority_maxlen
         |FROM metrics JOIN mode ON o_orderstatus = st2
         |ORDER BY o_orderstatus""".stripMargin
   )
