@@ -70,11 +70,23 @@ object LiveJdbc {
     * keys apply only to migrated tables, FKs only when the parent is
     * in scope (skips become `skip` rows, not errors). Being pure, the
     * planned stream doubles as the golden oracle for the live run.
+    *
+    * `constraintState` maps PlanBuilder's CONSTRAINT STATE policies
+    * onto a live target WITHOUT enable/disable support (Derby, like
+    * many engines, cannot hold an unenforced constraint — the dry-run
+    * path renders `ADD ... DISABLE` + MODIFY epilogues instead):
+    * ForceEnable creates every in-scope key enforced; ForceDisable
+    * creates none (each becomes a `skip` row recording the policy);
+    * SetAsSource creates exactly the source-enabled keys and skips
+    * the source-disabled ones per constraint. NOT NULL imports follow
+    * their PK's fate — they exist to make the PK creatable.
     */
   def plan(
       columns: Seq[ColumnMeta],
-      keys: Seq[KeyColumnMeta]
+      keys: Seq[KeyColumnMeta],
+      constraintState: options.ConstraintState = options.ConstraintState.ForceEnable
   ): Seq[Planned] = {
+    import options.ConstraintState
     val byTable = columns.groupBy(c => (c.schema, c.table)).toSeq.sortBy(_._1)
     val migrated = byTable.map(_._1).toSet
 
@@ -91,26 +103,46 @@ object LiveJdbc {
       Planned(40, s, t, s"LOAD ${ident(s)}.${ident(t)} VIA PARALLEL JDBC WRITER", "load")
     }
 
-    val pks = keys.filter(k => k.keyType == KeyType.PrimaryKey && migrated((k.schema, k.table)))
+    // per-constraint creation verdict under the policy: None = create
+    // enforced, Some(reason) = record a skip row instead
+    def policySkip(kind: String, cn: String, sourceEnabled: Boolean): Option[String] =
+      constraintState match {
+        case ConstraintState.ForceEnable => None
+        case ConstraintState.ForceDisable =>
+          Some(s"$kind ${ident(cn)} skipped: FORCE DISABLE and live target cannot hold unenforced constraints")
+        case ConstraintState.SetAsSource =>
+          if (sourceEnabled) None
+          else Some(s"$kind ${ident(cn)} skipped: disabled at source (SET AS SOURCE)")
+      }
 
-    val notNulls = pks.sortBy(k => (k.schema, k.table, k.position)).map { k =>
-      Planned(
-        50,
-        k.schema,
-        k.table,
-        s"ALTER TABLE ${ident(k.schema)}.${ident(k.table)} ALTER COLUMN ${ident(k.column)} NOT NULL",
-        "ddl"
-      )
-    }
-
-    val pkAdds = pks
+    val pkGroups = keys
+      .filter(k => k.keyType == KeyType.PrimaryKey && migrated((k.schema, k.table)))
       .groupBy(k => (k.schema, k.table, k.constraintName))
       .toSeq
       .sortBy(_._1)
-      .map { case ((s, t, cn), ks) =>
+      .map { case (g, ks) => (g, ks, policySkip("PK", g._3, ks.exists(_.enabled))) }
+
+    val notNulls = pkGroups
+      .collect { case (_, ks, None) => ks }
+      .flatten
+      .sortBy(k => (k.schema, k.table, k.position))
+      .map { k =>
+        Planned(
+          50,
+          k.schema,
+          k.table,
+          s"ALTER TABLE ${ident(k.schema)}.${ident(k.table)} ALTER COLUMN ${ident(k.column)} NOT NULL",
+          "ddl"
+        )
+      }
+
+    val pkAdds = pkGroups.map {
+      case ((s, t, cn), ks, None) =>
         val cols = ks.sortBy(_.position).map(k => ident(k.column)).mkString(",")
         Planned(55, s, t, s"ALTER TABLE ${ident(s)}.${ident(t)} ADD CONSTRAINT ${ident(cn)} PRIMARY KEY ($cols)", "ddl")
-      }
+      case ((s, t, _), _, Some(reason)) =>
+        Planned(55, s, t, reason, "skip")
+    }
 
     val fkAdds = keys
       .filter(k => k.keyType == KeyType.ForeignKey && migrated((k.schema, k.table)))
@@ -121,16 +153,20 @@ object LiveJdbc {
         val parent = for { rs <- ks.head.refSchema; rt <- ks.head.refTable } yield (rs, rt)
         parent match {
           case Some((rs, rt)) if migrated((rs, rt)) =>
-            val cols = ks.sortBy(_.position).map(k => ident(k.column)).mkString(",")
-            Some(
-              Planned(
-                60,
-                s,
-                t,
-                s"ALTER TABLE ${ident(s)}.${ident(t)} ADD CONSTRAINT ${ident(cn)} FOREIGN KEY ($cols) REFERENCES ${ident(rs)}.${ident(rt)}",
-                "ddl"
-              )
-            )
+            policySkip("FK", cn, ks.exists(_.enabled)) match {
+              case None =>
+                val cols = ks.sortBy(_.position).map(k => ident(k.column)).mkString(",")
+                Some(
+                  Planned(
+                    60,
+                    s,
+                    t,
+                    s"ALTER TABLE ${ident(s)}.${ident(t)} ADD CONSTRAINT ${ident(cn)} FOREIGN KEY ($cols) REFERENCES ${ident(rs)}.${ident(rt)}",
+                    "ddl"
+                  )
+                )
+              case Some(reason) => Some(Planned(60, s, t, reason, "skip"))
+            }
           case Some((rs, rt)) =>
             Some(Planned(60, s, t, s"FK ${ident(cn)} skipped: parent ${ident(rs)}.${ident(rt)} not in scope", "skip"))
           case None => None
@@ -158,14 +194,15 @@ object LiveJdbc {
       keys: Seq[KeyColumnMeta],
       sourceTable: (String, String) => DataFrame,
       readParallelism: Int = 4,
-      writeParallelism: Int = 8
+      writeParallelism: Int = 8,
+      constraintState: options.ConstraintState = options.ConstraintState.ForceEnable
   ): Seq[Outcome] = {
     // keep the embedded target's log file out of the working directory
     if (sys.props.get("derby.system.home").isEmpty) System.setProperty("derby.system.home", "/tmp")
     val props = new java.util.Properties()
     val conn = DriverManager.getConnection(url)
     try {
-      plan(columns, keys).map { p =>
+      plan(columns, keys, constraintState).map { p =>
         try {
           p.kind match {
             case "ddl" =>

@@ -58,6 +58,61 @@ class LiveJdbcSpec extends SparkSpec {
     } finally conn.close()
   }
 
+  /** Count enforced key constraints on the live target (Derby
+    * catalog: P = primary key, F = foreign key).
+    */
+  private def liveConstraintCounts(url: String): (Int, Int) = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      def count(tpe: String): Int = {
+        val rs = conn
+          .createStatement()
+          .executeQuery(s"SELECT COUNT(*) FROM SYS.SYSCONSTRAINTS WHERE TYPE = '$tpe'")
+        rs.next(); rs.getInt(1)
+      }
+      (count("P"), count("F"))
+    } finally conn.close()
+  }
+
+  test("constraint-state policies drive the live key import per key") {
+    val cols = Catalog.readParquetColumns(spark, sfDir, "tpch", Seq("region", "nation"))
+    val src = (_: String, t: String) => spark.read.parquet(s"$sfDir/$t.parquet")
+    // region PK enabled at source; nation PK disabled; the nation→region
+    // FK disabled — the per-key shape SET AS SOURCE must honor
+    val keys = Seq(
+      KeyColumnMeta("tpch", "region", "region_pk", KeyType.PrimaryKey, 1, "r_regionkey", enabled = true),
+      KeyColumnMeta("tpch", "nation", "nation_pk", KeyType.PrimaryKey, 1, "n_nationkey", enabled = false),
+      KeyColumnMeta("tpch", "nation", "nation_region_fk", KeyType.ForeignKey, 1, "n_regionkey",
+        refSchema = Some("tpch"), refTable = Some("region"), enabled = false)
+    )
+    import graft.core.options.ConstraintState
+
+    // FORCE DISABLE: no key reaches the engine; the policy is recorded
+    val urlD = "jdbc:derby:memory:graft_live_fd;create=true"
+    val outD = LiveJdbc.execute(spark, urlD, cols, keys, src, constraintState = ConstraintState.ForceDisable)
+    assert(outD.count(o => o.status == "skipped" && o.stmt.contains("FORCE DISABLE")) == 3)
+    assert(!outD.exists(o => o.stmt.contains("ADD CONSTRAINT")))
+    assert(outD.count(_.status == "validated") == 2)
+    assert(liveConstraintCounts(urlD) == ((0, 0)))
+
+    // SET AS SOURCE: only the source-enabled region PK is created
+    val urlS = "jdbc:derby:memory:graft_live_sas;create=true"
+    val outS = LiveJdbc.execute(spark, urlS, cols, keys, src, constraintState = ConstraintState.SetAsSource)
+    assert(outS.exists(o => o.stmt.contains("REGION_PK") && o.stmt.contains("PRIMARY KEY") && o.status == "applied"))
+    assert(outS.exists(o => o.status == "skipped" && o.stmt.contains("PK NATION_PK skipped: disabled at source")))
+    assert(outS.exists(o => o.status == "skipped" && o.stmt.contains("FK NATION_REGION_FK skipped: disabled at source")))
+    // NOT NULL follows the PK's fate: only region's key column altered
+    assert(outS.count(o => o.stmt.contains("NOT NULL") && o.status == "applied") == 1)
+    assert(outS.count(_.status.startsWith("ERROR")) == 0)
+    assert(liveConstraintCounts(urlS) == ((1, 0)))
+
+    // FORCE ENABLE (the default): everything in scope is created live
+    val urlE = "jdbc:derby:memory:graft_live_fe;create=true"
+    val outE = LiveJdbc.execute(spark, urlE, cols, keys, src, constraintState = ConstraintState.ForceEnable)
+    assert(outE.count(o => o.stmt.contains("ADD CONSTRAINT") && o.status == "applied") == 3)
+    assert(liveConstraintCounts(urlE) == ((2, 1)))
+  }
+
   test("live key import surfaces real duplicate data and isolates the failure") {
     // The synthetic fixture's lineitem (l_orderkey, l_linenumber)
     // pairs are NOT unique (6000 rows, 4599 distinct pairs at
