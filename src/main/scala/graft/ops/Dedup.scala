@@ -416,23 +416,71 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** The quarantine route EXECUTED, not just recorded: bounded blocks
+    * get the exact word-set Jaccard pair join; quarantined (oversized)
+    * blocks route to the candidate-bounded MinHash-LSH path - the
+    * correct tool at degenerate-block density, because its cost is
+    * O(shingles + candidates) where the exact join's is O(n^2) in the
+    * block. LSH pairs are restricted to same-block (the blocking
+    * semantics are preserved; banding replaces enumeration) and
+    * verified at the same threshold - over SHINGLE sets, the LSH
+    * path's native similarity, which is the honest semantics of
+    * falling back (the `method` column says which route produced a
+    * pair).
+    *
+    * The demonstration cap (40) is low enough that real blocks
+    * quarantine at the test scales; production keeps
+    * defaultMaxDocsPerBlock, where quarantine means genuinely
+    * degenerate blocking.
+    */
+  val fallbackCap = 40L
+
+  val dedupBlockedFallback: Q = (s, d) => {
+    val base = documents(s, d)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        expr("CAST(floor(n_chars / 100.0) AS BIGINT)").as("lb"),
+        col("text")
+      )
+      .withColumn("block", concat_ws("\u0001", col("lang"), col("lb")))
+    val blocked = base.select(col("doc_id"), col("block"), array_distinct(split(col("text"), " ")).as("ws"))
+    val (exactPairs, quarantined) = blockedJaccardPairs(blocked, 0.5, fallbackCap)
+    // quarantined is blocking-key-cardinality-sized: broadcast is free
+    val qDocs = base.join(broadcast(quarantined.select(col("block"))), Seq("block"), "left_semi")
+    val blocksOf = base.select(col("doc_id"), col("block").as("blk"))
+    val lshSameBlock = lshCandidatesWithJaccard(qDocs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+      .join(blocksOf.select(col("doc_id").as("doc_a"), col("blk").as("blk_a")), "doc_a")
+      .join(blocksOf.select(col("doc_id").as("doc_b"), col("blk").as("blk_b")), "doc_b")
+      .filter(col("blk_a") === col("blk_b"))
+      .select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")
+    exactPairs
+      .withColumn("method", lit("exact"))
+      .unionByName(lshSameBlock.withColumn("method", lit("lsh")))
+      .orderBy("doc_a", "doc_b")
+  }
+
   def queries: Map[String, Q] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_minhash_lsh" -> dedupMinhashLsh,
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_pairs" -> dedupSimhashPairs,
-    "dedup_ngram_jaccard" -> dedupNgramJaccard
+    "dedup_ngram_jaccard" -> dedupNgramJaccard,
+    "dedup_blocked_fallback" -> dedupBlockedFallback
   )
 
   // ---- DuckDB oracles ------------------------------------------------
 
-  private val shinglesSql =
-    """sh AS (
-      |  SELECT DISTINCT doc_id, shingle FROM (
-      |    SELECT doc_id,
-      |      unnest(list_transform(generate_series(1, len(w)-2),
-      |                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
-      |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)))""".stripMargin
+  private def shinglesSqlFrom(src: String) =
+    s"""sh AS (
+       |  SELECT DISTINCT doc_id, shingle FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(generate_series(1, len(w)-2),
+       |                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $src)))""".stripMargin
+
+  private val shinglesSql = shinglesSqlFrom("documents")
 
   private def minhashSql: String = {
     val mins = (0 until numHashes).map(i => s"min((mh1 + $i * mh2) % $mhMod) AS h$i").mkString(", ")
@@ -520,6 +568,58 @@ object Dedup {
          |FROM pairs WHERE bit_count(xor(sim_a, sim_b)) <= 3
          |ORDER BY doc_a, doc_b""".stripMargin
     },
+    // the routed fallback: exact word-set Jaccard for bounded blocks,
+    // the full MinHash-LSH chain (shingle CTEs FROM the quarantined
+    // docs) for oversized ones, same-block-restricted and verified at
+    // the same threshold — the oracle replays both routes end to end.
+    "dedup_blocked_fallback" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, CAST(floor(n_chars / 100.0) AS BIGINT) AS lb,
+         |         list_distinct(string_split(text, ' ')) AS ws, text
+         |  FROM documents),
+         |bsz AS (SELECT lang, lb, count(*) AS n FROM d GROUP BY lang, lb),
+         |bounded AS (SELECT d.* FROM d JOIN bsz ON d.lang = bsz.lang AND d.lb = bsz.lb WHERE bsz.n <= $fallbackCap),
+         |quar AS (SELECT d.* FROM d JOIN bsz ON d.lang = bsz.lang AND d.lb = bsz.lb WHERE bsz.n > $fallbackCap),
+         |exact_pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(len(list_intersect(a.ws, b.ws)) AS BIGINT) AS n_inter,
+         |    CAST(len(list_distinct(list_concat(a.ws, b.ws))) AS BIGINT) AS n_union
+         |  FROM bounded a JOIN bounded b
+         |    ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id),
+         |${shinglesSqlFrom("quar")},
+         |$minhashSql,
+         |$bandsSql,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |candsb AS (
+         |  SELECT c.doc_a, c.doc_b FROM cand c
+         |  JOIN quar qa ON qa.doc_id = c.doc_a
+         |  JOIN quar qb ON qb.doc_id = c.doc_b AND qa.lang = qb.lang AND qa.lb = qb.lb),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM candsb p
+         |  JOIN sh x ON x.doc_id = p.doc_a
+         |  JOIN sh y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
+         |  GROUP BY p.doc_a, p.doc_b),
+         |lsh_pairs AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |    coalesce(i.n_inter, 0) AS n_inter,
+         |    sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0) AS n_union,
+         |    round(CAST(coalesce(i.n_inter, 0) AS DOUBLE) / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard
+         |  FROM candsb p
+         |  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         |  JOIN sizes sa ON sa.doc_id = p.doc_a
+         |  JOIN sizes sb ON sb.doc_id = p.doc_b)
+         |SELECT doc_a, doc_b, n_inter, n_union,
+         |  round(CAST(n_inter AS DOUBLE) / n_union, 6) AS jaccard, 'exact' AS method
+         |FROM exact_pairs WHERE round(CAST(n_inter AS DOUBLE) / n_union, 6) >= 0.5
+         |UNION ALL
+         |SELECT doc_a, doc_b, n_inter, n_union, jaccard, 'lsh' AS method
+         |FROM lsh_pairs WHERE jaccard >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_ngram_jaccard" ->
       """WITH docs AS (
         |  SELECT doc_id, lang, CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket,

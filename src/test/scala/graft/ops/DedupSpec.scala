@@ -176,6 +176,20 @@ class DedupSpec extends SparkSpec {
     assert(q(0).getAs[Long]("n_pairs_avoided") == 6L)
   }
 
+  test("fallback query routes oversized blocks to LSH and bounded blocks to exact") {
+    val out = Dedup.dedupBlockedFallback(spark, "/root/testdata/sf0.001").cache()
+    val methods = out.groupBy("method").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the fixture has blocks on both sides of the demonstration cap,
+    // so BOTH routes must have fired
+    assert(methods.getOrElse("exact", 0L) > 0, s"no exact-route pairs: $methods")
+    assert(methods.getOrElse("lsh", 0L) > 0, s"no lsh-route pairs: $methods")
+    // every pair respects the threshold, whichever route produced it
+    assert(out.filter(col("jaccard") < 0.5).count() == 0)
+    // no pair is reported by both routes (routes partition the blocks)
+    assert(out.groupBy("doc_a", "doc_b").count().filter(col("count") > 1).count() == 0)
+    out.unpersist()
+  }
+
   test("pair-expansion joins never broadcast the corpus side") {
     // a broadcast of the word-set / embedding relation caps out at one
     // executor's memory at 100 TB — these plans must be salted shuffle
