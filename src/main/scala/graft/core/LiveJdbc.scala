@@ -202,7 +202,7 @@ object LiveJdbc {
     val props = new java.util.Properties()
     val conn = DriverManager.getConnection(url)
     try {
-      plan(columns, keys, constraintState).map { p =>
+      def runOne(p: Planned): Outcome =
         try {
           p.kind match {
             case "ddl" =>
@@ -247,7 +247,34 @@ object LiveJdbc {
               Outcome(p.ord, p.sql, "skipped")
           }
         } catch { case e: Exception => Outcome(p.ord, p.sql, s"ERROR: ${e.getMessage}") }
-      }
+
+      // Stage barrier per ordinal (loads before key import before
+      // validation), but WITHIN a stage the per-table loads and
+      // validates are independent — run them concurrently (each uses
+      // its own JDBC connections via the Spark writer/reader; only
+      // DDL shares `conn` and stays serial). Against a real MPP
+      // target this is the per-table parallelism the reference's
+      // import loop has; against embedded Derby it overlaps Spark
+      // job scheduling with target I/O.
+      plan(columns, keys, constraintState)
+        .groupBy(_.ord)
+        .toSeq
+        .sortBy(_._1)
+        .flatMap { case (_, group) =>
+          val concurrent = group.filter(p => p.kind == "load" || p.kind == "validate")
+          if (concurrent.size > 1) {
+            import scala.concurrent.{Await, ExecutionContext, Future}
+            import scala.concurrent.duration.Duration
+            val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(4, concurrent.size))
+            implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+            try {
+              val done = Await
+                .result(Future.sequence(concurrent.map(p => Future(p -> runOne(p)))), Duration.Inf)
+                .toMap
+              group.map(p => done.getOrElse(p, runOne(p)))
+            } finally pool.shutdown()
+          } else group.map(runOne)
+        }
     } finally conn.close()
   }
 }
