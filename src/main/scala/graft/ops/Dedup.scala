@@ -136,9 +136,18 @@ object Dedup {
   }
 
   /** LSH candidate pairs (doc_a < doc_b, distinct) + exact Jaccard
-    * verification over the candidates only.
+    * verification over the candidates only. `pairFilter` restricts the
+    * candidate set BEFORE the verification joins (e.g. the same-block
+    * rule of the quarantine fallback) — filtering after verification
+    * would pay shingle-intersection work for pairs the caller is
+    * about to drop.
     */
-  def lshCandidatesWithJaccard(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def lshCandidatesWithJaccard(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      pairFilter: DataFrame => DataFrame = identity
+  ): DataFrame = {
     // The shingle relation is a ~|text|× expansion of the corpus —
     // NEVER cached (at 100 TB it would only spill); it is consumed
     // once by the signature scan, and the verification stage below
@@ -151,11 +160,12 @@ object Dedup {
     val bands = bandKeys(minhashSignature(sh)).cache()
     val a = bands.select(col("doc_id").as("doc_a"), col("band_id"), col("band_key"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band_id").as("band_id_b"), col("band_key").as("band_key_b"))
-    val pairs = a
-      .join(b, col("band_id") === col("band_id_b") && col("band_key") === col("band_key_b") && col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .distinct()
-      .cache()
+    val pairs = pairFilter(
+      a
+        .join(b, col("band_id") === col("band_id_b") && col("band_key") === col("band_key_b") && col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    ).cache()
     // Only candidate docs need their shingle sets in the verification
     // join: semi-join-filter the DOCUMENTS (not the shingle relation)
     // and re-shingle just those — O(candidates) work with nothing
@@ -449,11 +459,16 @@ object Dedup {
     // quarantined is blocking-key-cardinality-sized: broadcast is free
     val qDocs = base.join(broadcast(quarantined.select(col("block"))), Seq("block"), "left_semi")
     val blocksOf = base.select(col("doc_id"), col("block").as("blk"))
-    val lshSameBlock = lshCandidatesWithJaccard(qDocs, "doc_id", "text")
+    // same-block restriction applied BEFORE verification (mirrors the
+    // oracle's candsb CTE): cross-block band collisions never pay the
+    // shingle-intersection joins
+    val sameBlock: DataFrame => DataFrame = p =>
+      p.join(blocksOf.select(col("doc_id").as("doc_a"), col("blk").as("blk_a")), "doc_a")
+        .join(blocksOf.select(col("doc_id").as("doc_b"), col("blk").as("blk_b")), "doc_b")
+        .filter(col("blk_a") === col("blk_b"))
+        .select("doc_a", "doc_b")
+    val lshSameBlock = lshCandidatesWithJaccard(qDocs, "doc_id", "text", sameBlock)
       .filter(col("jaccard") >= 0.5)
-      .join(blocksOf.select(col("doc_id").as("doc_a"), col("blk").as("blk_a")), "doc_a")
-      .join(blocksOf.select(col("doc_id").as("doc_b"), col("blk").as("blk_b")), "doc_b")
-      .filter(col("blk_a") === col("blk_b"))
       .select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")
     exactPairs
       .withColumn("method", lit("exact"))
