@@ -200,6 +200,7 @@ class DedupSpec extends SparkSpec {
     for (
       df <- Seq(
         Dedup.dedupNgramJaccard(spark, "/root/testdata/sf0.001"),
+        Dedup.dedupBlockedFallback(spark, "/root/testdata/sf0.001"),
         Similarity.queries("dedup_embedding_cosine")(spark, "/root/testdata/sf0.001")
       )
     ) {
