@@ -185,7 +185,25 @@ object Similarity {
       .withColumn("features", array_to_vector(col("v")))
   }
 
-  def ivfAssignments(emb: DataFrame, k: Int): (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
+  /** Centroid TRAINING reads a bounded sample (~samplePerList vectors
+    * per list, the standard IVF train heuristic); ASSIGNMENT still
+    * covers every vector. The sample is a deterministic hash filter
+    * (keep vec_ids ≡ 0 mod ⌊N / target⌋), so the fit input — and with
+    * it the centroids and the golden VALUES oracles — is a pure
+    * function of the data. At the test scales N ≤ target, the modulus
+    * is 1 and the sample IS the full table (pins unchanged); at
+    * corpus scale the Lloyd iterations become corpus-size-independent
+    * — you cannot run 5 full passes over 100 TB to build an index,
+    * and you don't need to: list quality is sample-stable while the
+    * one assignment pass is the only full scan.
+    */
+  private val fitSamplePerList = 256
+
+  def ivfAssignments(
+      emb: DataFrame,
+      k: Int,
+      samplePerList: Int = fitSamplePerList
+  ): (DataFrame, org.apache.spark.ml.clustering.KMeansModel) = {
     import org.apache.spark.ml.clustering.KMeans
     // FIXED partition count (not defaultParallelism), see featurized:
     // k-means|| init draws per-partition seeded samples, so the fitted
@@ -197,10 +215,14 @@ object Similarity {
     // order-sensitive — sorting makes each partition's content AND
     // order a pure function of the data.
     val e = featurized(emb)
+    val mod = math.max(1L, emb.count() / (k.toLong * samplePerList))
+    val fitInput =
+      if (mod <= 1L) e
+      else featurized(emb.filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0))
     // bounded iterations: IVF lists need rough clusters, not converged
     // ones — recall is governed by nProbe, and index build cost matters
     // at scale
-    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(5).setFeaturesCol("features").fit(e)
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(5).setFeaturesCol("features").fit(fitInput)
     (model.transform(e).withColumnRenamed("prediction", "list_id"), model)
   }
 

@@ -39,6 +39,43 @@ class SimilarityIvfSpec extends SparkSpec {
     assert(full == brute)
   }
 
+  test("sampled centroid training stays deterministic and serves every vector") {
+    val emb = Fixtures.embeddings(spark, dir)
+    // samplePerList = 8 forces mod > 1 on the 500-vector fixture
+    // (500 / 64 = 7), exercising the at-scale path where Lloyd runs
+    // over a hash sample while assignment covers the full table
+    val (a1, m1) = Similarity.ivfAssignments(emb, 8, samplePerList = 8)
+    val (a2, m2) = Similarity.ivfAssignments(emb, 8, samplePerList = 8)
+    // deterministic: same centroids, same assignment histogram, twice
+    assert(m1.clusterCenters.map(_.toArray.toSeq).toSeq == m2.clusterCenters.map(_.toArray.toSeq).toSeq)
+    val h1 = a1.groupBy("list_id").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val h2 = a2.groupBy("list_id").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(h1 == h2)
+    // assignment covers every vector even though the fit saw a subset
+    assert(h1.values.sum == emb.count())
+    // sample-trained lists still give usable recall when probing half
+    val brute = Similarity.cosineTopK(emb, 0L, 10).collect().map(_.getAs[Long]("vec_id")).toSet
+    val qv = a1.filter(col("vec_id") === 0L).select("v").head().getSeq[Double](0).toArray
+    val centroids = m1.clusterCenters.zipWithIndex
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probe = centroids.sortBy { case (c, _) => -cos(qv, c.toArray) }.take(4).map(_._2).toSeq
+    val ivf = a1
+      .filter(col("list_id").isin(probe: _*))
+      .crossJoin(broadcast(a1.filter(col("vec_id") === 0L).select(col("v").as("qv"))))
+      .withColumn("cos_sim", expr("cosine_sim(v, qv)"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(10)
+      .collect()
+      .map(_.getAs[Long]("vec_id"))
+      .toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"sampled-fit recall $recall too low")
+  }
+
   test("persisted IVF index serves queries identically and prunes list partitions") {
     val emb = Fixtures.embeddings(spark, dir)
     val idx = java.nio.file.Files.createTempDirectory("graft_ivf").toString
