@@ -19,4 +19,28 @@ class CheckMigrationSpec extends SparkSpec {
     assert(exact.getAs[Long]("row_cnt") == approx.getAs[Long]("row_cnt"))
     assert(exact.getAs[Long]("lang_maxlen") == approx.getAs[Long]("lang_maxlen"))
   }
+
+  test("memoized dual wide stage keys by dataset - no cross-dir contamination") {
+    // the deviation/summary pair shares one memoized 1-row aggregate
+    // per (session, sf-dir); a wrong-key memo would silently serve one
+    // dataset's metrics for another. Run both dirs interleaved, twice.
+    def rowCnt(d: String): String =
+      CheckMigration.metricsDeviation(spark, d)
+        .filter(org.apache.spark.sql.functions.col("metric") === "row_cnt")
+        .head()
+        .getAs[String]("val_a")
+    val a1 = rowCnt("/root/testdata/sf0.001")
+    val b1 = rowCnt("/root/testdata/sf0.01")
+    val a2 = rowCnt("/root/testdata/sf0.001")
+    val b2 = rowCnt("/root/testdata/sf0.01")
+    assert(a1 == a2 && b1 == b2)
+    assert(a1 != b1, s"sf0.001 and sf0.01 lineitem row counts should differ (got $a1)")
+    // the summary derives from the same memo and must agree with the
+    // deviation report's OK/DEVIATION split for its dataset
+    val dev = CheckMigration.metricsDeviation(spark, "/root/testdata/sf0.001")
+      .groupBy("status").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sum = CheckMigration.metricsSummary(spark, "/root/testdata/sf0.001").head()
+    assert(sum.getAs[Long]("n_ok") == dev.getOrElse("OK", 0L))
+    assert(sum.getAs[Long]("n_deviation") == dev.getOrElse("DEVIATION", 0L))
+  }
 }
