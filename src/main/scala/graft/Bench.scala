@@ -6,11 +6,27 @@ import org.apache.spark.sql.SparkSession
   * and prints ONE JSON line. Failures are reported in a separate
   * `errors` map (not folded into timings — a failed query must not
   * masquerade as a fast one).
+  *
+  * Denoised methodology (round 5): each query runs once cold
+  * (`first_run` — comparable to the single-shot numbers of rounds
+  * 1-4) and then `reps` more times; the MEDIAN of those reps is the
+  * headline per-query number in `queries`. A fresh-JVM single shot
+  * measures codegen/JIT/scheduler jitter as much as the query — the
+  * round-4 bench showed 2-3× swings on bit-identical code — while a
+  * median of warm runs measures the plan. Same pattern as
+  * tools/MicroBench.scala.
+  *
+  * `shares_scan_with` marks queries whose number is NOT standalone:
+  * they read state memoized by another query's run (the dual-wide
+  * metrics cache, the IVF model memo), mirroring the reference's
+  * materialize-once design. Their cost lives in the named query's
+  * entry.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val spark = graft.ops.Fixtures
       .sessionBuilder(s"local[$cpus]", cpus)
       .getOrCreate()
@@ -25,14 +41,21 @@ object Bench {
     // never sets it, so per-round benches always cover every query
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted.filter(n => only.forall(_.contains(n)))
-    var times = Vector.empty[(String, Double)]
+    var medians = Vector.empty[(String, Double)]
+    var firsts = Vector.empty[(String, Double)]
     var errors = Vector.empty[(String, String)]
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try {
+      def once(): Double = {
+        val t0 = System.nanoTime()
         fn(spark, sfDir).count()
-        times :+= (name -> (System.nanoTime() - t0) / 1e9)
+        (System.nanoTime() - t0) / 1e9
+      }
+      try {
+        val first = once()
+        val runs = (1 to reps).map(_ => once()).sorted
+        firsts :+= (name -> first)
+        medians :+= (name -> runs(runs.length / 2))
       } catch {
         case e: Throwable =>
           errors :+= (name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
@@ -48,11 +71,27 @@ object Bench {
     // millisecond precision keeps the line short — a long line risks
     // head-truncation in tail-style output capture
     def r3(v: Double): String = f"$v%.3f"
-    val qs = times.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
+    def numMap(xs: Vector[(String, Double)]): String =
+      xs.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
+    val qs = numMap(medians)
+    val fr = numMap(firsts)
     val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val total = times.map(_._2).sum
+    // queries whose timing reads another query's memoized state — the
+    // named query's first_run carries the shared cost
+    val sharesScanWith = Seq(
+      "agg_metrics_summary" -> "agg_metrics_deviation",
+      "ann_ivf_topk_index" -> "ann_ivf_lists"
+    )
+    val shares = sharesScanWith
+      .filter { case (k, _) => medians.exists(_._1 == k) }
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
+    val total = medians.map(_._2).sum
+    val totalFirst = firsts.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$es,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"total_first_run":${r3(
+          totalFirst
+        )},"queries":$qs,"first_run":$fr,"shares_scan_with":$shares,"errors":$es,"sf":"$sfDir"}"""
     // belt and braces: the full JSON also lands in a file, so a
     // truncated stdout capture can always be reconstructed
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/graft_bench.json"), json)

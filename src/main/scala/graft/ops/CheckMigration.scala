@@ -234,10 +234,57 @@ object CheckMigration {
       timestampCols = Seq("ts")
     )
 
+  /** The approx-distinct SCALE mode (wideMetricsAgg's
+    * `approxDistinct`) made oracle-gated: side A runs the metric
+    * compiler with the HyperLogLog sketch, side B with exact
+    * DISTINCT, and the report is a TOLERANCE compare (the reference's
+    * tolerance-variant pattern, clickhouse_to_exasol.sql:204-246) —
+    * each engine checks its OWN sketch against its own exact count,
+    * so the output carries only the portable columns (metric, exact
+    * count, within-tolerance status), never the raw sketch estimate
+    * (HLL implementations differ across engines by construction).
+    * doc_key (cast doc_id) supplies a genuinely high-cardinality
+    * column so the sketch is actually approximating at gate scale.
+    */
+  def approxToleranceReport(
+      approxWide: DataFrame,
+      exactWide: DataFrame,
+      metricCols: Seq[String],
+      tol: Double
+  ): DataFrame = {
+    def melt(df: DataFrame, valName: String): DataFrame = {
+      val pairs = metricCols.map(m => s"'$m', cast($m as double)").mkString(", ")
+      df.selectExpr(s"stack(${metricCols.size}, $pairs) as (metric, $valName)")
+    }
+    melt(approxWide, "sketch")
+      .join(melt(exactWide, "exact"), "metric")
+      .select(
+        col("metric"),
+        col("exact").cast("bigint").as("n_exact"),
+        when(abs(col("sketch") - col("exact")) <= lit(tol) * col("exact"), "OK")
+          .otherwise("DEVIATION")
+          .as("status")
+      )
+      .orderBy("metric")
+  }
+
+  private val approxStrings = Seq("lang", "source", "doc_key")
+
+  val wideMetricsApprox: Q = (s, d) => {
+    val docs = documents(s, d).withColumn("doc_key", col("doc_id").cast("string"))
+    approxToleranceReport(
+      wideMetricsAgg(docs, Nil, approxStrings, Nil, approxDistinct = true),
+      wideMetricsAgg(docs, Nil, approxStrings, Nil),
+      approxStrings.map(c => s"${c}_distinct"),
+      tol = 0.1
+    )
+  }
+
   def queries: Map[String, Q] = Map(
     "agg_wide_metrics_lineitem" -> wideMetricsLineitem,
     "agg_wide_metrics_events" -> wideMetricsEvents,
     "agg_wide_metrics_documents" -> wideMetricsDocuments,
+    "agg_wide_metrics_approx" -> wideMetricsApprox,
     "agg_metrics_deviation" -> metricsDeviation,
     "agg_metrics_summary" -> metricsSummary
   )
@@ -267,8 +314,25 @@ object CheckMigration {
     arms
   }
 
+  // each engine validates its OWN HLL sketch against its own exact
+  // count; only (metric, exact, status) cross the engine boundary —
+  // sketch estimates are implementation-specific by construction
+  private def approxSqlOracle: String = {
+    val cols = Seq("lang" -> "lang", "source" -> "source", "doc_key" -> "CAST(doc_id AS VARCHAR)")
+    def melt(tag: String, fn: String => String) = cols
+      .map { case (n, c) => s"SELECT '${n}_distinct' AS metric, CAST(${fn(c)} AS DOUBLE) AS $tag FROM documents" }
+      .mkString(" UNION ALL ")
+    s"""WITH ua AS (${melt("sketch", c => s"approx_count_distinct($c)")}),
+       |ub AS (${melt("exact", c => s"count(DISTINCT $c)")}),
+       |j AS (SELECT ua.metric, sketch, exact FROM ua JOIN ub ON ua.metric = ub.metric)
+       |SELECT metric, CAST(exact AS BIGINT) AS n_exact,
+       |  CASE WHEN abs(sketch - exact) <= 0.1 * exact THEN 'OK' ELSE 'DEVIATION' END AS status
+       |FROM j ORDER BY metric""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     "agg_wide_metrics_lineitem" -> wideSqlBody,
+    "agg_wide_metrics_approx" -> approxSqlOracle,
     "agg_wide_metrics_events" ->
       """SELECT CAST(count(*) AS BIGINT) AS row_cnt,
         |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value_nulls,

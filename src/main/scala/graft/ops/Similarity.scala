@@ -215,10 +215,15 @@ object Similarity {
     // order-sensitive — sorting makes each partition's content AND
     // order a pure function of the data.
     val e = featurized(emb)
-    val mod = math.max(1L, emb.count() / (k.toLong * samplePerList))
-    val fitInput =
-      if (mod <= 1L) e
-      else featurized(emb.filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0))
+    // Bounded training WITHOUT a count pass: the fit input is the
+    // `target` vectors smallest by vec_id hash — deterministic (a pure
+    // function of the data), unbiased (hash order ≈ random), and ONE
+    // TakeOrdered job (per-partition bounded top-N heaps) instead of
+    // the former count + modulus-filter pair of passes. When the
+    // corpus has ≤ target vectors the limit returns the whole table,
+    // so the small-scale golden pins are unchanged.
+    val target = k * samplePerList
+    val fitInput = featurized(emb.orderBy(xxhash64(col("vec_id"))).limit(target))
     // bounded iterations: IVF lists need rough clusters, not converged
     // ones — recall is governed by nProbe, and index build cost matters
     // at scale

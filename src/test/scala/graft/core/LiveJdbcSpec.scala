@@ -113,6 +113,24 @@ class LiveJdbcSpec extends SparkSpec {
     assert(liveConstraintCounts(urlE) == ((2, 1)))
   }
 
+  test("concurrent stage results are keyed by position: duplicate planned rows each run once") {
+    // two bit-identical load rows in one stage — hypothetical under
+    // today's planner (constraint names are unique) but the runner
+    // must not collapse them into one map key
+    val dup = LiveJdbc.Planned(40, "s", "t", "LOAD S.T VIA PARALLEL JDBC WRITER", "load")
+    val planned = Seq(dup, dup, LiveJdbc.Planned(40, "s", "u", "LOAD S.U VIA PARALLEL JDBC WRITER", "load"))
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val out = LiveJdbc.runStaged(
+      planned,
+      p => LiveJdbc.Outcome(p.ord, p.sql, s"loaded#${calls.incrementAndGet()}")
+    )
+    // each planned row ran exactly once and reported its own outcome
+    assert(calls.get() == 3)
+    assert(out.size == 3)
+    assert(out.map(_.status).distinct.size == 3)
+    assert(out.count(_.stmt == dup.sql) == 2)
+  }
+
   test("live key import surfaces real duplicate data and isolates the failure") {
     // The synthetic fixture's lineitem (l_orderkey, l_linenumber)
     // pairs are NOT unique (6000 rows, 4599 distinct pairs at

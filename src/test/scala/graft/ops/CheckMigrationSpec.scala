@@ -20,6 +20,27 @@ class CheckMigrationSpec extends SparkSpec {
     assert(exact.getAs[Long]("lang_maxlen") == approx.getAs[Long]("lang_maxlen"))
   }
 
+  test("approx tolerance report flags OK within tol and DEVIATION beyond it") {
+    import org.apache.spark.sql.functions._
+    val docs = Fixtures.documents(spark, "/root/testdata/sf0.001")
+      .withColumn("doc_key", col("doc_id").cast("string"))
+    val cols = Seq("lang", "source", "doc_key")
+    val metrics = cols.map(c => s"${c}_distinct")
+    val exact = CheckMigration.wideMetricsAgg(docs, Nil, cols, Nil)
+    val approx = CheckMigration.wideMetricsAgg(docs, Nil, cols, Nil, approxDistinct = true)
+    // the registered query's shape: every sketch within 10% → all OK,
+    // and n_exact carries the portable exact counts
+    val rep = CheckMigration.approxToleranceReport(approx, exact, metrics, 0.1).collect()
+    assert(rep.length == metrics.size)
+    assert(rep.forall(_.getAs[String]("status") == "OK"), rep.mkString("\n"))
+    assert(rep.map(_.getAs[Long]("n_exact")).forall(_ > 0))
+    // a sketch off by more than tolerance must flag: compare exact
+    // against itself under an impossible tolerance via a shifted side
+    val shifted = exact.select(metrics.map(m => (col(m) * 2).as(m)): _*)
+    val bad = CheckMigration.approxToleranceReport(shifted, exact, metrics, 0.1).collect()
+    assert(bad.forall(_.getAs[String]("status") == "DEVIATION"))
+  }
+
   test("memoized dual wide stage keys by dataset - no cross-dir contamination") {
     // the deviation/summary pair shares one memoized 1-row aggregate
     // per (session, sf-dir); a wrong-key memo would silently serve one

@@ -41,9 +41,10 @@ class SimilarityIvfSpec extends SparkSpec {
 
   test("sampled centroid training stays deterministic and serves every vector") {
     val emb = Fixtures.embeddings(spark, dir)
-    // samplePerList = 8 forces mod > 1 on the 500-vector fixture
-    // (500 / 64 = 7), exercising the at-scale path where Lloyd runs
-    // over a hash sample while assignment covers the full table
+    // samplePerList = 8 gives target = 64 < the 500-vector fixture,
+    // so the hash-ordered top-N limit actually truncates — exercising
+    // the at-scale path where Lloyd runs over a bounded sample while
+    // assignment covers the full table
     val (a1, m1) = Similarity.ivfAssignments(emb, 8, samplePerList = 8)
     val (a2, m2) = Similarity.ivfAssignments(emb, 8, samplePerList = 8)
     // deterministic: same centroids, same assignment histogram, twice
