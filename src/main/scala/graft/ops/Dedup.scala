@@ -347,6 +347,119 @@ object Dedup {
     cross.unionByName(same).orderBy("doc_a", "doc_b")
   }
 
+  // ---- incremental dedup against a persisted signature index ---------
+
+  /** Persist the MinHash signature index: the per-doc signature
+    * (h0..h7) plus the tall band-key relation, partitioned by
+    * band_id. The production dedup shape at 100 TB is INCREMENTAL —
+    * the corpus is signed once and each arriving batch probes the
+    * index, instead of re-shingling 100 TB per day — exactly the
+    * persisted-serve pattern of Similarity.saveIvfIndex. The index
+    * stores signatures only (9 BIGINTs/doc — ~0.1% of the text), so
+    * the historical text never needs to exist for dedup to run.
+    * (At scale the bands relation would be written bucketed by
+    * band_key so the probe join is shuffle-free on the index side;
+    * partitionBy(band_id) keeps the demo catalog-free.)
+    */
+  def saveMinhashIndex(docs: DataFrame, idCol: String, textCol: String, dir: String): Unit = {
+    val sig = minhashSignature(shingles(docs, idCol, textCol))
+    sig.write.mode("overwrite").parquet(s"$dir/signatures")
+    bandKeys(sig).write.mode("overwrite").partitionBy("band_id").parquet(s"$dir/bands")
+  }
+
+  /** Near-dup flags for an increment of NEW documents against the
+    * persisted index: only the increment is shingled/signed; candidate
+    * pairs are (increment bands ⋈ index bands) plus increment
+    * self-pairs (ref < new, so each pair reports once); the similarity
+    * decision is the minhash AGREEMENT estimator (matching components
+    * / k — the textbook unbiased Jaccard estimate). That estimator is
+    * the deliberate serve-side trade: the index does not store text,
+    * so exact shingle re-verification against history is impossible
+    * by design — k and minMatches set the precision/recall point
+    * (k=8, minMatches=6 ⇒ est J ≥ 0.75).
+    *
+    * Scale shape: the increment is the small side (a day's delta), so
+    * the band probe broadcasts it against the corpus-sized index
+    * relation; candidates are output-sized; signature joins carry 9
+    * BIGINTs per row. The cached relation is the increment's
+    * SIGNATURES (bounded by the delta, never the corpus).
+    * Id spaces may overlap between index and increment: every join is
+    * src-qualified, so an id re-arriving in the increment never picks
+    * up the indexed signature of its previous version.
+    */
+  def incrementalDedup(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexDir: String,
+      minMatches: Int
+  ): DataFrame = {
+    val spark = newDocs.sparkSession
+    val sigNew = minhashSignature(shingles(newDocs, idCol, textCol)).cache()
+    val bandsNew = bandKeys(sigNew)
+    val refBands = spark.read
+      .parquet(s"$indexDir/bands")
+      .withColumn("src", lit("index"))
+      .unionByName(bandsNew.withColumn("src", lit("increment")))
+    val n = bandsNew.select(col("doc_id").as("new_id"), col("band_id"), col("band_key"))
+    val r = refBands.select(
+      col("doc_id").as("ref_id"),
+      col("band_id").as("band_id_r"),
+      col("band_key").as("band_key_r"),
+      col("src")
+    )
+    val cands = n
+      .join(
+        r,
+        col("band_id") === col("band_id_r") && col("band_key") === col("band_key_r") &&
+          when(col("src") === "increment", col("ref_id") < col("new_id"))
+            .otherwise(col("ref_id") =!= col("new_id"))
+      )
+      .select("new_id", "ref_id", "src")
+      .distinct()
+    val hCols = (0 until numHashes).map(i => s"h$i")
+    val refSigs = spark.read
+      .parquet(s"$indexDir/signatures")
+      .withColumn("src", lit("index"))
+      .unionByName(sigNew.withColumn("src", lit("increment")))
+    val rs = refSigs.select(
+      col("doc_id").as("ref_id") +: col("src") +: hCols.map(h => col(h).as(s"r${h.drop(1)}")): _*
+    )
+    val ns = sigNew.select(col("doc_id").as("new_id") +: hCols.map(col): _*)
+    val matchExpr = (0 until numHashes)
+      .map(i => s"(CASE WHEN h$i = r$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    cands
+      .join(ns, "new_id")
+      .join(rs, Seq("ref_id", "src"))
+      .withColumn("n_match", expr(matchExpr).cast("bigint"))
+      .filter(col("n_match") >= minMatches)
+      .withColumn("est_jaccard", round(col("n_match") / lit(numHashes.toDouble), 6))
+      .select("new_id", "ref_id", "src", "n_match", "est_jaccard")
+      .orderBy("new_id", "ref_id", "src")
+  }
+
+  /** The incremental route as an oracle-gated query: index the even
+    * doc_ids (the "existing corpus"), then dedup the odd doc_ids (the
+    * "arriving batch") against index + themselves. minMatches = 6 of
+    * 8 ⇒ flags pairs with estimated Jaccard ≥ 0.75.
+    */
+  val incrementalMinMatches = 6
+
+  val dedupIncremental: Q = (s, d) => {
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_mh_" + java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(d.getBytes("UTF-8"))
+        .map("%02x".format(_))
+        .mkString
+    ).toString
+    val docs = documents(s, d)
+    saveMinhashIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", dir)
+    incrementalDedup(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", dir, incrementalMinMatches)
+  }
+
   // ---- blocked exact n-gram Jaccard ----------------------------------
 
   /** Exact word-set Jaccard restricted to blocking buckets
@@ -482,7 +595,8 @@ object Dedup {
     "dedup_simhash" -> dedupSimhash,
     "dedup_simhash_pairs" -> dedupSimhashPairs,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
-    "dedup_blocked_fallback" -> dedupBlockedFallback
+    "dedup_blocked_fallback" -> dedupBlockedFallback,
+    "dedup_incremental" -> dedupIncremental
   )
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -516,6 +630,20 @@ object Dedup {
       }
       .mkString(" UNION ALL ")
     s"bands AS ($arms)"
+  }
+
+  /** Band CTE over a parity slice of `mh` — the oracle-side split of
+    * the incremental query's index/increment sides.
+    */
+  private def bandsSqlNamed(name: String, pred: String): String = {
+    val nBands = numHashes / bandSize
+    val arms = (0 until nBands)
+      .map { bnd =>
+        val parts = (0 until bandSize).map(j => s"h${bnd * bandSize + j}").mkString(" || ")
+        s"SELECT doc_id, $bnd AS band_id, md5($parts) AS band_key FROM mh WHERE $pred"
+      }
+      .mkString(" UNION ALL ")
+    s"$name AS ($arms)"
   }
 
   private def simhashBitSumsSql: String =
@@ -635,6 +763,37 @@ object Dedup {
          |SELECT doc_a, doc_b, n_inter, n_union, jaccard, 'lsh' AS method
          |FROM lsh_pairs WHERE jaccard >= 0.5
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // incremental replay: one shingle/minhash pass over ALL documents
+    // (per-doc signatures are corpus-independent, so signing even and
+    // odd docs separately — as the Spark side does — gives identical
+    // values), bands split by parity, candidates per route, and the
+    // same k-of-8 agreement estimator.
+    "dedup_incremental" -> {
+      val matchSum = (0 until numHashes)
+        .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $shinglesSql,
+         |$minhashSql,
+         |${bandsSqlNamed("bnew", "doc_id % 2 <> 0")},
+         |${bandsSqlNamed("bidx", "doc_id % 2 = 0")},
+         |cand AS (
+         |  SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id, 'index' AS src
+         |  FROM bnew n JOIN bidx r
+         |    ON n.band_id = r.band_id AND n.band_key = r.band_key AND r.doc_id <> n.doc_id
+         |  UNION ALL
+         |  SELECT DISTINCT n.doc_id, r.doc_id, 'increment' AS src
+         |  FROM bnew n JOIN bnew r
+         |    ON n.band_id = r.band_id AND n.band_key = r.band_key AND r.doc_id < n.doc_id),
+         |scored AS (
+         |  SELECT c.new_id, c.ref_id, c.src, CAST($matchSum AS BIGINT) AS n_match
+         |  FROM cand c
+         |  JOIN mh a ON a.doc_id = c.new_id
+         |  JOIN mh b ON b.doc_id = c.ref_id)
+         |SELECT new_id, ref_id, src, n_match,
+         |  round(n_match / $numHashes.0, 6) AS est_jaccard
+         |FROM scored WHERE n_match >= $incrementalMinMatches
+         |ORDER BY new_id, ref_id, src""".stripMargin
+    },
     "dedup_ngram_jaccard" ->
       """WITH docs AS (
         |  SELECT doc_id, lang, CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket,

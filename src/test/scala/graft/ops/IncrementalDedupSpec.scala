@@ -1,0 +1,85 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The persisted-index incremental dedup route (Dedup.saveMinhashIndex
+  * + incrementalDedup): the serve-side shape a 100 TB pipeline runs —
+  * sign the corpus once, probe each arriving batch.
+  */
+class IncrementalDedupSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def buildIndex(): String = {
+    val idx = java.nio.file.Files.createTempDirectory("graft_mh_spec").toString
+    val docs = Fixtures.documents(spark, sfDir)
+    Dedup.saveMinhashIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx)
+    idx
+  }
+
+  test("routes partition by parity and increment refs keep ref < new") {
+    val idx = buildIndex()
+    val inc = Fixtures.documents(spark, sfDir).filter(col("doc_id") % 2 =!= 0)
+    val out = Dedup.incrementalDedup(inc, "doc_id", "text", idx, minMatches = 4).collect()
+    assert(out.nonEmpty, "fixture corpus should contain near-dups across the parity split")
+    out.foreach { r =>
+      val (newId, refId, src) = (r.getAs[Long]("new_id"), r.getAs[Long]("ref_id"), r.getAs[String]("src"))
+      assert(newId % 2 != 0, s"new_id $newId must come from the increment")
+      if (src == "index") assert(refId % 2 == 0, s"index ref $refId must be an indexed doc")
+      else { assert(refId % 2 != 0 && refId < newId, s"increment ref $refId vs $newId") }
+      assert(r.getAs[Double]("est_jaccard") == r.getAs[Long]("n_match").toDouble / 8.0)
+    }
+  }
+
+  test("incremental flags equal the full-corpus LSH agreement pairs touching the increment") {
+    val idx = buildIndex()
+    val docs = Fixtures.documents(spark, sfDir)
+    val inc = docs.filter(col("doc_id") % 2 =!= 0)
+    val out = Dedup
+      .incrementalDedup(inc, "doc_id", "text", idx, minMatches = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("ref_id"), r.getAs[Long]("n_match")))
+      .toSet
+    // full-corpus reference: band-join candidates over ALL docs, scored
+    // by the same k-of-8 agreement, restricted to pairs with >= 1 odd
+    // member, re-keyed to the incremental (new, ref) orientation
+    val sig = Dedup.minhashSignature(Dedup.shingles(docs, "doc_id", "text")).cache()
+    val bands = Dedup.bandKeys(sig)
+    val cand = bands
+      .select(col("doc_id").as("a"), col("band_id"), col("band_key"))
+      .join(
+        bands.select(col("doc_id").as("b"), col("band_id").as("bi"), col("band_key").as("bk")),
+        col("band_id") === col("bi") && col("band_key") === col("bk") && col("a") < col("b")
+      )
+      .select("a", "b")
+      .distinct()
+    val hMatch = (0 until 8).map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+    val scored = cand
+      .join(sig.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sig.as("sb"), col("b") === col("sb.doc_id"))
+      .withColumn("n_match", expr(hMatch).cast("bigint"))
+      .filter(col("n_match") >= 4)
+      .select("a", "b", "n_match")
+      .collect()
+      .flatMap { r =>
+        val (a, b, m) = (r.getAs[Long]("a"), r.getAs[Long]("b"), r.getAs[Long]("n_match"))
+        (a % 2, b % 2) match {
+          case (1, 1) => Some((b.max(a), a.min(b), m)) // increment pair: new = larger
+          case (1, 0) => Some((a, b, m)) // new = the odd member
+          case (0, 1) => Some((b, a, m))
+          case _ => None // both indexed: not the increment's concern
+        }
+      }
+      .toSet
+    assert(out == scored, s"incremental=${out.size} full=${scored.size} diff=${(out diff scored) ++ (scored diff out)}")
+  }
+
+  test("a saved index serves repeated increments deterministically") {
+    val idx = buildIndex()
+    val inc = Fixtures.documents(spark, sfDir).filter(col("doc_id") % 2 =!= 0)
+    def run() =
+      Dedup.incrementalDedup(inc, "doc_id", "text", idx, minMatches = 4).collect().map(_.toSeq).toSeq
+    assert(run() == run())
+  }
+}
