@@ -364,7 +364,14 @@ object Dedup {
   def saveMinhashIndex(docs: DataFrame, idCol: String, textCol: String, dir: String): Unit = {
     val sig = minhashSignature(shingles(docs, idCol, textCol))
     sig.write.mode("overwrite").parquet(s"$dir/signatures")
-    bandKeys(sig).write.mode("overwrite").partitionBy("band_id").parquet(s"$dir/bands")
+    // co-locate each band before the partitioned write (one file per
+    // band dir, not one per task × band — the small-files guard)
+    bandKeys(sig)
+      .repartition(col("band_id"))
+      .write
+      .mode("overwrite")
+      .partitionBy("band_id")
+      .parquet(s"$dir/bands")
   }
 
   /** Near-dup flags for an increment of NEW documents against the

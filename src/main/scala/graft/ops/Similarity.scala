@@ -120,6 +120,93 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  // ---- incremental embedding dedup vs a persisted bucket index ------
+
+  /** Persist the sign-LSH bucket index for incremental vector dedup:
+    * (vec_id, v, bucket_id) partitioned BY bucket — the vector twin of
+    * Dedup.saveMinhashIndex. Unlike the text route, the index stores
+    * the vectors themselves (they ARE the signature), so incremental
+    * probes verify with EXACT cosine, not an estimator.
+    */
+  def saveEmbeddingDedupIndex(emb: DataFrame, dir: String): Unit =
+    lshBuckets(emb)
+      .select(col("vec_id"), col("v"), col("bucket_id"))
+      // co-locate each bucket before the partitioned write: one file
+      // per bucket directory instead of one per (task × bucket) — the
+      // small-files guard every partitioned index write needs
+      .repartition(col("bucket_id"))
+      .write
+      .mode("overwrite")
+      .partitionBy("bucket_id")
+      .parquet(s"$dir/buckets")
+
+  /** Near-dup flags for an increment of NEW vectors against the
+    * persisted bucket index: bucket only the increment, read back ONLY
+    * the index partitions for buckets the increment actually occupies
+    * (the bucket set is ≤ 2^nPlanes = 256 — a metadata-scale collect,
+    * like IVF centroids — and the isin filter lands as a parquet
+    * PartitionFilter, spec-proven), then exact-cosine verify within
+    * buckets: index refs plus increment self-pairs (ref < new). Daily
+    * cost is O(increment + occupied index partitions); the corpus is
+    * bucketed once, never re-read in full.
+    */
+  def incrementalEmbeddingDedup(newVecs: DataFrame, indexDir: String, minCos: Double): DataFrame = {
+    val spark = newVecs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    // cached: increment-sized (a day's delta), and materializing it
+    // here (a) computes the 8 hyperplane dots once for the probe list,
+    // the join and the output, and (b) keeps Spark's dynamic-partition
+    // -pruning rule from planting a runtime subquery over the bucket
+    // expression into the index scan — the probe-bucket pruning below
+    // is already STATIC (isin over a collected ≤256-value set)
+    val nb = lshBuckets(newVecs)
+      .select(col("vec_id").as("new_id"), col("bucket_id"), col("v").as("vn"))
+      .cache()
+    val probeBuckets = nb.select("bucket_id").distinct().collect().map(_.getLong(0))
+    val idx = spark.read
+      .parquet(s"$indexDir/buckets")
+      .filter(col("bucket_id").isin(probeBuckets.toSeq: _*))
+      // partition values parse back as INT; restore the BIGINT the
+      // bucket expression produces so the union and output line up
+      .select(col("vec_id"), col("v"), col("bucket_id").cast("bigint").as("bucket_id"))
+    val refs = idx
+      .select(col("vec_id").as("ref_id"), col("bucket_id").as("bucket_r"), col("v").as("vr"))
+      .withColumn("src", lit("index"))
+      .unionByName(
+        nb.select(col("new_id").as("ref_id"), col("bucket_id").as("bucket_r"), col("vn").as("vr"))
+          .withColumn("src", lit("increment"))
+      )
+    nb.join(
+        refs,
+        col("bucket_id") === col("bucket_r") &&
+          when(col("src") === "increment", col("ref_id") < col("new_id"))
+            .otherwise(col("ref_id") =!= col("new_id"))
+      )
+      .withColumn("cos_sim", round(expr("cosine_sim(vn, vr)"), 6))
+      .filter(col("cos_sim") >= minCos)
+      .select("new_id", "ref_id", "src", "bucket_id", "cos_sim")
+      .orderBy("new_id", "ref_id", "src")
+  }
+
+  /** The incremental vector route as an oracle-gated query: index the
+    * even vec_ids, dedup the odd ones against index + themselves. The
+    * 0.3 threshold is where the fixture corpus has in-bucket structure
+    * (its vectors have no ≥0.5 in-bucket pairs at the gate scales).
+    */
+  val dedupIncrementalEmbedding: Q = (s, d) => {
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      "graft_emb_" + java.security.MessageDigest
+        .getInstance("MD5")
+        .digest(d.getBytes("UTF-8"))
+        .map("%02x".format(_))
+        .mkString
+    ).toString
+    val emb = embeddings(s, d)
+    saveEmbeddingDedupIndex(emb.filter(col("vec_id") % 2 === 0), dir)
+    incrementalEmbeddingDedup(emb.filter(col("vec_id") % 2 =!= 0), dir, minCos = 0.3)
+  }
+
   // ---- IVF (inverted-file) ANN -------------------------------------
 
   /** IVF index: k-means centroids over the embeddings; each vector is
@@ -268,6 +355,9 @@ object Similarity {
     val (assigned, model) = ivfAssignmentsCached(emb, nLists)
     assigned
       .select(col("vec_id"), col("label"), col("v"), col("list_id"))
+      // one file per list dir, not one per task × list (small-files
+      // guard for the partitioned index layout)
+      .repartition(col("list_id"))
       .write
       .mode("overwrite")
       .partitionBy("list_id")
@@ -354,6 +444,7 @@ object Similarity {
     "ann_lsh_buckets" -> annLshBuckets,
     "ann_lsh_topk" -> annLshTopk,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
+    "dedup_incremental_embedding" -> dedupIncrementalEmbedding,
     "ann_ivf_lists" -> annIvfLists,
     "ann_ivf_topk_index" -> annIvfTopkIndex
   )
@@ -404,6 +495,31 @@ object Similarity {
          |SELECT vec_a, vec_b, bucket_id, cos_sim
          |FROM pairs WHERE cos_sim >= 0.9
          |ORDER BY vec_a, vec_b""".stripMargin,
+    // incremental replay: buckets over all vectors (per-vector bucket
+    // ids are corpus-independent), parity split, routed pairs, exact
+    // cosine at the same threshold.
+    "dedup_incremental_embedding" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, CAST($bucketDuckSql AS BIGINT) AS bucket_id FROM e),
+         |bnew AS (SELECT * FROM b WHERE vec_id % 2 <> 0),
+         |bidx AS (SELECT * FROM b WHERE vec_id % 2 = 0),
+         |cand AS (
+         |  SELECT n.vec_id AS new_id, r.vec_id AS ref_id, 'index' AS src,
+         |         n.bucket_id, n.v AS vn, r.v AS vr
+         |  FROM bnew n JOIN bidx r
+         |    ON n.bucket_id = r.bucket_id AND r.vec_id <> n.vec_id
+         |  UNION ALL
+         |  SELECT n.vec_id, r.vec_id, 'increment' AS src, n.bucket_id, n.v, r.v
+         |  FROM bnew n JOIN bnew r
+         |    ON n.bucket_id = r.bucket_id AND r.vec_id < n.vec_id),
+         |scored AS (
+         |  SELECT new_id, ref_id, src, bucket_id,
+         |    round(list_dot_product(vn, vr) /
+         |          (sqrt(list_dot_product(vn, vn)) * sqrt(list_dot_product(vr, vr))), 6) AS cos_sim
+         |  FROM cand)
+         |SELECT new_id, ref_id, src, bucket_id, cos_sim
+         |FROM scored WHERE cos_sim >= 0.3
+         |ORDER BY new_id, ref_id, src""".stripMargin,
     // golden pin of the deterministic seeded-KMeans histogram at
     // sf0.01 (the correctness-gate scale); see annIvfLists scaladoc.
     "ann_ivf_lists" -> {

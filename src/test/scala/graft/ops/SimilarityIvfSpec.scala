@@ -77,6 +77,27 @@ class SimilarityIvfSpec extends SparkSpec {
     assert(recall >= 0.5, s"sampled-fit recall $recall too low")
   }
 
+  test("incremental embedding dedup prunes index partitions to the probe buckets") {
+    val emb = Fixtures.embeddings(spark, dir)
+    val idx = java.nio.file.Files.createTempDirectory("graft_emb_spec").toString
+    Similarity.saveEmbeddingDedupIndex(emb.filter(col("vec_id") % 2 === 0), idx)
+    val out = Similarity.incrementalEmbeddingDedup(emb.filter(col("vec_id") % 2 =!= 0), idx, 0.3)
+    val rows = out.collect()
+    assert(rows.nonEmpty, "fixture corpus should have in-bucket pairs at 0.3")
+    rows.foreach { r =>
+      val (n, ref, src) = (r.getAs[Long]("new_id"), r.getAs[Long]("ref_id"), r.getAs[String]("src"))
+      assert(n % 2 != 0)
+      if (src == "index") assert(ref % 2 == 0) else assert(ref % 2 != 0 && ref < n)
+      assert(r.getAs[Double]("cos_sim") >= 0.3)
+    }
+    // the probe-bucket restriction is STATIC partition pruning on the
+    // index scan, not a post-scan filter
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [bucket_id"), plan.take(2000))
+    // deterministic across repeated probes of the same index
+    assert(out.collect().map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
+  }
+
   test("persisted IVF index serves queries identically and prunes list partitions") {
     val emb = Fixtures.embeddings(spark, dir)
     val idx = java.nio.file.Files.createTempDirectory("graft_ivf").toString
