@@ -374,6 +374,26 @@ object Dedup {
       .parquet(s"$dir/bands")
   }
 
+  /** Index MAINTENANCE: append an increment's signatures and band keys
+    * to the persisted index, so the NEXT batch's probe sees this one
+    * as history. With [[incrementalDedup]] this closes the production
+    * loop: probe → flag → append — per batch, only the delta is ever
+    * signed or written, and the index grows by signature rows (9
+    * BIGINTs/doc), never text. Parquet append is per-file atomic;
+    * partition dirs accrete one file per batch per band, compacted on
+    * whatever schedule the lake already uses.
+    */
+  def appendToMinhashIndex(newDocs: DataFrame, idCol: String, textCol: String, dir: String): Unit = {
+    val sig = minhashSignature(shingles(newDocs, idCol, textCol))
+    sig.write.mode("append").parquet(s"$dir/signatures")
+    bandKeys(sig)
+      .repartition(col("band_id"))
+      .write
+      .mode("append")
+      .partitionBy("band_id")
+      .parquet(s"$dir/bands")
+  }
+
   /** Near-dup flags for an increment of NEW documents against the
     * persisted index: only the increment is shingled/signed; candidate
     * pairs are (increment bands ⋈ index bands) plus increment

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -83,6 +83,41 @@ object StreamingIngest {
       .withColumn("content_hash", md5(col(textCol).cast("binary")))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Streaming NEAR-dup flags with DISK-backed unbounded-horizon state:
+    * each micro-batch probes the persisted MinHash signature index
+    * (graft.ops.Dedup.incrementalDedup), appends its flags to `outDir`,
+    * then appends its own signatures to the index so later batches see
+    * it as history. Contrast with [[dedupStream]]: that is EXACT dedup
+    * whose state is watermark-bounded executor memory; this is
+    * NEAR-dup whose state is the signature index on disk — O(corpus
+    * signatures), never executor-resident, no horizon. foreachBatch is
+    * at-least-once under retries; a replayed batch re-flags the same
+    * pairs (downstream consumers dedup on (new_id, ref_id)) and its
+    * signature re-append is harmless to candidate generation (pairs
+    * are DISTINCT'd) — the standard idempotency analysis foreachBatch
+    * sinks need.
+    */
+  def nearDupFlagsStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexDir: String,
+      outDir: String,
+      checkpoint: String,
+      minMatches: Int
+  ): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ops.Dedup
+          .incrementalDedup(batch.toDF(), idCol, textCol, indexDir, minMatches)
+          .write
+          .mode(SaveMode.Append)
+          .parquet(outDir)
+        graft.ops.Dedup.appendToMinhashIndex(batch.toDF(), idCol, textCol, indexDir)
+      }
+      .start()
 
   final case class Event(user_id: Long, ts_micros: Long, event_type: String, value: Double)
   final case class Session(

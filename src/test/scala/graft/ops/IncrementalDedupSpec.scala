@@ -75,6 +75,38 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(out == scored, s"incremental=${out.size} full=${scored.size} diff=${(out diff scored) ++ (scored diff out)}")
   }
 
+  test("probe-then-append loop: batch 2 sees batch 1 as indexed history") {
+    val idx = buildIndex()
+    val docs = Fixtures.documents(spark, sfDir)
+    // two arriving batches partition the odd docs by doc_id % 4
+    val batch1 = docs.filter(col("doc_id") % 4 === 1)
+    val batch2 = docs.filter(col("doc_id") % 4 === 3)
+    val out1 = Dedup.incrementalDedup(batch1, "doc_id", "text", idx, minMatches = 4).collect()
+    Dedup.appendToMinhashIndex(batch1, "doc_id", "text", idx)
+    val out2 = Dedup.incrementalDedup(batch2, "doc_id", "text", idx, minMatches = 4).collect()
+    // batch 1 probes only the original even-id index
+    out1.foreach(r => assert(r.getAs[String]("src") == "increment" || r.getAs[Long]("ref_id") % 2 == 0))
+    // batch 2's 'index' refs now include batch-1 (doc_id % 4 == 1) docs
+    val refs2 = out2.filter(_.getAs[String]("src") == "index").map(_.getAs[Long]("ref_id"))
+    assert(refs2.exists(_ % 4 == 1), s"batch 2 should match appended batch-1 history: ${refs2.toSeq}")
+    // and the two-batch union equals a one-shot dedup of all odd docs
+    // (every pair reports exactly once, whichever batch surfaced it)
+    val oneShot = Dedup
+      .incrementalDedup(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", buildIndex(), minMatches = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("ref_id"), r.getAs[Long]("n_match")))
+      .toSet
+    val batched = (out1 ++ out2).map { r =>
+      val (n, ref) = (r.getAs[Long]("new_id"), r.getAs[Long]("ref_id"))
+      // one-shot keys increment pairs as (larger, smaller); a cross-
+      // batch pair surfaces with batch-2's doc as new_id regardless of
+      // id order, so re-key to the same orientation before comparing
+      (n.max(ref), n.min(ref), r.getAs[Long]("n_match"))
+    }.toSet
+    val oneShotKeyed = oneShot.map { case (n, ref, m) => (n.max(ref), n.min(ref), m) }
+    assert(batched == oneShotKeyed, s"batched=${batched.size} oneShot=${oneShotKeyed.size}")
+  }
+
   test("a saved index serves repeated increments deterministically") {
     val idx = buildIndex()
     val inc = Fixtures.documents(spark, sfDir).filter(col("doc_id") % 2 =!= 0)

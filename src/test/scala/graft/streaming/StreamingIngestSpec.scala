@@ -61,6 +61,42 @@ class StreamingIngestSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming near-dup flags probe and grow the disk-backed signature index") {
+    implicit val sc = spark.sqlContext
+    // history = even fixture docs; two arriving micro-batches split
+    // the odd docs by doc_id % 4 (same shape as IncrementalDedupSpec)
+    val sfDir = "/root/testdata/sf0.001"
+    val idx = Files.createTempDirectory("graft_mh_stream").toString
+    val out = Files.createTempDirectory("graft_mh_flags").toString
+    val ckpt = Files.createTempDirectory("graft_mh_ckpt").toString
+    val docs = graft.ops.Fixtures.documents(spark, sfDir)
+    graft.ops.Dedup.saveMinhashIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx)
+    def slice(r: Long): Seq[(Long, String)] = docs
+      .filter(col("doc_id") % 4 === r)
+      .select("doc_id", "text")
+      .collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+      .toSeq
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingIngest.nearDupFlagsStream(df, "doc_id", "text", idx, out, ckpt, minMatches = 4)
+    mem.addData(slice(1): _*)
+    q.processAllAvailable()
+    mem.addData(slice(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    val flags = spark.read.parquet(out).collect()
+    assert(flags.nonEmpty)
+    // batch 2 (doc_id % 4 == 3) found history refs appended by batch 1
+    assert(
+      flags.exists(r =>
+        r.getAs[String]("src") == "index" &&
+          r.getAs[Long]("new_id") % 4 == 3 && r.getAs[Long]("ref_id") % 4 == 1
+      ),
+      flags.map(_.toSeq).mkString("\n")
+    )
+  }
+
   test("sessionization groups events by gap and keeps the last session open") {
     import StreamingIngest._
     val minute = 60L * 1000000
