@@ -25,7 +25,8 @@ object SparkEntry {
       (Multimodal.queries, Multimodal.oracles),
       (Movement.queries, Movement.oracles),
       (Events.queries, Events.oracles),
-      (TolerantMetrics.queries, TolerantMetrics.oracles)
+      (TolerantMetrics.queries, TolerantMetrics.oracles),
+      (Pipeline.queries, Pipeline.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -628,7 +628,7 @@ object Dedup {
 
   // ---- DuckDB oracles ------------------------------------------------
 
-  private def shinglesSqlFrom(src: String) =
+  private[ops] def shinglesSqlFrom(src: String) =
     s"""sh AS (
        |  SELECT DISTINCT doc_id, shingle FROM (
        |    SELECT doc_id,
@@ -638,7 +638,7 @@ object Dedup {
 
   private val shinglesSql = shinglesSqlFrom("documents")
 
-  private def minhashSql: String = {
+  private[ops] def minhashSql: String = {
     val mins = (0 until numHashes).map(i => s"min((mh1 + $i * mh2) % $mhMod) AS h$i").mkString(", ")
     s"""hv AS (
        |  SELECT doc_id,
@@ -648,7 +648,7 @@ object Dedup {
        |mh AS (SELECT doc_id, $mins FROM hv GROUP BY doc_id)""".stripMargin
   }
 
-  private def bandsSql: String = {
+  private[ops] def bandsSql: String = {
     val nBands = numHashes / bandSize
     val arms = (0 until nBands)
       .map { bnd =>

@@ -1,0 +1,145 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The composed training-data pipeline — the operators of this library
+  * chained the way a corpus-preparation job actually runs them:
+  *
+  *   quality filter (text_stats semantics)
+  *     → exact dedup (content-hash, keep lowest id)
+  *       → near-dup removal (MinHash-LSH verified Jaccard, keep-earliest)
+  *         → per-language survivor accounting
+  *
+  * Each stage reuses the SAME expressions as its standalone operator
+  * (TextAnalysis.textStats quality rule, Dedup.exactDedup policy,
+  * Dedup.lshCandidatesWithJaccard verification), so the composed
+  * result is the one a user gets by chaining the public operators.
+  *
+  * Scale shape: quality is a stateless scan; exact dedup shuffles
+  * (hash, id) only; near-dup runs the candidate-bounded LSH chain over
+  * the already-thinned survivor set (each stage shrinks the next
+  * stage's input — the reason pipelines order cheap filters first).
+  * The keep-earliest drop rule (drop doc_b of every verified pair) is
+  * deterministic and join-free to apply — one anti-join, no union-find
+  * over the pair graph.
+  */
+object Pipeline {
+  type Q = (SparkSession, String) => DataFrame
+  import Fixtures._
+
+  private val minJaccard = 0.5
+
+  /** Survivor doc rows after all three stages, plus the intermediate
+    * frames for accounting: (all docs with quality flag, exact-dedup
+    * survivors, final survivors).
+    */
+  def stages(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    // stage 1 — quality: bit-identical to TextAnalysis.textStats
+    val flagged = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("bigint"))
+      .withColumn(
+        "n_stop",
+        expr(s"CAST(size(filter(toks, w -> w IN (${TextAnalysis.stopList}))) AS BIGINT)")
+      )
+      .withColumn("stop_pct", expr("CAST(floor(n_stop * 100.0 / n_tokens) AS BIGINT)"))
+      .withColumn("quality_pass", col("n_tokens") >= 20 && col("stop_pct").between(2, 60))
+    val qualityPass = flagged.filter(col("quality_pass"))
+    // stage 2 — exact dedup: Dedup.exactDedup's keep-min-id policy,
+    // applied as a semi-join on (hash, keep_id)
+    val keep = Dedup
+      .exactDedup(qualityPass, "text", "doc_id")
+      .select(col("content_hash"), col("keep_id").as("doc_id"))
+    val exactKept = qualityPass
+      .withColumn("content_hash", md5(col("text").cast("binary")))
+      .join(keep, Seq("content_hash", "doc_id"), "left_semi")
+    // stage 3 — near-dup removal: verified-Jaccard pairs over the
+    // exact survivors; keep-earliest (drop the larger id of each pair)
+    val dropIds = Dedup
+      .lshCandidatesWithJaccard(exactKept, "doc_id", "text")
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_b").as("doc_id"))
+      .distinct()
+    val finalKept = exactKept.join(dropIds, Seq("doc_id"), "left_anti")
+    (flagged, exactKept, finalKept)
+  }
+
+  /** Per-language stage accounting: how many docs entered, passed
+    * quality, survived exact dedup, survived near-dup removal.
+    */
+  val pipelineSurvivors: Q = (s, d) => {
+    val (flagged, exactKept, finalKept) = stages(documents(s, d))
+    def perLang(df: DataFrame, name: String): DataFrame =
+      df.groupBy(col("lang")).agg(count(lit(1)).cast("bigint").as(name))
+    flagged
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_input"),
+        sum(when(col("quality_pass"), 1).otherwise(0)).cast("bigint").as("n_quality_pass")
+      )
+      .join(perLang(exactKept, "n_exact_survivors"), Seq("lang"), "left")
+      .join(perLang(finalKept, "n_final_survivors"), Seq("lang"), "left")
+      .na
+      .fill(0L, Seq("n_exact_survivors", "n_final_survivors"))
+      .orderBy("lang")
+  }
+
+  def queries: Map[String, Q] = Map("pipeline_survivors" -> pipelineSurvivors)
+
+  /** The oracle replays all three stages from the same fragments the
+    * standalone operators' oracles use (TextAnalysis quality rule,
+    * Dedup shingle/minhash/band CTEs re-sourced from the exact-dedup
+    * survivors).
+    */
+  def oracles: Map[String, String] = {
+    val stop = TextAnalysis.stopList
+    Map(
+      "pipeline_survivors" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, lang, text,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           |    CAST(floor(len(list_filter(string_split(text, ' '), w -> w IN ($stop))) * 100.0
+           |               / len(string_split(text, ' '))) AS BIGINT) AS stop_pct
+           |  FROM documents),
+           |q AS (SELECT * FROM t WHERE n_tokens >= 20 AND stop_pct BETWEEN 2 AND 60),
+           |k AS (SELECT md5(text) AS h, min(doc_id) AS keep_id FROM q GROUP BY md5(text)),
+           |ek AS (SELECT q.* FROM q JOIN k ON md5(q.text) = k.h AND q.doc_id = k.keep_id),
+           |${Dedup.shinglesSqlFrom("ek")},
+           |${Dedup.minhashSql},
+           |${Dedup.bandsSql},
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+           |inter AS (
+           |  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+           |  FROM pairs p
+           |  JOIN sh x ON x.doc_id = p.doc_a
+           |  JOIN sh y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
+           |  GROUP BY p.doc_a, p.doc_b),
+           |dropped AS (
+           |  SELECT DISTINCT p.doc_b AS doc_id
+           |  FROM pairs p
+           |  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+           |  JOIN sizes sa ON sa.doc_id = p.doc_a
+           |  JOIN sizes sb ON sb.doc_id = p.doc_b
+           |  WHERE round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+           |              / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) >= $minJaccard),
+           |fk AS (SELECT * FROM ek WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
+           |a AS (
+           |  SELECT lang, CAST(count(*) AS BIGINT) AS n_input,
+           |    CAST(sum(CASE WHEN n_tokens >= 20 AND stop_pct BETWEEN 2 AND 60 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_quality_pass
+           |  FROM t GROUP BY lang),
+           |b AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM ek GROUP BY lang),
+           |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM fk GROUP BY lang)
+           |SELECT a.lang, a.n_input, a.n_quality_pass,
+           |  CAST(coalesce(b.n, 0) AS BIGINT) AS n_exact_survivors,
+           |  CAST(coalesce(c.n, 0) AS BIGINT) AS n_final_survivors
+           |FROM a LEFT JOIN b ON a.lang = b.lang LEFT JOIN c ON a.lang = c.lang
+           |ORDER BY a.lang""".stripMargin
+    )
+  }
+}

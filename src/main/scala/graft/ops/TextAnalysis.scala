@@ -16,7 +16,9 @@ object TextAnalysis {
   import Fixtures._
 
   private val stopwords = Seq("the", "a", "of", "to", "and", "in")
-  private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+  // shared with Pipeline so the composed query's quality stage is
+  // bit-identical to text_stats
+  private[ops] val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
   /** Per-document stats + integer-arithmetic quality score. */
   val textStats: Q = (s, d) =>
