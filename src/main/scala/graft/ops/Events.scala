@@ -123,12 +123,60 @@ object Events {
         ).cast("bigint").as("n_converted")
       )
 
+  /** Interval-overlap RANGE join, bucket-decomposed: events against
+    * 6-hour windows sliding every 3 hours (each event overlaps up to
+    * two windows — a genuine interval join, not a tumbling groupBy).
+    *
+    * Spark plans a raw `ts BETWEEN w_start AND w_end` join as a
+    * nested-loop over events × windows — quadratic and the classic
+    * range-join scale-killer. The scalable decomposition: explode each
+    * window into the coarse time buckets it covers (≤3 rows per
+    * window at bucket = stride), equi-join on the bucket (hash join),
+    * then apply the exact range as a residual filter. An event sits in
+    * exactly one bucket, and a window covers each bucket at most once,
+    * so no pair duplicates and no dedup pass is needed. The window
+    * relation is range-metadata-sized (one row per stride across the
+    * data's time span), so it broadcasts; the bounds row it derives
+    * from is a 2-value aggregate, computed relationally — no driver
+    * collect. PlanShapeSpec asserts the join is a BroadcastHashJoin,
+    * never a BroadcastNestedLoopJoin.
+    */
+  val eventsRangeJoin: Q = (s, d) => {
+    val strideUs = 10800000000L // 3 h
+    val lenUs = 21600000000L // 6 h; len/stride = overlap factor 2
+    val e = events(s, d)
+      .withColumn("ts_us", expr("ts_nanos div 1000"))
+      .select("ts_us", "user_id")
+    val bounds = e.agg(min(col("ts_us")).as("t0"), max(col("ts_us")).as("t1"))
+    val w = bounds
+      .select(
+        explode(expr(s"sequence(CAST(0 AS BIGINT), (t1 - t0) div $strideUs)")).as("window_id"),
+        col("t0")
+      )
+      .select(
+        col("window_id"),
+        (col("t0") + col("window_id") * strideUs).as("w_start"),
+        (col("t0") + col("window_id") * strideUs + lenUs).as("w_end")
+      )
+    val wb = w.withColumn(
+      "bucket",
+      explode(expr(s"sequence(w_start div $strideUs, (w_end - 1) div $strideUs)"))
+    )
+    e.withColumn("bucket", expr(s"ts_us div $strideUs"))
+      .join(broadcast(wb), Seq("bucket"))
+      .filter(col("ts_us") >= col("w_start") && col("ts_us") < col("w_end"))
+      .groupBy(col("window_id"), col("w_start"), col("w_end"))
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy("window_id")
+  }
+
   def queries: Map[String, Q] = Map(
     "events_window_counts" -> eventsWindowCounts,
     "events_sessions" -> eventsSessions,
     "events_json_extract" -> eventsJsonExtract,
     "events_asof_join" -> eventsAsofJoin,
-    "events_funnel" -> eventsFunnel
+    "events_funnel" -> eventsFunnel,
+    "events_range_join" -> eventsRangeJoin
   )
 
   def oracles: Map[String, String] = Map(
@@ -176,6 +224,24 @@ object Events {
         |       ts_us - prev_click_ts AS micros_since_click
         |FROM t WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
+    // the oracle replays the range join directly (nested loop is fine
+    // at oracle scale); the Spark side's bucket decomposition must
+    // produce the same pairs
+    "events_range_join" ->
+      """WITH e AS (SELECT epoch_us(ts) AS ts_us, user_id FROM events),
+        |b AS (SELECT min(ts_us) AS t0, max(ts_us) AS t1 FROM e),
+        |w AS (
+        |  SELECT CAST(gs AS BIGINT) AS window_id,
+        |         t0 + gs * 10800000000 AS w_start,
+        |         t0 + gs * 10800000000 + 21600000000 AS w_end
+        |  FROM (SELECT t0, unnest(generate_series(0, CAST((t1 - t0) // 10800000000 AS BIGINT))) AS gs
+        |        FROM b)),
+        |j AS (
+        |  SELECT w.window_id, w.w_start, w.w_end, e.ts_us, e.user_id
+        |  FROM w JOIN e ON e.ts_us >= w.w_start AND e.ts_us < w.w_end)
+        |SELECT window_id, w_start, w_end, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM j GROUP BY 1, 2, 3 ORDER BY window_id""".stripMargin,
     "events_funnel" ->
       """WITH per_user AS (
         |  SELECT user_id,

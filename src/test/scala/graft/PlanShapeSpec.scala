@@ -47,6 +47,17 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("events_range_join: bucket decomposition plans a hash join, never nested-loop") {
+    val df = graft.ops.Events.eventsRangeJoin(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the range predicate must ride a bucket equi-join as a residual
+    // filter — a raw interval join plans BroadcastNestedLoopJoin,
+    // which is quadratic in events × windows
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("limit_sample: top-k via TakeOrderedAndProject, not a global sort") {
     val df = Relational.limitSample(spark, sfDir)
     df.collect()
