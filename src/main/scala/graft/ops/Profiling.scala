@@ -193,7 +193,35 @@ object Profiling {
       .orderBy("bucket")
   }
 
+  /** Quantile profile + the quantile SKETCH tolerance-gated: exact
+    * interpolated percentiles are engine-portable (both engines
+    * compute lower + fraction·(upper − lower) at rank p·(n−1)), so
+    * they hash-compare directly; the approx sketch
+    * (`approx_percentile`, a single-scan mergeable summary — the
+    * scale mode for 100 TB where exact percentile means a full sort)
+    * is engine-specific, so each engine checks its OWN sketch against
+    * its own exact value under a 5% relative tolerance and only the
+    * status crosses the engine boundary — the same contract as
+    * agg_wide_metrics_approx.
+    */
+  private val quantilePs = Seq(0.25 -> "q25", 0.5 -> "q50", 0.75 -> "q75", 0.95 -> "q95")
+
+  val profileQuantiles: Q = (s, d) => {
+    val aggs: Seq[Column] = quantilePs.flatMap { case (p, n) =>
+      val exact = s"percentile(l_extendedprice, $p)"
+      val approx = s"approx_percentile(l_extendedprice, $p, 10000)"
+      Seq(
+        round(expr(exact), 6).as(n),
+        when(expr(s"abs($approx - $exact) <= 0.05 * abs($exact)"), "OK")
+          .otherwise("DEVIATION")
+          .as(s"${n}_tol")
+      )
+    }
+    lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+  }
+
   def queries: Map[String, Q] = Map(
+    "profile_quantiles" -> profileQuantiles,
     "profile_decimal_scale" -> profileDecimalScale,
     "narrow_double_to_decimal" -> narrowDoubleToDecimal,
     "narrow_decimal_width" -> narrowDecimalWidth,
@@ -230,7 +258,21 @@ object Profiling {
        |SELECT melted.*, $best AS best_scale FROM melted""".stripMargin
   }
 
+  private def quantileSqlOracle: String = {
+    val cols = quantilePs
+      .flatMap { case (p, n) =>
+        Seq(
+          s"round(quantile_cont(l_extendedprice, $p), 6) AS $n",
+          s"""CASE WHEN abs(approx_quantile(l_extendedprice, $p) - quantile_cont(l_extendedprice, $p))
+             |     <= 0.05 * abs(quantile_cont(l_extendedprice, $p)) THEN 'OK' ELSE 'DEVIATION' END AS ${n}_tol""".stripMargin
+        )
+      }
+      .mkString(",\n")
+    s"SELECT $cols FROM lineitem"
+  }
+
   def oracles: Map[String, String] = Map(
+    "profile_quantiles" -> quantileSqlOracle,
     "profile_decimal_scale" -> s"SELECT * FROM ($profileMeltSql) ORDER BY col_name",
     "narrow_double_to_decimal" ->
       s"""SELECT col_name,
