@@ -26,7 +26,8 @@ object SparkEntry {
       (Movement.queries, Movement.oracles),
       (Events.queries, Events.oracles),
       (TolerantMetrics.queries, TolerantMetrics.oracles),
-      (Pipeline.queries, Pipeline.oracles)
+      (Pipeline.queries, Pipeline.oracles),
+      (graft.streaming.StreamingIngest.queries, graft.streaming.StreamingIngest.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,50 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
+import org.apache.hadoop.fs.Path
+
+/** In-place compaction for append-maintained parquet relations (the
+  * persisted dedup/ANN indexes): every append adds one file per batch
+  * (per partition dir for partitioned layouts), so a long-lived
+  * probe→append loop accretes unbounded file counts — the small-files
+  * problem the initial partitioned save explicitly guards against.
+  *
+  * Rewrite: read → repartition (by the partition column, or to a fixed
+  * file count) → write to a staging dir → swap. The swap is
+  * delete+rename through the Hadoop FileSystem, so it works on any FS
+  * the index lives on; like any overwrite of a live table it runs
+  * under the lake's usual maintenance coordination (a concurrent probe
+  * during the swap window would see a missing dir — the same contract
+  * as INSERT OVERWRITE). Values are untouched, so probe results are
+  * bit-identical before and after (IncrementalDedupSpec pins this).
+  */
+object Compaction {
+
+  /** Rewrite `path` with a bounded file count: one file per partition
+    * dir when `partitionCol` is set, else `targetPartitions` files.
+    * At corpus scale pick `targetPartitions` from target bytes per
+    * file (total bytes / 128 MiB), not a fixed count.
+    */
+  def compact(
+      spark: SparkSession,
+      path: String,
+      partitionCol: Option[String],
+      targetPartitions: Int
+  ): Unit = {
+    val df = spark.read.parquet(path)
+    val staged = path + "__compacting"
+    partitionCol match {
+      case Some(c) =>
+        df.repartition(col(c)).write.mode("overwrite").partitionBy(c).parquet(staged)
+      case None =>
+        df.repartition(targetPartitions).write.mode("overwrite").parquet(staged)
+    }
+    val p = new Path(path)
+    val s = new Path(staged)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(p, true)
+    if (!fs.rename(s, p))
+      throw new java.io.IOException(s"compaction swap failed: rename $staged -> $path")
+  }
+}

@@ -362,7 +362,7 @@ object Dedup {
     * partitionBy(band_id) keeps the demo catalog-free.)
     */
   def saveMinhashIndex(docs: DataFrame, idCol: String, textCol: String, dir: String): Unit = {
-    val sig = minhashSignature(shingles(docs, idCol, textCol))
+    val sig = signDocuments(docs, idCol, textCol)
     sig.write.mode("overwrite").parquet(s"$dir/signatures")
     // co-locate each band before the partitioned write (one file per
     // band dir, not one per task × band — the small-files guard)
@@ -374,17 +374,30 @@ object Dedup {
       .parquet(s"$dir/bands")
   }
 
+  /** The increment's signature relation — the thing [[incrementalDedupCached]]
+    * caches and [[appendSignaturesToIndex]] persists. Exposed so a
+    * probe→flag→append loop signs each batch exactly ONCE.
+    */
+  def signDocuments(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    minhashSignature(shingles(docs, idCol, textCol))
+
   /** Index MAINTENANCE: append an increment's signatures and band keys
     * to the persisted index, so the NEXT batch's probe sees this one
     * as history. With [[incrementalDedup]] this closes the production
     * loop: probe → flag → append — per batch, only the delta is ever
     * signed or written, and the index grows by signature rows (9
     * BIGINTs/doc), never text. Parquet append is per-file atomic;
-    * partition dirs accrete one file per batch per band, compacted on
-    * whatever schedule the lake already uses.
+    * partition dirs accrete one file per batch per band — bound that
+    * with [[compactMinhashIndex]] on a size-or-schedule trigger.
     */
-  def appendToMinhashIndex(newDocs: DataFrame, idCol: String, textCol: String, dir: String): Unit = {
-    val sig = minhashSignature(shingles(newDocs, idCol, textCol))
+  def appendToMinhashIndex(newDocs: DataFrame, idCol: String, textCol: String, dir: String): Unit =
+    appendSignaturesToIndex(signDocuments(newDocs, idCol, textCol), dir)
+
+  /** Append PRE-COMPUTED signatures (typically the cached relation
+    * returned by [[incrementalDedupCached]], so the probe and the
+    * append share one shingle+sign pass over the batch).
+    */
+  def appendSignaturesToIndex(sig: DataFrame, dir: String): Unit = {
     sig.write.mode("append").parquet(s"$dir/signatures")
     bandKeys(sig)
       .repartition(col("band_id"))
@@ -392,6 +405,21 @@ object Dedup {
       .mode("append")
       .partitionBy("band_id")
       .parquet(s"$dir/bands")
+  }
+
+  /** Index COMPACTION: every [[appendSignaturesToIndex]] adds one file
+    * per batch (per band partition for the bands relation), so a
+    * long-lived probe→append loop re-creates the small-files problem
+    * the initial save guards against. Rewrite both relations in place:
+    * bands back to one file per band dir, signatures to
+    * `sigPartitions` files (at corpus scale size this by target bytes
+    * per file, not a count). Values are untouched, so probes are
+    * bit-identical before and after; like any overwrite of a live
+    * table, run it under the lake's usual maintenance coordination.
+    */
+  def compactMinhashIndex(spark: SparkSession, dir: String, sigPartitions: Int = 4): Unit = {
+    graft.core.Compaction.compact(spark, s"$dir/signatures", None, sigPartitions)
+    graft.core.Compaction.compact(spark, s"$dir/bands", Some("band_id"), 1)
   }
 
   /** Near-dup flags for an increment of NEW documents against the
@@ -409,10 +437,18 @@ object Dedup {
     * the band probe broadcasts it against the corpus-sized index
     * relation; candidates are output-sized; signature joins carry 9
     * BIGINTs per row. The cached relation is the increment's
-    * SIGNATURES (bounded by the delta, never the corpus).
+    * SIGNATURES (bounded by the delta, never the corpus) — use
+    * [[incrementalDedupCached]] to take ownership of it and unpersist
+    * once the flags are materialized (a loop that probes per batch
+    * forever must not pin one dead delta per batch).
     * Id spaces may overlap between index and increment: every join is
     * src-qualified, so an id re-arriving in the increment never picks
     * up the indexed signature of its previous version.
+    *
+    * Cold start: a never-seeded `indexDir` behaves as an EMPTY index
+    * (schema-explicit reads over the missing/empty dirs), so the first
+    * batch of a stream flags only its own self-pairs and its append
+    * seeds the index.
     */
   def incrementalDedup(
       newDocs: DataFrame,
@@ -420,12 +456,43 @@ object Dedup {
       textCol: String,
       indexDir: String,
       minMatches: Int
+  ): DataFrame =
+    incrementalDedupCached(newDocs, idCol, textCol, indexDir, minMatches)._1
+
+  /** [[incrementalDedup]] plus ownership of the cached increment
+    * signatures: returns (flags, cached signatures). The caller
+    * materializes the flags (and typically appends the signatures to
+    * the index — one sign pass serves both), then unpersists.
+    */
+  def incrementalDedupCached(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexDir: String,
+      minMatches: Int
+  ): (DataFrame, DataFrame) = {
+    val sigNew = signDocuments(newDocs, idCol, textCol).cache()
+    (incrementalDedupFromSignatures(sigNew, indexDir, minMatches), sigNew)
+  }
+
+  /** Probe core over an already-cached increment signature relation. */
+  def incrementalDedupFromSignatures(
+      sigNew: DataFrame,
+      indexDir: String,
+      minMatches: Int
   ): DataFrame = {
-    val spark = newDocs.sparkSession
-    val sigNew = minhashSignature(shingles(newDocs, idCol, textCol)).cache()
+    val spark = sigNew.sparkSession
     val bandsNew = bandKeys(sigNew)
-    val refBands = spark.read
-      .parquet(s"$indexDir/bands")
+    // schema-explicit reads: no footer-inference pass over the index,
+    // and a missing or files-less dir (cold start; an empty first
+    // batch's append) reads as the empty relation instead of throwing
+    def readIndex(name: String, like: DataFrame): DataFrame = {
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/$name")
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) spark.read.schema(like.schema).parquet(p.toString)
+      else like.limit(0)
+    }
+    val refBands = readIndex("bands", bandsNew)
       .withColumn("src", lit("index"))
       .unionByName(bandsNew.withColumn("src", lit("increment")))
     val n = bandsNew.select(col("doc_id").as("new_id"), col("band_id"), col("band_key"))
@@ -445,8 +512,7 @@ object Dedup {
       .select("new_id", "ref_id", "src")
       .distinct()
     val hCols = (0 until numHashes).map(i => s"h$i")
-    val refSigs = spark.read
-      .parquet(s"$indexDir/signatures")
+    val refSigs = readIndex("signatures", sigNew)
       .withColumn("src", lit("index"))
       .unionByName(sigNew.withColumn("src", lit("increment")))
     val rs = refSigs.select(
@@ -463,6 +529,13 @@ object Dedup {
       .filter(col("n_match") >= minMatches)
       .withColumn("est_jaccard", round(col("n_match") / lit(numHashes.toDouble), 6))
       .select("new_id", "ref_id", "src", "n_match", "est_jaccard")
+      // replay tolerance: an at-least-once re-append duplicates rows in
+      // BOTH index relations — duplicate band rows already collapse in
+      // the DISTINCT'd candidates, but duplicate signature rows fan out
+      // the scoring join; this output-sized dedup collapses that too
+      // (the duplicated rows are value-identical, n_match being a pure
+      // function of the two signatures)
+      .dropDuplicates("new_id", "ref_id", "src")
       .orderBy("new_id", "ref_id", "src")
   }
 
@@ -470,21 +543,28 @@ object Dedup {
     * doc_ids (the "existing corpus"), then dedup the odd doc_ids (the
     * "arriving batch") against index + themselves. minMatches = 6 of
     * 8 ⇒ flags pairs with estimated Jaccard ≥ 0.75.
+    *
+    * The index is built ONCE per process ([[Fixtures.demoIndexDir]]),
+    * so a bench rep after the first measures the steady-state PROBE —
+    * the number that matters at 100 TB — while first_run carries the
+    * one-time build (the bench JSON labels this). The probe's flags
+    * are materialized to scratch parquet so the increment's signature
+    * cache is released before the query returns.
     */
   val incrementalMinMatches = 6
 
   val dedupIncremental: Q = (s, d) => {
-    val dir = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_mh_" + java.security.MessageDigest
-        .getInstance("MD5")
-        .digest(d.getBytes("UTF-8"))
-        .map("%02x".format(_))
-        .mkString
-    ).toString
-    val docs = documents(s, d)
-    saveMinhashIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", dir)
-    incrementalDedup(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", dir, incrementalMinMatches)
+    val dir = Fixtures.demoIndexDir(s, "mh", d) { idx =>
+      saveMinhashIndex(documents(s, d).filter(col("doc_id") % 2 === 0), "doc_id", "text", idx)
+    }
+    val (flags, sigNew) = incrementalDedupCached(
+      documents(s, d).filter(col("doc_id") % 2 =!= 0),
+      "doc_id",
+      "text",
+      dir,
+      incrementalMinMatches
+    )
+    Fixtures.materializedSorted(flags, Seq("new_id", "ref_id", "src"), sigNew)
   }
 
   // ---- blocked exact n-gram Jaccard ----------------------------------

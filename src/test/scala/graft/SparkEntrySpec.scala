@@ -24,7 +24,8 @@ class SparkEntrySpec extends AnyFunSuite {
       "Movement" -> Movement.queries.keySet,
       "Events" -> Events.queries.keySet,
       "TolerantMetrics" -> TolerantMetrics.queries.keySet,
-      "Pipeline" -> Pipeline.queries.keySet
+      "Pipeline" -> Pipeline.queries.keySet,
+      "StreamingIngest" -> graft.streaming.StreamingIngest.queries.keySet
     )
     val all = moduleMaps.flatMap { case (m, ks) => ks.map(_ -> m) }
     val dups = all.groupBy(_._1).filter(_._2.size > 1)

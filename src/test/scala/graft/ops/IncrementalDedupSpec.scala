@@ -107,6 +107,61 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(batched == oneShotKeyed, s"batched=${batched.size} oneShot=${oneShotKeyed.size}")
   }
 
+  test("cold start: probing a never-seeded index flags increment self-pairs only") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_mh_cold").toString + "/never_written"
+    val inc = Fixtures.documents(spark, sfDir).filter(col("doc_id") % 2 =!= 0)
+    val out = Dedup.incrementalDedup(inc, "doc_id", "text", idx, minMatches = 4).collect()
+    assert(out.nonEmpty, "self-pairs among the odd docs should still flag")
+    assert(out.forall(_.getAs[String]("src") == "increment"), "an empty index contributes no refs")
+    // and the self-pairs equal the increment route of a seeded probe
+    val seeded = Dedup
+      .incrementalDedup(inc, "doc_id", "text", buildIndex(), minMatches = 4)
+      .filter(col("src") === "increment")
+      .collect()
+      .map(_.toSeq)
+      .toSet
+    assert(out.map(_.toSeq).toSet == seeded)
+  }
+
+  test("a replayed append (at-least-once retry) does not fan out later batches' flags") {
+    val idx = buildIndex()
+    val docs = Fixtures.documents(spark, sfDir)
+    val b1 = docs.filter(col("doc_id") % 4 === 1)
+    val b2 = docs.filter(col("doc_id") % 4 === 3)
+    Dedup.appendToMinhashIndex(b1, "doc_id", "text", idx)
+    val once = Dedup.incrementalDedup(b2, "doc_id", "text", idx, minMatches = 4).collect().map(_.toSeq)
+    Dedup.appendToMinhashIndex(b1, "doc_id", "text", idx) // the replay
+    val twice = Dedup.incrementalDedup(b2, "doc_id", "text", idx, minMatches = 4).collect().map(_.toSeq)
+    assert(once.toSeq == twice.toSeq, "duplicate signature rows must collapse at output size")
+  }
+
+  private def dataFileCount(dir: String): Int = {
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory) f.listFiles().map(walk).sum
+      else if (f.getName.startsWith("part-")) 1
+      else 0
+    walk(new java.io.File(dir))
+  }
+
+  test("compaction bounds index file counts and probes are bit-identical pre/post") {
+    val idx = buildIndex()
+    val docs = Fixtures.documents(spark, sfDir)
+    // K appends accrete one file per append per band partition
+    (1L to 3L).foreach { r =>
+      Dedup.appendToMinhashIndex(docs.filter(col("doc_id") % 8 === r * 2 - 1), "doc_id", "text", idx)
+    }
+    val probe = docs.filter(col("doc_id") % 8 === 7)
+    val before = Dedup.incrementalDedup(probe, "doc_id", "text", idx, minMatches = 4).collect().map(_.toSeq)
+    val filesBefore = dataFileCount(idx)
+    Dedup.compactMinhashIndex(spark, idx, sigPartitions = 2)
+    val filesAfter = dataFileCount(idx)
+    // bands: 4 partitions × 1 file; signatures: sigPartitions files
+    assert(filesAfter == 4 + 2, s"expected compacted layout, got $filesAfter files")
+    assert(filesAfter < filesBefore, s"compaction must shrink file count ($filesBefore -> $filesAfter)")
+    val after = Dedup.incrementalDedup(probe, "doc_id", "text", idx, minMatches = 4).collect().map(_.toSeq)
+    assert(before.toSeq == after.toSeq, "compaction must not change probe results")
+  }
+
   test("a saved index serves repeated increments deterministically") {
     val idx = buildIndex()
     val inc = Fixtures.documents(spark, sfDir).filter(col("doc_id") % 2 =!= 0)

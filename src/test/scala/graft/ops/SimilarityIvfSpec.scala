@@ -98,6 +98,36 @@ class SimilarityIvfSpec extends SparkSpec {
     assert(out.collect().map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
   }
 
+  test("embedding index: cold start probes empty, append closes the loop, compaction is value-neutral") {
+    val emb = Fixtures.embeddings(spark, dir)
+    val idx = java.nio.file.Files.createTempDirectory("graft_emb_cold").toString + "/never_written"
+    val b1 = emb.filter(col("vec_id") % 4 === 1)
+    val b2 = emb.filter(col("vec_id") % 4 === 3)
+    // cold start: no index dir — only self-pairs
+    val out1 = Similarity.incrementalEmbeddingDedup(b1, idx, 0.3).collect()
+    assert(out1.forall(_.getAs[String]("src") == "increment"))
+    // append batch 1; batch 2 now sees it as history
+    Similarity.appendToEmbeddingDedupIndex(b1, idx)
+    val out2 = Similarity.incrementalEmbeddingDedup(b2, idx, 0.3).collect()
+    assert(out2.exists(r => r.getAs[String]("src") == "index" && r.getAs[Long]("ref_id") % 4 == 1))
+    // compaction changes layout, not values
+    Similarity.appendToEmbeddingDedupIndex(emb.filter(col("vec_id") % 4 === 2), idx)
+    val before = Similarity.incrementalEmbeddingDedup(b2, idx, 0.3).collect().map(_.toSeq)
+    Similarity.compactEmbeddingDedupIndex(spark, idx)
+    val after = Similarity.incrementalEmbeddingDedup(b2, idx, 0.3).collect().map(_.toSeq)
+    assert(before.toSeq == after.toSeq)
+  }
+
+  test("the incremental embedding query exercises the >=0.5 regime through the index route") {
+    val out = Similarity.queries("dedup_incremental_embedding")(spark, dir).collect()
+    val strong = out.filter(r =>
+      r.getAs[String]("src") == "index" && r.getAs[Double]("cos_sim") >= 0.5
+    )
+    assert(strong.nonEmpty, "seeded clones must flag their indexed sources at >=0.5 cosine")
+    // the clones flag their own source: new_id = 1000001 + ref_id at cos ~ 1.0
+    assert(strong.exists(r => r.getAs[Long]("new_id") == 1000001L + r.getAs[Long]("ref_id")))
+  }
+
   test("persisted IVF index serves queries identically and prunes list partitions") {
     val emb = Fixtures.embeddings(spark, dir)
     val idx = java.nio.file.Files.createTempDirectory("graft_ivf").toString

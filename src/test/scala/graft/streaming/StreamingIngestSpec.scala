@@ -97,6 +97,62 @@ class StreamingIngestSpec extends SparkSpec {
     )
   }
 
+  test("near-dup stream starts cold without a seeded index and releases its per-batch caches") {
+    implicit val sc = spark.sqlContext
+    val base = Files.createTempDirectory("graft_mh_cold_stream")
+    val idx = base.resolve("idx").toString // never seeded
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    val docs = graft.ops.Fixtures.documents(spark, "/root/testdata/sf0.001")
+    def slice(r: Long): Seq[(Long, String)] = docs
+      .filter(col("doc_id") % 4 === r)
+      .select("doc_id", "text")
+      .collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+      .toSeq
+    val mem = MemoryStream[(Long, String)]
+    val df = mem.toDF().toDF("doc_id", "text")
+    val q = StreamingIngest.nearDupFlagsStream(df, "doc_id", "text", idx, out, ckpt, minMatches = 4)
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    mem.addData(slice(1): _*)
+    q.processAllAvailable()
+    mem.addData(slice(3): _*)
+    q.processAllAvailable()
+    val cachedAfter = spark.sparkContext.getPersistentRDDs.size
+    q.stop()
+    assert(cachedAfter == cachedBefore, "each micro-batch must unpersist its increment signatures")
+    val flags = spark.read.parquet(out).collect()
+    assert(flags.nonEmpty)
+    // batch 1 probed an EMPTY index: its flags are increment-route only
+    assert(!flags.exists(r => r.getAs[Long]("new_id") % 4 == 1 && r.getAs[String]("src") == "index"))
+    // batch 2 sees batch 1 as history appended by the stream itself
+    assert(flags.exists(r => r.getAs[String]("src") == "index" && r.getAs[Long]("ref_id") % 4 == 1))
+  }
+
+  test("dedup_stream_replay equals the one-shot incremental probe on the same split") {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = graft.ops.Fixtures.documents(spark, sfDir)
+    val replayed = StreamingIngest
+      .dedupStreamReplay(spark, docs)
+      .collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("ref_id"), r.getAs[String]("src"), r.getAs[Long]("n_match")))
+      .toSet
+    val idx = Files.createTempDirectory("graft_mh_replay_ref").toString
+    graft.ops.Dedup.saveMinhashIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx)
+    val oneShot = graft.ops.Dedup
+      .incrementalDedup(
+        docs.filter(col("doc_id") % 2 =!= 0),
+        "doc_id",
+        "text",
+        idx,
+        graft.ops.Dedup.incrementalMinMatches
+      )
+      .collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("ref_id"), r.getAs[String]("src"), r.getAs[Long]("n_match")))
+      .toSet
+    assert(replayed == oneShot, s"replay=${replayed.size} oneShot=${oneShot.size}")
+  }
+
   test("sessionization groups events by gap and keeps the last session open") {
     import StreamingIngest._
     val minute = 60L * 1000000
