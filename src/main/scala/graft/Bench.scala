@@ -21,6 +21,21 @@ import org.apache.spark.sql.SparkSession
   * metrics cache, the IVF model memo), mirroring the reference's
   * materialize-once design. Their cost lives in the named query's
   * entry.
+  *
+  * `build_included` marks the self-contained index queries:
+  * "first_run" = the demo index is built once per process
+  * (Fixtures.demoIndexDir), so first_run carries the one-time build
+  * and the median is the steady-state PROBE — the serve number that
+  * matters at 100 TB; "every_run" = each run rebuilds from fresh
+  * scratch dirs (the stream replay), so every rep pays build + replay.
+  *
+  * Output is TRUNCATION-PROOF three ways (round 5 lost its own median
+  * map to a tail-capture): a compact headline line (medians only)
+  * prints FIRST, the full detail line prints LAST with the median map
+  * as its final fields, and the full JSON is also written to
+  * bench_full.json in the repo (tracked) plus /tmp/graft_bench.json.
+  * Whichever line — or line fragment — a capture keeps, the medians
+  * survive.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -86,17 +101,39 @@ object Bench {
       .filter { case (k, _) => medians.exists(_._1 == k) }
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString("{", ",", "}")
+    // index queries whose timing includes building their own demo
+    // index — see the object scaladoc for the first_run/every_run split
+    val buildIncluded = Seq(
+      "dedup_incremental" -> "first_run",
+      "dedup_incremental_embedding" -> "first_run",
+      "ann_ivf_topk_index" -> "first_run",
+      "dedup_stream_replay" -> "every_run"
+    )
+    val builds = buildIncluded
+      .filter { case (k, _) => medians.exists(_._1 == k) }
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
     val total = medians.map(_._2).sum
     val totalFirst = firsts.map(_._2).sum
-    val json =
+    // headline FIRST (short: survives head-keeping captures whole),
+    // detail LAST with the median map as its final fields (survives
+    // tail-keeping captures) — either line alone carries the medians
+    val headline =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"total_first_run":${r3(
           totalFirst
-        )},"queries":$qs,"first_run":$fr,"shares_scan_with":$shares,"errors":$es,"sf":"$sfDir"}"""
-    // belt and braces: the full JSON also lands in a file, so a
-    // truncated stdout capture can always be reconstructed
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("/tmp/graft_bench.json"), json)
-    catch { case _: Throwable => () }
-    println(json)
+        )},"queries":$qs,"sf":"$sfDir"}"""
+    val detail =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","reps":$reps,"total_first_run":${r3(
+          totalFirst
+        )},"first_run":$fr,"shares_scan_with":$shares,"build_included":$builds,"errors":$es,"queries":$qs,"sf":"$sfDir"}"""
+    // the full JSON also lands in tracked + tmp files, so any stdout
+    // truncation can always be reconstructed from the repo itself
+    Seq("/root/repo/bench_full.json", "/tmp/graft_bench.json").foreach { f =>
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(f), detail + "\n")
+      catch { case _: Throwable => () }
+    }
+    println(headline)
+    println(detail)
     spark.stop()
   }
 }
