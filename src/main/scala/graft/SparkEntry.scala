@@ -18,6 +18,11 @@ object SparkEntry {
       (StarSchema.queries, StarSchema.oracles),
       (DeltaSync.queries, DeltaSync.oracles),
       (Dedup.queries, Dedup.oracles),
+      (GraphDedup.queries, GraphDedup.oracles),
+      (Decontamination.queries, Decontamination.oracles),
+      (Paragraphs.queries, Paragraphs.oracles),
+      (Mixture.queries, Mixture.oracles),
+      (CorpusStats.queries, CorpusStats.oracles),
       (Profiling.queries, Profiling.oracles),
       (VarcharInference.queries, VarcharInference.oracles),
       (Similarity.queries, Similarity.oracles),

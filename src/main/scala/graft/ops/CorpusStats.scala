@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics operators: TF-IDF term ranking and unigram
+  * language-model scoring (the CCNet/KenLM "perplexity filter" in its
+  * engine-native unigram form — the model is a knob, the corpus-stats
+  * → broadcast-model → per-doc-score shape is the operator).
+  *
+  * Both operators compute REAL-valued scores but carry them as exact
+  * integer micro-units (`floor(ln(x) · 1e6)` per MODEL ENTRY, summed
+  * as BIGINT): floating-point summation is order-dependent, and a
+  * hash-compared oracle cannot tolerate "same up to 1e-12" — so the
+  * only float op is a per-vocab-entry log whose floor is pinned once,
+  * and everything that aggregates is integer arithmetic, associative
+  * in any execution order on both engines.
+  */
+object CorpusStats {
+  type Q = (SparkSession, String) => DataFrame
+  import Fixtures._
+
+  private val micro = 1e6
+
+  /** (doc_id, token, tf) — whitespace tokens, duplicates counted. */
+  private def termFreq(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Top-3 TF-IDF terms per document. Corpus side: document frequency
+    * per token + the document count (one scalar, broadcast). Scoring:
+    * tf · floor(ln((N+1)/(df+1)) · 1e6) — smoothed IDF in micro-units,
+    * so ranking and output are exact integers. The vocabulary relation
+    * is tokens, not documents — at 100 TB it is MBs and broadcasts;
+    * per-doc ranking windows partition by doc_id (a partition is one
+    * document — never skewed).
+    */
+  val tfidfTopTerms: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val tf = termFreq(documents(s, d))
+    val nDocs = documents(s, d).agg(countDistinct(col("doc_id")).as("n_docs"))
+    val df = tf
+      .groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn(
+        "idf_micro",
+        floor(log((col("n_docs") + 1).cast("double") / (col("df") + 1)) * micro).cast("bigint")
+      )
+      .select(col("token"), col("df").cast("bigint").as("df"), col("idf_micro"))
+    tf.join(broadcast(df), "token")
+      .withColumn("score_micro", (col("tf") * col("idf_micro")).cast("bigint"))
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("score_micro").desc, col("token").asc)
+        )
+      )
+      .filter(col("rank") <= 3)
+      .select(
+        col("doc_id"),
+        col("rank").cast("bigint").as("rank"),
+        col("token"),
+        col("tf").cast("bigint").as("tf"),
+        col("df"),
+        col("score_micro")
+      )
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Unigram-LM negative log-likelihood per document, self-trained on
+    * the corpus: p(t) = count(t) / total tokens; score = Σ_tokens
+    * floor(-ln p(t))·1e6) / n_tokens. The model is (vocab → micro-nll)
+    * — MBs, broadcast; scoring is one map-side join + integer
+    * aggregate. High avg-nll = improbable text (the drop signal);
+    * self-training makes the fixture deterministic, a real pipeline
+    * points the model at a held-out reference corpus.
+    */
+  val perplexityScore: Q = (s, d) => {
+    val tf = termFreq(documents(s, d))
+    val total = tf.agg(sum(col("tf")).as("total"))
+    val model = tf
+      .groupBy(col("token"))
+      .agg(sum(col("tf")).as("n"))
+      .crossJoin(broadcast(total))
+      .withColumn(
+        "nll_micro",
+        floor(-log(col("n").cast("double") / col("total")) * micro).cast("bigint")
+      )
+      .select(col("token"), col("nll_micro"))
+    tf.join(broadcast(model), "token")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).cast("bigint").as("n_tokens"),
+        sum(col("tf") * col("nll_micro")).cast("bigint").as("total_nll_micro")
+      )
+      .withColumn(
+        "avg_nll_micro",
+        floor(col("total_nll_micro") / col("n_tokens")).cast("bigint")
+      )
+      .orderBy("doc_id")
+  }
+
+  def queries: Map[String, Q] = Map(
+    "tfidf_top_terms" -> tfidfTopTerms,
+    "perplexity_score" -> perplexityScore
+  )
+
+  def oracles: Map[String, String] = Map(
+    "tfidf_top_terms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tfc AS (SELECT doc_id, token, count(*) AS tf FROM tf GROUP BY doc_id, token),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |dfc AS (
+        |  SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+        |    CAST(floor(ln((SELECT n_docs + 1 FROM nd) / CAST(count(DISTINCT doc_id) + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS idf_micro
+        |  FROM tfc GROUP BY token),
+        |scored AS (
+        |  SELECT t.doc_id, t.token, t.tf, d.df, t.tf * d.idf_micro AS score_micro
+        |  FROM tfc t JOIN dfc d ON d.token = t.token),
+        |ranked AS (
+        |  SELECT doc_id, token, tf, df, score_micro,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, token ASC) AS rank
+        |  FROM scored)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, token,
+        |  CAST(tf AS BIGINT) AS tf, df, CAST(score_micro AS BIGINT) AS score_micro
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "perplexity_score" ->
+      """WITH tf AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tfc AS (SELECT doc_id, token, count(*) AS tf FROM tf GROUP BY doc_id, token),
+        |tot AS (SELECT sum(tf) AS total FROM tfc),
+        |model AS (
+        |  SELECT token,
+        |    CAST(floor(-ln(sum(tf) / (SELECT CAST(total AS DOUBLE) FROM tot)) * 1000000) AS BIGINT) AS nll_micro
+        |  FROM tfc GROUP BY token)
+        |SELECT t.doc_id,
+        |  CAST(sum(t.tf) AS BIGINT) AS n_tokens,
+        |  CAST(sum(t.tf * m.nll_micro) AS BIGINT) AS total_nll_micro,
+        |  CAST(floor(sum(t.tf * m.nll_micro) / sum(t.tf)) AS BIGINT) AS avg_nll_micro
+        |FROM tfc t JOIN model m ON m.token = t.token
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: flag training documents that share any
+  * word n-gram with an evaluation/benchmark set (the GPT-3 appendix-C
+  * / PaLM "13-gram overlap" contamination check, at fixture-scale n=3
+  * — the n is a knob, the machinery is the point).
+  *
+  * Scale shape: the benchmark side is eval suites — MBs of n-grams
+  * against TBs of training text — so its distinct hashed n-grams
+  * BROADCAST to every executor and the training corpus is flagged in
+  * ONE map-side pass (the join carries md5 digests, not shingle text;
+  * the post-join aggregate shuffles only hit rows, which are
+  * output-sized). The corpus is never shuffled, the benchmark is never
+  * joined shuffle-side, and nothing here collects to the driver.
+  */
+object Decontamination {
+  type Q = (SparkSession, String) => DataFrame
+  import Fixtures._
+
+  /** Deterministic fixture split standing in for (training, benchmark):
+    * every 20th doc_id is "the benchmark". Documented here because the
+    * oracle must replicate it exactly.
+    */
+  private val benchPred = "doc_id % 20 = 0"
+
+  /** Per contaminated training doc: how many of its distinct n-grams
+    * hit the benchmark, how many benchmark docs it hits, and the worst
+    * single benchmark overlap (distinct shared n-grams with one bench
+    * doc) — the triage columns a decontamination report needs to
+    * decide drop vs audit.
+    */
+  def contamination(train: DataFrame, bench: DataFrame): DataFrame = {
+    val benchSh = Dedup
+      .shingles(bench, "doc_id", "text")
+      .select(col("doc_id").as("bench_id"), md5(col("shingle").cast("binary")).as("g"))
+    val trainSh = Dedup
+      .shingles(train, "doc_id", "text")
+      .select(col("doc_id"), md5(col("shingle").cast("binary")).as("g"))
+    val perBench = trainSh
+      .join(broadcast(benchSh), "g")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(countDistinct(col("g")).as("n_shared"))
+    perBench
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("bench_id")).cast("bigint").as("n_bench_docs"),
+        max(col("n_shared")).cast("bigint").as("max_shared"),
+        sum(col("n_shared")).cast("bigint").as("total_shared")
+      )
+  }
+
+  val decontaminate: Q = (s, d) => {
+    val docs = documents(s, d)
+    contamination(docs.filter(s"NOT ($benchPred)"), docs.filter(benchPred))
+      .orderBy("doc_id")
+  }
+
+  def queries: Map[String, Q] = Map(
+    "decontaminate" -> decontaminate
+  )
+
+  def oracles: Map[String, String] = Map(
+    "decontaminate" ->
+      s"""WITH train AS (SELECT * FROM documents WHERE NOT ($benchPred)),
+         |bench AS (SELECT * FROM documents WHERE $benchPred),
+         |${Dedup.shinglesSqlFrom("train").replace("sh AS", "tsh AS")},
+         |${Dedup.shinglesSqlFrom("bench").replace("sh AS", "bsh AS")},
+         |per_bench AS (
+         |  SELECT t.doc_id, b.doc_id AS bench_id,
+         |         CAST(count(DISTINCT md5(t.shingle)) AS BIGINT) AS n_shared
+         |  FROM tsh t JOIN bsh b ON md5(t.shingle) = md5(b.shingle)
+         |  GROUP BY t.doc_id, b.doc_id)
+         |SELECT doc_id,
+         |  CAST(count(DISTINCT bench_id) AS BIGINT) AS n_bench_docs,
+         |  CAST(max(n_shared) AS BIGINT) AS max_shared,
+         |  CAST(sum(n_shared) AS BIGINT) AS total_shared
+         |FROM per_bench GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
+}

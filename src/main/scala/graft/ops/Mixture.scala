@@ -1,0 +1,124 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-mixture operators: deterministic stratified sampling — the
+  * "mix 30% web, 2× books, 0.5× low-resource langs" step every
+  * training-data pipeline runs between curation and tokenization.
+  *
+  * The keep/drop decision is a pure function of the document id: a
+  * 48-bit uniform draw from md5 (engine-portable, like the MinHash
+  * family) compared against the stratum's rate threshold. That makes
+  * the sample (a) reproducible across runs/engines/cluster sizes,
+  * (b) a map-side FILTER — no shuffle, no sort, no sampling state,
+  * pushdown-friendly — and (c) stable under corpus appends: a doc's
+  * fate never depends on what else is in the corpus (the property
+  * `df.sample()` does NOT have, being partition-layout-dependent).
+  */
+object Mixture {
+  type Q = (SparkSession, String) => DataFrame
+  import Fixtures._
+
+  private val drawBits = 48
+  private val drawMod = 1L << drawBits
+
+  /** 48-bit uniform draw in [0, 2^48) from the id — `mix|` domain-
+    * separates it from the MinHash/fingerprint hash families.
+    */
+  def uniformDraw(id: Column): Column =
+    conv(substring(md5(concat(lit("mix|"), id.cast("string")).cast("binary")), 1, 12), 16, 10)
+      .cast("long")
+
+  /** Keep each row iff draw(id) < rate(stratum) · 2^48. Rates are
+    * per-stratum with a default; thresholds are exact integers so the
+    * predicate is integer comparison end to end.
+    */
+  def stratifiedSample(
+      docs: DataFrame,
+      idCol: String,
+      strataCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double
+  ): DataFrame = {
+    val draw = uniformDraw(col(idCol))
+    val threshold = rates.foldLeft(lit((defaultRate * drawMod).toLong)) {
+      case (acc, (stratum, rate)) =>
+        when(col(strataCol) === stratum, lit((rate * drawMod).toLong)).otherwise(acc)
+    }
+    docs.withColumn("draw", draw).filter(col("draw") < threshold)
+  }
+
+  /** The fixture mixture: keep all English, 40% of everything else —
+    * the shape of an upsample-head-language mixture. Output carries
+    * the draw so the oracle pins the exact per-doc decision, not just
+    * the counts.
+    */
+  private val fixtureRates = Map("en" -> 1.0)
+  private val fixtureDefault = 0.4
+
+  val mixtureSample: Q = (s, d) =>
+    stratifiedSample(documents(s, d), "doc_id", "lang", fixtureRates, fixtureDefault)
+      .select(col("doc_id"), col("lang"), col("draw"))
+      .orderBy("doc_id")
+
+  /** Per-stratum accounting: planned rate vs achieved rate — the
+    * mixture report a pipeline publishes next to the sampled corpus.
+    * Achieved-vs-planned drift is the binomial noise of the draw, so
+    * the report carries exact integer counts plus a basis-point rate.
+    */
+  val mixtureAccounting: Q = (s, d) => {
+    val docs = documents(s, d)
+    val kept = stratifiedSample(docs, "doc_id", "lang", fixtureRates, fixtureDefault)
+    docs
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast("bigint").as("n_total"))
+      .join(
+        kept.groupBy(col("lang")).agg(count(lit(1)).cast("bigint").as("n_kept")),
+        Seq("lang"),
+        "left"
+      )
+      .na.fill(0L, Seq("n_kept"))
+      .withColumn(
+        "kept_bps",
+        expr("CAST(floor(n_kept * 10000.0 / n_total) AS BIGINT)")
+      )
+      .withColumn(
+        "planned_bps",
+        when(col("lang") === "en", lit(10000L)).otherwise(lit((fixtureDefault * 10000).toLong))
+      )
+      .orderBy("lang")
+  }
+
+  def queries: Map[String, Q] = Map(
+    "mixture_sample" -> mixtureSample,
+    "mixture_accounting" -> mixtureAccounting
+  )
+
+  private def drawSql: String =
+    "CAST(" + Dedup.hex12ValSql("md5('mix|' || CAST(doc_id AS VARCHAR))", 1) + " AS BIGINT)"
+
+  private def thresholdSql: String = {
+    val en = (1.0 * drawMod).toLong
+    val other = (fixtureDefault * drawMod).toLong
+    s"CASE WHEN lang = 'en' THEN $en ELSE $other END"
+  }
+
+  def oracles: Map[String, String] = Map(
+    "mixture_sample" ->
+      s"""SELECT doc_id, lang, $drawSql AS draw
+         |FROM documents
+         |WHERE $drawSql < $thresholdSql
+         |ORDER BY doc_id""".stripMargin,
+    "mixture_accounting" ->
+      s"""WITH kept AS (
+         |  SELECT lang FROM documents WHERE $drawSql < $thresholdSql),
+         |tot AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_total FROM documents GROUP BY lang),
+         |k AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY lang)
+         |SELECT t.lang, t.n_total, coalesce(k.n_kept, 0) AS n_kept,
+         |  CAST(floor(coalesce(k.n_kept, 0) * 10000.0 / t.n_total) AS BIGINT) AS kept_bps,
+         |  CAST(CASE WHEN t.lang = 'en' THEN 10000 ELSE ${(fixtureDefault * 10000).toLong} END AS BIGINT) AS planned_bps
+         |FROM tot t LEFT JOIN k ON k.lang = t.lang
+         |ORDER BY t.lang""".stripMargin
+  )
+}

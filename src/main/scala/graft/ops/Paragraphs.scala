@@ -1,0 +1,240 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Paragraph-structured operators: corpus-wide paragraph dedup and
+  * per-document repetition quality signals (the Gopher-rules family).
+  *
+  * The fixture corpus has no newlines, so a "paragraph" here is a
+  * deterministic 10-word chunk of the document — the segmentation is a
+  * knob (split on '\n\n' in a real crawl), the operators below are the
+  * machinery. All segmentation happens per-row in codegen'd
+  * higher-order functions; the only shuffles are (a) the paragraph-
+  * hash groupBy that IS the dedup and (b) per-doc n-gram aggregates
+  * partitioned by doc_id (never skewed: a partition is one document's
+  * grams).
+  */
+object Paragraphs {
+  type Q = (SparkSession, String) => DataFrame
+  import Fixtures._
+
+  private val chunk = 10
+
+  /** (doc_id, para_idx, para): documents exploded into 10-word chunks,
+    * index preserved so the surviving text can be reassembled in
+    * order.
+    */
+  def paragraphs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .select(
+        col("doc_id"),
+        posexplode(
+          expr(
+            s"transform(sequence(0, CAST(ceil(size(w) / $chunk.0) AS INT) - 1), " +
+              s"i -> concat_ws(' ', slice(w, i * $chunk + 1, $chunk)))"
+          )
+        ).as(Seq("para_idx", "para"))
+      )
+      .select(col("doc_id"), col("para_idx").cast("bigint").as("para_idx"), col("para"))
+
+  /** Corpus-wide paragraph dedup, keep-earliest: a paragraph survives
+    * only at its first occurrence in (doc_id, para_idx) order; every
+    * later copy — across documents or within one — is dropped, and
+    * each document is reassembled from its survivors. ONE shuffle, on
+    * the paragraph digest (the text itself never re-shuffles after the
+    * window: at 100 TB the keyed rows are (digest, doc, idx) plus the
+    * chunk, and the digest-partitioned window is the whole algorithm —
+    * this is MassiveText/CCNet-style line dedup as a Spark window).
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = paragraphs(docs, idCol, textCol)
+      .withColumn(
+        "rn",
+        row_number().over(
+          Window.partitionBy(md5(col("para").cast("binary"))).orderBy(col("doc_id"), col("para_idx"))
+        )
+      )
+    p.groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_paras"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).cast("bigint").as("n_kept"),
+        concat_ws(
+          " ",
+          expr(
+            "transform(array_sort(collect_list(CASE WHEN rn = 1 THEN named_struct('i', para_idx, 'p', para) END)), s -> s.p)"
+          )
+        ).as("kept_text")
+      )
+      .withColumn("n_dropped", (col("n_paras") - col("n_kept")).cast("bigint"))
+      .select("doc_id", "n_paras", "n_kept", "n_dropped", "kept_text")
+  }
+
+  val dedupParagraph: Q = (s, d) =>
+    paragraphDedup(documents(s, d), "doc_id", "text").orderBy("doc_id")
+
+  /** Per-document repetition signals (the Gopher quality-filter
+    * family): duplicate-line fraction and duplicate-line character
+    * fraction (computed per-row over the chunk array — no shuffle),
+    * plus most-frequent-2-gram character coverage and duplicated-
+    * 3-gram character fraction (per-doc n-gram aggregates). A
+    * boilerplate-heavy or looping document scores high on all four;
+    * MassiveText drops at dup_line_frac > 0.3 / top_2gram > 0.2 — the
+    * thresholds stay with the caller, the signals are the operator.
+    */
+  val qualityRepetition: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val base = documents(s, d)
+      .select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
+      .withColumn(
+        "paras",
+        expr(
+          s"transform(sequence(0, CAST(ceil(size(w) / $chunk.0) AS INT) - 1), " +
+            s"i -> concat_ws(' ', slice(w, i * $chunk + 1, $chunk)))"
+        )
+      )
+      .withColumn("n_lines", size(col("paras")).cast("bigint"))
+      .withColumn("n_distinct_lines", size(array_distinct(col("paras"))).cast("bigint"))
+      .withColumn(
+        "line_chars",
+        expr("aggregate(transform(paras, x -> length(x)), 0L, (a, x) -> a + x)")
+      )
+      .withColumn(
+        "distinct_line_chars",
+        expr("aggregate(transform(array_distinct(paras), x -> length(x)), 0L, (a, x) -> a + x)")
+      )
+      .withColumn(
+        "dup_line_frac",
+        round((col("n_lines") - col("n_distinct_lines")).cast("double") / col("n_lines"), 6)
+      )
+      .withColumn(
+        "dup_line_char_frac",
+        round(
+          (col("line_chars") - col("distinct_line_chars")).cast("double") / col("line_chars"),
+          6
+        )
+      )
+    val grams2 = base
+      .select(
+        col("doc_id"),
+        explode(expr("transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i+1]))"))
+          .as("g")
+      )
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("n"))
+    val top2 = grams2
+      .withColumn(
+        "rk",
+        row_number().over(Window.partitionBy(col("doc_id")).orderBy(col("n").desc, col("g").asc))
+      )
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("g").as("top_2gram"), (col("n") * length(col("g"))).as("top2_chars"))
+    val grams3 = base
+      .select(
+        col("doc_id"),
+        explode(
+          expr("transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")
+        ).as("g")
+      )
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("n"))
+    val dup3 = grams3
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("n") * length(col("g"))).as("g3_chars"),
+        sum(when(col("n") >= 2, col("n") * length(col("g"))).otherwise(0L)).as("g3_dup_chars")
+      )
+      .select(
+        col("doc_id"),
+        round(col("g3_dup_chars").cast("double") / col("g3_chars"), 6).as("dup_3gram_char_frac")
+      )
+    base
+      .join(top2, Seq("doc_id"), "left")
+      .join(dup3, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        col("n_lines"),
+        col("dup_line_frac"),
+        col("dup_line_char_frac"),
+        coalesce(col("top_2gram"), lit("")).as("top_2gram"),
+        round(coalesce(col("top2_chars"), lit(0L)).cast("double") / length(col("text")), 6)
+          .as("top_2gram_char_frac"),
+        coalesce(col("dup_3gram_char_frac"), lit(0.0)).as("dup_3gram_char_frac")
+      )
+      .orderBy("doc_id")
+  }
+
+  def queries: Map[String, Q] = Map(
+    "dedup_paragraph" -> dedupParagraph,
+    "quality_repetition" -> qualityRepetition
+  )
+
+  private def parasSql(src: String): String =
+    s"""p AS (
+       |  SELECT doc_id,
+       |    unnest(generate_series(0, CAST(ceil(len(w) / $chunk.0) AS INT) - 1)) AS para_idx,
+       |    unnest(list_transform(generate_series(0, CAST(ceil(len(w) / $chunk.0) AS INT) - 1),
+       |           i -> array_to_string(w[(i * $chunk + 1):(i * $chunk + $chunk)], ' '))) AS para
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $src))""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "dedup_paragraph" ->
+      s"""WITH ${parasSql("documents")},
+         |r AS (
+         |  SELECT doc_id, para_idx, para,
+         |    row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, para_idx) AS rn
+         |  FROM p)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_paras,
+         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  coalesce(string_agg(para, ' ' ORDER BY para_idx) FILTER (WHERE rn = 1), '') AS kept_text
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "quality_repetition" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS w,
+         |    list_transform(generate_series(0, CAST(ceil(len(string_split(text, ' ')) / $chunk.0) AS INT) - 1),
+         |      i -> array_to_string((string_split(text, ' '))[(i * $chunk + 1):(i * $chunk + $chunk)], ' ')) AS paras
+         |  FROM documents),
+         |lines AS (
+         |  SELECT doc_id, text, w,
+         |    CAST(len(paras) AS BIGINT) AS n_lines,
+         |    CAST(len(list_distinct(paras)) AS BIGINT) AS n_distinct_lines,
+         |    CAST(list_sum(list_transform(paras, x -> length(x))) AS BIGINT) AS line_chars,
+         |    CAST(list_sum(list_transform(list_distinct(paras), x -> length(x))) AS BIGINT) AS distinct_line_chars
+         |  FROM base),
+         |g2 AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+         |                        i -> w[i] || ' ' || w[i + 1])) AS g
+         |  FROM base),
+         |g2c AS (SELECT doc_id, g, count(*) AS n FROM g2 GROUP BY doc_id, g),
+         |top2 AS (
+         |  SELECT doc_id, g AS top_2gram, n * length(g) AS top2_chars
+         |  FROM (SELECT doc_id, g, n,
+         |          row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, g ASC) AS rk
+         |        FROM g2c)
+         |  WHERE rk = 1),
+         |g3 AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 2),
+         |                        i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS g
+         |  FROM base),
+         |g3c AS (SELECT doc_id, g, count(*) AS n FROM g3 GROUP BY doc_id, g),
+         |dup3 AS (
+         |  SELECT doc_id,
+         |    round(CAST(sum(CASE WHEN n >= 2 THEN n * length(g) ELSE 0 END) AS DOUBLE)
+         |          / sum(n * length(g)), 6) AS dup_3gram_char_frac
+         |  FROM g3c GROUP BY doc_id)
+         |SELECT l.doc_id, l.n_lines,
+         |  round(CAST(l.n_lines - l.n_distinct_lines AS DOUBLE) / l.n_lines, 6) AS dup_line_frac,
+         |  round(CAST(l.line_chars - l.distinct_line_chars AS DOUBLE) / l.line_chars, 6) AS dup_line_char_frac,
+         |  coalesce(t.top_2gram, '') AS top_2gram,
+         |  round(CAST(coalesce(t.top2_chars, 0) AS DOUBLE) / length(l.text), 6) AS top_2gram_char_frac,
+         |  coalesce(d.dup_3gram_char_frac, 0.0) AS dup_3gram_char_frac
+         |FROM lines l
+         |LEFT JOIN top2 t ON t.doc_id = l.doc_id
+         |LEFT JOIN dup3 d ON d.doc_id = l.doc_id
+         |ORDER BY l.doc_id""".stripMargin
+  )
+}

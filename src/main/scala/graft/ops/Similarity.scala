@@ -376,15 +376,20 @@ object Similarity {
     // function of the data), unbiased (hash order ≈ random), and ONE
     // TakeOrdered job (per-partition bounded top-N heaps) instead of
     // the former count + modulus-filter pair of passes. When the
-    // corpus has ≤ target vectors the limit returns the whole table,
-    // so the small-scale golden pins are unchanged. Bound: the final
-    // merge of the per-partition heaps lands `target` rows on one
-    // point — fine at IVF-typical targets (≤ a few M rows of ids),
-    // but at extreme nLists swap in a per-partition hash-threshold
-    // filter (keep xxhash64 < 2^64 · target/N̂) so nothing single-point
-    // merges the whole sample.
+    // corpus has ≤ target vectors the selection returns the whole
+    // table, so the small-scale golden pins are unchanged.
+    // The TakeOrdered runs over vec_id ALONE: its final merge lands
+    // `target` rows on one point, and with the embedding projected
+    // away those rows are 8-byte ids, not KB-wide vectors — at the
+    // extreme-nLists scale the advisor flagged (10^5 lists × 256 ⇒
+    // 25.6M samples) that is ~200 MB of ids through the narrow point
+    // instead of tens of GB of vectors. The sampled ids then pull
+    // their vectors back via a broadcast semi-join (id set is
+    // target-bounded by construction), so the corpus itself is never
+    // shuffled or single-point-merged for the fit.
     val target = k * samplePerList
-    val fitInput = featurized(emb.orderBy(xxhash64(col("vec_id"))).limit(target))
+    val sampleIds = emb.select(col("vec_id")).orderBy(xxhash64(col("vec_id"))).limit(target)
+    val fitInput = featurized(emb.join(broadcast(sampleIds), Seq("vec_id"), "left_semi"))
     // bounded iterations: IVF lists need rough clusters, not converged
     // ones — recall is governed by nProbe, and index build cost matters
     // at scale

@@ -16,6 +16,11 @@ class SparkEntrySpec extends AnyFunSuite {
       "StarSchema" -> StarSchema.queries.keySet,
       "DeltaSync" -> DeltaSync.queries.keySet,
       "Dedup" -> Dedup.queries.keySet,
+      "GraphDedup" -> GraphDedup.queries.keySet,
+      "Decontamination" -> Decontamination.queries.keySet,
+      "Paragraphs" -> Paragraphs.queries.keySet,
+      "Mixture" -> Mixture.queries.keySet,
+      "CorpusStats" -> CorpusStats.queries.keySet,
       "Profiling" -> Profiling.queries.keySet,
       "VarcharInference" -> VarcharInference.queries.keySet,
       "Similarity" -> Similarity.queries.keySet,

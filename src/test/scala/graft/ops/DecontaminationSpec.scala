@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DecontaminationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("contamination counts shared shingles and hit benchmark docs") {
+    // bench doc 100: shingles over "a b c d e" = {a b c, b c d, c d e}
+    val bench = Seq((100L, "a b c d e"), (101L, "p q r s")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "a b c d x"),   // shares {a b c, b c d} with 100
+      (2L, "c d e q z y"), // shares {c d e} with 100
+      (3L, "u v w x y z"), // clean
+      (4L, "p q r s t")    // shares {p q r, q r s} with 101
+    ).toDF("doc_id", "text")
+    val out = Decontamination
+      .contamination(train, bench)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == ((1L, 2L, 2L))) // 1 bench doc, max 2 shared, total 2
+    assert(out(2L) == ((1L, 1L, 1L)))
+    assert(out(4L) == ((1L, 2L, 2L)))
+    assert(!out.contains(3L), "clean docs must not appear in the report")
+  }
+
+  test("a doc hitting two benchmark docs aggregates per-bench then totals") {
+    val bench = Seq((100L, "a b c d"), (101L, "x y z w")).toDF("doc_id", "text")
+    val train = Seq((1L, "a b c q x y z")).toDF("doc_id", "text")
+    val r = Decontamination.contamination(train, bench).collect().head
+    assert(r.getLong(1) == 2L) // n_bench_docs
+    assert(r.getLong(2) == 1L) // max_shared (one shingle with each)
+    assert(r.getLong(3) == 2L) // total_shared
+  }
+
+  test("benchmark side is broadcast — the corpus never shuffles for the probe join") {
+    val docs = Fixtures.documents(spark, "/root/testdata/sf0.001")
+    val plan = Decontamination
+      .contamination(docs.filter("doc_id % 20 <> 0"), docs.filter("doc_id % 20 = 0"))
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(plan.contains("BroadcastHashJoin"), "probe join must be broadcast")
+    assert(!plan.contains("SortMergeJoin"), s"corpus-side shuffle join found:\n$plan")
+  }
+}
