@@ -23,6 +23,7 @@ object SparkEntry {
       (Paragraphs.queries, Paragraphs.oracles),
       (Mixture.queries, Mixture.oracles),
       (CorpusStats.queries, CorpusStats.oracles),
+      (Packing.queries, Packing.oracles),
       (Profiling.queries, Profiling.oracles),
       (VarcharInference.queries, VarcharInference.oracles),
       (Similarity.queries, Similarity.oracles),

@@ -21,6 +21,7 @@ class SparkEntrySpec extends AnyFunSuite {
       "Paragraphs" -> Paragraphs.queries.keySet,
       "Mixture" -> Mixture.queries.keySet,
       "CorpusStats" -> CorpusStats.queries.keySet,
+      "Packing" -> Packing.queries.keySet,
       "Profiling" -> Profiling.queries.keySet,
       "VarcharInference" -> VarcharInference.queries.keySet,
       "Similarity" -> Similarity.queries.keySet,

@@ -1,0 +1,42 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("contiguous packing: offsets are gapless per stratum and seq ids monotone") {
+    val docs = Seq(
+      (1L, "a", 300L), (2L, "a", 300L), (3L, "a", 300L), // spans at 512: doc2 crosses
+      (10L, "b", 512L), (11L, "b", 1L)
+    ).toDF("doc_id", "stratum", "n")
+    val out = Packing
+      .packSequences(docs, "doc_id", "stratum", col("n"), 512)
+      .orderBy("doc_id")
+      .collect()
+    // stratum a: starts 0, 300, 600 -> seqs 0, 0, 1; doc2 spans 512
+    assert(out(0).getAs[Long]("start_offset") == 0L && out(0).getAs[Long]("seq_id") == 0L)
+    assert(out(1).getAs[Long]("start_offset") == 300L && out(1).getAs[Long]("seq_id") == 0L)
+    assert(out(1).getAs[Long]("spans_boundary") == 1L)
+    assert(out(2).getAs[Long]("start_offset") == 600L && out(2).getAs[Long]("seq_id") == 1L)
+    // stratum b: exactly-full doc does NOT span; next starts at 512 in seq 1
+    assert(out(3).getAs[Long]("spans_boundary") == 0L)
+    assert(out(4).getAs[Long]("start_offset") == 512L && out(4).getAs[Long]("seq_id") == 1L)
+  }
+
+  test("packing conserves tokens: max offset + last tokens = stratum total") {
+    val docs = Fixtures.documents(spark, "/root/testdata/sf0.001")
+    val packed = Packing
+      .packSequences(docs, "doc_id", "lang", size(split(col("text"), " ")).cast("bigint"), 512)
+    val fromPack = packed
+      .groupBy("stratum")
+      .agg(max(col("start_offset") + col("n_tokens")).as("stream_len"))
+    val direct = docs
+      .select(col("lang").as("stratum"), size(split(col("text"), " ")).cast("bigint").as("n"))
+      .groupBy("stratum")
+      .agg(sum(col("n")).as("total"))
+    val bad = fromPack.join(direct, "stratum").filter(col("stream_len") =!= col("total")).count()
+    assert(bad == 0L)
+  }
+}

@@ -142,4 +142,33 @@ class SimilarityIvfSpec extends SparkSpec {
     val plan = fromIndex.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [list_id"), plan.take(2000))
   }
+
+  test("semanticDedup: drop iff a smaller-id list-mate sits at >= tau; keeper is the smallest") {
+    val emb = Fixtures.embeddings(spark, dir)
+    val tau = 0.35
+    val out = Similarity.semanticDedup(emb, 8, tau).cache()
+    assert(out.count() == emb.count(), "every vector must be mapped")
+    // brute-force reference restricted to lists
+    graft.functions.GraftFunctions.register(spark)
+    val assigned = Similarity.ivfAssignmentsCached(emb, 8)._1.select(col("vec_id"), col("v"), col("list_id"))
+    val ref = assigned
+      .select(col("list_id"), col("vec_id").as("a"), col("v").as("va"))
+      .join(assigned.select(col("list_id"), col("vec_id").as("b"), col("v").as("vb")), Seq("list_id"))
+      .filter(col("a") < col("b"))
+      .withColumn("cs", round(expr("cosine_sim(va, vb)"), 6))
+      .filter(col("cs") >= tau)
+      .groupBy(col("b").as("vec_id"))
+      .agg(min(col("a")).as("expect_kept_by"))
+    val joined = out.join(ref, Seq("vec_id"), "full")
+    val wrongDrop = joined
+      .filter(
+        (col("expect_kept_by").isNotNull && (col("keep") =!= 0L || col("kept_by") =!= col("expect_kept_by"))) ||
+          (col("expect_kept_by").isNull && col("keep") =!= 1L)
+      )
+      .count()
+    assert(wrongDrop == 0L)
+    // the sweep found something at sf0.001 (the regime is exercised)
+    assert(out.filter(col("keep") === 0L).count() > 0L)
+    out.unpersist()
+  }
 }
