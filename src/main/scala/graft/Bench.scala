@@ -107,7 +107,8 @@ object Bench {
       "dedup_incremental" -> "first_run",
       "dedup_incremental_embedding" -> "first_run",
       "ann_ivf_topk_index" -> "first_run",
-      "dedup_stream_replay" -> "every_run"
+      "dedup_stream_replay" -> "every_run",
+      "events_stream_replay" -> "every_run"
     )
     val builds = buildIncluded
       .filter { case (k, _) => medians.exists(_._1 == k) }

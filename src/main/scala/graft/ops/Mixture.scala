@@ -54,8 +54,8 @@ object Mixture {
     * the draw so the oracle pins the exact per-doc decision, not just
     * the counts.
     */
-  private val fixtureRates = Map("en" -> 1.0)
-  private val fixtureDefault = 0.4
+  private[ops] val fixtureRates = Map("en" -> 1.0)
+  private[ops] val fixtureDefault = 0.4
 
   val mixtureSample: Q = (s, d) =>
     stratifiedSample(documents(s, d), "doc_id", "lang", fixtureRates, fixtureDefault)
@@ -95,10 +95,10 @@ object Mixture {
     "mixture_accounting" -> mixtureAccounting
   )
 
-  private def drawSql: String =
+  private[ops] def drawSql: String =
     "CAST(" + Dedup.hex12ValSql("md5('mix|' || CAST(doc_id AS VARCHAR))", 1) + " AS BIGINT)"
 
-  private def thresholdSql: String = {
+  private[ops] def thresholdSql: String = {
     val en = (1.0 * drawMod).toLong
     val other = (fixtureDefault * drawMod).toLong
     s"CASE WHEN lang = 'en' THEN $en ELSE $other END"

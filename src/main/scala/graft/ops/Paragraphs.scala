@@ -21,6 +21,19 @@ object Paragraphs {
 
   private val chunk = 10
 
+  /** The 10-word chunk expression over a split-words column `w` —
+    * shared with Pipeline so the composed repetition stage is
+    * bit-identical to quality_repetition's segmentation.
+    */
+  private[ops] def chunksExprSql: String =
+    s"transform(sequence(0, CAST(ceil(size(w) / $chunk.0) AS INT) - 1), " +
+      s"i -> concat_ws(' ', slice(w, i * $chunk + 1, $chunk)))"
+
+  /** DuckDB twin of [[chunksExprSql]]. */
+  private[ops] def chunksDuckSql(w: String): String =
+    s"list_transform(generate_series(0, CAST(ceil(len($w) / $chunk.0) AS INT) - 1), " +
+      s"i -> array_to_string($w[(i * $chunk + 1):(i * $chunk + $chunk)], ' '))"
+
   /** (doc_id, para_idx, para): documents exploded into 10-word chunks,
     * index preserved so the surviving text can be reassembled in
     * order.

@@ -85,7 +85,62 @@ object Pipeline {
       .orderBy("lang")
   }
 
-  def queries: Map[String, Q] = Map("pipeline_survivors" -> pipelineSurvivors)
+  /** The round-6 extension of [[stages]]: two more stages a corpus
+    * job runs after near-dup removal —
+    *
+    *   → repetition filter (Gopher rule: duplicate-line fraction ≤ 0.3,
+    *     the Paragraphs.qualityRepetition segmentation, integer-exact
+    *     as (n_lines − n_distinct)·10 ≤ 3·n_lines)
+    *     → mixture sampling (Mixture.stratifiedSample: keep all 'en',
+    *       40% elsewhere — deterministic md5 draw)
+    *
+    * Same reuse contract: the repetition stage chunks with the exact
+    * expression quality_repetition uses, the mixture stage IS
+    * stratifiedSample. Both are stateless scans over the already-
+    * thinned survivor set, so the expensive LSH stage still sees its
+    * minimal input and the cheap filters run where they are cheapest.
+    */
+  def stagesFull(docs: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (flagged, exactKept, finalKept) = stages(docs)
+    val repKept = finalKept
+      .withColumn("w", col("toks"))
+      .withColumn("paras", expr(Paragraphs.chunksExprSql))
+      .withColumn("n_lines", size(col("paras")).cast("bigint"))
+      .withColumn("n_distinct_lines", size(array_distinct(col("paras"))).cast("bigint"))
+      .filter((col("n_lines") - col("n_distinct_lines")) * 10 <= col("n_lines") * 3)
+      .drop("w", "paras")
+    val mixKept =
+      Mixture.stratifiedSample(repKept, "doc_id", "lang", Mixture.fixtureRates, Mixture.fixtureDefault)
+    (flagged, exactKept, finalKept, repKept, mixKept)
+  }
+
+  /** Per-language accounting across all five stages. */
+  val pipelineFull: Q = (s, d) => {
+    val (flagged, exactKept, finalKept, repKept, mixKept) = stagesFull(documents(s, d))
+    def perLang(df: DataFrame, name: String): DataFrame =
+      df.groupBy(col("lang")).agg(count(lit(1)).cast("bigint").as(name))
+    flagged
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_input"),
+        sum(when(col("quality_pass"), 1).otherwise(0)).cast("bigint").as("n_quality_pass")
+      )
+      .join(perLang(exactKept, "n_exact_survivors"), Seq("lang"), "left")
+      .join(perLang(finalKept, "n_near_survivors"), Seq("lang"), "left")
+      .join(perLang(repKept, "n_repetition_survivors"), Seq("lang"), "left")
+      .join(perLang(mixKept, "n_mixture_survivors"), Seq("lang"), "left")
+      .na
+      .fill(
+        0L,
+        Seq("n_exact_survivors", "n_near_survivors", "n_repetition_survivors", "n_mixture_survivors")
+      )
+      .orderBy("lang")
+  }
+
+  def queries: Map[String, Q] = Map(
+    "pipeline_survivors" -> pipelineSurvivors,
+    "pipeline_full" -> pipelineFull
+  )
 
   /** The oracle replays all three stages from the same fragments the
     * standalone operators' oracles use (TextAnalysis quality rule,
@@ -94,7 +149,68 @@ object Pipeline {
     */
   def oracles: Map[String, String] = {
     val stop = TextAnalysis.stopList
+    // the shared stage-1..3 CTE chain (quality → exact → near-dup) —
+    // pipeline_full appends the repetition + mixture stages to it
+    val stages123 =
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, text,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(floor(len(list_filter(string_split(text, ' '), w -> w IN ($stop))) * 100.0
+         |               / len(string_split(text, ' '))) AS BIGINT) AS stop_pct
+         |  FROM documents),
+         |q AS (SELECT * FROM t WHERE n_tokens >= 20 AND stop_pct BETWEEN 2 AND 60),
+         |k AS (SELECT md5(text) AS h, min(doc_id) AS keep_id FROM q GROUP BY md5(text)),
+         |ek AS (SELECT q.* FROM q JOIN k ON md5(q.text) = k.h AND q.doc_id = k.keep_id),
+         |${Dedup.shinglesSqlFrom("ek")},
+         |${Dedup.minhashSql},
+         |${Dedup.bandsSql},
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM pairs p
+         |  JOIN sh x ON x.doc_id = p.doc_a
+         |  JOIN sh y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
+         |  GROUP BY p.doc_a, p.doc_b),
+         |dropped AS (
+         |  SELECT DISTINCT p.doc_b AS doc_id
+         |  FROM pairs p
+         |  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         |  JOIN sizes sa ON sa.doc_id = p.doc_a
+         |  JOIN sizes sb ON sb.doc_id = p.doc_b
+         |  WHERE round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+         |              / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) >= $minJaccard),
+         |fk AS (SELECT * FROM ek WHERE doc_id NOT IN (SELECT doc_id FROM dropped))""".stripMargin
     Map(
+      "pipeline_full" ->
+        s"""$stages123,
+           |rk AS (
+           |  SELECT doc_id, lang, text FROM (
+           |    SELECT doc_id, lang, text,
+           |      ${Paragraphs.chunksDuckSql("string_split(text, ' ')")} AS paras
+           |    FROM fk)
+           |  WHERE (len(paras) - len(list_distinct(paras))) * 10 <= len(paras) * 3),
+           |mx AS (SELECT * FROM rk WHERE ${Mixture.drawSql} < ${Mixture.thresholdSql}),
+           |a AS (
+           |  SELECT lang, CAST(count(*) AS BIGINT) AS n_input,
+           |    CAST(sum(CASE WHEN n_tokens >= 20 AND stop_pct BETWEEN 2 AND 60 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_quality_pass
+           |  FROM t GROUP BY lang),
+           |b AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM ek GROUP BY lang),
+           |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM fk GROUP BY lang),
+           |r AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM rk GROUP BY lang),
+           |m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM mx GROUP BY lang)
+           |SELECT a.lang, a.n_input, a.n_quality_pass,
+           |  CAST(coalesce(b.n, 0) AS BIGINT) AS n_exact_survivors,
+           |  CAST(coalesce(c.n, 0) AS BIGINT) AS n_near_survivors,
+           |  CAST(coalesce(r.n, 0) AS BIGINT) AS n_repetition_survivors,
+           |  CAST(coalesce(m.n, 0) AS BIGINT) AS n_mixture_survivors
+           |FROM a LEFT JOIN b ON a.lang = b.lang LEFT JOIN c ON a.lang = c.lang
+           |LEFT JOIN r ON a.lang = r.lang LEFT JOIN m ON a.lang = m.lang
+           |ORDER BY a.lang""".stripMargin,
       "pipeline_survivors" ->
         s"""WITH t AS (
            |  SELECT doc_id, lang, text,

@@ -192,12 +192,98 @@ object StreamingIngest {
       .orderBy("new_id", "ref_id", "src")
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Map("dedup_stream_replay" -> ((s, d) => dedupStreamReplay(s, graft.ops.Fixtures.documents(s, d))))
+  /** The watermarked WINDOW-aggregation route as an ORACLE-GATED batch
+    * query (`events_stream_replay`): the events table replays through
+    * a real watermarked streaming aggregation (file source, one file
+    * per micro-batch, Append mode — windows reach the sink only when
+    * the watermark FINALIZES them) and the accumulated output must
+    * equal the batch tumbling-hour aggregation in DuckDB.
+    *
+    * Finalization is forced deterministically in two phases sharing
+    * one checkpoint: phase 1 streams the real files under a watermark
+    * delay longer than the data's time span — so no file order can
+    * ever make an event late, and nothing finalizes; phase 2 appends
+    * one far-future `__flush` sentinel and resumes, which advances the
+    * watermark past every real window and flushes them all. The
+    * sentinel's own window never finalizes, so the emitted set is
+    * EXACTLY the real windows, each exactly once (checkpointed state
+    * survives the restart — the two-phase run is also a restart test).
+    * The aggregate is count + DECIMAL sum (the batch query's
+    * countDistinct is not streamable in append mode; the streaming
+    * answer would be approx_count_distinct, which an exact-match
+    * oracle deliberately excludes).
+    */
+  val eventsStreamReplay: (SparkSession, String) => DataFrame = (s, d) => {
+    import org.apache.spark.sql.types.DecimalType
+    val ev = graft.ops.Fixtures
+      .events(s, d)
+      .select(col("ts"), col("event_type"), col("value"))
+    val base = java.nio.file.Files.createTempDirectory("graft_events_replay")
+    val src = base.resolve("src").toString
+    val out = base.resolve("win").toString
+    val ckpt = base.resolve("ckpt").toString
+    ev.repartition(4, col("event_type")).write.parquet(src)
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    def runOnce(): Unit = {
+      val q = s.readStream
+        .schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "400 days")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total_value_dec")
+        )
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", out)
+        .outputMode(OutputMode.Append)
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    // phase 2: the flush sentinel — 402 days past the corpus max, so
+    // watermark = sentinel − 400 d clears every real window end
+    import s.implicits._
+    val sentinel = new java.sql.Timestamp(maxTs.getTime + 402L * 24 * 3600 * 1000)
+    Seq((sentinel, "__flush", 0.0))
+      .toDF("ts", "event_type", "value")
+      .write.mode(SaveMode.Append).parquet(src)
+    runOnce()
+    s.read
+      .parquet(out)
+      .filter(col("event_type") =!= "__flush")
+      .select(
+        expr("unix_micros(window.start) div 3600000000").as("hour_bucket"),
+        col("event_type"),
+        col("n_events"),
+        col("total_value_dec").cast("string").as("total_value")
+      )
+      .orderBy("hour_bucket", "event_type")
+  }
 
-  /** Same set as the one-shot incremental probe on the same split. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+      "dedup_stream_replay" -> ((s, d) => dedupStreamReplay(s, graft.ops.Fixtures.documents(s, d))),
+      "events_stream_replay" -> eventsStreamReplay
+    )
+
+  /** dedup: same set as the one-shot incremental probe on the same
+    * split; events: the batch tumbling-hour aggregation (Spark's
+    * epoch-aligned 1 h windows ARE the hour buckets).
+    */
   def oracles: Map[String, String] =
-    Map("dedup_stream_replay" -> graft.ops.Dedup.oracles("dedup_incremental"))
+    Map(
+      "dedup_stream_replay" -> graft.ops.Dedup.oracles("dedup_incremental"),
+      "events_stream_replay" ->
+        """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
+          |  CAST(count(*) AS BIGINT) AS n_events,
+          |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total_value
+          |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin
+    )
 
   final case class Event(user_id: Long, ts_micros: Long, event_type: String, value: Double)
   final case class Session(

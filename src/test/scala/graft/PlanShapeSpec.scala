@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.Relational
+import graft.ops.{Fixtures, Packing, Paragraphs, Relational}
 
 /** Plan-shape regression proofs for the scan/join fundamentals: these
   * assert the physical plans keep the properties that make the
@@ -63,5 +63,28 @@ class PlanShapeSpec extends SparkSpec {
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+  }
+
+  test("dedup_paragraph: the digest window is the only corpus shuffle key") {
+    // exactly two hash exchanges — the keep-earliest window keyed on
+    // the paragraph digest (projected as _w0) and the per-doc
+    // reassembly aggregate — and never a corpus-global sort
+    val plan = Paragraphs
+      .paragraphDedup(Fixtures.documents(spark, sfDir), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // ENSURE_REQUIREMENTS = shuffles the operators demanded; the
+    // fixture loader's explicit REPARTITION_BY_NUM is upstream noise
+    val exchanges = "ENSURE_REQUIREMENTS".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected 2 required exchanges, got $exchanges:\n${plan.take(2500)}")
+    assert(!plan.contains("rangepartitioning"), s"global sort found:\n${plan.take(2000)}")
+  }
+
+  test("pack_sequences: the prefix-sum window partitions by stratum, never SinglePartition") {
+    val plan = Packing.packSequencesQ(spark, sfDir).queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(stratum"), plan.take(2000))
+    assert(
+      !plan.contains("Exchange SinglePartition"),
+      s"corpus-global window found:\n${plan.take(2000)}"
+    )
   }
 }

@@ -35,4 +35,21 @@ class PipelineSpec extends SparkSpec {
       finalKept.select(md5(col("text").cast("binary"))).distinct().count() == finalKept.count()
     )
   }
+
+  test("stagesFull: the two new stages shrink monotonically and repetition CAN drop") {
+    import spark.implicits._
+    // the fixture corpus has no within-doc chunk repetition (the
+    // accounting shows stage 4 as a fixture no-op), so prove the rule
+    // fires on a crafted looping doc injected through the same path
+    val loop = (("the a of to and in good text here now word more " * 2).trim + " ") * 8
+    val crafted = Seq((900001L, loop.trim, "en", "src0", loop.trim.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val docs = Fixtures.documents(spark, sfDir).unionByName(crafted)
+    val (_, _, near, rep, mix) = Pipeline.stagesFull(docs)
+    val nNear = near.count(); val nRep = rep.count(); val nMix = mix.count()
+    assert(nRep <= nNear && nMix <= nRep, "stages must only shrink")
+    assert(near.filter(col("doc_id") === 900001L).count() == 1L, "crafted doc must reach stage 4")
+    assert(rep.filter(col("doc_id") === 900001L).count() == 0L, "looping doc must be dropped by the repetition rule")
+    assert(nMix < nRep, "mixture must drop non-en docs on the fixture")
+  }
 }
