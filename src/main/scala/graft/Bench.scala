@@ -108,7 +108,10 @@ object Bench {
       "dedup_incremental_embedding" -> "first_run",
       "ann_ivf_topk_index" -> "first_run",
       "dedup_stream_replay" -> "every_run",
-      "events_stream_replay" -> "every_run"
+      "events_stream_replay" -> "every_run",
+      // builds "yesterday's" component map inline before the
+      // increment-sized merge it exists to demonstrate
+      "dedup_clusters_incremental" -> "every_run"
     )
     val builds = buildIncluded
       .filter { case (k, _) => medians.exists(_._1 == k) }

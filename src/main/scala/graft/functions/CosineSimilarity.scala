@@ -95,12 +95,34 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * session (incl. thrift/connect servers) gets them at build time.
   */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1)),
       "built-in"
     )
+    // Spark ships Bloom-filter build/probe as INTERNAL expressions
+    // (used by its own runtime row-level join filtering) without SQL
+    // registration; surfacing them gives the engine a distributed
+    // Bloom build (partial aggregation, no driver collect — unlike
+    // DataFrameStatFunctions.bloomFilter) and a codegen'd probe.
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_filter_agg",
+      (exprs: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0),
+          exprs(1),
+          exprs(2)
+        ),
+      "built-in"
+    )
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "might_contain",
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1)),
+      "built-in"
+    )
+  }
 }
 
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {

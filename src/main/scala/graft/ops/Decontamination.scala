@@ -58,12 +58,73 @@ object Decontamination {
       .orderBy("doc_id")
   }
 
+  /** The at-scale route for a benchmark set too large to broadcast as
+    * an exact digest set: build a Bloom filter over the benchmark
+    * n-grams DISTRIBUTED (Spark's internal `bloom_filter_agg` —
+    * partial aggregation merges executor-side sketches; nothing
+    * corpus-sized reaches the driver, only the final `numBits/8`-byte
+    * filter, which is metadata-scale like IVF centroids), prefilter
+    * the training corpus with the codegen'd `might_contain` probe
+    * embedded as a constant, then run the EXACT verification join only
+    * over the prefiltered survivors — Bloom false positives die in the
+    * verify join, false negatives cannot exist, so the result is
+    * bit-identical to [[contamination]] (spec-pinned, and the query
+    * shares its DuckDB oracle). The probe is a map-side filter: the
+    * corpus is never shuffled, and the verify join's input is
+    * output-sized + FP rate instead of corpus-sized.
+    */
+  def contaminationBloom(
+      train: DataFrame,
+      bench: DataFrame,
+      expectedItems: Long = 1L << 14,
+      numBits: Long = 1L << 18
+  ): DataFrame = {
+    val s = train.sparkSession
+    graft.functions.GraftFunctions.register(s)
+    val benchSh = Dedup
+      .shingles(bench, "doc_id", "text")
+      .select(col("doc_id").as("bench_id"), md5(col("shingle").cast("binary")).as("g"))
+    val bf = benchSh
+      .agg(expr(s"bloom_filter_agg(xxhash64(g), CAST($expectedItems AS BIGINT), CAST($numBits AS BIGINT))"))
+      .head()
+      .getAs[Array[Byte]](0)
+    val trainSh = Dedup
+      .shingles(train, "doc_id", "text")
+      .select(col("doc_id"), md5(col("shingle").cast("binary")).as("g"))
+      .filter(call_function("might_contain", lit(bf), xxhash64(col("g"))))
+    val perBench = trainSh
+      .join(broadcast(benchSh), "g")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(countDistinct(col("g")).as("n_shared"))
+    perBench
+      .groupBy(col("doc_id"))
+      .agg(
+        countDistinct(col("bench_id")).cast("bigint").as("n_bench_docs"),
+        max(col("n_shared")).cast("bigint").as("max_shared"),
+        sum(col("n_shared")).cast("bigint").as("total_shared")
+      )
+  }
+
+  val decontaminateBloom: Q = (s, d) => {
+    val docs = documents(s, d)
+    contaminationBloom(docs.filter(s"NOT ($benchPred)"), docs.filter(benchPred))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, Q] = Map(
-    "decontaminate" -> decontaminate
+    "decontaminate" -> decontaminate,
+    "decontaminate_bloom" -> decontaminateBloom
   )
 
+  /** The Bloom route is exact by construction (FPs verified away, FNs
+    * impossible), so it shares the exact route's oracle.
+    */
   def oracles: Map[String, String] = Map(
-    "decontaminate" ->
+    "decontaminate_bloom" -> oracleSqlExact,
+    "decontaminate" -> oracleSqlExact
+  )
+
+  private lazy val oracleSqlExact: String =
       s"""WITH train AS (SELECT * FROM documents WHERE NOT ($benchPred)),
          |bench AS (SELECT * FROM documents WHERE $benchPred),
          |${Dedup.shinglesSqlFrom("train").replace("sh AS", "tsh AS")},
@@ -78,5 +139,4 @@ object Decontamination {
          |  CAST(max(n_shared) AS BIGINT) AS max_shared,
          |  CAST(sum(n_shared) AS BIGINT) AS total_shared
          |FROM per_bench GROUP BY doc_id ORDER BY doc_id""".stripMargin
-  )
 }

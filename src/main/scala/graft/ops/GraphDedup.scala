@@ -97,24 +97,42 @@ object GraphDedup {
       .union(e.select(col("lo"), col("lo")).distinct())
   }
 
-  /** Near-dup clusters over the documents table: the MinHash-LSH
-    * verified pairs at Jaccard >= 0.5 are the edges; every document
-    * gets its component's min doc_id as cluster_id (itself when it has
-    * no near-dups), plus the cluster size and a keep/drop-style
-    * representative flag — the exact shape the composed pipeline's
-    * "keep one per cluster" stage consumes. Edges are output-sized
-    * (near-dup pairs), so the CC rounds shuffle KBs even when the
-    * corpus is TBs; the only corpus-scale work is the LSH pass that
-    * produced the pairs.
+  /** INCREMENTAL connected components: merge a batch of NEW edges into
+    * an existing component map without re-walking the whole graph —
+    * the cluster-level twin of the incremental dedup probe (a daily
+    * increment's pairs must not recluster a 100 TB corpus).
+    *
+    * Only components TOUCHED by a new edge are recomputed: the
+    * affected clusters' star edges (root ← member, already height-1
+    * from the previous run — CC over them converges almost
+    * immediately) union the new edges form a subgraph that is
+    * increment-sized, not corpus-sized; untouched clusters pass
+    * through by anti-join. The result provably equals full CC over
+    * (old ∪ new) edges: any cluster containing a new-edge endpoint is
+    * in the touched set by construction, so no merge can span two
+    * untouched clusters (GraphDedupSpec pins the equivalence,
+    * including the two-clusters-merged-by-one-edge case).
     */
-  val dedupClusters: Q = (s, d) => {
+  def incrementalComponents(prevStars: DataFrame, newEdges: DataFrame): DataFrame = {
+    val endpoints = newEdges
+      .select(col("src").as("node"))
+      .union(newEdges.select(col("dst").as("node")))
+      .distinct()
+    val touchedRoots = prevStars.join(endpoints, "node").select(col("cluster_id")).distinct()
+    val touchedStars = prevStars.join(touchedRoots, Seq("cluster_id"))
+    val subEdges = touchedStars
+      .select(col("node").as("src"), col("cluster_id").as("dst"))
+      .union(newEdges.select(col("src"), col("dst")))
+    val untouched = prevStars.join(touchedRoots, Seq("cluster_id"), "left_anti")
+    untouched.select(col("node"), col("cluster_id")).union(connectedComponents(subEdges))
+  }
+
+  /** Shared tail of the cluster queries: every document labeled with
+    * its component (itself when unclustered), plus size and
+    * representative flag.
+    */
+  private def clusterMap(docs: DataFrame, cc: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = documents(s, d)
-    val edges = Dedup
-      .lshCandidatesWithJaccard(docs, "doc_id", "text")
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val cc = connectedComponents(edges)
     docs
       .select(col("doc_id"))
       .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
@@ -130,8 +148,53 @@ object GraphDedup {
       .orderBy("doc_id")
   }
 
+  /** Near-dup clusters over the documents table: the MinHash-LSH
+    * verified pairs at Jaccard >= 0.5 are the edges; every document
+    * gets its component's min doc_id as cluster_id (itself when it has
+    * no near-dups), plus the cluster size and a keep/drop-style
+    * representative flag — the exact shape the composed pipeline's
+    * "keep one per cluster" stage consumes. Edges are output-sized
+    * (near-dup pairs), so the CC rounds shuffle KBs even when the
+    * corpus is TBs; the only corpus-scale work is the LSH pass that
+    * produced the pairs.
+    */
+  val dedupClusters: Q = (s, d) => {
+    val docs = documents(s, d)
+    val edges = Dedup
+      .lshCandidatesWithJaccard(docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    clusterMap(docs, connectedComponents(edges))
+  }
+
+  /** The incremental route as an oracle-gated query: yesterday's
+    * corpus is the even docs (its pairs → the previous component map),
+    * today's increment brings every pair touching an odd doc; the
+    * merged map must equal the full-graph clustering bit for bit — so
+    * this query shares dedup_clusters' oracle verbatim. The pair
+    * relation is cached across the split (one LSH pass, two filters).
+    */
+  val dedupClustersIncremental: Q = (s, d) => {
+    val docs = documents(s, d)
+    val pairs = Dedup
+      .lshCandidatesWithJaccard(docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .cache()
+    try {
+      val bothEven = col("src") % 2 === 0 && col("dst") % 2 === 0
+      val prev = connectedComponents(pairs.filter(bothEven))
+      // materialize the merged map BEFORE releasing the pair cache —
+      // the lazy plan otherwise re-derives touchedRoots (and with it
+      // the whole LSH pass) at execution time
+      val merged = incrementalComponents(prev, pairs.filter(!bothEven)).localCheckpoint(true)
+      clusterMap(docs, merged)
+    } finally pairs.unpersist(blocking = false)
+  }
+
   def queries: Map[String, Q] = Map(
-    "dedup_clusters" -> dedupClusters
+    "dedup_clusters" -> dedupClusters,
+    "dedup_clusters_incremental" -> dedupClustersIncremental
   )
 
   /** DuckDB oracle: the same verified-pair CTE chain as
@@ -143,7 +206,12 @@ object GraphDedup {
     * correct spelling.
     */
   def oracles: Map[String, String] = Map(
-    "dedup_clusters" ->
+    // the incremental route must equal the full clustering bit for bit
+    "dedup_clusters_incremental" -> clustersOracle,
+    "dedup_clusters" -> clustersOracle
+  )
+
+  private lazy val clustersOracle: String =
       s"""WITH RECURSIVE ${Dedup.shinglesSqlFrom("documents")},
          |${Dedup.minhashSql},
          |${Dedup.bandsSql},
@@ -178,5 +246,4 @@ object GraphDedup {
          |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
          |  CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_rep
          |FROM lab ORDER BY doc_id""".stripMargin
-  )
 }

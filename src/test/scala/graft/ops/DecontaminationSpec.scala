@@ -35,6 +35,31 @@ class DecontaminationSpec extends SparkSpec {
     assert(r.getLong(3) == 2L) // total_shared
   }
 
+  test("bloom route is bit-identical to the exact route and actually prunes") {
+    val docs = Fixtures.documents(spark, "/root/testdata/sf0.001")
+    val train = docs.filter("doc_id % 20 <> 0")
+    val bench = docs.filter("doc_id % 20 = 0")
+    val exact = Decontamination.contamination(train, bench)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val bloom = Decontamination.contaminationBloom(train, bench)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(bloom == exact, "bloom prefilter + exact verify must equal the exact route")
+    // the prefilter prunes: most training shingles are NOT in the
+    // benchmark, so might_contain must reject a large share of them
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions._
+    val benchSh = Dedup.shingles(bench, "doc_id", "text")
+      .select(md5(col("shingle").cast("binary")).as("g"))
+    val bf = benchSh
+      .agg(expr(s"bloom_filter_agg(xxhash64(g), CAST(${1L << 14} AS BIGINT), CAST(${1L << 18} AS BIGINT))"))
+      .head().getAs[Array[Byte]](0)
+    val trainSh = Dedup.shingles(train, "doc_id", "text")
+      .select(md5(col("shingle").cast("binary")).as("g"))
+    val total = trainSh.count()
+    val kept = trainSh.filter(call_function("might_contain", lit(bf), xxhash64(col("g")))).count()
+    assert(kept < total / 2, s"bloom kept $kept of $total — no pruning happening")
+  }
+
   test("benchmark side is broadcast — the corpus never shuffles for the probe join") {
     val docs = Fixtures.documents(spark, "/root/testdata/sf0.001")
     val plan = Decontamination

@@ -46,6 +46,49 @@ class GraphDedupSpec extends SparkSpec {
     assert(cc(edges) == cc(edges))
   }
 
+  private def ccInc(old: Seq[(Long, Long)], fresh: Seq[(Long, Long)]): Map[Long, Long] =
+    GraphDedup
+      .incrementalComponents(
+        GraphDedup.connectedComponents(old.toDF("src", "dst")),
+        fresh.toDF("src", "dst")
+      )
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+
+  test("incrementalComponents equals full CC: merge, extend, untouched pass-through") {
+    // old: {1,2,3} and {10,11} and {20,21}; new edges merge the first
+    // two clusters, extend the graph with a brand-new node, and leave
+    // {20,21} untouched
+    val old = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+    val fresh = Seq((3L, 10L), (11L, 99L))
+    assert(ccInc(old, fresh) == cc(old ++ fresh))
+  }
+
+  test("incrementalComponents with new-only nodes and an empty increment") {
+    val old = Seq((1L, 2L))
+    assert(ccInc(old, Seq((50L, 51L))) == cc(old ++ Seq((50L, 51L))))
+    assert(ccInc(old, Seq.empty) == cc(old))
+  }
+
+  test("incrementalComponents on the fixture parity split equals the full clustering") {
+    val pairs = Dedup
+      .lshCandidatesWithJaccard(
+        Fixtures.documents(spark, "/root/testdata/sf0.001"), "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .cache()
+    val bothEven = col("src") % 2 === 0 && col("dst") % 2 === 0
+    val prev = GraphDedup.connectedComponents(pairs.filter(bothEven))
+    val inc = GraphDedup
+      .incrementalComponents(prev, pairs.filter(!bothEven))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val full = GraphDedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    pairs.unpersist()
+    assert(inc == full)
+  }
+
   test("dedup_clusters postconditions: total cover, min-rooted, sizes consistent") {
     val out = GraphDedup.dedupClusters(spark, "/root/testdata/sf0.001").cache()
     val n = out.count()
