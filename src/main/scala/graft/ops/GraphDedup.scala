@@ -127,6 +127,37 @@ object GraphDedup {
     untouched.select(col("node"), col("cluster_id")).union(connectedComponents(subEdges))
   }
 
+  /** Persisted component-map lifecycle — the cluster-level analog of
+    * saveMinhashIndex/appendToMinhashIndex: the map lives as a managed
+    * table BUCKETED BY node, because daily maintenance's first touch
+    * is "which clusters do the increment's endpoints belong to" — a
+    * join on node in which the corpus-sized map side must never
+    * shuffle. Bucketing gives exactly that asymmetry: the map scans
+    * in place, only the increment (KBs) shuffles into the map's
+    * bucketing (BucketingSpec-style shuffle-count proof in
+    * GraphDedupSpec). The root-keyed joins that follow broadcast,
+    * since touched roots are increment-sized.
+    */
+  def saveClusterMap(cc: DataFrame, table: String, nBuckets: Int = 32): Unit =
+    graft.sources.Bucketing.writeBucketed(
+      cc.select(col("node"), col("cluster_id")),
+      table,
+      "node",
+      nBuckets
+    )
+
+  /** One maintenance cycle: merge a batch of new edges into the
+    * persisted map and write it back. The merged map is materialized
+    * (eager localCheckpoint) BEFORE the overwrite — the write targets
+    * the same table the merge reads, and Spark will not read-under-
+    * overwrite; on a cluster the staging write + swap of
+    * core/Compaction is the equivalent move.
+    */
+  def maintainClusterMap(spark: SparkSession, table: String, newEdges: DataFrame, nBuckets: Int = 32): Unit = {
+    val merged = incrementalComponents(spark.table(table), newEdges).localCheckpoint(true)
+    saveClusterMap(merged, table, nBuckets)
+  }
+
   /** Shared tail of the cluster queries: every document labeled with
     * its component (itself when unclustered), plus size and
     * representative flag.

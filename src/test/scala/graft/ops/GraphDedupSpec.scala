@@ -89,6 +89,34 @@ class GraphDedupSpec extends SparkSpec {
     assert(inc == full)
   }
 
+  test("persisted cluster map: maintenance cycles converge to full CC; map side never shuffles") {
+    import org.apache.spark.sql.functions.col
+    val table = "graft_cc_map_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // day 0: two clusters
+    val day0 = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    GraphDedup.saveClusterMap(GraphDedup.connectedComponents(day0.toDF("src", "dst")), table)
+    // day 1: merge the clusters; day 2: extend with new nodes
+    val day1 = Seq((3L, 10L))
+    val day2 = Seq((11L, 99L), (200L, 201L))
+    GraphDedup.maintainClusterMap(spark, table, day1.toDF("src", "dst"))
+    GraphDedup.maintainClusterMap(spark, table, day2.toDF("src", "dst"))
+    val served = spark.table(table).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(served == cc(day0 ++ day1 ++ day2))
+    // the endpoint lookup — maintenance's corpus-sized join — scans the
+    // bucketed map in place: the only shuffle is the increment's
+    val endpoints = Seq(2L, 99L).toDF("node")
+    // broadcast of the tiny increment (0 shuffles) or a sort-merge
+    // where ONLY the increment side exchanges (1 shuffle) both prove
+    // the bucketed map scanned in place; 2 would mean the map shuffled
+    val probe = spark.table(table).join(endpoints.hint("merge"), "node")
+    assert(
+      graft.sources.Bucketing.shuffleCount(probe) <= 1,
+      probe.queryExecution.executedPlan.toString.take(2000)
+    )
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
   test("dedup_clusters postconditions: total cover, min-rooted, sizes consistent") {
     val out = GraphDedup.dedupClusters(spark, "/root/testdata/sf0.001").cache()
     val n = out.count()
