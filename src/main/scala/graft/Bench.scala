@@ -111,7 +111,8 @@ object Bench {
       "events_stream_replay" -> "every_run",
       // builds "yesterday's" component map inline before the
       // increment-sized merge it exists to demonstrate
-      "dedup_clusters_incremental" -> "every_run"
+      "dedup_clusters_incremental" -> "every_run",
+      "dedup_stream_clusters" -> "every_run"
     )
     val builds = buildIncluded
       .filter { case (k, _) => medians.exists(_._1 == k) }

@@ -742,6 +742,50 @@ object Dedup {
   /** Band CTE over a parity slice of `mh` — the oracle-side split of
     * the incremental query's index/increment sides.
     */
+  /** The parity-split incremental probe's CTE chain up to `scored`
+    * (new×index and new×new candidates with minhash agreement) —
+    * shared between the dedup_incremental / dedup_stream_replay
+    * oracles and the stream-clusters oracle's recursive walk.
+    */
+  private[graft] def incrementalPairCtes: String = {
+    val matchSum = (0 until numHashes)
+      .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""$shinglesSql,
+       |$minhashSql,
+       |${bandsSqlNamed("bnew", "doc_id % 2 <> 0")},
+       |${bandsSqlNamed("bidx", "doc_id % 2 = 0")},
+       |cand AS (
+       |  SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id, 'index' AS src
+       |  FROM bnew n JOIN bidx r
+       |    ON n.band_id = r.band_id AND n.band_key = r.band_key AND r.doc_id <> n.doc_id
+       |  UNION ALL
+       |  SELECT DISTINCT n.doc_id, r.doc_id, 'increment' AS src
+       |  FROM bnew n JOIN bnew r
+       |    ON n.band_id = r.band_id AND n.band_key = r.band_key AND r.doc_id < n.doc_id),
+       |scored AS (
+       |  SELECT c.new_id, c.ref_id, c.src, CAST($matchSum AS BIGINT) AS n_match
+       |  FROM cand c
+       |  JOIN mh a ON a.doc_id = c.new_id
+       |  JOIN mh b ON b.doc_id = c.ref_id)""".stripMargin
+  }
+
+  /** Connected components over the incremental probe's flagged pairs —
+    * what the streaming cluster-map table must converge to.
+    */
+  private[graft] def incrementalClustersOracle: String =
+    s"""WITH RECURSIVE $incrementalPairCtes,
+       |e AS (
+       |  SELECT DISTINCT new_id AS ea, ref_id AS eb FROM scored
+       |  WHERE n_match >= $incrementalMinMatches),
+       |und AS (SELECT ea, eb FROM e UNION SELECT eb, ea FROM e),
+       |walk(node, reach) AS (
+       |  SELECT DISTINCT ea, ea FROM und
+       |  UNION
+       |  SELECT w.node, u.eb FROM walk w JOIN und u ON u.ea = w.reach)
+       |SELECT node AS doc_id, min(reach) AS cluster_id
+       |FROM walk GROUP BY node ORDER BY doc_id""".stripMargin
+
   private def bandsSqlNamed(name: String, pred: String): String = {
     val nBands = numHashes / bandSize
     val arms = (0 until nBands)
@@ -876,26 +920,7 @@ object Dedup {
     // values), bands split by parity, candidates per route, and the
     // same k-of-8 agreement estimator.
     "dedup_incremental" -> {
-      val matchSum = (0 until numHashes)
-        .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      s"""WITH $shinglesSql,
-         |$minhashSql,
-         |${bandsSqlNamed("bnew", "doc_id % 2 <> 0")},
-         |${bandsSqlNamed("bidx", "doc_id % 2 = 0")},
-         |cand AS (
-         |  SELECT DISTINCT n.doc_id AS new_id, r.doc_id AS ref_id, 'index' AS src
-         |  FROM bnew n JOIN bidx r
-         |    ON n.band_id = r.band_id AND n.band_key = r.band_key AND r.doc_id <> n.doc_id
-         |  UNION ALL
-         |  SELECT DISTINCT n.doc_id, r.doc_id, 'increment' AS src
-         |  FROM bnew n JOIN bnew r
-         |    ON n.band_id = r.band_id AND n.band_key = r.band_key AND r.doc_id < n.doc_id),
-         |scored AS (
-         |  SELECT c.new_id, c.ref_id, c.src, CAST($matchSum AS BIGINT) AS n_match
-         |  FROM cand c
-         |  JOIN mh a ON a.doc_id = c.new_id
-         |  JOIN mh b ON b.doc_id = c.ref_id)
+      s"""WITH $incrementalPairCtes
          |SELECT new_id, ref_id, src, n_match,
          |  round(n_match / $numHashes.0, 6) AS est_jaccard
          |FROM scored WHERE n_match >= $incrementalMinMatches

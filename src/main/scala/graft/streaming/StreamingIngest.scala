@@ -192,6 +192,116 @@ object StreamingIngest {
       .orderBy("new_id", "ref_id", "src")
   }
 
+  /** Streaming near-dup flags PLUS live cluster maintenance: the full
+    * corpus-clustering loop as one stream. Each micro-batch probes the
+    * signature index, appends its flags and signatures (exactly
+    * [[nearDupFlagsStream]]), then folds the batch's flag pairs into
+    * the persisted cluster-map table — cold-starting it from the first
+    * batch's components, thereafter
+    * [[graft.ops.GraphDedup.maintainClusterMap]]'s touched-clusters-
+    * only merge. Per-batch cost: O(increment) probe + O(touched
+    * clusters) merge; the map converges to CC over ALL flagged pairs
+    * regardless of how arrivals were batched (the incremental-CC
+    * equivalence theorem, so batch boundaries cannot change the final
+    * state — what makes the streaming route oracle-gatable at all).
+    * The maintenance runs INSIDE the try, while the batch's cached
+    * signatures still back the flag relation.
+    */
+  def clusteredNearDupStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexDir: String,
+      outDir: String,
+      checkpoint: String,
+      minMatches: Int,
+      mapTable: String,
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      mapBuckets: Int = 32
+  ): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val (flags, sigNew) = graft.ops.Dedup
+          .incrementalDedupCached(batch.toDF(), idCol, textCol, indexDir, minMatches)
+        try {
+          flags.write.mode(SaveMode.Append).parquet(outDir)
+          graft.ops.Dedup.appendSignaturesToIndex(sigNew, indexDir)
+          // a flagless batch cannot change the map — skip the merge
+          // AND the table rewrite (metastore commits are the expensive
+          // part of a micro-batch at this scale)
+          val edges = flags
+            .select(col("new_id").as("src"), col("ref_id").as("dst"))
+            .localCheckpoint(true)
+          if (!edges.isEmpty) {
+            if (s.catalog.tableExists(mapTable))
+              graft.ops.GraphDedup.maintainClusterMap(s, mapTable, edges, mapBuckets)
+            else
+              graft.ops.GraphDedup.saveClusterMap(
+                graft.ops.GraphDedup.connectedComponents(edges),
+                mapTable,
+                mapBuckets
+              )
+          }
+        } finally sigNew.unpersist()
+      }
+      .start()
+
+  /** The clustered streaming route as an oracle-gated query: same
+    * parity replay as [[dedupStreamReplay]], but the checked output is
+    * the CLUSTER MAP TABLE after the stream ends — which must equal
+    * connected components over the one-shot incremental probe's pair
+    * set, computed by the DuckDB oracle as a recursive walk over the
+    * same pair CTEs. Scratch dirs and table name are per-run.
+    */
+  val dedupStreamClusters: (SparkSession, String) => DataFrame = (s, d) => {
+    val docs = graft.ops.Fixtures.documents(s, d)
+    val base = java.nio.file.Files.createTempDirectory("graft_stream_cc")
+    val idx = base.resolve("index").toString
+    val src = base.resolve("src").toString
+    val out = base.resolve("flags").toString
+    val ckpt = base.resolve("ckpt").toString
+    val table = "graft_stream_cc_" + base.getFileName.toString.replaceAll("[^a-zA-Z0-9_]", "_")
+    graft.ops.Dedup.saveMinhashIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx)
+    // two micro-batches: batch 1 cold-starts the map, batch 2 takes the
+    // maintenance path — the two distinct code paths; per-batch cost is
+    // dominated by the managed-table commit, so the replay buys its
+    // coverage with the minimum number of cycles (dedup_stream_replay
+    // keeps 4 batches for the flag-semantics coverage)
+    docs
+      .filter(col("doc_id") % 2 =!= 0)
+      .select("doc_id", "text")
+      .repartition(2, col("doc_id"))
+      .write
+      .parquet(src)
+    val stream = s.readStream
+      .schema(s.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+    clusteredNearDupStream(
+      stream,
+      "doc_id",
+      "text",
+      idx,
+      out,
+      ckpt,
+      graft.ops.Dedup.incrementalMinMatches,
+      table,
+      Trigger.AvailableNow(),
+      // flagged-pair maps are output-sized; 4 buckets keep the
+      // per-batch table commit from writing 32 near-empty files
+      mapBuckets = 4
+    ).awaitTermination()
+    val result = s.table(table)
+      .select(col("node").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+      .localCheckpoint(true)
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    result
+  }
+
   /** The watermarked WINDOW-aggregation route as an ORACLE-GATED batch
     * query (`events_stream_replay`): the events table replays through
     * a real watermarked streaming aggregation (file source, one file
@@ -268,6 +378,7 @@ object StreamingIngest {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "dedup_stream_replay" -> ((s, d) => dedupStreamReplay(s, graft.ops.Fixtures.documents(s, d))),
+      "dedup_stream_clusters" -> dedupStreamClusters,
       "events_stream_replay" -> eventsStreamReplay
     )
 
@@ -278,6 +389,7 @@ object StreamingIngest {
   def oracles: Map[String, String] =
     Map(
       "dedup_stream_replay" -> graft.ops.Dedup.oracles("dedup_incremental"),
+      "dedup_stream_clusters" -> graft.ops.Dedup.incrementalClustersOracle,
       "events_stream_replay" ->
         """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
           |  CAST(count(*) AS BIGINT) AS n_events,
