@@ -90,9 +90,49 @@ object Mixture {
       .orderBy("lang")
   }
 
+  /** Mixture DESIGN: derive per-stratum keep rates from a token
+    * budget — the planning step upstream of [[stratifiedSample]]
+    * (collect the plan's per-stratum rows — metadata-scale, like the
+    * partition planner's bins — and feed them back as the rate map).
+    * Exact integer arithmetic: rate_bps = min(10000,
+    * budget·10000 div tokens), expected kept tokens under the
+    * binomial-mean model = tokens·rate_bps div 10000.
+    */
+  def mixturePlan(
+      docs: DataFrame,
+      strataCol: String,
+      tokens: Column,
+      budgetPerStratum: Long
+  ): DataFrame =
+    docs
+      .groupBy(col(strataCol).as("stratum"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        sum(tokens).cast("bigint").as("n_tokens")
+      )
+      .withColumn(
+        "rate_bps",
+        least(lit(10000L), expr(s"CAST($budgetPerStratum AS BIGINT) * 10000 div n_tokens"))
+      )
+      .withColumn("exp_kept_tokens", expr("n_tokens * rate_bps div 10000"))
+
+  // 5000 sits between the largest stratum (en, ~11.8k tokens at sf0.01)
+  // and the rest, so BOTH branches fire: en down-samples to ~4252 bps,
+  // every other stratum caps at 10000
+  private val planBudget = 5000L
+
+  val mixturePlanQ: Q = (s, d) =>
+    mixturePlan(
+      documents(s, d),
+      "lang",
+      size(split(col("text"), " ")).cast("bigint"),
+      planBudget
+    ).orderBy("stratum")
+
   def queries: Map[String, Q] = Map(
     "mixture_sample" -> mixtureSample,
-    "mixture_accounting" -> mixtureAccounting
+    "mixture_accounting" -> mixtureAccounting,
+    "mixture_plan" -> mixturePlanQ
   )
 
   private[ops] def drawSql: String =
@@ -105,6 +145,15 @@ object Mixture {
   }
 
   def oracles: Map[String, String] = Map(
+    "mixture_plan" ->
+      s"""WITH t AS (
+         |  SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY lang)
+         |SELECT stratum, n_docs, n_tokens,
+         |  CAST(least(10000, $planBudget * 10000 // n_tokens) AS BIGINT) AS rate_bps,
+         |  CAST(n_tokens * least(10000, $planBudget * 10000 // n_tokens) // 10000 AS BIGINT) AS exp_kept_tokens
+         |FROM t ORDER BY stratum""".stripMargin,
     "mixture_sample" ->
       s"""SELECT doc_id, lang, $drawSql AS draw
          |FROM documents

@@ -206,6 +206,16 @@ object StreamingIngest {
     * state — what makes the streaming route oracle-gatable at all).
     * The maintenance runs INSIDE the try, while the batch's cached
     * signatures still back the flag relation.
+    *
+    * State lifecycle over an unbounded stream: the explicit cache is
+    * released per batch (the `finally`); the per-batch eager
+    * localCheckpoints (edges here, the merged map inside
+    * maintainClusterMap) are block-manager entries held only by RDD
+    * object references, so the ContextCleaner frees each batch's
+    * blocks as soon as the driver GCs them — unlike a forgotten
+    * `.cache()`, which the session's cacheManager pins forever. Disk
+    * state (index, flags, map table) is the durable product, not
+    * executor memory.
     */
   def clusteredNearDupStream(
       docs: DataFrame,
