@@ -89,6 +89,36 @@ class GraphDedupSpec extends SparkSpec {
     assert(inc == full)
   }
 
+  test("seeded random graphs match a reference union-find") {
+    def reference(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      edges.flatMap(e => Seq(e._1, e._2)).distinct.map(n => n -> find(n)).toMap
+    }
+    for (seed <- Seq(1, 7, 42)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)).filter(e => e._1 != e._2)
+      assert(cc(edges) == reference(edges), s"seed $seed")
+    }
+  }
+
+  test("incremental CC is invariant to arbitrary batch splits") {
+    for (seed <- Seq(3, 11, 29)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(40)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)).filter(e => e._1 != e._2)
+      val k = rnd.nextInt(edges.size + 1)
+      val (old, fresh) = edges.splitAt(k)
+      assert(ccInc(old, fresh) == cc(edges), s"seed $seed split $k")
+    }
+  }
+
   test("persisted cluster map: maintenance cycles converge to full CC; map side never shuffles") {
     import org.apache.spark.sql.functions.col
     val table = "graft_cc_map_spec"
