@@ -107,12 +107,15 @@ object Bench {
       "dedup_incremental" -> "first_run",
       "dedup_incremental_embedding" -> "first_run",
       "ann_ivf_topk_index" -> "first_run",
-      "dedup_stream_replay" -> "every_run",
+      // the stream replays seed their private mutable index as an FS
+      // copy of the shared demo index: first_run carries the index
+      // build, every rep still pays copy + full micro-batch replay
+      "dedup_stream_replay" -> "first_run",
       "events_stream_replay" -> "every_run",
       // builds "yesterday's" component map inline before the
       // increment-sized merge it exists to demonstrate
       "dedup_clusters_incremental" -> "every_run",
-      "dedup_stream_clusters" -> "every_run"
+      "dedup_stream_clusters" -> "first_run"
     )
     val builds = buildIncluded
       .filter { case (k, _) => medians.exists(_._1 == k) }

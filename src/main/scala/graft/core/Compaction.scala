@@ -47,4 +47,17 @@ object Compaction {
     if (!fs.rename(s, p))
       throw new java.io.IOException(s"compaction swap failed: rename $staged -> $path")
   }
+
+  /** Recursive FS-level directory copy (Hadoop FileUtil — any FS the
+    * relations live on): how a replay/demo run takes a PRIVATE mutable
+    * copy of a shared index without recomputing it.
+    */
+  def copyDir(spark: SparkSession, from: String, to: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val src = new Path(from)
+    val dst = new Path(to)
+    val fs = src.getFileSystem(conf)
+    if (!org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf))
+      throw new java.io.IOException(s"dir copy failed: $from -> $to")
+  }
 }

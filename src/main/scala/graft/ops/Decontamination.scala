@@ -5,8 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination: flag training documents that share any
   * word n-gram with an evaluation/benchmark set (the GPT-3 appendix-C
-  * / PaLM "13-gram overlap" contamination check, at fixture-scale n=3
-  * — the n is a knob, the machinery is the point).
+  * / PaLM "13-gram overlap" contamination check). Both production
+  * knobs are parameters: `n` (the gated fixture queries pin n=3 —
+  * fixture docs are word salad, so 13-grams never collide — and
+  * DecontaminationSpec exercises a crafted overlap at the paper's
+  * n=13) and the benchmark relation itself (any DataFrame; the
+  * queries' doc_id-parity split is just the fixture stand-in).
   *
   * Scale shape: the benchmark side is eval suites — MBs of n-grams
   * against TBs of training text — so its distinct hashed n-grams
@@ -32,12 +36,12 @@ object Decontamination {
     * doc) — the triage columns a decontamination report needs to
     * decide drop vs audit.
     */
-  def contamination(train: DataFrame, bench: DataFrame): DataFrame = {
+  def contamination(train: DataFrame, bench: DataFrame, n: Int = 3): DataFrame = {
     val benchSh = Dedup
-      .shingles(bench, "doc_id", "text")
+      .shinglesN(bench, "doc_id", "text", n)
       .select(col("doc_id").as("bench_id"), md5(col("shingle").cast("binary")).as("g"))
     val trainSh = Dedup
-      .shingles(train, "doc_id", "text")
+      .shinglesN(train, "doc_id", "text", n)
       .select(col("doc_id"), md5(col("shingle").cast("binary")).as("g"))
     val perBench = trainSh
       .join(broadcast(benchSh), "g")
@@ -77,19 +81,20 @@ object Decontamination {
       train: DataFrame,
       bench: DataFrame,
       expectedItems: Long = 1L << 14,
-      numBits: Long = 1L << 18
+      numBits: Long = 1L << 18,
+      n: Int = 3
   ): DataFrame = {
     val s = train.sparkSession
     graft.functions.GraftFunctions.register(s)
     val benchSh = Dedup
-      .shingles(bench, "doc_id", "text")
+      .shinglesN(bench, "doc_id", "text", n)
       .select(col("doc_id").as("bench_id"), md5(col("shingle").cast("binary")).as("g"))
     val bf = benchSh
       .agg(expr(s"bloom_filter_agg(xxhash64(g), CAST($expectedItems AS BIGINT), CAST($numBits AS BIGINT))"))
       .head()
       .getAs[Array[Byte]](0)
     val trainSh = Dedup
-      .shingles(train, "doc_id", "text")
+      .shinglesN(train, "doc_id", "text", n)
       .select(col("doc_id"), md5(col("shingle").cast("binary")).as("g"))
       .filter(call_function("might_contain", lit(bf), xxhash64(col("g"))))
     val perBench = trainSh

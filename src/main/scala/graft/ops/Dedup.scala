@@ -80,6 +80,25 @@ object Dedup {
     shingleArrays(docs, idCol, textCol)
       .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("shingle"))
 
+  /** Distinct word n-grams for ARBITRARY n — the production knob
+    * behind the decontamination check (GPT-3 appendix C / PaLM run it
+    * at n=13); n=3 produces exactly [[shingles]]' rows. Same ANSI
+    * guard as [[shingleArrays]]: short documents yield the empty set.
+    */
+  def shinglesN(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n-gram size must be positive, got $n")
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+      .select(
+        col("doc_id"),
+        when(
+          size(col("w")) >= n,
+          expr(s"transform(sequence(0, size(w) - $n), i -> concat_ws(' ', slice(w, i + 1, $n)))")
+        ).otherwise(array()).as("shingles")
+      )
+      .select(col("doc_id"), explode(array_distinct(col("shingles"))).as("shingle"))
+  }
+
   /** Per-document min-hash signature over DISTINCT (doc, shingle)
     * rows. Shape notes (measured at sf0.1): hashing dominates cost, so
     * (a) dedup the shingle relation BEFORE hashing (distinct first cut
@@ -553,10 +572,18 @@ object Dedup {
     */
   val incrementalMinMatches = 6
 
-  val dedupIncremental: Q = (s, d) => {
-    val dir = Fixtures.demoIndexDir(s, "mh", d) { idx =>
+  /** The once-per-process even-docs demo index (the "existing corpus"
+    * of every incremental/streaming demo query). Shared by
+    * [[dedupIncremental]] (which probes it read-only) and the stream
+    * replays (which COPY it to scratch before appending).
+    */
+  private[graft] def demoEvenMinhashIndex(s: SparkSession, d: String): String =
+    Fixtures.demoIndexDir(s, "mh", d) { idx =>
       saveMinhashIndex(documents(s, d).filter(col("doc_id") % 2 === 0), "doc_id", "text", idx)
     }
+
+  val dedupIncremental: Q = (s, d) => {
+    val dir = demoEvenMinhashIndex(s, d)
     val (flags, sigNew) = incrementalDedupCached(
       documents(s, d).filter(col("doc_id") % 2 =!= 0),
       "doc_id",

@@ -91,10 +91,124 @@ object GraphDedup {
       e = small
       iter += 1
     }
+    // an unconverged edge set is NOT a star map — serving it would hand
+    // downstream consumers a node with multiple cluster_ids undetected
+    require(
+      stable || sig._1 == 0L,
+      s"connected components did not converge in $maxIter rounds (edge signature still moving)"
+    )
     // converged: the edge set IS the component map (hi = member,
     // lo = component-minimum root; roots appear only on the lo side)
     e.select(col("hi").as("node"), col("lo").as("cluster_id"))
       .union(e.select(col("lo"), col("lo")).distinct())
+  }
+
+  /** The root-contraction merge core shared by [[incrementalComponents]]
+    * and [[maintainClusterMap]]: the CHANGE SET a batch of new edges
+    * induces on an existing component map.
+    *
+    * Each new edge is contracted to an edge between its endpoints'
+    * CURRENT ROOTS (a previously-unseen node is its own root) — valid
+    * because a path through members corresponds exactly to a path
+    * through their roots. Connected components then run over the
+    * root graph ONLY, which is increment-sized BY NODE COUNT (touched
+    * roots + new nodes), so the O(log n) iterative rounds shuffle
+    * nothing corpus-scale; cluster members never ride the rounds and
+    * relabel afterwards through ONE broadcast join against the map.
+    * Clusters that keep their root (the absorbing side of a merge)
+    * produce NO change rows at all — their map rows are reusable
+    * byte-for-byte.
+    *
+    * Returns (node, cluster_id) rows to upsert: every member of a
+    * cluster whose root moved, plus every new node. Equality with
+    * full CC over (old ∪ new) is pinned by GraphDedupSpec (random
+    * split invariance, merge/extend/pass-through cases).
+    *
+    * @param prevLookup  (node, cluster_id) view of the existing map
+    * @param endpointRoots (node, cluster_id) for the increment's
+    *        endpoints that exist in the map (callers with a
+    *        partitioned layout compute this bucket-pruned)
+    */
+  /** Default ceiling for solving a ROOT graph on the driver: 2²⁰ edges
+    * ≈ 16 MB of longs — metadata-scale by the same standard as the
+    * partition planner's driver-side bin packing. A micro-batch or
+    * daily increment's root graph sits far below it; anything above
+    * runs the distributed large-star/small-star path.
+    */
+  val defaultMaxDriverRootEdges: Long = 1L << 20
+
+  /** Solve the (increment-sized) root graph: a bounded driver-side
+    * union-find when the edge set is metadata-scale with integral ids
+    * — the reference's own FK-graph move
+    * (convert_datatypes.sql:148-196), applied where it is actually
+    * safe — else the distributed [[connectedComponents]]. Union always
+    * attaches the larger root under the smaller, so the final root is
+    * the component minimum, exactly [[connectedComponents]]'s
+    * postcondition (GraphDedupSpec pins both paths equal).
+    */
+  private def solveRootGraph(rootEdges: DataFrame, maxDriverEdges: Long): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val s = rootEdges.sparkSession
+    val longIds = rootEdges.schema.fields.forall(_.dataType == LongType)
+    if (!longIds || maxDriverEdges <= 0L) return connectedComponents(rootEdges)
+    // duplicates and orientation don't matter to union-find, so no
+    // distinct: the materialization is map-side only. The size probe
+    // is fused into the collect (limit bound+1): one job decides AND
+    // fetches — an oversized increment falls back before the driver
+    // holds more than the ceiling
+    val e = rootEdges.filter(col("src") =!= col("dst")).localCheckpoint(true)
+    val probed = e.limit(math.min(maxDriverEdges + 1, Int.MaxValue.toLong).toInt).collect()
+    if (probed.length > maxDriverEdges) connectedComponents(e)
+    else {
+      val edges = probed.map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val rows = edges.flatMap(t => Seq(t._1, t._2)).distinct.map(n => (n, find(n))).toSeq
+      import s.implicits._
+      rows.toDF("node", "cluster_id")
+    }
+  }
+
+  private def changeSet(
+      prevLookup: DataFrame,
+      endpointRoots: DataFrame,
+      newEdges: DataFrame,
+      maxDriverRootEdges: Long
+  ): DataFrame = {
+    val srcRoots = endpointRoots.select(col("node").as("src"), col("cluster_id").as("src_root"))
+    val dstRoots = endpointRoots.select(col("node").as("dst"), col("cluster_id").as("dst_root"))
+    val rootEdges = newEdges
+      .join(broadcast(srcRoots), Seq("src"), "left")
+      .join(broadcast(dstRoots), Seq("dst"), "left")
+      .select(
+        coalesce(col("src_root"), col("src")).as("src"),
+        coalesce(col("dst_root"), col("dst")).as("dst")
+      )
+    // (old root | new node) → merged root; intra-cluster edges contract
+    // to self-loops and vanish, so absent = unchanged
+    val newRoots = solveRootGraph(rootEdges, maxDriverRootEdges)
+    val rootsOld = endpointRoots.select(col("cluster_id").as("node")).distinct()
+    val changedRootMap = newRoots
+      .filter(col("node") =!= col("cluster_id"))
+      .join(broadcast(rootsOld), Seq("node"), "left_semi")
+      .select(col("node").as("old_root"), col("cluster_id").as("new_root"))
+    val relabeled = prevLookup
+      .join(broadcast(changedRootMap), prevLookup("cluster_id") === col("old_root"))
+      .select(prevLookup("node"), col("new_root").as("cluster_id"))
+    val newNodeRows = newRoots
+      .join(broadcast(rootsOld), Seq("node"), "left_anti")
+      .select(col("node"), col("cluster_id"))
+    relabeled.union(newNodeRows)
   }
 
   /** INCREMENTAL connected components: merge a batch of NEW edges into
@@ -102,79 +216,219 @@ object GraphDedup {
     * the cluster-level twin of the incremental dedup probe (a daily
     * increment's pairs must not recluster a 100 TB corpus).
     *
-    * Only components TOUCHED by a new edge are recomputed: the
-    * affected clusters' star edges (root ← member, already height-1
-    * from the previous run — CC over them converges almost
-    * immediately) union the new edges form a subgraph that is
-    * increment-sized, not corpus-sized; untouched clusters pass
-    * through by anti-join. The result provably equals full CC over
-    * (old ∪ new) edges: any cluster containing a new-edge endpoint is
-    * in the touched set by construction, so no merge can span two
-    * untouched clusters (GraphDedupSpec pins the equivalence,
+    * [[changeSet]] computes the rows that move (root-contraction: the
+    * iterative CC sees only the root graph); everything else passes
+    * through by a broadcast node-level anti-join. The result provably
+    * equals full CC over (old ∪ new) edges: any cluster containing a
+    * new-edge endpoint contracts into the root graph by construction,
+    * so no merge can escape it (GraphDedupSpec pins the equivalence,
     * including the two-clusters-merged-by-one-edge case).
     */
-  def incrementalComponents(prevStars: DataFrame, newEdges: DataFrame): DataFrame = {
+  /** Components of an INCREMENT-sized edge set (a micro-batch's flag
+    * pairs): the bounded driver union-find under the same ceiling as
+    * root graphs, falling back to the distributed solve above it. The
+    * cold-start path of a streaming cluster map — NOT for corpus-scale
+    * pair graphs, which go straight to [[connectedComponents]].
+    */
+  def incrementComponents(
+      edges: DataFrame,
+      maxDriverEdges: Long = defaultMaxDriverRootEdges
+  ): DataFrame =
+    solveRootGraph(edges.select(col("src"), col("dst")), maxDriverEdges)
+
+  def incrementalComponents(
+      prevStars: DataFrame,
+      newEdges: DataFrame,
+      maxDriverRootEdges: Long = defaultMaxDriverRootEdges
+  ): DataFrame = {
     val endpoints = newEdges
       .select(col("src").as("node"))
       .union(newEdges.select(col("dst").as("node")))
       .distinct()
-    val touchedRoots = prevStars.join(endpoints, "node").select(col("cluster_id")).distinct()
-    val touchedStars = prevStars.join(touchedRoots, Seq("cluster_id"))
-    val subEdges = touchedStars
-      .select(col("node").as("src"), col("cluster_id").as("dst"))
-      .union(newEdges.select(col("src"), col("dst")))
-    val untouched = prevStars.join(touchedRoots, Seq("cluster_id"), "left_anti")
-    untouched.select(col("node"), col("cluster_id")).union(connectedComponents(subEdges))
+    val endpointRoots = prevStars
+      .join(endpoints, Seq("node"))
+      .select(col("node"), col("cluster_id"))
+    // the change set is MEMBER-level (a touched mega-cluster makes it
+    // big), so the pass-through anti-join is left to AQE rather than
+    // hinted broadcast — root-level relations inside changeSet are the
+    // ones with a structural size bound
+    val changes =
+      changeSet(prevStars, endpointRoots, newEdges, maxDriverRootEdges).localCheckpoint(true)
+    prevStars
+      .join(changes.select(col("node")), Seq("node"), "left_anti")
+      .select(col("node"), col("cluster_id"))
+      .union(changes)
   }
 
   /** Persisted component-map lifecycle — the cluster-level analog of
-    * saveMinhashIndex/appendToMinhashIndex: the map lives as a managed
-    * table BUCKETED BY node, because daily maintenance's first touch
-    * is "which clusters do the increment's endpoints belong to" — a
-    * join on node in which the corpus-sized map side must never
-    * shuffle. Bucketing gives exactly that asymmetry: the map scans
-    * in place, only the increment (KBs) shuffles into the map's
-    * bucketing (BucketingSpec-style shuffle-count proof in
-    * GraphDedupSpec). The root-keyed joins that follow broadcast,
-    * since touched roots are increment-sized.
+    * saveMinhashIndex: the map lives as hash(node)-PARTITIONED parquet
+    * dirs (`bucket=K/`, sorted by node within each dir), because daily
+    * maintenance must satisfy two asymmetries at once:
+    *
+    *  - READ: "which clusters do the increment's endpoints belong to"
+    *    scans only the endpoint buckets (partition pruning on the
+    *    `bucket` dirs — metadata-scale filter, the map never shuffles;
+    *    the root-keyed joins that follow broadcast, since touched
+    *    roots are increment-sized);
+    *  - WRITE: a maintenance cycle rewrites ONLY the bucket dirs whose
+    *    contents change (the Compaction staged-swap, per dir) and
+    *    leaves every other dir byte-untouched — the reference's MERGE
+    *    state discipline (s3_to_exasol.sql:236-244: update what
+    *    changed, never rewrite the world). A managed bucketed table
+    *    cannot do this: saveAsTable-overwrite is all-or-nothing, which
+    *    made each micro-batch's maintenance O(corpus clusters) I/O.
+    *
+    * Each rewritten dir is one file (repartition by bucket), so the
+    * layout never accretes small files and needs no separate
+    * compaction pass. At corpus scale pick nBuckets so a bucket is a
+    * few hundred MB; changing nBuckets requires a full rewrite
+    * ([[saveClusterMap]] again).
     */
-  def saveClusterMap(cc: DataFrame, table: String, nBuckets: Int = 32): Unit =
-    graft.sources.Bucketing.writeBucketed(
-      cc.select(col("node"), col("cluster_id")),
-      table,
-      "node",
-      nBuckets
-    )
+  private def bucketExpr(nBuckets: Int) =
+    pmod(xxhash64(col("node")), lit(nBuckets.toLong)).cast("int").as("bucket")
+
+  def saveClusterMap(cc: DataFrame, dir: String, nBuckets: Int = 32): Unit =
+    cc.select(col("node"), col("cluster_id"), bucketExpr(nBuckets))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("node"))
+      .write
+      .mode("overwrite")
+      .partitionBy("bucket")
+      .parquet(dir)
+
+  /** The served map (node, cluster_id). Filters on `bucket` prune to
+    * partition dirs (SimilarityIvf-style PartitionFilters proof in
+    * GraphDedupSpec).
+    */
+  def readClusterMap(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  def clusterMapExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
 
   /** One maintenance cycle: merge a batch of new edges into the
-    * persisted map and write it back. The merged map is materialized
-    * (eager localCheckpoint) BEFORE the overwrite — the write targets
-    * the same table the merge reads, and Spark will not read-under-
-    * overwrite; on a cluster the staging write + swap of
-    * core/Compaction is the equivalent move.
+    * persisted map, rewriting ONLY the touched bucket dirs.
+    *
+    * Work per cycle: the touched-cluster merge of
+    * [[incrementalComponents]] (increment-sized compute), plus I/O
+    * proportional to the TOUCHED buckets — the buckets of nodes whose
+    * cluster_id might change (members of touched clusters) or that are
+    * new. Untouched dirs are never read for the rewrite and never
+    * written (GraphDedupSpec pins them byte-identical across a cycle).
+    *
+    * Swap discipline: the merged touched-bucket rows are materialized
+    * (eager localCheckpoint) BEFORE any dir is replaced — the rewrite
+    * reads the same dirs it replaces — then staged to `dir__maintain`
+    * and swapped per-dir through the FileSystem, the
+    * core/Compaction pattern. A concurrent reader during the
+    * per-dir swap window sees the same INSERT OVERWRITE contract as
+    * compaction; run under the lake's usual maintenance coordination.
     */
-  def maintainClusterMap(spark: SparkSession, table: String, newEdges: DataFrame, nBuckets: Int = 32): Unit = {
-    val merged = incrementalComponents(spark.table(table), newEdges).localCheckpoint(true)
-    saveClusterMap(merged, table, nBuckets)
+  def maintainClusterMap(
+      spark: SparkSession,
+      dir: String,
+      newEdges: DataFrame,
+      nBuckets: Int = 32,
+      maxDriverRootEdges: Long = defaultMaxDriverRootEdges
+  ): Unit = {
+    import org.apache.hadoop.fs.Path
+    val prev = spark.read.parquet(dir) // (node, cluster_id, bucket)
+    // endpoints are increment-sized: ONE materialization serves the
+    // bucket-id collect and the pruned probe join
+    val endpoints = newEdges
+      .select(col("src").as("node"))
+      .union(newEdges.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    // endpoint→root lookup reads ONLY the endpoint buckets (partition
+    // pruning); the bucket-id list is metadata-scale
+    val epBuckets = endpoints
+      .select(bucketExpr(nBuckets))
+      .distinct()
+      .collect()
+      .map(_.getInt(0))
+      .toSeq
+    val endpointRoots = prev
+      .filter(col("bucket").isin(epBuckets: _*))
+      .join(broadcast(endpoints), Seq("node"))
+      .select(col("node"), col("cluster_id"))
+      .localCheckpoint(true)
+    // the rows that change: members of clusters whose root moved + new
+    // nodes (the root-contraction core — the iterative CC only ever
+    // sees the root graph)
+    val changes = changeSet(
+      prev.select(col("node"), col("cluster_id")),
+      endpointRoots,
+      newEdges,
+      maxDriverRootEdges
+    ).localCheckpoint(true)
+    val touchedBuckets = changes
+      .select(bucketExpr(nBuckets))
+      .distinct()
+      .collect()
+      .map(_.getInt(0))
+      .toSet
+    if (touchedBuckets.isEmpty) return
+    // same-bucket rows that stay, node-keyed: everything not upserted
+    val keep = prev
+      .filter(col("bucket").isin(touchedBuckets.toSeq: _*))
+      .join(changes.select(col("node")), Seq("node"), "left_anti")
+      .select(col("node"), col("cluster_id"))
+    val staged = dir + "__maintain"
+    // the staged write READS the live dirs it will later replace, but
+    // writes somewhere else — so unlike a same-table overwrite, no
+    // defensive materialization is needed before it runs; the live
+    // dirs only change in the swap below, after the write completed
+    keep
+      .union(changes)
+      .select(col("node"), col("cluster_id"), bucketExpr(nBuckets))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("node"))
+      .write
+      .mode("overwrite")
+      .partitionBy("bucket")
+      .parquet(staged)
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    touchedBuckets.foreach { b =>
+      val live = new Path(s"$dir/bucket=$b")
+      val stage = new Path(s"$staged/bucket=$b")
+      fs.delete(live, true)
+      if (!fs.rename(stage, live))
+        throw new java.io.IOException(s"cluster-map swap failed: $stage -> $live")
+    }
+    fs.delete(new Path(staged), true)
   }
 
   /** Shared tail of the cluster queries: every document labeled with
     * its component (itself when unclustered), plus size and
     * representative flag.
     */
-  private def clusterMap(docs: DataFrame, cc: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    docs
+  private[graft] def clusterMap(docs: DataFrame, cc: DataFrame): DataFrame = {
+    // cluster_size via groupBy-count + join, NOT count-over-window: a
+    // degenerate mega-cluster (boilerplate pages) would pile one window
+    // partition onto one task at 100×, while the aggregate's partial
+    // combine and the join are AQE-skew-splittable
+    val labeled = docs
       .select(col("doc_id"))
       .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-      .withColumn(
-        "cluster_size",
-        count(lit(1)).over(Window.partitionBy(col("cluster_id"))).cast("bigint")
-      )
-      .withColumn(
-        "is_rep",
-        when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L)
+    // sizes come from the component map (output-sized), not from a
+    // second pass over the labeled corpus; docs absent from the map
+    // are singletons (their doc_id cannot collide with a real root —
+    // roots are cc members, singletons are not in cc)
+    val sizes = cc
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).cast("bigint").as("cluster_size"))
+    labeled
+      .join(sizes, Seq("cluster_id"), "left")
+      .withColumn("cluster_size", coalesce(col("cluster_size"), lit(1L)))
+      .select(
+        col("doc_id"),
+        col("cluster_id"),
+        col("cluster_size"),
+        when(col("doc_id") === col("cluster_id"), 1L).otherwise(0L).as("is_rep")
       )
       .orderBy("doc_id")
   }

@@ -21,36 +21,78 @@ object Paragraphs {
 
   private val chunk = 10
 
-  /** The 10-word chunk expression over a split-words column `w` —
+  /** How a document becomes paragraphs. The PUBLIC default is the
+    * MassiveText semantics the operators cite — blank-line-separated
+    * blocks (empty segments dropped, as CCNet's line dedup ignores
+    * empty lines). [[Segmenter.WordChunks]] is the deterministic
+    * fallback for newline-free corpora (the fixture), and what the
+    * fixture-gated queries pass explicitly.
+    */
+  sealed trait Segmenter
+  object Segmenter {
+    /** Split on a regex delimiter (default: blank line). */
+    final case class Delimiter(pattern: String = "\n\n") extends Segmenter
+
+    /** Fixed k-word chunks of the whitespace-split document. */
+    final case class WordChunks(k: Int = chunk) extends Segmenter
+  }
+
+  /** The k-word chunk expression over a split-words column `w` —
     * shared with Pipeline so the composed repetition stage is
     * bit-identical to quality_repetition's segmentation.
     */
-  private[ops] def chunksExprSql: String =
-    s"transform(sequence(0, CAST(ceil(size(w) / $chunk.0) AS INT) - 1), " +
-      s"i -> concat_ws(' ', slice(w, i * $chunk + 1, $chunk)))"
+  private[ops] def chunksExprSql: String = chunksExprSqlK(chunk)
+
+  private def chunksExprSqlK(k: Int): String =
+    s"transform(sequence(0, CAST(ceil(size(w) / $k.0) AS INT) - 1), " +
+      s"i -> concat_ws(' ', slice(w, i * $k + 1, $k)))"
 
   /** DuckDB twin of [[chunksExprSql]]. */
   private[ops] def chunksDuckSql(w: String): String =
     s"list_transform(generate_series(0, CAST(ceil(len($w) / $chunk.0) AS INT) - 1), " +
       s"i -> array_to_string($w[(i * $chunk + 1):(i * $chunk + $chunk)], ' '))"
 
-  /** (doc_id, para_idx, para): documents exploded into 10-word chunks,
-    * index preserved so the surviving text can be reassembled in
-    * order.
+  /** (doc_id, text, w, paras): the segmentation bound ONCE per row so
+    * downstream expressions never re-split the text.
     */
-  def paragraphs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("w"))
+  private def withParas(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      seg: Segmenter
+  ): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .withColumn("w", split(col("text"), " "))
+    seg match {
+      case Segmenter.Delimiter(p) =>
+        base.withColumn("paras", expr(s"filter(split(text, '$p'), s -> s != '')"))
+      case Segmenter.WordChunks(k) =>
+        base.withColumn("paras", expr(chunksExprSqlK(k)))
+    }
+  }
+
+  /** (doc_id, para_idx, para): documents exploded into paragraphs,
+    * index preserved so the surviving text can be reassembled in
+    * order. Positions come from an index-lambda transform + plain
+    * explode, NOT posexplode: the filter Catalyst infers from a
+    * Generate is pushed below any downstream repartition with the
+    * whole segmentation transform inlined (the doc_winnow hazard,
+    * TextAnalysis.docWinnow) — the struct-explode shape stays on the
+    * fast path (PlanShapeSpec pins it).
+    */
+  def paragraphs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      seg: Segmenter = Segmenter.Delimiter()
+  ): DataFrame =
+    withParas(docs, idCol, textCol, seg)
       .select(
         col("doc_id"),
-        posexplode(
-          expr(
-            s"transform(sequence(0, CAST(ceil(size(w) / $chunk.0) AS INT) - 1), " +
-              s"i -> concat_ws(' ', slice(w, i * $chunk + 1, $chunk)))"
-          )
-        ).as(Seq("para_idx", "para"))
+        explode(expr("transform(paras, (p, i) -> named_struct('i', i, 'p', p))")).as("sp")
       )
-      .select(col("doc_id"), col("para_idx").cast("bigint").as("para_idx"), col("para"))
+      .select(col("doc_id"), col("sp.i").cast("bigint").as("para_idx"), col("sp.p").as("para"))
 
   /** Corpus-wide paragraph dedup, keep-earliest: a paragraph survives
     * only at its first occurrence in (doc_id, para_idx) order; every
@@ -61,9 +103,14 @@ object Paragraphs {
     * chunk, and the digest-partitioned window is the whole algorithm —
     * this is MassiveText/CCNet-style line dedup as a Spark window).
     */
-  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def paragraphDedup(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      seg: Segmenter = Segmenter.Delimiter()
+  ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val p = paragraphs(docs, idCol, textCol)
+    val p = paragraphs(docs, idCol, textCol, seg)
       .withColumn(
         "rn",
         row_number().over(
@@ -85,8 +132,10 @@ object Paragraphs {
       .select("doc_id", "n_paras", "n_kept", "n_dropped", "kept_text")
   }
 
+  // the fixture corpus has no newlines — the gated query pins the
+  // chunking fallback; the public default is the Delimiter semantics
   val dedupParagraph: Q = (s, d) =>
-    paragraphDedup(documents(s, d), "doc_id", "text").orderBy("doc_id")
+    paragraphDedup(documents(s, d), "doc_id", "text", Segmenter.WordChunks()).orderBy("doc_id")
 
   /** Per-document repetition signals (the Gopher quality-filter
     * family): duplicate-line fraction and duplicate-line character
@@ -97,17 +146,14 @@ object Paragraphs {
     * MassiveText drops at dup_line_frac > 0.3 / top_2gram > 0.2 — the
     * thresholds stay with the caller, the signals are the operator.
     */
-  val qualityRepetition: Q = (s, d) => {
+  def repetitionSignals(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      seg: Segmenter = Segmenter.Delimiter()
+  ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val base = documents(s, d)
-      .select(col("doc_id"), col("text"), split(col("text"), " ").as("w"))
-      .withColumn(
-        "paras",
-        expr(
-          s"transform(sequence(0, CAST(ceil(size(w) / $chunk.0) AS INT) - 1), " +
-            s"i -> concat_ws(' ', slice(w, i * $chunk + 1, $chunk)))"
-        )
-      )
+    val base = withParas(docs, idCol, textCol, seg)
       .withColumn("n_lines", size(col("paras")).cast("bigint"))
       .withColumn("n_distinct_lines", size(array_distinct(col("paras"))).cast("bigint"))
       .withColumn(
@@ -129,11 +175,19 @@ object Paragraphs {
           6
         )
       )
+    // guard like Dedup.shingleArrays: sequence(0, size(w)-2) on a
+    // 1-word doc is the DESCENDING [0,-1] — under ANSI mode the lambda
+    // then indexes w out of bounds and throws; the empty-array branch
+    // matches the oracle's empty generate_series(1, 0)
     val grams2 = base
       .select(
         col("doc_id"),
-        explode(expr("transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i+1]))"))
-          .as("g")
+        explode(
+          when(
+            size(col("w")) >= 2,
+            expr("transform(sequence(0, size(w) - 2), i -> concat_ws(' ', w[i], w[i+1]))")
+          ).otherwise(array())
+        ).as("g")
       )
       .groupBy(col("doc_id"), col("g"))
       .agg(count(lit(1)).as("n"))
@@ -148,7 +202,10 @@ object Paragraphs {
       .select(
         col("doc_id"),
         explode(
-          expr("transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")
+          when(
+            size(col("w")) >= 3,
+            expr("transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")
+          ).otherwise(array())
         ).as("g")
       )
       .groupBy(col("doc_id"), col("g"))
@@ -176,8 +233,11 @@ object Paragraphs {
           .as("top_2gram_char_frac"),
         coalesce(col("dup_3gram_char_frac"), lit(0.0)).as("dup_3gram_char_frac")
       )
-      .orderBy("doc_id")
   }
+
+  val qualityRepetition: Q = (s, d) =>
+    repetitionSignals(documents(s, d), "doc_id", "text", Segmenter.WordChunks())
+      .orderBy("doc_id")
 
   def queries: Map[String, Q] = Map(
     "dedup_paragraph" -> dedupParagraph,

@@ -79,6 +79,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("rangepartitioning"), s"global sort found:\n${plan.take(2000)}")
   }
 
+  test("filtered paragraphs: no segmentation transform below the repartition") {
+    // the doc_winnow hazard: a filter over a Generate's output used to
+    // be inferred and pushed below the fixture repartition WITH the
+    // whole segmentation transform inlined (split re-evaluated inside
+    // the lambda) — 4-30x at sf0.1. The struct-explode shape must keep
+    // every transform/slice above the exchange.
+    val plan = Paragraphs
+      .paragraphs(Fixtures.documents(spark, sfDir), "doc_id", "text",
+        Paragraphs.Segmenter.WordChunks())
+      .filter(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("para")) > 3)
+      .queryExecution.executedPlan.toString
+    val lines = plan.linesIterator.toSeq
+    val exchangeAt = lines.indexWhere(_.contains("Exchange"))
+    assert(exchangeAt >= 0, plan.take(2000))
+    val below = lines.drop(exchangeAt + 1).mkString("\n")
+    assert(
+      !below.contains("slice(") && !below.contains("transform("),
+      s"segmentation pushed below the exchange:\n${plan.take(2500)}"
+    )
+  }
+
   test("pack_sequences: the prefix-sum window partitions by stratum, never SinglePartition") {
     val plan = Packing.packSequencesQ(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("hashpartitioning(stratum"), plan.take(2000))

@@ -70,4 +70,29 @@ class DecontaminationSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "probe join must be broadcast")
     assert(!plan.contains("SortMergeJoin"), s"corpus-side shuffle join found:\n$plan")
   }
+
+  test("n is a knob: a 13-word overlap flags at n=13, a 12-word one does not") {
+    // the paper setting: GPT-3/PaLM check 13-gram overlap. One train
+    // doc embeds the benchmark's 13-gram verbatim, the other only its
+    // first 12 words — at n=13 exactly the first is contaminated, and
+    // the Bloom route agrees bit for bit
+    val gram13 = (1 to 13).map(i => s"g$i").mkString(" ")
+    val gram12 = (1 to 12).map(i => s"g$i").mkString(" ")
+    val bench = Seq((100L, s"$gram13 benchtail words here")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"prefix words $gram13 suffix words"),
+      (2L, s"prefix words $gram12 other suffix words")
+    ).toDF("doc_id", "text")
+    val exact = Decontamination.contamination(train, bench, n = 13).collect()
+    assert(exact.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(exact.head.getAs[Long]("n_bench_docs") == 1L)
+    val bloom = Decontamination
+      .contaminationBloom(train, bench, n = 13)
+      .collect()
+      .map(_.toSeq)
+      .toSet
+    assert(bloom == exact.map(_.toSeq).toSet)
+    // and at the fixture's n=3 both train docs hit
+    assert(Decontamination.contamination(train, bench, n = 3).count() == 2L)
+  }
 }

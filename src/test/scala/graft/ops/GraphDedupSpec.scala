@@ -119,32 +119,118 @@ class GraphDedupSpec extends SparkSpec {
     }
   }
 
-  test("persisted cluster map: maintenance cycles converge to full CC; map side never shuffles") {
-    import org.apache.spark.sql.functions.col
-    val table = "graft_cc_map_spec"
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    // day 0: two clusters
-    val day0 = Seq((1L, 2L), (2L, 3L), (10L, 11L))
-    GraphDedup.saveClusterMap(GraphDedup.connectedComponents(day0.toDF("src", "dst")), table)
-    // day 1: merge the clusters; day 2: extend with new nodes
-    val day1 = Seq((3L, 10L))
-    val day2 = Seq((11L, 99L), (200L, 201L))
-    GraphDedup.maintainClusterMap(spark, table, day1.toDF("src", "dst"))
-    GraphDedup.maintainClusterMap(spark, table, day2.toDF("src", "dst"))
-    val served = spark.table(table).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(served == cc(day0 ++ day1 ++ day2))
-    // the endpoint lookup — maintenance's corpus-sized join — scans the
-    // bucketed map in place: the only shuffle is the increment's
-    val endpoints = Seq(2L, 99L).toDF("node")
-    // broadcast of the tiny increment (0 shuffles) or a sort-merge
-    // where ONLY the increment side exchanges (1 shuffle) both prove
-    // the bucketed map scanned in place; 2 would mean the map shuffled
-    val probe = spark.table(table).join(endpoints.hint("merge"), "node")
-    assert(
-      graft.sources.Bucketing.shuffleCount(probe) <= 1,
-      probe.queryExecution.executedPlan.toString.take(2000)
+  test("driver and distributed root-graph paths produce identical merges") {
+    // maxDriverRootEdges = 0 forces the distributed large-star/small-
+    // star solve of the root graph; the default takes the bounded
+    // driver union-find — both must equal full CC bit for bit
+    for (seed <- Seq(5, 13)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(50)((rnd.nextInt(35).toLong, rnd.nextInt(35).toLong)).filter(e => e._1 != e._2)
+      val (old, fresh) = edges.splitAt(edges.size / 2)
+      val prev = GraphDedup.connectedComponents(old.toDF("src", "dst"))
+      def run(thr: Long): Map[Long, Long] = GraphDedup
+        .incrementalComponents(prev, fresh.toDF("src", "dst"), maxDriverRootEdges = thr)
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      val viaDriver = run(GraphDedup.defaultMaxDriverRootEdges)
+      val viaDistributed = run(0L)
+      assert(viaDriver == viaDistributed, s"seed $seed")
+      assert(viaDriver == cc(edges), s"seed $seed vs full CC")
+      // the cold-start solve must agree with distributed CC too
+      val inc = GraphDedup
+        .incrementComponents(edges.toDF("src", "dst"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .toMap
+      assert(inc == cc(edges), s"seed $seed incrementComponents")
+    }
+  }
+
+  private def mapFileStats(dir: String): Map[String, (Long, Long)] = {
+    val root = new java.io.File(dir)
+    root
+      .listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet")))
+      .map(f => f.getPath.stripPrefix(root.getPath) -> (f.length(), f.lastModified()))
+      .toMap
+  }
+
+  private def bucketsOf(nodes: Seq[Long], n: Int): Set[Int] =
+    nodes
+      .toDF("node")
+      .select(pmod(xxhash64(col("node")), lit(n.toLong)).cast("int"))
+      .collect()
+      .map(_.getInt(0))
+      .toSet
+
+  test("persisted cluster map: touched-bucket maintenance equals full CC, untouched dirs byte-identical") {
+    val nBuckets = 8
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_map_spec").toString + "/map"
+    // day 0: one 51-node cluster (spreads over every bucket) + two
+    // small clusters that day 1 will merge
+    val day0 = (1L to 50L).map(i => (i, i + 1)) ++ Seq((100L, 101L), (110L, 111L))
+    GraphDedup.saveClusterMap(
+      GraphDedup.connectedComponents(day0.toDF("src", "dst")),
+      dir,
+      nBuckets
     )
-    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val before = mapFileStats(dir)
+    assert(before.nonEmpty)
+    // day 1: merge {100,101}∪{110,111} and extend with a new node —
+    // touches ONLY those clusters
+    val day1 = Seq((101L, 110L), (111L, 300L))
+    GraphDedup.maintainClusterMap(spark, dir, day1.toDF("src", "dst"), nBuckets)
+    val after = mapFileStats(dir)
+    // the served map equals full CC over old ∪ new
+    val served = GraphDedup
+      .readClusterMap(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    assert(served == cc(day0 ++ day1))
+    // write volume contract: only the buckets of re-solved nodes (the
+    // touched clusters' members + the new node) may change; every
+    // other dir is byte-identical (same files, lengths, mtimes)
+    val touched = bucketsOf(Seq(100L, 101L, 110L, 111L, 300L), nBuckets)
+    assert(touched.size < nBuckets, "fixture must leave untouched buckets to prove anything")
+    val changed = (before.keySet ++ after.keySet).filter(k => before.get(k) != after.get(k))
+    val changedBuckets = changed.map(_.split("/")(1).stripPrefix("bucket=").toInt)
+    assert(changedBuckets.subsetOf(touched), s"untouched dirs rewritten: $changedBuckets vs $touched")
+    val untouchedFiles = before.keySet.filter { k =>
+      !touched.contains(k.split("/")(1).stripPrefix("bucket=").toInt)
+    }
+    assert(untouchedFiles.nonEmpty)
+    untouchedFiles.foreach(k => assert(before(k) == after(k), s"$k changed"))
+    // read-side pruning: a bucket filter reaches the dirs as a
+    // PartitionFilter, so an endpoint probe reads only its buckets
+    val b = touched.head
+    val probe = GraphDedup.readClusterMap(spark, dir).filter(col("bucket") === b)
+    val scan = probe.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("bucket"), scan.take(2000))
+    assert(probe.count() > 0)
+  }
+
+  test("clusterMap sizes survive a mega-cluster without a single-partition window") {
+    // 10^4 docs all in one component: count-over-window would put the
+    // whole cluster in ONE window partition on one task at 100x; the
+    // groupBy-count + join shape must plan NO Window operator at all
+    val docs = spark.range(0L, 10000L).select(col("id").as("doc_id"))
+    val ccMap = spark
+      .range(0L, 10000L)
+      .select(col("id").as("node"), lit(0L).as("cluster_id"))
+    val out = GraphDedup.clusterMap(docs.toDF(), ccMap.toDF())
+    assert(
+      !out.queryExecution.executedPlan.toString.contains("Window"),
+      "cluster sizing must not plan a window"
+    )
+    val rows = out.agg(
+      min(col("cluster_size")),
+      max(col("cluster_size")),
+      sum(col("is_rep"))
+    ).head()
+    assert(rows.getLong(0) == 10000L && rows.getLong(1) == 10000L && rows.getLong(2) == 1L)
   }
 
   test("dedup_clusters postconditions: total cover, min-rooted, sizes consistent") {

@@ -8,9 +8,14 @@ class ParagraphsSpec extends SparkSpec {
 
   private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
 
+  import Paragraphs.Segmenter
+
   test("paragraphs: 10-word chunking preserves order and every word") {
     val d = docs((1L, (1 to 25).map(i => s"w$i").mkString(" ")))
-    val p = Paragraphs.paragraphs(d, "doc_id", "text").orderBy("para_idx").collect()
+    val p = Paragraphs
+      .paragraphs(d, "doc_id", "text", Segmenter.WordChunks())
+      .orderBy("para_idx")
+      .collect()
     assert(p.length == 3)
     assert(p(0).getString(2) == (1 to 10).map(i => s"w$i").mkString(" "))
     assert(p(1).getString(2) == (11 to 20).map(i => s"w$i").mkString(" "))
@@ -26,7 +31,10 @@ class ParagraphsSpec extends SparkSpec {
       (2L, s"$para $uniqB"), // shared chunk already seen → dropped
       (3L, s"$para $para")   // both copies dropped (cross-doc earlier)
     )
-    val out = Paragraphs.paragraphDedup(d, "doc_id", "text").orderBy("doc_id").collect()
+    val out = Paragraphs
+      .paragraphDedup(d, "doc_id", "text", Segmenter.WordChunks())
+      .orderBy("doc_id")
+      .collect()
     assert(out(0).getAs[String]("kept_text") == s"$para $uniqA")
     assert(out(0).getAs[Long]("n_dropped") == 0L)
     assert(out(1).getAs[String]("kept_text") == uniqB)
@@ -38,16 +46,16 @@ class ParagraphsSpec extends SparkSpec {
   test("paragraphDedup never loses or invents words corpus-wide") {
     val d = Fixtures.documents(spark, "/root/testdata/sf0.001")
     val before = Paragraphs
-      .paragraphs(d, "doc_id", "text")
+      .paragraphs(d, "doc_id", "text", Segmenter.WordChunks())
       .select(explode(split(col("para"), " ")).as("w"))
       .count()
     val after = Paragraphs
-      .paragraphDedup(d, "doc_id", "text")
+      .paragraphDedup(d, "doc_id", "text", Segmenter.WordChunks())
       .filter(col("kept_text") =!= "")
       .select(explode(split(col("kept_text"), " ")).as("w"))
       .count()
     val dropped = Paragraphs
-      .paragraphs(d, "doc_id", "text")
+      .paragraphs(d, "doc_id", "text", Segmenter.WordChunks())
       .withColumn(
         "rn",
         row_number().over(
@@ -86,6 +94,56 @@ class ParagraphsSpec extends SparkSpec {
       .toMap
     assert(sig(1L) == 0.75) // 4 chunks, 1 distinct
     assert(sig(2L) == 0.0)
+  }
+
+  test("repetitionSignals survives 1- and 2-word documents (ANSI array bounds)") {
+    // sequence(0, size(w)-2) on a 1-word doc is the DESCENDING [0,-1];
+    // the unguarded lambda then reads w[1] out of bounds and throws
+    // under ANSI mode — the guard must yield empty gram sets instead
+    val out = Paragraphs
+      .repetitionSignals(
+        docs((1L, "solo"), (2L, "two words"), (3L, (1 to 12).map(i => s"t$i").mkString(" "))),
+        "doc_id",
+        "text",
+        Segmenter.WordChunks()
+      )
+      .orderBy("doc_id")
+      .collect()
+    assert(out.length == 3)
+    // no 2-grams → empty top_2gram with zero coverage; no 3-grams → 0.0
+    assert(out(0).getAs[String]("top_2gram") == "")
+    assert(out(0).getAs[Double]("top_2gram_char_frac") == 0.0)
+    assert(out(0).getAs[Double]("dup_3gram_char_frac") == 0.0)
+    // a 2-word doc has one 2-gram but still no 3-gram
+    assert(out(1).getAs[String]("top_2gram") == "two words")
+    assert(out(1).getAs[Double]("dup_3gram_char_frac") == 0.0)
+    assert(out(2).getAs[String]("top_2gram").nonEmpty)
+  }
+
+  test("Delimiter segmentation: blank-line paragraphs, empty segments dropped") {
+    val d = docs(
+      (1L, "alpha beta\n\ngamma delta\n\n\n\nepsilon"),
+      (2L, "alpha beta\n\nzeta")
+    )
+    val p = Paragraphs
+      .paragraphs(d, "doc_id", "text") // public default = Delimiter("\n\n")
+      .orderBy("doc_id", "para_idx")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(
+      p.toSeq == Seq(
+        (1L, 0L, "alpha beta"),
+        (1L, 1L, "gamma delta"),
+        (1L, 2L, "epsilon"),
+        (2L, 0L, "alpha beta"),
+        (2L, 1L, "zeta")
+      )
+    )
+    // keep-earliest dedup across docs on the real-paragraph path
+    val out = Paragraphs.paragraphDedup(d, "doc_id", "text").orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("kept_text") == "alpha beta gamma delta epsilon")
+    assert(out(1).getAs[String]("kept_text") == "zeta")
+    assert(out(1).getAs[Long]("n_dropped") == 1L)
   }
 
   test("quality_repetition fixture run: fractions bounded and total") {

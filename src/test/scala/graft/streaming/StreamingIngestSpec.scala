@@ -129,6 +129,55 @@ class StreamingIngestSpec extends SparkSpec {
     assert(flags.exists(r => r.getAs[String]("src") == "index" && r.getAs[Long]("ref_id") % 4 == 1))
   }
 
+  test("compaction cadence bounds index file counts and leaves the flags bit-identical") {
+    implicit val sc = spark.sqlContext
+    val docs = graft.ops.Fixtures.documents(spark, "/root/testdata/sf0.001")
+    def slice(r: Long): Seq[(Long, String)] = docs
+      .filter(col("doc_id") % 8 === r)
+      .select("doc_id", "text")
+      .collect()
+      .map(x => (x.getLong(0), x.getString(1)))
+      .toSeq
+    def run(compactEvery: Int): (String, String) = {
+      val base = Files.createTempDirectory(s"graft_mh_compact_$compactEvery")
+      val idx = base.resolve("idx").toString
+      val out = base.resolve("out").toString
+      val mem = MemoryStream[(Long, String)]
+      val q = StreamingIngest.nearDupFlagsStream(
+        mem.toDF().toDF("doc_id", "text"),
+        "doc_id",
+        "text",
+        idx,
+        out,
+        base.resolve("ckpt").toString,
+        minMatches = 4,
+        compactEvery = compactEvery
+      )
+      Seq(1L, 3L, 5L, 7L).foreach { r => mem.addData(slice(r): _*); q.processAllAvailable() }
+      q.stop()
+      (idx, out)
+    }
+    val (idxPlain, outPlain) = run(0)
+    val (idxComp, outComp) = run(2)
+    def parquetFiles(dir: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))
+    }
+    // 4 appended batches accrete files; the compacted index ends at its
+    // post-compaction bound (4 signature files + 1 per band dir) and
+    // strictly below the accreted count
+    assert(parquetFiles(s"$idxComp/signatures") <= 4)
+    assert(parquetFiles(idxComp) < parquetFiles(idxPlain))
+    // same flags, value for value — compaction is invisible to probes
+    def flagSet(out: String) = spark.read
+      .parquet(out)
+      .collect()
+      .map(_.toSeq)
+      .toSet
+    assert(flagSet(outComp) == flagSet(outPlain))
+  }
+
   test("dedup_stream_replay equals the one-shot incremental probe on the same split") {
     val sfDir = "/root/testdata/sf0.001"
     val docs = graft.ops.Fixtures.documents(spark, sfDir)
