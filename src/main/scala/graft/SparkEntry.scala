@@ -21,6 +21,8 @@ object SparkEntry {
       (GraphDedup.queries, GraphDedup.oracles),
       (Decontamination.queries, Decontamination.oracles),
       (Paragraphs.queries, Paragraphs.oracles),
+      (Spans.queries, Spans.oracles),
+      (Safety.queries, Safety.oracles),
       (Mixture.queries, Mixture.oracles),
       (CorpusStats.queries, CorpusStats.oracles),
       (Packing.queries, Packing.oracles),

@@ -103,9 +103,86 @@ object CorpusStats {
       .orderBy("doc_id")
   }
 
+  /** BIGRAM-interpolated LM scoring — one KenLM ladder rung above
+    * [[perplexityScore]]: p(w₂|w₁) = λ·c(w₁w₂)/c(w₁·) + (1−λ)·c(w₂)/N
+    * (λ = 0.7, Jelinek–Mercer interpolation, self-trained like the
+    * unigram). Oracle discipline as everywhere in this file: the ONLY
+    * float math is one interpolation + ln per distinct MODEL bigram,
+    * pinned to integer micro-units by floor; per-doc scoring is
+    * integer multiply-accumulate, associative in any execution order.
+    * The model is the distinct-bigram relation — vocab², but in
+    * practice MBs against TBs of corpus — broadcast for a map-side
+    * scoring join; c(w₁·) and the unigram side are smaller still.
+    */
+  val bigramPerplexity: Q = (s, d) => {
+    // per-doc bigram counts; <2-word docs contribute no rows (both
+    // engines agree: guarded transform vs empty generate_series)
+    val bg = documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(
+        col("doc_id"),
+        explode(
+          when(
+            size(col("w")) >= 2,
+            expr("transform(sequence(0, size(w) - 2), i -> named_struct('g1', w[i], 'g2', w[i+1]))")
+          ).otherwise(array())
+        ).as("g")
+      )
+      .select(col("doc_id"), col("g.g1").as("g1"), col("g.g2").as("g2"))
+      .groupBy(col("doc_id"), col("g1"), col("g2"))
+      .agg(count(lit(1)).as("bc"))
+    val global = bg.groupBy(col("g1"), col("g2")).agg(sum(col("bc")).as("cb"))
+    val c1 = global.groupBy(col("g1")).agg(sum(col("cb")).as("c1"))
+    val tf = termFreq(documents(s, d))
+    val uni = tf.groupBy(col("token")).agg(sum(col("tf")).as("cu"))
+    val total = tf.agg(sum(col("tf")).as("n"))
+    val model = global
+      .join(broadcast(c1), "g1")
+      .join(broadcast(uni.withColumnRenamed("token", "g2")), "g2")
+      .crossJoin(broadcast(total))
+      .withColumn(
+        "nll2_micro",
+        floor(
+          -log(
+            lit(0.7) * (col("cb").cast("double") / col("c1")) +
+              lit(0.3) * (col("cu").cast("double") / col("n"))
+          ) * micro
+        ).cast("bigint")
+      )
+      .select(col("g1"), col("g2"), col("nll2_micro"))
+    bg.join(broadcast(model), Seq("g1", "g2"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("bc")).cast("bigint").as("n_bigrams"),
+        sum(col("bc") * col("nll2_micro")).cast("bigint").as("total_nll2_micro")
+      )
+      .withColumn("avg_nll2_micro", expr("total_nll2_micro div n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  /** Token-count histogram per language — the shape the mixture
+    * planner reads before setting per-stratum budgets (length skew
+    * per stratum decides packing and keep rates). Buckets of 10
+    * tokens, capped at 15+: a fixed-width histogram is one stateless
+    * projection + a (lang × bucket)-cardinality aggregate, trivially
+    * mergeable at any scale.
+    */
+  val tokenHistogram: Q = (s, d) =>
+    documents(s, d)
+      .select(col("lang"), size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
+      .withColumn("bucket", least(expr("n_tokens div 10"), lit(15L)))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("n_tokens")).cast("bigint").as("tokens")
+      )
+      .orderBy("lang", "bucket")
+
   def queries: Map[String, Q] = Map(
     "tfidf_top_terms" -> tfidfTopTerms,
-    "perplexity_score" -> perplexityScore
+    "perplexity_score" -> perplexityScore,
+    "bigram_perplexity" -> bigramPerplexity,
+    "token_histogram" -> tokenHistogram
   )
 
   def oracles: Map[String, String] = Map(
@@ -142,6 +219,36 @@ object CorpusStats {
         |  CAST(sum(t.tf * m.nll_micro) AS BIGINT) AS total_nll_micro,
         |  CAST(floor(sum(t.tf * m.nll_micro) / sum(t.tf)) AS BIGINT) AS avg_nll_micro
         |FROM tfc t JOIN model m ON m.token = t.token
-        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "bigram_perplexity" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT doc_id, w[i] AS g1, w[i + 1] AS g2
+        |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM w)),
+        |bc AS (SELECT doc_id, g1, g2, count(*) AS bc FROM bg GROUP BY doc_id, g1, g2),
+        |gb AS (SELECT g1, g2, sum(bc) AS cb FROM bc GROUP BY g1, g2),
+        |c1 AS (SELECT g1, sum(cb) AS c1 FROM gb GROUP BY g1),
+        |tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |uc AS (SELECT token AS g2, count(*) AS cu FROM tok GROUP BY token),
+        |n AS (SELECT count(*) AS n FROM tok),
+        |model AS (
+        |  SELECT gb.g1, gb.g2,
+        |    CAST(floor(-ln(0.7 * (CAST(gb.cb AS DOUBLE) / c1.c1)
+        |                   + 0.3 * (CAST(uc.cu AS DOUBLE) / (SELECT n FROM n))) * 1000000)
+        |      AS BIGINT) AS nll2_micro
+        |  FROM gb JOIN c1 USING (g1) JOIN uc USING (g2))
+        |SELECT b.doc_id,
+        |  CAST(sum(b.bc) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(b.bc * m.nll2_micro) AS BIGINT) AS total_nll2_micro,
+        |  CAST(sum(b.bc * m.nll2_micro) // sum(b.bc) AS BIGINT) AS avg_nll2_micro
+        |FROM bc b JOIN model m USING (g1, g2)
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+    "token_histogram" ->
+      """WITH t AS (
+        |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents)
+        |SELECT lang, CAST(least(n_tokens // 10, 15) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens
+        |FROM t GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin
   )
 }

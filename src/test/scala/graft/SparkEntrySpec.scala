@@ -19,6 +19,8 @@ class SparkEntrySpec extends AnyFunSuite {
       "GraphDedup" -> GraphDedup.queries.keySet,
       "Decontamination" -> Decontamination.queries.keySet,
       "Paragraphs" -> Paragraphs.queries.keySet,
+      "Spans" -> Spans.queries.keySet,
+      "Safety" -> Safety.queries.keySet,
       "Mixture" -> Mixture.queries.keySet,
       "CorpusStats" -> CorpusStats.queries.keySet,
       "Packing" -> Packing.queries.keySet,

