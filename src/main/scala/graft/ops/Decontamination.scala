@@ -116,9 +116,50 @@ object Decontamination {
       .orderBy("doc_id")
   }
 
+  /** TRIAGE report: for each contaminated training doc, its worst
+    * benchmark overlaps — the view a decontamination review actually
+    * reads ("these eval docs leaked into these training docs, by this
+    * much") before deciding drop vs audit. Top-k per doc via a
+    * doc-partitioned window over the output-sized hit relation (never
+    * the corpus).
+    */
+  def contaminationReport(
+      train: DataFrame,
+      bench: DataFrame,
+      n: Int = 3,
+      topK: Int = 2
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val benchSh = Dedup
+      .shinglesN(bench, "doc_id", "text", n)
+      .select(col("doc_id").as("bench_id"), md5(col("shingle").cast("binary")).as("g"))
+    val trainSh = Dedup
+      .shinglesN(train, "doc_id", "text", n)
+      .select(col("doc_id"), md5(col("shingle").cast("binary")).as("g"))
+    trainSh
+      .join(broadcast(benchSh), "g")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(countDistinct(col("g")).cast("bigint").as("n_shared"))
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("n_shared").desc, col("bench_id").asc)
+        )
+      )
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank").cast("bigint").as("rank"), col("bench_id"), col("n_shared"))
+  }
+
+  val decontaminateReport: Q = (s, d) => {
+    val docs = documents(s, d)
+    contaminationReport(docs.filter(s"NOT ($benchPred)"), docs.filter(benchPred))
+      .orderBy("doc_id", "rank")
+  }
+
   def queries: Map[String, Q] = Map(
     "decontaminate" -> decontaminate,
-    "decontaminate_bloom" -> decontaminateBloom
+    "decontaminate_bloom" -> decontaminateBloom,
+    "decontaminate_report" -> decontaminateReport
   )
 
   /** The Bloom route is exact by construction (FPs verified away, FNs
@@ -126,7 +167,23 @@ object Decontamination {
     */
   def oracles: Map[String, String] = Map(
     "decontaminate_bloom" -> oracleSqlExact,
-    "decontaminate" -> oracleSqlExact
+    "decontaminate" -> oracleSqlExact,
+    "decontaminate_report" ->
+      s"""WITH train AS (SELECT * FROM documents WHERE NOT ($benchPred)),
+         |bench AS (SELECT * FROM documents WHERE $benchPred),
+         |${Dedup.shinglesSqlFrom("train").replace("sh AS", "tsh AS")},
+         |${Dedup.shinglesSqlFrom("bench").replace("sh AS", "bsh AS")},
+         |per_bench AS (
+         |  SELECT t.doc_id, b.doc_id AS bench_id,
+         |         CAST(count(DISTINCT md5(t.shingle)) AS BIGINT) AS n_shared
+         |  FROM tsh t JOIN bsh b ON md5(t.shingle) = md5(b.shingle)
+         |  GROUP BY t.doc_id, b.doc_id),
+         |ranked AS (
+         |  SELECT doc_id, bench_id, n_shared,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY n_shared DESC, bench_id ASC) AS rank
+         |  FROM per_bench)
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, bench_id, n_shared
+         |FROM ranked WHERE rank <= 2 ORDER BY doc_id, rank""".stripMargin
   )
 
   private lazy val oracleSqlExact: String =

@@ -67,8 +67,49 @@ object Packing {
       budget
     ).orderBy("doc_id")
 
+  /** Deterministic corpus SHARDING — the delivery step after mixture
+    * and packing: route each document to one of `nShards` training
+    * shards by a 48-bit md5 draw on its id (domain-separated from the
+    * mixture draw, so sampling survival and shard routing stay
+    * independent). The assignment is a pure map-side projection —
+    * engine-portable, append-stable, zero shuffle; the physical write
+    * is `partitionBy(shard)`, the cluster-map layout discipline.
+    * Balance is binomial over documents.
+    */
+  def shardAssign(docs: DataFrame, idCol: String, nShards: Int): DataFrame =
+    docs.withColumn(
+      "shard",
+      pmod(
+        conv(
+          substring(md5(concat(lit("shard|"), col(idCol).cast("string")).cast("binary")), 1, 12),
+          16,
+          10
+        ).cast("long"),
+        lit(nShards.toLong)
+      )
+    )
+
+  private val nShards = 8
+
+  /** Per-shard manifest: doc/token counts plus a bit_xor membership
+    * digest of the doc ids — the xor pins the EXACT assignment (any
+    * single reroute flips it) without materializing the row-level map
+    * in the gate.
+    */
+  val shardManifestQ: Q = (s, d) =>
+    shardAssign(documents(s, d), "doc_id", nShards)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("bigint"))
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("n_tokens")).cast("bigint").as("tokens"),
+        expr("bit_xor(doc_id)").as("doc_xor")
+      )
+      .orderBy("shard")
+
   def queries: Map[String, Q] = Map(
-    "pack_sequences" -> packSequencesQ
+    "pack_sequences" -> packSequencesQ,
+    "shard_manifest" -> shardManifestQ
   )
 
   def oracles: Map[String, String] = Map(
@@ -87,6 +128,18 @@ object Packing {
          |  CAST(CASE WHEN floor((start_offset + n_tokens - 1) / $budget.0)
          |                  > floor(start_offset / $budget.0)
          |       THEN 1 ELSE 0 END AS BIGINT) AS spans_boundary
-         |FROM p ORDER BY doc_id""".stripMargin
+         |FROM p ORDER BY doc_id""".stripMargin,
+    "shard_manifest" -> {
+      val draw = "CAST(" + Dedup.hex12ValSql("md5('shard|' || CAST(doc_id AS VARCHAR))", 1) + " AS BIGINT)"
+      s"""WITH a AS (
+         |  SELECT doc_id, $draw % $nShards AS shard,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tokens,
+         |  CAST(bit_xor(doc_id) AS BIGINT) AS doc_xor
+         |FROM a GROUP BY shard ORDER BY shard""".stripMargin
+    }
   )
 }

@@ -562,7 +562,56 @@ object Similarity {
       .na.fill(-1L, Seq("first_dropped"))
       .orderBy("list_id")
 
+  /** INT8 scalar quantization of the embedding column — the storage/
+    * bandwidth lever an ANN index pulls at 100 TB (4 bytes→1 per dim;
+    * IVF lists and brute-force rerank both read 4× fewer bytes).
+    * Symmetric per-vector scaling: q_k = floor(v_k·127/maxabs + 0.5),
+    * reconstruction q_k·maxabs/127. One codegen'd projection; no
+    * shuffle; all-zero vectors quantize to zeros (scale guard).
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    withVec(emb)
+      .withColumn("maxabs", expr("aggregate(v, 0D, (acc, x) -> greatest(acc, abs(x)))"))
+      .withColumn(
+        "qvec",
+        expr(
+          "CASE WHEN maxabs = 0D THEN transform(v, x -> 0) " +
+            "ELSE transform(v, x -> CAST(floor(x * 127.0 / maxabs + 0.5) AS INT)) END"
+        )
+      )
+
+  /** Per-label quantization-quality report: vector norms and the worst
+    * per-vector int8 reconstruction error, in integer micro-units (the
+    * only float math is per-vector and expression-identical in the
+    * oracle; aggregates are integer min/max/avg). The acceptance gate
+    * a pipeline checks before switching its index to int8.
+    */
+  val embeddingQuality: Q = (s, d) => {
+    val e = quantizeInt8(embeddings(s, d))
+      .withColumn(
+        "norm_micro",
+        expr("CAST(floor(sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x)) * 1000000) AS BIGINT)")
+      )
+      .withColumn(
+        "err_micro",
+        expr(
+          "CAST(floor(aggregate(zip_with(v, qvec, (x, q) -> abs(x - q * maxabs / 127.0)), " +
+            "0D, (acc, x) -> greatest(acc, x)) * 1000000) AS BIGINT)"
+        )
+      )
+    e.groupBy(col("label").cast("bigint").as("label"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_vecs"),
+        min(col("norm_micro")).as("norm_min_micro"),
+        max(col("norm_micro")).as("norm_max_micro"),
+        expr("CAST(sum(norm_micro) div count(1) AS BIGINT)").as("norm_avg_micro"),
+        max(col("err_micro")).as("max_err_micro")
+      )
+      .orderBy("label")
+  }
+
   def queries: Map[String, Q] = Map(
+    "embedding_quality" -> embeddingQuality,
     "dedup_semantic" -> dedupSemantic,
     "ann_cosine_topk" -> annCosineTopk,
     "ann_lsh_buckets" -> annLshBuckets,
@@ -588,6 +637,25 @@ object Similarity {
       .mkString(" + ")
 
   def oracles: Map[String, String] = Map(
+    "embedding_quality" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |w AS (
+        |  SELECT label, v, list_max(list_transform(v, x -> abs(x))) AS maxabs FROM e),
+        |m AS (
+        |  SELECT label,
+        |    CAST(floor(sqrt(list_dot_product(v, v)) * 1000000) AS BIGINT) AS norm_micro,
+        |    CAST(floor(CASE WHEN maxabs = 0 THEN 0
+        |      ELSE list_max(list_transform(v,
+        |             x -> abs(x - floor(x * 127.0 / maxabs + 0.5) * maxabs / 127.0)))
+        |      END * 1000000) AS BIGINT) AS err_micro
+        |  FROM w)
+        |SELECT CAST(label AS BIGINT) AS label,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  min(norm_micro) AS norm_min_micro,
+        |  max(norm_micro) AS norm_max_micro,
+        |  CAST(sum(norm_micro) // count(*) AS BIGINT) AS norm_avg_micro,
+        |  max(err_micro) AS max_err_micro
+        |FROM m GROUP BY label ORDER BY label""".stripMargin,
     "ann_cosine_topk" ->
       s"""$cosSqlBase
          |SELECT vec_id, label,

@@ -95,4 +95,17 @@ class DecontaminationSpec extends SparkSpec {
     // and at the fixture's n=3 both train docs hit
     assert(Decontamination.contamination(train, bench, n = 3).count() == 2L)
   }
+
+  test("triage report ranks benchmark hits per doc by shared-gram count") {
+    // train doc 1 shares 2 distinct 3-grams with bench 100 ("a b c",
+    // "b c d") and 1 with bench 200 ("x y z") — rank 1 must be 100
+    val train = Seq((1L, "a b c d q x y z")).toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d"), (200L, "p x y z")).toDF("doc_id", "text")
+    val out = Decontamination
+      .contaminationReport(train, bench)
+      .orderBy("rank")
+      .collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("bench_id"), r.getAs[Long]("n_shared")))
+    assert(out.toSeq == Seq((1L, 100L, 2L), (2L, 200L, 1L)))
+  }
 }

@@ -169,4 +169,29 @@ class IncrementalDedupSpec extends SparkSpec {
       Dedup.incrementalDedup(inc, "doc_id", "text", idx, minMatches = 4).collect().map(_.toSeq).toSeq
     assert(run() == run())
   }
+
+  test("an index rebuilt from scratch equals one grown by appends — probes bit-identical") {
+    // disaster-recovery contract: signatures are pure functions of the
+    // documents, so a full rebuild and an append-grown index must be
+    // interchangeable for every future probe
+    val docs = Fixtures.documents(spark, sfDir)
+    val base = java.nio.file.Files.createTempDirectory("graft_mh_rebuild")
+    val rebuilt = base.resolve("rebuilt").toString
+    val grown = base.resolve("grown").toString
+    Dedup.saveMinhashIndex(docs, "doc_id", "text", rebuilt)
+    Dedup.saveMinhashIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", grown)
+    Dedup.appendToMinhashIndex(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", grown)
+    // probe with an id-shifted copy of a fixture slice so ids cannot
+    // collide with indexed history
+    val probe = docs
+      .filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    def flags(idx: String) =
+      Dedup
+        .incrementalDedup(probe, "doc_id", "text", idx, minMatches = 4)
+        .collect()
+        .map(_.toSeq)
+        .toSeq
+    assert(flags(rebuilt) == flags(grown))
+  }
 }

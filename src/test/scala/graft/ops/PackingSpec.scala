@@ -39,4 +39,32 @@ class PackingSpec extends SparkSpec {
     val bad = fromPack.join(direct, "stratum").filter(col("stream_len") =!= col("total")).count()
     assert(bad == 0L)
   }
+
+  test("shardAssign is deterministic, total, append-stable and roughly balanced") {
+    import spark.implicits._
+    val docs = (0L until 4000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = Packing.shardAssign(docs, "doc_id", 8)
+    val b = Packing.shardAssign(docs, "doc_id", 8)
+    // pure function of the id: identical across runs
+    assert(
+      a.select("doc_id", "shard").collect().toSet == b.select("doc_id", "shard").collect().toSet
+    )
+    // total cover, all shards in range
+    assert(a.filter(col("shard") < 0 || col("shard") >= 8).count() == 0L)
+    val sizes = a.groupBy(col("shard")).count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == (0L until 8L).toSet)
+    // binomial balance: each shard within 3 sigma of 500
+    assert(sizes.values.forall(n => n > 400 && n < 600), sizes.toString)
+    // append-stability: a doc's shard does not depend on the rest of
+    // the corpus (the df.sample failure mode)
+    val partial = Packing.shardAssign(docs.filter(col("doc_id") < 100L), "doc_id", 8)
+    val full100 = a.filter(col("doc_id") < 100L)
+    assert(
+      partial.select("doc_id", "shard").collect().toSet ==
+        full100.select("doc_id", "shard").collect().toSet
+    )
+    // map-side projection: no exchange in the assignment plan
+    val plan = a.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"shard assignment must not shuffle:\n$plan")
+  }
 }

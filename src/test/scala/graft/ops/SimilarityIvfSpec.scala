@@ -171,4 +171,24 @@ class SimilarityIvfSpec extends SparkSpec {
     assert(out.filter(col("keep") === 0L).count() > 0L)
     out.unpersist()
   }
+
+  test("int8 quantization: values bounded, reconstruction within the half-step bound") {
+    val q = Similarity
+      .quantizeInt8(Fixtures.embeddings(spark, "/root/testdata/sf0.001"))
+      .withColumn("qmin", expr("aggregate(qvec, 127, (a, x) -> least(a, x))"))
+      .withColumn("qmax", expr("aggregate(qvec, -127, (a, x) -> greatest(a, x))"))
+      .withColumn(
+        "maxerr",
+        expr(
+          "aggregate(zip_with(v, qvec, (x, k) -> abs(x - k * maxabs / 127.0)), 0D, (a, x) -> greatest(a, x))"
+        )
+      )
+      .cache()
+    assert(q.filter(col("qmin") < -127 || col("qmax") > 127).count() == 0L)
+    // symmetric rounding error is at most half a quantization step
+    assert(q.filter(col("maxerr") > col("maxabs") / 127.0 * 0.5 + 1e-12).count() == 0L)
+    // the scale element itself quantizes exactly to ±127
+    assert(q.filter(col("maxabs") > 0 && col("qmax") < 127 && col("qmin") > -127).count() == 0L)
+    q.unpersist()
+  }
 }
