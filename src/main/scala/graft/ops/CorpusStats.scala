@@ -78,8 +78,12 @@ object CorpusStats {
     * self-training makes the fixture deterministic, a real pipeline
     * points the model at a held-out reference corpus.
     */
-  val perplexityScore: Q = (s, d) => {
-    val tf = termFreq(documents(s, d))
+  /** The per-doc unigram-NLL core of [[perplexityScore]], reused by
+    * the composed quality-features view (identical expressions, so the
+    * two gates pin the same numbers).
+    */
+  private[ops] def docUnigramNll(docs: DataFrame): DataFrame = {
+    val tf = termFreq(docs)
     val total = tf.agg(sum(col("tf")).as("total"))
     val model = tf
       .groupBy(col("token"))
@@ -100,8 +104,25 @@ object CorpusStats {
         "avg_nll_micro",
         floor(col("total_nll_micro") / col("n_tokens")).cast("bigint")
       )
-      .orderBy("doc_id")
   }
+
+  val perplexityScore: Q = (s, d) => docUnigramNll(documents(s, d)).orderBy("doc_id")
+
+  /** DuckDB fragment matching [[docUnigramNll]] — exposes `unll`
+    * (doc_id, avg_nll_micro) for composition into other oracles.
+    */
+  private[ops] def nllDuckSql(src: String): String =
+    s"""utf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM $src),
+       |utfc AS (SELECT doc_id, token, count(*) AS tf FROM utf GROUP BY doc_id, token),
+       |utot AS (SELECT sum(tf) AS total FROM utfc),
+       |umodel AS (
+       |  SELECT token,
+       |    CAST(floor(-ln(sum(tf) / (SELECT CAST(total AS DOUBLE) FROM utot)) * 1000000) AS BIGINT) AS nll_micro
+       |  FROM utfc GROUP BY token),
+       |unll AS (
+       |  SELECT t.doc_id,
+       |    CAST(floor(sum(t.tf * m.nll_micro) / sum(t.tf)) AS BIGINT) AS avg_nll_micro
+       |  FROM utfc t JOIN umodel m ON m.token = t.token GROUP BY t.doc_id)""".stripMargin
 
   /** BIGRAM-interpolated LM scoring — one KenLM ladder rung above
     * [[perplexityScore]]: p(w₂|w₁) = λ·c(w₁w₂)/c(w₁·) + (1−λ)·c(w₂)/N

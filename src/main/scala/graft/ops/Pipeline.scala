@@ -137,9 +137,82 @@ object Pipeline {
       .orderBy("lang")
   }
 
+  /** The per-doc QUALITY FEATURE VECTOR + composite score — what a
+    * model-based quality filter consumes, assembled from the exact
+    * expressions of the standalone signals (text_stats rule,
+    * quality_repetition segmentation, perplexity_score NLL) so the
+    * feature view and the individual gates can never disagree. All
+    * integer arithmetic: dup-line fraction in micro-units by integer
+    * division, the NLL already micro-pinned, the composite a weighted
+    * integer sum — hash-oracle-safe end to end.
+    *
+    * score_micro ∈ [0, 3·10⁶]: one million for passing the stats
+    * rule, up to one million for line-uniqueness, up to one million
+    * for LM plausibility (NLL clamped at 20·10⁶ → scaled by div 20).
+    */
+  val qualityFeatures: Q = (s, d) => {
+    val base = documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("bigint"))
+      .withColumn(
+        "n_stop",
+        expr(s"CAST(size(filter(toks, w -> w IN (${TextAnalysis.stopList}))) AS BIGINT)")
+      )
+      .withColumn("stop_pct", expr("CAST(floor(n_stop * 100.0 / n_tokens) AS BIGINT)"))
+      .withColumn("w", col("toks"))
+      .withColumn("paras", expr(Paragraphs.chunksExprSql))
+      .withColumn("n_lines", size(col("paras")).cast("bigint"))
+      .withColumn("n_distinct_lines", size(array_distinct(col("paras"))).cast("bigint"))
+      .withColumn("dup_line_micro", expr("(n_lines - n_distinct_lines) * 1000000 div n_lines"))
+      .select("doc_id", "lang", "n_tokens", "stop_pct", "dup_line_micro")
+    base
+      .join(CorpusStats.docUnigramNll(documents(s, d)).select("doc_id", "avg_nll_micro"), "doc_id")
+      .withColumn(
+        "quality_pass",
+        when(col("n_tokens") >= 20 && col("stop_pct").between(2, 60), 1L).otherwise(0L)
+      )
+      .withColumn(
+        "score_micro",
+        expr(
+          "quality_pass * 1000000 + (1000000 - dup_line_micro) " +
+            "+ (1000000 - least(avg_nll_micro div 20, 1000000))"
+        )
+      )
+      .select(
+        "doc_id", "lang", "n_tokens", "stop_pct", "dup_line_micro",
+        "avg_nll_micro", "quality_pass", "score_micro"
+      )
+      .orderBy("doc_id")
+  }
+
+  /** CURRICULUM manifest — the training-delivery composition closing
+    * the loop: quality score ([[qualityFeatures]]) + shard routing
+    * (Packing.shardAssign) → per-shard quality-descending order, top 5
+    * per shard as the gated sample. The rank window partitions by
+    * shard (balanced by construction — never skewed), and
+    * WindowGroupLimit caps the sort at k per partition.
+    */
+  val curriculumOrder: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val scored = qualityFeatures(s, d).select("doc_id", "score_micro")
+    Packing
+      .shardAssign(scored, "doc_id", 8)
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("score_micro").desc, col("doc_id").asc)
+        )
+      )
+      .filter(col("rank") <= 5)
+      .select(col("shard"), col("rank").cast("bigint").as("rank"), col("doc_id"), col("score_micro"))
+      .orderBy("shard", "rank")
+  }
+
   def queries: Map[String, Q] = Map(
     "pipeline_survivors" -> pipelineSurvivors,
-    "pipeline_full" -> pipelineFull
+    "pipeline_full" -> pipelineFull,
+    "quality_features" -> qualityFeatures,
+    "curriculum_order" -> curriculumOrder
   )
 
   /** The oracle replays all three stages from the same fragments the
@@ -255,7 +328,51 @@ object Pipeline {
            |  CAST(coalesce(b.n, 0) AS BIGINT) AS n_exact_survivors,
            |  CAST(coalesce(c.n, 0) AS BIGINT) AS n_final_survivors
            |FROM a LEFT JOIN b ON a.lang = b.lang LEFT JOIN c ON a.lang = c.lang
-           |ORDER BY a.lang""".stripMargin
+           |ORDER BY a.lang""".stripMargin,
+      "quality_features" -> s"$featuresSql\nSELECT * FROM features ORDER BY doc_id",
+      "curriculum_order" -> {
+        val draw =
+          "CAST(" + Dedup.hex12ValSql("md5('shard|' || CAST(doc_id AS VARCHAR))", 1) + " AS BIGINT)"
+        s"""$featuresSql,
+           |sh AS (SELECT doc_id, score_micro, $draw % 8 AS shard FROM features),
+           |rk AS (
+           |  SELECT CAST(shard AS BIGINT) AS shard, doc_id, score_micro,
+           |    row_number() OVER (PARTITION BY shard ORDER BY score_micro DESC, doc_id ASC) AS rank
+           |  FROM sh)
+           |SELECT shard, CAST(rank AS BIGINT) AS rank, doc_id, score_micro
+           |FROM rk WHERE rank <= 5 ORDER BY shard, rank""".stripMargin
+      }
     )
+  }
+
+  /** Shared features CTE chain (quality_features / curriculum_order):
+    * the text_stats fragments + chunk segmentation + the perplexity
+    * NLL fragment, composed exactly as the Spark side composes the
+    * standalone operators' expressions.
+    */
+  private lazy val featuresSql: String = {
+    val stop = TextAnalysis.stopList
+    s"""WITH ${CorpusStats.nllDuckSql("documents")},
+       |base AS (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(floor(len(list_filter(string_split(text, ' '), w -> w IN ($stop))) * 100.0
+       |               / len(string_split(text, ' '))) AS BIGINT) AS stop_pct,
+       |    ${Paragraphs.chunksDuckSql("string_split(text, ' ')")} AS paras
+       |  FROM documents),
+       |feat AS (
+       |  SELECT doc_id, lang, n_tokens, stop_pct,
+       |    CAST((CAST(len(paras) AS BIGINT) - CAST(len(list_distinct(paras)) AS BIGINT)) * 1000000
+       |         // CAST(len(paras) AS BIGINT) AS BIGINT) AS dup_line_micro
+       |  FROM base),
+       |features AS (
+       |  SELECT f.doc_id, f.lang, f.n_tokens, f.stop_pct, f.dup_line_micro, n.avg_nll_micro,
+       |    CAST(CASE WHEN f.n_tokens >= 20 AND f.stop_pct BETWEEN 2 AND 60 THEN 1 ELSE 0 END
+       |         AS BIGINT) AS quality_pass,
+       |    CAST(CASE WHEN f.n_tokens >= 20 AND f.stop_pct BETWEEN 2 AND 60 THEN 1 ELSE 0 END
+       |           * 1000000
+       |         + (1000000 - f.dup_line_micro)
+       |         + (1000000 - least(n.avg_nll_micro // 20, 1000000)) AS BIGINT) AS score_micro
+       |  FROM feat f JOIN unll n ON n.doc_id = f.doc_id)""".stripMargin
   }
 }

@@ -52,4 +52,32 @@ class PipelineSpec extends SparkSpec {
     assert(rep.filter(col("doc_id") === 900001L).count() == 0L, "looping doc must be dropped by the repetition rule")
     assert(nMix < nRep, "mixture must drop non-en docs on the fixture")
   }
+
+  test("quality_features agrees with the standalone gates it composes") {
+    val f = Pipeline.qualityFeatures(spark, sfDir).cache()
+    // the stats rule is bit-identical to text_stats' quality flag
+    val ts = TextAnalysis
+      .textStats(spark, sfDir)
+      .select(col("doc_id"), when(col("quality") === "ok", 1L).otherwise(0L).as("qp"))
+    assert(f.join(ts, "doc_id").filter(col("quality_pass") =!= col("qp")).count() == 0L)
+    // the NLL column is bit-identical to perplexity_score's
+    val pp = CorpusStats
+      .perplexityScore(spark, sfDir)
+      .select(col("doc_id"), col("avg_nll_micro").as("nll2"))
+    assert(f.join(pp, "doc_id").filter(col("avg_nll_micro") =!= col("nll2")).count() == 0L)
+    // composite stays in its declared range
+    assert(f.filter(col("score_micro") < 0 || col("score_micro") > 3000000).count() == 0L)
+    f.unpersist()
+  }
+
+  test("curriculum_order ranks by score within each shard") {
+    val out = Pipeline.curriculumOrder(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[Long]("shard")).foreach { case (_, rows) =>
+      val byRank = rows.sortBy(_.getAs[Long]("rank"))
+      assert(byRank.map(_.getAs[Long]("rank")).toSeq == (1L to byRank.length).toSeq)
+      val scores = byRank.map(_.getAs[Long]("score_micro")).toSeq
+      assert(scores == scores.sorted.reverse, s"scores not descending: $scores")
+    }
+  }
 }
