@@ -110,6 +110,12 @@ object Paragraphs {
       seg: Segmenter = Segmenter.Delimiter()
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // reassemble with the segmentation's own joiner: real paragraphs
+    // re-join as blank-line blocks, word chunks as a flat token stream
+    val joiner = seg match {
+      case Segmenter.Delimiter(_) => "\n\n"
+      case Segmenter.WordChunks(_) => " "
+    }
     val p = paragraphs(docs, idCol, textCol, seg)
       .withColumn(
         "rn",
@@ -122,7 +128,7 @@ object Paragraphs {
         count(lit(1)).cast("bigint").as("n_paras"),
         sum(when(col("rn") === 1, 1L).otherwise(0L)).cast("bigint").as("n_kept"),
         concat_ws(
-          " ",
+          joiner,
           expr(
             "transform(array_sort(collect_list(CASE WHEN rn = 1 THEN named_struct('i', para_idx, 'p', para) END)), s -> s.p)"
           )

@@ -139,9 +139,10 @@ class ParagraphsSpec extends SparkSpec {
         (2L, 1L, "zeta")
       )
     )
-    // keep-earliest dedup across docs on the real-paragraph path
+    // keep-earliest dedup across docs on the real-paragraph path;
+    // survivors re-join as blank-line blocks (the segmenter's joiner)
     val out = Paragraphs.paragraphDedup(d, "doc_id", "text").orderBy("doc_id").collect()
-    assert(out(0).getAs[String]("kept_text") == "alpha beta gamma delta epsilon")
+    assert(out(0).getAs[String]("kept_text") == "alpha beta\n\ngamma delta\n\nepsilon")
     assert(out(1).getAs[String]("kept_text") == "zeta")
     assert(out(1).getAs[Long]("n_dropped") == 1L)
   }

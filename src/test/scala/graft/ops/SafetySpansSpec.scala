@@ -63,6 +63,21 @@ class SafetySpansSpec extends SparkSpec {
     assert(out.filter(col("n_dup_spans") > col("n_spans")).count() == 0L)
   }
 
+  test("a boilerplate mega-span shared by thousands of docs counts correctly") {
+    // the skew case the groupBy+join shape exists for: one 20-word
+    // span repeated across 3000 docs plus a unique tail per doc
+    val span = (1 to 20).map(i => s"bp$i").mkString(" ")
+    val docs = spark
+      .range(0L, 3000L)
+      .selectExpr("id AS doc_id", s"concat('u', id, ' ', '$span') AS text")
+    val digs = Spans.spanDigests(docs.toDF(), "doc_id", "text")
+    val occ = digs.groupBy(col("dig")).count()
+    // every doc yields 2 spans (pos 0 with its unique head, pos 1 the
+    // pure boilerplate); the boilerplate digest occurs 3000 times
+    assert(occ.filter(col("count") === 3000L).count() == 1L)
+    assert(digs.count() == 6000L)
+  }
+
   test("substringDupSpans plans no window — occurrence counts are aggregate + join") {
     val plan = Spans
       .substringDupSpans(spark, "/root/testdata/sf0.001")
