@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus refinery: the full delivery chain composed the
+  * way a production job runs it — curate (five-stage pipeline) →
+  * route (shards) → lay out (packed sequences) — with token
+  * conservation asserted across every hand-off.
+  */
+class RefinerySpec extends SparkSpec {
+
+  test("curate -> shard -> pack conserves documents and tokens at every hand-off") {
+    val docs = Fixtures.documents(spark, "/root/testdata/sf0.001")
+    val (_, _, _, _, sampled) = Pipeline.stagesFull(docs)
+    val survivors = sampled.select("doc_id", "lang", "text").cache()
+    val nSurvivors = survivors.count()
+    assert(nSurvivors > 0)
+    // route to shards: total cover, no doc lost or duplicated
+    val sharded = Packing.shardAssign(survivors, "doc_id", 8)
+    assert(sharded.count() == nSurvivors)
+    assert(sharded.select("doc_id").distinct().count() == nSurvivors)
+    // pack within (shard) strata: every survivor placed exactly once,
+    // stream length per shard equals its token total
+    val packed = Packing.packSequences(
+      sharded,
+      "doc_id",
+      "shard",
+      size(split(col("text"), " ")).cast("bigint"),
+      budget = 256
+    )
+    assert(packed.count() == nSurvivors)
+    val tokensIn = sharded
+      .select(size(split(col("text"), " ")).cast("bigint").as("n"))
+      .agg(sum(col("n")))
+      .head()
+      .getLong(0)
+    val tokensPacked = packed.agg(sum(col("n_tokens"))).head().getLong(0)
+    assert(tokensPacked == tokensIn)
+    // offsets are dense per shard: max(start_offset + n_tokens) = total
+    val perShard = packed
+      .groupBy(col("stratum"))
+      .agg(max(col("start_offset") + col("n_tokens")).as("stream_len"), sum(col("n_tokens")).as("tok"))
+      .filter(col("stream_len") =!= col("tok"))
+    assert(perShard.count() == 0L)
+    survivors.unpersist()
+  }
+}

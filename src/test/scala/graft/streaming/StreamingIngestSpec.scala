@@ -178,6 +178,54 @@ class StreamingIngestSpec extends SparkSpec {
     assert(flagSet(outComp) == flagSet(outPlain))
   }
 
+  test("clustered stream survives a restart: checkpoint skips processed files, map converges") {
+    val docs = graft.ops.Fixtures.documents(spark, "/root/testdata/sf0.001")
+    val base = Files.createTempDirectory("graft_cc_restart")
+    val idx = base.resolve("idx").toString
+    val src = base.resolve("src").toString
+    val out = base.resolve("flags").toString
+    val ckpt = base.resolve("ckpt").toString
+    val mapDir = base.resolve("map").toString
+    graft.ops.Dedup.saveMinhashIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", idx)
+    def writeSlice(r: Long): Unit = docs
+      .filter(col("doc_id") % 4 === r)
+      .select("doc_id", "text")
+      .coalesce(1)
+      .write
+      .mode("append")
+      .parquet(src)
+    def runOnce(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+      StreamingIngest
+        .clusteredNearDupStream(
+          stream, "doc_id", "text", idx, out, ckpt,
+          graft.ops.Dedup.incrementalMinMatches, mapDir,
+          org.apache.spark.sql.streaming.Trigger.AvailableNow(), mapBuckets = 4)
+        .awaitTermination()
+    }
+    // phase 1: only the first slice exists; the query processes it and
+    // terminates. phase 2: a NEW query from the SAME checkpoint sees
+    // the second slice only — file 1 must not replay.
+    writeSlice(1L)
+    runOnce()
+    writeSlice(3L)
+    runOnce()
+    val flags = spark.read.parquet(out)
+    assert(flags.count() == flags.dropDuplicates("new_id", "ref_id").count(),
+      "a restart must not re-flag processed files")
+    // the final map equals CC over the accumulated flag pairs
+    val expected = graft.ops.GraphDedup
+      .connectedComponents(flags.select(col("new_id").as("src"), col("ref_id").as("dst")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val served = graft.ops.GraphDedup
+      .readClusterMap(spark, mapDir)
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("cluster_id")).toMap
+    assert(served == expected)
+  }
+
   test("dedup_stream_replay equals the one-shot incremental probe on the same split") {
     val sfDir = "/root/testdata/sf0.001"
     val docs = graft.ops.Fixtures.documents(spark, sfDir)
