@@ -97,11 +97,18 @@ object Paragraphs {
   /** Corpus-wide paragraph dedup, keep-earliest: a paragraph survives
     * only at its first occurrence in (doc_id, para_idx) order; every
     * later copy — across documents or within one — is dropped, and
-    * each document is reassembled from its survivors. ONE shuffle, on
-    * the paragraph digest (the text itself never re-shuffles after the
-    * window: at 100 TB the keyed rows are (digest, doc, idx) plus the
-    * chunk, and the digest-partitioned window is the whole algorithm —
-    * this is MassiveText/CCNet-style line dedup as a Spark window).
+    * each document is reassembled from its survivors
+    * (MassiveText/CCNet-style line dedup).
+    *
+    * Shape: winner-per-digest as a partial-aggregated min(struct), NOT
+    * a digest-partitioned row_number window — a boilerplate line
+    * duplicated across millions of pages is a mega-key that a window
+    * piles onto one task, while the aggregate's map-side combine
+    * absorbs it. Shuffle volume: the paragraph TEXT never exchanges at
+    * all — only (digest, doc, idx) rows do — because the winner set
+    * joins back on (doc_id, para_idx), riding the corpus side's
+    * existing doc partitioning (PlanShapeSpec pins no-Window and the
+    * exchange count).
     */
   def paragraphDedup(
       docs: DataFrame,
@@ -109,7 +116,6 @@ object Paragraphs {
       textCol: String,
       seg: Segmenter = Segmenter.Delimiter()
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // reassemble with the segmentation's own joiner: real paragraphs
     // re-join as blank-line blocks, word chunks as a flat token stream
     val joiner = seg match {
@@ -117,20 +123,21 @@ object Paragraphs {
       case Segmenter.WordChunks(_) => " "
     }
     val p = paragraphs(docs, idCol, textCol, seg)
-      .withColumn(
-        "rn",
-        row_number().over(
-          Window.partitionBy(md5(col("para").cast("binary"))).orderBy(col("doc_id"), col("para_idx"))
-        )
-      )
-    p.groupBy(col("doc_id"))
+    val winners = p
+      .select(col("doc_id"), col("para_idx"), md5(col("para").cast("binary")).as("dig"))
+      .groupBy(col("dig"))
+      .agg(min(struct(col("doc_id"), col("para_idx"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.para_idx").as("para_idx"), lit(1L).as("keep"))
+    p.join(winners, Seq("doc_id", "para_idx"), "left")
+      .withColumn("keep", coalesce(col("keep"), lit(0L)))
+      .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).cast("bigint").as("n_paras"),
-        sum(when(col("rn") === 1, 1L).otherwise(0L)).cast("bigint").as("n_kept"),
+        sum(col("keep")).cast("bigint").as("n_kept"),
         concat_ws(
           joiner,
           expr(
-            "transform(array_sort(collect_list(CASE WHEN rn = 1 THEN named_struct('i', para_idx, 'p', para) END)), s -> s.p)"
+            "transform(array_sort(collect_list(CASE WHEN keep = 1 THEN named_struct('i', para_idx, 'p', para) END)), s -> s.p)"
           )
         ).as("kept_text")
       )
