@@ -49,6 +49,42 @@ object Mixture {
     docs.withColumn("draw", draw).filter(col("draw") < threshold)
   }
 
+  /** Deterministic TRAIN/VAL/TEST assignment — the held-out-split
+    * idiom with [[stratifiedSample]]'s guarantees: a domain-separated
+    * draw mod 10000 against basis-point cuts, so membership is a pure
+    * function of the id (append-stable — a doc can never migrate
+    * between splits as the corpus grows, the property that keeps eval
+    * sets uncontaminated), map-side, zero shuffle.
+    */
+  def holdoutSplit(
+      docs: DataFrame,
+      idCol: String,
+      trainBps: Int = 9800,
+      valBps: Int = 100
+  ): DataFrame = {
+    require(trainBps + valBps <= 10000, "split fractions exceed 100%")
+    val bps = pmod(
+      conv(substring(md5(concat(lit("split|"), col(idCol).cast("string")).cast("binary")), 1, 12), 16, 10)
+        .cast("long"),
+      lit(10000L)
+    )
+    docs.withColumn(
+      "split",
+      when(bps < trainBps, "train").when(bps < trainBps + valBps, "val").otherwise("test")
+    )
+  }
+
+  val holdoutSplitQ: Q = (s, d) =>
+    holdoutSplit(documents(s, d), "doc_id")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("bigint"))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("n_tokens")).cast("bigint").as("tokens"),
+        expr("bit_xor(doc_id)").as("doc_xor")
+      )
+      .orderBy("split")
+
   /** The fixture mixture: keep all English, 40% of everything else —
     * the shape of an upsample-head-language mixture. Output carries
     * the draw so the oracle pins the exact per-doc decision, not just
@@ -132,7 +168,8 @@ object Mixture {
   def queries: Map[String, Q] = Map(
     "mixture_sample" -> mixtureSample,
     "mixture_accounting" -> mixtureAccounting,
-    "mixture_plan" -> mixturePlanQ
+    "mixture_plan" -> mixturePlanQ,
+    "holdout_split" -> holdoutSplitQ
   )
 
   private[ops] def drawSql: String =
@@ -145,6 +182,22 @@ object Mixture {
   }
 
   def oracles: Map[String, String] = Map(
+    "holdout_split" -> {
+      val draw =
+        "CAST(" + Dedup.hex12ValSql("md5('split|' || CAST(doc_id AS VARCHAR))", 1) + " AS BIGINT)"
+      s"""WITH a AS (
+         |  SELECT doc_id,
+         |    CASE WHEN $draw % 10000 < 9800 THEN 'train'
+         |         WHEN $draw % 10000 < 9900 THEN 'val'
+         |         ELSE 'test' END AS split,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT split,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tokens,
+         |  CAST(bit_xor(doc_id) AS BIGINT) AS doc_xor
+         |FROM a GROUP BY split ORDER BY split""".stripMargin
+    },
     "mixture_plan" ->
       s"""WITH t AS (
          |  SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_docs,

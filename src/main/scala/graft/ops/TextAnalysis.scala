@@ -166,8 +166,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Canonical text normalization — the CCNet-style pre-dedup pass
+    * (lowercase, strip non-alphanumerics to spaces, collapse runs,
+    * trim), as one codegen'd projection. Normalizing BEFORE hashing is
+    * what makes exact/paragraph dedup robust to case and punctuation
+    * jitter; the knob stays with the caller (dedup on raw vs
+    * normalized text changes semantics deliberately).
+    */
+  def normalizeText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Gated over fixture text with planted case/punctuation/whitespace
+    * noise (the fixture is already canonical — the oracle replays the
+    * identical planting, the decontamination parity-split pattern).
+    */
+  val textNormalize: Q = (s, d) =>
+    documents(s, d)
+      .withColumn(
+        "noisy",
+        concat(
+          col("text"),
+          when(col("doc_id") % 5 === 0, lit("  Extra!!  NOISE?? mixedCase"))
+            .otherwise(lit(""))
+        )
+      )
+      .select(
+        col("doc_id"),
+        normalizeText(col("noisy")).as("norm_text"),
+        (length(col("noisy")) =!= length(normalizeText(col("noisy")))).cast("int").cast("bigint")
+          .as("changed")
+      )
+      .orderBy("doc_id")
+
   def queries: Map[String, Q] = Map(
     "doc_winnow" -> docWinnow,
+    "text_normalize" -> textNormalize,
     "text_stats" -> textStats,
     "token_count" -> tokenCount,
     "lang_id_heuristic" -> langIdHeuristic,
@@ -176,6 +209,18 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "text_normalize" ->
+      """WITH noisy AS (
+        |  SELECT doc_id,
+        |    text || CASE WHEN doc_id % 5 = 0 THEN '  Extra!!  NOISE?? mixedCase' ELSE '' END AS noisy
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, noisy,
+        |    trim(regexp_replace(regexp_replace(lower(noisy), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+        |  FROM noisy)
+        |SELECT doc_id, norm_text,
+        |  CAST(CASE WHEN length(noisy) <> length(norm_text) THEN 1 ELSE 0 END AS BIGINT) AS changed
+        |FROM n ORDER BY doc_id""".stripMargin,
     "doc_winnow" -> {
       val hSql = "CAST(" + Dedup.hex12ValSql("md5('win|' || g)", 1) + " AS BIGINT)"
       s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

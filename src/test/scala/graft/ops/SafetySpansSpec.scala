@@ -33,6 +33,41 @@ class SafetySpansSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"PII scan must not shuffle:\n$plan")
   }
 
+  test("normalizeText lowercases, strips punctuation and collapses whitespace") {
+    val d = Seq(
+      (1L, "  Hello,   WORLD!!  it's 2024...  "),
+      (2L, "already clean text"),
+      (3L, "!!!???")
+    ).toDF("doc_id", "text")
+    val out = d
+      .select(col("doc_id"), TextAnalysis.normalizeText(col("text")).as("n"))
+      .orderBy("doc_id")
+      .collect()
+      .map(_.getString(1))
+    assert(out(0) == "hello world it s 2024")
+    assert(out(1) == "already clean text")
+    assert(out(2) == "")
+  }
+
+  test("holdoutSplit is append-stable and covers every doc exactly once") {
+    import spark.implicits._
+    val docs = (0L until 5000L).map(i => (i, s"t $i")).toDF("doc_id", "text")
+    val full = Mixture.holdoutSplit(docs, "doc_id")
+    assert(full.count() == 5000L)
+    val sizes = full.groupBy(col("split")).count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == Set("train", "val", "test"))
+    // 98/1/1 within binomial slack
+    assert(sizes("train") > 4800 && sizes("val") < 150 && sizes("test") < 150, sizes.toString)
+    // a doc's split never depends on the rest of the corpus
+    val partial = Mixture.holdoutSplit(docs.filter(col("doc_id") < 500L), "doc_id")
+    assert(
+      partial.select("doc_id", "split").collect().toSet ==
+        full.filter(col("doc_id") < 500L).select("doc_id", "split").collect().toSet
+    )
+    // map-side: no exchange
+    assert(!full.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("sourceBlocklist flags exactly the listed sources") {
     val d = Seq((1L, "a b", "good"), (2L, "c d", "bad"), (3L, "e", "good"))
       .toDF("doc_id", "text", "source")
