@@ -212,6 +212,29 @@ class GraphDedupSpec extends SparkSpec {
     assert(probe.count() > 0)
   }
 
+  test("persisted map: randomized multi-cycle maintenance equals full CC") {
+    for (seed <- Seq(17, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)).filter(e => e._1 != e._2)
+      val batches = edges.grouped(20).toSeq
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_cc_map_rand$seed").toString + "/map"
+      GraphDedup.saveClusterMap(
+        GraphDedup.connectedComponents(batches.head.toDF("src", "dst")),
+        dir,
+        8
+      )
+      batches.tail.foreach { b =>
+        GraphDedup.maintainClusterMap(spark, dir, b.toDF("src", "dst"), 8)
+      }
+      val served = GraphDedup
+        .readClusterMap(spark, dir)
+        .collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("cluster_id"))
+        .toMap
+      assert(served == cc(edges), s"seed $seed")
+    }
+  }
+
   test("clusterMap sizes survive a mega-cluster without a single-partition window") {
     // 10^4 docs all in one component: count-over-window would put the
     // whole cluster in ONE window partition on one task at 100x; the
