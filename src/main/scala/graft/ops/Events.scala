@@ -170,7 +170,41 @@ object Events {
       .orderBy("window_id")
   }
 
+  /** Integer-exact hourly ANOMALY flags per event type — the
+    * monitoring/alerting shape over a metric stream: an hour is
+    * anomalous when its count exceeds the type's mean by 3 population
+    * sigmas, tested WITHOUT floats by multiplying the z-test through
+    * by H²:  n·H > S  ∧  (n·H − S)² > 9·(H·SS − S²).  The per-type
+    * stats relation is type-cardinality-sized (broadcast); the hourly
+    * relation shuffles once on (type, hour). BIGINT bounds: exact
+    * while n·H < 3·10⁹ (ANSI mode fails loudly beyond; switch the
+    * squares to DECIMAL(38,0) at that scale).
+    */
+  val eventsAnomaly: Q = (s, d) => {
+    val hourly = events(s, d)
+      .withColumn("hour_bucket", expr("ts_nanos div 1000 div 3600000000"))
+      .groupBy(col("event_type"), col("hour_bucket"))
+      .agg(count(lit(1)).cast("bigint").as("n"))
+    val stats = hourly
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).cast("bigint").as("H"),
+        sum(col("n")).cast("bigint").as("S"),
+        sum(col("n") * col("n")).cast("bigint").as("SS")
+      )
+    hourly
+      .join(broadcast(stats), "event_type")
+      .filter(
+        col("n") * col("H") > col("S") &&
+          (col("n") * col("H") - col("S")) * (col("n") * col("H") - col("S")) >
+            lit(9L) * (col("H") * col("SS") - col("S") * col("S"))
+      )
+      .select(col("event_type"), col("hour_bucket"), col("n"))
+      .orderBy("event_type", "hour_bucket")
+  }
+
   def queries: Map[String, Q] = Map(
+    "events_anomaly" -> eventsAnomaly,
     "events_window_counts" -> eventsWindowCounts,
     "events_sessions" -> eventsSessions,
     "events_json_extract" -> eventsJsonExtract,
@@ -180,6 +214,20 @@ object Events {
   )
 
   def oracles: Map[String, String] = Map(
+    "events_anomaly" ->
+      """WITH h AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_bucket,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS H,
+        |    CAST(sum(n) AS BIGINT) AS S, CAST(sum(n * n) AS BIGINT) AS SS
+        |  FROM h GROUP BY 1)
+        |SELECT h.event_type, h.hour_bucket, h.n
+        |FROM h JOIN s USING (event_type)
+        |WHERE h.n * s.H > s.S
+        |  AND (h.n * s.H - s.S) * (h.n * s.H - s.S) > 9 * (s.H * s.SS - s.S * s.S)
+        |ORDER BY h.event_type, h.hour_bucket""".stripMargin,
     "events_window_counts" ->
       """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
         |  CAST(count(*) AS BIGINT) AS n_events,
