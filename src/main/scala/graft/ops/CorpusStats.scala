@@ -37,20 +37,50 @@ object CorpusStats {
     * per-doc ranking windows partition by doc_id (a partition is one
     * document — never skewed).
     */
-  val tfidfTopTerms: Q = (s, d) => {
+  val tfidfTopTerms: Q = (s, d) => tfidfCore(documents(s, d), None)
+
+  /** Core of [[tfidfTopTerms]], with the same explicit broadcast bound
+    * as [[docUnigramNllCapped]]: `vocabCap = Some(v)` keeps the top-v
+    * tokens by document frequency (token asc tie-break) and scores all
+    * other tokens with one pooled OOV idf — df(oov) = number of
+    * documents containing ANY out-of-vocabulary token (one extra
+    * linear aggregate over the tf relation, no broadcast growth). The
+    * broadcast model is ≤ v rows + one scalar at any corpus size.
+    */
+  private[ops] def tfidfCore(docs: DataFrame, vocabCap: Option[Int]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = termFreq(documents(s, d))
-    val nDocs = documents(s, d).agg(countDistinct(col("doc_id")).as("n_docs"))
-    val df = tf
-      .groupBy(col("token"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+    val tf = termFreq(docs)
+    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val dfAll = tf.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+    val dfKept = vocabCap match {
+      case Some(v) => dfAll.orderBy(col("df").desc, col("token").asc).limit(v)
+      case None    => dfAll
+    }
+    val model = dfKept
       .crossJoin(broadcast(nDocs))
       .withColumn(
         "idf_micro",
         floor(log((col("n_docs") + 1).cast("double") / (col("df") + 1)) * micro).cast("bigint")
       )
       .select(col("token"), col("df").cast("bigint").as("df"), col("idf_micro"))
-    tf.join(broadcast(df), "token")
+    val scored = vocabCap match {
+      case None => tf.join(broadcast(model), "token")
+      case Some(_) =>
+        val oov = tf
+          .join(dfKept.select(col("token")), Seq("token"), "left_anti")
+          .agg(coalesce(countDistinct(col("doc_id")), lit(0L)).as("df_oov"))
+          .crossJoin(broadcast(nDocs))
+          .withColumn(
+            "oov_idf_micro",
+            floor(log((col("n_docs") + 1).cast("double") / (col("df_oov") + 1)) * micro).cast("bigint")
+          )
+          .select(col("df_oov").cast("bigint").as("df_oov"), col("oov_idf_micro"))
+        tf.join(broadcast(model), Seq("token"), "left")
+          .crossJoin(broadcast(oov))
+          .withColumn("df", coalesce(col("df"), col("df_oov")))
+          .withColumn("idf_micro", coalesce(col("idf_micro"), col("oov_idf_micro")))
+    }
+    scored
       .withColumn("score_micro", (col("tf") * col("idf_micro")).cast("bigint"))
       .withColumn(
         "rank",
@@ -82,19 +112,60 @@ object CorpusStats {
     * the composed quality-features view (identical expressions, so the
     * two gates pin the same numbers).
     */
-  private[ops] def docUnigramNll(docs: DataFrame): DataFrame = {
+  private[ops] def docUnigramNll(docs: DataFrame): DataFrame =
+    docUnigramNllCapped(docs, None)
+
+  /** [[docUnigramNll]] with an EXPLICIT broadcast bound: `vocabCap =
+    * Some(v)` keeps the top-v tokens (by corpus count, token asc
+    * tie-break) as model entries and folds everything else into one
+    * OOV bucket carrying the REMAINING probability mass — p(oov) =
+    * (N − Σ_top-v c) / N, the standard closed-vocabulary construction
+    * (CCNet caps its vocab the same way before training). The
+    * broadcast relation is then ≤ v+1 rows BY CONSTRUCTION at any
+    * corpus size; `None` broadcasts the full self-trained vocab (the
+    * fixture/oracle regime — vocab-sized, not corpus-sized, but
+    * unbounded in principle, which is why the cap exists).
+    */
+  private[ops] def docUnigramNllCapped(docs: DataFrame, vocabCap: Option[Int]): DataFrame = {
     val tf = termFreq(docs)
     val total = tf.agg(sum(col("tf")).as("total"))
-    val model = tf
-      .groupBy(col("token"))
-      .agg(sum(col("tf")).as("n"))
+    val counts = tf.groupBy(col("token")).agg(sum(col("tf")).as("n"))
+    val kept = vocabCap match {
+      case Some(v) => counts.orderBy(col("n").desc, col("token").asc).limit(v)
+      case None    => counts
+    }
+    val model = kept
       .crossJoin(broadcast(total))
       .withColumn(
         "nll_micro",
         floor(-log(col("n").cast("double") / col("total")) * micro).cast("bigint")
       )
       .select(col("token"), col("nll_micro"))
-    tf.join(broadcast(model), "token")
+    val scored = tf.join(broadcast(model), Seq("token"), "left")
+    val withOov = vocabCap match {
+      case None => scored // full vocab: every token matches
+      case Some(_) =>
+        // one scalar: nll of the pooled OOV mass (never null — if the
+        // cap swallowed nothing, no row uses it)
+        val oov = kept
+          .agg(sum(col("n")).as("kept_mass"))
+          .crossJoin(broadcast(total))
+          .withColumn(
+            "oov_nll_micro",
+            // the guard branch is never JOINED to (no OOV rows exist
+            // when the cap swallowed nothing) — it only keeps ln(0)
+            // out of the 1-row model computation
+            when(
+              col("total") > col("kept_mass"),
+              floor(-log((col("total") - col("kept_mass")).cast("double") / col("total")) * micro).cast("bigint")
+            ).otherwise(lit(Long.MaxValue))
+          )
+          .select(col("oov_nll_micro"))
+        scored
+          .crossJoin(broadcast(oov))
+          .withColumn("nll_micro", coalesce(col("nll_micro"), col("oov_nll_micro")))
+    }
+    withOov
       .groupBy(col("doc_id"))
       .agg(
         sum(col("tf")).cast("bigint").as("n_tokens"),
@@ -131,9 +202,13 @@ object CorpusStats {
     * float math is one interpolation + ln per distinct MODEL bigram,
     * pinned to integer micro-units by floor; per-doc scoring is
     * integer multiply-accumulate, associative in any execution order.
-    * The model is the distinct-bigram relation — vocab², but in
-    * practice MBs against TBs of corpus — broadcast for a map-side
-    * scoring join; c(w₁·) and the unigram side are smaller still.
+    * The model is the distinct-bigram relation — at web scale that is
+    * billions of rows (KenLM artifacts over web corpora run tens of
+    * GB), far past any broadcast bound, so NO join here carries a
+    * broadcast hint except the one-row grand total: the scoring join
+    * and the model-build joins shuffle on their keys (linear,
+    * AQE-skew-safe), and AQE still auto-broadcasts whenever a side is
+    * actually small (the fixture regime).
     */
   val bigramPerplexity: Q = (s, d) => {
     // per-doc bigram counts; <2-word docs contribute no rows (both
@@ -158,8 +233,8 @@ object CorpusStats {
     val uni = tf.groupBy(col("token")).agg(sum(col("tf")).as("cu"))
     val total = tf.agg(sum(col("tf")).as("n"))
     val model = global
-      .join(broadcast(c1), "g1")
-      .join(broadcast(uni.withColumnRenamed("token", "g2")), "g2")
+      .join(c1, "g1")
+      .join(uni.withColumnRenamed("token", "g2"), "g2")
       .crossJoin(broadcast(total))
       .withColumn(
         "nll2_micro",
@@ -171,7 +246,7 @@ object CorpusStats {
         ).cast("bigint")
       )
       .select(col("g1"), col("g2"), col("nll2_micro"))
-    bg.join(broadcast(model), Seq("g1", "g2"))
+    bg.join(model, Seq("g1", "g2"))
       .groupBy(col("doc_id"))
       .agg(
         sum(col("bc")).cast("bigint").as("n_bigrams"),

@@ -106,6 +106,30 @@ class PlanShapeSpec extends SparkSpec {
     )
   }
 
+  test("bigram_perplexity: the model join survives with auto-broadcast disabled (no forced broadcast of the unbounded bigram relation)") {
+    // a self-trained distinct-bigram model over web scale is tens of
+    // GB — past any broadcast bound. The scoring and model-build joins
+    // must plan as shuffled joins when broadcast is off; the only hint
+    // in the query is the one-row grand total (nested-loop, bounded).
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val df = graft.ops.CorpusStats.bigramPerplexity(spark, sfDir)
+      val n = df.count()
+      assert(n > 0)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(
+        plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"expected shuffled joins with broadcast off:\n${plan.take(2000)}"
+      )
+      assert(
+        !plan.contains("BroadcastHashJoin"),
+        s"a relation is still force-broadcast:\n${plan.take(2500)}"
+      )
+    } finally spark.conf.set(key, saved)
+  }
+
   test("pack_sequences: the prefix-sum window partitions by stratum, never SinglePartition") {
     val plan = Packing.packSequencesQ(spark, sfDir).queryExecution.executedPlan.toString
     assert(plan.contains("hashpartitioning(stratum"), plan.take(2000))

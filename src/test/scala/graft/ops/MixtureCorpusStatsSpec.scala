@@ -147,4 +147,61 @@ class MixtureCorpusStatsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"model join must broadcast:\n$plan")
   }
+
+  test("vocab-capped unigram NLL: cap >= vocab is bit-identical to uncapped") {
+    import spark.implicits._
+    val docs = Fixtures.documents(spark, "/root/testdata/sf0.001")
+    val full = CorpusStats.docUnigramNll(docs).orderBy("doc_id").collect().toSeq
+    val capped = CorpusStats
+      .docUnigramNllCapped(docs, Some(1000000))
+      .orderBy("doc_id")
+      .collect()
+      .toSeq
+    assert(full == capped)
+  }
+
+  test("vocab-capped unigram NLL: OOV tokens score the pooled remaining mass") {
+    import spark.implicits._
+    // corpus tokens: a x5, b x2, c x2, d x1 (N = 10). cap = 1 keeps
+    // only "a" (p = 5/10); the OOV bucket carries mass (10-5)/10
+    val docs = Seq(
+      (1L, "a a a b c"),
+      (2L, "a a b c d")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats
+      .docUnigramNllCapped(docs, Some(1))
+      .orderBy("doc_id")
+      .collect()
+    val nllA = math.floor(-math.log(5.0 / 10.0) * 1e6).toLong
+    val nllOov = math.floor(-math.log(5.0 / 10.0) * 1e6).toLong // oov mass is also 5/10 here
+    // doc 1: 3 a's + 2 oov; doc 2: 2 a's + 3 oov
+    assert(out(0).getAs[Long]("total_nll_micro") == 3 * nllA + 2 * nllOov)
+    assert(out(1).getAs[Long]("total_nll_micro") == 2 * nllA + 3 * nllOov)
+    assert(out(0).getAs[Long]("n_tokens") == 5L && out(1).getAs[Long]("n_tokens") == 5L)
+    // every doc is scored — the cap drops model entries, never rows
+    assert(out.length == 2)
+  }
+
+  test("vocab-capped tfidf: cap >= vocab bit-identical, small cap scores OOV with the pooled df") {
+    import spark.implicits._
+    val docs = Fixtures.documents(spark, "/root/testdata/sf0.001")
+    val full = CorpusStats.tfidfCore(docs, None).collect().toSeq
+    val capped = CorpusStats.tfidfCore(docs, Some(1000000)).collect().toSeq
+    assert(full == capped)
+    val tiny = Seq(
+      (1L, "t t u"),
+      (2L, "t v"),
+      (3L, "t w")
+    ).toDF("doc_id", "text")
+    val out = CorpusStats.tfidfCore(tiny, Some(1)).orderBy("doc_id", "rank").collect()
+    // cap keeps only "t" (df 3). OOV pool: docs containing any of
+    // u/v/w = all 3 docs -> df_oov = 3, idf_oov = floor(ln(4/4)*1e6) = 0
+    out.filter(r => r.getAs[String]("token") != "t").foreach { r =>
+      assert(r.getAs[Long]("df") == 3L, r.toString)
+      assert(r.getAs[Long]("score_micro") == 0L, r.toString)
+    }
+    // every (doc, token) pair is still ranked and present
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("token"))).toSet ==
+      Set((1L, "t"), (1L, "u"), (2L, "t"), (2L, "v"), (3L, "t"), (3L, "w")))
+  }
 }
