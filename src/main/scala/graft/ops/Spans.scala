@@ -78,7 +78,94 @@ object Spans {
       .orderBy("doc_id")
   }
 
-  def queries: Map[String, Q] = Map("substring_dup_spans" -> substringDupSpans)
+  /** Span REMOVAL — the operator Lee et al.'s pipeline actually runs
+    * (their `deduplicate-text-datasets` tool cuts EVERY occurrence of
+    * a duplicated substring; [[substringDupSpans]] is its triage
+    * view). Flagged k-word spans are coalesced per document and cut,
+    * emitting cleaned text plus removed-word/char accounting.
+    *
+    * Shape notes for 100 TB:
+    *   - flagged positions come off the same digest shuffle as the
+    *     counts (16-byte digests + positions, never span text);
+    *   - per-doc coalescing is a LINEAR array pass, not a fold and not
+    *     a window: because every span has the same length k, a sorted
+    *     position list's merged intervals are exactly the positions
+    *     where the gap to the predecessor exceeds k (running max of
+    *     p+k is p_prev+k), so starts/ends fall out of one indexed
+    *     transform+filter each, O(n) per doc with no quadratic
+    *     array-rebuild fold;
+    *   - the rebuild slices the KEPT ranges (complement intervals),
+    *     O(words) total — no per-word membership probe against an
+    *     interval list (that is O(words x intervals)) and no k-fold
+    *     covered-index expansion;
+    *   - document text crosses exactly one doc_id-keyed exchange (the
+    *     join-back of the per-doc flagged-position arrays); bucketing
+    *     the corpus by doc_id ([[graft.sources.Bucketing]]) removes
+    *     even that one.
+    *
+    * Cutting can create new adjacencies (and thus new duplicated
+    * spans) — Lee et al. accept single-pass semantics; rerun to a
+    * fixed point if required.
+    */
+  def spanRemoval(docs: DataFrame, idCol: String, textCol: String, spanWords: Int = k): DataFrame = {
+    val kk = spanWords
+    val digests = spanDigests(docs, idCol, textCol, kk)
+    val dup = digests
+      .groupBy(col("dig"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= 2)
+      .select(col("dig"))
+    // one row per flagged (doc, pos); the semi-join shuffles digests
+    // only, and the aggregate ships compact per-doc position arrays
+    val fps = digests
+      .join(dup, Seq("dig"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("fps"))
+    docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"))
+      .join(fps, Seq("doc_id"), "left")
+      .withColumn("fps", coalesce(col("fps"), expr("array()").cast("array<bigint>")))
+      .withColumn("w", split(col("text"), " "))
+      // merged-interval starts: position 0 of the sorted list, or any
+      // position whose gap to its predecessor exceeds k (equal-k spans
+      // make the running coverage max p_prev + k). Nested IFs keep
+      // element_at in-bounds under ANSI; -1 is a safe sentinel (pos >= 0).
+      .withColumn(
+        "starts",
+        expr(s"filter(transform(fps, (p, i) -> IF(i = 0, p, IF(p - element_at(fps, i) > $kk, p, -1L))), x -> x >= 0)")
+      )
+      .withColumn(
+        "ends",
+        expr(s"filter(transform(fps, (p, i) -> IF(i = size(fps) - 1, p + $kk, IF(element_at(fps, i + 2) - p > $kk, p + $kk, -1L))), x -> x >= 0)")
+      )
+      // kept ranges = complement of the cut intervals over [0, n_words)
+      .withColumn(
+        "keep",
+        expr(
+          "filter(zip_with(concat(array(0L), ends), concat(starts, array(cast(size(w) as bigint))), " +
+            "(s, e) -> named_struct('s', s, 'e', e)), v -> v.e > v.s)"
+        )
+      )
+      .withColumn(
+        "clean_w",
+        expr("flatten(transform(keep, v -> slice(w, cast(v.s + 1 as int), cast(v.e - v.s as int))))")
+      )
+      .withColumn("clean_text", concat_ws(" ", col("clean_w")))
+      .select(
+        col("doc_id"),
+        col("clean_text"),
+        size(col("w")).cast("bigint").as("n_words"),
+        (size(col("w")) - size(col("clean_w"))).cast("bigint").as("n_words_removed"),
+        (length(col("text")) - length(col("clean_text"))).cast("bigint").as("chars_removed")
+      )
+  }
+
+  val spanRemovalQ: Q = (s, d) => spanRemoval(documents(s, d), "doc_id", "text").orderBy("doc_id")
+
+  def queries: Map[String, Q] = Map(
+    "substring_dup_spans" -> substringDupSpans,
+    "span_removal" -> spanRemovalQ
+  )
 
   def oracles: Map[String, String] = Map(
     "substring_dup_spans" ->
@@ -93,6 +180,34 @@ object Spans {
          |  round(CAST(sum(CASE WHEN o.n_occ >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
          |    AS dup_span_frac
          |FROM sp s JOIN occ o ON o.dig = s.dig
-         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    // covered-set formulation: a word index is cut iff SOME flagged
+    // span covers it — equivalent to the engine's merged-interval
+    // complement (the intervals are exactly the covered set's runs)
+    "span_removal" ->
+      s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+         |sp AS (
+         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         |         md5(array_to_string(w[i:i + $k - 1], ' ')) AS dig
+         |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - $k + 1)) AS i FROM w)),
+         |dup AS (SELECT dig FROM sp GROUP BY dig HAVING count(*) >= 2),
+         |fp AS (SELECT s.doc_id, s.pos FROM sp s JOIN dup USING (dig)),
+         |cov AS (SELECT DISTINCT doc_id, pos + j AS idx
+         |        FROM fp, unnest(generate_series(0, $k - 1)) AS t(j)),
+         |wx AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, w[i] AS word
+         |       FROM w, unnest(generate_series(1, len(w))) AS t(i)),
+         |kept AS (
+         |  SELECT x.doc_id, x.idx, x.word FROM wx x
+         |  ANTI JOIN cov c ON c.doc_id = x.doc_id AND c.idx = x.idx),
+         |cl AS (
+         |  SELECT doc_id, string_agg(word, ' ' ORDER BY idx) AS ct,
+         |         count(*) AS n_kept
+         |  FROM kept GROUP BY doc_id)
+         |SELECT w.doc_id,
+         |  coalesce(cl.ct, '') AS clean_text,
+         |  CAST(len(w.w) AS BIGINT) AS n_words,
+         |  CAST(len(w.w) - coalesce(cl.n_kept, 0) AS BIGINT) AS n_words_removed,
+         |  CAST(length(w.text) - length(coalesce(cl.ct, '')) AS BIGINT) AS chars_removed
+         |FROM w LEFT JOIN cl USING (doc_id) ORDER BY w.doc_id""".stripMargin
   )
 }

@@ -113,6 +113,83 @@ class SafetySpansSpec extends SparkSpec {
     assert(digs.count() == 6000L)
   }
 
+  test("spanRemoval cuts every occurrence, merges overlaps, round-trips clean docs") {
+    val span = (1 to 20).map(i => s"s$i").mkString(" ")
+    val d = Seq(
+      (1L, s"head1 head2 $span tail1 tail2"), // span in the middle
+      (2L, span),                             // the whole doc is the span
+      (3L, "a totally unique document with no duplicated spans inside"),
+      (4L, s"$span $span x")                  // overlapping flagged chain (spans at 0..20 all flagged)
+    ).toDF("doc_id", "text")
+    val out = Spans
+      .spanRemoval(d, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect()
+    // doc 1: only pos 2 is flagged (heads/tails make the other windows
+    // unique) — the 20 covered words go, the surroundings survive
+    assert(out(0).getAs[String]("clean_text") == "head1 head2 tail1 tail2")
+    assert(out(0).getAs[Long]("n_words_removed") == 20L)
+    // doc 2: everything cut
+    assert(out(1).getAs[String]("clean_text") == "")
+    assert(out(1).getAs[Long]("n_words_removed") == 20L)
+    // doc 3: untouched, byte-identical to the source
+    assert(out(2).getAs[String]("clean_text") == "a totally unique document with no duplicated spans inside")
+    assert(out(2).getAs[Long]("n_words_removed") == 0L)
+    assert(out(2).getAs[Long]("chars_removed") == 0L)
+    // doc 4: 41 words, flagged spans overlap into ONE merged interval
+    // covering word 0..39 (every window within the doubled span region
+    // also appears in docs 1/2 or repeats) — only the unique tail stays
+    assert(out(3).getAs[String]("clean_text") == "x")
+    assert(out(3).getAs[Long]("n_words") == 41L)
+  }
+
+  test("spanRemoval conserves characters and words corpus-wide") {
+    val span = (1 to 20).map(i => s"c$i").mkString(" ")
+    val docs = spark
+      .range(0L, 400L)
+      .selectExpr(
+        "id AS doc_id",
+        // every even doc carries the boilerplate span plus a unique tail;
+        // odd docs are unique filler long enough to produce spans
+        s"CASE WHEN id % 2 = 0 THEN concat('$span', ' u', id, ' v', id) " +
+          s"ELSE concat('w', id, ' ', repeat(concat('f', id, ' '), 25), 'z', id) END AS text"
+      )
+      .toDF()
+    val out = Spans.spanRemoval(docs, "doc_id", "text")
+    val joined = docs.join(out, "doc_id")
+    // character conservation, measured against the source text for
+    // EVERY document: |text| == |clean_text| + chars_removed
+    assert(
+      joined.filter(length(col("text")) =!= length(col("clean_text")) + col("chars_removed")).count() == 0L,
+      "chars_removed must account exactly for the cut characters"
+    )
+    assert(joined.filter(size(split(col("text"), " ")) =!= col("n_words")).count() == 0L)
+    // even docs lose exactly the 20-word boilerplate, keeping the tail
+    joined.filter(col("doc_id") % 2 === 0).select("doc_id", "clean_text", "n_words_removed").collect().foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("clean_text") == s"u$id v$id", s"doc $id: ${r.getAs[String]("clean_text")}")
+      assert(r.getAs[Long]("n_words_removed") == 20L)
+    }
+    // odd docs' repeated filler is a WITHIN-doc duplicated span (six
+    // identical all-filler windows merge into one interval) — only the
+    // unique head and tail words survive
+    joined.filter(col("doc_id") % 2 === 1).select("doc_id", "clean_text", "n_words_removed").collect().foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[String]("clean_text") == s"w$id z$id", s"doc $id: ${r.getAs[String]("clean_text")}")
+      assert(r.getAs[Long]("n_words_removed") == 25L)
+    }
+  }
+
+  test("spanRemoval plans no window and no quadratic fold") {
+    val plan = Spans
+      .spanRemovalQ(spark, "/root/testdata/sf0.001")
+      .queryExecution
+      .executedPlan
+      .toString
+    assert(!plan.contains("Window"), s"span removal must not plan a window:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("substringDupSpans plans no window — occurrence counts are aggregate + join") {
     val plan = Spans
       .substringDupSpans(spark, "/root/testdata/sf0.001")
