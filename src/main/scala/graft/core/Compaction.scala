@@ -21,10 +21,43 @@ import org.apache.hadoop.fs.Path
   */
 object Compaction {
 
+  private val commitMarker = "_graft_commit"
+
+  /** Roll a crashed compaction forward or back. The swap in
+    * [[compact]] commits by dropping `_graft_commit` into the staged
+    * dir AFTER its write completes and BEFORE the live dir is deleted,
+    * so every crash point is decidable from the two dirs alone:
+    * staged-with-marker = the new generation is complete, finish the
+    * swap (the live dir, if still present, is the old generation);
+    * staged-without-marker = the staged write died midway, the live
+    * dir is intact, delete the garbage; a marker INSIDE the live dir =
+    * the swap finished but the cosmetic marker delete didn't (parquet
+    * readers ignore underscore files — removed lazily here). Called at
+    * every [[compact]] entry; long-lived probe→append loops run
+    * compaction on a cadence, which makes this their recovery hook.
+    */
+  def recover(spark: SparkSession, path: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val staged = new Path(path + "__compacting")
+    if (fs.exists(staged)) {
+      if (fs.exists(new Path(staged, commitMarker))) {
+        fs.delete(new Path(path), true)
+        if (!fs.rename(staged, new Path(path)))
+          throw new java.io.IOException(s"compaction recovery failed: rename $staged -> $path")
+        fs.delete(new Path(path, commitMarker), false)
+      } else fs.delete(staged, true)
+    } else {
+      val leftover = new Path(path, commitMarker)
+      if (fs.exists(leftover)) fs.delete(leftover, false)
+    }
+  }
+
   /** Rewrite `path` with a bounded file count: one file per partition
     * dir when `partitionCol` is set, else `targetPartitions` files.
     * At corpus scale pick `targetPartitions` from target bytes per
-    * file (total bytes / 128 MiB), not a fixed count.
+    * file (total bytes / 128 MiB), not a fixed count. Crash-safe: the
+    * staged generation is marker-committed before the live dir is
+    * touched ([[recover]] finishes an interrupted swap).
     */
   def compact(
       spark: SparkSession,
@@ -32,6 +65,7 @@ object Compaction {
       partitionCol: Option[String],
       targetPartitions: Int
   ): Unit = {
+    recover(spark, path)
     val df = spark.read.parquet(path)
     val staged = path + "__compacting"
     partitionCol match {
@@ -43,9 +77,12 @@ object Compaction {
     val p = new Path(path)
     val s = new Path(staged)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = new Path(staged, commitMarker)
+    fs.create(marker, true).close()
     fs.delete(p, true)
     if (!fs.rename(s, p))
       throw new java.io.IOException(s"compaction swap failed: rename $staged -> $path")
+    fs.delete(new Path(path, commitMarker), false)
   }
 
   /** Recursive FS-level directory copy (Hadoop FileUtil — any FS the

@@ -287,7 +287,70 @@ object GraphDedup {
   private def bucketExpr(nBuckets: Int) =
     pmod(xxhash64(col("node")), lit(nBuckets.toLong)).cast("int").as("bucket")
 
-  def saveClusterMap(cc: DataFrame, dir: String, nBuckets: Int = 32): Unit =
+  // ---- on-disk layout + crash-recovery metadata --------------------
+  // The map's bucket count is LOAD-BEARING: probing with a different
+  // nBuckets than the one the dirs were hashed with silently misses
+  // existing nodes and corrupts the map with conflicting rows. So the
+  // count is persisted next to the data (underscore-prefixed files are
+  // invisible to the parquet reader) and the maintenance cycle commits
+  // its per-dir swap through a manifest so a crash mid-swap ROLLS
+  // FORWARD instead of losing bucket dirs.
+  private val layoutFile = "_graft_layout"
+  private val manifestFile = "_graft_swap_manifest"
+
+  private def fsFor(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def writeTextFile(fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readTextFile(fs: org.apache.hadoop.fs.FileSystem, p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  private def persistedBuckets(fs: org.apache.hadoop.fs.FileSystem, dir: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(dir, layoutFile)
+    if (fs.exists(p)) Some(readTextFile(fs, p).trim.stripPrefix("nBuckets=").toInt) else None
+  }
+
+  /** Roll forward a maintenance swap the process died inside of. The
+    * commit protocol (see [[maintainClusterMap]]) deletes no live dir
+    * before the manifest is durable and keeps every staged dir until
+    * its rename — so whatever the crash point, each manifest bucket is
+    * in exactly one of three states, all recoverable: staged present
+    * (rename it in, deleting any stale live copy first), staged absent
+    * (its swap already completed), or untouched (staged present, live
+    * still old — same as the first). A staging dir WITHOUT a manifest
+    * is an incomplete staged write over an intact live map: deleted.
+    * One `exists` probe when the map is healthy.
+    */
+  def recoverClusterMap(spark: SparkSession, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsFor(spark, dir)
+    val man = new Path(dir, manifestFile)
+    val staged = new Path(dir + "__maintain")
+    if (fs.exists(man)) {
+      val buckets = readTextFile(fs, man).trim.split(",").filter(_.nonEmpty).map(_.toInt)
+      buckets.foreach { b =>
+        val st = new Path(s"${dir}__maintain/bucket=$b")
+        if (fs.exists(st)) {
+          val live = new Path(s"$dir/bucket=$b")
+          fs.delete(live, true)
+          if (!fs.rename(st, live))
+            throw new java.io.IOException(s"cluster-map recovery failed: $st -> $live")
+        }
+      }
+      if (fs.exists(staged)) fs.delete(staged, true)
+      fs.delete(man, false)
+    }
+  }
+
+  def saveClusterMap(cc: DataFrame, dir: String, nBuckets: Int = 32): Unit = {
     cc.select(col("node"), col("cluster_id"), bucketExpr(nBuckets))
       .repartition(col("bucket"))
       .sortWithinPartitions(col("node"))
@@ -295,13 +358,20 @@ object GraphDedup {
       .mode("overwrite")
       .partitionBy("bucket")
       .parquet(dir)
+    val fs = fsFor(cc.sparkSession, dir)
+    writeTextFile(fs, new org.apache.hadoop.fs.Path(dir, layoutFile), s"nBuckets=$nBuckets\n")
+  }
 
   /** The served map (node, cluster_id). Filters on `bucket` prune to
     * partition dirs (SimilarityIvf-style PartitionFilters proof in
-    * GraphDedupSpec).
+    * GraphDedupSpec). Opens with the roll-forward check so a reader
+    * after a mid-swap crash sees the COMMITTED new map, never a
+    * mixed-generation one.
     */
-  def readClusterMap(spark: SparkSession, dir: String): DataFrame =
+  def readClusterMap(spark: SparkSession, dir: String): DataFrame = {
+    recoverClusterMap(spark, dir)
     spark.read.parquet(dir)
+  }
 
   def clusterMapExists(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -321,10 +391,16 @@ object GraphDedup {
     * Swap discipline: the merged touched-bucket rows are materialized
     * (eager localCheckpoint) BEFORE any dir is replaced — the rewrite
     * reads the same dirs it replaces — then staged to `dir__maintain`
-    * and swapped per-dir through the FileSystem, the
-    * core/Compaction pattern. A concurrent reader during the
-    * per-dir swap window sees the same INSERT OVERWRITE contract as
-    * compaction; run under the lake's usual maintenance coordination.
+    * and swapped per-dir through the FileSystem. The swap is committed
+    * through a manifest (`_graft_swap_manifest`, written after the
+    * staged write succeeds and before the first live dir is touched):
+    * a crash at ANY point either leaves the live map untouched (no
+    * manifest yet — the cycle re-runs) or rolls FORWARD to the new
+    * generation via [[recoverClusterMap]] (manifest present — staged
+    * dirs are renamed in, completed swaps detected by their absence).
+    * A concurrent reader during the per-dir swap window sees the same
+    * INSERT OVERWRITE contract as compaction; run under the lake's
+    * usual maintenance coordination.
     */
   def maintainClusterMap(
       spark: SparkSession,
@@ -334,18 +410,47 @@ object GraphDedup {
       maxDriverRootEdges: Long = defaultMaxDriverRootEdges
   ): Unit = {
     import org.apache.hadoop.fs.Path
+    val fs = fsFor(spark, dir)
+    // roll forward any crashed swap, then clear manifest-less staging
+    // garbage (an incomplete staged write over an intact live map)
+    recoverClusterMap(spark, dir)
+    val stalestage = new Path(dir + "__maintain")
+    if (fs.exists(stalestage)) fs.delete(stalestage, true)
+    // the persisted layout wins over the caller's parameter — probing
+    // with the wrong bucket count would MISS existing nodes and write
+    // conflicting rows. Legacy maps without the layout file can only
+    // be sanity-checked against the dirs that exist on disk.
+    val nb = persistedBuckets(fs, dir).getOrElse {
+      val onDisk = fs
+        .listStatus(new Path(dir))
+        .map(_.getPath.getName)
+        .filter(_.startsWith("bucket="))
+        .map(_.stripPrefix("bucket=").toInt)
+      require(
+        onDisk.isEmpty || onDisk.max < nBuckets,
+        s"cluster map at $dir has bucket=${onDisk.max} on disk but nBuckets=$nBuckets was passed — " +
+          "the layout the map was saved with differs from the caller's; rebucket with saveClusterMap"
+      )
+      nBuckets
+    }
     val prev = spark.read.parquet(dir) // (node, cluster_id, bucket)
+    // endpoint ids must hash IDENTICALLY to the map's node column —
+    // an INT id arriving against a BIGINT map changes xxhash64 and
+    // every bucket/probe below it. Cast up front; ANSI overflow on a
+    // narrowing cast fails loudly rather than mis-bucketing.
+    val nodeType = prev.schema("node").dataType
+    val edgesTyped = newEdges.select(col("src").cast(nodeType).as("src"), col("dst").cast(nodeType).as("dst"))
     // endpoints are increment-sized: ONE materialization serves the
     // bucket-id collect and the pruned probe join
-    val endpoints = newEdges
+    val endpoints = edgesTyped
       .select(col("src").as("node"))
-      .union(newEdges.select(col("dst").as("node")))
+      .union(edgesTyped.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint(true)
     // endpoint→root lookup reads ONLY the endpoint buckets (partition
     // pruning); the bucket-id list is metadata-scale
     val epBuckets = endpoints
-      .select(bucketExpr(nBuckets))
+      .select(bucketExpr(nb))
       .distinct()
       .collect()
       .map(_.getInt(0))
@@ -361,11 +466,11 @@ object GraphDedup {
     val changes = changeSet(
       prev.select(col("node"), col("cluster_id")),
       endpointRoots,
-      newEdges,
+      edgesTyped,
       maxDriverRootEdges
     ).localCheckpoint(true)
     val touchedBuckets = changes
-      .select(bucketExpr(nBuckets))
+      .select(bucketExpr(nb))
       .distinct()
       .collect()
       .map(_.getInt(0))
@@ -383,14 +488,22 @@ object GraphDedup {
     // dirs only change in the swap below, after the write completed
     keep
       .union(changes)
-      .select(col("node"), col("cluster_id"), bucketExpr(nBuckets))
+      .select(col("node"), col("cluster_id"), bucketExpr(nb))
       .repartition(col("bucket"))
       .sortWithinPartitions(col("node"))
       .write
       .mode("overwrite")
       .partitionBy("bucket")
       .parquet(staged)
-    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    // COMMIT: durable manifest first, then per-dir swaps. No live dir
+    // is deleted before the manifest exists, and each staged dir
+    // survives until its own rename — so [[recoverClusterMap]] can
+    // roll any crash point forward (staged present = redo the swap,
+    // staged absent = that swap completed). Crash BEFORE this line
+    // leaves the live map untouched and the staging dir is garbage-
+    // collected at the next cycle's entry; the cycle's edges must then
+    // be resubmitted (the map equals its pre-cycle state).
+    writeTextFile(fs, new Path(dir, manifestFile), touchedBuckets.toSeq.sorted.mkString(","))
     touchedBuckets.foreach { b =>
       val live = new Path(s"$dir/bucket=$b")
       val stage = new Path(s"$staged/bucket=$b")
@@ -399,6 +512,7 @@ object GraphDedup {
         throw new java.io.IOException(s"cluster-map swap failed: $stage -> $live")
     }
     fs.delete(new Path(staged), true)
+    fs.delete(new Path(dir, manifestFile), false)
   }
 
   /** Shared tail of the cluster queries: every document labeled with

@@ -223,10 +223,16 @@ object StreamingIngest {
     * batch's components, thereafter
     * [[graft.ops.GraphDedup.maintainClusterMap]]'s touched-clusters-
     * only merge, which rewrites ONLY the touched hash(node) bucket
-    * dirs (increment-sized compute AND increment-sized I/O; the
-    * managed-table layout this replaced committed the WHOLE map every
-    * micro-batch). Per-batch cost: O(increment) probe + O(touched
-    * clusters) merge; the map converges to CC over ALL flagged pairs
+    * dirs. Precisely: WRITE I/O is touched-bucket-bounded and the CC
+    * compute sees only the root graph, but the relabel join inside
+    * changeSet still SCANS the whole prev map each cycle to find
+    * members of moved clusters — the known cost of the node-keyed
+    * layout (a cluster-keyed secondary index would trade write
+    * amplification for that scan). The managed-table layout this
+    * replaced committed the WHOLE map every micro-batch — read AND
+    * write O(map). Per-batch cost: O(increment) probe + O(map) scan +
+    * O(touched clusters) merge/write; the map converges to CC over ALL
+    * flagged pairs
     * regardless of how arrivals were batched (the incremental-CC
     * equivalence theorem, so batch boundaries cannot change the final
     * state — what makes the streaming route oracle-gatable at all).

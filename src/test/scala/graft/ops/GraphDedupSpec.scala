@@ -212,6 +212,112 @@ class GraphDedupSpec extends SparkSpec {
     assert(probe.count() > 0)
   }
 
+  test("persisted map: a crash at any point of the per-dir swap rolls forward") {
+    val nBuckets = 8
+    val base = java.nio.file.Files.createTempDirectory("graft_cc_map_crash").toString
+    val dirA = base + "/mapA"
+    val day0 = (1L to 50L).map(i => (i, i + 1)) ++ Seq((100L, 101L), (110L, 111L))
+    val day1 = Seq((101L, 110L), (111L, 300L))
+    GraphDedup.saveClusterMap(GraphDedup.connectedComponents(day0.toDF("src", "dst")), dirA, nBuckets)
+    // the expected post-maintenance generation, via a clean run on a copy
+    val dirB = base + "/mapB"
+    graft.core.Compaction.copyDir(spark, dirA, dirB)
+    GraphDedup.maintainClusterMap(spark, dirB, day1.toDF("src", "dst"), nBuckets)
+    val expected = GraphDedup
+      .readClusterMap(spark, dirB)
+      .collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    assert(expected == cc(day0 ++ day1))
+    // reconstruct the crash state on a third copy: manifest written,
+    // staged dirs present, and the three per-bucket swap states mixed —
+    // completed (live new, staged gone), mid-swap (live DELETED, staged
+    // present), and not-started (live old, staged present)
+    val dirC = base + "/mapC"
+    graft.core.Compaction.copyDir(spark, dirA, dirC)
+    val touched = bucketsOf(Seq(100L, 101L, 110L, 111L, 300L), nBuckets).toSeq.sorted
+    assert(touched.size >= 3, s"fixture must spread over >=3 buckets, got $touched")
+    val staged = dirC + "__maintain"
+    touched.foreach(b => graft.core.Compaction.copyDir(spark, s"$dirB/bucket=$b", s"$staged/bucket=$b"))
+    val fs = new org.apache.hadoop.fs.Path(dirC).getFileSystem(spark.sessionState.newHadoopConf())
+    def rmrf(p: String): Unit = fs.delete(new org.apache.hadoop.fs.Path(p), true)
+    val (done, mid) = (touched(0), touched(1))
+    rmrf(s"$dirC/bucket=$done")
+    graft.core.Compaction.copyDir(spark, s"$dirB/bucket=$done", s"$dirC/bucket=$done")
+    rmrf(s"$staged/bucket=$done") // completed: renamed out already
+    rmrf(s"$dirC/bucket=$mid") // mid-swap: live deleted, staged still there
+    val out = fs.create(new org.apache.hadoop.fs.Path(dirC, "_graft_swap_manifest"), true)
+    out.write(touched.mkString(",").getBytes("UTF-8"))
+    out.close()
+    // opening the map rolls the swap forward to the committed generation
+    val served = GraphDedup
+      .readClusterMap(spark, dirC)
+      .collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    assert(served == expected)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dirC, "_graft_swap_manifest")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(staged)))
+    // a staging dir with NO manifest (crash before commit) is garbage-
+    // collected at the next maintenance entry and the cycle re-applies
+    graft.core.Compaction.copyDir(spark, s"$dirB/bucket=${touched.head}", s"${dirC}__maintain/bucket=${touched.head}")
+    GraphDedup.maintainClusterMap(spark, dirC, Seq((300L, 301L)).toDF("src", "dst"), nBuckets)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"${dirC}__maintain")))
+    val served2 = GraphDedup
+      .readClusterMap(spark, dirC)
+      .collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    assert(served2 == cc(day0 ++ day1 ++ Seq((300L, 301L))))
+  }
+
+  test("persisted map: layout wins over a wrong caller bucket count; legacy mismatch fails loudly") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cc_map_layout").toString
+    val dir = base + "/map"
+    val day0 = (1L to 50L).map(i => (i, i + 1))
+    GraphDedup.saveClusterMap(GraphDedup.connectedComponents(day0.toDF("src", "dst")), dir, 8)
+    // caller passes the WRONG count — the persisted layout (8) must
+    // win, or the probe would miss every existing node and corrupt
+    GraphDedup.maintainClusterMap(spark, dir, Seq((50L, 51L)).toDF("src", "dst"), nBuckets = 16)
+    val served = GraphDedup
+      .readClusterMap(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    assert(served == cc(day0 ++ Seq((50L, 51L))))
+    // legacy map (no layout file): an impossible caller count — smaller
+    // than a bucket id that exists on disk — must fail, not corrupt
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_graft_layout"), false)
+    val e = intercept[IllegalArgumentException] {
+      GraphDedup.maintainClusterMap(spark, dir, Seq((51L, 52L)).toDF("src", "dst"), nBuckets = 4)
+    }
+    assert(e.getMessage.contains("layout"), e.getMessage)
+  }
+
+  test("persisted map: INT-typed edge ids are cast to the map's node type before hashing") {
+    import org.apache.spark.sql.types.IntegerType
+    val base = java.nio.file.Files.createTempDirectory("graft_cc_map_ints").toString
+    val dir = base + "/map"
+    val day0 = (1L to 50L).map(i => (i, i + 1)) ++ Seq((100L, 101L), (110L, 111L))
+    GraphDedup.saveClusterMap(GraphDedup.connectedComponents(day0.toDF("src", "dst")), dir, 8)
+    // the merge edge arrives as INT — xxhash64 of an INT differs from
+    // the LONG map's, so an uncast probe would MISS nodes 101/110 and
+    // write conflicting rows for them
+    val intEdges = Seq((101, 110)).toDF("src", "dst")
+    assert(intEdges.schema("src").dataType == IntegerType)
+    GraphDedup.maintainClusterMap(spark, dir, intEdges, 8)
+    val served = GraphDedup
+      .readClusterMap(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    assert(served == cc(day0 ++ Seq((101L, 110L))))
+    // exactly one row per node — no conflicting duplicates
+    val dup = GraphDedup.readClusterMap(spark, dir).groupBy("node").count().filter(col("count") > 1)
+    assert(dup.count() == 0L)
+  }
+
   test("persisted map: randomized multi-cycle maintenance equals full CC") {
     for (seed <- Seq(17, 23)) {
       val rnd = new scala.util.Random(seed)
