@@ -30,8 +30,13 @@ object Paragraphs {
     */
   sealed trait Segmenter
   object Segmenter {
-    /** Split on a regex delimiter (default: blank line). */
-    final case class Delimiter(pattern: String = "\n\n") extends Segmenter
+    /** Split on a regex delimiter (default: blank line). `joiner` is
+      * what reassembly puts BETWEEN surviving paragraphs — it travels
+      * with the pattern because only the caller knows what their
+      * delimiter regex consumed (a regex is not invertible); the
+      * default round-trips the default pattern.
+      */
+    final case class Delimiter(pattern: String = "\n\n", joiner: String = "\n\n") extends Segmenter
 
     /** Fixed k-word chunks of the whitespace-split document. */
     final case class WordChunks(k: Int = chunk) extends Segmenter
@@ -65,8 +70,12 @@ object Paragraphs {
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("w", split(col("text"), " "))
     seg match {
-      case Segmenter.Delimiter(p) =>
-        base.withColumn("paras", expr(s"filter(split(text, '$p'), s -> s != '')"))
+      case Segmenter.Delimiter(p, _) =>
+        // the pattern rides the Column API as a plain string argument,
+        // never interpolated into SQL text — a quote or any other
+        // metacharacter in the caller's regex cannot break parsing or
+        // inject expressions
+        base.withColumn("paras", filter(split(col("text"), p), s => s =!= ""))
       case Segmenter.WordChunks(k) =>
         base.withColumn("paras", expr(chunksExprSqlK(k)))
     }
@@ -117,10 +126,12 @@ object Paragraphs {
       seg: Segmenter = Segmenter.Delimiter()
   ): DataFrame = {
     // reassemble with the segmentation's own joiner: real paragraphs
-    // re-join as blank-line blocks, word chunks as a flat token stream
+    // re-join with the Delimiter's declared joiner (the caller's
+    // structure, not a hardcoded blank line), word chunks as a flat
+    // token stream
     val joiner = seg match {
-      case Segmenter.Delimiter(_) => "\n\n"
-      case Segmenter.WordChunks(_) => " "
+      case Segmenter.Delimiter(_, j) => j
+      case Segmenter.WordChunks(_)   => " "
     }
     val p = paragraphs(docs, idCol, textCol, seg)
     val winners = p

@@ -164,12 +164,32 @@ object StreamingIngest {
     * index as an FS copy of a prebuilt one instead of re-signing the
     * history corpus every run.
     */
+  /** Delete a replay's scratch tree. The replays MATERIALIZE their
+    * result (eager localCheckpoint) before this runs in their
+    * `finally`, so the returned DataFrame never reads the deleted
+    * files — and a bench rep leaves /tmp exactly as it found it.
+    */
+  private def rmScratch(s: SparkSession, base: java.nio.file.Path): Unit = {
+    val p = new org.apache.hadoop.fs.Path(base.toString)
+    p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+  }
+
   def dedupStreamReplay(
       s: SparkSession,
       docs: DataFrame,
       seedIndexFrom: Option[String] = None
   ): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_stream_replay")
+    try dedupStreamReplayIn(s, docs, seedIndexFrom, base)
+    finally rmScratch(s, base)
+  }
+
+  private def dedupStreamReplayIn(
+      s: SparkSession,
+      docs: DataFrame,
+      seedIndexFrom: Option[String],
+      base: java.nio.file.Path
+  ): DataFrame = {
     val idx = base.resolve("index").toString
     val src = base.resolve("src").toString
     val out = base.resolve("flags").toString
@@ -213,6 +233,7 @@ object StreamingIngest {
       .dropDuplicates("new_id", "ref_id")
       .select("new_id", "ref_id", "src", "n_match", "est_jaccard")
       .orderBy("new_id", "ref_id", "src")
+      .localCheckpoint(true)
   }
 
   /** Streaming near-dup flags PLUS live cluster maintenance: the full
@@ -311,6 +332,16 @@ object StreamingIngest {
   val dedupStreamClusters: (SparkSession, String) => DataFrame = (s, d) => {
     val docs = graft.ops.Fixtures.documents(s, d)
     val base = java.nio.file.Files.createTempDirectory("graft_stream_cc")
+    try dedupStreamClustersIn(s, d, docs, base)
+    finally rmScratch(s, base)
+  }
+
+  private def dedupStreamClustersIn(
+      s: SparkSession,
+      d: String,
+      docs: DataFrame,
+      base: java.nio.file.Path
+  ): DataFrame = {
     val idx = base.resolve("index").toString
     val src = base.resolve("src").toString
     val out = base.resolve("flags").toString
@@ -377,11 +408,21 @@ object StreamingIngest {
     * oracle deliberately excludes).
     */
   val eventsStreamReplay: (SparkSession, String) => DataFrame = (s, d) => {
-    import org.apache.spark.sql.types.DecimalType
     val ev = graft.ops.Fixtures
       .events(s, d)
       .select(col("ts"), col("event_type"), col("value"))
     val base = java.nio.file.Files.createTempDirectory("graft_events_replay")
+    try {
+      eventsStreamReplayIn(s, ev, base)
+    } finally rmScratch(s, base)
+  }
+
+  private def eventsStreamReplayIn(
+      s: SparkSession,
+      ev: DataFrame,
+      base: java.nio.file.Path
+  ): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val src = base.resolve("src").toString
     val out = base.resolve("win").toString
     val ckpt = base.resolve("ckpt").toString
@@ -426,6 +467,7 @@ object StreamingIngest {
         col("total_value_dec").cast("string").as("total_value")
       )
       .orderBy("hour_bucket", "event_type")
+      .localCheckpoint(true)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

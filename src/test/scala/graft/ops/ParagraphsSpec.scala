@@ -147,6 +147,36 @@ class ParagraphsSpec extends SparkSpec {
     assert(out(1).getAs[Long]("n_dropped") == 1L)
   }
 
+  test("Delimiter patterns with quotes/metacharacters cannot break expression parsing") {
+    import spark.implicits._
+    // a single quote in the pattern used to be interpolated into a SQL
+    // expr string — parse failure at best, expression injection at
+    // worst; the Column API path takes it as an inert regex
+    val d = Seq((1L, "alpha'beta'gamma")).toDF("doc_id", "text")
+    val paras = Paragraphs
+      .paragraphs(d, "doc_id", "text", Paragraphs.Segmenter.Delimiter("'", "'"))
+      .orderBy("para_idx")
+      .collect()
+      .map(_.getAs[String]("para"))
+    assert(paras.toSeq == Seq("alpha", "beta", "gamma"))
+  }
+
+  test("custom Delimiter joiner round-trips document structure") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a|b|a"), // within-doc duplicate: second 'a' dropped
+      (2L, "c|d")    // untouched: must round-trip byte-identically
+    ).toDF("doc_id", "text")
+    val out = Paragraphs
+      .paragraphDedup(d, "doc_id", "text", Paragraphs.Segmenter.Delimiter("\\|", "|"))
+      .orderBy("doc_id")
+      .collect()
+    assert(out(0).getAs[String]("kept_text") == "a|b")
+    assert(out(0).getAs[Long]("n_dropped") == 1L)
+    assert(out(1).getAs[String]("kept_text") == "c|d")
+    assert(out(1).getAs[Long]("n_dropped") == 0L)
+  }
+
   test("quality_repetition fixture run: fractions bounded and total") {
     val out = Paragraphs.qualityRepetition(spark, "/root/testdata/sf0.001").cache()
     assert(out.count() == 500L)
