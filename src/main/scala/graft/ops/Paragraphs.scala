@@ -268,7 +268,11 @@ object Paragraphs {
     "quality_repetition" -> qualityRepetition
   )
 
-  private def parasSql(src: String): String =
+  /** DuckDB twin of the WordChunks segmentation over any (doc_id,
+    * text) source — exposes CTE `p` (doc_id, para_idx, para); shared
+    * with the pipeline oracle's paragraph-dedup stage.
+    */
+  private[ops] def parasSql(src: String): String =
     s"""p AS (
        |  SELECT doc_id,
        |    unnest(generate_series(0, CAST(ceil(len(w) / $chunk.0) AS INT) - 1)) AS para_idx,

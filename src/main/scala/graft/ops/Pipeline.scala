@@ -85,54 +85,130 @@ object Pipeline {
       .orderBy("lang")
   }
 
-  /** The round-6 extension of [[stages]]: two more stages a corpus
-    * job runs after near-dup removal —
-    *
-    *   → repetition filter (Gopher rule: duplicate-line fraction ≤ 0.3,
-    *     the Paragraphs.qualityRepetition segmentation, integer-exact
-    *     as (n_lines − n_distinct)·10 ≤ 3·n_lines)
-    *     → mixture sampling (Mixture.stratifiedSample: keep all 'en',
-    *       40% elsewhere — deterministic md5 draw)
-    *
-    * Same reuse contract: the repetition stage chunks with the exact
-    * expression quality_repetition uses, the mixture stage IS
-    * stratifiedSample. Both are stateless scans over the already-
-    * thinned survivor set, so the expensive LSH stage still sees its
-    * minimal input and the cheap filters run where they are cheapest.
+  /** All seven stage frames, for accounting and specs. `paraKept`
+    * onward carry REWRITTEN text (doc_id, lang, text).
     */
-  def stagesFull(docs: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
-    val (flagged, exactKept, finalKept) = stages(docs)
-    val repKept = finalKept
+  final case class FullStages(
+      flagged: DataFrame,
+      repKept: DataFrame,
+      exactKept: DataFrame,
+      nearKept: DataFrame,
+      paraKept: DataFrame,
+      spanKept: DataFrame,
+      mixKept: DataFrame
+  )
+
+  /** The full seven-stage corpus job, in MassiveText order — quality
+    * filtering first (stats rule + Gopher repetition rule), then the
+    * dedup ladder from document level down to substring level, then
+    * delivery sampling:
+    *
+    *   stats quality → repetition filter (duplicate-chunk fraction
+    *   ≤ 0.3, integer-exact as (n_lines − n_distinct)·10 ≤ 3·n_lines)
+    *     → exact dedup → near-dup removal (MinHash-LSH)
+    *       → paragraph dedup (keep-earliest; documents REWRITTEN to
+    *         their surviving paragraphs, docs losing every paragraph
+    *         drop out)
+    *         → span removal (Spans.spanRemoval ExactSubstr cut; docs
+    *           cut to nothing drop out)
+    *           → mixture sampling (keep all 'en', 40% elsewhere —
+    *             deterministic md5 draw)
+    *
+    * Same reuse contract throughout: each stage IS its standalone
+    * operator (same expressions). Order rationale: the repetition rule
+    * is a QUALITY judgment and must see the original text — after span
+    * removal a looping document is already cut to a stub and would
+    * sail through; and running the stateless filters first hands the
+    * expensive LSH/digest stages their minimal input (the reason
+    * MassiveText orders quality → dedup → substring too).
+    */
+  def stagesFull(docs: DataFrame): FullStages = {
+    // stage 1 — stats quality: bit-identical to TextAnalysis.textStats
+    val flagged = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("bigint"))
+      .withColumn(
+        "n_stop",
+        expr(s"CAST(size(filter(toks, w -> w IN (${TextAnalysis.stopList}))) AS BIGINT)")
+      )
+      .withColumn("stop_pct", expr("CAST(floor(n_stop * 100.0 / n_tokens) AS BIGINT)"))
+      .withColumn("quality_pass", col("n_tokens") >= 20 && col("stop_pct").between(2, 60))
+    // stage 2 — repetition filter on the ORIGINAL text
+    val repKept = flagged
+      .filter(col("quality_pass"))
       .withColumn("w", col("toks"))
       .withColumn("paras", expr(Paragraphs.chunksExprSql))
       .withColumn("n_lines", size(col("paras")).cast("bigint"))
       .withColumn("n_distinct_lines", size(array_distinct(col("paras"))).cast("bigint"))
       .filter((col("n_lines") - col("n_distinct_lines")) * 10 <= col("n_lines") * 3)
-      .drop("w", "paras")
+      .drop("w", "paras", "n_lines", "n_distinct_lines")
+    // stage 3 — exact dedup: Dedup.exactDedup's keep-min-id policy
+    val keep = Dedup
+      .exactDedup(repKept, "text", "doc_id")
+      .select(col("content_hash"), col("keep_id").as("doc_id"))
+    val exactKept = repKept
+      .withColumn("content_hash", md5(col("text").cast("binary")))
+      .join(keep, Seq("content_hash", "doc_id"), "left_semi")
+    // stage 4 — near-dup removal: keep-earliest over verified pairs
+    val dropIds = Dedup
+      .lshCandidatesWithJaccard(exactKept, "doc_id", "text")
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_b").as("doc_id"))
+      .distinct()
+    val nearKept = exactKept.join(dropIds, Seq("doc_id"), "left_anti")
+    // stage 5 — paragraph dedup: keep-earliest, text rewritten (the
+    // fixture-honest WordChunks segmenter, same as dedup_paragraph)
+    val paraKept = nearKept
+      .select("doc_id", "lang")
+      .join(
+        Paragraphs
+          .paragraphDedup(nearKept.select(col("doc_id"), col("text")), "doc_id", "text",
+            Paragraphs.Segmenter.WordChunks())
+          .filter(col("n_kept") > 0)
+          .select(col("doc_id"), col("kept_text").as("text")),
+        Seq("doc_id")
+      )
+    // stage 6 — span removal: flagged k-word spans cut from the
+    // paragraph-deduped text, fully-cut docs drop out
+    val spanKept = paraKept
+      .select("doc_id", "lang")
+      .join(
+        Spans
+          .spanRemoval(paraKept, "doc_id", "text")
+          .filter(length(col("clean_text")) > 0)
+          .select(col("doc_id"), col("clean_text").as("text")),
+        Seq("doc_id")
+      )
+    // stage 7 — mixture sampling
     val mixKept =
-      Mixture.stratifiedSample(repKept, "doc_id", "lang", Mixture.fixtureRates, Mixture.fixtureDefault)
-    (flagged, exactKept, finalKept, repKept, mixKept)
+      Mixture.stratifiedSample(spanKept, "doc_id", "lang", Mixture.fixtureRates, Mixture.fixtureDefault)
+    FullStages(flagged, repKept, exactKept, nearKept, paraKept, spanKept, mixKept)
   }
 
-  /** Per-language accounting across all five stages. */
+  /** Per-language accounting across all seven stages. */
   val pipelineFull: Q = (s, d) => {
-    val (flagged, exactKept, finalKept, repKept, mixKept) = stagesFull(documents(s, d))
+    val st = stagesFull(documents(s, d))
     def perLang(df: DataFrame, name: String): DataFrame =
       df.groupBy(col("lang")).agg(count(lit(1)).cast("bigint").as(name))
-    flagged
+    st.flagged
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).cast("bigint").as("n_input"),
         sum(when(col("quality_pass"), 1).otherwise(0)).cast("bigint").as("n_quality_pass")
       )
-      .join(perLang(exactKept, "n_exact_survivors"), Seq("lang"), "left")
-      .join(perLang(finalKept, "n_near_survivors"), Seq("lang"), "left")
-      .join(perLang(repKept, "n_repetition_survivors"), Seq("lang"), "left")
-      .join(perLang(mixKept, "n_mixture_survivors"), Seq("lang"), "left")
+      .join(perLang(st.repKept, "n_repetition_survivors"), Seq("lang"), "left")
+      .join(perLang(st.exactKept, "n_exact_survivors"), Seq("lang"), "left")
+      .join(perLang(st.nearKept, "n_near_survivors"), Seq("lang"), "left")
+      .join(perLang(st.paraKept, "n_paragraph_survivors"), Seq("lang"), "left")
+      .join(perLang(st.spanKept, "n_span_survivors"), Seq("lang"), "left")
+      .join(perLang(st.mixKept, "n_mixture_survivors"), Seq("lang"), "left")
       .na
       .fill(
         0L,
-        Seq("n_exact_survivors", "n_near_survivors", "n_repetition_survivors", "n_mixture_survivors")
+        Seq(
+          "n_repetition_survivors", "n_exact_survivors", "n_near_survivors",
+          "n_paragraph_survivors", "n_span_survivors", "n_mixture_survivors"
+        )
       )
       .orderBy("lang")
   }
@@ -222,8 +298,9 @@ object Pipeline {
     */
   def oracles: Map[String, String] = {
     val stop = TextAnalysis.stopList
-    // the shared stage-1..3 CTE chain (quality → exact → near-dup) —
-    // pipeline_full appends the repetition + mixture stages to it
+    // the pipeline_full stage-1..4 CTE chain in MassiveText order
+    // (quality → repetition → exact → near-dup); the paragraph/span/
+    // mixture stages are appended in the map entry below
     val stages123 =
       s"""WITH t AS (
          |  SELECT doc_id, lang, text,
@@ -231,7 +308,13 @@ object Pipeline {
          |    CAST(floor(len(list_filter(string_split(text, ' '), w -> w IN ($stop))) * 100.0
          |               / len(string_split(text, ' '))) AS BIGINT) AS stop_pct
          |  FROM documents),
-         |q AS (SELECT * FROM t WHERE n_tokens >= 20 AND stop_pct BETWEEN 2 AND 60),
+         |q0 AS (SELECT * FROM t WHERE n_tokens >= 20 AND stop_pct BETWEEN 2 AND 60),
+         |q AS (
+         |  SELECT doc_id, lang, text FROM (
+         |    SELECT doc_id, lang, text,
+         |      ${Paragraphs.chunksDuckSql("string_split(text, ' ')")} AS paras
+         |    FROM q0)
+         |  WHERE (len(paras) - len(list_distinct(paras))) * 10 <= len(paras) * 3),
          |k AS (SELECT md5(text) AS h, min(doc_id) AS keep_id FROM q GROUP BY md5(text)),
          |ek AS (SELECT q.* FROM q JOIN k ON md5(q.text) = k.h AND q.doc_id = k.keep_id),
          |${Dedup.shinglesSqlFrom("ek")},
@@ -260,28 +343,40 @@ object Pipeline {
     Map(
       "pipeline_full" ->
         s"""$stages123,
-           |rk AS (
-           |  SELECT doc_id, lang, text FROM (
-           |    SELECT doc_id, lang, text,
-           |      ${Paragraphs.chunksDuckSql("string_split(text, ' ')")} AS paras
-           |    FROM fk)
-           |  WHERE (len(paras) - len(list_distinct(paras))) * 10 <= len(paras) * 3),
-           |mx AS (SELECT * FROM rk WHERE ${Mixture.drawSql} < ${Mixture.thresholdSql}),
+           |${Paragraphs.parasSql("(SELECT doc_id, text FROM fk)")},
+           |pd AS (
+           |  SELECT doc_id,
+           |    string_agg(para, ' ' ORDER BY para_idx) FILTER (WHERE rn = 1) AS text
+           |  FROM (SELECT doc_id, para_idx, para,
+           |          row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, para_idx) AS rn
+           |        FROM p)
+           |  GROUP BY doc_id
+           |  HAVING sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0),
+           |pdl AS (SELECT f.lang, d2.doc_id, d2.text FROM pd d2 JOIN fk f USING (doc_id)),
+           |${Spans.cutSqlFrom("pdl", "s_")},
+           |sk AS (SELECT doc_id, ct AS text FROM s_cl WHERE length(ct) > 0),
+           |skl AS (SELECT f.lang, s2.doc_id, s2.text FROM sk s2 JOIN fk f USING (doc_id)),
+           |mx AS (SELECT * FROM skl WHERE ${Mixture.drawSql} < ${Mixture.thresholdSql}),
            |a AS (
            |  SELECT lang, CAST(count(*) AS BIGINT) AS n_input,
            |    CAST(sum(CASE WHEN n_tokens >= 20 AND stop_pct BETWEEN 2 AND 60 THEN 1 ELSE 0 END) AS BIGINT)
            |      AS n_quality_pass
            |  FROM t GROUP BY lang),
+           |r AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM q GROUP BY lang),
            |b AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM ek GROUP BY lang),
            |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM fk GROUP BY lang),
-           |r AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM rk GROUP BY lang),
+           |pg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM pdl GROUP BY lang),
+           |sg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM skl GROUP BY lang),
            |m AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM mx GROUP BY lang)
            |SELECT a.lang, a.n_input, a.n_quality_pass,
+           |  CAST(coalesce(r.n, 0) AS BIGINT) AS n_repetition_survivors,
            |  CAST(coalesce(b.n, 0) AS BIGINT) AS n_exact_survivors,
            |  CAST(coalesce(c.n, 0) AS BIGINT) AS n_near_survivors,
-           |  CAST(coalesce(r.n, 0) AS BIGINT) AS n_repetition_survivors,
+           |  CAST(coalesce(pg.n, 0) AS BIGINT) AS n_paragraph_survivors,
+           |  CAST(coalesce(sg.n, 0) AS BIGINT) AS n_span_survivors,
            |  CAST(coalesce(m.n, 0) AS BIGINT) AS n_mixture_survivors
            |FROM a LEFT JOIN b ON a.lang = b.lang LEFT JOIN c ON a.lang = c.lang
+           |LEFT JOIN pg ON a.lang = pg.lang LEFT JOIN sg ON a.lang = sg.lang
            |LEFT JOIN r ON a.lang = r.lang LEFT JOIN m ON a.lang = m.lang
            |ORDER BY a.lang""".stripMargin,
       "pipeline_survivors" ->

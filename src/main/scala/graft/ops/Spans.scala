@@ -185,24 +185,7 @@ object Spans {
     // span covers it — equivalent to the engine's merged-interval
     // complement (the intervals are exactly the covered set's runs)
     "span_removal" ->
-      s"""WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
-         |sp AS (
-         |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-         |         md5(array_to_string(w[i:i + $k - 1], ' ')) AS dig
-         |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - $k + 1)) AS i FROM w)),
-         |dup AS (SELECT dig FROM sp GROUP BY dig HAVING count(*) >= 2),
-         |fp AS (SELECT s.doc_id, s.pos FROM sp s JOIN dup USING (dig)),
-         |cov AS (SELECT DISTINCT doc_id, pos + j AS idx
-         |        FROM fp, unnest(generate_series(0, $k - 1)) AS t(j)),
-         |wx AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, w[i] AS word
-         |       FROM w, unnest(generate_series(1, len(w))) AS t(i)),
-         |kept AS (
-         |  SELECT x.doc_id, x.idx, x.word FROM wx x
-         |  ANTI JOIN cov c ON c.doc_id = x.doc_id AND c.idx = x.idx),
-         |cl AS (
-         |  SELECT doc_id, string_agg(word, ' ' ORDER BY idx) AS ct,
-         |         count(*) AS n_kept
-         |  FROM kept GROUP BY doc_id)
+      s"""WITH ${cutSqlFrom("documents", "")}
          |SELECT w.doc_id,
          |  coalesce(cl.ct, '') AS clean_text,
          |  CAST(len(w.w) AS BIGINT) AS n_words,
@@ -210,4 +193,30 @@ object Spans {
          |  CAST(length(w.text) - length(coalesce(cl.ct, '')) AS BIGINT) AS chars_removed
          |FROM w LEFT JOIN cl USING (doc_id) ORDER BY w.doc_id""".stripMargin
   )
+
+  /** The DuckDB span-cut CTE chain over any (doc_id, text) source,
+    * prefixable so it composes into larger oracles (the pipeline
+    * replays it over its paragraph-deduped stage). Exposes
+    * `<p>w` (doc_id, text, w) and `<p>cl` (doc_id, ct, n_kept);
+    * fully-cut documents are ABSENT from `<p>cl`.
+    */
+  private[ops] def cutSqlFrom(src: String, p: String): String =
+    s"""${p}w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM $src),
+       |${p}sp AS (
+       |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |         md5(array_to_string(w[i:i + $k - 1], ' ')) AS dig
+       |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - $k + 1)) AS i FROM ${p}w)),
+       |${p}dup AS (SELECT dig FROM ${p}sp GROUP BY dig HAVING count(*) >= 2),
+       |${p}fp AS (SELECT s.doc_id, s.pos FROM ${p}sp s JOIN ${p}dup USING (dig)),
+       |${p}cov AS (SELECT DISTINCT doc_id, pos + j AS idx
+       |        FROM ${p}fp, unnest(generate_series(0, $k - 1)) AS t(j)),
+       |${p}wx AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, w[i] AS word
+       |       FROM ${p}w, unnest(generate_series(1, len(w))) AS t(i)),
+       |${p}kept AS (
+       |  SELECT x.doc_id, x.idx, x.word FROM ${p}wx x
+       |  ANTI JOIN ${p}cov c ON c.doc_id = x.doc_id AND c.idx = x.idx),
+       |${p}cl AS (
+       |  SELECT doc_id, string_agg(word, ' ' ORDER BY idx) AS ct,
+       |         count(*) AS n_kept
+       |  FROM ${p}kept GROUP BY doc_id)""".stripMargin
 }

@@ -36,21 +36,88 @@ class PipelineSpec extends SparkSpec {
     )
   }
 
-  test("stagesFull: the two new stages shrink monotonically and repetition CAN drop") {
+  test("stagesFull: every stage shrinks monotonically; repetition drops a looping doc BEFORE dedup can cut it") {
     import spark.implicits._
-    // the fixture corpus has no within-doc chunk repetition (the
-    // accounting shows stage 4 as a fixture no-op), so prove the rule
-    // fires on a crafted looping doc injected through the same path
+    // the fixture corpus has no within-doc chunk repetition, so prove
+    // the rule fires on a crafted looping doc injected through the
+    // same path. Ordering matters: if repetition ran AFTER span
+    // removal, the loop would already be cut to a tiny stub and sail
+    // through — the quality-first order drops the document whole.
     val loop = (("the a of to and in good text here now word more " * 2).trim + " ") * 8
     val crafted = Seq((900001L, loop.trim, "en", "src0", loop.trim.length.toLong))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val docs = Fixtures.documents(spark, sfDir).unionByName(crafted)
-    val (_, _, near, rep, mix) = Pipeline.stagesFull(docs)
-    val nNear = near.count(); val nRep = rep.count(); val nMix = mix.count()
-    assert(nRep <= nNear && nMix <= nRep, "stages must only shrink")
-    assert(near.filter(col("doc_id") === 900001L).count() == 1L, "crafted doc must reach stage 4")
-    assert(rep.filter(col("doc_id") === 900001L).count() == 0L, "looping doc must be dropped by the repetition rule")
-    assert(nMix < nRep, "mixture must drop non-en docs on the fixture")
+    val st = Pipeline.stagesFull(docs)
+    val nQuality = st.flagged.filter(col("quality_pass")).count()
+    val nRep = st.repKept.count()
+    val nExact = st.exactKept.count()
+    val nNear = st.nearKept.count()
+    val nPara = st.paraKept.count()
+    val nSpan = st.spanKept.count()
+    val nMix = st.mixKept.count()
+    assert(
+      nRep <= nQuality && nExact <= nRep && nNear <= nExact &&
+        nPara <= nNear && nSpan <= nPara && nMix <= nSpan,
+      "stages must only shrink"
+    )
+    assert(
+      st.flagged.filter(col("doc_id") === 900001L && col("quality_pass")).count() == 1L,
+      "crafted doc must pass the stats rule and reach the repetition stage"
+    )
+    assert(
+      st.repKept.filter(col("doc_id") === 900001L).count() == 0L,
+      "looping doc must be dropped whole by the repetition rule"
+    )
+    assert(nMix < nSpan, "mixture must drop non-en docs on the fixture")
+    // conservation across the text-REWRITING stages: rewritten text
+    // never grows, and every surviving doc keeps at least one word
+    val paraLen = st.nearKept
+      .select(col("doc_id"), length(col("text")).as("l0"))
+      .join(st.paraKept.select(col("doc_id"), length(col("text")).as("l1")), "doc_id")
+    assert(paraLen.filter(col("l1") > col("l0")).count() == 0L, "paragraph dedup grew a document")
+    val spanLen = st.paraKept
+      .select(col("doc_id"), length(col("text")).as("l1"))
+      .join(st.spanKept.select(col("doc_id"), length(col("text")).as("l2")), "doc_id")
+    assert(spanLen.filter(col("l2") > col("l1")).count() == 0L, "span removal grew a document")
+    assert(st.spanKept.filter(length(col("text")) === 0).count() == 0L)
+  }
+
+  test("stagesFull: paragraph dedup and span removal fire on crafted cross-doc duplication") {
+    import spark.implicits._
+    // 10-word chunks interleaving stopwords with per-doc-unique tokens
+    // keep stop_pct ~50% while making every head chunk corpus-unique
+    val stops = Seq("the", "a", "of", "to", "and")
+    def mixChunk(tag: String, j: Int): String =
+      stops.zipWithIndex.flatMap { case (s, i) => Seq(s, s"u$tag${j}_$i") }.mkString(" ")
+    def head(tag: String): String = s"${mixChunk(tag, 1)} ${mixChunk(tag, 2)}"
+    // a 10-word chunk-ALIGNED shared line (paragraph dedup's prey) and
+    // a 25-word shared run placed at DIFFERENT word offsets in its two
+    // docs so no 10-word chunk aligns — only span removal can see it
+    val sharedLine = (1 to 10).map(i => s"sl$i").mkString(" ")
+    val run = (1 to 25).map(i => s"run$i").mkString(" ")
+    val docs = Seq(
+      (910001L, s"${head("A")} $sharedLine", "en", "s", 0L),
+      (910002L, s"${head("B")} $sharedLine", "en", "s", 0L),
+      (910003L, s"${head("C")} $run", "en", "s", 0L),
+      (910004L, s"${head("D")} off0 $run", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val st = Pipeline.stagesFull(docs)
+    assert(st.nearKept.count() == 4L, "crafted docs must pass quality and doc-level dedup")
+    val para = st.paraKept.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    // 910001 keeps the shared line (earliest); 910002 loses exactly it
+    assert(para(910001L) == s"${head("A")} $sharedLine")
+    assert(para(910002L) == head("B"))
+    // the offset run chunks differently in 910003/910004 → untouched here
+    assert(para(910003L) == s"${head("C")} $run")
+    assert(para(910004L) == s"${head("D")} off0 $run")
+    val span = st.spanKept.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    // the run's six shared 20-word windows cover it fully in both docs
+    // — ExactSubstr cuts EVERY copy; the unique heads survive
+    assert(span(910003L) == head("C"))
+    assert(span(910004L) == s"${head("D")} off0")
+    // and the chunk-deduped docs carry no 20-word duplicates: untouched
+    assert(span(910001L) == para(910001L))
+    assert(span(910002L) == para(910002L))
   }
 
   test("quality_features agrees with the standalone gates it composes") {

@@ -12,8 +12,7 @@ class RefinerySpec extends SparkSpec {
 
   test("curate -> shard -> pack conserves documents and tokens at every hand-off") {
     val docs = Fixtures.documents(spark, "/root/testdata/sf0.001")
-    val (_, _, _, _, sampled) = Pipeline.stagesFull(docs)
-    val survivors = sampled.select("doc_id", "lang", "text").cache()
+    val survivors = Pipeline.stagesFull(docs).mixKept.select("doc_id", "lang", "text").cache()
     val nSurvivors = survivors.count()
     assert(nSurvivors > 0)
     // route to shards: total cover, no doc lost or duplicated
