@@ -95,7 +95,9 @@ object Bench {
     // named query's first_run carries the shared cost
     val sharesScanWith = Seq(
       "agg_metrics_summary" -> "agg_metrics_deviation",
-      "ann_ivf_topk_index" -> "ann_ivf_lists"
+      "ann_ivf_topk_index" -> "ann_ivf_lists",
+      // reads the PQ demo index ann_pq_topk_index built
+      "pq_quality" -> "ann_pq_topk_index"
     )
     val shares = sharesScanWith
       .filter { case (k, _) => medians.exists(_._1 == k) }
@@ -107,6 +109,7 @@ object Bench {
       "dedup_incremental" -> "first_run",
       "dedup_incremental_embedding" -> "first_run",
       "ann_ivf_topk_index" -> "first_run",
+      "ann_pq_topk_index" -> "first_run",
       // the stream replays seed their private mutable index as an FS
       // copy of the shared demo index: first_run carries the index
       // build, every rep still pays copy + full micro-batch replay

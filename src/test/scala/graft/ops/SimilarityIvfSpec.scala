@@ -143,6 +143,85 @@ class SimilarityIvfSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [list_id"), plan.take(2000))
   }
 
+  test("IVF-PQ: codes well-formed, ADC probe partition-pruned, training deterministic") {
+    val emb = Fixtures.embeddings(spark, dir)
+    val idx = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    Similarity.savePqIndex(emb, nLists = 8, m = 8, codes = 16, idx)
+    val assigned = spark.read.parquet(s"$idx/assignments")
+    assert(assigned.count() == emb.count())
+    // every code array: m entries, each in [0, codes)
+    assert(
+      assigned
+        .filter(expr("size(pq) != 8 OR exists(pq, c -> c < 0 OR c >= 16)"))
+        .count() == 0L
+    )
+    // two independent trainings produce identical codebooks (seeded
+    // fits over the deterministic featurization — the golden-pin
+    // precondition)
+    val t1 = Similarity.pqTrain(emb, 8, 16)
+    val t2 = Similarity.pqTrain(emb, 8, 16)
+    assert(t1.codebooks.flatten.flatten.toSeq == t2.codebooks.flatten.flatten.toSeq)
+    // the ADC probe reads only the probed list partitions
+    val qv = emb.selectExpr("CAST(embedding AS ARRAY<DOUBLE>) v").where(col("vec_id") === 0L)
+      .head().getSeq[Double](0).toArray
+    val probe = Similarity.pqTopKFromIndex(spark, idx, qv, k = 10, nProbe = 4)
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [list_id"), plan.take(2000))
+  }
+
+  test("IVF-PQ: exact rerank of the ADC shortlist recovers the within-probed-lists answer") {
+    // sf0.01, not sf0.001: with only 50 near-orthogonal synthetic
+    // vectors the true cosine gaps are noise against the quantization
+    // error and ADC ranking carries no signal (measured recall 0.3 —
+    // below even the random-pick baseline); at 500 vectors the
+    // ordering is meaningful and deterministic
+    val emb = Fixtures.embeddings(spark, "/root/testdata/sf0.01")
+    val ivfIdx = java.nio.file.Files.createTempDirectory("graft_pq_ivf").toString
+    val pqIdx = java.nio.file.Files.createTempDirectory("graft_pq_pq").toString
+    Similarity.saveIvfIndex(emb, nLists = 8, ivfIdx)
+    Similarity.savePqIndex(emb, nLists = 8, m = 8, codes = 16, pqIdx)
+    // same memoized IVF fit -> identical list layout and probe set, so
+    // the exact answer within the probed lists is the plain IVF probe
+    val exact = Similarity
+      .ivfTopKFromIndex(spark, ivfIdx, 0L, 10, nProbe = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim")))
+      .toSeq
+    val qv = emb.selectExpr("CAST(embedding AS ARRAY<DOUBLE>) v").where(col("vec_id") === 0L)
+      .head().getSeq[Double](0).toArray
+    // ADC alone must surface a solid share of the true top-10 even at
+    // 16-code quantization of structureless synthetic vectors...
+    val adc = Similarity
+      .pqTopKFromIndex(spark, pqIdx, qv, k = 10, nProbe = 4)
+      .collect()
+      .map(_.getAs[Long]("vec_id"))
+      .toSet
+    val recall = exact.map(_._1).count(adc.contains) / 10.0
+    assert(recall >= 0.5, s"ADC-only recall@10 degraded to $recall")
+    // ...a practical shortlist recovers most of the exact answer
+    // (measured 8/10 on the structureless fixture — real clustered
+    // embeddings quantize far better; the shortlist size is the
+    // recall/cost knob)
+    val r50 = Similarity
+      .pqTopKFromIndex(spark, pqIdx, qv, k = 10, nProbe = 4, rerank = Some((emb, 50)))
+      .collect()
+      .map(_.getAs[Long]("vec_id"))
+      .toSet
+    assert(exact.map(_._1).count(r50.contains) >= 8, s"shortlist-50 rerank recall degraded: $r50")
+    // ...and with the shortlist covering the probed lists entirely,
+    // the two-stage serve must recover the exact within-probed-lists
+    // answer BIT FOR BIT (same rounded cosines, same order) — the
+    // rerank path reads codes for candidacy but true vectors for
+    // scoring, so nothing lossy survives into the final ranking
+    val rerankedAll = Similarity
+      .pqTopKFromIndex(spark, pqIdx, qv, k = 10, nProbe = 4, rerank = Some((emb, 100000)))
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cos_sim")))
+      .toSeq
+    assert(rerankedAll == exact, s"rerank=$rerankedAll\nexact=$exact")
+  }
+
   test("semanticDedup: drop iff a smaller-id list-mate sits at >= tau; keeper is the smallest") {
     val emb = Fixtures.embeddings(spark, dir)
     val tau = 0.35
