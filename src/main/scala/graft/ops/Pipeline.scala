@@ -121,10 +121,23 @@ object Pipeline {
     * sail through; and running the stateless filters first hands the
     * expensive LSH/digest stages their minimal input (the reason
     * MassiveText orders quality → dedup → substring too).
+    *
+    * Each stage frame is MATERIALIZED (eager localCheckpoint) before
+    * the next builds on it: seven lazily-composed corpus-wide stages
+    * would re-run the whole upstream chain — LSH included — once per
+    * downstream consumer (measured 12× on the accounting query). This
+    * is also the at-scale shape: a 100 TB pipeline CHECKPOINTS each
+    * stage's survivor set to the lake (stage outputs are the restart
+    * points and audit artifacts), never one 7-deep lazy plan. Pass
+    * `materialize = false` for the pure composition (plan inspection).
     */
-  def stagesFull(docs: DataFrame): FullStages = {
+  def stagesFull(docs: DataFrame, materialize: Boolean = true): FullStages = {
+    def pin(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint(true) else df
     // stage 1 — stats quality: bit-identical to TextAnalysis.textStats
-    val flagged = docs
+    // (pinned like the rest: the stopword-lambda projection is
+    // expensive enough that its two consumers beat re-scanning — A/B'd
+    // 5.1 s pinned vs 6.3 s unpinned on the accounting query at sf0.1)
+    val flagged = pin(docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", size(col("toks")).cast("bigint"))
       .withColumn(
@@ -132,33 +145,33 @@ object Pipeline {
         expr(s"CAST(size(filter(toks, w -> w IN (${TextAnalysis.stopList}))) AS BIGINT)")
       )
       .withColumn("stop_pct", expr("CAST(floor(n_stop * 100.0 / n_tokens) AS BIGINT)"))
-      .withColumn("quality_pass", col("n_tokens") >= 20 && col("stop_pct").between(2, 60))
+      .withColumn("quality_pass", col("n_tokens") >= 20 && col("stop_pct").between(2, 60)))
     // stage 2 — repetition filter on the ORIGINAL text
-    val repKept = flagged
+    val repKept = pin(flagged
       .filter(col("quality_pass"))
       .withColumn("w", col("toks"))
       .withColumn("paras", expr(Paragraphs.chunksExprSql))
       .withColumn("n_lines", size(col("paras")).cast("bigint"))
       .withColumn("n_distinct_lines", size(array_distinct(col("paras"))).cast("bigint"))
       .filter((col("n_lines") - col("n_distinct_lines")) * 10 <= col("n_lines") * 3)
-      .drop("w", "paras", "n_lines", "n_distinct_lines")
+      .drop("w", "paras", "n_lines", "n_distinct_lines"))
     // stage 3 — exact dedup: Dedup.exactDedup's keep-min-id policy
     val keep = Dedup
       .exactDedup(repKept, "text", "doc_id")
       .select(col("content_hash"), col("keep_id").as("doc_id"))
-    val exactKept = repKept
+    val exactKept = pin(repKept
       .withColumn("content_hash", md5(col("text").cast("binary")))
-      .join(keep, Seq("content_hash", "doc_id"), "left_semi")
+      .join(keep, Seq("content_hash", "doc_id"), "left_semi"))
     // stage 4 — near-dup removal: keep-earliest over verified pairs
     val dropIds = Dedup
       .lshCandidatesWithJaccard(exactKept, "doc_id", "text")
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_b").as("doc_id"))
       .distinct()
-    val nearKept = exactKept.join(dropIds, Seq("doc_id"), "left_anti")
+    val nearKept = pin(exactKept.join(dropIds, Seq("doc_id"), "left_anti"))
     // stage 5 — paragraph dedup: keep-earliest, text rewritten (the
     // fixture-honest WordChunks segmenter, same as dedup_paragraph)
-    val paraKept = nearKept
+    val paraKept = pin(nearKept
       .select("doc_id", "lang")
       .join(
         Paragraphs
@@ -167,10 +180,10 @@ object Pipeline {
           .filter(col("n_kept") > 0)
           .select(col("doc_id"), col("kept_text").as("text")),
         Seq("doc_id")
-      )
+      ))
     // stage 6 — span removal: flagged k-word spans cut from the
     // paragraph-deduped text, fully-cut docs drop out
-    val spanKept = paraKept
+    val spanKept = pin(paraKept
       .select("doc_id", "lang")
       .join(
         Spans
@@ -178,7 +191,7 @@ object Pipeline {
           .filter(length(col("clean_text")) > 0)
           .select(col("doc_id"), col("clean_text").as("text")),
         Seq("doc_id")
-      )
+      ))
     // stage 7 — mixture sampling
     val mixKept =
       Mixture.stratifiedSample(spanKept, "doc_id", "lang", Mixture.fixtureRates, Mixture.fixtureDefault)
