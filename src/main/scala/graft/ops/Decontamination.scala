@@ -156,10 +156,30 @@ object Decontamination {
       .orderBy("doc_id", "rank")
   }
 
+  /** The REMEDY route: instead of dropping flagged documents, cut the
+    * overlapping n-word spans out of the training text (Spans'
+    * interval machinery at k = n) — what a pipeline runs when the
+    * contamination is boilerplate inside otherwise-good documents.
+    * Emits every training doc (untouched ones byte-identical).
+    */
+  val decontaminateRemoval: Q = (s, d) => {
+    val docs = documents(s, d)
+    Spans
+      .contaminationSpanRemoval(
+        docs.filter(s"NOT ($benchPred)"),
+        docs.filter(benchPred),
+        "doc_id",
+        "text",
+        n = 3
+      )
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, Q] = Map(
     "decontaminate" -> decontaminate,
     "decontaminate_bloom" -> decontaminateBloom,
-    "decontaminate_report" -> decontaminateReport
+    "decontaminate_report" -> decontaminateReport,
+    "decontaminate_removal" -> decontaminateRemoval
   )
 
   /** The Bloom route is exact by construction (FPs verified away, FNs
@@ -168,6 +188,21 @@ object Decontamination {
   def oracles: Map[String, String] = Map(
     "decontaminate_bloom" -> oracleSqlExact,
     "decontaminate" -> oracleSqlExact,
+    // benchmark-flagged positions + the Spans covered-set cut at k=3
+    "decontaminate_removal" ->
+      s"""WITH tr AS (SELECT doc_id, text FROM documents WHERE NOT ($benchPred)),
+         |be AS (SELECT doc_id, text FROM documents WHERE $benchPred),
+         |${Spans.windowsSql("tr", "", 3)},
+         |${Spans.windowsSql("be", "b_", 3)},
+         |bd AS (SELECT DISTINCT dig FROM b_sp),
+         |fp AS (SELECT s.doc_id, s.pos FROM sp s JOIN bd USING (dig)),
+         |${Spans.cutTailSql("", 3)}
+         |SELECT w.doc_id,
+         |  coalesce(cl.ct, '') AS clean_text,
+         |  CAST(len(w.w) AS BIGINT) AS n_words,
+         |  CAST(len(w.w) - coalesce(cl.n_kept, 0) AS BIGINT) AS n_words_removed,
+         |  CAST(length(w.text) - length(coalesce(cl.ct, '')) AS BIGINT) AS chars_removed
+         |FROM w LEFT JOIN cl USING (doc_id) ORDER BY w.doc_id""".stripMargin,
     "decontaminate_report" ->
       s"""WITH train AS (SELECT * FROM documents WHERE NOT ($benchPred)),
          |bench AS (SELECT * FROM documents WHERE $benchPred),

@@ -108,17 +108,50 @@ object Spans {
     * fixed point if required.
     */
   def spanRemoval(docs: DataFrame, idCol: String, textCol: String, spanWords: Int = k): DataFrame = {
-    val kk = spanWords
-    val digests = spanDigests(docs, idCol, textCol, kk)
+    val digests = spanDigests(docs, idCol, textCol, spanWords)
     val dup = digests
       .groupBy(col("dig"))
       .agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2)
       .select(col("dig"))
-    // one row per flagged (doc, pos); the semi-join shuffles digests
-    // only, and the aggregate ships compact per-doc position arrays
-    val fps = digests
-      .join(dup, Seq("dig"), "left_semi")
+    // one row per flagged (doc, pos); the semi-join shuffles digests only
+    cutFlagged(docs, idCol, textCol, digests.join(dup, Seq("dig"), "left_semi"), spanWords)
+  }
+
+  /** BENCHMARK span removal — decontamination's REMEDY operator: cut
+    * every n-word span of a training document whose digest appears in
+    * the benchmark set, instead of dropping the whole document
+    * ([[Decontamination]] flags and reports; this repairs). Same scale
+    * shape as the flagging join: the benchmark's distinct digests are
+    * eval suites — MBs against TBs — and broadcast into a map-side
+    * semi-join over the training windows; the cut itself is
+    * [[spanRemoval]]'s linear interval machinery at k = n.
+    */
+  def contaminationSpanRemoval(
+      train: DataFrame,
+      bench: DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int
+  ): DataFrame = {
+    val trainDig = spanDigests(train, idCol, textCol, n)
+    val benchDig = spanDigests(bench, idCol, textCol, n).select(col("dig")).distinct()
+    cutFlagged(train, idCol, textCol, trainDig.join(broadcast(benchDig), Seq("dig"), "left_semi"), n)
+  }
+
+  /** Shared cut tail: coalesce flagged equal-length span positions per
+    * document and slice out the kept complement — see [[spanRemoval]]
+    * for the linearity argument. `flagged` carries (doc_id, pos).
+    */
+  private def cutFlagged(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      flagged: DataFrame,
+      kk: Int
+  ): DataFrame = {
+    // the aggregate ships compact per-doc position arrays
+    val fps = flagged
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("pos"))).as("fps"))
     docs
@@ -194,22 +227,24 @@ object Spans {
          |FROM w LEFT JOIN cl USING (doc_id) ORDER BY w.doc_id""".stripMargin
   )
 
-  /** The DuckDB span-cut CTE chain over any (doc_id, text) source,
-    * prefixable so it composes into larger oracles (the pipeline
-    * replays it over its paragraph-deduped stage). Exposes
-    * `<p>w` (doc_id, text, w) and `<p>cl` (doc_id, ct, n_kept);
-    * fully-cut documents are ABSENT from `<p>cl`.
+  /** DuckDB window-digest CTEs over any (doc_id, text) source:
+    * `<p>w` (doc_id, text, w) and `<p>sp` (doc_id, pos, dig).
     */
-  private[ops] def cutSqlFrom(src: String, p: String): String =
+  private[ops] def windowsSql(src: String, p: String, kk: Int): String =
     s"""${p}w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM $src),
        |${p}sp AS (
        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
-       |         md5(array_to_string(w[i:i + $k - 1], ' ')) AS dig
-       |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - $k + 1)) AS i FROM ${p}w)),
-       |${p}dup AS (SELECT dig FROM ${p}sp GROUP BY dig HAVING count(*) >= 2),
-       |${p}fp AS (SELECT s.doc_id, s.pos FROM ${p}sp s JOIN ${p}dup USING (dig)),
-       |${p}cov AS (SELECT DISTINCT doc_id, pos + j AS idx
-       |        FROM ${p}fp, unnest(generate_series(0, $k - 1)) AS t(j)),
+       |         md5(array_to_string(w[i:i + $kk - 1], ' ')) AS dig
+       |  FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - $kk + 1)) AS i FROM ${p}w))""".stripMargin
+
+  /** DuckDB cut tail: covered-set complement + reassembly, given
+    * `<p>w` and a flagged-positions CTE `<p>fp` (doc_id, pos).
+    * Exposes `<p>cl` (doc_id, ct, n_kept); fully-cut documents are
+    * ABSENT from `<p>cl`.
+    */
+  private[ops] def cutTailSql(p: String, kk: Int): String =
+    s"""${p}cov AS (SELECT DISTINCT doc_id, pos + j AS idx
+       |        FROM ${p}fp, unnest(generate_series(0, $kk - 1)) AS t(j)),
        |${p}wx AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, w[i] AS word
        |       FROM ${p}w, unnest(generate_series(1, len(w))) AS t(i)),
        |${p}kept AS (
@@ -219,4 +254,14 @@ object Spans {
        |  SELECT doc_id, string_agg(word, ' ' ORDER BY idx) AS ct,
        |         count(*) AS n_kept
        |  FROM ${p}kept GROUP BY doc_id)""".stripMargin
+
+  /** The self-dup span-cut chain ([[spanRemoval]]'s oracle shape),
+    * prefixable so it composes into larger oracles (the pipeline
+    * replays it over its paragraph-deduped stage).
+    */
+  private[ops] def cutSqlFrom(src: String, p: String): String =
+    s"""${windowsSql(src, p, k)},
+       |${p}dup AS (SELECT dig FROM ${p}sp GROUP BY dig HAVING count(*) >= 2),
+       |${p}fp AS (SELECT s.doc_id, s.pos FROM ${p}sp s JOIN ${p}dup USING (dig)),
+       |${cutTailSql(p, k)}""".stripMargin
 }

@@ -108,4 +108,44 @@ class DecontaminationSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("bench_id"), r.getAs[Long]("n_shared")))
     assert(out.toSeq == Seq((1L, 100L, 2L), (2L, 200L, 1L)))
   }
+
+  test("span removal cuts exactly the benchmark-overlapping n-grams, not the document") {
+    import spark.implicits._
+    // benchmark holds the 5-word phrase p1..p5; its three 3-gram
+    // windows flag and MERGE into one interval in the training doc
+    val bench = Seq((100L, "p1 p2 p3 p4 p5")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "u1 u2 p1 p2 p3 p4 p5 u3 u4"), // leaked phrase mid-doc
+      (2L, "clean document with nothing shared at all")
+    ).toDF("doc_id", "text")
+    val out = Spans
+      .contaminationSpanRemoval(train, bench, "doc_id", "text", n = 3)
+      .orderBy("doc_id")
+      .collect()
+    assert(out(0).getAs[String]("clean_text") == "u1 u2 u3 u4")
+    assert(out(0).getAs[Long]("n_words_removed") == 5L)
+    // untouched docs round-trip byte-identically — removal repairs,
+    // never drops
+    assert(out(1).getAs[String]("clean_text") == "clean document with nothing shared at all")
+    assert(out(1).getAs[Long]("chars_removed") == 0L)
+    assert(out.length == 2)
+  }
+
+  test("removal touches exactly the docs the flagging query reports") {
+    val d = "/root/testdata/sf0.01"
+    val flagged = Decontamination
+      .decontaminate(spark, d)
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    val cut = Decontamination
+      .decontaminateRemoval(spark, d)
+      .filter(col("n_words_removed") > 0)
+      .select("doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .toSet
+    assert(cut == flagged, s"cut-only=${cut -- flagged} flag-only=${flagged -- cut}")
+  }
 }
