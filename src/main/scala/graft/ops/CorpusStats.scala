@@ -210,10 +210,24 @@ object CorpusStats {
     * AQE-skew-safe), and AQE still auto-broadcasts whenever a side is
     * actually small (the fixture regime).
     */
-  val bigramPerplexity: Q = (s, d) => {
+  val bigramPerplexity: Q = (s, d) => bigramNllPruned(documents(s, d), minCount = 1L)
+
+  /** [[bigramPerplexity]] with the model PRUNED to bigrams seen at
+    * least `minCount` times — the KenLM-style size lever (singleton
+    * bigrams are most of a web model's mass and carry the least
+    * signal). Pruned bigrams do not vanish from scoring: they fall
+    * back to the interpolation's unigram term alone, p = (1−λ)·c(w₂)/N
+    * — exactly what JM assigns an UNSEEN bigram — so every document
+    * still scores all of its bigrams and the score degrades smoothly
+    * as the model shrinks. c(w₁·) stays the UNpruned left-context
+    * count (pruning compresses storage, it must not re-normalize the
+    * surviving estimates). minCount = 1 is bit-identical to the full
+    * model (every bigram matches, no fallback row fires).
+    */
+  private[ops] def bigramNllPruned(docsDf: DataFrame, minCount: Long): DataFrame = {
     // per-doc bigram counts; <2-word docs contribute no rows (both
     // engines agree: guarded transform vs empty generate_series)
-    val bg = documents(s, d)
+    val bg = docsDf
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(
         col("doc_id"),
@@ -228,11 +242,13 @@ object CorpusStats {
       .groupBy(col("doc_id"), col("g1"), col("g2"))
       .agg(count(lit(1)).as("bc"))
     val global = bg.groupBy(col("g1"), col("g2")).agg(sum(col("bc")).as("cb"))
+    // c(w1.) over the UNPRUNED counts — see scaladoc
     val c1 = global.groupBy(col("g1")).agg(sum(col("cb")).as("c1"))
-    val tf = termFreq(documents(s, d))
+    val tf = termFreq(docsDf)
     val uni = tf.groupBy(col("token")).agg(sum(col("tf")).as("cu"))
     val total = tf.agg(sum(col("tf")).as("n"))
     val model = global
+      .filter(col("cb") >= minCount)
       .join(c1, "g1")
       .join(uni.withColumnRenamed("token", "g2"), "g2")
       .crossJoin(broadcast(total))
@@ -246,7 +262,20 @@ object CorpusStats {
         ).cast("bigint")
       )
       .select(col("g1"), col("g2"), col("nll2_micro"))
-    bg.join(model, Seq("g1", "g2"))
+    // unigram-backoff term for bigrams the prune dropped: the JM
+    // unseen-bigram estimate (1-lambda)*c(w2)/N, joined on g2 (a
+    // vocab-keyed shuffle join, AQE-broadcast when small)
+    val backoff = uni
+      .withColumnRenamed("token", "g2")
+      .crossJoin(broadcast(total))
+      .withColumn(
+        "bk_nll_micro",
+        floor(-log(lit(0.3) * (col("cu").cast("double") / col("n"))) * micro).cast("bigint")
+      )
+      .select(col("g2"), col("bk_nll_micro"))
+    bg.join(model, Seq("g1", "g2"), "left")
+      .join(backoff, Seq("g2"))
+      .withColumn("nll2_micro", coalesce(col("nll2_micro"), col("bk_nll_micro")))
       .groupBy(col("doc_id"))
       .agg(
         sum(col("bc")).cast("bigint").as("n_bigrams"),

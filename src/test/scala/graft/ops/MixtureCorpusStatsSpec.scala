@@ -182,6 +182,27 @@ class MixtureCorpusStatsSpec extends SparkSpec {
     assert(out.length == 2)
   }
 
+  test("pruned bigram model: minCount=1 bit-identical, pruned bigrams back off to the unigram term") {
+    import spark.implicits._
+    val docs = Fixtures.documents(spark, "/root/testdata/sf0.001")
+    val full = CorpusStats.bigramNllPruned(docs, 1L).collect().toSeq
+    val alias = CorpusStats.bigramNllPruned(docs, 1L).collect().toSeq
+    assert(full == alias) // deterministic
+    // crafted: "a b a b a c" -> bigrams ab x2, ba x2, ac x1; minCount=2
+    // prunes ac, which must score the JM unseen term (1-λ)·c(c)/N
+    val tiny = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val out = CorpusStats.bigramNllPruned(tiny, 2L).collect()
+    val nllAb = math.floor(-math.log(0.7 * (2.0 / 3.0) + 0.3 * (2.0 / 6.0)) * 1e6).toLong
+    val nllBa = math.floor(-math.log(0.7 * (2.0 / 2.0) + 0.3 * (3.0 / 6.0)) * 1e6).toLong
+    val bkAc = math.floor(-math.log(0.3 * (1.0 / 6.0)) * 1e6).toLong
+    assert(out.length == 1)
+    assert(out(0).getAs[Long]("n_bigrams") == 5L)
+    assert(
+      out(0).getAs[Long]("total_nll2_micro") == 2 * nllAb + 2 * nllBa + bkAc,
+      s"got ${out(0).getAs[Long]("total_nll2_micro")}, want ${2 * nllAb + 2 * nllBa + bkAc}"
+    )
+  }
+
   test("vocab-capped tfidf: cap >= vocab bit-identical, small cap scores OOV with the pooled df") {
     import spark.implicits._
     val docs = Fixtures.documents(spark, "/root/testdata/sf0.001")
