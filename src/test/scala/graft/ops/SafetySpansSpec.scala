@@ -190,6 +190,25 @@ class SafetySpansSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("contaminationSpanRemoval: benchmark digests broadcast, no window") {
+    // parquet-backed sides (a toy LocalRelation lets AQE fold the
+    // whole query away before the join shape is observable)
+    val docs = Fixtures.documents(spark, "/root/testdata/sf0.001")
+    val df = Spans.contaminationSpanRemoval(
+      docs.filter(col("doc_id") % 20 =!= 0),
+      docs.filter(col("doc_id") % 20 === 0),
+      "doc_id",
+      "text",
+      n = 3
+    )
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(2000))
+    // the flag join rides a broadcast of the benchmark digest set —
+    // the training windows are never shuffled for flagging
+    assert("BroadcastHashJoin .*LeftSemi".r.findFirstIn(plan).isDefined, plan.take(2500))
+  }
+
   test("substringDupSpans plans no window — occurrence counts are aggregate + join") {
     val plan = Spans
       .substringDupSpans(spark, "/root/testdata/sf0.001")
