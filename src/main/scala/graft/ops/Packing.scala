@@ -107,9 +107,36 @@ object Packing {
       )
       .orderBy("shard")
 
+  /** Deterministic GLOBAL SHUFFLE order — the last delivery step: a
+    * training run wants every epoch's data order random w.r.t.
+    * content but reproducible and resumable. The order key is a
+    * 48-bit md5 draw on the doc id (domain-separated: `shuf|` — a
+    * doc's position is independent of its mixture/shard/holdout
+    * draws, and appending documents never moves existing ones
+    * relative to each other). The global ORDER BY rides Spark's
+    * range-partitioned sort — sampled boundaries, then per-partition
+    * sorts — the scalable global sort, never a single-point merge;
+    * at delivery the writer emits files in partition order and a
+    * reader streams them sequentially for a fully shuffled epoch.
+    */
+  def corpusShuffle(docs: DataFrame, idCol: String): DataFrame =
+    docs
+      .select(
+        col(idCol).as("doc_id"),
+        conv(
+          substring(md5(concat(lit("shuf|"), col(idCol).cast("string")).cast("binary")), 1, 12),
+          16,
+          10
+        ).cast("long").as("draw")
+      )
+      .orderBy("draw", "doc_id")
+
+  val corpusShuffleQ: Q = (s, d) => corpusShuffle(documents(s, d), "doc_id")
+
   def queries: Map[String, Q] = Map(
     "pack_sequences" -> packSequencesQ,
-    "shard_manifest" -> shardManifestQ
+    "shard_manifest" -> shardManifestQ,
+    "corpus_shuffle" -> corpusShuffleQ
   )
 
   def oracles: Map[String, String] = Map(
@@ -140,6 +167,10 @@ object Packing {
          |  CAST(sum(n_tokens) AS BIGINT) AS tokens,
          |  CAST(bit_xor(doc_id) AS BIGINT) AS doc_xor
          |FROM a GROUP BY shard ORDER BY shard""".stripMargin
+    },
+    "corpus_shuffle" -> {
+      val draw = "CAST(" + Dedup.hex12ValSql("md5('shuf|' || CAST(doc_id AS VARCHAR))", 1) + " AS BIGINT)"
+      s"SELECT doc_id, $draw AS draw FROM documents ORDER BY draw, doc_id"
     }
   )
 }

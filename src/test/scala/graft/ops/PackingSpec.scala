@@ -67,4 +67,26 @@ class PackingSpec extends SparkSpec {
     val plan = a.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"shard assignment must not shuffle:\n$plan")
   }
+
+  test("corpusShuffle: append-stable relative order via a range-partitioned sort") {
+    import spark.implicits._
+    val docs = (0L until 2000L).map(i => (i, s"d $i")).toDF("doc_id", "text")
+    val order = Packing.corpusShuffle(docs, "doc_id").collect().map(_.getLong(0)).toSeq
+    assert(order.sorted == (0L until 2000L))
+    assert(order != (0L until 2000L), "shuffle must not be the identity order")
+    // a doc's draw depends only on its id: growing the corpus cannot
+    // reorder existing docs relative to each other (epoch resumability)
+    val grown = Packing
+      .corpusShuffle((0L until 3000L).map(i => (i, s"d $i")).toDF("doc_id", "text"), "doc_id")
+      .collect()
+      .map(_.getLong(0))
+      .filter(_ < 2000L)
+      .toSeq
+    assert(grown == order)
+    // the global sort is range-partitioned (sampled boundaries +
+    // per-partition sorts), never a single-point merge
+    val plan = Packing.corpusShuffle(docs, "doc_id").queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan.take(1500))
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(1500))
+  }
 }

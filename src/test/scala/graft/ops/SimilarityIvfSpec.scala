@@ -168,6 +168,20 @@ class SimilarityIvfSpec extends SparkSpec {
     probe.collect()
     val plan = probe.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [list_id"), plan.take(2000))
+    // the point of PQ: the probe-side relation is a fraction of the
+    // raw-vector index's bytes (64 doubles -> 8 small ints + a norm)
+    val ivfIdx = java.nio.file.Files.createTempDirectory("graft_pq_sz").toString
+    Similarity.saveIvfIndex(emb, nLists = 8, ivfIdx)
+    def bytes(p: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory) f.listFiles().map(walk).sum
+        else if (f.getName.endsWith(".parquet")) f.length()
+        else 0L
+      walk(new java.io.File(p))
+    }
+    val pqBytes = bytes(s"$idx/assignments")
+    val ivfBytes = bytes(s"$ivfIdx/assignments")
+    assert(pqBytes * 3 < ivfBytes, s"PQ index $pqBytes B not << raw-vector index $ivfBytes B")
   }
 
   test("IVF-PQ: exact rerank of the ADC shortlist recovers the within-probed-lists answer") {
