@@ -271,6 +271,69 @@ class GraphDedupSpec extends SparkSpec {
     assert(served2 == cc(day0 ++ day1 ++ Seq((300L, 301L))))
   }
 
+  test("persisted map: recovery from RANDOM per-bucket crash states equals the clean run") {
+    for (seed <- Seq(5, 21)) {
+      val rnd = new scala.util.Random(seed)
+      val nBuckets = 8
+      val base = java.nio.file.Files.createTempDirectory(s"graft_cc_crash_rand$seed").toString
+      val edges = Seq.fill(50)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)).filter(e => e._1 != e._2)
+      val (day0, day1) = edges.splitAt(30)
+      val dirA = base + "/mapA"
+      GraphDedup.saveClusterMap(GraphDedup.connectedComponents(day0.toDF("src", "dst")), dirA, nBuckets)
+      val dirB = base + "/mapB"
+      graft.core.Compaction.copyDir(spark, dirA, dirB)
+      GraphDedup.maintainClusterMap(spark, dirB, day1.toDF("src", "dst"), nBuckets)
+      val expected = GraphDedup
+        .readClusterMap(spark, dirB)
+        .collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("cluster_id"))
+        .toMap
+      // crash reconstruction: every bucket that differs between A and B
+      // is "touched"; give each a random swap state
+      val dirC = base + "/mapC"
+      graft.core.Compaction.copyDir(spark, dirA, dirC)
+      val fs = new org.apache.hadoop.fs.Path(dirC).getFileSystem(spark.sessionState.newHadoopConf())
+      def rmrf(p: String): Unit = fs.delete(new org.apache.hadoop.fs.Path(p), true)
+      def listBuckets(d: String): Set[Int] =
+        fs.listStatus(new org.apache.hadoop.fs.Path(d))
+          .map(_.getPath.getName)
+          .filter(_.startsWith("bucket="))
+          .map(_.stripPrefix("bucket=").toInt)
+          .toSet
+      val touched = (listBuckets(dirA) ++ listBuckets(dirB)).toSeq.sorted.filter { b =>
+        val a = GraphDedup.readClusterMap(spark, dirA).filter(col("bucket") === b)
+        val nb = GraphDedup.readClusterMap(spark, dirB).filter(col("bucket") === b)
+        a.collect().map(_.toString).sorted.toSeq != nb.collect().map(_.toString).sorted.toSeq
+      }
+      assume(touched.nonEmpty)
+      val staged = dirC + "__maintain"
+      touched.foreach { b =>
+        rnd.nextInt(3) match {
+          case 0 => // completed: live new, staged gone
+            rmrf(s"$dirC/bucket=$b")
+            if (fs.exists(new org.apache.hadoop.fs.Path(s"$dirB/bucket=$b")))
+              graft.core.Compaction.copyDir(spark, s"$dirB/bucket=$b", s"$dirC/bucket=$b")
+          case 1 => // mid-swap: live deleted, staged present
+            rmrf(s"$dirC/bucket=$b")
+            if (fs.exists(new org.apache.hadoop.fs.Path(s"$dirB/bucket=$b")))
+              graft.core.Compaction.copyDir(spark, s"$dirB/bucket=$b", s"$staged/bucket=$b")
+          case _ => // untouched yet: live old, staged present
+            if (fs.exists(new org.apache.hadoop.fs.Path(s"$dirB/bucket=$b")))
+              graft.core.Compaction.copyDir(spark, s"$dirB/bucket=$b", s"$staged/bucket=$b")
+        }
+      }
+      val out = fs.create(new org.apache.hadoop.fs.Path(dirC, "_graft_swap_manifest"), true)
+      out.write(touched.mkString(",").getBytes("UTF-8"))
+      out.close()
+      val served = GraphDedup
+        .readClusterMap(spark, dirC)
+        .collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("cluster_id"))
+        .toMap
+      assert(served == expected, s"seed $seed touched=$touched")
+    }
+  }
+
   test("persisted map: layout wins over a wrong caller bucket count; legacy mismatch fails loudly") {
     val base = java.nio.file.Files.createTempDirectory("graft_cc_map_layout").toString
     val dir = base + "/map"

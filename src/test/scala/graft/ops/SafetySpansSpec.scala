@@ -180,6 +180,53 @@ class SafetySpansSpec extends SparkSpec {
     }
   }
 
+  test("spanRemoval matches a brute-force covered-set reference on random corpora") {
+    import spark.implicits._
+    // reference: flag every k-window whose text occurs >= 2 times
+    // corpus-wide, cover flagged word indices, keep the complement —
+    // the SEMANTICS, with none of the engine's interval machinery
+    def reference(docs: Seq[(Long, String)], k: Int): Map[Long, (String, Long, Long)] = {
+      val counts = docs
+        .flatMap { case (_, t) =>
+          val w = t.split(" ", -1)
+          (0 to w.length - k).map(p => w.slice(p, p + k).mkString(" "))
+        }
+        .groupBy(identity)
+        .view
+        .mapValues(_.size)
+        .toMap
+      docs.map { case (id, t) =>
+        val w = t.split(" ", -1)
+        val covered = (0 to w.length - k)
+          .filter(p => counts(w.slice(p, p + k).mkString(" ")) >= 2)
+          .flatMap(p => p until p + k)
+          .toSet
+        val kept = w.indices.filterNot(covered).map(w)
+        val clean = kept.mkString(" ")
+        (id, (clean, (w.length - kept.size).toLong, (t.length - clean.length).toLong))
+      }.toMap
+    }
+    for (seed <- Seq(11, 47, 83)) {
+      val rnd = new scala.util.Random(seed)
+      // tiny vocabulary + short docs so duplicated 5-grams actually
+      // occur, including overlapping and within-doc repeats
+      val corpus = (0L until 30L).map { id =>
+        val n = 5 + rnd.nextInt(25)
+        (id, Seq.fill(n)(s"w${rnd.nextInt(4)}").mkString(" "))
+      }
+      val expected = reference(corpus, 5)
+      val got = Spans
+        .spanRemoval(corpus.toDF("doc_id", "text"), "doc_id", "text", spanWords = 5)
+        .collect()
+        .map(r =>
+          r.getAs[Long]("doc_id") ->
+            ((r.getAs[String]("clean_text"), r.getAs[Long]("n_words_removed"), r.getAs[Long]("chars_removed")))
+        )
+        .toMap
+      assert(got == expected, s"seed $seed")
+    }
+  }
+
   test("spanRemoval plans no window and no quadratic fold") {
     val plan = Spans
       .spanRemovalQ(spark, "/root/testdata/sf0.001")
