@@ -239,7 +239,13 @@ object Pipeline {
     * rule, up to one million for line-uniqueness, up to one million
     * for LM plausibility (NLL clamped at 20·10⁶ → scaled by div 20).
     */
-  val qualityFeatures: Q = (s, d) => {
+  val qualityFeatures: Q = (s, d) => qualityFeaturesCore(s, d).orderBy("doc_id")
+
+  /** [[qualityFeatures]] without the presentation sort — the
+    * composition surface: curriculum re-partitions by shard right
+    * after, so a doc_id sort in between is pure wasted exchange work.
+    */
+  private def qualityFeaturesCore(s: SparkSession, d: String): DataFrame = {
     val base = documents(s, d)
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", size(col("toks")).cast("bigint"))
@@ -271,7 +277,6 @@ object Pipeline {
         "doc_id", "lang", "n_tokens", "stop_pct", "dup_line_micro",
         "avg_nll_micro", "quality_pass", "score_micro"
       )
-      .orderBy("doc_id")
   }
 
   /** CURRICULUM manifest — the training-delivery composition closing
@@ -283,7 +288,7 @@ object Pipeline {
     */
   val curriculumOrder: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val scored = qualityFeatures(s, d).select("doc_id", "score_micro")
+    val scored = qualityFeaturesCore(s, d).select("doc_id", "score_micro")
     Packing
       .shardAssign(scored, "doc_id", 8)
       .withColumn(
