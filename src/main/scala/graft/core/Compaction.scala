@@ -52,6 +52,26 @@ object Compaction {
     }
   }
 
+  /** Crash-safe whole-dir replacement: recover any interrupted swap,
+    * have the caller write the NEW generation into the staging dir,
+    * then marker-commit and swap. The building block under [[compact]]
+    * and any state relation maintained by full rewrite (aggregate-
+    * sized streaming state, where a rewrite is as cheap as a merge).
+    */
+  def replaceWith(spark: SparkSession, path: String)(write: String => Unit): Unit = {
+    recover(spark, path)
+    val staged = path + "__compacting"
+    write(staged)
+    val p = new Path(path)
+    val s = new Path(staged)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.create(new Path(staged, commitMarker), true).close()
+    fs.delete(p, true)
+    if (!fs.rename(s, p))
+      throw new java.io.IOException(s"swap failed: rename $staged -> $path")
+    fs.delete(new Path(path, commitMarker), false)
+  }
+
   /** Rewrite `path` with a bounded file count: one file per partition
     * dir when `partitionCol` is set, else `targetPartitions` files.
     * At corpus scale pick `targetPartitions` from target bytes per
@@ -65,24 +85,40 @@ object Compaction {
       partitionCol: Option[String],
       targetPartitions: Int
   ): Unit = {
+    // recover FIRST — a crashed swap may have left no live dir to read
     recover(spark, path)
     val df = spark.read.parquet(path)
-    val staged = path + "__compacting"
-    partitionCol match {
-      case Some(c) =>
-        df.repartition(col(c)).write.mode("overwrite").partitionBy(c).parquet(staged)
-      case None =>
-        df.repartition(targetPartitions).write.mode("overwrite").parquet(staged)
+    replaceWith(spark, path) { staged =>
+      partitionCol match {
+        case Some(c) =>
+          df.repartition(col(c)).write.mode("overwrite").partitionBy(c).parquet(staged)
+        case None =>
+          df.repartition(targetPartitions).write.mode("overwrite").parquet(staged)
+      }
     }
+  }
+
+  /** Small FS text-file helpers for state markers that live NEXT TO a
+    * parquet relation (underscore-prefixed names are invisible to the
+    * parquet reader).
+    */
+  def writeTextFile(spark: SparkSession, path: String, content: String): Unit = {
     val p = new Path(path)
-    val s = new Path(staged)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val marker = new Path(staged, commitMarker)
-    fs.create(marker, true).close()
-    fs.delete(p, true)
-    if (!fs.rename(s, p))
-      throw new java.io.IOException(s"compaction swap failed: rename $staged -> $path")
-    fs.delete(new Path(path, commitMarker), false)
+    val out = fs.create(p, true)
+    try out.write(content.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def readTextFile(spark: SparkSession, path: String): Option[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
   }
 
   /** Recursive FS-level directory copy (Hadoop FileUtil — any FS the

@@ -180,11 +180,20 @@ object Events {
     * while n·H < 3·10⁹ (ANSI mode fails loudly beyond; switch the
     * squares to DECIMAL(38,0) at that scale).
     */
-  val eventsAnomaly: Q = (s, d) => {
-    val hourly = events(s, d)
+  /** Hourly (event_type, hour_bucket, n) counts — shared by the batch
+    * anomaly query and the streaming maintenance route (identical
+    * expressions, so the two gates pin the same numbers).
+    */
+  private[graft] def hourlyCounts(ev: DataFrame): DataFrame =
+    ev
       .withColumn("hour_bucket", expr("ts_nanos div 1000 div 3600000000"))
       .groupBy(col("event_type"), col("hour_bucket"))
       .agg(count(lit(1)).cast("bigint").as("n"))
+
+  /** The integer 3σ test over an hourly-counts relation — see
+    * [[eventsAnomaly]] for the float-free derivation.
+    */
+  private[graft] def anomalyFromHourly(hourly: DataFrame): DataFrame = {
     val stats = hourly
       .groupBy(col("event_type"))
       .agg(
@@ -202,6 +211,8 @@ object Events {
       .select(col("event_type"), col("hour_bucket"), col("n"))
       .orderBy("event_type", "hour_bucket")
   }
+
+  val eventsAnomaly: Q = (s, d) => anomalyFromHourly(hourlyCounts(events(s, d)))
 
   def queries: Map[String, Q] = Map(
     "events_anomaly" -> eventsAnomaly,

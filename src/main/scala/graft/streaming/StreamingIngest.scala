@@ -470,6 +470,84 @@ object StreamingIngest {
       .localCheckpoint(true)
   }
 
+  /** Streaming ANOMALY maintenance: the hourly-counts state kept live
+    * across micro-batches — the monitoring loop a pipeline runs
+    * against its event firehose. Each batch ADDS its (type, hour)
+    * counts into a persisted state relation; the anomaly test
+    * ([[graft.ops.Events.anomalyFromHourly]], identical expressions to
+    * the batch query) reads the state. Counts are associative, so the
+    * final state equals the one-shot batch aggregation regardless of
+    * batching — which is what makes this route share the batch
+    * query's DuckDB oracle.
+    *
+    * State discipline: the state is AGGREGATE-sized ((types × hours),
+    * not corpus-sized), so a full marker-committed rewrite per batch
+    * ([[graft.core.Compaction.replaceWith]]) is as cheap as any merge
+    * — the touched-bucket machinery exists for corpus-sized state
+    * (the cluster map), not for this. Idempotence: the applied batch
+    * id rides INSIDE the state generation (`_graft_last_batch`,
+    * swapped atomically with the counts), so a replayed batch — same
+    * checkpoint after a crash, or a full re-run against a fresh
+    * checkpoint — is detected and skipped, never double-counted.
+    */
+  private[graft] def applyHourlyBatch(
+      s: SparkSession,
+      batch: DataFrame,
+      batchId: Long,
+      stateDir: String
+  ): Unit = {
+    graft.core.Compaction.recover(s, stateDir)
+    val applied = graft.core.Compaction
+      .readTextFile(s, s"$stateDir/_graft_last_batch")
+      .map(_.trim.toLong)
+      .getOrElse(-1L)
+    if (batchId <= applied) return // replay: the state already holds this batch
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val exists = p.getFileSystem(s.sessionState.newHadoopConf()).exists(p)
+    val bh = graft.ops.Events.hourlyCounts(batch)
+    val merged = (
+      if (exists)
+        s.read
+          .parquet(stateDir)
+          .unionByName(bh)
+          .groupBy(col("event_type"), col("hour_bucket"))
+          .agg(sum(col("n")).cast("bigint").as("n"))
+      else bh
+    ).localCheckpoint(true) // the merge READS the dir the swap replaces
+    graft.core.Compaction.replaceWith(s, stateDir) { staged =>
+      merged.coalesce(1).write.mode("overwrite").parquet(staged)
+      graft.core.Compaction.writeTextFile(s, s"$staged/_graft_last_batch", s"$batchId\n")
+    }
+  }
+
+  private[graft] def runAnomalyMaintenance(s: SparkSession, src: String, stateDir: String, ckpt: String): Unit = {
+    val q = s.readStream
+      .schema(s.read.parquet(src).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyHourlyBatch(s, batch, batchId, stateDir)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  val eventsAnomalyStream: (SparkSession, String) => DataFrame = (s, d) => {
+    val ev = graft.ops.Fixtures.events(s, d).select(col("event_type"), col("ts_nanos"))
+    val base = java.nio.file.Files.createTempDirectory("graft_events_anomaly")
+    try {
+      val src = base.resolve("src").toString
+      val state = base.resolve("hourly").toString
+      val ckpt = base.resolve("ckpt").toString
+      ev.repartition(4, col("event_type")).write.parquet(src)
+      runAnomalyMaintenance(s, src, state, ckpt)
+      graft.ops.Events.anomalyFromHourly(s.read.parquet(state)).localCheckpoint(true)
+    } finally rmScratch(s, base)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "dedup_stream_replay" -> ((s, d) =>
@@ -479,7 +557,8 @@ object StreamingIngest {
           Some(graft.ops.Dedup.demoEvenMinhashIndex(s, d))
         )),
       "dedup_stream_clusters" -> dedupStreamClusters,
-      "events_stream_replay" -> eventsStreamReplay
+      "events_stream_replay" -> eventsStreamReplay,
+      "events_anomaly_stream" -> eventsAnomalyStream
     )
 
   /** dedup: same set as the one-shot incremental probe on the same
@@ -494,7 +573,10 @@ object StreamingIngest {
         """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
           |  CAST(count(*) AS BIGINT) AS n_events,
           |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS VARCHAR) AS total_value
-          |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin
+          |FROM events GROUP BY 1, 2 ORDER BY hour_bucket, event_type""".stripMargin,
+      // additive counts make the maintained state equal the one-shot
+      // aggregation, so the streaming route shares the batch oracle
+      "events_anomaly_stream" -> graft.ops.Events.oracles("events_anomaly")
     )
 
   final case class Event(user_id: Long, ts_micros: Long, event_type: String, value: Double)

@@ -276,4 +276,43 @@ class StreamingIngestSpec extends SparkSpec {
       .collect()
     assert(out.map(_.getAs[Long]("n_events")).sum == ev.count())
   }
+
+  test("anomaly state maintenance is additive, idempotent under replay, and batch-exact") {
+    val ev = graft.ops.Fixtures
+      .events(spark, "/root/testdata/sf0.001")
+      .select(col("event_type"), col("ts_nanos"))
+    val base = java.nio.file.Files.createTempDirectory("graft_anomaly_idem")
+    val src = base.resolve("src").toString
+    val state = base.resolve("hourly").toString
+    ev.repartition(4, col("event_type")).write.parquet(src)
+    StreamingIngest.runAnomalyMaintenance(spark, src, state, base.resolve("ckpt1").toString)
+    def stateRows() = spark.read
+      .parquet(state)
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hour_bucket"), r.getAs[Long]("n")))
+      .toSet
+    val afterFirst = stateRows()
+    // the maintained counts equal the one-shot aggregation (additive
+    // merge, so batching cannot change the final state)
+    val batch = graft.ops.Events
+      .hourlyCounts(ev)
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hour_bucket"), r.getAs[Long]("n")))
+      .toSet
+    assert(afterFirst == batch)
+    // FULL replay against a FRESH checkpoint: every batch re-fires with
+    // an already-applied id — the in-state batch marker must skip them
+    // all, never double-count
+    StreamingIngest.runAnomalyMaintenance(spark, src, state, base.resolve("ckpt2").toString)
+    assert(stateRows() == afterFirst, "replayed batches double-counted")
+    val nFiles = new java.io.File(src).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(
+      graft.core.Compaction.readTextFile(spark, s"$state/_graft_last_batch").map(_.trim) ==
+        Some((nFiles - 1).toString),
+      s"one micro-batch per source file ($nFiles files)"
+    )
+    // direct replay of a stale batch id is a no-op too
+    StreamingIngest.applyHourlyBatch(spark, ev.toDF(), 2L, state)
+    assert(stateRows() == afterFirst)
+  }
 }
