@@ -115,6 +115,7 @@ object Bench {
       // build, every rep still pays copy + full micro-batch replay
       "dedup_stream_replay" -> "first_run",
       "events_stream_replay" -> "every_run",
+      "events_anomaly_stream" -> "every_run",
       // builds "yesterday's" component map inline before the
       // increment-sized merge it exists to demonstrate
       "dedup_clusters_incremental" -> "every_run",
