@@ -96,8 +96,9 @@ object Bench {
     val sharesScanWith = Seq(
       "agg_metrics_summary" -> "agg_metrics_deviation",
       "ann_ivf_topk_index" -> "ann_ivf_lists",
-      // reads the PQ demo index ann_pq_topk_index built
-      "pq_quality" -> "ann_pq_topk_index"
+      // read the PQ demo index ann_pq_knn_join built (alphabetically first)
+      "pq_quality" -> "ann_pq_knn_join",
+      "ann_pq_topk_index" -> "ann_pq_knn_join"
     )
     val shares = sharesScanWith
       .filter { case (k, _) => medians.exists(_._1 == k) }
@@ -109,7 +110,7 @@ object Bench {
       "dedup_incremental" -> "first_run",
       "dedup_incremental_embedding" -> "first_run",
       "ann_ivf_topk_index" -> "first_run",
-      "ann_pq_topk_index" -> "first_run",
+      "ann_pq_knn_join" -> "first_run",
       // the stream replays seed their private mutable index as an FS
       // copy of the shared demo index: first_run carries the index
       // build, every rep still pays copy + full micro-batch replay

@@ -766,6 +766,89 @@ object Similarity {
     }
   }
 
+  /** BATCH k-NN against the PQ index — the serving shape that matters
+    * at 100 TB: a whole table of query vectors joined to the corpus
+    * at once, not one driver round-trip per query. Per-query probe
+    * lists come from a broadcast cross of the (nLists-row) centroid
+    * table with a per-qid top-nProbe window (query-table-sized —
+    * never corpus-keyed); the index side then joins the broadcast
+    * (qid, list) pairs on list_id, so only probed partitions' CODE
+    * rows flow (dynamic partition pruning can elide the rest), and
+    * the ADC score folds each code through the constant codebook
+    * literal. Top-k per query is a qid-partitioned window — a
+    * partition is one query's candidates. Tie-breaks match
+    * [[pqTopKFromIndex]] exactly (spec-pinned equal per query).
+    */
+  def pqKnnJoin(
+      spark: SparkSession,
+      dir: String,
+      queries: DataFrame, // (qid, qv: array<double>)
+      k: Int,
+      nProbe: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val pq = readPqModel(spark, dir)
+    val cbLit = "array(" + pq.codebooks.map(nestedArrayLit).mkString(",") + ")"
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val probes = queries
+      .crossJoin(broadcast(cents))
+      .withColumn("c_cos", expr("cosine_sim(qv, centroid)"))
+      .withColumn(
+        "rk",
+        row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("c_cos").desc, col("list_id").asc)
+        )
+      )
+      .filter(col("rk") <= nProbe)
+      .select(col("qid"), col("qv"), col("list_id"))
+    spark.read
+      .parquet(s"$dir/assignments")
+      .join(broadcast(probes), Seq("list_id"))
+      .withColumn(
+        "adc_dot",
+        expr(
+          s"aggregate(transform(sequence(0, ${pq.m - 1}), s -> " +
+            s"aggregate(zip_with(slice(qv, s * ${pq.subDim} + 1, ${pq.subDim}), " +
+            s"element_at(element_at($cbLit, s + 1), element_at(pq, s + 1) + 1), " +
+            s"(x, y) -> x * y), 0D, (a, b) -> a + b)), 0D, (a, b) -> a + b)"
+        )
+      )
+      .withColumn("qnorm", expr("sqrt(aggregate(qv, 0D, (a, x) -> a + x * x))"))
+      .withColumn(
+        "adc_cos",
+        when(col("vnorm") === 0d || col("qnorm") === 0d, 0d)
+          .otherwise(round(col("adc_dot") / (col("vnorm") * col("qnorm")), 6))
+      )
+      .withColumn(
+        "rank",
+        row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("adc_cos").desc, col("vec_id").asc)
+        )
+      )
+      .filter(col("rank") <= k)
+      .select(
+        col("qid"),
+        col("rank").cast("bigint").as("rank"),
+        col("vec_id"),
+        col("label"),
+        col("list_id"),
+        col("adc_cos")
+      )
+      .orderBy("qid", "rank")
+  }
+
+  /** Three fixture query vectors k-NN-joined against the persisted PQ
+    * index — golden-pinned like the other seeded-KMeans queries.
+    */
+  val annPqKnnJoin: Q = (s, d) => {
+    val dir = demoPqIndex(s, d)
+    val qs = withVec(embeddings(s, d))
+      .filter(col("vec_id").isin(0L, 1L, 2L))
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    pqKnnJoin(s, dir, qs, k = 5, nProbe = 4)
+  }
+
   private val pqDefaults = (8, 16) // m subspaces, codes per subspace
 
   private def demoPqIndex(s: SparkSession, d: String): String =
@@ -883,6 +966,7 @@ object Similarity {
     "ann_ivf_lists" -> annIvfLists,
     "ann_ivf_topk_index" -> annIvfTopkIndex,
     "ann_pq_topk_index" -> annPqTopkIndex,
+    "ann_pq_knn_join" -> annPqKnnJoin,
     "pq_quality" -> pqQuality
   )
 
@@ -1048,6 +1132,32 @@ object Similarity {
          |  CAST(list_id AS INTEGER) AS list_id, CAST(adc_cos AS DOUBLE) AS adc_cos
          |FROM (VALUES $pinned) AS t(vec_id, label, list_id, adc_cos)
          |ORDER BY adc_cos DESC, vec_id""".stripMargin
+    },
+    // golden pin of the batched PQ k-NN join at sf0.01 (SimilarityIvf
+    // Spec pins batch == per-query path row for row).
+    "ann_pq_knn_join" -> {
+      val pinned = Seq(
+        (0L, 1L, 0L, 2, 0, "0.505653"),
+        (0L, 2L, 73L, 6, 5, "0.302942"),
+        (0L, 3L, 464L, 4, 0, "0.255418"),
+        (0L, 4L, 108L, 8, 3, "0.251693"),
+        (0L, 5L, 334L, 0, 0, "0.226521"),
+        (1L, 1L, 1L, 0, 6, "0.427173"),
+        (1L, 2L, 64L, 0, 5, "0.240053"),
+        (1L, 3L, 386L, 3, 11, "0.214099"),
+        (1L, 4L, 409L, 8, 6, "0.199529"),
+        (1L, 5L, 203L, 9, 6, "0.195878"),
+        (2L, 1L, 2L, 1, 11, "0.452185"),
+        (2L, 2L, 145L, 9, 11, "0.213893"),
+        (2L, 3L, 395L, 3, 1, "0.205619"),
+        (2L, 4L, 247L, 0, 11, "0.200971"),
+        (2L, 5L, 102L, 6, 1, "0.183372")
+      ).map { case (q, r, v, lb, li, c) => s"($q, $r, $v, $lb, $li, $c)" }.mkString(", ")
+      s"""SELECT CAST(qid AS BIGINT) AS qid, CAST(rank AS BIGINT) AS rank,
+         |  CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS INTEGER) AS label,
+         |  CAST(list_id AS INTEGER) AS list_id, CAST(adc_cos AS DOUBLE) AS adc_cos
+         |FROM (VALUES $pinned) AS t(qid, rank, vec_id, label, list_id, adc_cos)
+         |ORDER BY qid, rank""".stripMargin
     },
     // golden pin of the PQ reconstruction report at sf0.01. The ~0.82
     // avg error against unit-norm vectors is EXPECTED for 16-code

@@ -236,6 +236,37 @@ class SimilarityIvfSpec extends SparkSpec {
     assert(rerankedAll == exact, s"rerank=$rerankedAll\nexact=$exact")
   }
 
+  test("IVF-PQ: the batched k-NN join equals the per-query probe row for row") {
+    import spark.implicits._
+    val emb = Fixtures.embeddings(spark, dir)
+    val idx = java.nio.file.Files.createTempDirectory("graft_pq_knn").toString
+    Similarity.savePqIndex(emb, nLists = 8, m = 8, codes = 16, idx)
+    val qs = emb
+      .selectExpr("vec_id AS qid", "CAST(embedding AS ARRAY<DOUBLE>) AS qv")
+      .filter(col("qid").isin(0L, 3L, 7L))
+    val batch = Similarity
+      .pqKnnJoin(spark, idx, qs, k = 5, nProbe = 3)
+      .collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .view
+      .mapValues(_.map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("adc_cos"))).toSeq)
+      .toMap
+    for (qid <- Seq(0L, 3L, 7L)) {
+      val qv = emb
+        .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) v")
+        .where(col("vec_id") === qid)
+        .head()
+        .getSeq[Double](1)
+        .toArray
+      val single = Similarity
+        .pqTopKFromIndex(spark, idx, qv, k = 5, nProbe = 3)
+        .collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("adc_cos")))
+        .toSeq
+      assert(batch(qid) == single, s"qid=$qid batch=${batch(qid)} single=$single")
+    }
+  }
+
   test("semanticDedup: drop iff a smaller-id list-mate sits at >= tau; keeper is the smallest") {
     val emb = Fixtures.embeddings(spark, dir)
     val tau = 0.35
