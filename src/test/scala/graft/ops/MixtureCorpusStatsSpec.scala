@@ -203,6 +203,77 @@ class MixtureCorpusStatsSpec extends SparkSpec {
     )
   }
 
+  test("pruned bigram NLL matches a scalar reference on random corpora at several thresholds") {
+    import spark.implicits._
+    // scalar mirror of the exact expression tree (same IEEE op order:
+    // 0.7*(cb/c1) + 0.3*(cu/N), ln, *1e6, floor) so equality is exact
+    def reference(docs: Seq[(Long, String)], minCount: Long): Map[Long, (Long, Long)] = {
+      val docBigrams = docs.map { case (id, t) =>
+        val w = t.split(" ", -1)
+        id -> w.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))).toSeq
+      }.toMap
+      val cb = docBigrams.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val c1 = cb.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+      val toks = docs.flatMap(_._2.split(" ", -1))
+      val cu = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = toks.size.toLong
+      def nll(g: (String, String)): Long =
+        if (cb(g) >= minCount)
+          math.floor(-math.log(0.7 * (cb(g).toDouble / c1(g._1)) + 0.3 * (cu(g._2).toDouble / n)) * 1e6).toLong
+        else math.floor(-math.log(0.3 * (cu(g._2).toDouble / n)) * 1e6).toLong
+      docBigrams.collect {
+        case (id, bgs) if bgs.nonEmpty =>
+          id -> ((bgs.size.toLong, bgs.map(nll).sum))
+      }.toMap
+    }
+    for (seed <- Seq(9, 31); minCount <- Seq(1L, 2L, 3L)) {
+      val rnd = new scala.util.Random(seed)
+      val corpus = (0L until 25L).map { id =>
+        val nw = 2 + rnd.nextInt(20)
+        (id, Seq.fill(nw)(s"t${rnd.nextInt(5)}").mkString(" "))
+      }
+      val expected = reference(corpus, minCount)
+      val got = CorpusStats
+        .bigramNllPruned(corpus.toDF("doc_id", "text"), minCount)
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_bigrams"), r.getAs[Long]("total_nll2_micro"))))
+        .toMap
+      assert(got == expected, s"seed $seed minCount $minCount")
+    }
+  }
+
+  test("vocab-capped unigram NLL matches a scalar reference on random corpora at several caps") {
+    import spark.implicits._
+    def reference(docs: Seq[(Long, String)], cap: Int): Map[Long, Long] = {
+      val toks = docs.flatMap(_._2.split(" ", -1))
+      val counts = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = toks.size.toLong
+      val kept = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(cap).toMap
+      val oovMass = n - kept.values.sum
+      def nll(t: String): Long =
+        kept.get(t) match {
+          case Some(c) => math.floor(-math.log(c.toDouble / n) * 1e6).toLong
+          case None    => math.floor(-math.log(oovMass.toDouble / n) * 1e6).toLong
+        }
+      docs.map { case (id, t) =>
+        id -> t.split(" ", -1).map(w => nll(w)).sum
+      }.toMap
+    }
+    for (seed <- Seq(13, 57); cap <- Seq(1, 3, 100)) {
+      val rnd = new scala.util.Random(seed)
+      val corpus = (0L until 25L).map { id =>
+        (id, Seq.fill(1 + rnd.nextInt(15))(s"v${rnd.nextInt(6)}").mkString(" "))
+      }
+      val expected = reference(corpus, cap)
+      val got = CorpusStats
+        .docUnigramNllCapped(corpus.toDF("doc_id", "text"), Some(cap))
+        .collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("total_nll_micro"))
+        .toMap
+      assert(got == expected, s"seed $seed cap $cap")
+    }
+  }
+
   test("vocab-capped tfidf: cap >= vocab bit-identical, small cap scores OOV with the pooled df") {
     import spark.implicits._
     val docs = Fixtures.documents(spark, "/root/testdata/sf0.001")
