@@ -236,6 +236,32 @@ class SimilarityIvfSpec extends SparkSpec {
     assert(rerankedAll == exact, s"rerank=$rerankedAll\nexact=$exact")
   }
 
+  test("IVF-PQ: the expression encoder matches a scalar argmin reference") {
+    val emb = Fixtures.embeddings(spark, dir)
+    val model = Similarity.pqTrain(emb, m = 8, codes = 16)
+    val got = Similarity
+      .pqEncode(emb, model)
+      .select("vec_id", "v", "pq")
+      .collect()
+      .map(r =>
+        (
+          r.getAs[Long]("vec_id"),
+          r.getAs[scala.collection.Seq[Double]]("v").toArray,
+          r.getAs[scala.collection.Seq[Int]]("pq").toSeq
+        )
+      )
+    assert(got.nonEmpty)
+    got.foreach { case (id, v, codes) =>
+      val expected = model.codebooks.zipWithIndex.map { case (cb, s) =>
+        val sub = v.slice(s * model.subDim, (s + 1) * model.subDim)
+        // first-min tie-break, same as array_position(array_min)
+        val d = cb.map(c => sub.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum)
+        d.indexOf(d.min)
+      }.toSeq
+      assert(codes == expected, s"vec $id")
+    }
+  }
+
   test("IVF-PQ: the batched k-NN join equals the per-query probe row for row") {
     import spark.implicits._
     val emb = Fixtures.embeddings(spark, dir)
