@@ -61,8 +61,31 @@ object RunRefinery {
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("draw"), col("doc_id"))
     delivered.write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/delivery")
-    graft.ops.Pipeline
-      .pipelineFull(spark, sfDir)
+    // accounting straight from the materialized stage frames — the
+    // gated pipeline_full query recomputes the chain for its oracle,
+    // but a DRIVER must not run the whole pipeline twice
+    def perLang(df: org.apache.spark.sql.DataFrame, name: String) =
+      df.groupBy(col("lang")).agg(count(lit(1)).cast("bigint").as(name))
+    st.flagged
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_input"),
+        sum(when(col("quality_pass"), 1).otherwise(0)).cast("bigint").as("n_quality_pass")
+      )
+      .join(perLang(st.repKept, "n_repetition_survivors"), Seq("lang"), "left")
+      .join(perLang(st.exactKept, "n_exact_survivors"), Seq("lang"), "left")
+      .join(perLang(st.nearKept, "n_near_survivors"), Seq("lang"), "left")
+      .join(perLang(st.paraKept, "n_paragraph_survivors"), Seq("lang"), "left")
+      .join(perLang(st.spanKept, "n_span_survivors"), Seq("lang"), "left")
+      .join(perLang(st.mixKept, "n_mixture_survivors"), Seq("lang"), "left")
+      .na
+      .fill(
+        0L,
+        Seq(
+          "n_repetition_survivors", "n_exact_survivors", "n_near_survivors",
+          "n_paragraph_survivors", "n_span_survivors", "n_mixture_survivors"
+        )
+      )
       .write
       .mode("overwrite")
       .parquet(s"$outDir/accounting")
