@@ -804,7 +804,12 @@ object Similarity {
       .select(col("qid"), col("qv"), col("list_id"))
     spark.read
       .parquet(s"$dir/assignments")
-      .join(broadcast(probes), Seq("list_id"))
+      // NO broadcast hint: probes carry |Q|·nProbe rows WITH query
+      // vectors — bounded only by the caller's query table, which at
+      // serve scale can be arbitrarily large (the forced-broadcast
+      // defect class). AQE broadcasts it when it is actually small;
+      // past that the join shuffles on list_id, AQE-skew-safe.
+      .join(probes, Seq("list_id"))
       .withColumn(
         "adc_dot",
         expr(
