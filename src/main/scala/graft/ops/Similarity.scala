@@ -680,6 +680,53 @@ object Similarity {
       .parquet(s"$dir/pq_codebooks")
   }
 
+  /** Append an INCREMENT of new vectors to a persisted PQ index: list
+    * assignment and codes both come from the index's OWN persisted
+    * model (centroids + codebooks) — the fitted structures are frozen
+    * at build time, increments ride them (the IVF/PQ maintenance
+    * contract; re-fit is a rebuild). Assignment is the same
+    * constant-literal argmin the encoder uses, with the centroid
+    * table as a one-subspace codebook — no ML model object needed on
+    * the serve path, just the parquet sidecars. Appends accrete one
+    * file per batch per touched list dir; bound that with
+    * [[compactPqIndex]].
+    */
+  def appendToPqIndex(newVecs: DataFrame, dir: String): Unit = {
+    val spark = newVecs.sparkSession
+    val pq = readPqModel(spark, dir)
+    val cents = spark.read
+      .parquet(s"$dir/centroids")
+      .collect()
+      .map(r => (r.getAs[Int]("list_id"), r.getAs[scala.collection.Seq[Double]]("centroid").toArray))
+      .sortBy(_._1)
+    require(
+      cents.map(_._1).toSeq == cents.indices.toSeq,
+      s"centroid table of $dir is not densely list-indexed"
+    )
+    val centLit = nestedArrayLit(cents.map(_._2))
+    val assigned = withVec(newVecs)
+      .withColumn(
+        "list_id",
+        expr(
+          s"CAST(array_position(transform($centLit, c -> " +
+            s"aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0D, (a, b) -> a + b)), " +
+            s"array_min(transform($centLit, c -> " +
+            s"aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0D, (a, b) -> a + b)))) - 1 AS INT)"
+        )
+      )
+    pqEncodeCols(assigned, pq)
+      .select(col("vec_id"), col("label"), col("pq"), col("vnorm"), col("list_id"))
+      .repartition(col("list_id"))
+      .write
+      .mode("append")
+      .partitionBy("list_id")
+      .parquet(s"$dir/assignments")
+  }
+
+  /** Compaction twin for the PQ index's accreting list dirs. */
+  def compactPqIndex(spark: SparkSession, dir: String): Unit =
+    graft.core.Compaction.compact(spark, s"$dir/assignments", Some("list_id"), 1)
+
   private def readPqModel(spark: SparkSession, dir: String): PqModel = {
     val rows = spark.read
       .parquet(s"$dir/pq_codebooks")

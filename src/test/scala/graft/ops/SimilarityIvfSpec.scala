@@ -262,6 +262,54 @@ class SimilarityIvfSpec extends SparkSpec {
     }
   }
 
+  test("IVF-PQ: increments append through the persisted model; compaction is value-neutral") {
+    val emb = Fixtures.embeddings(spark, dir)
+    val evens = emb.filter(col("vec_id") % 2 === 0)
+    val odds = emb.filter(col("vec_id") % 2 =!= 0)
+    val idx = java.nio.file.Files.createTempDirectory("graft_pq_append").toString
+    Similarity.savePqIndex(evens, nLists = 8, m = 8, codes = 16, idx)
+    val builtRows = spark.read.parquet(s"$idx/assignments").count()
+    Similarity.appendToPqIndex(odds, idx)
+    val all = spark.read.parquet(s"$idx/assignments")
+    assert(all.count() == emb.count() && builtRows == evens.count())
+    assert(all.select("vec_id").distinct().count() == emb.count())
+    // the expression-argmin assignment agrees with the build-time ML
+    // assignment: re-append the EVEN vectors to a scratch copy and
+    // compare (same frozen centroids — any disagreement would mean the
+    // serve-path assignment diverges from the built layout)
+    val idx2 = java.nio.file.Files.createTempDirectory("graft_pq_append2").toString + "/idx"
+    graft.core.Compaction.copyDir(spark, idx, idx2)
+    val builtAssign = spark.read
+      .parquet(s"$idx/assignments")
+      .filter(col("vec_id") % 2 === 0)
+      .select("vec_id", "list_id", "pq")
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("list_id"), r.getAs[scala.collection.Seq[Int]]("pq").toSeq))
+      .toSet
+    // wipe and re-append evens through the increment path
+    val fs = new org.apache.hadoop.fs.Path(idx2).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$idx2/assignments"), true)
+    Similarity.appendToPqIndex(evens, idx2)
+    val reAssign = spark.read
+      .parquet(s"$idx2/assignments")
+      .select("vec_id", "list_id", "pq")
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("list_id"), r.getAs[scala.collection.Seq[Int]]("pq").toSeq))
+      .toSet
+    assert(reAssign == builtAssign, "expression argmin diverges from the ML build assignment")
+    // probes are bit-identical across compaction
+    val qv = emb.selectExpr("CAST(embedding AS ARRAY<DOUBLE>) v").where(col("vec_id") === 1L)
+      .head().getSeq[Double](0).toArray
+    val before = Similarity.pqTopKFromIndex(spark, idx, qv, k = 5, nProbe = 4).collect().toSeq
+    Similarity.compactPqIndex(spark, idx)
+    val after = Similarity.pqTopKFromIndex(spark, idx, qv, k = 5, nProbe = 4).collect().toSeq
+    assert(before == after)
+    val files = new java.io.File(s"$idx/assignments").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("list_id="))
+      .map(d => d.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(files.forall(_ <= 1), s"compaction left multi-file dirs: ${files.toSeq}")
+  }
+
   test("IVF-PQ: the batched k-NN join equals the per-query probe row for row") {
     import spark.implicits._
     val emb = Fixtures.embeddings(spark, dir)
