@@ -314,5 +314,16 @@ class StreamingIngestSpec extends SparkSpec {
     // direct replay of a stale batch id is a no-op too
     StreamingIngest.applyHourlyBatch(spark, ev.toDF(), 2L, state)
     assert(stateRows() == afterFirst)
+    // crash mid-swap: committed staged generation, live already gone —
+    // the next batch application rolls forward FIRST, so the replayed
+    // id is still recognized and nothing double-counts
+    val fs = new org.apache.hadoop.fs.Path(state).getFileSystem(spark.sessionState.newHadoopConf())
+    val staged = new org.apache.hadoop.fs.Path(state + "__compacting")
+    graft.core.Compaction.copyDir(spark, state, staged.toString)
+    fs.create(new org.apache.hadoop.fs.Path(staged, "_graft_commit"), true).close()
+    fs.delete(new org.apache.hadoop.fs.Path(state), true)
+    StreamingIngest.applyHourlyBatch(spark, ev.toDF(), 1L, state)
+    assert(stateRows() == afterFirst, "post-crash roll-forward lost or duplicated counts")
+    assert(!fs.exists(staged))
   }
 }
