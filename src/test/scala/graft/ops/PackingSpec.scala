@@ -88,5 +88,15 @@ class PackingSpec extends SparkSpec {
     val plan = Packing.corpusShuffle(docs, "doc_id").queryExecution.executedPlan.toString
     assert(plan.contains("rangepartitioning"), plan.take(1500))
     assert(!plan.contains("Exchange SinglePartition"), plan.take(1500))
+    // draw uniformity: eighths of the 48-bit draw space each hold
+    // close to 1/8 of the corpus (binomial 5σ slack at n=2000)
+    val draws = Packing.corpusShuffle(docs, "doc_id").select("draw").collect().map(_.getLong(0))
+    val width = (1L << 48) / 8
+    val octants = draws.groupBy(d => (d / width).min(7L)).view.mapValues(_.length).toMap
+    val slack = 5 * math.sqrt(2000.0 * (1.0 / 8) * (7.0 / 8))
+    (0L until 8L).foreach { o =>
+      val c = octants.getOrElse(o, 0)
+      assert(math.abs(c - 250.0) < slack, s"octant $o holds $c of 2000")
+    }
   }
 }
