@@ -179,12 +179,22 @@ object GraphDedup {
     }
   }
 
+  /** @param relabelMembers given the (old_root, new_root) map of roots
+    *        that MOVED (root-level, increment-bounded, eagerly
+    *        materialized), produce the member-level relabel rows
+    *        (node, cluster_id=new_root). The in-memory path scans its
+    *        prev frame; the persisted path reads only the moved roots'
+    *        cluster-index buckets (partition-pruned).
+    * @return (changes to upsert, the materialized changedRootMap —
+    *         callers with a persisted cluster index reuse it for the
+    *         index's own touched-bucket rewrite)
+    */
   private def changeSet(
-      prevLookup: DataFrame,
+      relabelMembers: DataFrame => DataFrame,
       endpointRoots: DataFrame,
       newEdges: DataFrame,
       maxDriverRootEdges: Long
-  ): DataFrame = {
+  ): (DataFrame, DataFrame) = {
     val srcRoots = endpointRoots.select(col("node").as("src"), col("cluster_id").as("src_root"))
     val dstRoots = endpointRoots.select(col("node").as("dst"), col("cluster_id").as("dst_root"))
     val rootEdges = newEdges
@@ -198,17 +208,19 @@ object GraphDedup {
     // to self-loops and vanish, so absent = unchanged
     val newRoots = solveRootGraph(rootEdges, maxDriverRootEdges)
     val rootsOld = endpointRoots.select(col("cluster_id").as("node")).distinct()
+    // root-level and consumed by several downstream actions (the
+    // relabel join, and — on the persisted path — the cluster-index
+    // bucket-id collect and keep-filter): one tiny eager job
     val changedRootMap = newRoots
       .filter(col("node") =!= col("cluster_id"))
       .join(broadcast(rootsOld), Seq("node"), "left_semi")
       .select(col("node").as("old_root"), col("cluster_id").as("new_root"))
-    val relabeled = prevLookup
-      .join(broadcast(changedRootMap), prevLookup("cluster_id") === col("old_root"))
-      .select(prevLookup("node"), col("new_root").as("cluster_id"))
+      .localCheckpoint(true)
+    val relabeled = relabelMembers(changedRootMap)
     val newNodeRows = newRoots
       .join(broadcast(rootsOld), Seq("node"), "left_anti")
       .select(col("node"), col("cluster_id"))
-    relabeled.union(newNodeRows)
+    (relabeled.union(newNodeRows), changedRootMap)
   }
 
   /** INCREMENTAL connected components: merge a batch of NEW edges into
@@ -252,8 +264,12 @@ object GraphDedup {
     // big), so the pass-through anti-join is left to AQE rather than
     // hinted broadcast — root-level relations inside changeSet are the
     // ones with a structural size bound
+    val relabel = (crm: DataFrame) =>
+      prevStars
+        .join(broadcast(crm), prevStars("cluster_id") === col("old_root"))
+        .select(prevStars("node"), col("new_root").as("cluster_id"))
     val changes =
-      changeSet(prevStars, endpointRoots, newEdges, maxDriverRootEdges).localCheckpoint(true)
+      changeSet(relabel, endpointRoots, newEdges, maxDriverRootEdges)._1.localCheckpoint(true)
     prevStars
       .join(changes.select(col("node")), Seq("node"), "left_anti")
       .select(col("node"), col("cluster_id"))
@@ -269,7 +285,11 @@ object GraphDedup {
     *    scans only the endpoint buckets (partition pruning on the
     *    `bucket` dirs — metadata-scale filter, the map never shuffles;
     *    the root-keyed joins that follow broadcast, since touched
-    *    roots are increment-sized);
+    *    roots are increment-sized), and "which members do the moved
+    *    clusters have" scans only the moved roots' dirs of the
+    *    cluster-keyed SECONDARY index (`_graft_byroot/cbucket=K`,
+    *    maintained touched-bucket-only alongside the primary) — no
+    *    maintenance read is ever O(map);
     *  - WRITE: a maintenance cycle rewrites ONLY the bucket dirs whose
     *    contents change (the Compaction staged-swap, per dir) and
     *    leaves every other dir byte-untouched — the reference's MERGE
@@ -286,6 +306,25 @@ object GraphDedup {
     */
   private def bucketExpr(nBuckets: Int) =
     pmod(xxhash64(col("node")), lit(nBuckets.toLong)).cast("int").as("bucket")
+
+  /** Cluster-keyed SECONDARY index bucket: hash of the cluster_id, so
+    * "members of these moved clusters" is a partition-pruned read of
+    * the moved roots' `cbucket` dirs instead of a full scan of the
+    * node-keyed primary (the O(map)-per-cycle relabel cost the
+    * streaming clustering loop used to pay). A degenerate mega-cluster
+    * concentrates its members in one cbucket dir — but those are
+    * exactly the rows the relabel must read anyway, so pruning still
+    * strictly wins.
+    */
+  private def cbucketExpr(nBuckets: Int, c: org.apache.spark.sql.Column) =
+    pmod(xxhash64(c), lit(nBuckets.toLong)).cast("int")
+
+  /** The secondary index lives INSIDE the map dir under an
+    * underscore-prefixed name, which Spark's file listing hides — so
+    * `spark.read.parquet(dir)` serves the primary exactly as before.
+    */
+  private val byrootName = "_graft_byroot"
+  private def byrootDir(dir: String) = s"$dir/$byrootName"
 
   // ---- on-disk layout + crash-recovery metadata --------------------
   // The map's bucket count is LOAD-BEARING: probing with a different
@@ -318,16 +357,39 @@ object GraphDedup {
     if (fs.exists(p)) Some(readTextFile(fs, p).trim.stripPrefix("nBuckets=").toInt) else None
   }
 
+  /** Manifest tokens: bare ints are PRIMARY bucket dirs (`bucket=N`,
+    * the round-8 format — old manifests recover unchanged); `s:N` are
+    * secondary cluster-index dirs (`_graft_byroot/cbucket=N`). Each
+    * token maps to a (staged, live) dir pair for the roll-forward.
+    */
+  private def manifestSwapPairs(dir: String, manifest: String): Seq[(String, String)] =
+    manifest.trim.split(",").filter(_.nonEmpty).toSeq.map { t =>
+      if (t.startsWith("s:")) {
+        val b = t.stripPrefix("s:").toInt
+        (s"${dir}__maintain/$byrootName/cbucket=$b", s"${byrootDir(dir)}/cbucket=$b")
+      } else (s"${dir}__maintain/bucket=${t.toInt}", s"$dir/bucket=${t.toInt}")
+    }
+
   /** Roll forward a maintenance swap the process died inside of. The
     * commit protocol (see [[maintainClusterMap]]) deletes no live dir
     * before the manifest is durable and keeps every staged dir until
-    * its rename — so whatever the crash point, each manifest bucket is
+    * its rename — so whatever the crash point, each manifest entry is
     * in exactly one of three states, all recoverable: staged present
     * (rename it in, deleting any stale live copy first), staged absent
     * (its swap already completed), or untouched (staged present, live
     * still old — same as the first). A staging dir WITHOUT a manifest
     * is an incomplete staged write over an intact live map: deleted.
     * One `exists` probe when the map is healthy.
+    *
+    * DESTRUCTIVE — reserved for the write path ([[maintainClusterMap]]
+    * entry, which the single-writer maintenance discipline already
+    * serializes) and explicit administrative repair. Readers must NOT
+    * run this: against a LIVE writer mid-swap, a concurrent recovery
+    * re-executes the delete/rename pairs and can destroy a bucket the
+    * writer just committed (reader deletes the new live dir, then its
+    * rename fails because the writer already moved the staged dir).
+    * [[readClusterMap]] instead resolves the committed generation
+    * non-destructively.
     */
   def recoverClusterMap(spark: SparkSession, dir: String): Unit = {
     import org.apache.hadoop.fs.Path
@@ -335,12 +397,12 @@ object GraphDedup {
     val man = new Path(dir, manifestFile)
     val staged = new Path(dir + "__maintain")
     if (fs.exists(man)) {
-      val buckets = readTextFile(fs, man).trim.split(",").filter(_.nonEmpty).map(_.toInt)
-      buckets.foreach { b =>
-        val st = new Path(s"${dir}__maintain/bucket=$b")
+      manifestSwapPairs(dir, readTextFile(fs, man)).foreach { case (stagedDir, liveDir) =>
+        val st = new Path(stagedDir)
         if (fs.exists(st)) {
-          val live = new Path(s"$dir/bucket=$b")
+          val live = new Path(liveDir)
           fs.delete(live, true)
+          fs.mkdirs(live.getParent)
           if (!fs.rename(st, live))
             throw new java.io.IOException(s"cluster-map recovery failed: $st -> $live")
         }
@@ -358,19 +420,61 @@ object GraphDedup {
       .mode("overwrite")
       .partitionBy("bucket")
       .parquet(dir)
+    // cluster-keyed secondary index: the same rows keyed the other way,
+    // so maintenance reads "members of these moved clusters" pruned.
+    // Written after the primary (the overwrite above clears the dir):
+    // a crash between the two leaves a map WITHOUT the index, which
+    // maintenance detects and serves with the legacy full-scan relabel.
+    cc.select(col("cluster_id"), col("node"))
+      .withColumn("cbucket", cbucketExpr(nBuckets, col("cluster_id")))
+      .repartition(col("cbucket"))
+      .sortWithinPartitions(col("cluster_id"), col("node"))
+      .write
+      .mode("overwrite")
+      .partitionBy("cbucket")
+      .parquet(byrootDir(dir))
     val fs = fsFor(cc.sparkSession, dir)
     writeTextFile(fs, new org.apache.hadoop.fs.Path(dir, layoutFile), s"nBuckets=$nBuckets\n")
   }
 
   /** The served map (node, cluster_id). Filters on `bucket` prune to
     * partition dirs (SimilarityIvf-style PartitionFilters proof in
-    * GraphDedupSpec). Opens with the roll-forward check so a reader
-    * after a mid-swap crash sees the COMMITTED new map, never a
-    * mixed-generation one.
+    * GraphDedupSpec).
+    *
+    * When a swap manifest is present (maintenance in flight, or a
+    * crash nobody recovered yet), the reader resolves the COMMITTED
+    * new generation NON-destructively: for each manifest bucket it
+    * prefers the staged dir when that still exists (not yet renamed
+    * in) and the live dir otherwise (that swap already completed).
+    * The commit protocol makes exactly one of the two present-and-
+    * complete for every entry, so the overlay is the post-recovery
+    * map without touching disk — a reader can never destroy a bucket
+    * a live writer just committed (the round-8 destructive-recovery
+    * hazard). Actual roll-forward stays with the write path
+    * ([[recoverClusterMap]] at [[maintainClusterMap]] entry).
     */
   def readClusterMap(spark: SparkSession, dir: String): DataFrame = {
-    recoverClusterMap(spark, dir)
-    spark.read.parquet(dir)
+    import org.apache.hadoop.fs.Path
+    val fs = fsFor(spark, dir)
+    val man = new Path(dir, manifestFile)
+    if (!fs.exists(man)) return spark.read.parquet(dir)
+    val stagedOverlay = manifestSwapPairs(dir, readTextFile(fs, man)).collect {
+      case (stagedDir, liveDir) if liveDir.contains("/bucket=") =>
+        liveDir.split("/bucket=").last.toInt -> stagedDir
+    }.toMap
+    val liveBuckets = fs
+      .listStatus(new Path(dir))
+      .map(_.getPath.getName)
+      .filter(_.startsWith("bucket="))
+      .map(_.stripPrefix("bucket=").toInt)
+      .toSet
+    val parts = (liveBuckets ++ stagedOverlay.keySet).toSeq.sorted.flatMap { b =>
+      val staged = stagedOverlay.get(b).filter(p => fs.exists(new Path(p)))
+      val src = staged.orElse(if (liveBuckets(b)) Some(s"$dir/bucket=$b") else None)
+      src.map(p => spark.read.parquet(p).withColumn("bucket", lit(b)))
+    }
+    require(parts.nonEmpty, s"cluster map at $dir has a manifest but no bucket dirs")
+    parts.reduce(_.unionByName(_))
   }
 
   def clusterMapExists(spark: SparkSession, dir: String): Boolean = {
@@ -418,8 +522,14 @@ object GraphDedup {
     if (fs.exists(stalestage)) fs.delete(stalestage, true)
     // the persisted layout wins over the caller's parameter — probing
     // with the wrong bucket count would MISS existing nodes and write
-    // conflicting rows. Legacy maps without the layout file can only
-    // be sanity-checked against the dirs that exist on disk.
+    // conflicting rows. Legacy maps without the layout file are
+    // verified EMPIRICALLY: the dir-name bound alone only rejects a
+    // caller count that is too SMALL (a map saved with 8 buckets and a
+    // caller passing 16 has every dir name < 16 — and probes with the
+    // wrong modulus, silently missing every node), so sampled rows
+    // must also hash back to their own on-disk bucket. A verified
+    // legacy map gets the layout file written (healed) so later cycles
+    // skip the probe.
     val nb = persistedBuckets(fs, dir).getOrElse {
       val onDisk = fs
         .listStatus(new Path(dir))
@@ -431,6 +541,21 @@ object GraphDedup {
         s"cluster map at $dir has bucket=${onDisk.max} on disk but nBuckets=$nBuckets was passed — " +
           "the layout the map was saved with differs from the caller's; rebucket with saveClusterMap"
       )
+      if (onDisk.nonEmpty) {
+        val mismatched = spark.read
+          .parquet(dir)
+          .select(col("node"), col("bucket"))
+          .limit(256)
+          .filter(cbucketExpr(nBuckets, col("node")) =!= col("bucket"))
+          .limit(1)
+          .count()
+        require(
+          mismatched == 0L,
+          s"cluster map at $dir (no layout file) was NOT hashed with nBuckets=$nBuckets — sampled rows " +
+            "land in a different bucket under that modulus; rebucket with saveClusterMap"
+        )
+        writeTextFile(fs, new Path(dir, layoutFile), s"nBuckets=$nBuckets\n")
+      }
       nBuckets
     }
     val prev = spark.read.parquet(dir) // (node, cluster_id, bucket)
@@ -460,15 +585,25 @@ object GraphDedup {
       .join(broadcast(endpoints), Seq("node"))
       .select(col("node"), col("cluster_id"))
       .localCheckpoint(true)
+    // member relabel: with the cluster-keyed secondary index present,
+    // "members of these moved clusters" reads ONLY the moved roots'
+    // cbucket dirs (partition-pruned — the round-8 layout paid a full
+    // map scan here every cycle); a legacy map without the index falls
+    // back to that full scan and keeps working (rebuild the index with
+    // saveClusterMap to upgrade).
+    val hasIndex = fs.exists(new Path(byrootDir(dir)))
+    val relabel: DataFrame => DataFrame =
+      if (hasIndex) crm => movedClusterMembers(spark, dir, nb, crm)
+      else
+        crm =>
+          prev
+            .join(broadcast(crm), prev("cluster_id") === col("old_root"))
+            .select(prev("node"), col("new_root").as("cluster_id"))
     // the rows that change: members of clusters whose root moved + new
     // nodes (the root-contraction core — the iterative CC only ever
     // sees the root graph)
-    val changes = changeSet(
-      prev.select(col("node"), col("cluster_id")),
-      endpointRoots,
-      edgesTyped,
-      maxDriverRootEdges
-    ).localCheckpoint(true)
+    val (changes0, movedRoots) = changeSet(relabel, endpointRoots, edgesTyped, maxDriverRootEdges)
+    val changes = changes0.localCheckpoint(true)
     val touchedBuckets = changes
       .select(bucketExpr(nb))
       .distinct()
@@ -495,24 +630,101 @@ object GraphDedup {
       .mode("overwrite")
       .partitionBy("bucket")
       .parquet(staged)
-    // COMMIT: durable manifest first, then per-dir swaps. No live dir
-    // is deleted before the manifest exists, and each staged dir
-    // survives until its own rename — so [[recoverClusterMap]] can
-    // roll any crash point forward (staged present = redo the swap,
-    // staged absent = that swap completed). Crash BEFORE this line
-    // leaves the live map untouched and the staging dir is garbage-
-    // collected at the next cycle's entry; the cycle's edges must then
-    // be resubmitted (the map equals its pre-cycle state).
-    writeTextFile(fs, new Path(dir, manifestFile), touchedBuckets.toSeq.sorted.mkString(","))
-    touchedBuckets.foreach { b =>
-      val live = new Path(s"$dir/bucket=$b")
-      val stage = new Path(s"$staged/bucket=$b")
+    // secondary-index delta, staged next to the primary's: rows keyed
+    // by a MOVED old root are deleted (their cluster dissolved into
+    // another), every change row is inserted under its new root.
+    // Touched cbuckets = delete sources (moved old roots) ∪ insert
+    // targets (the changes' cluster_ids) — increment-bounded, like the
+    // primary's touched set.
+    val touchedCBuckets: Seq[Int] =
+      if (!hasIndex) Seq.empty
+      else
+        changes
+          .select(cbucketExpr(nb, col("cluster_id")).as("cb"))
+          .union(movedRoots.select(cbucketExpr(nb, col("old_root")).as("cb")))
+          .distinct()
+          .collect()
+          .map(_.getInt(0))
+          .toSeq
+          .sorted
+    if (touchedCBuckets.nonEmpty) {
+      val keepC = spark.read
+        .parquet(byrootDir(dir))
+        .filter(col("cbucket").isin(touchedCBuckets: _*))
+        .join(broadcast(movedRoots.select(col("old_root"))), col("cluster_id") === col("old_root"), "left_anti")
+        .select(col("cluster_id"), col("node"))
+      keepC
+        .union(changes.select(col("cluster_id"), col("node")))
+        .withColumn("cbucket", cbucketExpr(nb, col("cluster_id")))
+        .repartition(col("cbucket"))
+        .sortWithinPartitions(col("cluster_id"), col("node"))
+        .write
+        .mode("overwrite")
+        .partitionBy("cbucket")
+        .parquet(s"$staged/$byrootName")
+      // a pure-delete cbucket (a moved root whose dir gains no rows)
+      // produces NO staged dir — its committed new generation is
+      // EMPTY. Materialize it as an empty dir so the swap (and any
+      // crash recovery) installs "no rows" instead of renaming a
+      // missing path / mistaking the entry for an already-completed
+      // swap.
+      touchedCBuckets.foreach { b =>
+        val st = new Path(s"$staged/$byrootName/cbucket=$b")
+        if (!fs.exists(st)) fs.mkdirs(st)
+      }
+    }
+    // COMMIT: durable manifest first, then per-dir swaps — primary and
+    // secondary entries in ONE manifest, so a crash can never commit
+    // one index without the other. No live dir is deleted before the
+    // manifest exists, and each staged dir survives until its own
+    // rename — so [[recoverClusterMap]] can roll any crash point
+    // forward (staged present = redo the swap, staged absent = that
+    // swap completed). Crash BEFORE this line leaves the live map
+    // untouched and the staging dir is garbage-collected at the next
+    // cycle's entry; the cycle's edges must then be resubmitted (the
+    // map equals its pre-cycle state).
+    val manifest =
+      (touchedBuckets.toSeq.sorted.map(_.toString) ++ touchedCBuckets.map("s:" + _)).mkString(",")
+    writeTextFile(fs, new Path(dir, manifestFile), manifest)
+    manifestSwapPairs(dir, manifest).foreach { case (stagedDir, liveDir) =>
+      val stage = new Path(stagedDir)
+      val live = new Path(liveDir)
       fs.delete(live, true)
+      fs.mkdirs(live.getParent)
       if (!fs.rename(stage, live))
         throw new java.io.IOException(s"cluster-map swap failed: $stage -> $live")
     }
     fs.delete(new Path(staged), true)
     fs.delete(new Path(dir, manifestFile), false)
+  }
+
+  /** Members of the moved clusters, read PRUNED from the cluster-keyed
+    * secondary index: only the moved roots' `cbucket` dirs are listed
+    * and scanned (PartitionFilters — plan-proof in GraphDedupSpec),
+    * so a maintenance cycle's relabel read is bounded by the touched
+    * clusters' buckets instead of the whole map. Package-visible for
+    * that plan proof.
+    */
+  private[graft] def movedClusterMembers(
+      spark: SparkSession,
+      dir: String,
+      nb: Int,
+      crm: DataFrame
+  ): DataFrame = {
+    val rootBuckets = crm
+      .select(cbucketExpr(nb, col("old_root")).as("cb"))
+      .distinct()
+      .collect()
+      .map(_.getInt(0))
+      .toSeq
+    if (rootBuckets.isEmpty)
+      crm.select(col("old_root").as("node"), col("new_root").as("cluster_id"))
+    else
+      spark.read
+        .parquet(byrootDir(dir))
+        .filter(col("cbucket").isin(rootBuckets: _*))
+        .join(broadcast(crm), col("cluster_id") === col("old_root"))
+        .select(col("node"), col("new_root").as("cluster_id"))
   }
 
   /** Shared tail of the cluster queries: every document labeled with

@@ -411,7 +411,11 @@ object Similarity {
       while (i < math.min(a.length, b.length)) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
     }
-    val probeLists = centroids.sortBy { case (c, _) => -cos(qv, c.toArray) }.take(nProbe).map(_._2)
+    // tie-break by list id: must match the batched kNN join's window
+    // order (c_cos desc, list_id asc) or tied centroids could send the
+    // two paths to different probe lists
+    val probeLists =
+      centroids.sortBy { case (c, i) => (-cos(qv, c.toArray), i) }.take(nProbe).map(_._2)
     val q = assigned.filter(col("vec_id") === queryId).select(col("v").as("qv"))
     assigned
       .filter(col("list_id").isin(probeLists.toSeq: _*))
@@ -470,7 +474,11 @@ object Similarity {
       while (i < math.min(a.length, b.length)) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
     }
-    val probeLists = centroids.sortBy { case (_, c) => -cos(qv, c) }.take(nProbe).map(_._1)
+    // (-cos, list_id): centroid rows arrive in arbitrary parquet-collect
+    // order and a bare stable sort would break ties by that order —
+    // the batched kNN join's window breaks them by list_id asc, and the
+    // two paths are spec-pinned row-for-row equal
+    val probeLists = centroids.sortBy { case (id, c) => (-cos(qv, c), id) }.take(nProbe).map(_._1)
     val q = assigned.filter(col("vec_id") === queryId).select(col("v").as("qv"))
     assigned
       .filter(col("list_id").isin(probeLists.toSeq: _*))
@@ -765,7 +773,11 @@ object Similarity {
       while (i < math.min(a.length, b.length)) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
     }
-    val probeLists = centroids.sortBy { case (_, c) => -cos(qv, c) }.take(nProbe).map(_._1)
+    // (-cos, list_id): centroid rows arrive in arbitrary parquet-collect
+    // order and a bare stable sort would break ties by that order —
+    // the batched kNN join's window breaks them by list_id asc, and the
+    // two paths are spec-pinned row-for-row equal
+    val probeLists = centroids.sortBy { case (id, c) => (-cos(qv, c), id) }.take(nProbe).map(_._1)
     val pq = readPqModel(spark, dir)
     val lut = Array.tabulate(pq.m, pq.codes) { (s, c) =>
       val cb = pq.codebooks(s)(c)

@@ -244,16 +244,15 @@ object StreamingIngest {
     * batch's components, thereafter
     * [[graft.ops.GraphDedup.maintainClusterMap]]'s touched-clusters-
     * only merge, which rewrites ONLY the touched hash(node) bucket
-    * dirs. Precisely: WRITE I/O is touched-bucket-bounded and the CC
-    * compute sees only the root graph, but the relabel join inside
-    * changeSet still SCANS the whole prev map each cycle to find
-    * members of moved clusters — the known cost of the node-keyed
-    * layout (a cluster-keyed secondary index would trade write
-    * amplification for that scan). The managed-table layout this
-    * replaced committed the WHOLE map every micro-batch — read AND
-    * write O(map). Per-batch cost: O(increment) probe + O(map) scan +
-    * O(touched clusters) merge/write; the map converges to CC over ALL
-    * flagged pairs
+    * dirs. READ I/O is bounded too: the relabel join pulls members of
+    * moved clusters from the cluster-keyed secondary index
+    * (`_graft_byroot`, partition-pruned to the moved roots' cbucket
+    * dirs), so a cycle never scans the whole map — the round-8 layout
+    * paid an O(map) scan here; the managed-table layout before it
+    * committed the WHOLE map every micro-batch, read AND write.
+    * Per-batch cost: O(increment) probe +
+    * O(touched clusters) merge/read/write; the map converges to CC
+    * over ALL flagged pairs
     * regardless of how arrivals were batched (the incremental-CC
     * equivalence theorem, so batch boundaries cannot change the final
     * state — what makes the streaming route oracle-gatable at all).

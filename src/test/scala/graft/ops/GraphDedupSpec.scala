@@ -157,6 +157,33 @@ class GraphDedupSpec extends SparkSpec {
       .toMap
   }
 
+  private def cmapFileStats(dir: String): Map[String, (Long, Long)] = {
+    val root = new java.io.File(dir + "/_graft_byroot")
+    root
+      .listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cbucket="))
+      .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet")))
+      .map(f => f.getPath.stripPrefix(root.getPath) -> (f.length(), f.lastModified()))
+      .toMap
+  }
+
+  /** The secondary index must stay the exact inverse of the primary. */
+  private def assertIndexConsistent(dir: String): Unit = {
+    val primary = spark.read
+      .parquet(dir)
+      .select(col("cluster_id"), col("node"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val secondary = spark.read
+      .parquet(dir + "/_graft_byroot")
+      .select(col("cluster_id"), col("node"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(secondary == primary, s"cluster index diverged from the map: ${secondary.diff(primary)} / ${primary.diff(secondary)}")
+  }
+
   private def bucketsOf(nodes: Seq[Long], n: Int): Set[Int] =
     nodes
       .toDF("node")
@@ -178,11 +205,14 @@ class GraphDedupSpec extends SparkSpec {
     )
     val before = mapFileStats(dir)
     assert(before.nonEmpty)
+    val beforeC = cmapFileStats(dir)
+    assert(beforeC.nonEmpty)
     // day 1: merge {100,101}∪{110,111} and extend with a new node —
     // touches ONLY those clusters
     val day1 = Seq((101L, 110L), (111L, 300L))
     GraphDedup.maintainClusterMap(spark, dir, day1.toDF("src", "dst"), nBuckets)
     val after = mapFileStats(dir)
+    val afterC = cmapFileStats(dir)
     // the served map equals full CC over old ∪ new
     val served = GraphDedup
       .readClusterMap(spark, dir)
@@ -210,6 +240,29 @@ class GraphDedupSpec extends SparkSpec {
     val scan = probe.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters") && scan.contains("bucket"), scan.take(2000))
     assert(probe.count() > 0)
+    // SECONDARY index write volume: only the moved old root's (110) and
+    // the insert target root's (100) cbucket dirs may change; every
+    // other cluster's dir is byte-identical — and the index stays the
+    // exact inverse of the map
+    val touchedC = bucketsOf(Seq(100L, 110L), nBuckets)
+    assert(touchedC.size < nBuckets)
+    val changedC = (beforeC.keySet ++ afterC.keySet).filter(k => beforeC.get(k) != afterC.get(k))
+    val changedCBuckets = changedC.map(_.split("/")(1).stripPrefix("cbucket=").toInt)
+    assert(changedCBuckets.subsetOf(touchedC), s"untouched cbucket dirs rewritten: $changedCBuckets vs $touchedC")
+    val untouchedC = beforeC.keySet.filter(k => !touchedC.contains(k.split("/")(1).stripPrefix("cbucket=").toInt))
+    assert(untouchedC.nonEmpty)
+    untouchedC.foreach(k => assert(beforeC(k) == afterC(k), s"$k changed"))
+    assertIndexConsistent(dir)
+    // relabel READ volume: members-of-moved-clusters is a partition-
+    // pruned read of the moved roots' cbucket dirs, NOT a map scan —
+    // the cbucket filter must reach the scan as a PartitionFilter
+    val crm = Seq((110L, 100L)).toDF("old_root", "new_root")
+    val moved = GraphDedup.movedClusterMembers(spark, dir, nBuckets, crm)
+    val movedScan = moved.queryExecution.executedPlan.toString
+    assert(
+      movedScan.contains("PartitionFilters") && movedScan.contains("cbucket"),
+      movedScan.take(2000)
+    )
   }
 
   test("persisted map: a crash at any point of the per-dir swap rolls forward") {
@@ -249,15 +302,28 @@ class GraphDedupSpec extends SparkSpec {
     val out = fs.create(new org.apache.hadoop.fs.Path(dirC, "_graft_swap_manifest"), true)
     out.write(touched.mkString(",").getBytes("UTF-8"))
     out.close()
-    // opening the map rolls the swap forward to the committed generation
+    // a READER over the crashed state serves the committed generation
+    // WITHOUT touching disk (destructive roll-forward from a reader
+    // would race a live writer mid-swap and could delete a bucket the
+    // writer just committed): manifest and staging must survive the read
     val served = GraphDedup
       .readClusterMap(spark, dirC)
       .collect()
       .map(r => r.getAs[Long]("node") -> r.getAs[Long]("cluster_id"))
       .toMap
     assert(served == expected)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dirC, "_graft_swap_manifest")), "reader must not consume the manifest")
+    // explicit recovery (the write path's entry step) rolls the swap
+    // forward to the committed generation and clears the protocol files
+    GraphDedup.recoverClusterMap(spark, dirC)
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dirC, "_graft_swap_manifest")))
     assert(!fs.exists(new org.apache.hadoop.fs.Path(staged)))
+    val servedRecovered = GraphDedup
+      .readClusterMap(spark, dirC)
+      .collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    assert(servedRecovered == expected)
     // a staging dir with NO manifest (crash before commit) is garbage-
     // collected at the next maintenance entry and the cycle re-applies
     graft.core.Compaction.copyDir(spark, s"$dirB/bucket=${touched.head}", s"${dirC}__maintain/bucket=${touched.head}")
@@ -325,12 +391,20 @@ class GraphDedupSpec extends SparkSpec {
       val out = fs.create(new org.apache.hadoop.fs.Path(dirC, "_graft_swap_manifest"), true)
       out.write(touched.mkString(",").getBytes("UTF-8"))
       out.close()
+      // non-destructive read over the crash state, then explicit recovery
       val served = GraphDedup
         .readClusterMap(spark, dirC)
         .collect()
         .map(r => r.getAs[Long]("node") -> r.getAs[Long]("cluster_id"))
         .toMap
       assert(served == expected, s"seed $seed touched=$touched")
+      GraphDedup.recoverClusterMap(spark, dirC)
+      val recovered = GraphDedup
+        .readClusterMap(spark, dirC)
+        .collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("cluster_id"))
+        .toMap
+      assert(recovered == expected, s"seed $seed post-recovery")
     }
   }
 
@@ -356,6 +430,43 @@ class GraphDedupSpec extends SparkSpec {
       GraphDedup.maintainClusterMap(spark, dir, Seq((51L, 52L)).toDF("src", "dst"), nBuckets = 4)
     }
     assert(e.getMessage.contains("layout"), e.getMessage)
+    // a TOO-LARGE legacy count passes the dir-name bound (every dir id
+    // < 16) but probes with the wrong modulus — the empirical sample
+    // check must reject it, not corrupt silently
+    val e2 = intercept[IllegalArgumentException] {
+      GraphDedup.maintainClusterMap(spark, dir, Seq((51L, 52L)).toDF("src", "dst"), nBuckets = 16)
+    }
+    assert(e2.getMessage.contains("rebucket"), e2.getMessage)
+    // the CORRECT legacy count passes the empirical check, heals the
+    // layout file, and the cycle applies
+    GraphDedup.maintainClusterMap(spark, dir, Seq((51L, 52L)).toDF("src", "dst"), nBuckets = 8)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "_graft_layout")), "verified legacy map must be healed")
+    val served2 = GraphDedup
+      .readClusterMap(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    assert(served2 == cc(day0 ++ Seq((50L, 51L), (51L, 52L))))
+  }
+
+  test("persisted map: a legacy map WITHOUT the cluster index falls back to the scan relabel") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cc_map_noindex").toString
+    val dir = base + "/map"
+    val day0 = (1L to 20L).map(i => (i, i + 1)) ++ Seq((100L, 101L), (110L, 111L))
+    GraphDedup.saveClusterMap(GraphDedup.connectedComponents(day0.toDF("src", "dst")), dir, 8)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(dir + "/_graft_byroot"), true)
+    // merge + extend still equals full CC via the full-scan relabel;
+    // no index is (re)created behind the map's back
+    val day1 = Seq((101L, 110L), (111L, 300L))
+    GraphDedup.maintainClusterMap(spark, dir, day1.toDF("src", "dst"), 8)
+    val served = GraphDedup
+      .readClusterMap(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    assert(served == cc(day0 ++ day1))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "/_graft_byroot")))
   }
 
   test("persisted map: INT-typed edge ids are cast to the map's node type before hashing") {
@@ -401,6 +512,8 @@ class GraphDedupSpec extends SparkSpec {
         .map(r => r.getAs[Long]("node") -> r.getAs[Long]("cluster_id"))
         .toMap
       assert(served == cc(edges), s"seed $seed")
+      // across arbitrary merge histories the cluster index never drifts
+      assertIndexConsistent(dir)
     }
   }
 

@@ -113,14 +113,18 @@ class StreamingIngestSpec extends SparkSpec {
     val mem = MemoryStream[(Long, String)]
     val df = mem.toDF().toDF("doc_id", "text")
     val q = StreamingIngest.nearDupFlagsStream(df, "doc_id", "text", idx, out, ckpt, minMatches = 4)
-    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    // Snapshot RDD *ids*, not the global count: the async ContextCleaner may GC
+    // earlier suites' localCheckpointed RDDs mid-test (count DROPS, which a size
+    // equality misreads as failure). A leak means NEW ids survive; set-difference
+    // is immune to concurrent removals.
+    val idsBefore = spark.sparkContext.getPersistentRDDs.keySet
     mem.addData(slice(1): _*)
     q.processAllAvailable()
     mem.addData(slice(3): _*)
     q.processAllAvailable()
-    val cachedAfter = spark.sparkContext.getPersistentRDDs.size
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- idsBefore
     q.stop()
-    assert(cachedAfter == cachedBefore, "each micro-batch must unpersist its increment signatures")
+    assert(leaked.isEmpty, s"each micro-batch must unpersist its increment signatures; leaked RDD ids: $leaked")
     val flags = spark.read.parquet(out).collect()
     assert(flags.nonEmpty)
     // batch 1 probed an EMPTY index: its flags are increment-route only
