@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over an embedding column (`Array[Float]`) — the
@@ -585,11 +585,25 @@ object Similarity {
     def codes: Int = codebooks.head.length
   }
 
-  private def arrayLit(xs: Array[Double]): String =
-    "array(" + xs.map(x => s"CAST('$x' AS DOUBLE)").mkString(",") + ")"
+  /** Typed literal Columns for the PQ driver metadata (codebooks,
+    * centroid tables, ADC LUTs). One `Literal` node of `array<...>`
+    * type, NOT values rendered as SQL text: at production PQ shape
+    * (m=16, codes=256, dim 768) the text form
+    * (`array(array(CAST('…' AS DOUBLE),…),…)`) is hundreds of KB of
+    * expression tree re-parsed and re-analyzed on EVERY query and
+    * carried in every task's serialized plan — the typed Literal is
+    * built once, optimizes to the same folded constant, and
+    * serializes as packed values. SQL fragments reference these via
+    * a `_graft_*` helper column (CollapseProject inlines the Literal
+    * into the consuming expression).
+    */
+  private def arrayCol(xs: Array[Double]): Column = typedLit(xs.toSeq)
 
-  private def nestedArrayLit(a: Array[Array[Double]]): String =
-    "array(" + a.map(arrayLit).mkString(",") + ")"
+  private def nestedArrayCol(a: Array[Array[Double]]): Column =
+    typedLit(a.map(_.toSeq).toSeq)
+
+  private def codebooksCol(a: Array[Array[Array[Double]]]): Column =
+    typedLit(a.map(_.map(_.toSeq).toSeq).toSeq)
 
   /** Train the PQ codebooks: one seeded bounded-iteration KMeans per
     * subspace, every fit over the SAME deterministic hash-sample of
@@ -633,21 +647,21 @@ object Similarity {
     * tie-break — one codegen'd projection against the constant-folded
     * codebook literal, no UDF, no shuffle.
     */
-  private def pqEncodeCols(df: DataFrame, model: PqModel): DataFrame = {
-    val cbLit = "array(" + model.codebooks.map(nestedArrayLit).mkString(",") + ")"
+  private def pqEncodeCols(df: DataFrame, model: PqModel): DataFrame =
     df
+      .withColumn("_graft_cb", codebooksCol(model.codebooks))
       .withColumn("vnorm", expr(s"round($normV, 9)"))
       .withColumn(
         "pq",
         expr(
           s"transform(transform(sequence(0, ${model.m - 1}), s -> " +
-            s"transform(element_at($cbLit, s + 1), c -> " +
+            s"transform(element_at(_graft_cb, s + 1), c -> " +
             s"aggregate(zip_with(slice(v, s * ${model.subDim} + 1, ${model.subDim}), c, " +
             s"(x, y) -> (x - y) * (x - y)), 0D, (a, b) -> a + b))), " +
             s"ds -> CAST(array_position(ds, array_min(ds)) - 1 AS INT))"
         )
       )
-  }
+      .drop("_graft_cb")
 
   def pqEncode(emb: DataFrame, model: PqModel): DataFrame = pqEncodeCols(withVec(emb), model)
 
@@ -711,17 +725,18 @@ object Similarity {
       cents.map(_._1).toSeq == cents.indices.toSeq,
       s"centroid table of $dir is not densely list-indexed"
     )
-    val centLit = nestedArrayLit(cents.map(_._2))
     val assigned = withVec(newVecs)
+      .withColumn("_graft_cents", nestedArrayCol(cents.map(_._2)))
       .withColumn(
         "list_id",
         expr(
-          s"CAST(array_position(transform($centLit, c -> " +
+          s"CAST(array_position(transform(_graft_cents, c -> " +
             s"aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0D, (a, b) -> a + b)), " +
-            s"array_min(transform($centLit, c -> " +
+            s"array_min(transform(_graft_cents, c -> " +
             s"aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0D, (a, b) -> a + b)))) - 1 AS INT)"
         )
       )
+      .drop("_graft_cents")
     pqEncodeCols(assigned, pq)
       .select(col("vec_id"), col("label"), col("pq"), col("vnorm"), col("list_id"))
       .repartition(col("list_id"))
@@ -786,15 +801,15 @@ object Similarity {
       d
     }
     val qnorm = math.sqrt(qv.map(x => x * x).sum)
-    val lutLit = nestedArrayLit(lut)
     val scanned = spark.read
       .parquet(s"$dir/assignments")
       .filter(col("list_id").isin(probeLists.toSeq: _*))
+      .withColumn("_graft_lut", nestedArrayCol(lut))
       .withColumn(
         "adc_dot",
         expr(
           s"aggregate(transform(sequence(0, ${pq.m - 1}), s -> " +
-            s"element_at(element_at($lutLit, s + 1), element_at(pq, s + 1) + 1)), 0D, (a, b) -> a + b)"
+            s"element_at(element_at(_graft_lut, s + 1), element_at(pq, s + 1) + 1)), 0D, (a, b) -> a + b)"
         )
       )
       .withColumn(
@@ -802,6 +817,7 @@ object Similarity {
         when(col("vnorm") === 0d || lit(qnorm) === 0d, 0d)
           .otherwise(round(col("adc_dot") / (col("vnorm") * lit(qnorm)), 6))
       )
+      .drop("_graft_lut")
     rerank match {
       case None =>
         scanned
@@ -814,7 +830,7 @@ object Similarity {
           .orderBy(desc("adc_cos"), asc("vec_id"))
           .limit(shortlist)
           .select(col("vec_id"), col("label"), col("list_id"))
-        val q = spark.range(1).select(expr(arrayLit(qv)).as("qv"))
+        val q = spark.range(1).select(arrayCol(qv).as("qv"))
         cand
           .join(withVec(emb).select(col("vec_id"), col("v")), Seq("vec_id"))
           .crossJoin(broadcast(q))
@@ -848,7 +864,6 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(spark)
     val pq = readPqModel(spark, dir)
-    val cbLit = "array(" + pq.codebooks.map(nestedArrayLit).mkString(",") + ")"
     val cents = spark.read.parquet(s"$dir/centroids")
     val probes = queries
       .crossJoin(broadcast(cents))
@@ -869,15 +884,17 @@ object Similarity {
       // defect class). AQE broadcasts it when it is actually small;
       // past that the join shuffles on list_id, AQE-skew-safe.
       .join(probes, Seq("list_id"))
+      .withColumn("_graft_cb", codebooksCol(pq.codebooks))
       .withColumn(
         "adc_dot",
         expr(
           s"aggregate(transform(sequence(0, ${pq.m - 1}), s -> " +
             s"aggregate(zip_with(slice(qv, s * ${pq.subDim} + 1, ${pq.subDim}), " +
-            s"element_at(element_at($cbLit, s + 1), element_at(pq, s + 1) + 1), " +
+            s"element_at(element_at(_graft_cb, s + 1), element_at(pq, s + 1) + 1), " +
             s"(x, y) -> x * y), 0D, (a, b) -> a + b)), 0D, (a, b) -> a + b)"
         )
       )
+      .drop("_graft_cb")
       .withColumn("qnorm", expr("sqrt(aggregate(qv, 0D, (a, x) -> a + x * x))"))
       .withColumn(
         "adc_cos",
@@ -938,18 +955,19 @@ object Similarity {
   val pqQuality: Q = (s, d) => {
     val dir = demoPqIndex(s, d)
     val pq = readPqModel(s, dir)
-    val cbLit = "array(" + pq.codebooks.map(nestedArrayLit).mkString(",") + ")"
     s.read
       .parquet(s"$dir/assignments")
       .select(col("vec_id"), col("label"), col("pq"))
       .join(withVec(embeddings(s, d)).select(col("vec_id"), col("v")), Seq("vec_id"))
+      .withColumn("_graft_cb", codebooksCol(pq.codebooks))
       .withColumn(
         "recon",
         expr(
           s"flatten(transform(sequence(0, ${pq.m - 1}), s -> " +
-            s"element_at(element_at($cbLit, s + 1), element_at(pq, s + 1) + 1)))"
+            s"element_at(element_at(_graft_cb, s + 1), element_at(pq, s + 1) + 1)))"
         )
       )
+      .drop("_graft_cb")
       .withColumn(
         "err_micro",
         expr(
