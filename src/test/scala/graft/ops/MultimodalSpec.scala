@@ -29,6 +29,60 @@ class MultimodalSpec extends SparkSpec {
     assert(rows(1).n_frames == 1)
   }
 
+  test("ImageIoDecoder recovers real PNG dimensions, channels and frame count") {
+    val png = syntheticPng(47, 23, seed = 5L)
+    // genuine PNG container: magic bytes present
+    assert((png(0) & 0xff) == 0x89 && png(1) == 'P' && png(2) == 'N' && png(3) == 'G')
+    val m = ImageIoDecoder.decode(png)
+    assert(m.width == 47 && m.height == 23)
+    assert(m.feature(0) == 3.0f) // TYPE_3BYTE_BGR -> 3 components
+    assert(m.nFrames == 1)
+    assert(m.feature(1) == png.length.toFloat)
+  }
+
+  test("ImageIoDecoder recovers JPEG dimensions from the SOF header") {
+    val img = new java.awt.image.BufferedImage(31, 9, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val m = ImageIoDecoder.decode(bos.toByteArray)
+    assert(m.width == 31 && m.height == 9 && m.feature(0) == 3.0f)
+  }
+
+  test("decode is header-only: a pixel-data-truncated PNG still yields its dimensions") {
+    // PNG layout: 8-byte signature + IHDR chunk (dims at fixed offsets);
+    // cutting everything past 64 bytes removes the IDAT pixel stream.
+    // Header-only metadata access is the 100 TB property: cost per row
+    // must be O(header), not O(pixels).
+    val full = syntheticPng(200, 100, seed = 1L)
+    assert(full.length > 64)
+    val truncated = full.take(64)
+    val m = ImageIoDecoder.decode(truncated)
+    assert(m.width == 200 && m.height == 100)
+  }
+
+  test("ImageIoDecoder refuses a payload no reader recognizes") {
+    intercept[IllegalArgumentException] {
+      ImageIoDecoder.decode("not an image at all".getBytes("UTF-8"))
+    }
+  }
+
+  test("decodeFeatures with the real decoder through the mapPartitions seam") {
+    val media = Seq(
+      MediaRow(1L, syntheticPng(20, 10, seed = 1L)),
+      MediaRow(2L, syntheticPng(33, 7, seed = 2L))
+    ).toDS()
+    val rows = decodeFeatures(media, ImageIoDecoder).collect().sortBy(_.doc_id)
+    assert(rows(0).width == 20 && rows(0).height == 10 && rows(0).feat_mean == 3.0f)
+    assert(rows(1).width == 33 && rows(1).height == 7)
+  }
+
+  test("resizeTo composes with the real decoder") {
+    val media = Seq(MediaRow(1L, syntheticPng(200, 100, seed = 3L))).toDS()
+    val out = resizeTo(media, ImageIoDecoder, maxW = 64, maxH = 64).collect()
+    assert(out(0).width == 200 && out(0).height == 100)
+    assert(out(0).out_width == 64 && out(0).out_height == 32)
+  }
+
   test("resizeTo fits into the box aspect-preserving, never upscales") {
     // StubDecoder: width = 16+b0, height = 16+b1
     val media = Seq(
