@@ -57,6 +57,22 @@ object Paragraphs {
     s"list_transform(generate_series(0, CAST(ceil(len($w) / $chunk.0) AS INT) - 1), " +
       s"i -> array_to_string($w[(i * $chunk + 1):(i * $chunk + $chunk)], ' '))"
 
+  /** The paragraph array for a segmenter, as a Column over a row with
+    * `text` (and, for WordChunks, the split-words column `w`) bound —
+    * shared with Pipeline so the composed stages segment bit-
+    * identically to the standalone operators.
+    */
+  private[graft] def parasColumn(seg: Segmenter): org.apache.spark.sql.Column = seg match {
+    case Segmenter.Delimiter(p, _) =>
+      // the pattern rides the Column API as a plain string argument,
+      // never interpolated into SQL text — a quote or any other
+      // metacharacter in the caller's regex cannot break parsing or
+      // inject expressions
+      filter(split(col("text"), p), s => s =!= "")
+    case Segmenter.WordChunks(k) =>
+      expr(chunksExprSqlK(k))
+  }
+
   /** (doc_id, text, w, paras): the segmentation bound ONCE per row so
     * downstream expressions never re-split the text.
     */
@@ -65,21 +81,11 @@ object Paragraphs {
       idCol: String,
       textCol: String,
       seg: Segmenter
-  ): DataFrame = {
-    val base = docs
+  ): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .withColumn("w", split(col("text"), " "))
-    seg match {
-      case Segmenter.Delimiter(p, _) =>
-        // the pattern rides the Column API as a plain string argument,
-        // never interpolated into SQL text — a quote or any other
-        // metacharacter in the caller's regex cannot break parsing or
-        // inject expressions
-        base.withColumn("paras", filter(split(col("text"), p), s => s =!= ""))
-      case Segmenter.WordChunks(k) =>
-        base.withColumn("paras", expr(chunksExprSqlK(k)))
-    }
-  }
+      .withColumn("paras", parasColumn(seg))
 
   /** (doc_id, para_idx, para): documents exploded into paragraphs,
     * index preserved so the surviving text can be reassembled in

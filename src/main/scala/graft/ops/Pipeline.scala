@@ -130,8 +130,19 @@ object Pipeline {
     * stage's survivor set to the lake (stage outputs are the restart
     * points and audit artifacts), never one 7-deep lazy plan. Pass
     * `materialize = false` for the pure composition (plan inspection).
+    *
+    * `seg` picks how the repetition rule and the paragraph-dedup stage
+    * see "lines"/"paragraphs": the public default is blank-line blocks
+    * ([[Paragraphs.Segmenter.Delimiter]] — the MassiveText semantics a
+    * real crawl needs); the newline-free fixture corpus passes
+    * [[Paragraphs.Segmenter.WordChunks]] explicitly (the gated
+    * `pipeline_full` query, so its oracle is unchanged).
     */
-  def stagesFull(docs: DataFrame, materialize: Boolean = true): FullStages = {
+  def stagesFull(
+      docs: DataFrame,
+      materialize: Boolean = true,
+      seg: Paragraphs.Segmenter = Paragraphs.Segmenter.Delimiter()
+  ): FullStages = {
     def pin(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint(true) else df
     // stage 1 — stats quality: bit-identical to TextAnalysis.textStats
     // (pinned like the rest: the stopword-lambda projection is
@@ -150,7 +161,7 @@ object Pipeline {
     val repKept = pin(flagged
       .filter(col("quality_pass"))
       .withColumn("w", col("toks"))
-      .withColumn("paras", expr(Paragraphs.chunksExprSql))
+      .withColumn("paras", Paragraphs.parasColumn(seg))
       .withColumn("n_lines", size(col("paras")).cast("bigint"))
       .withColumn("n_distinct_lines", size(array_distinct(col("paras"))).cast("bigint"))
       .filter((col("n_lines") - col("n_distinct_lines")) * 10 <= col("n_lines") * 3)
@@ -169,14 +180,13 @@ object Pipeline {
       .select(col("doc_b").as("doc_id"))
       .distinct()
     val nearKept = pin(exactKept.join(dropIds, Seq("doc_id"), "left_anti"))
-    // stage 5 — paragraph dedup: keep-earliest, text rewritten (the
-    // fixture-honest WordChunks segmenter, same as dedup_paragraph)
+    // stage 5 — paragraph dedup: keep-earliest, text rewritten with
+    // the caller's segmenter (same machinery as dedup_paragraph)
     val paraKept = pin(nearKept
       .select("doc_id", "lang")
       .join(
         Paragraphs
-          .paragraphDedup(nearKept.select(col("doc_id"), col("text")), "doc_id", "text",
-            Paragraphs.Segmenter.WordChunks())
+          .paragraphDedup(nearKept.select(col("doc_id"), col("text")), "doc_id", "text", seg)
           .filter(col("n_kept") > 0)
           .select(col("doc_id"), col("kept_text").as("text")),
         Seq("doc_id")
@@ -200,7 +210,7 @@ object Pipeline {
 
   /** Per-language accounting across all seven stages. */
   val pipelineFull: Q = (s, d) => {
-    val st = stagesFull(documents(s, d))
+    val st = stagesFull(documents(s, d), seg = Paragraphs.Segmenter.WordChunks())
     def perLang(df: DataFrame, name: String): DataFrame =
       df.groupBy(col("lang")).agg(count(lit(1)).cast("bigint").as(name))
     st.flagged
@@ -245,8 +255,16 @@ object Pipeline {
     * composition surface: curriculum re-partitions by shard right
     * after, so a doc_id sort in between is pure wasted exchange work.
     */
-  private def qualityFeaturesCore(s: SparkSession, d: String): DataFrame = {
-    val base = documents(s, d)
+  private def qualityFeaturesCore(s: SparkSession, d: String): DataFrame =
+    qualityScores(documents(s, d))
+
+  /** [[qualityFeaturesCore]] over ANY (doc_id, lang, text) frame — the
+    * refinery's curriculum-delivery hook scores whatever corpus it is
+    * refining (the unigram LM is fit on that same corpus, exactly like
+    * the standalone query fits on the fixture).
+    */
+  private[graft] def qualityScores(docs: DataFrame): DataFrame = {
+    val base = docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", size(col("toks")).cast("bigint"))
       .withColumn(
@@ -261,7 +279,7 @@ object Pipeline {
       .withColumn("dup_line_micro", expr("(n_lines - n_distinct_lines) * 1000000 div n_lines"))
       .select("doc_id", "lang", "n_tokens", "stop_pct", "dup_line_micro")
     base
-      .join(CorpusStats.docUnigramNll(documents(s, d)).select("doc_id", "avg_nll_micro"), "doc_id")
+      .join(CorpusStats.docUnigramNll(docs).select("doc_id", "avg_nll_micro"), "doc_id")
       .withColumn(
         "quality_pass",
         when(col("n_tokens") >= 20 && col("stop_pct").between(2, 60), 1L).otherwise(0L)

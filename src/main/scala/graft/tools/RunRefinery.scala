@@ -1,11 +1,12 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.Paragraphs.Segmenter
 
 /** CLI entry point for the CORPUS REFINERY: run the seven-stage
-  * pipeline over a documents table and write the lake layout a real
-  * training-data job leaves behind —
+  * pipeline over ANY (doc_id, lang, text) parquet corpus and write the
+  * lake layout a real training-data job leaves behind —
   *
   *   <out>/stages/<stage>/      survivor checkpoints per stage (the
   *                              restart points and audit artifacts the
@@ -14,19 +15,44 @@ import org.apache.spark.sql.functions._
   *   <out>/delivery/            the mixture survivors routed to
   *                              training shards (partitioned by
   *                              shard, each shard's rows in the
-  *                              deterministic corpus-shuffle order)
+  *                              deterministic corpus-shuffle order —
+  *                              or quality-descending CURRICULUM order
+  *                              with `curriculum = true`)
   *   <out>/accounting/          the per-language stage accounting
   *   <out>/manifest/            per-shard doc/token counts + xor
   *                              membership digests
   *
-  * Usage: runMain graft.tools.RunRefinery <sfDir> <outDir> [nShards]
+  * Usage:
+  *   runMain graft.tools.RunRefinery <docs> <outDir> [nShards] [flags…]
+  *
+  * `<docs>` is either a parquet path with (doc_id, lang, text) columns
+  * or a fixture sf dir (its `documents.parquet` is used). Flags:
+  * `wordchunks` picks the fixed-k segmenter (fixture corpora without
+  * newlines); default is blank-line paragraphs. `curriculum` orders
+  * each delivery shard by quality score (descending) instead of the
+  * shuffle draw.
   */
 object RunRefinery {
   final case class Layout(stages: Map[String, Long], delivered: Long, shards: Long)
 
-  def run(spark: SparkSession, sfDir: String, outDir: String, nShards: Int): Layout = {
-    val docs = graft.ops.Fixtures.documents(spark, sfDir)
-    val st = graft.ops.Pipeline.stagesFull(docs)
+  /** Resolve a CLI corpus argument: a fixture sf dir (containing
+    * `documents.parquet`) or a direct parquet path.
+    */
+  def resolveDocs(spark: SparkSession, path: String): DataFrame =
+    if (new java.io.File(s"$path/documents.parquet").exists())
+      graft.ops.Fixtures.documents(spark, path)
+    else
+      spark.read.parquet(path).select("doc_id", "lang", "text")
+
+  def run(
+      spark: SparkSession,
+      docs: DataFrame,
+      outDir: String,
+      nShards: Int,
+      seg: Segmenter = Segmenter.Delimiter(),
+      curriculum: Boolean = false
+  ): Layout = {
+    val st = graft.ops.Pipeline.stagesFull(docs, seg = seg)
     val stages = Seq(
       "repetition" -> st.repKept,
       "exact" -> st.exactKept,
@@ -42,24 +68,36 @@ object RunRefinery {
         .parquet(s"$outDir/stages/$name")
       name -> spark.read.parquet(s"$outDir/stages/$name").count()
     }.toMap
-    // delivery: shard routing + within-shard deterministic shuffle
-    // order, written partitioned by shard with rows pre-sorted — a
-    // reader streaming a shard's files gets a reproducible epoch
-    val delivered = graft.ops.Packing
+    // delivery: shard routing + a deterministic within-shard order —
+    // the corpus-shuffle draw (reproducible epochs) or, in curriculum
+    // mode, the quality score of the ORIGINAL documents (easy-first /
+    // hard-last readers slice the shard by position). Both sorts lead
+    // with the shard column: the parquet writer needs rows grouped by
+    // the partition column and would otherwise inject its own
+    // NON-stable sort on shard, destroying the in-shard order.
+    val routed = graft.ops.Packing
       .shardAssign(st.mixKept.select("doc_id", "lang", "text"), "doc_id", nShards)
-      .withColumn(
-        "draw",
-        conv(
-          substring(md5(concat(lit("shuf|"), col("doc_id").cast("string")).cast("binary")), 1, 12),
-          16,
-          10
-        ).cast("long")
-      )
-      // shard-first sort: the parquet writer needs rows grouped by the
-      // partition column and would otherwise inject its own NON-stable
-      // sort on shard, destroying the draw order inside each shard
-      .repartition(col("shard"))
-      .sortWithinPartitions(col("shard"), col("draw"), col("doc_id"))
+    val delivered =
+      if (curriculum)
+        routed
+          .join(
+            graft.ops.Pipeline.qualityScores(docs).select(col("doc_id"), col("score_micro")),
+            Seq("doc_id")
+          )
+          .repartition(col("shard"))
+          .sortWithinPartitions(col("shard"), col("score_micro").desc, col("doc_id"))
+      else
+        routed
+          .withColumn(
+            "draw",
+            conv(
+              substring(md5(concat(lit("shuf|"), col("doc_id").cast("string")).cast("binary")), 1, 12),
+              16,
+              10
+            ).cast("long")
+          )
+          .repartition(col("shard"))
+          .sortWithinPartitions(col("shard"), col("draw"), col("doc_id"))
     delivered.write.mode("overwrite").partitionBy("shard").parquet(s"$outDir/delivery")
     // accounting straight from the materialized stage frames — the
     // gated pipeline_full query recomputes the chain for its oracle,
@@ -109,9 +147,12 @@ object RunRefinery {
   }
 
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val docsArg = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_refinery"
     val nShards = if (args.length > 2) args(2).toInt else 8
+    val flags = args.drop(3).map(_.toLowerCase).toSet
+    val seg: Segmenter =
+      if (flags.contains("wordchunks")) Segmenter.WordChunks() else Segmenter.Delimiter()
     val spark = graft.ops.Fixtures
       .sessionBuilder(
         s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]",
@@ -119,7 +160,8 @@ object RunRefinery {
       )
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val layout = run(spark, sfDir, outDir, nShards)
+    val layout =
+      run(spark, resolveDocs(spark, docsArg), outDir, nShards, seg, flags.contains("curriculum"))
     layout.stages.toSeq.sortBy(_._1).foreach { case (n, c) => println(f"stage $n%-12s $c%8d docs") }
     println(s"delivered ${layout.delivered} docs across ${layout.shards} shards -> $outDir")
     spark.stop()

@@ -47,7 +47,7 @@ class PipelineSpec extends SparkSpec {
     val crafted = Seq((900001L, loop.trim, "en", "src0", loop.trim.length.toLong))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val docs = Fixtures.documents(spark, sfDir).unionByName(crafted)
-    val st = Pipeline.stagesFull(docs)
+    val st = Pipeline.stagesFull(docs, seg = Paragraphs.Segmenter.WordChunks())
     val nQuality = st.flagged.filter(col("quality_pass")).count()
     val nRep = st.repKept.count()
     val nExact = st.exactKept.count()
@@ -101,7 +101,7 @@ class PipelineSpec extends SparkSpec {
       (910003L, s"${head("C")} $run", "en", "s", 0L),
       (910004L, s"${head("D")} off0 $run", "en", "s", 0L)
     ).toDF("doc_id", "text", "lang", "source", "n_chars")
-    val st = Pipeline.stagesFull(docs)
+    val st = Pipeline.stagesFull(docs, seg = Paragraphs.Segmenter.WordChunks())
     assert(st.nearKept.count() == 4L, "crafted docs must pass quality and doc-level dedup")
     val para = st.paraKept.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
     // 910001 keeps the shared line (earliest); 910002 loses exactly it
