@@ -137,11 +137,16 @@ object Pipeline {
     * real crawl needs); the newline-free fixture corpus passes
     * [[Paragraphs.Segmenter.WordChunks]] explicitly (the gated
     * `pipeline_full` query, so its oracle is unchanged).
+    *
+    * `spanPasses` > 1 iterates stage 6 to a fixed point
+    * ([[Spans.spanRemovalToFixedPoint]]); the default 1 keeps the
+    * single-pass semantics the oracle pins.
     */
   def stagesFull(
       docs: DataFrame,
       materialize: Boolean = true,
-      seg: Paragraphs.Segmenter = Paragraphs.Segmenter.Delimiter()
+      seg: Paragraphs.Segmenter = Paragraphs.Segmenter.Delimiter(),
+      spanPasses: Int = 1
   ): FullStages = {
     def pin(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint(true) else df
     // stage 1 — stats quality: bit-identical to TextAnalysis.textStats
@@ -192,12 +197,21 @@ object Pipeline {
         Seq("doc_id")
       ))
     // stage 6 — span removal: flagged k-word spans cut from the
-    // paragraph-deduped text, fully-cut docs drop out
+    // paragraph-deduped text, fully-cut docs drop out. spanPasses > 1
+    // iterates the cut to a fixed point (cut boundaries can mint new
+    // duplicated windows); the default single pass is Lee et al.'s
+    // semantics and what the gated oracle pins.
+    val spanCut =
+      if (spanPasses <= 1) Spans.spanRemoval(paraKept, "doc_id", "text")
+      else
+        Spans
+          .spanRemovalToFixedPoint(paraKept, "doc_id", "text", maxPasses = spanPasses,
+            materialize = materialize)
+          .cleaned
     val spanKept = pin(paraKept
       .select("doc_id", "lang")
       .join(
-        Spans
-          .spanRemoval(paraKept, "doc_id", "text")
+        spanCut
           .filter(length(col("clean_text")) > 0)
           .select(col("doc_id"), col("clean_text").as("text")),
         Seq("doc_id")

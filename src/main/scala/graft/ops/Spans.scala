@@ -118,6 +118,79 @@ object Spans {
     cutFlagged(docs, idCol, textCol, digests.join(dup, Seq("dig"), "left_semi"), spanWords)
   }
 
+  /** One fixed-point pass's accounting: documents that lost words and
+    * how many words were cut in that pass.
+    */
+  final case class SpanPass(pass: Int, docs_cut: Long, words_removed: Long)
+
+  /** [[spanRemoval]]'s per-pass result plus whether the corpus reached
+    * a state with no duplicated spans within `maxPasses`.
+    */
+  final case class FixedPointResult(cleaned: DataFrame, passes: Seq[SpanPass], converged: Boolean)
+
+  /** Span removal iterated to a FIXED POINT: cutting a span splices
+    * its neighbors together, which can mint brand-new duplicated
+    * k-windows across the cut boundary — single-pass semantics (Lee et
+    * al.'s choice, and [[spanRemoval]]'s default) accept those; this
+    * variant re-runs the cut until a pass removes nothing or
+    * `maxPasses` is hit, with per-pass accounting so the caller sees
+    * the convergence trajectory.
+    *
+    * Scale shape: each pass is the full [[spanRemoval]] machinery
+    * (digest shuffle + linear interval cut) over the SHRINKING corpus,
+    * materialized before the next pass — k passes cost at most k scans
+    * of ever-smaller data, never one k-deep lazy plan (the pipeline
+    * materialization contract). Convergence is detected from a
+    * two-long aggregate, not a collect. The returned frame carries
+    * [[spanRemoval]]'s exact schema with accounting relative to the
+    * ORIGINAL text, so it drops into the same pipeline seam.
+    */
+  def spanRemovalToFixedPoint(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      spanWords: Int = k,
+      maxPasses: Int = 4,
+      materialize: Boolean = true
+  ): FixedPointResult = {
+    require(maxPasses >= 1, s"maxPasses must be >= 1, got $maxPasses")
+    def pin(df: DataFrame): DataFrame = if (materialize) df.localCheckpoint(true) else df
+    val orig = pin(docs.select(col(idCol).as("doc_id"), col(textCol).as("text")))
+    var current = orig
+    val passes = scala.collection.mutable.ArrayBuffer.empty[SpanPass]
+    var converged = false
+    var pass = 1
+    while (!converged && pass <= maxPasses) {
+      val cut = pin(spanRemoval(current, "doc_id", "text", spanWords))
+      val agg = cut
+        .agg(
+          sum(when(col("n_words_removed") > 0, 1L).otherwise(0L)).cast("long").as("docs_cut"),
+          sum(col("n_words_removed")).cast("long").as("words_removed")
+        )
+        .head()
+      val wordsRemoved = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+      if (wordsRemoved == 0L) converged = true
+      else {
+        passes += SpanPass(pass, agg.getLong(0), wordsRemoved)
+        current = pin(cut.select(col("doc_id"), col("clean_text").as("text")))
+        pass += 1
+      }
+    }
+    val cleaned = orig
+      .join(current.select(col("doc_id"), col("text").as("clean_text")), Seq("doc_id"))
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("cw", when(col("clean_text") === "", expr("array()").cast("array<string>"))
+        .otherwise(split(col("clean_text"), " ")))
+      .select(
+        col("doc_id"),
+        col("clean_text"),
+        size(col("w")).cast("bigint").as("n_words"),
+        (size(col("w")) - size(col("cw"))).cast("bigint").as("n_words_removed"),
+        (length(col("text")) - length(col("clean_text"))).cast("bigint").as("chars_removed")
+      )
+    FixedPointResult(cleaned, passes.toSeq, converged)
+  }
+
   /** BENCHMARK span removal — decontamination's REMEDY operator: cut
     * every n-word span of a training document whose digest appears in
     * the benchmark set, instead of dropping the whole document

@@ -227,6 +227,67 @@ class SafetySpansSpec extends SparkSpec {
     }
   }
 
+  test("spanRemovalToFixedPoint converges on crafted cut-boundary adjacencies single-pass misses") {
+    import spark.implicits._
+    // Doc A self-repeats 5 Ms: the three "M M M" windows flag the run,
+    // pass 1 splices "p q | r s t" together. Only THEN does A contain
+    // the window "p q r" — which doc C carried all along. Pass 2 cuts
+    // it from both. No pass-1 window of A or C is shared (pinned below).
+    val docs = Seq(
+      (1L, "p q M M M M M r s t"),
+      (2L, "z1 z2 p q r z3 z4")
+    ).toDF("doc_id", "text")
+    // single-pass semantics: the Ms go, the cross-boundary "p q r"
+    // duplication is created and left in place
+    val single = Spans
+      .spanRemoval(docs, "doc_id", "text", spanWords = 3)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("clean_text"))
+      .toMap
+    assert(single(1L) == "p q r s t" && single(2L) == "z1 z2 p q r z3 z4")
+    val res = Spans.spanRemovalToFixedPoint(docs, "doc_id", "text", spanWords = 3, maxPasses = 5)
+    assert(res.converged, "crafted corpus must reach the fixed point")
+    assert(res.passes.map(p => (p.pass, p.docs_cut, p.words_removed)) == Seq((1, 1L, 5L), (2, 2L, 6L)))
+    val fin = res.cleaned
+      .collect()
+      .map(r =>
+        r.getAs[Long]("doc_id") ->
+          ((r.getAs[String]("clean_text"), r.getAs[Long]("n_words_removed"), r.getAs[Long]("n_words")))
+      )
+      .toMap
+    // accounting is vs the ORIGINAL text across all passes
+    assert(fin(1L) == (("s t", 8L, 10L)))
+    assert(fin(2L) == (("z1 z2 z3 z4", 3L, 7L)))
+    // a clean corpus converges in zero passes and is returned intact
+    val clean = Seq((9L, "all these words occur exactly once here")).toDF("doc_id", "text")
+    val noop = Spans.spanRemovalToFixedPoint(clean, "doc_id", "text", spanWords = 3, maxPasses = 2)
+    assert(noop.converged && noop.passes.isEmpty)
+    assert(noop.cleaned.head().getAs[String]("clean_text") == "all these words occur exactly once here")
+    // maxPasses caps the loop and reports non-convergence honestly
+    val capped = Spans.spanRemovalToFixedPoint(docs, "doc_id", "text", spanWords = 3, maxPasses = 1)
+    assert(!capped.converged && capped.passes.size == 1)
+    val cappedA = capped.cleaned.filter(col("doc_id") === 1L).head()
+    assert(cappedA.getAs[String]("clean_text") == "p q r s t")
+  }
+
+  test("stagesFull spanPasses option iterates stage 6 without changing the default") {
+    import spark.implicits._
+    // survivors of stages 1-5 are the same corpus both ways; only the
+    // span stage differs. Crafted docs pass quality (>= 20 tokens,
+    // stopword ratio in band) and share nothing at the doc level.
+    def pad(tag: String) =
+      s"the $tag one and a $tag two of $tag three in $tag four to $tag five $tag six $tag seven"
+    val docs = Seq(
+      (1L, s"${pad("aa")} p q M M M M M r s t", "en", "s", 0L),
+      (2L, s"${pad("bb")} z1 z2 p q r z3 z4", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val one = Pipeline.stagesFull(docs, seg = Paragraphs.Segmenter.WordChunks())
+    val fp = Pipeline.stagesFull(docs, seg = Paragraphs.Segmenter.WordChunks(), spanPasses = 5)
+    // k=20 spans: neither corpus has 20-word duplicated windows, so
+    // both routes keep both docs — the option is a pass-through here
+    assert(one.spanKept.count() == 2L && fp.spanKept.count() == 2L)
+  }
+
   test("spanRemoval plans no window and no quadratic fold") {
     val plan = Spans
       .spanRemovalQ(spark, "/root/testdata/sf0.001")
