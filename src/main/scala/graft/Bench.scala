@@ -111,6 +111,8 @@ object Bench {
       "dedup_incremental_embedding" -> "first_run",
       "ann_ivf_topk_index" -> "first_run",
       "ann_pq_knn_join" -> "first_run",
+      // builds its own two-generation drifted index (build + append)
+      "pq_drift_report" -> "first_run",
       // the stream replays seed their private mutable index as an FS
       // copy of the shared demo index: first_run carries the index
       // build, every rep still pays copy + full micro-batch replay

@@ -678,7 +678,8 @@ object Similarity {
     val (assigned, model) = ivfAssignmentsCached(emb, nLists)
     val pq = pqTrain(emb, m, codes)
     pqEncodeCols(assigned, pq)
-      .select(col("vec_id"), col("label"), col("pq"), col("vnorm"), col("list_id"))
+      .select(col("vec_id"), col("label"), col("pq"), col("vnorm"),
+        lit(0).cast("int").as("generation"), col("list_id"))
       .repartition(col("list_id"))
       .write
       .mode("overwrite")
@@ -712,9 +713,30 @@ object Similarity {
     * the serve path, just the parquet sidecars. Appends accrete one
     * file per batch per touched list dir; bound that with
     * [[compactPqIndex]].
+    *
+    * Each append stamps its rows with the next GENERATION number
+    * (build = 0), so [[pqDriftReport]] can watch the frozen codebooks
+    * degrade on drifted increments. The generation read is one
+    * column-pruned aggregate, not a row scan of the codes.
     */
   def appendToPqIndex(newVecs: DataFrame, dir: String): Unit = {
     val spark = newVecs.sparkSession
+    // next generation = max stored + 1; a missing/empty assignments dir
+    // (re-seeding a wiped scratch copy) restarts at 0. One column-
+    // pruned aggregate, not a row scan.
+    val assignPath = new org.apache.hadoop.fs.Path(s"$dir/assignments")
+    val fs = assignPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val nextGen =
+      if (!fs.exists(assignPath)) 0
+      else {
+        val existing = spark.read.parquet(s"$dir/assignments")
+        require(
+          existing.columns.contains("generation"),
+          s"$dir/assignments predates generation stamping — rebuild the index (savePqIndex) before appending"
+        )
+        val mx = existing.agg(max(col("generation"))).head()
+        if (mx.isNullAt(0)) 0 else mx.getInt(0) + 1
+      }
     val pq = readPqModel(spark, dir)
     val cents = spark.read
       .parquet(s"$dir/centroids")
@@ -738,7 +760,8 @@ object Similarity {
       )
       .drop("_graft_cents")
     pqEncodeCols(assigned, pq)
-      .select(col("vec_id"), col("label"), col("pq"), col("vnorm"), col("list_id"))
+      .select(col("vec_id"), col("label"), col("pq"), col("vnorm"),
+        lit(nextGen).cast("int").as("generation"), col("list_id"))
       .repartition(col("list_id"))
       .write
       .mode("append")
@@ -989,6 +1012,84 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** ADC-vs-exact reconstruction error PER INDEX GENERATION — the
+    * maintenance gate for frozen PQ codebooks. [[appendToPqIndex]]
+    * rides the build-time codebooks; when the data distribution
+    * drifts, later generations' vectors sit farther from every
+    * codebook centroid and their reconstruction error climbs while
+    * generation 0's stays put. Same micro-unit arithmetic as
+    * [[pqQuality]] (floor(err·10⁶), BIGINT aggregates — hash-oracle
+    * safe), keyed by generation instead of label.
+    *
+    * RE-TRAIN TRIGGER: rebuild the index (a fresh [[savePqIndex]]
+    * fit) when the newest generation's `avg_err_micro` exceeds
+    * ~1.5× generation 0's — past that the ADC ranking degrades on
+    * exactly the fresh data a serving index is most asked about.
+    * `emb` must cover every indexed vec_id (base + increments).
+    */
+  def pqDriftReport(spark: SparkSession, dir: String, emb: DataFrame): DataFrame = {
+    val pq = readPqModel(spark, dir)
+    spark.read
+      .parquet(s"$dir/assignments")
+      .select(col("vec_id"), col("generation"), col("pq"))
+      .join(withVec(emb).select(col("vec_id"), col("v")), Seq("vec_id"))
+      .withColumn("_graft_cb", codebooksCol(pq.codebooks))
+      .withColumn(
+        "recon",
+        expr(
+          s"flatten(transform(sequence(0, ${pq.m - 1}), s -> " +
+            s"element_at(element_at(_graft_cb, s + 1), element_at(pq, s + 1) + 1)))"
+        )
+      )
+      .drop("_graft_cb")
+      .withColumn(
+        "err_micro",
+        expr(
+          "CAST(floor(sqrt(aggregate(zip_with(v, recon, (x, r) -> (x - r) * (x - r)), " +
+            "0D, (a, b) -> a + b)) * 1000000) AS BIGINT)"
+        )
+      )
+      .groupBy(col("generation").cast("bigint").as("generation"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_vecs"),
+        max(col("err_micro")).as("max_err_micro"),
+        expr("CAST(sum(err_micro) div count(1) AS BIGINT)").as("avg_err_micro")
+      )
+      .orderBy("generation")
+  }
+
+  /** The drifted fixture increment behind [[annPqDriftReport]]: the
+    * first 100 fixture vectors shifted +0.5 in every dimension (off
+    * the unit-ball manifold the codebooks were fit on) under fresh
+    * ids — a deterministic stand-in for a distribution shift.
+    */
+  private def driftedIncrement(s: SparkSession, d: String): DataFrame =
+    withVec(embeddings(s, d))
+      .filter(col("vec_id") < 100L)
+      .select(
+        (col("vec_id") + 1000000L).as("vec_id"),
+        col("label"),
+        expr("transform(v, x -> CAST(x + 0.5D AS FLOAT))").as("embedding")
+      )
+
+  private def demoPqDriftIndex(s: SparkSession, d: String): String =
+    Fixtures.demoIndexDir(s, "ivfpq_drift", d) { dir =>
+      savePqIndex(embeddings(s, d), 16, pqDefaults._1, pqDefaults._2, dir)
+      appendToPqIndex(driftedIncrement(s, d), dir)
+    }
+
+  /** Gated drift report over a crafted two-generation index: build on
+    * the fixture, append the shifted increment, report per-generation
+    * error — generation 1's avg error must dwarf generation 0's
+    * (golden-pinned at sf0.01 like the other seeded-fit queries).
+    */
+  val annPqDriftReport: Q = (s, d) => {
+    val dir = demoPqDriftIndex(s, d)
+    pqDriftReport(s, dir, embeddings(s, d)
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .unionByName(driftedIncrement(s, d)))
+  }
+
   /** INT8 scalar quantization of the embedding column — the storage/
     * bandwidth lever an ANN index pulls at 100 TB (4 bytes→1 per dim;
     * IVF lists and brute-force rerank both read 4× fewer bytes).
@@ -1049,7 +1150,8 @@ object Similarity {
     "ann_ivf_topk_index" -> annIvfTopkIndex,
     "ann_pq_topk_index" -> annPqTopkIndex,
     "ann_pq_knn_join" -> annPqKnnJoin,
-    "pq_quality" -> pqQuality
+    "pq_quality" -> pqQuality,
+    "pq_drift_report" -> annPqDriftReport
   )
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -1266,6 +1368,21 @@ object Similarity {
          |  CAST(norm_avg_micro AS BIGINT) AS norm_avg_micro
          |FROM (VALUES $pinned) AS t(label, n_vecs, max_err_micro, avg_err_micro, norm_avg_micro)
          |ORDER BY label""".stripMargin
+    },
+    // golden pin of the per-generation drift report at sf0.01: the
+    // +0.5-shifted generation-1 increment reconstructs ~5x worse than
+    // the build generation through the frozen codebooks — the jump the
+    // re-train trigger (pqDriftReport scaladoc) watches for.
+    "pq_drift_report" -> {
+      val pinned = Seq(
+        (0L, 500L, 843415L, 737970L),
+        (1L, 100L, 3911406L, 3681276L)
+      ).map { case (g, n, mx, av) => s"($g, $n, $mx, $av)" }.mkString(", ")
+      s"""SELECT CAST(generation AS BIGINT) AS generation, CAST(n_vecs AS BIGINT) AS n_vecs,
+         |  CAST(max_err_micro AS BIGINT) AS max_err_micro,
+         |  CAST(avg_err_micro AS BIGINT) AS avg_err_micro
+         |FROM (VALUES $pinned) AS t(generation, n_vecs, max_err_micro, avg_err_micro)
+         |ORDER BY generation""".stripMargin
     }
   )
 }

@@ -262,6 +262,49 @@ class SimilarityIvfSpec extends SparkSpec {
     }
   }
 
+  test("PQ drift report: generations stamped through append/compaction; shifted increment detected") {
+    val emb = Fixtures.embeddings(spark, dir)
+    val idx = java.nio.file.Files.createTempDirectory("graft_pq_drift").toString
+    Similarity.savePqIndex(emb, nLists = 8, m = 8, codes = 16, idx)
+    // crafted drift: every vector shifted +0.5 per dim — far off the
+    // manifold the frozen codebooks were fit on
+    val shifted = emb.selectExpr(
+      "vec_id + 1000000 AS vec_id",
+      "label",
+      "transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(x + 0.5D AS FLOAT)) AS embedding"
+    )
+    Similarity.appendToPqIndex(shifted, idx)
+    // a second, undrifted increment gets its own generation
+    val more = emb.selectExpr("vec_id + 2000000 AS vec_id", "label", "embedding")
+    Similarity.appendToPqIndex(more, idx)
+    val gens = spark.read.parquet(s"$idx/assignments")
+      .groupBy("generation").count().collect()
+      .map(r => r.getAs[Int]("generation") -> r.getAs[Long]("count")).toMap
+    val n = emb.count()
+    assert(gens == Map(0 -> n, 1 -> n, 2 -> n), s"generation stamps wrong: $gens")
+    val all = emb.select("vec_id", "label", "embedding")
+      .unionByName(shifted)
+      .unionByName(more)
+    val rep = Similarity.pqDriftReport(spark, idx, all)
+      .collect()
+      .map(r => r.getAs[Long]("generation") -> ((r.getAs[Long]("n_vecs"), r.getAs[Long]("avg_err_micro"))))
+      .toMap
+    assert(rep.keySet == Set(0L, 1L, 2L))
+    assert(rep(0L)._1 == n && rep(1L)._1 == n && rep(2L)._1 == n)
+    // the drifted generation reconstructs FAR worse than the build;
+    // the undrifted one matches the build's error level (re-train
+    // trigger fires on gen 1, not gen 2)
+    assert(rep(1L)._2 > rep(0L)._2 * 2, s"drift not detected: $rep")
+    assert(math.abs(rep(2L)._2 - rep(0L)._2) < rep(0L)._2 / 2, s"undrifted generation flagged: $rep")
+    // compaction preserves the generation column and the report
+    Similarity.compactPqIndex(spark, idx)
+    val repAfter = Similarity.pqDriftReport(spark, idx, all)
+      .collect()
+      .map(r => r.getAs[Long]("generation") -> ((r.getAs[Long]("n_vecs"), r.getAs[Long]("avg_err_micro"))))
+      .toMap
+    assert(repAfter == rep, "compaction changed the drift report")
+  }
+
   test("IVF-PQ: increments append through the persisted model; compaction is value-neutral") {
     val emb = Fixtures.embeddings(spark, dir)
     val evens = emb.filter(col("vec_id") % 2 === 0)
