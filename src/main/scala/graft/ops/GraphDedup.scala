@@ -43,6 +43,20 @@ object GraphDedup {
     * signature going stable — one tiny aggregate per round over an
     * output-sized relation, not a driver collect of the edges.
     */
+  /** Release the executor cache behind an eager `localCheckpoint` once
+    * every consumer has materialized. A localCheckpoint truncates
+    * lineage, so this must only run on DEAD frames — recomputation is
+    * impossible afterwards. Without explicit release, per-cycle
+    * checkpoints on a long-running stream wait for the async
+    * ContextCleaner and accumulate between GCs.
+    */
+  private def releaseCheckpoints(dfs: DataFrame*): Unit = dfs.foreach { df =>
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _                                             => ()
+    }
+  }
+
   def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     def canon(df: DataFrame): DataFrame =
       df.select(least(col("src"), col("dst")).as("lo"), greatest(col("src"), col("dst")).as("hi"))
@@ -88,6 +102,9 @@ object GraphDedup {
       val nextSig = signature(small)
       stable = nextSig == sig
       sig = nextSig
+      // the superseded round's checkpoint is dead once the new one is
+      // materialized — O(log n) rounds must not stack O(log n) caches
+      releaseCheckpoints(e)
       e = small
       iter += 1
     }
@@ -158,8 +175,14 @@ object GraphDedup {
     // holds more than the ceiling
     val e = rootEdges.filter(col("src") =!= col("dst")).localCheckpoint(true)
     val probed = e.limit(math.min(maxDriverEdges + 1, Int.MaxValue.toLong).toInt).collect()
-    if (probed.length > maxDriverEdges) connectedComponents(e)
-    else {
+    if (probed.length > maxDriverEdges) {
+      // the distributed solve eagerly re-checkpoints its canonical
+      // form up front, so e is dead as soon as the call returns
+      val out = connectedComponents(e)
+      releaseCheckpoints(e)
+      out
+    } else {
+      releaseCheckpoints(e) // fully consumed by the probe collect
       val edges = probed.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
@@ -268,8 +291,12 @@ object GraphDedup {
       prevStars
         .join(broadcast(crm), prevStars("cluster_id") === col("old_root"))
         .select(prevStars("node"), col("new_root").as("cluster_id"))
-    val changes =
-      changeSet(relabel, endpointRoots, newEdges, maxDriverRootEdges)._1.localCheckpoint(true)
+    val (changes0, changedRootMap) = changeSet(relabel, endpointRoots, newEdges, maxDriverRootEdges)
+    val changes = changes0.localCheckpoint(true)
+    // the root map's only consumers (the relabel join inside changes0)
+    // just materialized into the changes checkpoint — release it here
+    // instead of leaving every micro-batch's copy to the ContextCleaner
+    releaseCheckpoints(changedRootMap)
     prevStars
       .join(changes.select(col("node")), Seq("node"), "left_anti")
       .select(col("node"), col("cluster_id"))
@@ -413,10 +440,17 @@ object GraphDedup {
   }
 
   def saveClusterMap(cc: DataFrame, dir: String, nBuckets: Int = 32): Unit = {
+    // overwrite mode pinned STATIC per-write: under a session-level
+    // spark.sql.sources.partitionOverwriteMode=dynamic, re-saving a
+    // smaller map would only replace the bucket dirs the new map
+    // writes, leaving stale bucket (and stale _graft_byroot cbucket)
+    // dirs behind — a silently diverged primary/secondary pair that
+    // corrupts every later pruned relabel
     cc.select(col("node"), col("cluster_id"), bucketExpr(nBuckets))
       .repartition(col("bucket"))
       .sortWithinPartitions(col("node"))
       .write
+      .option("partitionOverwriteMode", "static")
       .mode("overwrite")
       .partitionBy("bucket")
       .parquet(dir)
@@ -430,6 +464,7 @@ object GraphDedup {
       .repartition(col("cbucket"))
       .sortWithinPartitions(col("cluster_id"), col("node"))
       .write
+      .option("partitionOverwriteMode", "static")
       .mode("overwrite")
       .partitionBy("cbucket")
       .parquet(byrootDir(dir))
@@ -451,7 +486,11 @@ object GraphDedup {
     * map without touching disk — a reader can never destroy a bucket
     * a live writer just committed (the round-8 destructive-recovery
     * hazard). Actual roll-forward stays with the write path
-    * ([[recoverClusterMap]] at [[maintainClusterMap]] entry).
+    * ([[recoverClusterMap]] at [[maintainClusterMap]] entry). The
+    * overlay resolves PRIMARY buckets only (`/bucket=` entries) by
+    * design: readers serve the primary; the secondary index's `s:`
+    * manifest entries are resolved exclusively by the writer's
+    * recovery at maintenance entry.
     */
   def readClusterMap(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.hadoop.fs.Path
@@ -468,10 +507,26 @@ object GraphDedup {
       .filter(_.startsWith("bucket="))
       .map(_.stripPrefix("bucket=").toInt)
       .toSet
-    val parts = (liveBuckets ++ stagedOverlay.keySet).toSeq.sorted.flatMap { b =>
+    val parts = (liveBuckets ++ stagedOverlay.keySet).toSeq.sorted.map { b =>
       val staged = stagedOverlay.get(b).filter(p => fs.exists(new Path(p)))
-      val src = staged.orElse(if (liveBuckets(b)) Some(s"$dir/bucket=$b") else None)
-      src.map(p => spark.read.parquet(p).withColumn("bucket", lit(b)))
+      // staged vanished (or the bucket is brand-new and absent from
+      // the live listing snapshot): the writer completed that swap
+      // between our listing and now — re-probe the LIVE dir directly
+      // instead of trusting the stale snapshot. If neither source
+      // exists for a manifest bucket, fail LOUDLY: silently dropping
+      // it would serve a map missing a committed bucket.
+      val src = staged.orElse {
+        val livePath = s"$dir/bucket=$b"
+        if (liveBuckets(b) || fs.exists(new Path(livePath))) Some(livePath) else None
+      }
+      val p = src.getOrElse(
+        throw new IllegalStateException(
+          s"cluster map at $dir: the swap manifest names bucket=$b but neither its staged nor its " +
+            "live dir exists — a maintenance writer is racing this read; retry, or run " +
+            "recoverClusterMap if no writer is live"
+        )
+      )
+      spark.read.parquet(p).withColumn("bucket", lit(b))
     }
     require(parts.nonEmpty, s"cluster map at $dir has a manifest but no bucket dirs")
     parts.reduce(_.unionByName(_))
@@ -542,10 +597,20 @@ object GraphDedup {
           "the layout the map was saved with differs from the caller's; rebucket with saveClusterMap"
       )
       if (onDisk.nonEmpty) {
-        val mismatched = spark.read
-          .parquet(dir)
-          .select(col("node"), col("bucket"))
-          .limit(256)
+        // sample EVERY on-disk bucket dir, not one global limit — a
+        // global limit(N) is typically satisfied from a single file,
+        // leaving all other dirs unverified (a map whose first dir
+        // happens to agree would heal a wrong layout). Per-dir reads
+        // are bounded: nBuckets dirs x 8 rows of one column.
+        val mismatched = onDisk.toSeq.sorted
+          .map { b =>
+            spark.read
+              .parquet(s"$dir/bucket=$b")
+              .select(col("node"))
+              .limit(8)
+              .withColumn("bucket", lit(b))
+          }
+          .reduce(_.unionByName(_))
           .filter(cbucketExpr(nBuckets, col("node")) =!= col("bucket"))
           .limit(1)
           .count()
@@ -610,7 +675,10 @@ object GraphDedup {
       .collect()
       .map(_.getInt(0))
       .toSet
-    if (touchedBuckets.isEmpty) return
+    if (touchedBuckets.isEmpty) {
+      releaseCheckpoints(endpoints, endpointRoots, changes, movedRoots)
+      return
+    }
     // same-bucket rows that stay, node-keyed: everything not upserted
     val keep = prev
       .filter(col("bucket").isin(touchedBuckets.toSeq: _*))
@@ -696,6 +764,10 @@ object GraphDedup {
     }
     fs.delete(new Path(staged), true)
     fs.delete(new Path(dir, manifestFile), false)
+    // swap committed: every consumer of this cycle's checkpoints has
+    // materialized — release them instead of waiting on the async
+    // ContextCleaner (a long stream runs this once per micro-batch)
+    releaseCheckpoints(endpoints, endpointRoots, changes, movedRoots)
   }
 
   /** Members of the moved clusters, read PRUNED from the cluster-keyed

@@ -469,6 +469,90 @@ class GraphDedupSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "/_graft_byroot")))
   }
 
+  test("saveClusterMap survives a session-wide dynamic partitionOverwriteMode") {
+    // under dynamic mode a plain overwrite only replaces the partition
+    // dirs the new frame writes — re-saving a SMALLER map would leave
+    // stale bucket and stale _graft_byroot cbucket dirs, silently
+    // diverging the secondary index from the primary. saveClusterMap
+    // pins static per-write, so the session setting must not matter.
+    val prevMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val base = java.nio.file.Files.createTempDirectory("graft_cc_map_dyn").toString
+      val dir = base + "/map"
+      // big map: many clusters spread over all 8 cbuckets
+      val day0 = (1L to 200L by 2).map(i => (i, i + 1))
+      GraphDedup.saveClusterMap(GraphDedup.connectedComponents(day0.toDF("src", "dst")), dir, 8)
+      // much smaller map: occupies a subset of the bucket/cbucket dirs
+      val small = Seq((1000L, 1001L))
+      GraphDedup.saveClusterMap(GraphDedup.connectedComponents(small.toDF("src", "dst")), dir, 8)
+      val served = GraphDedup
+        .readClusterMap(spark, dir)
+        .collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("cluster_id"))
+        .toMap
+      assert(served == Map(1000L -> 1000L, 1001L -> 1000L), s"stale primary rows served: ${served.size} rows")
+      // the secondary index must be exactly the inverse of the primary
+      // — any stale cbucket dir would surface extra rows here
+      val sec = spark.read
+        .parquet(dir + "/_graft_byroot")
+        .collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("cluster_id"))
+        .toMap
+      assert(sec == served, s"secondary diverged: ${sec.size} rows vs ${served.size}")
+    } finally prevMode match {
+      case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+      case None    => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
+  test("maintenance cycle releases its localCheckpoint caches (no growth across cycles)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cc_map_release").toString
+    val dir = base + "/map"
+    val day0 = (1L to 40L).map(i => (i, i + 1)) ++ Seq((100L, 101L), (110L, 111L))
+    GraphDedup.saveClusterMap(GraphDedup.connectedComponents(day0.toDF("src", "dst")), dir, 8)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    GraphDedup.maintainClusterMap(spark, dir, Seq((101L, 110L)).toDF("src", "dst"), 8)
+    GraphDedup.maintainClusterMap(spark, dir, Seq((111L, 300L)).toDF("src", "dst"), 8)
+    // set-difference on ids (the async ContextCleaner may remove
+    // OTHER entries concurrently; it never adds) — every checkpoint
+    // the two cycles created must already be unregistered
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"maintenance cycles left cached RDDs behind: $leaked")
+    // and the map is still correct after the released cycles
+    val served = GraphDedup
+      .readClusterMap(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    assert(served == cc(day0 ++ Seq((101L, 110L), (111L, 300L))))
+  }
+
+  test("readClusterMap fails loudly when a manifest bucket has no source at all") {
+    val base = java.nio.file.Files.createTempDirectory("graft_cc_map_orphan").toString
+    val dir = base + "/map"
+    GraphDedup.saveClusterMap(
+      GraphDedup.connectedComponents(Seq((1L, 2L), (10L, 11L)).toDF("src", "dst")),
+      dir,
+      4
+    )
+    // a manifest naming a bucket whose staged dir is gone AND that has
+    // no live dir: silently dropping it would serve a map missing a
+    // committed bucket — the reader must refuse instead
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    val phantom = (0 to 32)
+      .find(b => !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/bucket=$b")))
+      .get
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_graft_swap_manifest"), true)
+    out.write(s"$phantom".getBytes("UTF-8"))
+    out.close()
+    val ex = intercept[IllegalStateException] {
+      GraphDedup.readClusterMap(spark, dir).collect()
+    }
+    assert(ex.getMessage.contains(s"bucket=$phantom"))
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_graft_swap_manifest"), false)
+  }
+
   test("persisted map: INT-typed edge ids are cast to the map's node type before hashing") {
     import org.apache.spark.sql.types.IntegerType
     val base = java.nio.file.Files.createTempDirectory("graft_cc_map_ints").toString
