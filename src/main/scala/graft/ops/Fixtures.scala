@@ -70,6 +70,13 @@ object Fixtures {
         raw
           .withColumn("ts_nanos", col("ts"))
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // a session without our inferTimestampNTZ pin: NTZ→LTZ cast
+        // interprets the wall clock in the session TZ (UTC here) —
+        // the same instant the pinned read produces
+        raw
+          .withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_nanos", unix_micros(col("ts")) * lit(1000L))
       case _ =>
         raw.withColumn("ts_nanos", unix_micros(col("ts")) * lit(1000L))
     }
@@ -134,6 +141,13 @@ object Fixtures {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // untagged parquet timestamps (no isAdjustedToUTC) must read as
+      // TimestampType, not TIMESTAMP_NTZ: the session TZ is pinned UTC
+      // so the instant is identical, and the whole operator surface
+      // (unix_micros, windows, watermarks) is TimestampType-shaped.
+      // The driver has regenerated the fixtures with both annotations
+      // across rounds; this pin makes the read deterministic.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
 }
