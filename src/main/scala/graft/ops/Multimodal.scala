@@ -221,10 +221,124 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Decoded audio metadata: everything a WAV/RIFF header carries. */
+  final case class AudioMeta(sampleRate: Int, channels: Int, bitsPerSample: Int, nFrames: Long)
+
+  /** Real audio header decode via `javax.sound.sampled` (public JDK
+    * API, no extra dependency): `AudioSystem.getAudioFileFormat`
+    * parses the RIFF/WAVE `fmt ` chunk only — sample rate, channel
+    * count, bits per sample, and the frame count derived from the
+    * `data` chunk length — WITHOUT reading the PCM payload, so at
+    * 100 TB the per-row cost is O(header) exactly like
+    * [[ImageIoDecoder]]'s IHDR/SOF path. Throws on a payload no
+    * installed reader recognizes (the honest failure mode; callers
+    * route unknowns via [[sniffMime]] first).
+    */
+  object WavHeaderDecoder extends Serializable {
+    def decode(payload: Array[Byte]): AudioMeta = {
+      val fmt = javax.sound.sampled.AudioSystem
+        .getAudioFileFormat(new java.io.ByteArrayInputStream(payload))
+      val af = fmt.getFormat
+      AudioMeta(af.getSampleRate.toInt, af.getChannels, af.getSampleSizeInBits, fmt.getFrameLength.toLong)
+    }
+  }
+
+  /** Deterministic PCM16 WAV bytes: a real, spec-compliant RIFF/WAVE
+    * container the JDK writer produces for a sample pattern derived
+    * from `seed` — the audio analog of [[syntheticPng]] (no RNG, no
+    * fixture files).
+    */
+  def syntheticWav(nFrames: Int, sampleRate: Int, channels: Int, seed: Long): Array[Byte] = {
+    val af = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, channels, true, false)
+    val data = new Array[Byte](nFrames * channels * 2)
+    var i = 0
+    while (i < data.length) { data(i) = ((seed + i * 131L) % 256).toByte; i += 1 }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), af, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Audio parameters derived from the doc id — the ONLY inputs to the
+    * synthetic WAV, so the oracle recomputes them arithmetically while
+    * Spark must round-trip through a real RIFF encode → header decode.
+    */
+  private def audioParamsOf(id: Long): (Int, Int, Int) =
+    (8000 * (1 + (id % 3).toInt), 1 + (id % 2).toInt, 64 + (id % 128).toInt)
+
+  /** Oracle-gated REAL audio decode round trip — same shape as
+    * [[multimodalDecode]]: synthesize a WAV per document at
+    * formula-derived parameters inside `mapPartitions`, recover
+    * sample rate / channels / bits / frame count from the bytes via
+    * [[WavHeaderDecoder]]. Only extracted metadata leaves the
+    * partition; payload bytes never shuffle.
+    */
+  val multimodalAudioDecode: Q = (s, d) => {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val (sr, ch, nf) = audioParamsOf(id)
+          val m = WavHeaderDecoder.decode(syntheticWav(nf, sr, ch, seed = id))
+          (id, m.sampleRate, m.channels, m.bitsPerSample, m.nFrames)
+        }
+      }
+      .toDF("doc_id", "sample_rate", "audio_channels", "bits_per_sample", "n_audio_frames")
+      .orderBy("doc_id")
+  }
+
+  /** Magic-byte content-type sniffer as a pure Catalyst expression
+    * (codegen'd `CASE WHEN` over hex prefixes — no UDF, no decode):
+    * the cheap first pass a 100 TB mixed-media lake runs to route rows
+    * to the right per-modality decoder. RIFF needs both the outer tag
+    * (bytes 1-4) and the form type (bytes 9-12) to split WAV from AVI.
+    */
+  def sniffMime(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def hexAt(pos: Int, len: Int) = hex(substring(payload, pos, len))
+    when(hexAt(1, 4) === "89504E47", "image/png")
+      .when(hexAt(1, 3) === "FFD8FF", "image/jpeg")
+      .when(hexAt(1, 4) === "47494638", "image/gif")
+      .when(hexAt(1, 2) === "424D", "image/bmp")
+      .when(hexAt(1, 4) === "52494646" && hexAt(9, 4) === "57415645", "audio/wav")
+      .when(hexAt(1, 4) === "52494646" && hexAt(9, 4) === "41564920", "video/avi")
+      .otherwise("application/octet-stream")
+  }
+
+  /** Oracle-gated sniff over a mixed-modality column: per document,
+    * synthesize a REAL container (PNG / WAV / raw text by id mod 3),
+    * then classify with [[sniffMime]] — the expected mime is formula-
+    * derived so the oracle checks the sniffer recognized genuine
+    * container bytes, not a label carried along.
+    */
+  val multimodalSniff: Q = (s, d) => {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val payload = (id % 3) match {
+            case 0 => syntheticPng(width = 16 + (id % 8).toInt, height = 16, seed = id)
+            case 1 => syntheticWav(nFrames = 64, sampleRate = 8000, channels = 1, seed = id)
+            case _ => s"plain text payload $id".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          }
+          (id, payload)
+        }
+      }
+      .toDF("doc_id", "payload")
+      .select(col("doc_id"), sniffMime(col("payload")).as("mime"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, Q] = Map(
     "multimodal_meta" -> multimodalMeta,
     "multimodal_frame_sample" -> multimodalFrameSample,
-    "multimodal_decode" -> multimodalDecode
+    "multimodal_decode" -> multimodalDecode,
+    "multimodal_audio_decode" -> multimodalAudioDecode,
+    "multimodal_sniff" -> multimodalSniff
   )
 
   def oracles: Map[String, String] = Map(
@@ -252,6 +366,25 @@ object Multimodal {
         |  CAST(16 + doc_id % 17 AS INT) AS img_height,
         |  CAST(3 AS INT) AS channels,
         |  CAST(1 AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the oracle recomputes the audio formulas; Spark must recover
+    // them from real RIFF/WAVE bytes via javax.sound.sampled
+    "multimodal_audio_decode" ->
+      """SELECT doc_id,
+        |  CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INT) AS audio_channels,
+        |  CAST(16 AS INT) AS bits_per_sample,
+        |  CAST(64 + doc_id % 128 AS BIGINT) AS n_audio_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // expected mime is formula-derived (id mod 3 picks the synthesized
+    // container); Spark must classify genuine PNG/WAV bytes by magic
+    "multimodal_sniff" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN 'image/png'
+        |    WHEN 1 THEN 'audio/wav'
+        |    ELSE 'application/octet-stream'
+        |  END AS mime
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -83,6 +83,53 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).out_width == 64 && out(0).out_height == 32)
   }
 
+  test("WavHeaderDecoder recovers real RIFF/WAVE parameters from the fmt chunk") {
+    val wav = syntheticWav(nFrames = 100, sampleRate = 16000, channels = 2, seed = 7L)
+    // genuine RIFF/WAVE container: outer tag + form type present
+    assert(wav(0) == 'R' && wav(1) == 'I' && wav(2) == 'F' && wav(3) == 'F')
+    assert(wav(8) == 'W' && wav(9) == 'A' && wav(10) == 'V' && wav(11) == 'E')
+    val m = WavHeaderDecoder.decode(wav)
+    assert(m.sampleRate == 16000 && m.channels == 2 && m.bitsPerSample == 16 && m.nFrames == 100L)
+  }
+
+  test("WavHeaderDecoder is deterministic across mono/stereo and sample rates") {
+    for (sr <- Seq(8000, 16000, 24000); ch <- Seq(1, 2); nf <- Seq(64, 191)) {
+      val m = WavHeaderDecoder.decode(syntheticWav(nf, sr, ch, seed = sr + ch))
+      assert(m.sampleRate == sr && m.channels == ch && m.nFrames == nf.toLong)
+    }
+  }
+
+  test("WavHeaderDecoder refuses a payload no reader recognizes") {
+    intercept[javax.sound.sampled.UnsupportedAudioFileException] {
+      WavHeaderDecoder.decode("definitely not audio".getBytes("UTF-8"))
+    }
+  }
+
+  test("sniffMime classifies genuine containers by magic bytes, as a pure expression") {
+    val rows = Seq(
+      (1L, syntheticPng(16, 16, seed = 1L)),
+      (2L, syntheticWav(64, 8000, 1, seed = 2L)),
+      (3L, "just text".getBytes("UTF-8")),
+      (4L, {
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(
+          new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_3BYTE_BGR), "jpg", bos)
+        bos.toByteArray
+      }),
+      (5L, Array.empty[Byte])
+    ).toDF("doc_id", "payload")
+    val out = rows
+      .select($"doc_id", Multimodal.sniffMime($"payload").as("mime"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(out(1L) == "image/png")
+    assert(out(2L) == "audio/wav")
+    assert(out(3L) == "application/octet-stream")
+    assert(out(4L) == "image/jpeg")
+    assert(out(5L) == "application/octet-stream")
+  }
+
   test("resizeTo fits into the box aspect-preserving, never upscales") {
     // StubDecoder: width = 16+b0, height = 16+b1
     val media = Seq(
