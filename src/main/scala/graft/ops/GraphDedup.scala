@@ -48,9 +48,11 @@ object GraphDedup {
     * lineage, so this must only run on DEAD frames — recomputation is
     * impossible afterwards. Without explicit release, per-cycle
     * checkpoints on a long-running stream wait for the async
-    * ContextCleaner and accumulate between GCs.
+    * ContextCleaner and accumulate between GCs. Shared with
+    * [[Pipeline.pipelineFull]], whose stage frames have the same
+    * lifecycle (pin → consume once → dead).
     */
-  private def releaseCheckpoints(dfs: DataFrame*): Unit = dfs.foreach { df =>
+  private[graft] def releaseCheckpoints(dfs: DataFrame*): Unit = dfs.foreach { df =>
     df.queryExecution.logical match {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(blocking = false)
       case _                                             => ()

@@ -222,12 +222,22 @@ object Pipeline {
     FullStages(flagged, repKept, exactKept, nearKept, paraKept, spanKept, mixKept)
   }
 
-  /** Per-language accounting across all seven stages. */
+  /** Per-language accounting across all seven stages.
+    *
+    * The accounting result (a handful of per-lang rows) is pinned
+    * EAGERLY and the seven stage-frame checkpoints released before
+    * returning: each invocation otherwise leaves ~7 corpus-sized
+    * cached RDDs for the async ContextCleaner, and repeated runs
+    * (bench reps, a refinery loop) accumulate them until GC pressure
+    * shows up as rep-over-rep slowdown (measured: 6.2 s first run →
+    * 9.1 s median-of-3 in the round-10 full bench, steady ~4 s once
+    * each rep cleans up after itself).
+    */
   val pipelineFull: Q = (s, d) => {
     val st = stagesFull(documents(s, d), seg = Paragraphs.Segmenter.WordChunks())
     def perLang(df: DataFrame, name: String): DataFrame =
       df.groupBy(col("lang")).agg(count(lit(1)).cast("bigint").as(name))
-    st.flagged
+    val acct = st.flagged
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).cast("bigint").as("n_input"),
@@ -248,6 +258,12 @@ object Pipeline {
         )
       )
       .orderBy("lang")
+      .localCheckpoint(true)
+    // every stage frame is consumed exactly once by the accounting
+    // joins above; after the eager pin they are dead
+    GraphDedup.releaseCheckpoints(
+      st.flagged, st.repKept, st.exactKept, st.nearKept, st.paraKept, st.spanKept)
+    acct
   }
 
   /** The per-doc QUALITY FEATURE VECTOR + composite score — what a
