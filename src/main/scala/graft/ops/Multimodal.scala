@@ -290,6 +290,122 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Decoded video metadata: everything the AVI main header carries. */
+  final case class VideoMeta(width: Int, height: Int, nFrames: Int, microSecPerFrame: Int)
+
+  /** Real video header decode by hand-walking the RIFF chunk tree (no
+    * library exists for AVI in the JDK, and none is needed: the
+    * container is public, trivially parseable structure — OpenDML/
+    * `AVIMAINHEADER` layout). Validates the outer `RIFF`/`AVI ` tags,
+    * walks top-level chunks to the `LIST('hdrl')`, then its children
+    * to the 56-byte `avih` main header: width, height, total frames,
+    * and the frame interval in microseconds. Only header bytes are
+    * touched — `movi` frame data is skipped by chunk-size arithmetic,
+    * so at 100 TB the per-row cost is O(header chunks), not O(video).
+    * A fixed-offset reader would break on preceding `JUNK` chunks
+    * (common in real muxers for 2 KB alignment); the walk is what
+    * makes this a decoder rather than a byte-peek.
+    */
+  object AviHeaderDecoder extends Serializable {
+    private def u32(b: Array[Byte], off: Int): Long =
+      (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+        ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+    private def fourcc(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    def decode(payload: Array[Byte]): VideoMeta = {
+      require(
+        payload.length >= 12 && fourcc(payload, 0) == "RIFF" && fourcc(payload, 8) == "AVI ",
+        s"not a RIFF/AVI container (${payload.length}-byte payload)")
+      var off = 12
+      while (off + 8 <= payload.length) {
+        val sz = u32(payload, off + 4).toInt
+        if (fourcc(payload, off) == "LIST" && off + 12 <= payload.length &&
+          fourcc(payload, off + 8) == "hdrl") {
+          var in = off + 12
+          val end = math.min(off + 8 + sz, payload.length)
+          while (in + 8 <= end) {
+            val csz = u32(payload, in + 4).toInt
+            if (fourcc(payload, in) == "avih") {
+              val b = in + 8
+              require(csz >= 40 && b + 40 <= payload.length, s"truncated avih chunk ($csz bytes)")
+              return VideoMeta(
+                width = u32(payload, b + 32).toInt,
+                height = u32(payload, b + 36).toInt,
+                nFrames = u32(payload, b + 16).toInt,
+                microSecPerFrame = u32(payload, b).toInt)
+            }
+            in += 8 + csz + (csz & 1) // RIFF chunks are word-aligned
+          }
+        }
+        off += 8 + sz + (sz & 1)
+      }
+      throw new IllegalArgumentException("RIFF/AVI container without an avih header chunk")
+    }
+  }
+
+  private def le32(v: Long): Array[Byte] =
+    Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def riffChunk(id: String, body: Array[Byte]): Array[Byte] =
+    id.getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body ++
+      (if ((body.length & 1) == 1) Array(0.toByte) else Array.empty[Byte])
+  private def riffList(form: String, children: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", form.getBytes("US-ASCII") ++ children)
+
+  /** Deterministic AVI bytes: a spec-shaped RIFF/AVI container built
+    * by hand — `JUNK` padding BEFORE the `hdrl` list (so fixed-offset
+    * peeks fail), `avih` + one `vids` stream (`strh`+`strf`
+    * BITMAPINFOHEADER), and a `movi` list with real seed-derived frame
+    * chunks. The video analog of [[syntheticPng]]/[[syntheticWav]].
+    */
+  def syntheticAvi(width: Int, height: Int, nFrames: Int, microSecPerFrame: Int, seed: Long): Array[Byte] = {
+    val avih = le32(microSecPerFrame.toLong) ++ le32(width.toLong * height * 4 * (1000000L / math.max(1, microSecPerFrame))) ++
+      le32(0) ++ le32(0x10) ++ le32(nFrames.toLong) ++ le32(0) ++ le32(1) ++ le32(width.toLong * height * 4) ++
+      le32(width.toLong) ++ le32(height.toLong) ++ Array.fill[Byte](16)(0)
+    val strh = "vids".getBytes("US-ASCII") ++ "DIB ".getBytes("US-ASCII") ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(microSecPerFrame.toLong) ++ le32(1000000L) ++
+      le32(0) ++ le32(nFrames.toLong) ++ le32(width.toLong * height * 4) ++ le32(0xffffffffL) ++ le32(0) ++
+      le32(0) ++ le32((width & 0xffff).toLong | ((height & 0xffff).toLong << 16))
+    val strf = le32(40) ++ le32(width.toLong) ++ le32(height.toLong) ++
+      le32(1L | (32L << 16)) ++ le32(0) ++ le32(width.toLong * height * 4) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val junk = Array.tabulate[Byte](64)(i => ((seed + i * 37L) % 256).toByte)
+    val frame = Array.tabulate[Byte](24)(i => ((seed * 13L + i) % 256).toByte)
+    val body = riffChunk("JUNK", junk) ++
+      riffList("hdrl", riffChunk("avih", avih) ++ riffList("strl", riffChunk("strh", strh) ++ riffChunk("strf", strf))) ++
+      riffList("movi", riffChunk("00db", frame) ++ riffChunk("00db", frame))
+    "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong + 4) ++ "AVI ".getBytes("US-ASCII") ++ body
+  }
+
+  /** Video parameters derived from the doc id — the ONLY inputs to the
+    * synthetic AVI, so the oracle recomputes them arithmetically while
+    * Spark must round-trip through a real RIFF encode → chunk walk.
+    */
+  private def videoParamsOf(id: Long): (Int, Int, Int, Int) =
+    (16 * (2 + (id % 6).toInt), 16 * (1 + (id % 4).toInt), 8 + (id % 24).toInt, 10000 * (1 + (id % 5).toInt))
+
+  /** Oracle-gated REAL video header decode round trip — same shape as
+    * [[multimodalDecode]]/[[multimodalAudioDecode]]: synthesize an AVI
+    * per document at formula-derived parameters inside mapPartitions,
+    * recover width/height/frames/frame-interval by walking the chunk
+    * tree. Only extracted metadata leaves the partition.
+    */
+  val multimodalVideoDecode: Q = (s, d) => {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val (w, h, nf, mspf) = videoParamsOf(id)
+          val m = AviHeaderDecoder.decode(syntheticAvi(w, h, nf, mspf, seed = id))
+          (id, m.width, m.height, m.nFrames, m.microSecPerFrame)
+        }
+      }
+      .toDF("doc_id", "vid_width", "vid_height", "n_video_frames", "micro_sec_per_frame")
+      .orderBy("doc_id")
+  }
+
   /** Magic-byte content-type sniffer as a pure Catalyst expression
     * (codegen'd `CASE WHEN` over hex prefixes — no UDF, no decode):
     * the cheap first pass a 100 TB mixed-media lake runs to route rows
@@ -308,10 +424,12 @@ object Multimodal {
   }
 
   /** Oracle-gated sniff over a mixed-modality column: per document,
-    * synthesize a REAL container (PNG / WAV / raw text by id mod 3),
-    * then classify with [[sniffMime]] — the expected mime is formula-
-    * derived so the oracle checks the sniffer recognized genuine
-    * container bytes, not a label carried along.
+    * synthesize a REAL container (PNG / WAV / AVI / raw text by id mod
+    * 4), then classify with [[sniffMime]] — the expected mime is
+    * formula-derived so the oracle checks the sniffer recognized
+    * genuine container bytes, not a label carried along. The WAV/AVI
+    * split in particular proves the two-probe RIFF rule: both carry
+    * the same outer magic and differ only in the form type.
     */
   val multimodalSniff: Q = (s, d) => {
     import s.implicits._
@@ -320,9 +438,10 @@ object Multimodal {
       .as[Long]
       .mapPartitions { ids =>
         ids.map { id =>
-          val payload = (id % 3) match {
+          val payload = (id % 4) match {
             case 0 => syntheticPng(width = 16 + (id % 8).toInt, height = 16, seed = id)
             case 1 => syntheticWav(nFrames = 64, sampleRate = 8000, channels = 1, seed = id)
+            case 2 => syntheticAvi(width = 32, height = 32, nFrames = 8, microSecPerFrame = 40000, seed = id)
             case _ => s"plain text payload $id".getBytes(java.nio.charset.StandardCharsets.UTF_8)
           }
           (id, payload)
@@ -338,6 +457,7 @@ object Multimodal {
     "multimodal_frame_sample" -> multimodalFrameSample,
     "multimodal_decode" -> multimodalDecode,
     "multimodal_audio_decode" -> multimodalAudioDecode,
+    "multimodal_video_decode" -> multimodalVideoDecode,
     "multimodal_sniff" -> multimodalSniff
   )
 
@@ -376,13 +496,23 @@ object Multimodal {
         |  CAST(16 AS INT) AS bits_per_sample,
         |  CAST(64 + doc_id % 128 AS BIGINT) AS n_audio_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
-    // expected mime is formula-derived (id mod 3 picks the synthesized
-    // container); Spark must classify genuine PNG/WAV bytes by magic
+    // the oracle recomputes the video formulas; Spark must recover
+    // them by walking a real RIFF/AVI chunk tree to the avih header
+    "multimodal_video_decode" ->
+      """SELECT doc_id,
+        |  CAST(16 * (2 + doc_id % 6) AS INT) AS vid_width,
+        |  CAST(16 * (1 + doc_id % 4) AS INT) AS vid_height,
+        |  CAST(8 + doc_id % 24 AS INT) AS n_video_frames,
+        |  CAST(10000 * (1 + doc_id % 5) AS INT) AS micro_sec_per_frame
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // expected mime is formula-derived (id mod 4 picks the synthesized
+    // container); Spark must classify genuine PNG/WAV/AVI bytes by magic
     "multimodal_sniff" ->
       """SELECT doc_id,
-        |  CASE doc_id % 3
+        |  CASE doc_id % 4
         |    WHEN 0 THEN 'image/png'
         |    WHEN 1 THEN 'audio/wav'
+        |    WHEN 2 THEN 'video/avi'
         |    ELSE 'application/octet-stream'
         |  END AS mime
         |FROM documents ORDER BY doc_id""".stripMargin

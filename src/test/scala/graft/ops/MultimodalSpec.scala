@@ -105,6 +105,47 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("AviHeaderDecoder recovers avih parameters by walking the chunk tree") {
+    val avi = syntheticAvi(width = 64, height = 48, nFrames = 12, microSecPerFrame = 40000, seed = 3L)
+    // genuine RIFF/AVI container: outer tag + form type present
+    assert(avi(0) == 'R' && avi(1) == 'I' && avi(2) == 'F' && avi(3) == 'F')
+    assert(avi(8) == 'A' && avi(9) == 'V' && avi(10) == 'I' && avi(11) == ' ')
+    // the hdrl list is NOT at a fixed offset: a JUNK chunk precedes it,
+    // so recovery proves chunk-walking, not byte-peeking
+    assert(new String(avi, 12, 4, "US-ASCII") == "JUNK")
+    val m = AviHeaderDecoder.decode(avi)
+    assert(m.width == 64 && m.height == 48 && m.nFrames == 12 && m.microSecPerFrame == 40000)
+  }
+
+  test("AviHeaderDecoder is deterministic across the parameter grid") {
+    for (w <- Seq(32, 112); h <- Seq(16, 64); nf <- Seq(8, 31); mspf <- Seq(10000, 50000)) {
+      val m = AviHeaderDecoder.decode(syntheticAvi(w, h, nf, mspf, seed = w + h))
+      assert(m.width == w && m.height == h && m.nFrames == nf && m.microSecPerFrame == mspf)
+    }
+  }
+
+  test("AviHeaderDecoder refuses non-AVI payloads, including WAV (same outer magic)") {
+    intercept[IllegalArgumentException] {
+      AviHeaderDecoder.decode("not a container".getBytes("UTF-8"))
+    }
+    // RIFF but form type WAVE: must refuse on the form type, not pass on the outer tag
+    intercept[IllegalArgumentException] {
+      AviHeaderDecoder.decode(syntheticWav(nFrames = 16, sampleRate = 8000, channels = 1, seed = 1L))
+    }
+  }
+
+  test("AviHeaderDecoder refuses a structurally valid AVI without an avih chunk") {
+    val junk = Array.tabulate[Byte](16)(_.toByte)
+    val body = {
+      val hdrl = "LIST".getBytes("US-ASCII") ++
+        Array[Byte](4, 0, 0, 0) ++ "hdrl".getBytes("US-ASCII")
+      "JUNK".getBytes("US-ASCII") ++ Array[Byte](16, 0, 0, 0) ++ junk ++ hdrl
+    }
+    val avi = "RIFF".getBytes("US-ASCII") ++
+      Array[Byte](((body.length + 4) & 0xff).toByte, 0, 0, 0) ++ "AVI ".getBytes("US-ASCII") ++ body
+    intercept[IllegalArgumentException] { AviHeaderDecoder.decode(avi) }
+  }
+
   test("sniffMime classifies genuine containers by magic bytes, as a pure expression") {
     val rows = Seq(
       (1L, syntheticPng(16, 16, seed = 1L)),
@@ -116,7 +157,8 @@ class MultimodalSpec extends SparkSpec {
           new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_3BYTE_BGR), "jpg", bos)
         bos.toByteArray
       }),
-      (5L, Array.empty[Byte])
+      (5L, Array.empty[Byte]),
+      (6L, syntheticAvi(width = 32, height = 32, nFrames = 4, microSecPerFrame = 40000, seed = 6L))
     ).toDF("doc_id", "payload")
     val out = rows
       .select($"doc_id", Multimodal.sniffMime($"payload").as("mime"))
@@ -128,6 +170,7 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L) == "application/octet-stream")
     assert(out(4L) == "image/jpeg")
     assert(out(5L) == "application/octet-stream")
+    assert(out(6L) == "video/avi")
   }
 
   test("resizeTo fits into the box aspect-preserving, never upscales") {
