@@ -58,7 +58,12 @@ object Multimodal {
     */
   object ImageIoDecoder extends BinaryDecoder {
     def decode(payload: Array[Byte]): DecodedMedia = {
-      val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(payload))
+      // MemoryCacheImageInputStream, NOT ImageIO.createImageInputStream:
+      // the factory's default disk cache spills every payload to a temp
+      // file as it is read — per-row file create/delete churn that a
+      // byte-array input never needs (and a 100 TB decode pass must not
+      // pay). The payload is already in memory; cache there.
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(new java.io.ByteArrayInputStream(payload))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)
         require(readers.hasNext, s"no ImageIO reader recognizes the ${payload.length}-byte payload header")
