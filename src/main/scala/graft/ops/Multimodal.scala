@@ -347,6 +347,42 @@ object Multimodal {
       }
       throw new IllegalArgumentException("RIFF/AVI container without an avih header chunk")
     }
+
+    /** Frame directory of the container: (frame index, byte offset of
+      * the frame DATA within the payload, frame size) for every video
+      * frame chunk (`##db`/`##dc`) in the `movi` list. This is what
+      * makes every-Nth-frame sampling a BYTE-RANGE operation: at
+      * 100 TB, sample the directory first and decode only the sampled
+      * ranges — frame data itself is never touched here (offsets come
+      * from chunk-size arithmetic alone).
+      */
+    def frameOffsets(payload: Array[Byte]): Seq[(Int, Long, Int)] = {
+      require(
+        payload.length >= 12 && fourcc(payload, 0) == "RIFF" && fourcc(payload, 8) == "AVI ",
+        s"not a RIFF/AVI container (${payload.length}-byte payload)")
+      val out = Seq.newBuilder[(Int, Long, Int)]
+      var idx = 0
+      var off = 12
+      while (off + 8 <= payload.length) {
+        val sz = u32(payload, off + 4).toInt
+        if (fourcc(payload, off) == "LIST" && off + 12 <= payload.length &&
+          fourcc(payload, off + 8) == "movi") {
+          var in = off + 12
+          val end = math.min(off + 8 + sz, payload.length)
+          while (in + 8 <= end) {
+            val cid = fourcc(payload, in)
+            val csz = u32(payload, in + 4).toInt
+            if (cid.length == 4 && (cid.endsWith("db") || cid.endsWith("dc"))) {
+              out += ((idx, (in + 8).toLong, csz))
+              idx += 1
+            }
+            in += 8 + csz + (csz & 1)
+          }
+        }
+        off += 8 + sz + (sz & 1)
+      }
+      out.result()
+    }
   }
 
   private def le32(v: Long): Array[Byte] =
@@ -375,10 +411,14 @@ object Multimodal {
       le32(1L | (32L << 16)) ++ le32(0) ++ le32(width.toLong * height * 4) ++
       le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
     val junk = Array.tabulate[Byte](64)(i => ((seed + i * 37L) % 256).toByte)
-    val frame = Array.tabulate[Byte](24)(i => ((seed * 13L + i) % 256).toByte)
+    // one 24-byte frame chunk per declared frame, so avih.dwTotalFrames
+    // agrees with the movi directory and frameOffsets is data-true
+    val frames = (0 until nFrames)
+      .map(i => riffChunk("00db", Array.tabulate[Byte](24)(j => ((seed * 13L + i * 7L + j) % 256).toByte)))
+      .foldLeft(Array.empty[Byte])(_ ++ _)
     val body = riffChunk("JUNK", junk) ++
       riffList("hdrl", riffChunk("avih", avih) ++ riffList("strl", riffChunk("strh", strh) ++ riffChunk("strf", strf))) ++
-      riffList("movi", riffChunk("00db", frame) ++ riffChunk("00db", frame))
+      riffList("movi", frames)
     "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong + 4) ++ "AVI ".getBytes("US-ASCII") ++ body
   }
 
@@ -409,6 +449,37 @@ object Multimodal {
       }
       .toDF("doc_id", "vid_width", "vid_height", "n_video_frames", "micro_sec_per_frame")
       .orderBy("doc_id")
+  }
+
+  /** Oracle-gated every-Nth-frame sampling as a BYTE-RANGE operation:
+    * synthesize an AVI per document (frame count formula-derived),
+    * walk the `movi` directory with [[AviHeaderDecoder.frameOffsets]],
+    * keep every 4th frame. The container layout is deterministic, so
+    * the oracle recomputes each sampled frame's data offset and size
+    * arithmetically (fixed 296-byte preamble + 32 bytes per 24-byte
+    * frame chunk) — an indexer that miscounts a chunk or forgets RIFF
+    * word alignment lands on the wrong offsets and fails the gate.
+    * This is the video scale path: sampling happens on the directory,
+    * and only sampled byte ranges would ever reach a pixel decoder.
+    */
+  val multimodalVideoFrames: Q = (s, d) => {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val (w, h, nf, mspf) = videoParamsOf(id)
+          val avi = syntheticAvi(w, h, nf, mspf, seed = id)
+          AviHeaderDecoder
+            .frameOffsets(avi)
+            .iterator
+            .filter(_._1 % 4 == 0)
+            .map { case (idx, off, sz) => (id, idx, off, sz) }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame_offset", "frame_size")
+      .orderBy("doc_id", "frame_idx")
   }
 
   /** Magic-byte content-type sniffer as a pure Catalyst expression
@@ -463,6 +534,7 @@ object Multimodal {
     "multimodal_decode" -> multimodalDecode,
     "multimodal_audio_decode" -> multimodalAudioDecode,
     "multimodal_video_decode" -> multimodalVideoDecode,
+    "multimodal_video_frames" -> multimodalVideoFrames,
     "multimodal_sniff" -> multimodalSniff
   )
 
@@ -510,6 +582,18 @@ object Multimodal {
         |  CAST(8 + doc_id % 24 AS INT) AS n_video_frames,
         |  CAST(10000 * (1 + doc_id % 5) AS INT) AS micro_sec_per_frame
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the oracle recomputes sampled frame offsets from the container's
+    // deterministic layout: 296-byte preamble (12 RIFF + 72 JUNK +
+    // 200 hdrl + 12 movi list header), then 32 bytes per frame chunk
+    // (8-byte header + 24-byte data), data 8 bytes into the chunk
+    "multimodal_video_frames" ->
+      """SELECT doc_id,
+        |  CAST(u.i AS INT) AS frame_idx,
+        |  CAST(304 + 32 * u.i AS BIGINT) AS frame_offset,
+        |  CAST(24 AS INT) AS frame_size
+        |FROM documents, UNNEST(range(0, CAST(8 + doc_id % 24 AS BIGINT))) AS u(i)
+        |WHERE u.i % 4 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     // expected mime is formula-derived (id mod 4 picks the synthesized
     // container); Spark must classify genuine PNG/WAV/AVI bytes by magic
     "multimodal_sniff" ->

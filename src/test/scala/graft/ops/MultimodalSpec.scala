@@ -146,6 +146,24 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] { AviHeaderDecoder.decode(avi) }
   }
 
+  test("frameOffsets walks the movi directory and lands on real frame data") {
+    val nf = 9
+    val avi = syntheticAvi(width = 32, height = 32, nFrames = nf, microSecPerFrame = 40000, seed = 11L)
+    val dir = AviHeaderDecoder.frameOffsets(avi)
+    assert(dir.length == nf)
+    assert(dir.map(_._1) == (0 until nf))
+    // deterministic layout: 296-byte preamble, 32 bytes per frame chunk
+    assert(dir.map(_._2) == (0 until nf).map(i => 304L + 32L * i))
+    assert(dir.forall(_._3 == 24))
+    // the offset points at the actual seed-derived frame bytes
+    for ((idx, off, sz) <- dir) {
+      val expected = Array.tabulate[Byte](24)(j => ((11L * 13L + idx * 7L + j) % 256).toByte)
+      assert(avi.slice(off.toInt, off.toInt + sz).sameElements(expected))
+    }
+    // and the directory agrees with the avih header's frame count
+    assert(AviHeaderDecoder.decode(avi).nFrames == nf)
+  }
+
   test("sniffMime classifies genuine containers by magic bytes, as a pure expression") {
     val rows = Seq(
       (1L, syntheticPng(16, 16, seed = 1L)),
