@@ -499,6 +499,94 @@ object Multimodal {
       .otherwise("application/octet-stream")
   }
 
+  /** Scala-side magic sniff, row-at-a-time mirror of [[sniffMime]]
+    * (the Column expression) for use inside decode seams — the spec
+    * pins the two to identical answers over every payload kind, so
+    * routing inside mapPartitions and routing in a projection cannot
+    * drift apart.
+    */
+  def sniffBytes(p: Array[Byte]): String = {
+    def tag(off: Int, magic: Int*): Boolean =
+      p.length >= off + magic.length && magic.indices.forall(i => (p(off + i) & 0xff) == magic(i))
+    if (tag(0, 0x89, 0x50, 0x4e, 0x47)) "image/png"
+    else if (tag(0, 0xff, 0xd8, 0xff)) "image/jpeg"
+    else if (tag(0, 0x47, 0x49, 0x46, 0x38)) "image/gif"
+    else if (tag(0, 0x42, 0x4d)) "image/bmp"
+    else if (tag(0, 0x52, 0x49, 0x46, 0x46) && tag(8, 0x57, 0x41, 0x56, 0x45)) "audio/wav"
+    else if (tag(0, 0x52, 0x49, 0x46, 0x46) && tag(8, 0x41, 0x56, 0x49, 0x20)) "video/avi"
+    else "application/octet-stream"
+  }
+
+  /** Unified per-row metadata for a MIXED media column: exactly one
+    * modality's fields are populated (or none for unrecognized
+    * payloads) — the schema a 100 TB ingest lands in one pass.
+    */
+  final case class MixedMeta(
+      doc_id: Long,
+      mime: String,
+      img_width: Option[Int],
+      img_height: Option[Int],
+      sample_rate: Option[Int],
+      n_audio_frames: Option[Long],
+      vid_width: Option[Int],
+      n_video_frames: Option[Int])
+
+  /** The mixed-lake ingest pass: sniff each payload's container by
+    * magic bytes, route to the matching HEADER decoder (image / audio
+    * / video), land everything in one sparse typed schema. One
+    * mapPartitions over the corpus — payload bytes never shuffle, the
+    * expensive-per-modality decoders only ever see rows the sniff
+    * routed to them, and unrecognized payloads pass through as
+    * metadata-null rows instead of failing the job (the triage query
+    * for them is a `mime = 'application/octet-stream'` filter).
+    */
+  def decodeMixed(media: Dataset[MediaRow]): Dataset[MixedMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val mime = sniffBytes(r.payload)
+        mime match {
+          case m if m.startsWith("image/") =>
+            val d = ImageIoDecoder.decode(r.payload)
+            MixedMeta(r.doc_id, m, Some(d.width), Some(d.height), None, None, None, None)
+          case "audio/wav" =>
+            val a = WavHeaderDecoder.decode(r.payload)
+            MixedMeta(r.doc_id, mime, None, None, Some(a.sampleRate), Some(a.nFrames), None, None)
+          case "video/avi" =>
+            val v = AviHeaderDecoder.decode(r.payload)
+            MixedMeta(r.doc_id, mime, None, None, None, None, Some(v.width), Some(v.nFrames))
+          case _ =>
+            MixedMeta(r.doc_id, mime, None, None, None, None, None, None)
+        }
+      }
+    }
+  }
+
+  /** Oracle-gated mixed-lake pass: synthesize a REAL container per
+    * document (modality by id mod 4, parameters formula-derived), run
+    * [[decodeMixed]], and let DuckDB recompute every populated field
+    * arithmetically — one gate proving sniff, routing, and all three
+    * header decoders compose in a single pass.
+    */
+  val multimodalMixedDecode: Q = (s, d) => {
+    import s.implicits._
+    val media = documents(s, d)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val payload = (id % 4) match {
+            case 0 => val (w, h) = dimsOf(id); syntheticPng(w, h, seed = id)
+            case 1 => val (sr, ch, nf) = audioParamsOf(id); syntheticWav(nf, sr, ch, seed = id)
+            case 2 => val (w, h, nf, mspf) = videoParamsOf(id); syntheticAvi(w, h, nf, mspf, seed = id)
+            case _ => s"plain text payload $id".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          }
+          MediaRow(id, payload)
+        }
+      }
+    decodeMixed(media).toDF().orderBy("doc_id")
+  }
+
   /** Oracle-gated sniff over a mixed-modality column: per document,
     * synthesize a REAL container (PNG / WAV / AVI / raw text by id mod
     * 4), then classify with [[sniffMime]] — the expected mime is
@@ -535,7 +623,8 @@ object Multimodal {
     "multimodal_audio_decode" -> multimodalAudioDecode,
     "multimodal_video_decode" -> multimodalVideoDecode,
     "multimodal_video_frames" -> multimodalVideoFrames,
-    "multimodal_sniff" -> multimodalSniff
+    "multimodal_sniff" -> multimodalSniff,
+    "multimodal_mixed_decode" -> multimodalMixedDecode
   )
 
   def oracles: Map[String, String] = Map(
@@ -604,6 +693,24 @@ object Multimodal {
         |    WHEN 2 THEN 'video/avi'
         |    ELSE 'application/octet-stream'
         |  END AS mime
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // one gate over the whole mixed-lake pass: the oracle recomputes
+    // each modality's populated fields and expects NULL elsewhere, so
+    // a misrouted row or a wrong decoder answer both fail
+    "multimodal_mixed_decode" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'image/png'
+        |    WHEN 1 THEN 'audio/wav'
+        |    WHEN 2 THEN 'video/avi'
+        |    ELSE 'application/octet-stream'
+        |  END AS mime,
+        |  CASE WHEN doc_id % 4 = 0 THEN CAST(16 + doc_id % 32 AS INT) END AS img_width,
+        |  CASE WHEN doc_id % 4 = 0 THEN CAST(16 + doc_id % 17 AS INT) END AS img_height,
+        |  CASE WHEN doc_id % 4 = 1 THEN CAST(8000 * (1 + doc_id % 3) AS INT) END AS sample_rate,
+        |  CASE WHEN doc_id % 4 = 1 THEN CAST(64 + doc_id % 128 AS BIGINT) END AS n_audio_frames,
+        |  CASE WHEN doc_id % 4 = 2 THEN CAST(16 * (2 + doc_id % 6) AS INT) END AS vid_width,
+        |  CASE WHEN doc_id % 4 = 2 THEN CAST(8 + doc_id % 24 AS INT) END AS n_video_frames
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

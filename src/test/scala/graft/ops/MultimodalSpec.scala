@@ -191,6 +191,49 @@ class MultimodalSpec extends SparkSpec {
     assert(out(6L) == "video/avi")
   }
 
+  test("sniffBytes agrees with the sniffMime expression on every payload kind") {
+    val payloads = Seq(
+      syntheticPng(16, 16, seed = 1L),
+      syntheticWav(64, 8000, 1, seed = 2L),
+      syntheticAvi(32, 32, 4, 40000, seed = 3L),
+      "just text".getBytes("UTF-8"),
+      Array.empty[Byte], {
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(
+          new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_3BYTE_BGR), "jpg", bos)
+        bos.toByteArray
+      }
+    )
+    val viaExpr = payloads.zipWithIndex
+      .map { case (p, i) => (i.toLong, p) }
+      .toDF("doc_id", "payload")
+      .select($"doc_id", Multimodal.sniffMime($"payload").as("mime"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    payloads.zipWithIndex.foreach { case (p, i) =>
+      assert(Multimodal.sniffBytes(p) == viaExpr(i.toLong), s"payload $i")
+    }
+  }
+
+  test("decodeMixed routes each container to its decoder, nulls elsewhere") {
+    val media = Seq(
+      MediaRow(0L, syntheticPng(20, 18, seed = 0L)),
+      MediaRow(1L, syntheticWav(nFrames = 100, sampleRate = 16000, channels = 2, seed = 1L)),
+      MediaRow(2L, syntheticAvi(width = 48, height = 32, nFrames = 6, microSecPerFrame = 40000, seed = 2L)),
+      MediaRow(3L, "unrecognized".getBytes("UTF-8"))
+    ).toDS()
+    val out = Multimodal.decodeMixed(media).collect().map(m => m.doc_id -> m).toMap
+    assert(out(0L).mime == "image/png" && out(0L).img_width.contains(20) && out(0L).img_height.contains(18))
+    assert(out(0L).sample_rate.isEmpty && out(0L).vid_width.isEmpty)
+    assert(out(1L).mime == "audio/wav" && out(1L).sample_rate.contains(16000) && out(1L).n_audio_frames.contains(100L))
+    assert(out(1L).img_width.isEmpty && out(1L).vid_width.isEmpty)
+    assert(out(2L).mime == "video/avi" && out(2L).vid_width.contains(48) && out(2L).n_video_frames.contains(6))
+    assert(out(2L).img_width.isEmpty && out(2L).sample_rate.isEmpty)
+    assert(out(3L).mime == "application/octet-stream")
+    assert(out(3L).img_width.isEmpty && out(3L).sample_rate.isEmpty && out(3L).vid_width.isEmpty)
+  }
+
   test("resizeTo fits into the box aspect-preserving, never upscales") {
     // StubDecoder: width = 16+b0, height = 16+b1
     val media = Seq(
