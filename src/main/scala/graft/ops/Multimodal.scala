@@ -385,12 +385,12 @@ object Multimodal {
     }
   }
 
-  private def le32(v: Long): Array[Byte] =
+  private[ops] def le32(v: Long): Array[Byte] =
     Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte, ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-  private def riffChunk(id: String, body: Array[Byte]): Array[Byte] =
+  private[ops] def riffChunk(id: String, body: Array[Byte]): Array[Byte] =
     id.getBytes("US-ASCII") ++ le32(body.length.toLong) ++ body ++
       (if ((body.length & 1) == 1) Array(0.toByte) else Array.empty[Byte])
-  private def riffList(form: String, children: Array[Byte]): Array[Byte] =
+  private[ops] def riffList(form: String, children: Array[Byte]): Array[Byte] =
     riffChunk("LIST", form.getBytes("US-ASCII") ++ children)
 
   /** Deterministic AVI bytes: a spec-shaped RIFF/AVI container built

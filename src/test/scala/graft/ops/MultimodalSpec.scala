@@ -191,6 +191,31 @@ class MultimodalSpec extends SparkSpec {
     assert(out(6L) == "video/avi")
   }
 
+  test("RIFF walkers honor word alignment: odd-size chunks pad to even offsets") {
+    import Multimodal.{riffChunk, riffList, le32}
+    // odd-size JUNK (63 B) before hdrl, and odd-size frames (23 B):
+    // every subsequent offset depends on the +1 alignment pad, so a
+    // walker that forgets `sz & 1` lands mid-chunk and fails
+    val avih = le32(40000L) ++ le32(0) ++ le32(0) ++ le32(0x10) ++ le32(5L) ++ le32(0) ++
+      le32(1) ++ le32(0) ++ le32(48L) ++ le32(32L) ++ Array.fill[Byte](16)(0)
+    val frames = (0 until 5)
+      .map(i => riffChunk("00dc", Array.tabulate[Byte](23)(j => (i * 31 + j).toByte)))
+      .foldLeft(Array.empty[Byte])(_ ++ _)
+    val body = riffChunk("JUNK", Array.fill[Byte](63)(7)) ++
+      riffList("hdrl", riffChunk("avih", avih)) ++
+      riffList("movi", frames)
+    val avi = "RIFF".getBytes("US-ASCII") ++ le32(body.length.toLong + 4) ++
+      "AVI ".getBytes("US-ASCII") ++ body
+    val m = Multimodal.AviHeaderDecoder.decode(avi)
+    assert(m.width == 48 && m.height == 32 && m.nFrames == 5 && m.microSecPerFrame == 40000)
+    val dir = Multimodal.AviHeaderDecoder.frameOffsets(avi)
+    assert(dir.length == 5 && dir.forall(_._3 == 23))
+    // offsets step by 32 (8-byte header + 23 data + 1 pad) and land on
+    // the crafted first byte of each frame
+    assert(dir.sliding(2).forall { case Seq(a, b) => b._2 - a._2 == 32 })
+    for ((idx, off, _) <- dir) assert(avi(off.toInt) == (idx * 31).toByte)
+  }
+
   test("sniffBytes agrees with the sniffMime expression on every payload kind") {
     val payloads = Seq(
       syntheticPng(16, 16, seed = 1L),
