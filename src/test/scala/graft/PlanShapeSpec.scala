@@ -26,6 +26,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(scanLine.contains("l_quantity") && !scanLine.contains("l_shipdate"), scanLine)
   }
 
+  test("multimodal decode passes prune the documents scan to doc_id only") {
+    // the decode family synthesizes payloads from doc_id: the text
+    // column (the table's dominant bytes) must never leave the parquet
+    // reader, and the projection must survive the spread() repartition
+    for (q <- Seq("multimodal_decode", "multimodal_mixed_decode", "multimodal_video_frames")) {
+      val df = graft.SparkEntry.queries(q)(spark, sfDir)
+      df.collect()
+      val scanLine = df.queryExecution.executedPlan.toString.linesIterator
+        .find(l => l.contains("FileScan parquet") && l.contains("documents"))
+        .getOrElse("")
+      assert(scanLine.contains("ReadSchema: struct<doc_id:bigint>"), s"$q: $scanLine")
+    }
+  }
+
   test("revenue_nation: dimension joins broadcast, no cartesian products") {
     val df = Relational.revenueNation(spark, sfDir)
     df.collect()
