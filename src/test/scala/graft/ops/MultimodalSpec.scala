@@ -241,6 +241,34 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("sniffBytes ≡ sniffMime on an adversarial corpus: truncations, random form types") {
+    val rnd = new scala.util.Random(0xc0ffeeL)
+    def randBytes(n: Int) = { val b = new Array[Byte](n); rnd.nextBytes(b); b }
+    val payloads: Seq[Array[Byte]] = (0 until 400).map { i =>
+      (i % 8) match {
+        case 0 => randBytes(rnd.nextInt(17))
+        case 1 => syntheticPng(16 + i % 8, 16, seed = i.toLong)
+        case 2 => val p = syntheticPng(16, 16, seed = i.toLong); p.take(1 + rnd.nextInt(p.length))
+        case 3 => syntheticWav(32, 8000, 1, seed = i.toLong)
+        case 4 => val w = syntheticWav(32, 8000, 1, seed = i.toLong); w.take(1 + rnd.nextInt(w.length))
+        case 5 => val a = syntheticAvi(32, 16, 3, 40000, seed = i.toLong); a.take(1 + rnd.nextInt(a.length))
+        case 6 => "RIFF".getBytes("US-ASCII") ++ randBytes(4) ++ randBytes(4 + rnd.nextInt(8))
+        case _ => randBytes(17 + rnd.nextInt(48))
+      }
+    }
+    val viaExpr = payloads.zipWithIndex
+      .map { case (p, i) => (i.toLong, p) }
+      .toDF("doc_id", "payload")
+      .select($"doc_id", Multimodal.sniffMime($"payload").as("mime"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    payloads.zipWithIndex.foreach { case (p, i) =>
+      assert(Multimodal.sniffBytes(p) == viaExpr(i.toLong),
+        s"payload $i (${p.length} B, head=${p.take(12).map(b => f"${b & 0xff}%02x").mkString})")
+    }
+  }
+
   test("decodeMixed routes each container to its decoder, nulls elsewhere") {
     val media = Seq(
       MediaRow(0L, syntheticPng(20, 18, seed = 0L)),
