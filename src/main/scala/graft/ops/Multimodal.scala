@@ -128,26 +128,61 @@ object Multimodal {
 
   final case class ResizedMedia(doc_id: Long, width: Int, height: Int, out_width: Int, out_height: Int)
 
-  /** Resize seam: decode (stubbed), then fit into a `maxW`×`maxH` box
-    * with aspect-preserving integer arithmetic. The pixel transform
-    * itself lives behind the decoder; the mapPartitions batch shape,
-    * the scaling math and the output schema are the real, tested
-    * plumbing a codec-backed implementation drops into.
+  /** Aspect-preserving fit of `w`×`h` into a `maxW`×`maxH` box:
+    * scale = min(maxW/w, maxH/h) floor'd via cross-multiplication (no
+    * floating point), never upscaled past the original. ONE definition
+    * shared by the metadata-only [[resizeTo]] and the pixel-true
+    * [[resizeImage]], so the two paths cannot drift.
+    */
+  def boxFit(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) =
+    if (w <= maxW && h <= maxH) (w, h)
+    else if (w.toLong * maxH <= h.toLong * maxW)
+      (math.max(1, (w.toLong * maxH / h).toInt), maxH)
+    else (maxW, math.max(1, (h.toLong * maxW / w).toInt))
+
+  /** Resize seam: decode, then fit into a `maxW`×`maxH` box with
+    * aspect-preserving integer arithmetic. Metadata-only — reports the
+    * target dimensions without touching pixels; [[resizeImage]] is the
+    * pixel-true twin for when the resized BYTES are the product.
     */
   def resizeTo(media: Dataset[MediaRow], decoder: BinaryDecoder, maxW: Int, maxH: Int): Dataset[ResizedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
         val m = decoder.decode(r.payload)
-        // scale = min(maxW/w, maxH/h), floor'd via cross-multiplication
-        // (no floating point), never upscaled past the original
-        val (ow, oh) =
-          if (m.width <= maxW && m.height <= maxH) (m.width, m.height)
-          else if (m.width.toLong * maxH <= m.height.toLong * maxW)
-            (math.max(1, (m.width.toLong * maxH / m.height).toInt), maxH)
-          else (maxW, math.max(1, (m.height.toLong * maxW / m.width).toInt))
+        val (ow, oh) = boxFit(m.width, m.height, maxW, maxH)
         ResizedMedia(r.doc_id, m.width, m.height, ow, oh)
       }
+    }
+  }
+
+  /** REAL pixel resize via the JDK's AWT raster pipeline (public API,
+    * no extra dependency): full-decode the image, draw it scaled with
+    * bilinear interpolation into a [[boxFit]]-sized raster, re-encode
+    * PNG. Identity payloads (already inside the box) return UNCHANGED
+    * bytes — no decode-re-encode round trip, no byte churn. This is
+    * the thumbnail/normalize pass of a vision-data pipeline; unlike
+    * the header-only decoders its cost IS O(pixels), which is why it
+    * belongs behind frame/row sampling at 100 TB, never before it.
+    */
+  def resizeImage(payload: Array[Byte], maxW: Int, maxH: Int): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"no ImageIO reader recognizes the ${payload.length}-byte payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val (ow, oh) = boxFit(w, h, maxW, maxH)
+    if (ow == w && oh == h) payload
+    else {
+      val out = new java.awt.image.BufferedImage(ow, oh, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val g = out.createGraphics()
+      try {
+        g.setRenderingHint(
+          java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, ow, oh, null)
+      } finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "png", bos)
+      bos.toByteArray
     }
   }
 
@@ -226,6 +261,83 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Full-pixel feature extraction: per-channel integer sums over the
+    * decoded raster — the moment a vision pipeline actually LOOKS at
+    * pixels (brightness stats, channel balance, dead-image detection).
+    * Integer sums, not float means: bit-exact across engines and
+    * aggregation orders. O(pixels) per row by nature, so like
+    * [[resizeImage]] it runs after sampling at scale, never as a
+    * corpus-wide first pass.
+    */
+  def pixelSums(payload: Array[Byte]): (Long, Long, Long, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"no ImageIO reader recognizes the ${payload.length}-byte payload")
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        sr += (rgb >> 16) & 0xff
+        sg += (rgb >> 8) & 0xff
+        sb += rgb & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (img.getWidth.toLong * img.getHeight, sr, sg, sb)
+  }
+
+  /** Oracle-gated REAL pixel decode: synthesize a PNG per document
+    * whose every pixel is a pure function of (doc_id, x, y), then
+    * recover per-channel sums from the BYTES via the full AWT decode.
+    * The oracle recomputes the sums arithmetically over the (x, y)
+    * grid — a decoder that drops rows, misorders channels (BGR vs
+    * RGB), or loses precision in the PNG round trip fails the gate.
+    */
+  val multimodalPixelStats: Q = (s, d) => {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val (w, h) = dimsOf(id)
+          val (n, sr, sg, sb) = pixelSums(syntheticPng(w, h, seed = id))
+          (id, n, sr, sg, sb)
+        }
+      }
+      .toDF("doc_id", "n_pixels", "sum_r", "sum_g", "sum_b")
+      .orderBy("doc_id")
+  }
+
+  private val resizeBoxW = 24
+  private val resizeBoxH = 20
+  /** Oracle-gated REAL resize round trip: synthesize a PNG at
+    * formula-derived dimensions, [[resizeImage]] it into a 24×20 box,
+    * then decode the OUTPUT bytes — the reported dimensions come from
+    * the resized container itself, so a resize that wrote the wrong
+    * raster (or an identity path that re-encoded) cannot pass. The
+    * fixture dimension range straddles the box on both axes, so the
+    * identity, clamp-width and clamp-height branches all execute.
+    */
+  val multimodalResize: Q = (s, d) => {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val (w, h) = dimsOf(id)
+          val resized = resizeImage(syntheticPng(w, h, seed = id), resizeBoxW, resizeBoxH)
+          val m = ImageIoDecoder.decode(resized)
+          (id, w, h, m.width, m.height)
+        }
+      }
+      .toDF("doc_id", "in_width", "in_height", "out_width", "out_height")
+      .orderBy("doc_id")
+  }
+
   /** Decoded audio metadata: everything a WAV/RIFF header carries. */
   final case class AudioMeta(sampleRate: Int, channels: Int, bitsPerSample: Int, nFrames: Long)
 
@@ -292,6 +404,61 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "sample_rate", "audio_channels", "bits_per_sample", "n_audio_frames")
+      .orderBy("doc_id")
+  }
+
+  /** Full-PCM audio statistics: decode the sample stream through the
+    * JDK's `AudioInputStream` (the same public path the header decoder
+    * uses, now reading the `data` chunk), interpret 16-bit little-
+    * endian signed samples, and reduce to integer stats — sample
+    * count, sum, min, max. The loudness/clipping/silence screen of an
+    * audio-data pipeline; O(samples) per row, so it follows sampling
+    * at scale like the other full-decode passes.
+    */
+  def pcmStats(payload: Array[Byte]): (Long, Long, Int, Int) = {
+    val ais = javax.sound.sampled.AudioSystem
+      .getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+    try {
+      val af = ais.getFormat
+      require(
+        af.getSampleSizeInBits == 16 && !af.isBigEndian &&
+          af.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        s"pcmStats reads PCM16LE signed, got $af")
+      val data = ais.readAllBytes()
+      var (n, sum) = (0L, 0L)
+      var (mn, mx) = (Int.MaxValue, Int.MinValue)
+      var i = 0
+      while (i + 1 < data.length) {
+        val v = ((data(i + 1) << 8) | (data(i) & 0xff)).toShort.toInt
+        n += 1; sum += v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        i += 2
+      }
+      (n, sum, if (n == 0) 0 else mn, if (n == 0) 0 else mx)
+    } finally ais.close()
+  }
+
+  /** Oracle-gated REAL PCM decode: synthesize a WAV per document whose
+    * every data byte is a pure function of (doc_id, byte index), then
+    * recover sample count / sum / min / max from the BYTES through the
+    * full `AudioInputStream` read. The oracle reassembles each 16-bit
+    * little-endian signed sample arithmetically from the byte formula —
+    * an endianness flip, a sign error, or a skipped frame all fail.
+    */
+  val multimodalAudioStats: Q = (s, d) => {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val (sr, ch, nf) = audioParamsOf(id)
+          val (n, sum, mn, mx) = pcmStats(syntheticWav(nf, sr, ch, seed = id))
+          (id, n, sum, mn, mx)
+        }
+      }
+      .toDF("doc_id", "n_samples", "pcm_sum", "pcm_min", "pcm_max")
       .orderBy("doc_id")
   }
 
@@ -620,6 +787,9 @@ object Multimodal {
     "multimodal_meta" -> multimodalMeta,
     "multimodal_frame_sample" -> multimodalFrameSample,
     "multimodal_decode" -> multimodalDecode,
+    "multimodal_pixel_stats" -> multimodalPixelStats,
+    "multimodal_resize" -> multimodalResize,
+    "multimodal_audio_stats" -> multimodalAudioStats,
     "multimodal_audio_decode" -> multimodalAudioDecode,
     "multimodal_video_decode" -> multimodalVideoDecode,
     "multimodal_video_frames" -> multimodalVideoFrames,
@@ -653,6 +823,67 @@ object Multimodal {
         |  CAST(3 AS INT) AS channels,
         |  CAST(1 AS INT) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the oracle recomputes per-channel sums arithmetically over the
+    // (x, y) grid — Spark must recover them from real PNG bytes via a
+    // full AWT raster decode (pixel(x,y): r=v, g=255-v, b=(v*7)%256
+    // for v=(doc_id + x*31 + y*17)%256, the syntheticPng formula)
+    "multimodal_pixel_stats" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         CAST(16 + doc_id % 32 AS BIGINT) AS w,
+        |         CAST(16 + doc_id % 17 AS BIGINT) AS h
+        |  FROM documents),
+        |px AS (
+        |  SELECT doc_id, ((doc_id + x.i * 31 + y.i * 17) % 256) AS v
+        |  FROM p, UNNEST(range(0, w)) AS x(i), UNNEST(range(0, h)) AS y(i))
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_pixels,
+        |  CAST(sum(v) AS BIGINT) AS sum_r,
+        |  CAST(sum(255 - v) AS BIGINT) AS sum_g,
+        |  CAST(sum((v * 7) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the oracle recomputes the integer box-fit (24×20) from the
+    // formula dims; Spark must produce a REAL resized PNG and report
+    // the dimensions decoded from the OUTPUT bytes
+    "multimodal_resize" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         CAST(16 + doc_id % 32 AS INT) AS w,
+        |         CAST(16 + doc_id % 17 AS INT) AS h
+        |  FROM documents)
+        |SELECT doc_id, w AS in_width, h AS in_height,
+        |  CAST(CASE WHEN w <= 24 AND h <= 20 THEN w
+        |            WHEN w * 20 <= h * 24 THEN greatest(1, (w * 20) // h)
+        |            ELSE 24 END AS INT) AS out_width,
+        |  CAST(CASE WHEN w <= 24 AND h <= 20 THEN h
+        |            WHEN w * 20 <= h * 24 THEN 20
+        |            ELSE greatest(1, (h * 24) // w) END AS INT) AS out_height
+        |FROM p ORDER BY doc_id""".stripMargin,
+    // the oracle reassembles each 16-bit little-endian signed sample
+    // from the byte formula b(i)=(doc_id + i*131)%256; Spark must
+    // recover the stats from real RIFF/WAVE bytes through the full
+    // AudioInputStream PCM read
+    "multimodal_audio_stats" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+        |         CAST(64 + doc_id % 128 AS BIGINT) AS nf
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |         ((doc_id + (2 * j.i) * 131) % 256) AS lo,
+        |         ((doc_id + (2 * j.i + 1) * 131) % 256) AS hi
+        |  FROM p, UNNEST(range(0, nf * ch)) AS j(i)),
+        |v AS (
+        |  SELECT doc_id,
+        |         (CASE WHEN hi < 128 THEN hi ELSE hi - 256 END) * 256 + lo AS val
+        |  FROM s)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(sum(val) AS BIGINT) AS pcm_sum,
+        |  CAST(min(val) AS INT) AS pcm_min,
+        |  CAST(max(val) AS INT) AS pcm_max
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // the oracle recomputes the audio formulas; Spark must recover
     // them from real RIFF/WAVE bytes via javax.sound.sampled
     "multimodal_audio_decode" ->

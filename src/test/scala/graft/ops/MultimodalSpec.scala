@@ -287,6 +287,70 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).img_width.isEmpty && out(3L).sample_rate.isEmpty && out(3L).vid_width.isEmpty)
   }
 
+  test("resizeImage writes a real PNG at box-fit dimensions; identity path returns the bytes unchanged") {
+    // clamp-width branch: 200x100 into 64x64 -> 64x32
+    val wide = resizeImage(syntheticPng(200, 100, seed = 3L), 64, 64)
+    val mw = ImageIoDecoder.decode(wide)
+    assert(mw.width == 64 && mw.height == 32)
+    assert((wide(0) & 0xff) == 0x89 && wide(1) == 'P') // genuine PNG out
+    // clamp-height branch: 100x200 into 64x64 -> 32x64
+    val tall = ImageIoDecoder.decode(resizeImage(syntheticPng(100, 200, seed = 4L), 64, 64))
+    assert(tall.width == 32 && tall.height == 64)
+    // identity: already inside the box -> the SAME byte array, no re-encode
+    val small = syntheticPng(20, 10, seed = 5L)
+    assert(resizeImage(small, 64, 64) eq small)
+  }
+
+  test("resizeImage and resizeTo share one box-fit: output dims agree across a branch-covering grid") {
+    for (w <- Seq(16, 24, 25, 47); h <- Seq(16, 20, 21, 32)) {
+      val expected = boxFit(w, h, 24, 20)
+      val m = ImageIoDecoder.decode(resizeImage(syntheticPng(w, h, seed = w * 100L + h), 24, 20))
+      assert((m.width, m.height) == expected, s"($w x $h)")
+      val meta = resizeTo(Seq(MediaRow(1L, syntheticPng(w, h, seed = 1L))).toDS(), ImageIoDecoder, 24, 20).collect()(0)
+      assert((meta.out_width, meta.out_height) == expected, s"($w x $h) metadata path")
+    }
+  }
+
+  test("pixelSums recovers exact per-channel sums from real PNG bytes") {
+    // independent channel-order pin: 2x1 image with hand-picked colors —
+    // a BGR/RGB flip in the decode path cannot cancel out
+    val img = new java.awt.image.BufferedImage(2, 1, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    img.setRGB(0, 0, (255 << 16) | (0 << 8) | 0)
+    img.setRGB(1, 0, (0 << 16) | (128 << 8) | 64)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    assert(pixelSums(bos.toByteArray) == ((2L, 255L, 128L, 64L)))
+    // and against the syntheticPng formula over the full grid
+    val (w, h, seed) = (23, 17, 9L)
+    var (er, eg, eb) = (0L, 0L, 0L)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = ((seed + x * 31L + y * 17L) % 256).toInt
+      er += v; eg += 255 - v; eb += (v * 7) % 256
+    }
+    assert(pixelSums(syntheticPng(w, h, seed)) == ((w.toLong * h, er, eg, eb)))
+  }
+
+  test("pcmStats recovers exact sample stats from real WAV bytes") {
+    val (nf, sr, ch, seed) = (100, 16000, 2, 7L)
+    val data = Array.tabulate[Byte](nf * ch * 2)(i => ((seed + i * 131L) % 256).toByte)
+    var (sum, mn, mx) = (0L, Int.MaxValue, Int.MinValue)
+    var i = 0
+    while (i + 1 < data.length) {
+      val v = ((data(i + 1) << 8) | (data(i) & 0xff)).toShort.toInt
+      sum += v; mn = math.min(mn, v); mx = math.max(mx, v)
+      i += 2
+    }
+    assert(pcmStats(syntheticWav(nf, sr, ch, seed)) == ((nf.toLong * ch, sum, mn, mx)))
+    // mono edge: one sample per frame
+    assert(pcmStats(syntheticWav(1, 8000, 1, seed = 0L))._1 == 1L)
+  }
+
+  test("pcmStats refuses non-PCM16LE input loudly") {
+    intercept[javax.sound.sampled.UnsupportedAudioFileException] {
+      pcmStats("not audio".getBytes("UTF-8"))
+    }
+  }
+
   test("resizeTo fits into the box aspect-preserving, never upscales") {
     // StubDecoder: width = 16+b0, height = 16+b1
     val media = Seq(
