@@ -122,7 +122,10 @@ object Bench {
       // builds "yesterday's" component map inline before the
       // increment-sized merge it exists to demonstrate
       "dedup_clusters_incremental" -> "every_run",
-      "dedup_stream_clusters" -> "first_run"
+      "dedup_stream_clusters" -> "first_run",
+      // every rep synthesizes + writes the payload corpus and replays
+      // it through fresh micro-batches (scratch dirs per run)
+      "multimodal_stream_decode" -> "every_run"
     )
     val builds = buildIncluded
       .filter { case (k, _) => medians.exists(_._1 == k) }

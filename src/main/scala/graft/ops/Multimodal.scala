@@ -729,28 +729,30 @@ object Multimodal {
     }
   }
 
+  /** One REAL container per doc id — modality by id mod 4, parameters
+    * formula-derived, so an oracle can recompute every decoded field
+    * arithmetically. Shared by the batch mixed-decode gate and the
+    * streaming ingest replay (same corpus ⇒ same oracle).
+    */
+  def syntheticMixedPayload(id: Long): Array[Byte] = (id % 4) match {
+    case 0 => val (w, h) = dimsOf(id); syntheticPng(w, h, seed = id)
+    case 1 => val (sr, ch, nf) = audioParamsOf(id); syntheticWav(nf, sr, ch, seed = id)
+    case 2 => val (w, h, nf, mspf) = videoParamsOf(id); syntheticAvi(w, h, nf, mspf, seed = id)
+    case _ => s"plain text payload $id".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   /** Oracle-gated mixed-lake pass: synthesize a REAL container per
-    * document (modality by id mod 4, parameters formula-derived), run
-    * [[decodeMixed]], and let DuckDB recompute every populated field
-    * arithmetically — one gate proving sniff, routing, and all three
-    * header decoders compose in a single pass.
+    * document ([[syntheticMixedPayload]]), run [[decodeMixed]], and let
+    * DuckDB recompute every populated field arithmetically — one gate
+    * proving sniff, routing, and all three header decoders compose in
+    * a single pass.
     */
   val multimodalMixedDecode: Q = (s, d) => {
     import s.implicits._
     val media = documents(s, d)
       .select(col("doc_id"))
       .as[Long]
-      .mapPartitions { ids =>
-        ids.map { id =>
-          val payload = (id % 4) match {
-            case 0 => val (w, h) = dimsOf(id); syntheticPng(w, h, seed = id)
-            case 1 => val (sr, ch, nf) = audioParamsOf(id); syntheticWav(nf, sr, ch, seed = id)
-            case 2 => val (w, h, nf, mspf) = videoParamsOf(id); syntheticAvi(w, h, nf, mspf, seed = id)
-            case _ => s"plain text payload $id".getBytes(java.nio.charset.StandardCharsets.UTF_8)
-          }
-          MediaRow(id, payload)
-        }
-      }
+      .mapPartitions(ids => ids.map(id => MediaRow(id, syntheticMixedPayload(id))))
     decodeMixed(media).toDF().orderBy("doc_id")
   }
 

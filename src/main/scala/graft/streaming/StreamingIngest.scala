@@ -547,6 +547,62 @@ object StreamingIngest {
     } finally rmScratch(s, base)
   }
 
+  /** Streaming mixed-media ingest: binary payloads arrive as real
+    * micro-batches and land, in one pass per batch, in the unified
+    * sparse metadata schema — [[graft.ops.Multimodal.decodeMixed]]
+    * (sniff → route → per-modality HEADER decoder) lifted onto the
+    * stream as a stateless typed transformation, so there is no
+    * foreachBatch and no state store: Spark's file-source checkpoint
+    * alone gives exactly-once over the payload files, and executor
+    * memory per batch is bounded by maxFilesPerTrigger regardless of
+    * backlog (payload bytes never shuffle — they die inside their
+    * arrival partition, only extracted metadata reaches the sink).
+    * This is the landing pass of a 100 TB media lake: the same corpus
+    * batched ≡ streamed, which is what the shared oracle pins.
+    */
+  def mediaStreamIngest(s: SparkSession, media: Dataset[graft.ops.Multimodal.MediaRow]): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_media_stream")
+    try {
+      val src = base.resolve("src").toString
+      val out = base.resolve("meta").toString
+      val ckpt = base.resolve("ckpt").toString
+      // 4 source files ⇒ 4 real micro-batches under maxFilesPerTrigger=1
+      media.toDF().repartition(4, col("doc_id")).write.parquet(src)
+      val stream = s.readStream
+        .schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+      import s.implicits._
+      graft.ops.Multimodal
+        .decodeMixed(stream.as[graft.ops.Multimodal.MediaRow])
+        .writeStream
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(out).orderBy("doc_id").localCheckpoint(true)
+    } finally rmScratch(s, base)
+  }
+
+  /** The driver-registry wrapper: the same formula-derived mixed
+    * corpus as the batch `multimodal_mixed_decode`, replayed through
+    * [[mediaStreamIngest]] — shares that query's oracle, so streamed
+    * ≡ batched is hash-gated end to end.
+    */
+  def multimodalStreamDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = graft.ops.Fixtures
+      .documents(s, d)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions(ids =>
+        ids.map(id => graft.ops.Multimodal.MediaRow(id, graft.ops.Multimodal.syntheticMixedPayload(id))))
+    mediaStreamIngest(s, media)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "dedup_stream_replay" -> ((s, d) =>
@@ -555,6 +611,7 @@ object StreamingIngest {
           graft.ops.Fixtures.documents(s, d),
           Some(graft.ops.Dedup.demoEvenMinhashIndex(s, d))
         )),
+      "multimodal_stream_decode" -> multimodalStreamDecode,
       "dedup_stream_clusters" -> dedupStreamClusters,
       "events_stream_replay" -> eventsStreamReplay,
       "events_anomaly_stream" -> eventsAnomalyStream
@@ -567,6 +624,9 @@ object StreamingIngest {
   def oracles: Map[String, String] =
     Map(
       "dedup_stream_replay" -> graft.ops.Dedup.oracles("dedup_incremental"),
+      // streamed ≡ batched: the same mixed corpus through micro-batches
+      // must hash-match the one-pass batch decode's oracle
+      "multimodal_stream_decode" -> graft.ops.Multimodal.oracles("multimodal_mixed_decode"),
       "dedup_stream_clusters" -> graft.ops.Dedup.incrementalClustersOracle,
       "events_stream_replay" ->
         """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,

@@ -230,6 +230,21 @@ class StreamingIngestSpec extends SparkSpec {
     assert(served == expected)
   }
 
+  test("media stream ingest equals the one-pass batch decode over the same mixed corpus") {
+    import graft.ops.Multimodal
+    // one payload per modality + an unrecognized one, so routing,
+    // all three decoders and the null passthrough all cross the stream
+    val media = (0L to 7L)
+      .map(id => Multimodal.MediaRow(id, Multimodal.syntheticMixedPayload(id)))
+      .toDS()
+    val streamed = StreamingIngest.mediaStreamIngest(spark, media).collect()
+    val batch = Multimodal.decodeMixed(media).toDF().orderBy("doc_id").collect()
+    assert(streamed.toSeq == batch.toSeq)
+    // sanity on content: all four modalities present in the result
+    val mimes = streamed.map(_.getString(1)).toSet
+    assert(mimes == Set("image/png", "audio/wav", "video/avi", "application/octet-stream"))
+  }
+
   test("dedup_stream_replay equals the one-shot incremental probe on the same split") {
     val sfDir = "/root/testdata/sf0.001"
     val docs = graft.ops.Fixtures.documents(spark, sfDir)
