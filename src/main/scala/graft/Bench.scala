@@ -125,7 +125,10 @@ object Bench {
       "dedup_stream_clusters" -> "first_run",
       // every rep synthesizes + writes the payload corpus and replays
       // it through fresh micro-batches (scratch dirs per run)
-      "multimodal_stream_decode" -> "every_run"
+      "multimodal_stream_decode" -> "every_run",
+      // index memoized per process; each rep replays the query
+      // micro-batches against it
+      "ann_pq_stream_serve" -> "first_run"
     )
     val builds = buildIncluded
       .filter { case (k, _) => medians.exists(_._1 == k) }

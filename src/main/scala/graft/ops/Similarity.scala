@@ -942,16 +942,23 @@ object Similarity {
       .orderBy("qid", "rank")
   }
 
+  /** The fixture (qid, qv) query table the PQ serving gates share —
+    * public so the STREAMING serve loop can replay exactly this set
+    * against exactly this index and reuse the golden pin.
+    */
+  def fixtureQueryVectors(s: SparkSession, d: String, ids: Seq[Long]): DataFrame =
+    withVec(embeddings(s, d))
+      .filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+
+  /** The process-memoized demo PQ index, public for the same reason. */
+  def demoPqIndexDir(s: SparkSession, d: String): String = demoPqIndex(s, d)
+
   /** Three fixture query vectors k-NN-joined against the persisted PQ
     * index — golden-pinned like the other seeded-KMeans queries.
     */
-  val annPqKnnJoin: Q = (s, d) => {
-    val dir = demoPqIndex(s, d)
-    val qs = withVec(embeddings(s, d))
-      .filter(col("vec_id").isin(0L, 1L, 2L))
-      .select(col("vec_id").as("qid"), col("v").as("qv"))
-    pqKnnJoin(s, dir, qs, k = 5, nProbe = 4)
-  }
+  val annPqKnnJoin: Q = (s, d) =>
+    pqKnnJoin(s, demoPqIndex(s, d), fixtureQueryVectors(s, d, Seq(0L, 1L, 2L)), k = 5, nProbe = 4)
 
   private val pqDefaults = (8, 16) // m subspaces, codes per subspace
 

@@ -603,6 +603,51 @@ object StreamingIngest {
     mediaStreamIngest(s, media)
   }
 
+  /** Streaming ANN SERVE loop: query vectors arrive as micro-batches
+    * and each batch runs the BATCHED PQ k-NN join against the
+    * persisted index ([[graft.ops.Similarity.pqKnnJoin]] inside
+    * foreachBatch — the per-batch work is the set-oriented serving
+    * join, never a driver round-trip per query), appending answers to
+    * the result sink. Per-query results are independent, so streamed
+    * ≡ batched holds exactly and the stream shares the batch join's
+    * golden pin. At 100 TB this is the online serving tier: the index
+    * is the state (disk, partition-pruned probes), the stream holds
+    * nothing between batches, and per-batch memory is bounded by
+    * maxFilesPerTrigger exactly like the ingest loops.
+    */
+  def annStreamServe(s: SparkSession, queries: DataFrame, indexDir: String, k: Int, nProbe: Int): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_ann_stream")
+    try {
+      val src = base.resolve("src").toString
+      val out = base.resolve("answers").toString
+      val ckpt = base.resolve("ckpt").toString
+      queries.repartition(3, col("qid")).write.parquet(src)
+      val stream = s.readStream
+        .schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+      stream.writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          // the batch frame lives in the stream's CLONED session, whose
+          // function registry snapshot predates any outer-session
+          // registration — resolve the join (cosine_sim) there, not in
+          // the caller's session
+          val bs = batch.sparkSession
+          graft.functions.GraftFunctions.register(bs)
+          graft.ops.Similarity
+            .pqKnnJoin(bs, indexDir, batch.toDF(), k, nProbe)
+            .write
+            .mode(SaveMode.Append)
+            .parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(out).orderBy("qid", "rank").localCheckpoint(true)
+    } finally rmScratch(s, base)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "dedup_stream_replay" -> ((s, d) =>
@@ -612,6 +657,14 @@ object StreamingIngest {
           Some(graft.ops.Dedup.demoEvenMinhashIndex(s, d))
         )),
       "multimodal_stream_decode" -> multimodalStreamDecode,
+      "ann_pq_stream_serve" -> ((s, d) =>
+        annStreamServe(
+          s,
+          graft.ops.Similarity.fixtureQueryVectors(s, d, Seq(0L, 1L, 2L)),
+          graft.ops.Similarity.demoPqIndexDir(s, d),
+          k = 5,
+          nProbe = 4
+        )),
       "dedup_stream_clusters" -> dedupStreamClusters,
       "events_stream_replay" -> eventsStreamReplay,
       "events_anomaly_stream" -> eventsAnomalyStream
@@ -627,6 +680,9 @@ object StreamingIngest {
       // streamed ≡ batched: the same mixed corpus through micro-batches
       // must hash-match the one-pass batch decode's oracle
       "multimodal_stream_decode" -> graft.ops.Multimodal.oracles("multimodal_mixed_decode"),
+      // per-query answers are independent, so the micro-batched serve
+      // shares the batch k-NN join's golden pin
+      "ann_pq_stream_serve" -> graft.ops.Similarity.oracles("ann_pq_knn_join"),
       "dedup_stream_clusters" -> graft.ops.Dedup.incrementalClustersOracle,
       "events_stream_replay" ->
         """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,

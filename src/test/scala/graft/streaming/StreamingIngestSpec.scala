@@ -245,6 +245,19 @@ class StreamingIngestSpec extends SparkSpec {
     assert(mimes == Set("image/png", "audio/wav", "video/avi", "application/octet-stream"))
   }
 
+  test("streaming ANN serve equals the batched PQ k-NN join, answer for answer") {
+    val sfDir = "/root/testdata/sf0.001"
+    val dir = graft.ops.Similarity.demoPqIndexDir(spark, sfDir)
+    // 5 queries over 3 micro-batch files: at least one batch carries
+    // more than one query, so the per-batch join is exercised as a
+    // set-oriented operation, not a per-row loop
+    val qs = graft.ops.Similarity.fixtureQueryVectors(spark, sfDir, Seq(0L, 1L, 2L, 3L, 4L))
+    val streamed = StreamingIngest.annStreamServe(spark, qs, dir, k = 5, nProbe = 4).collect()
+    val batch = graft.ops.Similarity.pqKnnJoin(spark, dir, qs, k = 5, nProbe = 4).collect()
+    assert(streamed.toSeq == batch.toSeq)
+    assert(streamed.map(_.getAs[Long]("qid")).distinct.length == 5)
+  }
+
   test("dedup_stream_replay equals the one-shot incremental probe on the same split") {
     val sfDir = "/root/testdata/sf0.001"
     val docs = graft.ops.Fixtures.documents(spark, sfDir)
