@@ -706,23 +706,36 @@ object Multimodal {
     * routed to them, and unrecognized payloads pass through as
     * metadata-null rows instead of failing the job (the triage query
     * for them is a `mime = 'application/octet-stream'` filter).
+    *
+    * CORRUPT payloads — intact magic bytes, unreadable header (the
+    * torn upload / truncated object case a lake at scale always
+    * contains) — are QUARANTINED per row, never fatal: the row keeps
+    * its sniffed mime with every metadata field null, so the triage
+    * filter is `mime <> 'application/octet-stream' AND img_width IS
+    * NULL AND sample_rate IS NULL AND vid_width IS NULL`. One bad
+    * byte range must not kill a 100 TB ingest.
     */
   def decodeMixed(media: Dataset[MediaRow]): Dataset[MixedMeta] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       rows.map { r =>
         val mime = sniffBytes(r.payload)
-        mime match {
-          case m if m.startsWith("image/") =>
-            val d = ImageIoDecoder.decode(r.payload)
-            MixedMeta(r.doc_id, m, Some(d.width), Some(d.height), None, None, None, None)
-          case "audio/wav" =>
-            val a = WavHeaderDecoder.decode(r.payload)
-            MixedMeta(r.doc_id, mime, None, None, Some(a.sampleRate), Some(a.nFrames), None, None)
-          case "video/avi" =>
-            val v = AviHeaderDecoder.decode(r.payload)
-            MixedMeta(r.doc_id, mime, None, None, None, None, Some(v.width), Some(v.nFrames))
-          case _ =>
+        try {
+          mime match {
+            case m if m.startsWith("image/") =>
+              val d = ImageIoDecoder.decode(r.payload)
+              MixedMeta(r.doc_id, m, Some(d.width), Some(d.height), None, None, None, None)
+            case "audio/wav" =>
+              val a = WavHeaderDecoder.decode(r.payload)
+              MixedMeta(r.doc_id, mime, None, None, Some(a.sampleRate), Some(a.nFrames), None, None)
+            case "video/avi" =>
+              val v = AviHeaderDecoder.decode(r.payload)
+              MixedMeta(r.doc_id, mime, None, None, None, None, Some(v.width), Some(v.nFrames))
+            case _ =>
+              MixedMeta(r.doc_id, mime, None, None, None, None, None, None)
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) =>
             MixedMeta(r.doc_id, mime, None, None, None, None, None, None)
         }
       }

@@ -287,6 +287,29 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).img_width.isEmpty && out(3L).sample_rate.isEmpty && out(3L).vid_width.isEmpty)
   }
 
+  test("decodeMixed quarantines corrupt payloads per row instead of failing the pass") {
+    // intact magic bytes, unreadable content: the sniff routes each to
+    // its decoder, the decoder throws, the ROW must survive with its
+    // sniffed mime and all-null metadata — one torn object cannot kill
+    // a corpus-wide ingest
+    val corruptPng = syntheticPng(20, 20, seed = 1L).take(12) // signature intact, IHDR torn
+    val corruptWav = syntheticWav(32, 8000, 1, seed = 2L).take(16) // RIFF/WAVE tag intact, fmt gone
+    val corruptAvi = syntheticAvi(32, 16, 3, 40000, seed = 3L).take(12) // RIFF/AVI tag only
+    assert(sniffBytes(corruptPng) == "image/png") // routed, not octet-stream
+    intercept[Exception](ImageIoDecoder.decode(corruptPng)) // and the decoder DOES throw
+    val media = Seq(
+      MediaRow(0L, corruptPng),
+      MediaRow(1L, corruptWav),
+      MediaRow(2L, corruptAvi),
+      MediaRow(3L, syntheticPng(20, 18, seed = 4L)) // healthy neighbor decodes normally
+    ).toDS()
+    val out = Multimodal.decodeMixed(media).collect().map(m => m.doc_id -> m).toMap
+    assert(out(0L).mime == "image/png" && out(0L).img_width.isEmpty)
+    assert(out(1L).mime == "audio/wav" && out(1L).sample_rate.isEmpty)
+    assert(out(2L).mime == "video/avi" && out(2L).vid_width.isEmpty)
+    assert(out(3L).mime == "image/png" && out(3L).img_width.contains(20) && out(3L).img_height.contains(18))
+  }
+
   test("resizeImage writes a real PNG at box-fit dimensions; identity path returns the bytes unchanged") {
     // clamp-width branch: 200x100 into 64x64 -> 64x32
     val wide = resizeImage(syntheticPng(200, 100, seed = 3L), 64, 64)
