@@ -769,6 +769,36 @@ object Multimodal {
     decodeMixed(media).toDF().orderBy("doc_id")
   }
 
+  /** Oracle-gated QUARANTINE triage: the mixed corpus with every
+    * (id % 7 == 5) payload torn to its first 12 bytes — magic bytes
+    * survive, headers don't, so the sniff still routes the row to its
+    * decoder and the decoder throws. [[decodeMixed]] must land those
+    * rows with sniffed mime + null metadata while healthy neighbors
+    * in the SAME partitions decode normally; the oracle recomputes
+    * which rows must be quarantined purely from the id formulas (torn
+    * text payloads stay octet-stream — unrecognized, not corrupt).
+    */
+  val multimodalQuarantine: Q = (s, d) => {
+    import s.implicits._
+    val media = documents(s, d)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val full = syntheticMixedPayload(id)
+          MediaRow(id, if (id % 7 == 5) full.take(12) else full)
+        }
+      }
+    decodeMixed(media)
+      .toDF()
+      .withColumn(
+        "quarantined",
+        (col("mime") =!= "application/octet-stream" &&
+          col("img_width").isNull && col("sample_rate").isNull && col("vid_width").isNull).cast("int"))
+      .select(col("doc_id"), col("mime"), col("quarantined"))
+      .orderBy("doc_id")
+  }
+
   /** Oracle-gated sniff over a mixed-modality column: per document,
     * synthesize a REAL container (PNG / WAV / AVI / raw text by id mod
     * 4), then classify with [[sniffMime]] — the expected mime is
@@ -809,7 +839,8 @@ object Multimodal {
     "multimodal_video_decode" -> multimodalVideoDecode,
     "multimodal_video_frames" -> multimodalVideoFrames,
     "multimodal_sniff" -> multimodalSniff,
-    "multimodal_mixed_decode" -> multimodalMixedDecode
+    "multimodal_mixed_decode" -> multimodalMixedDecode,
+    "multimodal_quarantine" -> multimodalQuarantine
   )
 
   def oracles: Map[String, String] = Map(
@@ -957,6 +988,20 @@ object Multimodal {
         |  CASE WHEN doc_id % 4 = 1 THEN CAST(64 + doc_id % 128 AS BIGINT) END AS n_audio_frames,
         |  CASE WHEN doc_id % 4 = 2 THEN CAST(16 * (2 + doc_id % 6) AS INT) END AS vid_width,
         |  CASE WHEN doc_id % 4 = 2 THEN CAST(8 + doc_id % 24 AS INT) END AS n_video_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // torn payloads (id % 7 = 5, first 12 bytes) keep their magic, so
+    // mime is still modality-derived; quarantined = routed-but-failed,
+    // which the oracle derives from the two formulas alone (torn TEXT
+    // payloads are octet-stream — unrecognized, never quarantined)
+    "multimodal_quarantine" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4
+        |    WHEN 0 THEN 'image/png'
+        |    WHEN 1 THEN 'audio/wav'
+        |    WHEN 2 THEN 'video/avi'
+        |    ELSE 'application/octet-stream'
+        |  END AS mime,
+        |  CAST(CASE WHEN doc_id % 7 = 5 AND doc_id % 4 <> 3 THEN 1 ELSE 0 END AS INT) AS quarantined
         |FROM documents ORDER BY doc_id""".stripMargin
   )
 }
