@@ -128,7 +128,10 @@ object Bench {
       "multimodal_stream_decode" -> "every_run",
       // index memoized per process; each rep replays the query
       // micro-batches against it
-      "ann_pq_stream_serve" -> "first_run"
+      "ann_pq_stream_serve" -> "first_run",
+      // embedding twin of dedup_stream_replay: first_run builds the
+      // demo index, every rep pays copy + micro-batch replay
+      "dedup_stream_embedding" -> "first_run"
     )
     val builds = buildIncluded
       .filter { case (k, _) => medians.exists(_._1 == k) }

@@ -190,7 +190,8 @@ object Similarity {
   def incrementalEmbeddingDedupCached(
       newVecs: DataFrame,
       indexDir: String,
-      minCos: Double
+      minCos: Double,
+      sortOutput: Boolean = true
   ): (DataFrame, DataFrame) = {
     val spark = newVecs.sparkSession
     graft.functions.GraftFunctions.register(spark)
@@ -236,8 +237,9 @@ object Similarity {
       // replay tolerance: duplicate index rows from an at-least-once
       // re-append are value-identical — collapse at output size
       .dropDuplicates("new_id", "ref_id", "src")
-      .orderBy("new_id", "ref_id", "src")
-    (flags, nb)
+    // the global sort costs a range-exchange (plus its sampling job);
+    // a per-batch caller appending to a sink it re-sorts later skips it
+    (if (sortOutput) flags.orderBy("new_id", "ref_id", "src") else flags, nb)
   }
 
   /** The incremental vector route as an oracle-gated query: index the
@@ -260,17 +262,32 @@ object Similarity {
   private val cloneIdBase = 1000001L
   private val cloneSourceCap = 40L
 
-  val dedupIncrementalEmbedding: Q = (s, d) => {
+  /** The even-id embedding index the incremental gates share, built
+    * once per process — public so the STREAMING replay can seed its
+    * private mutable copy from it.
+    */
+  def demoEmbIndexDir(s: SparkSession, d: String): String =
+    Fixtures.demoIndexDir(s, "emb", d) { idx =>
+      saveEmbeddingDedupIndex(embeddings(s, d).filter(col("vec_id") % 2 === 0), idx)
+    }
+
+  /** The odd-id increment WITH seeded clones (the 20 lowest even
+    * vectors re-arriving as odd ids) — the exact increment both the
+    * one-shot gate and the streaming replay probe, so the two can
+    * share one oracle.
+    */
+  def embIncrementWithClones(s: SparkSession, d: String): DataFrame = {
     def emb = embeddings(s, d)
     def clones = emb
       .filter(col("vec_id") % 2 === 0 && col("vec_id") < cloneSourceCap)
       .select((col("vec_id") + lit(cloneIdBase)).as("vec_id"), col("label"), col("embedding"))
-    val dir = Fixtures.demoIndexDir(s, "emb", d) { idx =>
-      saveEmbeddingDedupIndex(emb.filter(col("vec_id") % 2 === 0), idx)
-    }
+    emb.select("vec_id", "label", "embedding").unionByName(clones).filter(col("vec_id") % 2 =!= 0)
+  }
+
+  val dedupIncrementalEmbedding: Q = (s, d) => {
     val (flags, nb) = incrementalEmbeddingDedupCached(
-      emb.select("vec_id", "label", "embedding").unionByName(clones).filter(col("vec_id") % 2 =!= 0),
-      dir,
+      embIncrementWithClones(s, d),
+      demoEmbIndexDir(s, d),
       minCos = 0.3
     )
     Fixtures.materializedSorted(flags, Seq("new_id", "ref_id", "src"), nb)

@@ -648,6 +648,81 @@ object StreamingIngest {
     } finally rmScratch(s, base)
   }
 
+  /** Streaming EMBEDDING near-dup flags — the semantic twin of
+    * [[dedupStreamReplay]]: vector increments arrive as micro-batches,
+    * each batch probes the persisted sign-LSH bucket index
+    * ([[graft.ops.Similarity.incrementalEmbeddingDedupCached]] — index
+    * partitions pruned to the batch's occupied buckets), appends its
+    * flags, then appends its OWN bucketed vectors so later batches
+    * probe it as history; the per-batch bucket cache is released after
+    * the two writes. Batch boundaries shift which pairs ride the
+    * index vs the increment route, so the result is normalized the
+    * same way as the text replay — orientation (max, min) for
+    * increment-origin refs, src recomputed from the parity split —
+    * after which the replay must equal the ONE-SHOT incremental probe
+    * of the same increment bit for bit (shared oracle).
+    *
+    * Cost shape: each batch's append touches every bucket dir the
+    * batch occupies (≤ 256); at FIXTURE scale that is small-file
+    * churn — the replay runs ~2× the text twin, whose index has ~16
+    * band dirs — but at production scale those dirs hold large files
+    * and the bucket layout is exactly what keeps probes partition-
+    * pruned. [[graft.ops.Similarity.compactEmbeddingDedupIndex]] is
+    * the cadence knob that folds the accretion back.
+    */
+  def embDedupStreamReplay(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_emb_stream")
+    try {
+      import graft.ops.Similarity
+      val idx = base.resolve("index").toString
+      val src = base.resolve("src").toString
+      val out = base.resolve("flags").toString
+      val ckpt = base.resolve("ckpt").toString
+      graft.core.Compaction.copyDir(s, Similarity.demoEmbIndexDir(s, d), idx)
+      Similarity
+        .embIncrementWithClones(s, d)
+        .repartition(4, col("vec_id"))
+        .write
+        .parquet(src)
+      val stream = s.readStream
+        .schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+      stream.writeStream
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val (flags, nb) = Similarity
+            .incrementalEmbeddingDedupCached(batch.toDF(), idx, minCos = 0.3, sortOutput = false)
+          flags.write.mode(SaveMode.Append).parquet(out)
+          Similarity.appendBucketsToIndex(
+            nb.select(col("new_id").as("vec_id"), col("vn").as("v"), col("bucket_id")),
+            idx)
+          nb.unpersist()
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      // normalize away batch-boundary artifacts exactly like the text
+      // replay: increment-origin refs (odd ids — clones land odd too)
+      // orient (max, min) and src comes from the parity split
+      val oddRef = col("ref_id") % 2 =!= 0
+      s.read
+        .parquet(out)
+        .select(
+          when(oddRef, greatest(col("new_id"), col("ref_id"))).otherwise(col("new_id")).as("new_id"),
+          when(oddRef, least(col("new_id"), col("ref_id"))).otherwise(col("ref_id")).as("ref_id"),
+          col("bucket_id"),
+          col("cos_sim")
+        )
+        .withColumn("src", when(col("ref_id") % 2 === 0, lit("index")).otherwise(lit("increment")))
+        .dropDuplicates("new_id", "ref_id", "src")
+        .select("new_id", "ref_id", "src", "bucket_id", "cos_sim")
+        .orderBy("new_id", "ref_id", "src")
+        .localCheckpoint(true)
+    } finally rmScratch(s, base)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "dedup_stream_replay" -> ((s, d) =>
@@ -657,6 +732,7 @@ object StreamingIngest {
           Some(graft.ops.Dedup.demoEvenMinhashIndex(s, d))
         )),
       "multimodal_stream_decode" -> multimodalStreamDecode,
+      "dedup_stream_embedding" -> embDedupStreamReplay,
       "ann_pq_stream_serve" -> ((s, d) =>
         annStreamServe(
           s,
@@ -683,6 +759,9 @@ object StreamingIngest {
       // per-query answers are independent, so the micro-batched serve
       // shares the batch k-NN join's golden pin
       "ann_pq_stream_serve" -> graft.ops.Similarity.oracles("ann_pq_knn_join"),
+      // after orientation/src normalization the replay must equal the
+      // one-shot incremental probe of the same increment
+      "dedup_stream_embedding" -> graft.ops.Similarity.oracles("dedup_incremental_embedding"),
       "dedup_stream_clusters" -> graft.ops.Dedup.incrementalClustersOracle,
       "events_stream_replay" ->
         """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,

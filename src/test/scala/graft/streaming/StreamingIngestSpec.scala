@@ -258,6 +258,18 @@ class StreamingIngestSpec extends SparkSpec {
     assert(streamed.map(_.getAs[Long]("qid")).distinct.length == 5)
   }
 
+  test("embedding near-dup stream equals the one-shot incremental vector probe") {
+    val sfDir = "/root/testdata/sf0.001"
+    val streamed = StreamingIngest.embDedupStreamReplay(spark, sfDir).collect()
+    val oneShot = graft.ops.Similarity
+      .queries("dedup_incremental_embedding")(spark, sfDir)
+      .collect()
+    assert(streamed.toSeq == oneShot.toSeq)
+    // the seeded clones must flag their indexed sources through the
+    // index route at cosine ≈ 1.0 — the ≥0.5 regime is exercised
+    assert(streamed.exists(r => r.getAs[String]("src") == "index" && r.getAs[Double]("cos_sim") >= 0.5))
+  }
+
   test("dedup_stream_replay equals the one-shot incremental probe on the same split") {
     val sfDir = "/root/testdata/sf0.001"
     val docs = graft.ops.Fixtures.documents(spark, sfDir)
