@@ -30,13 +30,43 @@ class PlanShapeSpec extends SparkSpec {
     // the decode family synthesizes payloads from doc_id: the text
     // column (the table's dominant bytes) must never leave the parquet
     // reader, and the projection must survive the spread() repartition
-    for (q <- Seq("multimodal_decode", "multimodal_mixed_decode", "multimodal_video_frames")) {
+    for (
+      q <- Seq(
+        "multimodal_decode",
+        "multimodal_mixed_decode",
+        "multimodal_video_frames",
+        "multimodal_pixel_stats",
+        "multimodal_resize",
+        "multimodal_audio_decode",
+        "multimodal_audio_stats",
+        "multimodal_video_decode",
+        "multimodal_sniff",
+        "multimodal_quarantine"
+      )
+    ) {
       val df = graft.SparkEntry.queries(q)(spark, sfDir)
       df.collect()
       val scanLine = df.queryExecution.executedPlan.toString.linesIterator
         .find(l => l.contains("FileScan parquet") && l.contains("documents"))
         .getOrElse("")
       assert(scanLine.contains("ReadSchema: struct<doc_id:bigint>"), s"$q: $scanLine")
+    }
+  }
+
+  test("media payload bytes never cross an exchange") {
+    // the multimodal contract: payloads die inside their arrival
+    // partition — every shuffle in a decode plan carries extracted
+    // metadata only, never the payload (or any binary) column
+    for (q <- Seq("multimodal_mixed_decode", "multimodal_quarantine", "multimodal_sniff")) {
+      val df = graft.SparkEntry.queries(q)(spark, sfDir)
+      df.collect()
+      val exchangeLines = df.queryExecution.executedPlan.toString.linesIterator
+        .filter(_.contains("Exchange"))
+        .toSeq
+      assert(exchangeLines.nonEmpty, s"$q: expected at least the final sort exchange")
+      exchangeLines.foreach { l =>
+        assert(!l.contains("payload"), s"$q shuffles payload bytes: $l")
+      }
     }
   }
 
