@@ -670,7 +670,40 @@ object StreamingIngest {
     * pruned. [[graft.ops.Similarity.compactEmbeddingDedupIndex]] is
     * the cadence knob that folds the accretion back.
     */
-  def embDedupStreamReplay(s: SparkSession, d: String): DataFrame = {
+  /** The embedding twin of [[nearDupFlagsStream]], reusable on any
+    * vector stream: per batch probe → flag append → bucket append →
+    * cache release, with the same `compactEvery` cadence knob folding
+    * the index's one-file-per-batch-per-bucket accretion back to one
+    * file per bucket dir (probes bit-identical across a compaction).
+    */
+  def embNearDupFlagsStream(
+      vecs: DataFrame,
+      indexDir: String,
+      outDir: String,
+      checkpoint: String,
+      minCos: Double,
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      compactEvery: Int = 0
+  ): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import graft.ops.Similarity
+        val (flags, nb) = Similarity
+          .incrementalEmbeddingDedupCached(batch.toDF(), indexDir, minCos, sortOutput = false)
+        try {
+          flags.write.mode(SaveMode.Append).parquet(outDir)
+          Similarity.appendBucketsToIndex(
+            nb.select(col("new_id").as("vec_id"), col("vn").as("v"), col("bucket_id")),
+            indexDir)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            Similarity.compactEmbeddingDedupIndex(batch.sparkSession, indexDir)
+        } finally nb.unpersist()
+      }
+      .start()
+
+  def embDedupStreamReplay(s: SparkSession, d: String, compactEvery: Int = 0): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_emb_stream")
     try {
       import graft.ops.Similarity
@@ -688,20 +721,7 @@ object StreamingIngest {
         .schema(s.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
-      stream.writeStream
-        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-          val (flags, nb) = Similarity
-            .incrementalEmbeddingDedupCached(batch.toDF(), idx, minCos = 0.3, sortOutput = false)
-          flags.write.mode(SaveMode.Append).parquet(out)
-          Similarity.appendBucketsToIndex(
-            nb.select(col("new_id").as("vec_id"), col("vn").as("v"), col("bucket_id")),
-            idx)
-          nb.unpersist()
-          ()
-        }
-        .option("checkpointLocation", ckpt)
-        .trigger(Trigger.AvailableNow())
-        .start()
+      embNearDupFlagsStream(stream, idx, out, ckpt, minCos = 0.3, Trigger.AvailableNow(), compactEvery)
         .awaitTermination()
       // normalize away batch-boundary artifacts exactly like the text
       // replay: increment-origin refs (odd ids — clones land odd too)
@@ -732,7 +752,7 @@ object StreamingIngest {
           Some(graft.ops.Dedup.demoEvenMinhashIndex(s, d))
         )),
       "multimodal_stream_decode" -> multimodalStreamDecode,
-      "dedup_stream_embedding" -> embDedupStreamReplay,
+      "dedup_stream_embedding" -> ((s, d) => embDedupStreamReplay(s, d)),
       "ann_pq_stream_serve" -> ((s, d) =>
         annStreamServe(
           s,

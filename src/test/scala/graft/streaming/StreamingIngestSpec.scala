@@ -258,6 +258,50 @@ class StreamingIngestSpec extends SparkSpec {
     assert(streamed.map(_.getAs[Long]("qid")).distinct.length == 5)
   }
 
+  test("embedding stream compaction cadence bounds index files, flags unchanged") {
+    val sfDir = "/root/testdata/sf0.001"
+    val emb = graft.ops.Fixtures.embeddings(spark, sfDir)
+    def run(compactEvery: Int): (String, String) = {
+      val base = Files.createTempDirectory(s"graft_embcomp_$compactEvery")
+      val idx = base.resolve("idx").toString
+      val src = base.resolve("src").toString
+      val out = base.resolve("out").toString
+      graft.ops.Similarity.saveEmbeddingDedupIndex(emb.filter(col("vec_id") % 2 === 0), idx)
+      (1L to 7L by 2).foreach { r =>
+        emb.filter(col("vec_id") % 8 === r).coalesce(1).write.mode("append").parquet(src)
+      }
+      val stream = spark.readStream
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+      StreamingIngest
+        .embNearDupFlagsStream(
+          stream, idx, out, base.resolve("ckpt").toString,
+          minCos = 0.3, Trigger.AvailableNow(), compactEvery)
+        .awaitTermination()
+      (idx, out)
+    }
+    val (idxPlain, outPlain) = run(0)
+    val (idxComp, outComp) = run(2)
+    def parquetFiles(dir: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(dir)).count(_.getName.endsWith(".parquet"))
+    }
+    def bucketDirs(dir: String): Int =
+      new java.io.File(s"$dir/buckets").listFiles().count(f => f.isDirectory && f.getName.startsWith("bucket_id="))
+    // 4 appended batches accrete one file per batch per occupied bucket
+    // dir; the compacted index ends at exactly one file per dir and
+    // strictly below the accreted count
+    assert(parquetFiles(idxComp) == bucketDirs(idxComp))
+    assert(parquetFiles(idxComp) < parquetFiles(idxPlain))
+    // compaction is invisible to probes: same flags, value for value
+    def flagSet(out: String) =
+      spark.read.parquet(out).collect().map(_.toSeq).toSet
+    assert(flagSet(outComp) == flagSet(outPlain))
+    assert(flagSet(outPlain).nonEmpty)
+  }
+
   test("embedding near-dup stream equals the one-shot incremental vector probe") {
     val sfDir = "/root/testdata/sf0.001"
     val streamed = StreamingIngest.embDedupStreamReplay(spark, sfDir).collect()
