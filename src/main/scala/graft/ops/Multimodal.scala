@@ -338,6 +338,107 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Perceptual image fingerprint — difference hash (dHash, the
+    * Krawetz recipe) with NEAREST-NEIGHBOR grid sampling instead of an
+    * interpolated shrink: gray values are read at the 9×8 grid points
+    * `x_k = ⌊k·w/9⌋`, `y_r = ⌊r·h/8⌋` of the DECODED raster and each
+    * bit records whether brightness rises left-to-right between
+    * adjacent grid columns. Integer arithmetic end to end, so the
+    * fingerprint is an exact pure function of the pixel content —
+    * engine-portable (a DuckDB oracle recomputes it) where a bilinear
+    * shrink would not be. Returned as two 32-bit halves in BIGINTs
+    * because a 64-bit accumulation would overflow signed arithmetic
+    * differently across engines. Same-looking images (identical
+    * rasters, re-encoded containers) collide exactly; the near-dup
+    * join over the fingerprint is then a plain hash-partitioned
+    * equi-join — the image member of the dedup ladder, scaling like
+    * exact text dedup (the 16-byte digest shuffles, never pixels).
+    */
+  def dHashHalves(img: java.awt.image.BufferedImage): (Long, Long) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    require(w >= 10 && h >= 8, s"dHash needs a raster of at least 10x8, got ${w}x$h")
+    def grayAt(x: Int, y: Int): Int = {
+      val rgb = img.getRGB(x, y)
+      (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3
+    }
+    var (lo, hi) = (0L, 0L)
+    var r = 0
+    while (r < 8) {
+      val y = r * h / 8
+      var k = 0
+      while (k < 8) {
+        val bit = if (grayAt((k + 1) * w / 9, y) > grayAt(k * w / 9, y)) 1L else 0L
+        if (r < 4) lo |= bit << (r * 8 + k) else hi |= bit << ((r - 4) * 8 + k)
+        k += 1
+      }
+      r += 1
+    }
+    (lo, hi)
+  }
+
+  /** dHash of an encoded payload: full decode, then [[dHashHalves]]. */
+  def dHashOf(payload: Array[Byte]): (Long, Long) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, s"no ImageIO reader recognizes the ${payload.length}-byte payload")
+    dHashHalves(img)
+  }
+
+  /** Oracle-gated REAL perceptual fingerprint: synthesize a PNG per
+    * document, decode it, dHash the raster. The oracle recomputes
+    * every grid sample and comparison bit arithmetically from the
+    * pixel formula — a wrong grid position, a channel-weighted gray,
+    * or a lossy round trip flips bits and fails the hash compare.
+    */
+  val multimodalDhash: Q = (s, d) => {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val (w, h) = dimsOf(id)
+          val (lo, hi) = dHashOf(syntheticPng(w, h, seed = id))
+          (id, lo, hi)
+        }
+      }
+      .toDF("doc_id", "dhash_lo", "dhash_hi")
+      .orderBy("doc_id")
+  }
+
+  /** Oracle-gated image NEAR-DUP pairs over the perceptual hash: the
+    * corpus re-synthesizes each document's image from `doc_id % 250`,
+    * so ids 250 apart carry IDENTICAL rasters in (generally) different
+    * container bytes than their source would at its own id — content
+    * equality, not byte equality, is what the fingerprint must see.
+    * Pairing is a self-equi-join on the hash halves (a < b), i.e. the
+    * shuffle key is the 64-bit fingerprint — the plan that scales
+    * like exact text dedup. The oracle recomputes the hashes and
+    * replays the same join.
+    */
+  val multimodalImageDups: Q = (s, d) => {
+    import s.implicits._
+    val hashes = documents(s, d)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val sid = id % 250
+          val (w, h) = dimsOf(sid)
+          val (lo, hi) = dHashOf(syntheticPng(w, h, seed = sid))
+          (id, lo, hi)
+        }
+      }
+      .toDF("doc_id", "dhash_lo", "dhash_hi")
+    hashes
+      .as("a")
+      .join(
+        hashes.as("b"),
+        col("a.dhash_lo") === col("b.dhash_lo") && col("a.dhash_hi") === col("b.dhash_hi") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("dup_a"), col("b.doc_id").as("dup_b"))
+      .orderBy("dup_a", "dup_b")
+  }
+
   /** Decoded audio metadata: everything a WAV/RIFF header carries. */
   final case class AudioMeta(sampleRate: Int, channels: Int, bitsPerSample: Int, nFrames: Long)
 
@@ -840,7 +941,9 @@ object Multimodal {
     "multimodal_video_frames" -> multimodalVideoFrames,
     "multimodal_sniff" -> multimodalSniff,
     "multimodal_mixed_decode" -> multimodalMixedDecode,
-    "multimodal_quarantine" -> multimodalQuarantine
+    "multimodal_quarantine" -> multimodalQuarantine,
+    "multimodal_dhash" -> multimodalDhash,
+    "multimodal_image_dups" -> multimodalImageDups
   )
 
   def oracles: Map[String, String] = Map(
@@ -1002,6 +1105,57 @@ object Multimodal {
         |    ELSE 'application/octet-stream'
         |  END AS mime,
         |  CAST(CASE WHEN doc_id % 7 = 5 AND doc_id % 4 <> 3 THEN 1 ELSE 0 END AS INT) AS quarantined
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the oracle recomputes every 9×8 grid sample and comparison bit
+    // arithmetically: gray(x,y) = (v + (255-v) + v*7%256)/3 =
+    // (255 + v*7%256)//3 for v=(doc_id + x*31 + y*17)%256, sampled at
+    // x_k = k*w//9, y_r = r*h//8 — Spark must recover the same bits
+    // from the DECODED raster of real PNG bytes
+    "multimodal_dhash" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         CAST(16 + doc_id % 32 AS BIGINT) AS w,
+        |         CAST(16 + doc_id % 17 AS BIGINT) AS h
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, r.i AS r, k.i AS k,
+        |    CASE WHEN
+        |      (255 + ((doc_id + ((k.i + 1) * w // 9) * 31 + (r.i * h // 8) * 17) % 256) * 7 % 256) // 3
+        |      >
+        |      (255 + ((doc_id + (k.i * w // 9) * 31 + (r.i * h // 8) * 17) % 256) * 7 % 256) // 3
+        |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+        |  FROM p, UNNEST(range(0, 8)) AS r(i), UNNEST(range(0, 8)) AS k(i))
+        |SELECT doc_id,
+        |  CAST(sum(CASE WHEN r < 4 THEN bit * (CAST(1 AS BIGINT) << (r * 8 + k)) ELSE 0 END) AS BIGINT) AS dhash_lo,
+        |  CAST(sum(CASE WHEN r >= 4 THEN bit * (CAST(1 AS BIGINT) << ((r - 4) * 8 + k)) ELSE 0 END) AS BIGINT) AS dhash_hi
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // same hash arithmetic with every image re-synthesized from
+    // doc_id % 250, then the identical self-join — content-identical
+    // rasters (ids 250 apart) MUST collide, plus whatever genuine
+    // fingerprint collisions the corpus carries (both engines compute
+    // them identically)
+    "multimodal_image_dups" ->
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 250 AS sid,
+        |         CAST(16 + (doc_id % 250) % 32 AS BIGINT) AS w,
+        |         CAST(16 + (doc_id % 250) % 17 AS BIGINT) AS h
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, r.i AS r, k.i AS k,
+        |    CASE WHEN
+        |      (255 + ((sid + ((k.i + 1) * w // 9) * 31 + (r.i * h // 8) * 17) % 256) * 7 % 256) // 3
+        |      >
+        |      (255 + ((sid + (k.i * w // 9) * 31 + (r.i * h // 8) * 17) % 256) * 7 % 256) // 3
+        |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+        |  FROM p, UNNEST(range(0, 8)) AS r(i), UNNEST(range(0, 8)) AS k(i)),
+        |hsh AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN r < 4 THEN bit * (CAST(1 AS BIGINT) << (r * 8 + k)) ELSE 0 END) AS dhash_lo,
+        |    sum(CASE WHEN r >= 4 THEN bit * (CAST(1 AS BIGINT) << ((r - 4) * 8 + k)) ELSE 0 END) AS dhash_hi
+        |  FROM b GROUP BY doc_id)
+        |SELECT a.doc_id AS dup_a, b.doc_id AS dup_b
+        |FROM hsh a JOIN hsh b
+        |  ON a.dhash_lo = b.dhash_lo AND a.dhash_hi = b.dhash_hi AND a.doc_id < b.doc_id
+        |ORDER BY dup_a, dup_b""".stripMargin
   )
 }

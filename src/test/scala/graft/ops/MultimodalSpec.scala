@@ -374,6 +374,48 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("dHash: gradient saturates all bits, flat image none, grid math matches the formula") {
+    def png(fill: (Int, Int) => Int, w: Int = 36, h: Int = 24): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, fill(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // brightness strictly rising left to right: every comparison fires
+    val rising = png((x, _) => { val v = x * 7; (v << 16) | (v << 8) | v })
+    assert(dHashOf(rising) == ((0xffffffffL, 0xffffffffL)))
+    // flat image: no comparison fires
+    assert(dHashOf(png((_, _) => 0x808080)) == ((0L, 0L)))
+    // exact grid agreement with the syntheticPng pixel formula
+    val (w, h, seed) = (29, 21, 13L)
+    var (elo, ehi) = (0L, 0L)
+    for (r <- 0 until 8; k <- 0 until 8) {
+      def gray(x: Int, y: Int): Int = {
+        val v = ((seed + x * 31L + y * 17L) % 256).toInt
+        (v + (255 - v) + (v * 7) % 256) / 3
+      }
+      val y = r * h / 8
+      val bit = if (gray((k + 1) * w / 9, y) > gray(k * w / 9, y)) 1L else 0L
+      if (r < 4) elo |= bit << (r * 8 + k) else ehi |= bit << ((r - 4) * 8 + k)
+    }
+    assert(dHashOf(syntheticPng(w, h, seed)) == ((elo, ehi)))
+  }
+
+  test("dHash sees content, not container bytes: PNG and BMP of the same raster collide") {
+    val img = new java.awt.image.BufferedImage(33, 19, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 19; x <- 0 until 33)
+      img.setRGB(x, y, ((x * 11 + y * 5) % 256) << 16 | ((x * 3) % 256) << 8 | (y * 13) % 256)
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos)); bos.toByteArray
+    }
+    val (png, bmp) = (enc("png"), enc("bmp"))
+    assert(!png.sameElements(bmp)) // different bytes...
+    assert(dHashOf(png) == dHashOf(bmp)) // ...same fingerprint
+    intercept[IllegalArgumentException](dHashOf(syntheticPng(9, 8, 1L))) // raster too small
+  }
+
   test("resizeTo fits into the box aspect-preserving, never upscales") {
     // StubDecoder: width = 16+b0, height = 16+b1
     val media = Seq(
