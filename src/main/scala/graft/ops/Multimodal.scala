@@ -563,6 +563,68 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Perceptual AUDIO fingerprint — the audio member of the dedup
+    * ladder, built like [[dHashHalves]]: the PCM stream is cut into 32
+    * equal windows by integer index arithmetic (`start_t = ⌊t·n/32⌋`),
+    * each window reduced to its integer energy (Σ|sample|), and bit t
+    * records whether energy rises between adjacent windows — 31 bits,
+    * loudness-profile-derived, exact integer arithmetic end to end so
+    * an engine-portable oracle can recompute it. Re-encoded or
+    * re-containered audio with identical samples collides; dedup over
+    * it is a hash equi-join, samples never shuffle.
+    */
+  def audioFingerprint(payload: Array[Byte]): Long = {
+    val (n, _, _, _) = pcmStats(payload) // format validation lives there
+    val ais = javax.sound.sampled.AudioSystem
+      .getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+    val data =
+      try ais.readAllBytes()
+      finally ais.close()
+    require(n >= 32, s"audioFingerprint needs at least 32 samples, got $n")
+    val energy = new Array[Long](32)
+    var t = 0
+    while (t < 32) {
+      val from = (t * n / 32).toInt
+      val until = ((t + 1) * n / 32).toInt
+      var e = 0L
+      var j = from
+      while (j < until) {
+        val v = ((data(2 * j + 1) << 8) | (data(2 * j) & 0xff)).toShort.toInt
+        e += math.abs(v)
+        j += 1
+      }
+      energy(t) = e
+      t += 1
+    }
+    var fp = 0L
+    var k = 0
+    while (k < 31) {
+      if (energy(k + 1) > energy(k)) fp |= 1L << k
+      k += 1
+    }
+    fp
+  }
+
+  /** Oracle-gated audio fingerprint: the oracle rebuilds every sample
+    * from the byte formula, windows them with the same integer index
+    * arithmetic, and reproduces all 31 comparison bits — a window
+    * boundary off by one sample flips bits and fails the gate.
+    */
+  val multimodalAudioFingerprint: Q = (s, d) => {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val (sr, ch, nf) = audioParamsOf(id)
+          (id, audioFingerprint(syntheticWav(nf, sr, ch, seed = id)))
+        }
+      }
+      .toDF("doc_id", "audio_fp")
+      .orderBy("doc_id")
+  }
+
   /** Decoded video metadata: everything the AVI main header carries. */
   final case class VideoMeta(width: Int, height: Int, nFrames: Int, microSecPerFrame: Int)
 
@@ -747,6 +809,39 @@ object Multimodal {
         }
       }
       .toDF("doc_id", "frame_idx", "frame_offset", "frame_size")
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** Oracle-gated frame CONTENT through the byte-range path: sample
+    * every 4th frame via [[AviHeaderDecoder.frameOffsets]], then
+    * checksum the actual bytes each (offset, size) range covers. The
+    * offsets gate ([[multimodalVideoFrames]]) proves the directory
+    * arithmetic; this proves the ranges land on the REAL frame data —
+    * the property the 100 TB sampling path depends on (an off-by-one
+    * in the walk reads garbage and the integer sum gives it away).
+    */
+  val multimodalVideoChecksum: Q = (s, d) => {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"))
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.flatMap { id =>
+          val (w, h, nf, mspf) = videoParamsOf(id)
+          val avi = syntheticAvi(w, h, nf, mspf, seed = id)
+          AviHeaderDecoder
+            .frameOffsets(avi)
+            .iterator
+            .filter(_._1 % 4 == 0)
+            .map { case (idx, off, sz) =>
+              var sum = 0L
+              var j = 0
+              while (j < sz) { sum += avi(off.toInt + j) & 0xff; j += 1 }
+              (id, idx, sum)
+            }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame_sum")
       .orderBy("doc_id", "frame_idx")
   }
 
@@ -943,7 +1038,9 @@ object Multimodal {
     "multimodal_mixed_decode" -> multimodalMixedDecode,
     "multimodal_quarantine" -> multimodalQuarantine,
     "multimodal_dhash" -> multimodalDhash,
-    "multimodal_image_dups" -> multimodalImageDups
+    "multimodal_image_dups" -> multimodalImageDups,
+    "multimodal_audio_fingerprint" -> multimodalAudioFingerprint,
+    "multimodal_video_checksum" -> multimodalVideoChecksum
   )
 
   def oracles: Map[String, String] = Map(
@@ -1156,6 +1253,46 @@ object Multimodal {
         |SELECT a.doc_id AS dup_a, b.doc_id AS dup_b
         |FROM hsh a JOIN hsh b
         |  ON a.dhash_lo = b.dhash_lo AND a.dhash_hi = b.dhash_hi AND a.doc_id < b.doc_id
-        |ORDER BY dup_a, dup_b""".stripMargin
+        |ORDER BY dup_a, dup_b""".stripMargin,
+    // the oracle rebuilds every sample from the byte formula, assigns
+    // it to its window via the floor-boundary inverse w = (32j+31)//n
+    // (≡ the Scala loop's from=⌊w·n/32⌋ bounds), sums |sample| per
+    // window and reproduces all 31 rising-energy bits
+    "multimodal_audio_fingerprint" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+        |         CAST(64 + doc_id % 128 AS BIGINT) AS nf
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, nf * ch AS n, j.i AS j,
+        |         ((doc_id + (2 * j.i) * 131) % 256) AS lo,
+        |         ((doc_id + (2 * j.i + 1) * 131) % 256) AS hi
+        |  FROM p, UNNEST(range(0, nf * ch)) AS j(i)),
+        |e AS (
+        |  SELECT doc_id, (32 * j + 31) // n AS w,
+        |         abs((CASE WHEN hi < 128 THEN hi ELSE hi - 256 END) * 256 + lo) AS av
+        |  FROM s),
+        |en AS (SELECT doc_id, w, sum(av) AS energy FROM e GROUP BY doc_id, w),
+        |b AS (
+        |  SELECT a.doc_id, a.w AS k,
+        |    CASE WHEN nxt.energy > a.energy THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS bit
+        |  FROM en a JOIN en nxt ON nxt.doc_id = a.doc_id AND nxt.w = a.w + 1
+        |  WHERE a.w < 31)
+        |SELECT doc_id, CAST(sum(bit * (CAST(1 AS BIGINT) << k)) AS BIGINT) AS audio_fp
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // sampled frame bytes are seed-derived — b(j)=(doc_id·13+i·7+j)%256
+    // for frame i — so the oracle recomputes each sampled range's sum;
+    // Spark must read the REAL bytes at the directory's offsets
+    "multimodal_video_checksum" ->
+      """WITH f AS (
+        |  SELECT doc_id, u.i AS fi
+        |  FROM documents, UNNEST(range(0, CAST(8 + doc_id % 24 AS BIGINT))) AS u(i)
+        |  WHERE u.i % 4 = 0),
+        |s AS (
+        |  SELECT doc_id, fi, (doc_id * 13 + fi * 7 + j.i) % 256 AS bv
+        |  FROM f, UNNEST(range(0, 24)) AS j(i))
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx, CAST(sum(bv) AS BIGINT) AS frame_sum
+        |FROM s GROUP BY doc_id, fi ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

@@ -416,6 +416,32 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](dHashOf(syntheticPng(9, 8, 1L))) // raster too small
   }
 
+  test("audioFingerprint: rising loudness saturates all 31 bits, constant none") {
+    def wav(sample: Int => Short, n: Int): Array[Byte] = {
+      val af = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val data = new Array[Byte](n * 2)
+      for (j <- 0 until n) {
+        val v = sample(j)
+        data(2 * j) = (v & 0xff).toByte
+        data(2 * j + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), af, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // strictly rising |sample| -> every adjacent window-energy pair rises
+    assert(audioFingerprint(wav(j => (j + 1).toShort, 64)) == 0x7fffffffL)
+    // constant samples -> no comparison fires
+    assert(audioFingerprint(wav(_ => 100.toShort, 64)) == 0L)
+    // deterministic on the synthetic corpus and content-derived: a
+    // different seed (different samples) gives a different profile
+    val a = audioFingerprint(syntheticWav(128, 8000, 1, seed = 1L))
+    assert(a == audioFingerprint(syntheticWav(128, 8000, 1, seed = 1L)))
+    intercept[IllegalArgumentException](audioFingerprint(wav(_ => 1.toShort, 16)))
+  }
+
   test("resizeTo fits into the box aspect-preserving, never upscales") {
     // StubDecoder: width = 16+b0, height = 16+b1
     val media = Seq(
