@@ -175,11 +175,80 @@ object Decontamination {
       .orderBy("doc_id")
   }
 
+  /** SEMANTIC decontamination — the embedding twin of the n-gram
+    * route (benchmark leakage that survives paraphrasing: reworded
+    * eval questions share no 13-gram but sit at high embedding
+    * cosine). Flags every training vector whose cosine against ANY
+    * benchmark vector reaches `tau`, with the hit count and the
+    * single closest benchmark vector (ties → lowest bench id).
+    *
+    * Scale shape mirrors [[contamination]]: the benchmark side is an
+    * eval suite — thousands of vectors against billions — so it
+    * BROADCASTS and the corpus is scored in one map-side pass with
+    * the fused `cosine_sim` codegen expression; the post-filter
+    * aggregate shuffles only hit rows (output-sized). For benchmark
+    * sets too large to broadcast, the IVF probe route
+    * (Similarity.ivfTopKFromIndex) is the prefilter, exactly as
+    * Bloom is for the n-gram route.
+    */
+  def semanticContamination(train: DataFrame, bench: DataFrame, tau: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(train.sparkSession)
+    val t = train.select(
+      col("vec_id"),
+      col("label"),
+      col("embedding").cast("array<double>").as("v")
+    )
+    val b = bench.select(
+      col("vec_id").as("bench_id"),
+      col("embedding").cast("array<double>").as("bv")
+    )
+    t.crossJoin(broadcast(b))
+      .withColumn("cos_sim", round(expr("cosine_sim(v, bv)"), 6))
+      .filter(col("cos_sim") >= tau)
+      .groupBy(col("vec_id"), col("label"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_bench_hits"),
+        max(struct(col("cos_sim"), (-col("bench_id")).as("nb"))).as("best")
+      )
+      .select(
+        col("vec_id"),
+        col("label").cast("bigint").as("label"),
+        col("n_bench_hits"),
+        (-col("best.nb")).cast("bigint").as("best_bench_id"),
+        col("best.cos_sim").as("best_cos")
+      )
+  }
+
+  /** Fixture stand-ins for the semantic route: every 20th vec_id is
+    * "the benchmark" (mirroring [[benchPred]]); since the fixture
+    * vectors are random (cross-split cosine tops out ≈0.49), seeded
+    * CLONES of every 100th benchmark vector re-enter the training
+    * side under new ids — the contamination the τ=0.9 band must
+    * catch — while τ=0.4 also surfaces the natural near-band. One
+    * query pins both bands. Oracle must replicate all three
+    * constants exactly.
+    */
+  private val benchVecPred = "vec_id % 20 = 0"
+  private val semCloneBase = 2000001L
+  private val semCloneStep = 100L
+  private val semTau = 0.4
+
+  val decontaminateSemantic: Q = (s, d) => {
+    val emb = embeddings(s, d)
+    val bench = emb.filter(benchVecPred)
+    val clones = bench
+      .filter(col("vec_id") % semCloneStep === 0)
+      .select((col("vec_id") + lit(semCloneBase)).as("vec_id"), col("label"), col("embedding"))
+    val train = emb.filter(s"NOT ($benchVecPred)").unionByName(clones)
+    semanticContamination(train, bench, semTau).orderBy("vec_id")
+  }
+
   def queries: Map[String, Q] = Map(
     "decontaminate" -> decontaminate,
     "decontaminate_bloom" -> decontaminateBloom,
     "decontaminate_report" -> decontaminateReport,
-    "decontaminate_removal" -> decontaminateRemoval
+    "decontaminate_removal" -> decontaminateRemoval,
+    "decontaminate_semantic" -> decontaminateSemantic
   )
 
   /** The Bloom route is exact by construction (FPs verified away, FNs
@@ -188,6 +257,30 @@ object Decontamination {
   def oracles: Map[String, String] = Map(
     "decontaminate_bloom" -> oracleSqlExact,
     "decontaminate" -> oracleSqlExact,
+    // the UNION ALL replays the Spark side's seeded benchmark clones
+    "decontaminate_semantic" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |bench AS (SELECT vec_id AS bench_id, v AS bv FROM e WHERE $benchVecPred),
+         |train AS (SELECT * FROM e WHERE NOT ($benchVecPred)
+         |  UNION ALL
+         |  SELECT $semCloneBase + vec_id, label, v FROM e
+         |  WHERE $benchVecPred AND vec_id % $semCloneStep = 0),
+         |hits AS (
+         |  SELECT t.vec_id, t.label, b.bench_id,
+         |    round(list_dot_product(t.v, b.bv) /
+         |          (sqrt(list_dot_product(t.v, t.v)) * sqrt(list_dot_product(b.bv, b.bv))), 6) AS cos_sim
+         |  FROM train t, bench b),
+         |flagged AS (SELECT * FROM hits WHERE cos_sim >= $semTau),
+         |ranked AS (
+         |  SELECT vec_id, label, bench_id, cos_sim,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, bench_id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY vec_id) AS n_hits
+         |  FROM flagged)
+         |SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |  CAST(n_hits AS BIGINT) AS n_bench_hits,
+         |  CAST(bench_id AS BIGINT) AS best_bench_id,
+         |  cos_sim AS best_cos
+         |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     // benchmark-flagged positions + the Spans covered-set cut at k=3
     "decontaminate_removal" ->
       s"""WITH tr AS (SELECT doc_id, text FROM documents WHERE NOT ($benchPred)),

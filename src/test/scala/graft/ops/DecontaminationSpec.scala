@@ -148,4 +148,43 @@ class DecontaminationSpec extends SparkSpec {
       .toSet
     assert(cut == flagged, s"cut-only=${cut -- flagged} flag-only=${flagged -- cut}")
   }
+
+  test("semantic route flags clones and near-paraphrases, skips orthogonal vectors") {
+    val bench = Seq(
+      (100L, 0, Array(1f, 0f, 0f)),
+      (101L, 0, Array(1f, 0f, 0f)), // duplicate bench vector: ties break to id 100
+      (102L, 0, Array(0f, 0f, 1f))
+    ).toDF("vec_id", "label", "embedding")
+    val train = Seq(
+      (1L, 1, Array(2f, 0f, 0f)),    // scaled clone of 100/101: cos 1.0 with both
+      (2L, 1, Array(1f, 0.1f, 0f)),  // near-paraphrase of 100/101: cos ≈ 0.995
+      (3L, 1, Array(0f, 1f, 0f))     // orthogonal to everything: clean
+    ).toDF("vec_id", "label", "embedding")
+    val out = Decontamination
+      .semanticContamination(train, bench, tau = 0.9)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    assert(out(1L)._1 == 2L, "clone must hit both identical bench vectors")
+    assert(out(1L)._2 == 100L, "cos tie must break to the lowest bench id")
+    assert(out(1L)._3 == 1.0)
+    assert(out(2L)._1 == 2L && out(2L)._3 > 0.99 && out(2L)._3 < 1.0)
+    assert(!out.contains(3L), "orthogonal vectors must not be flagged")
+  }
+
+  test("semantic route: benchmark broadcasts, corpus scores map-side") {
+    val emb = Fixtures.embeddings(spark, "/root/testdata/sf0.001")
+    val plan = Decontamination
+      .semanticContamination(emb.filter("vec_id % 20 <> 0"), emb.filter("vec_id % 20 = 0"), 0.4)
+      .queryExecution
+      .executedPlan
+      .toString
+    // a 1-row-per-train-vector scoring pass against a broadcast bench
+    // side is by design a broadcast nested-loop (every pair is scored
+    // — that IS the semantics); what must never appear is a shuffle
+    // of the corpus ahead of the join
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), s"corpus-side shuffle join found:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan.take(1500))
+  }
 }
