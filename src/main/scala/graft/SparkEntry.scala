@@ -24,6 +24,7 @@ object SparkEntry {
       (Spans.queries, Spans.oracles),
       (Safety.queries, Safety.oracles),
       (Mixture.queries, Mixture.oracles),
+      (DataSelection.queries, DataSelection.oracles),
       (CorpusStats.queries, CorpusStats.oracles),
       (Packing.queries, Packing.oracles),
       (Profiling.queries, Profiling.oracles),

@@ -22,6 +22,7 @@ class SparkEntrySpec extends AnyFunSuite {
       "Spans" -> Spans.queries.keySet,
       "Safety" -> Safety.queries.keySet,
       "Mixture" -> Mixture.queries.keySet,
+      "DataSelection" -> DataSelection.queries.keySet,
       "CorpusStats" -> CorpusStats.queries.keySet,
       "Packing" -> Packing.queries.keySet,
       "Profiling" -> Profiling.queries.keySet,
