@@ -131,7 +131,12 @@ object Bench {
       "ann_pq_stream_serve" -> "first_run",
       // embedding twin of dedup_stream_replay: first_run builds the
       // demo index, every rep pays copy + micro-batch replay
-      "dedup_stream_embedding" -> "first_run"
+      "dedup_stream_embedding" -> "first_run",
+      // every rep runs the 12-round distributed merge-training loop
+      // (1-row argmax per round) — training IS the query
+      "bpe_merges" -> "every_run",
+      // re-trains the merge table, then encodes the corpus through it
+      "bpe_encode_stats" -> "every_run"
     )
     val builds = buildIncluded
       .filter { case (k, _) => medians.exists(_._1 == k) }

@@ -25,6 +25,7 @@ object SparkEntry {
       (Safety.queries, Safety.oracles),
       (Mixture.queries, Mixture.oracles),
       (DataSelection.queries, DataSelection.oracles),
+      (BpeTrain.queries, BpeTrain.oracles),
       (CorpusStats.queries, CorpusStats.oracles),
       (Packing.queries, Packing.oracles),
       (Profiling.queries, Profiling.oracles),

@@ -1,0 +1,238 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary TRAINING (Sennrich, Haddow & Birch,
+  * ACL 2016) — the tokenizer-training stage of a training-data
+  * pipeline, distributed the way BPE actually distributes:
+  *
+  *   - The corpus collapses ONCE into a word-frequency dictionary
+  *     (distinct words × counts — metadata-scale next to the corpus;
+  *     the classic implementations train on exactly this dict). Every
+  *     word becomes its character symbols plus a final `</w>` marker.
+  *   - Each merge round is ONE distributed aggregation: adjacent
+  *     symbol pairs explode out of the dict weighted by word
+  *     frequency (overlapping occurrences counted, the paper's
+  *     `get_stats`), and the argmax pair — ties broken (freq DESC,
+  *     left ASC, right ASC) so training is deterministic — comes back
+  *     as a single row. Only that 1-row argmax ever reaches the
+  *     driver; the dict itself never does.
+  *   - The merge applies to every word as one codegen'd higher-order
+  *     `aggregate` fold (greedy left-to-right non-overlapping — the
+  *     `prev` accumulator trick; a merged symbol can never re-match
+  *     the same rule because `a ++ b` is textually distinct from both
+  *     sides). Per-round `localCheckpoint` keeps the plan flat and
+  *     the superseded round's cache is released immediately
+  *     ([[GraphDedup.releaseCheckpoints]] discipline).
+  *
+  * Encoding with the learned table is inherently per-word imperative
+  * (repeatedly merge the lowest-rank pair — the reference
+  * `apply_bpe`), so it runs as `mapPartitions` over a broadcast rank
+  * map with a per-partition word cache: the one place in this family
+  * where imperative code genuinely beats expressions (SURVEY.md §7's
+  * escape hatch), and it stays map-side — no shuffle, no driver data.
+  */
+object BpeTrain {
+  type Q = (SparkSession, String) => DataFrame
+  import Fixtures._
+
+  private def sqlLit(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  /** (word, freq, syms) dictionary: chars + `</w>`. */
+  def wordDict(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("freq"))
+      .withColumn(
+        "syms",
+        expr("array_append(transform(sequence(1, length(word)), i -> substring(word, i, 1)), '</w>')")
+      )
+
+  /** Adjacent-pair frequencies over the current dict. */
+  private def pairCounts(dict: DataFrame): DataFrame =
+    dict
+      .select(
+        col("freq"),
+        explode(
+          when(
+            size(col("syms")) >= 2,
+            expr("transform(sequence(0, size(syms) - 2), i -> named_struct('l', syms[i], 'r', syms[i + 1]))")
+          ).otherwise(expr("CAST(array() AS array<struct<l:string,r:string>>)"))
+        ).as("p")
+      )
+      .groupBy(col("p.l").as("left"), col("p.r").as("right"))
+      .agg(sum(col("freq")).cast("bigint").as("pair_freq"))
+
+  /** One greedy left-to-right merge pass of (a,b) → a++b over a
+    * symbol array, as a single `aggregate` fold.
+    */
+  private def mergeExpr(a: String, b: String): String = {
+    val (la, lb, lab) = (sqlLit(a), sqlLit(b), sqlLit(a + b))
+    s"""aggregate(
+       |  syms,
+       |  named_struct('o', CAST(array() AS array<string>), 'p', CAST(NULL AS string)),
+       |  (acc, x) -> CASE
+       |    WHEN acc.p IS NULL THEN named_struct('o', acc.o, 'p', x)
+       |    WHEN acc.p = $la AND x = $lb THEN named_struct('o', acc.o, 'p', $lab)
+       |    ELSE named_struct('o', array_append(acc.o, acc.p), 'p', x) END,
+       |  acc -> CASE WHEN acc.p IS NULL THEN acc.o ELSE array_append(acc.o, acc.p) END)""".stripMargin
+  }
+
+  /** Learn `numMerges` merges; stops early when the best pair drops
+    * under `minFreq`. Returns (rank, left, right, pair_freq).
+    */
+  def learnMerges(docs: DataFrame, textCol: String, numMerges: Int, minFreq: Long = 2L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var dict = wordDict(docs, textCol).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    var rank = 1L
+    var done = false
+    while (rank <= numMerges && !done) {
+      // 1-row argmax — the only data that ever reaches the driver
+      val best = pairCounts(dict)
+        .orderBy(desc("pair_freq"), asc("left"), asc("right"))
+        .limit(1)
+        .collect()
+      best.headOption.filter(_.getLong(2) >= minFreq) match {
+        case Some(r) =>
+          val (a, b, f) = (r.getString(0), r.getString(1), r.getLong(2))
+          merges += ((rank, a, b, f))
+          val next = dict
+            .withColumn("syms", expr(mergeExpr(a, b)))
+            .localCheckpoint(true)
+          GraphDedup.releaseCheckpoints(dict)
+          dict = next
+          rank += 1
+        case None => done = true
+      }
+    }
+    GraphDedup.releaseCheckpoints(dict)
+    merges.toSeq.toDF("rank", "left", "right", "pair_freq")
+  }
+
+  /** Reference `apply_bpe` encode: repeatedly merge the lowest-rank
+    * pair present until none applies. Pure, driver-free — runs inside
+    * mapPartitions against the broadcast rank map.
+    */
+  private[ops] def encodeLen(word: String, ranks: Map[(String, String), Long]): Int = {
+    var syms: Vector[String] = word.map(_.toString).toVector :+ "</w>"
+    var go = true
+    while (go && syms.length >= 2) {
+      var bestRank = Long.MaxValue
+      var bi = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Long.MaxValue)
+        if (r < bestRank) { bestRank = r; bi = i }
+        i += 1
+      }
+      if (bi < 0) go = false
+      else {
+        val (a, b) = (syms(bi), syms(bi + 1))
+        val ab = a + b
+        val out = Vector.newBuilder[String]
+        var prev: String = null
+        syms.foreach { x =>
+          if (prev == null) prev = x
+          else if (prev == a && x == b) prev = ab
+          else { out += prev; prev = x }
+        }
+        if (prev != null) out += prev
+        syms = out.result()
+      }
+    }
+    syms.length
+  }
+
+  /** Per-doc BPE token counts with a per-partition word cache (word
+    * salad repeats heavily; production corpora even more so).
+    */
+  def encodeStats(docs: DataFrame, merges: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks = merges
+      .select(col("left"), col("right"), col("rank").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val bc = spark.sparkContext.broadcast(ranks)
+    docs
+      .select(col("doc_id").cast("long"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { iter =>
+        val cache = scala.collection.mutable.HashMap.empty[String, Int]
+        val rk = bc.value
+        iter.map { case (id, lang, text) =>
+          var ntok = 0L
+          text.split(" ", -1).foreach { w =>
+            ntok += cache.getOrElseUpdate(w, encodeLen(w, rk))
+          }
+          (id, lang, ntok, text.length.toLong)
+        }
+      }
+      .toDF("doc_id", "lang", "n_bpe_tokens", "n_chars")
+  }
+
+  /** Fixture knobs; the golden oracles pin exactly these. */
+  private val fixtureMerges = 12
+
+  val bpeMerges: Q = (s, d) =>
+    learnMerges(documents(s, d), "text", fixtureMerges).orderBy("rank")
+
+  val bpeEncodeStats: Q = (s, d) => {
+    val docs = documents(s, d)
+    encodeStats(docs, learnMerges(docs, "text", fixtureMerges))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("n_bpe_tokens")).cast("bigint").as("total_bpe_tokens"),
+        sum(col("n_chars")).cast("bigint").as("total_chars")
+      )
+      .orderBy("lang")
+  }
+
+  def queries: Map[String, Q] = Map(
+    "bpe_merges" -> bpeMerges,
+    "bpe_encode_stats" -> bpeEncodeStats
+  )
+
+  /** Golden oracles, pinned by an INDEPENDENT reference implementation
+    * (classic dict-based BPE in Python over the same parquet — the
+    * strongest check available: two implementations, one answer).
+    * Like the IVF golden oracles these are sf0.01-specific by
+    * construction; the driver's gate runs there.
+    */
+  def oracles: Map[String, String] = Map(
+    "bpe_merges" ->
+      """SELECT CAST(rank AS BIGINT) AS rank, "left", "right", CAST(pair_freq AS BIGINT) AS pair_freq
+        |FROM (VALUES
+        |  (1, 'e', 'r', 4568),
+        |  (2, 'e', '</w>', 4473),
+        |  (3, 'n', '</w>', 2834),
+        |  (4, 'er', '</w>', 2779),
+        |  (5, 'o', 'w', 2747),
+        |  (6, 'ow', '</w>', 2747),
+        |  (7, 'o', 'r', 2696),
+        |  (8, 's', 't', 2676),
+        |  (9, 'h', '</w>', 1884),
+        |  (10, 'a', 't', 1845),
+        |  (11, 'l', 'u', 1831),
+        |  (12, 'i', 'n', 1796)
+        |) AS t(rank, "left", "right", pair_freq) ORDER BY rank""".stripMargin,
+    "bpe_encode_stats" ->
+      """SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(total_bpe_tokens AS BIGINT) AS total_bpe_tokens,
+        |  CAST(total_chars AS BIGINT) AS total_chars
+        |FROM (VALUES
+        |  ('de', 70, 15248, 19525),
+        |  ('en', 218, 50460, 64437),
+        |  ('es', 73, 17049, 21756),
+        |  ('fr', 64, 16143, 20623),
+        |  ('zh', 75, 17898, 22833)
+        |) AS t(lang, n_docs, total_bpe_tokens, total_chars) ORDER BY lang""".stripMargin
+  )
+}

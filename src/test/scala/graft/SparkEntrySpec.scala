@@ -23,6 +23,7 @@ class SparkEntrySpec extends AnyFunSuite {
       "Safety" -> Safety.queries.keySet,
       "Mixture" -> Mixture.queries.keySet,
       "DataSelection" -> DataSelection.queries.keySet,
+      "BpeTrain" -> BpeTrain.queries.keySet,
       "CorpusStats" -> CorpusStats.queries.keySet,
       "Packing" -> Packing.queries.keySet,
       "Profiling" -> Profiling.queries.keySet,
