@@ -26,6 +26,7 @@ object SparkEntry {
       (Mixture.queries, Mixture.oracles),
       (DataSelection.queries, DataSelection.oracles),
       (BpeTrain.queries, BpeTrain.oracles),
+      (QualityClassifier.queries, QualityClassifier.oracles),
       (CorpusStats.queries, CorpusStats.oracles),
       (Packing.queries, Packing.oracles),
       (Profiling.queries, Profiling.oracles),

@@ -24,6 +24,7 @@ class SparkEntrySpec extends AnyFunSuite {
       "Mixture" -> Mixture.queries.keySet,
       "DataSelection" -> DataSelection.queries.keySet,
       "BpeTrain" -> BpeTrain.queries.keySet,
+      "QualityClassifier" -> QualityClassifier.queries.keySet,
       "CorpusStats" -> CorpusStats.queries.keySet,
       "Packing" -> Packing.queries.keySet,
       "Profiling" -> Profiling.queries.keySet,
