@@ -293,7 +293,7 @@ object Pipeline {
     * refining (the unigram LM is fit on that same corpus, exactly like
     * the standalone query fits on the fixture).
     */
-  private[graft] def qualityScores(docs: DataFrame): DataFrame = {
+  private[graft] def qualityScores(docs: DataFrame, keepCols: Seq[String] = Nil): DataFrame = {
     val base = docs
       .withColumn("toks", split(col("text"), " "))
       .withColumn("n_tokens", size(col("toks")).cast("bigint"))
@@ -307,7 +307,7 @@ object Pipeline {
       .withColumn("n_lines", size(col("paras")).cast("bigint"))
       .withColumn("n_distinct_lines", size(array_distinct(col("paras"))).cast("bigint"))
       .withColumn("dup_line_micro", expr("(n_lines - n_distinct_lines) * 1000000 div n_lines"))
-      .select("doc_id", "lang", "n_tokens", "stop_pct", "dup_line_micro")
+      .select((Seq("doc_id", "lang", "n_tokens", "stop_pct", "dup_line_micro") ++ keepCols).map(col): _*)
     base
       .join(CorpusStats.docUnigramNll(docs).select("doc_id", "avg_nll_micro"), "doc_id")
       .withColumn(
@@ -322,8 +322,10 @@ object Pipeline {
         )
       )
       .select(
-        "doc_id", "lang", "n_tokens", "stop_pct", "dup_line_micro",
-        "avg_nll_micro", "quality_pass", "score_micro"
+        (Seq(
+          "doc_id", "lang", "n_tokens", "stop_pct", "dup_line_micro",
+          "avg_nll_micro", "quality_pass", "score_micro"
+        ) ++ keepCols).map(col): _*
       )
   }
 
@@ -511,7 +513,7 @@ object Pipeline {
     * NLL fragment, composed exactly as the Spark side composes the
     * standalone operators' expressions.
     */
-  private lazy val featuresSql: String = {
+  private[ops] lazy val featuresSql: String = {
     val stop = TextAnalysis.stopList
     s"""WITH ${CorpusStats.nllDuckSql("documents")},
        |base AS (

@@ -107,12 +107,58 @@ object Safety {
       )
       .orderBy("source")
 
+  /** AUTO-DERIVED blocklist — the step that produces the list
+    * [[sourceBlocklist]] consumes (C4/RefinedWeb curate their bad-URL
+    * lists from exactly this kind of aggregate signal): per source,
+    * the mean composite quality score ([[Pipeline.qualityScores]], the
+    * same expressions as the quality_features gate) and the
+    * block/keep verdict at a threshold. The report is
+    * source-cardinality-sized (thousands of rows at web scale) —
+    * corpus text reduces map-side into per-source partial sums; the
+    * integer mean (`sum div count`) keeps the verdict exact.
+    */
+  def sourceQualityReport(scored: DataFrame, sourceCol: String, minAvgScore: Long): DataFrame =
+    scored
+      .groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("score_micro")).cast("bigint").as("sum_score")
+      )
+      .withColumn("avg_score_micro", expr("sum_score div n_docs"))
+      .withColumn("blocked", (col("avg_score_micro") < minAvgScore).cast("int").cast("bigint"))
+      .select(col(sourceCol), col("n_docs"), col("avg_score_micro"), col("blocked"))
+
+  /** Fixture threshold: sf0.01 per-source means span ≈2.51M–2.83M;
+    * 2.6M blocks the bottom band. The oracle replicates it. */
+  private val autoBlockThreshold = 2600000L
+
+  val sourceAutoBlocklistQ: Q = (s, d) =>
+    sourceQualityReport(
+      Pipeline.qualityScores(documents(s, d), keepCols = Seq("source")),
+      "source",
+      autoBlockThreshold
+    ).orderBy("source")
+
   def queries: Map[String, Q] = Map(
     "pii_signals" -> piiSignalsQ,
-    "source_blocklist" -> sourceBlocklistQ
+    "source_blocklist" -> sourceBlocklistQ,
+    "source_auto_blocklist" -> sourceAutoBlocklistQ
   )
 
   def oracles: Map[String, String] = Map(
+    "source_auto_blocklist" ->
+      s"""${Pipeline.featuresSql},
+         |src AS (
+         |  SELECT d.source, f.score_micro
+         |  FROM features f JOIN documents d USING (doc_id)),
+         |r AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(score_micro) AS BIGINT) AS sum_score
+         |  FROM src GROUP BY source)
+         |SELECT source, n_docs,
+         |  CAST(sum_score // n_docs AS BIGINT) AS avg_score_micro,
+         |  CAST(CASE WHEN sum_score // n_docs < $autoBlockThreshold THEN 1 ELSE 0 END AS BIGINT) AS blocked
+         |FROM r ORDER BY source""".stripMargin,
     "pii_signals" ->
       s"""WITH planted AS (
          |  SELECT doc_id,

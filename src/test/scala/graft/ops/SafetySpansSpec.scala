@@ -317,6 +317,24 @@ class SafetySpansSpec extends SparkSpec {
     assert("BroadcastHashJoin .*LeftSemi".r.findFirstIn(plan).isDefined, plan.take(2500))
   }
 
+  test("sourceQualityReport blocks exactly the sources whose integer mean dips under the bar") {
+    val scored = Seq(
+      (1L, "good", 3000000L),
+      (2L, "good", 3000001L),  // mean 3000000 (floor) — kept at bar 3000000
+      (3L, "bad", 2999999L),
+      (4L, "bad", 3000000L),   // mean 2999999 (floor) — blocked
+      (5L, "edge", 2999999L)   // single doc under the bar — blocked
+    ).toDF("doc_id", "source", "score_micro")
+    val out = Safety
+      .sourceQualityReport(scored, "source", minAvgScore = 3000000L)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out("good") == ((2L, 3000000L, 0L)))
+    assert(out("bad") == ((2L, 2999999L, 1L)))
+    assert(out("edge") == ((1L, 2999999L, 1L)))
+  }
+
   test("substringDupSpans plans no window — occurrence counts are aggregate + join") {
     val plan = Spans
       .substringDupSpans(spark, "/root/testdata/sf0.001")
