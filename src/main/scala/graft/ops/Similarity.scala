@@ -75,6 +75,41 @@ object Similarity {
       .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("min_vec_id"))
       .orderBy("bucket_id")
 
+  /** CLUSTER-BALANCED diversity subsample: keep at most `cap` vectors
+    * per LSH bucket, chosen by the engine-portable md5 draw (`bal|`
+    * domain) with vec_id tie-break — the curation step that stops
+    * dense regions of embedding space from dominating a subsample
+    * (the cluster-based pruning recipe: sample evenly ACROSS
+    * semantic regions, not uniformly over rows). Deterministic,
+    * append-stable within a bucket's survivors, and a pure function
+    * of (vector, id) — no fitted model.
+    *
+    * Scale shape: one projection pass for bucket + draw, then a
+    * per-bucket top-cap which Spark 4 plans as WindowGroupLimit — the
+    * cap applies BEFORE the shuffle, so each bucket moves at most
+    * `cap` rows per map partition, never its full population.
+    */
+  def bucketBalancedSample(emb: DataFrame, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    lshBuckets(emb)
+      .withColumn(
+        "draw",
+        conv(substring(md5(concat(lit("bal|"), col("vec_id").cast("string")).cast("binary")), 1, 12), 16, 10)
+          .cast("long")
+      )
+      .withColumn(
+        "rank",
+        row_number()
+          .over(Window.partitionBy(col("bucket_id")).orderBy(col("draw"), col("vec_id")))
+          .cast("bigint")
+      )
+      .filter(col("rank") <= cap)
+      .select(col("bucket_id"), col("rank"), col("vec_id"), col("label"))
+  }
+
+  val sampleBucketBalanced: Q = (s, d) =>
+    bucketBalancedSample(embeddings(s, d), 3).orderBy("bucket_id", "rank")
+
   /** Top-k restricted to the query's LSH bucket (the ANN scale path). */
   val annLshTopk: Q = (s, d) => {
     graft.functions.GraftFunctions.register(s)
@@ -1168,6 +1203,7 @@ object Similarity {
     "ann_cosine_topk" -> annCosineTopk,
     "ann_lsh_buckets" -> annLshBuckets,
     "ann_lsh_topk" -> annLshTopk,
+    "sample_bucket_balanced" -> sampleBucketBalanced,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_incremental_embedding" -> dedupIncrementalEmbedding,
     "ann_ivf_lists" -> annIvfLists,
@@ -1223,6 +1259,19 @@ object Similarity {
          |b AS (SELECT vec_id, CAST($bucketDuckSql AS BIGINT) AS bucket_id FROM e)
          |SELECT bucket_id, CAST(count(*) AS BIGINT) AS n_vectors, min(vec_id) AS min_vec_id
          |FROM b GROUP BY bucket_id ORDER BY bucket_id""".stripMargin,
+    "sample_bucket_balanced" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, label, CAST($bucketDuckSql AS BIGINT) AS bucket_id FROM e),
+         |d AS (
+         |  SELECT bucket_id, vec_id, label,
+         |    CAST(${Dedup.hex12ValSql("md5('bal|' || CAST(vec_id AS VARCHAR))", 1)} AS BIGINT) AS draw
+         |  FROM b),
+         |r AS (
+         |  SELECT bucket_id, vec_id, label,
+         |    row_number() OVER (PARTITION BY bucket_id ORDER BY draw, vec_id) AS rank
+         |  FROM d)
+         |SELECT bucket_id, CAST(rank AS BIGINT) AS rank, vec_id, label
+         |FROM r WHERE rank <= 3 ORDER BY bucket_id, rank""".stripMargin,
     "ann_lsh_topk" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |b AS (SELECT vec_id, label, v, CAST($bucketDuckSql AS BIGINT) AS bucket_id FROM e),

@@ -432,4 +432,20 @@ class SimilarityIvfSpec extends SparkSpec {
     assert(q.filter(col("maxabs") > 0 && col("qmax") < 127 && col("qmin") > -127).count() == 0L)
     q.unpersist()
   }
+
+  test("bucket-balanced sample caps each bucket and plans a WindowGroupLimit") {
+    val emb = Fixtures.embeddings(spark, "/root/testdata/sf0.001")
+    val df = Similarity.bucketBalancedSample(emb, cap = 2)
+    val rows = df.collect()
+    val perBucket = rows.groupBy(_.getLong(0)).view.mapValues(_.length)
+    assert(perBucket.values.forall(_ <= 2), "a bucket exceeded the cap")
+    assert(rows.map(_.getLong(2)).distinct.length == rows.length, "a vector was sampled twice")
+    // deterministic: repartitioning the input changes nothing
+    val again = Similarity.bucketBalancedSample(emb.repartition(9), 2)
+      .orderBy("bucket_id", "rank").collect().map(_.toSeq).toSeq
+    assert(again == df.orderBy("bucket_id", "rank").collect().map(_.toSeq).toSeq)
+    // the cap rides the shuffle: WindowGroupLimit prunes before exchange
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(2000))
+  }
 }
