@@ -303,11 +303,70 @@ object CorpusStats {
       )
       .orderBy("lang", "bucket")
 
+  /** CCNet's head/middle/tail SPLIT: per language, bucket documents
+    * by perplexity terciles — "head" is the most-fluent third that
+    * CCNet keeps outright, "tail" the third it usually drops. The
+    * published recipe computes percentile THRESHOLDS once and then
+    * assigns by comparison, and that is exactly the scale-correct
+    * shape — NOT a per-language ntile window, which would sort every
+    * language's documents in one partition:
+    *
+    *   1. avg-NLL is already an integer, so the per-language score
+    *      HISTOGRAM (lang × distinct value counts) is exact and
+    *      value-cardinality-sized — the only window runs over that
+    *      histogram, never over documents.
+    *   2. Tercile thresholds = the smallest value whose cumulative
+    *      count reaches ⌈n/3⌉ / ⌈2n/3⌉ (ties land in the lower
+    *      bucket together: threshold semantics, the CCNet behavior —
+    *      bucket sizes are near-thirds, not exact thirds).
+    *   3. Assignment is a broadcast threshold join + one comparison,
+    *      map-side over the corpus.
+    */
+  def perplexityBuckets(scored: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = scored
+      .groupBy(col("lang"), col("avg_nll_micro"))
+      .agg(count(lit(1)).cast("bigint").as("c"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(Window.partitionBy(col("lang")).orderBy(col("avg_nll_micro"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("lang"))))
+    val thr = cum
+      .groupBy(col("lang"))
+      .agg(
+        min(when(col("cum") >= expr("(n + 2) div 3"), col("avg_nll_micro"))).as("t1"),
+        min(when(col("cum") >= expr("(2 * n + 2) div 3"), col("avg_nll_micro"))).as("t2")
+      )
+    scored
+      .join(broadcast(thr), "lang")
+      .withColumn(
+        "bucket",
+        when(col("avg_nll_micro") <= col("t1"), "head")
+          .when(col("avg_nll_micro") <= col("t2"), "middle")
+          .otherwise("tail")
+      )
+      .groupBy(col("lang"), col("bucket"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        min(col("avg_nll_micro")).as("min_avg_nll_micro"),
+        max(col("avg_nll_micro")).as("max_avg_nll_micro")
+      )
+  }
+
+  val ccnetPerplexityBuckets: Q = (s, d) => {
+    val docs = documents(s, d)
+    perplexityBuckets(
+      docUnigramNll(docs)
+        .select(col("doc_id"), col("avg_nll_micro"))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    ).orderBy("lang", "bucket")
+  }
+
   def queries: Map[String, Q] = Map(
     "tfidf_top_terms" -> tfidfTopTerms,
     "perplexity_score" -> perplexityScore,
     "bigram_perplexity" -> bigramPerplexity,
-    "token_histogram" -> tokenHistogram
+    "token_histogram" -> tokenHistogram,
+    "ccnet_perplexity_buckets" -> ccnetPerplexityBuckets
   )
 
   def oracles: Map[String, String] = Map(
@@ -368,6 +427,35 @@ object CorpusStats {
         |  CAST(sum(b.bc * m.nll2_micro) // sum(b.bc) AS BIGINT) AS avg_nll2_micro
         |FROM bc b JOIN model m USING (g1, g2)
         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+    "ccnet_perplexity_buckets" ->
+      s"""WITH ${nllDuckSql("documents")},
+         |scored AS (
+         |  SELECT u.doc_id, u.avg_nll_micro, d.lang
+         |  FROM unll u JOIN documents d USING (doc_id)),
+         |hist AS (
+         |  SELECT lang, avg_nll_micro, CAST(count(*) AS BIGINT) AS c
+         |  FROM scored GROUP BY lang, avg_nll_micro),
+         |cum AS (
+         |  SELECT lang, avg_nll_micro, c,
+         |    sum(c) OVER (PARTITION BY lang ORDER BY avg_nll_micro) AS cum,
+         |    sum(c) OVER (PARTITION BY lang) AS n
+         |  FROM hist),
+         |thr AS (
+         |  SELECT lang,
+         |    min(CASE WHEN cum >= (n + 2) // 3 THEN avg_nll_micro END) AS t1,
+         |    min(CASE WHEN cum >= (2 * n + 2) // 3 THEN avg_nll_micro END) AS t2
+         |  FROM cum GROUP BY lang),
+         |b AS (
+         |  SELECT s.lang,
+         |    CASE WHEN s.avg_nll_micro <= t.t1 THEN 'head'
+         |         WHEN s.avg_nll_micro <= t.t2 THEN 'middle'
+         |         ELSE 'tail' END AS bucket,
+         |    s.avg_nll_micro
+         |  FROM scored s JOIN thr t USING (lang))
+         |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(avg_nll_micro) AS min_avg_nll_micro,
+         |  max(avg_nll_micro) AS max_avg_nll_micro
+         |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
     "token_histogram" ->
       """WITH t AS (
         |  SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents)

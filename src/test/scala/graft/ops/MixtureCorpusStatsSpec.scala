@@ -296,4 +296,35 @@ class MixtureCorpusStatsSpec extends SparkSpec {
     assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("token"))).toSet ==
       Set((1L, "t"), (1L, "u"), (2L, "t"), (2L, "v"), (3L, "t"), (3L, "w")))
   }
+
+  test("perplexity buckets: tercile thresholds by cumulative histogram, ties sink to the lower bucket") {
+    // 9 docs in one lang, scores 10..90: ceil(9/3)=3 -> t1=30,
+    // ceil(18/3)=6 -> t2=60; head={10,20,30}, middle={40,50,60}
+    val nine = (1L to 9L).map(i => (i, "en", i * 10L))
+    // 4 docs with a tie ACROSS the t1 boundary: scores 10,20,20,90;
+    // n=4, ceil(4/3)=2 -> cum(20)=3 >= 2 -> t1=20 and BOTH 20s land
+    // in head (threshold semantics, near-thirds not exact thirds);
+    // ceil(8/3)=3 -> t2=20 as well -> middle empty, tail={90}
+    val tied = Seq((11L, "de", 10L), (12L, "de", 20L), (13L, "de", 20L), (14L, "de", 90L))
+    val scored = (nine ++ tied).toDF("doc_id", "lang", "avg_nll_micro")
+    val out = CorpusStats
+      .perplexityBuckets(scored)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(out(("en", "head")) == ((3L, 10L, 30L)))
+    assert(out(("en", "middle")) == ((3L, 40L, 60L)))
+    assert(out(("en", "tail")) == ((3L, 70L, 90L)))
+    assert(out(("de", "head")) == ((3L, 10L, 20L)))
+    assert(!out.contains(("de", "middle")))
+    assert(out(("de", "tail")) == ((1L, 90L, 90L)))
+  }
+
+  test("perplexity buckets assign via broadcast thresholds, never a per-lang doc sort") {
+    val docs = Fixtures.documents(spark, "/root/testdata/sf0.001")
+    val scored = Seq((1L, "en", 5L), (2L, "en", 7L)).toDF("doc_id", "lang", "avg_nll_micro")
+      .union(docs.selectExpr("doc_id", "lang", "n_chars AS avg_nll_micro"))
+    val plan = CorpusStats.perplexityBuckets(scored).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
 }
