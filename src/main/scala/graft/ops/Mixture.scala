@@ -56,6 +56,19 @@ object Mixture {
     * between splits as the corpus grows, the property that keeps eval
     * sets uncontaminated), map-side, zero shuffle.
     */
+  /** The split verdict for an id — a pure function, so any operator
+    * can re-derive a doc's split from its id alone (the leakage audit
+    * relies on this: pair relations never need a split join-back).
+    */
+  def splitCol(id: Column, trainBps: Int, valBps: Int): Column = {
+    val bps = pmod(
+      conv(substring(md5(concat(lit("split|"), id.cast("string")).cast("binary")), 1, 12), 16, 10)
+        .cast("long"),
+      lit(10000L)
+    )
+    when(bps < trainBps, "train").when(bps < trainBps + valBps, "val").otherwise("test")
+  }
+
   def holdoutSplit(
       docs: DataFrame,
       idCol: String,
@@ -63,16 +76,51 @@ object Mixture {
       valBps: Int = 100
   ): DataFrame = {
     require(trainBps + valBps <= 10000, "split fractions exceed 100%")
-    val bps = pmod(
-      conv(substring(md5(concat(lit("split|"), col(idCol).cast("string")).cast("binary")), 1, 12), 16, 10)
-        .cast("long"),
-      lit(10000L)
-    )
-    docs.withColumn(
-      "split",
-      when(bps < trainBps, "train").when(bps < trainBps + valBps, "val").otherwise("test")
-    )
+    docs.withColumn("split", splitCol(col(idCol), trainBps, valBps))
   }
+
+  /** HOLDOUT LEAKAGE AUDIT: near-duplicate pairs that STRADDLE the
+    * train/eval boundary — an eval doc with a train near-dup measures
+    * memorization, not generalization, and a hash split cannot
+    * prevent that (near-dups hash apart). Composes the verified-
+    * Jaccard LSH chain with the split function: the straddle
+    * predicate drops same-side pairs INSIDE the LSH pair filter (so
+    * verification work is straddle-pairs-sized, and since the split
+    * is a pure function of the id, the filter is an expression over
+    * the pair relation — no split join-back). Output is one row per
+    * eval split: leaked doc count, pair count, worst Jaccard — the
+    * go/no-go numbers before an eval set ships.
+    */
+  def holdoutLeakageCheck(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      trainBps: Int,
+      valBps: Int,
+      minJaccard: Double
+  ): DataFrame = {
+    def sOf(c: String) = splitCol(col(c), trainBps, valBps)
+    val straddle: DataFrame => DataFrame = p =>
+      p.filter((sOf("doc_a") === "train") =!= (sOf("doc_b") === "train"))
+    Dedup
+      .lshCandidatesWithJaccard(docs, idCol, textCol, straddle)
+      .filter(col("jaccard") >= minJaccard)
+      .withColumn("eval_split", when(sOf("doc_a") === "train", sOf("doc_b")).otherwise(sOf("doc_a")))
+      .withColumn("eval_doc", when(sOf("doc_a") === "train", col("doc_b")).otherwise(col("doc_a")))
+      .groupBy("eval_split")
+      .agg(
+        countDistinct(col("eval_doc")).cast("bigint").as("n_leaked_docs"),
+        count(lit(1)).cast("bigint").as("n_pairs"),
+        max(col("jaccard")).as("max_jaccard")
+      )
+  }
+
+  /** Fixture knobs for the audit query: 80/10/10 puts enough mass in
+    * the eval splits for cross-split near-dups to exist at sf0.01;
+    * τ matches the near-dup removal stage. */
+  val holdoutLeakageQ: Q = (s, d) =>
+    holdoutLeakageCheck(documents(s, d), "doc_id", "text", 8000, 1000, 0.5)
+      .orderBy("eval_split")
 
   val holdoutSplitQ: Q = (s, d) =>
     holdoutSplit(documents(s, d), "doc_id")
@@ -169,7 +217,8 @@ object Mixture {
     "mixture_sample" -> mixtureSample,
     "mixture_accounting" -> mixtureAccounting,
     "mixture_plan" -> mixturePlanQ,
-    "holdout_split" -> holdoutSplitQ
+    "holdout_split" -> holdoutSplitQ,
+    "holdout_leakage" -> holdoutLeakageQ
   )
 
   private[ops] def drawSql: String =
@@ -182,6 +231,51 @@ object Mixture {
   }
 
   def oracles: Map[String, String] = Map(
+    "holdout_leakage" -> {
+      def splitSql(c: String) = {
+        val draw =
+          "CAST(" + Dedup.hex12ValSql(s"md5('split|' || CAST($c AS VARCHAR))", 1) + " AS BIGINT)"
+        s"""CASE WHEN $draw % 10000 < 8000 THEN 'train'
+           |     WHEN $draw % 10000 < 9000 THEN 'val'
+           |     ELSE 'test' END""".stripMargin
+      }
+      s"""WITH ${Dedup.shinglesSqlFrom("documents")},
+         |${Dedup.minhashSql},
+         |${Dedup.bandsSql},
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM pairs p
+         |  JOIN sh x ON x.doc_id = p.doc_a
+         |  JOIN sh y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
+         |  GROUP BY p.doc_a, p.doc_b),
+         |jac AS (
+         |  SELECT p.doc_a, p.doc_b,
+         |    round(CAST(coalesce(i.n_inter, 0) AS DOUBLE) / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard
+         |  FROM pairs p
+         |  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         |  JOIN sizes sa ON sa.doc_id = p.doc_a
+         |  JOIN sizes sb ON sb.doc_id = p.doc_b),
+         |spl AS (
+         |  SELECT doc_a, doc_b, jaccard,
+         |    ${splitSql("doc_a")} AS sa_split, ${splitSql("doc_b")} AS sb_split
+         |  FROM jac),
+         |leaks AS (
+         |  SELECT CASE WHEN sa_split = 'train' THEN sb_split ELSE sa_split END AS eval_split,
+         |    CASE WHEN sa_split = 'train' THEN doc_b ELSE doc_a END AS eval_doc,
+         |    jaccard
+         |  FROM spl
+         |  WHERE (sa_split = 'train') <> (sb_split = 'train') AND jaccard >= 0.5)
+         |SELECT eval_split,
+         |  CAST(count(DISTINCT eval_doc) AS BIGINT) AS n_leaked_docs,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  max(jaccard) AS max_jaccard
+         |FROM leaks GROUP BY eval_split ORDER BY eval_split""".stripMargin
+    },
     "holdout_split" -> {
       val draw =
         "CAST(" + Dedup.hex12ValSql("md5('split|' || CAST(doc_id AS VARCHAR))", 1) + " AS BIGINT)"

@@ -327,4 +327,32 @@ class MixtureCorpusStatsSpec extends SparkSpec {
     val plan = CorpusStats.perplexityBuckets(scored).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
+
+  test("holdout leakage audit flags only straddling near-dup pairs") {
+    import org.apache.spark.sql.functions._
+    // find ids on each side of the 80/10/10 split (pure function of id)
+    val verdicts = spark
+      .range(0, 200)
+      .select(col("id"), Mixture.splitCol(col("id"), 8000, 1000).as("s"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val trainIds = verdicts.filter(_._2 == "train").map(_._1)
+    val valId = verdicts.find(_._2 == "val").get._1
+    val testId = verdicts.find(_._2 == "test").get._1
+    val dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (trainIds(0), dup),                       // train side of the leak
+      (valId, dup),                             // val-side leak: jaccard 1.0
+      (testId, "totally different words here now one two three four five six"),
+      (trainIds(1), dup),                       // second train copy: same-side pair with trainIds(0)
+      (trainIds(2), "unrelated filler text with plenty of distinct tokens in it ok")
+    ).toDF("doc_id", "text")
+    val out = Mixture
+      .holdoutLeakageCheck(docs, "doc_id", "text", 8000, 1000, 0.5)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out("val") == ((1L, 2L, 1.0)), s"val leak expected: $out") // val doc vs BOTH train copies
+    assert(!out.contains("test"), s"clean test split must not appear: $out")
+  }
 }
