@@ -213,12 +213,120 @@ object Mixture {
       planBudget
     ).orderBy("stratum")
 
+  /** DATA-CONSTRAINED epoch planning (Muennighoff et al. 2023: when
+    * the budget EXCEEDS the corpus, repeating data up to ~4 epochs is
+    * near-as-good as fresh data; beyond that, returns collapse):
+    * per stratum, the integer epoch count toward its desired share,
+    * a fractional REMAINDER sampling rate when under the cap, and the
+    * honest SHORTFALL when the cap saturates — the "can this corpus
+    * satisfy this mixture, and where does it fall short" design view.
+    * Generalizes [[mixturePlan]]: epochs = 0 degenerates to the pure
+    * down-sampling plan. All arithmetic is exact basis-point
+    * integers; the report is stratum-cardinality-sized.
+    */
+  def epochPlan(
+      docs: DataFrame,
+      strataCol: String,
+      tokens: Column,
+      weightsBps: Map[String, Long],
+      defaultBps: Long,
+      budgetTokens: Long,
+      maxEpochs: Int
+  ): DataFrame = {
+    val weight = weightsBps.foldLeft(lit(defaultBps)) { case (acc, (k, v)) =>
+      when(col("stratum") === k, lit(v)).otherwise(acc)
+    }
+    docs
+      .groupBy(col(strataCol).as("stratum"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        sum(tokens).cast("bigint").as("n_tokens")
+      )
+      .withColumn("weight_bps", weight.cast("bigint"))
+      .withColumn("desired_tokens", expr(s"CAST($budgetTokens AS BIGINT) * weight_bps div 10000"))
+      .withColumn("epochs", least(lit(maxEpochs.toLong), expr("desired_tokens div n_tokens")))
+      .withColumn(
+        "remainder_rate_bps",
+        when(
+          col("epochs") < maxEpochs,
+          expr("(desired_tokens - epochs * n_tokens) * 10000 div n_tokens")
+        ).otherwise(lit(0L)).cast("bigint")
+      )
+      .withColumn("planned_tokens", expr("epochs * n_tokens + n_tokens * remainder_rate_bps div 10000"))
+      .withColumn("shortfall_tokens", expr("desired_tokens - planned_tokens"))
+  }
+
+  /** Materialize the plan: every doc repeats `epochs` times and joins
+    * one more copy iff its `epoch|` draw clears the stratum's
+    * remainder rate — map-side explode against the broadcast plan,
+    * deterministic and append-stable like every draw in this family
+    * (a doc's copy-set never changes as the corpus grows).
+    */
+  def epochExpand(docs: DataFrame, idCol: String, strataCol: String, plan: DataFrame): DataFrame = {
+    val draw = pmod(
+      conv(substring(md5(concat(lit("epoch|"), col(idCol).cast("string")).cast("binary")), 1, 12), 16, 10)
+        .cast("long"),
+      lit(10000L)
+    )
+    docs
+      .join(
+        broadcast(plan.select(col("stratum"), col("epochs"), col("remainder_rate_bps"))),
+        col(strataCol) === col("stratum")
+      )
+      .withColumn("copy", explode(expr("sequence(1L, epochs + 1L)")))
+      .filter(col("copy") <= col("epochs") || draw < col("remainder_rate_bps"))
+      .drop("stratum", "epochs", "remainder_rate_bps")
+  }
+
+  /** Fixture knobs: budget ≈ 3.7× the sf0.01 corpus with en weighted
+    * 4000 bps and the rest 1500 — de SATURATES at the 4-epoch cap
+    * (shortfall > 0) while en/es/fr/zh land on the remainder branch.
+    */
+  private val epochBudget = 100000L
+  private val epochWeights = Map("en" -> 4000L)
+  private val epochDefaultBps = 1500L
+  private val epochCap = 4
+
+  val epochPlanQ: Q = (s, d) =>
+    epochPlan(
+      documents(s, d),
+      "lang",
+      size(split(col("text"), " ")).cast("bigint"),
+      epochWeights,
+      epochDefaultBps,
+      epochBudget,
+      epochCap
+    ).orderBy("stratum")
+
+  val epochExpandQ: Q = (s, d) => {
+    val docs = documents(s, d)
+    val plan = epochPlan(
+      docs,
+      "lang",
+      size(split(col("text"), " ")).cast("bigint"),
+      epochWeights,
+      epochDefaultBps,
+      epochBudget,
+      epochCap
+    )
+    epochExpand(docs, "doc_id", "lang", plan)
+      .groupBy(col("lang"), col("copy"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("bigint").as("tokens"),
+        expr("bit_xor(doc_id)").as("doc_xor")
+      )
+      .orderBy("lang", "copy")
+  }
+
   def queries: Map[String, Q] = Map(
     "mixture_sample" -> mixtureSample,
     "mixture_accounting" -> mixtureAccounting,
     "mixture_plan" -> mixturePlanQ,
     "holdout_split" -> holdoutSplitQ,
-    "holdout_leakage" -> holdoutLeakageQ
+    "holdout_leakage" -> holdoutLeakageQ,
+    "epoch_plan" -> epochPlanQ,
+    "epoch_expand" -> epochExpandQ
   )
 
   private[ops] def drawSql: String =
@@ -230,7 +338,50 @@ object Mixture {
     s"CASE WHEN lang = 'en' THEN $en ELSE $other END"
   }
 
+  private val epochPlanSql =
+    s"""ep_s AS (
+       |  SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY lang),
+       |ep_w AS (
+       |  SELECT *, CAST(CASE WHEN stratum = 'en' THEN 4000 ELSE 1500 END AS BIGINT) AS weight_bps
+       |  FROM ep_s),
+       |ep_d AS (SELECT *, CAST($epochBudget * weight_bps // 10000 AS BIGINT) AS desired_tokens FROM ep_w),
+       |ep_e AS (SELECT *, CAST(least($epochCap, desired_tokens // n_tokens) AS BIGINT) AS epochs FROM ep_d),
+       |ep_r AS (
+       |  SELECT *,
+       |    CAST(CASE WHEN epochs < $epochCap
+       |         THEN (desired_tokens - epochs * n_tokens) * 10000 // n_tokens
+       |         ELSE 0 END AS BIGINT) AS remainder_rate_bps
+       |  FROM ep_e),
+       |ep AS (
+       |  SELECT *,
+       |    CAST(epochs * n_tokens + n_tokens * remainder_rate_bps // 10000 AS BIGINT) AS planned_tokens
+       |  FROM ep_r)""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "epoch_plan" ->
+      s"""WITH $epochPlanSql
+         |SELECT stratum, n_docs, n_tokens, weight_bps, desired_tokens, epochs,
+         |  remainder_rate_bps, planned_tokens,
+         |  CAST(desired_tokens - planned_tokens AS BIGINT) AS shortfall_tokens
+         |FROM ep ORDER BY stratum""".stripMargin,
+    "epoch_expand" -> {
+      val draw =
+        "CAST(" + Dedup.hex12ValSql("md5('epoch|' || CAST(d.doc_id AS VARCHAR))", 1) + " AS BIGINT)"
+      s"""WITH $epochPlanSql,
+         |x AS (
+         |  SELECT d.doc_id, d.lang, len(string_split(d.text, ' ')) AS n_tokens, c.copy
+         |  FROM documents d
+         |  JOIN ep ON ep.stratum = d.lang
+         |  JOIN LATERAL (SELECT unnest(generate_series(1, CAST(ep.epochs + 1 AS INT))) AS copy) c ON true
+         |  WHERE c.copy <= ep.epochs OR ($draw % 10000) < ep.remainder_rate_bps)
+         |SELECT lang, CAST(copy AS BIGINT) AS copy,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tokens,
+         |  CAST(bit_xor(doc_id) AS BIGINT) AS doc_xor
+         |FROM x GROUP BY lang, copy ORDER BY lang, copy""".stripMargin
+    },
     "holdout_leakage" -> {
       def splitSql(c: String) = {
         val draw =

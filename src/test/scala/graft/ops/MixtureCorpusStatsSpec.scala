@@ -355,4 +355,39 @@ class MixtureCorpusStatsSpec extends SparkSpec {
     assert(out("val") == ((1L, 2L, 1.0)), s"val leak expected: $out") // val doc vs BOTH train copies
     assert(!out.contains("test"), s"clean test split must not appear: $out")
   }
+
+  test("epoch plan: integer epochs, remainder rate under cap, shortfall at cap") {
+    import org.apache.spark.sql.functions._
+    // strata of 1000 tokens each; a wants 2500 (remainder branch),
+    // b wants 6000 (cap branch)
+    val docs = (1L to 10L).flatMap(i =>
+      Seq((i, "a", "w " * 99 + "w"), (100L + i, "b", "w " * 99 + "w"))
+    ).toDF("doc_id", "lang", "text")
+    val plan = Mixture
+      .epochPlan(docs, "lang", size(split(col("text"), " ")).cast("bigint"),
+        Map("a" -> 2500L, "b" -> 6000L), 0L, budgetTokens = 10000L, maxEpochs = 4)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))))
+      .toMap
+    assert(plan("a") == ((2L, 5000L, 2500L, 0L)), s"a: ${plan("a")}") // 2 epochs + 50% remainder
+    assert(plan("b") == ((4L, 0L, 4000L, 2000L)), s"b: ${plan("b")}") // capped, 2000-token shortfall
+  }
+
+  test("epoch expand repeats every doc exactly epochs times plus the sampled extra copy") {
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 40L).map(i => (i, "a", "x y z")).toDF("doc_id", "lang", "text")
+    val plan = Mixture.epochPlan(docs, "lang", size(split(col("text"), " ")).cast("bigint"),
+      Map.empty, 10000L, budgetTokens = 300L, maxEpochs = 4) // 120 corpus tokens -> 2 epochs + 50%
+    val out = Mixture.epochExpand(docs, "doc_id", "lang", plan)
+      .groupBy("doc_id").agg(count(lit(1)).as("copies")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 40 && out.values.forall(c => c == 2L || c == 3L), s"$out")
+    val extras = out.values.count(_ == 3L)
+    assert(extras > 0 && extras < 40, s"remainder sampling must pick a strict subset: $extras")
+    // deterministic
+    val again = Mixture.epochExpand(docs.repartition(7), "doc_id", "lang", plan)
+      .groupBy("doc_id").agg(count(lit(1)).as("copies")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == out)
+  }
 }
