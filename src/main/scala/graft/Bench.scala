@@ -136,7 +136,10 @@ object Bench {
       // (1-row argmax per round) — training IS the query
       "bpe_merges" -> "every_run",
       // re-trains the merge table, then encodes the corpus through it
-      "bpe_encode_stats" -> "every_run"
+      "bpe_encode_stats" -> "every_run",
+      // every rep trains + persists the model, then replays the eval
+      // split as micro-batches against the loaded artifact
+      "nb_stream_scores" -> "every_run"
     )
     val builds = buildIncluded
       .filter { case (k, _) => medians.exists(_._1 == k) }

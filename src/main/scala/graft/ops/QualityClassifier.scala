@@ -33,9 +33,9 @@ object QualityClassifier {
   type Q = (SparkSession, String) => DataFrame
   import Fixtures._
 
-  private val fixtureVocab = 128
-  private val positivePred = "lang = 'en'"
-  private val trainPred = "doc_id % 2 = 0"
+  private[graft] val fixtureVocab = 128
+  private[graft] val positivePred = "lang = 'en'"
+  private[graft] val trainPred = "doc_id % 2 = 0"
 
   private def tokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))

@@ -743,8 +743,65 @@ object StreamingIngest {
     } finally rmScratch(s, base)
   }
 
+  /** The quality FILTER as a stream: train the NB classifier once on
+    * the seed split, PERSIST the model artifact (model + prior
+    * parquet — the train-once/score-forever lifecycle every
+    * production filter runs), then score arriving micro-batches
+    * against the loaded artifact inside foreachBatch. Per-doc scores
+    * are a pure function of (doc, model), so batch boundaries cannot
+    * change them — which is what lets the stream share the batch
+    * query's oracle bit for bit. Per batch: one explode + broadcast
+    * model join + doc-keyed sum ([[graft.ops.QualityClassifier.score]]),
+    * appended to the flags dir; nothing stateful accumulates.
+    */
+  def classifierStreamScores(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.QualityClassifier
+    val base = java.nio.file.Files.createTempDirectory("graft_nb_stream")
+    try {
+      val modelDir = base.resolve("model").toString
+      val priorsDir = base.resolve("priors").toString
+      val src = base.resolve("src").toString
+      val out = base.resolve("scores").toString
+      val ckpt = base.resolve("ckpt").toString
+      val docs = graft.ops.Fixtures.documents(s, d)
+      val (model, priors) = QualityClassifier.trainModel(
+        docs.filter(QualityClassifier.trainPred),
+        expr(QualityClassifier.positivePred),
+        QualityClassifier.fixtureVocab
+      )
+      model.repartition(1).write.parquet(modelDir)
+      priors.repartition(1).write.parquet(priorsDir)
+      val loadedModel = s.read.parquet(modelDir)
+      val loadedPriors = s.read.parquet(priorsDir)
+      docs
+        .filter(s"NOT (${QualityClassifier.trainPred})")
+        .select("doc_id", "lang", "text")
+        .repartition(4, col("doc_id"))
+        .write
+        .parquet(src)
+      s.readStream
+        .schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          QualityClassifier
+            .score(batch, loadedModel, loadedPriors)
+            .write
+            .mode("append")
+            .parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(out).orderBy("doc_id").localCheckpoint(true)
+    } finally rmScratch(s, base)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "nb_stream_scores" -> classifierStreamScores,
       "dedup_stream_replay" -> ((s, d) =>
         dedupStreamReplay(
           s,
@@ -772,6 +829,9 @@ object StreamingIngest {
     */
   def oracles: Map[String, String] =
     Map(
+      // per-doc scores are a pure function of (doc, persisted model):
+      // the stream shares the batch scoring oracle
+      "nb_stream_scores" -> graft.ops.QualityClassifier.oracles("nb_classifier_scores"),
       "dedup_stream_replay" -> graft.ops.Dedup.oracles("dedup_incremental"),
       // streamed ≡ batched: the same mixed corpus through micro-batches
       // must hash-match the one-pass batch decode's oracle

@@ -414,4 +414,27 @@ class StreamingIngestSpec extends SparkSpec {
     assert(stateRows() == afterFirst, "post-crash roll-forward lost or duplicated counts")
     assert(!fs.exists(staged))
   }
+
+  test("streamed classifier scores equal the batch scoring route exactly") {
+    import org.apache.spark.sql.functions._
+    val d = "/root/testdata/sf0.001"
+    val streamed = StreamingIngest
+      .classifierStreamScores(spark, d)
+      .collect()
+      .map(_.toSeq)
+      .toSeq
+    val docs = graft.ops.Fixtures.documents(spark, d)
+    val (model, priors) = graft.ops.QualityClassifier.trainModel(
+      docs.filter(graft.ops.QualityClassifier.trainPred),
+      expr(graft.ops.QualityClassifier.positivePred),
+      graft.ops.QualityClassifier.fixtureVocab
+    )
+    val batch = graft.ops.QualityClassifier
+      .score(docs.filter(s"NOT (${graft.ops.QualityClassifier.trainPred})"), model, priors)
+      .orderBy("doc_id")
+      .collect()
+      .map(_.toSeq)
+      .toSeq
+    assert(streamed == batch, "micro-batching must not change per-doc scores")
+  }
 }
