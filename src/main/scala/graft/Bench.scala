@@ -139,7 +139,10 @@ object Bench {
       "bpe_encode_stats" -> "every_run",
       // every rep trains + persists the model, then replays the eval
       // split as micro-batches against the loaded artifact
-      "nb_stream_scores" -> "every_run"
+      "nb_stream_scores" -> "every_run",
+      // every rep persists the benchmark digests and replays the
+      // corpus as micro-batches against them
+      "decontaminate_stream" -> "every_run"
     )
     val builds = buildIncluded
       .filter { case (k, _) => medians.exists(_._1 == k) }

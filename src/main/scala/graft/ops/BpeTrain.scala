@@ -81,12 +81,15 @@ object BpeTrain {
        |  acc -> CASE WHEN acc.p IS NULL THEN acc.o ELSE array_append(acc.o, acc.p) END)""".stripMargin
   }
 
-  /** Learn `numMerges` merges; stops early when the best pair drops
-    * under `minFreq`. Returns (rank, left, right, pair_freq).
+  /** The training loop: merge list + the final merged dict (callers
+    * must release the dict's checkpoint when done with it).
     */
-  def learnMerges(docs: DataFrame, textCol: String, numMerges: Int, minFreq: Long = 2L): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
+  private def trainLoop(
+      docs: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      minFreq: Long
+  ): (Seq[(Long, String, String, Long)], DataFrame) = {
     var dict = wordDict(docs, textCol).localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var rank = 1L
@@ -110,8 +113,33 @@ object BpeTrain {
         case None => done = true
       }
     }
+    (merges.toSeq, dict)
+  }
+
+  /** Learn `numMerges` merges; stops early when the best pair drops
+    * under `minFreq`. Returns (rank, left, right, pair_freq).
+    */
+  def learnMerges(docs: DataFrame, textCol: String, numMerges: Int, minFreq: Long = 2L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (merges, dict) = trainLoop(docs, textCol, numMerges, minFreq)
     GraphDedup.releaseCheckpoints(dict)
-    merges.toSeq.toDF("rank", "left", "right", "pair_freq")
+    merges.toDF("rank", "left", "right", "pair_freq")
+  }
+
+  /** The trained SYMBOL VOCABULARY — the artifact a tokenizer ships:
+    * every surviving symbol with its corpus occurrence count (word
+    * frequency × per-word occurrences). Alphabet-plus-merges-sized.
+    */
+  def symbolVocab(docs: DataFrame, textCol: String, numMerges: Int, minFreq: Long = 2L): DataFrame = {
+    val (_, dict) = trainLoop(docs, textCol, numMerges, minFreq)
+    val vocab = dict
+      .select(col("freq"), explode(col("syms")).as("symbol"))
+      .groupBy("symbol")
+      .agg(sum(col("freq")).cast("bigint").as("n_occurrences"))
+      .localCheckpoint(true)
+    GraphDedup.releaseCheckpoints(dict)
+    vocab
   }
 
   /** Reference `apply_bpe` encode: repeatedly merge the lowest-rank
@@ -195,9 +223,13 @@ object BpeTrain {
       .orderBy("lang")
   }
 
+  val bpeVocab: Q = (s, d) =>
+    symbolVocab(documents(s, d), "text", fixtureMerges).orderBy("symbol")
+
   def queries: Map[String, Q] = Map(
     "bpe_merges" -> bpeMerges,
-    "bpe_encode_stats" -> bpeEncodeStats
+    "bpe_encode_stats" -> bpeEncodeStats,
+    "bpe_vocab" -> bpeVocab
   )
 
   /** Golden oracles, pinned by an INDEPENDENT reference implementation
@@ -223,6 +255,45 @@ object BpeTrain {
         |  (11, 'l', 'u', 1831),
         |  (12, 'i', 'n', 1796)
         |) AS t(rank, "left", "right", pair_freq) ORDER BY rank""".stripMargin,
+    "bpe_vocab" ->
+      """SELECT symbol, CAST(n_occurrences AS BIGINT) AS n_occurrences
+        |FROM (VALUES
+        |  ('</w>', 12448),
+        |  ('a', 10805),
+        |  ('at', 1845),
+        |  ('b', 2721),
+        |  ('c', 4653),
+        |  ('d', 2732),
+        |  ('e', 2696),
+        |  ('e</w>', 4473),
+        |  ('er', 1789),
+        |  ('er</w>', 2779),
+        |  ('f', 1787),
+        |  ('g', 4474),
+        |  ('h', 1787),
+        |  ('h</w>', 1884),
+        |  ('i', 2773),
+        |  ('in', 1796),
+        |  ('j', 964),
+        |  ('k', 1776),
+        |  ('l', 5525),
+        |  ('lu', 1831),
+        |  ('m', 4602),
+        |  ('n</w>', 2834),
+        |  ('o', 3710),
+        |  ('or', 2696),
+        |  ('ow</w>', 2747),
+        |  ('p', 2662),
+        |  ('q', 871),
+        |  ('r', 4467),
+        |  ('s', 5481),
+        |  ('st', 2676),
+        |  ('t', 5343),
+        |  ('u', 2709),
+        |  ('v', 1809),
+        |  ('w', 886),
+        |  ('y', 1767)
+        |) AS t(symbol, n_occurrences) ORDER BY symbol""".stripMargin,
     "bpe_encode_stats" ->
       """SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
         |  CAST(total_bpe_tokens AS BIGINT) AS total_bpe_tokens,

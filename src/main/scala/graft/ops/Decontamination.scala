@@ -36,15 +36,25 @@ object Decontamination {
     * doc) — the triage columns a decontamination report needs to
     * decide drop vs audit.
     */
-  def contamination(train: DataFrame, bench: DataFrame, n: Int = 3): DataFrame = {
-    val benchSh = Dedup
+  /** The benchmark's distinct (bench_id, digest) relation — the
+    * PERSISTABLE artifact a decontamination service loads once and
+    * probes forever (eval suites change rarely; the corpus streams).
+    */
+  def benchDigests(bench: DataFrame, n: Int = 3): DataFrame =
+    Dedup
       .shinglesN(bench, "doc_id", "text", n)
       .select(col("doc_id").as("bench_id"), md5(col("shingle").cast("binary")).as("g"))
+
+  /** [[contamination]] against a prepared digest relation — per-doc
+    * flags are a pure function of (doc, digests), which is what lets
+    * the streaming route share the batch oracle.
+    */
+  def contaminationAgainstDigests(train: DataFrame, digests: DataFrame, n: Int = 3): DataFrame = {
     val trainSh = Dedup
       .shinglesN(train, "doc_id", "text", n)
       .select(col("doc_id"), md5(col("shingle").cast("binary")).as("g"))
     val perBench = trainSh
-      .join(broadcast(benchSh), "g")
+      .join(broadcast(digests), "g")
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(countDistinct(col("g")).as("n_shared"))
     perBench
@@ -55,6 +65,9 @@ object Decontamination {
         sum(col("n_shared")).cast("bigint").as("total_shared")
       )
   }
+
+  def contamination(train: DataFrame, bench: DataFrame, n: Int = 3): DataFrame =
+    contaminationAgainstDigests(train, benchDigests(bench, n), n)
 
   val decontaminate: Q = (s, d) => {
     val docs = documents(s, d)

@@ -799,9 +799,59 @@ object StreamingIngest {
     } finally rmScratch(s, base)
   }
 
+  /** Decontamination as a stream: the benchmark's n-gram digests are
+    * PERSISTED once (eval suites change rarely; the corpus is the
+    * thing that streams) and every arriving micro-batch probes the
+    * loaded digest artifact — per-doc flags are a pure function of
+    * (doc, digests), so the stream shares the batch route's oracle.
+    * Per batch: one shingle pass + broadcast digest join; hit rows
+    * append, nothing stateful accumulates.
+    */
+  def decontaminateStream(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Decontamination
+    val base = java.nio.file.Files.createTempDirectory("graft_decon_stream")
+    try {
+      val digDir = base.resolve("digests").toString
+      val src = base.resolve("src").toString
+      val out = base.resolve("flags").toString
+      val ckpt = base.resolve("ckpt").toString
+      val docs = graft.ops.Fixtures.documents(s, d)
+      Decontamination
+        .benchDigests(docs.filter("doc_id % 20 = 0"))
+        .repartition(1)
+        .write
+        .parquet(digDir)
+      val digests = s.read.parquet(digDir)
+      docs
+        .filter("doc_id % 20 <> 0")
+        .select("doc_id", "text")
+        .repartition(4, col("doc_id"))
+        .write
+        .parquet(src)
+      s.readStream
+        .schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Decontamination
+            .contaminationAgainstDigests(batch, digests)
+            .write
+            .mode("append")
+            .parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(out).orderBy("doc_id").localCheckpoint(true)
+    } finally rmScratch(s, base)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "nb_stream_scores" -> classifierStreamScores,
+      "decontaminate_stream" -> decontaminateStream,
       "dedup_stream_replay" -> ((s, d) =>
         dedupStreamReplay(
           s,
@@ -832,6 +882,9 @@ object StreamingIngest {
       // per-doc scores are a pure function of (doc, persisted model):
       // the stream shares the batch scoring oracle
       "nb_stream_scores" -> graft.ops.QualityClassifier.oracles("nb_classifier_scores"),
+      // per-doc contamination flags are a pure function of (doc,
+      // persisted benchmark digests): the stream shares the batch oracle
+      "decontaminate_stream" -> graft.ops.Decontamination.oracles("decontaminate"),
       "dedup_stream_replay" -> graft.ops.Dedup.oracles("dedup_incremental"),
       // streamed ≡ batched: the same mixed corpus through micro-batches
       // must hash-match the one-pass batch decode's oracle

@@ -437,4 +437,19 @@ class StreamingIngestSpec extends SparkSpec {
       .toSeq
     assert(streamed == batch, "micro-batching must not change per-doc scores")
   }
+
+  test("streamed decontamination flags equal the batch route exactly") {
+    val d = "/root/testdata/sf0.001"
+    val streamed = StreamingIngest
+      .decontaminateStream(spark, d)
+      .collect()
+      .map(_.toSeq)
+      .toSeq
+    val batch = graft.ops.Decontamination
+      .decontaminate(spark, d)
+      .collect()
+      .map(_.toSeq)
+      .toSeq
+    assert(streamed == batch, "micro-batching must not change contamination flags")
+  }
 }

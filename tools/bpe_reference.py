@@ -89,3 +89,13 @@ print("-- bpe_encode_stats golden rows (lang, n_docs, total_bpe_tokens, total_ch
 for lang in sorted(stats):
     n, t, c = stats[lang]
     print(f"  ('{lang}', {n}, {t}, {c}),")
+
+# symbol vocabulary of the trained dict (word freq x per-word occurrences)
+vocab = Counter()
+for w, syms in dict_syms.items():
+    f = wordfreq[w]
+    for s in syms:
+        vocab[s] += f
+print("-- bpe_vocab golden rows (symbol, n_occurrences)")
+for s in sorted(vocab):
+    print(f"  ('{s}', {vocab[s]}),")
