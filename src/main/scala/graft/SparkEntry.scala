@@ -24,6 +24,7 @@ object SparkEntry {
       (Spans.queries, Spans.oracles),
       (Safety.queries, Safety.oracles),
       (Mixture.queries, Mixture.oracles),
+      (Cdc.queries, Cdc.oracles),
       (DataSelection.queries, DataSelection.oracles),
       (BpeTrain.queries, BpeTrain.oracles),
       (QualityClassifier.queries, QualityClassifier.oracles),

@@ -22,6 +22,7 @@ class SparkEntrySpec extends AnyFunSuite {
       "Spans" -> Spans.queries.keySet,
       "Safety" -> Safety.queries.keySet,
       "Mixture" -> Mixture.queries.keySet,
+      "Cdc" -> Cdc.queries.keySet,
       "DataSelection" -> DataSelection.queries.keySet,
       "BpeTrain" -> BpeTrain.queries.keySet,
       "QualityClassifier" -> QualityClassifier.queries.keySet,
