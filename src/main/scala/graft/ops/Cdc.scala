@@ -89,11 +89,119 @@ object Cdc {
       .orderBy("lang")
   }
 
+  /** CONTAINMENT detection over chunk digests — the superset/quote
+    * duplicates Jaccard-LSH structurally misses: a short doc quoted
+    * whole inside a long one has LOW Jaccard (union is the long doc)
+    * but containment |A∩B| / |A| ≈ 1. CDC chunks make the test
+    * cheap and shift-robust: boundaries are positionless, so the
+    * contained doc's chunks reappear in the container verbatim
+    * wherever the quote sits (only the junction chunks differ).
+    *
+    * Scale guards mirror the blocked-Jaccard route: chunk digests
+    * shared by more than `maxDocsPerChunk` docs are BOILERPLATE
+    * (headers, licence blocks) and are dropped from pair generation —
+    * they would fan out quadratically and say nothing about
+    * containment; the remaining digest join is occurrence-bounded.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      divisor: Int,
+      minContainmentMicro: Long,
+      maxDocsPerChunk: Int
+  ): DataFrame = {
+    val chunks = cdcChunks(docs, idCol, textCol, divisor)
+      .select(col("doc_id"), col("chunk_digest")).distinct()
+    val sizes = chunks.groupBy(col("doc_id")).agg(count(lit(1)).cast("bigint").as("n_chunks"))
+    val rare = chunks
+      .groupBy(col("chunk_digest"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") <= maxDocsPerChunk)
+      .select("chunk_digest")
+    val kept = chunks.join(rare, "chunk_digest")
+    val shared = kept
+      .select(col("doc_id").as("contained"), col("chunk_digest"))
+      .join(kept.select(col("doc_id").as("container"), col("chunk_digest")), "chunk_digest")
+      .filter(col("contained") =!= col("container"))
+      .groupBy(col("contained"), col("container"))
+      .agg(count(lit(1)).cast("bigint").as("n_shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "contained"), "contained")
+      .withColumn("containment_micro", expr("n_shared * 1000000 div n_chunks"))
+      .filter(col("containment_micro") >= minContainmentMicro)
+      .select(col("contained"), col("container"), col("n_shared"), col("n_chunks"), col("containment_micro"))
+  }
+
+  /** Fixture seeding (the clone-seeding precedent): every 100th doc
+    * gains a synthetic QUOTER concatenating it with its successor —
+    * both originals are then contained in the quoter at ≈1.0 while
+    * Jaccard against either is ≈0.5.
+    */
+  private val quoterBase = 4000001L
+
+  val cdcContainment: Q = (s, d) => {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val quoters = docs
+      .filter(col("doc_id") % 100 === 0)
+      .join(
+        docs.select((col("doc_id") - 1).as("doc_id"), col("text").as("text2")),
+        "doc_id"
+      )
+      .select(
+        (col("doc_id") + lit(quoterBase)).as("doc_id"),
+        concat_ws(" ", col("text"), col("text2")).as("text")
+      )
+    containmentPairs(
+      docs.unionByName(quoters),
+      "doc_id",
+      "text",
+      fixtureDivisor,
+      minContainmentMicro = 800000L,
+      maxDocsPerChunk = 8
+    ).orderBy("contained", "container")
+  }
+
   def queries: Map[String, Q] = Map(
-    "cdc_chunk_stats" -> cdcChunkStats
+    "cdc_chunk_stats" -> cdcChunkStats,
+    "cdc_containment" -> cdcContainment
   )
 
   def oracles: Map[String, String] = Map(
+    "cdc_containment" -> {
+      val bhash =
+        "CAST(" + Dedup.hex12ValSql("md5('cdc|' || w[i])", 1) + s" AS BIGINT) % $fixtureDivisor"
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT d.doc_id + $quoterBase, d.text || ' ' || d2.text
+         |  FROM documents d JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+         |  WHERE d.doc_id % 100 = 0),
+         |tok AS (
+         |  SELECT doc_id, i - 1 AS pos, w[i] AS word,
+         |    CASE WHEN $bhash = 0 THEN 1 ELSE 0 END AS boundary
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+         |       LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)),
+         |cid AS (
+         |  SELECT doc_id, pos, word,
+         |    sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos) - boundary AS chunk_id
+         |  FROM tok),
+         |chunks AS (
+         |  SELECT DISTINCT doc_id, md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_digest
+         |  FROM cid GROUP BY doc_id, chunk_id),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM chunks GROUP BY doc_id),
+         |rare AS (SELECT chunk_digest FROM chunks GROUP BY chunk_digest HAVING count(*) <= 8),
+         |kept AS (SELECT c.* FROM chunks c JOIN rare USING (chunk_digest)),
+         |shared AS (
+         |  SELECT a.doc_id AS contained, b.doc_id AS container, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM kept a JOIN kept b ON a.chunk_digest = b.chunk_digest AND a.doc_id <> b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT s.contained, s.container, s.n_shared, z.n_chunks,
+         |  CAST(s.n_shared * 1000000 // z.n_chunks AS BIGINT) AS containment_micro
+         |FROM shared s JOIN sizes z ON z.doc_id = s.contained
+         |WHERE s.n_shared * 1000000 // z.n_chunks >= 800000
+         |ORDER BY contained, container""".stripMargin
+    },
     "cdc_chunk_stats" -> {
       val bhash = "CAST(" + Dedup.hex12ValSql("md5('cdc|' || word)", 1) + s" AS BIGINT) % $fixtureDivisor"
       s"""WITH tok AS (

@@ -52,4 +52,43 @@ class CdcSpec extends SparkSpec {
       .mapValues(_.map(_.getString(3)).toSet)
     assert(byDoc(1L).intersect(byDoc(2L)).size >= byDoc(1L).size - 1)
   }
+
+  test("containment catches whole-quote duplication that Jaccard misses") {
+    val small = words.trim.split(" ").take(24).mkString(" ")
+    // filler must be non-repeating: repeated runs collapse to the same
+    // distinct chunks and artificially shrink the container's chunk set
+    val filler = (1 to 60).map(i => s"filler$i").mkString(" ")
+    val big = small + " " + filler.trim   // quotes `small` wholesale
+    val other = "plainly unrelated content with its own vocabulary entirely here now"
+    val docs = Seq((1L, small), (2L, big), (3L, other)).toDF("doc_id", "text")
+    // the junction chunk (small's tail merged with filler's head)
+    // legitimately differs, so containment is (k-1)/k of a handful of
+    // chunks — threshold 0.5 keeps the test robust to where the
+    // content hashes place that last boundary
+    val pairs = Cdc
+      .containmentPairs(docs, "doc_id", "text", 8, minContainmentMicro = 500000L, maxDocsPerChunk = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4))
+      .toMap
+    assert(pairs.contains((1L, 2L)), s"small must be contained in big: $pairs")
+    assert(pairs((1L, 2L)) >= 500000L)
+    assert(!pairs.contains((2L, 1L)), "the long doc is NOT contained in the short one")
+    assert(!pairs.keys.exists(k => k._1 == 3L || k._2 == 3L), "unrelated doc must not pair")
+    // the Jaccard the near-dup ladder would see for the same pair is low
+    val smallSet = small.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val bigSet = big.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val j = smallSet.intersect(bigSet).size.toDouble / smallSet.union(bigSet).size
+    assert(j < 0.5, s"the pair must sit below the near-dup threshold: $j")
+  }
+
+  test("boilerplate chunks are capped out of pair generation") {
+    // one chunk text shared by MANY docs would fan out quadratically;
+    // with the cap at 3 occurrences it generates no pairs at all
+    val boiler = words.trim.split(" ").take(16).mkString(" ")
+    val docs = (1L to 6L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val pairs = Cdc
+      .containmentPairs(docs, "doc_id", "text", 8, 500000L, maxDocsPerChunk = 3)
+      .collect()
+    assert(pairs.isEmpty, s"capped boilerplate must not pair: ${pairs.length}")
+  }
 }
