@@ -198,7 +198,59 @@ object TextAnalysis {
       )
       .orderBy("doc_id")
 
+  /** MARKUP EXTRACTION — the C4/RefinedWeb first stage (crawled pages
+    * arrive as HTML; every downstream operator wants text): drop
+    * script/style elements WITH their content, strip remaining tags,
+    * unescape the common entities (amp last, so `&amp;lt;` cannot
+    * double-unescape), collapse whitespace. One codegen'd
+    * regexp/replace chain — no UDF, no shuffle; patterns use inline
+    * `(?is)` flags and lazy quantifiers only, so Java regex and RE2
+    * read them identically (no backreferences — RE2 has none).
+    */
+  def stripMarkup(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val noScript = regexp_replace(c, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "(?s)<[^>]+>", " ")
+    val unescaped = Seq(
+      "&lt;" -> "<",
+      "&gt;" -> ">",
+      "&quot;" -> "\"",
+      "&#39;" -> "'",
+      "&nbsp;" -> " ",
+      "&amp;" -> "&" // last: &amp;lt; must yield &lt;, not <
+    ).foldLeft(noTags) { case (acc, (from, to)) => replace(acc, lit(from), lit(to)) }
+    trim(regexp_replace(unescaped, "\\s+", " "))
+  }
+
+  /** Gated with deterministically planted markup (the planted-PII
+    * pattern — fixture text is markup-free): every 4th doc is wrapped
+    * in a page skeleton with a style block, an entity-bearing
+    * heading, and a script element; the oracle replays the identical
+    * construction.
+    */
+  val markupStrip: Q = (s, d) =>
+    documents(s, d)
+      .withColumn(
+        "marked",
+        when(
+          col("doc_id") % 4 === 0,
+          concat(
+            lit("<html><head><style>p{color:red}</style></head><body><h1>Title &amp; More</h1><p>"),
+            col("text"),
+            lit("</p><script>var x=1;</script></body></html>")
+          )
+        ).otherwise(col("text"))
+      )
+      .select(
+        col("doc_id"),
+        stripMarkup(col("marked")).as("clean_text"),
+        (length(col("marked")) - length(stripMarkup(col("marked")))).cast("bigint")
+          .as("chars_removed")
+      )
+      .orderBy("doc_id")
+
   def queries: Map[String, Q] = Map(
+    "markup_strip" -> markupStrip,
     "doc_winnow" -> docWinnow,
     "text_normalize" -> textNormalize,
     "text_stats" -> textStats,
@@ -209,6 +261,29 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "markup_strip" ->
+      """WITH marked AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0
+        |         THEN '<html><head><style>p{color:red}</style></head><body><h1>Title &amp; More</h1><p>'
+        |              || text || '</p><script>var x=1;</script></body></html>'
+        |         ELSE text END AS marked
+        |  FROM documents),
+        |stripped AS (
+        |  SELECT doc_id, marked,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(marked, '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |            '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '(?s)<[^>]+>', ' ', 'g'),
+        |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+        |      '\s+', ' ', 'g')) AS clean_text
+        |  FROM marked)
+        |SELECT doc_id, clean_text,
+        |  CAST(length(marked) - length(clean_text) AS BIGINT) AS chars_removed
+        |FROM stripped ORDER BY doc_id""".stripMargin,
     "text_normalize" ->
       """WITH noisy AS (
         |  SELECT doc_id,

@@ -335,6 +335,26 @@ class SafetySpansSpec extends SparkSpec {
     assert(out("edge") == ((1L, 2999999L, 1L)))
   }
 
+  test("stripMarkup drops script/style content, breaks words at tags, unescapes amp last") {
+    val rows = Seq(
+      (1L, "<p>hello</p><p>world</p>"),                       // tags are word breaks
+      (2L, "<script>var hidden = 'secret';</script>visible"), // script CONTENT dropped
+      (3L, "<style>p { color: red }</style>styled"),
+      (4L, "a &amp;lt; b &amp; c &lt; d"),                    // amp-last: &amp;lt; -> &lt;, never <
+      (5L, "no markup at all")
+    ).toDF("doc_id", "text")
+    val out = rows
+      .select(col("doc_id"), TextAnalysis.stripMarkup(col("text")).as("t"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+      .toMap
+    assert(out(1L) == "hello world", out(1L))
+    assert(out(2L) == "visible" && !out(2L).contains("secret"))
+    assert(out(3L) == "styled")
+    assert(out(4L) == "a &lt; b & c < d", out(4L))
+    assert(out(5L) == "no markup at all")
+  }
+
   test("substringDupSpans plans no window — occurrence counts are aggregate + join") {
     val plan = Spans
       .substringDupSpans(spark, "/root/testdata/sf0.001")
