@@ -162,8 +162,16 @@ object Bench {
           totalFirst
         )},"first_run":$fr,"shares_scan_with":$shares,"build_included":$builds,"errors":$es,"queries":$qs,"sf":"$sfDir"}"""
     // the full JSON also lands in tracked + tmp files, so any stdout
-    // truncation can always be reconstructed from the repo itself
-    Seq("/root/repo/bench_full.json", "/tmp/graft_bench.json").foreach { f =>
+    // truncation can always be reconstructed from the repo itself.
+    // SUBSET runs (SPARK_GRAFT_QUERIES) must never touch the tracked
+    // artifact: twice now a subset file was accidentally committed as
+    // bench_full.json by a `git add -A` after an A/B run
+    // (bench_ab_r10.md addendums 2 and 3) — only the full registry
+    // writes it; subsets go to /tmp alone
+    val sinks =
+      if (only.isEmpty) Seq("/root/repo/bench_full.json", "/tmp/graft_bench.json")
+      else Seq("/tmp/graft_bench.json")
+    sinks.foreach { f =>
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(f), detail + "\n")
       catch { case _: Throwable => () }
     }
