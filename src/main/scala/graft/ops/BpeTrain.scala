@@ -146,6 +146,23 @@ object BpeTrain {
     * pair present until none applies. Pure, driver-free — runs inside
     * mapPartitions against the broadcast rank map.
     */
+  /** One greedy left-to-right non-overlapping merge pass of (a,b) —
+    * the Scala twin of [[mergeExpr]]'s SQL fold (same prev-accumulator
+    * construction; BpeProps pins their shared invariants).
+    */
+  private[ops] def mergePass(syms: Vector[String], a: String, b: String): Vector[String] = {
+    val ab = a + b
+    val out = Vector.newBuilder[String]
+    var prev: String = null
+    syms.foreach { x =>
+      if (prev == null) prev = x
+      else if (prev == a && x == b) prev = ab
+      else { out += prev; prev = x }
+    }
+    if (prev != null) out += prev
+    out.result()
+  }
+
   private[ops] def encodeLen(word: String, ranks: Map[(String, String), Long]): Int = {
     var syms: Vector[String] = word.map(_.toString).toVector :+ "</w>"
     var go = true
@@ -159,19 +176,7 @@ object BpeTrain {
         i += 1
       }
       if (bi < 0) go = false
-      else {
-        val (a, b) = (syms(bi), syms(bi + 1))
-        val ab = a + b
-        val out = Vector.newBuilder[String]
-        var prev: String = null
-        syms.foreach { x =>
-          if (prev == null) prev = x
-          else if (prev == a && x == b) prev = ab
-          else { out += prev; prev = x }
-        }
-        if (prev != null) out += prev
-        syms = out.result()
-      }
+      else syms = mergePass(syms, syms(bi), syms(bi + 1))
     }
     syms.length
   }
