@@ -249,7 +249,106 @@ object TextAnalysis {
       )
       .orderBy("doc_id")
 
+  /** The FULL Gopher quality-rule family (Rae et al. 2021 App. A) —
+    * the repetition members live in quality_repetition; these are the
+    * composition/structure rules, each as an exact integer-micro
+    * signal plus its pass flag, and the conjunction `gopher_pass`:
+    *
+    *   1. 50 ≤ word count ≤ 100 000
+    *   2. 3 ≤ mean word length ≤ 10
+    *   3. symbol-to-word ratio (# and …) ≤ 0.1
+    *   4. < 90% of lines start with a bullet
+    *   5. < 30% of lines end with an ellipsis
+    *   6. ≥ 80% of words contain an alphabetic character
+    *   7. ≥ 2 of the 8 required stop words present
+    *
+    * One stateless projection (per-row HOFs + regexp counts), no
+    * shuffle — the filter shape every corpus pass wants first.
+    */
+  private val requiredStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Deterministic plants (the planted-PII pattern — fixture salad is
+    * newline-, symbol- and mostly stop-word-free, which would leave
+    * rules 3–5 and 7 degenerate): every 3rd doc gains the stop phrase
+    * (rule 7 passes), every 7th a `#` burst (rule 3 fails), every
+    * 11th a bullet list (rule 4 fails), every 13th ellipsis lines
+    * (rule 5 fails). Moduli overlap, so combinations occur; the
+    * oracle replays the identical construction (newlines via
+    * `chr(10)` on the DuckDB side).
+    */
+  private val stopPlant = " the story of that work and more"
+  private val symbolPlant = " " + Seq.fill(5)("####").mkString(" ")
+  private[ops] val bulletItems = (1 to 30).map(i => s"- item$i")
+  private val bulletPlant = bulletItems.mkString("\n", "\n", "")
+  private val ellipsisPlant = "\nwell...\nso..."
+
+  val gopherRules: Q = (s, d) =>
+    documents(s, d)
+      .withColumn(
+        "text",
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(stopPlant))).otherwise(col("text"))
+      )
+      .withColumn(
+        "text",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(symbolPlant))).otherwise(col("text"))
+      )
+      .withColumn(
+        "text",
+        when(col("doc_id") % 11 === 0, concat(col("text"), lit(bulletPlant))).otherwise(col("text"))
+      )
+      .withColumn(
+        "text",
+        when(col("doc_id") % 13 === 0, concat(col("text"), lit(ellipsisPlant))).otherwise(col("text"))
+      )
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("lines", split(col("text"), "\n"))
+      .withColumn("n_words", size(col("w")).cast("bigint"))
+      .withColumn("n_lines", size(col("lines")).cast("bigint"))
+      .withColumn(
+        "mean_word_len_micro",
+        expr("aggregate(w, 0L, (acc, x) -> acc + length(x)) * 1000000 div n_words")
+      )
+      .withColumn(
+        "symbol_ratio_micro",
+        expr("""(regexp_count(text, '#') + regexp_count(text, '\\.\\.\\.')) * 1000000 div n_words""")
+      )
+      .withColumn(
+        "bullet_line_micro",
+        expr("""size(filter(lines, x -> x rlike '^\\s*[-*•]')) * 1000000 div n_lines""")
+      )
+      .withColumn(
+        "ellipsis_line_micro",
+        expr("""size(filter(lines, x -> x rlike '(\\.\\.\\.|…)\\s*$')) * 1000000 div n_lines""")
+      )
+      .withColumn(
+        "alpha_word_micro",
+        expr("""size(filter(w, x -> x rlike '[a-zA-Z]')) * 1000000 div n_words""")
+      )
+      .withColumn(
+        "n_req_stops",
+        expr(
+          s"CAST(size(filter(array(${requiredStops.map(w => s"'$w'").mkString(",")}), s -> array_contains(w, s))) AS BIGINT)"
+        )
+      )
+      .withColumn(
+        "gopher_pass",
+        (col("n_words").between(50L, 100000L) &&
+          col("mean_word_len_micro").between(3000000L, 10000000L) &&
+          col("symbol_ratio_micro") <= 100000L &&
+          col("bullet_line_micro") < 900000L &&
+          col("ellipsis_line_micro") < 300000L &&
+          col("alpha_word_micro") >= 800000L &&
+          col("n_req_stops") >= 2L).cast("int").cast("bigint")
+      )
+      .select(
+        col("doc_id"), col("n_words"), col("mean_word_len_micro"), col("symbol_ratio_micro"),
+        col("bullet_line_micro"), col("ellipsis_line_micro"), col("alpha_word_micro"),
+        col("n_req_stops"), col("gopher_pass")
+      )
+      .orderBy("doc_id")
+
   def queries: Map[String, Q] = Map(
+    "gopher_rules" -> gopherRules,
     "markup_strip" -> markupStrip,
     "doc_winnow" -> docWinnow,
     "text_normalize" -> textNormalize,
@@ -261,6 +360,45 @@ object TextAnalysis {
   )
 
   def oracles: Map[String, String] = Map(
+    "gopher_rules" -> {
+      val stops = requiredStops.map(w => s"'$w'").mkString(", ")
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    text
+         |      || CASE WHEN doc_id % 3 = 0 THEN '$stopPlant' ELSE '' END
+         |      || CASE WHEN doc_id % 7 = 0 THEN '$symbolPlant' ELSE '' END
+         |      || CASE WHEN doc_id % 11 = 0
+         |              THEN replace('${bulletItems.mkString("@", "@", "")}', '@', chr(10))
+         |              ELSE '' END
+         |      || CASE WHEN doc_id % 13 = 0
+         |              THEN chr(10) || 'well...' || chr(10) || 'so...'
+         |              ELSE '' END AS text
+         |  FROM documents),
+         |base AS (
+         |  SELECT doc_id, text, string_split(text, ' ') AS w, string_split(text, chr(10)) AS lines
+         |  FROM planted),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(w) AS BIGINT) AS n_words,
+         |    CAST(len(lines) AS BIGINT) AS n_lines,
+         |    CAST(list_sum(list_transform(w, x -> len(x))) * 1000000 // len(w) AS BIGINT) AS mean_word_len_micro,
+         |    CAST((len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.'))) * 1000000 // len(w) AS BIGINT) AS symbol_ratio_micro,
+         |    CAST(len(list_filter(lines, x -> regexp_matches(x, '^\\s*[-*•]'))) * 1000000 // len(lines) AS BIGINT) AS bullet_line_micro,
+         |    CAST(len(list_filter(lines, x -> regexp_matches(x, '(\\.\\.\\.|…)\\s*$$'))) * 1000000 // len(lines) AS BIGINT) AS ellipsis_line_micro,
+         |    CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]'))) * 1000000 // len(w) AS BIGINT) AS alpha_word_micro,
+         |    CAST(len(list_filter([$stops], s -> list_contains(w, s))) AS BIGINT) AS n_req_stops
+         |  FROM base)
+         |SELECT doc_id, n_words, mean_word_len_micro, symbol_ratio_micro,
+         |  bullet_line_micro, ellipsis_line_micro, alpha_word_micro, n_req_stops,
+         |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+         |        AND mean_word_len_micro BETWEEN 3000000 AND 10000000
+         |        AND symbol_ratio_micro <= 100000
+         |        AND bullet_line_micro < 900000
+         |        AND ellipsis_line_micro < 300000
+         |        AND alpha_word_micro >= 800000
+         |        AND n_req_stops >= 2 THEN 1 ELSE 0 END AS BIGINT) AS gopher_pass
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
     "markup_strip" ->
       """WITH marked AS (
         |  SELECT doc_id,

@@ -335,6 +335,40 @@ class SafetySpansSpec extends SparkSpec {
     assert(out("edge") == ((1L, 2999999L, 1L)))
   }
 
+
+  test("gopher structural rules fire on crafted violations") {
+    import graft.SparkEntry
+    val base = (1 to 60).map(i => s"word$i").mkString(" ") + " the of and that"
+    val rows = Seq(
+      (1L, "en", "s1", base),                                          // clean: passes
+      (2L, "en", "s1", base + " ### ### ### ### ### ### ### ###"),    // symbol ratio > 0.1
+      (3L, "en", "s1", (1 to 60).map(_ => "xxxxxxxxxxxx").mkString(" ") + " the of and that"), // mean word len > 10
+      (4L, "en", "s1", (1 to 30).map(i => s"- bullet item $i").mkString("\n") + "\nthe of and that"), // bullets
+      (5L, "en", "s1", "too short the of and that")                    // word count < 50
+    ).toDF("doc_id", "lang", "source", "text")
+    rows.createOrReplaceTempView("spec_gopher_docs")
+    // drive through the same expressions the gated query uses, minus
+    // the fixture planting (crafted docs carry their own stops)
+    import org.apache.spark.sql.functions._
+    val out = rows
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("lines", split(col("text"), "\n"))
+      .withColumn("n_words", size(col("w")).cast("bigint"))
+      .withColumn("n_lines", size(col("lines")).cast("bigint"))
+      .withColumn("mean_word_len_micro", expr("aggregate(w, 0L, (acc, x) -> acc + length(x)) * 1000000 div n_words"))
+      .withColumn("symbol_ratio_micro", expr("(regexp_count(text, '#') + regexp_count(text, '\\\\.\\\\.\\\\.')) * 1000000 div n_words"))
+      .withColumn("bullet_line_micro", expr("size(filter(lines, x -> x rlike '^\\\\s*[-*•]')) * 1000000 div n_lines"))
+      .withColumn("ok",
+        (col("n_words") >= 50 && col("mean_word_len_micro") <= 10000000L &&
+          col("symbol_ratio_micro") <= 100000L && col("bullet_line_micro") < 900000L).cast("int"))
+      .collect().map(r => r.getLong(0) -> r.getInt(r.fieldIndex("ok"))).toMap
+    assert(out(1L) == 1, s"clean doc must pass: $out")
+    assert(out(2L) == 0, "symbol-heavy doc must fail")
+    assert(out(3L) == 0, "unnaturally long words must fail")
+    assert(out(4L) == 0, "bullet-dominated doc must fail")
+    assert(out(5L) == 0, "short doc must fail")
+  }
+
   test("stripMarkup drops script/style content, breaks words at tags, unescapes amp last") {
     val rows = Seq(
       (1L, "<p>hello</p><p>world</p>"),                       // tags are word breaks
