@@ -361,7 +361,48 @@ object CorpusStats {
     ).orderBy("lang", "bucket")
   }
 
+  /** The CORPUS DATASHEET — the per-language summary a dataset card
+    * cites (the "Datasheets for Datasets" practice): volume (docs,
+    * tokens, chars), redundancy (exact-duplicate docs under the
+    * keep-earliest rule), and the stats-rule quality pass count, in
+    * one aggregation pass plus the digest-keyed dup marking join.
+    * Each number is definitionally identical to its standalone
+    * operator (text_stats quality rule, exactDedup keep policy), so
+    * the datasheet can never disagree with the pipeline that acts on
+    * those signals.
+    */
+  val corpusDatasheet: Q = (s, d) => {
+    val docs = documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("bigint"))
+      .withColumn(
+        "n_stop",
+        expr(s"CAST(size(filter(toks, w -> w IN (${TextAnalysis.stopList}))) AS BIGINT)")
+      )
+      .withColumn("stop_pct", expr("CAST(floor(n_stop * 100.0 / n_tokens) AS BIGINT)"))
+      .withColumn("h", md5(col("text").cast("binary")))
+    val keeper = docs.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+    docs
+      .join(keeper, "h")
+      .withColumn("is_dup", (col("doc_id") =!= col("keep_id")).cast("int"))
+      .withColumn(
+        "q_pass",
+        when(col("n_tokens") >= 20 && col("stop_pct").between(2, 60), 1).otherwise(0)
+      )
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("n_tokens")).cast("bigint").as("n_tokens"),
+        sum(length(col("text"))).cast("bigint").as("total_chars"),
+        sum(col("is_dup")).cast("bigint").as("n_exact_dup_docs"),
+        sum(col("q_pass")).cast("bigint").as("n_quality_pass")
+      )
+      .withColumn("dup_doc_micro", expr("n_exact_dup_docs * 1000000 div n_docs"))
+      .orderBy("lang")
+  }
+
   def queries: Map[String, Q] = Map(
+    "corpus_datasheet" -> corpusDatasheet,
     "tfidf_top_terms" -> tfidfTopTerms,
     "perplexity_score" -> perplexityScore,
     "bigram_perplexity" -> bigramPerplexity,
@@ -370,6 +411,30 @@ object CorpusStats {
   )
 
   def oracles: Map[String, String] = Map(
+    "corpus_datasheet" -> {
+      val stop = TextAnalysis.stopList
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, text,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(floor(len(list_filter(string_split(text, ' '), w -> w IN ($stop))) * 100.0
+         |               / len(string_split(text, ' '))) AS BIGINT) AS stop_pct,
+         |    md5(text) AS h
+         |  FROM documents),
+         |k AS (SELECT h, min(doc_id) AS keep_id FROM t GROUP BY h),
+         |m AS (
+         |  SELECT t.lang, t.n_tokens, length(t.text) AS n_chars,
+         |    CASE WHEN t.doc_id <> k.keep_id THEN 1 ELSE 0 END AS is_dup,
+         |    CASE WHEN t.n_tokens >= 20 AND t.stop_pct BETWEEN 2 AND 60 THEN 1 ELSE 0 END AS q_pass
+         |  FROM t JOIN k USING (h))
+         |SELECT lang,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(sum(is_dup) AS BIGINT) AS n_exact_dup_docs,
+         |  CAST(sum(q_pass) AS BIGINT) AS n_quality_pass,
+         |  CAST(sum(is_dup) * 1000000 // count(*) AS BIGINT) AS dup_doc_micro
+         |FROM m GROUP BY lang ORDER BY lang""".stripMargin
+    },
     "tfidf_top_terms" ->
       """WITH tf AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
