@@ -337,7 +337,6 @@ class SafetySpansSpec extends SparkSpec {
 
 
   test("gopher structural rules fire on crafted violations") {
-    import graft.SparkEntry
     val base = (1 to 60).map(i => s"word$i").mkString(" ") + " the of and that"
     val rows = Seq(
       (1L, "en", "s1", base),                                          // clean: passes
@@ -346,7 +345,6 @@ class SafetySpansSpec extends SparkSpec {
       (4L, "en", "s1", (1 to 30).map(i => s"- bullet item $i").mkString("\n") + "\nthe of and that"), // bullets
       (5L, "en", "s1", "too short the of and that")                    // word count < 50
     ).toDF("doc_id", "lang", "source", "text")
-    rows.createOrReplaceTempView("spec_gopher_docs")
     // drive through the same expressions the gated query uses, minus
     // the fixture planting (crafted docs carry their own stops)
     import org.apache.spark.sql.functions._
