@@ -144,7 +144,10 @@ object Bench {
       "nb_stream_scores" -> "every_run",
       // every rep persists the benchmark digests and replays the
       // corpus as micro-batches against them
-      "decontaminate_stream" -> "every_run"
+      "decontaminate_stream" -> "every_run",
+      // every rep persists the unigram model and replays the corpus
+      // as micro-batches against it
+      "perplexity_stream_scores" -> "every_run"
     )
     val builds = buildIncluded
       .filter { case (k, _) => medians.exists(_._1 == k) }

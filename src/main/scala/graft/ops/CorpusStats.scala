@@ -179,6 +179,44 @@ object CorpusStats {
 
   val perplexityScore: Q = (s, d) => docUnigramNll(documents(s, d)).orderBy("doc_id")
 
+  /** The (token → micro-NLL) unigram model relation on its own — the
+    * PERSISTABLE artifact of the CCNet-style LM filter (train on the
+    * reference corpus once, score arriving text forever). Same
+    * construction as [[docUnigramNllCapped]]'s full-vocab model.
+    */
+  private[graft] def unigramModel(docs: DataFrame): DataFrame = {
+    val tf = termFreq(docs)
+    val total = tf.agg(sum(col("tf")).as("total"))
+    tf.groupBy(col("token"))
+      .agg(sum(col("tf")).as("n"))
+      .crossJoin(broadcast(total))
+      .withColumn(
+        "nll_micro",
+        floor(-log(col("n").cast("double") / col("total")) * micro).cast("bigint")
+      )
+      .select(col("token"), col("nll_micro"))
+  }
+
+  /** Score any (doc_id, text) frame against a prepared model — the
+    * serving half of the artifact lifecycle; identical expressions to
+    * [[docUnigramNll]]'s scoring tail, so scoring the training corpus
+    * against its own persisted model reproduces perplexity_score
+    * bit for bit (tokens unseen by the model drop, the closed-
+    * vocabulary convention).
+    */
+  private[graft] def scoreWithUnigramModel(docs: DataFrame, model: DataFrame): DataFrame =
+    termFreq(docs)
+      .join(broadcast(model), "token")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("tf")).cast("bigint").as("n_tokens"),
+        sum(col("tf") * col("nll_micro")).cast("bigint").as("total_nll_micro")
+      )
+      .withColumn(
+        "avg_nll_micro",
+        floor(col("total_nll_micro") / col("n_tokens")).cast("bigint")
+      )
+
   /** DuckDB fragment matching [[docUnigramNll]] — exposes `unll`
     * (doc_id, avg_nll_micro) for composition into other oracles.
     */

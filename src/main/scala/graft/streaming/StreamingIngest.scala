@@ -848,10 +848,50 @@ object StreamingIngest {
     } finally rmScratch(s, base)
   }
 
+  /** The CCNet LM filter as a stream — third member of the
+    * filters-as-streams family (classifier, decontamination, now the
+    * perplexity filter): the unigram model is PERSISTED once as the
+    * parquet artifact, arriving micro-batches score against the
+    * loaded model in foreachBatch. Per-doc NLL is pure in (doc,
+    * model), so the stream shares perplexity_score's oracle exactly
+    * (the fixture regime trains on the same corpus it scores).
+    */
+  def perplexityStreamScores(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_ppl_stream")
+    try {
+      val modelDir = base.resolve("model").toString
+      val src = base.resolve("src").toString
+      val out = base.resolve("scores").toString
+      val ckpt = base.resolve("ckpt").toString
+      val docs = graft.ops.Fixtures.documents(s, d)
+      graft.ops.CorpusStats.unigramModel(docs).repartition(1).write.parquet(modelDir)
+      val model = s.read.parquet(modelDir)
+      docs.select("doc_id", "text").repartition(4, col("doc_id")).write.parquet(src)
+      s.readStream
+        .schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.ops.CorpusStats
+            .scoreWithUnigramModel(batch, model)
+            .write
+            .mode("append")
+            .parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(out).orderBy("doc_id").localCheckpoint(true)
+    } finally rmScratch(s, base)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "nb_stream_scores" -> classifierStreamScores,
       "decontaminate_stream" -> decontaminateStream,
+      "perplexity_stream_scores" -> perplexityStreamScores,
       "dedup_stream_replay" -> ((s, d) =>
         dedupStreamReplay(
           s,
@@ -885,6 +925,9 @@ object StreamingIngest {
       // per-doc contamination flags are a pure function of (doc,
       // persisted benchmark digests): the stream shares the batch oracle
       "decontaminate_stream" -> graft.ops.Decontamination.oracles("decontaminate"),
+      // per-doc NLL is pure in (doc, persisted model): shares the
+      // batch perplexity oracle
+      "perplexity_stream_scores" -> graft.ops.CorpusStats.oracles("perplexity_score"),
       "dedup_stream_replay" -> graft.ops.Dedup.oracles("dedup_incremental"),
       // streamed ≡ batched: the same mixed corpus through micro-batches
       // must hash-match the one-pass batch decode's oracle

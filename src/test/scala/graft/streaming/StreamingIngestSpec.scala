@@ -452,4 +452,19 @@ class StreamingIngestSpec extends SparkSpec {
       .toSeq
     assert(streamed == batch, "micro-batching must not change contamination flags")
   }
+
+  test("streamed perplexity scores equal the batch route exactly") {
+    val d = "/root/testdata/sf0.001"
+    val streamed = StreamingIngest
+      .perplexityStreamScores(spark, d)
+      .collect()
+      .map(_.toSeq)
+      .toSeq
+    val batch = graft.ops.CorpusStats
+      .queries("perplexity_score")(spark, d)
+      .collect()
+      .map(_.toSeq)
+      .toSeq
+    assert(streamed == batch, "micro-batching must not change per-doc NLL")
+  }
 }
