@@ -352,9 +352,137 @@ object Pipeline {
       .orderBy("shard", "rank")
   }
 
+  /** Per-doc PROVENANCE ledger — for every input document, the stage
+    * of the full pipeline that dropped it (or 'kept'): the audit view
+    * a data-governance review reads ("why is doc X not in the corpus?")
+    * and the per-stage loss report aggregates from. Frames are nested
+    * subsets, so the FIRST absent frame is the dropping stage; each
+    * stage frame is consumed exactly once (broadcast presence joins —
+    * the probe side is id-only, never text), then released like
+    * [[pipelineFull]].
+    */
+  val pipelineProvenance: Q = (s, d) => {
+    val st = stagesFull(documents(s, d), seg = Paragraphs.Segmenter.WordChunks())
+    def present(df: DataFrame, name: String): DataFrame =
+      df.select(col("doc_id"), lit(1L).as(name))
+    val res = st.flagged
+      .select(col("doc_id"), col("lang"), col("quality_pass"))
+      .join(present(st.repKept, "p_rep"), Seq("doc_id"), "left")
+      .join(present(st.exactKept, "p_exact"), Seq("doc_id"), "left")
+      .join(present(st.nearKept, "p_near"), Seq("doc_id"), "left")
+      .join(present(st.paraKept, "p_para"), Seq("doc_id"), "left")
+      .join(present(st.spanKept, "p_span"), Seq("doc_id"), "left")
+      .join(present(st.mixKept, "p_mix"), Seq("doc_id"), "left")
+      .withColumn(
+        "stage",
+        when(!col("quality_pass"), "quality")
+          .when(col("p_rep").isNull, "repetition")
+          .when(col("p_exact").isNull, "exact_dup")
+          .when(col("p_near").isNull, "near_dup")
+          .when(col("p_para").isNull, "paragraph")
+          .when(col("p_span").isNull, "span")
+          .when(col("p_mix").isNull, "mixture")
+          .otherwise(lit("kept"))
+      )
+      .select(col("doc_id"), col("lang"), col("stage"))
+      .orderBy("doc_id")
+      .localCheckpoint(true)
+    GraphDedup.releaseCheckpoints(
+      st.flagged, st.repKept, st.exactKept, st.nearKept, st.paraKept, st.spanKept)
+    res
+  }
+
+  /** Filter ATTRIBUTION matrix — the ablation view a pipeline review
+    * reads before reordering or dropping a stage: every filter applied
+    * INDEPENDENTLY to the raw corpus (unlike the sequential pipeline,
+    * where a doc dropped at stage 2 never meets stage 3), then per
+    * filter how many docs fail it and how many docs ONLY it catches
+    * (its unique marginal value — a filter with zero unique catches is
+    * redundant on this corpus), plus an 'any' summary row.
+    *
+    * Five filters: the stats quality rule, the repetition rule, the
+    * source blocklist, exact-dup non-keepers, and verified MinHash-LSH
+    * near-dup drops — each reusing its standalone operator's exact
+    * expressions. The three stateless flags are one projection; the
+    * two dedup flags are id-only join probes. Output is 6 rows.
+    */
+  val filterAttribution: Q = (s, d) => {
+    val docs = documents(s, d)
+    val base = docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("bigint"))
+      .withColumn(
+        "n_stop",
+        expr(s"CAST(size(filter(toks, w -> w IN (${TextAnalysis.stopList}))) AS BIGINT)")
+      )
+      .withColumn("stop_pct", expr("CAST(floor(n_stop * 100.0 / n_tokens) AS BIGINT)"))
+      .withColumn(
+        "f_quality",
+        (!(col("n_tokens") >= 20 && col("stop_pct").between(2, 60))).cast("int").cast("long")
+      )
+      .withColumn("w", col("toks"))
+      .withColumn("paras", expr(Paragraphs.chunksExprSql))
+      .withColumn("n_lines", size(col("paras")).cast("bigint"))
+      .withColumn("n_distinct_lines", size(array_distinct(col("paras"))).cast("bigint"))
+      .withColumn(
+        "f_repetition",
+        ((col("n_lines") - col("n_distinct_lines")) * 10 > col("n_lines") * 3)
+          .cast("int").cast("long")
+      )
+      .withColumn(
+        "f_blocklist",
+        col("source").isInCollection(Safety.demoBlocklist).cast("int").cast("long")
+      )
+      .select("doc_id", "f_quality", "f_repetition", "f_blocklist")
+    val keepers = Dedup
+      .exactDedup(docs, "text", "doc_id")
+      .select(col("keep_id").as("doc_id"), lit(1L).as("is_keeper"))
+    val nearDrop = Dedup
+      .lshCandidatesWithJaccard(docs, "doc_id", "text")
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_b").as("doc_id"))
+      .distinct()
+      .withColumn("f_near", lit(1L))
+    val flags = base
+      .join(keepers, Seq("doc_id"), "left")
+      .withColumn("f_exact_dup", when(col("is_keeper").isNull, 1L).otherwise(0L))
+      .join(nearDrop, Seq("doc_id"), "left")
+      .withColumn("f_near_dup", coalesce(col("f_near"), lit(0L)))
+      .withColumn(
+        "n_fails",
+        col("f_quality") + col("f_repetition") + col("f_blocklist") +
+          col("f_exact_dup") + col("f_near_dup")
+      )
+    val per = flags
+      .select(
+        expr(
+          "stack(5, 'quality', f_quality, 'repetition', f_repetition, " +
+            "'blocklist', f_blocklist, 'exact_dup', f_exact_dup, 'near_dup', f_near_dup) " +
+            "as (filter, f)"
+        ),
+        col("n_fails")
+      )
+      .groupBy("filter")
+      .agg(
+        sum(col("f")).cast("bigint").as("n_fail"),
+        sum(when(col("f") === 1 && col("n_fails") === 1, 1L).otherwise(0L))
+          .cast("bigint").as("n_unique_fail")
+      )
+    val anyRow = flags
+      .agg(
+        sum(when(col("n_fails") >= 1, 1L).otherwise(0L)).cast("bigint").as("n_fail"),
+        sum(when(col("n_fails") === 1, 1L).otherwise(0L)).cast("bigint").as("n_unique_fail")
+      )
+      .withColumn("filter", lit("any"))
+      .select("filter", "n_fail", "n_unique_fail")
+    per.unionByName(anyRow).orderBy("filter")
+  }
+
   def queries: Map[String, Q] = Map(
     "pipeline_survivors" -> pipelineSurvivors,
     "pipeline_full" -> pipelineFull,
+    "pipeline_provenance" -> pipelineProvenance,
+    "filter_attribution" -> filterAttribution,
     "quality_features" -> qualityFeatures,
     "curriculum_order" -> curriculumOrder
   )
@@ -364,12 +492,12 @@ object Pipeline {
     * Dedup shingle/minhash/band CTEs re-sourced from the exact-dedup
     * survivors).
     */
-  def oracles: Map[String, String] = {
+  // the pipeline_full stage-1..4 CTE chain in MassiveText order
+  // (quality → repetition → exact → near-dup); fullChainSql appends the
+  // paragraph/span/mixture stages — shared by pipeline_full and
+  // pipeline_provenance
+  private[ops] lazy val stages123Sql: String = {
     val stop = TextAnalysis.stopList
-    // the pipeline_full stage-1..4 CTE chain in MassiveText order
-    // (quality → repetition → exact → near-dup); the paragraph/span/
-    // mixture stages are appended in the map entry below
-    val stages123 =
       s"""WITH t AS (
          |  SELECT doc_id, lang, text,
          |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -408,23 +536,32 @@ object Pipeline {
          |  WHERE round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
          |              / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) >= $minJaccard),
          |fk AS (SELECT * FROM ek WHERE doc_id NOT IN (SELECT doc_id FROM dropped))""".stripMargin
+  }
+
+  // stages 1–7: stages123Sql + paragraph dedup (pdl) + span removal
+  // (skl) + mixture sampling (mx)
+  private[ops] lazy val fullChainSql: String =
+    s"""$stages123Sql,
+       |${Paragraphs.parasSql("(SELECT doc_id, text FROM fk)")},
+       |pd AS (
+       |  SELECT doc_id,
+       |    string_agg(para, ' ' ORDER BY para_idx) FILTER (WHERE rn = 1) AS text
+       |  FROM (SELECT doc_id, para_idx, para,
+       |          row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, para_idx) AS rn
+       |        FROM p)
+       |  GROUP BY doc_id
+       |  HAVING sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0),
+       |pdl AS (SELECT f.lang, d2.doc_id, d2.text FROM pd d2 JOIN fk f USING (doc_id)),
+       |${Spans.cutSqlFrom("pdl", "s_")},
+       |sk AS (SELECT doc_id, ct AS text FROM s_cl WHERE length(ct) > 0),
+       |skl AS (SELECT f.lang, s2.doc_id, s2.text FROM sk s2 JOIN fk f USING (doc_id)),
+       |mx AS (SELECT * FROM skl WHERE ${Mixture.drawSql} < ${Mixture.thresholdSql})""".stripMargin
+
+  def oracles: Map[String, String] = {
+    val stop = TextAnalysis.stopList
     Map(
       "pipeline_full" ->
-        s"""$stages123,
-           |${Paragraphs.parasSql("(SELECT doc_id, text FROM fk)")},
-           |pd AS (
-           |  SELECT doc_id,
-           |    string_agg(para, ' ' ORDER BY para_idx) FILTER (WHERE rn = 1) AS text
-           |  FROM (SELECT doc_id, para_idx, para,
-           |          row_number() OVER (PARTITION BY md5(para) ORDER BY doc_id, para_idx) AS rn
-           |        FROM p)
-           |  GROUP BY doc_id
-           |  HAVING sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) > 0),
-           |pdl AS (SELECT f.lang, d2.doc_id, d2.text FROM pd d2 JOIN fk f USING (doc_id)),
-           |${Spans.cutSqlFrom("pdl", "s_")},
-           |sk AS (SELECT doc_id, ct AS text FROM s_cl WHERE length(ct) > 0),
-           |skl AS (SELECT f.lang, s2.doc_id, s2.text FROM sk s2 JOIN fk f USING (doc_id)),
-           |mx AS (SELECT * FROM skl WHERE ${Mixture.drawSql} < ${Mixture.thresholdSql}),
+        s"""$fullChainSql,
            |a AS (
            |  SELECT lang, CAST(count(*) AS BIGINT) AS n_input,
            |    CAST(sum(CASE WHEN n_tokens >= 20 AND stop_pct BETWEEN 2 AND 60 THEN 1 ELSE 0 END) AS BIGINT)
@@ -447,6 +584,93 @@ object Pipeline {
            |LEFT JOIN pg ON a.lang = pg.lang LEFT JOIN sg ON a.lang = sg.lang
            |LEFT JOIN r ON a.lang = r.lang LEFT JOIN m ON a.lang = m.lang
            |ORDER BY a.lang""".stripMargin,
+      "pipeline_provenance" ->
+        s"""$fullChainSql
+           |SELECT t.doc_id, t.lang,
+           |  CASE WHEN NOT (t.n_tokens >= 20 AND t.stop_pct BETWEEN 2 AND 60) THEN 'quality'
+           |       WHEN t.doc_id NOT IN (SELECT doc_id FROM q) THEN 'repetition'
+           |       WHEN t.doc_id NOT IN (SELECT doc_id FROM ek) THEN 'exact_dup'
+           |       WHEN t.doc_id NOT IN (SELECT doc_id FROM fk) THEN 'near_dup'
+           |       WHEN t.doc_id NOT IN (SELECT doc_id FROM pdl) THEN 'paragraph'
+           |       WHEN t.doc_id NOT IN (SELECT doc_id FROM skl) THEN 'span'
+           |       WHEN t.doc_id NOT IN (SELECT doc_id FROM mx) THEN 'mixture'
+           |       ELSE 'kept' END AS stage
+           |FROM t ORDER BY t.doc_id""".stripMargin,
+      "filter_attribution" -> {
+        val blocked = Safety.demoBlocklist.map("'" + _ + "'").mkString(",")
+        s"""WITH fl AS (
+           |  SELECT doc_id, source,
+           |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           |    CAST(floor(len(list_filter(string_split(text, ' '), w -> w IN ($stop))) * 100.0
+           |               / len(string_split(text, ' '))) AS BIGINT) AS stop_pct,
+           |    ${Paragraphs.chunksDuckSql("string_split(text, ' ')")} AS paras
+           |  FROM documents),
+           |base AS (
+           |  SELECT doc_id,
+           |    CASE WHEN NOT (n_tokens >= 20 AND stop_pct BETWEEN 2 AND 60) THEN 1 ELSE 0 END
+           |      AS f_quality,
+           |    CASE WHEN (CAST(len(paras) AS BIGINT) - CAST(len(list_distinct(paras)) AS BIGINT)) * 10
+           |              > CAST(len(paras) AS BIGINT) * 3 THEN 1 ELSE 0 END AS f_repetition,
+           |    CASE WHEN source IN ($blocked) THEN 1 ELSE 0 END AS f_blocklist
+           |  FROM fl),
+           |kk AS (SELECT md5(text) AS h, min(doc_id) AS keep_id FROM documents GROUP BY md5(text)),
+           |ex AS (
+           |  SELECT d.doc_id, CASE WHEN d.doc_id = kk.keep_id THEN 0 ELSE 1 END AS f_exact_dup
+           |  FROM documents d JOIN kk ON md5(d.text) = kk.h),
+           |${Dedup.shinglesSqlFrom("documents")},
+           |${Dedup.minhashSql},
+           |${Dedup.bandsSql},
+           |pairs AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b
+           |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+           |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+           |inter AS (
+           |  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+           |  FROM pairs p
+           |  JOIN sh x ON x.doc_id = p.doc_a
+           |  JOIN sh y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
+           |  GROUP BY p.doc_a, p.doc_b),
+           |nd AS (
+           |  SELECT DISTINCT p.doc_b AS doc_id
+           |  FROM pairs p
+           |  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+           |  JOIN sizes sa ON sa.doc_id = p.doc_a
+           |  JOIN sizes sb ON sb.doc_id = p.doc_b
+           |  WHERE round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+           |              / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) >= $minJaccard),
+           |flags AS (
+           |  SELECT b.doc_id, b.f_quality, b.f_repetition, b.f_blocklist, e.f_exact_dup,
+           |    CASE WHEN nd.doc_id IS NULL THEN 0 ELSE 1 END AS f_near_dup
+           |  FROM base b JOIN ex e USING (doc_id) LEFT JOIN nd USING (doc_id)),
+           |tot AS (
+           |  SELECT *, f_quality + f_repetition + f_blocklist + f_exact_dup + f_near_dup AS n_fails
+           |  FROM flags),
+           |per AS (
+           |  SELECT 'quality' AS filter, CAST(sum(f_quality) AS BIGINT) AS n_fail,
+           |    CAST(sum(CASE WHEN f_quality = 1 AND n_fails = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_unique_fail FROM tot
+           |  UNION ALL
+           |  SELECT 'repetition', CAST(sum(f_repetition) AS BIGINT),
+           |    CAST(sum(CASE WHEN f_repetition = 1 AND n_fails = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    FROM tot
+           |  UNION ALL
+           |  SELECT 'blocklist', CAST(sum(f_blocklist) AS BIGINT),
+           |    CAST(sum(CASE WHEN f_blocklist = 1 AND n_fails = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    FROM tot
+           |  UNION ALL
+           |  SELECT 'exact_dup', CAST(sum(f_exact_dup) AS BIGINT),
+           |    CAST(sum(CASE WHEN f_exact_dup = 1 AND n_fails = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    FROM tot
+           |  UNION ALL
+           |  SELECT 'near_dup', CAST(sum(f_near_dup) AS BIGINT),
+           |    CAST(sum(CASE WHEN f_near_dup = 1 AND n_fails = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    FROM tot
+           |  UNION ALL
+           |  SELECT 'any', CAST(sum(CASE WHEN n_fails >= 1 THEN 1 ELSE 0 END) AS BIGINT),
+           |    CAST(sum(CASE WHEN n_fails = 1 THEN 1 ELSE 0 END) AS BIGINT) FROM tot)
+           |SELECT * FROM per ORDER BY filter""".stripMargin
+      },
       "pipeline_survivors" ->
         s"""WITH t AS (
            |  SELECT doc_id, lang, text,

@@ -92,7 +92,7 @@ object Safety {
   def sourceBlocklist(docs: DataFrame, sourceCol: String, blocked: Seq[String]): DataFrame =
     docs.withColumn("blocked", col(sourceCol).isin(blocked: _*))
 
-  private val demoBlocklist = Seq("src4", "src13", "src17")
+  private[ops] val demoBlocklist = Seq("src4", "src13", "src17")
 
   val sourceBlocklistQ: Q = (s, d) =>
     sourceBlocklist(documents(s, d), "source", demoBlocklist)

@@ -147,4 +147,59 @@ class PipelineSpec extends SparkSpec {
       assert(scores == scores.sorted.reverse, s"scores not descending: $scores")
     }
   }
+
+  test("pipeline_provenance: one row per input doc, labels partition the corpus consistently with the stage frames") {
+    val prov = Pipeline.pipelineProvenance(spark, sfDir).collect()
+    val docs = Fixtures.documents(spark, sfDir)
+    assert(prov.length == docs.count().toInt, "one ledger row per input doc")
+    val byStage = prov.groupBy(_.getAs[String]("stage")).map { case (k, v) => (k, v.length.toLong) }
+    // replay the frames and check the ledger's counts are exactly the
+    // per-stage losses (first-absent-frame semantics)
+    val st = Pipeline.stagesFull(docs, seg = Paragraphs.Segmenter.WordChunks())
+    val nIn = st.flagged.count()
+    val nQ = st.flagged.filter(col("quality_pass")).count()
+    val nRep = st.repKept.count()
+    val nExact = st.exactKept.count()
+    val nNear = st.nearKept.count()
+    val nPara = st.paraKept.count()
+    val nSpan = st.spanKept.count()
+    val nMix = st.mixKept.count()
+    assert(byStage.getOrElse("quality", 0L) == nIn - nQ)
+    assert(byStage.getOrElse("repetition", 0L) == nQ - nRep)
+    assert(byStage.getOrElse("exact_dup", 0L) == nRep - nExact)
+    assert(byStage.getOrElse("near_dup", 0L) == nExact - nNear)
+    assert(byStage.getOrElse("paragraph", 0L) == nNear - nPara)
+    assert(byStage.getOrElse("span", 0L) == nPara - nSpan)
+    assert(byStage.getOrElse("mixture", 0L) == nSpan - nMix)
+    assert(byStage.getOrElse("kept", 0L) == nMix)
+    // the kept ids ARE the final survivor set
+    val keptIds = prov.filter(_.getAs[String]("stage") == "kept").map(_.getAs[Long]("doc_id")).toSet
+    val mixIds = st.mixKept.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds == mixIds)
+    GraphDedup.releaseCheckpoints(
+      st.flagged, st.repKept, st.exactKept, st.nearKept, st.paraKept, st.spanKept)
+  }
+
+  test("filter_attribution: per-filter counts agree with the standalone operators; unique ≤ total; 'any' bounds hold") {
+    val docs = Fixtures.documents(spark, sfDir)
+    val nDocs = docs.count()
+    val rows = Pipeline.filterAttribution(spark, sfDir).collect()
+    val byFilter = rows.map(r =>
+      r.getAs[String]("filter") -> (r.getAs[Long]("n_fail"), r.getAs[Long]("n_unique_fail"))).toMap
+    assert(byFilter.keySet == Set("quality", "repetition", "blocklist", "exact_dup", "near_dup", "any"))
+    // blocklist count is exactly the standalone membership count
+    val nBlocked = docs.filter(col("source").isInCollection(Safety.demoBlocklist)).count()
+    assert(byFilter("blocklist")._1 == nBlocked)
+    // exact-dup fails = corpus size − distinct contents
+    val nDistinct = docs.select(md5(col("text").cast("binary"))).distinct().count()
+    assert(byFilter("exact_dup")._1 == nDocs - nDistinct)
+    // unique ≤ total per filter; 'any' ≤ Σ per-filter totals (inclusion–exclusion)
+    byFilter.foreach { case (f, (tot, uniq)) => assert(uniq <= tot, s"$f unique > total") }
+    val perTotals = byFilter.removed("any").values.map(_._1).sum
+    assert(byFilter("any")._1 <= perTotals)
+    assert(byFilter("any")._2 == byFilter.removed("any").values.map(_._2).sum,
+      "'any' unique must equal the sum of per-filter uniques (a doc failing exactly one filter)")
+    // the fixture corpus must exercise the matrix: something fails, something is unique
+    assert(byFilter("any")._1 > 0)
+  }
 }
