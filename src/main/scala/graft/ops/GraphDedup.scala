@@ -877,9 +877,51 @@ object GraphDedup {
     } finally pairs.unpersist(blocking = false)
   }
 
+  /** Per-cluster representative selection by QUALITY instead of the
+    * min-id convention: the keeper of a near-dup cluster should be its
+    * best member (highest composite quality score, ties to the lowest
+    * id for determinism), not whichever happened to arrive first —
+    * the difference between "keep a random copy" and "keep the clean
+    * copy" when a cluster mixes a well-formed original with mangled
+    * re-crawls. Scores are [[Pipeline.qualityScores]]' exact integer
+    * expressions, so this view can never disagree with the quality
+    * operators.
+    *
+    * Shape: the cluster map joins the score relation on doc_id (both
+    * corpus-sized, hash join on the id), then ONE partial-aggregated
+    * `min(struct(-score, id))` per cluster — no window over members,
+    * so a degenerate mega-cluster costs a skewed-key aggregate (AQE
+    * handles it), never a single-partition sort.
+    */
+  private[graft] def qualityReps(cmap: DataFrame, scores: DataFrame): DataFrame =
+    cmap
+      .join(scores.select(col("doc_id"), col("score_micro")), "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).cast("bigint").as("cluster_size"),
+        min(struct((-col("score_micro")).as("ns"), col("doc_id").as("id"))).as("m")
+      )
+      .select(
+        col("cluster_id"),
+        col("cluster_size"),
+        col("m.id").as("rep_id"),
+        (-col("m.ns")).cast("bigint").as("rep_score_micro")
+      )
+
+  val dedupClusterRepsQuality: Q = (s, d) => {
+    val docs = documents(s, d)
+    val edges = Dedup
+      .lshCandidatesWithJaccard(docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    qualityReps(clusterMap(docs, connectedComponents(edges)), Pipeline.qualityScores(docs))
+      .orderBy("cluster_id")
+  }
+
   def queries: Map[String, Q] = Map(
     "dedup_clusters" -> dedupClusters,
-    "dedup_clusters_incremental" -> dedupClustersIncremental
+    "dedup_clusters_incremental" -> dedupClustersIncremental,
+    "dedup_cluster_reps_quality" -> dedupClusterRepsQuality
   )
 
   /** DuckDB oracle: the same verified-pair CTE chain as
@@ -893,10 +935,25 @@ object GraphDedup {
   def oracles: Map[String, String] = Map(
     // the incremental route must equal the full clustering bit for bit
     "dedup_clusters_incremental" -> clustersOracle,
-    "dedup_clusters" -> clustersOracle
+    "dedup_clusters" -> clustersOracle,
+    "dedup_cluster_reps_quality" ->
+      s"""$clusterChainSql,
+         |${Pipeline.featuresSql.stripPrefix("WITH ")},
+         |jo AS (
+         |  SELECT l.cluster_id, l.doc_id, f.score_micro
+         |  FROM lab l JOIN features f USING (doc_id)),
+         |rk AS (
+         |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |                               ORDER BY score_micro DESC, doc_id ASC) AS rn
+         |  FROM jo),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM jo GROUP BY cluster_id)
+         |SELECT s.cluster_id, s.cluster_size, r.doc_id AS rep_id,
+         |  CAST(r.score_micro AS BIGINT) AS rep_score_micro
+         |FROM sz s JOIN rk r ON r.cluster_id = s.cluster_id AND r.rn = 1
+         |ORDER BY s.cluster_id""".stripMargin
   )
 
-  private lazy val clustersOracle: String =
+  private lazy val clusterChainSql: String =
       s"""WITH RECURSIVE ${Dedup.shinglesSqlFrom("documents")},
          |${Dedup.minhashSql},
          |${Dedup.bandsSql},
@@ -926,7 +983,10 @@ object GraphDedup {
          |root AS (SELECT node, min(reach) AS cluster_id FROM walk GROUP BY node),
          |lab AS (
          |  SELECT d.doc_id, coalesce(r.cluster_id, d.doc_id) AS cluster_id
-         |  FROM documents d LEFT JOIN root r ON r.node = d.doc_id)
+         |  FROM documents d LEFT JOIN root r ON r.node = d.doc_id)""".stripMargin
+
+  private lazy val clustersOracle: String =
+      s"""$clusterChainSql
          |SELECT doc_id, cluster_id,
          |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
          |  CAST(CASE WHEN doc_id = cluster_id THEN 1 ELSE 0 END AS BIGINT) AS is_rep

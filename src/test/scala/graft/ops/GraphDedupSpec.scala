@@ -622,6 +622,24 @@ class GraphDedupSpec extends SparkSpec {
     assert(rows.getLong(0) == 10000L && rows.getLong(1) == 10000L && rows.getLong(2) == 1L)
   }
 
+  test("qualityReps: keeper is the highest-scoring member, ties break to the lowest id") {
+    // clusters: {1,2,3} (scores 10, 50, 50 → rep 2: max score, tie with 3 → lower id),
+    // {4,5} (scores 7, 9 → rep 5), singleton {6} (rep 6)
+    val cmap = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 6L)
+    ).toDF("doc_id", "cluster_id")
+    val scores = Seq(
+      (1L, 10L), (2L, 50L), (3L, 50L), (4L, 7L), (5L, 9L), (6L, 3L)
+    ).toDF("doc_id", "score_micro")
+    val reps = GraphDedup
+      .qualityReps(cmap, scores)
+      .collect()
+      .map(r => r.getAs[Long]("cluster_id") ->
+        (r.getAs[Long]("cluster_size"), r.getAs[Long]("rep_id"), r.getAs[Long]("rep_score_micro")))
+      .toMap
+    assert(reps == Map(1L -> ((3L, 2L, 50L)), 4L -> ((2L, 5L, 9L)), 6L -> ((1L, 6L, 3L))))
+  }
+
   test("dedup_clusters postconditions: total cover, min-rooted, sizes consistent") {
     val out = GraphDedup.dedupClusters(spark, "/root/testdata/sf0.001").cache()
     val n = out.count()
