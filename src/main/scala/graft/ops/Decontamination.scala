@@ -256,12 +256,58 @@ object Decontamination {
     semanticContamination(train, bench, semTau).orderBy("vec_id")
   }
 
+  /** N-GRAM NOVELTY scoring — the inverse of contamination: for each
+    * probe document, what fraction of its distinct word n-grams does a
+    * REFERENCE corpus not already contain? The data-selection signal
+    * for "does this shard add anything new" (dedup asks "is this a
+    * copy"; novelty asks "how much of this is unseen"), and the
+    * redundancy screen for incremental crawls scored against the
+    * already-collected corpus.
+    *
+    * Scale shape: the reference here is CORPUS-sized (unlike eval-
+    * suite digests), so no broadcast hint — the probe's distinct
+    * (doc_id, digest) pairs LEFT-join the reference's distinct digests
+    * on the digest hash (linear shuffle both sides, AQE-skew-safe, and
+    * AQE still auto-broadcasts a genuinely small reference), then one
+    * doc-keyed count aggregate. Only 16-byte digests ever shuffle,
+    * never n-gram text. Docs shorter than n words have no n-grams and
+    * no row (both engines drop them in the group-by).
+    */
+  def ngramNovelty(probe: DataFrame, reference: DataFrame, n: Int = 3): DataFrame = {
+    val refG = Dedup
+      .shinglesN(reference, "doc_id", "text", n)
+      .select(md5(col("shingle").cast("binary")).as("g"))
+      .distinct()
+      .withColumn("seen", lit(1L))
+    Dedup
+      .shinglesN(probe, "doc_id", "text", n)
+      .select(col("doc_id"), md5(col("shingle").cast("binary")).as("g"))
+      .join(refG, Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_ngrams"),
+        sum(coalesce(col("seen"), lit(0L))).cast("bigint").as("n_seen")
+      )
+      .withColumn("novelty_micro", expr("(n_ngrams - n_seen) * 1000000 div n_ngrams"))
+  }
+
+  /** Fixture split for the gated query: every 5th doc is "the corpus
+    * already collected"; the rest are the incoming crawl to score.
+    */
+  private val refPred = "doc_id % 5 = 0"
+
+  val ngramNoveltyQ: Q = (s, d) => {
+    val docs = documents(s, d)
+    ngramNovelty(docs.filter(s"NOT ($refPred)"), docs.filter(refPred)).orderBy("doc_id")
+  }
+
   def queries: Map[String, Q] = Map(
     "decontaminate" -> decontaminate,
     "decontaminate_bloom" -> decontaminateBloom,
     "decontaminate_report" -> decontaminateReport,
     "decontaminate_removal" -> decontaminateRemoval,
-    "decontaminate_semantic" -> decontaminateSemantic
+    "decontaminate_semantic" -> decontaminateSemantic,
+    "ngram_novelty" -> ngramNoveltyQ
   )
 
   /** The Bloom route is exact by construction (FPs verified away, FNs
@@ -270,6 +316,19 @@ object Decontamination {
   def oracles: Map[String, String] = Map(
     "decontaminate_bloom" -> oracleSqlExact,
     "decontaminate" -> oracleSqlExact,
+    "ngram_novelty" ->
+      s"""WITH prb AS (SELECT * FROM documents WHERE NOT ($refPred)),
+         |ref AS (SELECT * FROM documents WHERE $refPred),
+         |${Dedup.shinglesSqlNamed("psh", "prb")},
+         |${Dedup.shinglesSqlNamed("rsh", "ref")},
+         |rg AS (SELECT DISTINCT shingle FROM rsh)
+         |SELECT p.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_ngrams,
+         |  CAST(sum(CASE WHEN rg.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+         |  CAST((count(*) - sum(CASE WHEN rg.shingle IS NOT NULL THEN 1 ELSE 0 END)) * 1000000
+         |       // count(*) AS BIGINT) AS novelty_micro
+         |FROM psh p LEFT JOIN rg ON rg.shingle = p.shingle
+         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
     // the UNION ALL replays the Spark side's seeded benchmark clones
     "decontaminate_semantic" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -740,13 +740,15 @@ object Dedup {
 
   // ---- DuckDB oracles ------------------------------------------------
 
-  private[ops] def shinglesSqlFrom(src: String) =
-    s"""sh AS (
+  private[ops] def shinglesSqlNamed(name: String, src: String) =
+    s"""$name AS (
        |  SELECT DISTINCT doc_id, shingle FROM (
        |    SELECT doc_id,
        |      unnest(list_transform(generate_series(1, len(w)-2),
        |                            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingle
        |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $src)))""".stripMargin
+
+  private[ops] def shinglesSqlFrom(src: String) = shinglesSqlNamed("sh", src)
 
   private val shinglesSql = shinglesSqlFrom("documents")
 

@@ -172,6 +172,27 @@ class DecontaminationSpec extends SparkSpec {
     assert(!out.contains(3L), "orthogonal vectors must not be flagged")
   }
 
+  test("ngram_novelty: fully-seen scores 0, fully-novel scores 10^6, partial overlap exact") {
+    val reference = Seq((100L, "a b c d e"), (101L, "p q r s")).toDF("doc_id", "text")
+    val probe = Seq(
+      (1L, "a b c d e"),   // all 3 shingles seen → novelty 0
+      (2L, "u v w x y"),   // all 3 novel → 10^6
+      (3L, "a b c d x y"), // {a b c, b c d} seen, {c d x, d x y} novel → 500000
+      (4L, "a b")          // < n words → no row
+    ).toDF("doc_id", "text")
+    val out = Decontamination
+      .ngramNovelty(probe, reference)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_ngrams"), r.getAs[Long]("n_seen"), r.getAs[Long]("novelty_micro")))
+      .toMap
+    assert(out == Map(
+      1L -> ((3L, 3L, 0L)),
+      2L -> ((3L, 0L, 1000000L)),
+      3L -> ((4L, 2L, 500000L))
+    ))
+  }
+
   test("semantic route: benchmark broadcasts, corpus scores map-side") {
     val emb = Fixtures.embeddings(spark, "/root/testdata/sf0.001")
     val plan = Decontamination
