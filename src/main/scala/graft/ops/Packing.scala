@@ -133,10 +133,77 @@ object Packing {
 
   val corpusShuffleQ: Q = (s, d) => corpusShuffle(documents(s, d), "doc_id")
 
+  /** LENGTH-BUCKETED BATCH manifest — the dynamic-batching layout for
+    * variable-length training (padded batching wastes compute padding
+    * every sequence to the batch max; bucketing by length first keeps
+    * batch members similar-sized, the standard fix). Each (stratum,
+    * length-bucket) packs independently: every member is costed at the
+    * bucket's max token count (`bucket_pad` — exactly what padded
+    * batching pays), the batch holds `max(1, maxBatchTokens div
+    * bucket_pad)` docs, and the manifest reports per batch the real
+    * token mass, the padded mass, and the padding-waste fraction in
+    * integer micro-units — the number that justifies the bucketing.
+    *
+    * Scale shape: like [[packSequences]], the windows partition by
+    * (stratum, bucket) — strata are shards in production, so no
+    * corpus-wide window exists and buckets pack in parallel per shard.
+    * Deterministic end to end (doc_id order), so append-stable per
+    * closed batch and hash-oracle-safe.
+    */
+  def lengthBucketBatches(
+      docs: DataFrame,
+      idCol: String,
+      strataCol: String,
+      tokensExpr: org.apache.spark.sql.Column,
+      bucketWidth: Int,
+      maxBucket: Int,
+      maxBatchTokens: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val part = Window.partitionBy(col("stratum"), col("bucket"))
+    docs
+      .select(col(idCol).as("doc_id"), col(strataCol).as("stratum"), tokensExpr.as("n_tokens"))
+      .withColumn(
+        "bucket",
+        least(floor(col("n_tokens") / bucketWidth), lit(maxBucket.toLong)).cast("bigint")
+      )
+      .withColumn("bucket_pad", max(col("n_tokens")).over(part).cast("bigint"))
+      .withColumn("rn", row_number().over(part.orderBy(col("doc_id"))))
+      .withColumn("cap", greatest(lit(1L), expr(s"$maxBatchTokens div bucket_pad")))
+      .withColumn("batch_idx", expr("(rn - 1) div cap").cast("bigint"))
+      .groupBy(col("stratum"), col("bucket"), col("batch_idx"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("n_tokens")).cast("bigint").as("sum_tokens"),
+        first(col("bucket_pad")).cast("bigint").as("bucket_pad")
+      )
+      .withColumn("padded_tokens", (col("n_docs") * col("bucket_pad")).cast("bigint"))
+      .withColumn(
+        "waste_micro",
+        expr("(padded_tokens - sum_tokens) * 1000000 div padded_tokens")
+      )
+  }
+
+  private val bucketWidth = 32
+  private val maxBucketIdx = 15
+  private val maxBatchTokens = 2048
+
+  val lengthBucketBatchesQ: Q = (s, d) =>
+    lengthBucketBatches(
+      documents(s, d),
+      "doc_id",
+      "lang",
+      size(split(col("text"), " ")).cast("bigint"),
+      bucketWidth,
+      maxBucketIdx,
+      maxBatchTokens
+    ).orderBy("stratum", "bucket", "batch_idx")
+
   def queries: Map[String, Q] = Map(
     "pack_sequences" -> packSequencesQ,
     "shard_manifest" -> shardManifestQ,
-    "corpus_shuffle" -> corpusShuffleQ
+    "corpus_shuffle" -> corpusShuffleQ,
+    "length_bucket_batches" -> lengthBucketBatchesQ
   )
 
   def oracles: Map[String, String] = Map(
@@ -171,6 +238,34 @@ object Packing {
     "corpus_shuffle" -> {
       val draw = "CAST(" + Dedup.hex12ValSql("md5('shuf|' || CAST(doc_id AS VARCHAR))", 1) + " AS BIGINT)"
       s"SELECT doc_id, $draw AS draw FROM documents ORDER BY draw, doc_id"
-    }
+    },
+    "length_bucket_batches" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang AS stratum,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |b AS (
+         |  SELECT *, CAST(least(n_tokens // $bucketWidth, $maxBucketIdx) AS BIGINT) AS bucket
+         |  FROM t),
+         |p AS (
+         |  SELECT *,
+         |    CAST(max(n_tokens) OVER (PARTITION BY stratum, bucket) AS BIGINT) AS bucket_pad,
+         |    row_number() OVER (PARTITION BY stratum, bucket ORDER BY doc_id) AS rn
+         |  FROM b),
+         |a AS (
+         |  SELECT *, greatest(1, $maxBatchTokens // bucket_pad) AS cap,
+         |    CAST((rn - 1) // greatest(1, $maxBatchTokens // bucket_pad) AS BIGINT) AS batch_idx
+         |  FROM p),
+         |g AS (
+         |  SELECT stratum, bucket, batch_idx,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |    CAST(min(bucket_pad) AS BIGINT) AS bucket_pad
+         |  FROM a GROUP BY stratum, bucket, batch_idx)
+         |SELECT stratum, bucket, batch_idx, n_docs, sum_tokens, bucket_pad,
+         |  CAST(n_docs * bucket_pad AS BIGINT) AS padded_tokens,
+         |  CAST((n_docs * bucket_pad - sum_tokens) * 1000000 // (n_docs * bucket_pad) AS BIGINT)
+         |    AS waste_micro
+         |FROM g ORDER BY stratum, bucket, batch_idx""".stripMargin
   )
 }

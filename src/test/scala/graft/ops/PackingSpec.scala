@@ -68,6 +68,32 @@ class PackingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"shard assignment must not shuffle:\n$plan")
   }
 
+  test("lengthBucketBatches: capacity from bucket pad, waste arithmetic exact, tokens conserved") {
+    // one stratum, bucketWidth 10, maxBucket 3, budget 100.
+    // bucket 0 (len < 10): docs of 5, 7, 9 → pad 9, cap 100/9 = 11 → one batch of 3
+    // bucket 2 (len 20-29): docs 21, 25, 29, 24 → pad 29, cap 3 → batches [21,24,25], [29]
+    val docs = Seq(
+      (1L, "s", 5L), (2L, "s", 7L), (3L, "s", 9L),
+      (10L, "s", 21L), (11L, "s", 25L), (12L, "s", 29L), (13L, "s", 24L)
+    ).toDF("doc_id", "stratum", "toks")
+    val out = Packing
+      .lengthBucketBatches(docs, "doc_id", "stratum", col("toks"), 10, 3, 100)
+      .collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("batch_idx")) ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("sum_tokens"), r.getAs[Long]("bucket_pad"),
+          r.getAs[Long]("padded_tokens"), r.getAs[Long]("waste_micro")))
+      .toMap
+    assert(out((0L, 0L)) == ((3L, 21L, 9L, 27L, (27L - 21L) * 1000000L / 27L)))
+    // bucket 2 ordered by doc_id: 10(21), 11(25), 12(29), 13(24) → cap 3:
+    // batch 0 = docs 10,11,12 (21+25+29=75), batch 1 = doc 13 (24)
+    assert(out((2L, 0L)) == ((3L, 75L, 29L, 87L, (87L - 75L) * 1000000L / 87L)))
+    assert(out((2L, 1L)) == ((1L, 24L, 29L, 29L, (29L - 24L) * 1000000L / 29L)))
+    // conservation: sum over batches = corpus tokens
+    assert(out.values.map(_._2).sum == 5 + 7 + 9 + 21 + 25 + 29 + 24)
+    // every batch respects the budget in padded cost (cap ≥ 1 guard aside)
+    out.values.foreach { case (_, _, _, padded, _) => assert(padded <= 100) }
+  }
+
   test("corpusShuffle: append-stable relative order via a range-partitioned sort") {
     import spark.implicits._
     val docs = (0L until 2000L).map(i => (i, s"d $i")).toDF("doc_id", "text")
