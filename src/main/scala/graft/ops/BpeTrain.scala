@@ -201,13 +201,14 @@ object BpeTrain {
         val rk = bc.value
         iter.map { case (id, lang, text) =>
           var ntok = 0L
-          text.split(" ", -1).foreach { w =>
+          val words = text.split(" ", -1)
+          words.foreach { w =>
             ntok += cache.getOrElseUpdate(w, encodeLen(w, rk))
           }
-          (id, lang, ntok, text.length.toLong)
+          (id, lang, ntok, text.length.toLong, words.length.toLong)
         }
       }
-      .toDF("doc_id", "lang", "n_bpe_tokens", "n_chars")
+      .toDF("doc_id", "lang", "n_bpe_tokens", "n_chars", "n_words")
   }
 
   /** Fixture knobs; the golden oracles pin exactly these. */
@@ -231,10 +232,35 @@ object BpeTrain {
   val bpeVocab: Q = (s, d) =>
     symbolVocab(documents(s, d), "text", fixtureMerges).orderBy("symbol")
 
+  /** Tokenizer FERTILITY datasheet — the per-language numbers a
+    * tokenizer review reads before committing a vocab to a multilingual
+    * run: BPE tokens per word (fertility — a tokenizer trained on
+    * English-heavy data fragments other languages into more tokens,
+    * inflating their effective cost per word) and chars per token (the
+    * compression ratio). Both in exact integer micro-units over the
+    * per-language totals, composed from [[encodeStats]]' exact encode —
+    * so the datasheet can never disagree with the encode the training
+    * feed actually pays for.
+    */
+  val bpeFertility: Q = (s, d) => {
+    val docs = documents(s, d)
+    encodeStats(docs, learnMerges(docs, "text", fixtureMerges))
+      .groupBy("lang")
+      .agg(
+        sum(col("n_words")).cast("bigint").as("n_words"),
+        sum(col("n_bpe_tokens")).cast("bigint").as("total_bpe_tokens"),
+        sum(col("n_chars")).cast("bigint").as("total_chars")
+      )
+      .withColumn("fertility_micro", expr("total_bpe_tokens * 1000000 div n_words"))
+      .withColumn("chars_per_token_micro", expr("total_chars * 1000000 div total_bpe_tokens"))
+      .orderBy("lang")
+  }
+
   def queries: Map[String, Q] = Map(
     "bpe_merges" -> bpeMerges,
     "bpe_encode_stats" -> bpeEncodeStats,
-    "bpe_vocab" -> bpeVocab
+    "bpe_vocab" -> bpeVocab,
+    "bpe_fertility" -> bpeFertility
   )
 
   /** Golden oracles, pinned by an INDEPENDENT reference implementation
@@ -300,15 +326,35 @@ object BpeTrain {
         |  ('y', 1767)
         |) AS t(symbol, n_occurrences) ORDER BY symbol""".stripMargin,
     "bpe_encode_stats" ->
-      """SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+      s"""SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
         |  CAST(total_bpe_tokens AS BIGINT) AS total_bpe_tokens,
         |  CAST(total_chars AS BIGINT) AS total_chars
         |FROM (VALUES
-        |  ('de', 70, 15248, 19525),
-        |  ('en', 218, 50460, 64437),
-        |  ('es', 73, 17049, 21756),
-        |  ('fr', 64, 16143, 20623),
-        |  ('zh', 75, 17898, 22833)
-        |) AS t(lang, n_docs, total_bpe_tokens, total_chars) ORDER BY lang""".stripMargin
+        |$encodeGoldenRows
+        |) AS t(lang, n_docs, total_bpe_tokens, total_chars) ORDER BY lang""".stripMargin,
+    // the token/char totals are the SAME golden rows the encode-stats
+    // gate pins (one independent reference, one answer); word counts
+    // are BPE-independent, so the oracle recomputes them live
+    "bpe_fertility" ->
+      s"""WITH g AS (
+        |  SELECT lang, CAST(total_bpe_tokens AS BIGINT) AS total_bpe_tokens,
+        |    CAST(total_chars AS BIGINT) AS total_chars
+        |  FROM (VALUES
+        |$encodeGoldenRows
+        |  ) AS t(lang, n_docs, total_bpe_tokens, total_chars)),
+        |w AS (
+        |  SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_words
+        |  FROM documents GROUP BY lang)
+        |SELECT g.lang, w.n_words, g.total_bpe_tokens, g.total_chars,
+        |  CAST(g.total_bpe_tokens * 1000000 // w.n_words AS BIGINT) AS fertility_micro,
+        |  CAST(g.total_chars * 1000000 // g.total_bpe_tokens AS BIGINT) AS chars_per_token_micro
+        |FROM g JOIN w USING (lang) ORDER BY g.lang""".stripMargin
   )
+
+  private val encodeGoldenRows =
+    """  ('de', 70, 15248, 19525),
+      |  ('en', 218, 50460, 64437),
+      |  ('es', 73, 17049, 21756),
+      |  ('fr', 64, 16143, 20623),
+      |  ('zh', 75, 17898, 22833)""".stripMargin
 }

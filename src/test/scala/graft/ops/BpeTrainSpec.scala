@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 class BpeTrainSpec extends SparkSpec {
   import spark.implicits._
@@ -79,10 +80,35 @@ class BpeTrainSpec extends SparkSpec {
     val out = BpeTrain
       .encodeStats(corpus, merges)
       .collect()
-      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3))))
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4))))
       .toMap
-    // doc 1: low→1 sym, low→1, newest→7 (6 chars + </w>); chars = 14
-    assert(out(1L) == ((9L, 14L)))
-    assert(out(2L) == ((1L, 3L)))
+    // doc 1: low→1 sym, low→1, newest→7 (6 chars + </w>); chars = 14; 3 words
+    assert(out(1L) == ((9L, 14L, 3L)))
+    assert(out(2L) == ((1L, 3L, 1L)))
+  }
+
+  test("fertility micro-units follow from the encode totals exactly") {
+    val corpus = Seq((1L, "en", "low low newest"), (2L, "en", "low")).toDF("doc_id", "lang", "text")
+    val merges = Seq((1L, "l", "o", 9L), (2L, "lo", "w", 9L), (3L, "low", "</w>", 9L))
+      .toDF("rank", "left", "right", "pair_freq")
+    val agg = BpeTrain
+      .encodeStats(corpus, merges)
+      .groupBy("lang")
+      .agg(
+        sum(col("n_words")).cast("bigint").as("n_words"),
+        sum(col("n_bpe_tokens")).cast("bigint").as("total_bpe_tokens"),
+        sum(col("n_chars")).cast("bigint").as("total_chars")
+      )
+      .withColumn("fertility_micro", expr("total_bpe_tokens * 1000000 div n_words"))
+      .withColumn("chars_per_token_micro", expr("total_chars * 1000000 div total_bpe_tokens"))
+      .collect()
+    assert(agg.length == 1)
+    val r = agg.head
+    // tokens: 1+1+7 + 1 = 10 over 4 words → 2.5 tokens/word;
+    // chars: 14 + 3 = 17 over 10 tokens → 1.7 chars/token
+    assert(r.getAs[Long]("n_words") == 4L)
+    assert(r.getAs[Long]("total_bpe_tokens") == 10L)
+    assert(r.getAs[Long]("fertility_micro") == 2500000L)
+    assert(r.getAs[Long]("chars_per_token_micro") == 1700000L)
   }
 }
