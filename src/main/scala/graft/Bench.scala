@@ -147,7 +147,15 @@ object Bench {
       "decontaminate_stream" -> "every_run",
       // every rep persists the unigram model and replays the corpus
       // as micro-batches against it
-      "perplexity_stream_scores" -> "every_run"
+      "perplexity_stream_scores" -> "every_run",
+      // every rep persists the chunk-digest index and replays the
+      // arrivals as micro-batches against it
+      "cdc_containment_stream" -> "every_run",
+      // re-trains the merge table before encoding (the bpe family)
+      "bpe_fertility" -> "every_run",
+      // runs the full seven-stage pipeline to label each doc's
+      // dropping stage (the pipeline_full shape)
+      "pipeline_provenance" -> "every_run"
     )
     val builds = buildIncluded
       .filter { case (k, _) => medians.exists(_._1 == k) }

@@ -27,7 +27,7 @@ object Cdc {
   import Fixtures._
 
   /** Fixture divisor: expected chunk ≈ 8 words. */
-  private val fixtureDivisor = 8
+  private[graft] val fixtureDivisor = 8
 
   /** (doc_id, chunk_id, n_words, chunk_digest) per content-defined
     * chunk. A word ends a chunk iff md5-48(`cdc|` ++ word) mod
@@ -162,12 +162,172 @@ object Cdc {
     ).orderBy("contained", "container")
   }
 
+  /** The persistable CHUNK-DIGEST INDEX of a collected corpus — the
+    * artifact the streaming containment probe loads once and probes
+    * forever (the benchDigests/minhash-index precedent, chunk
+    * granularity). Distinct (doc_id, chunk_digest); sizes and
+    * occurrence caps derive from it at probe time, so the artifact
+    * stays one relation.
+    */
+  def chunkIndex(docs: DataFrame, idCol: String, textCol: String, divisor: Int): DataFrame =
+    cdcChunks(docs, idCol, textCol, divisor)
+      .select(col("doc_id"), col("chunk_digest"))
+      .distinct()
+
+  /** Containment of ARRIVING documents against a frozen corpus index —
+    * both directions at once: a new doc that quotes an indexed doc
+    * whole flags via `containment_idx_micro` (the indexed doc is
+    * inside it), and a new doc that IS mostly a quote of indexed
+    * content flags via `containment_new_micro`. Per-doc output is a
+    * pure function of (doc, index) — no new×new pairs, no index
+    * mutation — which is what lets the streaming route share the
+    * batch oracle bit for bit.
+    *
+    * Scale: the index-side boilerplate cap bounds the digest join's
+    * fan-out exactly like [[containmentPairs]]; digests are 16 bytes
+    * and chunk text never shuffles. The join keys on the digest hash
+    * (no pruning possible — an arriving doc's digests are arbitrary),
+    * linear shuffle both sides, AQE broadcasting a small index.
+    */
+  def containmentAgainstIndex(
+      newDocs: DataFrame,
+      index: DataFrame,
+      idCol: String,
+      textCol: String,
+      divisor: Int,
+      minContainmentMicro: Long,
+      maxDocsPerChunk: Int
+  ): DataFrame = {
+    val probe = cdcChunks(newDocs, idCol, textCol, divisor)
+      .select(col("doc_id").as("new_id"), col("chunk_digest"))
+      .distinct()
+    val probeSizes =
+      probe.groupBy(col("new_id")).agg(count(lit(1)).cast("bigint").as("n_chunks_new"))
+    val idxSizes =
+      index.groupBy(col("doc_id")).agg(count(lit(1)).cast("bigint").as("n_chunks_idx"))
+    val rare = index
+      .groupBy(col("chunk_digest"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") <= maxDocsPerChunk)
+      .select("chunk_digest")
+    val keptIdx = index.join(rare, "chunk_digest").withColumnRenamed("doc_id", "idx_id")
+    probe
+      .join(keptIdx, "chunk_digest")
+      .groupBy(col("new_id"), col("idx_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_shared"))
+      .join(probeSizes, "new_id")
+      .join(idxSizes.withColumnRenamed("doc_id", "idx_id"), "idx_id")
+      .withColumn("containment_new_micro", expr("n_shared * 1000000 div n_chunks_new"))
+      .withColumn("containment_idx_micro", expr("n_shared * 1000000 div n_chunks_idx"))
+      .filter(
+        col("containment_new_micro") >= minContainmentMicro ||
+          col("containment_idx_micro") >= minContainmentMicro
+      )
+      .select(
+        col("new_id"), col("idx_id"), col("n_shared"), col("n_chunks_new"),
+        col("n_chunks_idx"), col("containment_new_micro"), col("containment_idx_micro")
+      )
+  }
+
+  /** Fixture split for the index-probe queries: docs with id % 3 ≠ 0
+    * are "the collected corpus"; the rest arrive. Seeded arrivals
+    * exercise both directions: QUOTERS (an index pair concatenated —
+    * the indexed docs are contained in the arrival) and COPIES (an
+    * index doc verbatim — the arrival is contained in the indexed
+    * doc, and vice versa).
+    */
+  private[ops] val idxPred = "doc_id % 3 <> 0"
+  private[ops] val quoterBase2 = 5000001L
+  private[ops] val copyBase = 6000001L
+
+  private[graft] def indexProbeInputs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val idx = docs.filter(idxPred)
+    val quoters = idx
+      .filter(col("doc_id") % 150 === 1)
+      .join(idx.select((col("doc_id") - 1).as("doc_id"), col("text").as("text2")), "doc_id")
+      .select(
+        (col("doc_id") + lit(quoterBase2)).as("doc_id"),
+        concat_ws(" ", col("text"), col("text2")).as("text")
+      )
+    val copies = idx
+      .filter(col("doc_id") % 150 === 4)
+      .select((col("doc_id") + lit(copyBase)).as("doc_id"), col("text"))
+    val arrivals = docs.filter(s"NOT ($idxPred)").unionByName(quoters).unionByName(copies)
+    (idx, arrivals)
+  }
+
+  val cdcContainmentIndex: Q = (s, d) => {
+    val (idx, arrivals) = indexProbeInputs(s, d)
+    containmentAgainstIndex(
+      arrivals,
+      chunkIndex(idx, "doc_id", "text", fixtureDivisor),
+      "doc_id",
+      "text",
+      fixtureDivisor,
+      minContainmentMicro = 800000L,
+      maxDocsPerChunk = 8
+    ).orderBy("new_id", "idx_id")
+  }
+
   def queries: Map[String, Q] = Map(
     "cdc_chunk_stats" -> cdcChunkStats,
-    "cdc_containment" -> cdcContainment
+    "cdc_containment" -> cdcContainment,
+    "cdc_containment_index" -> cdcContainmentIndex
   )
 
+  /** The tok→chunk-id→digest CTE block under a name prefix, for
+    * oracles that chunk two relations.
+    */
+  private def chunkCtes(p: String, src: String): String = {
+    val bhash =
+      "CAST(" + Dedup.hex12ValSql("md5('cdc|' || w[i])", 1) + s" AS BIGINT) % $fixtureDivisor"
+    s"""${p}tok AS (
+       |  SELECT doc_id, i - 1 AS pos, w[i] AS word,
+       |    CASE WHEN $bhash = 0 THEN 1 ELSE 0 END AS boundary
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
+       |       LATERAL (SELECT unnest(generate_series(1, len(w))) AS i)),
+       |${p}cid AS (
+       |  SELECT doc_id, pos, word,
+       |    sum(boundary) OVER (PARTITION BY doc_id ORDER BY pos) - boundary AS chunk_id
+       |  FROM ${p}tok),
+       |${p}chunks AS (
+       |  SELECT DISTINCT doc_id, md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_digest
+       |  FROM ${p}cid GROUP BY doc_id, chunk_id)""".stripMargin
+  }
+
+  private[graft] lazy val containmentIndexOracle: String =
+    s"""WITH idx_docs AS (SELECT doc_id, text FROM documents WHERE $idxPred),
+       |arr AS (
+       |  SELECT doc_id, text FROM documents WHERE NOT ($idxPred)
+       |  UNION ALL
+       |  SELECT d.doc_id + $quoterBase2, d.text || ' ' || d2.text
+       |  FROM documents d JOIN documents d2 ON d2.doc_id = d.doc_id + 1
+       |  WHERE d.doc_id % 150 = 1
+       |  UNION ALL
+       |  SELECT doc_id + $copyBase, text FROM documents WHERE doc_id % 150 = 4),
+       |${chunkCtes("p_", "arr")},
+       |${chunkCtes("i_", "idx_docs")},
+       |psz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks_new FROM p_chunks GROUP BY doc_id),
+       |isz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks_idx FROM i_chunks GROUP BY doc_id),
+       |rare AS (SELECT chunk_digest FROM i_chunks GROUP BY chunk_digest HAVING count(*) <= 8),
+       |kept AS (SELECT c.* FROM i_chunks c JOIN rare USING (chunk_digest)),
+       |shared AS (
+       |  SELECT p.doc_id AS new_id, k.doc_id AS idx_id, CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM p_chunks p JOIN kept k ON p.chunk_digest = k.chunk_digest
+       |  GROUP BY p.doc_id, k.doc_id)
+       |SELECT s.new_id, s.idx_id, s.n_shared, pz.n_chunks_new, iz.n_chunks_idx,
+       |  CAST(s.n_shared * 1000000 // pz.n_chunks_new AS BIGINT) AS containment_new_micro,
+       |  CAST(s.n_shared * 1000000 // iz.n_chunks_idx AS BIGINT) AS containment_idx_micro
+       |FROM shared s
+       |JOIN psz pz ON pz.doc_id = s.new_id
+       |JOIN isz iz ON iz.doc_id = s.idx_id
+       |WHERE s.n_shared * 1000000 // pz.n_chunks_new >= 800000
+       |   OR s.n_shared * 1000000 // iz.n_chunks_idx >= 800000
+       |ORDER BY s.new_id, s.idx_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "cdc_containment_index" -> containmentIndexOracle,
     "cdc_containment" -> {
       val bhash =
         "CAST(" + Dedup.hex12ValSql("md5('cdc|' || w[i])", 1) + s" AS BIGINT) % $fixtureDivisor"

@@ -807,6 +807,51 @@ object StreamingIngest {
     * Per batch: one shingle pass + broadcast digest join; hit rows
     * append, nothing stateful accumulates.
     */
+  /** The CONTAINMENT screen as a stream — fourth member of the
+    * filters-as-streams family: the collected corpus's chunk-digest
+    * index is PERSISTED once, arriving micro-batches probe it in
+    * foreachBatch for quote/superset duplication in both directions.
+    * Per-doc pairs are pure in (doc, index) — the index is frozen, no
+    * new×new pairs — so the stream shares the batch probe's oracle.
+    */
+  def cdcContainmentStream(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Cdc
+    val base = java.nio.file.Files.createTempDirectory("graft_cdc_stream")
+    try {
+      val idxDir = base.resolve("chunk_index").toString
+      val src = base.resolve("src").toString
+      val out = base.resolve("pairs").toString
+      val ckpt = base.resolve("ckpt").toString
+      val (idx, arrivals) = Cdc.indexProbeInputs(s, d)
+      Cdc
+        .chunkIndex(idx, "doc_id", "text", Cdc.fixtureDivisor)
+        .repartition(1)
+        .write
+        .parquet(idxDir)
+      val index = s.read.parquet(idxDir)
+      arrivals.repartition(4, col("doc_id")).write.parquet(src)
+      s.readStream
+        .schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          Cdc
+            .containmentAgainstIndex(
+              batch, index, "doc_id", "text", Cdc.fixtureDivisor,
+              minContainmentMicro = 800000L, maxDocsPerChunk = 8)
+            .write
+            .mode("append")
+            .parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(out).orderBy("new_id", "idx_id").localCheckpoint(true)
+    } finally rmScratch(s, base)
+  }
+
   def decontaminateStream(s: SparkSession, d: String): DataFrame = {
     import graft.ops.Decontamination
     val base = java.nio.file.Files.createTempDirectory("graft_decon_stream")
@@ -899,6 +944,7 @@ object StreamingIngest {
           Some(graft.ops.Dedup.demoEvenMinhashIndex(s, d))
         )),
       "multimodal_stream_decode" -> multimodalStreamDecode,
+      "cdc_containment_stream" -> cdcContainmentStream,
       "dedup_stream_embedding" -> ((s, d) => embDedupStreamReplay(s, d)),
       "ann_pq_stream_serve" -> ((s, d) =>
         annStreamServe(
@@ -939,6 +985,9 @@ object StreamingIngest {
       // one-shot incremental probe of the same increment
       "dedup_stream_embedding" -> graft.ops.Similarity.oracles("dedup_incremental_embedding"),
       "dedup_stream_clusters" -> graft.ops.Dedup.incrementalClustersOracle,
+      // per-doc pairs are pure in (doc, frozen chunk index): the
+      // stream shares the batch containment probe's oracle
+      "cdc_containment_stream" -> graft.ops.Cdc.containmentIndexOracle,
       "events_stream_replay" ->
         """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
           |  CAST(count(*) AS BIGINT) AS n_events,

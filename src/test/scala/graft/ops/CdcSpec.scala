@@ -81,6 +81,32 @@ class CdcSpec extends SparkSpec {
     assert(j < 0.5, s"the pair must sit below the near-dup threshold: $j")
   }
 
+  test("containmentAgainstIndex flags both directions and equals the all-pairs route restricted to (new, index)") {
+    val small = words.trim.split(" ").take(24).mkString(" ")
+    val filler = (1 to 60).map(i => s"filler$i").mkString(" ")
+    val quoter = small + " " + filler.trim        // arriving doc CONTAINS index doc 1
+    val copy = small                              // arriving doc IS index doc 1
+    val other = "plainly unrelated content with its own vocabulary entirely here now"
+    val idxDocs = Seq((1L, small), (2L, other)).toDF("doc_id", "text")
+    val arrivals = Seq((10L, quoter), (11L, copy), (12L, "fresh words nothing shared at all"))
+      .toDF("doc_id", "text")
+    val out = Cdc
+      .containmentAgainstIndex(
+        arrivals, Cdc.chunkIndex(idxDocs, "doc_id", "text", 8),
+        "doc_id", "text", 8, minContainmentMicro = 500000L, maxDocsPerChunk = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("new_id"), r.getAs[Long]("idx_id")) ->
+        (r.getAs[Long]("containment_new_micro"), r.getAs[Long]("containment_idx_micro")))
+      .toMap
+    // quoter: index doc 1 is inside it (idx direction high, new direction low)
+    assert(out.contains((10L, 1L)), s"quoter must pair with its quoted index doc: $out")
+    assert(out((10L, 1L))._2 >= 500000L)
+    // copy: both directions complete
+    assert(out((11L, 1L)) == ((1000000L, 1000000L)))
+    // nothing pairs with the unrelated index doc or the fresh arrival
+    assert(!out.keys.exists(k => k._2 == 2L || k._1 == 12L))
+  }
+
   test("boilerplate chunks are capped out of pair generation") {
     // one chunk text shared by MANY docs would fan out quadratically;
     // with the cap at 3 occurrences it generates no pairs at all

@@ -453,6 +453,22 @@ class StreamingIngestSpec extends SparkSpec {
     assert(streamed == batch, "micro-batching must not change contamination flags")
   }
 
+  test("streamed containment probe equals the batch index probe exactly") {
+    val d = "/root/testdata/sf0.001"
+    val streamed = StreamingIngest
+      .cdcContainmentStream(spark, d)
+      .collect()
+      .map(_.toSeq)
+      .toSeq
+    val batch = graft.ops.Cdc
+      .cdcContainmentIndex(spark, d)
+      .collect()
+      .map(_.toSeq)
+      .toSeq
+    assert(streamed == batch, "micro-batching must not change containment pairs")
+    assert(batch.nonEmpty, "the seeded quoters/copies must flag something")
+  }
+
   test("streamed perplexity scores equal the batch route exactly") {
     val d = "/root/testdata/sf0.001"
     val streamed = StreamingIngest
