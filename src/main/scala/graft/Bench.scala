@@ -151,6 +151,9 @@ object Bench {
       // every rep persists the chunk-digest index and replays the
       // arrivals as micro-batches against it
       "cdc_containment_stream" -> "every_run",
+      // every rep trains + persists the importance model, then
+      // replays the corpus as micro-batches against it
+      "dsir_stream_weights" -> "every_run",
       // re-trains the merge table before encoding (the bpe family)
       "bpe_fertility" -> "every_run",
       // runs the full seven-stage pipeline to label each doc's

@@ -43,9 +43,9 @@ object DataSelection {
 
   /** Fixture knobs — the oracle replicates all three. Production
     * callers pass their own (the paper uses 10k buckets). */
-  private val fixtureBuckets = 64
+  private[graft] val fixtureBuckets = 64
   private val fixtureK = 100
-  private val targetPred = "lang = 'en'"
+  private[graft] val targetPred = "lang = 'en'"
 
   private val drawDenom = "281474976710656.0" // 2^48 as a double literal
 
@@ -121,16 +121,24 @@ object DataSelection {
     * partials. Output is every doc with its feature count and exact
     * integer log-weight.
     */
-  def importanceWeights(docs: DataFrame, targetFlag: Column, nBuckets: Int): DataFrame = {
-    val model = importanceModel(docs, targetFlag, nBuckets)
-    hashedFeatures(docs, targetFlag, nBuckets)
+  def importanceWeights(docs: DataFrame, targetFlag: Column, nBuckets: Int): DataFrame =
+    weightsAgainstModel(docs, importanceModel(docs, targetFlag, nBuckets), nBuckets)
+
+  /** Score any doc frame against a PREPARED importance model — the
+    * serving half of the artifact lifecycle (the unigram-model
+    * precedent): per-doc weights are a pure function of (doc, model),
+    * which is what lets the streaming route share the batch oracle.
+    * The model is nBuckets rows at any corpus size, so it broadcasts
+    * unconditionally.
+    */
+  def weightsAgainstModel(docs: DataFrame, model: DataFrame, nBuckets: Int): DataFrame =
+    hashedFeatures(docs, lit(false), nBuckets)
       .join(broadcast(model.select(col("bucket"), col("lambda_micro"))), "bucket")
       .groupBy("doc_id")
       .agg(
         count(lit(1)).cast("bigint").as("n_feats"),
         sum(col("lambda_micro")).cast("bigint").as("logw_micro")
       )
-  }
 
   /** Gumbel-top-k resample: rank docs by logw + Gumbel(doc_id) and
     * keep the top k — sampling-without-replacement ∝ exp(logw) as a

@@ -932,8 +932,52 @@ object StreamingIngest {
     } finally rmScratch(s, base)
   }
 
+  /** DSIR importance weighting as a stream — fifth filters-as-streams
+    * member: the nBuckets-row importance model is PERSISTED once (it
+    * is metadata-scale at any corpus size), arriving micro-batches
+    * score their hashed n-gram features against the loaded artifact in
+    * foreachBatch. Per-doc log-weights are pure in (doc, model), so
+    * the stream shares the batch dsir_weights oracle.
+    */
+  def dsirStreamWeights(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.DataSelection
+    val base = java.nio.file.Files.createTempDirectory("graft_dsir_stream")
+    try {
+      val modelDir = base.resolve("model").toString
+      val src = base.resolve("src").toString
+      val out = base.resolve("weights").toString
+      val ckpt = base.resolve("ckpt").toString
+      val docs = graft.ops.Fixtures.documents(s, d)
+      DataSelection
+        .importanceModel(docs, expr(DataSelection.targetPred), DataSelection.fixtureBuckets)
+        .repartition(1)
+        .write
+        .parquet(modelDir)
+      val model = s.read.parquet(modelDir)
+      docs.select("doc_id", "text").repartition(4, col("doc_id")).write.parquet(src)
+      s.readStream
+        .schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          DataSelection
+            .weightsAgainstModel(batch, model, DataSelection.fixtureBuckets)
+            .write
+            .mode("append")
+            .parquet(out)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(out).orderBy("doc_id").localCheckpoint(true)
+    } finally rmScratch(s, base)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "dsir_stream_weights" -> dsirStreamWeights,
       "nb_stream_scores" -> classifierStreamScores,
       "decontaminate_stream" -> decontaminateStream,
       "perplexity_stream_scores" -> perplexityStreamScores,
@@ -974,6 +1018,9 @@ object StreamingIngest {
       // per-doc NLL is pure in (doc, persisted model): shares the
       // batch perplexity oracle
       "perplexity_stream_scores" -> graft.ops.CorpusStats.oracles("perplexity_score"),
+      // per-doc log-weights are pure in (doc, persisted nBuckets-row
+      // model): shares the batch DSIR weights oracle
+      "dsir_stream_weights" -> graft.ops.DataSelection.oracles("dsir_weights"),
       "dedup_stream_replay" -> graft.ops.Dedup.oracles("dedup_incremental"),
       // streamed ≡ batched: the same mixed corpus through micro-batches
       // must hash-match the one-pass batch decode's oracle

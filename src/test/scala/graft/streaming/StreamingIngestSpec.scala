@@ -453,6 +453,21 @@ class StreamingIngestSpec extends SparkSpec {
     assert(streamed == batch, "micro-batching must not change contamination flags")
   }
 
+  test("streamed DSIR weights equal the batch route exactly") {
+    val d = "/root/testdata/sf0.001"
+    val streamed = StreamingIngest
+      .dsirStreamWeights(spark, d)
+      .collect()
+      .map(_.toSeq)
+      .toSeq
+    val batch = graft.ops.DataSelection
+      .dsirWeights(spark, d)
+      .collect()
+      .map(_.toSeq)
+      .toSeq
+    assert(streamed == batch, "micro-batching must not change importance weights")
+  }
+
   test("streamed containment probe equals the batch index probe exactly") {
     val d = "/root/testdata/sf0.001"
     val streamed = StreamingIngest
