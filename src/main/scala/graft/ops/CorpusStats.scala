@@ -439,7 +439,112 @@ object CorpusStats {
       .orderBy("lang")
   }
 
+  /** Corpus GROWTH curve — dedup saturation and vocabulary growth as
+    * the corpus accretes (Heaps'-law readout): arrival order bucketed
+    * into `nBuckets` equal id ranges; per bucket, how many documents
+    * were already-seen content (exact-dup non-keepers — the rate a
+    * crawl's marginal value decays at) and how many NEVER-seen tokens
+    * first appeared there. The curve is what capacity planning reads:
+    * a flattening new-token curve + rising dup rate says more crawl
+    * buys less data.
+    *
+    * Scale shape: keeper and first-appearance are both linear
+    * digest/token-keyed aggregates (the exactDedup shape); the bucket
+    * boundary needs only the 1-row max id (broadcast); the final
+    * aggregate is nBuckets rows. No windows, nothing corpus-sized on
+    * the driver.
+    */
+  def corpusGrowth(docs: DataFrame, idCol: String, textCol: String, nBuckets: Int): DataFrame = {
+    val ids = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val mx = ids.agg(max(col("doc_id")).as("max_id"))
+    val bucketed = ids
+      .crossJoin(broadcast(mx))
+      .withColumn("bucket", expr(s"doc_id div (max_id div $nBuckets + 1)").cast("bigint"))
+    val keep = bucketed
+      .withColumn("h", md5(col("text").cast("binary")))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("keep_id"))
+    val docAgg = bucketed
+      .withColumn("h", md5(col("text").cast("binary")))
+      .join(keep, "h")
+      .withColumn("is_dup", (col("doc_id") =!= col("keep_id")).cast("int").cast("long"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("is_dup")).cast("bigint").as("n_dup_docs")
+      )
+    val tokNew = ids
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("token"))
+      .groupBy(col("token"))
+      .agg(min(col("doc_id")).as("first_id"))
+      .crossJoin(broadcast(mx))
+      .withColumn("bucket", expr(s"first_id div (max_id div $nBuckets + 1)").cast("bigint"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).cast("bigint").as("n_new_tokens"))
+    docAgg
+      .join(tokNew, Seq("bucket"), "left")
+      .na.fill(0L, Seq("n_new_tokens"))
+      .withColumn("dup_micro", expr("n_dup_docs * 1000000 div n_docs"))
+      .select(
+        col("bucket"), col("n_docs"), col("n_dup_docs"), col("dup_micro"), col("n_new_tokens"))
+      .orderBy("bucket")
+  }
+
+  private val growthBuckets = 10
+
+  val corpusGrowthQ: Q = (s, d) => corpusGrowth(documents(s, d), "doc_id", "text", growthBuckets)
+
+  /** SOURCE CONCENTRATION datasheet — per language: how many sources
+    * feed it, which source dominates (by token mass, ties to the
+    * lexicographically first name), the dominant share, and the
+    * Shannon entropy of the source distribution in micro-nats. The
+    * governance screen for "is this language really one website":
+    * high top-share / low entropy says the corpus's apparent volume
+    * is one source's voice.
+    *
+    * Determinism discipline: each (lang, source) contributes ONE
+    * entropy term −p·ln(p) floored to integer micro-units (one float
+    * op per source, the NLL precedent — written in the same canonical
+    * order on both engines), and the per-language sum is integer.
+    * The only window runs over (lang, source) rows — source
+    * cardinality, never documents.
+    */
+  def sourceConcentration(docs: DataFrame, langCol: String, sourceCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perSrc = docs
+      .withColumn("n_toks", size(split(col("text"), " ")).cast("bigint"))
+      .groupBy(col(langCol).as("lang"), col(sourceCol).as("source"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"), sum(col("n_toks")).cast("bigint").as("toks"))
+    val w = Window.partitionBy(col("lang"))
+    perSrc
+      .withColumn("total_tokens", sum(col("toks")).over(w))
+      .withColumn(
+        "term_micro",
+        expr(
+          "CAST(floor(-(CAST(toks AS DOUBLE) / total_tokens) " +
+            "* ln(CAST(toks AS DOUBLE) / total_tokens) * 1000000) AS BIGINT)"
+        )
+      )
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_sources"),
+        first(col("total_tokens")).cast("bigint").as("total_tokens"),
+        min(struct((-col("toks")).as("nt"), col("source").as("src"))).as("m"),
+        sum(col("term_micro")).cast("bigint").as("entropy_micro")
+      )
+      .withColumn("top_source", col("m.src"))
+      .withColumn("top_share_micro", expr("(-m.nt) * 1000000 div total_tokens"))
+      .select(
+        col("lang"), col("n_sources"), col("total_tokens"), col("top_source"),
+        col("top_share_micro"), col("entropy_micro"))
+      .orderBy("lang")
+  }
+
+  val sourceConcentrationQ: Q = (s, d) => sourceConcentration(documents(s, d), "lang", "source")
+
   def queries: Map[String, Q] = Map(
+    "corpus_growth" -> corpusGrowthQ,
+    "source_concentration" -> sourceConcentrationQ,
     "corpus_datasheet" -> corpusDatasheet,
     "tfidf_top_terms" -> tfidfTopTerms,
     "perplexity_score" -> perplexityScore,
@@ -449,6 +554,52 @@ object CorpusStats {
   )
 
   def oracles: Map[String, String] = Map(
+    "corpus_growth" ->
+      s"""WITH mx AS (SELECT max(doc_id) AS max_id FROM documents),
+         |b AS (
+         |  SELECT d.doc_id, d.text, d.doc_id // (mx.max_id // $growthBuckets + 1) AS bucket
+         |  FROM documents d, mx),
+         |k AS (SELECT md5(text) AS h, min(doc_id) AS keep_id FROM documents GROUP BY md5(text)),
+         |da AS (
+         |  SELECT b.bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN b.doc_id <> k.keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs
+         |  FROM b JOIN k ON md5(b.text) = k.h GROUP BY b.bucket),
+         |tok AS (
+         |  SELECT token, min(doc_id) AS first_id
+         |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+         |        FROM documents)
+         |  GROUP BY token),
+         |tn AS (
+         |  SELECT tok.first_id // (mx.max_id // $growthBuckets + 1) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n_new_tokens
+         |  FROM tok, mx GROUP BY 1)
+         |SELECT da.bucket, da.n_docs, da.n_dup_docs,
+         |  CAST(da.n_dup_docs * 1000000 // da.n_docs AS BIGINT) AS dup_micro,
+         |  CAST(coalesce(tn.n_new_tokens, 0) AS BIGINT) AS n_new_tokens
+         |FROM da LEFT JOIN tn USING (bucket) ORDER BY da.bucket""".stripMargin,
+    "source_concentration" ->
+      """WITH ps AS (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+        |  FROM documents GROUP BY lang, source),
+        |e AS (
+        |  SELECT *,
+        |    CAST(sum(toks) OVER (PARTITION BY lang) AS BIGINT) AS total_tokens
+        |  FROM ps),
+        |t AS (
+        |  SELECT *,
+        |    CAST(floor(-(CAST(toks AS DOUBLE) / total_tokens)
+        |               * ln(CAST(toks AS DOUBLE) / total_tokens) * 1000000) AS BIGINT)
+        |      AS term_micro,
+        |    row_number() OVER (PARTITION BY lang ORDER BY toks DESC, source ASC) AS rn
+        |  FROM e)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_sources,
+        |  CAST(min(total_tokens) AS BIGINT) AS total_tokens,
+        |  min(CASE WHEN rn = 1 THEN source END) AS top_source,
+        |  CAST(min(CASE WHEN rn = 1 THEN toks END) * 1000000 // min(total_tokens) AS BIGINT)
+        |    AS top_share_micro,
+        |  CAST(sum(term_micro) AS BIGINT) AS entropy_micro
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "corpus_datasheet" -> {
       val stop = TextAnalysis.stopList
       s"""WITH t AS (

@@ -120,12 +120,72 @@ object DeltaSync {
       .orderBy("o_orderkey")
   }
 
+  /** SNAPSHOT DIFF audit — what changed between two corpus versions
+    * (the review a sync/merge run cites): every doc id labeled added /
+    * removed / changed / unchanged by key-presence + content-hash
+    * comparison. One full-outer join on the id carrying 16-byte
+    * hashes, never row content; statuses are a pure function of the
+    * two snapshots, so the view works for any (id, content) pair of
+    * frames — corpus crawls, migrated tables, index generations.
+    */
+  def snapshotDiff(
+      old: DataFrame,
+      newer: DataFrame,
+      idCol: String,
+      contentCol: String
+  ): DataFrame = {
+    val o = old.select(col(idCol).as("id"), md5(col(contentCol).cast("binary")).as("oh"))
+    val n = newer.select(col(idCol).as("id"), md5(col(contentCol).cast("binary")).as("nh"))
+    o.join(n, Seq("id"), "full_outer")
+      .withColumn(
+        "status",
+        when(col("oh").isNull, "added")
+          .when(col("nh").isNull, "removed")
+          .when(col("oh") === col("nh"), "unchanged")
+          .otherwise(lit("changed"))
+      )
+      .select(col("id").as("doc_id"), col("status"))
+  }
+
+  /** Fixture versions: the old snapshot is the even docs verbatim;
+    * the new snapshot keeps docs with id % 3 ≠ 0 and rewrites the
+    * text of every id % 5 = 0 survivor (a re-crawl edit). So an even
+    * id divisible by 3 reads `removed`, an odd id not divisible by 3
+    * reads `added`, an even % 5 survivor reads `changed`.
+    */
+  val snapshotDiffQ: Q = (s, d) => {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val old = docs.filter(col("doc_id") % 2 === 0)
+    val newer = docs
+      .filter(col("doc_id") % 3 =!= 0)
+      .withColumn(
+        "text",
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2"))).otherwise(col("text"))
+      )
+    snapshotDiff(old, newer, "doc_id", "text").orderBy("doc_id")
+  }
+
   def queries: Map[String, Q] = Map(
     "delta_merge_upsert" -> mergeUpsert,
-    "delta_merge_intersect" -> mergeIntersectUpsert
+    "delta_merge_intersect" -> mergeIntersectUpsert,
+    "snapshot_diff" -> snapshotDiffQ
   )
 
   def oracles: Map[String, String] = Map(
+    "snapshot_diff" ->
+      """WITH o AS (
+        |  SELECT doc_id AS id, md5(text) AS oh FROM documents WHERE doc_id % 2 = 0),
+        |n AS (
+        |  SELECT doc_id AS id,
+        |    md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS nh
+        |  FROM documents WHERE doc_id % 3 <> 0)
+        |SELECT coalesce(o.id, n.id) AS doc_id,
+        |  CASE WHEN o.oh IS NULL THEN 'added'
+        |       WHEN n.nh IS NULL THEN 'removed'
+        |       WHEN o.oh = n.nh THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.id = n.id
+        |ORDER BY doc_id""".stripMargin,
     "delta_merge_upsert" ->
       """WITH tgt AS (SELECT * FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
         |wm AS (SELECT max(o_orderdate) AS m FROM tgt),

@@ -47,6 +47,17 @@ class DeltaSyncSpec extends SparkSpec {
     }
   }
 
+  test("snapshotDiff labels added/removed/changed/unchanged from key presence + content hash") {
+    val old = Seq((1L, "same"), (2L, "before"), (3L, "gone")).toDF("doc_id", "text")
+    val newer = Seq((1L, "same"), (2L, "after"), (4L, "fresh")).toDF("doc_id", "text")
+    val out = DeltaSync
+      .snapshotDiff(old, newer, "doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("status"))
+      .toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
   test("deltaRows: watermark is inclusive (re-imports the boundary row)") {
     val src = Seq((1L, 10), (2L, 20), (3L, 30)).toDF("id", "ts")
     val tgt = Seq((1L, 10), (2L, 20)).toDF("id", "ts")

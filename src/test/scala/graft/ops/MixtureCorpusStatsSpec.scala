@@ -373,6 +373,41 @@ class MixtureCorpusStatsSpec extends SparkSpec {
     assert(plan("b") == ((4L, 0L, 4000L, 2000L)), s"b: ${plan("b")}") // capped, 2000-token shortfall
   }
 
+  test("corpusGrowth: dup docs land in their arrival bucket, new tokens in their first bucket") {
+    // 20 docs, max id 19 → width = 19 div 2 + 1 = 10: bucket 0 = ids
+    // 0..9 (unique texts), bucket 1 = ids 10..19 (verbatim repeats).
+    val docs = (0L to 19L).map(i => (i, s"tok${i % 10} shared")).toDF("doc_id", "text")
+    val out = CorpusStats
+      .corpusGrowth(docs, "doc_id", "text", 2)
+      .collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_dup_docs"), r.getAs[Long]("n_new_tokens")))
+      .toMap
+    assert(out(0L) == ((10L, 0L, 11L))) // tok0..tok9 + 'shared' first-appear here
+    assert(out(1L) == ((10L, 10L, 0L))) // all repeats, no new tokens
+  }
+
+  test("sourceConcentration: single-source language reads entropy 0 / share 10^6; even split maximal") {
+    val docs = Seq(
+      (1L, "mono", "only", "a b c"),
+      (2L, "mono", "only", "d e"),
+      (3L, "duo", "s1", "w w w w"),
+      (4L, "duo", "s2", "x x x x")
+    ).toDF("doc_id", "lang", "source", "text")
+    val out = CorpusStats
+      .sourceConcentration(docs, "lang", "source")
+      .collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_sources"), r.getAs[String]("top_source"),
+          r.getAs[Long]("top_share_micro"), r.getAs[Long]("entropy_micro")))
+      .toMap
+    assert(out("mono") == ((1L, "only", 1000000L, 0L)))
+    val (nSrc, top, share, ent) = out("duo")
+    assert(nSrc == 2L && top == "s1" && share == 500000L) // tie on tokens → lexicographic
+    // even 2-way split: entropy = ln 2 ≈ 0.693147 nats; two floored halves
+    assert(ent >= 693145L && ent <= 693148L, s"entropy $ent")
+  }
+
   test("epoch expand repeats every doc exactly epochs times plus the sampled extra copy") {
     import org.apache.spark.sql.functions._
     val docs = (1L to 40L).map(i => (i, "a", "x y z")).toDF("doc_id", "lang", "text")
