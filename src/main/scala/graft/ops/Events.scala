@@ -214,7 +214,57 @@ object Events {
 
   val eventsAnomaly: Q = (s, d) => anomalyFromHourly(hourlyCounts(events(s, d)))
 
+  /** Event-type TRANSITION matrix (first-order Markov counts): per
+    * user, each event's successor in (ts, event_id) order, aggregated
+    * corpus-wide to (from, to, count, within-from share). The
+    * behavioral-analytics staple next to sessions/funnels — "what do
+    * users do after X". The lead window partitions per user (balanced
+    * by construction); the share window runs over the |types|²
+    * transition matrix, never events.
+    */
+  val eventsTransitions: Q = (s, d) => {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    events(s, d)
+      .withColumn("ts_us", expr("ts_nanos div 1000"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).cast("bigint").as("n"))
+      .withColumn(
+        "from_total",
+        sum(col("n")).over(Window.partitionBy(col("event_type")))
+      )
+      .withColumn("share_micro", expr("n * 1000000 div from_total"))
+      .select(
+        col("event_type").as("from_type"), col("next_type").as("to_type"),
+        col("n"), col("share_micro"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** COHORT RETENTION: users grouped by their first-activity day, and
+    * for each (cohort day, days-since) how many of them were active —
+    * the retention triangle. Activity collapses to distinct (user,
+    * day) first (one linear dedup), cohorts are a per-user min, and
+    * the triangle aggregate is (days × days)-sized. All integer
+    * arithmetic on epoch-day buckets.
+    */
+  val eventsRetention: Q = (s, d) => {
+    val act = events(s, d)
+      .withColumn("day", expr("ts_nanos div 1000 div 86400000000"))
+      .select(col("user_id"), col("day"))
+      .distinct()
+    val cohort = act.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    act
+      .join(cohort, "user_id")
+      .withColumn("day_offset", (col("day") - col("cohort_day")).cast("bigint"))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).cast("bigint").as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   def queries: Map[String, Q] = Map(
+    "events_transitions" -> eventsTransitions,
+    "events_retention" -> eventsRetention,
     "events_anomaly" -> eventsAnomaly,
     "events_window_counts" -> eventsWindowCounts,
     "events_sessions" -> eventsSessions,
@@ -225,6 +275,27 @@ object Events {
   )
 
   def oracles: Map[String, String] = Map(
+    "events_transitions" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY epoch_us(ts), event_id) AS next_type
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type AS from_type, next_type AS to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM t WHERE next_type IS NOT NULL GROUP BY event_type, next_type),
+        |s AS (SELECT *, CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS ft FROM g)
+        |SELECT from_type, to_type, n, CAST(n * 1000000 // ft AS BIGINT) AS share_micro
+        |FROM s ORDER BY from_type, to_type""".stripMargin,
+    "events_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id)
+        |SELECT c.cohort_day, CAST(a.day - c.cohort_day AS BIGINT) AS day_offset,
+        |  CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        |FROM act a JOIN c USING (user_id)
+        |GROUP BY c.cohort_day, a.day - c.cohort_day
+        |ORDER BY cohort_day, day_offset""".stripMargin,
     "events_anomaly" ->
       """WITH h AS (
         |  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_bucket,

@@ -1197,7 +1197,57 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** EMBEDDING-DISTRIBUTION DRIFT between two corpus generations —
+    * the data-side twin of the PQ codebook drift report: per label,
+    * the cosine between the old half's centroid and the new half's
+    * centroid. A label whose centroid moved is a class whose content
+    * shifted between crawls — the signal that retrains the IVF/PQ
+    * models and re-audits the mixture before the next training run.
+    *
+    * Determinism discipline: per-(label, half, dimension) centroids
+    * are component means ROUNDED to 6 decimals (the fused-cosine
+    * oracle convention — summation-order noise is ~1e-14 relative,
+    * nine orders below the round), and the final cosine of the two
+    * rounded centroids rounds to 6 again. Everything between the two
+    * rounds is arithmetic over dim-sized relations.
+    *
+    * Scale shape: one posexplode pass → (label × half × dim)-sized
+    * aggregate; the centroid join and cosine run over label × dim
+    * rows — metadata scale. Vectors never pair with vectors.
+    */
+  def embeddingDrift(emb: DataFrame, idCol: String, vecCol: String, labelCol: String): DataFrame = {
+    val comps = emb
+      .select(
+        col(labelCol).cast("bigint").as("label"),
+        when(col(idCol) % 2 === 0, "old").otherwise("new").as("half"),
+        posexplode(col(vecCol)).as(Seq("pos", "x"))
+      )
+      .groupBy(col("label"), col("half"), col("pos"))
+      .agg(round(avg(col("x")), 6).as("c"), count(lit(1)).cast("bigint").as("n"))
+    val o = comps
+      .filter(col("half") === "old")
+      .select(col("label"), col("pos"), col("c").as("co"), col("n").as("n_old"))
+    val nw = comps
+      .filter(col("half") === "new")
+      .select(col("label"), col("pos"), col("c").as("cn"), col("n").as("n_new"))
+    o.join(nw, Seq("label", "pos"))
+      .groupBy(col("label"))
+      .agg(
+        min(col("n_old")).cast("bigint").as("n_old"),
+        min(col("n_new")).cast("bigint").as("n_new"),
+        sum(col("co") * col("cn")).as("dot"),
+        sum(col("co") * col("co")).as("no"),
+        sum(col("cn") * col("cn")).as("nn")
+      )
+      .withColumn("cos_sim", round(col("dot") / (sqrt(col("no")) * sqrt(col("nn"))), 6))
+      .select(col("label"), col("n_old"), col("n_new"), col("cos_sim"))
+      .orderBy("label")
+  }
+
+  val embeddingDriftQ: Q = (s, d) => embeddingDrift(embeddings(s, d), "vec_id", "embedding", "label")
+
   def queries: Map[String, Q] = Map(
+    "embedding_drift" -> embeddingDriftQ,
     "embedding_quality" -> embeddingQuality,
     "dedup_semantic" -> dedupSemantic,
     "ann_cosine_topk" -> annCosineTopk,
@@ -1229,6 +1279,22 @@ object Similarity {
       .mkString(" + ")
 
   def oracles: Map[String, String] = Map(
+    "embedding_drift" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |                  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |h AS (
+        |  SELECT label, CASE WHEN vec_id % 2 = 0 THEN 'old' ELSE 'new' END AS half, v FROM e),
+        |c AS (
+        |  SELECT label, half, i AS pos, round(avg(v[i]), 6) AS c, CAST(count(*) AS BIGINT) AS n
+        |  FROM h, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i)
+        |  GROUP BY label, half, i),
+        |o AS (SELECT label, pos, c AS co, n AS n_old FROM c WHERE half = 'old'),
+        |nw AS (SELECT label, pos, c AS cn, n AS n_new FROM c WHERE half = 'new'),
+        |j AS (SELECT o.label, o.n_old, nw.n_new, o.co, nw.cn
+        |      FROM o JOIN nw ON o.label = nw.label AND o.pos = nw.pos)
+        |SELECT label, CAST(min(n_old) AS BIGINT) AS n_old, CAST(min(n_new) AS BIGINT) AS n_new,
+        |  round(sum(co * cn) / (sqrt(sum(co * co)) * sqrt(sum(cn * cn))), 6) AS cos_sim
+        |FROM j GROUP BY label ORDER BY label""".stripMargin,
     "embedding_quality" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |w AS (

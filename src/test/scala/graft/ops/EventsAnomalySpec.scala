@@ -42,4 +42,33 @@ class EventsAnomalySpec extends SparkSpec {
     assert(out.nonEmpty)
     assert(out.forall(_.getAs[Long]("n") < 3000000000L / 1000))
   }
+
+  test("transition matrix: shares partition each from-type; pair mass = events minus one per user") {
+    val d = "/root/testdata/sf0.001"
+    val rows = Events.eventsTransitions(spark, d).collect()
+    assert(rows.nonEmpty)
+    // Σn over the matrix = Σ_users (events_u − 1)
+    val ev = Fixtures.events(spark, d)
+    val perUser = ev.groupBy("user_id").count().collect().map(_.getLong(1))
+    assert(rows.map(_.getAs[Long]("n")).sum == perUser.map(_ - 1).sum)
+    // shares within a from_type sum to ≤ 10^6 with only floor loss
+    rows.groupBy(_.getAs[String]("from_type")).foreach { case (_, g) =>
+      val s = g.map(_.getAs[Long]("share_micro")).sum
+      assert(s <= 1000000L && s > 1000000L - g.length, s"share sum $s over ${g.length} cells")
+    }
+  }
+
+  test("retention triangle: offset-0 equals cohort size; no offset exceeds it; cohorts cover all users") {
+    val d = "/root/testdata/sf0.001"
+    val rows = Events.eventsRetention(spark, d).collect()
+    assert(rows.nonEmpty)
+    val byCohort = rows.groupBy(_.getAs[Long]("cohort_day"))
+    val nUsers = Fixtures.events(spark, d).select("user_id").distinct().count()
+    assert(byCohort.values.map(_.find(_.getAs[Long]("day_offset") == 0L).get.getAs[Long]("n_users")).sum == nUsers,
+      "every user appears in exactly one cohort at offset 0")
+    byCohort.values.foreach { g =>
+      val base = g.find(_.getAs[Long]("day_offset") == 0L).get.getAs[Long]("n_users")
+      g.foreach(r => assert(r.getAs[Long]("n_users") <= base, "retention cannot exceed cohort size"))
+    }
+  }
 }

@@ -448,4 +448,23 @@ class SimilarityIvfSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan.take(2000))
   }
+
+  test("embeddingDrift: orthogonal halves read cosine 0, identical halves cosine 1") {
+    import spark.implicits._
+    // label 0: old vectors along e1, new along e2 -> centroid cosine 0;
+    // label 1: both halves identical -> cosine 1
+    val emb = Seq(
+      (0L, 0, Array(1f, 0f)), (2L, 0, Array(3f, 0f)),   // old, label 0
+      (1L, 0, Array(0f, 2f)), (3L, 0, Array(0f, 1f)),   // new, label 0
+      (4L, 1, Array(1f, 1f)), (5L, 1, Array(1f, 1f))
+    ).toDF("vec_id", "label", "embedding")
+    val out = Similarity
+      .embeddingDrift(emb, "vec_id", "embedding", "label")
+      .collect()
+      .map(r => r.getAs[Long]("label") ->
+        (r.getAs[Long]("n_old"), r.getAs[Long]("n_new"), r.getAs[Double]("cos_sim")))
+      .toMap
+    assert(out(0L) == ((2L, 2L, 0.0)))
+    assert(out(1L) == ((1L, 1L, 1.0)))
+  }
 }
