@@ -542,7 +542,57 @@ object CorpusStats {
 
   val sourceConcentrationQ: Q = (s, d) => sourceConcentration(documents(s, d), "lang", "source")
 
+  /** PMI collocations — the top-k word pairs by pointwise mutual
+    * information, PMI(w₁,w₂) = ln(p(w₁w₂) / (p(w₁)p(w₂))), with a
+    * minimum pair count (rare pairs have unreliable PMI and would
+    * dominate the ranking): the classic collocation-extraction stat
+    * (Church & Hanks 1990) a corpus linguistics review or a
+    * tokenizer-vocab audit reads.
+    *
+    * Determinism: one ln per SURVIVING bigram type over an argument
+    * assembled in one canonical operation order on both engines,
+    * floored to integer micro-nats; the top-k is a total order
+    * (pmi desc, pair asc) planned as TakeOrderedAndProject. Counts
+    * are linear token/bigram aggregates; the 1-row totals broadcast.
+    */
+  def pmiTopPairs(docs: DataFrame, textCol: String, minCount: Long, k: Int): DataFrame = {
+    val words = docs.select(split(col(textCol), " ").as("w"))
+    val toks = words.select(explode(col("w")).as("t"))
+    val uni = toks.groupBy(col("t")).agg(count(lit(1)).cast("bigint").as("c"))
+    val n1 = toks.agg(count(lit(1)).cast("bigint").as("n1"))
+    val bg = words
+      .filter(size(col("w")) >= 2)
+      .select(
+        explode(expr("transform(sequence(0, size(w) - 2), i -> named_struct('w1', w[i], 'w2', w[i + 1]))"))
+          .as("b")
+      )
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val nb = bg.agg(count(lit(1)).cast("bigint").as("nb"))
+    bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("bigint").as("c12"))
+      .filter(col("c12") >= minCount)
+      .join(uni.select(col("t").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("t").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(n1))
+      .crossJoin(broadcast(nb))
+      .withColumn(
+        "pmi_micro",
+        expr(
+          "CAST(floor(ln(((((CAST(c12 AS DOUBLE) * n1) * n1) / nb) / c1) / c2) * 1000000) AS BIGINT)"
+        )
+      )
+      .orderBy(desc("pmi_micro"), asc("w1"), asc("w2"))
+      .limit(k)
+      .select(col("w1"), col("w2"), col("c12"), col("pmi_micro"))
+  }
+
+  private val pmiMinCount = 5L
+  private val pmiK = 50
+
+  val pmiTopPairsQ: Q = (s, d) => pmiTopPairs(documents(s, d), "text", pmiMinCount, pmiK)
+
   def queries: Map[String, Q] = Map(
+    "pmi_top_pairs" -> pmiTopPairsQ,
     "corpus_growth" -> corpusGrowthQ,
     "source_concentration" -> sourceConcentrationQ,
     "corpus_datasheet" -> corpusDatasheet,
@@ -554,6 +604,25 @@ object CorpusStats {
   )
 
   def oracles: Map[String, String] = Map(
+    "pmi_top_pairs" ->
+      s"""WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
+         |toks AS (SELECT unnest(w) AS t FROM ws),
+         |uni AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY t),
+         |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM toks),
+         |bg AS (
+         |  SELECT w[i] AS w1, w[i + 1] AS w2
+         |  FROM ws, LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i)
+         |  WHERE len(w) >= 2),
+         |bi AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bg)
+         |SELECT b.w1, b.w2, b.c12,
+         |  CAST(floor(ln(((((CAST(b.c12 AS DOUBLE) * n1.n1) * n1.n1) / nb.nb) / u1.c) / u2.c)
+         |             * 1000000) AS BIGINT) AS pmi_micro
+         |FROM bi b
+         |JOIN uni u1 ON u1.t = b.w1
+         |JOIN uni u2 ON u2.t = b.w2, n1, nb
+         |WHERE b.c12 >= $pmiMinCount
+         |ORDER BY pmi_micro DESC, w1 ASC, w2 ASC LIMIT $pmiK""".stripMargin,
     "corpus_growth" ->
       s"""WITH mx AS (SELECT max(doc_id) AS max_id FROM documents),
          |b AS (

@@ -126,7 +126,11 @@ object TextAnalysis {
     */
   private val winnowW = 4
 
-  val docWinnow: Q = (s, d) => {
+  /** The distinct per-doc winnow selection set (doc_id, n_kgrams, fph)
+    * — [[docWinnow]]'s selection stage, factored so the pair route
+    * reuses the identical fingerprints.
+    */
+  private[ops] def winnowSelections(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy(col("doc_id"))
     val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos")).rowsBetween(0, winnowW - 1)
@@ -137,7 +141,7 @@ object TextAnalysis {
     // posexplode shape paid that 4× at sf0.1 (7.3 s vs 1.7 s measured)
     // while the struct-explode shape stays on the fast path
     val kg = Dedup
-      .shingleArrays(documents(s, d), "doc_id", "text")
+      .shingleArrays(docs, "doc_id", "text")
       .select(
         col("doc_id"),
         explode(expr("transform(shingles, (x, i) -> named_struct('pos', i, 'g', x))")).as("sg")
@@ -148,13 +152,16 @@ object TextAnalysis {
         expr("CAST(conv(substring(md5(cast(concat('win|', g) as binary)), 1, 12), 16, 10) AS BIGINT)")
       )
       .withColumn("key", col("h") * 32768L + (lit(32767L) - pmod(col("pos"), lit(32768L))))
-    val sel = kg
+    kg
       .withColumn("n", count(lit(1)).over(byDoc))
       .withColumn("wmin", min(col("key")).over(frame))
       .filter(col("pos") <= greatest(lit(0L), col("n") - winnowW))
       .select(col("doc_id"), col("n").as("n_kgrams"), expr("wmin div 32768").as("fph"))
       .distinct()
-    sel
+  }
+
+  val docWinnow: Q = (s, d) =>
+    winnowSelections(documents(s, d))
       .groupBy(col("doc_id"), col("n_kgrams"))
       .agg(
         count(lit(1)).cast("bigint").as("n_fp"),
@@ -164,7 +171,65 @@ object TextAnalysis {
       )
       .select("doc_id", "n_kgrams", "n_fp", "fp_xor", "fp_min", "fp_max")
       .orderBy("doc_id")
+
+  /** WINNOW-PAIR near-dup detection (the MOSS recipe, corpus scale):
+    * documents sharing selected winnow fingerprints pair on the
+    * fingerprint hash, scored by shared count over the SMALLER
+    * selection set (containment-flavored, so a doc whose selections
+    * are mostly inside another's flags even when lengths differ).
+    * Robust to paragraph REORDERING, which defeats both fixed-k span
+    * digests (order-sensitive windows) and CDC containment less than
+    * position-free selections do.
+    *
+    * Scale guards mirror the blocked-Jaccard route: fingerprints held
+    * by more than `maxDocsPerFp` docs are boilerplate and leave pair
+    * generation; the remaining equi-join is occurrence-bounded and
+    * carries 48-bit hashes, never text.
+    */
+  def winnowPairs(docs: DataFrame, minOverlapMicro: Long, maxDocsPerFp: Int): DataFrame = {
+    val sel = winnowSelections(docs).select(col("doc_id"), col("fph"))
+    val sizes = sel.groupBy(col("doc_id")).agg(count(lit(1)).cast("bigint").as("n_fp"))
+    val rare = sel
+      .groupBy(col("fph"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") <= maxDocsPerFp)
+      .select("fph")
+    val kept = sel.join(rare, "fph")
+    kept
+      .select(col("doc_id").as("doc_a"), col("fph"))
+      .join(kept.select(col("doc_id").as("doc_b"), col("fph")), "fph")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).cast("bigint").as("n_shared"))
+      .join(
+        sizes.select(col("doc_id").as("doc_a"), col("n_fp").as("n_fp_a")), "doc_a")
+      .join(
+        sizes.select(col("doc_id").as("doc_b"), col("n_fp").as("n_fp_b")), "doc_b")
+      .withColumn("overlap_micro", expr("n_shared * 1000000 div least(n_fp_a, n_fp_b)"))
+      .filter(col("overlap_micro") >= minOverlapMicro)
+      .select(
+        col("doc_a"), col("doc_b"), col("n_shared"), col("n_fp_a"), col("n_fp_b"),
+        col("overlap_micro"))
   }
+
+  val dedupWinnowPairs: Q = (s, d) =>
+    winnowPairs(documents(s, d), minOverlapMicro = 500000L, maxDocsPerFp = 8)
+      .orderBy("doc_a", "doc_b")
+
+  /** Language-ID CONFUSION matrix — the evaluation view for the
+    * heuristic classifier: declared label × predicted label counts
+    * (the aggregate accuracy table is lang_id_heuristic; this is the
+    * per-cell view error analysis reads). Stateless projection + a
+    * (langs × preds)-sized aggregate.
+    */
+  val langIdConfusion: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_en", expr(s"CAST(size(filter(toks, w -> w IN ($stopList))) AS BIGINT)"))
+      .withColumn("pred", when(col("n_en") > 0, "en").otherwise("unknown"))
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"))
+      .orderBy("lang", "pred")
 
   /** Canonical text normalization — the CCNet-style pre-dedup pass
     * (lowercase, strip non-alphanumerics to spaces, collapse runs,
@@ -351,6 +416,8 @@ object TextAnalysis {
     "gopher_rules" -> gopherRules,
     "markup_strip" -> markupStrip,
     "doc_winnow" -> docWinnow,
+    "dedup_winnow_pairs" -> dedupWinnowPairs,
+    "lang_id_confusion" -> langIdConfusion,
     "text_normalize" -> textNormalize,
     "text_stats" -> textStats,
     "token_count" -> tokenCount,
@@ -358,6 +425,33 @@ object TextAnalysis {
     "doc_fingerprint" -> docFingerprint,
     "top_tokens_per_lang" -> topTokensPerLang
   )
+
+  /** The winnow selection CTE chain up to `sel` (doc_id, n_kgrams,
+    * fph) — shared by the doc_winnow and dedup_winnow_pairs oracles.
+    */
+  private lazy val winnowSelSql: String = {
+    val hSql = "CAST(" + Dedup.hex12ValSql("md5('win|' || g)", 1) + " AS BIGINT)"
+    s"""base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |idx AS (
+       |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM base),
+       |kg AS (
+       |  SELECT doc_id, i - 1 AS pos,
+       |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+       |  FROM idx),
+       |keyed AS (
+       |  SELECT doc_id, pos,
+       |    ($hSql) * 32768 + (32767 - (pos % 32768)) AS key
+       |  FROM kg),
+       |win AS (
+       |  SELECT doc_id, pos,
+       |    CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n,
+       |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${winnowW - 1} FOLLOWING) AS wmin
+       |  FROM keyed),
+       |sel AS (
+       |  SELECT DISTINCT doc_id, n AS n_kgrams, wmin // 32768 AS fph
+       |  FROM win WHERE pos <= greatest(0, n - $winnowW))""".stripMargin
+  }
 
   def oracles: Map[String, String] = Map(
     "gopher_rules" -> {
@@ -434,35 +528,37 @@ object TextAnalysis {
         |SELECT doc_id, norm_text,
         |  CAST(CASE WHEN length(noisy) <> length(norm_text) THEN 1 ELSE 0 END AS BIGINT) AS changed
         |FROM n ORDER BY doc_id""".stripMargin,
-    "doc_winnow" -> {
-      val hSql = "CAST(" + Dedup.hex12ValSql("md5('win|' || g)", 1) + " AS BIGINT)"
-      s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |idx AS (
-         |  SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM base),
-         |kg AS (
-         |  SELECT doc_id, i - 1 AS pos,
-         |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
-         |  FROM idx),
-         |keyed AS (
-         |  SELECT doc_id, pos,
-         |    ($hSql) * 32768 + (32767 - (pos % 32768)) AS key
-         |  FROM kg),
-         |win AS (
-         |  SELECT doc_id, pos,
-         |    CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n,
-         |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN CURRENT ROW AND ${winnowW - 1} FOLLOWING) AS wmin
-         |  FROM keyed),
-         |sel AS (
-         |  SELECT DISTINCT doc_id, n AS n_kgrams, wmin // 32768 AS fph
-         |  FROM win WHERE pos <= greatest(0, n - $winnowW))
+    "doc_winnow" ->
+      s"""WITH $winnowSelSql
          |SELECT doc_id, n_kgrams,
          |  CAST(count(*) AS BIGINT) AS n_fp,
          |  CAST(bit_xor(fph) AS BIGINT) AS fp_xor,
          |  CAST(min(fph) AS BIGINT) AS fp_min,
          |  CAST(max(fph) AS BIGINT) AS fp_max
-         |FROM sel GROUP BY doc_id, n_kgrams ORDER BY doc_id""".stripMargin
-    },
+         |FROM sel GROUP BY doc_id, n_kgrams ORDER BY doc_id""".stripMargin,
+    "dedup_winnow_pairs" ->
+      s"""WITH $winnowSelSql,
+         |s2 AS (SELECT DISTINCT doc_id, fph FROM sel),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM s2 GROUP BY doc_id),
+         |rare AS (SELECT fph FROM s2 GROUP BY fph HAVING count(*) <= 8),
+         |kept AS (SELECT s2.* FROM s2 JOIN rare USING (fph)),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM kept a JOIN kept b ON a.fph = b.fph AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT p.doc_a, p.doc_b, p.n_shared, sa.n_fp AS n_fp_a, sb.n_fp AS n_fp_b,
+         |  CAST(p.n_shared * 1000000 // least(sa.n_fp, sb.n_fp) AS BIGINT) AS overlap_micro
+         |FROM pairs p
+         |JOIN sizes sa ON sa.doc_id = p.doc_a
+         |JOIN sizes sb ON sb.doc_id = p.doc_b
+         |WHERE p.n_shared * 1000000 // least(sa.n_fp, sb.n_fp) >= 500000
+         |ORDER BY p.doc_a, p.doc_b""".stripMargin,
+    "lang_id_confusion" ->
+      s"""SELECT lang,
+         |  CASE WHEN len(list_filter(string_split(text, ' '), w -> w IN ($stopList))) > 0
+         |       THEN 'en' ELSE 'unknown' END AS pred,
+         |  CAST(count(*) AS BIGINT) AS n_docs
+         |FROM documents GROUP BY 1, 2 ORDER BY lang, pred""".stripMargin,
     "text_stats" ->
       s"""SELECT doc_id, lang,
          |  CAST(length(text) AS BIGINT) AS n_chars2,

@@ -408,6 +408,25 @@ class MixtureCorpusStatsSpec extends SparkSpec {
     assert(ent >= 693145L && ent <= 693148L, s"entropy $ent")
   }
 
+  test("pmiTopPairs ranks an always-together pair above independent frequent words") {
+    // 'left right' always co-occur (10 times); 'and'/'also' are frequent
+    // but appear in independent contexts → much lower PMI
+    val glued = (1 to 10).map(_ => "left right").mkString(" and ")
+    val indep = (1 to 10).map(i => s"and w$i also u$i").mkString(" ")
+    val docs = Seq((1L, glued), (2L, indep)).toDF("doc_id", "text")
+    val out = CorpusStats.pmiTopPairs(docs, "text", minCount = 5L, k = 10).collect()
+    assert(out.nonEmpty)
+    val top = out.head
+    assert((top.getAs[String]("w1"), top.getAs[String]("w2")) == (("left", "right")))
+    assert(top.getAs[Long]("pmi_micro") > 0L)
+    val pmis = out
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2")) -> r.getAs[Long]("pmi_micro"))
+      .toMap
+    pmis.filter(_._1 != (("left", "right"))).values.foreach { p =>
+      assert(p < pmis(("left", "right")))
+    }
+  }
+
   test("epoch expand repeats every doc exactly epochs times plus the sampled extra copy") {
     import org.apache.spark.sql.functions._
     val docs = (1L to 40L).map(i => (i, "a", "x y z")).toDF("doc_id", "lang", "text")

@@ -387,6 +387,44 @@ class SafetySpansSpec extends SparkSpec {
     assert(out(5L) == "no markup at all")
   }
 
+  test("winnowPairs: exact copies overlap 10^6, paragraph REORDERING still pairs, unrelated does not") {
+    val paraA = (1 to 30).map(i => s"alpha$i").mkString(" ")
+    val paraB = (1 to 30).map(i => s"beta$i").mkString(" ")
+    val docs = Seq(
+      (1L, paraA + " " + paraB),
+      (2L, paraA + " " + paraB),           // exact copy of 1
+      (3L, paraB + " " + paraA),           // same paragraphs, reordered
+      (4L, (1 to 60).map(i => s"gamma$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis
+      .winnowPairs(docs, minOverlapMicro = 500000L, maxDocsPerFp = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r.getAs[Long]("overlap_micro"))
+      .toMap
+    assert(out((1L, 2L)) == 1000000L, s"exact copies must fully overlap: $out")
+    // the reordered doc shares every selection except those from the
+    // junction windows — well above the 0.5 bar, which is the property
+    // order-sensitive span digests lack
+    assert(out.contains((1L, 3L)) && out((1L, 3L)) >= 500000L, s"reordering must still pair: $out")
+    assert(!out.keys.exists(k => k._1 == 4L || k._2 == 4L), "unrelated doc must not pair")
+  }
+
+  test("langIdConfusion cells sum to the per-language doc counts of the accuracy table") {
+    val d = "/root/testdata/sf0.001"
+    val cells = TextAnalysis.langIdConfusion(spark, d).collect()
+    val perLang = cells
+      .groupBy(_.getAs[String]("lang"))
+      .map { case (l, g) => l -> g.map(_.getAs[Long]("n_docs")).sum }
+    val acc = TextAnalysis
+      .langIdHeuristic(spark, d)
+      .collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_docs"))
+      .toMap
+    assert(perLang == acc)
+    // predictions are only ever 'en' or 'unknown'
+    assert(cells.map(_.getAs[String]("pred")).toSet.subsetOf(Set("en", "unknown")))
+  }
+
   test("substringDupSpans plans no window — occurrence counts are aggregate + join") {
     val plan = Spans
       .substringDupSpans(spark, "/root/testdata/sf0.001")
