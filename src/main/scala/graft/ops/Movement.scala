@@ -249,7 +249,54 @@ object Movement {
       .select("file_name")
       .orderBy("file_name")
 
+  /** JOIN-KEY SKEW diagnostic — the report an engineer reads BEFORE
+    * shuffling 100 TB on a key: top-k heaviest key values with their
+    * row share, total key cardinality, and a salt recommendation when
+    * the heaviest key exceeds the share threshold (a single key
+    * holding >1% of a corpus-sized join input serializes one reducer;
+    * the salting grid in core/Salting is the fix this report points
+    * at). One linear key-count aggregate; the top-k is
+    * TakeOrderedAndProject; totals broadcast as 1-row frames.
+    */
+  def skewReport(
+      df: DataFrame,
+      keyCol: String,
+      topK: Int,
+      saltThresholdMicro: Long
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(col(keyCol).cast("string").as("key"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).cast("bigint").as("n"))
+    val totals = counts.agg(
+      sum(col("n")).cast("bigint").as("n_rows"),
+      count(lit(1)).cast("bigint").as("n_keys")
+    )
+    counts
+      .orderBy(desc("n"), asc("key"))
+      .limit(topK)
+      .crossJoin(broadcast(totals))
+      .withColumn("share_micro", expr("n * 1000000 div n_rows"))
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(desc("n"), asc("key"))).cast("bigint")
+      )
+      .withColumn(
+        "salt_recommended",
+        (col("share_micro") >= saltThresholdMicro).cast("int").cast("bigint")
+      )
+      .select(
+        col("rank"), col("key"), col("n"), col("n_rows"), col("n_keys"),
+        col("share_micro"), col("salt_recommended"))
+      .orderBy("rank")
+  }
+
+  val skewReportQ: Q = (s, d) =>
+    skewReport(Fixtures.orders(s, d), "o_custkey", topK = 10, saltThresholdMicro = 10000L)
+
   def queries: Map[String, Q] = Map(
+    "skew_report" -> skewReportQ,
     "parallel_read_union" -> parallelReadUnion,
     "migration_plan" -> migrationPlan,
     "live_migration" -> liveMigration,
@@ -269,6 +316,19 @@ object Movement {
   }
 
   def oracles: Map[String, String] = Map(
+    "skew_report" ->
+      """WITH c AS (
+        |  SELECT CAST(o_custkey AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys FROM c),
+        |r AS (
+        |  SELECT key, n, row_number() OVER (ORDER BY n DESC, key ASC) AS rank
+        |  FROM c ORDER BY n DESC, key ASC LIMIT 10)
+        |SELECT CAST(r.rank AS BIGINT) AS rank, r.key, r.n, t.n_rows, t.n_keys,
+        |  CAST(r.n * 1000000 // t.n_rows AS BIGINT) AS share_micro,
+        |  CAST(CASE WHEN r.n * 1000000 // t.n_rows >= 10000 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS salt_recommended
+        |FROM r, t ORDER BY rank""".stripMargin,
     "parallel_read_union" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_keys,

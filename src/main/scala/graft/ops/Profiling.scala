@@ -220,7 +220,55 @@ object Profiling {
     lineitem(s, d).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Column ENCODING ADVISOR — the post-load-optimization sibling of
+    * the type narrowers: per column, the distinct ratio and mean
+    * rendered width that decide the storage encoding a columnar
+    * rewrite should pick (tiny domain → RLE after sort; low distinct
+    * ratio → DICTIONARY; else PLAIN). The reference family narrows
+    * TYPES from data evidence; this advises the ENCODING from the
+    * same single-scan evidence shape — everything comes from ONE wide
+    * aggregation pass (the CheckMigration metric-compiler discipline),
+    * then unpivots to a per-column report.
+    */
+  def encodingAdvisor(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        countDistinct(col(c)).cast("bigint").as(s"${c}__nd"),
+        sum(length(col(c).cast("string"))).cast("bigint").as(s"${c}__len")
+      )
+    }
+    val row = df.agg(count(lit(1)).cast("bigint").as("__n"), aggs: _*)
+    val stackExpr =
+      s"stack(${cols.length}, " +
+        cols.map(c => s"'$c', ${c}__nd, ${c}__len").mkString(", ") +
+        ") as (column_name, n_distinct, total_chars)"
+    row
+      .select(col("__n").as("n_rows"), expr(stackExpr))
+      .withColumn("distinct_per_mille", expr("n_distinct * 1000 div n_rows"))
+      .withColumn("avg_len_micro", expr("total_chars * 1000000 div n_rows"))
+      .withColumn(
+        "advice",
+        when(col("n_distinct") <= 50, "RLE")
+          .when(col("distinct_per_mille") <= 10, "DICTIONARY")
+          .otherwise(lit("PLAIN"))
+      )
+      .select(
+        col("column_name"), col("n_rows"), col("n_distinct"), col("distinct_per_mille"),
+        col("avg_len_micro"), col("advice"))
+      .orderBy("column_name")
+  }
+
+  /** Int/string columns only: decimal/timestamp renderings differ
+    * between engines, and the advisor's width signal is about STORED
+    * text anyway.
+    */
+  private val advisorCols =
+    Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_returnflag", "l_linestatus")
+
+  val encodingAdvisorQ: Q = (s, d) => encodingAdvisor(lineitem(s, d), advisorCols)
+
   def queries: Map[String, Q] = Map(
+    "encoding_advisor" -> encodingAdvisorQ,
     "profile_quantiles" -> profileQuantiles,
     "profile_decimal_scale" -> profileDecimalScale,
     "narrow_double_to_decimal" -> narrowDoubleToDecimal,
@@ -272,6 +320,27 @@ object Profiling {
   }
 
   def oracles: Map[String, String] = Map(
+    "encoding_advisor" -> {
+      val arms = advisorCols
+        .map { c =>
+          s"""SELECT '$c' AS column_name,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  CAST(sum(length(CAST($c AS VARCHAR))) AS BIGINT) AS total_chars
+             |FROM lineitem""".stripMargin
+        }
+        .mkString("\nUNION ALL\n")
+      s"""WITH a AS (
+         |$arms
+         |)
+         |SELECT column_name, n_rows, n_distinct,
+         |  CAST(n_distinct * 1000 // n_rows AS BIGINT) AS distinct_per_mille,
+         |  CAST(total_chars * 1000000 // n_rows AS BIGINT) AS avg_len_micro,
+         |  CASE WHEN n_distinct <= 50 THEN 'RLE'
+         |       WHEN n_distinct * 1000 // n_rows <= 10 THEN 'DICTIONARY'
+         |       ELSE 'PLAIN' END AS advice
+         |FROM a ORDER BY column_name""".stripMargin
+    },
     "profile_quantiles" -> quantileSqlOracle,
     "profile_decimal_scale" -> s"SELECT * FROM ($profileMeltSql) ORDER BY col_name",
     "narrow_double_to_decimal" ->

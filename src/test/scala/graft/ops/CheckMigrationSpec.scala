@@ -64,4 +64,44 @@ class CheckMigrationSpec extends SparkSpec {
     assert(sum.getAs[Long]("n_ok") == dev.getOrElse("OK", 0L))
     assert(sum.getAs[Long]("n_deviation") == dev.getOrElse("DEVIATION", 0L))
   }
+
+  test("skewReport ranks heavy keys, computes shares, and flags the salt threshold") {
+    import spark.implicits._
+    val df = (Seq.fill(8)("hot") ++ Seq("a", "b")).map(Tuple1(_)).toDF("k")
+    val out = Movement
+      .skewReport(df, "k", topK = 2, saltThresholdMicro = 500000L)
+      .collect()
+    assert(out.length == 2)
+    val top = out.head
+    assert(top.getAs[String]("key") == "hot")
+    assert(top.getAs[Long]("n") == 8L && top.getAs[Long]("n_rows") == 10L)
+    assert(top.getAs[Long]("share_micro") == 800000L)
+    assert(top.getAs[Long]("salt_recommended") == 1L)
+    val second = out(1)
+    assert(second.getAs[String]("key") == "a", "ties break lexicographically")
+    assert(second.getAs[Long]("salt_recommended") == 0L)
+  }
+
+  test("encodingAdvisor: tiny domain reads RLE, low ratio DICTIONARY, unique PLAIN") {
+    import spark.implicits._
+    // 2000 rows: flag has 2 values (RLE), grp has 60 values at 3% (PLAIN
+    // by ratio but 60 > 50 so ratio decides: 30 per mille > 10 -> PLAIN),
+    // bucket has 60 values over 12000 rows... keep it direct:
+    val df = (1L to 2000L)
+      .map(i => (i, if (i % 2 == 0) "y" else "n", s"g${i % 60}", s"u$i"))
+      .toDF("id", "flag", "grp", "uid")
+    val out = Profiling
+      .encodingAdvisor(df, Seq("flag", "grp", "uid"))
+      .collect()
+      .map(r => r.getAs[String]("column_name") ->
+        (r.getAs[Long]("n_distinct"), r.getAs[String]("advice")))
+      .toMap
+    assert(out("flag") == ((2L, "RLE")))
+    assert(out("grp") == ((60L, "PLAIN"))) // 60 distinct / 2000 rows = 30 per mille
+    assert(out("uid") == ((2000L, "PLAIN")))
+    // and a genuinely dictionary-shaped column: 60 distinct over 12000 rows
+    val big = (1L to 12000L).map(i => Tuple1(s"d${i % 60}")).toDF("dict")
+    val adv = Profiling.encodingAdvisor(big, Seq("dict")).collect().head
+    assert(adv.getAs[String]("advice") == "DICTIONARY" || adv.getAs[Long]("n_distinct") <= 50L)
+  }
 }
