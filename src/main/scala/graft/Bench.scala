@@ -139,6 +139,8 @@ object Bench {
       "bpe_encode_stats" -> "every_run",
       // re-trains the merge table, then folds the dict to symbols
       "bpe_vocab" -> "every_run",
+      // re-trains merges + vocab, then encodes the corpus to ids
+      "bpe_encode_ids" -> "every_run",
       // every rep trains + persists the model, then replays the eval
       // split as micro-batches against the loaded artifact
       "nb_stream_scores" -> "every_run",

@@ -163,7 +163,7 @@ object BpeTrain {
     out.result()
   }
 
-  private[ops] def encodeLen(word: String, ranks: Map[(String, String), Long]): Int = {
+  private[ops] def encodeSymbols(word: String, ranks: Map[(String, String), Long]): Vector[String] = {
     var syms: Vector[String] = word.map(_.toString).toVector :+ "</w>"
     var go = true
     while (go && syms.length >= 2) {
@@ -178,8 +178,11 @@ object BpeTrain {
       if (bi < 0) go = false
       else syms = mergePass(syms, syms(bi), syms(bi + 1))
     }
-    syms.length
+    syms
   }
+
+  private[ops] def encodeLen(word: String, ranks: Map[(String, String), Long]): Int =
+    encodeSymbols(word, ranks).length
 
   /** Per-doc BPE token counts with a per-partition word cache (word
     * salad repeats heavily; production corpora even more so).
@@ -209,6 +212,64 @@ object BpeTrain {
         }
       }
       .toDF("doc_id", "lang", "n_bpe_tokens", "n_chars", "n_words")
+  }
+
+  /** ENCODE TO TOKEN IDS — the serving step a training feed actually
+    * consumes: id = the symbol's rank in the SORTED trained vocabulary
+    * (deterministic, artifact-stable), each document's id SEQUENCE
+    * pinned by an order-sensitive rolling checksum
+    * h ← (h·1000003 + id + 1) mod 2⁶¹ so a transposition — invisible
+    * to sums and xors — fails the gate. Vocabulary and rank maps are
+    * alphabet-plus-merges-sized broadcasts; encoding is mapPartitions
+    * with the per-partition word cache of [[encodeStats]]. Symbols
+    * outside the vocabulary (impossible for corpus words, possible
+    * for foreign input) take id −1 rather than failing the feed.
+    */
+  def encodeIds(docs: DataFrame, merges: DataFrame, vocab: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ranks = merges
+      .select(col("left"), col("right"), col("rank").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val ids = vocab
+      .select(col("symbol"))
+      .collect()
+      .map(_.getString(0))
+      .sorted
+      .zipWithIndex
+      .map { case (s, i) => s -> i.toLong }
+      .toMap
+    val bcR = spark.sparkContext.broadcast(ranks)
+    val bcI = spark.sparkContext.broadcast(ids)
+    val mask = (1L << 61) - 1
+    docs
+      .select(col("doc_id").cast("long"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { iter =>
+        val cache = scala.collection.mutable.HashMap.empty[String, Array[Long]]
+        val rk = bcR.value
+        val im = bcI.value
+        iter.map { case (id, lang, text) =>
+          var h = 0L
+          var n = 0L
+          text.split(" ", -1).foreach { w =>
+            val widsArr = cache.getOrElseUpdate(
+              w,
+              encodeSymbols(w, rk).map(s => im.getOrElse(s, -1L)).toArray
+            )
+            var j = 0
+            while (j < widsArr.length) {
+              h = (h * 1000003L + widsArr(j) + 1L) & mask
+              n += 1L
+              j += 1
+            }
+          }
+          (id, lang, n, h)
+        }
+      }
+      .toDF("doc_id", "lang", "n_ids", "seq_hash")
   }
 
   /** Fixture knobs; the golden oracles pin exactly these. */
@@ -256,11 +317,31 @@ object BpeTrain {
       .orderBy("lang")
   }
 
+  /** Per-language aggregate of the id-sequence checksums: total ids +
+    * xor of per-doc rolling hashes — one changed, dropped or
+    * transposed token id anywhere in the corpus flips the gate.
+    */
+  val bpeEncodeIds: Q = (s, d) => {
+    val docs = documents(s, d)
+    encodeIds(
+      docs,
+      learnMerges(docs, "text", fixtureMerges),
+      symbolVocab(docs, "text", fixtureMerges)
+    )
+      .groupBy("lang")
+      .agg(
+        sum(col("n_ids")).cast("bigint").as("total_ids"),
+        expr("bit_xor(seq_hash)").as("hash_xor")
+      )
+      .orderBy("lang")
+  }
+
   def queries: Map[String, Q] = Map(
     "bpe_merges" -> bpeMerges,
     "bpe_encode_stats" -> bpeEncodeStats,
     "bpe_vocab" -> bpeVocab,
-    "bpe_fertility" -> bpeFertility
+    "bpe_fertility" -> bpeFertility,
+    "bpe_encode_ids" -> bpeEncodeIds
   )
 
   /** Golden oracles, pinned by an INDEPENDENT reference implementation
@@ -348,8 +429,26 @@ object BpeTrain {
         |SELECT g.lang, w.n_words, g.total_bpe_tokens, g.total_chars,
         |  CAST(g.total_bpe_tokens * 1000000 // w.n_words AS BIGINT) AS fertility_micro,
         |  CAST(g.total_chars * 1000000 // g.total_bpe_tokens AS BIGINT) AS chars_per_token_micro
-        |FROM g JOIN w USING (lang) ORDER BY g.lang""".stripMargin
+        |FROM g JOIN w USING (lang) ORDER BY g.lang""".stripMargin,
+    "bpe_encode_ids" -> encodeIdsOracle
   )
+
+  /** Golden rows for the id-sequence gate — same independent Python
+    * reference (tools/bpe_reference.py), which re-derives the sorted
+    * vocab ids and the rolling checksum from its own dict-BPE encode;
+    * total_ids agreeing with the encode-stats totals is a built-in
+    * cross-check between the two gates.
+    */
+  private val encodeIdsOracle =
+    """SELECT lang, CAST(total_ids AS BIGINT) AS total_ids,
+      |  CAST(hash_xor AS BIGINT) AS hash_xor
+      |FROM (VALUES
+      |  ('de', 15248, 187256829512556178),
+      |  ('en', 50460, 836540477426514088),
+      |  ('es', 17049, 1573345070565228625),
+      |  ('fr', 16143, 215487705073000847),
+      |  ('zh', 17898, 484655438192583573)
+      |) AS t(lang, total_ids, hash_xor) ORDER BY lang""".stripMargin
 
   private val encodeGoldenRows =
     """  ('de', 70, 15248, 19525),

@@ -336,8 +336,11 @@ object Dedup {
     * for unrelated docs, so the candidate set stays output-sized as
     * the corpus grows.
     */
-  val dedupSimhashPairs: Q = (s, d) => {
-    val fp = simhash(documents(s, d), "doc_id", "text", s).cache()
+  val dedupSimhashPairs: Q = (s, d) =>
+    simhashPairFrame(documents(s, d), s).orderBy("doc_a", "doc_b")
+
+  private[ops] def simhashPairFrame(docs: DataFrame, s: SparkSession): DataFrame = {
+    val fp = simhash(docs, "doc_id", "text", s).cache()
     // candidate generation runs on DISTINCT fingerprints (identical
     // docs share one), then expands to doc pairs; the expansion is
     // output-sized, which is the floor.
@@ -368,7 +371,49 @@ object Dedup {
         col("simhash") === col("sim2") && col("doc_a") < col("doc_b")
       )
       .select(col("doc_a"), col("doc_b"), lit(0L).as("hamming"))
-    cross.unionByName(same).orderBy("doc_a", "doc_b")
+    cross.unionByName(same)
+  }
+
+  /** DEDUP ROUTE AGREEMENT matrix — the ensemble view across three
+    * independent near-dup detectors (verified MinHash-LSH Jaccard,
+    * SimHash banded hamming, winnow-selection containment): per route
+    * the flagged-pair count, every pairwise intersection, the
+    * three-way core, and the union. The calibration read a dedup
+    * review wants: high agreement = the cheap route suffices; pairs
+    * only ONE route sees = that route's unique recall (reordering for
+    * winnow, token-multiset noise for simhash, shingle overlap for
+    * Jaccard). One full-outer tag join over the three output-sized
+    * pair relations, then a single aggregate row unpivoted.
+    */
+  val dedupRouteAgreement: Q = (s, d) => {
+    val docs = documents(s, d)
+    def tag(df: DataFrame, name: String): DataFrame =
+      df.select(col("doc_a"), col("doc_b")).distinct().withColumn(name, lit(1L))
+    val mh = tag(
+      lshCandidatesWithJaccard(docs, "doc_id", "text").filter(col("jaccard") >= 0.5), "in_mh")
+    val sh = tag(simhashPairFrame(docs, s), "in_sh")
+    val wn = tag(TextAnalysis.winnowPairs(docs, 500000L, 8), "in_wn")
+    mh.join(sh, Seq("doc_a", "doc_b"), "full_outer")
+      .join(wn, Seq("doc_a", "doc_b"), "full_outer")
+      .na.fill(0L, Seq("in_mh", "in_sh", "in_wn"))
+      .agg(
+        sum(col("in_mh")).cast("bigint").as("mh"),
+        sum(col("in_sh")).cast("bigint").as("sh"),
+        sum(col("in_wn")).cast("bigint").as("wn"),
+        sum(col("in_mh") * col("in_sh")).cast("bigint").as("ms"),
+        sum(col("in_mh") * col("in_wn")).cast("bigint").as("mw"),
+        sum(col("in_sh") * col("in_wn")).cast("bigint").as("sw"),
+        sum(col("in_mh") * col("in_sh") * col("in_wn")).cast("bigint").as("a3"),
+        count(lit(1)).cast("bigint").as("nu")
+      )
+      .select(
+        expr(
+          "stack(8, 'minhash', mh, 'simhash', sh, 'winnow', wn, " +
+            "'minhash_simhash', ms, 'minhash_winnow', mw, 'simhash_winnow', sw, " +
+            "'all_three', a3, 'any_route', nu) as (route, n_pairs)"
+        )
+      )
+      .orderBy("route")
   }
 
   // ---- incremental dedup against a persisted signature index ---------
@@ -735,7 +780,8 @@ object Dedup {
     "dedup_simhash_pairs" -> dedupSimhashPairs,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_blocked_fallback" -> dedupBlockedFallback,
-    "dedup_incremental" -> dedupIncremental
+    "dedup_incremental" -> dedupIncremental,
+    "dedup_route_agreement" -> dedupRouteAgreement
   )
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -845,6 +891,85 @@ object Dedup {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    // the three route chains verbatim (minhash verified ≥ 0.5, simhash
+    // banded hamming ≤ 3, winnow containment ≥ 0.5), then EXISTS flags
+    // per union pair and one stacked aggregate
+    "dedup_route_agreement" ->
+      s"""WITH $shinglesSql,
+         |$minhashSql,
+         |$bandsSql,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM pairs p
+         |  JOIN sh x ON x.doc_id = p.doc_a
+         |  JOIN sh y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
+         |  GROUP BY p.doc_a, p.doc_b),
+         |mh_pairs AS (
+         |  SELECT DISTINCT p.doc_a, p.doc_b
+         |  FROM pairs p
+         |  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         |  JOIN sizes sa ON sa.doc_id = p.doc_a
+         |  JOIN sizes sb ON sb.doc_id = p.doc_b
+         |  WHERE round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+         |              / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) >= 0.5),
+         |words AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+         |hashed AS (SELECT doc_id, md5(word) AS h FROM words),
+         |sums AS (SELECT doc_id, $simhashBitSumsSql FROM hashed GROUP BY doc_id),
+         |fp AS (SELECT doc_id, CAST($simhashFpSql AS BIGINT) AS simhash FROM sums),
+         |banded AS (
+         |  SELECT doc_id, simhash, 0 AS band_id, simhash % 32768 AS band_val FROM fp
+         |  UNION ALL SELECT doc_id, simhash, 1, (simhash // 32768) % 32768 FROM fp
+         |  UNION ALL SELECT doc_id, simhash, 2, (simhash // 1073741824) % 32768 FROM fp
+         |  UNION ALL SELECT doc_id, simhash, 3, (simhash // 35184372088832) % 32768 FROM fp),
+         |sh_pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b
+         |    ON a.band_id = b.band_id AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+         |${TextAnalysis.winnowSelSql},
+         |ws2 AS (SELECT DISTINCT doc_id, fph FROM sel),
+         |wsz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp FROM ws2 GROUP BY doc_id),
+         |wrare AS (SELECT fph FROM ws2 GROUP BY fph HAVING count(*) <= 8),
+         |wkept AS (SELECT ws2.* FROM ws2 JOIN wrare USING (fph)),
+         |wp AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM wkept a JOIN wkept b ON a.fph = b.fph AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id),
+         |wn_pairs AS (
+         |  SELECT p.doc_a, p.doc_b
+         |  FROM wp p
+         |  JOIN wsz za ON za.doc_id = p.doc_a
+         |  JOIN wsz zb ON zb.doc_id = p.doc_b
+         |  WHERE p.n_shared * 1000000 // least(za.n_fp, zb.n_fp) >= 500000),
+         |allp AS (
+         |  SELECT doc_a, doc_b FROM mh_pairs
+         |  UNION SELECT doc_a, doc_b FROM sh_pairs
+         |  UNION SELECT doc_a, doc_b FROM wn_pairs),
+         |fl AS (
+         |  SELECT a.doc_a, a.doc_b,
+         |    CASE WHEN EXISTS (SELECT 1 FROM mh_pairs m
+         |                      WHERE m.doc_a = a.doc_a AND m.doc_b = a.doc_b) THEN 1 ELSE 0 END AS in_mh,
+         |    CASE WHEN EXISTS (SELECT 1 FROM sh_pairs s
+         |                      WHERE s.doc_a = a.doc_a AND s.doc_b = a.doc_b) THEN 1 ELSE 0 END AS in_sh,
+         |    CASE WHEN EXISTS (SELECT 1 FROM wn_pairs w
+         |                      WHERE w.doc_a = a.doc_a AND w.doc_b = a.doc_b) THEN 1 ELSE 0 END AS in_wn
+         |  FROM allp a)
+         |SELECT route, CAST(n_pairs AS BIGINT) AS n_pairs FROM (
+         |  SELECT 'minhash' AS route, sum(in_mh) AS n_pairs FROM fl
+         |  UNION ALL SELECT 'simhash', sum(in_sh) FROM fl
+         |  UNION ALL SELECT 'winnow', sum(in_wn) FROM fl
+         |  UNION ALL SELECT 'minhash_simhash', sum(in_mh * in_sh) FROM fl
+         |  UNION ALL SELECT 'minhash_winnow', sum(in_mh * in_wn) FROM fl
+         |  UNION ALL SELECT 'simhash_winnow', sum(in_sh * in_wn) FROM fl
+         |  UNION ALL SELECT 'all_three', sum(in_mh * in_sh * in_wn) FROM fl
+         |  UNION ALL SELECT 'any_route', count(*) FROM fl)
+         |ORDER BY route""".stripMargin,
     "dedup_minhash_lsh" ->
       s"""WITH $shinglesSql,
          |$minhashSql,

@@ -429,7 +429,7 @@ object TextAnalysis {
   /** The winnow selection CTE chain up to `sel` (doc_id, n_kgrams,
     * fph) — shared by the doc_winnow and dedup_winnow_pairs oracles.
     */
-  private lazy val winnowSelSql: String = {
+  private[ops] lazy val winnowSelSql: String = {
     val hSql = "CAST(" + Dedup.hex12ValSql("md5('win|' || g)", 1) + " AS BIGINT)"
     s"""base AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
        |idx AS (

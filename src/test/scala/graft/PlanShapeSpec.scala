@@ -91,6 +91,15 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("top-k reports plan TakeOrderedAndProject, never a global sort") {
+    for (q <- Seq("pmi_top_pairs", "skew_report")) {
+      val df = SparkEntry.queries(q)(spark, sfDir)
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"), s"$q: ${plan.take(1500)}")
+    }
+  }
+
   test("events_range_join: bucket decomposition plans a hash join, never nested-loop") {
     val df = graft.ops.Events.eventsRangeJoin(spark, sfDir)
     df.collect()

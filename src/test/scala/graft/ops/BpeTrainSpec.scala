@@ -87,6 +87,30 @@ class BpeTrainSpec extends SparkSpec {
     assert(out(2L) == ((1L, 3L, 1L)))
   }
 
+  test("encodeIds: ids are sorted-vocab ranks and the rolling checksum is order-sensitive") {
+    val corpus = Seq((1L, "en", "ab ba"), (2L, "en", "ba ab")).toDF("doc_id", "lang", "text")
+    // no merges: symbols are chars + </w>; vocab of the trained dict
+    val merges = spark.emptyDataFrame
+      .sparkSession.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        new org.apache.spark.sql.types.StructType()
+          .add("rank", "long").add("left", "string").add("right", "string").add("pair_freq", "long"))
+    val vocab = Seq(("a", 4L), ("b", 4L), ("</w>", 4L)).toDF("symbol", "n_occurrences")
+    val out = BpeTrain
+      .encodeIds(corpus, merges, vocab)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_ids"), r.getAs[Long]("seq_hash"))))
+      .toMap
+    // sorted vocab: </w> -> 0, a -> 1, b -> 2
+    val mask = (1L << 61) - 1
+    def roll(ids: Seq[Long]): Long = ids.foldLeft(0L)((h, i) => (h * 1000003L + i + 1L) & mask)
+    val hash1 = roll(Seq(1L, 2L, 0L, 2L, 1L, 0L)) // "ab" -> a b </w>, "ba" -> b a </w>
+    val hash2 = roll(Seq(2L, 1L, 0L, 1L, 2L, 0L))
+    assert(out(1L) == ((6L, hash1)))
+    assert(out(2L) == ((6L, hash2)))
+    assert(hash1 != hash2, "a transposition must flip the checksum")
+  }
+
   test("fertility micro-units follow from the encode totals exactly") {
     val corpus = Seq((1L, "en", "low low newest"), (2L, "en", "low")).toDF("doc_id", "lang", "text")
     val merges = Seq((1L, "l", "o", 9L), (2L, "lo", "w", 9L), (3L, "low", "</w>", 9L))

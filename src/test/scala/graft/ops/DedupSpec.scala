@@ -216,4 +216,29 @@ class DedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("route agreement: per-route counts equal the standalone routes, set algebra holds") {
+    val d = "/root/testdata/sf0.001"
+    val docs = Fixtures.documents(spark, d)
+    val rows = Dedup
+      .dedupRouteAgreement(spark, d)
+      .collect()
+      .map(r => r.getAs[String]("route") -> r.getAs[Long]("n_pairs"))
+      .toMap
+    val mh = Dedup
+      .lshCandidatesWithJaccard(docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b").distinct().count()
+    val sh = Dedup.simhashPairFrame(docs, spark).select("doc_a", "doc_b").distinct().count()
+    val wn = TextAnalysis.winnowPairs(docs, 500000L, 8).count()
+    assert(rows("minhash") == mh && rows("simhash") == sh && rows("winnow") == wn)
+    assert(rows("minhash_simhash") <= math.min(rows("minhash"), rows("simhash")))
+    assert(rows("minhash_winnow") <= math.min(rows("minhash"), rows("winnow")))
+    assert(rows("simhash_winnow") <= math.min(rows("simhash"), rows("winnow")))
+    assert(rows("all_three") <= rows("minhash_simhash"))
+    assert(rows("any_route") >= Seq(mh, sh, wn).max)
+    assert(rows("any_route") <= mh + sh + wn)
+    // the fixture's exact-dup groups are caught by every route
+    assert(rows("all_three") > 0L)
+  }
 }

@@ -99,3 +99,24 @@ for w, syms in dict_syms.items():
 print("-- bpe_vocab golden rows (symbol, n_occurrences)")
 for s in sorted(vocab):
     print(f"  ('{s}', {vocab[s]}),")
+
+# token-id encode: id = rank in sorted trained vocab; per-doc rolling
+# checksum h <- (h*1000003 + id + 1) mod 2^61, xor'd per language
+vocab_ids = {s: i for i, s in enumerate(sorted(vocab))}
+MASK = (1 << 61) - 1
+enc_syms = {w: encode(w) for w in wordfreq}
+idstats = {}
+for lang, text in rows:
+    h = 0
+    n = 0
+    for w in text.split(" "):
+        for s in enc_syms[w]:
+            h = (h * 1000003 + vocab_ids.get(s, -1) + 1) & MASK
+            n += 1
+    d = idstats.setdefault(lang, [0, 0])
+    d[0] += n
+    d[1] ^= h
+print("-- bpe_encode_ids golden rows (lang, total_ids, hash_xor)")
+for lang in sorted(idstats):
+    n, x = idstats[lang]
+    print(f"  ('{lang}', {n}, {x}),")
