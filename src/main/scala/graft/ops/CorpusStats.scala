@@ -591,7 +591,62 @@ object CorpusStats {
 
   val pmiTopPairsQ: Q = (s, d) => pmiTopPairs(documents(s, d), "text", pmiMinCount, pmiK)
 
+  /** ZIPF FIT — per language, the least-squares slope of log-frequency
+    * against log-rank over the type distribution (the corpus-health
+    * staple: natural language sits near −1; templated/boilerplate
+    * corpora flatten, spam steepens). Reported as the NEGATED slope in
+    * micro-units so every division operand is positive — Spark's `div`
+    * truncates and DuckDB's `//` floors, and they only agree on
+    * positives; an anti-Zipf (non-negative-slope) corpus reports 0.
+    *
+    * Determinism: one floored ln per (lang, type) row for x = ln rank
+    * and y = ln freq in MILLI-units (keeps every regression sum inside
+    * signed 64 at any realistic vocab), then the slope is pure integer
+    * arithmetic via two-step long division. The rank window runs over
+    * (lang × type) rows — vocabulary-sized, never documents (the CCNet
+    * tercile discipline).
+    */
+  def zipfFit(docs: DataFrame, langCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(langCol).as("lang"), explode(split(col(textCol), " ")).as("t"))
+      .groupBy(col("lang"), col("t"))
+      .agg(count(lit(1)).cast("bigint").as("c"))
+    tf
+      .withColumn(
+        "r",
+        row_number()
+          .over(Window.partitionBy(col("lang")).orderBy(desc("c"), asc("t")))
+          .cast("long")
+      )
+      .withColumn("x", expr("CAST(floor(ln(CAST(r AS DOUBLE)) * 1000) AS BIGINT)"))
+      .withColumn("y", expr("CAST(floor(ln(CAST(c AS DOUBLE)) * 1000) AS BIGINT)"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_types"),
+        sum(col("c")).cast("bigint").as("n_tokens"),
+        sum(col("x")).cast("bigint").as("sx"),
+        sum(col("y")).cast("bigint").as("sy"),
+        sum(col("x") * col("x")).cast("bigint").as("sxx"),
+        sum(col("x") * col("y")).cast("bigint").as("sxy")
+      )
+      .withColumn("numer", expr("greatest(sx * sy - n_types * sxy, 0L)"))
+      .withColumn("denom", expr("n_types * sxx - sx * sx"))
+      .withColumn(
+        "neg_slope_micro",
+        expr(
+          "CASE WHEN denom <= 0 THEN 0 ELSE (numer * 1000) div denom * 1000 " +
+            "+ ((numer * 1000) % denom) * 1000 div denom END"
+        )
+      )
+      .select(col("lang"), col("n_types"), col("n_tokens"), col("neg_slope_micro"))
+      .orderBy("lang")
+  }
+
+  val zipfFitQ: Q = (s, d) => zipfFit(documents(s, d), "lang", "text")
+
   def queries: Map[String, Q] = Map(
+    "zipf_fit" -> zipfFitQ,
     "pmi_top_pairs" -> pmiTopPairsQ,
     "corpus_growth" -> corpusGrowthQ,
     "source_concentration" -> sourceConcentrationQ,
@@ -604,6 +659,32 @@ object CorpusStats {
   )
 
   def oracles: Map[String, String] = Map(
+    "zipf_fit" ->
+      """WITH tf AS (
+        |  SELECT lang, t, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY lang, t),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY c DESC, t ASC) AS r FROM tf),
+        |xy AS (
+        |  SELECT lang, c,
+        |    CAST(floor(ln(CAST(r AS DOUBLE)) * 1000) AS BIGINT) AS x,
+        |    CAST(floor(ln(CAST(c AS DOUBLE)) * 1000) AS BIGINT) AS y
+        |  FROM rk),
+        |ag AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_types, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM xy GROUP BY lang),
+        |fin AS (
+        |  SELECT *, greatest(sx * sy - n_types * sxy, 0) AS numer,
+        |    n_types * sxx - sx * sx AS denom
+        |  FROM ag)
+        |SELECT lang, n_types, n_tokens,
+        |  CAST(CASE WHEN denom <= 0 THEN 0
+        |       ELSE (numer * 1000) // denom * 1000 + ((numer * 1000) % denom) * 1000 // denom
+        |       END AS BIGINT) AS neg_slope_micro
+        |FROM fin ORDER BY lang""".stripMargin,
     "pmi_top_pairs" ->
       s"""WITH ws AS (SELECT string_split(text, ' ') AS w FROM documents),
          |toks AS (SELECT unnest(w) AS t FROM ws),

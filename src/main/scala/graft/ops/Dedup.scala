@@ -781,8 +781,36 @@ object Dedup {
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_blocked_fallback" -> dedupBlockedFallback,
     "dedup_incremental" -> dedupIncremental,
-    "dedup_route_agreement" -> dedupRouteAgreement
+    "dedup_route_agreement" -> dedupRouteAgreement,
+    "dedup_source_matrix" -> dedupSourceMatrix
   )
+
+  /** SOURCE cross-duplication matrix — which sources copy from each
+    * other: every verified near-dup pair mapped to its (source,
+    * source) cell (unordered, lexicographic), counted. The provenance
+    * view behind source blocklisting: a source whose pairs concentrate
+    * against one other source is a mirror; one that pairs with
+    * everything is a scraper. Two id-keyed joins of the output-sized
+    * pair relation against the (doc, source) projection — the corpus
+    * shuffles only its 2-column projection.
+    */
+  val dedupSourceMatrix: Q = (s, d) => {
+    val docs = documents(s, d)
+    val pairs = lshCandidatesWithJaccard(docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b")
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("source_a")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("source_b")), "doc_b")
+      .select(
+        least(col("source_a"), col("source_b")).as("src_lo"),
+        greatest(col("source_a"), col("source_b")).as("src_hi")
+      )
+      .groupBy(col("src_lo"), col("src_hi"))
+      .agg(count(lit(1)).cast("bigint").as("n_pairs"))
+      .orderBy("src_lo", "src_hi")
+  }
 
   // ---- DuckDB oracles ------------------------------------------------
 
@@ -891,6 +919,36 @@ object Dedup {
     "dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "dedup_source_matrix" ->
+      s"""WITH $shinglesSql,
+         |$minhashSql,
+         |$bandsSql,
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.doc_a, p.doc_b, CAST(count(*) AS BIGINT) AS n_inter
+         |  FROM pairs p
+         |  JOIN sh x ON x.doc_id = p.doc_a
+         |  JOIN sh y ON y.doc_id = p.doc_b AND y.shingle = x.shingle
+         |  GROUP BY p.doc_a, p.doc_b),
+         |vp AS (
+         |  SELECT p.doc_a, p.doc_b
+         |  FROM pairs p
+         |  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+         |  JOIN sizes sa ON sa.doc_id = p.doc_a
+         |  JOIN sizes sb ON sb.doc_id = p.doc_b
+         |  WHERE round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+         |              / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) >= 0.5)
+         |SELECT least(da.source, db.source) AS src_lo,
+         |  greatest(da.source, db.source) AS src_hi,
+         |  CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM vp
+         |JOIN documents da ON da.doc_id = vp.doc_a
+         |JOIN documents db ON db.doc_id = vp.doc_b
+         |GROUP BY 1, 2 ORDER BY src_lo, src_hi""".stripMargin,
     // the three route chains verbatim (minhash verified ≥ 0.5, simhash
     // banded hamming ≤ 3, winnow containment ≥ 0.5), then EXISTS flags
     // per union pair and one stacked aggregate

@@ -128,9 +128,39 @@ object QualityClassifier {
 
   val nbEval: Q = (s, d) => evalScored(scoredEval(s, d))
 
+  /** CALIBRATION curve — the eval view between raw scores and the
+    * confusion matrix: holdout docs bucketed by predicted log-odds
+    * (1-nat fixed-width bins clamped to ±8) against their ACTUAL
+    * positive rate per bin. A well-calibrated filter shows rates
+    * rising monotonically through the bins; a cliff at 0 with flat
+    * tails says the threshold is all that matters. Map-side bucketing
+    * (no windows, no quantiles) + a bins-sized aggregate.
+    *
+    * Bucket arithmetic: Spark's `div` truncates while DuckDB's `//`
+    * floors — they disagree on negatives, so the log-odds are shifted
+    * by 10¹² (far above any reachable magnitude) before dividing,
+    * making both divisions floor-equivalent on positives.
+    */
+  val nbCalibration: Q = (s, d) =>
+    scoredEval(s, d)
+      .withColumn("actual", expr(s"CAST(($positivePred) AS INT)").cast("bigint"))
+      .withColumn(
+        "bucket",
+        expr("greatest(-8L, least(8L, (logodds_micro + 1000000000000) div 1000000 - 1000000))")
+          .cast("bigint")
+      )
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("actual")).cast("bigint").as("n_positive")
+      )
+      .withColumn("pos_rate_micro", expr("n_positive * 1000000 div n_docs"))
+      .orderBy("bucket")
+
   def queries: Map[String, Q] = Map(
     "nb_classifier_scores" -> nbScores,
-    "nb_classifier_eval" -> nbEval
+    "nb_classifier_eval" -> nbEval,
+    "nb_calibration" -> nbCalibration
   )
 
   private val scoredSqlBase =
@@ -189,6 +219,17 @@ object QualityClassifier {
          |SELECT tp, fp, fn, tn,
          |  CAST(CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000000 // (tp + fp) END AS BIGINT) AS precision_micro,
          |  CAST(CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000000 // (tp + fn) END AS BIGINT) AS recall_micro
-         |FROM cm""".stripMargin
+         |FROM cm""".stripMargin,
+    "nb_calibration" ->
+      s"""$scoredSqlBase,
+         |lab AS (
+         |  SELECT CAST(CASE WHEN $positivePred THEN 1 ELSE 0 END AS BIGINT) AS actual,
+         |    greatest(-8, least(8, (logodds_micro + 1000000000000) // 1000000 - 1000000)) AS bucket
+         |  FROM scored)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(actual) AS BIGINT) AS n_positive,
+         |  CAST(sum(actual) * 1000000 // count(*) AS BIGINT) AS pos_rate_micro
+         |FROM lab GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 }

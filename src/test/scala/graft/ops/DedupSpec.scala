@@ -241,4 +241,16 @@ class DedupSpec extends SparkSpec {
     // the fixture's exact-dup groups are caught by every route
     assert(rows("all_three") > 0L)
   }
+
+  test("source matrix: cell mass equals the verified pair count") {
+    val d = "/root/testdata/sf0.001"
+    val docs = Fixtures.documents(spark, d)
+    val nPairs = Dedup
+      .lshCandidatesWithJaccard(docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b").distinct().count()
+    val cells = Dedup.dedupSourceMatrix(spark, d).collect()
+    assert(cells.map(_.getAs[Long]("n_pairs")).sum == nPairs)
+    cells.foreach(r => assert(r.getAs[String]("src_lo") <= r.getAs[String]("src_hi")))
+  }
 }

@@ -444,4 +444,29 @@ class MixtureCorpusStatsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == out)
   }
+
+  test("zipfFit reproduces the hand-computed integer regression on a crafted distribution") {
+    // one lang, 4 types with freqs 12, 6, 4, 3 — an exact power law
+    // f·r = 12, so the fit slope is −1 up to floor noise
+    val text =
+      (Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++ Seq.fill(4)("cc") ++ Seq.fill(3)("dd"))
+        .mkString(" ")
+    val docs = Seq((1L, "xx", text)).toDF("doc_id", "lang", "text")
+    val r = CorpusStats.zipfFit(docs, "lang", "text").collect().head
+    assert(r.getAs[Long]("n_types") == 4L && r.getAs[Long]("n_tokens") == 25L)
+    // replicate the exact integer pipeline
+    val xs = (1 to 4).map(rk => math.floor(math.log(rk.toDouble) * 1000).toLong)
+    val ys = Seq(12L, 6L, 4L, 3L).map(f => math.floor(math.log(f.toDouble) * 1000).toLong)
+    val n = 4L
+    val sx = xs.sum; val sy = ys.sum
+    val sxx = xs.map(x => x * x).sum
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val numer = math.max(sx * sy - n * sxy, 0L)
+    val denom = n * sxx - sx * sx
+    val expected = (numer * 1000) / denom * 1000 + ((numer * 1000) % denom) * 1000 / denom
+    assert(r.getAs[Long]("neg_slope_micro") == expected)
+    // a perfect f = C/r distribution has slope exactly -1: here freqs
+    // halve while ranks double, so the fit sits near 1.0 (in micro)
+    assert(math.abs(expected - 1000000L) < 60000L, expected.toString)
+  }
 }

@@ -53,4 +53,24 @@ class QualityClassifierSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
     assert(!plan.contains("SortMergeJoin"), s"corpus-side shuffle join found:\n$plan")
   }
+
+  test("calibration: buckets cover the holdout, rates bounded, separable corpus fills the extremes") {
+    val d = "/root/testdata/sf0.001"
+    val rows = QualityClassifier.nbCalibration(spark, d).collect()
+    assert(rows.nonEmpty)
+    val nHoldout = Fixtures.documents(spark, d).filter("NOT (doc_id % 2 = 0)").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nHoldout, "every holdout doc lands in a bucket")
+    rows.foreach { r =>
+      val (n, p, rate) =
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_positive"), r.getAs[Long]("pos_rate_micro"))
+      assert(p <= n && rate >= 0L && rate <= 1000000L)
+      assert(rate == p * 1000000L / n)
+      assert(r.getAs[Long]("bucket") >= -8L && r.getAs[Long]("bucket") <= 8L)
+    }
+    // the en-vs-rest fixture classifier separates: the clamped extreme
+    // buckets both exist and their rates order correctly
+    val byBucket = rows.map(r => r.getAs[Long]("bucket") -> r.getAs[Long]("pos_rate_micro")).toMap
+    if (byBucket.contains(-8L) && byBucket.contains(8L))
+      assert(byBucket(8L) >= byBucket(-8L))
+  }
 }
