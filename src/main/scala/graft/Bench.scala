@@ -156,6 +156,9 @@ object Bench {
       // every rep trains + persists the importance model, then
       // replays the corpus as micro-batches against it
       "dsir_stream_weights" -> "every_run",
+      // every rep writes the CDC feed and replays it through
+      // micro-batched state merges
+      "delta_apply_stream" -> "every_run",
       // re-trains the merge table before encoding (the bpe family)
       "bpe_fertility" -> "every_run",
       // runs the full seven-stage pipeline to label each doc's

@@ -120,6 +120,33 @@ object DeltaSync {
       .orderBy("o_orderkey")
   }
 
+  /** COMMUTATIVE CDC apply — one merge step of a change feed into a
+    * keyed state table: state ∪ batch collapses to the HIGHEST-seq row
+    * per key, with deletes carried as TOMBSTONE rows (is_deleted = 1)
+    * rather than removed. Because max-by-seq is associative and
+    * commutative, the final state is independent of how the feed is
+    * batched — which is exactly what lets the streaming route replay
+    * micro-batches in any file order and still hash-match the one-shot
+    * fold (readers filter tombstones). One key-keyed aggregate per
+    * step; at scale the state side arrives bucketed by key and the
+    * delta is small by construction (the watermark argument of
+    * [[merge]]).
+    */
+  def applyOps(
+      state: DataFrame,
+      batch: DataFrame,
+      keyCol: String,
+      seqCol: String,
+      valueCols: Seq[String]
+  ): DataFrame = {
+    val carried = seqCol +: "is_deleted" +: valueCols
+    state
+      .unionByName(batch)
+      .groupBy(col(keyCol))
+      .agg(max(struct(carried.map(col): _*)).as("m"))
+      .select(col(keyCol) +: carried.map(c => col(s"m.$c").as(c)): _*)
+  }
+
   /** SNAPSHOT DIFF audit — what changed between two corpus versions
     * (the review a sync/merge run cites): every doc id labeled added /
     * removed / changed / unchanged by key-presence + content-hash

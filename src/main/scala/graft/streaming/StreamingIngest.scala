@@ -807,6 +807,75 @@ object StreamingIngest {
     * Per batch: one shingle pass + broadcast digest join; hit rows
     * append, nothing stateful accumulates.
     */
+  /** The reference's delta_import as a STREAM — a CDC feed (upserts +
+    * delete tombstones, each with a change sequence) applied to a
+    * keyed state table one micro-batch at a time via
+    * [[graft.ops.DeltaSync.applyOps]]. The merge is max-by-seq and
+    * tombstones are carried as rows, so the apply is COMMUTATIVE
+    * across batches: whatever file order the stream surfaces, the
+    * final table equals the one-shot fold of the whole feed — which is
+    * what lets this share a batch oracle at all. Each cycle
+    * materializes the merged state (eager localCheckpoint) before
+    * overwriting the state dir it just read (the cluster-map swap
+    * discipline, single-writer).
+    *
+    * Fixture feed from the customer dimension: full insert load, then
+    * segment updates for every 5th key, then tombstones for every 11th
+    * — the oracle replays the construction and keeps the max-seq
+    * non-deleted row per key.
+    */
+  def deltaApplyStream(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.DeltaSync
+    val base = java.nio.file.Files.createTempDirectory("graft_cdc_apply")
+    try {
+      val src = base.resolve("ops").toString
+      val state = base.resolve("state").toString
+      val ckpt = base.resolve("ckpt").toString
+      val c = graft.ops.Fixtures.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      val inserts = c
+        .withColumn("is_deleted", lit(0L))
+        .withColumn("seq", col("c_custkey").cast("long"))
+      val updates = c
+        .filter(col("c_custkey") % 5 === 0)
+        .withColumn("c_mktsegment", concat(col("c_mktsegment"), lit("_u")))
+        .withColumn("is_deleted", lit(0L))
+        .withColumn("seq", (col("c_custkey") + 10000000L).cast("long"))
+      val deletes = c
+        .filter(col("c_custkey") % 11 === 0)
+        .withColumn("is_deleted", lit(1L))
+        .withColumn("seq", (col("c_custkey") + 20000000L).cast("long"))
+      inserts.unionByName(updates).unionByName(deletes)
+        .repartition(4, col("c_custkey"))
+        .write.parquet(src)
+      val fs = new org.apache.hadoop.fs.Path(state)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      s.readStream
+        .schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val cur =
+            if (fs.exists(new org.apache.hadoop.fs.Path(state))) s.read.parquet(state)
+            else batch.limit(0)
+          val merged = DeltaSync
+            .applyOps(cur, batch, "c_custkey", "seq", Seq("c_mktsegment"))
+            .localCheckpoint(true)
+          try merged.write.mode(SaveMode.Overwrite).parquet(state)
+          finally graft.ops.GraphDedup.releaseCheckpoints(merged)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      s.read.parquet(state)
+        .filter(col("is_deleted") === 0L)
+        .select(col("c_custkey"), col("c_mktsegment"), col("seq"))
+        .orderBy("c_custkey")
+        .localCheckpoint(true)
+    } finally rmScratch(s, base)
+  }
+
   /** The CONTAINMENT screen as a stream — fourth member of the
     * filters-as-streams family: the collected corpus's chunk-digest
     * index is PERSISTED once, arriving micro-batches probe it in
@@ -989,6 +1058,7 @@ object StreamingIngest {
         )),
       "multimodal_stream_decode" -> multimodalStreamDecode,
       "cdc_containment_stream" -> cdcContainmentStream,
+      "delta_apply_stream" -> deltaApplyStream,
       "dedup_stream_embedding" -> ((s, d) => embDedupStreamReplay(s, d)),
       "ann_pq_stream_serve" -> ((s, d) =>
         annStreamServe(
@@ -1035,6 +1105,23 @@ object StreamingIngest {
       // per-doc pairs are pure in (doc, frozen chunk index): the
       // stream shares the batch containment probe's oracle
       "cdc_containment_stream" -> graft.ops.Cdc.containmentIndexOracle,
+      // max-by-seq with tombstone rows is commutative across batches:
+      // the stream's final state equals the one-shot fold of the feed
+      "delta_apply_stream" ->
+        """WITH ops AS (
+          |  SELECT c_custkey, c_mktsegment, 0 AS del, CAST(c_custkey AS BIGINT) AS seq
+          |  FROM customer
+          |  UNION ALL
+          |  SELECT c_custkey, c_mktsegment || '_u', 0, CAST(c_custkey + 10000000 AS BIGINT)
+          |  FROM customer WHERE c_custkey % 5 = 0
+          |  UNION ALL
+          |  SELECT c_custkey, c_mktsegment, 1, CAST(c_custkey + 20000000 AS BIGINT)
+          |  FROM customer WHERE c_custkey % 11 = 0),
+          |r AS (
+          |  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY seq DESC) AS rn
+          |  FROM ops)
+          |SELECT c_custkey, c_mktsegment, seq
+          |FROM r WHERE rn = 1 AND del = 0 ORDER BY c_custkey""".stripMargin,
       "events_stream_replay" ->
         """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
           |  CAST(count(*) AS BIGINT) AS n_events,

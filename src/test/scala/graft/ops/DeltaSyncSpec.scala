@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 class DeltaSyncSpec extends SparkSpec {
   import spark.implicits._
@@ -45,6 +46,30 @@ class DeltaSyncSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       DeltaSync.mergeIntersect(target, delta, Seq("id"))
     }
+  }
+
+  test("applyOps: max-by-seq wins, tombstones carry, and batching order cannot change the result") {
+    val ops = Seq(
+      (1L, "a", 0L, 10L), (1L, "a2", 0L, 30L), (1L, "a1", 0L, 20L), // updates out of order
+      (2L, "b", 0L, 11L), (2L, "b", 1L, 25L),                       // delete tombstone wins
+      (3L, "c", 0L, 12L)
+    ).toDF("k", "v", "is_deleted", "seq")
+    val empty = ops.limit(0)
+    def fold(batches: Seq[org.apache.spark.sql.DataFrame]) =
+      batches
+        .foldLeft(empty)((st, b) => DeltaSync.applyOps(st, b, "k", "seq", Seq("v")))
+        .collect()
+        .map(r => r.getAs[Long]("k") ->
+          ((r.getAs[String]("v"), r.getAs[Long]("is_deleted"), r.getAs[Long]("seq"))))
+        .toMap
+    val oneShot = fold(Seq(ops))
+    assert(oneShot(1L) == (("a2", 0L, 30L)))
+    assert(oneShot(2L) == (("b", 1L, 25L)), "tombstone must be the surviving row")
+    assert(oneShot(3L) == (("c", 0L, 12L)))
+    // two different batchings converge to the same state (commutativity)
+    val splitA = fold(Seq(ops.filter(col("seq") < 20), ops.filter(col("seq") >= 20)))
+    val splitB = fold(Seq(ops.filter(col("seq") >= 20), ops.filter(col("seq") < 20)))
+    assert(splitA == oneShot && splitB == oneShot)
   }
 
   test("snapshotDiff labels added/removed/changed/unchanged from key presence + content hash") {

@@ -468,6 +468,37 @@ class StreamingIngestSpec extends SparkSpec {
     assert(streamed == batch, "micro-batching must not change importance weights")
   }
 
+  test("streamed CDC apply equals the one-shot fold of the whole feed") {
+    val d = "/root/testdata/sf0.001"
+    val streamed = StreamingIngest
+      .deltaApplyStream(spark, d)
+      .collect()
+      .map(_.toSeq)
+      .toSeq
+    // one-shot: fold ALL ops in a single applyOps step
+    val c = graft.ops.Fixtures.customer(spark, d)
+      .select(org.apache.spark.sql.functions.col("c_custkey"), org.apache.spark.sql.functions.col("c_mktsegment"))
+    val inserts = c.withColumn("is_deleted", lit(0L)).withColumn("seq", col("c_custkey").cast("long"))
+    val updates = c.filter(col("c_custkey") % 5 === 0)
+      .withColumn("c_mktsegment", concat(col("c_mktsegment"), lit("_u")))
+      .withColumn("is_deleted", lit(0L))
+      .withColumn("seq", (col("c_custkey") + 10000000L).cast("long"))
+    val deletes = c.filter(col("c_custkey") % 11 === 0)
+      .withColumn("is_deleted", lit(1L))
+      .withColumn("seq", (col("c_custkey") + 20000000L).cast("long"))
+    val all = inserts.unionByName(updates).unionByName(deletes)
+    val batch = graft.ops.DeltaSync
+      .applyOps(all.limit(0), all, "c_custkey", "seq", Seq("c_mktsegment"))
+      .filter(col("is_deleted") === 0L)
+      .select("c_custkey", "c_mktsegment", "seq")
+      .orderBy("c_custkey")
+      .collect()
+      .map(_.toSeq)
+      .toSeq
+    assert(streamed == batch, "micro-batched apply must equal the one-shot fold")
+    assert(batch.nonEmpty)
+  }
+
   test("streamed containment probe equals the batch index probe exactly") {
     val d = "/root/testdata/sf0.001"
     val streamed = StreamingIngest
