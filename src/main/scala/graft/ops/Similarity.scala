@@ -1246,7 +1246,53 @@ object Similarity {
 
   val embeddingDriftQ: Q = (s, d) => embeddingDrift(embeddings(s, d), "vec_id", "embedding", "label")
 
+  /** MEASURED LSH RECALL report — the serving-quality number an ANN
+    * deployment decision actually reads: for a deterministic sample of
+    * query vectors, exact brute-force top-k versus the sign-LSH
+    * bucket route's top-k, with the candidate count each query paid.
+    * Low recall + tiny candidate sets says add probes or planes; high
+    * recall + big candidate sets says the buckets aren't pruning.
+    * Recall evaluation is sample-sized by construction (queries are a
+    * sample, candidates are bucket-bounded) — the corpus never pairs
+    * with itself.
+    */
+  val annLshRecall: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(s)
+    val bucketed = lshBuckets(embeddings(s, d))
+    val qs = bucketed
+      .filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket_id").as("q_bucket"))
+    val scored = bucketed
+      .select(col("vec_id"), col("v"), col("bucket_id"))
+      .crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", round(expr("cosine_sim(v, qv)"), 6))
+    val byQ = Window.partitionBy(col("q_id")).orderBy(desc("cos_sim"), asc("vec_id"))
+    val gt = scored
+      .withColumn("rn", row_number().over(byQ))
+      .filter(col("rn") <= 10)
+      .select(col("q_id"), col("vec_id"))
+    val inBucket = scored.filter(col("bucket_id") === col("q_bucket"))
+    val lsh = inBucket
+      .withColumn("rn", row_number().over(byQ))
+      .filter(col("rn") <= 10)
+      .select(col("q_id"), col("vec_id").as("cand_id"))
+    val nc = inBucket.groupBy(col("q_id")).agg(count(lit(1)).cast("bigint").as("n_candidates"))
+    val hits = gt
+      .join(lsh, gt("q_id") === lsh("q_id") && gt("vec_id") === lsh("cand_id"))
+      .groupBy(gt("q_id"))
+      .agg(count(lit(1)).cast("bigint").as("n_hits"))
+    qs.select(col("q_id"))
+      .join(nc, Seq("q_id"), "left")
+      .join(hits, Seq("q_id"), "left")
+      .na.fill(0L, Seq("n_candidates", "n_hits"))
+      .withColumn("recall_micro", expr("n_hits * 1000000 div 10"))
+      .orderBy("q_id")
+  }
+
   def queries: Map[String, Q] = Map(
+    "ann_lsh_recall" -> annLshRecall,
     "embedding_drift" -> embeddingDriftQ,
     "embedding_quality" -> embeddingQuality,
     "dedup_semantic" -> dedupSemantic,
@@ -1279,6 +1325,37 @@ object Similarity {
       .mkString(" + ")
 
   def oracles: Map[String, String] = Map(
+    "ann_lsh_recall" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, CAST($bucketDuckSql AS BIGINT) AS bucket_id FROM e),
+         |q AS (SELECT vec_id AS q_id, v AS qv, bucket_id AS q_bucket FROM b WHERE vec_id % 50 = 0),
+         |sc AS (
+         |  SELECT b.vec_id, b.bucket_id, q.q_id, q.q_bucket,
+         |    round(list_dot_product(b.v, q.qv) /
+         |          (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6)
+         |      AS cos_sim
+         |  FROM b, q WHERE b.vec_id <> q.q_id),
+         |gt AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rn
+         |    FROM sc) WHERE rn <= 10),
+         |ls AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rn
+         |    FROM sc WHERE bucket_id = q_bucket) WHERE rn <= 10),
+         |nc AS (
+         |  SELECT q_id, CAST(count(*) AS BIGINT) AS n_candidates
+         |  FROM sc WHERE bucket_id = q_bucket GROUP BY q_id),
+         |h AS (
+         |  SELECT g.q_id, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM gt g JOIN ls ON ls.q_id = g.q_id AND ls.vec_id = g.vec_id GROUP BY g.q_id)
+         |SELECT q.q_id,
+         |  CAST(coalesce(nc.n_candidates, 0) AS BIGINT) AS n_candidates,
+         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CAST(coalesce(h.n_hits, 0) * 1000000 // 10 AS BIGINT) AS recall_micro
+         |FROM q LEFT JOIN nc USING (q_id) LEFT JOIN h USING (q_id) ORDER BY q.q_id""".stripMargin,
     "embedding_drift" ->
       """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
         |                  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -467,4 +467,17 @@ class SimilarityIvfSpec extends SparkSpec {
     assert(out(0L) == ((2L, 2L, 0.0)))
     assert(out(1L) == ((1L, 1L, 1.0)))
   }
+
+  test("annLshRecall: bounds hold, candidates bucket-bounded, sampled queries all reported") {
+    val rows = Similarity.annLshRecall(spark, dir).collect()
+    val nQ = Fixtures.embeddings(spark, dir).filter("vec_id % 50 = 0").count()
+    assert(rows.length == nQ, "one row per sampled query vector")
+    rows.foreach { r =>
+      val (nc, nh, rec) = (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_hits"), r.getAs[Long]("recall_micro"))
+      assert(nh <= math.min(nc, 10L))
+      assert(rec == nh * 100000L, "recall = hits/10 in micro")
+      assert(rec >= 0L && rec <= 1000000L)
+    }
+    assert(rows.map(_.getAs[Long]("n_hits")).sum > 0L, "LSH must recover something on the fixture")
+  }
 }
