@@ -200,6 +200,62 @@ object Mixture {
       )
       .withColumn("exp_kept_tokens", expr("n_tokens * rate_bps div 10000"))
 
+  /** TEMPERATURE-scaled mixture planning (the mT5/XLM-R multilingual
+    * sampling standard): per-stratum target shares ∝ tokens^(1/T)
+    * instead of raw token shares — T > 1 flattens the distribution
+    * toward low-resource strata (softmax-temperature semantics; mT5's
+    * α = 0.3 exponent is T ≈ 3.3 here), T = 1 is proportional.
+    * One `pow` per STRATUM floored to an integer weight (milli-units),
+    * then everything downstream is integer arithmetic: share, planned
+    * tokens against the total budget, and the capped keep rate the
+    * sampler consumes. Stratum-sized end to end.
+    */
+  def temperaturePlan(
+      docs: DataFrame,
+      strataCol: String,
+      tokens: Column,
+      temperature: Double,
+      budgetTokens: Long
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inv = 1.0 / temperature
+    val base = docs
+      .groupBy(col(strataCol).as("stratum"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        sum(tokens).cast("bigint").as("n_tokens")
+      )
+      .withColumn(
+        "w_milli",
+        expr(s"CAST(floor(pow(CAST(n_tokens AS DOUBLE), $inv) * 1000) AS BIGINT)")
+      )
+    base
+      .withColumn("w_total", sum(col("w_milli")).over(Window.partitionBy(lit(1))))
+      .withColumn("share_micro", expr("w_milli * 1000000 div w_total"))
+      .withColumn("planned_tokens", expr(s"CAST($budgetTokens AS BIGINT) * w_milli div w_total"))
+      .withColumn(
+        "rate_bps",
+        least(lit(10000L), expr("planned_tokens * 10000 div n_tokens"))
+      )
+      .select(
+        col("stratum"), col("n_docs"), col("n_tokens"), col("share_micro"),
+        col("planned_tokens"), col("rate_bps"))
+  }
+
+  // T = 3 (exponent 1/3 — the mT5 α≈0.3 region) over a budget above
+  // most strata's mass, so flattening is visible AND the cap fires
+  private val planTemperature = 3.0
+  private val temperatureBudget = 30000L
+
+  val mixturePlanTemperatureQ: Q = (s, d) =>
+    temperaturePlan(
+      documents(s, d),
+      "lang",
+      size(split(col("text"), " ")).cast("bigint"),
+      planTemperature,
+      temperatureBudget
+    ).orderBy("stratum")
+
   // 5000 sits between the largest stratum (en, ~11.8k tokens at sf0.01)
   // and the rest, so BOTH branches fire: en down-samples to ~4252 bps,
   // every other stratum caps at 10000
@@ -323,6 +379,7 @@ object Mixture {
     "mixture_sample" -> mixtureSample,
     "mixture_accounting" -> mixtureAccounting,
     "mixture_plan" -> mixturePlanQ,
+    "mixture_plan_temperature" -> mixturePlanTemperatureQ,
     "holdout_split" -> holdoutSplitQ,
     "holdout_leakage" -> holdoutLeakageQ,
     "epoch_plan" -> epochPlanQ,
@@ -442,6 +499,23 @@ object Mixture {
          |  CAST(sum(n_tokens) AS BIGINT) AS tokens,
          |  CAST(bit_xor(doc_id) AS BIGINT) AS doc_xor
          |FROM a GROUP BY split ORDER BY split""".stripMargin
+    },
+    "mixture_plan_temperature" -> {
+      val inv = 1.0 / planTemperature
+      s"""WITH b AS (
+         |  SELECT lang AS stratum, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY lang),
+         |w AS (
+         |  SELECT *, CAST(floor(pow(CAST(n_tokens AS DOUBLE), $inv) * 1000) AS BIGINT) AS w_milli
+         |  FROM b),
+         |t AS (SELECT *, CAST(sum(w_milli) OVER () AS BIGINT) AS w_total FROM w)
+         |SELECT stratum, n_docs, n_tokens,
+         |  CAST(w_milli * 1000000 // w_total AS BIGINT) AS share_micro,
+         |  CAST($temperatureBudget * w_milli // w_total AS BIGINT) AS planned_tokens,
+         |  CAST(least(10000, ($temperatureBudget * w_milli // w_total) * 10000 // n_tokens)
+         |       AS BIGINT) AS rate_bps
+         |FROM t ORDER BY stratum""".stripMargin
     },
     "mixture_plan" ->
       s"""WITH t AS (

@@ -469,4 +469,24 @@ class MixtureCorpusStatsSpec extends SparkSpec {
     // halve while ranks double, so the fit sits near 1.0 (in micro)
     assert(math.abs(expected - 1000000L) < 60000L, expected.toString)
   }
+
+  test("temperaturePlan: T=1 is proportional; T<1 flattens toward low-resource strata") {
+    val docs = ((1L to 900L).map(i => (i, "big")) ++ (901L to 1000L).map(i => (i, "small")))
+      .toDF("doc_id", "lang")
+      .withColumn("text", lit("w w w w")) // 4 tokens each
+    def shares(t: Double) =
+      Mixture
+        .temperaturePlan(docs, "lang", size(split(col("text"), " ")).cast("bigint"), t, 1000L)
+        .collect()
+        .map(r => r.getAs[String]("stratum") -> r.getAs[Long]("share_micro"))
+        .toMap
+    val prop = shares(1.0)
+    // proportional: 90% / 10% up to floor
+    assert(math.abs(prop("big") - 900000L) < 2000L && math.abs(prop("small") - 100000L) < 2000L)
+    val flat = shares(4.0)
+    assert(flat("small") > prop("small"), "higher temperature must lift the small stratum")
+    assert(flat("big") < prop("big"))
+    // shares always partition (floor loss only)
+    assert(prop.values.sum <= 1000000L && prop.values.sum > 999990L)
+  }
 }
