@@ -159,6 +159,9 @@ object Bench {
       // every rep writes the CDC feed and replays it through
       // micro-batched state merges
       "delta_apply_stream" -> "every_run",
+      // every rep writes both event feeds and replays the two-sided
+      // join through fresh micro-batches
+      "events_stream_stream_join" -> "every_run",
       // re-trains the merge table before encoding (the bpe family)
       "bpe_fertility" -> "every_run",
       // runs the full seven-stage pipeline to label each doc's

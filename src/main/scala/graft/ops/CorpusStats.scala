@@ -645,7 +645,28 @@ object CorpusStats {
 
   val zipfFitQ: Q = (s, d) => zipfFit(documents(s, d), "lang", "text")
 
+  /** CUBE rollup of the corpus volume datasheet — every (lang ×
+    * source) cell plus both marginals and the grand total in ONE
+    * grouping-sets pass (Spark expands the cube into a single
+    * shuffle; the alternative — four separate aggregations — scans
+    * the corpus four times). Aggregated dimensions render as '(all)'
+    * (fixture dims are never null, so the label is unambiguous).
+    */
+  val corpusCubeQ: Q = (s, d) =>
+    documents(s, d)
+      .withColumn("n_toks", size(split(col("text"), " ")).cast("bigint"))
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"), sum(col("n_toks")).cast("bigint").as("tokens"))
+      .select(
+        coalesce(col("lang"), lit("(all)")).as("lang_g"),
+        coalesce(col("source"), lit("(all)")).as("source_g"),
+        col("n_docs"),
+        col("tokens")
+      )
+      .orderBy("lang_g", "source_g")
+
   def queries: Map[String, Q] = Map(
+    "corpus_cube" -> corpusCubeQ,
     "zipf_fit" -> zipfFitQ,
     "pmi_top_pairs" -> pmiTopPairsQ,
     "corpus_growth" -> corpusGrowthQ,
@@ -659,6 +680,14 @@ object CorpusStats {
   )
 
   def oracles: Map[String, String] = Map(
+    "corpus_cube" ->
+      """SELECT coalesce(lang, '(all)') AS lang_g,
+        |  coalesce(source, '(all)') AS source_g,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |FROM documents
+        |GROUP BY CUBE (lang, source)
+        |ORDER BY lang_g, source_g""".stripMargin,
     "zipf_fit" ->
       """WITH tf AS (
         |  SELECT lang, t, CAST(count(*) AS BIGINT) AS c

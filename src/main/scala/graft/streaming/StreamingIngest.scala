@@ -807,6 +807,67 @@ object StreamingIngest {
     * Per batch: one shingle pass + broadcast digest join; hit rows
     * append, nothing stateful accumulates.
     */
+  /** STREAM-STREAM inner join, oracle-gated end to end: two live
+    * event feeds (views and clicks, replayed as real micro-batches
+    * from separate file sources) joined on the user with an
+    * event-time range — "clicks within an hour of a view". Both sides
+    * carry watermarks and the range rides the TIMESTAMP columns, so
+    * Spark maintains bounded two-sided join state and can clean it as
+    * watermarks advance; inner-join matches emit as soon as both
+    * sides' rows have arrived, so a full replay emits exactly the
+    * batch join's pairs — cross-batch matches included, because the
+    * unexpired state IS the other stream's history. The replay
+    * watermark delay is effectively infinite (nothing drops), making
+    * streamed ≡ batched provable and hash-gated.
+    */
+  def eventsStreamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_ss_join")
+    try {
+      val vDir = base.resolve("views").toString
+      val cDir = base.resolve("clicks").toString
+      val out = base.resolve("pairs").toString
+      val ckpt = base.resolve("ckpt").toString
+      val e = graft.ops.Fixtures
+        .events(s, d)
+        .withColumn("ts_us", expr("ts_nanos div 1000"))
+      e.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"), col("ts_us").as("vus"))
+        .repartition(3, col("view_id"))
+        .write.parquet(vDir)
+      e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts_us").as("cus"))
+        .repartition(3, col("click_id"))
+        .write.parquet(cDir)
+      def side(dir: String, tsCol: String, timeName: String) =
+        s.readStream
+          .schema(s.read.parquet(dir).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(dir)
+          .withColumn(timeName, timestamp_micros(col(tsCol)))
+          .withWatermark(timeName, "3650 days")
+      val vs = side(vDir, "vus", "v_time")
+      val cs = side(cDir, "cus", "c_time")
+      vs.join(
+          cs,
+          expr(
+            "c_user = v_user AND c_time >= v_time AND c_time <= v_time + interval 1 hour"
+          )
+        )
+        .select(
+          col("view_id"), col("click_id"), col("v_user").as("user_id"),
+          (col("cus") - col("vus")).cast("bigint").as("gap_us"))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", out)
+        .outputMode(OutputMode.Append)
+        .start()
+        .awaitTermination()
+      s.read.parquet(out).orderBy("view_id", "click_id").localCheckpoint(true)
+    } finally rmScratch(s, base)
+  }
+
   /** The reference's delta_import as a STREAM — a CDC feed (upserts +
     * delete tombstones, each with a change sequence) applied to a
     * keyed state table one micro-batch at a time via
@@ -1059,6 +1120,7 @@ object StreamingIngest {
       "multimodal_stream_decode" -> multimodalStreamDecode,
       "cdc_containment_stream" -> cdcContainmentStream,
       "delta_apply_stream" -> deltaApplyStream,
+      "events_stream_stream_join" -> eventsStreamStreamJoin,
       "dedup_stream_embedding" -> ((s, d) => embDedupStreamReplay(s, d)),
       "ann_pq_stream_serve" -> ((s, d) =>
         annStreamServe(
@@ -1105,6 +1167,20 @@ object StreamingIngest {
       // per-doc pairs are pure in (doc, frozen chunk index): the
       // stream shares the batch containment probe's oracle
       "cdc_containment_stream" -> graft.ops.Cdc.containmentIndexOracle,
+      // inner-join matches are pure in (left row, right row); the
+      // infinite-delay replay drops nothing, so streamed ≡ batched
+      "events_stream_stream_join" ->
+        """WITH v AS (
+          |  SELECT event_id AS view_id, user_id, epoch_us(ts) AS vus
+          |  FROM events WHERE event_type = 'view'),
+          |c AS (
+          |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS cus
+          |  FROM events WHERE event_type = 'click')
+          |SELECT v.view_id, c.click_id, v.user_id,
+          |  CAST(c.cus - v.vus AS BIGINT) AS gap_us
+          |FROM v JOIN c ON c.user_id = v.user_id
+          |  AND c.cus >= v.vus AND c.cus - v.vus <= 3600000000
+          |ORDER BY v.view_id, c.click_id""".stripMargin,
       // max-by-seq with tombstone rows is commutative across batches:
       // the stream's final state equals the one-shot fold of the feed
       "delta_apply_stream" ->

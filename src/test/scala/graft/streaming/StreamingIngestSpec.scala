@@ -468,6 +468,29 @@ class StreamingIngestSpec extends SparkSpec {
     assert(streamed == batch, "micro-batching must not change importance weights")
   }
 
+  test("stream-stream join emits exactly the batch join's pairs, cross-batch matches included") {
+    val d = "/root/testdata/sf0.001"
+    val streamed = StreamingIngest
+      .eventsStreamStreamJoin(spark, d)
+      .collect()
+      .map(_.toSeq)
+      .toSeq
+    val e = graft.ops.Fixtures.events(spark, d).withColumn("ts_us", expr("ts_nanos div 1000"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts_us").as("vus"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts_us").as("cus"))
+    val batch = v
+      .join(c, col("c_user") === col("user_id") &&
+        col("cus") >= col("vus") && col("cus") - col("vus") <= 3600000000L)
+      .select(col("view_id"), col("click_id"), col("user_id"), (col("cus") - col("vus")).cast("bigint").as("gap_us"))
+      .orderBy("view_id", "click_id")
+      .collect()
+      .map(_.toSeq)
+      .toSeq
+    assert(streamed == batch, "micro-batched stream-stream join must equal the batch join")
+  }
+
   test("streamed CDC apply equals the one-shot fold of the whole feed") {
     val d = "/root/testdata/sf0.001"
     val streamed = StreamingIngest
