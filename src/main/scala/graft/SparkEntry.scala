@@ -34,6 +34,7 @@ object SparkEntry {
       (VarcharInference.queries, VarcharInference.oracles),
       (Similarity.queries, Similarity.oracles),
       (TextAnalysis.queries, TextAnalysis.oracles),
+      (Chunking.queries, Chunking.oracles),
       (Multimodal.queries, Multimodal.oracles),
       (Movement.queries, Movement.oracles),
       (Events.queries, Events.oracles),
