@@ -953,7 +953,7 @@ object GraphDedup {
          |ORDER BY s.cluster_id""".stripMargin
   )
 
-  private lazy val clusterChainSql: String =
+  private[ops] lazy val clusterChainSql: String =
       s"""WITH RECURSIVE ${Dedup.shinglesSqlFrom("documents")},
          |${Dedup.minhashSql},
          |${Dedup.bandsSql},

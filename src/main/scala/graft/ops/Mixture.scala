@@ -115,6 +115,57 @@ object Mixture {
       )
   }
 
+  /** CLUSTER-GRANULAR holdout split — the PREVENTION counterpart to
+    * [[holdoutLeakageCheck]]'s audit: instead of measuring how many
+    * near-dup pairs straddle a hash split, assign the split at
+    * near-dup-CLUSTER granularity (every member inherits
+    * splitCol(cluster_id)), so a near-dup pair straddling train/eval
+    * is impossible BY CONSTRUCTION — verified pairs at the clustering
+    * threshold are intra-cluster by definition, and the split is a
+    * pure function of the cluster id. Singleton docs have
+    * cluster_id = doc_id, so on unclustered mass this degrades to
+    * exactly [[holdoutSplit]]'s per-doc hash split (same salt).
+    *
+    * Scale shape: the cluster map is the near-dup clustering's output
+    * (at production scale [[GraphDedup]]'s persisted, bucketed map);
+    * assigning splits is ONE corpus-sized hash join on doc_id plus a
+    * codegen'd expression — no extra shuffle beyond the join, and no
+    * pair relation is ever consulted at assignment time.
+    */
+  def clusterSplit(
+      cmap: DataFrame,
+      trainBps: Int = 9800,
+      valBps: Int = 100
+  ): DataFrame = {
+    require(trainBps + valBps <= 10000, "split fractions exceed 100%")
+    cmap.withColumn("split", splitCol(col("cluster_id"), trainBps, valBps))
+  }
+
+  /** Fixture query: cluster the fixture corpus (the dedup_clusters
+    * route), split at 80/10/10 cluster-granular, and emit the
+    * per-split datasheet — cluster count, doc count, token mass and
+    * the id checksum that pins exact membership.
+    */
+  val holdoutClusterSplitQ: Q = (s, d) => {
+    val docs = documents(s, d)
+    val edges = Dedup
+      .lshCandidatesWithJaccard(docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val cmap = GraphDedup.clusterMap(docs, GraphDedup.connectedComponents(edges))
+    clusterSplit(cmap, 8000, 1000)
+      .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("bigint"))
+      .groupBy(col("split"))
+      .agg(
+        countDistinct(col("cluster_id")).cast("bigint").as("n_clusters"),
+        count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("n_tokens")).cast("bigint").as("tokens"),
+        expr("bit_xor(doc_id)").as("doc_xor")
+      )
+      .orderBy("split")
+  }
+
   /** Fixture knobs for the audit query: 80/10/10 puts enough mass in
     * the eval splits for cross-split near-dups to exist at sf0.01;
     * τ matches the near-dup removal stage. */
@@ -381,6 +432,7 @@ object Mixture {
     "mixture_plan" -> mixturePlanQ,
     "mixture_plan_temperature" -> mixturePlanTemperatureQ,
     "holdout_split" -> holdoutSplitQ,
+    "holdout_cluster_split" -> holdoutClusterSplitQ,
     "holdout_leakage" -> holdoutLeakageQ,
     "epoch_plan" -> epochPlanQ,
     "epoch_expand" -> epochExpandQ
@@ -483,6 +535,24 @@ object Mixture {
          |  CAST(count(*) AS BIGINT) AS n_pairs,
          |  max(jaccard) AS max_jaccard
          |FROM leaks GROUP BY eval_split ORDER BY eval_split""".stripMargin
+    },
+    "holdout_cluster_split" -> {
+      val draw =
+        "CAST(" + Dedup.hex12ValSql("md5('split|' || CAST(cluster_id AS VARCHAR))", 1) + " AS BIGINT)"
+      s"""${GraphDedup.clusterChainSql},
+         |spl AS (
+         |  SELECT l.doc_id, l.cluster_id,
+         |    CASE WHEN $draw % 10000 < 8000 THEN 'train'
+         |         WHEN $draw % 10000 < 9000 THEN 'val'
+         |         ELSE 'test' END AS split,
+         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM lab l JOIN documents d USING (doc_id))
+         |SELECT split,
+         |  CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tokens,
+         |  CAST(bit_xor(doc_id) AS BIGINT) AS doc_xor
+         |FROM spl GROUP BY split ORDER BY split""".stripMargin
     },
     "holdout_split" -> {
       val draw =

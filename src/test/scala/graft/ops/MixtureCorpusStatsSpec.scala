@@ -356,6 +356,41 @@ class MixtureCorpusStatsSpec extends SparkSpec {
     assert(!out.contains("test"), s"clean test split must not appear: $out")
   }
 
+  test("cluster split: near-dup pairs can never straddle; hash split leaks on the same corpus") {
+    import org.apache.spark.sql.functions._
+    val docs = Fixtures.documents(spark, "/root/testdata/sf0.01")
+    val pairs = Dedup
+      .lshCandidatesWithJaccard(docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b")
+      .cache()
+    try {
+      assert(pairs.count() > 0, "fixture must have verified near-dup pairs for this proof")
+      // the hash split DOES leak at these fractions (the audit query's premise)
+      def straddles(split: org.apache.spark.sql.DataFrame): Long = {
+        val s = split.select(col("doc_id"), col("split"))
+        pairs
+          .join(s.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("split", "sa"), "doc_a")
+          .join(s.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("split", "sb"), "doc_b")
+          .filter((col("sa") === "train") =!= (col("sb") === "train"))
+          .count()
+      }
+      val hashSplit = Mixture.holdoutSplit(docs, "doc_id", 8000, 1000)
+      assert(straddles(hashSplit) > 0, "hash split should leak near-dups at 80/10/10")
+      // the cluster split cannot: split is a function of the cluster id
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val cmap = GraphDedup.clusterMap(docs, GraphDedup.connectedComponents(edges))
+      val cSplit = Mixture.clusterSplit(cmap, 8000, 1000)
+      assert(straddles(cSplit) == 0, "cluster split must have zero straddling near-dup pairs")
+      // singletons degrade to the per-doc hash split (same salt)
+      val singletons = cSplit
+        .filter(col("cluster_size") === 1)
+        .withColumn("doc_split", Mixture.splitCol(col("doc_id"), 8000, 1000))
+      assert(singletons.filter(col("split") =!= col("doc_split")).count() == 0)
+      assert(singletons.count() > 0)
+    } finally pairs.unpersist(blocking = false)
+  }
+
   test("epoch plan: integer epochs, remainder rate under cap, shortfall at cap") {
     import org.apache.spark.sql.functions._
     // strata of 1000 tokens each; a wants 2500 (remainder branch),
