@@ -125,6 +125,48 @@ object Similarity {
       .limit(10)
   }
 
+  /** HARD-NEGATIVE mining for contrastive/embedding training: for
+    * each anchor vector, the k most-similar vectors that are NOT
+    * near-duplicates (cosine < dupThreshold) — the "closest wrong
+    * answers" that make the strongest training negatives. Candidates
+    * come from the anchor's sign-LSH bucket (the same neighborhood the
+    * ANN serving path probes), so the miner inherits the ANN family's
+    * scale shape: per-anchor candidate work is bucket-sized
+    * (~N/2^planes), never corpus-sized.
+    *
+    * Scale design: the anchor set is a sample (broadcast here;
+    * at anchor counts beyond the broadcast threshold the identical
+    * plan runs as a shuffle hash join on bucket_id — the join key
+    * doesn't change). The per-anchor top-k is a rank-limit window
+    * Spark 4 executes as WindowGroupLimit: each map partition
+    * forwards at most k rows per anchor, so the window shuffle is
+    * anchors×k-sized. The dup-exclusion filter runs BEFORE ranking —
+    * rank 1 is the closest NON-duplicate, which is the definition.
+    */
+  def hardNegatives(emb: DataFrame, anchorEvery: Long, k: Int, dupThreshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val bucketed = lshBuckets(emb)
+    val anchors = bucketed
+      .filter(col("vec_id") % anchorEvery === 0)
+      .select(col("vec_id").as("anchor_id"), col("v").as("qv"), col("bucket_id").as("q_bucket"))
+    bucketed
+      .join(broadcast(anchors), col("bucket_id") === col("q_bucket"))
+      .withColumn("cos_sim", round(expr("cosine_sim(v, qv)"), 6))
+      .filter(col("cos_sim") < dupThreshold && col("vec_id") =!= col("anchor_id"))
+      .withColumn(
+        "rank",
+        row_number()
+          .over(Window.partitionBy(col("anchor_id")).orderBy(desc("cos_sim"), asc("vec_id")))
+          .cast("bigint")
+      )
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("rank"), col("vec_id"), col("label"), col("cos_sim"))
+  }
+
+  val annHardNegatives: Q = (s, d) =>
+    hardNegatives(embeddings(s, d), 50L, 5, 0.9).orderBy("anchor_id", "rank")
+
   /** Embedding-cosine near-duplicate pairs, LSH-bucketed: candidate
     * pairs exist only within a sign-bucket (256 buckets → ~256× fewer
     * pairs than all-pairs), then exact cosine ≥ threshold confirms.
@@ -1299,6 +1341,7 @@ object Similarity {
     "ann_cosine_topk" -> annCosineTopk,
     "ann_lsh_buckets" -> annLshBuckets,
     "ann_lsh_topk" -> annLshTopk,
+    "ann_hard_negatives" -> annHardNegatives,
     "sample_bucket_balanced" -> sampleBucketBalanced,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_incremental_embedding" -> dedupIncrementalEmbedding,
@@ -1424,6 +1467,22 @@ object Similarity {
          |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
          |FROM b, q WHERE bucket_id = q_bucket
          |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "ann_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, label, v, CAST($bucketDuckSql AS BIGINT) AS bucket_id FROM e),
+         |a AS (SELECT vec_id AS anchor_id, v AS qv, bucket_id AS q_bucket FROM b WHERE vec_id % 50 = 0),
+         |cand AS (
+         |  SELECT a.anchor_id, b.vec_id, b.label,
+         |    round(list_dot_product(b.v, a.qv) /
+         |          (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(a.qv, a.qv))), 6) AS cos_sim
+         |  FROM b JOIN a ON b.bucket_id = a.q_bucket),
+         |neg AS (
+         |  SELECT anchor_id, vec_id, label, cos_sim,
+         |    CAST(row_number() OVER (PARTITION BY anchor_id
+         |                            ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rank
+         |  FROM cand WHERE cos_sim < 0.9 AND vec_id <> anchor_id)
+         |SELECT anchor_id, rank, vec_id, label, cos_sim
+         |FROM neg WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin,
     "dedup_embedding_cosine" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |b AS (SELECT vec_id, v, CAST($bucketDuckSql AS BIGINT) AS bucket_id FROM e),

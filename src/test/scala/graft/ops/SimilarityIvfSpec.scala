@@ -480,4 +480,42 @@ class SimilarityIvfSpec extends SparkSpec {
     }
     assert(rows.map(_.getAs[Long]("n_hits")).sum > 0L, "LSH must recover something on the fixture")
   }
+
+  test("hardNegatives: near-dups excluded, rank 1 is the closest survivor, window group-limits") {
+    import spark.implicits._
+    def vec(xs: Double*): Array[Float] =
+      (xs ++ Seq.fill(64 - xs.length)(0.0)).map(_.toFloat).toArray
+    // crafted geometry, all in the anchor's sign-LSH bucket:
+    //   id 0 anchor [1,0,…]; id 2 a near-copy (cos ≈ 0.99875, EXCLUDED);
+    //   id 1 cos ≈ 0.894 (the hardest negative); id 3 cos ≈ 0.743
+    val emb = Seq(
+      (0L, vec(1.0), 0),
+      (1L, vec(1.0, 0.5), 1),
+      (2L, vec(1.0, 0.05), 2),
+      (3L, vec(1.0, 0.9), 3)
+    ).toDF("vec_id", "embedding", "label")
+    val buckets = Similarity
+      .lshBuckets(emb.withColumn("v", col("embedding").cast("array<double>")).drop("v"))
+      .select("vec_id", "bucket_id")
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+    assert(buckets.values.toSet.size == 1, s"crafted vectors must share a bucket: $buckets")
+    val got = Similarity
+      .hardNegatives(emb, anchorEvery = 50L, k = 5, dupThreshold = 0.9)
+      .filter(col("anchor_id") === 0L)
+      .orderBy("rank")
+      .select("rank", "vec_id", "cos_sim")
+      .as[(Long, Long, Double)]
+      .collect()
+      .toSeq
+    assert(got.map(_._2) == Seq(1L, 3L), s"near-copy id 2 must be excluded: $got")
+    assert(got.map(_._1) == Seq(1L, 2L), "ranks contiguous from 1")
+    assert(got.head._3 == 0.894427 && got(1)._3 == 0.743294, got.toString)
+    // the rank-limit window must group-limit (k rows per anchor per
+    // map partition forwarded, not the full candidate set)
+    val q = Similarity.queries("ann_hard_negatives")(spark, "/root/testdata/sf0.001")
+    q.collect()
+    assert(q.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
 }
