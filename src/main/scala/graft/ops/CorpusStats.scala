@@ -330,6 +330,67 @@ object CorpusStats {
     * projection + a (lang × bucket)-cardinality aggregate, trivially
     * mergeable at any scale.
     */
+  /** SKETCH-PREFILTERED heavy hitters: exact counts for every token
+    * above a frequency floor WITHOUT shuffling the distinct-token
+    * space. Exact top-token queries shuffle one row per distinct
+    * token per map partition (map-side combine's floor) — at 100 TB
+    * the distinct space is billions of typo/id tokens and that
+    * shuffle dominates. This operator pays two corpus scans instead:
+    *
+    *  1. COUNTER pass — a count-min sketch built as plain
+    *     aggregation: depth×width integer counters keyed by
+    *     xxhash64(salt_i ‖ token) mod width. The groupBy key space is
+    *     ≤ depth×width (fixture 4×1024), so partial aggregation caps
+    *     the shuffle at depth×width rows PER PARTITION no matter how
+    *     many distinct tokens exist. The tiny table collects to the
+    *     driver and re-enters the plan as TYPED array literals (the
+    *     PQ-codebook pattern — no SQL-text re-parse, no UDF).
+    *  2. PROBE pass — estimate = least(counter_i[slot_i]) per token
+    *     occurrence, all inside whole-stage codegen; occurrences
+    *     below the floor die map-side, and the exact groupBy recount
+    *     touches only survivors.
+    *
+    * CMS never underestimates (each counter is a true sum over the
+    * tokens colliding there), so the prefilter has NO false
+    * negatives; overestimated light tokens that sneak through are
+    * removed by the exact recount's HAVING. The output is therefore
+    * bit-identical to the plain exact query — which is exactly what
+    * the DuckDB oracle runs.
+    */
+  def tokenSketchTopK(
+      docs: DataFrame,
+      textCol: String,
+      minCount: Long,
+      width: Int = 1024,
+      depth: Int = 4
+  ): DataFrame = {
+    val toks = docs.select(explode(split(col(textCol), " ")).as("token"))
+    def slot(i: Int) =
+      pmod(xxhash64(concat(lit(s"cms$i|"), col("token"))), lit(width.toLong)).cast("int")
+    val counters = toks
+      .select(
+        explode(array((0 until depth).map(i => struct(lit(i).as("row"), slot(i).as("slot"))): _*))
+          .as("rs")
+      )
+      .groupBy(col("rs.row").as("row"), col("rs.slot").as("slot"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect()
+    val table = Array.fill(depth)(Array.fill(width)(0L))
+    counters.foreach(r => table(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+    val estimate = (0 until depth)
+      .map(i => element_at(typedLit(table(i).toSeq), slot(i) + 1))
+      .reduce(least(_, _))
+    toks
+      .filter(estimate >= minCount)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).cast("bigint").as("n"))
+      .filter(col("n") >= minCount)
+  }
+
+  val sketchTopkTokens: Q = (s, d) =>
+    tokenSketchTopK(documents(s, d), "text", 500L)
+      .orderBy(desc("n"), col("token"))
+
   val tokenHistogram: Q = (s, d) =>
     documents(s, d)
       .select(col("lang"), size(split(col("text"), " ")).cast("bigint").as("n_tokens"))
@@ -676,10 +737,17 @@ object CorpusStats {
     "perplexity_score" -> perplexityScore,
     "bigram_perplexity" -> bigramPerplexity,
     "token_histogram" -> tokenHistogram,
+    "sketch_topk_tokens" -> sketchTopkTokens,
     "ccnet_perplexity_buckets" -> ccnetPerplexityBuckets
   )
 
   def oracles: Map[String, String] = Map(
+    // the sketch route is exact by construction (no false negatives +
+    // exact recount), so the oracle is the PLAIN heavy-hitter query
+    "sketch_topk_tokens" ->
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY token)
+        |SELECT token, n FROM c WHERE n >= 500 ORDER BY n DESC, token""".stripMargin,
     "corpus_cube" ->
       """SELECT coalesce(lang, '(all)') AS lang_g,
         |  coalesce(source, '(all)') AS source_g,

@@ -391,6 +391,48 @@ class MixtureCorpusStatsSpec extends SparkSpec {
     } finally pairs.unpersist(blocking = false)
   }
 
+  test("sketch top-k: exact on a long tail, no false negatives, prefilter kills the tail") {
+    import org.apache.spark.sql.functions._
+    // 3 heavy tokens (counts 300/200/120) over a 5000-token unique tail
+    val heavy = Seq.fill(300)("alpha") ++ Seq.fill(200)("beta") ++ Seq.fill(120)("gamma")
+    val tail = (1 to 5000).map(i => s"rare$i")
+    val docs = (heavy ++ tail)
+      .grouped(70)
+      .zipWithIndex
+      .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+      .toSeq
+      .toDF("doc_id", "text")
+      .cache()
+    try {
+      val got = CorpusStats
+        .tokenSketchTopK(docs, "text", minCount = 100L, width = 256, depth = 4)
+        .orderBy(desc("n"), col("token"))
+        .collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+        .toSeq
+      // bit-identical to the plain exact query (CMS has no false negatives;
+      // the exact recount removes its false positives)
+      assert(got == Seq("alpha" -> 300L, "beta" -> 200L, "gamma" -> 120L), got.toString)
+      // the prefilter must kill (nearly) the whole unique tail before the
+      // exact recount: 5000 rare occurrences spread over 4×256 counters can
+      // only survive by colliding into a heavy slot in EVERY row
+      val toks = docs.select(explode(split(col("text"), " ")).as("token"))
+      def slot(i: Int) =
+        pmod(xxhash64(concat(lit(s"cms$i|"), col("token"))), lit(256L)).cast("int")
+      val counters = toks
+        .select(explode(array((0 until 4).map(i => struct(lit(i).as("row"), slot(i).as("slot"))): _*)).as("rs"))
+        .groupBy(col("rs.row"), col("rs.slot"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect()
+      val table = Array.fill(4)(Array.fill(256)(0L))
+      counters.foreach(r => table(r.getInt(0))(r.getInt(1)) = r.getLong(2))
+      val est = (0 until 4).map(i => element_at(typedLit(table(i).toSeq), slot(i) + 1)).reduce(least(_, _))
+      val survivors = toks.filter(est >= 100L).select("token").distinct().count()
+      assert(survivors <= 50L, s"prefilter should pass ~3 of 5003 distinct tokens, passed $survivors")
+      assert(survivors >= 3L)
+    } finally docs.unpersist(blocking = false)
+  }
+
   test("epoch plan: integer epochs, remainder rate under cap, shortfall at cap") {
     import org.apache.spark.sql.functions._
     // strata of 1000 tokens each; a wants 2500 (remainder branch),
