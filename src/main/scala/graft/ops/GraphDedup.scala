@@ -918,10 +918,48 @@ object GraphDedup {
       .orderBy("cluster_id")
   }
 
+  /** DEDUP SAVINGS datasheet: per source, the token mass reclaimed by
+    * keeping one representative per near-dup cluster — the number
+    * that justifies (or kills) a dedup stage before anyone runs it,
+    * and the per-source view that shows WHERE the duplication lives
+    * (a mirror source reads ~100% savings, a clean one ~0%).
+    * Representative = the min-id convention (doc_id == cluster_id),
+    * so this datasheet bit-agrees with the dedup_clusters map it
+    * reads. One corpus-sized hash join on doc_id against the cluster
+    * map, then a source-sized aggregate; the only float op is the
+    * final floored savings ratio.
+    */
+  private[graft] def dedupSavingsFrom(docs: DataFrame): DataFrame = {
+    val edges = Dedup
+      .lshCandidatesWithJaccard(docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    clusterMap(docs, connectedComponents(edges))
+      .join(docs.select(col("doc_id"), col("source"), col("text")), Seq("doc_id"))
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("bigint"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_docs"),
+        sum(col("is_rep")).cast("bigint").as("n_kept"),
+        sum(col("n_tokens")).cast("bigint").as("tokens"),
+        sum(when(col("is_rep") === 1L, col("n_tokens")).otherwise(0L))
+          .cast("bigint")
+          .as("kept_tokens")
+      )
+      .withColumn(
+        "savings_micro",
+        expr("CAST(floor((tokens - kept_tokens) * 1000000.0 / tokens) AS BIGINT)")
+      )
+      .orderBy("source")
+  }
+
+  val dedupSavings: Q = (s, d) => dedupSavingsFrom(documents(s, d))
+
   def queries: Map[String, Q] = Map(
     "dedup_clusters" -> dedupClusters,
     "dedup_clusters_incremental" -> dedupClustersIncremental,
-    "dedup_cluster_reps_quality" -> dedupClusterRepsQuality
+    "dedup_cluster_reps_quality" -> dedupClusterRepsQuality,
+    "dedup_savings" -> dedupSavings
   )
 
   /** DuckDB oracle: the same verified-pair CTE chain as
@@ -936,6 +974,23 @@ object GraphDedup {
     // the incremental route must equal the full clustering bit for bit
     "dedup_clusters_incremental" -> clustersOracle,
     "dedup_clusters" -> clustersOracle,
+    "dedup_savings" ->
+      s"""$clusterChainSql,
+         |sv AS (
+         |  SELECT d.source,
+         |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+         |    CASE WHEN l.doc_id = l.cluster_id THEN 1 ELSE 0 END AS is_rep
+         |  FROM lab l JOIN documents d USING (doc_id)),
+         |ag AS (
+         |  SELECT source,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(is_rep) AS BIGINT) AS n_kept,
+         |    CAST(sum(n_tokens) AS BIGINT) AS tokens,
+         |    CAST(sum(CASE WHEN is_rep = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+         |  FROM sv GROUP BY source)
+         |SELECT source, n_docs, n_kept, tokens, kept_tokens,
+         |  CAST(floor((tokens - kept_tokens) * 1000000.0 / tokens) AS BIGINT) AS savings_micro
+         |FROM ag ORDER BY source""".stripMargin,
     "dedup_cluster_reps_quality" ->
       s"""$clusterChainSql,
          |${Pipeline.featuresSql.stripPrefix("WITH ")},

@@ -661,4 +661,25 @@ class GraphDedupSpec extends SparkSpec {
     assert(szBad == 0L)
     out.unpersist()
   }
+
+  test("dedupSavings: a mirror source reads 100% savings, originals and clean sources 0%") {
+    import spark.implicits._
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val t2 = "red orange yellow green blue indigo violet cyan magenta teal maroon navy"
+    val docs = Seq(
+      (1L, t1, "orig"),
+      (2L, t2, "orig"),
+      (10L, t1, "mirror"), // exact copies, higher ids → never reps
+      (11L, t2, "mirror"),
+      (20L, "completely different words with no overlap whatsoever in this document", "clean")
+    ).toDF("doc_id", "text", "source")
+    val got = GraphDedup
+      .dedupSavingsFrom(docs)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(5))))
+      .toMap
+    assert(got("mirror") == ((2L, 0L, 1000000L)), s"mirror keeps nothing: $got")
+    assert(got("orig") == ((2L, 2L, 0L)), s"originals all kept: $got")
+    assert(got("clean") == ((1L, 1L, 0L)), s"clean source untouched: $got")
+  }
 }
