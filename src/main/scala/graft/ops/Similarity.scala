@@ -167,6 +167,82 @@ object Similarity {
   val annHardNegatives: Q = (s, d) =>
     hardNegatives(embeddings(s, d), 50L, 5, 0.9).orderBy("anchor_id", "rank")
 
+  /** MARGIN-BASED bitext mining (the mined-parallel-corpus recipe:
+    * score a cross-lingual candidate pair not by raw cosine but by
+    * how much it stands out against each side's neighborhood —
+    * margin(x,y) = cos(x,y) ÷ mean(k-NN cos of x, k-NN cos of y).
+    * Raw cosine mines hubs (vectors close to everything); the ratio
+    * margin cancels hubness because a hub's denominator is as
+    * inflated as its numerator. Sides here are the embedding table's
+    * label split (0 = "source language", 1 = "target").
+    *
+    * Determinism contract: each pair cosine is rounded to 6 then
+    * floored to integer MICRO-units once; every downstream quantity
+    * (k-NN sums, the margin ratio) is pure integer arithmetic —
+    * margin_micro = floor(cos_micro · 8·10⁶ ÷ (Σtop4ₓ + Σtop4ᵧ)) —
+    * so no float-summation order can diverge between engines.
+    *
+    * Scale shape: the fixture pairs relation is the exact cross
+    * product (the brute-force baseline, like ann_cosine_topk); at
+    * corpus scale the SAME downstream margin arithmetic runs over
+    * bucket- or IVF-probe-restricted candidates (dedupEmbeddingCosine
+    * / ivfTopK supply those relations). The two k-NN aggregations and
+    * the forward top-1 are rank-limit windows (WindowGroupLimit: k
+    * rows per key per partition forwarded), and the pair relation is
+    * built ONCE — a localCheckpoint pins it so the three consumers
+    * don't re-derive the cross join.
+    */
+  def minedBitext(emb: DataFrame, k: Int, minMarginMicro: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val e = withVec(emb)
+    val xs = e.filter(col("label") === 0).select(col("vec_id").as("x_id"), col("v").as("xv"))
+    val ys = e.filter(col("label") === 1).select(col("vec_id").as("y_id"), col("v").as("yv"))
+    val pairs = xs
+      .crossJoin(ys)
+      .withColumn(
+        "cos_micro",
+        expr("CAST(floor(round(cosine_sim(xv, yv), 6) * 1000000) AS BIGINT)")
+      )
+      .select("x_id", "y_id", "cos_micro")
+      // eager pin: three consumers (two k-NN aggs + forward top-1)
+      // must not re-derive the cross join; released by the cleaner
+      // once the returned plan's RDD goes out of scope
+      .localCheckpoint(true)
+    def knnSum(key: String): DataFrame =
+      pairs
+        .withColumn(
+          "rk",
+          row_number().over(
+            Window
+              .partitionBy(col(key))
+              .orderBy(desc("cos_micro"), asc(if (key == "x_id") "y_id" else "x_id"))
+          )
+        )
+        .filter(col("rk") <= k)
+        .groupBy(col(key))
+        .agg(sum(col("cos_micro")).as(s"knn_$key"))
+    val fwd = pairs
+      .withColumn(
+        "rk",
+        row_number().over(Window.partitionBy(col("x_id")).orderBy(desc("cos_micro"), asc("y_id")))
+      )
+      .filter(col("rk") === 1)
+      .drop("rk")
+    fwd
+      .join(knnSum("x_id"), "x_id")
+      .join(knnSum("y_id"), "y_id")
+      .withColumn(
+        "margin_micro",
+        expr(s"CAST(floor(cos_micro * ${2 * k * 1000000}.0 / (knn_x_id + knn_y_id)) AS BIGINT)")
+      )
+      .filter(col("margin_micro") >= minMarginMicro)
+      .select(col("x_id"), col("y_id"), col("cos_micro"), col("margin_micro"))
+  }
+
+  val bitextMine: Q = (s, d) =>
+    minedBitext(embeddings(s, d), k = 4, minMarginMicro = 1010000L).orderBy("x_id")
+
   /** Embedding-cosine near-duplicate pairs, LSH-bucketed: candidate
     * pairs exist only within a sign-bucket (256 buckets → ~256× fewer
     * pairs than all-pairs), then exact cosine ≥ threshold confirms.
@@ -1342,6 +1418,7 @@ object Similarity {
     "ann_lsh_buckets" -> annLshBuckets,
     "ann_lsh_topk" -> annLshTopk,
     "ann_hard_negatives" -> annHardNegatives,
+    "bitext_mine" -> bitextMine,
     "sample_bucket_balanced" -> sampleBucketBalanced,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_incremental_embedding" -> dedupIncrementalEmbedding,
@@ -1467,6 +1544,28 @@ object Similarity {
          |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
          |FROM b, q WHERE bucket_id = q_bucket
          |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "bitext_mine" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |x AS (SELECT vec_id AS x_id, v AS xv FROM e WHERE label = 0),
+         |y AS (SELECT vec_id AS y_id, v AS yv FROM e WHERE label = 1),
+         |p AS (
+         |  SELECT x_id, y_id,
+         |    CAST(floor(round(list_dot_product(xv, yv) /
+         |         (sqrt(list_dot_product(xv, xv)) * sqrt(list_dot_product(yv, yv))), 6) * 1000000) AS BIGINT) AS cos_micro
+         |  FROM x, y),
+         |rx AS (SELECT x_id, y_id, cos_micro,
+         |  row_number() OVER (PARTITION BY x_id ORDER BY cos_micro DESC, y_id ASC) AS rk FROM p),
+         |ry AS (SELECT x_id, y_id, cos_micro,
+         |  row_number() OVER (PARTITION BY y_id ORDER BY cos_micro DESC, x_id ASC) AS rk FROM p),
+         |kx AS (SELECT x_id, CAST(sum(cos_micro) AS BIGINT) AS knn_x FROM rx WHERE rk <= 4 GROUP BY x_id),
+         |ky AS (SELECT y_id, CAST(sum(cos_micro) AS BIGINT) AS knn_y FROM ry WHERE rk <= 4 GROUP BY y_id),
+         |f AS (SELECT x_id, y_id, cos_micro FROM rx WHERE rk = 1),
+         |m AS (
+         |  SELECT f.x_id, f.y_id, f.cos_micro,
+         |    CAST(floor(f.cos_micro * 8000000.0 / (kx.knn_x + ky.knn_y)) AS BIGINT) AS margin_micro
+         |  FROM f JOIN kx USING (x_id) JOIN ky USING (y_id))
+         |SELECT x_id, y_id, cos_micro, margin_micro
+         |FROM m WHERE margin_micro >= 1010000 ORDER BY x_id""".stripMargin,
     "ann_hard_negatives" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |b AS (SELECT vec_id, label, v, CAST($bucketDuckSql AS BIGINT) AS bucket_id FROM e),

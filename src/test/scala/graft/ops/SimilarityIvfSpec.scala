@@ -518,4 +518,37 @@ class SimilarityIvfSpec extends SparkSpec {
     q.collect()
     assert(q.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
+
+  test("minedBitext: the ratio margin demotes a hub that raw cosine would mine first") {
+    import spark.implicits._
+    def vec(xs: (Int, Double)*): Array[Float] = {
+      val a = Array.fill(64)(0.0f); xs.foreach { case (i, x) => a(i) = x.toFloat }; a
+    }
+    val s = 0.7071067811865476
+    // label 0 = source side: x*(id 0) the genuine match, x2/x3 the hub's fans
+    // label 1 = target side: y*(id 1) genuine (cos 0.6 with x*), y_h(id 3) a
+    // hub at cos ≈ 0.707 with BOTH x2 and x3 — raw cosine prefers the hub
+    // pairs (0.707 > 0.6); the margin must prefer the genuine pair
+    val emb = Seq(
+      (0L, vec(0 -> 1.0), 0),
+      (2L, vec(1 -> 1.0), 0),
+      (4L, vec(2 -> 1.0), 0),
+      (1L, vec(0 -> 0.6, 5 -> 0.8), 1),
+      (3L, vec(1 -> s, 2 -> s), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val all = Similarity
+      .minedBitext(emb, k = 2, minMarginMicro = Long.MinValue)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val (gy, gcos, gmargin) = all(0L) // genuine forward match of x*
+    val (hy, hcos, hmargin) = all(2L) // hub forward match of x2
+    assert(gy == 1L && hy == 3L, s"forward top-1 wrong: $all")
+    assert(hcos > gcos, "premise: the hub pair must WIN on raw cosine")
+    assert(gmargin > hmargin, s"margin must demote the hub: $all")
+    // and the fixture-threshold query stays non-degenerate
+    val rows = Similarity.queries("bitext_mine")(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length, "one forward pair per x")
+  }
 }
