@@ -126,6 +126,8 @@ object Bench {
       // every rep synthesizes + writes the payload corpus and replays
       // it through fresh micro-batches (scratch dirs per run)
       "multimodal_stream_decode" -> "every_run",
+      // every rep rewrites the source and replays the counter stream
+      "sketch_stream_topk" -> "every_run",
       // index memoized per process; each rep replays the query
       // micro-batches against it
       "ann_pq_stream_serve" -> "first_run",

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-statistics operators: TF-IDF term ranking and unigram
@@ -357,6 +357,53 @@ object CorpusStats {
     * bit-identical to the plain exact query — which is exactly what
     * the DuckDB oracle runs.
     */
+  /** CMS slot expression for depth-row `i`: xxhash64(salt_i ‖ token)
+    * mod width — shared by the batch counter pass, the streaming
+    * counter aggregation and the probe pass (all three MUST hash
+    * identically or estimates stop being upper bounds).
+    */
+  private[graft] def cmsSlot(i: Int, width: Int): Column =
+    pmod(xxhash64(concat(lit(s"cms$i|"), col("token"))), lit(width.toLong)).cast("int")
+
+  /** (row, slot) counter increments for a token relation — the CMS
+    * counter table as a plain aggregation. The groupBy key space is
+    * ≤ depth×width, so partial aggregation caps the shuffle at
+    * depth×width rows per partition; in a STREAMING aggregation the
+    * same bound caps the state store size — a streaming-native CMS.
+    */
+  private[graft] def cmsCounters(toks: DataFrame, width: Int, depth: Int): DataFrame =
+    toks
+      .select(
+        explode(
+          array((0 until depth).map(i => struct(lit(i).as("row"), cmsSlot(i, width).as("slot"))): _*)
+        ).as("rs")
+      )
+      .groupBy(col("rs.row").as("row"), col("rs.slot").as("slot"))
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+
+  /** Probe pass over collected counters: estimate = least over depth
+    * rows via typed array literals (codegen'd, no UDF), prefilter at
+    * the floor, exact recount of survivors only.
+    */
+  private[graft] def cmsProbe(
+      toks: DataFrame,
+      counterRows: Seq[(Int, Int, Long)],
+      minCount: Long,
+      width: Int,
+      depth: Int
+  ): DataFrame = {
+    val table = Array.fill(depth)(Array.fill(width)(0L))
+    counterRows.foreach { case (r, s, c) => table(r)(s) = c }
+    val estimate = (0 until depth)
+      .map(i => element_at(typedLit(table(i).toSeq), cmsSlot(i, width) + 1))
+      .reduce(least(_, _))
+    toks
+      .filter(estimate >= minCount)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).cast("bigint").as("n"))
+      .filter(col("n") >= minCount)
+  }
+
   def tokenSketchTopK(
       docs: DataFrame,
       textCol: String,
@@ -365,26 +412,11 @@ object CorpusStats {
       depth: Int = 4
   ): DataFrame = {
     val toks = docs.select(explode(split(col(textCol), " ")).as("token"))
-    def slot(i: Int) =
-      pmod(xxhash64(concat(lit(s"cms$i|"), col("token"))), lit(width.toLong)).cast("int")
-    val counters = toks
-      .select(
-        explode(array((0 until depth).map(i => struct(lit(i).as("row"), slot(i).as("slot"))): _*))
-          .as("rs")
-      )
-      .groupBy(col("rs.row").as("row"), col("rs.slot").as("slot"))
-      .agg(count(lit(1)).as("cnt"))
+    val counters = cmsCounters(toks, width, depth)
       .collect()
-    val table = Array.fill(depth)(Array.fill(width)(0L))
-    counters.foreach(r => table(r.getInt(0))(r.getInt(1)) = r.getLong(2))
-    val estimate = (0 until depth)
-      .map(i => element_at(typedLit(table(i).toSeq), slot(i) + 1))
-      .reduce(least(_, _))
-    toks
-      .filter(estimate >= minCount)
-      .groupBy(col("token"))
-      .agg(count(lit(1)).cast("bigint").as("n"))
-      .filter(col("n") >= minCount)
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+      .toSeq
+    cmsProbe(toks, counters, minCount, width, depth)
   }
 
   val sketchTopkTokens: Q = (s, d) =>

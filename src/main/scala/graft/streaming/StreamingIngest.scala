@@ -1105,8 +1105,67 @@ object StreamingIngest {
     } finally rmScratch(s, base)
   }
 
+  /** STREAMING count-min counters + batch serve — the trending-token
+    * architecture: arriving documents feed a STREAMING AGGREGATION
+    * whose grouping key is the CMS (row, slot) pair, so the state
+    * store holds AT MOST depth×width counters no matter how many
+    * distinct tokens ever arrive — a streaming-native sketch (an
+    * exact streaming token count would grow state with the distinct
+    * vocabulary, unbounded on a crawl). Counter updates are additive
+    * and the aggregation is Complete-mode over a bounded key space —
+    * replay-safe by construction.
+    *
+    * Serve side: the final counters drive [[CorpusStats.cmsProbe]]'s
+    * prefilter + exact recount over the ACCUMULATED corpus (at
+    * production scale: the lake the stream appends to; counters stay
+    * continuously current in the state store while the recount is the
+    * cheap scheduled batch job over prefilter survivors). Because the
+    * counters after full replay EQUAL the batch counters (additivity)
+    * and CMS never underestimates, the served output is bit-identical
+    * to the batch sketch_topk_tokens — whose plain exact oracle this
+    * query shares.
+    */
+  def sketchStreamTopk(s: SparkSession, d: String): DataFrame = {
+    val width = 1024
+    val depth = 4
+    val base = java.nio.file.Files.createTempDirectory("graft_cms_stream")
+    try {
+      val src = base.resolve("src").toString
+      val ckpt = base.resolve("ckpt").toString
+      val docs = graft.ops.Fixtures.documents(s, d)
+      docs.select("doc_id", "text").repartition(4, col("doc_id")).write.parquet(src)
+      val sinkName = s"graft_cms_counters_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+      val stream = s.readStream
+        .schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+      graft.ops.CorpusStats
+        .cmsCounters(stream.select(explode(split(col("text"), " ")).as("token")), width, depth)
+        .writeStream
+        .outputMode(OutputMode.Complete)
+        .format("memory")
+        .queryName(sinkName)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      val counters = s
+        .table(sinkName)
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+        .toSeq
+      s.catalog.dropTempView(sinkName)
+      val toks = docs.select(explode(split(col("text"), " ")).as("token"))
+      graft.ops.CorpusStats
+        .cmsProbe(toks, counters, minCount = 500L, width = width, depth = depth)
+        .orderBy(desc("n"), col("token"))
+        .localCheckpoint(true)
+    } finally rmScratch(s, base)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
+      "sketch_stream_topk" -> sketchStreamTopk,
       "dsir_stream_weights" -> dsirStreamWeights,
       "nb_stream_scores" -> classifierStreamScores,
       "decontaminate_stream" -> decontaminateStream,
@@ -1141,6 +1200,10 @@ object StreamingIngest {
     */
   def oracles: Map[String, String] =
     Map(
+      // streamed counters after full replay equal the batch counters
+      // (additive, bounded key space), and the serve is the exact
+      // recount — shares the batch sketch's plain exact oracle
+      "sketch_stream_topk" -> graft.ops.CorpusStats.oracles("sketch_topk_tokens"),
       // per-doc scores are a pure function of (doc, persisted model):
       // the stream shares the batch scoring oracle
       "nb_stream_scores" -> graft.ops.QualityClassifier.oracles("nb_classifier_scores"),

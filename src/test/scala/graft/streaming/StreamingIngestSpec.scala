@@ -552,4 +552,27 @@ class StreamingIngestSpec extends SparkSpec {
       .toSeq
     assert(streamed == batch, "micro-batching must not change per-doc NLL")
   }
+
+  test("streaming CMS counters: state bounded at depth×width, serve equals the batch sketch") {
+    val d = "/root/testdata/sf0.001"
+    val streamed = StreamingIngest
+      .sketchStreamTopk(spark, d)
+      .collect()
+      .map(_.toSeq)
+      .toSeq
+    val batch = graft.ops.CorpusStats
+      .queries("sketch_topk_tokens")(spark, d)
+      .collect()
+      .map(_.toSeq)
+      .toSeq
+    assert(streamed == batch, "replayed counters must serve the batch sketch's exact output")
+    // the state bound: the counter relation can never exceed depth×width
+    // rows however many distinct tokens arrive (the reason this is a
+    // sketch and not an exact streaming token count)
+    val docs = graft.ops.Fixtures.documents(spark, d)
+    import org.apache.spark.sql.functions._
+    val counters = graft.ops.CorpusStats
+      .cmsCounters(docs.select(explode(split(col("text"), " ")).as("token")), 1024, 4)
+    assert(counters.count() <= 4L * 1024L)
+  }
 }
