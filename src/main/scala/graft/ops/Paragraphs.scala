@@ -269,9 +269,59 @@ object Paragraphs {
     repetitionSignals(documents(s, d), "doc_id", "text", Segmenter.WordChunks())
       .orderBy("doc_id")
 
+  /** CODE-SWITCH segmentation: language-ID per PARAGRAPH instead of
+    * per document, plus the switch count between consecutive
+    * paragraphs — the signal that separates a mixed-language document
+    * (translation pairs, quoted foreign text, boilerplate in another
+    * language) from a monolingual one, which doc-level lang-ID cannot
+    * see. Uses the same stopword-marker predictor as
+    * lang_id_heuristic and the same WordChunks segmentation as the
+    * paragraph family, so the three operators can never disagree
+    * about what a "paragraph" or an "en paragraph" is.
+    *
+    * Scale shape: segmentation and per-para prediction are per-row
+    * expressions; the only shuffle is the per-doc lag window
+    * (partition = one document — never skewed) and the final per-doc
+    * aggregate on the same key, which AQE coalesces into the same
+    * exchange.
+    */
+  val langSegments: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    documents(s, d)
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("paras", parasColumn(Segmenter.WordChunks(chunk)))
+      .select(col("doc_id"), col("lang"), posexplode(col("paras")).as(Seq("para_idx", "para")))
+      .withColumn(
+        "pred",
+        when(
+          expr(s"size(filter(split(para, ' '), x -> x IN (${TextAnalysis.stopList}))) > 0"),
+          "en"
+        ).otherwise("unknown")
+      )
+      .withColumn(
+        "prev",
+        lag(col("pred"), 1).over(Window.partitionBy(col("doc_id")).orderBy(col("para_idx")))
+      )
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(
+        count(lit(1)).cast("bigint").as("n_paras"),
+        sum(when(col("pred") === "en", 1L).otherwise(0L)).cast("bigint").as("n_en_paras"),
+        sum(when(col("prev").isNotNull && col("prev") =!= col("pred"), 1L).otherwise(0L))
+          .cast("bigint")
+          .as("n_switches")
+      )
+      .withColumn(
+        "mixed",
+        when(col("n_en_paras") > 0 && col("n_en_paras") < col("n_paras"), 1L)
+          .otherwise(0L)
+      )
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, Q] = Map(
     "dedup_paragraph" -> dedupParagraph,
-    "quality_repetition" -> qualityRepetition
+    "quality_repetition" -> qualityRepetition,
+    "lang_segments" -> langSegments
   )
 
   /** DuckDB twin of the WordChunks segmentation over any (doc_id,
@@ -287,6 +337,27 @@ object Paragraphs {
        |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $src))""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "lang_segments" ->
+      s"""WITH ${parasSql("documents")},
+         |pr AS (
+         |  SELECT doc_id, para_idx,
+         |    CASE WHEN len(list_filter(string_split(para, ' '),
+         |                              x -> x IN (${TextAnalysis.stopList}))) > 0
+         |         THEN 'en' ELSE 'unknown' END AS pred
+         |  FROM p),
+         |sw AS (
+         |  SELECT doc_id, pred,
+         |    lag(pred) OVER (PARTITION BY doc_id ORDER BY para_idx) AS prev
+         |  FROM pr),
+         |ag AS (
+         |  SELECT doc_id,
+         |    CAST(count(*) AS BIGINT) AS n_paras,
+         |    CAST(sum(CASE WHEN pred = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en_paras,
+         |    CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> pred THEN 1 ELSE 0 END) AS BIGINT) AS n_switches
+         |  FROM sw GROUP BY doc_id)
+         |SELECT a.doc_id, d.lang, a.n_paras, a.n_en_paras, a.n_switches,
+         |  CAST(CASE WHEN a.n_en_paras > 0 AND a.n_en_paras < a.n_paras THEN 1 ELSE 0 END AS BIGINT) AS mixed
+         |FROM ag a JOIN documents d USING (doc_id) ORDER BY a.doc_id""".stripMargin,
     "dedup_paragraph" ->
       s"""WITH ${parasSql("documents")},
          |r AS (
