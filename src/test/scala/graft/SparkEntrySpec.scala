@@ -32,6 +32,7 @@ class SparkEntrySpec extends AnyFunSuite {
       "VarcharInference" -> VarcharInference.queries.keySet,
       "Similarity" -> Similarity.queries.keySet,
       "TextAnalysis" -> TextAnalysis.queries.keySet,
+      "Chunking" -> Chunking.queries.keySet,
       "Multimodal" -> Multimodal.queries.keySet,
       "Movement" -> Movement.queries.keySet,
       "Events" -> Events.queries.keySet,
