@@ -167,6 +167,68 @@ object Similarity {
   val annHardNegatives: Q = (s, d) =>
     hardNegatives(embeddings(s, d), 50L, 5, 0.9).orderBy("anchor_id", "rank")
 
+  /** [[hardNegatives]] served from the PERSISTED bucket index — the
+    * production shape: the corpus is bucketed ONCE
+    * ([[saveEmbeddingDedupIndex]], partitioned by bucket_id), and a
+    * mining pass reads back ONLY the index partitions for buckets the
+    * anchor set occupies (static isin pruning over a ≤2^planes-value
+    * collected set — lands as a parquet PartitionFilter, spec-pinned).
+    * Per-pass I/O is occupied-partitions-sized, never corpus-sized;
+    * the rest of the arithmetic (dup filter before ranking, rank-limit
+    * window) is identical to the in-memory route.
+    */
+  def hardNegativesFromIndex(
+      anchorVecs: DataFrame,
+      indexDir: String,
+      k: Int,
+      dupThreshold: Double,
+      // false returns the live plan (anchor cache NOT released) so
+      // callers/specs can inspect the pruned index scan; the gated
+      // query materializes and releases
+      materialize: Boolean = true
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = anchorVecs.sparkSession
+    graft.functions.GraftFunctions.register(spark)
+    val anchors = lshBuckets(anchorVecs)
+      .select(col("vec_id").as("anchor_id"), col("v").as("qv"), col("bucket_id").as("q_bucket"))
+      .cache()
+    val probeBuckets = anchors.select("q_bucket").distinct().collect().map(_.getLong(0))
+    val idxSchema = anchors
+      .select(col("anchor_id").as("vec_id"), col("qv").as("v"), col("q_bucket").as("bucket_id"))
+      .limit(0)
+    val idx = spark.read
+      .schema(idxSchema.schema)
+      .parquet(s"$indexDir/buckets")
+      .filter(col("bucket_id").isin(probeBuckets.toSeq: _*))
+    val negs = idx
+      .join(broadcast(anchors), col("bucket_id") === col("q_bucket"))
+      .withColumn("cos_sim", round(expr("cosine_sim(v, qv)"), 6))
+      .filter(col("cos_sim") < dupThreshold && col("vec_id") =!= col("anchor_id"))
+      .withColumn(
+        "rank",
+        row_number()
+          .over(Window.partitionBy(col("anchor_id")).orderBy(desc("cos_sim"), asc("vec_id")))
+          .cast("bigint")
+      )
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("rank"), col("vec_id"), col("cos_sim"))
+    if (materialize) Fixtures.materializedSorted(negs, Seq("anchor_id", "rank"), anchors)
+    else negs.orderBy("anchor_id", "rank")
+  }
+
+  /** Index route gate: anchors are the %50 sample, candidates the
+    * even-id demo index — index built once per process, reps measure
+    * the steady-state pruned probe.
+    */
+  val annHardNegativesIndex: Q = (s, d) =>
+    hardNegativesFromIndex(
+      embeddings(s, d).filter(col("vec_id") % 50 === 0),
+      demoEmbIndexDir(s, d),
+      k = 5,
+      dupThreshold = 0.9
+    )
+
   /** MARGIN-BASED bitext mining (the mined-parallel-corpus recipe:
     * score a cross-lingual candidate pair not by raw cosine but by
     * how much it stands out against each side's neighborhood —
@@ -1418,6 +1480,7 @@ object Similarity {
     "ann_lsh_buckets" -> annLshBuckets,
     "ann_lsh_topk" -> annLshTopk,
     "ann_hard_negatives" -> annHardNegatives,
+    "ann_hard_negatives_index" -> annHardNegativesIndex,
     "bitext_mine" -> bitextMine,
     "sample_bucket_balanced" -> sampleBucketBalanced,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
@@ -1544,6 +1607,24 @@ object Similarity {
          |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
          |FROM b, q WHERE bucket_id = q_bucket
          |ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // index route: even ids are the indexed candidates (the demo
+    // index), anchors the %50 sample; no label column in the index
+    "ann_hard_negatives_index" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, CAST($bucketDuckSql AS BIGINT) AS bucket_id FROM e),
+         |a AS (SELECT vec_id AS anchor_id, v AS qv, bucket_id AS q_bucket FROM b WHERE vec_id % 50 = 0),
+         |cand AS (
+         |  SELECT a.anchor_id, b.vec_id,
+         |    round(list_dot_product(b.v, a.qv) /
+         |          (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(a.qv, a.qv))), 6) AS cos_sim
+         |  FROM b JOIN a ON b.bucket_id = a.q_bucket AND b.vec_id % 2 = 0),
+         |neg AS (
+         |  SELECT anchor_id, vec_id, cos_sim,
+         |    CAST(row_number() OVER (PARTITION BY anchor_id
+         |                            ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS rank
+         |  FROM cand WHERE cos_sim < 0.9 AND vec_id <> anchor_id)
+         |SELECT anchor_id, rank, vec_id, cos_sim
+         |FROM neg WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin,
     "bitext_mine" ->
       s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |x AS (SELECT vec_id AS x_id, v AS xv FROM e WHERE label = 0),

@@ -519,6 +519,24 @@ class SimilarityIvfSpec extends SparkSpec {
     assert(q.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
   }
 
+  test("hardNegativesFromIndex: candidates indexed-only, scan partition-pruned, ranks agree") {
+    val emb = Fixtures.embeddings(spark, dir)
+    val idx = java.nio.file.Files.createTempDirectory("graft_hn_idx").toString
+    Similarity.saveEmbeddingDedupIndex(emb.filter(col("vec_id") % 2 === 0), idx)
+    val anchors = emb.filter(col("vec_id") % 50 === 0)
+    val live = Similarity.hardNegativesFromIndex(anchors, idx, 5, 0.9, materialize = false)
+    val rows = live.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("vec_id") % 2 == 0, "candidates must come from the index")
+      assert(r.getAs[Double]("cos_sim") < 0.9)
+      assert(r.getAs[Long]("rank") >= 1 && r.getAs[Long]("rank") <= 5)
+    }
+    // the probe-bucket restriction lands as STATIC partition pruning
+    val plan = live.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [bucket_id"), plan.take(2000))
+  }
+
   test("minedBitext: the ratio margin demotes a hub that raw cosine would mine first") {
     import spark.implicits._
     def vec(xs: (Int, Double)*): Array[Float] = {
