@@ -223,7 +223,11 @@ object BpeTrain {
     * alphabet-plus-merges-sized broadcasts; encoding is mapPartitions
     * with the per-partition word cache of [[encodeStats]]. Symbols
     * outside the vocabulary (impossible for corpus words, possible
-    * for foreign input) take id −1 rather than failing the feed.
+    * for foreign input) take the sentinel id |vocab| rather than
+    * failing the feed — one past the largest real rank, so an OOV
+    * position still perturbs the checksum (id −1 would contribute
+    * h·1000003 + 0, leaving the gate blind to leading or
+    * substituted OOV runs on foreign input).
     */
   def encodeIds(docs: DataFrame, merges: DataFrame, vocab: DataFrame): DataFrame = {
     val spark = docs.sparkSession
@@ -243,6 +247,7 @@ object BpeTrain {
       .toMap
     val bcR = spark.sparkContext.broadcast(ranks)
     val bcI = spark.sparkContext.broadcast(ids)
+    val oovId = ids.size.toLong
     val mask = (1L << 61) - 1
     docs
       .select(col("doc_id").cast("long"), col("lang"), col("text"))
@@ -257,7 +262,7 @@ object BpeTrain {
           text.split(" ", -1).foreach { w =>
             val widsArr = cache.getOrElseUpdate(
               w,
-              encodeSymbols(w, rk).map(s => im.getOrElse(s, -1L)).toArray
+              encodeSymbols(w, rk).map(s => im.getOrElse(s, oovId)).toArray
             )
             var j = 0
             while (j < widsArr.length) {

@@ -79,7 +79,13 @@ object Chunking {
     * expansion factor (chunk tokens ÷ source tokens, in micro-units)
     * — the number that sizes a chunk index build before running it.
     */
-  def chunkStats(chunks: DataFrame, docs: DataFrame, idCol: String): DataFrame = {
+  def chunkStats(
+      chunks: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String = "text",
+      langCol: String = "lang"
+  ): DataFrame = {
     val perDoc = chunks
       .groupBy(col(idCol))
       .agg(
@@ -87,8 +93,8 @@ object Chunking {
         sum(col("n_toks")).as("chunk_tokens")
       )
     docs
-      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
-      .select(col(idCol), col("lang"), col("n_tokens"))
+      .withColumn("n_tokens", size(split(col(textCol), " ")).cast("long"))
+      .select(col(idCol), col(langCol).as("lang"), col("n_tokens"))
       .join(perDoc, Seq(idCol))
       .groupBy(col("lang"))
       .agg(

@@ -182,9 +182,13 @@ object Similarity {
       indexDir: String,
       k: Int,
       dupThreshold: Double,
-      // false returns the live plan (anchor cache NOT released) so
-      // callers/specs can inspect the pruned index scan; the gated
-      // query materializes and releases
+      // false returns the live plan so callers/specs can inspect the
+      // pruned index scan; the gated query materializes and releases.
+      // On this path the anchor cache is unpersisted BEFORE returning
+      // (it only needs to be hot for the probe-bucket collect) — the
+      // live plan recomputes the anchor bucketing once at execution,
+      // an anchor-set-sized cost, rather than leaking one cached
+      // frame per non-materialized call for the session's lifetime
       materialize: Boolean = true
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -214,7 +218,7 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("anchor_id"), col("rank"), col("vec_id"), col("cos_sim"))
     if (materialize) Fixtures.materializedSorted(negs, Seq("anchor_id", "rank"), anchors)
-    else negs.orderBy("anchor_id", "rank")
+    else { anchors.unpersist(); negs.orderBy("anchor_id", "rank") }
   }
 
   /** Index route gate: anchors are the %50 sample, candidates the
@@ -294,6 +298,14 @@ object Similarity {
     fwd
       .join(knnSum("x_id"), "x_id")
       .join(knnSum("y_id"), "y_id")
+      // Denominator guard: with orthogonal/antipodal embedding sets
+      // both k-NN micro sums can be zero or negative, and double
+      // division by a non-positive value yields Inf/negative-floor
+      // values whose CAST semantics differ between engines. A hub
+      // whose whole neighborhood is non-positive has no meaningful
+      // ratio margin anyway — drop it identically on both sides
+      // (the oracle carries the same `> 0` predicate).
+      .filter(col("knn_x_id") + col("knn_y_id") > 0)
       .withColumn(
         "margin_micro",
         expr(s"CAST(floor(cos_micro * ${2 * k * 1000000}.0 / (knn_x_id + knn_y_id)) AS BIGINT)")
@@ -1644,7 +1656,8 @@ object Similarity {
          |m AS (
          |  SELECT f.x_id, f.y_id, f.cos_micro,
          |    CAST(floor(f.cos_micro * 8000000.0 / (kx.knn_x + ky.knn_y)) AS BIGINT) AS margin_micro
-         |  FROM f JOIN kx USING (x_id) JOIN ky USING (y_id))
+         |  FROM f JOIN kx USING (x_id) JOIN ky USING (y_id)
+         |  WHERE kx.knn_x + ky.knn_y > 0)
          |SELECT x_id, y_id, cos_micro, margin_micro
          |FROM m WHERE margin_micro >= 1010000 ORDER BY x_id""".stripMargin,
     "ann_hard_negatives" ->

@@ -111,6 +111,33 @@ class BpeTrainSpec extends SparkSpec {
     assert(hash1 != hash2, "a transposition must flip the checksum")
   }
 
+  test("encodeIds: OOV symbols take sentinel id |vocab| and still perturb the checksum") {
+    // vocab covers only a/b/</w>; 'z' is foreign. Sentinel = 3 (one
+    // past the largest rank), so a leading OOV run must NOT leave the
+    // rolling hash at 0 and OOV placement must be checksum-visible.
+    val corpus = Seq((1L, "xx", "zz ab"), (2L, "xx", "ab zz")).toDF("doc_id", "lang", "text")
+    val merges = spark.emptyDataFrame
+      .sparkSession.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        new org.apache.spark.sql.types.StructType()
+          .add("rank", "long").add("left", "string").add("right", "string").add("pair_freq", "long"))
+    val vocab = Seq(("a", 4L), ("b", 4L), ("</w>", 4L)).toDF("symbol", "n_occurrences")
+    val out = BpeTrain
+      .encodeIds(corpus, merges, vocab)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("n_ids"), r.getAs[Long]("seq_hash"))))
+      .toMap
+    val mask = (1L << 61) - 1
+    def roll(ids: Seq[Long]): Long = ids.foldLeft(0L)((h, i) => (h * 1000003L + i + 1L) & mask)
+    // sorted vocab: </w> -> 0, a -> 1, b -> 2; OOV z -> 3
+    val h1 = roll(Seq(3L, 3L, 0L, 1L, 2L, 0L)) // "zz" -> z z </w>, "ab" -> a b </w>
+    val h2 = roll(Seq(1L, 2L, 0L, 3L, 3L, 0L))
+    assert(out(1L) == ((6L, h1)))
+    assert(out(2L) == ((6L, h2)))
+    assert(h1 != h2, "OOV position must be checksum-visible")
+    assert(h1 != roll(Seq(1L, 2L, 0L)), "leading OOV run must not be a hash no-op")
+  }
+
   test("fertility micro-units follow from the encode totals exactly") {
     val corpus = Seq((1L, "en", "low low newest"), (2L, "en", "low")).toDF("doc_id", "lang", "text")
     val merges = Seq((1L, "l", "o", 9L), (2L, "lo", "w", 9L), (3L, "low", "</w>", 9L))

@@ -71,4 +71,20 @@ class ChunkingSpec extends SparkSpec {
     // expansion ∈ [1, window/stride] = [1, 1.333…] in micro-units
     assert(stats.forall(e => e >= 1000000L && e <= 1400000L), stats.mkString(","))
   }
+
+  test("chunkStats honors textCol/langCol for frames not shaped like the fixture") {
+    val docs = Seq(
+      (1L, "de", "a b c d e f"),
+      (2L, "de", "x y z")
+    ).toDF("doc_id", "sprache", "inhalt")
+    val chunks = Chunking.chunkDocuments(docs, "doc_id", "inhalt", window = 4, stride = 3)
+    val got = Chunking
+      .chunkStats(chunks, docs, "doc_id", textCol = "inhalt", langCol = "sprache")
+      .select("lang", "n_docs", "n_chunks", "tokens", "chunk_tokens")
+      .as[(String, Long, Long, Long, Long)]
+      .collect()
+      .toSeq
+    // doc 1 (6 toks): starts 1,4 → 4+3 chunk toks; doc 2 (3 toks): start 1 → 3
+    assert(got == Seq(("de", 2L, 3L, 9L, 10L)))
+  }
 }

@@ -524,7 +524,13 @@ class SimilarityIvfSpec extends SparkSpec {
     val idx = java.nio.file.Files.createTempDirectory("graft_hn_idx").toString
     Similarity.saveEmbeddingDedupIndex(emb.filter(col("vec_id") % 2 === 0), idx)
     val anchors = emb.filter(col("vec_id") % 50 === 0)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val live = Similarity.hardNegativesFromIndex(anchors, idx, 5, 0.9, materialize = false)
+    // the non-materialized route must not leak its anchor cache: any
+    // RDD persisted during the call is released before it returns
+    // (set-difference on ids — immune to the async ContextCleaner)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
     val rows = live.collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
@@ -568,5 +574,31 @@ class SimilarityIvfSpec extends SparkSpec {
     val rows = Similarity.queries("bitext_mine")(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)
     assert(rows.map(_.getLong(0)).distinct.length == rows.length, "one forward pair per x")
+  }
+
+  test("minedBitext: non-positive k-NN denominators are dropped, not divided into Inf") {
+    import spark.implicits._
+    def vec(xs: (Int, Double)*): Array[Float] = {
+      val a = Array.fill(64)(0.0f); xs.foreach { case (i, x) => a(i) = x.toFloat }; a
+    }
+    // x0 ⟂ y1 and x0 = −y3: x0's k-NN cosines are {0, −1} → knn sum
+    // ≤ 0. Without the guard the margin is a floor over a division by
+    // a non-positive double (engine-divergent); with it the pair is
+    // dropped. x2/y5 is a sane positive-neighborhood pair that must
+    // survive to prove the guard is not over-filtering.
+    val emb = Seq(
+      (0L, vec(0 -> 1.0), 0),
+      (2L, vec(3 -> 1.0), 0),
+      (1L, vec(1 -> 1.0), 1),
+      (3L, vec(0 -> -1.0), 1),
+      (5L, vec(3 -> 0.9, 4 -> 0.1), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity
+      .minedBitext(emb, k = 2, minMarginMicro = Long.MinValue)
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(3))
+      .toMap
+    assert(!got.contains(0L), s"non-positive-denominator anchor must be dropped: $got")
+    assert(got.contains(2L), "positive-neighborhood pair must survive the guard")
   }
 }
