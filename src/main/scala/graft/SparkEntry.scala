@@ -35,6 +35,7 @@ object SparkEntry {
       (Similarity.queries, Similarity.oracles),
       (TextAnalysis.queries, TextAnalysis.oracles),
       (Chunking.queries, Chunking.oracles),
+      (Centrality.queries, Centrality.oracles),
       (Multimodal.queries, Multimodal.oracles),
       (Movement.queries, Movement.oracles),
       (Events.queries, Events.oracles),

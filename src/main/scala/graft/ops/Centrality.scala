@@ -1,0 +1,206 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph centrality over the near-duplicate similarity graph — the
+  * keeper-policy upgrade for dedup clusters: instead of "lowest id
+  * wins" (arrival order) or "best quality score wins"
+  * ([[GraphDedup.qualityReps]]), keep the most CENTRAL member of each
+  * near-dup cluster — the document the rest of the cluster is
+  * derived from (re-crawls, boilerplate-wrapped mirrors and partial
+  * copies all point back at it), which PageRank on the similarity
+  * graph surfaces as the highest-rank node. The reference ships this
+  * as its graph-analytics pass over candidate-pair output; here it is
+  * re-expressed as the standard Pregel-on-DataFrame power iteration.
+  *
+  * Determinism contract (oracle-gated): ranks live in integer
+  * micro-units. Per-node mass starts at 10⁶; a node of out-degree g
+  * sends `rank div g` to each neighbor (integer floor division — the
+  * ≤ g−1 micro leak per node per step is deterministic and identical
+  * in both engines); damping 0.85 is applied as `150000 + (17·Σ
+  * contrib) div 20` — pure BIGINT arithmetic (17/20 = 0.85 exactly),
+  * no float anywhere, so K unrolled iterations agree bit for bit with
+  * the DuckDB oracle. 17·Σ overflows signed 64-bit only past ~5·10¹⁷
+  * total incoming micro-mass ≈ 5·10¹¹ documents — beyond any corpus.
+  *
+  * Dangling handling: every node gets a SELF-LOOP (the lazy-walk
+  * trick), so out-degree ≥ 1 always — no dangling mass to
+  * redistribute, which keeps the per-iteration step a single
+  * edge-relation join + aggregate on both engines (a dangling-mass
+  * term would need a second pass over the rank relation per step).
+  *
+  * Scale shape (the part that must survive 100×): the edge relation
+  * is near-dup-pair-sized (output-sized, NOT corpus-sized — the LSH
+  * pass that produced it did the corpus-scale work). Degrees are
+  * joined into the edge relation ONCE, outside the loop, and that
+  * enriched edge relation is localCheckpoint-pinned so K iterations
+  * re-read bytes instead of re-deriving the LSH plan. Each iteration
+  * is one shuffle: contributions hash-partitioned by dst with
+  * map-side partial sums (sum is associative), then the new rank
+  * relation (node-sized) is eagerly checkpointed so the logical plan
+  * stays iteration-bounded instead of growing a 2^K lineage. On a
+  * real cluster the edge relation would be bucketed by src so the
+  * rank⋈edges probe co-partitions; the aggregate's skew (a mega-hub
+  * dst) is AQE's skewed-aggregate case, and self-loops add exactly
+  * |V| edges — never the quadratic blowup a dense similarity graph
+  * would need guarding against, because edges are Jaccard-confirmed
+  * pairs, not raw candidates.
+  */
+object Centrality {
+  type Q = (SparkSession, String) => DataFrame
+  import Fixtures._
+
+  /** Oracle-pinned knobs: 6 power iterations at damping 17/20. */
+  private[ops] val iterations = 6
+  private val baseMicro = 1000000L
+
+  /** Undirected near-dup edges + a self-loop per node, with each
+    * edge's source out-degree attached — the loop-invariant relation.
+    */
+  private def loopGraph(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    // edges arrive as distinct (src < dst) pairs, so the reversal
+    // cannot collide with the forward set and self-loops collide with
+    // neither — no distinct() (and its shuffle) needed
+    val und = edges
+      .select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .union(nodes.select(col("node").as("src"), col("node").as("dst")))
+    val deg = und.groupBy("src").agg(count(lit(1)).cast("long").as("deg"))
+    und.join(deg, "src")
+  }
+
+  /** Integer-micro PageRank: (node, deg, rank_micro) after
+    * [[iterations]] synchronous steps from a uniform 10⁶ start.
+    * `edges` must be distinct (src < dst) confirmed pairs.
+    */
+  def pageRank(docs: DataFrame, edges: DataFrame, idCol: String): DataFrame = {
+    val nodes = docs.select(col(idCol).cast("long").as("node"))
+    // the undirected union references the edge plan TWICE (forward +
+    // reversed) — pin it first so an expensive upstream (the LSH
+    // verification pass) materializes once, not per-reference
+    val e = edges.localCheckpoint(true)
+    // edge-sized and reused K+1 times: pin eagerly, release at exit
+    val g = loopGraph(nodes, e).localCheckpoint(true)
+    var ranks = nodes.withColumn("rank_micro", lit(baseMicro)).localCheckpoint(true)
+    try {
+      for (_ <- 1 to iterations) {
+        val prev = ranks
+        ranks = g
+          .join(ranks, g("src") === ranks("node"))
+          .select(col("dst"), expr("rank_micro div deg").as("contrib"))
+          .groupBy(col("dst"))
+          .agg(expr("CAST(150000 + (17 * sum(contrib)) div 20 AS BIGINT)").as("rank_micro"))
+          .withColumnRenamed("dst", "node")
+          .localCheckpoint(true)
+        GraphDedup.releaseCheckpoints(prev)
+      }
+      // self-loops guarantee every node received mass, so this join
+      // is total; deg here is the true out-degree incl. the self-loop
+      ranks
+        .join(g.filter(col("src") === col("dst")).select(col("src").as("node"), col("deg")), "node")
+        .localCheckpoint(true)
+    } finally GraphDedup.releaseCheckpoints(e, g, ranks)
+  }
+
+  /** Confirmed near-dup edges at the clustering family's threshold —
+    * shared with dedup_clusters so centrality ranks the SAME graph
+    * the cluster map labels.
+    */
+  private def confirmedEdges(docs: DataFrame): DataFrame =
+    Dedup
+      .lshCandidatesWithJaccard(docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+
+  val centralityPagerank: Q = (s, d) => {
+    val docs = documents(s, d)
+    pageRank(docs, confirmedEdges(docs), "doc_id")
+      .select(col("node").as("doc_id"), col("deg"), col("rank_micro"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-cluster representative by CENTRALITY: the highest-PageRank
+    * member, ties to the lowest id. Single partial-aggregated
+    * `min(struct(-rank, id))` per cluster (the [[GraphDedup.qualityReps]]
+    * shape) — no window over members, so a mega-cluster is a skewed
+    * aggregate for AQE, never a single-partition sort. The edge
+    * relation feeds both the rank loop and the cluster map, so it is
+    * eagerly pinned once.
+    */
+  val centralityReps: Q = (s, d) => {
+    val docs = documents(s, d)
+    val edges = confirmedEdges(docs).localCheckpoint(true)
+    try {
+      val ranks = pageRank(docs, edges, "doc_id")
+        .select(col("node").as("doc_id"), col("rank_micro"))
+      GraphDedup
+        .clusterMap(docs, GraphDedup.connectedComponents(edges))
+        .join(ranks, "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(
+          count(lit(1)).cast("long").as("cluster_size"),
+          min(struct((-col("rank_micro")).as("nr"), col("doc_id").as("id"))).as("best")
+        )
+        .select(
+          col("cluster_id"),
+          col("cluster_size"),
+          col("best.id").as("rep_id"),
+          (-col("best.nr")).as("rep_rank_micro")
+        )
+        .orderBy("cluster_id")
+        .localCheckpoint(true)
+    } finally GraphDedup.releaseCheckpoints(edges)
+  }
+
+  def queries: Map[String, Q] = Map(
+    "centrality_pagerank" -> centralityPagerank,
+    "centrality_reps" -> centralityReps
+  )
+
+  // ---- DuckDB oracles ------------------------------------------------
+
+  /** K unrolled rank CTEs over the shared cluster-chain edge SQL
+    * (recursion-free: fixed iteration count on both engines). Expects
+    * `und` (undirected confirmed edges) in scope from
+    * [[GraphDedup.clusterChainSql]].
+    */
+  private def rankChainSql(k: Int): String = {
+    val steps = (1 to k)
+      .map { i =>
+        s"""r$i AS (
+           |  SELECT g.dst AS node,
+           |    CAST(150000 + (17 * sum(r.rank_micro // g.deg)) // 20 AS BIGINT) AS rank_micro
+           |  FROM r${i - 1} r JOIN pg g ON g.src = r.node GROUP BY g.dst)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""gu AS (
+       |  SELECT src, dst FROM und
+       |  UNION ALL SELECT doc_id, doc_id FROM documents),
+       |gdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM gu GROUP BY src),
+       |pg AS (SELECT g.src, g.dst, d.deg FROM gu g JOIN gdeg d ON d.src = g.src),
+       |r0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS rank_micro FROM documents),
+       |$steps""".stripMargin
+  }
+
+  def oracles: Map[String, String] = Map(
+    "centrality_pagerank" ->
+      s"""${GraphDedup.clusterChainSql},
+         |${rankChainSql(iterations)}
+         |SELECT r.node AS doc_id, d.deg, r.rank_micro
+         |FROM r$iterations r JOIN gdeg d ON d.src = r.node
+         |ORDER BY doc_id""".stripMargin,
+    "centrality_reps" ->
+      s"""${GraphDedup.clusterChainSql},
+         |${rankChainSql(iterations)},
+         |mem AS (
+         |  SELECT l.cluster_id, l.doc_id, r.rank_micro,
+         |    row_number() OVER (PARTITION BY l.cluster_id
+         |                       ORDER BY r.rank_micro DESC, l.doc_id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY l.cluster_id) AS csz
+         |  FROM lab l JOIN r$iterations r ON r.node = l.doc_id)
+         |SELECT cluster_id, CAST(csz AS BIGINT) AS cluster_size,
+         |  doc_id AS rep_id, rank_micro AS rep_rank_micro
+         |FROM mem WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+  )
+}

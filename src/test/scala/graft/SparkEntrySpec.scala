@@ -33,6 +33,7 @@ class SparkEntrySpec extends AnyFunSuite {
       "Similarity" -> Similarity.queries.keySet,
       "TextAnalysis" -> TextAnalysis.queries.keySet,
       "Chunking" -> Chunking.queries.keySet,
+      "Centrality" -> Centrality.queries.keySet,
       "Multimodal" -> Multimodal.queries.keySet,
       "Movement" -> Movement.queries.keySet,
       "Events" -> Events.queries.keySet,

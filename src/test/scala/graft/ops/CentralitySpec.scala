@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CentralitySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The exact integer recurrence of Centrality.pageRank, driver-side:
+    * self-loops + undirected edges, rank div deg contributions,
+    * 150000 + (17·Σ) div 20. Positive-long `/` is floor division, so
+    * this is the same arithmetic the SQL runs.
+    */
+  private def ref(nodes: Seq[Long], edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val und = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) } ++ nodes.map(n => n -> n)
+    val deg = und.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val sums = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      und.foreach { case (s, d) => sums(d) += r(s) / deg(s) }
+      r = nodes.map(n => n -> (150000L + (17L * sums(n)) / 20L)).toMap
+    }
+    r
+  }
+
+  test("pageRank matches the integer recurrence on a path graph and breaks symmetry") {
+    val docs = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    // path 1—2—3 plus isolated 4
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Centrality
+      .pageRank(docs, edges, "doc_id")
+      .collect()
+      .map(r => r.getAs[Long]("node") -> ((r.getAs[Long]("deg"), r.getAs[Long]("rank_micro"))))
+      .toMap
+    val want = ref(Seq(1L, 2L, 3L, 4L), Seq((1L, 2L), (2L, 3L)), 6)
+    assert(got.view.mapValues(_._2).toMap == want, s"got $got want $want")
+    assert(got(1L)._1 == 2L && got(2L)._1 == 3L && got(4L)._1 == 1L, "self-loop-inclusive degrees")
+    assert(got(2L)._2 > got(1L)._2, "the middle of the path must out-rank an endpoint")
+    assert(got(1L)._2 == got(3L)._2, "symmetric endpoints must tie exactly")
+    assert(got(4L)._2 == 1000000L, "an isolated node is stationary at the base mass")
+  }
+
+  test("total mass is conserved up to deterministic floor leak; no node lost") {
+    val n = 20L
+    val docs = (1L to n).toDF("doc_id")
+    // a star around 1 (hub) + a detached pair
+    val edges = ((2L to 10L).map(i => (1L, i)) :+ ((11L, 12L))).toDF("src", "dst")
+    val rows = Centrality.pageRank(docs, edges, "doc_id").collect()
+    assert(rows.length == n, "every node must be ranked")
+    val total = rows.map(_.getAs[Long]("rank_micro")).sum
+    // each node leaks < deg micro per iteration to floor division and
+    // < 20 micro to the damping floor; 6 iterations over this graph
+    // keep the loss well under 0.1% of the 20e6 total
+    assert(total <= n * 1000000L && total > n * 1000000L - 20000L, s"total $total")
+    val hub = rows.find(_.getAs[Long]("node") == 1L).get.getAs[Long]("rank_micro")
+    assert(rows.forall(_.getAs[Long]("rank_micro") <= hub), "the star hub must rank highest")
+  }
+
+  test("the power loop keeps O(1) checkpoints pinned, not O(iterations)") {
+    val docs = (1L to 50L).toDF("doc_id")
+    val edges = (1L to 49L).map(i => (i, i + 1)).toDF("src", "dst")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val pr = Centrality.pageRank(docs, edges, "doc_id")
+    pr.collect()
+    val after = spark.sparkContext.getPersistentRDDs.keySet -- before
+    // 6 iterations each checkpoint a rank relation; all of them plus
+    // the loop-invariant edge relation must be released on exit — only
+    // the RESULT checkpoint (held by `pr`) may stay pinned
+    // (set-difference on ids, immune to the async ContextCleaner)
+    assert(after.size <= 1, s"power loop leaked checkpoint RDDs: $after")
+  }
+
+  test("reps pick the highest-rank member per cluster, bit-consistent with the rank query") {
+    val d = "/root/testdata/sf0.001"
+    val ranks = Centrality.queries("centrality_pagerank")(spark, d)
+      .select(col("doc_id"), col("rank_micro"))
+    val clusters = GraphDedup.queries("dedup_clusters")(spark, d)
+      .select(col("doc_id"), col("cluster_id"))
+    val wantReps = clusters
+      .join(ranks, "doc_id")
+      .groupBy("cluster_id")
+      .agg(
+        count(lit(1)).cast("long").as("cluster_size"),
+        min(struct((-col("rank_micro")).as("nr"), col("doc_id").as("id"))).as("b")
+      )
+      .select(col("cluster_id"), col("cluster_size"), col("b.id").as("rep_id"),
+        (-col("b.nr")).as("rep_rank_micro"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val gotReps = Centrality.queries("centrality_reps")(spark, d)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(gotReps == wantReps)
+    assert(gotReps.nonEmpty && gotReps.exists(_._2._1 > 1), "fixture must contain a real cluster")
+  }
+}
