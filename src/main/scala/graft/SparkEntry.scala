@@ -36,6 +36,7 @@ object SparkEntry {
       (TextAnalysis.queries, TextAnalysis.oracles),
       (Chunking.queries, Chunking.oracles),
       (Centrality.queries, Centrality.oracles),
+      (Search.queries, Search.oracles),
       (Multimodal.queries, Multimodal.oracles),
       (Movement.queries, Movement.oracles),
       (Events.queries, Events.oracles),

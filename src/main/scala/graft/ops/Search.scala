@@ -1,0 +1,258 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Inverted-index build and keyword search over the corpus — the
+  * retrieval side of a training-data pipeline (corpus exploration,
+  * targeted decontamination probes, "which documents mention X"
+  * audits; the reference serves these through its catalog's
+  * text-search pass). Three operators:
+  *
+  *  - [[invertedPostings]]: the index build. One corpus pass explodes
+  *    tokens, one partial-aggregated groupBy(token) computes document
+  *    frequency, total term frequency, the first-K posting head and an
+  *    order-insensitive 48-bit fingerprint of the FULL posting set.
+  *    The full posting list is deliberately NOT emitted as a column:
+  *    a stopword's postings are corpus-sized, and a per-token array
+  *    materialization is exactly the row-explosion that dies at 100 TB.
+  *    The head is a rank-limit window (WindowGroupLimit forwards K
+  *    rows per token per partition), and the fingerprint is a plain
+  *    distributive aggregate (bit_xor of per-posting md5-48) — both
+  *    scale as aggregates, never as lists. Full-set equality between
+  *    two index builds is checked by comparing (df, postings_fp),
+  *    without shipping either side's postings.
+  *
+  *  - [[conjunctiveSearch]]: AND-of-terms search, coarse-then-exact.
+  *    A conjunctive match REQUIRES every query term as a substring, so
+  *    the corpus scan is pre-filtered with `contains(text, term)` for
+  *    all terms — a pushable predicate that prunes the explode to the
+  *    candidate docs (false positives only; the exact token match
+  *    re-checks). Scoring is the corpus convention: tf · smoothed-IDF
+  *    micro (floor(ln((N+1)/(df+1))·1e6), [[CorpusStats]]'s exact
+  *    form), summed over matched terms; AND semantics via
+  *    count(distinct matched term) = |query|. The query-term relation
+  *    is literal-sized, so the df model broadcast is bytes.
+  *
+  *  - [[phraseSearch]]: exact adjacent-bigram phrase match. Positions
+  *    come from one posexplode pass over the contains-pruned docs;
+  *    adjacency is lead(token) over (partition by doc, order by pos)
+  *    — a per-document window (a partition is one document, never
+  *    skewed) so the phrase check is a single pass with no self-join
+  *    re-scan.
+  */
+object Search {
+  type Q = (SparkSession, String) => DataFrame
+  import Fixtures._
+
+  /** Posting-head length: bounds the emitted row regardless of df. */
+  private val headK = 16
+
+  /** Fixture query knobs (oracle-pinned). */
+  private[ops] val fixtureAndTerms = Seq("dup", "spark")
+  private[ops] val fixturePhrase = ("hash", "join")
+  private val topK = 10
+
+  /** (token, doc_id, tf) postings. */
+  private def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), explode(split(col(textCol), " ")).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+
+  def invertedPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = postings(docs, idCol, textCol)
+    val stats = p
+      .groupBy(col("token"))
+      .agg(
+        count(lit(1)).cast("long").as("df"),
+        sum(col("tf")).cast("long").as("tf_total"),
+        // order-insensitive content hash of the full posting set: each
+        // (token, doc) posting contributes its md5-48; xor aggregates
+        // distributively (no per-token list, no ordering sensitivity).
+        // Safe because postings are distinct — no even-multiplicity
+        // cancellation can fake an equality.
+        expr(
+          "bit_xor(CAST(conv(substring(md5(cast(concat(token, ':', CAST(doc_id AS STRING)) as binary)), 1, 12), 16, 10) AS BIGINT))"
+        ).as("postings_fp")
+      )
+    val heads = p
+      .withColumn("rn", row_number().over(Window.partitionBy(col("token")).orderBy(col("doc_id"))))
+      .filter(col("rn") <= headK)
+      .groupBy(col("token"))
+      .agg(
+        expr("array_join(transform(sort_array(collect_list(doc_id)), x -> CAST(x AS STRING)), ',')")
+          .as("postings_head")
+      )
+    stats.join(heads, "token")
+  }
+
+  val searchPostings: Q = (s, d) =>
+    invertedPostings(documents(s, d), "doc_id", "text").orderBy("token")
+
+  def conjunctiveSearch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty, "conjunctive search needs at least one term")
+    // coarse prune: every term must appear as a substring (necessary
+    // condition for the exact token match) — pushes to the scan and
+    // keeps the explode candidate-sized
+    val pruned = docs.filter(terms.map(t => col(textCol).contains(t)).reduce(_ && _))
+    val p = postings(pruned, idCol, textCol)
+      .filter(col("token").isin(terms: _*))
+    // df per query term over the candidate set equals the corpus df
+    // for that term (every doc containing the token survives the
+    // conjunctive contains-prune only if it contains ALL terms) — so
+    // the model must count df on a single-term prune, not the
+    // conjunctive one. One extra pruned pass per term stays
+    // term-count-bounded.
+    val nDocs = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+    val dfModel = terms
+      .map { t =>
+        postings(docs.filter(col(textCol).contains(t)), idCol, textCol)
+          .filter(col("token") === t)
+          .groupBy(col("token"))
+          .agg(count(lit(1)).cast("long").as("df"))
+      }
+      .reduce(_ union _)
+      .crossJoin(broadcast(nDocs))
+      .withColumn(
+        "idf_micro",
+        floor(log((col("n_docs") + 1).cast("double") / (col("df") + 1)) * 1000000L).cast("bigint")
+      )
+      .select(col("token"), col("idf_micro"))
+    val scored = p
+      .join(broadcast(dfModel), "token")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_matched"),
+        sum(col("tf") * col("idf_micro")).cast("long").as("score_micro")
+      )
+      .filter(col("n_matched") === terms.size.toLong)
+    // global top-k: orderBy+limit plans as TakeOrderedAndProject (per-
+    // partition heaps, no full sort); the rank column is stamped on
+    // the ≤ k survivors only
+    val top = scored.orderBy(col("score_micro").desc, col("doc_id").asc).limit(k)
+    top
+      .withColumn(
+        "rank",
+        row_number()
+          .over(Window.orderBy(col("score_micro").desc, col("doc_id").asc))
+          .cast("bigint")
+      )
+      .select(col("rank"), col("doc_id"), col("score_micro"))
+  }
+
+  val searchConjunctive: Q = (s, d) =>
+    conjunctiveSearch(documents(s, d), "doc_id", "text", fixtureAndTerms, topK)
+      .orderBy("rank")
+
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String, first: String, second: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pruned = docs.filter(col(textCol).contains(first) && col(textCol).contains(second))
+    val pos = pruned.select(
+      col(idCol).cast("long").as("doc_id"),
+      posexplode(split(col(textCol), " ")).as(Seq("pos", "token"))
+    )
+    pos
+      .withColumn(
+        "next_token",
+        lead(col("token"), 1).over(Window.partitionBy(col("doc_id")).orderBy(col("pos")))
+      )
+      .filter(col("token") === first && col("next_token") === second)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_occurrences"))
+  }
+
+  val searchPhrase: Q = (s, d) =>
+    phraseSearch(documents(s, d), "doc_id", "text", fixturePhrase._1, fixturePhrase._2)
+      .orderBy("doc_id")
+
+  def queries: Map[String, Q] = Map(
+    "search_postings" -> searchPostings,
+    "search_conjunctive" -> searchConjunctive,
+    "search_phrase" -> searchPhrase
+  )
+
+  // ---- DuckDB oracles ------------------------------------------------
+
+  private val postingsSql =
+    """p0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |p AS (SELECT token, doc_id, count(*) AS tf FROM p0 GROUP BY token, doc_id)""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "search_postings" ->
+      s"""WITH $postingsSql,
+         |fp AS (
+         |  SELECT token,
+         |    bit_xor(CAST(${Dedup.hex12ValSql("md5(token || ':' || CAST(doc_id AS VARCHAR))", 1)} AS BIGINT)) AS postings_fp
+         |  FROM p GROUP BY token),
+         |stats AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS tf_total
+         |  FROM p GROUP BY token),
+         |hd AS (
+         |  SELECT token, doc_id, row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn FROM p),
+         |heads AS (
+         |  SELECT token, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings_head
+         |  FROM hd WHERE rn <= 16 GROUP BY token)
+         |SELECT s.token, s.df, s.tf_total, h.postings_head, f.postings_fp
+         |FROM stats s JOIN heads h USING (token) JOIN fp f USING (token)
+         |ORDER BY s.token""".stripMargin,
+    "search_conjunctive" -> {
+      val terms = fixtureAndTerms
+      val termList = terms.map(t => s"'$t'").mkString(", ")
+      val containsAll = terms.map(t => s"contains(text, '$t')").mkString(" AND ")
+      val dfArms = terms
+        .map(t =>
+          s"""SELECT token, CAST(count(*) AS BIGINT) AS df FROM (
+             |    SELECT token, doc_id FROM (
+             |      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             |      FROM documents WHERE contains(text, '$t')) x
+             |    WHERE token = '$t' GROUP BY token, doc_id) GROUP BY token""".stripMargin
+        )
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH cand AS (SELECT doc_id, text FROM documents WHERE $containsAll),
+         |c0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM cand),
+         |cp AS (SELECT token, doc_id, count(*) AS tf FROM c0
+         |       WHERE token IN ($termList) GROUP BY token, doc_id),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         |dfm AS (
+         |  $dfArms),
+         |model AS (
+         |  SELECT token,
+         |    CAST(floor(ln(((SELECT n_docs FROM nd) + 1) / CAST(df + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS idf_micro
+         |  FROM dfm),
+         |scored AS (
+         |  SELECT cp.doc_id, count(*) AS n_matched,
+         |    CAST(sum(cp.tf * m.idf_micro) AS BIGINT) AS score_micro
+         |  FROM cp JOIN model m ON m.token = cp.token
+         |  GROUP BY cp.doc_id HAVING count(*) = ${terms.size}),
+         |ranked AS (
+         |  SELECT doc_id, score_micro,
+         |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT rank, doc_id, score_micro FROM ranked WHERE rank <= $topK ORDER BY rank""".stripMargin
+    },
+    "search_phrase" -> {
+      val (a, b) = fixturePhrase
+      s"""WITH pt AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks, len(string_split(text, ' ')) AS n
+         |  FROM documents WHERE contains(text, '$a') AND contains(text, '$b')),
+         |ps AS (SELECT doc_id, toks, unnest(generate_series(1, n, 1)) AS pos FROM pt),
+         |px AS (SELECT doc_id, pos, toks[pos] AS token FROM ps),
+         |w AS (
+         |  SELECT doc_id, token,
+         |    lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS next_token
+         |  FROM px)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+         |FROM w WHERE token = '$a' AND next_token = '$b'
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }
+  )
+}

@@ -34,6 +34,7 @@ class SparkEntrySpec extends AnyFunSuite {
       "TextAnalysis" -> TextAnalysis.queries.keySet,
       "Chunking" -> Chunking.queries.keySet,
       "Centrality" -> Centrality.queries.keySet,
+      "Search" -> Search.queries.keySet,
       "Multimodal" -> Multimodal.queries.keySet,
       "Movement" -> Movement.queries.keySet,
       "Events" -> Events.queries.keySet,

@@ -1,0 +1,100 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("invertedPostings: hand-computed df/tf/head; fingerprint is partitioning-invariant") {
+    val docs = Seq(
+      (3L, "x y x"),
+      (1L, "x z"),
+      (2L, "y")
+    ).toDF("doc_id", "text")
+    val got = Search
+      .invertedPostings(docs, "doc_id", "text")
+      .collect()
+      .map(r =>
+        r.getAs[String]("token") ->
+          ((r.getAs[Long]("df"), r.getAs[Long]("tf_total"), r.getAs[String]("postings_head")))
+      )
+      .toMap
+    assert(got("x") == ((2L, 3L, "1,3")), got.toString)
+    assert(got("y") == ((2L, 2L, "2,3")))
+    assert(got("z") == ((1L, 1L, "1")))
+    // same corpus, different physical layout → identical fingerprints
+    // (bit_xor is order- and partitioning-insensitive)
+    val fpA = Search.invertedPostings(docs.repartition(7), "doc_id", "text")
+      .select("token", "postings_fp").as[(String, Long)].collect().toMap
+    val fpB = Search.invertedPostings(docs.coalesce(1), "doc_id", "text")
+      .select("token", "postings_fp").as[(String, Long)].collect().toMap
+    assert(fpA == fpB)
+    // and a changed posting set flips the token's fingerprint
+    val fpC = Search
+      .invertedPostings(docs.union(Seq((9L, "z")).toDF("doc_id", "text")), "doc_id", "text")
+      .select("token", "postings_fp").as[(String, Long)].collect().toMap
+    assert(fpC("z") != fpA("z") && fpC("x") == fpA("x"))
+  }
+
+  test("posting head stays K-bounded on a high-df synthetic corpus") {
+    val docs = (1L to 400L).map(i => (i, s"common tail$i")).toDF("doc_id", "text")
+    val row = Search
+      .invertedPostings(docs, "doc_id", "text")
+      .filter(col("token") === "common")
+      .collect()
+      .head
+    assert(row.getAs[Long]("df") == 400L)
+    assert(row.getAs[String]("postings_head") == (1L to 16L).mkString(","))
+    // the head build must group-limit, not materialize 400-element lists
+    val plan = Search
+      .invertedPostings(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan.take(1500))
+  }
+
+  test("conjunctiveSearch: AND semantics, substring false positives re-checked exactly") {
+    val docs = Seq(
+      (1L, "cat dog bird"), // both terms
+      (2L, "cat cat dog"),  // both, higher tf
+      (3L, "cat only here"),          // one term
+      (4L, "catalog dogma"),          // substrings only — coarse prune passes, exact match must reject
+      (5L, "dog bird")                // one term
+    ).toDF("doc_id", "text")
+    val got = Search
+      .conjunctiveSearch(docs, "doc_id", "text", Seq("cat", "dog"), 10)
+      .collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id")))
+    assert(got.map(_._2).toSet == Set(1L, 2L), got.mkString(","))
+    assert(got.head._2 == 2L, "higher combined tf-idf must rank first")
+  }
+
+  test("conjunctive plan: top-k is TakeOrderedAndProject; contains-prune reaches the scan") {
+    val q = Search.queries("search_conjunctive")(spark, "/root/testdata/sf0.001")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+    assert(plan.contains("Contains"), "coarse substring prune must appear as a Contains filter")
+  }
+
+  test("phraseSearch: adjacency only, multiplicity counted, non-adjacent excluded") {
+    val docs = Seq(
+      (1L, "hash join now hash join"), // 2 occurrences
+      (2L, "hash x join"),             // both tokens, never adjacent
+      (3L, "join hash"),               // reversed order only
+      (4L, "a hash join b")            // 1 occurrence
+    ).toDF("doc_id", "text")
+    val got = Search
+      .phraseSearch(docs, "doc_id", "text", "hash", "join")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_occurrences"))
+      .toMap
+    assert(got == Map(1L -> 2L, 4L -> 1L), got.toString)
+  }
+
+  test("fixture searches are non-degenerate at sf0.001") {
+    val d = "/root/testdata/sf0.001"
+    assert(Search.queries("search_postings")(spark, d).count() > 0)
+    assert(Search.queries("search_phrase")(spark, d).count() > 0)
+  }
+}
