@@ -121,6 +121,9 @@ object Bench {
       "dedup_stream_replay" -> "first_run",
       "events_stream_replay" -> "every_run",
       "events_anomaly_stream" -> "every_run",
+      // every rep rewrites the replay source and re-runs the
+      // micro-batched dedup from a fresh checkpoint
+      "dedup_stream_exact" -> "every_run",
       // builds "yesterday's" component map inline before the
       // increment-sized merge it exists to demonstrate
       "dedup_clusters_incremental" -> "every_run",

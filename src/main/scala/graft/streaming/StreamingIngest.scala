@@ -84,6 +84,56 @@ object StreamingIngest {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Oracle-gated replay of [[dedupStream]]'s bounded-state exact
+    * dedup: the events table arrives as 4 micro-batch files and is
+    * deduplicated on (user_id, event_type) with
+    * dropDuplicatesWithinWatermark. The horizon (400 days) exceeds the
+    * fixture's whole time span, so no state is evicted mid-replay and
+    * the emitted key set must equal batch `SELECT DISTINCT` — the
+    * equality this gate pins. Eviction behavior (duplicates BEYOND the
+    * horizon re-emitting, state dropping) is the MemoryStream spec's
+    * subject: it needs controlled watermark advancement, which a file
+    * replay cannot express deterministically.
+    *
+    * Emission shape: unlike a windowed aggregate, the dedup operator
+    * emits a key's FIRST arrival in the batch that carries it (state
+    * only suppresses later copies), so no flush sentinel is needed —
+    * AvailableNow drains the backlog and the output is complete. Only
+    * the key columns are emitted: which physical row of an
+    * intra-batch duplicate group survives is partitioning-dependent,
+    * and a gate must not depend on it.
+    */
+  def dedupStreamExactReplay(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_exact_dedup_stream")
+    try {
+      val src = base.resolve("src").toString
+      val out = base.resolve("keys").toString
+      val ckpt = base.resolve("ckpt").toString
+      graft.ops.Fixtures
+        .events(s, d)
+        .select(col("ts"), col("user_id"), col("event_type"))
+        .repartition(4, col("user_id"))
+        .write
+        .parquet(src)
+      val q = s.readStream
+        .schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "400 days")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet")
+        .option("path", out)
+        .outputMode(OutputMode.Append)
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy("user_id", "event_type").localCheckpoint(true)
+    } finally rmScratch(s, base)
+  }
+
   /** Streaming NEAR-dup flags with DISK-backed unbounded-horizon state:
     * each micro-batch probes the persisted MinHash signature index
     * (graft.ops.Dedup.incrementalDedup), appends its flags to `outDir`,
@@ -1190,6 +1240,7 @@ object StreamingIngest {
           nProbe = 4
         )),
       "dedup_stream_clusters" -> dedupStreamClusters,
+      "dedup_stream_exact" -> ((s, d) => dedupStreamExactReplay(s, d)),
       "events_stream_replay" -> eventsStreamReplay,
       "events_anomaly_stream" -> eventsAnomalyStream
     )
@@ -1227,6 +1278,10 @@ object StreamingIngest {
       // one-shot incremental probe of the same increment
       "dedup_stream_embedding" -> graft.ops.Similarity.oracles("dedup_incremental_embedding"),
       "dedup_stream_clusters" -> graft.ops.Dedup.incrementalClustersOracle,
+      // the 400-day horizon out-spans the fixture, so nothing evicts
+      // mid-replay and the streamed key set must equal batch DISTINCT
+      "dedup_stream_exact" ->
+        "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
       // per-doc pairs are pure in (doc, frozen chunk index): the
       // stream shares the batch containment probe's oracle
       "cdc_containment_stream" -> graft.ops.Cdc.containmentIndexOracle,

@@ -61,6 +61,30 @@ class StreamingIngestSpec extends SparkSpec {
     q.stop()
   }
 
+  test("streaming dedup state is watermark-BOUNDED: a beyond-horizon duplicate re-emits") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val df = mem.toDF().toDF("ts", "text")
+    val deduped = StreamingIngest.dedupStream(df, "text", "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_evict").outputMode("append").start()
+    def ts(h: Int, min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$min%02d:00")
+    // b1: first alpha emits; state expiry = 10:00 + 10 min
+    mem.addData((ts(10, 0), "alpha"))
+    q.processAllAvailable()
+    // b2: in-horizon duplicate suppressed ACROSS batches; the later
+    // event advances the watermark to 10:50 (> alpha's 10:10 expiry)
+    mem.addData((ts(10, 1), "alpha"), (ts(11, 0), "bump"))
+    q.processAllAvailable()
+    // b3: alpha's state was evicted — the key must emit AGAIN. This is
+    // the bounded-state trade: O(horizon) memory, cross-horizon
+    // duplicates re-admitted (the batch exactDedup catches them).
+    mem.addData((ts(11, 5), "alpha"))
+    q.processAllAvailable()
+    val texts = spark.table("dedup_evict").collect().map(_.getAs[String]("text")).sorted
+    assert(texts.toSeq == Seq("alpha", "alpha", "bump"), texts.mkString(","))
+    q.stop()
+  }
+
   test("streaming near-dup flags probe and grow the disk-backed signature index") {
     implicit val sc = spark.sqlContext
     // history = even fixture docs; two arriving micro-batches split
