@@ -103,6 +103,84 @@ object Centrality {
     } finally GraphDedup.releaseCheckpoints(e, g, ranks)
   }
 
+  /** Seeded trust propagation (TrustRank): the restart mass goes to a
+    * SEED set of known-good documents instead of uniformly everywhere,
+    * so rank flows outward from trusted content through the
+    * similarity graph — documents near-duplicating trusted material
+    * inherit trust; content with no similarity path to any seed
+    * converges to zero. The curation read: a cheap corpus-wide
+    * quality prior from a small audited sample, before any model-based
+    * scorer exists.
+    *
+    * Same integer contract as [[pageRank]]: restart_base = N·10⁶ div S
+    * micro on each of the S seeds (total mass N·10⁶, like the uniform
+    * start), per-step rank = (3·restart_base) div 20 + (17·Σcontrib)
+    * div 20 — 3/20 + 17/20 = 0.15/0.85 exactly, pure BIGINT. The
+    * restart relation is node-sized and joined once per iteration on
+    * the aggregate's own key, a node-sized shuffle that AQE coalesces;
+    * everything else is [[pageRank]]'s loop shape.
+    */
+  def trustRank(
+      docs: DataFrame,
+      edges: DataFrame,
+      idCol: String,
+      isSeed: org.apache.spark.sql.Column
+  ): DataFrame = {
+    val nodes = docs.select(col(idCol).cast("long").as("node"), isSeed.cast("boolean").as("is_seed"))
+    val e = edges.localCheckpoint(true)
+    val g = loopGraph(nodes.select("node"), e).localCheckpoint(true)
+    // two metadata scalars (corpus size, seed count) — driver-side by
+    // the same standard as the partition planner's counts
+    val cnt = nodes.agg(count(lit(1)), sum(when(col("is_seed"), 1L).otherwise(0L))).head()
+    val (n, sCount) = (cnt.getLong(0), cnt.getLong(1))
+    require(sCount > 0, "trustRank needs at least one seed")
+    val restartBase = n * baseMicro / sCount
+    val restart = nodes
+      .withColumn("restart_micro", when(col("is_seed"), lit(restartBase)).otherwise(lit(0L)))
+      .select(col("node"), col("is_seed"), col("restart_micro"))
+      .localCheckpoint(true)
+    var ranks = restart
+      .select(col("node"), col("restart_micro").as("rank_micro"))
+      .localCheckpoint(true)
+    try {
+      for (_ <- 1 to iterations) {
+        val prev = ranks
+        ranks = g
+          .join(ranks, g("src") === ranks("node"))
+          .select(col("dst"), expr("rank_micro div deg").as("contrib"))
+          .groupBy(col("dst"))
+          .agg(expr("CAST((17 * sum(contrib)) div 20 AS BIGINT)").as("walk_micro"))
+          .withColumnRenamed("dst", "node")
+          // self-loops make the aggregate total over nodes, so this is
+          // a node⟷node join, never an outer-join repair
+          .join(restart.select(col("node"), col("restart_micro")), "node")
+          .select(
+            col("node"),
+            expr("CAST((3 * restart_micro) div 20 + walk_micro AS BIGINT)").as("rank_micro")
+          )
+          .localCheckpoint(true)
+        GraphDedup.releaseCheckpoints(prev)
+      }
+      ranks
+        .join(restart.select(col("node"), col("is_seed")), "node")
+        .localCheckpoint(true)
+    } finally GraphDedup.releaseCheckpoints(e, g, restart, ranks)
+  }
+
+  /** Fixture seed set: every 25th doc — the "audited sample". */
+  private val seedEvery = 25L
+
+  val centralityTrustrank: Q = (s, d) => {
+    val docs = documents(s, d)
+    trustRank(docs, confirmedEdges(docs), "doc_id", col("doc_id") % seedEvery === 0)
+      .select(
+        col("node").as("doc_id"),
+        col("is_seed").cast("long").as("is_seed"),
+        col("rank_micro").as("trust_micro")
+      )
+      .orderBy("doc_id")
+  }
+
   /** Confirmed near-dup edges at the clustering family's threshold —
     * shared with dedup_clusters so centrality ranks the SAME graph
     * the cluster map labels.
@@ -155,7 +233,8 @@ object Centrality {
 
   def queries: Map[String, Q] = Map(
     "centrality_pagerank" -> centralityPagerank,
-    "centrality_reps" -> centralityReps
+    "centrality_reps" -> centralityReps,
+    "centrality_trustrank" -> centralityTrustrank
   )
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -165,6 +244,17 @@ object Centrality {
     * `und` (undirected confirmed edges) in scope from
     * [[GraphDedup.clusterChainSql]].
     */
+  /** The self-loop graph + degree CTEs (gu/gdeg/pg), shared by both
+    * rank chains. Expects `und` in scope from
+    * [[GraphDedup.clusterChainSql]].
+    */
+  private val graphSql: String =
+    """gu AS (
+      |  SELECT src, dst FROM und
+      |  UNION ALL SELECT doc_id, doc_id FROM documents),
+      |gdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM gu GROUP BY src),
+      |pg AS (SELECT g.src, g.dst, d.deg FROM gu g JOIN gdeg d ON d.src = g.src)""".stripMargin
+
   private def rankChainSql(k: Int): String = {
     val steps = (1 to k)
       .map { i =>
@@ -174,12 +264,40 @@ object Centrality {
            |  FROM r${i - 1} r JOIN pg g ON g.src = r.node GROUP BY g.dst)""".stripMargin
       }
       .mkString(",\n")
-    s"""gu AS (
-       |  SELECT src, dst FROM und
-       |  UNION ALL SELECT doc_id, doc_id FROM documents),
-       |gdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM gu GROUP BY src),
-       |pg AS (SELECT g.src, g.dst, d.deg FROM gu g JOIN gdeg d ON d.src = g.src),
+    s"""$graphSql,
        |r0 AS (SELECT doc_id AS node, CAST(1000000 AS BIGINT) AS rank_micro FROM documents),
+       |$steps""".stripMargin
+  }
+
+  /** Seeded chain: restart mass on the seeds only, per-step
+    * rank = (3·restart) div 20 + (17·Σcontrib) div 20.
+    */
+  private def trustChainSql(k: Int): String = {
+    val steps = (1 to k)
+      .map { i =>
+        s"""tr$i AS (
+           |  SELECT w.node,
+           |    CAST((3 * t.restart_micro) // 20 + w.walk_micro AS BIGINT) AS rank_micro
+           |  FROM (
+           |    SELECT g.dst AS node,
+           |      CAST((17 * sum(r.rank_micro // g.deg)) // 20 AS BIGINT) AS walk_micro
+           |    FROM tr${i - 1} r JOIN pg g ON g.src = r.node GROUP BY g.dst) w
+           |  JOIN trseed t ON t.node = w.node)""".stripMargin
+      }
+      .mkString(",\n")
+    s"""$graphSql,
+       |ts0 AS (
+       |  SELECT doc_id AS node,
+       |    CASE WHEN doc_id % $seedEvery = 0 THEN 1 ELSE 0 END AS is_seed
+       |  FROM documents),
+       |tsc AS (SELECT count(*) AS n, sum(is_seed) AS s FROM ts0),
+       |trseed AS (
+       |  SELECT node, is_seed,
+       |    CASE WHEN is_seed = 1
+       |      THEN ((SELECT n FROM tsc) * 1000000) // (SELECT s FROM tsc)
+       |      ELSE 0 END AS restart_micro
+       |  FROM ts0),
+       |tr0 AS (SELECT node, CAST(restart_micro AS BIGINT) AS rank_micro FROM trseed),
        |$steps""".stripMargin
   }
 
@@ -201,6 +319,13 @@ object Centrality {
          |  FROM lab l JOIN r$iterations r ON r.node = l.doc_id)
          |SELECT cluster_id, CAST(csz AS BIGINT) AS cluster_size,
          |  doc_id AS rep_id, rank_micro AS rep_rank_micro
-         |FROM mem WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+         |FROM mem WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+    "centrality_trustrank" ->
+      s"""${GraphDedup.clusterChainSql},
+         |${trustChainSql(iterations)}
+         |SELECT t.node AS doc_id, CAST(t.is_seed AS BIGINT) AS is_seed,
+         |  r.rank_micro AS trust_micro
+         |FROM tr$iterations r JOIN trseed t ON t.node = r.node
+         |ORDER BY doc_id""".stripMargin
   )
 }

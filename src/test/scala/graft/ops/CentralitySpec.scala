@@ -56,6 +56,42 @@ class CentralitySpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("rank_micro") <= hub), "the star hub must rank highest")
   }
 
+  private def refTrust(
+      nodes: Seq[Long],
+      edges: Seq[(Long, Long)],
+      seeds: Set[Long],
+      iters: Int
+  ): Map[Long, Long] = {
+    val und = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) } ++ nodes.map(n => n -> n)
+    val deg = und.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val restartBase = nodes.size.toLong * 1000000L / seeds.size
+    def restart(n: Long) = if (seeds(n)) restartBase else 0L
+    var r = nodes.map(n => n -> restart(n)).toMap
+    for (_ <- 1 to iters) {
+      val sums = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      und.foreach { case (s, d) => sums(d) += r(s) / deg(s) }
+      r = nodes.map(n => n -> ((3L * restart(n)) / 20L + (17L * sums(n)) / 20L)).toMap
+    }
+    r
+  }
+
+  test("trustRank: seed mass flows to similarity neighbors, zero without a path to a seed") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    // component {1,2,3} (1 seeded), component {4,5} (unseeded)
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val got = Centrality
+      .trustRank(docs, edges, "doc_id", col("doc_id") === 1L)
+      .collect()
+      .map(r => r.getAs[Long]("node") -> ((r.getAs[Boolean]("is_seed"), r.getAs[Long]("rank_micro"))))
+      .toMap
+    val want = refTrust(Seq(1L, 2L, 3L, 4L, 5L), Seq((1L, 2L), (2L, 3L), (4L, 5L)), Set(1L), 6)
+    assert(got.view.mapValues(_._2).toMap == want, s"got $got want $want")
+    assert(got(1L)._1 && !got(2L)._1, "seed flags")
+    assert(got(2L)._2 > 0L && got(3L)._2 > 0L, "trust must reach the seed's component")
+    assert(got(1L)._2 > got(2L)._2 && got(2L)._2 > got(3L)._2, "trust decays with distance")
+    assert(got(4L)._2 == 0L && got(5L)._2 == 0L, "no path to a seed → zero trust")
+  }
+
   test("the power loop keeps O(1) checkpoints pinned, not O(iterations)") {
     val docs = (1L to 50L).toDF("doc_id")
     val edges = (1L to 49L).map(i => (i, i + 1)).toDF("src", "dst")
