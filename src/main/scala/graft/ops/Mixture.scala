@@ -202,6 +202,53 @@ object Mixture {
     * Achieved-vs-planned drift is the binomial noise of the draw, so
     * the report carries exact integer counts plus a basis-point rate.
     */
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    * "A-ES", Inf. Proc. Letters 97(5), 2006): each row gets priority
+    * key u^(1/w) for a uniform u and weight w; the k largest keys ARE
+    * a weighted sample without replacement. Monotonically equivalent
+    * and numerically safer: rank by ln(u)/w (ln u ≤ 0, so larger
+    * weight pulls the key toward 0 from below). Deterministic u from
+    * the domain-separated [[uniformDraw]]: u = (draw+1)/2^48 ∈ (0, 1].
+    *
+    * Determinism contract: key_micro =
+    * floor( ln((draw+1)/2^48) / w · 10⁶ ) — ONE canonical float
+    * operation order shared with the oracle (ties broken by id).
+    * Scale shape: the key is map-side arithmetic on the scan (no
+    * model, no join); the only gather is the global top-k, which
+    * plans as TakeOrderedAndProject (per-partition heaps of k) — a
+    * 100 TB corpus pays one pass + a k-row-per-partition merge, never
+    * a full sort.
+    */
+  def weightedSample(docs: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs
+      .withColumn("draw", uniformDraw(col(idCol)))
+      .withColumn(
+        "key_micro",
+        expr(
+          s"CAST(floor(ln(CAST(draw + 1 AS DOUBLE) / $drawMod.0) / CAST($weightCol AS DOUBLE) * 1000000.0) AS BIGINT)"
+        )
+      )
+    val top = keyed.orderBy(col("key_micro").desc, col(idCol).asc).limit(k)
+    top
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(col("key_micro").desc, col(idCol).asc)).cast("bigint")
+      )
+      .select(col("rank"), col(idCol), col(weightCol), col("key_micro"))
+  }
+
+  /** Fixture draw: 100 docs weighted by token count (long docs
+    * proportionally likelier — the length-weighted corpus subsample).
+    */
+  val weightedSampleQ: Q = (s, d) =>
+    weightedSample(
+      documents(s, d).withColumn("n_tokens", size(split(col("text"), " ")).cast("long")),
+      "doc_id",
+      "n_tokens",
+      100
+    ).orderBy("rank")
+
   val mixtureAccounting: Q = (s, d) => {
     val docs = documents(s, d)
     val kept = stratifiedSample(docs, "doc_id", "lang", fixtureRates, fixtureDefault)
@@ -428,6 +475,7 @@ object Mixture {
 
   def queries: Map[String, Q] = Map(
     "mixture_sample" -> mixtureSample,
+    "weighted_sample" -> weightedSampleQ,
     "mixture_accounting" -> mixtureAccounting,
     "mixture_plan" -> mixturePlanQ,
     "mixture_plan_temperature" -> mixturePlanTemperatureQ,
@@ -601,6 +649,21 @@ object Mixture {
          |FROM documents
          |WHERE $drawSql < $thresholdSql
          |ORDER BY doc_id""".stripMargin,
+    "weighted_sample" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    $drawSql AS draw
+         |  FROM documents),
+         |wk AS (
+         |  SELECT doc_id, n_tokens,
+         |    CAST(floor(ln(CAST(draw + 1 AS DOUBLE) / $drawMod.0) / CAST(n_tokens AS DOUBLE) * 1000000.0) AS BIGINT) AS key_micro
+         |  FROM ws),
+         |wr AS (
+         |  SELECT doc_id, n_tokens, key_micro,
+         |    CAST(row_number() OVER (ORDER BY key_micro DESC, doc_id ASC) AS BIGINT) AS rank
+         |  FROM wk)
+         |SELECT rank, doc_id, n_tokens, key_micro
+         |FROM wr WHERE rank <= 100 ORDER BY rank""".stripMargin,
     "mixture_accounting" ->
       s"""WITH kept AS (
          |  SELECT lang FROM documents WHERE $drawSql < $thresholdSql),

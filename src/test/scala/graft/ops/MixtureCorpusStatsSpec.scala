@@ -566,4 +566,34 @@ class MixtureCorpusStatsSpec extends SparkSpec {
     // shares always partition (floor loss only)
     assert(prop.values.sum <= 1000000L && prop.values.sum > 999990L)
   }
+
+  test("weightedSample: A-ES keys are monotone in weight for a fixed draw") {
+    import spark.implicits._
+    // same id → same uniform draw; only the weight differs
+    def keyFor(w: Long): Long = Mixture
+      .weightedSample(Seq((7L, w)).toDF("doc_id", "w"), "doc_id", "w", 1)
+      .collect().head.getAs[Long]("key_micro")
+    val ks = Seq(1L, 5L, 50L, 500L).map(keyFor)
+    assert(ks == ks.sorted, s"key must increase with weight: $ks")
+    assert(ks.forall(_ <= 0L), "ln(u) ≤ 0 keeps keys non-positive")
+  }
+
+  test("weightedSample: without replacement, heavy rows dominate, deterministic, top-k plan") {
+    import spark.implicits._
+    val docs = (1L to 1000L).map(i => (i, if (i % 2 == 0) 100L else 1L)).toDF("doc_id", "w")
+    val top = Mixture.weightedSample(docs, "doc_id", "w", 100)
+    val rows = top.collect()
+    val ids = rows.map(_.getAs[Long]("doc_id"))
+    assert(ids.distinct.length == 100, "without replacement: no id drawn twice")
+    assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq == (1L to 100L), "contiguous ranks")
+    val evens = ids.count(_ % 2 == 0)
+    assert(evens > 85, s"100x-weighted rows must dominate the sample: $evens/100 even")
+    val again = Mixture.weightedSample(docs, "doc_id", "w", 100)
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(again.toSeq == ids.toSeq, "the draw is a pure function of (id, weight)")
+    assert(
+      top.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "global top-k must plan as per-partition heaps, not a full sort"
+    )
+  }
 }
