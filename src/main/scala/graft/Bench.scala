@@ -111,6 +111,8 @@ object Bench {
       "dedup_incremental_embedding" -> "first_run",
       // shares the once-per-process even-id demo index build
       "ann_hard_negatives_index" -> "first_run",
+      // builds the once-per-process token-bucketed postings index
+      "search_index_probe" -> "first_run",
       "ann_ivf_topk_index" -> "first_run",
       "ann_pq_knn_join" -> "first_run",
       // builds its own two-generation drifted index (build + append)

@@ -153,6 +153,114 @@ object Search {
     conjunctiveSearch(documents(s, d), "doc_id", "text", fixtureAndTerms, topK)
       .orderBy("rank")
 
+  // ---- Persisted index + pruned probe (the serving shape) ------------
+
+  /** Token-hash bucket count for the persisted index layout. */
+  private[ops] val indexBuckets = 64L
+
+  /** token → bucket, driver-side: 48-bit md5 prefix mod buckets —
+    * byte-identical to the executor-side [[tokenBucketCol]], so probe
+    * pruning can compute its partition list without touching Spark.
+    */
+  private[ops] def tokenBucket(token: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5").digest(token.getBytes("UTF-8"))
+    val hex = md.take(6).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % indexBuckets
+  }
+
+  private def tokenBucketCol: org.apache.spark.sql.Column =
+    expr(s"CAST(conv(substring(md5(cast(token as binary)), 1, 12), 16, 10) AS BIGINT) % $indexBuckets")
+
+  /** Persist the inverted index partitioned by token-hash bucket:
+    * `dir/postings/tbucket=N/` holds every (token, doc_id, tf) whose
+    * token hashes to N, co-located to one file per bucket before the
+    * partitioned write (the small-files guard every index write here
+    * uses), plus `dir/meta` with the corpus document count the scorer
+    * needs. A probe for Q query terms reads AT MOST |Q| bucket dirs —
+    * per-probe I/O is occupied-bucket-sized, never index-sized.
+    */
+  def saveSearchIndex(docs: DataFrame, idCol: String, textCol: String, dir: String): Unit = {
+    val s = docs.sparkSession
+    import s.implicits._
+    postings(docs, idCol, textCol)
+      .withColumn("tbucket", tokenBucketCol)
+      .repartition(col("tbucket"))
+      .write
+      .mode("overwrite")
+      .partitionBy("tbucket")
+      .parquet(s"$dir/postings")
+    Seq(docs.select(col(idCol)).distinct().count())
+      .toDF("n_docs")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/meta")
+  }
+
+  /** Conjunctive search served from the PERSISTED index: the query
+    * terms' buckets are computed driver-side (no Spark pass) and the
+    * scan is statically pruned to those partitions (a parquet
+    * PartitionFilter — spec-pinned), then the token equality, df
+    * model, AND filter, scoring and top-k run exactly as the batch
+    * [[conjunctiveSearch]] — same result, index-shaped I/O. df per
+    * term comes from the pruned postings themselves (posting count =
+    * document frequency), so the probe needs no corpus pass at all;
+    * N comes from the index meta.
+    */
+  def conjunctiveFromIndex(s: SparkSession, indexDir: String, terms: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty, "conjunctive search needs at least one term")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("token", "string")
+      .add("doc_id", "long")
+      .add("tf", "long")
+      .add("tbucket", "long")
+    val buckets = terms.map(tokenBucket).distinct
+    val p = s.read
+      .schema(schema)
+      .parquet(s"$indexDir/postings")
+      .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
+    val nDocs = s.read.parquet(s"$indexDir/meta").head().getLong(0)
+    val dfModel = p
+      .groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("df"))
+      .withColumn(
+        "idf_micro",
+        floor(log(lit(nDocs + 1).cast("double") / (col("df") + 1)) * 1000000L).cast("bigint")
+      )
+      .select(col("token"), col("idf_micro"))
+    val scored = p
+      .join(broadcast(dfModel), "token")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_matched"),
+        sum(col("tf") * col("idf_micro")).cast("long").as("score_micro")
+      )
+      .filter(col("n_matched") === terms.size.toLong)
+    val top = scored.orderBy(col("score_micro").desc, col("doc_id").asc).limit(k)
+    top
+      .withColumn(
+        "rank",
+        row_number()
+          .over(Window.orderBy(col("score_micro").desc, col("doc_id").asc))
+          .cast("bigint")
+      )
+      .select(col("rank"), col("doc_id"), col("score_micro"))
+  }
+
+  /** Once-per-process demo index over the fixture corpus. */
+  private[ops] def demoSearchIndexDir(s: SparkSession, d: String): String =
+    Fixtures.demoIndexDir(s, "searchidx", d) { dir =>
+      saveSearchIndex(documents(s, d), "doc_id", "text", dir)
+    }
+
+  /** Index-served gate: identical terms and k as [[searchConjunctive]],
+    * so it shares that query's oracle — the equality IS the gate.
+    */
+  val searchIndexProbe: Q = (s, d) =>
+    conjunctiveFromIndex(s, demoSearchIndexDir(s, d), fixtureAndTerms, topK)
+      .orderBy("rank")
+
   def phraseSearch(docs: DataFrame, idCol: String, textCol: String, first: String, second: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pruned = docs.filter(col(textCol).contains(first) && col(textCol).contains(second))
@@ -177,6 +285,7 @@ object Search {
   def queries: Map[String, Q] = Map(
     "search_postings" -> searchPostings,
     "search_conjunctive" -> searchConjunctive,
+    "search_index_probe" -> searchIndexProbe,
     "search_phrase" -> searchPhrase
   )
 
@@ -185,6 +294,42 @@ object Search {
   private val postingsSql =
     """p0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
       |p AS (SELECT token, doc_id, count(*) AS tf FROM p0 GROUP BY token, doc_id)""".stripMargin
+
+  private lazy val oracleConjunctive: String = {
+    val terms = fixtureAndTerms
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val containsAll = terms.map(t => s"contains(text, '$t')").mkString(" AND ")
+    val dfArms = terms
+      .map(t =>
+        s"""SELECT token, CAST(count(*) AS BIGINT) AS df FROM (
+           |    SELECT token, doc_id FROM (
+           |      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           |      FROM documents WHERE contains(text, '$t')) x
+           |    WHERE token = '$t' GROUP BY token, doc_id) GROUP BY token""".stripMargin
+      )
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH cand AS (SELECT doc_id, text FROM documents WHERE $containsAll),
+       |c0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM cand),
+       |cp AS (SELECT token, doc_id, count(*) AS tf FROM c0
+       |       WHERE token IN ($termList) GROUP BY token, doc_id),
+       |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       |dfm AS (
+       |  $dfArms),
+       |model AS (
+       |  SELECT token,
+       |    CAST(floor(ln(((SELECT n_docs FROM nd) + 1) / CAST(df + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS idf_micro
+       |  FROM dfm),
+       |scored AS (
+       |  SELECT cp.doc_id, count(*) AS n_matched,
+       |    CAST(sum(cp.tf * m.idf_micro) AS BIGINT) AS score_micro
+       |  FROM cp JOIN model m ON m.token = cp.token
+       |  GROUP BY cp.doc_id HAVING count(*) = ${terms.size}),
+       |ranked AS (
+       |  SELECT doc_id, score_micro,
+       |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT rank, doc_id, score_micro FROM ranked WHERE rank <= $topK ORDER BY rank""".stripMargin
+  }
 
   def oracles: Map[String, String] = Map(
     "search_postings" ->
@@ -204,41 +349,10 @@ object Search {
          |SELECT s.token, s.df, s.tf_total, h.postings_head, f.postings_fp
          |FROM stats s JOIN heads h USING (token) JOIN fp f USING (token)
          |ORDER BY s.token""".stripMargin,
-    "search_conjunctive" -> {
-      val terms = fixtureAndTerms
-      val termList = terms.map(t => s"'$t'").mkString(", ")
-      val containsAll = terms.map(t => s"contains(text, '$t')").mkString(" AND ")
-      val dfArms = terms
-        .map(t =>
-          s"""SELECT token, CAST(count(*) AS BIGINT) AS df FROM (
-             |    SELECT token, doc_id FROM (
-             |      SELECT doc_id, unnest(string_split(text, ' ')) AS token
-             |      FROM documents WHERE contains(text, '$t')) x
-             |    WHERE token = '$t' GROUP BY token, doc_id) GROUP BY token""".stripMargin
-        )
-        .mkString("\n  UNION ALL\n  ")
-      s"""WITH cand AS (SELECT doc_id, text FROM documents WHERE $containsAll),
-         |c0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM cand),
-         |cp AS (SELECT token, doc_id, count(*) AS tf FROM c0
-         |       WHERE token IN ($termList) GROUP BY token, doc_id),
-         |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
-         |dfm AS (
-         |  $dfArms),
-         |model AS (
-         |  SELECT token,
-         |    CAST(floor(ln(((SELECT n_docs FROM nd) + 1) / CAST(df + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS idf_micro
-         |  FROM dfm),
-         |scored AS (
-         |  SELECT cp.doc_id, count(*) AS n_matched,
-         |    CAST(sum(cp.tf * m.idf_micro) AS BIGINT) AS score_micro
-         |  FROM cp JOIN model m ON m.token = cp.token
-         |  GROUP BY cp.doc_id HAVING count(*) = ${terms.size}),
-         |ranked AS (
-         |  SELECT doc_id, score_micro,
-         |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rank
-         |  FROM scored)
-         |SELECT rank, doc_id, score_micro FROM ranked WHERE rank <= $topK ORDER BY rank""".stripMargin
-    },
+    "search_conjunctive" -> oracleConjunctive,
+    // the index-served route must land on the batch conjunctive's
+    // exact rows — sharing the oracle makes the equality the gate
+    "search_index_probe" -> oracleConjunctive,
     "search_phrase" -> {
       val (a, b) = fixturePhrase
       s"""WITH pt AS (

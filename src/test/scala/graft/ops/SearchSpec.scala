@@ -92,6 +92,33 @@ class SearchSpec extends SparkSpec {
     assert(got == Map(1L -> 2L, 4L -> 1L), got.toString)
   }
 
+  test("index probe: driver and executor bucket functions agree; scan is partition-pruned") {
+    // driver-side pruning is only sound if both sides hash identically
+    val toks = Seq("dup", "spark", "hash", "Ünïcode", "", "a b")
+    val execBuckets = toks.toDF("token")
+      .withColumn("b", expr("CAST(conv(substring(md5(cast(token as binary)), 1, 12), 16, 10) AS BIGINT) % 64"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    toks.foreach(t => assert(Search.tokenBucket(t) == execBuckets(t), s"bucket mismatch for '$t'"))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_searchidx").toString
+    val docs = Seq(
+      (1L, "cat dog"), (2L, "cat"), (3L, "dog cat extra"), (4L, "bird")
+    ).toDF("doc_id", "text")
+    Search.saveSearchIndex(docs, "doc_id", "text", dir)
+    val probe = Search.conjunctiveFromIndex(spark, dir, Seq("cat", "dog"), 10)
+    val got = probe.collect().map(_.getAs[Long]("doc_id")).toSet
+    val batch = Search.conjunctiveSearch(docs, "doc_id", "text", Seq("cat", "dog"), 10)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro")))
+    assert(got == Set(1L, 3L))
+    assert(
+      probe.collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro"))).toSeq
+        == batch.toSeq,
+      "index-served rows must equal the batch route bit for bit"
+    )
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("tbucket"), plan.take(2000))
+  }
+
   test("fixture searches are non-degenerate at sf0.001") {
     val d = "/root/testdata/sf0.001"
     assert(Search.queries("search_postings")(spark, d).count() > 0)
