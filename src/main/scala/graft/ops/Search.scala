@@ -50,6 +50,7 @@ object Search {
 
   /** Fixture query knobs (oracle-pinned). */
   private[ops] val fixtureAndTerms = Seq("dup", "spark")
+  private[ops] val fixtureOrTerms = Seq("dup", "window")
   private[ops] val fixturePhrase = ("hash", "join")
   private val topK = 10
 
@@ -97,13 +98,39 @@ object Search {
       textCol: String,
       terms: Seq[String],
       k: Int
+  ): DataFrame = termSearch(docs, idCol, textCol, terms, k, requireAll = true)
+
+  /** OR-of-terms search: same scoring, scan pruned with the UNION of
+    * the per-term contains predicates (any term admits a candidate),
+    * AND-gate relaxed to ≥ 1 matched term. A doc matching more terms
+    * accumulates more score — the standard disjunctive ranking.
+    */
+  def disjunctiveSearch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int
+  ): DataFrame = termSearch(docs, idCol, textCol, terms, k, requireAll = false)
+
+  private def termSearch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int,
+      requireAll: Boolean
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    require(terms.nonEmpty, "conjunctive search needs at least one term")
-    // coarse prune: every term must appear as a substring (necessary
-    // condition for the exact token match) — pushes to the scan and
-    // keeps the explode candidate-sized
-    val pruned = docs.filter(terms.map(t => col(textCol).contains(t)).reduce(_ && _))
+    require(terms.nonEmpty, "term search needs at least one term")
+    // coarse prune: a substring hit is a necessary condition for the
+    // exact token match — AND of contains for conjunctive queries, OR
+    // for disjunctive — and pushes to the scan, keeping the explode
+    // candidate-sized
+    val containsTerms = terms.map(t => col(textCol).contains(t))
+    val pruned = docs.filter(
+      if (requireAll) containsTerms.reduce(_ && _) else containsTerms.reduce(_ || _)
+    )
     val p = postings(pruned, idCol, textCol)
       .filter(col("token").isin(terms: _*))
     // df per query term over the candidate set equals the corpus df
@@ -134,7 +161,7 @@ object Search {
         count(lit(1)).cast("long").as("n_matched"),
         sum(col("tf") * col("idf_micro")).cast("long").as("score_micro")
       )
-      .filter(col("n_matched") === terms.size.toLong)
+      .filter(if (requireAll) col("n_matched") === terms.size.toLong else col("n_matched") >= 1L)
     // global top-k: orderBy+limit plans as TakeOrderedAndProject (per-
     // partition heaps, no full sort); the rank column is stamped on
     // the ≤ k survivors only
@@ -151,6 +178,10 @@ object Search {
 
   val searchConjunctive: Q = (s, d) =>
     conjunctiveSearch(documents(s, d), "doc_id", "text", fixtureAndTerms, topK)
+      .orderBy("rank")
+
+  val searchDisjunctive: Q = (s, d) =>
+    disjunctiveSearch(documents(s, d), "doc_id", "text", fixtureOrTerms, topK)
       .orderBy("rank")
 
   // ---- Persisted index + pruned probe (the serving shape) ------------
@@ -285,6 +316,7 @@ object Search {
   def queries: Map[String, Q] = Map(
     "search_postings" -> searchPostings,
     "search_conjunctive" -> searchConjunctive,
+    "search_disjunctive" -> searchDisjunctive,
     "search_index_probe" -> searchIndexProbe,
     "search_phrase" -> searchPhrase
   )
@@ -295,10 +327,11 @@ object Search {
     """p0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
       |p AS (SELECT token, doc_id, count(*) AS tf FROM p0 GROUP BY token, doc_id)""".stripMargin
 
-  private lazy val oracleConjunctive: String = {
-    val terms = fixtureAndTerms
+  private def oracleTermSearch(terms: Seq[String], requireAll: Boolean): String = {
     val termList = terms.map(t => s"'$t'").mkString(", ")
-    val containsAll = terms.map(t => s"contains(text, '$t')").mkString(" AND ")
+    val containsAll =
+      terms.map(t => s"contains(text, '$t')").mkString(if (requireAll) " AND " else " OR ")
+    val matchGate = if (requireAll) s"count(*) = ${terms.size}" else "count(*) >= 1"
     val dfArms = terms
       .map(t =>
         s"""SELECT token, CAST(count(*) AS BIGINT) AS df FROM (
@@ -323,7 +356,7 @@ object Search {
        |  SELECT cp.doc_id, count(*) AS n_matched,
        |    CAST(sum(cp.tf * m.idf_micro) AS BIGINT) AS score_micro
        |  FROM cp JOIN model m ON m.token = cp.token
-       |  GROUP BY cp.doc_id HAVING count(*) = ${terms.size}),
+       |  GROUP BY cp.doc_id HAVING $matchGate),
        |ranked AS (
        |  SELECT doc_id, score_micro,
        |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rank
@@ -349,10 +382,11 @@ object Search {
          |SELECT s.token, s.df, s.tf_total, h.postings_head, f.postings_fp
          |FROM stats s JOIN heads h USING (token) JOIN fp f USING (token)
          |ORDER BY s.token""".stripMargin,
-    "search_conjunctive" -> oracleConjunctive,
+    "search_conjunctive" -> oracleTermSearch(fixtureAndTerms, requireAll = true),
+    "search_disjunctive" -> oracleTermSearch(fixtureOrTerms, requireAll = false),
     // the index-served route must land on the batch conjunctive's
     // exact rows — sharing the oracle makes the equality the gate
-    "search_index_probe" -> oracleConjunctive,
+    "search_index_probe" -> oracleTermSearch(fixtureAndTerms, requireAll = true),
     "search_phrase" -> {
       val (a, b) = fixturePhrase
       s"""WITH pt AS (

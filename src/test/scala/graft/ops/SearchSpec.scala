@@ -69,6 +69,23 @@ class SearchSpec extends SparkSpec {
     assert(got.head._2 == 2L, "higher combined tf-idf must rank first")
   }
 
+  test("disjunctiveSearch: OR admits single-term docs; multi-term docs accumulate score") {
+    val docs = Seq(
+      (1L, "cat dog"),      // both
+      (2L, "cat only"),     // one
+      (3L, "dog only"),     // one
+      (4L, "bird")          // neither
+    ).toDF("doc_id", "text")
+    val got = Search
+      .disjunctiveSearch(docs, "doc_id", "text", Seq("cat", "dog"), 10)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> ((r.getAs[Long]("rank"), r.getAs[Long]("score_micro"))))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L), got.toString)
+    assert(got(1L)._1 == 1L, "the both-terms doc must rank first")
+    assert(got(1L)._2 > got(2L)._2 && got(1L)._2 > got(3L)._2)
+  }
+
   test("conjunctive plan: top-k is TakeOrderedAndProject; contains-prune reaches the scan") {
     val q = Search.queries("search_conjunctive")(spark, "/root/testdata/sf0.001")
     q.collect()
