@@ -113,6 +113,8 @@ object Bench {
       "ann_hard_negatives_index" -> "first_run",
       // builds the once-per-process token-bucketed postings index
       "search_index_probe" -> "first_run",
+      // builds its even/odd append+compact lifecycle demo index once
+      "search_index_appended" -> "first_run",
       "ann_ivf_topk_index" -> "first_run",
       "ann_pq_knn_join" -> "first_run",
       // builds its own two-generation drifted index (build + append)

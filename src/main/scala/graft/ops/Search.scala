@@ -279,10 +279,50 @@ object Search {
       .select(col("rank"), col("doc_id"), col("score_micro"))
   }
 
+  /** Index MAINTENANCE twin of Dedup.appendToMinhashIndex: append an
+    * increment's postings so later probes see it as part of the
+    * corpus. New docs only add rows (their ids are new, so no posting
+    * collides); the scorer's N in `dir/meta` grows by the increment's
+    * doc count. Appends accrete one file per batch per bucket dir —
+    * bound that with [[compactSearchIndex]].
+    */
+  def appendToSearchIndex(newDocs: DataFrame, idCol: String, textCol: String, dir: String): Unit = {
+    val s = newDocs.sparkSession
+    import s.implicits._
+    postings(newDocs, idCol, textCol)
+      .withColumn("tbucket", tokenBucketCol)
+      .repartition(col("tbucket"))
+      .write
+      .mode("append")
+      .partitionBy("tbucket")
+      .parquet(s"$dir/postings")
+    val prev = s.read.parquet(s"$dir/meta").head().getLong(0)
+    val inc = newDocs.select(col(idCol)).distinct().count()
+    Seq(prev + inc).toDF("n_docs").coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Rewrite the postings back to one file per bucket dir; values
+    * untouched, probes bit-identical pre/post (spec-pinned).
+    */
+  def compactSearchIndex(spark: SparkSession, dir: String): Unit =
+    graft.core.Compaction.compact(spark, s"$dir/postings", Some("tbucket"), 1)
+
   /** Once-per-process demo index over the fixture corpus. */
   private[ops] def demoSearchIndexDir(s: SparkSession, d: String): String =
     Fixtures.demoIndexDir(s, "searchidx", d) { dir =>
       saveSearchIndex(documents(s, d), "doc_id", "text", dir)
+    }
+
+  /** Once-per-process demo of the MAINTAINED lifecycle: build on the
+    * even docs, append the odds, compact — probes must then equal the
+    * one-shot full-corpus index (the shared oracle IS that equality).
+    */
+  private[ops] def demoAppendedSearchIndexDir(s: SparkSession, d: String): String =
+    Fixtures.demoIndexDir(s, "searchidx_app", d) { dir =>
+      val docs = documents(s, d)
+      saveSearchIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", dir)
+      appendToSearchIndex(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", dir)
+      compactSearchIndex(s, dir)
     }
 
   /** Index-served gate: identical terms and k as [[searchConjunctive]],
@@ -290,6 +330,13 @@ object Search {
     */
   val searchIndexProbe: Q = (s, d) =>
     conjunctiveFromIndex(s, demoSearchIndexDir(s, d), fixtureAndTerms, topK)
+      .orderBy("rank")
+
+  /** Build-even → append-odd → compact, then probe: the maintained
+    * index must answer exactly like the one-shot build.
+    */
+  val searchIndexAppended: Q = (s, d) =>
+    conjunctiveFromIndex(s, demoAppendedSearchIndexDir(s, d), fixtureAndTerms, topK)
       .orderBy("rank")
 
   def phraseSearch(docs: DataFrame, idCol: String, textCol: String, first: String, second: String): DataFrame = {
@@ -318,6 +365,7 @@ object Search {
     "search_conjunctive" -> searchConjunctive,
     "search_disjunctive" -> searchDisjunctive,
     "search_index_probe" -> searchIndexProbe,
+    "search_index_appended" -> searchIndexAppended,
     "search_phrase" -> searchPhrase
   )
 
@@ -387,6 +435,8 @@ object Search {
     // the index-served route must land on the batch conjunctive's
     // exact rows — sharing the oracle makes the equality the gate
     "search_index_probe" -> oracleTermSearch(fixtureAndTerms, requireAll = true),
+    // build+append+compact must be indistinguishable from one build
+    "search_index_appended" -> oracleTermSearch(fixtureAndTerms, requireAll = true),
     "search_phrase" -> {
       val (a, b) = fixturePhrase
       s"""WITH pt AS (

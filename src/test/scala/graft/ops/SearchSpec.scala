@@ -136,6 +136,30 @@ class SearchSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [") && plan.contains("tbucket"), plan.take(2000))
   }
 
+  test("index lifecycle: append grows N and postings; compaction leaves probes bit-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_searchidx_app").toString
+    val docs = Seq(
+      (2L, "cat dog"), (4L, "cat"),            // the build half
+      (1L, "dog cat cat"), (3L, "cat dog")     // the appended half
+    ).toDF("doc_id", "text")
+    Search.saveSearchIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", dir)
+    Search.appendToSearchIndex(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", dir)
+    assert(spark.read.parquet(s"$dir/meta").head().getLong(0) == 4L, "meta N must grow")
+    def probe() = Search
+      .conjunctiveFromIndex(spark, dir, Seq("cat", "dog"), 10)
+      .collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro")))
+      .toSeq
+    val before = probe()
+    val batch = Search.conjunctiveSearch(docs, "doc_id", "text", Seq("cat", "dog"), 10)
+      .collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro")))
+      .toSeq
+    assert(before == batch, "maintained index must answer like the one-shot corpus")
+    Search.compactSearchIndex(spark, dir)
+    assert(probe() == before, "compaction must not change a single probe bit")
+  }
+
   test("fixture searches are non-degenerate at sf0.001") {
     val d = "/root/testdata/sf0.001"
     assert(Search.queries("search_postings")(spark, d).count() > 0)
