@@ -184,6 +184,92 @@ object Search {
     disjunctiveSearch(documents(s, d), "doc_id", "text", fixtureOrTerms, topK)
       .orderBy("rank")
 
+  /** BM25 ranking (the standard retrieval scoring function), made
+    * integer-EXACT by fixing k1 = 6/5 and b = 3/4 as rationals: the
+    * per-term saturation
+    *   tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
+    * reduces to 44·tf·avgdl / (20·avgdl·tf + 6·avgdl + 18·dl), so a
+    * term's contribution is ONE BIGINT division:
+    *   score_milli += (44·idf_milli·tf·avgdl) div
+    *                  (20·avgdl·tf + 6·avgdl + 18·dl)
+    * with idf in MILLI units (the only float op, the corpus
+    * convention's floor(ln((N+1)/(df+1))·10³)). Overflow headroom:
+    * the numerator needs idf_milli·tf·avgdl ≤ 2·10¹⁷ — at N = 10⁹
+    * docs (idf ≤ 21 nats → 2.1·10⁴ milli), tf ≤ 10⁴ and avgdl ≤ 10⁶
+    * that is 2.1·10¹⁴, three orders inside the bound.
+    *
+    * Semantics are disjunctive (the BM25 norm): any term admits a
+    * candidate, matched terms accumulate. dl is the candidate's token
+    * count (computed on the pruned scan); avgdl and N are two corpus
+    * scalars from one distributed aggregate. Same coarse-then-exact
+    * prune, broadcast term model and TakeOrderedAndProject top-k as
+    * [[disjunctiveSearch]].
+    */
+  def bm25Search(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      k: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty, "bm25 search needs at least one term")
+    val stats = docs
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(size(split(col(textCol), " ")).cast("long")).as("total_toks")
+      )
+      .head()
+    val (nDocs, totalToks) = (stats.getLong(0), stats.getLong(1))
+    val avgdl = totalToks / nDocs
+    val pruned = docs
+      .filter(terms.map(t => col(textCol).contains(t)).reduce(_ || _))
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__text"))
+    val dl = pruned.select(col("doc_id"), size(split(col("__text"), " ")).cast("long").as("dl"))
+    val p = pruned
+      .select(col("doc_id"), explode(split(col("__text"), " ")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val dfModel = terms
+      .map { t =>
+        postings(docs.filter(col(textCol).contains(t)), idCol, textCol)
+          .filter(col("token") === t)
+          .groupBy(col("token"))
+          .agg(count(lit(1)).cast("long").as("df"))
+      }
+      .reduce(_ union _)
+      .withColumn(
+        "idf_milli",
+        floor(log(lit(nDocs + 1).cast("double") / (col("df") + 1)) * 1000L).cast("bigint")
+      )
+      .select(col("token"), col("idf_milli"))
+    val scored = p
+      .join(broadcast(dfModel), "token")
+      .join(dl, "doc_id")
+      .withColumn(
+        "contrib",
+        expr(s"(44 * idf_milli * tf * $avgdl) div (20 * $avgdl * tf + 6 * $avgdl + 18 * dl)")
+      )
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_matched"),
+        sum(col("contrib")).cast("long").as("score_milli")
+      )
+    val top = scored.orderBy(col("score_milli").desc, col("doc_id").asc).limit(k)
+    top
+      .withColumn(
+        "rank",
+        row_number()
+          .over(Window.orderBy(col("score_milli").desc, col("doc_id").asc))
+          .cast("bigint")
+      )
+      .select(col("rank"), col("doc_id"), col("score_milli"))
+  }
+
+  val searchBm25: Q = (s, d) =>
+    bm25Search(documents(s, d), "doc_id", "text", fixtureOrTerms, topK).orderBy("rank")
+
   // ---- Persisted index + pruned probe (the serving shape) ------------
 
   /** Token-hash bucket count for the persisted index layout. */
@@ -364,6 +450,7 @@ object Search {
     "search_postings" -> searchPostings,
     "search_conjunctive" -> searchConjunctive,
     "search_disjunctive" -> searchDisjunctive,
+    "search_bm25" -> searchBm25,
     "search_index_probe" -> searchIndexProbe,
     "search_index_appended" -> searchIndexAppended,
     "search_phrase" -> searchPhrase
@@ -432,6 +519,48 @@ object Search {
          |ORDER BY s.token""".stripMargin,
     "search_conjunctive" -> oracleTermSearch(fixtureAndTerms, requireAll = true),
     "search_disjunctive" -> oracleTermSearch(fixtureOrTerms, requireAll = false),
+    "search_bm25" -> {
+      val terms = fixtureOrTerms
+      val termList = terms.map(t => s"'$t'").mkString(", ")
+      val containsAny = terms.map(t => s"contains(text, '$t')").mkString(" OR ")
+      val dfArms = terms
+        .map(t =>
+          s"""SELECT token, CAST(count(*) AS BIGINT) AS df FROM (
+             |    SELECT token, doc_id FROM (
+             |      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+             |      FROM documents WHERE contains(text, '$t')) x
+             |    WHERE token = '$t' GROUP BY token, doc_id) GROUP BY token""".stripMargin
+        )
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH st AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_toks
+         |  FROM documents),
+         |av AS (SELECT n_docs, total_toks // n_docs AS avgdl FROM st),
+         |cand AS (SELECT doc_id, text FROM documents WHERE $containsAny),
+         |cd AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM cand),
+         |c0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM cand),
+         |cp AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf FROM c0
+         |       WHERE token IN ($termList) GROUP BY token, doc_id),
+         |dfm AS (
+         |  $dfArms),
+         |model AS (
+         |  SELECT token,
+         |    CAST(floor(ln(((SELECT n_docs FROM av) + 1) / CAST(df + 1 AS DOUBLE)) * 1000) AS BIGINT) AS idf_milli
+         |  FROM dfm),
+         |sc AS (
+         |  SELECT cp.doc_id, count(*) AS n_matched,
+         |    CAST(sum((44 * m.idf_milli * cp.tf * (SELECT avgdl FROM av))
+         |         // (20 * (SELECT avgdl FROM av) * cp.tf + 6 * (SELECT avgdl FROM av) + 18 * d.dl)) AS BIGINT) AS score_milli
+         |  FROM cp JOIN model m ON m.token = cp.token
+         |  JOIN cd d ON d.doc_id = cp.doc_id
+         |  GROUP BY cp.doc_id),
+         |ranked AS (
+         |  SELECT doc_id, score_milli,
+         |    CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id ASC) AS BIGINT) AS rank
+         |  FROM sc)
+         |SELECT rank, doc_id, score_milli FROM ranked WHERE rank <= $topK ORDER BY rank""".stripMargin
+    },
     // the index-served route must land on the batch conjunctive's
     // exact rows — sharing the oracle makes the equality the gate
     "search_index_probe" -> oracleTermSearch(fixtureAndTerms, requireAll = true),

@@ -136,6 +136,28 @@ class SearchSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [") && plan.contains("tbucket"), plan.take(2000))
   }
 
+  test("bm25Search: tf saturates toward (k1+1)·idf and longer docs are penalized") {
+    // docs 1/2: same length, tf 1 vs 20 — the 20x tf must NOT score 20x
+    // (saturation); docs 3/4: same tf, 4x length — longer scores lower
+    def pad(n: Int) = Seq.fill(n)("filler").mkString(" ")
+    // docs 5-8 keep df < N so the smoothed idf stays positive
+    val docs = (Seq(
+      (1L, "cat " + pad(9)),
+      (2L, Seq.fill(20)("cat").mkString(" ") + " " + pad(9)),
+      (3L, "cat " + pad(4)),
+      (4L, "cat " + pad(19))
+    ) ++ (5L to 8L).map(i => (i, pad(10)))).toDF("doc_id", "text")
+    val got = Search
+      .bm25Search(docs, "doc_id", "text", Seq("cat"), 10)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_milli"))
+      .toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(2L) > got(1L), "more tf must still score higher")
+    assert(got(2L) < got(1L) * 3, s"saturation: 20x tf must stay under ~(k1+1)x = 2.2x: $got")
+    assert(got(3L) > got(4L), "same tf, longer doc must score lower")
+  }
+
   test("index lifecycle: append grows N and postings; compaction leaves probes bit-identical") {
     val dir = java.nio.file.Files.createTempDirectory("graft_searchidx_app").toString
     val docs = Seq(
