@@ -221,7 +221,12 @@ object Mixture {
     */
   def weightedSample(docs: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // zero/negative weights have no A-ES key (ln(u)/w flips sign or
+    // divides to ±Inf, whose BIGINT cast is engine-divergent) — and
+    // semantically a weight-0 row has inclusion probability 0: drop
+    // identically on both engines (the oracle carries the same guard)
     val keyed = docs
+      .filter(col(weightCol) > 0)
       .withColumn("draw", uniformDraw(col(idCol)))
       .withColumn(
         "key_micro",
@@ -653,7 +658,8 @@ object Mixture {
       s"""WITH ws AS (
          |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
          |    $drawSql AS draw
-         |  FROM documents),
+         |  FROM documents
+         |  WHERE len(string_split(text, ' ')) > 0),
          |wk AS (
          |  SELECT doc_id, n_tokens,
          |    CAST(floor(ln(CAST(draw + 1 AS DOUBLE) / $drawMod.0) / CAST(n_tokens AS DOUBLE) * 1000000.0) AS BIGINT) AS key_micro

@@ -393,6 +393,85 @@ object Search {
   def compactSearchIndex(spark: SparkSession, dir: String): Unit =
     graft.core.Compaction.compact(spark, s"$dir/postings", Some("tbucket"), 1)
 
+  /** BATCHED search serving: a whole RELATION of (query_id, term)
+    * pairs answered in ONE pass — the shape that actually runs at
+    * scale, where thousands of queries amortize a single index read
+    * instead of each paying its own job (the same design as the
+    * batched PQ k-NN join). No per-query contains-prune is possible
+    * (every query has different terms); its place is taken by the
+    * posting relation restricted to the UNION of all query terms —
+    * with a persisted index that is the union of the terms' bucket
+    * dirs. Scoring joins postings to the query relation on token
+    * (queries broadcast — they are request-sized), AND-gates per
+    * (query, doc) on that query's term count, and takes top-k per
+    * query with a rank-limit window (WindowGroupLimit: k rows per
+    * query per partition forwarded — never a global sort).
+    */
+  def batchedSearch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame, // (query_id, term)
+      k: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val s = docs.sparkSession
+    val allTerms = queries.select(col("term")).distinct()
+    val nDocs = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+    // df per term over the corpus — one pass restricted to the term
+    // union (the isin pushes through the aggregate to the explode)
+    val p = postings(docs, idCol, textCol)
+      .join(broadcast(allTerms.withColumnRenamed("term", "token")), "token")
+    val dfModel = p
+      .groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("df"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn(
+        "idf_micro",
+        floor(log((col("n_docs") + 1).cast("double") / (col("df") + 1)) * 1000000L).cast("bigint")
+      )
+      .select(col("token"), col("idf_micro"))
+    val qSizes = queries.groupBy(col("query_id")).agg(count(lit(1)).cast("long").as("n_terms"))
+    val scored = p
+      .join(broadcast(queries.withColumnRenamed("term", "token")), "token")
+      .join(broadcast(dfModel), "token")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_matched"),
+        sum(col("tf") * col("idf_micro")).cast("long").as("score_micro")
+      )
+      .join(broadcast(qSizes), "query_id")
+      .filter(col("n_matched") === col("n_terms"))
+    scored
+      .withColumn(
+        "rank",
+        row_number()
+          .over(
+            Window
+              .partitionBy(col("query_id"))
+              .orderBy(col("score_micro").desc, col("doc_id").asc)
+          )
+          .cast("bigint")
+      )
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_micro"))
+  }
+
+  /** Fixture batch: three conjunctive queries served in one pass. */
+  private[ops] val fixtureBatch: Seq[(Long, String)] =
+    Seq(1L -> "dup", 1L -> "spark", 2L -> "hash", 2L -> "join", 3L -> "window", 3L -> "dup")
+
+  val searchBatchServe: Q = (s, d) => {
+    import s.implicits._
+    batchedSearch(
+      documents(s, d),
+      "doc_id",
+      "text",
+      fixtureBatch.toDF("query_id", "term"),
+      k = 5
+    ).orderBy("query_id", "rank")
+  }
+
   /** Once-per-process demo index over the fixture corpus. */
   private[ops] def demoSearchIndexDir(s: SparkSession, d: String): String =
     Fixtures.demoIndexDir(s, "searchidx", d) { dir =>
@@ -451,6 +530,7 @@ object Search {
     "search_conjunctive" -> searchConjunctive,
     "search_disjunctive" -> searchDisjunctive,
     "search_bm25" -> searchBm25,
+    "search_batch_serve" -> searchBatchServe,
     "search_index_probe" -> searchIndexProbe,
     "search_index_appended" -> searchIndexAppended,
     "search_phrase" -> searchPhrase
@@ -560,6 +640,34 @@ object Search {
          |    CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id ASC) AS BIGINT) AS rank
          |  FROM sc)
          |SELECT rank, doc_id, score_milli FROM ranked WHERE rank <= $topK ORDER BY rank""".stripMargin
+    },
+    "search_batch_serve" -> {
+      val valuesRows = fixtureBatch.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+      s"""WITH qs AS (
+         |  SELECT CAST(v.q AS BIGINT) AS query_id, v.t AS term
+         |  FROM (VALUES $valuesRows) v(q, t)),
+         |p0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |p AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf FROM p0
+         |      WHERE token IN (SELECT term FROM qs) GROUP BY token, doc_id),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         |dfm AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY token),
+         |model AS (
+         |  SELECT token,
+         |    CAST(floor(ln(((SELECT n_docs FROM nd) + 1) / CAST(df + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS idf_micro
+         |  FROM dfm),
+         |qn AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_terms FROM qs GROUP BY query_id),
+         |sc AS (
+         |  SELECT q.query_id, p.doc_id, count(*) AS n_matched,
+         |    CAST(sum(p.tf * m.idf_micro) AS BIGINT) AS score_micro
+         |  FROM p JOIN qs q ON q.term = p.token JOIN model m ON m.token = p.token
+         |  GROUP BY q.query_id, p.doc_id),
+         |f AS (
+         |  SELECT s.query_id, s.doc_id, s.score_micro,
+         |    CAST(row_number() OVER (PARTITION BY s.query_id
+         |                            ORDER BY s.score_micro DESC, s.doc_id ASC) AS BIGINT) AS rank
+         |  FROM sc s JOIN qn ON qn.query_id = s.query_id AND s.n_matched = qn.n_terms)
+         |SELECT query_id, rank, doc_id, score_micro
+         |FROM f WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     },
     // the index-served route must land on the batch conjunctive's
     // exact rows — sharing the oracle makes the equality the gate

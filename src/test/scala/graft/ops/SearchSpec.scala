@@ -182,6 +182,33 @@ class SearchSpec extends SparkSpec {
     assert(probe() == before, "compaction must not change a single probe bit")
   }
 
+  test("batchedSearch: one pass serves every query; per-query AND gates; WindowGroupLimit") {
+    val docs = Seq(
+      (1L, "cat dog"),
+      (2L, "cat"),
+      (3L, "dog bird"),
+      (4L, "bird fox cat dog")
+    ).toDF("doc_id", "text")
+    val queries = Seq(
+      (10L, "cat"), (10L, "dog"), // AND query
+      (20L, "bird")               // single-term query
+    ).toDF("query_id", "term")
+    val out = Search.batchedSearch(docs, "doc_id", "text", queries, k = 5)
+    val got = out.collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("doc_id")).toSet).toMap
+    assert(got(10L) == Set(1L, 4L), s"AND gate per query: $got")
+    assert(got(20L) == Set(3L, 4L))
+    // per-query top-k must group-limit, not globally sort
+    out.collect()
+    assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+    // a query's terms in another query must not cross-contaminate:
+    // doc 2 has 'cat' but query 10 needs both terms — already asserted;
+    // and query 20 must not see tf('cat') in its score
+    val q20 = out.collect().filter(_.getAs[Long]("query_id") == 20L)
+    assert(q20.map(_.getAs[Long]("rank")).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("fixture searches are non-degenerate at sf0.001") {
     val d = "/root/testdata/sf0.001"
     assert(Search.queries("search_postings")(spark, d).count() > 0)
