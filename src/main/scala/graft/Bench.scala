@@ -115,6 +115,8 @@ object Bench {
       "search_index_probe" -> "first_run",
       // builds its even/odd append+compact lifecycle demo index once
       "search_index_appended" -> "first_run",
+      // shares the once-per-process postings index build
+      "search_batch_index" -> "first_run",
       "ann_ivf_topk_index" -> "first_run",
       "ann_pq_knn_join" -> "first_run",
       // builds its own two-generation drifted index (build + append)

@@ -431,6 +431,15 @@ object Search {
         floor(log((col("n_docs") + 1).cast("double") / (col("df") + 1)) * 1000000L).cast("bigint")
       )
       .select(col("token"), col("idf_micro"))
+    scoreBatch(p, queries, dfModel, k)
+  }
+
+  /** Shared scoring tail of the two batched routes: broadcast-join the
+    * query relation and df model into the (token, doc_id, tf) posting
+    * relation, AND-gate per (query, doc), rank-limit per query.
+    */
+  private def scoreBatch(p: DataFrame, queries: DataFrame, dfModel: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val qSizes = queries.groupBy(col("query_id")).agg(count(lit(1)).cast("long").as("n_terms"))
     val scored = p
       .join(broadcast(queries.withColumnRenamed("term", "token")), "token")
@@ -455,6 +464,54 @@ object Search {
       )
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("score_micro"))
+  }
+
+  /** The batched route served from the PERSISTED index: the union of
+    * the batch's terms prunes to the union of their bucket dirs
+    * (driver-computed, static PartitionFilters), df comes from the
+    * pruned postings, and the scoring tail is [[scoreBatch]] verbatim
+    * — so the index-served batch must equal the corpus-pass batch row
+    * for row (it shares search_batch_serve's oracle).
+    */
+  def batchedSearchFromIndex(
+      s: SparkSession,
+      indexDir: String,
+      queries: DataFrame,
+      k: Int
+  ): DataFrame = {
+    val terms = queries.select(col("term")).distinct().collect().map(_.getString(0)).toSeq
+    require(terms.nonEmpty, "batched search needs at least one term")
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("token", "string")
+      .add("doc_id", "long")
+      .add("tf", "long")
+      .add("tbucket", "long")
+    val buckets = terms.map(tokenBucket).distinct
+    val p = s.read
+      .schema(schema)
+      .parquet(s"$indexDir/postings")
+      .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
+      .select(col("token"), col("doc_id"), col("tf"))
+    val nDocs = s.read.parquet(s"$indexDir/meta").head().getLong(0)
+    val dfModel = p
+      .groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("df"))
+      .withColumn(
+        "idf_micro",
+        floor(log(lit(nDocs + 1).cast("double") / (col("df") + 1)) * 1000000L).cast("bigint")
+      )
+      .select(col("token"), col("idf_micro"))
+    scoreBatch(p, queries, dfModel, k)
+  }
+
+  val searchBatchIndex: Q = (s, d) => {
+    import s.implicits._
+    batchedSearchFromIndex(
+      s,
+      demoSearchIndexDir(s, d),
+      fixtureBatch.toDF("query_id", "term"),
+      k = 5
+    ).orderBy("query_id", "rank")
   }
 
   /** Fixture batch: three conjunctive queries served in one pass. */
@@ -531,6 +588,7 @@ object Search {
     "search_disjunctive" -> searchDisjunctive,
     "search_bm25" -> searchBm25,
     "search_batch_serve" -> searchBatchServe,
+    "search_batch_index" -> searchBatchIndex,
     "search_index_probe" -> searchIndexProbe,
     "search_index_appended" -> searchIndexAppended,
     "search_phrase" -> searchPhrase
@@ -578,6 +636,35 @@ object Search {
        |  FROM scored)
        |SELECT rank, doc_id, score_micro FROM ranked WHERE rank <= $topK ORDER BY rank""".stripMargin
   }
+
+  private lazy val oracleBatch: String = {
+      val valuesRows = fixtureBatch.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+      s"""WITH qs AS (
+         |  SELECT CAST(v.q AS BIGINT) AS query_id, v.t AS term
+         |  FROM (VALUES $valuesRows) v(q, t)),
+         |p0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+         |p AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf FROM p0
+         |      WHERE token IN (SELECT term FROM qs) GROUP BY token, doc_id),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+         |dfm AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY token),
+         |model AS (
+         |  SELECT token,
+         |    CAST(floor(ln(((SELECT n_docs FROM nd) + 1) / CAST(df + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS idf_micro
+         |  FROM dfm),
+         |qn AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_terms FROM qs GROUP BY query_id),
+         |sc AS (
+         |  SELECT q.query_id, p.doc_id, count(*) AS n_matched,
+         |    CAST(sum(p.tf * m.idf_micro) AS BIGINT) AS score_micro
+         |  FROM p JOIN qs q ON q.term = p.token JOIN model m ON m.token = p.token
+         |  GROUP BY q.query_id, p.doc_id),
+         |f AS (
+         |  SELECT s.query_id, s.doc_id, s.score_micro,
+         |    CAST(row_number() OVER (PARTITION BY s.query_id
+         |                            ORDER BY s.score_micro DESC, s.doc_id ASC) AS BIGINT) AS rank
+         |  FROM sc s JOIN qn ON qn.query_id = s.query_id AND s.n_matched = qn.n_terms)
+         |SELECT query_id, rank, doc_id, score_micro
+         |FROM f WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    }
 
   def oracles: Map[String, String] = Map(
     "search_postings" ->
@@ -641,34 +728,10 @@ object Search {
          |  FROM sc)
          |SELECT rank, doc_id, score_milli FROM ranked WHERE rank <= $topK ORDER BY rank""".stripMargin
     },
-    "search_batch_serve" -> {
-      val valuesRows = fixtureBatch.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
-      s"""WITH qs AS (
-         |  SELECT CAST(v.q AS BIGINT) AS query_id, v.t AS term
-         |  FROM (VALUES $valuesRows) v(q, t)),
-         |p0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
-         |p AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf FROM p0
-         |      WHERE token IN (SELECT term FROM qs) GROUP BY token, doc_id),
-         |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
-         |dfm AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY token),
-         |model AS (
-         |  SELECT token,
-         |    CAST(floor(ln(((SELECT n_docs FROM nd) + 1) / CAST(df + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS idf_micro
-         |  FROM dfm),
-         |qn AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_terms FROM qs GROUP BY query_id),
-         |sc AS (
-         |  SELECT q.query_id, p.doc_id, count(*) AS n_matched,
-         |    CAST(sum(p.tf * m.idf_micro) AS BIGINT) AS score_micro
-         |  FROM p JOIN qs q ON q.term = p.token JOIN model m ON m.token = p.token
-         |  GROUP BY q.query_id, p.doc_id),
-         |f AS (
-         |  SELECT s.query_id, s.doc_id, s.score_micro,
-         |    CAST(row_number() OVER (PARTITION BY s.query_id
-         |                            ORDER BY s.score_micro DESC, s.doc_id ASC) AS BIGINT) AS rank
-         |  FROM sc s JOIN qn ON qn.query_id = s.query_id AND s.n_matched = qn.n_terms)
-         |SELECT query_id, rank, doc_id, score_micro
-         |FROM f WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
-    },
+    "search_batch_serve" -> oracleBatch,
+    // index-served batch must equal the corpus-pass batch row for row
+    "search_batch_index" -> oracleBatch,
+
     // the index-served route must land on the batch conjunctive's
     // exact rows — sharing the oracle makes the equality the gate
     "search_index_probe" -> oracleTermSearch(fixtureAndTerms, requireAll = true),

@@ -209,6 +209,24 @@ class SearchSpec extends SparkSpec {
     assert(q20.map(_.getAs[Long]("rank")).sorted.toSeq == Seq(1L, 2L))
   }
 
+  test("batched index route: bucket-union pruning, rows equal the corpus-pass batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_searchidx_batch").toString
+    val docs = Seq(
+      (1L, "cat dog"), (2L, "cat"), (3L, "dog bird"), (4L, "bird fox cat dog")
+    ).toDF("doc_id", "text")
+    Search.saveSearchIndex(docs, "doc_id", "text", dir)
+    val queries = Seq((10L, "cat"), (10L, "dog"), (20L, "bird")).toDF("query_id", "term")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("query_id", "rank")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val fromIndex = Search.batchedSearchFromIndex(spark, dir, queries, 5)
+    assert(rows(fromIndex) == rows(Search.batchedSearch(docs, "doc_id", "text", queries, 5)))
+    val plan = fromIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("tbucket"), plan.take(2000))
+  }
+
   test("fixture searches are non-degenerate at sf0.001") {
     val d = "/root/testdata/sf0.001"
     assert(Search.queries("search_postings")(spark, d).count() > 0)
