@@ -74,7 +74,26 @@ object Centrality {
     * [[iterations]] synchronous steps from a uniform 10⁶ start.
     * `edges` must be distinct (src < dst) confirmed pairs.
     */
-  def pageRank(docs: DataFrame, edges: DataFrame, idCol: String): DataFrame = {
+  def pageRank(docs: DataFrame, edges: DataFrame, idCol: String): DataFrame =
+    pageRankFrom(docs, edges, idCol, None, iterations)
+
+  /** RESUMABLE power iteration: start from `startRanks` (a persisted
+    * (node, rank_micro) snapshot from an earlier run) instead of the
+    * uniform base. Because each step is a pure function of the
+    * previous rank relation, running j iterations, persisting, and
+    * resuming for k more is BIT-IDENTICAL to running j+k in one job
+    * (CentralitySpec pins 3+3 ≡ 6) — which is what makes a long rank
+    * job on a huge graph checkpointable at iteration granularity: a
+    * preempted cluster job resumes from its last snapshot instead of
+    * re-walking from iteration zero.
+    */
+  def pageRankFrom(
+      docs: DataFrame,
+      edges: DataFrame,
+      idCol: String,
+      startRanks: Option[DataFrame],
+      iters: Int
+  ): DataFrame = {
     val nodes = docs.select(col(idCol).cast("long").as("node"))
     // the undirected union references the edge plan TWICE (forward +
     // reversed) — pin it first so an expensive upstream (the LSH
@@ -82,9 +101,12 @@ object Centrality {
     val e = edges.localCheckpoint(true)
     // edge-sized and reused K+1 times: pin eagerly, release at exit
     val g = loopGraph(nodes, e).localCheckpoint(true)
-    var ranks = nodes.withColumn("rank_micro", lit(baseMicro)).localCheckpoint(true)
+    var ranks = startRanks
+      .getOrElse(nodes.withColumn("rank_micro", lit(baseMicro)))
+      .select(col("node"), col("rank_micro"))
+      .localCheckpoint(true)
     try {
-      for (_ <- 1 to iterations) {
+      for (_ <- 1 to iters) {
         val prev = ranks
         ranks = g
           .join(ranks, g("src") === ranks("node"))

@@ -243,6 +243,53 @@ object Mixture {
       .select(col("rank"), col(idCol), col(weightCol), col("key_micro"))
   }
 
+  /** Per-STRATUM weighted sampling without replacement: the same A-ES
+    * key, ranked within each stratum — k weight-proportional docs per
+    * language/source instead of a global draw a dominant stratum would
+    * monopolize. The rank-limit window group-limits (k rows per
+    * stratum per partition forwarded), so a mega-stratum never piles
+    * onto one sorted partition.
+    */
+  def weightedSampleStratified(
+      docs: DataFrame,
+      idCol: String,
+      weightCol: String,
+      strataCol: String,
+      kPerStratum: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .filter(col(weightCol) > 0)
+      .withColumn("draw", uniformDraw(col(idCol)))
+      .withColumn(
+        "key_micro",
+        expr(
+          s"CAST(floor(ln(CAST(draw + 1 AS DOUBLE) / $drawMod.0) / CAST($weightCol AS DOUBLE) * 1000000.0) AS BIGINT)"
+        )
+      )
+      .withColumn(
+        "rank",
+        row_number()
+          .over(
+            Window
+              .partitionBy(col(strataCol))
+              .orderBy(col("key_micro").desc, col(idCol).asc)
+          )
+          .cast("bigint")
+      )
+      .filter(col("rank") <= kPerStratum)
+      .select(col(strataCol), col("rank"), col(idCol), col(weightCol), col("key_micro"))
+  }
+
+  val weightedSampleStratifiedQ: Q = (s, d) =>
+    weightedSampleStratified(
+      documents(s, d).withColumn("n_tokens", size(split(col("text"), " ")).cast("long")),
+      "doc_id",
+      "n_tokens",
+      "lang",
+      20
+    ).orderBy("lang", "rank")
+
   /** Fixture draw: 100 docs weighted by token count (long docs
     * proportionally likelier — the length-weighted corpus subsample).
     */
@@ -481,6 +528,7 @@ object Mixture {
   def queries: Map[String, Q] = Map(
     "mixture_sample" -> mixtureSample,
     "weighted_sample" -> weightedSampleQ,
+    "weighted_sample_stratified" -> weightedSampleStratifiedQ,
     "mixture_accounting" -> mixtureAccounting,
     "mixture_plan" -> mixturePlanQ,
     "mixture_plan_temperature" -> mixturePlanTemperatureQ,
@@ -670,6 +718,23 @@ object Mixture {
          |  FROM wk)
          |SELECT rank, doc_id, n_tokens, key_micro
          |FROM wr WHERE rank <= 100 ORDER BY rank""".stripMargin,
+    "weighted_sample_stratified" ->
+      s"""WITH ws AS (
+         |  SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    $drawSql AS draw
+         |  FROM documents
+         |  WHERE len(string_split(text, ' ')) > 0),
+         |wk AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    CAST(floor(ln(CAST(draw + 1 AS DOUBLE) / $drawMod.0) / CAST(n_tokens AS DOUBLE) * 1000000.0) AS BIGINT) AS key_micro
+         |  FROM ws),
+         |wr AS (
+         |  SELECT lang, doc_id, n_tokens, key_micro,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |                            ORDER BY key_micro DESC, doc_id ASC) AS BIGINT) AS rank
+         |  FROM wk)
+         |SELECT lang, rank, doc_id, n_tokens, key_micro
+         |FROM wr WHERE rank <= 20 ORDER BY lang, rank""".stripMargin,
     "mixture_accounting" ->
       s"""WITH kept AS (
          |  SELECT lang FROM documents WHERE $drawSql < $thresholdSql),

@@ -106,6 +106,25 @@ class CentralitySpec extends SparkSpec {
     assert(after.size <= 1, s"power loop leaked checkpoint RDDs: $after")
   }
 
+  test("resume: 3 iterations + snapshot + 3 more is bit-identical to 6 in one job") {
+    val docs = (1L to 30L).toDF("doc_id")
+    val edges = ((1L to 9L).map(i => (i, i + 1)) ++ Seq((20L, 21L), (21L, 22L), (20L, 22L)))
+      .toDF("src", "dst")
+    val oneShot = Centrality
+      .pageRankFrom(docs, edges, "doc_id", None, 6)
+      .select("node", "rank_micro")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val half = Centrality.pageRankFrom(docs, edges, "doc_id", None, 3).select("node", "rank_micro")
+    // persist the snapshot the way a real job would (parquet), then resume
+    val snap = java.nio.file.Files.createTempDirectory("graft_pr_snap").toString + "/r"
+    half.write.parquet(snap)
+    val resumed = Centrality
+      .pageRankFrom(docs, edges, "doc_id", Some(spark.read.parquet(snap)), 3)
+      .select("node", "rank_micro")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resumed == oneShot, "iteration-granular resume must be bit-identical")
+  }
+
   test("graph datasheet: degree buckets account for every doc; triangles count closed cliques") {
     val d = "/root/testdata/sf0.001"
     val hist = Centrality.queries("graph_degree_hist")(spark, d)
