@@ -281,26 +281,62 @@ object Centrality {
     } finally GraphDedup.releaseCheckpoints(edges)
   }
 
-  /** TRIANGLE count of the near-dup graph — the density signal that
-    * separates chain-shaped near-dup clusters (re-crawl sequences,
-    * triangle-free) from clique-shaped boilerplate cores (every copy
-    * similar to every other). One two-hop join over the ORIENTED
-    * (src < dst) edge relation closed by a third membership join —
-    * both joins are edge-relation-sized (output-sized), never
-    * corpus-sized; the orientation counts each triangle exactly once.
+  /** TRIANGLE count via DEGREE-RANKED orientation (the Latapy /
+    * compact-forward scheme): every edge points from lower (degree,
+    * id) rank to higher, wedges form among each node's OUT-neighbors
+    * only, and a membership join closes them. The count is identical
+    * to any other total-order orientation — so the oracle keeps the
+    * simple id-ordered SQL — but the WORK is not: with id ordering a
+    * boilerplate hub of degree d sitting at a low id builds O(d²)
+    * wedges; degree ordering caps every node's out-degree at O(√m),
+    * bounding the wedge relation at O(m^1.5) however skewed the
+    * graph. That asymmetry IS the 100 TB story here: triangle
+    * counting survives a mega-hub only if the hub ends up on the
+    * receiving side of its edges. The density signal separates
+    * chain-shaped near-dup clusters (re-crawl sequences,
+    * triangle-free) from clique-shaped boilerplate cores.
     */
+  def triangleCount(edges: DataFrame): Long = {
+    val deg = edges
+      .select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .groupBy("node")
+      .agg(count(lit(1)).as("deg"))
+    // rank = (deg, id): attach both endpoints' degrees, orient toward
+    // the higher rank. deg is edge-derived (output-sized), broadcast
+    // when small; at scale it's a hash join on the edge relation.
+    val withDeg = edges
+      .join(deg.select(col("node").as("src"), col("deg").as("dsrc")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("ddst")), "dst")
+    val oriented = withDeg
+      .select(
+        when(
+          col("dsrc") < col("ddst") ||
+            (col("dsrc") === col("ddst") && col("src") < col("dst")),
+          struct(col("src").as("u"), col("dst").as("v"))
+        ).otherwise(struct(col("dst").as("u"), col("src").as("v"))).as("e")
+      )
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val w1 = oriented.select(col("u"), col("v").as("x"))
+    val w2 = oriented.select(col("u").as("u2"), col("v").as("y"))
+    // wedges among out-neighbors, deduped by x < y; closed by an
+    // oriented edge in either rank direction between x and y
+    val wedges = w1
+      .join(w2, col("u") === col("u2") && col("x") < col("y"))
+      .select(col("x"), col("y"))
+    val closing = oriented
+      .select(least(col("u"), col("v")).as("x2"), greatest(col("u"), col("v")).as("y2"))
+    wedges
+      .join(closing, col("x") === col("x2") && col("y") === col("y2"), "left_semi")
+      .count()
+  }
+
   val graphTriangles: Q = (s, d) => {
     import s.implicits._
     val docs = documents(s, d)
     val edges = confirmedEdges(docs).localCheckpoint(true)
     try {
-      val e1 = edges.select(col("src").as("a"), col("dst").as("b"))
-      val e2 = edges.select(col("src").as("b2"), col("dst").as("c"))
-      val e3 = edges.select(col("src").as("a3"), col("dst").as("c3"))
-      val n = e1
-        .join(e2, col("b") === col("b2"))
-        .join(e3, col("a") === col("a3") && col("c") === col("c3"))
-        .count()
+      val n = triangleCount(edges)
       val nEdges = edges.count()
       Seq((nEdges, n)).toDF("n_edges", "n_triangles").localCheckpoint(true)
     } finally GraphDedup.releaseCheckpoints(edges)

@@ -136,20 +136,19 @@ class CentralitySpec extends SparkSpec {
     assert(tri.getAs[Long]("n_edges") > 0)
     // triangles are bounded by the wedge count of an n-edge graph
     assert(tri.getAs[Long]("n_triangles") >= 0)
-    // hand-check the counter on a known graph: a 4-clique has 4
-    // triangles, a path has none
+    // hand-check the counter on known graphs: a 4-clique has 4
+    // triangles, a path none; a low-id HUB (where id-orientation
+    // would wedge-explode) still counts exactly its closed triples
     import spark.implicits._
     val clique = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)).toDF("src", "dst")
-    def triOf(e: org.apache.spark.sql.DataFrame): Long = {
-      val e1 = e.select(col("src").as("a"), col("dst").as("b"))
-      val e2 = e.select(col("src").as("b2"), col("dst").as("c"))
-      val e3 = e.select(col("src").as("a3"), col("dst").as("c3"))
-      e1.join(e2, col("b") === col("b2"))
-        .join(e3, col("a") === col("a3") && col("c") === col("c3"))
-        .count()
-    }
-    assert(triOf(clique) == 4L)
-    assert(triOf(Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")) == 0L)
+    assert(Centrality.triangleCount(clique) == 4L)
+    assert(Centrality.triangleCount(Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")) == 0L)
+    val hub = ((2L to 10L).map(i => (1L, i)) ++ Seq((2L, 3L), (4L, 5L))).toDF("src", "dst")
+    // hub 1 closes triangles (1,2,3) and (1,4,5) — nothing else
+    assert(Centrality.triangleCount(hub) == 2L)
+    // two triangles sharing a base edge must count twice
+    val shared = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    assert(Centrality.triangleCount(shared) == 2L)
   }
 
   test("reps pick the highest-rank member per cluster, bit-consistent with the rank query") {
