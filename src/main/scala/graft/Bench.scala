@@ -130,6 +130,8 @@ object Bench {
       // every rep rewrites the replay source and re-runs the
       // micro-batched dedup from a fresh checkpoint
       "dedup_stream_exact" -> "every_run",
+      // every rep rewrites the JSONL scratch + corrupt lines
+      "jsonl_ingest" -> "every_run",
       // builds "yesterday's" component map inline before the
       // increment-sized merge it exists to demonstrate
       "dedup_clusters_incremental" -> "every_run",

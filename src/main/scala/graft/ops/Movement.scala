@@ -295,6 +295,47 @@ object Movement {
   val skewReportQ: Q = (s, d) =>
     skewReport(Fixtures.orders(s, d), "o_custkey", topK = 10, saltThresholdMicro = 10000L)
 
+  /** JSONL landing gate: the documents table round-trips through a
+    * JSONL scratch dir with THREE corrupt lines injected (two
+    * non-JSON, one valid-JSON type mismatch). The good split must
+    * reproduce the parquet table's per-language stats exactly (the
+    * oracle never sees the JSONL at all) and the quarantine must hold
+    * exactly the 3 injected lines — a leak in either direction breaks
+    * a column.
+    */
+  val jsonlIngest: Q = (s, d) => {
+    val docs = Fixtures.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("graft_jsonl")
+    val src = base.resolve("src").toString
+    docs.repartition(4, col("doc_id")).write.json(src)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(src, "corrupt.txt"),
+      java.util.Arrays.asList(
+        "this is not json at all",
+        "{\"doc_id\": 1, \"lang\": \"en\", \"text\": \"unterminated",
+        "{\"doc_id\": \"not-a-number\", \"lang\": \"xx\", \"text\": \"type mismatch\"}"
+      )
+    )
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long")
+      .add("lang", "string")
+      .add("text", "string")
+    val (good, corrupt, raw) = graft.sources.JsonlLoader.readWithQuarantine(s, src, schema)
+    try {
+      val nCorrupt = corrupt.count()
+      good
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(length(col("text"))).cast("long").as("n_chars"),
+          expr("bit_xor(doc_id)").as("id_xor")
+        )
+        .withColumn("n_corrupt", lit(nCorrupt))
+        .orderBy("lang")
+        .localCheckpoint(true)
+    } finally graft.sources.JsonlLoader.release(raw)
+  }
+
   def queries: Map[String, Q] = Map(
     "skew_report" -> skewReportQ,
     "parallel_read_union" -> parallelReadUnion,
@@ -302,6 +343,7 @@ object Movement {
     "live_migration" -> liveMigration,
     "file_state_merge" -> fileStateMerge,
     "file_listing" -> fileListing,
+    "jsonl_ingest" -> jsonlIngest,
     "partition_plan" -> partitionPlan,
     "fk_harmonization_plan" -> fkHarmonizationPlan
   )
@@ -350,6 +392,14 @@ object Movement {
       """SELECT list_extract(string_split(file, '/'), -1) AS file_name
         |FROM glob('/root/testdata/sf0.01/*.parquet')
         |ORDER BY file_name""".stripMargin,
+    // the oracle never touches the JSONL: the roundtrip + quarantine
+    // must land exactly back on the parquet table (3 = injected lines)
+    "jsonl_ingest" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(text)) AS BIGINT) AS n_chars,
+        |  CAST(bit_xor(doc_id) AS BIGINT) AS id_xor,
+        |  CAST(3 AS BIGINT) AS n_corrupt
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "file_state_merge" ->
       s"""WITH listing AS (
          |  SELECT source || '/' || CAST(doc_id AS VARCHAR) AS file_name,
