@@ -37,6 +37,7 @@ object SparkEntry {
       (Chunking.queries, Chunking.oracles),
       (Centrality.queries, Centrality.oracles),
       (Search.queries, Search.oracles),
+      (Layout.queries, Layout.oracles),
       (Multimodal.queries, Multimodal.oracles),
       (Movement.queries, Movement.oracles),
       (Events.queries, Events.oracles),

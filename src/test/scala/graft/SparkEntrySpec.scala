@@ -35,6 +35,7 @@ class SparkEntrySpec extends AnyFunSuite {
       "Chunking" -> Chunking.queries.keySet,
       "Centrality" -> Centrality.queries.keySet,
       "Search" -> Search.queries.keySet,
+      "Layout" -> Layout.queries.keySet,
       "Multimodal" -> Multimodal.queries.keySet,
       "Movement" -> Movement.queries.keySet,
       "Events" -> Events.queries.keySet,
