@@ -332,8 +332,15 @@ object Movement {
         )
         .withColumn("n_corrupt", lit(nCorrupt))
         .orderBy("lang")
+        // eager: the scratch dir is deleted in the finally below, so
+        // the returned frame must not lazily re-read it
         .localCheckpoint(true)
-    } finally graft.sources.JsonlLoader.release(raw)
+    } finally {
+      graft.sources.JsonlLoader.release(raw)
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
   }
 
   def queries: Map[String, Q] = Map(
