@@ -227,6 +227,46 @@ class SearchSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [") && plan.contains("tbucket"), plan.take(2000))
   }
 
+  test("batchedSearch long-tail: 5000-token vocab, 50 queries, sound and exactly ranked") {
+    // the fixture corpus has ~31 distinct tokens — cardinality
+    // behavior must be proven synthetically. Deterministic corpus:
+    // doc i holds 10 tokens tok$((i*7+j*13) % 5000).
+    val docs = (1L to 2000L)
+      .map(i => (i, (0 until 10).map(j => s"tok${(i * 7 + j * 13) % 5000}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val qTerms = (0 until 50).map(q => (q.toLong, Seq(s"tok${(q * 97) % 5000}", s"tok${(q * 97 + 13) % 5000}")))
+    val queries = qTerms.flatMap { case (q, ts) => ts.map(q -> _) }.toDF("query_id", "term")
+    val out = Search.batchedSearch(docs, "doc_id", "text", queries, k = 5).collect()
+    // soundness: every hit really contains ALL its query's terms
+    val corpus = (1L to 2000L)
+      .map(i => i -> (0 until 10).map(j => s"tok${(i * 7 + j * 13) % 5000}"))
+      .toMap
+    val terms = qTerms.toMap
+    out.foreach { r =>
+      val (q, doc) = (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"))
+      assert(terms(q).forall(corpus(doc).contains), s"query $q hit $doc missing a term")
+    }
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+    }
+    // completeness + exact ranking for one query, recomputed driver-side
+    val (q0, ts0) = qTerms.find { case (q, ts) => out.exists(_.getAs[Long]("query_id") == q) }.get
+    val n = 2000L
+    def df(t: String) = corpus.count(_._2.contains(t)).toLong
+    val idf = ts0.map(t => t -> math.floor(math.log((n + 1).toDouble / (df(t) + 1)) * 1e6).toLong).toMap
+    val expected = corpus.toSeq
+      .filter { case (_, toks) => ts0.forall(toks.contains) }
+      .map { case (id, toks) => (id, ts0.map(t => toks.count(_ == t).toLong * idf(t)).sum) }
+      .sortBy { case (id, sc) => (-sc, id) }
+      .take(5)
+    val got = out
+      .filter(_.getAs[Long]("query_id") == q0)
+      .sortBy(_.getAs[Long]("rank"))
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro")))
+      .toSeq
+    assert(got == expected, s"query $q0: got $got want $expected")
+  }
+
   test("fixture searches are non-degenerate at sf0.001") {
     val d = "/root/testdata/sf0.001"
     assert(Search.queries("search_postings")(spark, d).count() > 0)
