@@ -41,6 +41,11 @@ object Mixture {
       rates: Map[String, Double],
       defaultRate: Double
   ): DataFrame = {
+    // mirror holdoutSplit's guard: an out-of-range rate would silently
+    // keep-all (threshold overflows past 2^48) or drop-all (negative)
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"sampling rate out of [0,1]: $r")
+    )
     val draw = uniformDraw(col(idCol))
     val threshold = rates.foldLeft(lit((defaultRate * drawMod).toLong)) {
       case (acc, (stratum, rate)) =>

@@ -61,6 +61,48 @@ object Search {
       .groupBy(col("token"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
 
+  /** (token, doc_id, pos) POSITIONAL postings — the phrase-serving
+    * relation. Corpus-token-sized by construction (a positional index
+    * IS the corpus re-encoded as rows), but bucketed exactly like
+    * [[postings]], so a phrase probe still reads only its terms'
+    * bucket dirs — the row count is the corpus's, the probe I/O is
+    * the query's.
+    */
+  private def positionalPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "token"))
+      )
+      .select(col("token"), col("doc_id"), col("pos").cast("long").as("pos"))
+
+  /** (doc_id, dl) document token lengths — BM25's length normalizer,
+    * recorded at build time so an index probe never needs the corpus.
+    */
+  private def docLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("dl")
+    )
+
+  /** Shared top-k tail: orderBy+limit plans as TakeOrderedAndProject
+    * (per-partition heaps, no full sort); the rank column is stamped
+    * on the ≤ k survivors only.
+    */
+  private def rankTop(scored: DataFrame, scoreCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .orderBy(col(scoreCol).desc, col("doc_id").asc)
+      .limit(k)
+      .withColumn(
+        "rank",
+        row_number()
+          .over(Window.orderBy(col(scoreCol).desc, col("doc_id").asc))
+          .cast("bigint")
+      )
+      .select(col("rank"), col("doc_id"), col(scoreCol))
+  }
+
   def invertedPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val p = postings(docs, idCol, textCol)
@@ -121,7 +163,6 @@ object Search {
       k: Int,
       requireAll: Boolean
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(terms.nonEmpty, "term search needs at least one term")
     // coarse prune: a substring hit is a necessary condition for the
     // exact token match — AND of contains for conjunctive queries, OR
@@ -162,18 +203,7 @@ object Search {
         sum(col("tf") * col("idf_micro")).cast("long").as("score_micro")
       )
       .filter(if (requireAll) col("n_matched") === terms.size.toLong else col("n_matched") >= 1L)
-    // global top-k: orderBy+limit plans as TakeOrderedAndProject (per-
-    // partition heaps, no full sort); the rank column is stamped on
-    // the ≤ k survivors only
-    val top = scored.orderBy(col("score_micro").desc, col("doc_id").asc).limit(k)
-    top
-      .withColumn(
-        "rank",
-        row_number()
-          .over(Window.orderBy(col("score_micro").desc, col("doc_id").asc))
-          .cast("bigint")
-      )
-      .select(col("rank"), col("doc_id"), col("score_micro"))
+    rankTop(scored, "score_micro", k)
   }
 
   val searchConjunctive: Q = (s, d) =>
@@ -212,11 +242,13 @@ object Search {
       terms: Seq[String],
       k: Int
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(terms.nonEmpty, "bm25 search needs at least one term")
+    // N is countDistinct(id) — the ONE convention every search route
+    // shares (termSearch's model, the index meta): with duplicate doc
+    // ids a count(*) N would silently diverge from the others' idf
     val stats = docs
       .agg(
-        count(lit(1)).cast("long").as("n_docs"),
+        countDistinct(col(idCol)).cast("long").as("n_docs"),
         sum(size(split(col(textCol), " ")).cast("long")).as("total_toks")
       )
       .head()
@@ -256,15 +288,7 @@ object Search {
         count(lit(1)).cast("long").as("n_matched"),
         sum(col("contrib")).cast("long").as("score_milli")
       )
-    val top = scored.orderBy(col("score_milli").desc, col("doc_id").asc).limit(k)
-    top
-      .withColumn(
-        "rank",
-        row_number()
-          .over(Window.orderBy(col("score_milli").desc, col("doc_id").asc))
-          .cast("bigint")
-      )
-      .select(col("rank"), col("doc_id"), col("score_milli"))
+    rankTop(scored, "score_milli", k)
   }
 
   val searchBm25: Q = (s, d) =>
@@ -288,17 +312,55 @@ object Search {
   private def tokenBucketCol: org.apache.spark.sql.Column =
     expr(s"CAST(conv(substring(md5(cast(token as binary)), 1, 12), 16, 10) AS BIGINT) % $indexBuckets")
 
+  private val postingsSchema = new org.apache.spark.sql.types.StructType()
+    .add("token", "string")
+    .add("doc_id", "long")
+    .add("tf", "long")
+    .add("tbucket", "long")
+
+  private val positionsSchema = new org.apache.spark.sql.types.StructType()
+    .add("token", "string")
+    .add("doc_id", "long")
+    .add("pos", "long")
+    .add("tbucket", "long")
+
+  /** The two corpus scalars every scorer needs: N (distinct docs) and
+    * total token count (BM25's avgdl numerator), computed in ONE
+    * aggregate pass.
+    */
+  private def corpusScalars(docs: DataFrame, idCol: String, textCol: String): (Long, Long) = {
+    val r = docs
+      .agg(
+        countDistinct(col(idCol)).cast("long"),
+        coalesce(sum(size(split(col(textCol), " ")).cast("long")), lit(0L))
+      )
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  private def writeMeta(s: SparkSession, dir: String, m: (Long, Long)): Unit = {
+    import s.implicits._
+    Seq(m).toDF("n_docs", "total_toks").coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  private def readMeta(s: SparkSession, dir: String): (Long, Long) = {
+    val r = s.read.parquet(s"$dir/meta").select("n_docs", "total_toks").head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   /** Persist the inverted index partitioned by token-hash bucket:
     * `dir/postings/tbucket=N/` holds every (token, doc_id, tf) whose
-    * token hashes to N, co-located to one file per bucket before the
-    * partitioned write (the small-files guard every index write here
-    * uses), plus `dir/meta` with the corpus document count the scorer
-    * needs. A probe for Q query terms reads AT MOST |Q| bucket dirs —
-    * per-probe I/O is occupied-bucket-sized, never index-sized.
+    * token hashes to N, and `dir/positions/tbucket=N/` the positional
+    * twin (token, doc_id, pos) — both co-located to one file per
+    * bucket before the partitioned write (the small-files guard every
+    * index write here uses). `dir/doclen` records each document's
+    * token length (BM25's normalizer) and `dir/meta` the two corpus
+    * scalars (N, total tokens) the scorers need. A probe for Q query
+    * terms reads AT MOST |Q| bucket dirs plus the doc-sized doclen
+    * relation when the scorer is length-normalized — per-probe I/O is
+    * occupied-bucket-sized, never index-sized.
     */
   def saveSearchIndex(docs: DataFrame, idCol: String, textCol: String, dir: String): Unit = {
-    val s = docs.sparkSession
-    import s.implicits._
     postings(docs, idCol, textCol)
       .withColumn("tbucket", tokenBucketCol)
       .repartition(col("tbucket"))
@@ -306,12 +368,15 @@ object Search {
       .mode("overwrite")
       .partitionBy("tbucket")
       .parquet(s"$dir/postings")
-    Seq(docs.select(col(idCol)).distinct().count())
-      .toDF("n_docs")
-      .coalesce(1)
+    positionalPostings(docs, idCol, textCol)
+      .withColumn("tbucket", tokenBucketCol)
+      .repartition(col("tbucket"))
       .write
       .mode("overwrite")
-      .parquet(s"$dir/meta")
+      .partitionBy("tbucket")
+      .parquet(s"$dir/positions")
+    docLengths(docs, idCol, textCol).write.mode("overwrite").parquet(s"$dir/doclen")
+    writeMeta(docs.sparkSession, dir, corpusScalars(docs, idCol, textCol))
   }
 
   /** Conjunctive search served from the PERSISTED index: the query
@@ -325,19 +390,13 @@ object Search {
     * N comes from the index meta.
     */
   def conjunctiveFromIndex(s: SparkSession, indexDir: String, terms: Seq[String], k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(terms.nonEmpty, "conjunctive search needs at least one term")
-    val schema = new org.apache.spark.sql.types.StructType()
-      .add("token", "string")
-      .add("doc_id", "long")
-      .add("tf", "long")
-      .add("tbucket", "long")
     val buckets = terms.map(tokenBucket).distinct
     val p = s.read
-      .schema(schema)
+      .schema(postingsSchema)
       .parquet(s"$indexDir/postings")
       .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
-    val nDocs = s.read.parquet(s"$indexDir/meta").head().getLong(0)
+    val nDocs = readMeta(s, indexDir)._1
     val dfModel = p
       .groupBy(col("token"))
       .agg(count(lit(1)).cast("long").as("df"))
@@ -354,27 +413,100 @@ object Search {
         sum(col("tf") * col("idf_micro")).cast("long").as("score_micro")
       )
       .filter(col("n_matched") === terms.size.toLong)
-    val top = scored.orderBy(col("score_micro").desc, col("doc_id").asc).limit(k)
-    top
+    rankTop(scored, "score_micro", k)
+  }
+
+  /** BM25 served from the PERSISTED index — the ranked-retrieval
+    * serving shape: the terms' bucket dirs are statically pruned
+    * (driver-computed PartitionFilters, spec-pinned), df per term is
+    * the pruned postings' row count (posting count = document
+    * frequency), dl comes from the `dir/doclen` relation recorded at
+    * build/append time, and N/avgdl from the two `dir/meta` scalars —
+    * ZERO corpus passes, unlike [[bm25Search]]'s per-term demo route.
+    * Same integer BM25 arithmetic (k1 = 6/5, b = 3/4, ONE BIGINT
+    * division per term), so it must land on [[bm25Search]]'s exact
+    * rows — search_bm25_index shares search_bm25's oracle, and that
+    * equality is the gate. The doclen join keys on doc_id against the
+    * candidate-sized posting relation; at probe scale the candidates
+    * broadcast, at batch scale it is a plain hash join.
+    */
+  def bm25FromIndex(s: SparkSession, indexDir: String, terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25 search needs at least one term")
+    val (nDocs, totalToks) = readMeta(s, indexDir)
+    val avgdl = totalToks / nDocs
+    val buckets = terms.map(tokenBucket).distinct
+    val p = s.read
+      .schema(postingsSchema)
+      .parquet(s"$indexDir/postings")
+      .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
+      .select(col("token"), col("doc_id"), col("tf"))
+    val dfModel = p
+      .groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("df"))
       .withColumn(
-        "rank",
-        row_number()
-          .over(Window.orderBy(col("score_micro").desc, col("doc_id").asc))
-          .cast("bigint")
+        "idf_milli",
+        floor(log(lit(nDocs + 1).cast("double") / (col("df") + 1)) * 1000L).cast("bigint")
       )
-      .select(col("rank"), col("doc_id"), col("score_micro"))
+      .select(col("token"), col("idf_milli"))
+    val dl = s.read.parquet(s"$indexDir/doclen")
+    val scored = p
+      .join(broadcast(dfModel), "token")
+      .join(dl, "doc_id")
+      .withColumn(
+        "contrib",
+        expr(s"(44 * idf_milli * tf * $avgdl) div (20 * $avgdl * tf + 6 * $avgdl + 18 * dl)")
+      )
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_matched"),
+        sum(col("contrib")).cast("long").as("score_milli")
+      )
+    rankTop(scored, "score_milli", k)
+  }
+
+  /** Phrase search served from the PERSISTED positional postings: both
+    * terms' bucket dirs are statically pruned, then adjacency is a
+    * doc-keyed equi-join pos₂ = pos₁ + 1 between the two terms'
+    * position relations — no corpus pass and no per-document window
+    * (the window form needs every token of a candidate doc; the index
+    * already isolated the two terms' occurrences). Must land on
+    * [[phraseSearch]]'s exact rows — search_phrase_index shares
+    * search_phrase's oracle.
+    */
+  def phraseFromIndex(s: SparkSession, indexDir: String, first: String, second: String): DataFrame = {
+    val buckets = Seq(first, second).map(tokenBucket).distinct
+    val pos = s.read
+      .schema(positionsSchema)
+      .parquet(s"$indexDir/positions")
+      .filter(col("tbucket").isin(buckets: _*) && col("token").isin(first, second))
+    val a = pos.filter(col("token") === first).select(col("doc_id"), col("pos"))
+    val b = pos
+      .filter(col("token") === second)
+      .select(col("doc_id").as("doc_id_b"), (col("pos") - 1).as("pos_b"))
+    a.join(b, col("doc_id") === col("doc_id_b") && col("pos") === col("pos_b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_occurrences"))
   }
 
   /** Index MAINTENANCE twin of Dedup.appendToMinhashIndex: append an
-    * increment's postings so later probes see it as part of the
-    * corpus. New docs only add rows (their ids are new, so no posting
-    * collides); the scorer's N in `dir/meta` grows by the increment's
-    * doc count. Appends accrete one file per batch per bucket dir —
-    * bound that with [[compactSearchIndex]].
+    * increment's postings, positions and doc lengths so later probes
+    * see it as part of the corpus. New docs only add rows (their ids
+    * are new, so no posting collides); the scorer's N and total-token
+    * scalars in `dir/meta` grow by the increment's.
+    *
+    * Single-writer contract: the meta update is a read-then-overwrite
+    * decoupled from the relation appends — the index dir assumes ONE
+    * maintainer at a time (the same contract as every persisted index
+    * here; a stream's foreachBatch satisfies it by construction). A
+    * crash between the appends and the meta write leaves meta behind
+    * the relations; [[compactSearchIndex]] REPAIRS it by recomputing
+    * both scalars from the doclen relation, so the maintenance cadence
+    * that bounds file counts also heals the one non-atomic window.
+    * Appends accrete one file per batch per bucket dir — bound that
+    * with [[compactSearchIndex]].
     */
   def appendToSearchIndex(newDocs: DataFrame, idCol: String, textCol: String, dir: String): Unit = {
     val s = newDocs.sparkSession
-    import s.implicits._
     postings(newDocs, idCol, textCol)
       .withColumn("tbucket", tokenBucketCol)
       .repartition(col("tbucket"))
@@ -382,16 +514,39 @@ object Search {
       .mode("append")
       .partitionBy("tbucket")
       .parquet(s"$dir/postings")
-    val prev = s.read.parquet(s"$dir/meta").head().getLong(0)
-    val inc = newDocs.select(col(idCol)).distinct().count()
-    Seq(prev + inc).toDF("n_docs").coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    positionalPostings(newDocs, idCol, textCol)
+      .withColumn("tbucket", tokenBucketCol)
+      .repartition(col("tbucket"))
+      .write
+      .mode("append")
+      .partitionBy("tbucket")
+      .parquet(s"$dir/positions")
+    docLengths(newDocs, idCol, textCol).write.mode("append").parquet(s"$dir/doclen")
+    val (n0, t0) = readMeta(s, dir)
+    val (n1, t1) = corpusScalars(newDocs, idCol, textCol)
+    writeMeta(s, dir, (n0 + n1, t0 + t1))
   }
 
-  /** Rewrite the postings back to one file per bucket dir; values
-    * untouched, probes bit-identical pre/post (spec-pinned).
+  /** Rewrite the postings/positions back to one file per bucket dir
+    * (and doclen to one file); values untouched, probes bit-identical
+    * pre/post (spec-pinned). Also rewrites `dir/meta` from the
+    * compacted doclen relation — n_docs = countDistinct(doc_id),
+    * total_toks = sum(dl) — which repairs any drift the documented
+    * non-atomic append window left behind.
     */
-  def compactSearchIndex(spark: SparkSession, dir: String): Unit =
+  def compactSearchIndex(spark: SparkSession, dir: String): Unit = {
     graft.core.Compaction.compact(spark, s"$dir/postings", Some("tbucket"), 1)
+    graft.core.Compaction.compact(spark, s"$dir/positions", Some("tbucket"), 1)
+    graft.core.Compaction.compact(spark, s"$dir/doclen", None, 1)
+    val r = spark.read
+      .parquet(s"$dir/doclen")
+      .agg(
+        countDistinct(col("doc_id")).cast("long"),
+        coalesce(sum(col("dl")), lit(0L)).cast("long")
+      )
+      .head()
+    writeMeta(spark, dir, (r.getLong(0), r.getLong(1)))
+  }
 
   /** BATCHED search serving: a whole RELATION of (query_id, term)
     * pairs answered in ONE pass — the shape that actually runs at
@@ -412,10 +567,9 @@ object Search {
       idCol: String,
       textCol: String,
       queries: DataFrame, // (query_id, term)
-      k: Int
+      k: Int,
+      modes: Option[DataFrame] = None // (query_id, mode) — "AND" | "OR"; absent query_ids and None = all-AND
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val s = docs.sparkSession
     val allTerms = queries.select(col("term")).distinct()
     val nDocs = docs.agg(countDistinct(col(idCol)).as("n_docs"))
     // df per term over the corpus — one pass restricted to the term
@@ -431,16 +585,31 @@ object Search {
         floor(log((col("n_docs") + 1).cast("double") / (col("df") + 1)) * 1000000L).cast("bigint")
       )
       .select(col("token"), col("idf_micro"))
-    scoreBatch(p, queries, dfModel, k)
+    scoreBatch(p, queries, dfModel, k, modes)
   }
 
   /** Shared scoring tail of the two batched routes: broadcast-join the
     * query relation and df model into the (token, doc_id, tf) posting
-    * relation, AND-gate per (query, doc), rank-limit per query.
+    * relation, gate per (query, doc) by the query's MODE — AND
+    * requires every term matched, OR admits any (the per-query match
+    * gate is the only thing the mode changes; scoring is identical,
+    * matching [[disjunctiveSearch]] vs [[conjunctiveSearch]]) — then
+    * rank-limit per query. The modes relation is request-sized and
+    * broadcast like the queries themselves; queries without a mode
+    * row default to AND (the strict gate).
     */
-  private def scoreBatch(p: DataFrame, queries: DataFrame, dfModel: DataFrame, k: Int): DataFrame = {
+  private def scoreBatch(
+      p: DataFrame,
+      queries: DataFrame,
+      dfModel: DataFrame,
+      k: Int,
+      modes: Option[DataFrame]
+  ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qSizes = queries.groupBy(col("query_id")).agg(count(lit(1)).cast("long").as("n_terms"))
+    val qModes = modes.getOrElse(
+      queries.select(col("query_id")).distinct().withColumn("mode", lit("AND"))
+    )
     val scored = p
       .join(broadcast(queries.withColumnRenamed("term", "token")), "token")
       .join(broadcast(dfModel), "token")
@@ -450,7 +619,11 @@ object Search {
         sum(col("tf") * col("idf_micro")).cast("long").as("score_micro")
       )
       .join(broadcast(qSizes), "query_id")
-      .filter(col("n_matched") === col("n_terms"))
+      .join(broadcast(qModes), Seq("query_id"), "left")
+      .filter(
+        when(col("mode") === "OR", col("n_matched") >= 1L)
+          .otherwise(col("n_matched") === col("n_terms"))
+      )
     scored
       .withColumn(
         "rank",
@@ -477,22 +650,18 @@ object Search {
       s: SparkSession,
       indexDir: String,
       queries: DataFrame,
-      k: Int
+      k: Int,
+      modes: Option[DataFrame] = None
   ): DataFrame = {
     val terms = queries.select(col("term")).distinct().collect().map(_.getString(0)).toSeq
     require(terms.nonEmpty, "batched search needs at least one term")
-    val schema = new org.apache.spark.sql.types.StructType()
-      .add("token", "string")
-      .add("doc_id", "long")
-      .add("tf", "long")
-      .add("tbucket", "long")
     val buckets = terms.map(tokenBucket).distinct
     val p = s.read
-      .schema(schema)
+      .schema(postingsSchema)
       .parquet(s"$indexDir/postings")
       .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
       .select(col("token"), col("doc_id"), col("tf"))
-    val nDocs = s.read.parquet(s"$indexDir/meta").head().getLong(0)
+    val nDocs = readMeta(s, indexDir)._1
     val dfModel = p
       .groupBy(col("token"))
       .agg(count(lit(1)).cast("long").as("df"))
@@ -501,7 +670,7 @@ object Search {
         floor(log(lit(nDocs + 1).cast("double") / (col("df") + 1)) * 1000000L).cast("bigint")
       )
       .select(col("token"), col("idf_micro"))
-    scoreBatch(p, queries, dfModel, k)
+    scoreBatch(p, queries, dfModel, k, modes)
   }
 
   val searchBatchIndex: Q = (s, d) => {
@@ -510,13 +679,27 @@ object Search {
       s,
       demoSearchIndexDir(s, d),
       fixtureBatch.toDF("query_id", "term"),
-      k = 5
+      k = 5,
+      modes = Some(fixtureModes.toDF("query_id", "mode"))
     ).orderBy("query_id", "rank")
   }
 
-  /** Fixture batch: three conjunctive queries served in one pass. */
+  /** Fixture batch: three conjunctive queries plus one disjunctive,
+    * served in one pass.
+    */
   private[ops] val fixtureBatch: Seq[(Long, String)] =
-    Seq(1L -> "dup", 1L -> "spark", 2L -> "hash", 2L -> "join", 3L -> "window", 3L -> "dup")
+    Seq(
+      1L -> "dup", 1L -> "spark",
+      2L -> "hash", 2L -> "join",
+      3L -> "window", 3L -> "dup",
+      4L -> "hash", 4L -> "window"
+    )
+
+  /** Per-query match modes for [[fixtureBatch]] — query 4 is the OR
+    * member exercising the relaxed gate.
+    */
+  private[ops] val fixtureModes: Seq[(Long, String)] =
+    Seq(1L -> "AND", 2L -> "AND", 3L -> "AND", 4L -> "OR")
 
   val searchBatchServe: Q = (s, d) => {
     import s.implicits._
@@ -525,7 +708,8 @@ object Search {
       "doc_id",
       "text",
       fixtureBatch.toDF("query_id", "term"),
-      k = 5
+      k = 5,
+      modes = Some(fixtureModes.toDF("query_id", "mode"))
     ).orderBy("query_id", "rank")
   }
 
@@ -561,6 +745,21 @@ object Search {
     conjunctiveFromIndex(s, demoAppendedSearchIndexDir(s, d), fixtureAndTerms, topK)
       .orderBy("rank")
 
+  /** BM25 from the persisted index: same terms and k as [[searchBm25]],
+    * sharing its oracle — index-served ranked retrieval must equal the
+    * corpus-pass arithmetic bit for bit.
+    */
+  val searchBm25Index: Q = (s, d) =>
+    bm25FromIndex(s, demoSearchIndexDir(s, d), fixtureOrTerms, topK).orderBy("rank")
+
+  /** Phrase from the MAINTAINED index (build-even → append-odd →
+    * compact): gates the positional postings' whole lifecycle against
+    * [[searchPhrase]]'s corpus-pass oracle in one query.
+    */
+  val searchPhraseIndex: Q = (s, d) =>
+    phraseFromIndex(s, demoAppendedSearchIndexDir(s, d), fixturePhrase._1, fixturePhrase._2)
+      .orderBy("doc_id")
+
   def phraseSearch(docs: DataFrame, idCol: String, textCol: String, first: String, second: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val pruned = docs.filter(col(textCol).contains(first) && col(textCol).contains(second))
@@ -587,31 +786,39 @@ object Search {
     "search_conjunctive" -> searchConjunctive,
     "search_disjunctive" -> searchDisjunctive,
     "search_bm25" -> searchBm25,
+    "search_bm25_index" -> searchBm25Index,
     "search_batch_serve" -> searchBatchServe,
     "search_batch_index" -> searchBatchIndex,
     "search_index_probe" -> searchIndexProbe,
     "search_index_appended" -> searchIndexAppended,
-    "search_phrase" -> searchPhrase
+    "search_phrase" -> searchPhrase,
+    "search_phrase_index" -> searchPhraseIndex
   )
 
   // ---- DuckDB oracles ------------------------------------------------
+
+  /** SQL string literal with single quotes doubled: the Spark side
+    * treats query terms as DATA, so the oracle builders must too — a
+    * term containing a quote would otherwise break or skew the oracle.
+    */
+  private def sqlLit(t: String): String = "'" + t.replace("'", "''") + "'"
 
   private val postingsSql =
     """p0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
       |p AS (SELECT token, doc_id, count(*) AS tf FROM p0 GROUP BY token, doc_id)""".stripMargin
 
   private def oracleTermSearch(terms: Seq[String], requireAll: Boolean): String = {
-    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val termList = terms.map(sqlLit).mkString(", ")
     val containsAll =
-      terms.map(t => s"contains(text, '$t')").mkString(if (requireAll) " AND " else " OR ")
+      terms.map(t => s"contains(text, ${sqlLit(t)})").mkString(if (requireAll) " AND " else " OR ")
     val matchGate = if (requireAll) s"count(*) = ${terms.size}" else "count(*) >= 1"
     val dfArms = terms
       .map(t =>
         s"""SELECT token, CAST(count(*) AS BIGINT) AS df FROM (
            |    SELECT token, doc_id FROM (
            |      SELECT doc_id, unnest(string_split(text, ' ')) AS token
-           |      FROM documents WHERE contains(text, '$t')) x
-           |    WHERE token = '$t' GROUP BY token, doc_id) GROUP BY token""".stripMargin
+           |      FROM documents WHERE contains(text, ${sqlLit(t)})) x
+           |    WHERE token = ${sqlLit(t)} GROUP BY token, doc_id) GROUP BY token""".stripMargin
       )
       .mkString("\n  UNION ALL\n  ")
     s"""WITH cand AS (SELECT doc_id, text FROM documents WHERE $containsAll),
@@ -638,10 +845,14 @@ object Search {
   }
 
   private lazy val oracleBatch: String = {
-      val valuesRows = fixtureBatch.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+      val valuesRows = fixtureBatch.map { case (q, t) => s"($q, ${sqlLit(t)})" }.mkString(", ")
+      val modeRows = fixtureModes.map { case (q, m) => s"($q, ${sqlLit(m)})" }.mkString(", ")
       s"""WITH qs AS (
          |  SELECT CAST(v.q AS BIGINT) AS query_id, v.t AS term
          |  FROM (VALUES $valuesRows) v(q, t)),
+         |qm AS (
+         |  SELECT CAST(v.q AS BIGINT) AS query_id, v.m AS mode
+         |  FROM (VALUES $modeRows) v(q, m)),
          |p0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
          |p AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf FROM p0
          |      WHERE token IN (SELECT term FROM qs) GROUP BY token, doc_id),
@@ -661,10 +872,82 @@ object Search {
          |  SELECT s.query_id, s.doc_id, s.score_micro,
          |    CAST(row_number() OVER (PARTITION BY s.query_id
          |                            ORDER BY s.score_micro DESC, s.doc_id ASC) AS BIGINT) AS rank
-         |  FROM sc s JOIN qn ON qn.query_id = s.query_id AND s.n_matched = qn.n_terms)
+         |  FROM sc s
+         |  JOIN qn ON qn.query_id = s.query_id
+         |  JOIN qm ON qm.query_id = s.query_id
+         |    AND ((qm.mode = 'OR' AND s.n_matched >= 1)
+         |         OR (qm.mode <> 'OR' AND s.n_matched = qn.n_terms)))
          |SELECT query_id, rank, doc_id, score_micro
          |FROM f WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     }
+
+  /** Shared by search_bm25 (corpus pass) and search_bm25_index (index
+    * serve) — the equality between the two routes IS the index gate.
+    * N is count(DISTINCT doc_id), the single convention all search
+    * routes share.
+    */
+  private lazy val oracleBm25: String = {
+    val terms = fixtureOrTerms
+    val termList = terms.map(sqlLit).mkString(", ")
+    val containsAny = terms.map(t => s"contains(text, ${sqlLit(t)})").mkString(" OR ")
+    val dfArms = terms
+      .map(t =>
+        s"""SELECT token, CAST(count(*) AS BIGINT) AS df FROM (
+           |    SELECT token, doc_id FROM (
+           |      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           |      FROM documents WHERE contains(text, ${sqlLit(t)})) x
+           |    WHERE token = ${sqlLit(t)} GROUP BY token, doc_id) GROUP BY token""".stripMargin
+      )
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH st AS (
+       |  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_toks
+       |  FROM documents),
+       |av AS (SELECT n_docs, total_toks // n_docs AS avgdl FROM st),
+       |cand AS (SELECT doc_id, text FROM documents WHERE $containsAny),
+       |cd AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM cand),
+       |c0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM cand),
+       |cp AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf FROM c0
+       |       WHERE token IN ($termList) GROUP BY token, doc_id),
+       |dfm AS (
+       |  $dfArms),
+       |model AS (
+       |  SELECT token,
+       |    CAST(floor(ln(((SELECT n_docs FROM av) + 1) / CAST(df + 1 AS DOUBLE)) * 1000) AS BIGINT) AS idf_milli
+       |  FROM dfm),
+       |sc AS (
+       |  SELECT cp.doc_id, count(*) AS n_matched,
+       |    CAST(sum((44 * m.idf_milli * cp.tf * (SELECT avgdl FROM av))
+       |         // (20 * (SELECT avgdl FROM av) * cp.tf + 6 * (SELECT avgdl FROM av) + 18 * d.dl)) AS BIGINT) AS score_milli
+       |  FROM cp JOIN model m ON m.token = cp.token
+       |  JOIN cd d ON d.doc_id = cp.doc_id
+       |  GROUP BY cp.doc_id),
+       |ranked AS (
+       |  SELECT doc_id, score_milli,
+       |    CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM sc)
+       |SELECT rank, doc_id, score_milli FROM ranked WHERE rank <= $topK ORDER BY rank""".stripMargin
+  }
+
+  /** Shared by search_phrase (corpus window pass) and
+    * search_phrase_index (positional-postings serve through the
+    * append+compact lifecycle).
+    */
+  private lazy val oraclePhrase: String = {
+    val (a, b) = fixturePhrase
+    s"""WITH pt AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks, len(string_split(text, ' ')) AS n
+       |  FROM documents WHERE contains(text, ${sqlLit(a)}) AND contains(text, ${sqlLit(b)})),
+       |ps AS (SELECT doc_id, toks, unnest(generate_series(1, n, 1)) AS pos FROM pt),
+       |px AS (SELECT doc_id, pos, toks[pos] AS token FROM ps),
+       |w AS (
+       |  SELECT doc_id, token,
+       |    lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS next_token
+       |  FROM px)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+       |FROM w WHERE token = ${sqlLit(a)} AND next_token = ${sqlLit(b)}
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
 
   def oracles: Map[String, String] = Map(
     "search_postings" ->
@@ -686,48 +969,10 @@ object Search {
          |ORDER BY s.token""".stripMargin,
     "search_conjunctive" -> oracleTermSearch(fixtureAndTerms, requireAll = true),
     "search_disjunctive" -> oracleTermSearch(fixtureOrTerms, requireAll = false),
-    "search_bm25" -> {
-      val terms = fixtureOrTerms
-      val termList = terms.map(t => s"'$t'").mkString(", ")
-      val containsAny = terms.map(t => s"contains(text, '$t')").mkString(" OR ")
-      val dfArms = terms
-        .map(t =>
-          s"""SELECT token, CAST(count(*) AS BIGINT) AS df FROM (
-             |    SELECT token, doc_id FROM (
-             |      SELECT doc_id, unnest(string_split(text, ' ')) AS token
-             |      FROM documents WHERE contains(text, '$t')) x
-             |    WHERE token = '$t' GROUP BY token, doc_id) GROUP BY token""".stripMargin
-        )
-        .mkString("\n  UNION ALL\n  ")
-      s"""WITH st AS (
-         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_toks
-         |  FROM documents),
-         |av AS (SELECT n_docs, total_toks // n_docs AS avgdl FROM st),
-         |cand AS (SELECT doc_id, text FROM documents WHERE $containsAny),
-         |cd AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM cand),
-         |c0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM cand),
-         |cp AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf FROM c0
-         |       WHERE token IN ($termList) GROUP BY token, doc_id),
-         |dfm AS (
-         |  $dfArms),
-         |model AS (
-         |  SELECT token,
-         |    CAST(floor(ln(((SELECT n_docs FROM av) + 1) / CAST(df + 1 AS DOUBLE)) * 1000) AS BIGINT) AS idf_milli
-         |  FROM dfm),
-         |sc AS (
-         |  SELECT cp.doc_id, count(*) AS n_matched,
-         |    CAST(sum((44 * m.idf_milli * cp.tf * (SELECT avgdl FROM av))
-         |         // (20 * (SELECT avgdl FROM av) * cp.tf + 6 * (SELECT avgdl FROM av) + 18 * d.dl)) AS BIGINT) AS score_milli
-         |  FROM cp JOIN model m ON m.token = cp.token
-         |  JOIN cd d ON d.doc_id = cp.doc_id
-         |  GROUP BY cp.doc_id),
-         |ranked AS (
-         |  SELECT doc_id, score_milli,
-         |    CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id ASC) AS BIGINT) AS rank
-         |  FROM sc)
-         |SELECT rank, doc_id, score_milli FROM ranked WHERE rank <= $topK ORDER BY rank""".stripMargin
-    },
+    "search_bm25" -> oracleBm25,
+    // BM25 served from the persisted index must land on the corpus
+    // route's exact rows — sharing the oracle makes that the gate
+    "search_bm25_index" -> oracleBm25,
     "search_batch_serve" -> oracleBatch,
     // index-served batch must equal the corpus-pass batch row for row
     "search_batch_index" -> oracleBatch,
@@ -737,20 +982,9 @@ object Search {
     "search_index_probe" -> oracleTermSearch(fixtureAndTerms, requireAll = true),
     // build+append+compact must be indistinguishable from one build
     "search_index_appended" -> oracleTermSearch(fixtureAndTerms, requireAll = true),
-    "search_phrase" -> {
-      val (a, b) = fixturePhrase
-      s"""WITH pt AS (
-         |  SELECT doc_id, string_split(text, ' ') AS toks, len(string_split(text, ' ')) AS n
-         |  FROM documents WHERE contains(text, '$a') AND contains(text, '$b')),
-         |ps AS (SELECT doc_id, toks, unnest(generate_series(1, n, 1)) AS pos FROM pt),
-         |px AS (SELECT doc_id, pos, toks[pos] AS token FROM ps),
-         |w AS (
-         |  SELECT doc_id, token,
-         |    lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS next_token
-         |  FROM px)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
-         |FROM w WHERE token = '$a' AND next_token = '$b'
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    }
+    "search_phrase" -> oraclePhrase,
+    // index-served phrase (through build→append→compact) must equal
+    // the corpus-pass window route row for row
+    "search_phrase_index" -> oraclePhrase
   )
 }

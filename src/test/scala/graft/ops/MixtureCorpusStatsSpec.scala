@@ -38,6 +38,16 @@ class MixtureCorpusStatsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
   }
 
+  test("stratifiedSample rejects out-of-range rates (would silently keep-all/drop-all)") {
+    val docs = Seq((1L, "en")).toDF("doc_id", "lang")
+    intercept[IllegalArgumentException] {
+      Mixture.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 1.5), 0.4)
+    }
+    intercept[IllegalArgumentException] {
+      Mixture.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 0.5), -0.1)
+    }
+  }
+
   test("tfidf: a term unique to one doc outranks corpus-wide terms there") {
     val out = CorpusStats.tfidfTopTerms(spark, "/root/testdata/sf0.001")
     val r = out.filter(col("rank") === 1).limit(5).collect()

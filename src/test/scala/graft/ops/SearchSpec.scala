@@ -166,7 +166,9 @@ class SearchSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     Search.saveSearchIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", dir)
     Search.appendToSearchIndex(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", dir)
-    assert(spark.read.parquet(s"$dir/meta").head().getLong(0) == 4L, "meta N must grow")
+    val meta = spark.read.parquet(s"$dir/meta").select("n_docs", "total_toks").head()
+    assert(meta.getLong(0) == 4L, "meta N must grow")
+    assert(meta.getLong(1) == 8L, "meta total_toks must accumulate across appends")
     def probe() = Search
       .conjunctiveFromIndex(spark, dir, Seq("cat", "dog"), 10)
       .collect()
@@ -180,6 +182,81 @@ class SearchSpec extends SparkSpec {
     assert(before == batch, "maintained index must answer like the one-shot corpus")
     Search.compactSearchIndex(spark, dir)
     assert(probe() == before, "compaction must not change a single probe bit")
+  }
+
+  test("compaction REPAIRS meta from doclen (the non-atomic append window heals)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_searchidx_repair").toString
+    val docs = Seq((1L, "cat dog"), (2L, "cat x y")).toDF("doc_id", "text")
+    Search.saveSearchIndex(docs, "doc_id", "text", dir)
+    // simulate the crash window: relations written, meta stale
+    Seq((1L, 1L)).toDF("n_docs", "total_toks")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    Search.compactSearchIndex(spark, dir)
+    val meta = spark.read.parquet(s"$dir/meta").select("n_docs", "total_toks").head()
+    assert((meta.getLong(0), meta.getLong(1)) == ((2L, 5L)), "meta must be recomputed from doclen")
+  }
+
+  test("bm25FromIndex: equals the corpus route bit for bit; scan is partition-pruned; appends accumulate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_searchidx_bm25").toString
+    val dirApp = java.nio.file.Files.createTempDirectory("graft_searchidx_bm25app").toString
+    def pad(n: Int) = Seq.fill(n)("filler").mkString(" ")
+    val docs = (Seq(
+      (1L, "cat " + pad(9)),
+      (2L, Seq.fill(20)("cat").mkString(" ") + " dog " + pad(8)),
+      (3L, "cat dog " + pad(3)),
+      (4L, "dog " + pad(19))
+    ) ++ (5L to 8L).map(i => (i, pad(10)))).toDF("doc_id", "text")
+    Search.saveSearchIndex(docs, "doc_id", "text", dir)
+    Search.saveSearchIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", dirApp)
+    Search.appendToSearchIndex(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", dirApp)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"), r.getAs[Long]("score_milli"))).toSeq
+    val corpus = rows(Search.bm25Search(docs, "doc_id", "text", Seq("cat", "dog"), 10))
+    val probe = Search.bm25FromIndex(spark, dir, Seq("cat", "dog"), 10)
+    assert(rows(probe) == corpus, "index-served BM25 must equal the corpus pass")
+    // the maintained index's meta (N, total_toks) must accumulate to
+    // the one-shot build's, or avgdl/idf silently skew
+    assert(rows(Search.bm25FromIndex(spark, dirApp, Seq("cat", "dog"), 10)) == corpus)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("tbucket"), plan.take(2000))
+  }
+
+  test("phraseFromIndex: equals the corpus window route; positions scan partition-pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_searchidx_phrase").toString
+    val docs = Seq(
+      (1L, "hash join now hash join"), // 2 occurrences
+      (2L, "hash x join"),             // both tokens, never adjacent
+      (3L, "join hash"),               // reversed order only
+      (4L, "a hash join b")            // 1 occurrence
+    ).toDF("doc_id", "text")
+    Search.saveSearchIndex(docs.filter(col("doc_id") <= 2), "doc_id", "text", dir)
+    Search.appendToSearchIndex(docs.filter(col("doc_id") > 2), "doc_id", "text", dir)
+    Search.compactSearchIndex(spark, dir)
+    val probe = Search.phraseFromIndex(spark, dir, "hash", "join")
+    val got = probe.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_occurrences")).toMap
+    assert(got == Map(1L -> 2L, 4L -> 1L), got.toString)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("tbucket"), plan.take(2000))
+  }
+
+  test("batched OR mode: relaxed gate admits single-term docs, missing mode row defaults to AND") {
+    val docs = Seq(
+      (1L, "cat dog"),
+      (2L, "cat"),
+      (3L, "dog bird"),
+      (4L, "bird fox cat dog")
+    ).toDF("doc_id", "text")
+    val queries = Seq(
+      (10L, "cat"), (10L, "dog"), // OR query
+      (20L, "cat"), (20L, "dog")  // no mode row → AND
+    ).toDF("query_id", "term")
+    val modes = Seq((10L, "OR")).toDF("query_id", "mode")
+    val got = Search.batchedSearch(docs, "doc_id", "text", queries, k = 5, Some(modes))
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("doc_id")).toSet).toMap
+    assert(got(10L) == Set(1L, 2L, 3L, 4L), s"OR admits any-term docs: $got")
+    assert(got(20L) == Set(1L, 4L), s"default gate stays AND: $got")
   }
 
   test("batchedSearch: one pass serves every query; per-query AND gates; WindowGroupLimit") {
