@@ -248,18 +248,19 @@ object Similarity {
     * margin_micro = floor(cos_micro · 8·10⁶ ÷ (Σtop4ₓ + Σtop4ᵧ)) —
     * so no float-summation order can diverge between engines.
     *
-    * Scale shape: the fixture pairs relation is the exact cross
-    * product (the brute-force baseline, like ann_cosine_topk); at
-    * corpus scale the SAME downstream margin arithmetic runs over
-    * bucket- or IVF-probe-restricted candidates (dedupEmbeddingCosine
-    * / ivfTopK supply those relations). The two k-NN aggregations and
-    * the forward top-1 are rank-limit windows (WindowGroupLimit: k
-    * rows per key per partition forwarded), and the pair relation is
-    * built ONCE — a localCheckpoint pins it so the three consumers
-    * don't re-derive the cross join.
+    * Scale shape: this entry point builds the exact cross product
+    * (the brute-force baseline, like ann_cosine_topk) and hands it to
+    * [[minedBitextFrom]] — the candidate SEAM. At corpus scale a job
+    * calls [[minedBitextFrom]] directly with bucket- or IVF-probe-
+    * restricted candidates (dedupEmbeddingCosine / ivfTopK supply
+    * those relations); the margin arithmetic is a pure function of
+    * the supplied relation, so the scale path shares every line of
+    * the gated tail. The two k-NN aggregations and the forward top-1
+    * are rank-limit windows (WindowGroupLimit: k rows per key per
+    * partition forwarded), and the pair relation is pinned ONCE so
+    * the three consumers don't re-derive the candidate pass.
     */
   def minedBitext(emb: DataFrame, k: Int, minMarginMicro: Long): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val e = withVec(emb)
     val xs = e.filter(col("label") === 0).select(col("vec_id").as("x_id"), col("v").as("xv"))
@@ -271,8 +272,29 @@ object Similarity {
         expr("CAST(floor(round(cosine_sim(xv, yv), 6) * 1000000) AS BIGINT)")
       )
       .select("x_id", "y_id", "cos_micro")
+    minedBitextFrom(pairs, k, minMarginMicro)
+  }
+
+  /** The margin/k-NN TAIL of bitext mining over a SUPPLIED candidate
+    * relation (x_id, y_id, cos_micro) — the seam that makes the scale
+    * path code instead of documentation: [[minedBitext]] feeds it the
+    * brute-force cross product (the fixture baseline), a production
+    * job feeds it bucket- or IVF-probe-restricted candidates (the
+    * relations [[dedupEmbeddingCosine]] / [[ivfTopK]] produce), and
+    * the margin arithmetic is IDENTICAL — a pure function of the
+    * candidate relation (SimilaritySpec pins both: cross-product
+    * equality with [[minedBitext]], and bucket-restricted margins
+    * recomputed independently). Note the semantics: k-NN sums are
+    * per-node over the candidates PRESENT, so a restricted relation
+    * computes margins against the restricted neighborhoods — exactly
+    * the approximation the mining literature runs at scale.
+    */
+  def minedBitextFrom(candidates: DataFrame, k: Int, minMarginMicro: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = candidates
+      .select("x_id", "y_id", "cos_micro")
       // eager pin: three consumers (two k-NN aggs + forward top-1)
-      // must not re-derive the cross join; released by the cleaner
+      // must not re-derive the candidate pass; released by the cleaner
       // once the returned plan's RDD goes out of scope
       .localCheckpoint(true)
     def knnSum(key: String): DataFrame =

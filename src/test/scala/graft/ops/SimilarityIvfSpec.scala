@@ -601,4 +601,54 @@ class SimilarityIvfSpec extends SparkSpec {
     assert(!got.contains(0L), s"non-positive-denominator anchor must be dropped: $got")
     assert(got.contains(2L), "positive-neighborhood pair must survive the guard")
   }
+
+  test("minedBitextFrom: the candidate seam — cross-product input equals minedBitext; restricted candidates compute the restricted-neighborhood margins exactly") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // deterministic synthetic sides: 8 source vecs, 10 target vecs
+    def vec(seed: Long): Array[Float] = {
+      val a = new Array[Float](16)
+      var h = seed * 2654435761L + 1
+      (0 until 16).foreach { i => h = h * 6364136223846793005L + 1442695040888963407L; a(i) = ((h >>> 40).toInt % 1000) / 1000.0f }
+      a
+    }
+    val emb = ((0L until 16L by 2L).map(i => (i, vec(i), 0)) ++
+      (1L until 21L by 2L).map(i => (i, vec(i), 1))).toDF("vec_id", "embedding", "label")
+    val (k, minM) = (3, Long.MinValue)
+    val full = Similarity.minedBitext(emb, k, minM)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+
+    // an explicitly-built candidate relation with the seam's contract
+    // schema must reproduce the entry point bit for bit
+    val e = emb.withColumn("v", expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+    val xs = e.filter(col("label") === 0).select(col("vec_id").as("x_id"), col("v").as("xv"))
+    val ys = e.filter(col("label") === 1).select(col("vec_id").as("y_id"), col("v").as("yv"))
+    val crossPairs = xs.crossJoin(ys)
+      .withColumn("cos_micro", expr("CAST(floor(round(cosine_sim(xv, yv), 6) * 1000000) AS BIGINT)"))
+      .select("x_id", "y_id", "cos_micro")
+    val viaSeam = Similarity.minedBitextFrom(crossPairs, k, minM)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    assert(viaSeam == full, "seam fed the cross product must equal the entry point")
+
+    // bucket-restricted candidates (the production shape): margins are
+    // a pure function of the SUPPLIED relation — recompute them
+    // driver-side from the collected candidate triples
+    val restricted = crossPairs.filter((col("x_id") + col("y_id")) % 3 =!= 0)
+    val cand = restricted.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = Similarity.minedBitextFrom(restricted, k, minM)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    val knnX = cand.groupBy(_._1).view.mapValues(
+      _.sortBy(p => (-p._3, p._2)).take(k).map(_._3).sum).toMap
+    val knnY = cand.groupBy(_._2).view.mapValues(
+      _.sortBy(p => (-p._3, p._1)).take(k).map(_._3).sum).toMap
+    val expected = cand.groupBy(_._1).toSeq.flatMap { case (x, ps) =>
+      val (x0, y0, c0) = ps.sortBy(p => (-p._3, p._2)).head
+      val den = knnX(x0) + knnY(y0)
+      if (den > 0) Some((x0, y0, c0, math.floor(c0 * (2 * k * 1000000L).toDouble / den).toLong))
+      else None
+    }.sorted
+    assert(got == expected, s"restricted-candidate margins must match the independent recomputation:\n$got\nvs\n$expected")
+    // and the restriction actually changed the neighborhoods vs full
+    assert(got != full)
+  }
 }
