@@ -172,4 +172,39 @@ class CentralitySpec extends SparkSpec {
     assert(gotReps == wantReps)
     assert(gotReps.nonEmpty && gotReps.exists(_._2._1 > 1), "fixture must contain a real cluster")
   }
+
+  test("persisted graph: round-trips canonical edges; neighborhood probe is partition-pruned and complete") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndgraph").toString
+    // node 1's neighborhood spans both edge orientations: (1,2) forward,
+    // (0,1) reverse — the undirected layout must serve BOTH from 1's bucket
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 35L), (17L, 33L)).toDF("src", "dst")
+    Centrality.saveNearDupGraph(edges, dir)
+    val back = Centrality.readNearDupGraph(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(back == Set((0L, 1L), (1L, 2L), (2L, 35L), (17L, 33L)), "canonical form must round-trip")
+    val probe = Centrality.neighborhoodFromGraph(spark, dir, Seq(1L))
+    val got = probe.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 0L), (1L, 2L)), s"both orientations from one bucket: $got")
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("ebucket"), plan.take(2000))
+  }
+
+  test("rank serving from persisted graph + snapshot equals the monolithic job") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndgraph_rank").toString
+    val docs = (1L to 30L).toDF("doc_id")
+    val edges = (1L to 29L).map(i => (i, i + 1)).filter(_._1 % 3 != 0).toDF("src", "dst")
+    Centrality.saveNearDupGraph(edges, dir)
+    val mono = Centrality.pageRank(docs, edges, "doc_id")
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("rank_micro")).toMap
+    val half = Centrality.pageRankFrom(docs, Centrality.readNearDupGraph(spark, dir), "doc_id", None, 3)
+    Centrality.savePageRankSnapshot(half.select("node", "rank_micro"), s"$dir/ranks")
+    val served = Centrality.pageRankFrom(
+      docs,
+      Centrality.readNearDupGraph(spark, dir),
+      "doc_id",
+      Some(Centrality.readPageRankSnapshot(spark, s"$dir/ranks")),
+      3
+    ).collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("rank_micro")).toMap
+    assert(served == mono, "persisted-graph resume must be bit-identical to the one-shot job")
+  }
 }
