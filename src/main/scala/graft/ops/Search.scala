@@ -49,7 +49,7 @@ object Search {
   private val headK = 16
 
   /** Fixture query knobs (oracle-pinned). */
-  private[ops] val fixtureAndTerms = Seq("dup", "spark")
+  private[graft] val fixtureAndTerms = Seq("dup", "spark")
   private[ops] val fixtureOrTerms = Seq("dup", "window")
   private[ops] val fixturePhrase = ("hash", "join")
   private val topK = 10

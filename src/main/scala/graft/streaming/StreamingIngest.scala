@@ -793,6 +793,85 @@ object StreamingIngest {
     } finally rmScratch(s, base)
   }
 
+  /** SEARCH-INDEX maintenance as a stream — retrieval's member of the
+    * filters-as-streams family: documents arrive as micro-batches and
+    * each batch is folded into the persisted token-bucketed search
+    * index ([[graft.ops.Search.appendToSearchIndex]] inside
+    * foreachBatch; the first batch BOOTSTRAPS the index with a
+    * one-shot build — detected by the meta relation's absence, and
+    * idempotent under a batch-0 retry because the build overwrites).
+    * Probes then serve from an index never more than one batch behind
+    * the stream. Index state lives on DISK (the minhash-loop shape):
+    * the stream holds nothing between batches, per-batch work is
+    * increment-sized (the increment's postings/positions/doclen rows
+    * plus two meta scalars). The stream is the index dir's single
+    * writer — exactly the contract appendToSearchIndex's meta update
+    * documents. `compactEvery` folds per-batch file accretion back to
+    * one file per bucket dir every K batches AND recomputes meta from
+    * doclen, so the compaction cadence doubles as the repair hook for
+    * a crash inside the append's non-atomic meta window; probes are
+    * bit-identical across a compaction (SearchSpec).
+    */
+  def searchIndexStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexDir: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      compactEvery: Int = 0
+  ): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val bs = batch.sparkSession
+        val meta = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
+        val fs = meta.getFileSystem(bs.sessionState.newHadoopConf())
+        if (!fs.exists(meta))
+          graft.ops.Search.saveSearchIndex(batch.toDF(), idCol, textCol, indexDir)
+        else
+          graft.ops.Search.appendToSearchIndex(batch.toDF(), idCol, textCol, indexDir)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          graft.ops.Search.compactSearchIndex(bs, indexDir)
+      }
+      .start()
+
+  /** The streaming-maintained search index as an ORACLE-GATED query:
+    * the fixture corpus arrives as 4 real micro-batches (file source,
+    * maxFilesPerTrigger = 1, AvailableNow), each folded into a fresh
+    * index with a mid-stream compaction, then the post-drain
+    * conjunctive probe must equal the batch corpus-pass route — it
+    * shares search_conjunctive's oracle, so streamed-maintained ≡
+    * one-shot-built is hash-gated end to end (batch boundaries cannot
+    * matter: postings/doclen rows are per-doc, and df/N/idf are
+    * aggregates over the union the appends accumulate).
+    */
+  def searchStreamProbe(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_search_stream")
+    try {
+      val src = base.resolve("src").toString
+      val idx = base.resolve("index").toString
+      val ckpt = base.resolve("ckpt").toString
+      graft.ops.Fixtures
+        .documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .repartition(4, col("doc_id"))
+        .write
+        .parquet(src)
+      val stream = s.readStream
+        .schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+      searchIndexStream(stream, "doc_id", "text", idx, ckpt, Trigger.AvailableNow(), compactEvery = 3)
+        .awaitTermination()
+      graft.ops.Search
+        .conjunctiveFromIndex(s, idx, graft.ops.Search.fixtureAndTerms, 10)
+        .orderBy("rank")
+        .localCheckpoint(true)
+    } finally rmScratch(s, base)
+  }
+
   /** The quality FILTER as a stream: train the NB classifier once on
     * the seed split, PERSIST the model artifact (model + prior
     * parquet — the train-once/score-forever lifecycle every
@@ -1241,6 +1320,7 @@ object StreamingIngest {
         )),
       "dedup_stream_clusters" -> dedupStreamClusters,
       "dedup_stream_exact" -> ((s, d) => dedupStreamExactReplay(s, d)),
+      "search_stream_probe" -> ((s, d) => searchStreamProbe(s, d)),
       "events_stream_replay" -> eventsStreamReplay,
       "events_anomaly_stream" -> eventsAnomalyStream
     )
@@ -1282,6 +1362,9 @@ object StreamingIngest {
       // mid-replay and the streamed key set must equal batch DISTINCT
       "dedup_stream_exact" ->
         "SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type",
+      // the stream-maintained index must answer the conjunctive probe
+      // exactly like the one-shot corpus pass — shared oracle = gate
+      "search_stream_probe" -> graft.ops.Search.oracles("search_conjunctive"),
       // per-doc pairs are pure in (doc, frozen chunk index): the
       // stream shares the batch containment probe's oracle
       "cdc_containment_stream" -> graft.ops.Cdc.containmentIndexOracle,

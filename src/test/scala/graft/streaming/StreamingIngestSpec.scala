@@ -599,4 +599,35 @@ class StreamingIngestSpec extends SparkSpec {
       .cmsCounters(docs.select(explode(split(col("text"), " ")).as("token")), 1024, 4)
     assert(counters.count() <= 4L * 1024L)
   }
+
+  test("stream-maintained search index: bootstrap + appends + mid-stream compaction ≡ one-shot build") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val idx = Files.createTempDirectory("graft_search_stream_idx").toString + "/idx"
+    val ckpt = Files.createTempDirectory("graft_search_stream_ck").toString
+    val docs = Seq(
+      (1L, "cat dog"), (2L, "cat"), (3L, "dog cat extra"), (4L, "bird"),
+      (5L, "cat dog cat"), (6L, "dog bird cat")
+    )
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingIngest.searchIndexStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", idx, ckpt, compactEvery = 2)
+    // batch 0 bootstraps (no meta yet), batches 1-2 append, compaction fires after batch 1
+    mem.addData(docs.take(2): _*); q.processAllAvailable()
+    mem.addData(docs.slice(2, 4): _*); q.processAllAvailable()
+    mem.addData(docs.drop(4): _*); q.processAllAvailable()
+    q.stop()
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = graft.ops.Search
+      .conjunctiveSearch(docs.toDF("doc_id", "text"), "doc_id", "text", Seq("cat", "dog"), 10)
+    assert(
+      rows(graft.ops.Search.conjunctiveFromIndex(spark, idx, Seq("cat", "dog"), 10)) == rows(batch),
+      "stream-maintained index must answer like the one-shot corpus pass"
+    )
+    // meta accumulated across bootstrap + appends (and survived the compaction repair)
+    val meta = spark.read.parquet(s"$idx/meta").select("n_docs", "total_toks").head()
+    assert((meta.getLong(0), meta.getLong(1)) == ((6L, 13L)), meta.toString)
+  }
 }
