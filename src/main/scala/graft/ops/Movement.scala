@@ -343,6 +343,61 @@ object Movement {
     }
   }
 
+  /** JSONL REPAIR gate: the documents table round-trips through a
+    * JSONL scratch dir with the doc_id < 5 rows written BOM-prefixed
+    * (quarantined by the reader — a real-world landing defect) plus
+    * two unfixable garbage lines. One repair round with a BOM-strip
+    * fix must return the damaged docs to the good relation: the
+    * final union reproduces the parquet table's per-language stats
+    * EXACTLY (the oracle never sees the JSONL) with a residue of
+    * exactly the 2 garbage lines — under-repair breaks n_docs/id_xor,
+    * over-repair breaks n_residue.
+    */
+  val jsonlRepair: Q = (s, d) => {
+    val docs = Fixtures.documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+    val base = java.nio.file.Files.createTempDirectory("graft_jsonl_rep")
+    val src = base.resolve("src").toString
+    docs.filter(col("doc_id") >= 5).repartition(4, col("doc_id")).write.json(src)
+    // the damaged landing: valid JSON behind a BOM, one line per doc
+    docs
+      .filter(col("doc_id") < 5)
+      .select(concat(lit("﻿"), to_json(struct(col("doc_id"), col("lang"), col("text")))).as("value"))
+      .coalesce(1)
+      .write
+      .mode("append")
+      .text(src)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(src, "garbage.txt"),
+      java.util.Arrays.asList("not json at all", "{\"doc_id\": \"x\", \"lang\": 1, \"text\":")
+    )
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", "long")
+      .add("lang", "string")
+      .add("text", "string")
+    val (good, corrupt, raw) = graft.sources.JsonlLoader.readWithQuarantine(s, src, schema)
+    try {
+      val (repaired, residue) =
+        graft.sources.JsonlLoader.repairQuarantine(corrupt, schema, c => regexp_replace(c, "^﻿", ""))
+      val nResidue = residue.count()
+      good
+        .unionByName(repaired)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(length(col("text"))).cast("long").as("n_chars"),
+          expr("bit_xor(doc_id)").as("id_xor")
+        )
+        .withColumn("n_residue", lit(nResidue))
+        .orderBy("lang")
+        .localCheckpoint(true)
+    } finally {
+      graft.sources.JsonlLoader.release(raw)
+      val p = new org.apache.hadoop.fs.Path(base.toString)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      ()
+    }
+  }
+
   def queries: Map[String, Q] = Map(
     "skew_report" -> skewReportQ,
     "parallel_read_union" -> parallelReadUnion,
@@ -351,6 +406,7 @@ object Movement {
     "file_state_merge" -> fileStateMerge,
     "file_listing" -> fileListing,
     "jsonl_ingest" -> jsonlIngest,
+    "jsonl_repair" -> jsonlRepair,
     "partition_plan" -> partitionPlan,
     "fk_harmonization_plan" -> fkHarmonizationPlan
   )
@@ -406,6 +462,14 @@ object Movement {
         |  CAST(sum(len(text)) AS BIGINT) AS n_chars,
         |  CAST(bit_xor(doc_id) AS BIGINT) AS id_xor,
         |  CAST(3 AS BIGINT) AS n_corrupt
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // repair must restore the BOM-damaged docs exactly (full-table
+    // stats again) leaving only the 2 unfixable lines quarantined
+    "jsonl_repair" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(text)) AS BIGINT) AS n_chars,
+        |  CAST(bit_xor(doc_id) AS BIGINT) AS id_xor,
+        |  CAST(2 AS BIGINT) AS n_residue
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "file_state_merge" ->
       s"""WITH listing AS (

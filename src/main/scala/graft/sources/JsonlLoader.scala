@@ -54,4 +54,47 @@ object JsonlLoader {
 
   /** Release the cached parse returned by [[readWithQuarantine]]. */
   def release(raw: DataFrame): Unit = { raw.unpersist(); () }
+
+  /** REPAIR loop over quarantined lines — the retry half of the
+    * reference's per-IMPORT error recording (s3_to_exasol.sql:294-317
+    * re-runs failed files after the operator fixes the cause; here
+    * the fix is a column expression over the raw line — strip a BOM,
+    * cut a trailing comma, regex out a control character — applied
+    * fleet-wide in one pass). Each quarantined line is transformed by
+    * `fix` and re-parsed under the SAME schema/corrupt-column
+    * semantics as the original scan (from_json in PERMISSIVE mode
+    * with the corrupt-record column, so malformed JSON AND type
+    * mismatches both stay quarantined — the reader's exact contract).
+    *
+    * Returns (repaired rows in the good schema, residue as the
+    * ORIGINAL raw lines — not the fixed attempt, so forensics and a
+    * later repair round always see the verbatim landing bytes).
+    * Counts reconcile by construction: every input line lands in
+    * exactly one side. Union the repaired rows with the first pass's
+    * good relation and keep the residue as the next round's
+    * quarantine — a fixed-point loop terminates because the residue
+    * only shrinks. Scale shape: quarantine-sized (failure-domain-
+    * sized, not corpus-sized), one map-side pass, no shuffle.
+    */
+  def repairQuarantine(
+      corrupt: DataFrame, // (raw_line)
+      schema: StructType,
+      fix: org.apache.spark.sql.Column => org.apache.spark.sql.Column
+  ): (DataFrame, DataFrame) = {
+    val withCorrupt = schema.add(corruptCol, StringType)
+    val opts = Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> corruptCol)
+    val parsed = corrupt
+      .withColumn("__parsed", from_json(fix(col("raw_line")), withCorrupt, opts))
+      // a fixed line that is not even a JSON object parses to a NULL
+      // struct — quarantined like a corrupt-column hit
+      .withColumn(
+        "__ok",
+        col("__parsed").isNotNull && col(s"__parsed.$corruptCol").isNull
+      )
+    val repaired = parsed
+      .filter(col("__ok"))
+      .select(schema.fieldNames.map(f => col(s"__parsed.$f")): _*)
+    val residue = parsed.filter(!col("__ok")).select(col("raw_line"))
+    (repaired, residue)
+  }
 }

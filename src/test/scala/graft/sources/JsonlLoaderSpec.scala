@@ -39,6 +39,41 @@ class JsonlLoaderSpec extends SparkSpec {
     } finally JsonlLoader.release(raw)
   }
 
+  test("repair loop: fixable lines land in good, unfixable stay quarantined verbatim, counts reconcile") {
+    // three quarantined lines: a BOM-prefixed valid object (the fix
+    // strips it), a trailing-comma object (unfixed by THIS fix), and
+    // plain garbage (unfixable by any fix)
+    val quarantined = Seq(
+      "﻿{\"doc_id\": 7, \"lang\": \"en\", \"text\": \"bom line\"}",
+      "{\"doc_id\": 8, \"lang\": \"de\", \"text\": \"comma\",}",
+      "total garbage"
+    ).toDF("raw_line")
+    val stripBom: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => regexp_replace(c, "^﻿", "")
+    val (repaired, residue) = JsonlLoader.repairQuarantine(quarantined, schema, stripBom)
+    val g = repaired.as[(Long, String, String)].collect().toSeq
+    assert(g == Seq((7L, "en", "bom line")), g.toString)
+    val r = residue.as[String].collect().sorted.toSeq
+    assert(
+      r == Seq("total garbage", "{\"doc_id\": 8, \"lang\": \"de\", \"text\": \"comma\",}").sorted,
+      s"residue must hold the ORIGINAL raw lines: $r"
+    )
+    assert(repaired.count() + residue.count() == quarantined.count(), "every line lands on one side")
+
+    // a second round with a trailing-comma fix drains the residue
+    // further — the fixed-point loop shape
+    val cutComma: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => regexp_replace(c, ",\\s*}", "}")
+    val (repaired2, residue2) = JsonlLoader.repairQuarantine(residue, schema, cutComma)
+    assert(repaired2.as[(Long, String, String)].collect().toSeq == Seq((8L, "de", "comma")))
+    assert(residue2.as[String].collect().toSeq == Seq("total garbage"))
+
+    // a type-mismatch after the fix stays quarantined (reader parity)
+    val mismatch = Seq("{\"doc_id\": \"NaN\", \"lang\": \"xx\", \"text\": \"m\"}").toDF("raw_line")
+    val (g3, r3) = JsonlLoader.repairQuarantine(mismatch, schema, identity)
+    assert(g3.count() == 0 && r3.count() == 1, "type mismatch must not sneak into good")
+  }
+
   test("clean input quarantines nothing and round-trips exactly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_clean").resolve("src").toString
     val docs = (1L to 50L).map(i => (i, if (i % 2 == 0) "en" else "de", s"text $i"))
