@@ -117,6 +117,20 @@ object Bench {
       "search_index_appended" -> "first_run",
       // shares the once-per-process postings index build
       "search_batch_index" -> "first_run",
+      // shares the once-per-process postings index build (doclen+meta)
+      "search_bm25_index" -> "first_run",
+      // shares the append+compact lifecycle demo index build
+      "search_phrase_index" -> "first_run",
+      // builds the once-per-process persisted graph + rank snapshot
+      "centrality_from_graph" -> "first_run",
+      // shares the persisted-graph build; probes are pruned reads
+      "graph_neighborhood" -> "first_run",
+      // every rep rewrites the corpus source and replays the
+      // micro-batched index maintenance from a fresh checkpoint
+      "search_stream_probe" -> "every_run",
+      // every rep rewrites the JSONL scratch + damaged lines and runs
+      // the quarantine + repair round
+      "jsonl_repair" -> "every_run",
       "ann_ivf_topk_index" -> "first_run",
       "ann_pq_knn_join" -> "first_run",
       // builds its own two-generation drifted index (build + append)
