@@ -684,6 +684,76 @@ object Search {
     ).orderBy("query_id", "rank")
   }
 
+  /** BM25-scored BATCHED serving from the persisted index — the full
+    * production retrieval tier in one operator: a relation of
+    * (query_id, term) pairs, the union of the batch's term buckets
+    * statically pruned, df from the pruned postings, dl/avgdl/N from
+    * the build-time relations, ONE BIGINT division per (query, doc,
+    * term), rank-limit per query (WindowGroupLimit). BM25's norm is
+    * disjunctive, so every query admits any-term candidates — no mode
+    * relation needed.
+    */
+  def bm25BatchFromIndex(
+      s: SparkSession,
+      indexDir: String,
+      queries: DataFrame, // (query_id, term)
+      k: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = queries.select(col("term")).distinct().collect().map(_.getString(0)).toSeq
+    require(terms.nonEmpty, "batched bm25 needs at least one term")
+    val (nDocs, totalToks) = readMeta(s, indexDir)
+    val avgdl = totalToks / nDocs
+    val buckets = terms.map(tokenBucket).distinct
+    val p = s.read
+      .schema(postingsSchema)
+      .parquet(s"$indexDir/postings")
+      .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
+      .select(col("token"), col("doc_id"), col("tf"))
+    val dfModel = p
+      .groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("df"))
+      .withColumn(
+        "idf_milli",
+        floor(log(lit(nDocs + 1).cast("double") / (col("df") + 1)) * 1000L).cast("bigint")
+      )
+      .select(col("token"), col("idf_milli"))
+    val dl = s.read.parquet(s"$indexDir/doclen")
+    val scored = p
+      .join(broadcast(queries.withColumnRenamed("term", "token")), "token")
+      .join(broadcast(dfModel), "token")
+      .join(dl, "doc_id")
+      .withColumn(
+        "contrib",
+        expr(s"(44 * idf_milli * tf * $avgdl) div (20 * $avgdl * tf + 6 * $avgdl + 18 * dl)")
+      )
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).cast("long").as("score_milli"))
+    scored
+      .withColumn(
+        "rank",
+        row_number()
+          .over(
+            Window
+              .partitionBy(col("query_id"))
+              .orderBy(col("score_milli").desc, col("doc_id").asc)
+          )
+          .cast("bigint")
+      )
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_milli"))
+  }
+
+  val searchBatchBm25: Q = (s, d) => {
+    import s.implicits._
+    bm25BatchFromIndex(
+      s,
+      demoSearchIndexDir(s, d),
+      fixtureBatch.toDF("query_id", "term"),
+      k = 5
+    ).orderBy("query_id", "rank")
+  }
+
   /** Fixture batch: three conjunctive queries plus one disjunctive,
     * served in one pass.
     */
@@ -789,6 +859,7 @@ object Search {
     "search_bm25_index" -> searchBm25Index,
     "search_batch_serve" -> searchBatchServe,
     "search_batch_index" -> searchBatchIndex,
+    "search_batch_bm25" -> searchBatchBm25,
     "search_index_probe" -> searchIndexProbe,
     "search_index_appended" -> searchIndexAppended,
     "search_phrase" -> searchPhrase,
@@ -880,6 +951,46 @@ object Search {
          |SELECT query_id, rank, doc_id, score_micro
          |FROM f WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
     }
+
+  /** BM25-scored batch over the fixture query relation: the same
+    * rational arithmetic as [[oracleBm25]] applied per (query, doc) —
+    * every query disjunctive (the BM25 norm).
+    */
+  private lazy val oracleBatchBm25: String = {
+    val valuesRows = fixtureBatch.map { case (q, t) => s"($q, ${sqlLit(t)})" }.mkString(", ")
+    s"""WITH qs AS (
+       |  SELECT CAST(v.q AS BIGINT) AS query_id, v.t AS term
+       |  FROM (VALUES $valuesRows) v(q, t)),
+       |st AS (
+       |  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_toks
+       |  FROM documents),
+       |av AS (SELECT n_docs, total_toks // n_docs AS avgdl FROM st),
+       |p0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+       |p AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf FROM p0
+       |      WHERE token IN (SELECT term FROM qs) GROUP BY token, doc_id),
+       |cd AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+       |dfm AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY token),
+       |model AS (
+       |  SELECT token,
+       |    CAST(floor(ln(((SELECT n_docs FROM av) + 1) / CAST(df + 1 AS DOUBLE)) * 1000) AS BIGINT) AS idf_milli
+       |  FROM dfm),
+       |sc AS (
+       |  SELECT q.query_id, p.doc_id,
+       |    CAST(sum((44 * m.idf_milli * p.tf * (SELECT avgdl FROM av))
+       |         // (20 * (SELECT avgdl FROM av) * p.tf + 6 * (SELECT avgdl FROM av) + 18 * d.dl)) AS BIGINT) AS score_milli
+       |  FROM p JOIN qs q ON q.term = p.token
+       |  JOIN model m ON m.token = p.token
+       |  JOIN cd d ON d.doc_id = p.doc_id
+       |  GROUP BY q.query_id, p.doc_id),
+       |f AS (
+       |  SELECT query_id, doc_id, score_milli,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY score_milli DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM sc)
+       |SELECT query_id, rank, doc_id, score_milli
+       |FROM f WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 
   /** Shared by search_bm25 (corpus pass) and search_bm25_index (index
     * serve) — the equality between the two routes IS the index gate.
@@ -976,6 +1087,7 @@ object Search {
     "search_batch_serve" -> oracleBatch,
     // index-served batch must equal the corpus-pass batch row for row
     "search_batch_index" -> oracleBatch,
+    "search_batch_bm25" -> oracleBatchBm25,
 
     // the index-served route must land on the batch conjunctive's
     // exact rows — sharing the oracle makes the equality the gate

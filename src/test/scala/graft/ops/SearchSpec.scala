@@ -239,6 +239,30 @@ class SearchSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [") && plan.contains("tbucket"), plan.take(2000))
   }
 
+  test("bm25BatchFromIndex: each query's rows equal its single-query index route; group-limited") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_searchidx_bm25b").toString
+    def pad(n: Int) = Seq.fill(n)("filler").mkString(" ")
+    val docs = (Seq(
+      (1L, "cat " + pad(9)),
+      (2L, "cat dog cat " + pad(7)),
+      (3L, "dog bird " + pad(3)),
+      (4L, "bird " + pad(19))
+    ) ++ (5L to 8L).map(i => (i, pad(10)))).toDF("doc_id", "text")
+    Search.saveSearchIndex(docs, "doc_id", "text", dir)
+    val queries = Seq((10L, "cat"), (10L, "dog"), (20L, "bird")).toDF("query_id", "term")
+    val out = Search.bm25BatchFromIndex(spark, dir, queries, k = 5)
+    val byQuery = out.collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"), r.getAs[Long]("score_milli"))).sorted.toSeq)
+      .toMap
+    def single(terms: Seq[String]) = Search.bm25FromIndex(spark, dir, terms, 5)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"), r.getAs[Long]("score_milli"))).sorted.toSeq
+    assert(byQuery(10L) == single(Seq("cat", "dog")), "batch must equal the per-query route")
+    assert(byQuery(20L) == single(Seq("bird")))
+    out.collect()
+    assert(out.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+  }
+
   test("batched OR mode: relaxed gate admits single-term docs, missing mode row defaults to AND") {
     val docs = Seq(
       (1L, "cat dog"),
