@@ -389,8 +389,24 @@ object Search {
     * document frequency), so the probe needs no corpus pass at all;
     * N comes from the index meta.
     */
-  def conjunctiveFromIndex(s: SparkSession, indexDir: String, terms: Seq[String], k: Int): DataFrame = {
-    require(terms.nonEmpty, "conjunctive search needs at least one term")
+  def conjunctiveFromIndex(s: SparkSession, indexDir: String, terms: Seq[String], k: Int): DataFrame =
+    termSearchFromIndex(s, indexDir, terms, k, requireAll = true)
+
+  /** OR-of-terms from the persisted index — completes the index twin
+    * for every corpus search route; shares search_disjunctive's
+    * oracle (same df model: pruned posting counts ARE the corpus df).
+    */
+  def disjunctiveFromIndex(s: SparkSession, indexDir: String, terms: Seq[String], k: Int): DataFrame =
+    termSearchFromIndex(s, indexDir, terms, k, requireAll = false)
+
+  private def termSearchFromIndex(
+      s: SparkSession,
+      indexDir: String,
+      terms: Seq[String],
+      k: Int,
+      requireAll: Boolean
+  ): DataFrame = {
+    require(terms.nonEmpty, "term search needs at least one term")
     val buckets = terms.map(tokenBucket).distinct
     val p = s.read
       .schema(postingsSchema)
@@ -412,7 +428,7 @@ object Search {
         count(lit(1)).cast("long").as("n_matched"),
         sum(col("tf") * col("idf_micro")).cast("long").as("score_micro")
       )
-      .filter(col("n_matched") === terms.size.toLong)
+      .filter(if (requireAll) col("n_matched") === terms.size.toLong else col("n_matched") >= 1L)
     rankTop(scored, "score_micro", k)
   }
 
@@ -808,6 +824,13 @@ object Search {
     conjunctiveFromIndex(s, demoSearchIndexDir(s, d), fixtureAndTerms, topK)
       .orderBy("rank")
 
+  /** OR twin of [[searchIndexProbe]], sharing search_disjunctive's
+    * oracle.
+    */
+  val searchDisjunctiveIndex: Q = (s, d) =>
+    disjunctiveFromIndex(s, demoSearchIndexDir(s, d), fixtureOrTerms, topK)
+      .orderBy("rank")
+
   /** Build-even → append-odd → compact, then probe: the maintained
     * index must answer exactly like the one-shot build.
     */
@@ -862,6 +885,7 @@ object Search {
     "search_batch_bm25" -> searchBatchBm25,
     "search_index_probe" -> searchIndexProbe,
     "search_index_appended" -> searchIndexAppended,
+    "search_disjunctive_index" -> searchDisjunctiveIndex,
     "search_phrase" -> searchPhrase,
     "search_phrase_index" -> searchPhraseIndex
   )
@@ -1094,6 +1118,8 @@ object Search {
     "search_index_probe" -> oracleTermSearch(fixtureAndTerms, requireAll = true),
     // build+append+compact must be indistinguishable from one build
     "search_index_appended" -> oracleTermSearch(fixtureAndTerms, requireAll = true),
+    // OR served from the index must equal the corpus-pass OR route
+    "search_disjunctive_index" -> oracleTermSearch(fixtureOrTerms, requireAll = false),
     "search_phrase" -> oraclePhrase,
     // index-served phrase (through build→append→compact) must equal
     // the corpus-pass window route row for row
