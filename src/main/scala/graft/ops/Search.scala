@@ -874,6 +874,94 @@ object Search {
     phraseSearch(documents(s, d), "doc_id", "text", fixturePhrase._1, fixturePhrase._2)
       .orderBy("doc_id")
 
+  // ---- Hybrid retrieval + result diversification ----------------------
+
+  /** RECIPROCAL-RANK FUSION of K ranked lists — the standard hybrid-
+    * retrieval combiner (lexical BM25 + vector ANN in production):
+    * score(id) = Σ_lists 1/(rrfK + rank_list(id)), absent → 0. Ranks
+    * are small integers, so the fusion is EXACT integer arithmetic in
+    * micro-units (10⁶ div (rrfK + rank)) — no float, no cross-engine
+    * drift, and score-scale-free (BM25 milli vs cosine micro never
+    * meet; only ranks do — the reason RRF is the production default).
+    * Input lists are top-k relations (request-sized), so the fold of
+    * full-outer joins is a driver-light broadcast chain at any corpus
+    * scale; each list df must carry (id, rank).
+    */
+  def rrfFuse(lists: Seq[(String, DataFrame)], rrfK: Int = 60): DataFrame = {
+    require(lists.nonEmpty, "rrf needs at least one ranked list")
+    val tagged = lists.map { case (name, df) =>
+      df.select(col("id").cast("long").as("id"), col("rank").cast("long").as(s"${name}_rank"))
+    }
+    val joined = tagged.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
+    val contrib = lists
+      .map { case (name, _) => coalesce(expr(s"1000000 div ($rrfK + ${name}_rank)"), lit(0L)) }
+      .reduce(_ + _)
+    joined
+      .withColumn("rrf_micro", contrib.cast("long"))
+      .select(
+        col("id") +:
+          lists.map { case (n, _) => coalesce(col(s"${n}_rank"), lit(0L)).as(s"${n}_rank") } :+
+          col("rrf_micro"): _*
+      )
+  }
+
+  /** Hybrid fixture gate: BM25 over the OR terms fused with the
+    * brute-force cosine top-k for query vector 0 (the ann_cosine_topk
+    * fixture) — ids meet in the shared id space, ranks fuse, the
+    * oracle re-derives both lists and the integer fusion.
+    */
+  val searchRrfHybrid: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25Search(documents(s, d), "doc_id", "text", fixtureOrTerms, topK)
+      .select(col("doc_id").as("id"), col("rank"))
+    val vec = Similarity
+      .cosineTopK(embeddings(s, d), 0L, topK)
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(desc("cos_sim"), asc("vec_id"))).cast("bigint")
+      )
+      .select(col("vec_id").as("id"), col("rank"))
+    rrfFuse(Seq("lex" -> lex, "vec" -> vec))
+      .orderBy(desc("rrf_micro"), asc("id"))
+  }
+
+  /** CLUSTER-DEDUPED search results — retrieval-side diversification:
+    * a result page full of near-duplicates of one document wastes the
+    * whole page, so hits are collapsed to the best-ranked member of
+    * each near-dup cluster (the SAME cluster map dedup_clusters
+    * labels with — LSH→Jaccard-confirmed edges, connected components)
+    * and re-ranked dense. The hit list is request-sized, so the
+    * cluster join broadcasts it; the cluster map is the persisted
+    * relation a production serving tier reads ([[GraphDedup]]'s
+    * saved map), re-derived here for the gate.
+    */
+  def dedupedResults(hits: DataFrame, clusterMap: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    hits
+      .join(clusterMap, "doc_id")
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy(col("cluster_id")).orderBy(col("rank").asc))
+      )
+      .filter(col("rn") === 1)
+      .withColumn("new_rank", row_number().over(Window.orderBy(col("rank").asc)).cast("bigint"))
+      .select(col("new_rank"), col("doc_id"), col("cluster_id"), col("rank").as("orig_rank"))
+  }
+
+  private val dedupResultsK = 50
+
+  val searchDedupResults: Q = (s, d) => {
+    val docs = documents(s, d)
+    val hits = disjunctiveSearch(docs, "doc_id", "text", fixtureOrTerms, dedupResultsK)
+      .select(col("rank"), col("doc_id"))
+    val edges = Dedup
+      .lshCandidatesWithJaccard(docs, "doc_id", "text")
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val lab = GraphDedup.clusterMap(docs, GraphDedup.connectedComponents(edges))
+    dedupedResults(hits, lab).orderBy("new_rank")
+  }
+
   def queries: Map[String, Q] = Map(
     "search_postings" -> searchPostings,
     "search_conjunctive" -> searchConjunctive,
@@ -887,7 +975,9 @@ object Search {
     "search_index_appended" -> searchIndexAppended,
     "search_disjunctive_index" -> searchDisjunctiveIndex,
     "search_phrase" -> searchPhrase,
-    "search_phrase_index" -> searchPhraseIndex
+    "search_phrase_index" -> searchPhraseIndex,
+    "search_rrf_hybrid" -> searchRrfHybrid,
+    "search_dedup_results" -> searchDedupResults
   )
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -902,7 +992,11 @@ object Search {
     """p0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
       |p AS (SELECT token, doc_id, count(*) AS tf FROM p0 GROUP BY token, doc_id)""".stripMargin
 
-  private def oracleTermSearch(terms: Seq[String], requireAll: Boolean): String = {
+  /** The term-search CTE chain up to `ranked` (rank over all scored
+    * candidates) — reusable inside composite oracles (RRF fusion,
+    * cluster-deduped results).
+    */
+  private def oracleTermSearchChain(terms: Seq[String], requireAll: Boolean): String = {
     val termList = terms.map(sqlLit).mkString(", ")
     val containsAll =
       terms.map(t => s"contains(text, ${sqlLit(t)})").mkString(if (requireAll) " AND " else " OR ")
@@ -916,7 +1010,7 @@ object Search {
            |    WHERE token = ${sqlLit(t)} GROUP BY token, doc_id) GROUP BY token""".stripMargin
       )
       .mkString("\n  UNION ALL\n  ")
-    s"""WITH cand AS (SELECT doc_id, text FROM documents WHERE $containsAll),
+    s"""cand AS (SELECT doc_id, text FROM documents WHERE $containsAll),
        |c0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM cand),
        |cp AS (SELECT token, doc_id, count(*) AS tf FROM c0
        |       WHERE token IN ($termList) GROUP BY token, doc_id),
@@ -935,9 +1029,12 @@ object Search {
        |ranked AS (
        |  SELECT doc_id, score_micro,
        |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rank
-       |  FROM scored)
-       |SELECT rank, doc_id, score_micro FROM ranked WHERE rank <= $topK ORDER BY rank""".stripMargin
+       |  FROM scored)""".stripMargin
   }
+
+  private def oracleTermSearch(terms: Seq[String], requireAll: Boolean): String =
+    s"""WITH ${oracleTermSearchChain(terms, requireAll)}
+       |SELECT rank, doc_id, score_micro FROM ranked WHERE rank <= $topK ORDER BY rank""".stripMargin
 
   private lazy val oracleBatch: String = {
       val valuesRows = fixtureBatch.map { case (q, t) => s"($q, ${sqlLit(t)})" }.mkString(", ")
@@ -1021,7 +1118,10 @@ object Search {
     * N is count(DISTINCT doc_id), the single convention all search
     * routes share.
     */
-  private lazy val oracleBm25: String = {
+  /** The BM25 CTE chain up to `bmranked` — reusable inside composite
+    * oracles (RRF fusion).
+    */
+  private lazy val oracleBm25Chain: String = {
     val terms = fixtureOrTerms
     val termList = terms.map(sqlLit).mkString(", ")
     val containsAny = terms.map(t => s"contains(text, ${sqlLit(t)})").mkString(" OR ")
@@ -1034,7 +1134,7 @@ object Search {
            |    WHERE token = ${sqlLit(t)} GROUP BY token, doc_id) GROUP BY token""".stripMargin
       )
       .mkString("\n  UNION ALL\n  ")
-    s"""WITH st AS (
+    s"""st AS (
        |  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_toks
        |  FROM documents),
@@ -1057,12 +1157,62 @@ object Search {
        |  FROM cp JOIN model m ON m.token = cp.token
        |  JOIN cd d ON d.doc_id = cp.doc_id
        |  GROUP BY cp.doc_id),
-       |ranked AS (
+       |bmranked AS (
        |  SELECT doc_id, score_milli,
        |    CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id ASC) AS BIGINT) AS rank
-       |  FROM sc)
-       |SELECT rank, doc_id, score_milli FROM ranked WHERE rank <= $topK ORDER BY rank""".stripMargin
+       |  FROM sc)""".stripMargin
   }
+
+  private lazy val oracleBm25: String =
+    s"""WITH $oracleBm25Chain
+       |SELECT rank, doc_id, score_milli FROM bmranked WHERE rank <= $topK ORDER BY rank""".stripMargin
+
+  /** RRF fusion oracle: the BM25 chain's top-k and the cosine top-k
+    * (the ann_cosine_topk fixture: query vector 0, round-6 cosine, id
+    * tie-break) full-outer joined, fused with the exact integer
+    * 10⁶ div (60 + rank) arithmetic.
+    */
+  private lazy val oracleRrf: String =
+    s"""WITH $oracleBm25Chain,
+       |lx AS (SELECT doc_id AS id, rank AS lex_rank FROM bmranked WHERE rank <= $topK),
+       |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |qe AS (SELECT v AS qv FROM ev WHERE vec_id = 0),
+       |cs AS (
+       |  SELECT vec_id,
+       |    round(list_dot_product(v, qv) /
+       |          (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+       |  FROM ev, qe),
+       |vr AS (
+       |  SELECT vec_id AS id, vec_rank FROM (
+       |    SELECT vec_id,
+       |      CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS vec_rank
+       |    FROM cs) WHERE vec_rank <= $topK),
+       |fu AS (
+       |  SELECT COALESCE(lx.id, vr.id) AS id, lx.lex_rank, vr.vec_rank
+       |  FROM lx FULL OUTER JOIN vr ON vr.id = lx.id)
+       |SELECT id,
+       |  CAST(COALESCE(lex_rank, 0) AS BIGINT) AS lex_rank,
+       |  CAST(COALESCE(vec_rank, 0) AS BIGINT) AS vec_rank,
+       |  CAST(COALESCE(1000000 // (60 + lex_rank), 0)
+       |     + COALESCE(1000000 // (60 + vec_rank), 0) AS BIGINT) AS rrf_micro
+       |FROM fu ORDER BY rrf_micro DESC, id""".stripMargin
+
+  /** Cluster-deduped results oracle: the disjunctive chain's top-50
+    * collapsed to the best rank per cluster-chain label, re-ranked
+    * dense.
+    */
+  private lazy val oracleDedupResults: String =
+    s"""${GraphDedup.clusterChainSql},
+       |${oracleTermSearchChain(fixtureOrTerms, requireAll = false)},
+       |hits AS (SELECT doc_id, rank FROM ranked WHERE rank <= $dedupResultsK),
+       |jj AS (SELECT h.rank, h.doc_id, l.cluster_id FROM hits h JOIN lab l USING (doc_id)),
+       |best AS (
+       |  SELECT rank, doc_id, cluster_id,
+       |    row_number() OVER (PARTITION BY cluster_id ORDER BY rank) AS rn
+       |  FROM jj)
+       |SELECT CAST(row_number() OVER (ORDER BY rank) AS BIGINT) AS new_rank,
+       |  doc_id, cluster_id, CAST(rank AS BIGINT) AS orig_rank
+       |FROM best WHERE rn = 1 ORDER BY new_rank""".stripMargin
 
   /** Shared by search_phrase (corpus window pass) and
     * search_phrase_index (positional-postings serve through the
@@ -1123,6 +1273,8 @@ object Search {
     "search_phrase" -> oraclePhrase,
     // index-served phrase (through build→append→compact) must equal
     // the corpus-pass window route row for row
-    "search_phrase_index" -> oraclePhrase
+    "search_phrase_index" -> oraclePhrase,
+    "search_rrf_hybrid" -> oracleRrf,
+    "search_dedup_results" -> oracleDedupResults
   )
 }

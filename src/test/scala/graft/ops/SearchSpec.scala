@@ -368,6 +368,35 @@ class SearchSpec extends SparkSpec {
     assert(got == expected, s"query $q0: got $got want $expected")
   }
 
+  test("rrfFuse: overlapping ids sum both contributions, absent ranks contribute zero") {
+    val lex = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
+    val vec = Seq((2L, 1L), (4L, 2L)).toDF("id", "rank")
+    val got = Search.rrfFuse(Seq("lex" -> lex, "vec" -> vec))
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("lex_rank"), r.getAs[Long]("vec_rank"), r.getAs[Long]("rrf_micro"))))
+      .toMap
+    // 10^6 div (60 + rank), exact integers
+    assert(got(2L) == ((2L, 1L, 1000000L / 62 + 1000000L / 61)), got.toString)
+    assert(got(1L) == ((1L, 0L, 1000000L / 61)))
+    assert(got(4L) == ((0L, 2L, 1000000L / 62)))
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    // the overlap doc must outrank every single-list doc
+    val best = got.maxBy(_._2._3)._1
+    assert(best == 2L, "fused doc must win")
+  }
+
+  test("dedupedResults: best-ranked member survives per cluster, re-rank is dense") {
+    val hits = Seq((1L, 10L), (2L, 11L), (3L, 12L), (4L, 13L)).toDF("rank", "doc_id")
+    val clusters = Seq((10L, 100L), (11L, 100L), (12L, 12L), (13L, 100L)).toDF("doc_id", "cluster_id")
+    val got = Search.dedupedResults(hits, clusters)
+      .orderBy("new_rank")
+      .collect()
+      .map(r => (r.getAs[Long]("new_rank"), r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"), r.getAs[Long]("orig_rank")))
+      .toSeq
+    assert(got == Seq((1L, 10L, 100L, 1L), (2L, 12L, 12L, 3L)), got.toString)
+  }
+
   test("fixture searches are non-degenerate at sf0.001") {
     val d = "/root/testdata/sf0.001"
     assert(Search.queries("search_postings")(spark, d).count() > 0)
