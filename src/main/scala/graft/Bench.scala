@@ -129,6 +129,9 @@ object Bench {
       "centrality_from_graph" -> "first_run",
       // shares the persisted-graph build; probes are pruned reads
       "graph_neighborhood" -> "first_run",
+      // serve wholly from the shared persisted graph + snapshot
+      "centrality_reps_graph" -> "first_run",
+      "centrality_trustrank_graph" -> "first_run",
       // every rep rewrites the corpus source and replays the
       // micro-batched index maintenance from a fresh checkpoint
       "search_stream_probe" -> "every_run",

@@ -291,6 +291,55 @@ object Centrality {
       .orderBy("doc_id")
   }
 
+  /** TrustRank served from the PERSISTED graph — same seed set and
+    * iteration count as [[centralityTrustrank]], whose oracle it
+    * shares: the seeded walk must be bit-identical whether the edges
+    * come from the LSH pass or from bytes.
+    */
+  val trustrankFromGraph: Q = (s, d) => {
+    val dir = demoGraphDir(s, d)
+    trustRank(documents(s, d), readNearDupGraph(s, dir), "doc_id", col("doc_id") % seedEvery === 0)
+      .select(
+        col("node").as("doc_id"),
+        col("is_seed").cast("long").as("is_seed"),
+        col("rank_micro").as("trust_micro")
+      )
+      .orderBy("doc_id")
+  }
+
+  /** Centrality reps served from the PERSISTED graph: rank resumes
+    * from the persisted snapshot (the remaining iterations), the
+    * cluster map labels the SAME persisted edges — no LSH pass
+    * anywhere in the serving job. Shares centrality_reps' oracle.
+    */
+  val repsFromGraph: Q = (s, d) => {
+    val dir = demoGraphDir(s, d)
+    val docs = documents(s, d)
+    val edges = readNearDupGraph(s, dir)
+    val ranks = pageRankFrom(
+      docs,
+      edges,
+      "doc_id",
+      Some(readPageRankSnapshot(s, s"$dir/ranks")),
+      iterations - iterations / 2
+    ).select(col("node").as("doc_id"), col("rank_micro"))
+    GraphDedup
+      .clusterMap(docs, GraphDedup.connectedComponents(edges))
+      .join(ranks, "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        count(lit(1)).cast("long").as("cluster_size"),
+        min(struct((-col("rank_micro")).as("nr"), col("doc_id").as("id"))).as("best")
+      )
+      .select(
+        col("cluster_id"),
+        col("cluster_size"),
+        col("best.id").as("rep_id"),
+        (-col("best.nr")).as("rep_rank_micro")
+      )
+      .orderBy("cluster_id")
+  }
+
   /** Neighborhood serving gate: probes are the 5 lowest node ids
     * present in the graph — a ceiling-bounded driver read (≤ 5 ids,
     * the [[GraphDedup]] probe standard) standing in for the request
@@ -469,7 +518,9 @@ object Centrality {
     "centrality_pagerank" -> centralityPagerank,
     "centrality_from_graph" -> centralityFromGraph,
     "centrality_reps" -> centralityReps,
+    "centrality_reps_graph" -> repsFromGraph,
     "centrality_trustrank" -> centralityTrustrank,
+    "centrality_trustrank_graph" -> trustrankFromGraph,
     "graph_degree_hist" -> graphDegreeHist,
     "graph_neighborhood" -> graphNeighborhood,
     "graph_triangles" -> graphTriangles
@@ -550,6 +601,31 @@ object Centrality {
        |FROM r$iterations r JOIN gdeg d ON d.src = r.node
        |ORDER BY doc_id""".stripMargin
 
+  /** Shared by centrality_reps (LSH-pass route) and
+    * centrality_reps_graph (persisted-graph + snapshot serving).
+    */
+  private lazy val oracleReps: String =
+    s"""${GraphDedup.clusterChainSql},
+       |${rankChainSql(iterations)},
+       |mem AS (
+       |  SELECT l.cluster_id, l.doc_id, r.rank_micro,
+       |    row_number() OVER (PARTITION BY l.cluster_id
+       |                       ORDER BY r.rank_micro DESC, l.doc_id ASC) AS rn,
+       |    count(*) OVER (PARTITION BY l.cluster_id) AS csz
+       |  FROM lab l JOIN r$iterations r ON r.node = l.doc_id)
+       |SELECT cluster_id, CAST(csz AS BIGINT) AS cluster_size,
+       |  doc_id AS rep_id, rank_micro AS rep_rank_micro
+       |FROM mem WHERE rn = 1 ORDER BY cluster_id""".stripMargin
+
+  /** Shared by centrality_trustrank and centrality_trustrank_graph. */
+  private lazy val oracleTrustrank: String =
+    s"""${GraphDedup.clusterChainSql},
+       |${trustChainSql(iterations)}
+       |SELECT t.node AS doc_id, CAST(t.is_seed AS BIGINT) AS is_seed,
+       |  r.rank_micro AS trust_micro
+       |FROM tr$iterations r JOIN trseed t ON t.node = r.node
+       |ORDER BY doc_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "centrality_pagerank" -> oraclePagerank,
     "centrality_from_graph" -> oraclePagerank,
@@ -559,25 +635,13 @@ object Centrality {
          |SELECT u.src AS node, u.dst AS neighbor
          |FROM und u JOIN pn ON pn.node = u.src
          |ORDER BY node, neighbor""".stripMargin,
-    "centrality_reps" ->
-      s"""${GraphDedup.clusterChainSql},
-         |${rankChainSql(iterations)},
-         |mem AS (
-         |  SELECT l.cluster_id, l.doc_id, r.rank_micro,
-         |    row_number() OVER (PARTITION BY l.cluster_id
-         |                       ORDER BY r.rank_micro DESC, l.doc_id ASC) AS rn,
-         |    count(*) OVER (PARTITION BY l.cluster_id) AS csz
-         |  FROM lab l JOIN r$iterations r ON r.node = l.doc_id)
-         |SELECT cluster_id, CAST(csz AS BIGINT) AS cluster_size,
-         |  doc_id AS rep_id, rank_micro AS rep_rank_micro
-         |FROM mem WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
-    "centrality_trustrank" ->
-      s"""${GraphDedup.clusterChainSql},
-         |${trustChainSql(iterations)}
-         |SELECT t.node AS doc_id, CAST(t.is_seed AS BIGINT) AS is_seed,
-         |  r.rank_micro AS trust_micro
-         |FROM tr$iterations r JOIN trseed t ON t.node = r.node
-         |ORDER BY doc_id""".stripMargin,
+    "centrality_reps" -> oracleReps,
+    // reps served wholly from the persisted graph + snapshot must
+    // equal the LSH-pass route — the shared oracle is the gate
+    "centrality_reps_graph" -> oracleReps,
+    "centrality_trustrank" -> oracleTrustrank,
+    // the seeded walk over persisted edges must be bit-identical
+    "centrality_trustrank_graph" -> oracleTrustrank,
     "graph_degree_hist" ->
       s"""${GraphDedup.clusterChainSql},
          |dg AS (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges),
