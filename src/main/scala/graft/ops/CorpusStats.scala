@@ -758,7 +758,60 @@ object CorpusStats {
       )
       .orderBy("lang_g", "source_g")
 
+  /** LINEAR-COUNTING distinct sketch (Whang et al. 1990): hash each
+    * value into one of m buckets with the engine-portable md5 draw
+    * (`lc|` domain), count OCCUPIED buckets V — a bounded-cardinality
+    * aggregate: the shuffle carries at most m bucket ids however many
+    * input rows — and estimate n̂ = −m·ln(1 − V/m). The CMS's sibling
+    * for the other sketch question (how MANY distincts, vs how OFTEN
+    * each): at 100 TB the occupancy aggregate IS the whole cost,
+    * mergeable across partitions and micro-batches (union of occupied
+    * sets), while exact countDistinct shuffles every distinct value.
+    * The report rides the exact count alongside at fixture scale as
+    * the accuracy gate. One float op (the ln), floored to milli,
+    * canonical operation order in both engines; a saturated sketch
+    * (V = m) reports NULL rather than ±∞.
+    */
+  def linearCountDistinct(df: DataFrame, valueCol: String, m: Int): DataFrame = {
+    val bucket = pmod(
+      conv(
+        substring(md5(concat(lit("lc|"), col(valueCol).cast("string")).cast("binary")), 1, 12),
+        16,
+        10
+      ).cast("long"),
+      lit(m.toLong)
+    )
+    df.agg(
+        countDistinct(col(valueCol)).cast("long").as("exact"),
+        countDistinct(bucket).cast("long").as("occupied")
+      )
+      .withColumn(
+        "est_milli",
+        when(
+          col("occupied") < m,
+          expr(s"CAST(floor(-1.0 * $m * ln(1.0 - CAST(occupied AS DOUBLE) / $m) * 1000) AS BIGINT)")
+        )
+      )
+  }
+
+  private val lcBuckets = 4096
+
+  /** Three key columns of three tables through the same sketch — the
+    * cardinality datasheet a planner reads before choosing join
+    * strategies or dictionary encodings.
+    */
+  val sketchDistinct: Q = (s, d) => {
+    def one(name: String, df: DataFrame, c: String) =
+      linearCountDistinct(df.select(c), c, lcBuckets).withColumn("column_name", lit(name))
+    one("c_nationkey", customer(s, d), "c_nationkey")
+      .unionByName(one("l_partkey", lineitem(s, d), "l_partkey"))
+      .unionByName(one("o_custkey", orders(s, d), "o_custkey"))
+      .select(col("column_name"), col("exact"), col("occupied"), col("est_milli"))
+      .orderBy("column_name")
+  }
+
   def queries: Map[String, Q] = Map(
+    "sketch_distinct" -> sketchDistinct,
     "corpus_cube" -> corpusCubeQ,
     "zipf_fit" -> zipfFitQ,
     "pmi_top_pairs" -> pmiTopPairsQ,
@@ -774,6 +827,24 @@ object CorpusStats {
   )
 
   def oracles: Map[String, String] = Map(
+    "sketch_distinct" -> {
+      def arm(name: String, table: String, c: String) =
+        s"""SELECT '$name' AS column_name,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS exact,
+           |  CAST(count(DISTINCT ${Dedup.hex12ValSql(s"md5('lc|' || CAST($c AS VARCHAR))", 1)} % $lcBuckets) AS BIGINT) AS occupied
+           |FROM $table""".stripMargin
+      s"""WITH rows0 AS (
+         |  ${arm("c_nationkey", "customer", "c_nationkey")}
+         |  UNION ALL
+         |  ${arm("l_partkey", "lineitem", "l_partkey")}
+         |  UNION ALL
+         |  ${arm("o_custkey", "orders", "o_custkey")})
+         |SELECT column_name, exact, occupied,
+         |  CASE WHEN occupied < $lcBuckets THEN
+         |    CAST(floor(-1.0 * $lcBuckets * ln(1.0 - CAST(occupied AS DOUBLE) / $lcBuckets) * 1000) AS BIGINT)
+         |  ELSE NULL END AS est_milli
+         |FROM rows0 ORDER BY column_name""".stripMargin
+    },
     // the sketch route is exact by construction (no false negatives +
     // exact recount), so the oracle is the PLAIN heavy-hitter query
     "sketch_topk_tokens" ->

@@ -874,6 +874,35 @@ object Search {
     phraseSearch(documents(s, d), "doc_id", "text", fixturePhrase._1, fixturePhrase._2)
       .orderBy("doc_id")
 
+  /** KWIC (keyword-in-context) snippets — the result-rendering pass of
+    * retrieval: every occurrence of the term with a ±window token
+    * context, from ONE posexplode over the contains-pruned candidates
+    * (the token array rides the occurrence row, so a snippet is an
+    * array slice — no re-scan, no per-occurrence string search).
+    * Emitted positions are 1-based (the SQL convention both engines
+    * share). Scale: rows = term occurrences, each bounded at 2w+1
+    * tokens — output-sized however large the corpus.
+    */
+  def kwicSnippets(docs: DataFrame, idCol: String, textCol: String, term: String, window: Int): DataFrame =
+    docs
+      .filter(col(textCol).contains(term))
+      .select(col(idCol).cast("long").as("doc_id"), split(col(textCol), " ").as("toks"))
+      .select(col("doc_id"), col("toks"), posexplode(col("toks")).as(Seq("pos", "token")))
+      .filter(col("token") === term)
+      .select(
+        col("doc_id"),
+        (col("pos") + 1).cast("long").as("pos"),
+        expr(
+          s"""array_join(slice(toks,
+             |  greatest(1, pos + 1 - $window),
+             |  least(size(toks), pos + 1 + $window) - greatest(1, pos + 1 - $window) + 1), ' ')""".stripMargin
+        ).as("snippet")
+      )
+
+  val searchKwic: Q = (s, d) =>
+    kwicSnippets(documents(s, d), "doc_id", "text", fixturePhrase._1, 3)
+      .orderBy("doc_id", "pos")
+
   // ---- Hybrid retrieval + result diversification ----------------------
 
   /** RECIPROCAL-RANK FUSION of K ranked lists — the standard hybrid-
@@ -977,7 +1006,8 @@ object Search {
     "search_phrase" -> searchPhrase,
     "search_phrase_index" -> searchPhraseIndex,
     "search_rrf_hybrid" -> searchRrfHybrid,
-    "search_dedup_results" -> searchDedupResults
+    "search_dedup_results" -> searchDedupResults,
+    "search_kwic" -> searchKwic
   )
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -1275,6 +1305,17 @@ object Search {
     // the corpus-pass window route row for row
     "search_phrase_index" -> oraclePhrase,
     "search_rrf_hybrid" -> oracleRrf,
-    "search_dedup_results" -> oracleDedupResults
+    "search_dedup_results" -> oracleDedupResults,
+    "search_kwic" -> {
+      val t = sqlLit(fixturePhrase._1)
+      s"""WITH pt AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents WHERE contains(text, $t)),
+         |ps AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks), 1)) AS pos FROM pt),
+         |hit AS (SELECT doc_id, pos, toks FROM ps WHERE toks[pos] = $t)
+         |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |  array_to_string(toks[greatest(1, pos - 3):least(len(toks), pos + 3)], ' ') AS snippet
+         |FROM hit ORDER BY doc_id, pos""".stripMargin
+    }
   )
 }

@@ -38,6 +38,25 @@ class MixtureCorpusStatsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
   }
 
+  test("linear counting: within 5% on a 50k-cardinality synthetic; saturated sketch is NULL; occupancy bounded") {
+    val ids = (1L to 50000L).toDF("v")
+    val m = 4096
+    val r = CorpusStats.linearCountDistinct(ids, "v", m).head()
+    assert(r.getAs[Long]("exact") == 50000L)
+    // 50k >> m: the sketch saturates with overwhelming probability
+    assert(r.getAs[Long]("occupied") <= m)
+    if (r.getAs[Long]("occupied") == m) assert(r.isNullAt(r.fieldIndex("est_milli")))
+    // a cardinality the sketch CAN resolve: n = m/2 → ~±5%
+    val small = (1L to 2048L).toDF("v")
+    val s2 = CorpusStats.linearCountDistinct(small, "v", m).head()
+    val est = s2.getAs[Long]("est_milli") / 1000.0
+    assert(math.abs(est - 2048.0) / 2048.0 < 0.05, s"estimate $est vs 2048")
+    // duplicates don't move the sketch: occupancy is a function of the SET
+    val dup = small.union(small)
+    val s3 = CorpusStats.linearCountDistinct(dup, "v", m).head()
+    assert(s3.getAs[Long]("occupied") == s2.getAs[Long]("occupied"))
+  }
+
   test("stratifiedSample rejects out-of-range rates (would silently keep-all/drop-all)") {
     val docs = Seq((1L, "en")).toDF("doc_id", "lang")
     intercept[IllegalArgumentException] {

@@ -368,6 +368,27 @@ class SearchSpec extends SparkSpec {
     assert(got == expected, s"query $q0: got $got want $expected")
   }
 
+  test("kwicSnippets: window clamps at doc edges, every occurrence emitted, 1-based positions") {
+    val docs = Seq(
+      (1L, "cat a b c cat"),      // occurrence at both edges
+      (2L, "x y z cat p q r"),    // interior occurrence, full window
+      (3L, "no match here"),
+      (4L, "concatenate only")    // substring but not a token
+    ).toDF("doc_id", "text")
+    val got = Search.kwicSnippets(docs, "doc_id", "text", "cat", 2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"), r.getAs[String]("snippet")))
+      .toSet
+    assert(
+      got == Set(
+        (1L, 1L, "cat a b"),
+        (1L, 5L, "b c cat"),
+        (2L, 4L, "y z cat p q")
+      ),
+      got.toString
+    )
+  }
+
   test("rrfFuse: overlapping ids sum both contributions, absent ranks contribute zero") {
     val lex = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
     val vec = Seq((2L, 1L), (4L, 2L)).toDF("id", "rank")
