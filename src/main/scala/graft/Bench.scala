@@ -162,6 +162,9 @@ object Bench {
       "multimodal_stream_decode" -> "every_run",
       // every rep rewrites the source and replays the counter stream
       "sketch_stream_topk" -> "every_run",
+      // every rep rewrites the event source and replays the occupancy
+      // stream from a fresh checkpoint
+      "sketch_stream_distinct" -> "every_run",
       // index memoized per process; each rep replays the query
       // micro-batches against it
       "ann_pq_stream_serve" -> "first_run",

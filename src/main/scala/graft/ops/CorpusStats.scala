@@ -772,27 +772,47 @@ object CorpusStats {
     * canonical operation order in both engines; a saturated sketch
     * (V = m) reports NULL rather than ±∞.
     */
-  def linearCountDistinct(df: DataFrame, valueCol: String, m: Int): DataFrame = {
-    val bucket = pmod(
-      conv(
-        substring(md5(concat(lit("lc|"), col(valueCol).cast("string")).cast("binary")), 1, 12),
-        16,
-        10
-      ).cast("long"),
+  /** The sketch's bucket assignment — engine-portable md5 draw, `lc|`
+    * domain; shared by the global, grouped and streaming forms.
+    */
+  private[graft] def lcBucketCol(value: org.apache.spark.sql.Column, m: Int): org.apache.spark.sql.Column =
+    pmod(
+      conv(substring(md5(concat(lit("lc|"), value.cast("string")).cast("binary")), 1, 12), 16, 10)
+        .cast("long"),
       lit(m.toLong)
     )
+
+  /** The estimate column from an `occupied` count — NULL on a
+    * saturated sketch; one float op floored to milli.
+    */
+  private[graft] def lcEstimateCol(m: Int): org.apache.spark.sql.Column =
+    when(
+      col("occupied") < m,
+      expr(s"CAST(floor(-1.0 * $m * ln(1.0 - CAST(occupied AS DOUBLE) / $m) * 1000) AS BIGINT)")
+    )
+
+  def linearCountDistinct(df: DataFrame, valueCol: String, m: Int): DataFrame = {
+    val bucket = lcBucketCol(col(valueCol), m)
     df.agg(
         countDistinct(col(valueCol)).cast("long").as("exact"),
         countDistinct(bucket).cast("long").as("occupied")
       )
-      .withColumn(
-        "est_milli",
-        when(
-          col("occupied") < m,
-          expr(s"CAST(floor(-1.0 * $m * ln(1.0 - CAST(occupied AS DOUBLE) / $m) * 1000) AS BIGINT)")
-        )
-      )
+      .withColumn("est_milli", lcEstimateCol(m))
   }
+
+  /** GROUPED linear counting — the sketch as a per-key aggregate
+    * (distinct users per hour, distinct docs per source…): occupancy
+    * per key is countDistinct over (key, bucket) pairs, so the
+    * shuffle is bounded by |keys|·m however many input rows. Same
+    * estimate arithmetic and saturation contract as the global form.
+    */
+  def linearCountDistinctBy(df: DataFrame, keyCol: String, valueCol: String, m: Int): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(
+        countDistinct(col(valueCol)).cast("long").as("exact"),
+        countDistinct(lcBucketCol(col(valueCol), m)).cast("long").as("occupied")
+      )
+      .withColumn("est_milli", lcEstimateCol(m))
 
   private val lcBuckets = 4096
 

@@ -262,7 +262,25 @@ object Events {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** Distinct users per hour through the GROUPED linear-counting
+    * sketch ([[CorpusStats.linearCountDistinctBy]]) with the exact
+    * count riding alongside as the gate — the classic streaming-
+    * analytics cardinality question (hourly uniques) answered with a
+    * shuffle bounded by |hours|·m pairs however many events arrive.
+    */
+  val eventsHourlyDistinct: Q = (s, d) => {
+    val ev = Fixtures
+      .events(s, d)
+      .withColumn("hour_bucket", expr("ts_nanos div 1000 div 3600000000"))
+      .select(col("hour_bucket"), col("user_id"))
+    CorpusStats
+      .linearCountDistinctBy(ev, "hour_bucket", "user_id", 4096)
+      .select(col("hour_bucket"), col("exact"), col("occupied"), col("est_milli"))
+      .orderBy("hour_bucket")
+  }
+
   def queries: Map[String, Q] = Map(
+    "events_hourly_distinct" -> eventsHourlyDistinct,
     "events_transitions" -> eventsTransitions,
     "events_retention" -> eventsRetention,
     "events_anomaly" -> eventsAnomaly,
@@ -275,6 +293,21 @@ object Events {
   )
 
   def oracles: Map[String, String] = Map(
+    "events_hourly_distinct" ->
+      s"""WITH b AS (
+         |  SELECT epoch_us(ts) // 3600000000 AS hour_bucket, user_id,
+         |    ${Dedup.hex12ValSql("md5('lc|' || CAST(user_id AS VARCHAR))", 1)} % 4096 AS bucket
+         |  FROM events),
+         |g AS (
+         |  SELECT hour_bucket,
+         |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact,
+         |    CAST(count(DISTINCT bucket) AS BIGINT) AS occupied
+         |  FROM b GROUP BY hour_bucket)
+         |SELECT hour_bucket, exact, occupied,
+         |  CASE WHEN occupied < 4096 THEN
+         |    CAST(floor(-1.0 * 4096 * ln(1.0 - CAST(occupied AS DOUBLE) / 4096) * 1000) AS BIGINT)
+         |  ELSE NULL END AS est_milli
+         |FROM g ORDER BY hour_bucket""".stripMargin,
     "events_transitions" ->
       """WITH t AS (
         |  SELECT user_id, event_id, event_type,

@@ -1254,6 +1254,62 @@ object StreamingIngest {
     * to the batch sketch_topk_tokens — whose plain exact oracle this
     * query shares.
     */
+  /** Streaming GROUPED linear counting — the CMS twin for
+    * cardinality: events arrive as micro-batches and the running
+    * state is the distinct (hour, bucket) pair set, bounded by
+    * |hours|·m whatever the event volume (the state-bounding argument
+    * that makes the sketch streaming-native; exact distinct state
+    * would grow with the user population). Post-drain, occupancy per
+    * hour reads the Complete-mode sink and the estimate is the shared
+    * arithmetic; the exact count is recomputed from the batch table
+    * (the sketch_topk pattern), so the stream shares
+    * events_hourly_distinct's oracle end to end.
+    */
+  def sketchStreamDistinct(s: SparkSession, d: String): DataFrame = {
+    val m = 4096
+    val base = java.nio.file.Files.createTempDirectory("graft_lc_stream")
+    try {
+      val src = base.resolve("src").toString
+      val ckpt = base.resolve("ckpt").toString
+      val ev = graft.ops.Fixtures
+        .events(s, d)
+        .withColumn("hour_bucket", expr("ts_nanos div 1000 div 3600000000"))
+        .select(col("hour_bucket"), col("user_id"))
+      ev.repartition(4, col("user_id")).write.parquet(src)
+      val sinkName = s"graft_lc_occupancy_${java.util.UUID.randomUUID.toString.replace("-", "")}"
+      val stream = s.readStream
+        .schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+      stream
+        .select(col("hour_bucket"), graft.ops.CorpusStats.lcBucketCol(col("user_id"), m).as("bucket"))
+        .groupBy(col("hour_bucket"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .writeStream
+        .outputMode(OutputMode.Complete)
+        .format("memory")
+        .queryName(sinkName)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+        .awaitTermination()
+      val occ = s
+        .table(sinkName)
+        .groupBy(col("hour_bucket"))
+        .agg(count(lit(1)).cast("long").as("occupied"))
+      val out = ev
+        .groupBy(col("hour_bucket"))
+        .agg(countDistinct(col("user_id")).cast("long").as("exact"))
+        .join(occ, "hour_bucket")
+        .withColumn("est_milli", graft.ops.CorpusStats.lcEstimateCol(m))
+        .select(col("hour_bucket"), col("exact"), col("occupied"), col("est_milli"))
+        .orderBy("hour_bucket")
+        .localCheckpoint(true)
+      s.catalog.dropTempView(sinkName)
+      out
+    } finally rmScratch(s, base)
+  }
+
   def sketchStreamTopk(s: SparkSession, d: String): DataFrame = {
     val width = 1024
     val depth = 4
@@ -1295,6 +1351,7 @@ object StreamingIngest {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map(
       "sketch_stream_topk" -> sketchStreamTopk,
+      "sketch_stream_distinct" -> ((s, d) => sketchStreamDistinct(s, d)),
       "dsir_stream_weights" -> dsirStreamWeights,
       "nb_stream_scores" -> classifierStreamScores,
       "decontaminate_stream" -> decontaminateStream,
@@ -1335,6 +1392,9 @@ object StreamingIngest {
       // (additive, bounded key space), and the serve is the exact
       // recount — shares the batch sketch's plain exact oracle
       "sketch_stream_topk" -> graft.ops.CorpusStats.oracles("sketch_topk_tokens"),
+      // occupancy is additive across micro-batches (a set union), so
+      // the streamed sketch shares the batch hourly-distinct oracle
+      "sketch_stream_distinct" -> graft.ops.Events.oracles("events_hourly_distinct"),
       // per-doc scores are a pure function of (doc, persisted model):
       // the stream shares the batch scoring oracle
       "nb_stream_scores" -> graft.ops.QualityClassifier.oracles("nb_classifier_scores"),
