@@ -874,6 +874,96 @@ object Search {
     phraseSearch(documents(s, d), "doc_id", "text", fixturePhrase._1, fixturePhrase._2)
       .orderBy("doc_id")
 
+  /** The token ANALYZER: lowercase + strip non-alphanumeric edges —
+    * applied IDENTICALLY to corpus tokens and query terms, which is
+    * the property that makes search correct (an unanalyzed probe
+    * misses every case/punctuation variant of its term). Kept to two
+    * engine-portable operations so the DuckDB oracle runs the same
+    * chain.
+    */
+  private def analyzeCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(lower(c), "^[^a-z0-9]+|[^a-z0-9]+$", "")
+
+  /** Driver-side twin of [[analyzeCol]] for query terms. */
+  private[ops] def analyzeTerm(t: String): String =
+    t.toLowerCase.replaceAll("^[^a-z0-9]+|[^a-z0-9]+$", "")
+
+  /** ANALYZED search: [[termSearch]]'s exact structure over the
+    * analyzed token stream — the coarse prune becomes contains on
+    * lower(text) (still a necessary condition: an analyzed token's
+    * body appears contiguously in the lowered text), the exact match
+    * compares analyzed tokens to analyzed terms, scoring/gate/top-k
+    * unchanged. Tokens that analyze to empty (pure punctuation) are
+    * dropped.
+    */
+  def analyzedSearch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      rawTerms: Seq[String],
+      k: Int,
+      requireAll: Boolean
+  ): DataFrame = {
+    val terms = rawTerms.map(analyzeTerm).filter(_.nonEmpty).distinct
+    require(terms.nonEmpty, "analyzed search needs at least one non-empty term")
+    val containsTerms = terms.map(t => lower(col(textCol)).contains(t))
+    val pruned = docs.filter(
+      if (requireAll) containsTerms.reduce(_ && _) else containsTerms.reduce(_ || _)
+    )
+    def aPostings(in: DataFrame): DataFrame =
+      in.select(col(idCol).cast("long").as("doc_id"), explode(split(col(textCol), " ")).as("raw"))
+        .select(col("doc_id"), analyzeCol(col("raw")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+    val p = aPostings(pruned).filter(col("token").isin(terms: _*))
+    val nDocs = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+    val dfModel = terms
+      .map { t =>
+        aPostings(docs.filter(lower(col(textCol)).contains(t)))
+          .filter(col("token") === t)
+          .groupBy(col("token"))
+          .agg(count(lit(1)).cast("long").as("df"))
+      }
+      .reduce(_ union _)
+      .crossJoin(broadcast(nDocs))
+      .withColumn(
+        "idf_micro",
+        floor(log((col("n_docs") + 1).cast("double") / (col("df") + 1)) * 1000000L).cast("bigint")
+      )
+      .select(col("token"), col("idf_micro"))
+    val scored = p
+      .join(broadcast(dfModel), "token")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_matched"),
+        sum(col("tf") * col("idf_micro")).cast("long").as("score_micro")
+      )
+      .filter(if (requireAll) col("n_matched") === terms.size.toLong else col("n_matched") >= 1L)
+    rankTop(scored, "score_micro", k)
+  }
+
+  /** Analyzer gate on a deliberately case/punctuation-damaged corpus:
+    * every doc_id % 7 == 0 document is UPPERCASED and every
+    * doc_id % 11 == 0 document gets its tokens bracket-wrapped — the
+    * raw route would drop them all; the analyzed route must rank them
+    * exactly as their clean selves (the oracle runs the same damage +
+    * the same analyzer chain).
+    */
+  val searchAnalyzed: Q = (s, d) => {
+    val damaged = documents(s, d).withColumn(
+      "text",
+      when(col("doc_id") % 7 === 0, upper(col("text")))
+        .when(
+          col("doc_id") % 11 === 0,
+          expr("array_join(transform(split(text, ' '), t -> concat('[', t, ']')), ' ')")
+        )
+        .otherwise(col("text"))
+    )
+    analyzedSearch(damaged, "doc_id", "text", fixtureAndTerms.map(_.toUpperCase), topK, requireAll = true)
+      .orderBy("rank")
+  }
+
   /** KWIC (keyword-in-context) snippets — the result-rendering pass of
     * retrieval: every occurrence of the term with a ±window token
     * context, from ONE posexplode over the contains-pruned candidates
@@ -1007,7 +1097,8 @@ object Search {
     "search_phrase_index" -> searchPhraseIndex,
     "search_rrf_hybrid" -> searchRrfHybrid,
     "search_dedup_results" -> searchDedupResults,
-    "search_kwic" -> searchKwic
+    "search_kwic" -> searchKwic,
+    "search_analyzed" -> searchAnalyzed
   )
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -1306,6 +1397,53 @@ object Search {
     "search_phrase_index" -> oraclePhrase,
     "search_rrf_hybrid" -> oracleRrf,
     "search_dedup_results" -> oracleDedupResults,
+    "search_analyzed" -> {
+      val terms = fixtureAndTerms.map(analyzeTerm)
+      val termList = terms.map(sqlLit).mkString(", ")
+      val containsAll = terms.map(t => s"contains(lower(text), ${sqlLit(t)})").mkString(" AND ")
+      val dfArms = terms
+        .map(t =>
+          s"""SELECT token, CAST(count(*) AS BIGINT) AS df FROM (
+             |    SELECT token, doc_id FROM (
+             |      SELECT doc_id,
+             |        regexp_replace(lower(raw), '^[^a-z0-9]+|[^a-z0-9]+$$', '', 'g') AS token
+             |      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS raw
+             |            FROM dd WHERE contains(lower(text), ${sqlLit(t)})) y) x
+             |    WHERE token = ${sqlLit(t)} GROUP BY token, doc_id) GROUP BY token""".stripMargin
+        )
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH dd AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN upper(text)
+         |         WHEN doc_id % 11 = 0 THEN
+         |           array_to_string(list_transform(string_split(text, ' '), t -> '[' || t || ']'), ' ')
+         |         ELSE text END AS text
+         |  FROM documents),
+         |cand AS (SELECT doc_id, text FROM dd WHERE $containsAll),
+         |c00 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS raw FROM cand),
+         |c0 AS (
+         |  SELECT doc_id, regexp_replace(lower(raw), '^[^a-z0-9]+|[^a-z0-9]+$$', '', 'g') AS token
+         |  FROM c00),
+         |cp AS (SELECT token, doc_id, count(*) AS tf FROM c0
+         |       WHERE token IN ($termList) GROUP BY token, doc_id),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM dd),
+         |dfm AS (
+         |  $dfArms),
+         |model AS (
+         |  SELECT token,
+         |    CAST(floor(ln(((SELECT n_docs FROM nd) + 1) / CAST(df + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS idf_micro
+         |  FROM dfm),
+         |scored AS (
+         |  SELECT cp.doc_id, count(*) AS n_matched,
+         |    CAST(sum(cp.tf * m.idf_micro) AS BIGINT) AS score_micro
+         |  FROM cp JOIN model m ON m.token = cp.token
+         |  GROUP BY cp.doc_id HAVING count(*) = ${terms.size}),
+         |aranked AS (
+         |  SELECT doc_id, score_micro,
+         |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rank
+         |  FROM scored)
+         |SELECT rank, doc_id, score_micro FROM aranked WHERE rank <= $topK ORDER BY rank""".stripMargin
+    },
     "search_kwic" -> {
       val t = sqlLit(fixturePhrase._1)
       s"""WITH pt AS (

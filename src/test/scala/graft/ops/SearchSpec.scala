@@ -368,6 +368,30 @@ class SearchSpec extends SparkSpec {
     assert(got == expected, s"query $q0: got $got want $expected")
   }
 
+  test("analyzedSearch: case and edge punctuation fold on BOTH sides; pure-punct tokens drop; raw route misses what analysis recovers") {
+    val docs = Seq(
+      (1L, "CAT dog"),          // case-damaged, both terms
+      (2L, "[cat] (dog)"),      // punctuation-wrapped, both terms
+      (3L, "cat dog"),          // clean
+      (4L, "!!! ??? cat"),      // pure-punct tokens must drop, one term
+      (5L, "scatter dogma")     // substrings only — exact analyzed match rejects
+    ).toDF("doc_id", "text")
+    val got = Search.analyzedSearch(docs, "doc_id", "text", Seq("Cat", "DOG!"), 10, requireAll = true)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(got == Set(1L, 2L, 3L), got.toString)
+    // the UNanalyzed route misses the damaged docs — the analyzer is
+    // load-bearing, not cosmetic
+    val raw = Search.conjunctiveSearch(docs, "doc_id", "text", Seq("cat", "dog"), 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(raw == Set(3L), raw.toString)
+    // identical damage must score identically to the clean twin: docs
+    // 1-3 carry the same analyzed token multiset, so scores tie and
+    // rank falls back to doc_id
+    val ranked = Search.analyzedSearch(docs, "doc_id", "text", Seq("cat", "dog"), 10, requireAll = true)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"))).toSeq
+    assert(ranked == Seq((1L, 1L), (2L, 2L), (3L, 3L)), ranked.toString)
+  }
+
   test("kwicSnippets: window clamps at doc edges, every occurrence emitted, 1-based positions") {
     val docs = Seq(
       (1L, "cat a b c cat"),      // occurrence at both edges
