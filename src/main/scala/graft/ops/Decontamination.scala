@@ -75,6 +75,36 @@ object Decontamination {
       .orderBy("doc_id")
   }
 
+  /** Index-SCREENED decontamination — two families composed: the
+    * persisted search index generates candidates (train docs holding
+    * ANY benchmark token, read at benchmark-vocabulary-bucket I/O via
+    * [[Search.candidateDocsForTerms]]) and the exact n-gram re-check
+    * runs on the screened docs only. The screen is SOUND: a shared
+    * n-gram implies a shared token, so restricting the exact pass to
+    * candidates cannot lose a hit — this route shares decontaminate's
+    * oracle, and that equality is the gate. At fixture scale the
+    * ~31-token vocabulary makes the screen admit nearly everything
+    * (DecontaminationSpec proves real pruning on a disjoint-vocab
+    * synthetic corpus); at corpus scale the benchmark vocabulary is
+    * eval-suite-sized (the driver-side term list is the same
+    * request-bounded read as any probe's) and the screen turns the
+    * full-corpus shingle pass into a candidates-only pass served from
+    * the index.
+    */
+  val decontaminateViaIndex: Q = (s, d) => {
+    val docs = documents(s, d)
+    val bench = docs.filter(benchPred)
+    val benchToks = bench
+      .select(explode(split(col("text"), " ")).as("token"))
+      .distinct()
+      .collect()
+      .map(_.getString(0))
+      .toSeq
+    val cand = Search.candidateDocsForTerms(s, Search.demoSearchIndexDir(s, d), benchToks)
+    val screened = docs.filter(s"NOT ($benchPred)").join(cand, Seq("doc_id"), "left_semi")
+    contaminationAgainstDigests(screened, benchDigests(bench)).orderBy("doc_id")
+  }
+
   /** The at-scale route for a benchmark set too large to broadcast as
     * an exact digest set: build a Bloom filter over the benchmark
     * n-grams DISTRIBUTED (Spark's internal `bloom_filter_agg` —
@@ -303,6 +333,7 @@ object Decontamination {
 
   def queries: Map[String, Q] = Map(
     "decontaminate" -> decontaminate,
+    "decontaminate_via_index" -> decontaminateViaIndex,
     "decontaminate_bloom" -> decontaminateBloom,
     "decontaminate_report" -> decontaminateReport,
     "decontaminate_removal" -> decontaminateRemoval,
@@ -316,6 +347,9 @@ object Decontamination {
   def oracles: Map[String, String] = Map(
     "decontaminate_bloom" -> oracleSqlExact,
     "decontaminate" -> oracleSqlExact,
+    // the index screen is sound (shared n-gram => shared token), so
+    // the screened exact pass shares the full route's oracle
+    "decontaminate_via_index" -> oracleSqlExact,
     "ngram_novelty" ->
       s"""WITH prb AS (SELECT * FROM documents WHERE NOT ($refPred)),
          |ref AS (SELECT * FROM documents WHERE $refPred),

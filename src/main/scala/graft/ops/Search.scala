@@ -831,6 +831,23 @@ object Search {
     disjunctiveFromIndex(s, demoSearchIndexDir(s, d), fixtureOrTerms, topK)
       .orderBy("rank")
 
+  /** The distinct documents holding ANY of the given terms, served
+    * from the pruned index — the CANDIDATE-GENERATION primitive other
+    * operators compose (index-screened decontamination restricts its
+    * exact n-gram pass to these). I/O is the terms' bucket dirs; the
+    * result is candidate-doc-sized.
+    */
+  private[ops] def candidateDocsForTerms(s: SparkSession, indexDir: String, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "candidate probe needs at least one term")
+    val buckets = terms.map(tokenBucket).distinct
+    s.read
+      .schema(postingsSchema)
+      .parquet(s"$indexDir/postings")
+      .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
+      .select(col("doc_id"))
+      .distinct()
+  }
+
   /** Build-even → append-odd → compact, then probe: the maintained
     * index must answer exactly like the one-shot build.
     */

@@ -60,6 +60,39 @@ class DecontaminationSpec extends SparkSpec {
     assert(kept < total / 2, s"bloom kept $kept of $total — no pruning happening")
   }
 
+  test("index screen is sound and actually prunes on a disjoint-vocab corpus") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // train docs 1-2 share benchmark vocab (1 truly contaminated, 2
+    // token-only overlap — a screen false positive the exact re-check
+    // must reject); 3-4 have disjoint vocab and must be screened OUT
+    val train = Seq(
+      (1L, "alpha beta gamma delta"),  // contains bench 3-gram
+      (2L, "gamma zzz alpha qqq"),     // bench tokens, no shared 3-gram
+      (3L, "uu vv ww xx"),
+      (4L, "yy zz aa bb")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_decon_idx").toString
+    Search.saveSearchIndex(train, "doc_id", "text", dir)
+    val benchToks = bench.select(explode(split(col("text"), " ")).as("token"))
+      .distinct().collect().map(_.getString(0)).toSeq
+    val cand = Search.candidateDocsForTerms(spark, dir, benchToks)
+    val candIds = cand.collect().map(_.getLong(0)).toSet
+    assert(candIds == Set(1L, 2L), s"screen must keep shared-token docs only: $candIds")
+    // exact re-check on the screened docs equals the full exact route
+    val screened = train.join(cand, Seq("doc_id"), "left_semi")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(
+      rows(Decontamination.contamination(screened, bench)) ==
+        rows(Decontamination.contamination(train, bench)),
+      "screened exact pass must equal the full exact route"
+    )
+    // and the false positive (doc 2) was rejected by the exact pass
+    assert(!rows(Decontamination.contamination(screened, bench)).exists(_.head == 2L))
+  }
+
   test("benchmark side is broadcast — the corpus never shuffles for the probe join") {
     val docs = Fixtures.documents(spark, "/root/testdata/sf0.001")
     val plan = Decontamination
