@@ -449,7 +449,12 @@ object Search {
   def bm25FromIndex(s: SparkSession, indexDir: String, terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "bm25 search needs at least one term")
     val (nDocs, totalToks) = readMeta(s, indexDir)
+    // an empty or all-empty-text index has no meaningful BM25 model:
+    // nDocs = 0 divides by zero computing avgdl, and avgdl = 0 zeroes
+    // the contrib denominator for dl = 0 docs — fail loudly instead
+    require(nDocs > 0, s"bm25FromIndex: index at $indexDir is empty (n_docs = 0)")
     val avgdl = totalToks / nDocs
+    require(avgdl > 0, s"bm25FromIndex: index at $indexDir has avgdl = 0 (all-empty documents)")
     val buckets = terms.map(tokenBucket).distinct
     val p = s.read
       .schema(postingsSchema)
@@ -543,6 +548,147 @@ object Search {
     writeMeta(s, dir, (n0 + n1, t0 + t1))
   }
 
+  // ---- exactly-once batch apply (the streaming maintainer's path) ----
+
+  private val doclenSchema = new org.apache.spark.sql.types.StructType()
+    .add("doc_id", "long")
+    .add("dl", "long")
+
+  private def fsFor(s: SparkSession, path: String) =
+    new org.apache.hadoop.fs.Path(path).getFileSystem(s.sessionState.newHadoopConf())
+
+  /** Last batch id fully applied to the index at `dir` (−1 if none) —
+    * the skip gate that makes a foreachBatch REPLAY of an already-
+    * applied batch a no-op under at-least-once delivery.
+    */
+  private[graft] def lastAppliedSearchBatch(s: SparkSession, dir: String): Long = {
+    val fs = fsFor(s, dir)
+    val p = new org.apache.hadoop.fs.Path(dir, "_last_batch")
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  /** Advance the applied-batch marker — written only AFTER a batch's
+    * relation files and meta are on disk, so the marker never claims
+    * an unapplied batch. (The reverse crash — files applied, marker
+    * unwritten — replays the batch, whose apply is idempotent.)
+    */
+  private[graft] def writeLastAppliedSearchBatch(s: SparkSession, dir: String, batchId: Long): Unit = {
+    val fs = fsFor(s, dir)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_last_batch"), true)
+    try out.write(s"$batchId\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Stage a relation increment then RENAME its data files into the
+    * live dir under names derived from the batch id (`gbatch-<B>-<i>`)
+    * — the deterministic naming that makes a batch's apply repeatable:
+    * a retry first deletes every `gbatch-<B>-*` file a crashed attempt
+    * left, then re-stages and re-moves, so the live relation holds the
+    * batch's rows EXACTLY once however many times the batch replays.
+    * The staged write is mode-overwrite (itself retry-safe) and the
+    * moves are filesystem renames (metadata ops, no data copy).
+    */
+  private def stageAndMove(
+      df: DataFrame,
+      stagedDir: String,
+      targetDir: String,
+      partitioned: Boolean,
+      batchId: Long
+  ): Unit = {
+    import org.apache.hadoop.fs.Path
+    val s = df.sparkSession
+    val fs = fsFor(s, targetDir)
+    val w = df.write.mode("overwrite")
+    (if (partitioned) w.partitionBy("tbucket") else w).parquet(stagedDir)
+    val glob = if (partitioned) new Path(s"$stagedDir/tbucket=*/part-*") else new Path(s"$stagedDir/part-*")
+    val files = Option(fs.globStatus(glob)).getOrElse(Array.empty).map(_.getPath).sortBy(_.toString)
+    files.zipWithIndex.foreach { case (src, i) =>
+      val destDir = if (partitioned) new Path(targetDir, src.getParent.getName) else new Path(targetDir)
+      fs.mkdirs(destDir)
+      val dest = new Path(destDir, s"gbatch-$batchId-$i.parquet")
+      if (!fs.rename(src, dest))
+        throw new java.io.IOException(s"search-index batch apply: rename $src -> $dest failed")
+    }
+    fs.delete(new Path(stagedDir), true)
+  }
+
+  /** Apply ONE micro-batch of new documents to the index at `dir`,
+    * idempotently — the unit [[graft.streaming.StreamingIngest
+    * .searchIndexStream]] runs inside foreachBatch. Every step is
+    * retry-safe, so foreachBatch's at-least-once delivery yields an
+    * exactly-once index:
+    *
+    *  1. delete any `gbatch-<B>-*` files a CRASHED prior attempt of
+    *     this same batch left in postings/positions/doclen;
+    *  2. stage the increment's three relations and rename their files
+    *     in under `gbatch-<B>-<i>` names ([[stageAndMove]]);
+    *  3. rewrite `dir/meta` from the doclen relation — a pure function
+    *     of the on-disk rows (n_docs = countDistinct(doc_id),
+    *     total_toks = sum(dl); the same aggregate compact's repair
+    *     runs, doc-cardinality not corpus-token-cardinality), so a
+    *     replayed batch recomputes the same scalars instead of
+    *     double-incrementing the old read-modify-write.
+    *
+    * The first batch needs no bootstrap special case: appending onto
+    * not-yet-existing dirs creates them, and meta follows from doclen.
+    */
+  private[graft] def applySearchIndexBatch(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      dir: String,
+      batchId: Long
+  ): Unit = {
+    import org.apache.hadoop.fs.Path
+    val s = batch.sparkSession
+    val fs = fsFor(s, dir)
+    Seq(s"$dir/postings/tbucket=*", s"$dir/positions/tbucket=*", s"$dir/doclen").foreach { d =>
+      Option(fs.globStatus(new Path(s"$d/gbatch-$batchId-*")))
+        .getOrElse(Array.empty)
+        .foreach(f => fs.delete(f.getPath, false))
+    }
+    val staged = s"$dir/_stage_$batchId"
+    stageAndMove(
+      postings(batch, idCol, textCol).withColumn("tbucket", tokenBucketCol).repartition(col("tbucket")),
+      s"$staged/postings",
+      s"$dir/postings",
+      partitioned = true,
+      batchId
+    )
+    stageAndMove(
+      positionalPostings(batch, idCol, textCol)
+        .withColumn("tbucket", tokenBucketCol)
+        .repartition(col("tbucket")),
+      s"$staged/positions",
+      s"$dir/positions",
+      partitioned = true,
+      batchId
+    )
+    stageAndMove(docLengths(batch, idCol, textCol), s"$staged/doclen", s"$dir/doclen", partitioned = false, batchId)
+    fs.delete(new Path(staged), true)
+    // empty-stream cold start: an all-empty first batch moves no files,
+    // so the doclen dir may not exist yet — meta is then (0, 0)
+    val scalars =
+      if (!fs.exists(new Path(s"$dir/doclen"))) (0L, 0L)
+      else {
+        val r = s.read
+          .schema(doclenSchema)
+          .parquet(s"$dir/doclen")
+          .agg(
+            countDistinct(col("doc_id")).cast("long"),
+            coalesce(sum(col("dl")), lit(0L)).cast("long")
+          )
+          .head()
+        (r.getLong(0), r.getLong(1))
+      }
+    writeMeta(s, dir, scalars)
+  }
+
   /** Rewrite the postings/positions back to one file per bucket dir
     * (and doclen to one file); values untouched, probes bit-identical
     * pre/post (spec-pinned). Also rewrites `dir/meta` from the
@@ -623,9 +769,39 @@ object Search {
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val qSizes = queries.groupBy(col("query_id")).agg(count(lit(1)).cast("long").as("n_terms"))
-    val qModes = modes.getOrElse(
-      queries.select(col("query_id")).distinct().withColumn("mode", lit("AND"))
-    )
+    // mode-relation hygiene (request-sized, so the validation is
+    // bytes): normalize case/whitespace so "or"/"Or " mean OR rather
+    // than silently falling through to the strict AND gate, raise on
+    // any value that is neither AND nor OR (a typo'd mode must fail
+    // loudly), and collapse to one row per query_id — conflicting
+    // duplicate rows raise instead of duplicating every scored row
+    // through the join below
+    val qModes = modes
+      .map { m =>
+        m.select(col("query_id"), upper(trim(col("mode"))).as("mode"))
+          .withColumn(
+            "mode",
+            when(col("mode").isin("AND", "OR"), col("mode"))
+              .otherwise(
+                raise_error(
+                  concat(lit("batched search: unknown mode '"), col("mode"), lit("' (expected AND or OR)"))
+                )
+              )
+          )
+          .groupBy(col("query_id"))
+          .agg(collect_set(col("mode")).as("__modes"))
+          .select(
+            col("query_id"),
+            when(size(col("__modes")) === 1, element_at(col("__modes"), 1))
+              .otherwise(
+                raise_error(
+                  concat(lit("batched search: conflicting modes for query_id "), col("query_id").cast("string"))
+                )
+              )
+              .as("mode")
+          )
+      }
+      .getOrElse(queries.select(col("query_id")).distinct().withColumn("mode", lit("AND")))
     val scored = p
       .join(broadcast(queries.withColumnRenamed("term", "token")), "token")
       .join(broadcast(dfModel), "token")
@@ -719,7 +895,11 @@ object Search {
     val terms = queries.select(col("term")).distinct().collect().map(_.getString(0)).toSeq
     require(terms.nonEmpty, "batched bm25 needs at least one term")
     val (nDocs, totalToks) = readMeta(s, indexDir)
+    // same empty-index guard as bm25FromIndex: no docs → divide by
+    // zero, all-empty docs → zero contrib denominator for dl = 0
+    require(nDocs > 0, s"bm25BatchFromIndex: index at $indexDir is empty (n_docs = 0)")
     val avgdl = totalToks / nDocs
+    require(avgdl > 0, s"bm25BatchFromIndex: index at $indexDir has avgdl = 0 (all-empty documents)")
     val buckets = terms.map(tokenBucket).distinct
     val p = s.read
       .schema(postingsSchema)

@@ -796,21 +796,24 @@ object StreamingIngest {
   /** SEARCH-INDEX maintenance as a stream — retrieval's member of the
     * filters-as-streams family: documents arrive as micro-batches and
     * each batch is folded into the persisted token-bucketed search
-    * index ([[graft.ops.Search.appendToSearchIndex]] inside
-    * foreachBatch; the first batch BOOTSTRAPS the index with a
-    * one-shot build — detected by the meta relation's absence, and
-    * idempotent under a batch-0 retry because the build overwrites).
-    * Probes then serve from an index never more than one batch behind
-    * the stream. Index state lives on DISK (the minhash-loop shape):
-    * the stream holds nothing between batches, per-batch work is
-    * increment-sized (the increment's postings/positions/doclen rows
-    * plus two meta scalars). The stream is the index dir's single
-    * writer — exactly the contract appendToSearchIndex's meta update
-    * documents. `compactEvery` folds per-batch file accretion back to
-    * one file per bucket dir every K batches AND recomputes meta from
-    * doclen, so the compaction cadence doubles as the repair hook for
-    * a crash inside the append's non-atomic meta window; probes are
-    * bit-identical across a compaction (SearchSpec).
+    * index. Probes then serve from an index never more than one batch
+    * behind the stream. Index state lives on DISK (the minhash-loop
+    * shape): the stream holds nothing between batches, per-batch work
+    * is increment-sized plus one doc-cardinality meta aggregate.
+    *
+    * EXACTLY-ONCE under foreachBatch's at-least-once delivery: each
+    * batch applies through [[graft.ops.Search.applySearchIndexBatch]]
+    * — batch files land under deterministic `gbatch-<id>` names (a
+    * retry deletes a crashed attempt's files before re-applying), meta
+    * is recomputed from the on-disk doclen relation (a pure function,
+    * never a read-modify-increment), and an applied-batch marker
+    * written LAST makes a replay of a fully-applied batch a no-op. So
+    * a crash/retry at any point yields the same index as a clean run —
+    * probes never diverge from the one-shot build
+    * (StreamingIngestSpec replays a batch to pin this). The stream is
+    * still the index dir's single WRITER (concurrent maintainers
+    * would race the marker); `compactEvery` folds per-batch file
+    * accretion back to one file per bucket dir every K batches.
     */
   def searchIndexStream(
       docs: DataFrame,
@@ -826,14 +829,12 @@ object StreamingIngest {
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val bs = batch.sparkSession
-        val meta = new org.apache.hadoop.fs.Path(s"$indexDir/meta")
-        val fs = meta.getFileSystem(bs.sessionState.newHadoopConf())
-        if (!fs.exists(meta))
-          graft.ops.Search.saveSearchIndex(batch.toDF(), idCol, textCol, indexDir)
-        else
-          graft.ops.Search.appendToSearchIndex(batch.toDF(), idCol, textCol, indexDir)
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-          graft.ops.Search.compactSearchIndex(bs, indexDir)
+        if (batchId > graft.ops.Search.lastAppliedSearchBatch(bs, indexDir)) {
+          graft.ops.Search.applySearchIndexBatch(batch.toDF(), idCol, textCol, indexDir, batchId)
+          graft.ops.Search.writeLastAppliedSearchBatch(bs, indexDir, batchId)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            graft.ops.Search.compactSearchIndex(bs, indexDir)
+        }
       }
       .start()
 

@@ -630,4 +630,33 @@ class StreamingIngestSpec extends SparkSpec {
     val meta = spark.read.parquet(s"$idx/meta").select("n_docs", "total_toks").head()
     assert((meta.getLong(0), meta.getLong(1)) == ((6L, 13L)), meta.toString)
   }
+
+  test("search-index batch apply is exactly-once under a full replay of an unmarked batch") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_search_replay").toString + "/idx"
+    val a = Seq((1L, "cat dog"), (2L, "cat")).toDF("doc_id", "text")
+    val b = Seq((3L, "dog cat extra"), (4L, "bird")).toDF("doc_id", "text")
+    graft.ops.Search.applySearchIndexBatch(a, "doc_id", "text", idx, 0L)
+    graft.ops.Search.writeLastAppliedSearchBatch(spark, idx, 0L)
+    graft.ops.Search.applySearchIndexBatch(b, "doc_id", "text", idx, 1L)
+    // CRASH window: batch 1's files and meta are on disk but the marker
+    // is not — foreachBatch replays the batch IN FULL. The replay must
+    // not duplicate postings/doclen rows or inflate meta.
+    graft.ops.Search.applySearchIndexBatch(b, "doc_id", "text", idx, 1L)
+    graft.ops.Search.writeLastAppliedSearchBatch(spark, idx, 1L)
+    assert(graft.ops.Search.lastAppliedSearchBatch(spark, idx) == 1L)
+    // doclen holds each doc exactly once
+    assert(spark.read.parquet(s"$idx/doclen").count() == 4L)
+    val meta = spark.read.parquet(s"$idx/meta").select("n_docs", "total_toks").head()
+    assert((meta.getLong(0), meta.getLong(1)) == ((4L, 7L)), meta.toString)
+    // probe equals the one-shot corpus pass over the union
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = graft.ops.Search
+      .conjunctiveSearch(a.unionByName(b), "doc_id", "text", Seq("cat", "dog"), 10)
+    assert(
+      rows(graft.ops.Search.conjunctiveFromIndex(spark, idx, Seq("cat", "dog"), 10)) == rows(batch),
+      "a replayed batch must leave the index identical to a clean run"
+    )
+  }
 }

@@ -3,6 +3,7 @@
 threshold, and the common-query median ratio — the round-end
 adjudication input (bench_ab_rN.md)."""
 import json
+import statistics
 import subprocess
 import sys
 
@@ -22,7 +23,10 @@ def main() -> None:
     qo, qn = old["queries"], new["queries"]
     common = sorted(set(qo) & set(qn))
     ratios = sorted((qn[q] / qo[q], q) for q in common if qo[q] > 0)
-    med = ratios[len(ratios) // 2][0]
+    if not ratios:
+        print("no comparable queries (empty intersection or all old times 0)")
+        sys.exit(1)
+    med = statistics.median(r for r, _ in ratios)
     print(f"old total {old['value']}s ({len(qo)} q)  new total {new['value']}s ({len(qn)} q)")
     print(f"common {len(common)}  median ratio {med:.3f}")
     print(f"\nnew-only: {sorted(set(qn) - set(qo))}")
