@@ -61,6 +61,28 @@ object Search {
       .groupBy(col("token"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
 
+  /** [[postings]] with the document's token length DENORMALIZED onto
+    * every row — the PERSISTED-index variant of the relation. BM25's
+    * length normalizer then rides the posting row itself, so an
+    * index-served BM25 probe touches ONLY its terms' bucket dirs:
+    * joining a separate doc-keyed doclen relation would re-read a
+    * corpus-cardinality table per probe (~10¹⁰ rows at 100 TB) for a
+    * candidate-sized dl lookup. Cost at build time: one extra BIGINT
+    * column on rows the build materializes anyway (dl is constant per
+    * doc, so adding it to the grouping key changes no group).
+    */
+  private def postingsWithDl(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), split(col(textCol), " ").as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("token")
+      )
+      .groupBy(col("token"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("token"), col("doc_id"), col("tf"), col("dl"))
+
   /** (token, doc_id, pos) POSITIONAL postings — the phrase-serving
     * relation. Corpus-token-sized by construction (a positional index
     * IS the corpus re-encoded as rows), but bucketed exactly like
@@ -316,6 +338,7 @@ object Search {
     .add("token", "string")
     .add("doc_id", "long")
     .add("tf", "long")
+    .add("dl", "long")
     .add("tbucket", "long")
 
   private val positionsSchema = new org.apache.spark.sql.types.StructType()
@@ -355,13 +378,16 @@ object Search {
     * bucket before the partitioned write (the small-files guard every
     * index write here uses). `dir/doclen` records each document's
     * token length (BM25's normalizer) and `dir/meta` the two corpus
-    * scalars (N, total tokens) the scorers need. A probe for Q query
-    * terms reads AT MOST |Q| bucket dirs plus the doc-sized doclen
-    * relation when the scorer is length-normalized — per-probe I/O is
-    * occupied-bucket-sized, never index-sized.
+    * scalars (N, total tokens) the scorers need. Postings rows carry
+    * the doc's dl DENORMALIZED ([[postingsWithDl]]), so even the
+    * length-normalized scorer reads nothing doc-keyed: a probe for Q
+    * query terms reads AT MOST |Q| bucket dirs plus two meta scalars
+    * — per-probe I/O is occupied-bucket-sized, never index-sized.
+    * `dir/doclen` stays as the meta-repair source and the doc-keyed
+    * relation other consumers (compaction's recount) read.
     */
   def saveSearchIndex(docs: DataFrame, idCol: String, textCol: String, dir: String): Unit = {
-    postings(docs, idCol, textCol)
+    postingsWithDl(docs, idCol, textCol)
       .withColumn("tbucket", tokenBucketCol)
       .repartition(col("tbucket"))
       .write
@@ -438,13 +464,13 @@ object Search {
     * the pruned postings' row count (posting count = document
     * frequency), dl comes from the `dir/doclen` relation recorded at
     * build/append time, and N/avgdl from the two `dir/meta` scalars —
-    * ZERO corpus passes, unlike [[bm25Search]]'s per-term demo route.
-    * Same integer BM25 arithmetic (k1 = 6/5, b = 3/4, ONE BIGINT
-    * division per term), so it must land on [[bm25Search]]'s exact
-    * rows — search_bm25_index shares search_bm25's oracle, and that
-    * equality is the gate. The doclen join keys on doc_id against the
-    * candidate-sized posting relation; at probe scale the candidates
-    * broadcast, at batch scale it is a plain hash join.
+    * ZERO corpus passes AND zero corpus-cardinality reads: dl rides
+    * the posting row itself ([[postingsWithDl]] denormalizes it at
+    * build), so the probe's total I/O is its terms' bucket dirs plus
+    * two meta scalars. Same integer BM25 arithmetic (k1 = 6/5,
+    * b = 3/4, ONE BIGINT division per term), so it must land on
+    * [[bm25Search]]'s exact rows — search_bm25_index shares
+    * search_bm25's oracle, and that equality is the gate.
     */
   def bm25FromIndex(s: SparkSession, indexDir: String, terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "bm25 search needs at least one term")
@@ -460,7 +486,7 @@ object Search {
       .schema(postingsSchema)
       .parquet(s"$indexDir/postings")
       .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
-      .select(col("token"), col("doc_id"), col("tf"))
+      .select(col("token"), col("doc_id"), col("tf"), col("dl"))
     val dfModel = p
       .groupBy(col("token"))
       .agg(count(lit(1)).cast("long").as("df"))
@@ -469,10 +495,8 @@ object Search {
         floor(log(lit(nDocs + 1).cast("double") / (col("df") + 1)) * 1000L).cast("bigint")
       )
       .select(col("token"), col("idf_milli"))
-    val dl = s.read.parquet(s"$indexDir/doclen")
     val scored = p
       .join(broadcast(dfModel), "token")
-      .join(dl, "doc_id")
       .withColumn(
         "contrib",
         expr(s"(44 * idf_milli * tf * $avgdl) div (20 * $avgdl * tf + 6 * $avgdl + 18 * dl)")
@@ -528,7 +552,7 @@ object Search {
     */
   def appendToSearchIndex(newDocs: DataFrame, idCol: String, textCol: String, dir: String): Unit = {
     val s = newDocs.sparkSession
-    postings(newDocs, idCol, textCol)
+    postingsWithDl(newDocs, idCol, textCol)
       .withColumn("tbucket", tokenBucketCol)
       .repartition(col("tbucket"))
       .write
@@ -654,7 +678,7 @@ object Search {
     }
     val staged = s"$dir/_stage_$batchId"
     stageAndMove(
-      postings(batch, idCol, textCol).withColumn("tbucket", tokenBucketCol).repartition(col("tbucket")),
+      postingsWithDl(batch, idCol, textCol).withColumn("tbucket", tokenBucketCol).repartition(col("tbucket")),
       s"$staged/postings",
       s"$dir/postings",
       partitioned = true,
@@ -905,7 +929,7 @@ object Search {
       .schema(postingsSchema)
       .parquet(s"$indexDir/postings")
       .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
-      .select(col("token"), col("doc_id"), col("tf"))
+      .select(col("token"), col("doc_id"), col("tf"), col("dl"))
     val dfModel = p
       .groupBy(col("token"))
       .agg(count(lit(1)).cast("long").as("df"))
@@ -914,11 +938,9 @@ object Search {
         floor(log(lit(nDocs + 1).cast("double") / (col("df") + 1)) * 1000L).cast("bigint")
       )
       .select(col("token"), col("idf_milli"))
-    val dl = s.read.parquet(s"$indexDir/doclen")
     val scored = p
       .join(broadcast(queries.withColumnRenamed("term", "token")), "token")
       .join(broadcast(dfModel), "token")
-      .join(dl, "doc_id")
       .withColumn(
         "contrib",
         expr(s"(44 * idf_milli * tf * $avgdl) div (20 * $avgdl * tf + 6 * $avgdl + 18 * dl)")

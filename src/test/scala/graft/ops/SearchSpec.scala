@@ -219,6 +219,10 @@ class SearchSpec extends SparkSpec {
     assert(rows(Search.bm25FromIndex(spark, dirApp, Seq("cat", "dog"), 10)) == corpus)
     val plan = probe.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [") && plan.contains("tbucket"), plan.take(2000))
+    // dl is denormalized onto the posting rows: the probe must NOT
+    // join the doc-keyed doclen relation (a corpus-cardinality read
+    // per probe at scale) — only the postings dir may appear
+    assert(!plan.contains("doclen"), "index BM25 must read no doclen relation:\n" + plan.take(2000))
   }
 
   test("phraseFromIndex: equals the corpus window route; positions scan partition-pruned") {
