@@ -98,6 +98,20 @@ object Search {
       )
       .select(col("token"), col("doc_id"), col("pos").cast("long").as("pos"))
 
+  /** (token, doc_id, tf) postings over the ANALYZED token stream —
+    * lowercase + punctuation-stripped ([[analyzeCol]]), pure-punct
+    * tokens dropped. The relation the analyzed index routes serve
+    * from; the same chain [[analyzedSearch]] runs corpus-side, so the
+    * two routes must agree token for token.
+    */
+  private def analyzedPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), explode(split(col(textCol), " ")).as("raw"))
+      .select(col("doc_id"), analyzeCol(col("raw")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+
   /** (doc_id, dl) document token lengths — BM25's length normalizer,
     * recorded at build time so an index probe never needs the corpus.
     */
@@ -347,6 +361,15 @@ object Search {
     .add("pos", "long")
     .add("tbucket", "long")
 
+  /** Schema of `dir/apostings` — ANALYZED postings (no dl: the
+    * analyzed scorer is tf·idf, not length-normalized).
+    */
+  private val apostingsSchema = new org.apache.spark.sql.types.StructType()
+    .add("token", "string")
+    .add("doc_id", "long")
+    .add("tf", "long")
+    .add("tbucket", "long")
+
   /** The two corpus scalars every scorer needs: N (distinct docs) and
     * total token count (BM25's avgdl numerator), computed in ONE
     * aggregate pass.
@@ -386,7 +409,13 @@ object Search {
     * `dir/doclen` stays as the meta-repair source and the doc-keyed
     * relation other consumers (compaction's recount) read.
     */
-  def saveSearchIndex(docs: DataFrame, idCol: String, textCol: String, dir: String): Unit = {
+  def saveSearchIndex(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dir: String,
+      analyzed: Boolean = false
+  ): Unit = {
     postingsWithDl(docs, idCol, textCol)
       .withColumn("tbucket", tokenBucketCol)
       .repartition(col("tbucket"))
@@ -401,6 +430,18 @@ object Search {
       .mode("overwrite")
       .partitionBy("tbucket")
       .parquet(s"$dir/positions")
+    // production search is ALWAYS analyzed, so the serving index can
+    // carry the analyzed postings twin: same bucket layout keyed by
+    // the ANALYZED token's hash (query terms analyze driver-side to
+    // the same key — [[analyzeTerm]] is [[analyzeCol]]'s twin)
+    if (analyzed)
+      analyzedPostings(docs, idCol, textCol)
+        .withColumn("tbucket", tokenBucketCol)
+        .repartition(col("tbucket"))
+        .write
+        .mode("overwrite")
+        .partitionBy("tbucket")
+        .parquet(s"$dir/apostings")
     docLengths(docs, idCol, textCol).write.mode("overwrite").parquet(s"$dir/doclen")
     writeMeta(docs.sparkSession, dir, corpusScalars(docs, idCol, textCol))
   }
@@ -550,7 +591,13 @@ object Search {
     * Appends accrete one file per batch per bucket dir — bound that
     * with [[compactSearchIndex]].
     */
-  def appendToSearchIndex(newDocs: DataFrame, idCol: String, textCol: String, dir: String): Unit = {
+  def appendToSearchIndex(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dir: String,
+      analyzed: Boolean = false
+  ): Unit = {
     val s = newDocs.sparkSession
     postingsWithDl(newDocs, idCol, textCol)
       .withColumn("tbucket", tokenBucketCol)
@@ -566,6 +613,14 @@ object Search {
       .mode("append")
       .partitionBy("tbucket")
       .parquet(s"$dir/positions")
+    if (analyzed)
+      analyzedPostings(newDocs, idCol, textCol)
+        .withColumn("tbucket", tokenBucketCol)
+        .repartition(col("tbucket"))
+        .write
+        .mode("append")
+        .partitionBy("tbucket")
+        .parquet(s"$dir/apostings")
     docLengths(newDocs, idCol, textCol).write.mode("append").parquet(s"$dir/doclen")
     val (n0, t0) = readMeta(s, dir)
     val (n1, t1) = corpusScalars(newDocs, idCol, textCol)
@@ -723,6 +778,9 @@ object Search {
   def compactSearchIndex(spark: SparkSession, dir: String): Unit = {
     graft.core.Compaction.compact(spark, s"$dir/postings", Some("tbucket"), 1)
     graft.core.Compaction.compact(spark, s"$dir/positions", Some("tbucket"), 1)
+    // the analyzed twin exists only on analyzed-enabled indexes
+    if (fsFor(spark, dir).exists(new org.apache.hadoop.fs.Path(s"$dir/apostings")))
+      graft.core.Compaction.compact(spark, s"$dir/apostings", Some("tbucket"), 1)
     graft.core.Compaction.compact(spark, s"$dir/doclen", None, 1)
     val r = spark.read
       .parquet(s"$dir/doclen")
@@ -1129,17 +1187,11 @@ object Search {
     val pruned = docs.filter(
       if (requireAll) containsTerms.reduce(_ && _) else containsTerms.reduce(_ || _)
     )
-    def aPostings(in: DataFrame): DataFrame =
-      in.select(col(idCol).cast("long").as("doc_id"), explode(split(col(textCol), " ")).as("raw"))
-        .select(col("doc_id"), analyzeCol(col("raw")).as("token"))
-        .filter(col("token") =!= "")
-        .groupBy(col("token"), col("doc_id"))
-        .agg(count(lit(1)).as("tf"))
-    val p = aPostings(pruned).filter(col("token").isin(terms: _*))
+    val p = analyzedPostings(pruned, idCol, textCol).filter(col("token").isin(terms: _*))
     val nDocs = docs.agg(countDistinct(col(idCol)).as("n_docs"))
     val dfModel = terms
       .map { t =>
-        aPostings(docs.filter(lower(col(textCol)).contains(t)))
+        analyzedPostings(docs.filter(lower(col(textCol)).contains(t)), idCol, textCol)
           .filter(col("token") === t)
           .groupBy(col("token"))
           .agg(count(lit(1)).cast("long").as("df"))
@@ -1162,15 +1214,60 @@ object Search {
     rankTop(scored, "score_micro", k)
   }
 
-  /** Analyzer gate on a deliberately case/punctuation-damaged corpus:
-    * every doc_id % 7 == 0 document is UPPERCASED and every
-    * doc_id % 11 == 0 document gets its tokens bracket-wrapped — the
-    * raw route would drop them all; the analyzed route must rank them
-    * exactly as their clean selves (the oracle runs the same damage +
-    * the same analyzer chain).
+  /** ANALYZED search served from the PERSISTED index — the serving
+    * shape for the one mode real users run (case/punctuation-folded):
+    * query terms analyze DRIVER-side ([[analyzeTerm]], the executor
+    * chain's twin), their buckets prune the `apostings` scan
+    * statically (PartitionFilters, spec-pinned), df per analyzed term
+    * is the pruned postings' row count, N comes from the index meta —
+    * zero corpus passes, where [[analyzedSearch]] pays one pruned
+    * corpus pass PER TERM for its df model. Same scoring/gate/top-k,
+    * so it must land on the corpus route's exact rows —
+    * search_analyzed_index shares search_analyzed's oracle through
+    * the build→append→compact lifecycle.
     */
-  val searchAnalyzed: Q = (s, d) => {
-    val damaged = documents(s, d).withColumn(
+  def analyzedFromIndex(
+      s: SparkSession,
+      indexDir: String,
+      rawTerms: Seq[String],
+      k: Int,
+      requireAll: Boolean
+  ): DataFrame = {
+    val terms = rawTerms.map(analyzeTerm).filter(_.nonEmpty).distinct
+    require(terms.nonEmpty, "analyzed search needs at least one non-empty term")
+    val buckets = terms.map(tokenBucket).distinct
+    val p = s.read
+      .schema(apostingsSchema)
+      .parquet(s"$indexDir/apostings")
+      .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
+    val nDocs = readMeta(s, indexDir)._1
+    val dfModel = p
+      .groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("df"))
+      .withColumn(
+        "idf_micro",
+        floor(log(lit(nDocs + 1).cast("double") / (col("df") + 1)) * 1000000L).cast("bigint")
+      )
+      .select(col("token"), col("idf_micro"))
+    val scored = p
+      .join(broadcast(dfModel), "token")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_matched"),
+        sum(col("tf") * col("idf_micro")).cast("long").as("score_micro")
+      )
+      .filter(if (requireAll) col("n_matched") === terms.size.toLong else col("n_matched") >= 1L)
+    rankTop(scored, "score_micro", k)
+  }
+
+  /** The deliberately case/punctuation-damaged fixture corpus both
+    * analyzed gates run on: every doc_id % 7 == 0 document is
+    * UPPERCASED and every doc_id % 11 == 0 document gets its tokens
+    * bracket-wrapped — the raw route would drop them all; the
+    * analyzed routes must rank them exactly as their clean selves.
+    */
+  private def damagedFixtureDocs(s: SparkSession, d: String): DataFrame =
+    documents(s, d).withColumn(
       "text",
       when(col("doc_id") % 7 === 0, upper(col("text")))
         .when(
@@ -1179,9 +1276,40 @@ object Search {
         )
         .otherwise(col("text"))
     )
-    analyzedSearch(damaged, "doc_id", "text", fixtureAndTerms.map(_.toUpperCase), topK, requireAll = true)
+
+  /** Analyzer gate on the damaged corpus (the oracle runs the same
+    * damage + the same analyzer chain).
+    */
+  val searchAnalyzed: Q = (s, d) =>
+    analyzedSearch(
+      damagedFixtureDocs(s, d),
+      "doc_id",
+      "text",
+      fixtureAndTerms.map(_.toUpperCase),
+      topK,
+      requireAll = true
+    ).orderBy("rank")
+
+  /** Once-per-process ANALYZED demo index over the damaged corpus,
+    * through the full maintained lifecycle (build-even → append-odd →
+    * compact) — the probe gating it must equal the one-shot corpus
+    * pass.
+    */
+  private[ops] def demoAnalyzedIndexDir(s: SparkSession, d: String): String =
+    Fixtures.demoIndexDir(s, "searchidx_an", d) { dir =>
+      val docs = damagedFixtureDocs(s, d)
+      saveSearchIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", dir, analyzed = true)
+      appendToSearchIndex(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", dir, analyzed = true)
+      compactSearchIndex(s, dir)
+    }
+
+  /** Index-served analyzed search over the damaged corpus: same raw
+    * terms and k as [[searchAnalyzed]], sharing its oracle — the
+    * equality IS the gate.
+    */
+  val searchAnalyzedIndex: Q = (s, d) =>
+    analyzedFromIndex(s, demoAnalyzedIndexDir(s, d), fixtureAndTerms.map(_.toUpperCase), topK, requireAll = true)
       .orderBy("rank")
-  }
 
   /** KWIC (keyword-in-context) snippets — the result-rendering pass of
     * retrieval: every occurrence of the term with a ±window token
@@ -1317,7 +1445,8 @@ object Search {
     "search_rrf_hybrid" -> searchRrfHybrid,
     "search_dedup_results" -> searchDedupResults,
     "search_kwic" -> searchKwic,
-    "search_analyzed" -> searchAnalyzed
+    "search_analyzed" -> searchAnalyzed,
+    "search_analyzed_index" -> searchAnalyzedIndex
   )
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -1616,7 +1745,24 @@ object Search {
     "search_phrase_index" -> oraclePhrase,
     "search_rrf_hybrid" -> oracleRrf,
     "search_dedup_results" -> oracleDedupResults,
-    "search_analyzed" -> {
+    "search_analyzed" -> oracleAnalyzed,
+    // analyzed serving from the persisted apostings relation (through
+    // build→append→compact) must equal the corpus-pass analyzed route
+    "search_analyzed_index" -> oracleAnalyzed,
+    "search_kwic" -> {
+      val t = sqlLit(fixturePhrase._1)
+      s"""WITH pt AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents WHERE contains(text, $t)),
+         |ps AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks), 1)) AS pos FROM pt),
+         |hit AS (SELECT doc_id, pos, toks FROM ps WHERE toks[pos] = $t)
+         |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |  array_to_string(toks[greatest(1, pos - 3):least(len(toks), pos + 3)], ' ') AS snippet
+         |FROM hit ORDER BY doc_id, pos""".stripMargin
+    }
+  )
+
+  private lazy val oracleAnalyzed: String = {
       val terms = fixtureAndTerms.map(analyzeTerm)
       val termList = terms.map(sqlLit).mkString(", ")
       val containsAll = terms.map(t => s"contains(lower(text), ${sqlLit(t)})").mkString(" AND ")
@@ -1662,17 +1808,5 @@ object Search {
          |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rank
          |  FROM scored)
          |SELECT rank, doc_id, score_micro FROM aranked WHERE rank <= $topK ORDER BY rank""".stripMargin
-    },
-    "search_kwic" -> {
-      val t = sqlLit(fixturePhrase._1)
-      s"""WITH pt AS (
-         |  SELECT doc_id, string_split(text, ' ') AS toks
-         |  FROM documents WHERE contains(text, $t)),
-         |ps AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks), 1)) AS pos FROM pt),
-         |hit AS (SELECT doc_id, pos, toks FROM ps WHERE toks[pos] = $t)
-         |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
-         |  array_to_string(toks[greatest(1, pos - 3):least(len(toks), pos + 3)], ' ') AS snippet
-         |FROM hit ORDER BY doc_id, pos""".stripMargin
-    }
-  )
+  }
 }

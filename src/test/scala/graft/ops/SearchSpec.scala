@@ -396,6 +396,33 @@ class SearchSpec extends SparkSpec {
     assert(ranked == Seq((1L, 1L), (2L, 2L), (3L, 3L)), ranked.toString)
   }
 
+  test("analyzedFromIndex: equals the corpus analyzed route through append+compact; apostings scan partition-pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_searchidx_an").toString
+    val docs = Seq(
+      (1L, "CAT dog"),
+      (2L, "[cat] (dog)"),
+      (3L, "cat dog"),
+      (4L, "!!! ??? cat"),
+      (5L, "scatter dogma"),
+      (6L, "Dog. cat, dog")
+    ).toDF("doc_id", "text")
+    Search.saveSearchIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", dir, analyzed = true)
+    Search.appendToSearchIndex(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", dir, analyzed = true)
+    Search.compactSearchIndex(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro"))).toSeq
+    val corpus = rows(Search.analyzedSearch(docs, "doc_id", "text", Seq("Cat", "DOG!"), 10, requireAll = true))
+    val probe = Search.analyzedFromIndex(spark, dir, Seq("Cat", "DOG!"), 10, requireAll = true)
+    assert(rows(probe) == corpus, "index-served analyzed search must equal the corpus analyzed pass")
+    assert(corpus.map(_._2).toSet == Set(1L, 2L, 3L, 6L), corpus.toString)
+    // OR gate from the index too
+    val orCorpus = rows(Search.analyzedSearch(docs, "doc_id", "text", Seq("Cat"), 10, requireAll = false))
+    assert(rows(Search.analyzedFromIndex(spark, dir, Seq("Cat"), 10, requireAll = false)) == orCorpus)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("tbucket"), plan.take(2000))
+    assert(plan.contains("apostings"), "the analyzed probe must serve from the apostings relation")
+  }
+
   test("kwicSnippets: window clamps at doc edges, every occurrence emitted, 1-based positions") {
     val docs = Seq(
       (1L, "cat a b c cat"),      // occurrence at both edges
