@@ -129,6 +129,8 @@ object Bench {
       "search_phrase_index" -> "first_run",
       // builds the once-per-process ANALYZED damaged-corpus demo index
       "search_analyzed_index" -> "first_run",
+      // shares the append+compact lifecycle demo index build
+      "search_phrase3_index" -> "first_run",
       // builds the once-per-process persisted graph + rank snapshot
       "centrality_from_graph" -> "first_run",
       // shares the persisted-graph build; probes are pruned reads

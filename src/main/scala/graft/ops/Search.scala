@@ -550,26 +550,61 @@ object Search {
     rankTop(scored, "score_milli", k)
   }
 
-  /** Phrase search served from the PERSISTED positional postings: both
-    * terms' bucket dirs are statically pruned, then adjacency is a
-    * doc-keyed equi-join pos₂ = pos₁ + 1 between the two terms'
-    * position relations — no corpus pass and no per-document window
-    * (the window form needs every token of a candidate doc; the index
-    * already isolated the two terms' occurrences). Must land on
-    * [[phraseSearch]]'s exact rows — search_phrase_index shares
-    * search_phrase's oracle.
+  /** Two-term convenience overload of the n-term [[phraseFromIndex]]. */
+  def phraseFromIndex(s: SparkSession, indexDir: String, first: String, second: String): DataFrame =
+    phraseFromIndex(s, indexDir, Seq(first, second))
+
+  /** N-TERM phrase search served from the PERSISTED positional
+    * postings — real phrase queries are 3–5 tokens, not 2. The
+    * phrase's (distinct) terms prune the scan to their bucket dirs
+    * statically; a match at (doc, start) means term i sits at
+    * start + i for every offset, so each term's position relation
+    * maps to candidate starts (pos − i) and the fold is k−1 doc-keyed
+    * (doc_id, start) EQUI-joins — no corpus pass, no per-document
+    * window, and never a positions self-join beyond the query's own
+    * terms. The fold is anchored at the RAREST term (a k-row
+    * aggregate over the pruned relation picks the order), so every
+    * intermediate is bounded by the rarest term's occurrence count —
+    * the classic smallest-posting-first phrase plan. A repeated term
+    * ("buffalo buffalo") joins its own relation once per offset,
+    * which is exactly the multiset semantics the window route checks.
+    * Must land on [[phraseSearch]]'s exact rows — the index gates
+    * share the corpus route's oracles.
     */
-  def phraseFromIndex(s: SparkSession, indexDir: String, first: String, second: String): DataFrame = {
-    val buckets = Seq(first, second).map(tokenBucket).distinct
+  def phraseFromIndex(s: SparkSession, indexDir: String, terms: Seq[String]): DataFrame = {
+    require(terms.size >= 2, "phrase search needs at least two terms")
+    val distinctTerms = terms.distinct
+    val buckets = distinctTerms.map(tokenBucket).distinct
     val pos = s.read
       .schema(positionsSchema)
       .parquet(s"$indexDir/positions")
-      .filter(col("tbucket").isin(buckets: _*) && col("token").isin(first, second))
-    val a = pos.filter(col("token") === first).select(col("doc_id"), col("pos"))
-    val b = pos
-      .filter(col("token") === second)
-      .select(col("doc_id").as("doc_id_b"), (col("pos") - 1).as("pos_b"))
-    a.join(b, col("doc_id") === col("doc_id_b") && col("pos") === col("pos_b"))
+      .filter(col("tbucket").isin(buckets: _*) && col("token").isin(distinctTerms: _*))
+      .select(col("token"), col("doc_id"), col("pos"))
+    // per-term occurrence counts: k rows, probe-sized — orders the
+    // fold rarest-first so intermediates never exceed the rarest
+    // term's postings. Each fold arm re-reads the PRUNED dirs (bucket-
+    // sized I/O, and keeping the scans in the plan keeps the
+    // PartitionFilters prune verifiable)
+    val counts = pos
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    val ordered = terms.zipWithIndex.sortBy { case (t, _) => counts.getOrElse(t, 0L) }
+    val (t0, i0) = ordered.head
+    val anchor = pos
+      .filter(col("token") === t0)
+      .select(col("doc_id"), (col("pos") - i0).as("start"))
+    ordered.tail
+      .foldLeft(anchor) { case (acc, (t, i)) =>
+        val arm = pos
+          .filter(col("token") === t)
+          .select(col("doc_id").as("__d"), (col("pos") - i).as("__s"))
+        acc
+          .join(arm, col("doc_id") === col("__d") && col("start") === col("__s"))
+          .select(col("doc_id"), col("start"))
+      }
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_occurrences"))
   }
@@ -1130,19 +1165,32 @@ object Search {
     phraseFromIndex(s, demoAppendedSearchIndexDir(s, d), fixturePhrase._1, fixturePhrase._2)
       .orderBy("doc_id")
 
-  def phraseSearch(docs: DataFrame, idCol: String, textCol: String, first: String, second: String): DataFrame = {
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String, first: String, second: String): DataFrame =
+    phraseSearch(docs, idCol, textCol, Seq(first, second))
+
+  /** N-term corpus-pass phrase match: one posexplode over the
+    * contains-pruned candidates, then lead(token, i) per offset over
+    * the per-document window — a single pass whatever the phrase
+    * length (k−1 lead columns share one window sort).
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val pruned = docs.filter(col(textCol).contains(first) && col(textCol).contains(second))
+    require(terms.size >= 2, "phrase search needs at least two terms")
+    val pruned = docs.filter(terms.distinct.map(t => col(textCol).contains(t)).reduce(_ && _))
     val pos = pruned.select(
       col(idCol).cast("long").as("doc_id"),
       posexplode(split(col(textCol), " ")).as(Seq("pos", "token"))
     )
-    pos
-      .withColumn(
-        "next_token",
-        lead(col("token"), 1).over(Window.partitionBy(col("doc_id")).orderBy(col("pos")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val withLeads = terms.indices.tail.foldLeft(pos) { (df, i) =>
+      df.withColumn(s"__next_$i", lead(col("token"), i).over(w))
+    }
+    withLeads
+      .filter(
+        terms.indices.tail
+          .map(i => col(s"__next_$i") === terms(i))
+          .foldLeft(col("token") === terms.head)(_ && _)
       )
-      .filter(col("token") === first && col("next_token") === second)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_occurrences"))
   }
@@ -1150,6 +1198,22 @@ object Search {
   val searchPhrase: Q = (s, d) =>
     phraseSearch(documents(s, d), "doc_id", "text", fixturePhrase._1, fixturePhrase._2)
       .orderBy("doc_id")
+
+  /** 3-term fixture phrase (oracle-pinned): extends [[fixturePhrase]]
+    * by one token, ~5 occurrences at sf0.01.
+    */
+  private[ops] val fixturePhrase3 = Seq("hash", "join", "big")
+
+  /** Trigram corpus-pass route. */
+  val searchPhrase3: Q = (s, d) =>
+    phraseSearch(documents(s, d), "doc_id", "text", fixturePhrase3).orderBy("doc_id")
+
+  /** Trigram served from the MAINTAINED index (build-even → append-odd
+    * → compact), sharing [[searchPhrase3]]'s oracle — the n-term fold
+    * through the whole positional-postings lifecycle in one gate.
+    */
+  val searchPhrase3Index: Q = (s, d) =>
+    phraseFromIndex(s, demoAppendedSearchIndexDir(s, d), fixturePhrase3).orderBy("doc_id")
 
   /** The token ANALYZER: lowercase + strip non-alphanumeric edges —
     * applied IDENTICALLY to corpus tokens and query terms, which is
@@ -1442,6 +1506,8 @@ object Search {
     "search_disjunctive_index" -> searchDisjunctiveIndex,
     "search_phrase" -> searchPhrase,
     "search_phrase_index" -> searchPhraseIndex,
+    "search_phrase3" -> searchPhrase3,
+    "search_phrase3_index" -> searchPhrase3Index,
     "search_rrf_hybrid" -> searchRrfHybrid,
     "search_dedup_results" -> searchDedupResults,
     "search_kwic" -> searchKwic,
@@ -1683,25 +1749,32 @@ object Search {
        |  doc_id, cluster_id, CAST(rank AS BIGINT) AS orig_rank
        |FROM best WHERE rn = 1 ORDER BY new_rank""".stripMargin
 
-  /** Shared by search_phrase (corpus window pass) and
-    * search_phrase_index (positional-postings serve through the
-    * append+compact lifecycle).
+  /** N-term phrase oracle — shared by the corpus window routes and the
+    * positional-postings index serves (through the append+compact
+    * lifecycle); the k−1 leads mirror the Spark window route exactly.
     */
-  private lazy val oraclePhrase: String = {
-    val (a, b) = fixturePhrase
+  private def oraclePhraseSql(terms: Seq[String]): String = {
+    val containsAll = terms.distinct.map(t => s"contains(text, ${sqlLit(t)})").mkString(" AND ")
+    val leads = terms.indices.tail
+      .map(i => s"lead(token, $i) OVER (PARTITION BY doc_id ORDER BY pos) AS next_$i")
+      .mkString(",\n  |    ")
+    val gate = (s"token = ${sqlLit(terms.head)}" +:
+      terms.indices.tail.map(i => s"next_$i = ${sqlLit(terms(i))}")).mkString(" AND ")
     s"""WITH pt AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks, len(string_split(text, ' ')) AS n
-       |  FROM documents WHERE contains(text, ${sqlLit(a)}) AND contains(text, ${sqlLit(b)})),
+       |  FROM documents WHERE $containsAll),
        |ps AS (SELECT doc_id, toks, unnest(generate_series(1, n, 1)) AS pos FROM pt),
        |px AS (SELECT doc_id, pos, toks[pos] AS token FROM ps),
        |w AS (
        |  SELECT doc_id, token,
-       |    lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS next_token
+       |    $leads
        |  FROM px)
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
-       |FROM w WHERE token = ${sqlLit(a)} AND next_token = ${sqlLit(b)}
+       |FROM w WHERE $gate
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
+
+  private lazy val oraclePhrase: String = oraclePhraseSql(Seq(fixturePhrase._1, fixturePhrase._2))
 
   def oracles: Map[String, String] = Map(
     "search_postings" ->
@@ -1743,6 +1816,10 @@ object Search {
     // index-served phrase (through build→append→compact) must equal
     // the corpus-pass window route row for row
     "search_phrase_index" -> oraclePhrase,
+    "search_phrase3" -> oraclePhraseSql(fixturePhrase3),
+    // the n-term fold from the maintained index shares the corpus
+    // trigram oracle — rarest-first equi-join chain ≡ window route
+    "search_phrase3_index" -> oraclePhraseSql(fixturePhrase3),
     "search_rrf_hybrid" -> oracleRrf,
     "search_dedup_results" -> oracleDedupResults,
     "search_analyzed" -> oracleAnalyzed,

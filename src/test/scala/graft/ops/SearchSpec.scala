@@ -243,6 +243,36 @@ class SearchSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [") && plan.contains("tbucket"), plan.take(2000))
   }
 
+  test("n-term phraseFromIndex: overlapping + repeated-term phrases equal the corpus window route; scan pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_searchidx_phrase3").toString
+    val docs = Seq(
+      (1L, "a b c a b c a b c"), // 3 overlapping "a b c"
+      (2L, "a b x c"),           // terms present, never consecutive
+      (3L, "c b a"),             // reversed
+      (4L, "x a b c y"),         // 1 interior occurrence
+      (5L, "a a a a"),           // repeated-term phrase fodder
+      (6L, "b c a b")            // wraps but one "a b" at the end? a@3 b@4 -> no c
+    ).toDF("doc_id", "text")
+    Search.saveSearchIndex(docs.filter(col("doc_id") <= 3), "doc_id", "text", dir)
+    Search.appendToSearchIndex(docs.filter(col("doc_id") > 3), "doc_id", "text", dir)
+    Search.compactSearchIndex(spark, dir)
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_occurrences")).toMap
+    val probe = Search.phraseFromIndex(spark, dir, Seq("a", "b", "c"))
+    assert(m(probe) == Map(1L -> 3L, 4L -> 1L), m(probe).toString)
+    assert(m(probe) == m(Search.phraseSearch(docs, "doc_id", "text", Seq("a", "b", "c"))))
+    // repeated-term phrase: "a a a" occurs twice in doc 5 (pos 1-3, 2-4)
+    val rep = Search.phraseFromIndex(spark, dir, Seq("a", "a", "a"))
+    assert(m(rep) == Map(5L -> 2L), m(rep).toString)
+    assert(m(rep) == m(Search.phraseSearch(docs, "doc_id", "text", Seq("a", "a", "a"))))
+    // 4-term
+    val four = Search.phraseFromIndex(spark, dir, Seq("c", "a", "b", "c"))
+    assert(m(four) == Map(1L -> 2L), m(four).toString)
+    assert(m(four) == m(Search.phraseSearch(docs, "doc_id", "text", Seq("c", "a", "b", "c"))))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("tbucket"), plan.take(2000))
+  }
+
   test("bm25BatchFromIndex: each query's rows equal its single-query index route; group-limited") {
     val dir = java.nio.file.Files.createTempDirectory("graft_searchidx_bm25b").toString
     def pad(n: Int) = Seq.fill(n)("filler").mkString(" ")
