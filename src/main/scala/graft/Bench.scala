@@ -131,6 +131,10 @@ object Bench {
       "search_analyzed_index" -> "first_run",
       // shares the append+compact lifecycle demo index build
       "search_phrase3_index" -> "first_run",
+      // shares the postings-index + IVF-index demo builds
+      "search_rrf_index" -> "first_run",
+      // builds the once-per-process persisted cluster map (LSH + CC)
+      "search_dedup_results_graph" -> "first_run",
       // builds the once-per-process persisted graph + rank snapshot
       "centrality_from_graph" -> "first_run",
       // shares the persisted-graph build; probes are pruned reads

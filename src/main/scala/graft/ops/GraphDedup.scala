@@ -345,7 +345,7 @@ object GraphDedup {
     * exactly the rows the relabel must read anyway, so pruning still
     * strictly wins.
     */
-  private def cbucketExpr(nBuckets: Int, c: org.apache.spark.sql.Column) =
+  private[ops] def cbucketExpr(nBuckets: Int, c: org.apache.spark.sql.Column) =
     pmod(xxhash64(c), lit(nBuckets.toLong)).cast("int")
 
   /** The secondary index lives INSIDE the map dir under an

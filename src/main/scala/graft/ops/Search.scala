@@ -1455,6 +1455,34 @@ object Search {
       .orderBy(desc("rrf_micro"), asc("id"))
   }
 
+  /** The hybrid page served END-TO-END from persisted artifacts — the
+    * production read path: the lexical list from the token-bucketed
+    * search index ([[bm25FromIndex]]: pruned buckets + meta scalars,
+    * zero corpus passes) fused with the vector list from the persisted
+    * IVF index ([[Similarity.ivfTopKFromIndex]]: centroid table +
+    * pruned list partitions). The fixture probes ALL 16 lists
+    * (nProbe = nLists), which makes IVF exhaustive-exact, so the fused
+    * page must equal [[searchRrfHybrid]]'s corpus-derived page bit for
+    * bit — search_rrf_index shares search_rrf_hybrid's oracle, and
+    * that equality is the gate. Production sets nProbe < nLists and
+    * accepts ANN recall on the vector leg; the fusion arithmetic is
+    * unchanged.
+    */
+  val searchRrfIndex: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25FromIndex(s, demoSearchIndexDir(s, d), fixtureOrTerms, topK)
+      .select(col("doc_id").as("id"), col("rank"))
+    val vec = Similarity
+      .ivfTopKFromIndex(s, Similarity.demoIvfIndexDir(s, d), queryId = 0L, k = topK, nProbe = 16)
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(desc("cos_sim"), asc("vec_id"))).cast("bigint")
+      )
+      .select(col("vec_id").as("id"), col("rank"))
+    rrfFuse(Seq("lex" -> lex, "vec" -> vec))
+      .orderBy(desc("rrf_micro"), asc("id"))
+  }
+
   /** CLUSTER-DEDUPED search results — retrieval-side diversification:
     * a result page full of near-duplicates of one document wastes the
     * whole page, so hits are collapsed to the best-ranked member of
@@ -1492,6 +1520,58 @@ object Search {
     dedupedResults(hits, lab).orderBy("new_rank")
   }
 
+  /** Bucket count of the demo persisted cluster map (saveClusterMap's
+    * default layout).
+    */
+  private val cmapBuckets = 32
+
+  /** Once-per-process PERSISTED near-dup cluster map over the fixture
+    * corpus — the [[GraphDedup.saveClusterMap]] serving artifact the
+    * deduped-results page reads in production (every doc labeled;
+    * singletons label themselves, so a hit can never fall out of the
+    * join). Same edges and labels as dedup_clusters.
+    */
+  private[ops] def demoClusterMapDir(s: SparkSession, d: String): String =
+    Fixtures.demoIndexDir(s, "cmap", d) { dir =>
+      val docs = documents(s, d)
+      val edges = Dedup
+        .lshCandidatesWithJaccard(docs, "doc_id", "text")
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val lab = GraphDedup.clusterMap(docs, GraphDedup.connectedComponents(edges))
+      GraphDedup.saveClusterMap(lab.select(col("doc_id").as("node"), col("cluster_id")), dir, cmapBuckets)
+    }
+
+  /** The deduped result page served END-TO-END from persisted
+    * artifacts: hits from the token-bucketed search index
+    * ([[disjunctiveFromIndex]]), labels from the persisted cluster
+    * map — and the map read is PRUNED to the hits' bucket dirs (the
+    * hit list is request-sized, so collecting its ≤k bucket ids is a
+    * bytes-scale driver step, the incremental-dedup probe pattern).
+    * Neither the corpus nor the full map is scanned; shares
+    * search_dedup_results' oracle — re-derived hits and labels must
+    * equal the served bytes row for row.
+    */
+  val searchDedupResultsGraph: Q = (s, d) => {
+    val hits = disjunctiveFromIndex(s, demoSearchIndexDir(s, d), fixtureOrTerms, dedupResultsK)
+      .select(col("rank"), col("doc_id"))
+      // request-sized; one materialization feeds the bucket collect
+      // and the label join
+      .localCheckpoint(true)
+    val dir = demoClusterMapDir(s, d)
+    val hitBuckets = hits
+      .select(GraphDedup.cbucketExpr(cmapBuckets, col("doc_id")).as("b"))
+      .distinct()
+      .collect()
+      .map(_.getInt(0))
+      .toSeq
+    val lab = s.read
+      .parquet(dir)
+      .filter(col("bucket").isin(hitBuckets: _*))
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    dedupedResults(hits, lab).orderBy("new_rank")
+  }
+
   def queries: Map[String, Q] = Map(
     "search_postings" -> searchPostings,
     "search_conjunctive" -> searchConjunctive,
@@ -1509,7 +1589,9 @@ object Search {
     "search_phrase3" -> searchPhrase3,
     "search_phrase3_index" -> searchPhrase3Index,
     "search_rrf_hybrid" -> searchRrfHybrid,
+    "search_rrf_index" -> searchRrfIndex,
     "search_dedup_results" -> searchDedupResults,
+    "search_dedup_results_graph" -> searchDedupResultsGraph,
     "search_kwic" -> searchKwic,
     "search_analyzed" -> searchAnalyzed,
     "search_analyzed_index" -> searchAnalyzedIndex
@@ -1821,7 +1903,13 @@ object Search {
     // trigram oracle — rarest-first equi-join chain ≡ window route
     "search_phrase3_index" -> oraclePhraseSql(fixturePhrase3),
     "search_rrf_hybrid" -> oracleRrf,
+    // served from the persisted search + IVF indexes (exhaustive
+    // probe → exact), must equal the corpus-derived hybrid page
+    "search_rrf_index" -> oracleRrf,
     "search_dedup_results" -> oracleDedupResults,
+    // hits from the persisted search index, labels from the persisted
+    // cluster map pruned to the hits' buckets — same page, from bytes
+    "search_dedup_results_graph" -> oracleDedupResults,
     "search_analyzed" -> oracleAnalyzed,
     // analyzed serving from the persisted apostings relation (through
     // build→append→compact) must equal the corpus-pass analyzed route

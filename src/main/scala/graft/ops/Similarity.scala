@@ -780,10 +780,15 @@ object Similarity {
     * across concurrent sessions, and bench reps after the first
     * measure the served probe, as a deployment would.
     */
-  val annIvfTopkIndex: Q = (s, d) => {
-    val dir = Fixtures.demoIndexDir(s, "ivf", d)(saveIvfIndex(embeddings(s, d), 16, _))
-    ivfTopKFromIndex(s, dir, queryId = 0L, k = 10, nProbe = 4)
-  }
+  /** Once-per-process persisted IVF index over the fixture embeddings
+    * (16 seeded lists) — shared by the ANN probes and the hybrid
+    * retrieval page.
+    */
+  private[ops] def demoIvfIndexDir(s: SparkSession, d: String): String =
+    Fixtures.demoIndexDir(s, "ivf", d)(saveIvfIndex(embeddings(s, d), 16, _))
+
+  val annIvfTopkIndex: Q = (s, d) =>
+    ivfTopKFromIndex(s, demoIvfIndexDir(s, d), queryId = 0L, k = 10, nProbe = 4)
 
   /** SemDeDup (Abbas et al. 2023): semantic dedup scoped to embedding
     * clusters — pairwise exact cosine runs ONLY within a k-means list,

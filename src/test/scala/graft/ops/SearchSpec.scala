@@ -503,6 +503,23 @@ class SearchSpec extends SparkSpec {
     assert(got == Seq((1L, 10L, 100L, 1L), (2L, 12L, 12L, 3L)), got.toString)
   }
 
+  test("persisted-artifact serving: RRF and deduped pages equal the corpus-derived pages; map read pruned") {
+    val d = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    assert(
+      rows(Search.searchRrfIndex(spark, d)) == rows(Search.searchRrfHybrid(spark, d)),
+      "index-served hybrid page must equal the corpus-derived page (exhaustive IVF probe)"
+    )
+    val served = Search.searchDedupResultsGraph(spark, d)
+    assert(
+      rows(served) == rows(Search.searchDedupResults(spark, d)),
+      "deduped page from persisted index + cluster map must equal the re-derived page"
+    )
+    // the cluster-map scan must be pruned to the hits' bucket dirs
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("bucket"), plan.take(2000))
+  }
+
   test("fixture searches are non-degenerate at sf0.001") {
     val d = "/root/testdata/sf0.001"
     assert(Search.queries("search_postings")(spark, d).count() > 0)
