@@ -135,6 +135,8 @@ object Bench {
       "search_rrf_index" -> "first_run",
       // builds the once-per-process persisted cluster map (LSH + CC)
       "search_dedup_results_graph" -> "first_run",
+      // builds the once-per-process two-increment persisted sketch
+      "sketch_distinct_merged" -> "first_run",
       // builds the once-per-process persisted graph + rank snapshot
       "centrality_from_graph" -> "first_run",
       // shares the persisted-graph build; probes are pruned reads

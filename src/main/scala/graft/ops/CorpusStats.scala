@@ -800,6 +800,49 @@ object CorpusStats {
       .withColumn("est_milli", lcEstimateCol(m))
   }
 
+  /** OCCUPANCY-ONLY linear counting — the PRODUCTION signature: no
+    * exact countDistinct rides along. The exact column in
+    * [[linearCountDistinct]] exists as the fixture's accuracy gate,
+    * but at 100 TB it IS the whole cost (every distinct value
+    * shuffles); this form's shuffle carries at most m bucket ids
+    * however many input rows.
+    */
+  def linearCountOccupancy(df: DataFrame, valueCol: String, m: Int): DataFrame =
+    df.agg(countDistinct(lcBucketCol(col(valueCol), m)).cast("long").as("occupied"))
+      .withColumn("est_milli", lcEstimateCol(m))
+
+  /** The sketch STATE as a relation: the distinct occupied slot ids
+    * (≤ m rows whatever the input cardinality). Linear counting's
+    * merge law is exact — occupied(A ∪ B) = occupied(A) ∪ occupied(B)
+    * — so increments sketch independently and merge by set union,
+    * which is what makes the sketch maintainable across days/shards
+    * without re-reading history.
+    */
+  def lcOccupiedSlots(df: DataFrame, valueCol: String, m: Int): DataFrame =
+    df.select(lcBucketCol(col(valueCol), m).as("slot")).distinct()
+
+  /** Persist one increment's occupied-slot set (append: the union on
+    * disk may hold a slot several times across increments; the reader
+    * re-distincts — the merge law makes that harmless).
+    */
+  def appendDistinctSketch(df: DataFrame, valueCol: String, m: Int, dir: String): Unit =
+    lcOccupiedSlots(df, valueCol, m)
+      .coalesce(1) // ≤ m rows — sketch-sized, one file per increment
+      .write
+      .mode("append")
+      .parquet(dir)
+
+  /** Estimate from a persisted sketch dir: distinct the unioned slot
+    * sets (≤ m · increments rows in, ≤ m out) and apply the estimator
+    * — by the merge law this EQUALS the one-shot sketch over the
+    * concatenated inputs, which is the oracle gate.
+    */
+  def mergedSketchEstimate(spark: SparkSession, dir: String, m: Int): DataFrame =
+    spark.read
+      .parquet(dir)
+      .agg(countDistinct(col("slot")).cast("long").as("occupied"))
+      .withColumn("est_milli", lcEstimateCol(m))
+
   /** GROUPED linear counting — the sketch as a per-key aggregate
     * (distinct users per hour, distinct docs per source…): occupancy
     * per key is countDistinct over (key, bucket) pairs, so the
@@ -830,8 +873,27 @@ object CorpusStats {
       .orderBy("column_name")
   }
 
+  /** Two-increment PERSISTED sketch lifecycle as an oracle-gated
+    * query: the lineitem key column arrives as two increments (even /
+    * odd orderkeys), each sketched independently to its occupied-slot
+    * set and appended to the sketch dir; the merged estimate must
+    * equal the one-shot sketch over the whole table — the merge law
+    * IS the gate (the oracle computes the one-shot occupancy).
+    */
+  val sketchDistinctMerged: Q = (s, d) => {
+    val dir = Fixtures.demoIndexDir(s, "lcsketch", d) { dir =>
+      val li = lineitem(s, d)
+      appendDistinctSketch(li.filter(col("l_orderkey") % 2 === 0), "l_partkey", lcBuckets, dir)
+      appendDistinctSketch(li.filter(col("l_orderkey") % 2 =!= 0), "l_partkey", lcBuckets, dir)
+    }
+    mergedSketchEstimate(s, dir, lcBuckets)
+      .withColumn("column_name", lit("l_partkey"))
+      .select(col("column_name"), col("occupied"), col("est_milli"))
+  }
+
   def queries: Map[String, Q] = Map(
     "sketch_distinct" -> sketchDistinct,
+    "sketch_distinct_merged" -> sketchDistinctMerged,
     "corpus_cube" -> corpusCubeQ,
     "zipf_fit" -> zipfFitQ,
     "pmi_top_pairs" -> pmiTopPairsQ,
@@ -865,6 +927,17 @@ object CorpusStats {
          |  ELSE NULL END AS est_milli
          |FROM rows0 ORDER BY column_name""".stripMargin
     },
+    // merged two-increment sketch ≡ one-shot sketch (the merge law is
+    // exact), so the oracle computes the one-shot occupancy directly
+    "sketch_distinct_merged" ->
+      s"""WITH o AS (
+         |  SELECT CAST(count(DISTINCT ${Dedup.hex12ValSql("md5('lc|' || CAST(l_partkey AS VARCHAR))", 1)} % $lcBuckets) AS BIGINT) AS occupied
+         |  FROM lineitem)
+         |SELECT 'l_partkey' AS column_name, occupied,
+         |  CASE WHEN occupied < $lcBuckets THEN
+         |    CAST(floor(-1.0 * $lcBuckets * ln(1.0 - CAST(occupied AS DOUBLE) / $lcBuckets) * 1000) AS BIGINT)
+         |  ELSE NULL END AS est_milli
+         |FROM o""".stripMargin,
     // the sketch route is exact by construction (no false negatives +
     // exact recount), so the oracle is the PLAIN heavy-hitter query
     "sketch_topk_tokens" ->

@@ -625,4 +625,26 @@ class MixtureCorpusStatsSpec extends SparkSpec {
       "global top-k must plan as per-partition heaps, not a full sort"
     )
   }
+
+  test("linear counting: occupancy-only form matches the gated form; persisted merge law is exact; state <= m") {
+    import spark.implicits._
+    val m = 64
+    val vals = (1L to 500L).map(i => i % 97).toDF("v") // 97 distinct, saturating nowhere
+    val gated = CorpusStats.linearCountDistinct(vals, "v", m).head()
+    val occOnly = CorpusStats.linearCountOccupancy(vals, "v", m).head()
+    // same occupancy and estimate, but NO exact column in the schema
+    assert(occOnly.schema.fieldNames.toSeq == Seq("occupied", "est_milli"))
+    assert(occOnly.getLong(0) == gated.getAs[Long]("occupied"))
+    assert(occOnly.getLong(1) == gated.getAs[Long]("est_milli"))
+    // persisted two-increment merge ≡ one-shot sketch, state bounded
+    val dir = java.nio.file.Files.createTempDirectory("graft_lc").toString + "/sk"
+    CorpusStats.appendDistinctSketch(vals.filter(col("v") % 2 === 0), "v", m, dir)
+    CorpusStats.appendDistinctSketch(vals.filter(col("v") % 2 =!= 0), "v", m, dir)
+    val merged = CorpusStats.mergedSketchEstimate(spark, dir, m).head()
+    assert((merged.getLong(0), merged.getLong(1)) == ((occOnly.getLong(0), occOnly.getLong(1))))
+    assert(spark.read.parquet(dir).distinct().count() <= m.toLong, "slot state must stay <= m")
+    // saturated sketch reports NULL, never ±∞
+    val sat = CorpusStats.linearCountOccupancy((1L to 5000L).toDF("v"), "v", 16).head()
+    assert(sat.isNullAt(1), "saturated estimate must be NULL")
+  }
 }
