@@ -137,6 +137,8 @@ object Bench {
       "search_dedup_results_graph" -> "first_run",
       // builds the once-per-process two-increment persisted sketch
       "sketch_distinct_merged" -> "first_run",
+      // builds the once-per-process labeled bitext bucket index
+      "bitext_mine_index" -> "first_run",
       // builds the once-per-process persisted graph + rank snapshot
       "centrality_from_graph" -> "first_run",
       // shares the persisted-graph build; probes are pruned reads

@@ -339,6 +339,68 @@ object Similarity {
   val bitextMine: Q = (s, d) =>
     minedBitext(embeddings(s, d), k = 4, minMarginMicro = 1010000L).orderBy("x_id")
 
+  /** Persisted BITEXT candidate index: sign-LSH buckets WITH the side
+    * label, partitioned by bucket — the artifact a production mining
+    * job builds once per corpus snapshot and mines from repeatedly.
+    * (The dedup bucket index drops the label; mining needs it to pair
+    * across sides.)
+    */
+  def saveBitextBucketIndex(emb: DataFrame, dir: String): Unit =
+    lshBuckets(emb)
+      .select(col("vec_id"), col("label"), col("v"), col("bucket_id"))
+      .repartition(col("bucket_id"))
+      .write
+      .mode("overwrite")
+      .partitionBy("bucket_id")
+      .parquet(s"$dir/buckets")
+
+  /** Bitext mining AT INDEX SHAPE — the scale path [[minedBitextFrom]]
+    * documents, now end to end from bytes: candidates are the
+    * CROSS-SIDE pairs within each persisted LSH bucket (each vector
+    * lives in exactly one bucket, so a pair arises at most once and
+    * pair volume is Σ_b |x_b|·|y_b|, never |X|·|Y|), cos recomputed
+    * exact per candidate, and the margin tail is [[minedBitextFrom]]
+    * verbatim — margins against the RESTRICTED neighborhoods, the
+    * approximation the mining literature runs at scale. The oracle
+    * re-derives the same restricted relation (the LSH sign arithmetic
+    * is engine-portable), so the approximation is oracle-gated, not
+    * just documented.
+    */
+  def minedBitextFromIndex(s: SparkSession, dir: String, k: Int, minMarginMicro: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val idx = s.read.parquet(s"$dir/buckets")
+    val xs = idx
+      .filter(col("label") === 0)
+      .select(col("vec_id").as("x_id"), col("bucket_id"), col("v").as("xv"))
+    val ys = idx
+      .filter(col("label") === 1)
+      .select(col("vec_id").as("y_id"), col("bucket_id").as("bucket_y"), col("v").as("yv"))
+    // in-bucket shuffle join — never a broadcast of a corpus side
+    val cand = xs
+      .join(ys.hint("shuffle_hash"), col("bucket_id") === col("bucket_y"))
+      .withColumn(
+        "cos_micro",
+        expr("CAST(floor(round(cosine_sim(xv, yv), 6) * 1000000) AS BIGINT)")
+      )
+      .select("x_id", "y_id", "cos_micro")
+    minedBitextFrom(cand, k, minMarginMicro)
+  }
+
+  /** Once-per-process persisted bitext bucket index over the fixture
+    * embeddings.
+    */
+  private[ops] def demoBitextIndexDir(s: SparkSession, d: String): String =
+    Fixtures.demoIndexDir(s, "bitext", d)(saveBitextBucketIndex(embeddings(s, d), _))
+
+  /** The index-restricted mining route, oracle-gated: same k and
+    * margin floor as [[bitextMine]], margins recomputed against the
+    * bucket-restricted neighborhoods (the oracle replays the
+    * restriction).
+    */
+  val bitextMineIndex: Q = (s, d) =>
+    minedBitextFromIndex(s, demoBitextIndexDir(s, d), k = 4, minMarginMicro = 1010000L)
+      .orderBy("x_id")
+
   /** Embedding-cosine near-duplicate pairs, LSH-bucketed: candidate
     * pairs exist only within a sign-bucket (256 buckets → ~256× fewer
     * pairs than all-pairs), then exact cosine ≥ threshold confirms.
@@ -1521,6 +1583,7 @@ object Similarity {
     "ann_hard_negatives" -> annHardNegatives,
     "ann_hard_negatives_index" -> annHardNegativesIndex,
     "bitext_mine" -> bitextMine,
+    "bitext_mine_index" -> bitextMineIndex,
     "sample_bucket_balanced" -> sampleBucketBalanced,
     "dedup_embedding_cosine" -> dedupEmbeddingCosine,
     "dedup_incremental_embedding" -> dedupIncrementalEmbedding,
@@ -1673,6 +1736,33 @@ object Similarity {
          |    CAST(floor(round(list_dot_product(xv, yv) /
          |         (sqrt(list_dot_product(xv, xv)) * sqrt(list_dot_product(yv, yv))), 6) * 1000000) AS BIGINT) AS cos_micro
          |  FROM x, y),
+         |rx AS (SELECT x_id, y_id, cos_micro,
+         |  row_number() OVER (PARTITION BY x_id ORDER BY cos_micro DESC, y_id ASC) AS rk FROM p),
+         |ry AS (SELECT x_id, y_id, cos_micro,
+         |  row_number() OVER (PARTITION BY y_id ORDER BY cos_micro DESC, x_id ASC) AS rk FROM p),
+         |kx AS (SELECT x_id, CAST(sum(cos_micro) AS BIGINT) AS knn_x FROM rx WHERE rk <= 4 GROUP BY x_id),
+         |ky AS (SELECT y_id, CAST(sum(cos_micro) AS BIGINT) AS knn_y FROM ry WHERE rk <= 4 GROUP BY y_id),
+         |f AS (SELECT x_id, y_id, cos_micro FROM rx WHERE rk = 1),
+         |m AS (
+         |  SELECT f.x_id, f.y_id, f.cos_micro,
+         |    CAST(floor(f.cos_micro * 8000000.0 / (kx.knn_x + ky.knn_y)) AS BIGINT) AS margin_micro
+         |  FROM f JOIN kx USING (x_id) JOIN ky USING (y_id)
+         |  WHERE kx.knn_x + ky.knn_y > 0)
+         |SELECT x_id, y_id, cos_micro, margin_micro
+         |FROM m WHERE margin_micro >= 1010000 ORDER BY x_id""".stripMargin,
+    // index-restricted mining: the SAME margin tail over the in-bucket
+    // cross-side candidate relation (LSH sign arithmetic is portable),
+    // so the documented at-scale approximation is itself oracle-gated
+    "bitext_mine_index" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, label, v, CAST($bucketDuckSql AS BIGINT) AS bucket_id FROM e),
+         |x AS (SELECT vec_id AS x_id, bucket_id, v AS xv FROM b WHERE label = 0),
+         |y AS (SELECT vec_id AS y_id, bucket_id, v AS yv FROM b WHERE label = 1),
+         |p AS (
+         |  SELECT x_id, y_id,
+         |    CAST(floor(round(list_dot_product(xv, yv) /
+         |         (sqrt(list_dot_product(xv, xv)) * sqrt(list_dot_product(yv, yv))), 6) * 1000000) AS BIGINT) AS cos_micro
+         |  FROM x JOIN y USING (bucket_id)),
          |rx AS (SELECT x_id, y_id, cos_micro,
          |  row_number() OVER (PARTITION BY x_id ORDER BY cos_micro DESC, y_id ASC) AS rk FROM p),
          |ry AS (SELECT x_id, y_id, cos_micro,

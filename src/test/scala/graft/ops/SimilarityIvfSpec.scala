@@ -651,4 +651,27 @@ class SimilarityIvfSpec extends SparkSpec {
     // and the restriction actually changed the neighborhoods vs full
     assert(got != full)
   }
+
+  test("minedBitextFromIndex: equals the seam fed the in-bucket restriction of the cross product") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val d = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft_bitext_idx").toString
+    val emb = graft.ops.Fixtures.embeddings(spark, d)
+    Similarity.saveBitextBucketIndex(emb, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    val viaIndex = rows(Similarity.minedBitextFromIndex(spark, dir, 4, Long.MinValue))
+    // independent restriction: bucket each vector in memory, keep only
+    // same-bucket cross-side pairs, feed the seam directly
+    val b = Similarity.lshBuckets(emb).select(col("vec_id"), col("label"), col("v"), col("bucket_id"))
+    val xs = b.filter(col("label") === 0).select(col("vec_id").as("x_id"), col("bucket_id"), col("v").as("xv"))
+    val ys = b.filter(col("label") === 1).select(col("vec_id").as("y_id"), col("bucket_id").as("bb"), col("v").as("yv"))
+    val restricted = xs
+      .join(ys, col("bucket_id") === col("bb"))
+      .withColumn("cos_micro", expr("CAST(floor(round(cosine_sim(xv, yv), 6) * 1000000) AS BIGINT)"))
+      .select("x_id", "y_id", "cos_micro")
+    assert(viaIndex == rows(Similarity.minedBitextFrom(restricted, 4, Long.MinValue)))
+    assert(viaIndex.nonEmpty, "the fixture restriction must leave candidates")
+  }
 }
