@@ -129,6 +129,8 @@ object Bench {
       "search_phrase_index" -> "first_run",
       // builds the once-per-process ANALYZED damaged-corpus demo index
       "search_analyzed_index" -> "first_run",
+      // shares the analyzed demo index build (apostings + ameta)
+      "search_analyzed_bm25_index" -> "first_run",
       // shares the append+compact lifecycle demo index build
       "search_phrase3_index" -> "first_run",
       // shares the postings-index + IVF-index demo builds

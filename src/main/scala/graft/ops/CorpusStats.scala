@@ -857,6 +857,15 @@ object CorpusStats {
       )
       .withColumn("est_milli", lcEstimateCol(m))
 
+  /** Grouped occupancy-only form — [[linearCountOccupancy]] per key:
+    * shuffle bounded by |keys|·m however many input rows, no exact
+    * column.
+    */
+  def linearCountOccupancyBy(df: DataFrame, keyCol: String, valueCol: String, m: Int): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(countDistinct(lcBucketCol(col(valueCol), m)).cast("long").as("occupied"))
+      .withColumn("est_milli", lcEstimateCol(m))
+
   private val lcBuckets = 4096
 
   /** Three key columns of three tables through the same sketch — the

@@ -98,6 +98,19 @@ object Search {
       )
       .select(col("token"), col("doc_id"), col("pos").cast("long").as("pos"))
 
+  /** The analyzer as a SQL snippet usable inside array lambdas —
+    * byte-identical semantics to [[analyzeCol]] (regexp_replace in
+    * Spark SQL is global, matching the Column form).
+    */
+  private def analyzeSql(inner: String): String =
+    s"regexp_replace(lower($inner), '^[^a-z0-9]+|[^a-z0-9]+$$', '')"
+
+  /** The document's ANALYZED token array: every whitespace token
+    * through the analyzer, pure-punct (empty) results dropped.
+    */
+  private def atoksCol(textCol: String): org.apache.spark.sql.Column =
+    expr(s"filter(transform(split($textCol, ' '), t -> ${analyzeSql("t")}), t -> t != '')")
+
   /** (token, doc_id, tf) postings over the ANALYZED token stream —
     * lowercase + punctuation-stripped ([[analyzeCol]]), pure-punct
     * tokens dropped. The relation the analyzed index routes serve
@@ -111,6 +124,24 @@ object Search {
       .filter(col("token") =!= "")
       .groupBy(col("token"), col("doc_id"))
       .agg(count(lit(1)).as("tf"))
+
+  /** [[analyzedPostings]] with the ANALYZED document length (count of
+    * non-empty analyzed tokens) denormalized onto every row — the
+    * persisted form, mirroring [[postingsWithDl]]: analyzed BM25's
+    * normalizer rides the posting row, so the analyzed ranked probe
+    * reads nothing doc-keyed.
+    */
+  private def analyzedPostingsWithDl(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), atoksCol(textCol).as("atoks"))
+      .select(
+        col("doc_id"),
+        size(col("atoks")).cast("long").as("adl"),
+        explode(col("atoks")).as("token")
+      )
+      .groupBy(col("token"), col("doc_id"), col("adl"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("token"), col("doc_id"), col("tf"), col("adl"))
 
   /** (doc_id, dl) document token lengths — BM25's length normalizer,
     * recorded at build time so an index probe never needs the corpus.
@@ -361,13 +392,14 @@ object Search {
     .add("pos", "long")
     .add("tbucket", "long")
 
-  /** Schema of `dir/apostings` — ANALYZED postings (no dl: the
-    * analyzed scorer is tf·idf, not length-normalized).
+  /** Schema of `dir/apostings` — ANALYZED postings with the analyzed
+    * doc length denormalized per row (analyzed BM25's normalizer).
     */
   private val apostingsSchema = new org.apache.spark.sql.types.StructType()
     .add("token", "string")
     .add("doc_id", "long")
     .add("tf", "long")
+    .add("adl", "long")
     .add("tbucket", "long")
 
   /** The two corpus scalars every scorer needs: N (distinct docs) and
@@ -393,6 +425,35 @@ object Search {
     val r = s.read.parquet(s"$dir/meta").select("n_docs", "total_toks").head()
     (r.getLong(0), r.getLong(1))
   }
+
+  /** The ANALYZED-total meta scalar (sum of analyzed doc lengths) —
+    * analyzed BM25's avgdl numerator; N comes from the main meta (the
+    * doc count is analyzer-independent). Kept in its own relation so
+    * raw-only indexes never pay for it.
+    */
+  private def writeAmeta(s: SparkSession, dir: String, totalAtoks: Long): Unit = {
+    import s.implicits._
+    Seq(totalAtoks).toDF("total_atoks").coalesce(1).write.mode("overwrite").parquet(s"$dir/ameta")
+  }
+
+  private def readAmeta(s: SparkSession, dir: String): Long =
+    s.read.parquet(s"$dir/ameta").select("total_atoks").head().getLong(0)
+
+  /** total_atoks recomputed from the apostings relation itself: adl is
+    * constant per doc, so the distinct (doc_id, adl) pairs sum to the
+    * analyzed total (docs whose every token analyzed to empty appear
+    * nowhere and contribute zero) — the compaction-repair / idempotent
+    * stream form, a pure function of the on-disk rows.
+    */
+  private def ametaFromApostings(s: SparkSession, dir: String): Long =
+    s.read
+      .schema(apostingsSchema)
+      .parquet(s"$dir/apostings")
+      .select(col("doc_id"), col("adl"))
+      .distinct()
+      .agg(coalesce(sum(col("adl")), lit(0L)).cast("long"))
+      .head()
+      .getLong(0)
 
   /** Persist the inverted index partitioned by token-hash bucket:
     * `dir/postings/tbucket=N/` holds every (token, doc_id, tf) whose
@@ -433,18 +494,28 @@ object Search {
     // production search is ALWAYS analyzed, so the serving index can
     // carry the analyzed postings twin: same bucket layout keyed by
     // the ANALYZED token's hash (query terms analyze driver-side to
-    // the same key — [[analyzeTerm]] is [[analyzeCol]]'s twin)
-    if (analyzed)
-      analyzedPostings(docs, idCol, textCol)
+    // the same key — [[analyzeTerm]] is [[analyzeCol]]'s twin), with
+    // the analyzed doc length denormalized per row for analyzed BM25
+    if (analyzed) {
+      analyzedPostingsWithDl(docs, idCol, textCol)
         .withColumn("tbucket", tokenBucketCol)
         .repartition(col("tbucket"))
         .write
         .mode("overwrite")
         .partitionBy("tbucket")
         .parquet(s"$dir/apostings")
+      writeAmeta(docs.sparkSession, dir, analyzedTotal(docs, textCol))
+    }
     docLengths(docs, idCol, textCol).write.mode("overwrite").parquet(s"$dir/doclen")
     writeMeta(docs.sparkSession, dir, corpusScalars(docs, idCol, textCol))
   }
+
+  /** Sum of analyzed doc lengths over a document relation. */
+  private def analyzedTotal(docs: DataFrame, textCol: String): Long =
+    docs
+      .agg(coalesce(sum(size(atoksCol(textCol)).cast("long")), lit(0L)).cast("long"))
+      .head()
+      .getLong(0)
 
   /** Conjunctive search served from the PERSISTED index: the query
     * terms' buckets are computed driver-side (no Spark pass) and the
@@ -648,14 +719,18 @@ object Search {
       .mode("append")
       .partitionBy("tbucket")
       .parquet(s"$dir/positions")
-    if (analyzed)
-      analyzedPostings(newDocs, idCol, textCol)
+    if (analyzed) {
+      analyzedPostingsWithDl(newDocs, idCol, textCol)
         .withColumn("tbucket", tokenBucketCol)
         .repartition(col("tbucket"))
         .write
         .mode("append")
         .partitionBy("tbucket")
         .parquet(s"$dir/apostings")
+      // same read-then-overwrite contract (and compaction repair) as
+      // the main meta
+      writeAmeta(s, dir, readAmeta(s, dir) + analyzedTotal(newDocs, textCol))
+    }
     docLengths(newDocs, idCol, textCol).write.mode("append").parquet(s"$dir/doclen")
     val (n0, t0) = readMeta(s, dir)
     val (n1, t1) = corpusScalars(newDocs, idCol, textCol)
@@ -756,16 +831,18 @@ object Search {
       idCol: String,
       textCol: String,
       dir: String,
-      batchId: Long
+      batchId: Long,
+      analyzed: Boolean = false
   ): Unit = {
     import org.apache.hadoop.fs.Path
     val s = batch.sparkSession
     val fs = fsFor(s, dir)
-    Seq(s"$dir/postings/tbucket=*", s"$dir/positions/tbucket=*", s"$dir/doclen").foreach { d =>
-      Option(fs.globStatus(new Path(s"$d/gbatch-$batchId-*")))
-        .getOrElse(Array.empty)
-        .foreach(f => fs.delete(f.getPath, false))
-    }
+    Seq(s"$dir/postings/tbucket=*", s"$dir/positions/tbucket=*", s"$dir/apostings/tbucket=*", s"$dir/doclen")
+      .foreach { d =>
+        Option(fs.globStatus(new Path(s"$d/gbatch-$batchId-*")))
+          .getOrElse(Array.empty)
+          .foreach(f => fs.delete(f.getPath, false))
+      }
     val staged = s"$dir/_stage_$batchId"
     stageAndMove(
       postingsWithDl(batch, idCol, textCol).withColumn("tbucket", tokenBucketCol).repartition(col("tbucket")),
@@ -783,6 +860,20 @@ object Search {
       partitioned = true,
       batchId
     )
+    if (analyzed) {
+      stageAndMove(
+        analyzedPostingsWithDl(batch, idCol, textCol)
+          .withColumn("tbucket", tokenBucketCol)
+          .repartition(col("tbucket")),
+        s"$staged/apostings",
+        s"$dir/apostings",
+        partitioned = true,
+        batchId
+      )
+      // pure function of the on-disk rows (adl constant per doc) —
+      // idempotent under a batch replay, like the main meta below
+      writeAmeta(s, dir, ametaFromApostings(s, dir))
+    }
     stageAndMove(docLengths(batch, idCol, textCol), s"$staged/doclen", s"$dir/doclen", partitioned = false, batchId)
     fs.delete(new Path(staged), true)
     // empty-stream cold start: an all-empty first batch moves no files,
@@ -813,9 +904,12 @@ object Search {
   def compactSearchIndex(spark: SparkSession, dir: String): Unit = {
     graft.core.Compaction.compact(spark, s"$dir/postings", Some("tbucket"), 1)
     graft.core.Compaction.compact(spark, s"$dir/positions", Some("tbucket"), 1)
-    // the analyzed twin exists only on analyzed-enabled indexes
-    if (fsFor(spark, dir).exists(new org.apache.hadoop.fs.Path(s"$dir/apostings")))
+    // the analyzed twin exists only on analyzed-enabled indexes; its
+    // meta scalar repairs from the compacted rows like the main meta
+    if (fsFor(spark, dir).exists(new org.apache.hadoop.fs.Path(s"$dir/apostings"))) {
       graft.core.Compaction.compact(spark, s"$dir/apostings", Some("tbucket"), 1)
+      writeAmeta(spark, dir, ametaFromApostings(spark, dir))
+    }
     graft.core.Compaction.compact(spark, s"$dir/doclen", None, 1)
     val r = spark.read
       .parquet(s"$dir/doclen")
@@ -1324,6 +1418,114 @@ object Search {
     rankTop(scored, "score_micro", k)
   }
 
+  /** ANALYZED BM25 over the corpus — the corpus-pass twin of
+    * [[analyzedBm25FromIndex]] and the arithmetic reference for its
+    * shared oracle: the token stream and the length normalizer are
+    * both ANALYZED (dl = count of non-empty analyzed tokens), N is the
+    * doc count (analyzer-independent), avgdl = analyzed-total div N,
+    * and the per-term contribution is the same ONE-BIGINT-division
+    * rational form as [[bm25Search]] (k1 = 6/5, b = 3/4).
+    */
+  def analyzedBm25Search(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      rawTerms: Seq[String],
+      k: Int
+  ): DataFrame = {
+    val terms = rawTerms.map(analyzeTerm).filter(_.nonEmpty).distinct
+    require(terms.nonEmpty, "analyzed bm25 needs at least one non-empty term")
+    val stats = docs
+      .agg(
+        countDistinct(col(idCol)).cast("long"),
+        coalesce(sum(size(atoksCol(textCol)).cast("long")), lit(0L)).cast("long")
+      )
+      .head()
+    val (nDocs, totalA) = (stats.getLong(0), stats.getLong(1))
+    require(nDocs > 0, "analyzed bm25 over an empty corpus")
+    val avgdl = totalA / nDocs
+    require(avgdl > 0, "analyzed bm25 over an all-empty corpus (avgdl = 0)")
+    val pruned = docs
+      .filter(terms.map(t => lower(col(textCol)).contains(t)).reduce(_ || _))
+      .select(col(idCol).cast("long").as("doc_id"), atoksCol(textCol).as("atoks"))
+    val p = pruned
+      .select(col("doc_id"), size(col("atoks")).cast("long").as("adl"), explode(col("atoks")).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col("token"), col("doc_id"), col("adl"))
+      .agg(count(lit(1)).as("tf"))
+    val dfModel = terms
+      .map { t =>
+        analyzedPostings(docs.filter(lower(col(textCol)).contains(t)), idCol, textCol)
+          .filter(col("token") === t)
+          .groupBy(col("token"))
+          .agg(count(lit(1)).cast("long").as("df"))
+      }
+      .reduce(_ union _)
+      .withColumn(
+        "idf_milli",
+        floor(log(lit(nDocs + 1).cast("double") / (col("df") + 1)) * 1000L).cast("bigint")
+      )
+      .select(col("token"), col("idf_milli"))
+    val scored = p
+      .join(broadcast(dfModel), "token")
+      .withColumn(
+        "contrib",
+        expr(s"(44 * idf_milli * tf * $avgdl) div (20 * $avgdl * tf + 6 * $avgdl + 18 * adl)")
+      )
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_matched"),
+        sum(col("contrib")).cast("long").as("score_milli")
+      )
+    rankTop(scored, "score_milli", k)
+  }
+
+  /** ANALYZED BM25 served from the PERSISTED index — the serving shape
+    * of production ranked retrieval (always analyzed, always
+    * length-normalized): analyzed terms prune the apostings buckets
+    * statically, df comes from the pruned rows, adl rides each posting
+    * row ([[analyzedPostingsWithDl]]), N from the main meta and the
+    * analyzed total from `dir/ameta` — zero corpus passes and zero
+    * doc-keyed reads. Must equal [[analyzedBm25Search]] bit for bit;
+    * search_analyzed_bm25_index shares search_analyzed_bm25's oracle
+    * through build→append→compact (which also gates the ameta
+    * append-RMW and compaction repair).
+    */
+  def analyzedBm25FromIndex(s: SparkSession, indexDir: String, rawTerms: Seq[String], k: Int): DataFrame = {
+    val terms = rawTerms.map(analyzeTerm).filter(_.nonEmpty).distinct
+    require(terms.nonEmpty, "analyzed bm25 needs at least one non-empty term")
+    val nDocs = readMeta(s, indexDir)._1
+    require(nDocs > 0, s"analyzedBm25FromIndex: index at $indexDir is empty (n_docs = 0)")
+    val avgdl = readAmeta(s, indexDir) / nDocs
+    require(avgdl > 0, s"analyzedBm25FromIndex: index at $indexDir has analyzed avgdl = 0")
+    val buckets = terms.map(tokenBucket).distinct
+    val p = s.read
+      .schema(apostingsSchema)
+      .parquet(s"$indexDir/apostings")
+      .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
+      .select(col("token"), col("doc_id"), col("tf"), col("adl"))
+    val dfModel = p
+      .groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("df"))
+      .withColumn(
+        "idf_milli",
+        floor(log(lit(nDocs + 1).cast("double") / (col("df") + 1)) * 1000L).cast("bigint")
+      )
+      .select(col("token"), col("idf_milli"))
+    val scored = p
+      .join(broadcast(dfModel), "token")
+      .withColumn(
+        "contrib",
+        expr(s"(44 * idf_milli * tf * $avgdl) div (20 * $avgdl * tf + 6 * $avgdl + 18 * adl)")
+      )
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_matched"),
+        sum(col("contrib")).cast("long").as("score_milli")
+      )
+    rankTop(scored, "score_milli", k)
+  }
+
   /** The deliberately case/punctuation-damaged fixture corpus both
     * analyzed gates run on: every doc_id % 7 == 0 document is
     * UPPERCASED and every doc_id % 11 == 0 document gets its tokens
@@ -1373,6 +1575,18 @@ object Search {
     */
   val searchAnalyzedIndex: Q = (s, d) =>
     analyzedFromIndex(s, demoAnalyzedIndexDir(s, d), fixtureAndTerms.map(_.toUpperCase), topK, requireAll = true)
+      .orderBy("rank")
+
+  /** Analyzed BM25 corpus route over the damaged corpus. */
+  val searchAnalyzedBm25: Q = (s, d) =>
+    analyzedBm25Search(damagedFixtureDocs(s, d), "doc_id", "text", fixtureOrTerms.map(_.toUpperCase), topK)
+      .orderBy("rank")
+
+  /** Analyzed BM25 served from the maintained analyzed index, sharing
+    * the corpus route's oracle.
+    */
+  val searchAnalyzedBm25Index: Q = (s, d) =>
+    analyzedBm25FromIndex(s, demoAnalyzedIndexDir(s, d), fixtureOrTerms.map(_.toUpperCase), topK)
       .orderBy("rank")
 
   /** KWIC (keyword-in-context) snippets — the result-rendering pass of
@@ -1594,7 +1808,9 @@ object Search {
     "search_dedup_results_graph" -> searchDedupResultsGraph,
     "search_kwic" -> searchKwic,
     "search_analyzed" -> searchAnalyzed,
-    "search_analyzed_index" -> searchAnalyzedIndex
+    "search_analyzed_index" -> searchAnalyzedIndex,
+    "search_analyzed_bm25" -> searchAnalyzedBm25,
+    "search_analyzed_bm25_index" -> searchAnalyzedBm25Index
   )
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -1914,6 +2130,10 @@ object Search {
     // analyzed serving from the persisted apostings relation (through
     // build→append→compact) must equal the corpus-pass analyzed route
     "search_analyzed_index" -> oracleAnalyzed,
+    "search_analyzed_bm25" -> oracleAnalyzedBm25,
+    // analyzed ranked serving from the persisted index (adl on posting
+    // rows, ameta avgdl) must equal the corpus analyzed-BM25 pass
+    "search_analyzed_bm25_index" -> oracleAnalyzedBm25,
     "search_kwic" -> {
       val t = sqlLit(fixturePhrase._1)
       s"""WITH pt AS (
@@ -1926,6 +2146,68 @@ object Search {
          |FROM hit ORDER BY doc_id, pos""".stripMargin
     }
   )
+
+  /** Analyzed BM25 oracle over the damaged corpus: the analyzer chain
+    * of [[oracleAnalyzed]] feeding the rational BM25 arithmetic of
+    * [[oracleBm25Chain]], with the ANALYZED doc length as the
+    * normalizer and analyzed-total div N as avgdl.
+    */
+  private lazy val oracleAnalyzedBm25: String = {
+    val terms = fixtureOrTerms.map(analyzeTerm)
+    val termList = terms.map(sqlLit).mkString(", ")
+    val containsAny = terms.map(t => s"contains(lower(text), ${sqlLit(t)})").mkString(" OR ")
+    val dfArms = terms
+      .map(t =>
+        s"""SELECT token, CAST(count(*) AS BIGINT) AS df FROM (
+           |    SELECT token, doc_id FROM (
+           |      SELECT doc_id, unnest(atoks) AS token
+           |      FROM at WHERE contains(lower(text), ${sqlLit(t)})) x
+           |    WHERE token = ${sqlLit(t)} GROUP BY token, doc_id) GROUP BY token""".stripMargin
+      )
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH dd AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN upper(text)
+       |         WHEN doc_id % 11 = 0 THEN
+       |           array_to_string(list_transform(string_split(text, ' '), t -> '[' || t || ']'), ' ')
+       |         ELSE text END AS text
+       |  FROM documents),
+       |at AS (
+       |  SELECT doc_id, text,
+       |    list_filter(
+       |      list_transform(string_split(text, ' '),
+       |                     t -> regexp_replace(lower(t), '^[^a-z0-9]+|[^a-z0-9]+$$', '', 'g')),
+       |      t -> t <> '') AS atoks
+       |  FROM dd),
+       |st AS (
+       |  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(atoks)) AS BIGINT) AS total_atoks
+       |  FROM at),
+       |av AS (SELECT n_docs, total_atoks // n_docs AS avgdl FROM st),
+       |cand AS (SELECT doc_id, atoks FROM at WHERE $containsAny),
+       |cd AS (SELECT doc_id, CAST(len(atoks) AS BIGINT) AS adl FROM cand),
+       |c0 AS (SELECT doc_id, unnest(atoks) AS token FROM cand),
+       |cp AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf FROM c0
+       |       WHERE token IN ($termList) GROUP BY token, doc_id),
+       |dfm AS (
+       |  $dfArms),
+       |model AS (
+       |  SELECT token,
+       |    CAST(floor(ln(((SELECT n_docs FROM av) + 1) / CAST(df + 1 AS DOUBLE)) * 1000) AS BIGINT) AS idf_milli
+       |  FROM dfm),
+       |sc AS (
+       |  SELECT cp.doc_id, count(*) AS n_matched,
+       |    CAST(sum((44 * m.idf_milli * cp.tf * (SELECT avgdl FROM av))
+       |         // (20 * (SELECT avgdl FROM av) * cp.tf + 6 * (SELECT avgdl FROM av) + 18 * d.adl)) AS BIGINT) AS score_milli
+       |  FROM cp JOIN model m ON m.token = cp.token
+       |  JOIN cd d ON d.doc_id = cp.doc_id
+       |  GROUP BY cp.doc_id),
+       |abmranked AS (
+       |  SELECT doc_id, score_milli,
+       |    CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM sc)
+       |SELECT rank, doc_id, score_milli FROM abmranked WHERE rank <= $topK ORDER BY rank""".stripMargin
+  }
 
   private lazy val oracleAnalyzed: String = {
       val terms = fixtureAndTerms.map(analyzeTerm)

@@ -822,7 +822,8 @@ object StreamingIngest {
       indexDir: String,
       checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime(0L),
-      compactEvery: Int = 0
+      compactEvery: Int = 0,
+      analyzed: Boolean = false
   ): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -830,7 +831,7 @@ object StreamingIngest {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val bs = batch.sparkSession
         if (batchId > graft.ops.Search.lastAppliedSearchBatch(bs, indexDir)) {
-          graft.ops.Search.applySearchIndexBatch(batch.toDF(), idCol, textCol, indexDir, batchId)
+          graft.ops.Search.applySearchIndexBatch(batch.toDF(), idCol, textCol, indexDir, batchId, analyzed)
           graft.ops.Search.writeLastAppliedSearchBatch(bs, indexDir, batchId)
           if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
             graft.ops.Search.compactSearchIndex(bs, indexDir)

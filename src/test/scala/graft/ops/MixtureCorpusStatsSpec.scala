@@ -646,5 +646,12 @@ class MixtureCorpusStatsSpec extends SparkSpec {
     // saturated sketch reports NULL, never ±∞
     val sat = CorpusStats.linearCountOccupancy((1L to 5000L).toDF("v"), "v", 16).head()
     assert(sat.isNullAt(1), "saturated estimate must be NULL")
+    // grouped occupancy-only form agrees with the grouped gated form
+    val keyed = (1L to 400L).map(i => (s"k${i % 3}", i % 53)).toDF("k", "v")
+    val g = CorpusStats.linearCountDistinctBy(keyed, "k", "v", m)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("occupied"), r.getAs[Long]("est_milli"))).toSet
+    val go = CorpusStats.linearCountOccupancyBy(keyed, "k", "v", m)
+    assert(go.schema.fieldNames.toSeq == Seq("k", "occupied", "est_milli"))
+    assert(go.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet == g)
   }
 }

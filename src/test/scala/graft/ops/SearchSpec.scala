@@ -453,6 +453,37 @@ class SearchSpec extends SparkSpec {
     assert(plan.contains("apostings"), "the analyzed probe must serve from the apostings relation")
   }
 
+  test("analyzedBm25FromIndex: equals the corpus analyzed-BM25 route through append+compact; adl is the ANALYZED length") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_searchidx_abm").toString
+    def pad(n: Int) = Seq.fill(n)("filler").mkString(" ")
+    val docs = (Seq(
+      (1L, "CAT " + pad(9)),                               // case-damaged, short
+      (2L, Seq.fill(20)("[cat]").mkString(" ") + " Dog. " + pad(8)), // punct-damaged, high tf
+      (3L, "cat dog " + pad(3)),                           // clean, short
+      (4L, "dog!!! " + pad(19)),                           // long
+      (5L, "!!! ??? cat " + pad(5))                        // pure-punct tokens must NOT count in adl
+    ) ++ (6L to 9L).map(i => (i, pad(10)))).toDF("doc_id", "text")
+    Search.saveSearchIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", dir, analyzed = true)
+    Search.appendToSearchIndex(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", dir, analyzed = true)
+    Search.compactSearchIndex(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"), r.getAs[Long]("score_milli"))).toSeq
+    val corpus = rows(Search.analyzedBm25Search(docs, "doc_id", "text", Seq("Cat", "DOG!"), 10))
+    val probe = Search.analyzedBm25FromIndex(spark, dir, Seq("Cat", "DOG!"), 10)
+    assert(rows(probe) == corpus, "index-served analyzed BM25 must equal the corpus analyzed pass")
+    assert(corpus.map(_._2).toSet == Set(1L, 2L, 3L, 4L, 5L), corpus.toString)
+    // ameta repaired by compaction equals the corpus analyzed total
+    val spark2 = spark
+    import spark2.implicits._
+    val ametaV = spark.read.parquet(s"$dir/ameta").as[Long].head()
+    // doc5 contributes 6 analyzed tokens (the two pure-punct drop)
+    val expectTotal = Seq(10L, 29L, 5L, 20L, 6L).sum + 4 * 10L
+    assert(ametaV == expectTotal, s"ameta $ametaV != $expectTotal")
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("tbucket"), plan.take(2000))
+    assert(!plan.contains("doclen"), "analyzed BM25 probe must read nothing doc-keyed")
+  }
+
   test("kwicSnippets: window clamps at doc edges, every occurrence emitted, 1-based positions") {
     val docs = Seq(
       (1L, "cat a b c cat"),      // occurrence at both edges

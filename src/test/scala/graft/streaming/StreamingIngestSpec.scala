@@ -631,6 +631,33 @@ class StreamingIngestSpec extends SparkSpec {
     assert((meta.getLong(0), meta.getLong(1)) == ((6L, 13L)), meta.toString)
   }
 
+  test("stream-maintained ANALYZED index: analyzed BM25 probe equals the one-shot corpus route") {
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_search_stream_an").toString + "/idx"
+    val ckpt = Files.createTempDirectory("graft_search_stream_anck").toString
+    val docs = Seq(
+      (1L, "CAT dog extra pad pad"), (2L, "[cat] pad"), (3L, "cat dog pad pad pad pad"),
+      (4L, "Dog! pad pad"), (5L, "!!! cat pad"), (6L, "dog cat dog pad")
+    )
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingIngest.searchIndexStream(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text", idx, ckpt, compactEvery = 2, analyzed = true)
+    mem.addData(docs.take(2): _*); q.processAllAvailable()
+    mem.addData(docs.slice(2, 4): _*); q.processAllAvailable()
+    mem.addData(docs.drop(4): _*); q.processAllAvailable()
+    q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = graft.ops.Search
+      .analyzedBm25Search(docs.toDF("doc_id", "text"), "doc_id", "text", Seq("Cat", "DOG!"), 10)
+    assert(
+      rows(graft.ops.Search.analyzedBm25FromIndex(spark, idx, Seq("Cat", "DOG!"), 10)) == rows(batch),
+      "stream-maintained analyzed index must answer analyzed BM25 like the one-shot corpus pass"
+    )
+  }
+
   test("search-index batch apply is exactly-once under a full replay of an unmarked batch") {
     import spark.implicits._
     val idx = Files.createTempDirectory("graft_search_replay").toString + "/idx"
