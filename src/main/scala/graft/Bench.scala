@@ -131,6 +131,7 @@ object Bench {
       "search_analyzed_index" -> "first_run",
       // shares the analyzed demo index build (apostings + ameta)
       "search_analyzed_bm25_index" -> "first_run",
+      "search_batch_analyzed_bm25" -> "first_run",
       // shares the append+compact lifecycle demo index build
       "search_phrase3_index" -> "first_run",
       // shares the postings-index + IVF-index demo builds

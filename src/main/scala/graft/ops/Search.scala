@@ -1526,6 +1526,75 @@ object Search {
     rankTop(scored, "score_milli", k)
   }
 
+  /** BATCHED analyzed BM25 from the persisted index — the full
+    * production tier in one operator: a RELATION of (query_id, term)
+    * pairs (raw, analyzed driver-free: the terms column analyzes
+    * in-plan with the same chain the index applied at build), the
+    * union of the batch's analyzed terms prunes the apostings buckets,
+    * df from the pruned rows, adl on each posting row, ameta/meta
+    * scalars, ONE BIGINT division per (query, doc, term), rank-limit
+    * per query (WindowGroupLimit — never a global sort). Each query's
+    * rows must equal its single-query [[analyzedBm25FromIndex]] route
+    * (spec-pinned); the oracle replays the batch.
+    */
+  def analyzedBm25BatchFromIndex(
+      s: SparkSession,
+      indexDir: String,
+      queries: DataFrame, // (query_id, term) — raw terms
+      k: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // analyze the batch's terms driver-side: the term list is request-
+    // sized, and the bucket prune needs the analyzed forms anyway
+    val rawTerms = queries.select(col("term")).distinct().collect().map(_.getString(0)).toSeq
+    val terms = rawTerms.map(analyzeTerm).filter(_.nonEmpty).distinct
+    require(terms.nonEmpty, "batched analyzed bm25 needs at least one non-empty term")
+    val nDocs = readMeta(s, indexDir)._1
+    require(nDocs > 0, s"analyzedBm25BatchFromIndex: index at $indexDir is empty (n_docs = 0)")
+    val avgdl = readAmeta(s, indexDir) / nDocs
+    require(avgdl > 0, s"analyzedBm25BatchFromIndex: index at $indexDir has analyzed avgdl = 0")
+    val buckets = terms.map(tokenBucket).distinct
+    val aQueries = queries
+      .select(col("query_id"), analyzeCol(col("term")).as("token"))
+      .filter(col("token") =!= "")
+      .distinct() // two raw variants of one analyzed term must not double-count
+    val p = s.read
+      .schema(apostingsSchema)
+      .parquet(s"$indexDir/apostings")
+      .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
+      .select(col("token"), col("doc_id"), col("tf"), col("adl"))
+    val dfModel = p
+      .groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("df"))
+      .withColumn(
+        "idf_milli",
+        floor(log(lit(nDocs + 1).cast("double") / (col("df") + 1)) * 1000L).cast("bigint")
+      )
+      .select(col("token"), col("idf_milli"))
+    val scored = p
+      .join(broadcast(aQueries), "token")
+      .join(broadcast(dfModel), "token")
+      .withColumn(
+        "contrib",
+        expr(s"(44 * idf_milli * tf * $avgdl) div (20 * $avgdl * tf + 6 * $avgdl + 18 * adl)")
+      )
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).cast("long").as("score_milli"))
+    scored
+      .withColumn(
+        "rank",
+        row_number()
+          .over(
+            Window
+              .partitionBy(col("query_id"))
+              .orderBy(col("score_milli").desc, col("doc_id").asc)
+          )
+          .cast("bigint")
+      )
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_milli"))
+  }
+
   /** The deliberately case/punctuation-damaged fixture corpus both
     * analyzed gates run on: every doc_id % 7 == 0 document is
     * UPPERCASED and every doc_id % 11 == 0 document gets its tokens
@@ -1588,6 +1657,26 @@ object Search {
   val searchAnalyzedBm25Index: Q = (s, d) =>
     analyzedBm25FromIndex(s, demoAnalyzedIndexDir(s, d), fixtureOrTerms.map(_.toUpperCase), topK)
       .orderBy("rank")
+
+  /** Fixture batch of RAW (damaged-case/punctuated) query terms — the
+    * analyzer must fold them to the index's keys in-plan.
+    */
+  private[ops] val fixtureAnalyzedBatch: Seq[(Long, String)] =
+    Seq(
+      1L -> "DUP", 1L -> "Spark!",
+      2L -> "[hash]", 2L -> "JOIN",
+      3L -> "Window.", 3L -> "dup"
+    )
+
+  val searchBatchAnalyzedBm25: Q = (s, d) => {
+    import s.implicits._
+    analyzedBm25BatchFromIndex(
+      s,
+      demoAnalyzedIndexDir(s, d),
+      fixtureAnalyzedBatch.toDF("query_id", "term"),
+      k = 5
+    ).orderBy("query_id", "rank")
+  }
 
   /** KWIC (keyword-in-context) snippets — the result-rendering pass of
     * retrieval: every occurrence of the term with a ±window token
@@ -1810,7 +1899,8 @@ object Search {
     "search_analyzed" -> searchAnalyzed,
     "search_analyzed_index" -> searchAnalyzedIndex,
     "search_analyzed_bm25" -> searchAnalyzedBm25,
-    "search_analyzed_bm25_index" -> searchAnalyzedBm25Index
+    "search_analyzed_bm25_index" -> searchAnalyzedBm25Index,
+    "search_batch_analyzed_bm25" -> searchBatchAnalyzedBm25
   )
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -2134,6 +2224,7 @@ object Search {
     // analyzed ranked serving from the persisted index (adl on posting
     // rows, ameta avgdl) must equal the corpus analyzed-BM25 pass
     "search_analyzed_bm25_index" -> oracleAnalyzedBm25,
+    "search_batch_analyzed_bm25" -> oracleBatchAnalyzedBm25,
     "search_kwic" -> {
       val t = sqlLit(fixturePhrase._1)
       s"""WITH pt AS (
@@ -2207,6 +2298,66 @@ object Search {
        |    CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id ASC) AS BIGINT) AS rank
        |  FROM sc)
        |SELECT rank, doc_id, score_milli FROM abmranked WHERE rank <= $topK ORDER BY rank""".stripMargin
+  }
+
+  /** Batched analyzed BM25 oracle: the damaged-corpus analyzed chain,
+    * the batch's terms pre-analyzed (the same deterministic
+    * [[analyzeTerm]] the plan applies), df over the term-union
+    * postings, the rational BM25 arithmetic with the analyzed length.
+    */
+  private lazy val oracleBatchAnalyzedBm25: String = {
+    val aPairs = fixtureAnalyzedBatch
+      .map { case (q, t) => (q, analyzeTerm(t)) }
+      .filter(_._2.nonEmpty)
+      .distinct
+    val valuesRows = aPairs.map { case (q, t) => s"($q, ${sqlLit(t)})" }.mkString(", ")
+    val termList = aPairs.map(_._2).distinct.map(sqlLit).mkString(", ")
+    s"""WITH dd AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN upper(text)
+       |         WHEN doc_id % 11 = 0 THEN
+       |           array_to_string(list_transform(string_split(text, ' '), t -> '[' || t || ']'), ' ')
+       |         ELSE text END AS text
+       |  FROM documents),
+       |at AS (
+       |  SELECT doc_id, text,
+       |    list_filter(
+       |      list_transform(string_split(text, ' '),
+       |                     t -> regexp_replace(lower(t), '^[^a-z0-9]+|[^a-z0-9]+$$', '', 'g')),
+       |      t -> t <> '') AS atoks
+       |  FROM dd),
+       |st AS (
+       |  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(atoks)) AS BIGINT) AS total_atoks
+       |  FROM at),
+       |av AS (SELECT n_docs, total_atoks // n_docs AS avgdl FROM st),
+       |qs AS (
+       |  SELECT CAST(v.q AS BIGINT) AS query_id, v.t AS term
+       |  FROM (VALUES $valuesRows) v(q, t)),
+       |cd AS (SELECT doc_id, CAST(len(atoks) AS BIGINT) AS adl FROM at),
+       |c0 AS (SELECT doc_id, unnest(atoks) AS token FROM at),
+       |p AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf FROM c0
+       |      WHERE token IN ($termList) GROUP BY token, doc_id),
+       |dfm AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY token),
+       |model AS (
+       |  SELECT token,
+       |    CAST(floor(ln(((SELECT n_docs FROM av) + 1) / CAST(df + 1 AS DOUBLE)) * 1000) AS BIGINT) AS idf_milli
+       |  FROM dfm),
+       |sc AS (
+       |  SELECT q.query_id, p.doc_id,
+       |    CAST(sum((44 * m.idf_milli * p.tf * (SELECT avgdl FROM av))
+       |         // (20 * (SELECT avgdl FROM av) * p.tf + 6 * (SELECT avgdl FROM av) + 18 * d.adl)) AS BIGINT) AS score_milli
+       |  FROM p JOIN qs q ON q.term = p.token
+       |  JOIN model m ON m.token = p.token
+       |  JOIN cd d ON d.doc_id = p.doc_id
+       |  GROUP BY q.query_id, p.doc_id),
+       |f AS (
+       |  SELECT query_id, doc_id, score_milli,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY score_milli DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM sc)
+       |SELECT query_id, rank, doc_id, score_milli
+       |FROM f WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
   private lazy val oracleAnalyzed: String = {

@@ -484,6 +484,28 @@ class SearchSpec extends SparkSpec {
     assert(!plan.contains("doclen"), "analyzed BM25 probe must read nothing doc-keyed")
   }
 
+  test("analyzedBm25BatchFromIndex: each query's rows equal its single-query route; raw variants of one analyzed term collapse") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.001"
+    val dir = Search.demoAnalyzedIndexDir(spark, d)
+    val batch = Seq(
+      10L -> "DUP", 10L -> "Spark!",
+      // two raw variants of the same analyzed term must not double-count
+      11L -> "[hash]", 11L -> "HASH", 11L -> "join"
+    ).toDF("query_id", "term")
+    val got = Search.analyzedBm25BatchFromIndex(spark, dir, batch, 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+      .view
+      .mapValues(_.map(t => (t._2, t._3, t._4)).sortBy(_._1).toSeq)
+      .toMap
+    def single(terms: Seq[String]) = Search.analyzedBm25FromIndex(spark, dir, terms, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got(10L) == single(Seq("DUP", "Spark!")), s"q10: ${got(10L)}")
+    assert(got(11L) == single(Seq("hash", "join")), s"q11: ${got(11L)}")
+  }
+
   test("kwicSnippets: window clamps at doc edges, every occurrence emitted, 1-based positions") {
     val docs = Seq(
       (1L, "cat a b c cat"),      // occurrence at both edges
