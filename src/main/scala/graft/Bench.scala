@@ -134,6 +134,8 @@ object Bench {
       "search_batch_analyzed_bm25" -> "first_run",
       // shares the append+compact lifecycle demo index build
       "search_phrase3_index" -> "first_run",
+      // shares the analyzed demo index build (apositions)
+      "search_phrase_analyzed_index" -> "first_run",
       // shares the postings-index + IVF-index demo builds
       "search_rrf_index" -> "first_run",
       // builds the once-per-process persisted cluster map (LSH + CC)

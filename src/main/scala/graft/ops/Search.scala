@@ -98,6 +98,22 @@ object Search {
       )
       .select(col("token"), col("doc_id"), col("pos").cast("long").as("pos"))
 
+  /** (token, doc_id, pos) positions over the ANALYZED token stream —
+    * the phrase-serving relation for the mode real users run: pos is
+    * the token's index in the FILTERED analyzed sequence (pure-punct
+    * tokens dropped BEFORE numbering, so adjacency means "adjacent
+    * after analysis" — `"big, hash"` and `"big hash"` both yield
+    * consecutive positions). Same bucket layout as [[positionalPostings]],
+    * keyed by the analyzed token's hash.
+    */
+  private def analyzedPositionalPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(
+        col(idCol).cast("long").as("doc_id"),
+        posexplode(atoksCol(textCol)).as(Seq("pos", "token"))
+      )
+      .select(col("token"), col("doc_id"), col("pos").cast("long").as("pos"))
+
   /** The analyzer as a SQL snippet usable inside array lambdas —
     * byte-identical semantics to [[analyzeCol]] (regexp_replace in
     * Spark SQL is global, matching the Column form).
@@ -504,6 +520,15 @@ object Search {
         .mode("overwrite")
         .partitionBy("tbucket")
         .parquet(s"$dir/apostings")
+      // analyzed positional twin — analyzed PHRASE serving reads only
+      // its terms' bucket dirs here, like raw phrase over positions
+      analyzedPositionalPostings(docs, idCol, textCol)
+        .withColumn("tbucket", tokenBucketCol)
+        .repartition(col("tbucket"))
+        .write
+        .mode("overwrite")
+        .partitionBy("tbucket")
+        .parquet(s"$dir/apositions")
       writeAmeta(docs.sparkSession, dir, analyzedTotal(docs, textCol))
     }
     docLengths(docs, idCol, textCol).write.mode("overwrite").parquet(s"$dir/doclen")
@@ -651,6 +676,16 @@ object Search {
       .parquet(s"$indexDir/positions")
       .filter(col("tbucket").isin(buckets: _*) && col("token").isin(distinctTerms: _*))
       .select(col("token"), col("doc_id"), col("pos"))
+    phraseFoldOverPositions(pos, terms)
+  }
+
+  /** The rarest-first equi-join fold shared by the raw and ANALYZED
+    * index phrase routes: `pos` is the QUERY-PRUNED positional
+    * relation (its terms' bucket dirs only). A k-row count probe
+    * orders the fold so every intermediate is bounded by the rarest
+    * term's occurrence count.
+    */
+  private def phraseFoldOverPositions(pos: DataFrame, terms: Seq[String]): DataFrame = {
     // per-term occurrence counts: k rows, probe-sized — orders the
     // fold rarest-first so intermediates never exceed the rarest
     // term's postings. Each fold arm re-reads the PRUNED dirs (bucket-
@@ -678,6 +713,32 @@ object Search {
       }
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_occurrences"))
+  }
+
+  /** ANALYZED n-term phrase served from the PERSISTED index — the
+    * phrase mode real users run (`"Hash Join"` must match `hash join`,
+    * `[hash] [join]`, `HASH JOIN.`): raw terms analyze DRIVER-side
+    * ([[analyzeTerm]], the executor chain's twin) and every term must
+    * survive the analyzer (a pure-punct phrase term has no position in
+    * the filtered stream, so the phrase is ill-formed rather than
+    * silently shorter). The probe then runs [[phraseFoldOverPositions]]
+    * over `dir/apositions` pruned to the analyzed terms' bucket dirs —
+    * identical plan shape and bounds to the raw route, zero corpus
+    * passes. Shares [[analyzedPhraseSearch]]'s oracle through the
+    * build→append→compact lifecycle.
+    */
+  def analyzedPhraseFromIndex(s: SparkSession, indexDir: String, rawTerms: Seq[String]): DataFrame = {
+    val terms = rawTerms.map(analyzeTerm)
+    require(terms.size >= 2, "phrase search needs at least two terms")
+    require(terms.forall(_.nonEmpty), "every phrase term must survive the analyzer")
+    val distinctTerms = terms.distinct
+    val buckets = distinctTerms.map(tokenBucket).distinct
+    val pos = s.read
+      .schema(positionsSchema)
+      .parquet(s"$indexDir/apositions")
+      .filter(col("tbucket").isin(buckets: _*) && col("token").isin(distinctTerms: _*))
+      .select(col("token"), col("doc_id"), col("pos"))
+    phraseFoldOverPositions(pos, terms)
   }
 
   /** Index MAINTENANCE twin of Dedup.appendToMinhashIndex: append an
@@ -727,6 +788,13 @@ object Search {
         .mode("append")
         .partitionBy("tbucket")
         .parquet(s"$dir/apostings")
+      analyzedPositionalPostings(newDocs, idCol, textCol)
+        .withColumn("tbucket", tokenBucketCol)
+        .repartition(col("tbucket"))
+        .write
+        .mode("append")
+        .partitionBy("tbucket")
+        .parquet(s"$dir/apositions")
       // same read-then-overwrite contract (and compaction repair) as
       // the main meta
       writeAmeta(s, dir, readAmeta(s, dir) + analyzedTotal(newDocs, textCol))
@@ -837,7 +905,13 @@ object Search {
     import org.apache.hadoop.fs.Path
     val s = batch.sparkSession
     val fs = fsFor(s, dir)
-    Seq(s"$dir/postings/tbucket=*", s"$dir/positions/tbucket=*", s"$dir/apostings/tbucket=*", s"$dir/doclen")
+    Seq(
+      s"$dir/postings/tbucket=*",
+      s"$dir/positions/tbucket=*",
+      s"$dir/apostings/tbucket=*",
+      s"$dir/apositions/tbucket=*",
+      s"$dir/doclen"
+    )
       .foreach { d =>
         Option(fs.globStatus(new Path(s"$d/gbatch-$batchId-*")))
           .getOrElse(Array.empty)
@@ -867,6 +941,15 @@ object Search {
           .repartition(col("tbucket")),
         s"$staged/apostings",
         s"$dir/apostings",
+        partitioned = true,
+        batchId
+      )
+      stageAndMove(
+        analyzedPositionalPostings(batch, idCol, textCol)
+          .withColumn("tbucket", tokenBucketCol)
+          .repartition(col("tbucket")),
+        s"$staged/apositions",
+        s"$dir/apositions",
         partitioned = true,
         batchId
       )
@@ -910,6 +993,8 @@ object Search {
       graft.core.Compaction.compact(spark, s"$dir/apostings", Some("tbucket"), 1)
       writeAmeta(spark, dir, ametaFromApostings(spark, dir))
     }
+    if (fsFor(spark, dir).exists(new org.apache.hadoop.fs.Path(s"$dir/apositions")))
+      graft.core.Compaction.compact(spark, s"$dir/apositions", Some("tbucket"), 1)
     graft.core.Compaction.compact(spark, s"$dir/doclen", None, 1)
     val r = spark.read
       .parquet(s"$dir/doclen")
@@ -1268,13 +1353,21 @@ object Search {
     * length (k−1 lead columns share one window sort).
     */
   def phraseSearch(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(terms.size >= 2, "phrase search needs at least two terms")
     val pruned = docs.filter(terms.distinct.map(t => col(textCol).contains(t)).reduce(_ && _))
     val pos = pruned.select(
       col(idCol).cast("long").as("doc_id"),
       posexplode(split(col(textCol), " ")).as(Seq("pos", "token"))
     )
+    phraseWindowFold(pos, terms)
+  }
+
+  /** The k−1-lead window gate shared by the raw and ANALYZED corpus
+    * phrase routes: one per-document window sort carries every lead
+    * column whatever the phrase length.
+    */
+  private def phraseWindowFold(pos: DataFrame, terms: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val withLeads = terms.indices.tail.foldLeft(pos) { (df, i) =>
       df.withColumn(s"__next_$i", lead(col("token"), i).over(w))
@@ -1287,6 +1380,28 @@ object Search {
       )
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_occurrences"))
+  }
+
+  /** ANALYZED n-term corpus-pass phrase match — [[phraseSearch]]'s
+    * window gate over the ANALYZED position stream: raw terms fold
+    * driver-side ([[analyzeTerm]]), every term must survive the
+    * analyzer, candidates prune on contains over lower(text) (an
+    * analyzed token's body is a contiguous substring of the lowered
+    * raw token — still a necessary condition), and positions number
+    * the FILTERED analyzed sequence, so adjacency means "adjacent
+    * after punctuation-token drop". The arithmetic reference for the
+    * index route's shared oracle.
+    */
+  def analyzedPhraseSearch(docs: DataFrame, idCol: String, textCol: String, rawTerms: Seq[String]): DataFrame = {
+    val terms = rawTerms.map(analyzeTerm)
+    require(terms.size >= 2, "phrase search needs at least two terms")
+    require(terms.forall(_.nonEmpty), "every phrase term must survive the analyzer")
+    val pruned = docs.filter(terms.distinct.map(t => lower(col(textCol)).contains(t)).reduce(_ && _))
+    val pos = pruned.select(
+      col(idCol).cast("long").as("doc_id"),
+      posexplode(atoksCol(textCol)).as(Seq("pos", "token"))
+    )
+    phraseWindowFold(pos, terms)
   }
 
   val searchPhrase: Q = (s, d) =>
@@ -1678,6 +1793,27 @@ object Search {
     ).orderBy("query_id", "rank")
   }
 
+  /** Raw DAMAGED trigram — analyzes to [[fixturePhrase3]], so the
+    * analyzed phrase routes must count case-damaged (`HASH JOIN BIG`)
+    * and bracket-damaged (`[hash] [join] [big]`) occurrences the raw
+    * phrase routes can't see.
+    */
+  private[ops] val fixtureAnalyzedPhrase = Seq("[hash]", "JOIN", "Big")
+
+  /** Analyzed trigram, corpus route, over the damaged corpus. */
+  val searchPhraseAnalyzed: Q = (s, d) =>
+    analyzedPhraseSearch(damagedFixtureDocs(s, d), "doc_id", "text", fixtureAnalyzedPhrase)
+      .orderBy("doc_id")
+
+  /** Analyzed trigram served from the MAINTAINED analyzed index
+    * (build-even → append-odd → compact), sharing
+    * [[searchPhraseAnalyzed]]'s oracle — the apositions lifecycle and
+    * the driver-side term fold in one gate.
+    */
+  val searchPhraseAnalyzedIndex: Q = (s, d) =>
+    analyzedPhraseFromIndex(s, demoAnalyzedIndexDir(s, d), fixtureAnalyzedPhrase)
+      .orderBy("doc_id")
+
   /** KWIC (keyword-in-context) snippets — the result-rendering pass of
     * retrieval: every occurrence of the term with a ±window token
     * context, from ONE posexplode over the contains-pruned candidates
@@ -1898,6 +2034,8 @@ object Search {
     "search_kwic" -> searchKwic,
     "search_analyzed" -> searchAnalyzed,
     "search_analyzed_index" -> searchAnalyzedIndex,
+    "search_phrase_analyzed" -> searchPhraseAnalyzed,
+    "search_phrase_analyzed_index" -> searchPhraseAnalyzedIndex,
     "search_analyzed_bm25" -> searchAnalyzedBm25,
     "search_analyzed_bm25_index" -> searchAnalyzedBm25Index,
     "search_batch_analyzed_bm25" -> searchBatchAnalyzedBm25
@@ -2164,6 +2302,47 @@ object Search {
 
   private lazy val oraclePhrase: String = oraclePhraseSql(Seq(fixturePhrase._1, fixturePhrase._2))
 
+  /** [[oraclePhraseSql]]'s ANALYZED twin: the damaged-corpus chain,
+    * the analyzer inside the list lambda (the exact chain the plan's
+    * [[atoksCol]] runs), positions numbered over the FILTERED analyzed
+    * list, the same k−1-lead window gate. Terms are pre-analyzed
+    * driver-side with the deterministic [[analyzeTerm]].
+    */
+  private def oracleAnalyzedPhraseSql(rawTerms: Seq[String]): String = {
+    val terms = rawTerms.map(analyzeTerm)
+    val containsAll = terms.distinct.map(t => s"contains(lower(text), ${sqlLit(t)})").mkString(" AND ")
+    val leads = terms.indices.tail
+      .map(i => s"lead(token, $i) OVER (PARTITION BY doc_id ORDER BY pos) AS next_$i")
+      .mkString(",\n  |    ")
+    val gate = (s"token = ${sqlLit(terms.head)}" +:
+      terms.indices.tail.map(i => s"next_$i = ${sqlLit(terms(i))}")).mkString(" AND ")
+    s"""WITH dd AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN upper(text)
+       |         WHEN doc_id % 11 = 0 THEN
+       |           array_to_string(list_transform(string_split(text, ' '), t -> '[' || t || ']'), ' ')
+       |         ELSE text END AS text
+       |  FROM documents),
+       |at AS (
+       |  SELECT doc_id,
+       |    list_filter(
+       |      list_transform(string_split(text, ' '),
+       |                     t -> regexp_replace(lower(t), '^[^a-z0-9]+|[^a-z0-9]+$$', '', 'g')),
+       |      t -> t <> '') AS atoks
+       |  FROM dd WHERE $containsAll),
+       |ps AS (SELECT doc_id, atoks, unnest(generate_series(1, len(atoks), 1)) AS pos FROM at),
+       |px AS (SELECT doc_id, pos, atoks[pos] AS token FROM ps),
+       |w AS (
+       |  SELECT doc_id, token,
+       |    $leads
+       |  FROM px)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+       |FROM w WHERE $gate
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  private lazy val oracleAnalyzedPhrase: String = oracleAnalyzedPhraseSql(fixtureAnalyzedPhrase)
+
   def oracles: Map[String, String] = Map(
     "search_postings" ->
       s"""WITH $postingsSql,
@@ -2217,6 +2396,10 @@ object Search {
     // cluster map pruned to the hits' buckets — same page, from bytes
     "search_dedup_results_graph" -> oracleDedupResults,
     "search_analyzed" -> oracleAnalyzed,
+    "search_phrase_analyzed" -> oracleAnalyzedPhrase,
+    // served from the maintained apositions relation, must land on the
+    // corpus analyzed-window route's exact rows — shared oracle
+    "search_phrase_analyzed_index" -> oracleAnalyzedPhrase,
     // analyzed serving from the persisted apostings relation (through
     // build→append→compact) must equal the corpus-pass analyzed route
     "search_analyzed_index" -> oracleAnalyzed,

@@ -506,6 +506,48 @@ class SearchSpec extends SparkSpec {
     assert(got(11L) == single(Seq("hash", "join")), s"q11: ${got(11L)}")
   }
 
+  test("analyzedPhraseSearch: adjacency over the FILTERED analyzed stream; index route equal through append+compact; apositions scan pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_searchidx_aph").toString
+    val docs = Seq(
+      (1L, "HASH JOIN big"),               // case-damaged adjacency
+      (2L, "[hash] [join] [big]"),         // punct-wrapped adjacency
+      (3L, "hash join big"),               // clean
+      (4L, "hash !!! join big"),           // pure-punct token drops BEFORE numbering — adjacency restored
+      (5L, "hash filler join big"),        // real token between — no match
+      (6L, "join hash big"),               // order matters
+      (7L, "hash join big hash join big")  // multiplicity 2
+    ).toDF("doc_id", "text")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_occurrences")).toMap
+    val corpus = m(Search.analyzedPhraseSearch(docs, "doc_id", "text", Seq("Hash", "JOIN.", "[big]")))
+    assert(corpus == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 2L), corpus.toString)
+    // the raw window route misses every damaged form — the analyzer is
+    // load-bearing for phrases exactly as for term search
+    val raw = m(Search.phraseSearch(docs, "doc_id", "text", Seq("hash", "join", "big")))
+    assert(raw == Map(3L -> 1L, 7L -> 2L), raw.toString)
+    // served from the maintained analyzed index: build-even → append-odd → compact
+    Search.saveSearchIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", dir, analyzed = true)
+    Search.appendToSearchIndex(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", dir, analyzed = true)
+    Search.compactSearchIndex(spark, dir)
+    val probe = Search.analyzedPhraseFromIndex(spark, dir, Seq("Hash", "JOIN.", "[big]"))
+    assert(m(probe) == corpus, "index-served analyzed phrase must equal the corpus analyzed window route")
+    // repeated-term analyzed phrase: bigram "join join" nowhere; "hash join" everywhere adjacency holds
+    assert(
+      m(Search.analyzedPhraseFromIndex(spark, dir, Seq("HASH", "Join"))) ==
+        m(Search.analyzedPhraseSearch(docs, "doc_id", "text", Seq("hash", "join")))
+    )
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("tbucket"), plan.take(2000))
+    assert(plan.contains("apositions"), "the analyzed phrase probe must serve from apositions")
+    // a phrase term that analyzes to empty is ill-formed, not silently shorter
+    intercept[IllegalArgumentException] {
+      Search.analyzedPhraseSearch(docs, "doc_id", "text", Seq("hash", "!!!"))
+    }
+    intercept[IllegalArgumentException] {
+      Search.analyzedPhraseFromIndex(spark, dir, Seq("hash", "!!!"))
+    }
+  }
+
   test("kwicSnippets: window clamps at doc edges, every occurrence emitted, 1-based positions") {
     val docs = Seq(
       (1L, "cat a b c cat"),      // occurrence at both edges

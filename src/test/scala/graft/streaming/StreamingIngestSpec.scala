@@ -656,6 +656,15 @@ class StreamingIngestSpec extends SparkSpec {
       rows(graft.ops.Search.analyzedBm25FromIndex(spark, idx, Seq("Cat", "DOG!"), 10)) == rows(batch),
       "stream-maintained analyzed index must answer analyzed BM25 like the one-shot corpus pass"
     )
+    // the apositions relation is stream-maintained too: the analyzed
+    // phrase probe must equal the one-shot corpus window route
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(
+      m(graft.ops.Search.analyzedPhraseFromIndex(spark, idx, Seq("Cat", "DOG!"))) ==
+        m(graft.ops.Search.analyzedPhraseSearch(docs.toDF("doc_id", "text"), "doc_id", "text", Seq("Cat", "DOG!"))),
+      "stream-maintained apositions must answer analyzed phrase like the one-shot corpus pass"
+    )
   }
 
   test("search-index batch apply is exactly-once under a full replay of an unmarked batch") {
