@@ -1843,6 +1843,52 @@ object Search {
     kwicSnippets(documents(s, d), "doc_id", "text", fixturePhrase._1, 3)
       .orderBy("doc_id", "pos")
 
+  /** ANALYZED KWIC — the rendering pass for analyzed retrieval: the
+    * occurrence test runs in the ANALYZED stream (the term matches its
+    * case/punctuation variants), but positions and snippets stay RAW —
+    * a renderer shows the document's actual tokens around the hit.
+    * Each raw token pairs with its analyzed twin POSITION-ALIGNED (no
+    * pure-punct filtering here — unlike the phrase relation, display
+    * wants the raw index; a pure-punct raw token is simply never a
+    * hit). Same one-posexplode, output-sized shape as [[kwicSnippets]].
+    */
+  def analyzedKwicSnippets(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      rawTerm: String,
+      window: Int
+  ): DataFrame = {
+    val term = analyzeTerm(rawTerm)
+    require(term.nonEmpty, "the KWIC term must survive the analyzer")
+    docs
+      .filter(lower(col(textCol)).contains(term))
+      .select(col(idCol).cast("long").as("doc_id"), split(col(textCol), " ").as("rtoks"))
+      .select(
+        col("doc_id"),
+        col("rtoks"),
+        posexplode(expr(s"transform(rtoks, t -> ${analyzeSql("t")})")).as(Seq("pos", "atoken"))
+      )
+      .filter(col("atoken") === lit(term))
+      .select(
+        col("doc_id"),
+        (col("pos") + 1).cast("long").as("pos"),
+        expr(
+          s"""array_join(slice(rtoks,
+             |  greatest(1, pos + 1 - $window),
+             |  least(size(rtoks), pos + 1 + $window) - greatest(1, pos + 1 - $window) + 1), ' ')""".stripMargin
+        ).as("snippet")
+      )
+  }
+
+  /** Analyzed KWIC over the damaged corpus: the raw-cased query term
+    * must hit every damage form, with snippets showing the RAW
+    * (damaged) context a renderer would display.
+    */
+  val searchKwicAnalyzed: Q = (s, d) =>
+    analyzedKwicSnippets(damagedFixtureDocs(s, d), "doc_id", "text", fixturePhrase._1.toUpperCase, 3)
+      .orderBy("doc_id", "pos")
+
   // ---- Hybrid retrieval + result diversification ----------------------
 
   /** RECIPROCAL-RANK FUSION of K ranked lists — the standard hybrid-
@@ -2032,6 +2078,7 @@ object Search {
     "search_dedup_results" -> searchDedupResults,
     "search_dedup_results_graph" -> searchDedupResultsGraph,
     "search_kwic" -> searchKwic,
+    "search_kwic_analyzed" -> searchKwicAnalyzed,
     "search_analyzed" -> searchAnalyzed,
     "search_analyzed_index" -> searchAnalyzedIndex,
     "search_phrase_analyzed" -> searchPhraseAnalyzed,
@@ -2415,6 +2462,28 @@ object Search {
          |  FROM documents WHERE contains(text, $t)),
          |ps AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks), 1)) AS pos FROM pt),
          |hit AS (SELECT doc_id, pos, toks FROM ps WHERE toks[pos] = $t)
+         |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |  array_to_string(toks[greatest(1, pos - 3):least(len(toks), pos + 3)], ' ') AS snippet
+         |FROM hit ORDER BY doc_id, pos""".stripMargin
+    },
+    "search_kwic_analyzed" -> {
+      // the damaged-corpus chain; the hit test analyzes the RAW token
+      // at each position (position-aligned, no filtering), snippets
+      // slice the raw damaged tokens — what a renderer displays
+      val t = sqlLit(analyzeTerm(fixturePhrase._1))
+      s"""WITH dd AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN upper(text)
+         |         WHEN doc_id % 11 = 0 THEN
+         |           array_to_string(list_transform(string_split(text, ' '), t -> '[' || t || ']'), ' ')
+         |         ELSE text END AS text
+         |  FROM documents),
+         |pt AS (
+         |  SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM dd WHERE contains(lower(text), $t)),
+         |ps AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks), 1)) AS pos FROM pt),
+         |hit AS (SELECT doc_id, pos, toks FROM ps
+         |        WHERE regexp_replace(lower(toks[pos]), '^[^a-z0-9]+|[^a-z0-9]+$$', '', 'g') = $t)
          |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
          |  array_to_string(toks[greatest(1, pos - 3):least(len(toks), pos + 3)], ' ') AS snippet
          |FROM hit ORDER BY doc_id, pos""".stripMargin

@@ -569,6 +569,34 @@ class SearchSpec extends SparkSpec {
     )
   }
 
+  test("analyzedKwicSnippets: hits found in the ANALYZED stream, positions and snippets stay RAW") {
+    val docs = Seq(
+      (1L, "a b CAT c d"),  // case-damaged hit at raw pos 3
+      (2L, "x [cat] y"),    // punct-wrapped hit at raw pos 2
+      (3L, "cat z"),        // clean hit at pos 1 (left clamp)
+      (4L, "scatter only"), // substring is not a token match
+      (5L, "!!! cat")       // punct token before the hit — raw positions unaffected
+    ).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id", "pos").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"), r.getAs[String]("snippet"))).toSeq
+    val got = rows(Search.analyzedKwicSnippets(docs, "doc_id", "text", "CAT!", 1))
+    assert(
+      got == Seq(
+        (1L, 3L, "b CAT c"),
+        (2L, 2L, "x [cat] y"),
+        (3L, 1L, "cat z"),
+        (5L, 2L, "!!! cat")
+      ),
+      got.toString
+    )
+    // the raw KWIC route sees only the exact-cased unwrapped token
+    val raw = rows(Search.kwicSnippets(docs, "doc_id", "text", "cat", 1))
+    assert(raw == Seq((3L, 1L, "cat z"), (5L, 2L, "!!! cat")), raw.toString)
+    intercept[IllegalArgumentException] {
+      Search.analyzedKwicSnippets(docs, "doc_id", "text", "!!!", 1)
+    }
+  }
+
   test("rrfFuse: overlapping ids sum both contributions, absent ranks contribute zero") {
     val lex = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("id", "rank")
     val vec = Seq((2L, 1L), (4L, 2L)).toDF("id", "rank")
