@@ -432,13 +432,34 @@ object Search {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** On-disk format version, stamped into `dir/meta`. Version 2 is the
+    * dl-denormalized layout (postings rows carry the doc length);
+    * version 1 (no marker) predates it — reading a v1 index with the
+    * v2 `postingsSchema` would yield null dl and silently NULL every
+    * BM25 contribution (sum skips nulls), so [[readMeta]] fails loudly
+    * on any index without the marker instead of mis-scoring.
+    */
+  private val indexFormatVersion = 2L
+
   private def writeMeta(s: SparkSession, dir: String, m: (Long, Long)): Unit = {
     import s.implicits._
-    Seq(m).toDF("n_docs", "total_toks").coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    Seq((m._1, m._2, indexFormatVersion))
+      .toDF("n_docs", "total_toks", "format_version")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   private def readMeta(s: SparkSession, dir: String): (Long, Long) = {
-    val r = s.read.parquet(s"$dir/meta").select("n_docs", "total_toks").head()
+    val df = s.read.parquet(s"$dir/meta")
+    require(
+      df.columns.contains("format_version"),
+      s"search index at $dir has no format_version marker (pre-dl layout): its postings " +
+        "lack the denormalized dl column and BM25 would silently mis-score — rebuild the index"
+    )
+    val r = df.select("n_docs", "total_toks", "format_version").head()
+    require(
+      r.getLong(2) >= indexFormatVersion,
+      s"search index at $dir has format_version ${r.getLong(2)} < $indexFormatVersion — rebuild the index"
+    )
     (r.getLong(0), r.getLong(1))
   }
 
@@ -766,6 +787,7 @@ object Search {
       analyzed: Boolean = false
   ): Unit = {
     val s = newDocs.sparkSession
+    requireAnalyzedTwinMaintained(s, dir, analyzed, "appendToSearchIndex")
     postingsWithDl(newDocs, idCol, textCol)
       .withColumn("tbucket", tokenBucketCol)
       .repartition(col("tbucket"))
@@ -803,16 +825,43 @@ object Search {
     val (n0, t0) = readMeta(s, dir)
     val (n1, t1) = corpusScalars(newDocs, idCol, textCol)
     writeMeta(s, dir, (n0 + n1, t0 + t1))
+    // if a stream has maintained this index, keep its ledger invariant
+    // (meta = sum over dir/meta_inc): fold the ledger to one seed row
+    // carrying the new totals — appends are single-writer and never
+    // replayed, so a wholesale rewrite is safe here
+    val fs = fsFor(s, dir)
+    if (ledgerFiles(fs, dir).nonEmpty) {
+      val a =
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/ameta"))) readAmeta(s, dir) else 0L
+      fs.delete(new org.apache.hadoop.fs.Path(ledgerDir(dir)), true)
+      writeLedgerRow(s, dir, (n0 + n1, t0 + t1, a), "seed")
+    }
   }
 
   // ---- exactly-once batch apply (the streaming maintainer's path) ----
 
-  private val doclenSchema = new org.apache.spark.sql.types.StructType()
-    .add("doc_id", "long")
-    .add("dl", "long")
-
   private def fsFor(s: SparkSession, path: String) =
     new org.apache.hadoop.fs.Path(path).getFileSystem(s.sessionState.newHadoopConf())
+
+  /** Maintaining an ANALYZED index with analyzed = false would update
+    * postings/positions/doclen/meta but silently leave apostings/
+    * apositions/ameta STALE — analyzed probes would then serve old
+    * results with no error. Every maintenance entry point fails loudly
+    * instead: if the analyzed twin exists on disk, the maintainer must
+    * say analyzed = true.
+    */
+  private def requireAnalyzedTwinMaintained(
+      s: SparkSession,
+      dir: String,
+      analyzed: Boolean,
+      op: String
+  ): Unit =
+    require(
+      analyzed || !fsFor(s, dir).exists(new org.apache.hadoop.fs.Path(s"$dir/apostings")),
+      s"$op(analyzed = false) onto the ANALYZED index at $dir would leave apostings/" +
+        "apositions/ameta stale (analyzed probes would silently serve old results) — " +
+        "pass analyzed = true"
+    )
 
   /** Last batch id fully applied to the index at `dir` (−1 if none) —
     * the skip gate that makes a foreachBatch REPLAY of an already-
@@ -826,6 +875,37 @@ object Search {
       val in = fs.open(p)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
       finally in.close()
+    }
+  }
+
+  /** Guard against a FRESH-checkpoint restart on an existing index
+    * dir: foreachBatch batch ids restart at 0 with a new checkpoint,
+    * so the `_last_batch` skip gate alone would silently DROP every
+    * batch until the new ids pass the old marker. The index dir
+    * records the identity (checkpoint path) of the stream that
+    * maintains it; a mismatch fails loudly with the retain-or-discard-
+    * together contract instead of losing data. Writing the identity is
+    * idempotent (a replayed first batch rewrites the same value).
+    */
+  private[graft] def ensureStreamIdentity(s: SparkSession, dir: String, streamId: String): Unit = {
+    val fs = fsFor(s, dir)
+    val p = new org.apache.hadoop.fs.Path(dir, "_stream_id")
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val existing =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(
+        existing == streamId,
+        s"search index at $dir is maintained by the stream checkpointed at '$existing' but " +
+          s"this stream checkpoints at '$streamId': a fresh checkpoint restarts batch ids at 0 " +
+          "and the applied-batch marker would silently drop every batch until the ids pass it — " +
+          "retain or discard the checkpoint and the index dir TOGETHER"
+      )
+    } else {
+      val out = fs.create(p, true)
+      try out.write(s"$streamId\n".getBytes("UTF-8"))
+      finally out.close()
     }
   }
 
@@ -874,25 +954,118 @@ object Search {
     fs.delete(new Path(stagedDir), true)
   }
 
+  // ---- batch-keyed meta-increment ledger ----------------------------
+  //
+  // `dir/meta_inc/` holds ONE row per applied increment — the batch's
+  // three scalar deltas (n_docs, total_toks, total_atoks) under the
+  // deterministic `gbatch-<B>-0.parquet` name — and meta/ameta are the
+  // SUMS over the ledger. That keeps the exactly-once property (meta
+  // is still a pure function of on-disk state: a replayed batch
+  // deletes and rewrites its own ledger row, then re-sums) at
+  // LEDGER cost instead of corpus cost: the old recompute scanned the
+  // ENTIRE doclen relation (doc cardinality, ~10¹⁰ rows at 100 TB)
+  // and, on analyzed indexes, the ENTIRE apostings relation
+  // (corpus-token cardinality) per micro-batch — a scale-killer in a
+  // streaming hot loop. The ledger is batches-count-sized; compaction
+  // folds it back to one seed row.
+  //
+  // Cross-batch contract (same as appendToSearchIndex): increments
+  // carry NEW doc ids only — per-batch countDistinct sums equal the
+  // global count exactly when ids never repeat across batches (a
+  // repeated id would equally corrupt the relations themselves).
+
+  private val ledgerSchema = new org.apache.spark.sql.types.StructType()
+    .add("n_docs", "long")
+    .add("total_toks", "long")
+    .add("total_atoks", "long")
+
+  private def ledgerDir(dir: String) = s"$dir/meta_inc"
+
+  /** Ledger files currently on disk (empty array if the dir is absent). */
+  private def ledgerFiles(fs: org.apache.hadoop.fs.FileSystem, dir: String) =
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"${ledgerDir(dir)}/*.parquet")))
+      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+
+  /** Seed the ledger from the CURRENT meta/ameta scalars — run once
+    * when a stream starts maintaining an index that predates the
+    * ledger (built by [[saveSearchIndex]] / grown by
+    * [[appendToSearchIndex]]). Trigger condition is "ledger has no
+    * FILES and meta exists": meta is only ever (re)written AFTER a
+    * batch's ledger row lands, so a non-empty ledger can never be
+    * wrongly re-seeded, and a crash that left an EMPTY ledger dir
+    * behind re-seeds correctly on replay.
+    */
+  private def seedLedgerIfNeeded(s: SparkSession, dir: String): Unit = {
+    val fs = fsFor(s, dir)
+    if (ledgerFiles(fs, dir).isEmpty && fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta"))) {
+      val (n0, t0) = readMeta(s, dir)
+      val a0 =
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/ameta"))) readAmeta(s, dir) else 0L
+      writeLedgerRow(s, dir, (n0, t0, a0), "seed")
+    }
+  }
+
+  /** Stage one scalar ledger row and rename it in under a
+    * deterministic `<tag>-0.parquet` name (replay overwrites).
+    */
+  private def writeLedgerRow(s: SparkSession, dir: String, row: (Long, Long, Long), tag: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    import s.implicits._
+    val fs = fsFor(s, dir)
+    val staged = s"$dir/_stage_ledger_$tag"
+    Seq(row).toDF("n_docs", "total_toks", "total_atoks")
+      .coalesce(1).write.mode("overwrite").parquet(staged)
+    val src = fs.globStatus(new Path(s"$staged/part-*")).head.getPath
+    fs.mkdirs(new Path(ledgerDir(dir)))
+    val dest = new Path(ledgerDir(dir), s"$tag-0.parquet")
+    if (fs.exists(dest)) fs.delete(dest, false)
+    if (!fs.rename(src, dest))
+      throw new java.io.IOException(s"search-index ledger write: rename $src -> $dest failed")
+    fs.delete(new Path(staged), true)
+  }
+
+  /** The three meta scalars as the SUM over the increment ledger —
+    * ledger-sized I/O (one row per applied batch), never a corpus
+    * read.
+    */
+  private def ledgerSums(s: SparkSession, dir: String): (Long, Long, Long) = {
+    val r = s.read
+      .schema(ledgerSchema)
+      .parquet(ledgerDir(dir))
+      .agg(
+        coalesce(sum(col("n_docs")), lit(0L)).cast("long"),
+        coalesce(sum(col("total_toks")), lit(0L)).cast("long"),
+        coalesce(sum(col("total_atoks")), lit(0L)).cast("long")
+      )
+      .head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
   /** Apply ONE micro-batch of new documents to the index at `dir`,
     * idempotently — the unit [[graft.streaming.StreamingIngest
     * .searchIndexStream]] runs inside foreachBatch. Every step is
     * retry-safe, so foreachBatch's at-least-once delivery yields an
     * exactly-once index:
     *
-    *  1. delete any `gbatch-<B>-*` files a CRASHED prior attempt of
-    *     this same batch left in postings/positions/doclen;
-    *  2. stage the increment's three relations and rename their files
-    *     in under `gbatch-<B>-<i>` names ([[stageAndMove]]);
-    *  3. rewrite `dir/meta` from the doclen relation — a pure function
-    *     of the on-disk rows (n_docs = countDistinct(doc_id),
-    *     total_toks = sum(dl); the same aggregate compact's repair
-    *     runs, doc-cardinality not corpus-token-cardinality), so a
-    *     replayed batch recomputes the same scalars instead of
-    *     double-incrementing the old read-modify-write.
+    *  1. seed the meta-increment ledger from the current meta if this
+    *     stream took over an index that predates it
+    *     ([[seedLedgerIfNeeded]] — a once-per-index-lifetime step);
+    *  2. delete any `gbatch-<B>-*` files a CRASHED prior attempt of
+    *     this same batch left in postings/positions/doclen/meta_inc;
+    *  3. stage the increment's relations and rename their files in
+    *     under `gbatch-<B>-<i>` names ([[stageAndMove]]);
+    *  4. write the batch's ledger row — its three scalar deltas,
+    *     computed from the BATCH alone (increment-sized aggregates) —
+    *     and rewrite meta/ameta as the SUM over the ledger. Still a
+    *     pure function of on-disk state (a replayed batch rewrites
+    *     its own row and re-sums to the same scalars), but at ledger
+    *     cost: the per-batch FULL doclen/apostings recompute this
+    *     replaces scanned doc-/corpus-token-cardinality relations in
+    *     the streaming hot loop.
     *
     * The first batch needs no bootstrap special case: appending onto
-    * not-yet-existing dirs creates them, and meta follows from doclen.
+    * not-yet-existing dirs creates them, and an all-empty batch's
+    * ledger row is (0, 0, 0).
     */
   private[graft] def applySearchIndexBatch(
       batch: DataFrame,
@@ -905,12 +1078,15 @@ object Search {
     import org.apache.hadoop.fs.Path
     val s = batch.sparkSession
     val fs = fsFor(s, dir)
+    requireAnalyzedTwinMaintained(s, dir, analyzed, "applySearchIndexBatch")
+    seedLedgerIfNeeded(s, dir)
     Seq(
       s"$dir/postings/tbucket=*",
       s"$dir/positions/tbucket=*",
       s"$dir/apostings/tbucket=*",
       s"$dir/apositions/tbucket=*",
-      s"$dir/doclen"
+      s"$dir/doclen",
+      ledgerDir(dir)
     )
       .foreach { d =>
         Option(fs.globStatus(new Path(s"$d/gbatch-$batchId-*")))
@@ -953,28 +1129,17 @@ object Search {
         partitioned = true,
         batchId
       )
-      // pure function of the on-disk rows (adl constant per doc) —
-      // idempotent under a batch replay, like the main meta below
-      writeAmeta(s, dir, ametaFromApostings(s, dir))
     }
     stageAndMove(docLengths(batch, idCol, textCol), s"$staged/doclen", s"$dir/doclen", partitioned = false, batchId)
     fs.delete(new Path(staged), true)
-    // empty-stream cold start: an all-empty first batch moves no files,
-    // so the doclen dir may not exist yet — meta is then (0, 0)
-    val scalars =
-      if (!fs.exists(new Path(s"$dir/doclen"))) (0L, 0L)
-      else {
-        val r = s.read
-          .schema(doclenSchema)
-          .parquet(s"$dir/doclen")
-          .agg(
-            countDistinct(col("doc_id")).cast("long"),
-            coalesce(sum(col("dl")), lit(0L)).cast("long")
-          )
-          .head()
-        (r.getLong(0), r.getLong(1))
-      }
-    writeMeta(s, dir, scalars)
+    // the batch's three scalar deltas — increment-sized aggregates over
+    // the BATCH, never a read of the accumulated relations
+    val (nb, tb) = corpusScalars(batch, idCol, textCol)
+    val ab = if (analyzed) analyzedTotal(batch, textCol) else 0L
+    writeLedgerRow(s, dir, (nb, tb, ab), s"gbatch-$batchId")
+    val (n, t, a) = ledgerSums(s, dir)
+    writeMeta(s, dir, (n, t))
+    if (analyzed) writeAmeta(s, dir, a)
   }
 
   /** Rewrite the postings/positions back to one file per bucket dir
@@ -982,18 +1147,41 @@ object Search {
     * pre/post (spec-pinned). Also rewrites `dir/meta` from the
     * compacted doclen relation — n_docs = countDistinct(doc_id),
     * total_toks = sum(dl) — which repairs any drift the documented
-    * non-atomic append window left behind.
+    * non-atomic append window left behind, and FOLDS the streaming
+    * meta-increment ledger back to one seed row carrying the repaired
+    * scalars (preserving the invariant meta = sum over the ledger, so
+    * the per-batch apply stays ledger-cost between compactions).
+    * Compaction is the ONE maintenance step allowed to scan the
+    * doc-keyed relations — it runs at the amortized cadence that also
+    * bounds file counts, never in the per-batch hot loop.
     */
   def compactSearchIndex(spark: SparkSession, dir: String): Unit = {
+    val fs = fsFor(spark, dir)
+    // fail loudly on a pre-dl index rather than stamping it current
+    // (its postings lack dl and no compaction can backfill them) —
+    // but an UNREADABLE meta is the repair case, so only a readable
+    // marker-less meta trips the check
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/meta"))) {
+      val cols = try Some(spark.read.parquet(s"$dir/meta").columns.toSet)
+      catch { case _: Throwable => None }
+      require(
+        cols.forall(_.contains("format_version")),
+        s"search index at $dir has no format_version marker (pre-dl layout) — " +
+          "compaction cannot backfill dl; rebuild the index"
+      )
+    }
     graft.core.Compaction.compact(spark, s"$dir/postings", Some("tbucket"), 1)
     graft.core.Compaction.compact(spark, s"$dir/positions", Some("tbucket"), 1)
     // the analyzed twin exists only on analyzed-enabled indexes; its
     // meta scalar repairs from the compacted rows like the main meta
-    if (fsFor(spark, dir).exists(new org.apache.hadoop.fs.Path(s"$dir/apostings"))) {
+    val hasAnalyzed = fs.exists(new org.apache.hadoop.fs.Path(s"$dir/apostings"))
+    val repairedAtoks = if (hasAnalyzed) {
       graft.core.Compaction.compact(spark, s"$dir/apostings", Some("tbucket"), 1)
-      writeAmeta(spark, dir, ametaFromApostings(spark, dir))
-    }
-    if (fsFor(spark, dir).exists(new org.apache.hadoop.fs.Path(s"$dir/apositions")))
+      val a = ametaFromApostings(spark, dir)
+      writeAmeta(spark, dir, a)
+      a
+    } else 0L
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/apositions")))
       graft.core.Compaction.compact(spark, s"$dir/apositions", Some("tbucket"), 1)
     graft.core.Compaction.compact(spark, s"$dir/doclen", None, 1)
     val r = spark.read
@@ -1004,6 +1192,12 @@ object Search {
       )
       .head()
     writeMeta(spark, dir, (r.getLong(0), r.getLong(1)))
+    // fold the increment ledger: per-batch rows collapse to one seed
+    // row carrying the repaired scalars
+    if (ledgerFiles(fs, dir).nonEmpty) {
+      fs.delete(new org.apache.hadoop.fs.Path(ledgerDir(dir)), true)
+      writeLedgerRow(spark, dir, (r.getLong(0), r.getLong(1), repairedAtoks), "seed")
+    }
   }
 
   /** BATCHED search serving: a whole RELATION of (query_id, term)
@@ -1643,8 +1837,10 @@ object Search {
 
   /** BATCHED analyzed BM25 from the persisted index — the full
     * production tier in one operator: a RELATION of (query_id, term)
-    * pairs (raw, analyzed driver-free: the terms column analyzes
-    * in-plan with the same chain the index applied at build), the
+    * pairs (raw; the terms analyze IN-PLAN with the same chain the
+    * index applied at build — the one analyzer site in this route —
+    * and the driver collects only the analyzed output, request-sized,
+    * for the bucket prune), the
     * union of the batch's analyzed terms prunes the apostings buckets,
     * df from the pruned rows, adl on each posting row, ameta/meta
     * scalars, ONE BIGINT division per (query, doc, term), rank-limit
@@ -1659,20 +1855,22 @@ object Search {
       k: Int
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // analyze the batch's terms driver-side: the term list is request-
-    // sized, and the bucket prune needs the analyzed forms anyway
-    val rawTerms = queries.select(col("term")).distinct().collect().map(_.getString(0)).toSeq
-    val terms = rawTerms.map(analyzeTerm).filter(_.nonEmpty).distinct
+    val aQueries = queries
+      .select(col("query_id"), analyzeCol(col("term")).as("token"))
+      .filter(col("token") =!= "")
+      .distinct() // two raw variants of one analyzed term must not double-count
+    // the bucket prune needs the batch's ANALYZED terms driver-side;
+    // collecting them from the in-plan analyzed relation keeps the
+    // analyzer chain in exactly ONE place per route (the collect is
+    // request-sized by contract — a query batch is thousands of terms,
+    // never corpus-scale)
+    val terms = aQueries.select(col("token")).distinct().collect().map(_.getString(0)).toSeq
     require(terms.nonEmpty, "batched analyzed bm25 needs at least one non-empty term")
     val nDocs = readMeta(s, indexDir)._1
     require(nDocs > 0, s"analyzedBm25BatchFromIndex: index at $indexDir is empty (n_docs = 0)")
     val avgdl = readAmeta(s, indexDir) / nDocs
     require(avgdl > 0, s"analyzedBm25BatchFromIndex: index at $indexDir has analyzed avgdl = 0")
     val buckets = terms.map(tokenBucket).distinct
-    val aQueries = queries
-      .select(col("query_id"), analyzeCol(col("term")).as("token"))
-      .filter(col("token") =!= "")
-      .distinct() // two raw variants of one analyzed term must not double-count
     val p = s.read
       .schema(apostingsSchema)
       .parquet(s"$indexDir/apostings")

@@ -805,15 +805,22 @@ object StreamingIngest {
     * batch applies through [[graft.ops.Search.applySearchIndexBatch]]
     * — batch files land under deterministic `gbatch-<id>` names (a
     * retry deletes a crashed attempt's files before re-applying), meta
-    * is recomputed from the on-disk doclen relation (a pure function,
-    * never a read-modify-increment), and an applied-batch marker
+    * is the SUM over a batch-keyed increment ledger (`dir/meta_inc`,
+    * one scalar row per applied batch — still a pure function of
+    * on-disk state, never a read-modify-increment, but LEDGER-sized
+    * instead of the per-batch full doclen/apostings recompute it
+    * replaced), and an applied-batch marker
     * written LAST makes a replay of a fully-applied batch a no-op. So
     * a crash/retry at any point yields the same index as a clean run —
     * probes never diverge from the one-shot build
     * (StreamingIngestSpec replays a batch to pin this). The stream is
     * still the index dir's single WRITER (concurrent maintainers
-    * would race the marker); `compactEvery` folds per-batch file
-    * accretion back to one file per bucket dir every K batches.
+    * would race the marker), and the dir records its maintainer's
+    * checkpoint identity: restarting with a FRESH checkpoint on an
+    * existing index fails loudly (batch ids restart at 0 and the
+    * marker would silently drop batches) — retain or discard the
+    * checkpoint and index dir together. `compactEvery` folds per-batch
+    * file accretion (and the ledger) back every K batches.
     */
   def searchIndexStream(
       docs: DataFrame,
@@ -830,6 +837,10 @@ object StreamingIngest {
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val bs = batch.sparkSession
+        // checkpoint identity gate BEFORE the skip gate: a fresh
+        // checkpoint restarts batch ids at 0 and the marker alone
+        // would silently drop batches — fail loudly instead
+        graft.ops.Search.ensureStreamIdentity(bs, indexDir, checkpoint)
         if (batchId > graft.ops.Search.lastAppliedSearchBatch(bs, indexDir)) {
           graft.ops.Search.applySearchIndexBatch(batch.toDF(), idCol, textCol, indexDir, batchId, analyzed)
           graft.ops.Search.writeLastAppliedSearchBatch(bs, indexDir, batchId)

@@ -189,11 +189,53 @@ class SearchSpec extends SparkSpec {
     val docs = Seq((1L, "cat dog"), (2L, "cat x y")).toDF("doc_id", "text")
     Search.saveSearchIndex(docs, "doc_id", "text", dir)
     // simulate the crash window: relations written, meta stale
-    Seq((1L, 1L)).toDF("n_docs", "total_toks")
+    Seq((1L, 1L, 2L)).toDF("n_docs", "total_toks", "format_version")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
     Search.compactSearchIndex(spark, dir)
     val meta = spark.read.parquet(s"$dir/meta").select("n_docs", "total_toks").head()
     assert((meta.getLong(0), meta.getLong(1)) == ((2L, 5L)), "meta must be recomputed from doclen")
+  }
+
+  test("pre-dl index format fails LOUDLY: no format_version marker → probes and compaction throw") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_searchidx_v1").toString
+    val docs = Seq((1L, "cat dog"), (2L, "cat x y")).toDF("doc_id", "text")
+    Search.saveSearchIndex(docs, "doc_id", "text", dir)
+    // simulate a v1 index: meta without the marker (its postings would
+    // lack dl; reading with the v2 schema yields null dl, so BM25 would
+    // silently NULL every contribution instead of failing)
+    Seq((2L, 5L)).toDF("n_docs", "total_toks")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    val e1 = intercept[IllegalArgumentException] {
+      Search.bm25FromIndex(spark, dir, Seq("cat"), 10).collect()
+    }
+    assert(e1.getMessage.contains("format_version"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] { Search.compactSearchIndex(spark, dir) }
+    assert(e2.getMessage.contains("format_version"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      Search.appendToSearchIndex(docs, "doc_id", "text", dir)
+    }
+    assert(e3.getMessage.contains("format_version"), e3.getMessage)
+  }
+
+  test("maintaining an ANALYZED index with analyzed=false fails loudly (stale-twin guard)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_searchidx_antwin").toString
+    val docs = Seq((1L, "cat dog"), (2L, "cat x")).toDF("doc_id", "text")
+    Search.saveSearchIndex(docs, "doc_id", "text", dir, analyzed = true)
+    val more = Seq((3L, "dog y")).toDF("doc_id", "text")
+    val e1 = intercept[IllegalArgumentException] {
+      Search.appendToSearchIndex(more, "doc_id", "text", dir) // analyzed defaulted false
+    }
+    assert(e1.getMessage.contains("apostings"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Search.applySearchIndexBatch(more, "doc_id", "text", dir, 0L)
+    }
+    assert(e2.getMessage.contains("apostings"), e2.getMessage)
+    // analyzed = true still appends fine, and the analyzed probe sees the increment
+    Search.appendToSearchIndex(more, "doc_id", "text", dir, analyzed = true)
+    val got = Search
+      .analyzedFromIndex(spark, dir, Seq("DOG"), 10, requireAll = true)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(got == Set(1L, 3L), got.toString)
   }
 
   test("bm25FromIndex: equals the corpus route bit for bit; scan is partition-pruned; appends accumulate") {

@@ -695,4 +695,93 @@ class StreamingIngestSpec extends SparkSpec {
       "a replayed batch must leave the index identical to a clean run"
     )
   }
+
+  test("batch apply is LEDGER-cost: meta comes from dir/meta_inc sums, never a doclen/apostings scan") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_search_ledger").toString + "/idx"
+    val a = Seq((1L, "CAT dog"), (2L, "cat!")).toDF("doc_id", "text")
+    val b = Seq((3L, "dog cat extra"), (4L, "bird")).toDF("doc_id", "text")
+    graft.ops.Search.applySearchIndexBatch(a, "doc_id", "text", idx, 0L, analyzed = true)
+    // sabotage the doc-keyed relations BETWEEN batches: if the apply
+    // path scanned them (the round-13 full-relation recompute), these
+    // rows would inflate meta/ameta; the ledger path must not see them
+    Seq((999L, 1000L)).toDF("doc_id", "dl").write.mode("append").parquet(s"$idx/doclen")
+    Seq(("bogus", 999L, 1L, 500L)).toDF("token", "doc_id", "tf", "adl")
+      .write.mode("append").parquet(s"$idx/apostings/tbucket=7")
+    graft.ops.Search.applySearchIndexBatch(b, "doc_id", "text", idx, 1L, analyzed = true)
+    val meta = spark.read.parquet(s"$idx/meta").select("n_docs", "total_toks").head()
+    assert(
+      (meta.getLong(0), meta.getLong(1)) == ((4L, 7L)),
+      s"meta must be the ledger sums (batch-sized aggregates), not a doclen rescan: $meta"
+    )
+    val ameta = spark.read.parquet(s"$idx/ameta").select("total_atoks").head().getLong(0)
+    assert(ameta == 7L, s"ameta must be the ledger sums, not an apostings rescan: $ameta")
+    // the ledger holds one row per applied batch
+    assert(spark.read.parquet(s"$idx/meta_inc").count() == 2L)
+    // and a REPLAYED batch rewrites its own ledger row — sums unchanged
+    graft.ops.Search.applySearchIndexBatch(b, "doc_id", "text", idx, 1L, analyzed = true)
+    val meta2 = spark.read.parquet(s"$idx/meta").select("n_docs", "total_toks").head()
+    assert((meta2.getLong(0), meta2.getLong(1)) == ((4L, 7L)), meta2.toString)
+    assert(spark.read.parquet(s"$idx/meta_inc").count() == 2L, "replay must not grow the ledger")
+  }
+
+  test("ledger lifecycle: seeded from a saveSearchIndex-built meta; folded to one row by compaction") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_search_ledger_seed").toString + "/idx"
+    val base = Seq((1L, "cat dog"), (2L, "cat")).toDF("doc_id", "text")
+    val inc = Seq((3L, "dog cat extra")).toDF("doc_id", "text")
+    graft.ops.Search.saveSearchIndex(base, "doc_id", "text", idx)
+    // first streamed batch onto a pre-ledger index: seeds from meta,
+    // then adds its own row — meta = base + increment
+    graft.ops.Search.applySearchIndexBatch(inc, "doc_id", "text", idx, 0L)
+    val meta = spark.read.parquet(s"$idx/meta").select("n_docs", "total_toks").head()
+    assert((meta.getLong(0), meta.getLong(1)) == ((3L, 6L)), meta.toString)
+    assert(spark.read.parquet(s"$idx/meta_inc").count() == 2L, "seed row + batch row")
+    def probe() = graft.ops.Search
+      .conjunctiveFromIndex(spark, idx, Seq("cat", "dog"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val before = probe()
+    graft.ops.Search.compactSearchIndex(spark, idx)
+    assert(spark.read.parquet(s"$idx/meta_inc").count() == 1L, "compaction folds the ledger")
+    val meta2 = spark.read.parquet(s"$idx/meta").select("n_docs", "total_toks").head()
+    assert((meta2.getLong(0), meta2.getLong(1)) == ((3L, 6L)), meta2.toString)
+    assert(probe() == before, "fold must not change a probe bit")
+    // post-fold batches keep accumulating on the folded seed
+    graft.ops.Search.applySearchIndexBatch(
+      Seq((4L, "dog")).toDF("doc_id", "text"), "doc_id", "text", idx, 1L)
+    val meta3 = spark.read.parquet(s"$idx/meta").select("n_docs", "total_toks").head()
+    assert((meta3.getLong(0), meta3.getLong(1)) == ((4L, 7L)), meta3.toString)
+  }
+
+  test("fresh-checkpoint restart on an existing index dir fails loudly (no silent batch drop)") {
+    implicit val sc = spark.sqlContext
+    val idx = Files.createTempDirectory("graft_search_sid").toString + "/idx"
+    val ckptA = Files.createTempDirectory("graft_search_sid_cka").toString
+    val ckptB = Files.createTempDirectory("graft_search_sid_ckb").toString
+    val memA = MemoryStream[(Long, String)]
+    val qA = StreamingIngest.searchIndexStream(
+      memA.toDF().toDF("doc_id", "text"), "doc_id", "text", idx, ckptA)
+    memA.addData((1L, "cat dog"), (2L, "cat")); qA.processAllAvailable(); qA.stop()
+    // a NEW checkpoint restarts batch ids at 0: with only the marker
+    // gate, every batch until id > old marker would be silently lost —
+    // the identity gate must fail the stream instead
+    val memB = MemoryStream[(Long, String)]
+    val qB = StreamingIngest.searchIndexStream(
+      memB.toDF().toDF("doc_id", "text"), "doc_id", "text", idx, ckptB)
+    memB.addData((3L, "dog extra"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      qB.processAllAvailable()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(x => String.valueOf(x.getMessage)).toSeq
+    assert(
+      chain(e).exists(_.contains("TOGETHER")),
+      s"expected the retain-or-discard-together guard, got: ${chain(e).mkString(" | ")}"
+    )
+    // the SAME checkpoint resuming is fine (identity matches)
+    val memC = MemoryStream[(Long, String)]
+    val qC = StreamingIngest.searchIndexStream(
+      memC.toDF().toDF("doc_id", "text"), "doc_id", "text", idx, ckptA)
+    memC.addData((3L, "dog extra")); qC.processAllAvailable(); qC.stop()
+  }
 }
