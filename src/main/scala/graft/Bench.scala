@@ -142,6 +142,8 @@ object Bench {
       "search_dedup_results_graph" -> "first_run",
       // builds the once-per-process two-increment persisted sketch
       "sketch_distinct_merged" -> "first_run",
+      // builds the once-per-process grouped two-increment sketch
+      "sketch_distinct_merged_by" -> "first_run",
       // builds the once-per-process labeled bitext bucket index
       "bitext_mine_index" -> "first_run",
       // builds the once-per-process persisted graph + rank snapshot
@@ -154,6 +156,9 @@ object Bench {
       // every rep rewrites the corpus source and replays the
       // micro-batched index maintenance from a fresh checkpoint
       "search_stream_probe" -> "every_run",
+      // analyzed twin: every rep rewrites the damaged-corpus source and
+      // replays the analyzed index maintenance from a fresh checkpoint
+      "search_stream_analyzed_probe" -> "every_run",
       // every rep rewrites the JSONL scratch + damaged lines and runs
       // the quarantine + repair round
       "jsonl_repair" -> "every_run",

@@ -866,6 +866,38 @@ object CorpusStats {
       .agg(countDistinct(lcBucketCol(col(valueCol), m)).cast("long").as("occupied"))
       .withColumn("est_milli", lcEstimateCol(m))
 
+  /** GROUPED sketch state as a relation: the distinct (key, slot)
+    * pairs — ≤ |keys|·m rows whatever the input cardinality. The merge
+    * law is per-key exact (same set-union argument as the global
+    * form), so per-key sketches maintain across increments too.
+    */
+  def lcOccupiedSlotsBy(df: DataFrame, keyCol: String, valueCol: String, m: Int): DataFrame =
+    df.select(col(keyCol).as("key"), lcBucketCol(col(valueCol), m).as("slot")).distinct()
+
+  /** Persist one increment's grouped occupied-slot sets (append; the
+    * reader re-distincts per key — the merge law makes multi-increment
+    * slot repeats harmless). The production restart-safe shape of the
+    * hourly-distinct aggregation: each increment sketches
+    * independently, history is never re-read.
+    */
+  def appendDistinctSketchBy(df: DataFrame, keyCol: String, valueCol: String, m: Int, dir: String): Unit =
+    lcOccupiedSlotsBy(df, keyCol, valueCol, m)
+      .coalesce(1) // ≤ |keys|·m rows — sketch-sized, one file per increment
+      .write
+      .mode("append")
+      .parquet(dir)
+
+  /** Per-key estimates from a persisted grouped sketch dir — by the
+    * merge law these EQUAL the one-shot grouped sketch over the
+    * concatenated inputs, which is the oracle gate.
+    */
+  def mergedSketchEstimateBy(spark: SparkSession, dir: String, m: Int): DataFrame =
+    spark.read
+      .parquet(dir)
+      .groupBy(col("key"))
+      .agg(countDistinct(col("slot")).cast("long").as("occupied"))
+      .withColumn("est_milli", lcEstimateCol(m))
+
   private val lcBuckets = 4096
 
   /** Three key columns of three tables through the same sketch — the
@@ -900,9 +932,29 @@ object CorpusStats {
       .select(col("column_name"), col("occupied"), col("est_milli"))
   }
 
+  /** GROUPED persisted-sketch lifecycle as an oracle-gated query — the
+    * restart-safe form of the hourly-distinct production shape:
+    * distinct l_partkey PER l_returnflag, the table arriving as two
+    * increments (even/odd orderkeys) each sketched to its per-key
+    * occupied-slot sets and appended; the merged per-key estimates
+    * must equal the one-shot grouped sketch (the per-key merge law IS
+    * the gate — the oracle computes the one-shot grouped occupancy).
+    */
+  val sketchDistinctMergedBy: Q = (s, d) => {
+    val dir = Fixtures.demoIndexDir(s, "lcsketchby", d) { dir =>
+      val li = lineitem(s, d)
+      appendDistinctSketchBy(li.filter(col("l_orderkey") % 2 === 0), "l_returnflag", "l_partkey", lcBuckets, dir)
+      appendDistinctSketchBy(li.filter(col("l_orderkey") % 2 =!= 0), "l_returnflag", "l_partkey", lcBuckets, dir)
+    }
+    mergedSketchEstimateBy(s, dir, lcBuckets)
+      .select(col("key"), col("occupied"), col("est_milli"))
+      .orderBy("key")
+  }
+
   def queries: Map[String, Q] = Map(
     "sketch_distinct" -> sketchDistinct,
     "sketch_distinct_merged" -> sketchDistinctMerged,
+    "sketch_distinct_merged_by" -> sketchDistinctMergedBy,
     "corpus_cube" -> corpusCubeQ,
     "zipf_fit" -> zipfFitQ,
     "pmi_top_pairs" -> pmiTopPairsQ,
@@ -947,6 +999,19 @@ object CorpusStats {
          |    CAST(floor(-1.0 * $lcBuckets * ln(1.0 - CAST(occupied AS DOUBLE) / $lcBuckets) * 1000) AS BIGINT)
          |  ELSE NULL END AS est_milli
          |FROM o""".stripMargin,
+    // merged two-increment GROUPED sketch ≡ one-shot grouped sketch
+    // (the merge law is per-key exact): the oracle computes the
+    // one-shot grouped occupancy directly
+    "sketch_distinct_merged_by" ->
+      s"""WITH o AS (
+         |  SELECT l_returnflag AS key,
+         |    CAST(count(DISTINCT ${Dedup.hex12ValSql("md5('lc|' || CAST(l_partkey AS VARCHAR))", 1)} % $lcBuckets) AS BIGINT) AS occupied
+         |  FROM lineitem GROUP BY l_returnflag)
+         |SELECT key, occupied,
+         |  CASE WHEN occupied < $lcBuckets THEN
+         |    CAST(floor(-1.0 * $lcBuckets * ln(1.0 - CAST(occupied AS DOUBLE) / $lcBuckets) * 1000) AS BIGINT)
+         |  ELSE NULL END AS est_milli
+         |FROM o ORDER BY key""".stripMargin,
     // the sketch route is exact by construction (no false negatives +
     // exact recount), so the oracle is the PLAIN heavy-hitter query
     "sketch_topk_tokens" ->

@@ -50,7 +50,7 @@ object Search {
 
   /** Fixture query knobs (oracle-pinned). */
   private[graft] val fixtureAndTerms = Seq("dup", "spark")
-  private[ops] val fixtureOrTerms = Seq("dup", "window")
+  private[graft] val fixtureOrTerms = Seq("dup", "window")
   private[ops] val fixturePhrase = ("hash", "join")
   private val topK = 10
 
@@ -1914,7 +1914,7 @@ object Search {
     * bracket-wrapped — the raw route would drop them all; the
     * analyzed routes must rank them exactly as their clean selves.
     */
-  private def damagedFixtureDocs(s: SparkSession, d: String): DataFrame =
+  private[graft] def damagedFixtureDocs(s: SparkSession, d: String): DataFrame =
     documents(s, d).withColumn(
       "text",
       when(col("doc_id") % 7 === 0, upper(col("text")))

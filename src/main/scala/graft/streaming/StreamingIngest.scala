@@ -885,6 +885,42 @@ object StreamingIngest {
     } finally rmScratch(s, base)
   }
 
+  /** The ANALYZED stream maintenance path as an ORACLE-GATED query —
+    * [[searchStreamProbe]]'s twin for the mode real users run: the
+    * case/punctuation-DAMAGED fixture corpus arrives as 4 real
+    * micro-batches, each folded into a fresh analyzed index
+    * (apostings/apositions/ameta maintained per batch through the
+    * meta-increment ledger) with a mid-stream compaction, then the
+    * post-drain analyzed BM25 probe must equal the one-shot corpus
+    * route — it shares search_analyzed_bm25's oracle, so the whole
+    * analyzed maintenance lifecycle (batch apply → ledger sums →
+    * compaction fold) is hash-gated end to end.
+    */
+  def searchStreamAnalyzedProbe(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_search_stream_an")
+    try {
+      val src = base.resolve("src").toString
+      val idx = base.resolve("index").toString
+      val ckpt = base.resolve("ckpt").toString
+      graft.ops.Search
+        .damagedFixtureDocs(s, d)
+        .select(col("doc_id"), col("text"))
+        .repartition(4, col("doc_id"))
+        .write
+        .parquet(src)
+      val stream = s.readStream
+        .schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+      searchIndexStream(stream, "doc_id", "text", idx, ckpt, Trigger.AvailableNow(), compactEvery = 3, analyzed = true)
+        .awaitTermination()
+      graft.ops.Search
+        .analyzedBm25FromIndex(s, idx, graft.ops.Search.fixtureOrTerms.map(_.toUpperCase), 10)
+        .orderBy("rank")
+        .localCheckpoint(true)
+    } finally rmScratch(s, base)
+  }
+
   /** The quality FILTER as a stream: train the NB classifier once on
     * the seed split, PERSIST the model artifact (model + prior
     * parquet — the train-once/score-forever lifecycle every
@@ -1391,6 +1427,7 @@ object StreamingIngest {
       "dedup_stream_clusters" -> dedupStreamClusters,
       "dedup_stream_exact" -> ((s, d) => dedupStreamExactReplay(s, d)),
       "search_stream_probe" -> ((s, d) => searchStreamProbe(s, d)),
+      "search_stream_analyzed_probe" -> ((s, d) => searchStreamAnalyzedProbe(s, d)),
       "events_stream_replay" -> eventsStreamReplay,
       "events_anomaly_stream" -> eventsAnomalyStream
     )
@@ -1438,6 +1475,9 @@ object StreamingIngest {
       // the stream-maintained index must answer the conjunctive probe
       // exactly like the one-shot corpus pass — shared oracle = gate
       "search_stream_probe" -> graft.ops.Search.oracles("search_conjunctive"),
+      // the streamed analyzed maintenance lifecycle must land on the
+      // one-shot corpus analyzed-BM25 route's exact rows
+      "search_stream_analyzed_probe" -> graft.ops.Search.oracles("search_analyzed_bm25"),
       // per-doc pairs are pure in (doc, frozen chunk index): the
       // stream shares the batch containment probe's oracle
       "cdc_containment_stream" -> graft.ops.Cdc.containmentIndexOracle,

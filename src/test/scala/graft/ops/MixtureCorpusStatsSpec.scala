@@ -654,4 +654,22 @@ class MixtureCorpusStatsSpec extends SparkSpec {
     assert(go.schema.fieldNames.toSeq == Seq("k", "occupied", "est_milli"))
     assert(go.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet == g)
   }
+
+  test("grouped persisted sketch: per-key merge law exact, state <= |keys|*m, keys never bleed") {
+    import spark.implicits._
+    val m = 64
+    // per-key value ranges OVERLAP (i % 41 for both keys) — a slot-set
+    // union that ignored keys would under-count; the per-key law must hold
+    val keyed = (1L to 600L).map(i => (s"k${i % 2}", i % 41)).toDF("k", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lcby").toString + "/sk"
+    CorpusStats.appendDistinctSketchBy(keyed.filter(col("v") % 2 === 0), "k", "v", m, dir)
+    CorpusStats.appendDistinctSketchBy(keyed.filter(col("v") % 2 =!= 0), "k", "v", m, dir)
+    val merged = CorpusStats.mergedSketchEstimateBy(spark, dir, m)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val oneShot = CorpusStats.linearCountOccupancyBy(keyed, "k", "v", m)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(merged == oneShot, s"merged=$merged oneShot=$oneShot")
+    // state bounded by |keys|·m whatever the input row count
+    assert(spark.read.parquet(dir).distinct().count() <= 2L * m, "state must stay <= |keys|*m")
+  }
 }
