@@ -140,6 +140,8 @@ object Bench {
       "search_rrf_index" -> "first_run",
       // builds the once-per-process persisted cluster map (LSH + CC)
       "search_dedup_results_graph" -> "first_run",
+      // shares the postings-index build + builds the bucketed doc store
+      "search_kwic_page" -> "first_run",
       // builds the once-per-process two-increment persisted sketch
       "sketch_distinct_merged" -> "first_run",
       // builds the once-per-process grouped two-increment sketch

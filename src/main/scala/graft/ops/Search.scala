@@ -2087,6 +2087,120 @@ object Search {
     analyzedKwicSnippets(damagedFixtureDocs(s, d), "doc_id", "text", fixturePhrase._1.toUpperCase, 3)
       .orderBy("doc_id", "pos")
 
+  // ---- KWIC for a RESULT PAGE, served from persisted artifacts -------
+
+  /** Doc-hash bucket count for the persisted document text store. */
+  private[ops] val docStoreBuckets = 64L
+
+  /** doc_id → store bucket, driver-side — the executor twin is
+    * [[docBucketCol]]; the `db|` domain prefix keeps the draw
+    * independent of the token-bucket hash.
+    */
+  private[ops] def docBucket(id: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5").digest(s"db|$id".getBytes("UTF-8"))
+    val hex = md.take(6).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16) % docStoreBuckets
+  }
+
+  private def docBucketCol: org.apache.spark.sql.Column =
+    expr(
+      s"CAST(conv(substring(md5(cast(concat('db|', CAST(doc_id AS STRING)) as binary)), 1, 12), 16, 10) AS BIGINT) % $docStoreBuckets"
+    )
+
+  /** Persist the document TEXT STORE alongside the search index:
+    * `dir/dbucket=N/` holds every (doc_id, text) whose id hashes to N
+    * (one file per bucket — the small-files guard every index write
+    * here uses). This is the relation a serving tier reads to RENDER
+    * results: corpus-sized on disk, but any page's read is pruned to
+    * its hits' bucket dirs — page-sized I/O however large the corpus.
+    */
+  def saveDocStore(docs: DataFrame, idCol: String, textCol: String, dir: String): Unit =
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .withColumn("dbucket", docBucketCol)
+      .repartition(col("dbucket"))
+      .write
+      .mode("overwrite")
+      .partitionBy("dbucket")
+      .parquet(dir)
+
+  /** KWIC snippets for a RESULT PAGE, served end-to-end from persisted
+    * artifacts — the rendering pass production actually runs: a page
+    * holds ≤ k hits, so snippets must cost page I/O, not the corpus
+    * pass [[kwicSnippets]] pays. The hits relation is request-sized
+    * (collected driver-side, the deduped-page pattern); the term's
+    * occurrences come from the POSITIONAL index pruned to the term's
+    * bucket dir AND the page's doc ids; the documents' token arrays
+    * come from the doc store pruned to the hits' `dbucket` dirs
+    * (PartitionFilters, spec-pinned). Same 1-based positions and
+    * ±window slice arithmetic as the corpus route, with the hit's page
+    * rank riding each snippet row — search_kwic_page shares a
+    * page-restricted form of search_kwic's oracle.
+    */
+  def kwicPage(
+      s: SparkSession,
+      indexDir: String,
+      storeDir: String,
+      hits: DataFrame, // (rank, doc_id) — a result page, request-sized
+      term: String,
+      window: Int
+  ): DataFrame = {
+    import s.implicits._
+    val hitRows = hits
+      .select(col("rank").cast("long"), col("doc_id").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ids = hitRows.map(_._2).toSeq
+    if (ids.isEmpty) {
+      return Seq.empty[(Long, Long, Long, String)].toDF("rank", "doc_id", "pos", "snippet")
+    }
+    val dbuckets = ids.map(docBucket).distinct
+    val ranks = hitRows.toSeq.toDF("rank", "doc_id")
+    val pos = s.read
+      .schema(positionsSchema)
+      .parquet(s"$indexDir/positions")
+      .filter(
+        col("tbucket") === tokenBucket(term) && col("token") === term && col("doc_id").isin(ids: _*)
+      )
+      .select(col("doc_id"), col("pos"))
+    val toks = s.read
+      .parquet(storeDir)
+      .filter(col("dbucket").isin(dbuckets: _*) && col("doc_id").isin(ids: _*))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    pos
+      .join(toks, "doc_id") // page-sized both sides
+      .join(broadcast(ranks), "doc_id")
+      .select(
+        col("rank"),
+        col("doc_id"),
+        (col("pos") + 1).cast("long").as("pos"),
+        expr(
+          s"""array_join(slice(toks,
+             |  greatest(1, pos + 1 - $window),
+             |  least(size(toks), pos + 1 + $window) - greatest(1, pos + 1 - $window) + 1), ' ')""".stripMargin
+        ).as("snippet")
+      )
+  }
+
+  /** Once-per-process persisted doc store over the fixture corpus. */
+  private[ops] def demoDocStoreDir(s: SparkSession, d: String): String =
+    Fixtures.demoIndexDir(s, "docstore", d)(saveDocStore(documents(s, d), "doc_id", "text", _))
+
+  private val kwicPageK = 5
+
+  /** The rendered result page: hits for the KWIC term from the
+    * persisted search index, snippets from the positional index + doc
+    * store pruned to the page — neither the corpus nor the full store
+    * is scanned. Shares search_kwic's oracle restricted to the page's
+    * documents (with the page rank joined on).
+    */
+  val searchKwicPage: Q = (s, d) => {
+    val hits = conjunctiveFromIndex(s, demoSearchIndexDir(s, d), Seq(fixturePhrase._1), kwicPageK)
+      .select(col("rank"), col("doc_id"))
+    kwicPage(s, demoSearchIndexDir(s, d), demoDocStoreDir(s, d), hits, fixturePhrase._1, 3)
+      .orderBy("rank", "pos")
+  }
+
   // ---- Hybrid retrieval + result diversification ----------------------
 
   /** RECIPROCAL-RANK FUSION of K ranked lists — the standard hybrid-
@@ -2277,6 +2391,7 @@ object Search {
     "search_dedup_results_graph" -> searchDedupResultsGraph,
     "search_kwic" -> searchKwic,
     "search_kwic_analyzed" -> searchKwicAnalyzed,
+    "search_kwic_page" -> searchKwicPage,
     "search_analyzed" -> searchAnalyzed,
     "search_analyzed_index" -> searchAnalyzedIndex,
     "search_phrase_analyzed" -> searchPhraseAnalyzed,
@@ -2663,6 +2778,21 @@ object Search {
          |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
          |  array_to_string(toks[greatest(1, pos - 3):least(len(toks), pos + 3)], ' ') AS snippet
          |FROM hit ORDER BY doc_id, pos""".stripMargin
+    },
+    // the page-served route must equal the corpus KWIC restricted to
+    // the page's documents (the term-search chain re-derives the page)
+    "search_kwic_page" -> {
+      val t = sqlLit(fixturePhrase._1)
+      s"""WITH ${oracleTermSearchChain(Seq(fixturePhrase._1), requireAll = true)},
+         |page AS (SELECT doc_id, rank FROM ranked WHERE rank <= $kwicPageK),
+         |pt AS (
+         |  SELECT p.rank, d.doc_id, string_split(d.text, ' ') AS toks
+         |  FROM documents d JOIN page p ON p.doc_id = d.doc_id),
+         |ps AS (SELECT rank, doc_id, toks, unnest(generate_series(1, len(toks), 1)) AS pos FROM pt),
+         |hit AS (SELECT rank, doc_id, pos, toks FROM ps WHERE toks[pos] = $t)
+         |SELECT CAST(rank AS BIGINT) AS rank, doc_id, CAST(pos AS BIGINT) AS pos,
+         |  array_to_string(toks[greatest(1, pos - 3):least(len(toks), pos + 3)], ' ') AS snippet
+         |FROM hit ORDER BY rank, pos""".stripMargin
     },
     "search_kwic_analyzed" -> {
       // the damaged-corpus chain; the hit test analyzes the RAW token

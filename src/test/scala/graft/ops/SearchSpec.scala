@@ -196,6 +196,49 @@ class SearchSpec extends SparkSpec {
     assert((meta.getLong(0), meta.getLong(1)) == ((2L, 5L)), "meta must be recomputed from doclen")
   }
 
+  test("kwicPage: page-restricted snippets from persisted artifacts; both scans partition-pruned") {
+    import spark.implicits._
+    // driver and executor doc-bucket functions must agree or the prune is unsound
+    val ids = Seq(0L, 1L, 7L, 999999L, -3L)
+    val execB = ids.toDF("doc_id")
+      .withColumn("b", expr("CAST(conv(substring(md5(cast(concat('db|', CAST(doc_id AS STRING)) as binary)), 1, 12), 16, 10) AS BIGINT) % 64"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ids.foreach(i => assert(Search.docBucket(i) == execB(i), s"doc bucket mismatch for $i"))
+
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_kwicpage_idx").toString
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_kwicpage_store").toString + "/docs"
+    val docs = Seq(
+      (1L, "a hash b hash c"), // 2 occurrences
+      (2L, "hash only here"),  // 1 occurrence
+      (3L, "hash hash hash"),  // highest tf → rank 1
+      (4L, "no term at all"),
+      (5L, "hash again")       // 1 occurrence — ranked OFF the page below
+    ).toDF("doc_id", "text")
+    Search.saveSearchIndex(docs, "doc_id", "text", idxDir)
+    Search.saveDocStore(docs, "doc_id", "text", storeDir)
+    // a 2-hit page: ranks 1-2 by tf (doc 3 then doc 1)
+    val hits = Search.conjunctiveFromIndex(spark, idxDir, Seq("hash"), 2)
+      .select(col("rank"), col("doc_id"))
+    val page = Search.kwicPage(spark, idxDir, storeDir, hits, "hash", 1)
+    val got = page.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).sorted.toSeq
+    assert(
+      got == Seq(
+        (1L, 3L, 1L, "hash hash"), (1L, 3L, 2L, "hash hash hash"), (1L, 3L, 3L, "hash hash"),
+        (2L, 1L, 2L, "a hash b"), (2L, 1L, 4L, "b hash c")
+      ),
+      got.toString
+    )
+    // off-page docs (2, 5) must emit NO snippet — page-restricted by construction
+    assert(!got.exists(r => r._2 == 2L || r._2 == 5L))
+    val plan = page.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("dbucket"), plan.take(2000))
+    assert(plan.contains("tbucket"), "positions read must be pruned to the term's bucket dir")
+    // an EMPTY page renders an empty snippet set with the page schema
+    val empty = Search.kwicPage(spark, idxDir, storeDir, hits.filter(col("rank") > 99), "hash", 1)
+    assert(empty.columns.toSeq == Seq("rank", "doc_id", "pos", "snippet") && empty.count() == 0)
+  }
+
   test("pre-dl index format fails LOUDLY: no format_version marker → probes and compaction throw") {
     val dir = java.nio.file.Files.createTempDirectory("graft_searchidx_v1").toString
     val docs = Seq((1L, "cat dog"), (2L, "cat x y")).toDF("doc_id", "text")
