@@ -138,6 +138,7 @@ object Bench {
       "search_phrase_analyzed_index" -> "first_run",
       // shares the postings-index + IVF-index demo builds
       "search_rrf_index" -> "first_run",
+      "search_rrf_recall" -> "first_run",
       // builds the once-per-process persisted cluster map (LSH + CC)
       "search_dedup_results_graph" -> "first_run",
       // shares the postings-index build + builds the bucketed doc store

@@ -2280,6 +2280,34 @@ object Search {
       .orderBy(desc("rrf_micro"), asc("id"))
   }
 
+  /** The hybrid page at the PRODUCTION recall configuration:
+    * nProbe = 4 of 16 lists, so the vector leg accepts ANN recall
+    * (reads 1/4 of the index) while the lexical leg and the exact
+    * integer fusion are unchanged. [[searchRrfIndex]] gates the
+    * exhaustive-exact configuration against the corpus-derived page;
+    * THIS query hash-gates the nProbe < nLists behavior itself: the
+    * vector leg replays [[Similarity.ivfTopkGoldenSf001]] — the same
+    * seeded centroid assignment + probe restriction the
+    * ann_ivf_topk_index pin gates — while the oracle recomputes the
+    * BM25 chain and the RRF arithmetic engine-side (the
+    * bitext_mine_index pattern: the engine-unportable leg rides a
+    * pinned replay, everything portable is recomputed).
+    */
+  val searchRrfRecall: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25FromIndex(s, demoSearchIndexDir(s, d), fixtureOrTerms, topK)
+      .select(col("doc_id").as("id"), col("rank"))
+    val vec = Similarity
+      .ivfTopKFromIndex(s, Similarity.demoIvfIndexDir(s, d), queryId = 0L, k = topK, nProbe = 4)
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(desc("cos_sim"), asc("vec_id"))).cast("bigint")
+      )
+      .select(col("vec_id").as("id"), col("rank"))
+    rrfFuse(Seq("lex" -> lex, "vec" -> vec))
+      .orderBy(desc("rrf_micro"), asc("id"))
+  }
+
   /** CLUSTER-DEDUPED search results — retrieval-side diversification:
     * a result page full of near-duplicates of one document wastes the
     * whole page, so hits are collapsed to the best-ranked member of
@@ -2387,6 +2415,7 @@ object Search {
     "search_phrase3_index" -> searchPhrase3Index,
     "search_rrf_hybrid" -> searchRrfHybrid,
     "search_rrf_index" -> searchRrfIndex,
+    "search_rrf_recall" -> searchRrfRecall,
     "search_dedup_results" -> searchDedupResults,
     "search_dedup_results_graph" -> searchDedupResultsGraph,
     "search_kwic" -> searchKwic,
@@ -2618,6 +2647,35 @@ object Search {
        |     + COALESCE(1000000 // (60 + vec_rank), 0) AS BIGINT) AS rrf_micro
        |FROM fu ORDER BY rrf_micro DESC, id""".stripMargin
 
+  /** RRF fusion oracle at the RECALL configuration (nProbe < nLists):
+    * the BM25 chain and the integer fusion recompute engine-side; the
+    * vector leg's ranks replay [[Similarity.ivfTopkGoldenSf001]] —
+    * the pinned result of the SAME seeded centroid assignment + probe
+    * restriction the plan runs (KMeans arithmetic being the one
+    * engine-unportable piece).
+    */
+  private lazy val oracleRrfRecall: String = {
+    val vrRows = Similarity.ivfTopkGoldenSf001
+      .map { case (v, _, _, c) => (v, c.toDouble) }
+      .sortBy { case (v, c) => (-c, v) }
+      .zipWithIndex
+      .map { case ((v, _), i) => s"($v, ${i + 1})" }
+      .mkString(", ")
+    s"""WITH $oracleBm25Chain,
+       |lx AS (SELECT doc_id AS id, rank AS lex_rank FROM bmranked WHERE rank <= $topK),
+       |vr AS (SELECT CAST(v.id AS BIGINT) AS id, CAST(v.r AS BIGINT) AS vec_rank
+       |       FROM (VALUES $vrRows) v(id, r)),
+       |fu AS (
+       |  SELECT COALESCE(lx.id, vr.id) AS id, lx.lex_rank, vr.vec_rank
+       |  FROM lx FULL OUTER JOIN vr ON vr.id = lx.id)
+       |SELECT id,
+       |  CAST(COALESCE(lex_rank, 0) AS BIGINT) AS lex_rank,
+       |  CAST(COALESCE(vec_rank, 0) AS BIGINT) AS vec_rank,
+       |  CAST(COALESCE(1000000 // (60 + lex_rank), 0)
+       |     + COALESCE(1000000 // (60 + vec_rank), 0) AS BIGINT) AS rrf_micro
+       |FROM fu ORDER BY rrf_micro DESC, id""".stripMargin
+  }
+
   /** Cluster-deduped results oracle: the disjunctive chain's top-50
     * collapsed to the best rank per cluster-chain label, re-ranked
     * dense.
@@ -2751,6 +2809,9 @@ object Search {
     // served from the persisted search + IVF indexes (exhaustive
     // probe → exact), must equal the corpus-derived hybrid page
     "search_rrf_index" -> oracleRrf,
+    // the nProbe < nLists production configuration, vector leg replayed
+    // from the ann_ivf_topk_index golden pin
+    "search_rrf_recall" -> oracleRrfRecall,
     "search_dedup_results" -> oracleDedupResults,
     // hits from the persisted search index, labels from the persisted
     // cluster map pruned to the hits' buckets — same page, from bytes

@@ -1597,6 +1597,29 @@ object Similarity {
 
   // ---- DuckDB oracles ------------------------------------------------
 
+  /** The sf0.01 golden result of the persisted-IVF probe at the
+    * PRODUCTION recall configuration (nProbe = 4 of 16 lists) —
+    * (vec_id, label, list_id, round-6 cosine), already in serving
+    * order (cos desc, vec_id asc). One pinned place, shared by the
+    * ann_ivf_topk_index oracle and the hybrid page's recall gate
+    * (search_rrf_recall replays it as the vector leg's ranks):
+    * KMeans centroid arithmetic is not engine-portable, so the vector
+    * leg is gated by this pin while the lexical leg and the fusion
+    * arithmetic stay engine-recomputed.
+    */
+  private[ops] val ivfTopkGoldenSf001: Seq[(Long, Int, Int, String)] = Seq(
+    (0L, 2, 0, "1.0"),
+    (365L, 8, 0, "0.369994"),
+    (334L, 0, 0, "0.362722"),
+    (387L, 6, 0, "0.331139"),
+    (73L, 6, 5, "0.295434"),
+    (320L, 2, 5, "0.287861"),
+    (190L, 7, 0, "0.281795"),
+    (464L, 4, 0, "0.276628"),
+    (388L, 1, 10, "0.276301"),
+    (323L, 0, 0, "0.256455")
+  )
+
   private val cosSqlBase =
     """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)""".stripMargin
@@ -1863,18 +1886,7 @@ object Similarity {
     // determinism argument as ann_ivf_lists; SimilarityIvfSpec proves
     // index-path = rebuild-path, this pin makes it driver-checked).
     "ann_ivf_topk_index" -> {
-      val pinned = Seq(
-        (0L, 2, 0, "1.0"),
-        (365L, 8, 0, "0.369994"),
-        (334L, 0, 0, "0.362722"),
-        (387L, 6, 0, "0.331139"),
-        (73L, 6, 5, "0.295434"),
-        (320L, 2, 5, "0.287861"),
-        (190L, 7, 0, "0.281795"),
-        (464L, 4, 0, "0.276628"),
-        (388L, 1, 10, "0.276301"),
-        (323L, 0, 0, "0.256455")
-      ).map { case (v, lb, li, c) => s"($v, $lb, $li, $c)" }.mkString(", ")
+      val pinned = ivfTopkGoldenSf001.map { case (v, lb, li, c) => s"($v, $lb, $li, $c)" }.mkString(", ")
       s"""SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(label AS INTEGER) AS label,
          |  CAST(list_id AS INTEGER) AS list_id, CAST(cos_sim AS DOUBLE) AS cos_sim
          |FROM (VALUES $pinned) AS t(vec_id, label, list_id, cos_sim)
