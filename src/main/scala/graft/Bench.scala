@@ -143,6 +143,10 @@ object Bench {
       "search_dedup_results_graph" -> "first_run",
       // shares the postings-index build + builds the bucketed doc store
       "search_kwic_page" -> "first_run",
+      // each builds its once-per-process tombstoned / purged demo index
+      "search_delete_serve" -> "first_run",
+      "search_delete_bm25" -> "first_run",
+      "search_delete_compacted" -> "first_run",
       // builds the once-per-process two-increment persisted sketch
       "sketch_distinct_merged" -> "first_run",
       // builds the once-per-process grouped two-increment sketch
@@ -162,6 +166,8 @@ object Bench {
       // analyzed twin: every rep rewrites the damaged-corpus source and
       // replays the analyzed index maintenance from a fresh checkpoint
       "search_stream_analyzed_probe" -> "every_run",
+      // every rep replays the 5-batch upsert stream + compaction
+      "search_stream_upsert" -> "every_run",
       // every rep rewrites the JSONL scratch + damaged lines and runs
       // the quarantine + repair round
       "jsonl_repair" -> "every_run",

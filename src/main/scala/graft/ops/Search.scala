@@ -592,10 +592,14 @@ object Search {
   ): DataFrame = {
     require(terms.nonEmpty, "term search needs at least one term")
     val buckets = terms.map(tokenBucket).distinct
-    val p = s.read
-      .schema(postingsSchema)
-      .parquet(s"$indexDir/postings")
-      .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
+    val p = liveRows(
+      s,
+      indexDir,
+      s.read
+        .schema(postingsSchema)
+        .parquet(s"$indexDir/postings")
+        .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
+    )
     val nDocs = readMeta(s, indexDir)._1
     val dfModel = p
       .groupBy(col("token"))
@@ -640,11 +644,14 @@ object Search {
     val avgdl = totalToks / nDocs
     require(avgdl > 0, s"bm25FromIndex: index at $indexDir has avgdl = 0 (all-empty documents)")
     val buckets = terms.map(tokenBucket).distinct
-    val p = s.read
-      .schema(postingsSchema)
-      .parquet(s"$indexDir/postings")
-      .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
-      .select(col("token"), col("doc_id"), col("tf"), col("dl"))
+    val p = liveRows(
+      s,
+      indexDir,
+      s.read
+        .schema(postingsSchema)
+        .parquet(s"$indexDir/postings")
+        .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
+    ).select(col("token"), col("doc_id"), col("tf"), col("dl"))
     val dfModel = p
       .groupBy(col("token"))
       .agg(count(lit(1)).cast("long").as("df"))
@@ -692,11 +699,14 @@ object Search {
     require(terms.size >= 2, "phrase search needs at least two terms")
     val distinctTerms = terms.distinct
     val buckets = distinctTerms.map(tokenBucket).distinct
-    val pos = s.read
-      .schema(positionsSchema)
-      .parquet(s"$indexDir/positions")
-      .filter(col("tbucket").isin(buckets: _*) && col("token").isin(distinctTerms: _*))
-      .select(col("token"), col("doc_id"), col("pos"))
+    val pos = liveRows(
+      s,
+      indexDir,
+      s.read
+        .schema(positionsSchema)
+        .parquet(s"$indexDir/positions")
+        .filter(col("tbucket").isin(buckets: _*) && col("token").isin(distinctTerms: _*))
+    ).select(col("token"), col("doc_id"), col("pos"))
     phraseFoldOverPositions(pos, terms)
   }
 
@@ -754,11 +764,14 @@ object Search {
     require(terms.forall(_.nonEmpty), "every phrase term must survive the analyzer")
     val distinctTerms = terms.distinct
     val buckets = distinctTerms.map(tokenBucket).distinct
-    val pos = s.read
-      .schema(positionsSchema)
-      .parquet(s"$indexDir/apositions")
-      .filter(col("tbucket").isin(buckets: _*) && col("token").isin(distinctTerms: _*))
-      .select(col("token"), col("doc_id"), col("pos"))
+    val pos = liveRows(
+      s,
+      indexDir,
+      s.read
+        .schema(positionsSchema)
+        .parquet(s"$indexDir/apositions")
+        .filter(col("tbucket").isin(buckets: _*) && col("token").isin(distinctTerms: _*))
+    ).select(col("token"), col("doc_id"), col("pos"))
     phraseFoldOverPositions(pos, terms)
   }
 
@@ -788,6 +801,16 @@ object Search {
   ): Unit = {
     val s = newDocs.sparkSession
     requireAnalyzedTwinMaintained(s, dir, analyzed, "appendToSearchIndex")
+    // plain-append files carry generation −1: appending onto LIVE
+    // tombstones would let any tombstone (asof ≥ 0) wrongly kill a
+    // re-added doc's new rows — fail loudly instead
+    require(
+      !hasTombstones(s, dir),
+      s"appendToSearchIndex onto $dir with live tombstones: plain-append files carry no " +
+        "generation, so a tombstoned id's re-added rows would be wrongly killed — run " +
+        "compactSearchIndex first (purges the tombstones) or maintain through the " +
+        "streaming upsert apply"
+    )
     postingsWithDl(newDocs, idCol, textCol)
       .withColumn("tbucket", tokenBucketCol)
       .repartition(col("tbucket"))
@@ -1041,6 +1064,167 @@ object Search {
     (r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
+  // ---- tombstone deletes & upserts -----------------------------------
+  //
+  // Deleting (or replacing) documents in a corpus-scale inverted index
+  // cannot rewrite the files it touches — one doc's tokens scatter
+  // across every bucket dir. The shape that survives 100 TB is
+  // Lucene's: record deletions as TOMBSTONES, exclude dead rows at
+  // probe time (an anti-join against a deletes-since-last-compaction-
+  // sized relation), and purge physically at the compaction cadence.
+  //
+  // GENERATIONS make re-adding a deleted id (the upsert) correct
+  // without rewriting anything: an index row's generation is the batch
+  // id parsed from its FILE name (`gbatch-<B>-…` → B; base-build and
+  // batch-append files → −1), a tombstone is (doc_id, asof), and a row
+  // is DEAD iff some tombstone of its doc_id has asof > generation. An
+  // upsert batch B tombstones its ids at asof = B and lands its rows
+  // in gbatch-B files: every older version dies, the batch's own rows
+  // survive, and a LATER upsert's tombstone kills them in turn.
+  // Compaction applies tombstones physically and rewrites survivors
+  // under gbatch-<P> names, P = the max asof it consumed — survivors
+  // are immune to every tombstone the compaction applied, so a CRASHED
+  // purge rerun converges instead of re-killing them (a row is only
+  // ever re-judged by tombstones STRICTLY newer than its rewrite).
+
+  private val tombstonesSchema = new org.apache.spark.sql.types.StructType()
+    .add("doc_id", "long")
+    .add("asof", "long")
+
+  private def tombstonesDir(dir: String) = s"$dir/tombstones"
+
+  private def hasTombstones(s: SparkSession, dir: String): Boolean =
+    fsFor(s, dir).exists(new org.apache.hadoop.fs.Path(tombstonesDir(dir)))
+
+  /** Row generation parsed from the source file name (scan-time,
+    * codegen'd regexp — no extra I/O): `gbatch-<B>-…` → B, anything
+    * else (base build, batch append) → −1.
+    */
+  private def genFromFileCol: org.apache.spark.sql.Column = {
+    val m = regexp_extract(input_file_name(), "gbatch-(\\d+)-", 1)
+    when(m === "", lit(-1L)).otherwise(m.cast("long"))
+  }
+
+  /** Tombstones folded to one (doc_id, max asof) row per deleted id. */
+  private def tombstoneMaxAsof(s: SparkSession, dir: String): DataFrame =
+    s.read
+      .schema(tombstonesSchema)
+      .parquet(tombstonesDir(dir))
+      .groupBy(col("doc_id"))
+      .agg(max(col("asof")).as("t_asof"))
+      .select(col("doc_id").as("t_doc_id"), col("t_asof"))
+
+  /** Exclude DEAD rows from an index relation at probe time. Fast path
+    * first: no tombstones on disk → the relation is returned UNTOUCHED
+    * (zero plan change — the common case pays nothing, spec-pinned).
+    * Otherwise a left-anti join against the broadcast (doc_id,
+    * max asof) tombstone fold with the generation inequality: a row
+    * dies iff its file-name generation predates its id's newest
+    * tombstone. Must be applied directly over the pruned scan (before
+    * any shuffle) so input_file_name() still names the source file.
+    */
+  private def liveRows(s: SparkSession, dir: String, rel: DataFrame): DataFrame =
+    if (!hasTombstones(s, dir)) rel
+    else {
+      val g = rel.withColumn("__gen", genFromFileCol)
+      g.join(
+        broadcast(tombstoneMaxAsof(s, dir)),
+        g("doc_id") === col("t_doc_id") && col("__gen") < col("t_asof"),
+        "left_anti"
+      ).drop("__gen")
+    }
+
+  /** High-water generation: max over the applied-batch marker, every
+    * data file's parsed `gbatch-<B>` generation, and every tombstone
+    * file's `del-<asof>` tag — a driver-side file LISTING, run only at
+    * the maintenance cadence (deletes), never in a probe.
+    */
+  private def currentHighGen(s: SparkSession, dir: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsFor(s, dir)
+    val pat = "(?:gbatch|del)-(\\d+)-".r
+    val fileGens =
+      Seq("postings", "positions", "apostings", "apositions", "doclen", "tombstones").flatMap { r =>
+        val p = new Path(s"$dir/$r")
+        if (!fs.exists(p)) Nil
+        else {
+          val it = fs.listFiles(p, true)
+          val b = scala.collection.mutable.ArrayBuffer.empty[Long]
+          while (it.hasNext) {
+            pat.findFirstMatchIn(it.next().getPath.getName).foreach(m => b += m.group(1).toLong)
+          }
+          b.toSeq
+        }
+      }
+    (lastAppliedSearchBatch(s, dir) +: fileGens).max
+  }
+
+  /** DELETE documents from the persisted index — the batch-API entry
+    * point (a stream replaces docs through the upsert apply instead).
+    * Writes tombstones at asof = high-water generation + 1 (killing
+    * every live row of those ids, whatever wrote it) and decrements
+    * the meta scalars EXACTLY — the (dl, adl) sums of the ids that are
+    * currently LIVE, so deleting an already-deleted or absent id moves
+    * nothing and BM25's N/avgdl stay exact through any delete pattern.
+    * The decrement pass reads the doclen relation (and, on analyzed
+    * indexes, the deleted ids' apostings rows) ONCE per delete call —
+    * maintenance-cadence work, never per-probe and never per-micro-
+    * batch. Physical purge happens at [[compactSearchIndex]], which
+    * also drops the tombstones. Single-writer, like every maintenance
+    * entry point here.
+    */
+  def deleteFromSearchIndex(s: SparkSession, dir: String, ids: DataFrame): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsFor(s, dir)
+    val asof = currentHighGen(s, dir) + 1L
+    val idRel = ids.select(col(ids.columns.head).cast("long").as("doc_id")).distinct()
+    // exact decrements, computed BEFORE the tombstones land (liveRows
+    // afterwards would exclude the very rows being measured): only
+    // currently-LIVE rows count, so double-deletes decrement once
+    val hit = liveRows(s, dir, s.read.parquet(s"$dir/doclen"))
+      .join(broadcast(idRel), "doc_id")
+    val hr = hit
+      .agg(count(lit(1)).cast("long"), coalesce(sum(col("dl")), lit(0L)).cast("long"))
+      .head()
+    val (nDel, tDel) = (hr.getLong(0), hr.getLong(1))
+    val analyzed = fs.exists(new Path(s"$dir/apostings"))
+    val aDel =
+      if (!analyzed) 0L
+      else
+        liveRows(s, dir, s.read.schema(apostingsSchema).parquet(s"$dir/apostings"))
+          .join(broadcast(idRel), "doc_id")
+          .select(col("doc_id"), col("adl"))
+          .distinct()
+          .agg(coalesce(sum(col("adl")), lit(0L)).cast("long"))
+          .head()
+          .getLong(0)
+    // tombstones first, stats second: a crash between the two leaves a
+    // correct result set with stale stats (the Lucene window), healed
+    // by compaction — never the reverse (stats claiming deletes that
+    // don't serve)
+    val staged = s"$dir/_stage_del_$asof"
+    idRel.withColumn("asof", lit(asof)).coalesce(1).write.mode("overwrite").parquet(staged)
+    val src = fs.globStatus(new Path(s"$staged/part-*")).head.getPath
+    fs.mkdirs(new Path(tombstonesDir(dir)))
+    val dest = new Path(tombstonesDir(dir), s"del-$asof-0.parquet")
+    if (fs.exists(dest)) fs.delete(dest, false)
+    if (!fs.rename(src, dest))
+      throw new java.io.IOException(s"delete tombstone write: rename $src -> $dest failed")
+    fs.delete(new Path(staged), true)
+    val (n0, t0) = readMeta(s, dir)
+    writeMeta(s, dir, (n0 - nDel, t0 - tDel))
+    if (analyzed) writeAmeta(s, dir, readAmeta(s, dir) - aDel)
+    // keep the streaming ledger invariant (meta = sum over the ledger)
+    if (ledgerFiles(fs, dir).nonEmpty)
+      writeLedgerRow(s, dir, (-nDel, -tDel, -aDel), s"del-$asof")
+  }
+
+  /** Seq convenience overload of [[deleteFromSearchIndex]]. */
+  def deleteFromSearchIndex(s: SparkSession, dir: String, ids: Seq[Long]): Unit = {
+    import s.implicits._
+    deleteFromSearchIndex(s, dir, ids.toDF("doc_id"))
+  }
+
   /** Apply ONE micro-batch of new documents to the index at `dir`,
     * idempotently — the unit [[graft.streaming.StreamingIngest
     * .searchIndexStream]] runs inside foreachBatch. Every step is
@@ -1073,7 +1257,8 @@ object Search {
       textCol: String,
       dir: String,
       batchId: Long,
-      analyzed: Boolean = false
+      analyzed: Boolean = false,
+      upsert: Boolean = false
   ): Unit = {
     import org.apache.hadoop.fs.Path
     val s = batch.sparkSession
@@ -1086,6 +1271,7 @@ object Search {
       s"$dir/apostings/tbucket=*",
       s"$dir/apositions/tbucket=*",
       s"$dir/doclen",
+      tombstonesDir(dir),
       ledgerDir(dir)
     )
       .foreach { d =>
@@ -1094,6 +1280,22 @@ object Search {
           .foreach(f => fs.delete(f.getPath, false))
       }
     val staged = s"$dir/_stage_$batchId"
+    // UPSERT: tombstone the batch's ids at asof = batchId BEFORE the
+    // new rows land — every OLDER version of these docs dies (its
+    // file-name generation < batchId) while the batch's own gbatch-<B>
+    // rows survive (B < B is false). Same deterministic-name replay
+    // contract as every other per-batch file. The old versions' meta
+    // contributions stay counted until compaction purges them — the
+    // documented Lucene stale-stats window, bounded by compactEvery
+    // (exact-match serving is unaffected: dead rows never score).
+    if (upsert)
+      stageAndMove(
+        batch.select(col(idCol).cast("long").as("doc_id")).distinct().withColumn("asof", lit(batchId)),
+        s"$staged/tombstones",
+        tombstonesDir(dir),
+        partitioned = false,
+        batchId
+      )
     stageAndMove(
       postingsWithDl(batch, idCol, textCol).withColumn("tbucket", tokenBucketCol).repartition(col("tbucket")),
       s"$staged/postings",
@@ -1170,20 +1372,35 @@ object Search {
           "compaction cannot backfill dl; rebuild the index"
       )
     }
-    graft.core.Compaction.compact(spark, s"$dir/postings", Some("tbucket"), 1)
-    graft.core.Compaction.compact(spark, s"$dir/positions", Some("tbucket"), 1)
+    // tombstones present → every relation rewrite is ALSO the physical
+    // purge: dead rows dropped, survivors renamed to the purge's
+    // generation (immune to the tombstones being consumed, so a
+    // crashed purge rerun converges); tombstones are then deleted and
+    // the meta recomputes below read the purged rows — stats heal to
+    // exact automatically
+    val tomb = if (hasTombstones(spark, dir)) Some(tombstoneMaxAsof(spark, dir)) else None
+    val purgeGen = tomb.map(_.agg(max(col("t_asof"))).head().getLong(0)).getOrElse(-1L)
+    def rewriteRel(path: String, pc: Option[String]): Unit = tomb match {
+      case Some(t) => purgeRewrite(spark, path, pc, t, purgeGen)
+      case None    => graft.core.Compaction.compact(spark, path, pc, 1)
+    }
+    rewriteRel(s"$dir/postings", Some("tbucket"))
+    rewriteRel(s"$dir/positions", Some("tbucket"))
     // the analyzed twin exists only on analyzed-enabled indexes; its
     // meta scalar repairs from the compacted rows like the main meta
     val hasAnalyzed = fs.exists(new org.apache.hadoop.fs.Path(s"$dir/apostings"))
     val repairedAtoks = if (hasAnalyzed) {
-      graft.core.Compaction.compact(spark, s"$dir/apostings", Some("tbucket"), 1)
+      rewriteRel(s"$dir/apostings", Some("tbucket"))
       val a = ametaFromApostings(spark, dir)
       writeAmeta(spark, dir, a)
       a
     } else 0L
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/apositions")))
-      graft.core.Compaction.compact(spark, s"$dir/apositions", Some("tbucket"), 1)
-    graft.core.Compaction.compact(spark, s"$dir/doclen", None, 1)
+      rewriteRel(s"$dir/apositions", Some("tbucket"))
+    rewriteRel(s"$dir/doclen", None)
+    // every relation is purged: the tombstones are consumed (meta below
+    // recomputes from the purged doclen, so stats land exact)
+    if (tomb.isDefined) fs.delete(new org.apache.hadoop.fs.Path(tombstonesDir(dir)), true)
     val r = spark.read
       .parquet(s"$dir/doclen")
       .agg(
@@ -1197,6 +1414,57 @@ object Search {
     if (ledgerFiles(fs, dir).nonEmpty) {
       fs.delete(new org.apache.hadoop.fs.Path(ledgerDir(dir)), true)
       writeLedgerRow(spark, dir, (r.getLong(0), r.getLong(1), repairedAtoks), "seed")
+    }
+  }
+
+  /** Tombstone-applying rewrite of one index relation (the physical
+    * purge half of [[compactSearchIndex]]): survivors only, one file
+    * per bucket dir (the usual compaction contract), each file renamed
+    * to `gbatch-<purgeGen>-c<i>` INSIDE the staged generation before
+    * the crash-safe marker-commit swap. Survivors thereby carry the
+    * purge's generation: no tombstone this compaction consumed
+    * (asof ≤ purgeGen) can kill them again, so a rerun after a crash
+    * at ANY point re-purges already-purged relations as a no-op and
+    * converges — rows are only ever re-judged by tombstones STRICTLY
+    * newer than their rewrite.
+    */
+  private def purgeRewrite(
+      spark: SparkSession,
+      path: String,
+      partitionCol: Option[String],
+      tombAgg: DataFrame,
+      purgeGen: Long
+  ): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsFor(spark, path)
+    if (!fs.exists(new Path(path))) return
+    graft.core.Compaction.replaceWith(spark, path) { staged =>
+      val rel = spark.read.parquet(path).withColumn("__gen", genFromFileCol)
+      val live = rel
+        .join(
+          broadcast(tombAgg),
+          rel("doc_id") === col("t_doc_id") && col("__gen") < col("t_asof"),
+          "left_anti"
+        )
+        .drop("__gen")
+      partitionCol match {
+        case Some(c) => live.repartition(col(c)).write.mode("overwrite").partitionBy(c).parquet(staged)
+        case None    => live.coalesce(1).write.mode("overwrite").parquet(staged)
+      }
+      val glob = partitionCol match {
+        case Some(c) => new Path(s"$staged/$c=*/part-*")
+        case None    => new Path(s"$staged/part-*")
+      }
+      Option(fs.globStatus(glob))
+        .getOrElse(Array.empty)
+        .map(_.getPath)
+        .sortBy(_.toString)
+        .zipWithIndex
+        .foreach { case (src, i) =>
+          val dest = new Path(src.getParent, s"gbatch-$purgeGen-c$i.parquet")
+          if (!fs.rename(src, dest))
+            throw new java.io.IOException(s"purge rewrite: rename $src -> $dest failed")
+        }
     }
   }
 
@@ -1338,11 +1606,14 @@ object Search {
     val terms = queries.select(col("term")).distinct().collect().map(_.getString(0)).toSeq
     require(terms.nonEmpty, "batched search needs at least one term")
     val buckets = terms.map(tokenBucket).distinct
-    val p = s.read
-      .schema(postingsSchema)
-      .parquet(s"$indexDir/postings")
-      .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
-      .select(col("token"), col("doc_id"), col("tf"))
+    val p = liveRows(
+      s,
+      indexDir,
+      s.read
+        .schema(postingsSchema)
+        .parquet(s"$indexDir/postings")
+        .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
+    ).select(col("token"), col("doc_id"), col("tf"))
     val nDocs = readMeta(s, indexDir)._1
     val dfModel = p
       .groupBy(col("token"))
@@ -1391,11 +1662,14 @@ object Search {
     val avgdl = totalToks / nDocs
     require(avgdl > 0, s"bm25BatchFromIndex: index at $indexDir has avgdl = 0 (all-empty documents)")
     val buckets = terms.map(tokenBucket).distinct
-    val p = s.read
-      .schema(postingsSchema)
-      .parquet(s"$indexDir/postings")
-      .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
-      .select(col("token"), col("doc_id"), col("tf"), col("dl"))
+    val p = liveRows(
+      s,
+      indexDir,
+      s.read
+        .schema(postingsSchema)
+        .parquet(s"$indexDir/postings")
+        .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
+    ).select(col("token"), col("doc_id"), col("tf"), col("dl"))
     val dfModel = p
       .groupBy(col("token"))
       .agg(count(lit(1)).cast("long").as("df"))
@@ -1485,6 +1759,56 @@ object Search {
       compactSearchIndex(s, dir)
     }
 
+  /** The TOMBSTONED lifecycle demo: full build, then every
+    * doc_id % 5 == 1 document deleted — NO compaction, so every probe
+    * against this dir serves through the tombstone anti-join with the
+    * exactly-decremented meta scalars.
+    */
+  private[ops] def demoDeletedIndexDir(s: SparkSession, d: String): String =
+    Fixtures.demoIndexDir(s, "searchidx_del", d) { dir =>
+      val docs = documents(s, d)
+      saveSearchIndex(docs, "doc_id", "text", dir)
+      deleteFromSearchIndex(s, dir, docs.filter(col("doc_id") % 5 === 1).select("doc_id"))
+    }
+
+  /** [[demoDeletedIndexDir]] plus the compaction that purges the
+    * tombstones physically and re-derives meta from the survivors —
+    * the full delete lifecycle.
+    */
+  private[ops] def demoDeleteCompactedIndexDir(s: SparkSession, d: String): String =
+    Fixtures.demoIndexDir(s, "searchidx_delc", d) { dir =>
+      val docs = documents(s, d)
+      saveSearchIndex(docs, "doc_id", "text", dir)
+      deleteFromSearchIndex(s, dir, docs.filter(col("doc_id") % 5 === 1).select("doc_id"))
+      compactSearchIndex(s, dir)
+    }
+
+  /** DELETE serving gate: conjunctive probe against the tombstoned
+    * (uncompacted) index must equal the same search over the corpus
+    * WITHOUT the deleted docs — scores included, because the delete
+    * decremented N exactly and df comes from live rows only.
+    */
+  val searchDeleteServe: Q = (s, d) =>
+    conjunctiveFromIndex(s, demoDeletedIndexDir(s, d), fixtureAndTerms, topK)
+      .orderBy("rank")
+
+  /** DELETE + ranked retrieval: BM25 through live tombstones — dl
+    * rides each surviving row, avgdl/N from the exactly-decremented
+    * meta, df from live rows; must equal BM25 over the live corpus
+    * bit for bit.
+    */
+  val searchDeleteBm25: Q = (s, d) =>
+    bm25FromIndex(s, demoDeletedIndexDir(s, d), fixtureOrTerms, topK).orderBy("rank")
+
+  /** Post-PURGE gate (shares [[searchDeleteServe]]'s oracle): after
+    * compaction the tombstones are gone, dead rows are physically
+    * absent, meta re-derived from survivors — and the probe must not
+    * move.
+    */
+  val searchDeleteCompacted: Q = (s, d) =>
+    conjunctiveFromIndex(s, demoDeleteCompactedIndexDir(s, d), fixtureAndTerms, topK)
+      .orderBy("rank")
+
   /** Index-served gate: identical terms and k as [[searchConjunctive]],
     * so it shares that query's oracle — the equality IS the gate.
     */
@@ -1508,10 +1832,14 @@ object Search {
   private[ops] def candidateDocsForTerms(s: SparkSession, indexDir: String, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "candidate probe needs at least one term")
     val buckets = terms.map(tokenBucket).distinct
-    s.read
-      .schema(postingsSchema)
-      .parquet(s"$indexDir/postings")
-      .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
+    liveRows(
+      s,
+      indexDir,
+      s.read
+        .schema(postingsSchema)
+        .parquet(s"$indexDir/postings")
+        .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
+    )
       .select(col("doc_id"))
       .distinct()
   }
@@ -1703,10 +2031,14 @@ object Search {
     val terms = rawTerms.map(analyzeTerm).filter(_.nonEmpty).distinct
     require(terms.nonEmpty, "analyzed search needs at least one non-empty term")
     val buckets = terms.map(tokenBucket).distinct
-    val p = s.read
-      .schema(apostingsSchema)
-      .parquet(s"$indexDir/apostings")
-      .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
+    val p = liveRows(
+      s,
+      indexDir,
+      s.read
+        .schema(apostingsSchema)
+        .parquet(s"$indexDir/apostings")
+        .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
+    )
     val nDocs = readMeta(s, indexDir)._1
     val dfModel = p
       .groupBy(col("token"))
@@ -1808,11 +2140,14 @@ object Search {
     val avgdl = readAmeta(s, indexDir) / nDocs
     require(avgdl > 0, s"analyzedBm25FromIndex: index at $indexDir has analyzed avgdl = 0")
     val buckets = terms.map(tokenBucket).distinct
-    val p = s.read
-      .schema(apostingsSchema)
-      .parquet(s"$indexDir/apostings")
-      .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
-      .select(col("token"), col("doc_id"), col("tf"), col("adl"))
+    val p = liveRows(
+      s,
+      indexDir,
+      s.read
+        .schema(apostingsSchema)
+        .parquet(s"$indexDir/apostings")
+        .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
+    ).select(col("token"), col("doc_id"), col("tf"), col("adl"))
     val dfModel = p
       .groupBy(col("token"))
       .agg(count(lit(1)).cast("long").as("df"))
@@ -1871,11 +2206,14 @@ object Search {
     val avgdl = readAmeta(s, indexDir) / nDocs
     require(avgdl > 0, s"analyzedBm25BatchFromIndex: index at $indexDir has analyzed avgdl = 0")
     val buckets = terms.map(tokenBucket).distinct
-    val p = s.read
-      .schema(apostingsSchema)
-      .parquet(s"$indexDir/apostings")
-      .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
-      .select(col("token"), col("doc_id"), col("tf"), col("adl"))
+    val p = liveRows(
+      s,
+      indexDir,
+      s.read
+        .schema(apostingsSchema)
+        .parquet(s"$indexDir/apostings")
+        .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
+    ).select(col("token"), col("doc_id"), col("tf"), col("adl"))
     val dfModel = p
       .groupBy(col("token"))
       .agg(count(lit(1)).cast("long").as("df"))
@@ -2156,13 +2494,16 @@ object Search {
     }
     val dbuckets = ids.map(docBucket).distinct
     val ranks = hitRows.toSeq.toDF("rank", "doc_id")
-    val pos = s.read
-      .schema(positionsSchema)
-      .parquet(s"$indexDir/positions")
-      .filter(
-        col("tbucket") === tokenBucket(term) && col("token") === term && col("doc_id").isin(ids: _*)
-      )
-      .select(col("doc_id"), col("pos"))
+    val pos = liveRows(
+      s,
+      indexDir,
+      s.read
+        .schema(positionsSchema)
+        .parquet(s"$indexDir/positions")
+        .filter(
+          col("tbucket") === tokenBucket(term) && col("token") === term && col("doc_id").isin(ids: _*)
+        )
+    ).select(col("doc_id"), col("pos"))
     val toks = s.read
       .parquet(storeDir)
       .filter(col("dbucket").isin(dbuckets: _*) && col("doc_id").isin(ids: _*))
@@ -2408,6 +2749,9 @@ object Search {
     "search_batch_bm25" -> searchBatchBm25,
     "search_index_probe" -> searchIndexProbe,
     "search_index_appended" -> searchIndexAppended,
+    "search_delete_serve" -> searchDeleteServe,
+    "search_delete_bm25" -> searchDeleteBm25,
+    "search_delete_compacted" -> searchDeleteCompacted,
     "search_disjunctive_index" -> searchDisjunctiveIndex,
     "search_phrase" -> searchPhrase,
     "search_phrase_index" -> searchPhraseIndex,
@@ -2446,7 +2790,11 @@ object Search {
     * candidates) — reusable inside composite oracles (RRF fusion,
     * cluster-deduped results).
     */
-  private def oracleTermSearchChain(terms: Seq[String], requireAll: Boolean): String = {
+  private def oracleTermSearchChain(
+      terms: Seq[String],
+      requireAll: Boolean,
+      src: String = "documents"
+  ): String = {
     val termList = terms.map(sqlLit).mkString(", ")
     val containsAll =
       terms.map(t => s"contains(text, ${sqlLit(t)})").mkString(if (requireAll) " AND " else " OR ")
@@ -2456,15 +2804,15 @@ object Search {
         s"""SELECT token, CAST(count(*) AS BIGINT) AS df FROM (
            |    SELECT token, doc_id FROM (
            |      SELECT doc_id, unnest(string_split(text, ' ')) AS token
-           |      FROM documents WHERE contains(text, ${sqlLit(t)})) x
+           |      FROM $src WHERE contains(text, ${sqlLit(t)})) x
            |    WHERE token = ${sqlLit(t)} GROUP BY token, doc_id) GROUP BY token""".stripMargin
       )
       .mkString("\n  UNION ALL\n  ")
-    s"""cand AS (SELECT doc_id, text FROM documents WHERE $containsAll),
+    s"""cand AS (SELECT doc_id, text FROM $src WHERE $containsAll),
        |c0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM cand),
        |cp AS (SELECT token, doc_id, count(*) AS tf FROM c0
        |       WHERE token IN ($termList) GROUP BY token, doc_id),
-       |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM $src),
        |dfm AS (
        |  $dfArms),
        |model AS (
@@ -2571,8 +2919,7 @@ object Search {
   /** The BM25 CTE chain up to `bmranked` — reusable inside composite
     * oracles (RRF fusion).
     */
-  private lazy val oracleBm25Chain: String = {
-    val terms = fixtureOrTerms
+  private def oracleBm25ChainFor(terms: Seq[String], src: String): String = {
     val termList = terms.map(sqlLit).mkString(", ")
     val containsAny = terms.map(t => s"contains(text, ${sqlLit(t)})").mkString(" OR ")
     val dfArms = terms
@@ -2580,16 +2927,16 @@ object Search {
         s"""SELECT token, CAST(count(*) AS BIGINT) AS df FROM (
            |    SELECT token, doc_id FROM (
            |      SELECT doc_id, unnest(string_split(text, ' ')) AS token
-           |      FROM documents WHERE contains(text, ${sqlLit(t)})) x
+           |      FROM $src WHERE contains(text, ${sqlLit(t)})) x
            |    WHERE token = ${sqlLit(t)} GROUP BY token, doc_id) GROUP BY token""".stripMargin
       )
       .mkString("\n  UNION ALL\n  ")
     s"""st AS (
        |  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_toks
-       |  FROM documents),
+       |  FROM $src),
        |av AS (SELECT n_docs, total_toks // n_docs AS avgdl FROM st),
-       |cand AS (SELECT doc_id, text FROM documents WHERE $containsAny),
+       |cand AS (SELECT doc_id, text FROM $src WHERE $containsAny),
        |cd AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM cand),
        |c0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM cand),
        |cp AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf FROM c0
@@ -2613,8 +2960,48 @@ object Search {
        |  FROM sc)""".stripMargin
   }
 
+  private lazy val oracleBm25Chain: String = oracleBm25ChainFor(fixtureOrTerms, "documents")
+
   private lazy val oracleBm25: String =
     s"""WITH $oracleBm25Chain
+       |SELECT rank, doc_id, score_milli FROM bmranked WHERE rank <= $topK ORDER BY rank""".stripMargin
+
+  /** Live-corpus CTE for the DELETE gates — the docs the fixture
+    * delete leaves behind (doc_id % 5 == 1 tombstoned).
+    */
+  private val liveDocsCte =
+    "livedocs AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 1)"
+
+  /** Shared by search_delete_serve (tombstone-served) and
+    * search_delete_compacted (post-purge): the ordinary conjunctive
+    * chain over the LIVE corpus only — the delete must be invisible
+    * except for the rows it removes.
+    */
+  private lazy val oracleDeleteServe: String =
+    s"""WITH $liveDocsCte,
+       |${oracleTermSearchChain(fixtureAndTerms, requireAll = true, src = "livedocs")}
+       |SELECT rank, doc_id, score_micro FROM ranked WHERE rank <= $topK ORDER BY rank""".stripMargin
+
+  /** BM25 over the live corpus — search_delete_bm25's oracle: the
+    * uncompacted tombstoned index must reproduce it exactly (df from
+    * live rows, N/avgdl from the decremented meta).
+    */
+  private lazy val oracleDeleteBm25: String =
+    s"""WITH $liveDocsCte,
+       |${oracleBm25ChainFor(fixtureOrTerms, "livedocs")}
+       |SELECT rank, doc_id, score_milli FROM bmranked WHERE rank <= $topK ORDER BY rank""".stripMargin
+
+  /** search_stream_upsert's oracle: BM25 over the corpus AFTER the
+    * stream's 5th batch rewrote every doc_id % 7 == 3 document — the
+    * same `replace` both engines run, so the gate proves old versions
+    * died, replacements serve, and compaction healed the stats.
+    */
+  private[graft] lazy val oracleUpsertBm25: String =
+    s"""WITH upd AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 3 THEN replace(text, 'dup', 'dupword') ELSE text END AS text
+       |  FROM documents),
+       |${oracleBm25ChainFor(fixtureOrTerms, "upd")}
        |SELECT rank, doc_id, score_milli FROM bmranked WHERE rank <= $topK ORDER BY rank""".stripMargin
 
   /** RRF fusion oracle: the BM25 chain's top-k and the cosine top-k
@@ -2789,6 +3176,14 @@ object Search {
     // index-served batch must equal the corpus-pass batch row for row
     "search_batch_index" -> oracleBatch,
     "search_batch_bm25" -> oracleBatchBm25,
+
+    // DELETE gates: the tombstoned (uncompacted) index and the
+    // purged (compacted) index both serve the LIVE-corpus chain
+    // exactly — scores included, because the delete decremented N
+    // exactly and df comes from live rows only
+    "search_delete_serve" -> oracleDeleteServe,
+    "search_delete_bm25" -> oracleDeleteBm25,
+    "search_delete_compacted" -> oracleDeleteServe,
 
     // the index-served route must land on the batch conjunctive's
     // exact rows — sharing the oracle makes the equality the gate

@@ -830,7 +830,8 @@ object StreamingIngest {
       checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime(0L),
       compactEvery: Int = 0,
-      analyzed: Boolean = false
+      analyzed: Boolean = false,
+      upsert: Boolean = false
   ): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -842,7 +843,7 @@ object StreamingIngest {
         // would silently drop batches — fail loudly instead
         graft.ops.Search.ensureStreamIdentity(bs, indexDir, checkpoint)
         if (batchId > graft.ops.Search.lastAppliedSearchBatch(bs, indexDir)) {
-          graft.ops.Search.applySearchIndexBatch(batch.toDF(), idCol, textCol, indexDir, batchId, analyzed)
+          graft.ops.Search.applySearchIndexBatch(batch.toDF(), idCol, textCol, indexDir, batchId, analyzed, upsert)
           graft.ops.Search.writeLastAppliedSearchBatch(bs, indexDir, batchId)
           if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
             graft.ops.Search.compactSearchIndex(bs, indexDir)
@@ -916,6 +917,57 @@ object StreamingIngest {
         .awaitTermination()
       graft.ops.Search
         .analyzedBm25FromIndex(s, idx, graft.ops.Search.fixtureOrTerms.map(_.toUpperCase), 10)
+        .orderBy("rank")
+        .localCheckpoint(true)
+    } finally rmScratch(s, base)
+  }
+
+  /** Streaming UPSERT maintenance as an ORACLE-GATED query — documents
+    * that CHANGE, the index shape real pipelines need (re-crawled
+    * pages, edited records): the fixture corpus arrives as 4
+    * micro-batches building the index, then the SAME stream (same
+    * checkpoint, same source dir — batch ids continue) delivers a 5th
+    * batch that RE-SENDS every doc_id % 7 == 3 document with its text
+    * rewritten. The upsert apply tombstones the batch's ids at
+    * asof = batchId so every older version dies while the batch's own
+    * gbatch rows survive; compaction then purges the dead rows and
+    * re-derives meta from the survivors. The post-compaction BM25
+    * probe must equal the corpus route over the FINAL document
+    * versions — the oracle applies the same rewrite in SQL, so old
+    * postings still matching (tombstones failed), new postings
+    * missing (replacement failed), or drifted stats (heal failed) all
+    * hash-mismatch.
+    */
+  def searchStreamUpsertProbe(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_search_stream_up")
+    try {
+      val src = base.resolve("src").toString
+      val idx = base.resolve("index").toString
+      val ckpt = base.resolve("ckpt").toString
+      val docs = graft.ops.Fixtures.documents(s, d).select(col("doc_id"), col("text"))
+      docs.repartition(4, col("doc_id")).write.parquet(src)
+      val mkStream = () =>
+        s.readStream
+          .schema(s.read.parquet(src).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(src)
+      searchIndexStream(mkStream(), "doc_id", "text", idx, ckpt, Trigger.AvailableNow(), upsert = true)
+        .awaitTermination()
+      // the changed documents arrive as one more file in the SAME
+      // source dir; restarting the AvailableNow stream on the same
+      // checkpoint picks up exactly that file as the next batch
+      docs
+        .filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"), expr("replace(text, 'dup', 'dupword')").as("text"))
+        .coalesce(1)
+        .write
+        .mode("append")
+        .parquet(src)
+      searchIndexStream(mkStream(), "doc_id", "text", idx, ckpt, Trigger.AvailableNow(), upsert = true)
+        .awaitTermination()
+      graft.ops.Search.compactSearchIndex(s, idx)
+      graft.ops.Search
+        .bm25FromIndex(s, idx, graft.ops.Search.fixtureOrTerms, 10)
         .orderBy("rank")
         .localCheckpoint(true)
     } finally rmScratch(s, base)
@@ -1428,6 +1480,7 @@ object StreamingIngest {
       "dedup_stream_exact" -> ((s, d) => dedupStreamExactReplay(s, d)),
       "search_stream_probe" -> ((s, d) => searchStreamProbe(s, d)),
       "search_stream_analyzed_probe" -> ((s, d) => searchStreamAnalyzedProbe(s, d)),
+      "search_stream_upsert" -> ((s, d) => searchStreamUpsertProbe(s, d)),
       "events_stream_replay" -> eventsStreamReplay,
       "events_anomaly_stream" -> eventsAnomalyStream
     )
@@ -1478,6 +1531,9 @@ object StreamingIngest {
       // the streamed analyzed maintenance lifecycle must land on the
       // one-shot corpus analyzed-BM25 route's exact rows
       "search_stream_analyzed_probe" -> graft.ops.Search.oracles("search_analyzed_bm25"),
+      // the upsert-maintained, compacted index must serve BM25 over
+      // the FINAL document versions — the oracle replays the rewrite
+      "search_stream_upsert" -> graft.ops.Search.oracleUpsertBm25,
       // per-doc pairs are pure in (doc, frozen chunk index): the
       // stream shares the batch containment probe's oracle
       "cdc_containment_stream" -> graft.ops.Cdc.containmentIndexOracle,

@@ -733,4 +733,124 @@ class SearchSpec extends SparkSpec {
     assert(Search.queries("search_postings")(spark, d).count() > 0)
     assert(Search.queries("search_phrase")(spark, d).count() > 0)
   }
+
+  test("delete: tombstone serving equals a live-corpus rebuild; idempotent decrement; purge heals") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_searchidx_tomb").toString
+    val refDir = java.nio.file.Files.createTempDirectory("graft_searchidx_tombref").toString
+    val docs = Seq(
+      (1L, "cat dog"), (2L, "cat cat filler"), (3L, "dog cat extra"), (4L, "bird"), (5L, "cat")
+    ).toDF("doc_id", "text")
+    Search.saveSearchIndex(docs, "doc_id", "text", dir)
+    Search.deleteFromSearchIndex(spark, dir, Seq(2L, 4L))
+    // the strongest form of the serving claim: tombstone-served BM25
+    // must equal an index BUILT on the live corpus — proves the
+    // anti-join (results), the live-row df, and the EXACT meta
+    // decrement (N and avgdl feed every score) in one equality
+    Search.saveSearchIndex(docs.filter(!col("doc_id").isin(2L, 4L)), "doc_id", "text", refDir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    assert(
+      rows(Search.bm25FromIndex(spark, dir, Seq("cat", "dog"), 10)) ==
+        rows(Search.bm25FromIndex(spark, refDir, Seq("cat", "dog"), 10)),
+      "tombstoned index must serve exactly like a live-corpus rebuild"
+    )
+    // deleting an already-dead (and an absent) id must move nothing
+    val metaBefore = spark.read.parquet(s"$dir/meta").select("n_docs", "total_toks").head()
+    Search.deleteFromSearchIndex(spark, dir, Seq(2L, 99L))
+    val metaAfter = spark.read.parquet(s"$dir/meta").select("n_docs", "total_toks").head()
+    assert(metaBefore == metaAfter, s"double delete moved meta: $metaBefore -> $metaAfter")
+    // append onto live tombstones must fail loudly (gen −1 rows would
+    // be wrongly killed)
+    val ex = intercept[IllegalArgumentException] {
+      Search.appendToSearchIndex(Seq((6L, "cat")).toDF("doc_id", "text"), "doc_id", "text", dir)
+    }
+    assert(ex.getMessage.contains("tombstones"), ex.getMessage)
+    // compaction: physical purge, tombstones consumed, probes unmoved
+    val pre = rows(Search.conjunctiveFromIndex(spark, dir, Seq("cat"), 10))
+    Search.compactSearchIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/tombstones").exists, "compaction must consume the tombstones")
+    assert(
+      spark.read.parquet(s"$dir/postings").filter(col("doc_id").isin(2L, 4L)).count() == 0,
+      "purge must remove dead postings physically"
+    )
+    assert(
+      spark.read.parquet(s"$dir/doclen").filter(col("doc_id").isin(2L, 4L)).count() == 0,
+      "purge must remove dead doclen rows physically"
+    )
+    assert(rows(Search.conjunctiveFromIndex(spark, dir, Seq("cat"), 10)) == pre,
+      "probes must be bit-identical across the purge")
+    // and the index is append-maintainable again after the purge
+    Search.appendToSearchIndex(Seq((6L, "cat")).toDF("doc_id", "text"), "doc_id", "text", dir)
+    assert(
+      Search.conjunctiveFromIndex(spark, dir, Seq("cat"), 10)
+        .collect().map(_.getAs[Long]("doc_id")).toSet == Set(1L, 3L, 5L, 6L)
+    )
+  }
+
+  test("delete on an ANALYZED index: ameta decremented exactly, analyzed probes equal a rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_searchidx_tomb_an").toString
+    val refDir = java.nio.file.Files.createTempDirectory("graft_searchidx_tomb_anref").toString
+    val docs = Seq(
+      (1L, "CAT dog!"), (2L, "cat [cat] filler"), (3L, "dog cat extra"), (4L, "bird"), (5L, "Cat")
+    ).toDF("doc_id", "text")
+    Search.saveSearchIndex(docs, "doc_id", "text", dir, analyzed = true)
+    Search.deleteFromSearchIndex(spark, dir, Seq(2L))
+    Search.saveSearchIndex(docs.filter(col("doc_id") =!= 2L), "doc_id", "text", refDir, analyzed = true)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    assert(
+      rows(Search.analyzedBm25FromIndex(spark, dir, Seq("CAT", "DOG"), 10)) ==
+        rows(Search.analyzedBm25FromIndex(spark, refDir, Seq("CAT", "DOG"), 10)),
+      "analyzed BM25 through tombstones must equal a live-corpus rebuild (ameta exact)"
+    )
+  }
+
+  test("upsert apply: old version dies, replacement serves, replay idempotent, purge converges") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_searchidx_upsert").toString
+    val refDir = java.nio.file.Files.createTempDirectory("graft_searchidx_upsertref").toString
+    val v1 = Seq((1L, "cat dog"), (2L, "bird seed")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "fish dog dog")).toDF("doc_id", "text")
+    Search.applySearchIndexBatch(v1, "doc_id", "text", dir, batchId = 0L, upsert = true)
+    Search.applySearchIndexBatch(v2, "doc_id", "text", dir, batchId = 1L, upsert = true)
+    def ids(terms: Seq[String]) =
+      Search.conjunctiveFromIndex(spark, dir, terms, 10).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids(Seq("cat")) == Set.empty[Long], "the replaced version must be dead")
+    assert(ids(Seq("fish")) == Set(1L), "the replacement must serve")
+    assert(ids(Seq("dog")) == Set(1L))
+    // REPLAY of the applied batch must change nothing (exactly-once)
+    val preRows = spark.read.parquet(s"$dir/postings").count()
+    val preProbe = Search.conjunctiveFromIndex(spark, dir, Seq("dog"), 10).collect().map(_.toSeq).toSeq
+    Search.applySearchIndexBatch(v2, "doc_id", "text", dir, batchId = 1L, upsert = true)
+    assert(spark.read.parquet(s"$dir/postings").count() == preRows, "replay must not grow postings")
+    assert(
+      Search.conjunctiveFromIndex(spark, dir, Seq("dog"), 10).collect().map(_.toSeq).toSeq == preProbe,
+      "replay must leave probes bit-identical"
+    )
+    // purge, then the maintained index must equal a one-shot build on
+    // the FINAL versions — BM25 included (stale stats healed)
+    Search.compactSearchIndex(spark, dir)
+    Search.saveSearchIndex(
+      Seq((1L, "fish dog dog"), (2L, "bird seed")).toDF("doc_id", "text"),
+      "doc_id", "text", refDir
+    )
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    assert(
+      rows(Search.bm25FromIndex(spark, dir, Seq("dog", "bird"), 10)) ==
+        rows(Search.bm25FromIndex(spark, refDir, Seq("dog", "bird"), 10)),
+      "upsert-maintained + compacted must equal the one-shot final-state build"
+    )
+    // a LATER upsert can still kill the compacted survivors (their
+    // purge generation predates the new batch id)
+    Search.applySearchIndexBatch(
+      Seq((1L, "worm")).toDF("doc_id", "text"), "doc_id", "text", dir, batchId = 2L, upsert = true)
+    assert(ids(Seq("fish")) == Set.empty[Long], "post-purge survivors must die under a newer upsert")
+    assert(ids(Seq("worm")) == Set(1L))
+  }
+
+  test("no tombstones → probe plans untouched (zero-cost fast path)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_searchidx_notomb").toString
+    Search.saveSearchIndex(Seq((1L, "cat dog")).toDF("doc_id", "text"), "doc_id", "text", dir)
+    val plan = Search.conjunctiveFromIndex(spark, dir, Seq("cat"), 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("tombstones"), "no-tombstone probes must not plan the anti-join")
+    assert(!plan.contains("input_file_name"), "no-tombstone probes must not derive generations")
+  }
 }
