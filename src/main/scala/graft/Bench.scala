@@ -143,6 +143,9 @@ object Bench {
       "search_dedup_results_graph" -> "first_run",
       // shares the postings-index build + builds the bucketed doc store
       "search_kwic_page" -> "first_run",
+      // share the postings-index + doc-store demo builds
+      "search_facets" -> "first_run",
+      "search_page_after" -> "first_run",
       // each builds its once-per-process tombstoned / purged demo index
       "search_delete_serve" -> "first_run",
       "search_delete_bm25" -> "first_run",

@@ -634,7 +634,14 @@ object Search {
     * [[bm25Search]]'s exact rows — search_bm25_index shares
     * search_bm25's oracle, and that equality is the gate.
     */
-  def bm25FromIndex(s: SparkSession, indexDir: String, terms: Seq[String], k: Int): DataFrame = {
+  def bm25FromIndex(s: SparkSession, indexDir: String, terms: Seq[String], k: Int): DataFrame =
+    rankTop(bm25ScoredFromIndex(s, indexDir, terms), "score_milli", k)
+
+  /** The scored-candidate relation under [[bm25FromIndex]] — factored
+    * out so keyset pagination ([[bm25PageAfter]]) can cursor-filter
+    * BEFORE the top-k instead of ranking the whole result.
+    */
+  private def bm25ScoredFromIndex(s: SparkSession, indexDir: String, terms: Seq[String]): DataFrame = {
     require(terms.nonEmpty, "bm25 search needs at least one term")
     val (nDocs, totalToks) = readMeta(s, indexDir)
     // an empty or all-empty-text index has no meaningful BM25 model:
@@ -660,7 +667,7 @@ object Search {
         floor(log(lit(nDocs + 1).cast("double") / (col("df") + 1)) * 1000L).cast("bigint")
       )
       .select(col("token"), col("idf_milli"))
-    val scored = p
+    p
       .join(broadcast(dfModel), "token")
       .withColumn(
         "contrib",
@@ -671,8 +678,34 @@ object Search {
         count(lit(1)).cast("long").as("n_matched"),
         sum(col("contrib")).cast("long").as("score_milli")
       )
-    rankTop(scored, "score_milli", k)
   }
+
+  /** KEYSET pagination — page N+1 without page N's work repeated as a
+    * deepening top-(N+1)·k sort: the cursor is the LAST row the client
+    * saw ((score_milli, doc_id) — the ranking's total order), the
+    * candidate relation filters to strictly-after rows BEFORE the
+    * top-k, and the page plans exactly like page one
+    * (TakeOrderedAndProject over the pruned buckets — never a global
+    * sort, never an OFFSET that forces materializing every earlier
+    * page). Page-local ranks 1..k; the caller owns absolute numbering
+    * (it knows how many pages it has walked).
+    */
+  def bm25PageAfter(
+      s: SparkSession,
+      indexDir: String,
+      terms: Seq[String],
+      k: Int,
+      afterScoreMilli: Long,
+      afterDocId: Long
+  ): DataFrame =
+    rankTop(
+      bm25ScoredFromIndex(s, indexDir, terms).filter(
+        col("score_milli") < afterScoreMilli ||
+          (col("score_milli") === afterScoreMilli && col("doc_id") > afterDocId)
+      ),
+      "score_milli",
+      k
+    )
 
   /** Two-term convenience overload of the n-term [[phraseFromIndex]]. */
   def phraseFromIndex(s: SparkSession, indexDir: String, first: String, second: String): DataFrame =
@@ -2452,15 +2485,64 @@ object Search {
     * results: corpus-sized on disk, but any page's read is pruned to
     * its hits' bucket dirs — page-sized I/O however large the corpus.
     */
-  def saveDocStore(docs: DataFrame, idCol: String, textCol: String, dir: String): Unit =
+  def saveDocStore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      dir: String,
+      metaCols: Seq[String] = Nil
+  ): Unit =
     docs
-      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("text"))
+      .select(
+        (col(idCol).cast("long").as("doc_id") +: col(textCol).as("text") +:
+          metaCols.map(col)): _*
+      )
       .withColumn("dbucket", docBucketCol)
       .repartition(col("dbucket"))
       .write
       .mode("overwrite")
       .partitionBy("dbucket")
       .parquet(dir)
+
+  /** FACET counts over a query's FULL match set, served from persisted
+    * artifacts — the SERP sidebar ("123 hits in en, 41 in de"): the
+    * match set comes from the postings index (the all-terms gate over
+    * the terms' pruned bucket dirs — match-set-sized, never top-k),
+    * facet values from the doc store's META columns, where parquet
+    * column pruning reads ONLY (doc_id, facet, dbucket) — the text
+    * column never leaves the footer (spec-pinned). The join is
+    * doc-keyed: at 100 TB a facet pass over M hits shuffles M ids
+    * against the store's narrow facet column — the forward-index
+    * ("doc values") design search engines use, and the one shape here
+    * that is inherently hit-set-sized rather than page-sized.
+    */
+  def facetCounts(
+      s: SparkSession,
+      indexDir: String,
+      storeDir: String,
+      terms: Seq[String],
+      facetCol: String
+  ): DataFrame = {
+    require(terms.nonEmpty, "facet counts need at least one term")
+    val buckets = terms.map(tokenBucket).distinct
+    val matched = liveRows(
+      s,
+      indexDir,
+      s.read
+        .schema(postingsSchema)
+        .parquet(s"$indexDir/postings")
+        .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
+    )
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_matched"))
+      .filter(col("n_matched") === terms.size.toLong)
+      .select(col("doc_id"))
+    val meta = s.read.parquet(storeDir).select(col("doc_id"), col(facetCol))
+    matched
+      .join(meta, "doc_id")
+      .groupBy(col(facetCol))
+      .agg(count(lit(1)).cast("long").as("n_hits"))
+  }
 
   /** KWIC snippets for a RESULT PAGE, served end-to-end from persisted
     * artifacts — the rendering pass production actually runs: a page
@@ -2523,11 +2605,44 @@ object Search {
       )
   }
 
-  /** Once-per-process persisted doc store over the fixture corpus. */
+  /** Once-per-process persisted doc store over the fixture corpus —
+    * text plus the two facet dimensions the SERP sidebar counts.
+    */
   private[ops] def demoDocStoreDir(s: SparkSession, d: String): String =
-    Fixtures.demoIndexDir(s, "docstore", d)(saveDocStore(documents(s, d), "doc_id", "text", _))
+    Fixtures.demoIndexDir(s, "docstore", d)(
+      saveDocStore(documents(s, d), "doc_id", "text", _, metaCols = Seq("lang", "source"))
+    )
 
   private val kwicPageK = 5
+
+  /** Facet gate: lang counts over the conjunctive match set, index +
+    * doc-store served — the oracle recomputes the exact-token AND
+    * match set and joins the corpus's lang column.
+    */
+  val searchFacets: Q = (s, d) =>
+    facetCounts(s, demoSearchIndexDir(s, d), demoDocStoreDir(s, d), fixtureAndTerms, "lang")
+      .orderBy(desc("n_hits"), col("lang"))
+
+  /** Keyset-pagination gate: the page-2 probe cursors from page 1's
+    * LAST row (the (score, doc_id) total order) — the oracle ranks the
+    * whole chain once and renumbers rows topK+1..2·topK, so a cursor
+    * that skips or repeats a row hash-mismatches.
+    */
+  val searchPageAfter: Q = (s, d) => {
+    val dir = demoSearchIndexDir(s, d)
+    val last = bm25FromIndex(s, dir, fixtureOrTerms, topK)
+      .orderBy(desc("rank"))
+      .limit(1)
+      .head()
+    bm25PageAfter(
+      s,
+      dir,
+      fixtureOrTerms,
+      topK,
+      last.getAs[Long]("score_milli"),
+      last.getAs[Long]("doc_id")
+    ).orderBy("rank")
+  }
 
   /** The rendered result page: hits for the KWIC term from the
     * persisted search index, snippets from the positional index + doc
@@ -2765,6 +2880,8 @@ object Search {
     "search_kwic" -> searchKwic,
     "search_kwic_analyzed" -> searchKwicAnalyzed,
     "search_kwic_page" -> searchKwicPage,
+    "search_facets" -> searchFacets,
+    "search_page_after" -> searchPageAfter,
     "search_analyzed" -> searchAnalyzed,
     "search_analyzed_index" -> searchAnalyzedIndex,
     "search_phrase_analyzed" -> searchPhraseAnalyzed,
@@ -3176,6 +3293,20 @@ object Search {
     // index-served batch must equal the corpus-pass batch row for row
     "search_batch_index" -> oracleBatch,
     "search_batch_bm25" -> oracleBatchBm25,
+
+    // facet sidebar: exact-token AND match set joined to the corpus
+    // lang column — counts, not pages, so the whole match set gates
+    "search_facets" ->
+      s"""WITH ${oracleTermSearchChain(fixtureAndTerms, requireAll = true)}
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_hits
+         |FROM scored s JOIN documents d USING (doc_id)
+         |GROUP BY d.lang ORDER BY n_hits DESC, d.lang""".stripMargin,
+    // keyset pagination: one global ranking, renumbered to the second
+    // page — a cursor that skips or repeats a row hash-mismatches
+    "search_page_after" ->
+      s"""WITH $oracleBm25Chain
+         |SELECT CAST(row_number() OVER (ORDER BY rank) AS BIGINT) AS rank, doc_id, score_milli
+         |FROM bmranked WHERE rank > $topK AND rank <= ${2 * topK} ORDER BY rank""".stripMargin,
 
     // DELETE gates: the tombstoned (uncompacted) index and the
     // purged (compacted) index both serve the LIVE-corpus chain

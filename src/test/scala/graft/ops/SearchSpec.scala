@@ -845,6 +845,60 @@ class SearchSpec extends SparkSpec {
     assert(ids(Seq("worm")) == Set(1L))
   }
 
+  test("facetCounts: exact-token AND match set; the store scan reads facet columns, never text") {
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_facet_idx").toString
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_facet_store").toString + "/docs"
+    val docs = Seq(
+      (1L, "cat dog", "en"),
+      (2L, "cat dog cat", "en"),
+      (3L, "cat dog", "de"),
+      (4L, "cat only", "de"),    // one term — must not count
+      (5L, "catalog dogma", "fr") // substrings — must not count
+    ).toDF("doc_id", "text", "lang")
+    Search.saveSearchIndex(docs, "doc_id", "text", idxDir)
+    Search.saveDocStore(docs, "doc_id", "text", storeDir, metaCols = Seq("lang"))
+    val f = Search.facetCounts(spark, idxDir, storeDir, Seq("cat", "dog"), "lang")
+    val got = f.collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_hits")).toMap
+    assert(got == Map("en" -> 2L, "de" -> 1L), got.toString)
+    // parquet column pruning: the store scan must read (doc_id, lang),
+    // never the text payload
+    val plan = f.queryExecution.executedPlan.toString
+    val storeScans = plan.linesIterator.filter(_.contains("docs")).mkString("\n")
+    assert(!plan.contains("text"), "facet pass must never read the text column\n" + storeScans)
+  }
+
+  test("bm25PageAfter: pages partition the ranking exactly, ties cursor on doc_id, page plans top-k") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_page_idx").toString
+    // 9 scoring docs; 4-7 share IDENTICAL text → identical scores, so
+    // the page boundary lands inside a tie run and the cursor must
+    // discriminate on doc_id alone
+    val docs = ((1L to 3L).map(i => (i, "cat " + Seq.fill(i.toInt)("pad").mkString(" "))) ++
+      (4L to 7L).map(i => (i, "cat tied pad pad")) ++
+      Seq((8L, "cat " + Seq.fill(9)("pad").mkString(" ")), (9L, "cat cat pad")) ++
+      (10L to 14L).map(i => (i, "filler only here"))).toDF("doc_id", "text")
+    Search.saveSearchIndex(docs, "doc_id", "text", dir)
+    val all = Search.bm25FromIndex(spark, dir, Seq("cat"), 9)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_milli"))).toSeq
+    val pages = Seq(3, 6).foldLeft(Seq(Search.bm25FromIndex(spark, dir, Seq("cat"), 3))) {
+      case (acc, _) =>
+        val last = acc.last.orderBy(col("rank").desc).limit(1).head()
+        acc :+ Search.bm25PageAfter(
+          spark, dir, Seq("cat"), 3, last.getAs[Long]("score_milli"), last.getAs[Long]("doc_id"))
+    }
+    val walked = pages.flatMap(
+      _.orderBy("rank").collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_milli")))
+    )
+    assert(walked == all, s"3 keyset pages must equal the top-9 ranking\n$walked\nvs\n$all")
+    // the tie run (docs 4-7, identical scores) must appear in doc_id order
+    val tieScores = walked.groupBy(_._2).filter(_._2.size > 1)
+    assert(tieScores.nonEmpty, "fixture must contain a tie run")
+    tieScores.values.foreach(run => assert(run.map(_._1) == run.map(_._1).sorted))
+    // a later page still plans the top-k heap, not a global sort
+    val plan = Search.bm25PageAfter(spark, dir, Seq("cat"), 3, walked(5)._2, walked(5)._1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+  }
+
   test("no tombstones → probe plans untouched (zero-cost fast path)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_searchidx_notomb").toString
     Search.saveSearchIndex(Seq((1L, "cat dog")).toDF("doc_id", "text"), "doc_id", "text", dir)
