@@ -171,6 +171,9 @@ object Bench {
       "search_stream_analyzed_probe" -> "every_run",
       // every rep replays the 5-batch upsert stream + compaction
       "search_stream_upsert" -> "every_run",
+      // every rep seeds the even-half IVF index and replays the odd
+      // half as micro-batches from a fresh checkpoint
+      "ann_stream_ivf_probe" -> "every_run",
       // every rep rewrites the JSONL scratch + damaged lines and runs
       // the quarantine + repair round
       "jsonl_repair" -> "every_run",

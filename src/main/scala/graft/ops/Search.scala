@@ -986,22 +986,26 @@ object Search {
     * The staged write is mode-overwrite (itself retry-safe) and the
     * moves are filesystem renames (metadata ops, no data copy).
     */
-  private def stageAndMove(
+  private[ops] def stageAndMove(
       df: DataFrame,
       stagedDir: String,
       targetDir: String,
-      partitioned: Boolean,
+      partitionCol: Option[String],
       batchId: Long
   ): Unit = {
     import org.apache.hadoop.fs.Path
     val s = df.sparkSession
     val fs = fsFor(s, targetDir)
     val w = df.write.mode("overwrite")
-    (if (partitioned) w.partitionBy("tbucket") else w).parquet(stagedDir)
-    val glob = if (partitioned) new Path(s"$stagedDir/tbucket=*/part-*") else new Path(s"$stagedDir/part-*")
+    partitionCol.fold(w)(w.partitionBy(_)).parquet(stagedDir)
+    val glob = partitionCol match {
+      case Some(c) => new Path(s"$stagedDir/$c=*/part-*")
+      case None    => new Path(s"$stagedDir/part-*")
+    }
     val files = Option(fs.globStatus(glob)).getOrElse(Array.empty).map(_.getPath).sortBy(_.toString)
     files.zipWithIndex.foreach { case (src, i) =>
-      val destDir = if (partitioned) new Path(targetDir, src.getParent.getName) else new Path(targetDir)
+      val destDir =
+        if (partitionCol.isDefined) new Path(targetDir, src.getParent.getName) else new Path(targetDir)
       fs.mkdirs(destDir)
       val dest = new Path(destDir, s"gbatch-$batchId-$i.parquet")
       if (!fs.rename(src, dest))
@@ -1326,14 +1330,14 @@ object Search {
         batch.select(col(idCol).cast("long").as("doc_id")).distinct().withColumn("asof", lit(batchId)),
         s"$staged/tombstones",
         tombstonesDir(dir),
-        partitioned = false,
+        partitionCol = None,
         batchId
       )
     stageAndMove(
       postingsWithDl(batch, idCol, textCol).withColumn("tbucket", tokenBucketCol).repartition(col("tbucket")),
       s"$staged/postings",
       s"$dir/postings",
-      partitioned = true,
+      partitionCol = Some("tbucket"),
       batchId
     )
     stageAndMove(
@@ -1342,7 +1346,7 @@ object Search {
         .repartition(col("tbucket")),
       s"$staged/positions",
       s"$dir/positions",
-      partitioned = true,
+      partitionCol = Some("tbucket"),
       batchId
     )
     if (analyzed) {
@@ -1352,7 +1356,7 @@ object Search {
           .repartition(col("tbucket")),
         s"$staged/apostings",
         s"$dir/apostings",
-        partitioned = true,
+        partitionCol = Some("tbucket"),
         batchId
       )
       stageAndMove(
@@ -1361,11 +1365,11 @@ object Search {
           .repartition(col("tbucket")),
         s"$staged/apositions",
         s"$dir/apositions",
-        partitioned = true,
+        partitionCol = Some("tbucket"),
         batchId
       )
     }
-    stageAndMove(docLengths(batch, idCol, textCol), s"$staged/doclen", s"$dir/doclen", partitioned = false, batchId)
+    stageAndMove(docLengths(batch, idCol, textCol), s"$staged/doclen", s"$dir/doclen", partitionCol = None, batchId)
     fs.delete(new Path(staged), true)
     // the batch's three scalar deltas — increment-sized aggregates over
     // the BATCH, never a read of the accumulated relations

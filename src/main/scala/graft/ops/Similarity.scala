@@ -817,6 +817,67 @@ object Similarity {
       .limit(k)
   }
 
+  /** Assign vectors to their nearest persisted centroid IN-PLAN — the
+    * serve-side of IVF maintenance, where no KMeansModel object exists
+    * (a stream's executor has only the `dir/centroids` parquet):
+    * squared-L2 against the broadcast centroid relation (nLists rows),
+    * argmin per vector with the model's tie-break (lowest list id).
+    * Must agree with KMeansModel.transform on the same centroids —
+    * SimilarityIvfSpec pins the parity — so batch-built and
+    * stream-appended rows land in the same lists.
+    */
+  private[ops] def assignToCentroidsInPlan(vecs: DataFrame, centroids: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    vecs
+      .crossJoin(broadcast(centroids))
+      .withColumn(
+        "l2",
+        expr("aggregate(zip_with(v, centroid, (x, y) -> (x - y) * (x - y)), 0D, (acc, x) -> acc + x)")
+      )
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy(col("vec_id")).orderBy(col("l2").asc, col("list_id").asc))
+      )
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("v"), col("list_id"))
+  }
+
+  /** Apply ONE micro-batch of new vectors to the PERSISTED IVF index,
+    * idempotently — the unit [[graft.streaming.StreamingIngest
+    * .ivfIndexStream]] runs inside foreachBatch. Production IVF
+    * maintenance holds the CENTROIDS fixed (they are the index's
+    * geometry; refitting them would re-shuffle every list) and appends
+    * each new vector to its nearest list: assignment runs in-plan
+    * against the persisted centroids ([[assignToCentroidsInPlan]] —
+    * increment × nLists work), and the rows land in the partitioned
+    * `assignments/list_id=N/` layout under the same deterministic
+    * `gbatch-<B>` replay contract as the search index (crashed-attempt
+    * pre-delete + staged rename), so at-least-once delivery yields an
+    * exactly-once index. No meta scalars exist here — probes derive
+    * everything from the rows — so the apply is two steps, not four.
+    * List skew accretes as the data drifts from the fitted centroids;
+    * the rebuild (a fresh [[saveIvfIndex]]) is the amortized
+    * maintenance op, like compaction for the search index.
+    */
+  def applyIvfIndexBatch(batch: DataFrame, dir: String, batchId: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val s = batch.sparkSession
+    val fs = new Path(dir).getFileSystem(s.sessionState.newHadoopConf())
+    Option(fs.globStatus(new Path(s"$dir/assignments/list_id=*/gbatch-$batchId-*")))
+      .getOrElse(Array.empty)
+      .foreach(f => fs.delete(f.getPath, false))
+    val centroids = s.read.parquet(s"$dir/centroids")
+    val assigned = assignToCentroidsInPlan(withVec(batch), centroids)
+      .repartition(col("list_id"))
+    Search.stageAndMove(
+      assigned,
+      s"$dir/_stage_ivf_$batchId",
+      s"$dir/assignments",
+      partitionCol = Some("list_id"),
+      batchId
+    )
+  }
+
   /** IVF list histogram. Centroid arithmetic is not engine-portable,
     * but the seeded, fixed-partitioning KMeans build is deterministic
     * in-engine (verified identical at local[8] vs local[32]), so the

@@ -973,6 +973,77 @@ object StreamingIngest {
     } finally rmScratch(s, base)
   }
 
+  /** IVF ANN-INDEX maintenance as a stream — the vector tier's member
+    * of the index-maintenance family: embeddings arrive as
+    * micro-batches and each batch is assigned to its nearest PERSISTED
+    * centroid in-plan and appended to the partitioned
+    * `assignments/list_id=N/` layout (increment × nLists work per
+    * batch; the centroids stay fixed — production IVF maintenance
+    * never refits per batch, a rebuild is the amortized op). Same
+    * exactly-once protocol as the search index: deterministic
+    * `gbatch-<B>` file names with crashed-attempt pre-delete, an
+    * applied-batch marker written LAST, and the checkpoint-identity
+    * guard against fresh-checkpoint batch-id restarts. `compactEvery`
+    * folds per-batch file accretion back to one file per list dir.
+    */
+  def ivfIndexStream(
+      vecs: DataFrame,
+      indexDir: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      compactEvery: Int = 0
+  ): StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val bs = batch.sparkSession
+        graft.ops.Search.ensureStreamIdentity(bs, indexDir, checkpoint)
+        if (batchId > graft.ops.Search.lastAppliedSearchBatch(bs, indexDir)) {
+          graft.ops.Similarity.applyIvfIndexBatch(batch.toDF(), indexDir, batchId)
+          graft.ops.Search.writeLastAppliedSearchBatch(bs, indexDir, batchId)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            graft.core.Compaction.compact(bs, s"$indexDir/assignments", Some("list_id"), 1)
+        }
+      }
+      .start()
+
+  /** The stream-maintained IVF index as an ORACLE-GATED query: the
+    * index is BUILT on the even vec_ids (seeded centroids + their
+    * assignments), the odd vec_ids arrive as 3 real micro-batches
+    * folded in by [[ivfIndexStream]] (in-plan assignment against the
+    * persisted centroids, exactly-once appends, mid-stream
+    * compaction), then the post-drain probe runs EXHAUSTIVE
+    * (nProbe = nLists) — scanning every list makes the result the
+    * exact cosine top-k over the full corpus however the vectors were
+    * assigned, so the query SHARES ann_cosine_topk's brute-force
+    * oracle: a lost batch, a duplicated replay, or a mis-assigned
+    * list that dropped a vector all hash-mismatch. The
+    * nProbe < nLists recall behavior of streamed rows is spec-pinned
+    * separately (assignment parity with KMeansModel.transform).
+    */
+  def annStreamIvfProbe(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_ivf_stream")
+    try {
+      val src = base.resolve("src").toString
+      val idx = base.resolve("index").toString
+      val ckpt = base.resolve("ckpt").toString
+      val emb = graft.ops.Fixtures.embeddings(s, d)
+      graft.ops.Similarity.saveIvfIndex(emb.filter(col("vec_id") % 2 === 0), 16, idx)
+      emb.filter(col("vec_id") % 2 =!= 0).repartition(3, col("vec_id")).write.parquet(src)
+      val stream = s.readStream
+        .schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+      ivfIndexStream(stream, idx, ckpt, Trigger.AvailableNow(), compactEvery = 2)
+        .awaitTermination()
+      graft.ops.Similarity
+        .ivfTopKFromIndex(s, idx, queryId = 0L, k = 20, nProbe = 16)
+        .select(col("vec_id"), col("label"), col("cos_sim"))
+        .localCheckpoint(true)
+    } finally rmScratch(s, base)
+  }
+
   /** The quality FILTER as a stream: train the NB classifier once on
     * the seed split, PERSIST the model artifact (model + prior
     * parquet — the train-once/score-forever lifecycle every
@@ -1481,6 +1552,7 @@ object StreamingIngest {
       "search_stream_probe" -> ((s, d) => searchStreamProbe(s, d)),
       "search_stream_analyzed_probe" -> ((s, d) => searchStreamAnalyzedProbe(s, d)),
       "search_stream_upsert" -> ((s, d) => searchStreamUpsertProbe(s, d)),
+      "ann_stream_ivf_probe" -> ((s, d) => annStreamIvfProbe(s, d)),
       "events_stream_replay" -> eventsStreamReplay,
       "events_anomaly_stream" -> eventsAnomalyStream
     )
@@ -1534,6 +1606,11 @@ object StreamingIngest {
       // the upsert-maintained, compacted index must serve BM25 over
       // the FINAL document versions — the oracle replays the rewrite
       "search_stream_upsert" -> graft.ops.Search.oracleUpsertBm25,
+      // exhaustive probe over the stream-maintained IVF index is the
+      // exact cosine top-k however vectors were assigned — shares the
+      // brute-force oracle, so lost/duplicated/mis-assigned batches
+      // all hash-mismatch
+      "ann_stream_ivf_probe" -> graft.ops.Similarity.oracles("ann_cosine_topk"),
       // per-doc pairs are pure in (doc, frozen chunk index): the
       // stream shares the batch containment probe's oracle
       "cdc_containment_stream" -> graft.ops.Cdc.containmentIndexOracle,

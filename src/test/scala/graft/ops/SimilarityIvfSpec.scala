@@ -674,4 +674,50 @@ class SimilarityIvfSpec extends SparkSpec {
     assert(viaIndex == rows(Similarity.minedBitextFrom(restricted, 4, Long.MinValue)))
     assert(viaIndex.nonEmpty, "the fixture restriction must leave candidates")
   }
+
+  test("IVF stream maintenance: in-plan assignment matches the model; apply is replay-idempotent; probes prune") {
+    val d = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_stream_idx").toString
+    val emb = graft.ops.Fixtures.embeddings(spark, d)
+    val even = emb.filter(col("vec_id") % 2 === 0)
+    val odd = emb.filter(col("vec_id") % 2 =!= 0)
+    Similarity.saveIvfIndex(even, 16, dir)
+    // assignment PARITY: the in-plan L2 argmin against the persisted
+    // centroids must land every streamed vector in the same list
+    // KMeansModel.transform would — the property that keeps
+    // nProbe < nLists recall identical for batch-built and
+    // stream-appended rows
+    val model = Similarity.ivfAssignmentsCached(even, 16)._2
+    val viaModel = model
+      .transform(
+        org.apache.spark.sql.functions
+          .broadcast(odd) // tiny fixture; just reuse featurization via the public path
+          .transform(df => df)
+          .select(col("vec_id"), col("label"), expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"))
+          .withColumn("features", org.apache.spark.ml.functions.array_to_vector(col("v")))
+      )
+      .select(col("vec_id"), col("prediction").cast("int").as("list_id"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+      .toMap
+    Similarity.applyIvfIndexBatch(odd, dir, batchId = 0L)
+    val viaPlan = spark.read
+      .parquet(s"$dir/assignments")
+      .filter(col("vec_id") % 2 =!= 0)
+      .select(col("vec_id"), col("list_id").cast("int"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+      .toMap
+    assert(viaPlan == viaModel, "in-plan assignment must match KMeansModel.transform")
+    // replay idempotence: re-applying the same batch leaves the index
+    // byte-identical in rows
+    val before = spark.read.parquet(s"$dir/assignments").count()
+    Similarity.applyIvfIndexBatch(odd, dir, batchId = 0L)
+    assert(spark.read.parquet(s"$dir/assignments").count() == before, "replay must not grow the index")
+    // the maintained index still serves partition-pruned probes
+    val probe = Similarity.ivfTopKFromIndex(spark, dir, queryId = 0L, k = 5, nProbe = 4)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("list_id"), plan.take(2000))
+    assert(probe.count() == 5)
+  }
 }
