@@ -178,6 +178,9 @@ object Bench {
       // the quarantine + repair round
       "jsonl_repair" -> "every_run",
       "ann_ivf_topk_index" -> "first_run",
+      // each builds its once-per-process tombstoned / purged IVF index
+      "ann_delete_topk" -> "first_run",
+      "ann_delete_compacted" -> "first_run",
       "ann_pq_knn_join" -> "first_run",
       // builds its own two-generation drifted index (build + append)
       "pq_drift_report" -> "first_run",

@@ -1124,13 +1124,17 @@ object Search {
   // purge rerun converges instead of re-killing them (a row is only
   // ever re-judged by tombstones STRICTLY newer than its rewrite).
 
-  private val tombstonesSchema = new org.apache.spark.sql.types.StructType()
-    .add("doc_id", "long")
-    .add("asof", "long")
+  // the tombstone machinery is key-column-parametric (doc_id for the
+  // search index, vec_id for the IVF index) with doc_id the default —
+  // one implementation serves every tombstoned index here
+  private def tombstonesSchemaFor(keyCol: String) =
+    new org.apache.spark.sql.types.StructType()
+      .add(keyCol, "long")
+      .add("asof", "long")
 
-  private def tombstonesDir(dir: String) = s"$dir/tombstones"
+  private[ops] def tombstonesDir(dir: String) = s"$dir/tombstones"
 
-  private def hasTombstones(s: SparkSession, dir: String): Boolean =
+  private[ops] def hasTombstones(s: SparkSession, dir: String): Boolean =
     fsFor(s, dir).exists(new org.apache.hadoop.fs.Path(tombstonesDir(dir)))
 
   /** Row generation parsed from the source file name (scan-time,
@@ -1142,14 +1146,14 @@ object Search {
     when(m === "", lit(-1L)).otherwise(m.cast("long"))
   }
 
-  /** Tombstones folded to one (doc_id, max asof) row per deleted id. */
-  private def tombstoneMaxAsof(s: SparkSession, dir: String): DataFrame =
+  /** Tombstones folded to one (key, max asof) row per deleted id. */
+  private[ops] def tombstoneMaxAsof(s: SparkSession, dir: String, keyCol: String = "doc_id"): DataFrame =
     s.read
-      .schema(tombstonesSchema)
+      .schema(tombstonesSchemaFor(keyCol))
       .parquet(tombstonesDir(dir))
-      .groupBy(col("doc_id"))
+      .groupBy(col(keyCol))
       .agg(max(col("asof")).as("t_asof"))
-      .select(col("doc_id").as("t_doc_id"), col("t_asof"))
+      .select(col(keyCol).as("t_key"), col("t_asof"))
 
   /** Exclude DEAD rows from an index relation at probe time. Fast path
     * first: no tombstones on disk → the relation is returned UNTOUCHED
@@ -1160,13 +1164,18 @@ object Search {
     * tombstone. Must be applied directly over the pruned scan (before
     * any shuffle) so input_file_name() still names the source file.
     */
-  private def liveRows(s: SparkSession, dir: String, rel: DataFrame): DataFrame =
+  private[ops] def liveRows(
+      s: SparkSession,
+      dir: String,
+      rel: DataFrame,
+      keyCol: String = "doc_id"
+  ): DataFrame =
     if (!hasTombstones(s, dir)) rel
     else {
       val g = rel.withColumn("__gen", genFromFileCol)
       g.join(
-        broadcast(tombstoneMaxAsof(s, dir)),
-        g("doc_id") === col("t_doc_id") && col("__gen") < col("t_asof"),
+        broadcast(tombstoneMaxAsof(s, dir, keyCol)),
+        g(keyCol) === col("t_key") && col("__gen") < col("t_asof"),
         "left_anti"
       ).drop("__gen")
     }
@@ -1176,12 +1185,16 @@ object Search {
     * file's `del-<asof>` tag — a driver-side file LISTING, run only at
     * the maintenance cadence (deletes), never in a probe.
     */
-  private def currentHighGen(s: SparkSession, dir: String): Long = {
+  private[ops] def currentHighGen(
+      s: SparkSession,
+      dir: String,
+      rels: Seq[String] = Seq("postings", "positions", "apostings", "apositions", "doclen", "tombstones")
+  ): Long = {
     import org.apache.hadoop.fs.Path
     val fs = fsFor(s, dir)
     val pat = "(?:gbatch|del)-(\\d+)-".r
     val fileGens =
-      Seq("postings", "positions", "apostings", "apositions", "doclen", "tombstones").flatMap { r =>
+      rels.flatMap { r =>
         val p = new Path(s"$dir/$r")
         if (!fs.exists(p)) Nil
         else {
@@ -1239,15 +1252,7 @@ object Search {
     // correct result set with stale stats (the Lucene window), healed
     // by compaction — never the reverse (stats claiming deletes that
     // don't serve)
-    val staged = s"$dir/_stage_del_$asof"
-    idRel.withColumn("asof", lit(asof)).coalesce(1).write.mode("overwrite").parquet(staged)
-    val src = fs.globStatus(new Path(s"$staged/part-*")).head.getPath
-    fs.mkdirs(new Path(tombstonesDir(dir)))
-    val dest = new Path(tombstonesDir(dir), s"del-$asof-0.parquet")
-    if (fs.exists(dest)) fs.delete(dest, false)
-    if (!fs.rename(src, dest))
-      throw new java.io.IOException(s"delete tombstone write: rename $src -> $dest failed")
-    fs.delete(new Path(staged), true)
+    writeTombstones(s, dir, idRel.withColumn("asof", lit(asof)), asof)
     val (n0, t0) = readMeta(s, dir)
     writeMeta(s, dir, (n0 - nDel, t0 - tDel))
     if (analyzed) writeAmeta(s, dir, readAmeta(s, dir) - aDel)
@@ -1260,6 +1265,52 @@ object Search {
   def deleteFromSearchIndex(s: SparkSession, dir: String, ids: Seq[Long]): Unit = {
     import s.implicits._
     deleteFromSearchIndex(s, dir, ids.toDF("doc_id"))
+  }
+
+  /** The stream's GENERATION BASE for an index dir: batch N's rows
+    * carry generation base + N. 0 when the stream bootstraps the dir
+    * from nothing (every existing gate's file names are unchanged);
+    * adopting a PRE-EXISTING index records high-gen + 1, so the
+    * stream's generations — and its upsert tombstones' asof values —
+    * always exceed every generation already on disk. Without this, a
+    * stream adopting a previously deleted-and-purged index would
+    * write batch-0 tombstones at asof 0, unable to kill the purge's
+    * gbatch-<P> survivors, and stale document versions would serve
+    * silently. Recorded once at adoption (replays read the value).
+    */
+  private[ops] def genBase(s: SparkSession, dir: String, rels: Seq[String]): Long = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsFor(s, dir)
+    val p = new Path(dir, "_gen_base")
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    } else {
+      val base = currentHighGen(s, dir, rels) + 1L
+      fs.mkdirs(new Path(dir))
+      val out = fs.create(p, true)
+      try out.write(s"$base\n".getBytes("UTF-8"))
+      finally out.close()
+      base
+    }
+  }
+
+  /** Stage one tombstone file ((key, asof) rows) and rename it in
+    * under the `del-<asof>-0` name the high-gen file listing parses.
+    */
+  private[ops] def writeTombstones(s: SparkSession, dir: String, rows: DataFrame, asof: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsFor(s, dir)
+    val staged = s"$dir/_stage_del_$asof"
+    rows.coalesce(1).write.mode("overwrite").parquet(staged)
+    val src = fs.globStatus(new Path(s"$staged/part-*")).head.getPath
+    fs.mkdirs(new Path(tombstonesDir(dir)))
+    val dest = new Path(tombstonesDir(dir), s"del-$asof-0.parquet")
+    if (fs.exists(dest)) fs.delete(dest, false)
+    if (!fs.rename(src, dest))
+      throw new java.io.IOException(s"delete tombstone write: rename $src -> $dest failed")
+    fs.delete(new Path(staged), true)
   }
 
   /** Apply ONE micro-batch of new documents to the index at `dir`,
@@ -1302,6 +1353,15 @@ object Search {
     val fs = fsFor(s, dir)
     requireAnalyzedTwinMaintained(s, dir, analyzed, "applySearchIndexBatch")
     seedLedgerIfNeeded(s, dir)
+    // the batch's GENERATION: its batch id offset by the dir's
+    // recorded base, so generations always exceed whatever a
+    // pre-adoption lifecycle (build / append / delete / purge) left
+    // on disk — see [[genBase]]
+    val gen = genBase(
+      s,
+      dir,
+      Seq("postings", "positions", "apostings", "apositions", "doclen", "tombstones")
+    ) + batchId
     Seq(
       s"$dir/postings/tbucket=*",
       s"$dir/positions/tbucket=*",
@@ -1312,33 +1372,34 @@ object Search {
       ledgerDir(dir)
     )
       .foreach { d =>
-        Option(fs.globStatus(new Path(s"$d/gbatch-$batchId-*")))
+        Option(fs.globStatus(new Path(s"$d/gbatch-$gen-*")))
           .getOrElse(Array.empty)
           .foreach(f => fs.delete(f.getPath, false))
       }
     val staged = s"$dir/_stage_$batchId"
-    // UPSERT: tombstone the batch's ids at asof = batchId BEFORE the
-    // new rows land — every OLDER version of these docs dies (its
-    // file-name generation < batchId) while the batch's own gbatch-<B>
-    // rows survive (B < B is false). Same deterministic-name replay
-    // contract as every other per-batch file. The old versions' meta
-    // contributions stay counted until compaction purges them — the
-    // documented Lucene stale-stats window, bounded by compactEvery
-    // (exact-match serving is unaffected: dead rows never score).
+    // UPSERT: tombstone the batch's ids at asof = gen BEFORE the new
+    // rows land — every OLDER version of these docs dies (its
+    // file-name generation < gen) while the batch's own gbatch-<gen>
+    // rows survive (gen < gen is false). Same deterministic-name
+    // replay contract as every other per-batch file. The old versions'
+    // meta contributions stay counted until compaction purges them —
+    // the documented Lucene stale-stats window, bounded by
+    // compactEvery (exact-match serving is unaffected: dead rows never
+    // score).
     if (upsert)
       stageAndMove(
-        batch.select(col(idCol).cast("long").as("doc_id")).distinct().withColumn("asof", lit(batchId)),
+        batch.select(col(idCol).cast("long").as("doc_id")).distinct().withColumn("asof", lit(gen)),
         s"$staged/tombstones",
         tombstonesDir(dir),
         partitionCol = None,
-        batchId
+        gen
       )
     stageAndMove(
       postingsWithDl(batch, idCol, textCol).withColumn("tbucket", tokenBucketCol).repartition(col("tbucket")),
       s"$staged/postings",
       s"$dir/postings",
       partitionCol = Some("tbucket"),
-      batchId
+      gen
     )
     stageAndMove(
       positionalPostings(batch, idCol, textCol)
@@ -1347,7 +1408,7 @@ object Search {
       s"$staged/positions",
       s"$dir/positions",
       partitionCol = Some("tbucket"),
-      batchId
+      gen
     )
     if (analyzed) {
       stageAndMove(
@@ -1357,7 +1418,7 @@ object Search {
         s"$staged/apostings",
         s"$dir/apostings",
         partitionCol = Some("tbucket"),
-        batchId
+        gen
       )
       stageAndMove(
         analyzedPositionalPostings(batch, idCol, textCol)
@@ -1366,16 +1427,16 @@ object Search {
         s"$staged/apositions",
         s"$dir/apositions",
         partitionCol = Some("tbucket"),
-        batchId
+        gen
       )
     }
-    stageAndMove(docLengths(batch, idCol, textCol), s"$staged/doclen", s"$dir/doclen", partitionCol = None, batchId)
+    stageAndMove(docLengths(batch, idCol, textCol), s"$staged/doclen", s"$dir/doclen", partitionCol = None, gen)
     fs.delete(new Path(staged), true)
     // the batch's three scalar deltas — increment-sized aggregates over
     // the BATCH, never a read of the accumulated relations
     val (nb, tb) = corpusScalars(batch, idCol, textCol)
     val ab = if (analyzed) analyzedTotal(batch, textCol) else 0L
-    writeLedgerRow(s, dir, (nb, tb, ab), s"gbatch-$batchId")
+    writeLedgerRow(s, dir, (nb, tb, ab), s"gbatch-$gen")
     val (n, t, a) = ledgerSums(s, dir)
     writeMeta(s, dir, (n, t))
     if (analyzed) writeAmeta(s, dir, a)
@@ -1465,12 +1526,13 @@ object Search {
     * converges — rows are only ever re-judged by tombstones STRICTLY
     * newer than their rewrite.
     */
-  private def purgeRewrite(
+  private[ops] def purgeRewrite(
       spark: SparkSession,
       path: String,
       partitionCol: Option[String],
       tombAgg: DataFrame,
-      purgeGen: Long
+      purgeGen: Long,
+      keyCol: String = "doc_id"
   ): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = fsFor(spark, path)
@@ -1480,7 +1542,7 @@ object Search {
       val live = rel
         .join(
           broadcast(tombAgg),
-          rel("doc_id") === col("t_doc_id") && col("__gen") < col("t_asof"),
+          rel(keyCol) === col("t_key") && col("__gen") < col("t_asof"),
           "left_anti"
         )
         .drop("__gen")

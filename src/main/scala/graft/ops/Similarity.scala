@@ -792,7 +792,9 @@ object Similarity {
     */
   def ivfTopKFromIndex(spark: SparkSession, dir: String, queryId: Long, k: Int, nProbe: Int): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val assigned = spark.read.parquet(s"$dir/assignments")
+    // tombstone-aware like every index probe here: zero plan change
+    // when no tombstones exist, a broadcast anti-join otherwise
+    val assigned = Search.liveRows(spark, dir, spark.read.parquet(s"$dir/assignments"), keyCol = "vec_id")
     val qv = assigned.filter(col("vec_id") === queryId).select("v").head().getSeq[Double](0).toArray
     val centroids = spark.read.parquet(s"$dir/centroids").collect().map { r =>
       (r.getAs[Int]("list_id"), r.getAs[scala.collection.Seq[Double]]("centroid").toArray)
@@ -859,13 +861,31 @@ object Similarity {
     * the rebuild (a fresh [[saveIvfIndex]]) is the amortized
     * maintenance op, like compaction for the search index.
     */
-  def applyIvfIndexBatch(batch: DataFrame, dir: String, batchId: Long): Unit = {
+  def applyIvfIndexBatch(batch: DataFrame, dir: String, batchId: Long, upsert: Boolean = false): Unit = {
     import org.apache.hadoop.fs.Path
     val s = batch.sparkSession
     val fs = new Path(dir).getFileSystem(s.sessionState.newHadoopConf())
-    Option(fs.globStatus(new Path(s"$dir/assignments/list_id=*/gbatch-$batchId-*")))
-      .getOrElse(Array.empty)
-      .foreach(f => fs.delete(f.getPath, false))
+    // generation = batch id + the dir's recorded base, so a stream
+    // adopting a pre-existing (possibly deleted-and-purged) index
+    // always writes generations newer than anything on disk —
+    // Search.genBase's scaladoc has the failure this prevents
+    val gen = Search.genBase(s, dir, Seq("assignments", "tombstones")) + batchId
+    Seq(s"$dir/assignments/list_id=*", Search.tombstonesDir(dir)).foreach { d =>
+      Option(fs.globStatus(new Path(s"$d/gbatch-$gen-*")))
+        .getOrElse(Array.empty)
+        .foreach(f => fs.delete(f.getPath, false))
+    }
+    // vector UPSERT (a re-embedded document): tombstone the batch's
+    // ids at asof = gen — older versions die, the batch's own
+    // gbatch-<gen> rows survive, exactly the search index's semantics
+    if (upsert)
+      Search.stageAndMove(
+        batch.select(col("vec_id").cast("long").as("vec_id")).distinct().withColumn("asof", lit(gen)),
+        s"$dir/_stage_ivf_tomb_$batchId",
+        Search.tombstonesDir(dir),
+        partitionCol = None,
+        gen
+      )
     val centroids = s.read.parquet(s"$dir/centroids")
     val assigned = assignToCentroidsInPlan(withVec(batch), centroids)
       .repartition(col("list_id"))
@@ -874,8 +894,45 @@ object Similarity {
       s"$dir/_stage_ivf_$batchId",
       s"$dir/assignments",
       partitionCol = Some("list_id"),
-      batchId
+      gen
     )
+  }
+
+  /** DELETE vectors from the persisted IVF index — the batch-API
+    * entry point (a stream replaces vectors through the upsert apply).
+    * Tombstones at asof = high-water generation + 1; probes exclude
+    * dead rows through [[graft.ops.Search.liveRows]]'s broadcast
+    * anti-join, and [[compactIvfIndex]] purges physically. No meta
+    * scalars exist here, so the delete is ONE staged file write —
+    * nothing to decrement.
+    */
+  def deleteFromIvfIndex(s: SparkSession, dir: String, ids: DataFrame): Unit = {
+    val asof = Search.currentHighGen(s, dir, rels = Seq("assignments", "tombstones")) + 1L
+    val idRel = ids.select(col(ids.columns.head).cast("long").as("vec_id")).distinct()
+    Search.writeTombstones(s, dir, idRel.withColumn("asof", lit(asof)), asof)
+  }
+
+  /** Seq convenience overload of [[deleteFromIvfIndex]]. */
+  def deleteFromIvfIndex(s: SparkSession, dir: String, ids: Seq[Long]): Unit = {
+    import s.implicits._
+    deleteFromIvfIndex(s, dir, ids.toDF("vec_id"))
+  }
+
+  /** Compact the IVF assignments back to one file per list dir; with
+    * live tombstones the rewrite is ALSO the physical purge (dead
+    * vectors dropped, survivors renamed to the purge generation so a
+    * crashed purge rerun converges — [[graft.ops.Search.purgeRewrite]]'s
+    * contract), and the tombstones are consumed.
+    */
+  def compactIvfIndex(spark: SparkSession, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(dir).getFileSystem(spark.sessionState.newHadoopConf())
+    if (Search.hasTombstones(spark, dir)) {
+      val tomb = Search.tombstoneMaxAsof(spark, dir, keyCol = "vec_id")
+      val purgeGen = tomb.agg(max(col("t_asof"))).head().getLong(0)
+      Search.purgeRewrite(spark, s"$dir/assignments", Some("list_id"), tomb, purgeGen, keyCol = "vec_id")
+      fs.delete(new Path(Search.tombstonesDir(dir)), true)
+    } else graft.core.Compaction.compact(spark, s"$dir/assignments", Some("list_id"), 1)
   }
 
   /** IVF list histogram. Centroid arithmetic is not engine-portable,
@@ -912,6 +969,41 @@ object Similarity {
 
   val annIvfTopkIndex: Q = (s, d) =>
     ivfTopKFromIndex(s, demoIvfIndexDir(s, d), queryId = 0L, k = 10, nProbe = 4)
+
+  /** Tombstoned IVF lifecycle demo: full build, every vec_id % 9 == 2
+    * vector deleted — NO compaction, so probes serve through the
+    * tombstone anti-join.
+    */
+  private[ops] def demoDeletedIvfIndexDir(s: SparkSession, d: String): String =
+    Fixtures.demoIndexDir(s, "ivf_del", d) { dir =>
+      saveIvfIndex(embeddings(s, d), 16, dir)
+      deleteFromIvfIndex(s, dir, embeddings(s, d).filter(col("vec_id") % 9 === 2).select("vec_id"))
+    }
+
+  /** [[demoDeletedIvfIndexDir]] plus the purge. */
+  private[ops] def demoDeleteCompactedIvfIndexDir(s: SparkSession, d: String): String =
+    Fixtures.demoIndexDir(s, "ivf_delc", d) { dir =>
+      saveIvfIndex(embeddings(s, d), 16, dir)
+      deleteFromIvfIndex(s, dir, embeddings(s, d).filter(col("vec_id") % 9 === 2).select("vec_id"))
+      compactIvfIndex(s, dir)
+    }
+
+  /** Vector-DELETE gate: exhaustive probe over the tombstoned index —
+    * every list scanned, so the result is the exact cosine top-k over
+    * the LIVE vectors and the oracle is brute force over the
+    * restricted corpus (a dead vector that still serves, or a live one
+    * the anti-join wrongly killed, hash-mismatches).
+    */
+  val annDeleteTopk: Q = (s, d) =>
+    ivfTopKFromIndex(s, demoDeletedIvfIndexDir(s, d), queryId = 0L, k = 20, nProbe = 16)
+      .select(col("vec_id"), col("label"), col("cos_sim"))
+
+  /** Post-purge twin sharing [[annDeleteTopk]]'s oracle: compaction
+    * must be invisible to the probe.
+    */
+  val annDeleteCompacted: Q = (s, d) =>
+    ivfTopKFromIndex(s, demoDeleteCompactedIvfIndexDir(s, d), queryId = 0L, k = 20, nProbe = 16)
+      .select(col("vec_id"), col("label"), col("cos_sim"))
 
   /** SemDeDup (Abbas et al. 2023): semantic dedup scoped to embedding
     * clusters — pairwise exact cosine runs ONLY within a k-means list,
@@ -1650,6 +1742,8 @@ object Similarity {
     "dedup_incremental_embedding" -> dedupIncrementalEmbedding,
     "ann_ivf_lists" -> annIvfLists,
     "ann_ivf_topk_index" -> annIvfTopkIndex,
+    "ann_delete_topk" -> annDeleteTopk,
+    "ann_delete_compacted" -> annDeleteCompacted,
     "ann_pq_topk_index" -> annPqTopkIndex,
     "ann_pq_knn_join" -> annPqKnnJoin,
     "pq_quality" -> pqQuality,
@@ -1684,6 +1778,19 @@ object Similarity {
   private val cosSqlBase =
     """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)""".stripMargin
+
+  /** Brute-force cosine top-k over the LIVE vectors (the fixture
+    * delete drops vec_id % 9 == 2) — ann_delete_topk's oracle, shared
+    * by the post-purge twin.
+    */
+  private val oracleDeleteCosineTopk =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings WHERE vec_id % 9 <> 2),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+      |SELECT vec_id, label,
+      |  round(list_dot_product(v, qv) /
+      |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+      |FROM e, q ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin
 
   private def planeDuckSql(j: Int): String =
     s"list_transform(generate_series(0, ${dims - 1}), k -> CAST((k * 37 + $j * 101) % 19 - 9 AS DOUBLE))"
@@ -1766,6 +1873,10 @@ object Similarity {
          |  round(list_dot_product(v, qv) /
          |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
          |FROM e, q ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+    // vector deletes: brute force over the LIVE vectors only — shared
+    // by the tombstone-served and the post-purge probe
+    "ann_delete_topk" -> oracleDeleteCosineTopk,
+    "ann_delete_compacted" -> oracleDeleteCosineTopk,
     "ann_lsh_buckets" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |b AS (SELECT vec_id, CAST($bucketDuckSql AS BIGINT) AS bucket_id FROM e)

@@ -991,7 +991,8 @@ object StreamingIngest {
       indexDir: String,
       checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime(0L),
-      compactEvery: Int = 0
+      compactEvery: Int = 0,
+      upsert: Boolean = false
   ): StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -1000,10 +1001,10 @@ object StreamingIngest {
         val bs = batch.sparkSession
         graft.ops.Search.ensureStreamIdentity(bs, indexDir, checkpoint)
         if (batchId > graft.ops.Search.lastAppliedSearchBatch(bs, indexDir)) {
-          graft.ops.Similarity.applyIvfIndexBatch(batch.toDF(), indexDir, batchId)
+          graft.ops.Similarity.applyIvfIndexBatch(batch.toDF(), indexDir, batchId, upsert)
           graft.ops.Search.writeLastAppliedSearchBatch(bs, indexDir, batchId)
           if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-            graft.core.Compaction.compact(bs, s"$indexDir/assignments", Some("list_id"), 1)
+            graft.ops.Similarity.compactIvfIndex(bs, indexDir)
         }
       }
       .start()

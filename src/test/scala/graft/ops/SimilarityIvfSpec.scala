@@ -720,4 +720,46 @@ class SimilarityIvfSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [") && plan.contains("list_id"), plan.take(2000))
     assert(probe.count() == 5)
   }
+
+  test("IVF deletes + upserts: tombstone probe ≡ live rebuild, purge physical, post-purge upsert still wins") {
+    val d = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_del").toString
+    val refDir = java.nio.file.Files.createTempDirectory("graft_ivf_delref").toString
+    val emb = graft.ops.Fixtures.embeddings(spark, d)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "label", "cos_sim").collect().map(_.toSeq).toSeq
+    def probe(p: String) = Similarity.ivfTopKFromIndex(spark, p, queryId = 0L, k = 10, nProbe = 16)
+    Similarity.saveIvfIndex(emb, 16, dir)
+    // delete the current top neighbors so the probe VISIBLY changes
+    val top = probe(dir).collect().map(_.getAs[Long]("vec_id")).filter(_ != 0L).take(3).toSeq
+    Similarity.deleteFromIvfIndex(spark, dir, top)
+    // exhaustive probes are exact brute force over their corpora, so
+    // tombstone-served must equal an index REBUILT on the live vectors
+    Similarity.saveIvfIndex(emb.filter(!col("vec_id").isin(top: _*)), 16, refDir)
+    assert(rows(probe(dir)) == rows(probe(refDir)), "tombstoned IVF must serve like a live rebuild")
+    // purge: physical, tombstones consumed, probe unmoved
+    val pre = rows(probe(dir))
+    Similarity.compactIvfIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/tombstones").exists)
+    assert(
+      spark.read.parquet(s"$dir/assignments").filter(col("vec_id").isin(top: _*)).count() == 0,
+      "purge must remove dead vectors physically"
+    )
+    assert(rows(probe(dir)) == pre, "probe must be bit-identical across the purge")
+    // a post-purge UPSERT must still beat the purge generation: re-send
+    // vec_id = top.head carrying vector 0's embedding — it must return
+    // at cosine 1.0, and its OLD rows must stay dead
+    val clone = emb
+      .filter(col("vec_id") === 0L)
+      .withColumn("vec_id", org.apache.spark.sql.functions.lit(top.head))
+    Similarity.applyIvfIndexBatch(clone, dir, batchId = 0L, upsert = true)
+    val after = probe(dir).collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim")).toMap
+    assert(after.get(top.head).contains(1.0), s"re-added vector must serve its NEW embedding: $after")
+    assert(
+      Search.liveRows(
+        spark, dir, spark.read.parquet(s"$dir/assignments"), keyCol = "vec_id"
+      ).filter(col("vec_id") === top.head).count() == 1,
+      "exactly one live row for the upserted vector"
+    )
+  }
 }
