@@ -174,6 +174,9 @@ object Bench {
       // every rep seeds the even-half IVF index and replays the odd
       // half as micro-batches from a fresh checkpoint
       "ann_stream_ivf_probe" -> "every_run",
+      // every rep replays the 5-batch upsert through BOTH sibling
+      // streams (postings index + doc store) and compacts both
+      "search_facets_stream" -> "every_run",
       // every rep rewrites the JSONL scratch + damaged lines and runs
       // the quarantine + repair round
       "jsonl_repair" -> "every_run",

@@ -2558,17 +2558,99 @@ object Search {
       dir: String,
       metaCols: Seq[String] = Nil
   ): Unit =
+    docStoreRows(docs, idCol, textCol, metaCols)
+      .repartition(col("dbucket"))
+      .write
+      .mode("overwrite")
+      .partitionBy("dbucket")
+      .parquet(s"$dir/docs")
+
+  private def docStoreRows(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      metaCols: Seq[String]
+  ): DataFrame =
     docs
       .select(
         (col(idCol).cast("long").as("doc_id") +: col(textCol).as("text") +:
           metaCols.map(col)): _*
       )
       .withColumn("dbucket", docBucketCol)
-      .repartition(col("dbucket"))
-      .write
-      .mode("overwrite")
-      .partitionBy("dbucket")
-      .parquet(dir)
+
+  /** The store's LIVE rows — the single read path every store
+    * consumer uses (tombstone-aware, zero plan change without
+    * tombstones).
+    */
+  private def docStoreLive(s: SparkSession, storeDir: String): DataFrame =
+    liveRows(s, storeDir, s.read.parquet(s"$storeDir/docs"))
+
+  /** DELETE documents from the doc store — tombstones only (the store
+    * has no meta scalars); [[compactDocStore]] purges physically.
+    */
+  def deleteFromDocStore(s: SparkSession, dir: String, ids: DataFrame): Unit = {
+    val asof = currentHighGen(s, dir, rels = Seq("docs", "tombstones")) + 1L
+    val idRel = ids.select(col(ids.columns.head).cast("long").as("doc_id")).distinct()
+    writeTombstones(s, dir, idRel.withColumn("asof", lit(asof)), asof)
+  }
+
+  /** Apply ONE micro-batch of documents to the persisted doc store,
+    * idempotently — [[graft.streaming.StreamingIngest.docStoreStream]]'s
+    * unit, and the rendering tier's member of the index-maintenance
+    * family: the SERP's snippets and facets must reflect the same
+    * document versions the postings index serves, so the store
+    * maintains under the same generation/tombstone/exactly-once
+    * protocol (gbatch-<gen> names, crashed-attempt pre-delete, upsert
+    * tombstones at asof = gen).
+    */
+  def applyDocStoreBatch(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      dir: String,
+      batchId: Long,
+      metaCols: Seq[String] = Nil,
+      upsert: Boolean = false
+  ): Unit = {
+    import org.apache.hadoop.fs.Path
+    val s = batch.sparkSession
+    val fs = fsFor(s, dir)
+    val gen = genBase(s, dir, Seq("docs", "tombstones")) + batchId
+    Seq(s"$dir/docs/dbucket=*", tombstonesDir(dir)).foreach { d =>
+      Option(fs.globStatus(new Path(s"$d/gbatch-$gen-*")))
+        .getOrElse(Array.empty)
+        .foreach(f => fs.delete(f.getPath, false))
+    }
+    if (upsert)
+      stageAndMove(
+        batch.select(col(idCol).cast("long").as("doc_id")).distinct().withColumn("asof", lit(gen)),
+        s"$dir/_stage_store_tomb_$batchId",
+        tombstonesDir(dir),
+        partitionCol = None,
+        gen
+      )
+    stageAndMove(
+      docStoreRows(batch, idCol, textCol, metaCols).repartition(col("dbucket")),
+      s"$dir/_stage_store_$batchId",
+      s"$dir/docs",
+      partitionCol = Some("dbucket"),
+      gen
+    )
+  }
+
+  /** Compact the store back to one file per bucket dir; with live
+    * tombstones the rewrite is ALSO the physical purge (the
+    * crash-convergent purge-generation contract of [[purgeRewrite]]),
+    * and the tombstones are consumed.
+    */
+  def compactDocStore(spark: SparkSession, dir: String): Unit = {
+    if (hasTombstones(spark, dir)) {
+      val tomb = tombstoneMaxAsof(spark, dir)
+      val purgeGen = tomb.agg(max(col("t_asof"))).head().getLong(0)
+      purgeRewrite(spark, s"$dir/docs", Some("dbucket"), tomb, purgeGen)
+      fsFor(spark, dir).delete(new org.apache.hadoop.fs.Path(tombstonesDir(dir)), true)
+    } else graft.core.Compaction.compact(spark, s"$dir/docs", Some("dbucket"), 1)
+  }
 
   /** FACET counts over a query's FULL match set, served from persisted
     * artifacts — the SERP sidebar ("123 hits in en, 41 in de"): the
@@ -2603,7 +2685,7 @@ object Search {
       .agg(count(lit(1)).cast("long").as("n_matched"))
       .filter(col("n_matched") === terms.size.toLong)
       .select(col("doc_id"))
-    val meta = s.read.parquet(storeDir).select(col("doc_id"), col(facetCol))
+    val meta = docStoreLive(s, storeDir).select(col("doc_id"), col(facetCol))
     matched
       .join(meta, "doc_id")
       .groupBy(col(facetCol))
@@ -2652,8 +2734,7 @@ object Search {
           col("tbucket") === tokenBucket(term) && col("token") === term && col("doc_id").isin(ids: _*)
         )
     ).select(col("doc_id"), col("pos"))
-    val toks = s.read
-      .parquet(storeDir)
+    val toks = docStoreLive(s, storeDir)
       .filter(col("dbucket").isin(dbuckets: _*) && col("doc_id").isin(ids: _*))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     pos
@@ -3173,6 +3254,21 @@ object Search {
     s"""WITH $liveDocsCte,
        |${oracleBm25ChainFor(fixtureOrTerms, "livedocs")}
        |SELECT rank, doc_id, score_milli FROM bmranked WHERE rank <= $topK ORDER BY rank""".stripMargin
+
+  /** search_facets_stream's oracle: the facet sidebar over the FINAL
+    * document versions (the 5th batch's rewrite applied in SQL) — the
+    * exact-token AND match set joined to the updated corpus's lang.
+    */
+  private[graft] lazy val oracleUpsertFacets: String =
+    s"""WITH upd AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 3 THEN replace(text, 'dup', 'dupword') ELSE text END AS text,
+       |    lang
+       |  FROM documents),
+       |${oracleTermSearchChain(fixtureAndTerms, requireAll = true, src = "upd")}
+       |SELECT u.lang, CAST(count(*) AS BIGINT) AS n_hits
+       |FROM scored s JOIN upd u USING (doc_id)
+       |GROUP BY u.lang ORDER BY n_hits DESC, u.lang""".stripMargin
 
   /** search_stream_upsert's oracle: BM25 over the corpus AFTER the
     * stream's 5th batch rewrote every doc_id % 7 == 3 document — the

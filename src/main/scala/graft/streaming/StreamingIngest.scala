@@ -1045,6 +1045,94 @@ object StreamingIngest {
     } finally rmScratch(s, base)
   }
 
+  /** DOC-STORE maintenance as a stream — the rendering tier's member
+    * of the index-maintenance family: snippets and facets must reflect
+    * the same document versions the postings index serves, so the
+    * bucketed text/meta store folds the same micro-batches under the
+    * same exactly-once generation protocol (gbatch-<gen> names,
+    * applied-batch marker, checkpoint-identity guard, upsert
+    * tombstones). Typically run as the postings stream's sibling over
+    * one source — each index dir keeps its own single writer.
+    */
+  def docStoreStream(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      storeDir: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      metaCols: Seq[String] = Nil,
+      compactEvery: Int = 0,
+      upsert: Boolean = false
+  ): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val bs = batch.sparkSession
+        graft.ops.Search.ensureStreamIdentity(bs, storeDir, checkpoint)
+        if (batchId > graft.ops.Search.lastAppliedSearchBatch(bs, storeDir)) {
+          graft.ops.Search.applyDocStoreBatch(batch.toDF(), idCol, textCol, storeDir, batchId, metaCols, upsert)
+          graft.ops.Search.writeLastAppliedSearchBatch(bs, storeDir, batchId)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            graft.ops.Search.compactDocStore(bs, storeDir)
+        }
+      }
+      .start()
+
+  /** The SERP's facet sidebar over STREAM-MAINTAINED artifacts, as an
+    * ORACLE-GATED query — the full consistency loop: the corpus
+    * arrives as 4 micro-batches feeding TWO sibling streams (the
+    * postings index and the doc store, each exactly-once on its own
+    * checkpoint), then a 5th batch RE-SENDS every doc_id % 7 == 3
+    * document with rewritten text through BOTH (upsert tombstones on
+    * each artifact), both compact, and the facet counts served from
+    * the two maintained artifacts must equal the corpus-route counts
+    * over the FINAL document versions: a stale posting (match set
+    * wrong), a stale store row (lang joined to a dead version), or a
+    * failed purge all hash-mismatch.
+    */
+  def searchFacetsStreamProbe(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_facet_stream")
+    try {
+      val src = base.resolve("src").toString
+      val idx = base.resolve("index").toString
+      val store = base.resolve("store").toString
+      val ckptIdx = base.resolve("ckpt_idx").toString
+      val ckptStore = base.resolve("ckpt_store").toString
+      val docs = graft.ops.Fixtures.documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+      docs.repartition(4, col("doc_id")).write.parquet(src)
+      val mkStream = () =>
+        s.readStream
+          .schema(s.read.parquet(src).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(src)
+      def drainBoth(): Unit = {
+        searchIndexStream(mkStream(), "doc_id", "text", idx, ckptIdx, Trigger.AvailableNow(), upsert = true)
+          .awaitTermination()
+        docStoreStream(
+          mkStream(), "doc_id", "text", store, ckptStore, Trigger.AvailableNow(),
+          metaCols = Seq("lang"), upsert = true
+        ).awaitTermination()
+      }
+      drainBoth()
+      docs
+        .filter(col("doc_id") % 7 === 3)
+        .select(col("doc_id"), expr("replace(text, 'dup', 'dupword')").as("text"), col("lang"))
+        .coalesce(1)
+        .write
+        .mode("append")
+        .parquet(src)
+      drainBoth()
+      graft.ops.Search.compactSearchIndex(s, idx)
+      graft.ops.Search.compactDocStore(s, store)
+      graft.ops.Search
+        .facetCounts(s, idx, store, graft.ops.Search.fixtureAndTerms, "lang")
+        .orderBy(desc("n_hits"), col("lang"))
+        .localCheckpoint(true)
+    } finally rmScratch(s, base)
+  }
+
   /** The quality FILTER as a stream: train the NB classifier once on
     * the seed split, PERSIST the model artifact (model + prior
     * parquet — the train-once/score-forever lifecycle every
@@ -1554,6 +1642,7 @@ object StreamingIngest {
       "search_stream_analyzed_probe" -> ((s, d) => searchStreamAnalyzedProbe(s, d)),
       "search_stream_upsert" -> ((s, d) => searchStreamUpsertProbe(s, d)),
       "ann_stream_ivf_probe" -> ((s, d) => annStreamIvfProbe(s, d)),
+      "search_facets_stream" -> ((s, d) => searchFacetsStreamProbe(s, d)),
       "events_stream_replay" -> eventsStreamReplay,
       "events_anomaly_stream" -> eventsAnomalyStream
     )
@@ -1612,6 +1701,10 @@ object StreamingIngest {
       // brute-force oracle, so lost/duplicated/mis-assigned batches
       // all hash-mismatch
       "ann_stream_ivf_probe" -> graft.ops.Similarity.oracles("ann_cosine_topk"),
+      // facets from the two stream-maintained artifacts must count the
+      // FINAL document versions — stale postings, stale store rows and
+      // failed purges all hash-mismatch
+      "search_facets_stream" -> graft.ops.Search.oracleUpsertFacets,
       // per-doc pairs are pure in (doc, frozen chunk index): the
       // stream shares the batch containment probe's oracle
       "cdc_containment_stream" -> graft.ops.Cdc.containmentIndexOracle,

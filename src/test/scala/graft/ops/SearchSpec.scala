@@ -899,6 +899,37 @@ class SearchSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
   }
 
+  test("doc-store upserts: kwicPage renders the NEW text, replay idempotent, purge physical") {
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_store_up_idx").toString
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_store_up").toString
+    val v1 = Seq((1L, "alpha hash beta"), (2L, "hash gamma")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "delta hash epsilon")).toDF("doc_id", "text")
+    Search.applySearchIndexBatch(v1, "doc_id", "text", idxDir, batchId = 0L, upsert = true)
+    Search.applyDocStoreBatch(v1, "doc_id", "text", storeDir, batchId = 0L, upsert = true)
+    Search.applySearchIndexBatch(v2, "doc_id", "text", idxDir, batchId = 1L, upsert = true)
+    Search.applyDocStoreBatch(v2, "doc_id", "text", storeDir, batchId = 1L, upsert = true)
+    val hits = Search.conjunctiveFromIndex(spark, idxDir, Seq("hash"), 10)
+      .select(col("rank"), col("doc_id"))
+    val snippets = Search.kwicPage(spark, idxDir, storeDir, hits, "hash", 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("snippet")).toMap
+    assert(snippets(1L) == "delta hash epsilon", s"snippet must come from the NEW version: $snippets")
+    assert(snippets(2L) == "hash gamma")
+    // replay of the store batch changes nothing
+    val preRows = spark.read.parquet(s"$storeDir/docs").count()
+    Search.applyDocStoreBatch(v2, "doc_id", "text", storeDir, batchId = 1L, upsert = true)
+    assert(spark.read.parquet(s"$storeDir/docs").count() == preRows)
+    // purge: old version physically gone, snippets unmoved
+    Search.compactDocStore(spark, storeDir)
+    assert(!new java.io.File(s"$storeDir/tombstones").exists)
+    assert(
+      spark.read.parquet(s"$storeDir/docs").filter(col("doc_id") === 1L).count() == 1,
+      "exactly one physical row per doc after the purge"
+    )
+    val after = Search.kwicPage(spark, idxDir, storeDir, hits, "hash", 1)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("snippet")).toMap
+    assert(after == snippets)
+  }
+
   test("no tombstones → probe plans untouched (zero-cost fast path)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_searchidx_notomb").toString
     Search.saveSearchIndex(Seq((1L, "cat dog")).toDF("doc_id", "text"), "doc_id", "text", dir)
