@@ -177,6 +177,9 @@ object Bench {
       // every rep replays the 5-batch upsert through BOTH sibling
       // streams (postings index + doc store) and compacts both
       "search_facets_stream" -> "every_run",
+      // every rep replays the 4-insert + mixed-I/U/D CDC feed and
+      // compacts
+      "search_stream_cdc" -> "every_run",
       // every rep rewrites the JSONL scratch + damaged lines and runs
       // the quarantine + repair round
       "jsonl_repair" -> "every_run",

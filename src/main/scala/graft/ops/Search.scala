@@ -1346,7 +1346,11 @@ object Search {
       dir: String,
       batchId: Long,
       analyzed: Boolean = false,
-      upsert: Boolean = false
+      upsert: Boolean = false,
+      // CDC hook: tombstone THESE ids instead of the batch's own — a
+      // delete op contributes a tombstone but no rows (the batch holds
+      // only the inserted/updated docs)
+      tombstoneIds: Option[DataFrame] = None
   ): Unit = {
     import org.apache.hadoop.fs.Path
     val s = batch.sparkSession
@@ -1388,7 +1392,11 @@ object Search {
     // score).
     if (upsert)
       stageAndMove(
-        batch.select(col(idCol).cast("long").as("doc_id")).distinct().withColumn("asof", lit(gen)),
+        tombstoneIds
+          .getOrElse(batch.select(col(idCol).cast("long").as("doc_id")))
+          .select(col(idCol).cast("long").as("doc_id"))
+          .distinct()
+          .withColumn("asof", lit(gen)),
         s"$staged/tombstones",
         tombstonesDir(dir),
         partitionCol = None,
@@ -3269,6 +3277,19 @@ object Search {
        |SELECT u.lang, CAST(count(*) AS BIGINT) AS n_hits
        |FROM scored s JOIN upd u USING (doc_id)
        |GROUP BY u.lang ORDER BY n_hits DESC, u.lang""".stripMargin
+
+  /** search_stream_cdc's oracle: BM25 over the source's FINAL state —
+    * the 5th batch's deletes (doc_id % 5 == 1) removed and its updates
+    * (remaining doc_id % 7 == 3) rewritten in SQL.
+    */
+  private[graft] lazy val oracleCdcBm25: String =
+    s"""WITH upd AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 3 AND doc_id % 5 <> 1
+       |         THEN replace(text, 'dup', 'dupword') ELSE text END AS text
+       |  FROM documents WHERE doc_id % 5 <> 1),
+       |${oracleBm25ChainFor(fixtureOrTerms, "upd")}
+       |SELECT rank, doc_id, score_milli FROM bmranked WHERE rank <= $topK ORDER BY rank""".stripMargin
 
   /** search_stream_upsert's oracle: BM25 over the corpus AFTER the
     * stream's 5th batch rewrote every doc_id % 7 == 3 document — the

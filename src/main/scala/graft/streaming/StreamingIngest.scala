@@ -1045,6 +1045,98 @@ object StreamingIngest {
     } finally rmScratch(s, base)
   }
 
+  /** CDC INGESTION into the search index — the production ingestion
+    * shape: the feed carries per-row operations (I/U/D) and the index
+    * must converge to the source's final state. One exactly-once batch
+    * apply handles all three: EVERY id in the batch is tombstoned at
+    * the batch's generation (killing all older versions), and only the
+    * non-deleted rows are re-added — an insert/update's new version
+    * survives its own tombstone (gen < gen is false), a delete
+    * contributes the tombstone alone. Contract: at most one operation
+    * per id per micro-batch (collapse upstream by sequence number if
+    * the source can emit more — the same requirement every CDC MERGE
+    * here states). Deleted versions' stats stay counted until
+    * compaction purges them (the documented Lucene window).
+    */
+  def searchIndexCdcStream(
+      feed: DataFrame,
+      idCol: String,
+      textCol: String,
+      opCol: String,
+      indexDir: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      compactEvery: Int = 0,
+      analyzed: Boolean = false
+  ): StreamingQuery =
+    feed.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val bs = batch.sparkSession
+        graft.ops.Search.ensureStreamIdentity(bs, indexDir, checkpoint)
+        if (batchId > graft.ops.Search.lastAppliedSearchBatch(bs, indexDir)) {
+          val b = batch.toDF()
+          graft.ops.Search.applySearchIndexBatch(
+            b.filter(col(opCol) =!= "D").drop(opCol),
+            idCol,
+            textCol,
+            indexDir,
+            batchId,
+            analyzed,
+            upsert = true,
+            tombstoneIds = Some(b.select(col(idCol)))
+          )
+          graft.ops.Search.writeLastAppliedSearchBatch(bs, indexDir, batchId)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            graft.ops.Search.compactSearchIndex(bs, indexDir)
+        }
+      }
+      .start()
+
+  /** The CDC-maintained index as an ORACLE-GATED query: 4 insert
+    * batches build the index, a 5th batch carries a MIXED CDC wave —
+    * every doc_id % 5 == 1 document DELETED, every remaining
+    * doc_id % 7 == 3 document UPDATED (text rewritten) — then
+    * compaction purges and the BM25 probe must equal the corpus route
+    * over the source's FINAL state: a deleted doc still serving, an
+    * update's old version surviving, or unhealed stats all
+    * hash-mismatch.
+    */
+  def searchStreamCdcProbe(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_search_cdc")
+    try {
+      val src = base.resolve("src").toString
+      val idx = base.resolve("index").toString
+      val ckpt = base.resolve("ckpt").toString
+      val docs = graft.ops.Fixtures.documents(s, d).select(col("doc_id"), col("text"))
+      docs.withColumn("op", lit("I")).repartition(4, col("doc_id")).write.parquet(src)
+      val mkStream = () =>
+        s.readStream
+          .schema(s.read.parquet(src).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(src)
+      searchIndexCdcStream(mkStream(), "doc_id", "text", "op", idx, ckpt, Trigger.AvailableNow())
+        .awaitTermination()
+      val wave = docs
+        .filter(col("doc_id") % 5 === 1)
+        .select(col("doc_id"), col("text"), lit("D").as("op"))
+        .union(
+          docs
+            .filter(col("doc_id") % 7 === 3 && col("doc_id") % 5 =!= 1)
+            .select(col("doc_id"), expr("replace(text, 'dup', 'dupword')").as("text"), lit("U").as("op"))
+        )
+      wave.coalesce(1).write.mode("append").parquet(src)
+      searchIndexCdcStream(mkStream(), "doc_id", "text", "op", idx, ckpt, Trigger.AvailableNow())
+        .awaitTermination()
+      graft.ops.Search.compactSearchIndex(s, idx)
+      graft.ops.Search
+        .bm25FromIndex(s, idx, graft.ops.Search.fixtureOrTerms, 10)
+        .orderBy("rank")
+        .localCheckpoint(true)
+    } finally rmScratch(s, base)
+  }
+
   /** DOC-STORE maintenance as a stream — the rendering tier's member
     * of the index-maintenance family: snippets and facets must reflect
     * the same document versions the postings index serves, so the
@@ -1643,6 +1735,7 @@ object StreamingIngest {
       "search_stream_upsert" -> ((s, d) => searchStreamUpsertProbe(s, d)),
       "ann_stream_ivf_probe" -> ((s, d) => annStreamIvfProbe(s, d)),
       "search_facets_stream" -> ((s, d) => searchFacetsStreamProbe(s, d)),
+      "search_stream_cdc" -> ((s, d) => searchStreamCdcProbe(s, d)),
       "events_stream_replay" -> eventsStreamReplay,
       "events_anomaly_stream" -> eventsAnomalyStream
     )
@@ -1705,6 +1798,9 @@ object StreamingIngest {
       // FINAL document versions — stale postings, stale store rows and
       // failed purges all hash-mismatch
       "search_facets_stream" -> graft.ops.Search.oracleUpsertFacets,
+      // the CDC-maintained, compacted index must serve BM25 over the
+      // source's final state (deletes gone, updates rewritten)
+      "search_stream_cdc" -> graft.ops.Search.oracleCdcBm25,
       // per-doc pairs are pure in (doc, frozen chunk index): the
       // stream shares the batch containment probe's oracle
       "cdc_containment_stream" -> graft.ops.Cdc.containmentIndexOracle,

@@ -784,4 +784,30 @@ class StreamingIngestSpec extends SparkSpec {
       memC.toDF().toDF("doc_id", "text"), "doc_id", "text", idx, ckptA)
     memC.addData((3L, "dog extra")); qC.processAllAvailable(); qC.stop()
   }
+
+  test("CDC apply: delete removes, update replaces, a LATER re-insert resurrects past the delete") {
+    import graft.ops.Search
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_apply").toString
+    val b0 = Seq((1L, "cat dog"), (2L, "bird seed"), (3L, "cat tail")).toDF("doc_id", "text")
+    Search.applySearchIndexBatch(b0, "doc_id", "text", dir, batchId = 0L, upsert = true)
+    // mixed wave: D doc 1, U doc 3 — one apply, tombstones for BOTH,
+    // rows only for the update (the CDC stream's exact call shape)
+    Search.applySearchIndexBatch(
+      Seq((3L, "fish tail")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, batchId = 1L, upsert = true,
+      tombstoneIds = Some(Seq(1L, 3L).toDF("doc_id"))
+    )
+    def ids(t: String) =
+      Search.conjunctiveFromIndex(spark, dir, Seq(t), 10).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ids("cat") == Set.empty[Long], "deleted doc 1 and updated doc 3's old version must be gone")
+    assert(ids("fish") == Set(3L) && ids("bird") == Set(2L))
+    // a later INSERT of the deleted id must resurrect it (its
+    // generation exceeds the delete tombstone's asof)
+    Search.applySearchIndexBatch(
+      Seq((1L, "worm soil")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, batchId = 2L, upsert = true
+    )
+    assert(ids("worm") == Set(1L), "re-insert after delete must serve")
+    assert(ids("cat") == Set.empty[Long], "the resurrected doc serves only its NEW text")
+  }
 }
