@@ -146,6 +146,9 @@ object Bench {
       // share the postings-index + doc-store demo builds
       "search_facets" -> "first_run",
       "search_page_after" -> "first_run",
+      // share the analyzed demo index (+ doc store) builds
+      "search_facets_analyzed" -> "first_run",
+      "search_page_after_analyzed" -> "first_run",
       // each builds its once-per-process tombstoned / purged demo index
       "search_delete_serve" -> "first_run",
       "search_delete_bm25" -> "first_run",

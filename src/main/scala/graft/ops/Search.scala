@@ -2239,7 +2239,18 @@ object Search {
     * through build→append→compact (which also gates the ameta
     * append-RMW and compaction repair).
     */
-  def analyzedBm25FromIndex(s: SparkSession, indexDir: String, rawTerms: Seq[String], k: Int): DataFrame = {
+  def analyzedBm25FromIndex(s: SparkSession, indexDir: String, rawTerms: Seq[String], k: Int): DataFrame =
+    rankTop(analyzedBm25ScoredFromIndex(s, indexDir, rawTerms), "score_milli", k)
+
+  /** The analyzed scored-candidate relation — factored out so keyset
+    * pagination ([[analyzedBm25PageAfter]]) cursor-filters before the
+    * top-k, exactly like the raw route's split.
+    */
+  private def analyzedBm25ScoredFromIndex(
+      s: SparkSession,
+      indexDir: String,
+      rawTerms: Seq[String]
+  ): DataFrame = {
     val terms = rawTerms.map(analyzeTerm).filter(_.nonEmpty).distinct
     require(terms.nonEmpty, "analyzed bm25 needs at least one non-empty term")
     val nDocs = readMeta(s, indexDir)._1
@@ -2263,7 +2274,7 @@ object Search {
         floor(log(lit(nDocs + 1).cast("double") / (col("df") + 1)) * 1000L).cast("bigint")
       )
       .select(col("token"), col("idf_milli"))
-    val scored = p
+    p
       .join(broadcast(dfModel), "token")
       .withColumn(
         "contrib",
@@ -2274,7 +2285,62 @@ object Search {
         count(lit(1)).cast("long").as("n_matched"),
         sum(col("contrib")).cast("long").as("score_milli")
       )
-    rankTop(scored, "score_milli", k)
+  }
+
+  /** ANALYZED keyset pagination — [[bm25PageAfter]] for the mode real
+    * users run: same (score_milli, doc_id) cursor over the analyzed
+    * scored relation, page-local ranks, top-k plan on every page.
+    */
+  def analyzedBm25PageAfter(
+      s: SparkSession,
+      indexDir: String,
+      rawTerms: Seq[String],
+      k: Int,
+      afterScoreMilli: Long,
+      afterDocId: Long
+  ): DataFrame =
+    rankTop(
+      analyzedBm25ScoredFromIndex(s, indexDir, rawTerms).filter(
+        col("score_milli") < afterScoreMilli ||
+          (col("score_milli") === afterScoreMilli && col("doc_id") > afterDocId)
+      ),
+      "score_milli",
+      k
+    )
+
+  /** ANALYZED facet counts — [[facetCounts]] for the mode real users
+    * run: the match set is the all-ANALYZED-terms gate over the
+    * apostings bucket dirs (query terms fold through the same analyzer
+    * chain the index applied at build), facet values from the doc
+    * store's meta columns.
+    */
+  def analyzedFacetCounts(
+      s: SparkSession,
+      indexDir: String,
+      storeDir: String,
+      rawTerms: Seq[String],
+      facetCol: String
+  ): DataFrame = {
+    val terms = rawTerms.map(analyzeTerm).filter(_.nonEmpty).distinct
+    require(terms.nonEmpty, "analyzed facet counts need at least one non-empty term")
+    val buckets = terms.map(tokenBucket).distinct
+    val matched = liveRows(
+      s,
+      indexDir,
+      s.read
+        .schema(apostingsSchema)
+        .parquet(s"$indexDir/apostings")
+        .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
+    )
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_matched"))
+      .filter(col("n_matched") === terms.size.toLong)
+      .select(col("doc_id"))
+    val meta = docStoreLive(s, storeDir).select(col("doc_id"), col(facetCol))
+    matched
+      .join(meta, "doc_id")
+      .groupBy(col(facetCol))
+      .agg(count(lit(1)).cast("long").as("n_hits"))
   }
 
   /** BATCHED analyzed BM25 from the persisted index — the full
@@ -2395,6 +2461,36 @@ object Search {
       appendToSearchIndex(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", dir, analyzed = true)
       compactSearchIndex(s, dir)
     }
+
+  /** ANALYZED facet gate on the damaged corpus, UPPERCASED raw terms:
+    * the analyzer must fold both sides and recover the damaged docs
+    * into the counts (the raw facet route would miss them).
+    */
+  val searchFacetsAnalyzed: Q = (s, d) =>
+    analyzedFacetCounts(
+      s,
+      demoAnalyzedIndexDir(s, d),
+      demoDocStoreDir(s, d),
+      fixtureAndTerms.map(_.toUpperCase),
+      "lang"
+    ).orderBy(desc("n_hits"), col("lang"))
+
+  /** ANALYZED keyset-pagination gate: page 2 cursored from page 1's
+    * last row over the damaged-corpus analyzed index.
+    */
+  val searchPageAfterAnalyzed: Q = (s, d) => {
+    val dir = demoAnalyzedIndexDir(s, d)
+    val raw = fixtureOrTerms.map(_.toUpperCase)
+    val last = analyzedBm25FromIndex(s, dir, raw, topK).orderBy(desc("rank")).limit(1).head()
+    analyzedBm25PageAfter(
+      s,
+      dir,
+      raw,
+      topK,
+      last.getAs[Long]("score_milli"),
+      last.getAs[Long]("doc_id")
+    ).orderBy("rank")
+  }
 
   /** Index-served analyzed search over the damaged corpus: same raw
     * terms and k as [[searchAnalyzed]], sharing its oracle — the
@@ -3037,6 +3133,8 @@ object Search {
     "search_kwic_page" -> searchKwicPage,
     "search_facets" -> searchFacets,
     "search_page_after" -> searchPageAfter,
+    "search_facets_analyzed" -> searchFacetsAnalyzed,
+    "search_page_after_analyzed" -> searchPageAfterAnalyzed,
     "search_analyzed" -> searchAnalyzed,
     "search_analyzed_index" -> searchAnalyzedIndex,
     "search_phrase_analyzed" -> searchPhraseAnalyzed,
@@ -3490,6 +3588,10 @@ object Search {
       s"""WITH $oracleBm25Chain
          |SELECT CAST(row_number() OVER (ORDER BY rank) AS BIGINT) AS rank, doc_id, score_milli
          |FROM bmranked WHERE rank > $topK AND rank <= ${2 * topK} ORDER BY rank""".stripMargin,
+    // the ANALYZED twins of the two serving shapes above, on the
+    // damaged corpus — production search is always analyzed
+    "search_facets_analyzed" -> oracleAnalyzedFacets,
+    "search_page_after_analyzed" -> oracleAnalyzedPageAfter,
 
     // DELETE gates: the tombstoned (uncompacted) index and the
     // purged (compacted) index both serve the LIVE-corpus chain
@@ -3593,7 +3695,14 @@ object Search {
     * [[oracleBm25Chain]], with the ANALYZED doc length as the
     * normalizer and analyzed-total div N as avgdl.
     */
-  private lazy val oracleAnalyzedBm25: String = {
+  private lazy val oracleAnalyzedBm25: String =
+    s"""$oracleAnalyzedBm25Body
+       |SELECT rank, doc_id, score_milli FROM abmranked WHERE rank <= $topK ORDER BY rank""".stripMargin
+
+  /** The analyzed-BM25 chain up to `abmranked` — shared by the top-k
+    * gate and the analyzed keyset-pagination gate.
+    */
+  private lazy val oracleAnalyzedBm25Body: String = {
     val terms = fixtureOrTerms.map(analyzeTerm)
     val termList = terms.map(sqlLit).mkString(", ")
     val containsAny = terms.map(t => s"contains(lower(text), ${sqlLit(t)})").mkString(" OR ")
@@ -3646,8 +3755,44 @@ object Search {
        |abmranked AS (
        |  SELECT doc_id, score_milli,
        |    CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id ASC) AS BIGINT) AS rank
-       |  FROM sc)
-       |SELECT rank, doc_id, score_milli FROM abmranked WHERE rank <= $topK ORDER BY rank""".stripMargin
+       |  FROM sc)""".stripMargin
+  }
+
+  /** Analyzed keyset pagination: one global analyzed ranking,
+    * renumbered to the second page.
+    */
+  private lazy val oracleAnalyzedPageAfter: String =
+    s"""$oracleAnalyzedBm25Body
+       |SELECT CAST(row_number() OVER (ORDER BY rank) AS BIGINT) AS rank, doc_id, score_milli
+       |FROM abmranked WHERE rank > $topK AND rank <= ${2 * topK} ORDER BY rank""".stripMargin
+
+  /** Analyzed facet sidebar: the all-analyzed-terms match set on the
+    * DAMAGED corpus joined to the corpus lang column — the analyzer
+    * must recover the damaged docs into the counts.
+    */
+  private lazy val oracleAnalyzedFacets: String = {
+    val gates = fixtureAndTerms
+      .map(analyzeTerm)
+      .map(t => s"list_contains(atoks, ${sqlLit(t)})")
+      .mkString(" AND ")
+    s"""WITH dd AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN upper(text)
+       |         WHEN doc_id % 11 = 0 THEN
+       |           array_to_string(list_transform(string_split(text, ' '), t -> '[' || t || ']'), ' ')
+       |         ELSE text END AS text
+       |  FROM documents),
+       |at AS (
+       |  SELECT doc_id,
+       |    list_filter(
+       |      list_transform(string_split(text, ' '),
+       |                     t -> regexp_replace(lower(t), '^[^a-z0-9]+|[^a-z0-9]+$$', '', 'g')),
+       |      t -> t <> '') AS atoks
+       |  FROM dd),
+       |m AS (SELECT doc_id FROM at WHERE $gates)
+       |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_hits
+       |FROM m JOIN documents d USING (doc_id)
+       |GROUP BY d.lang ORDER BY n_hits DESC, d.lang""".stripMargin
   }
 
   /** Batched analyzed BM25 oracle: the damaged-corpus analyzed chain,

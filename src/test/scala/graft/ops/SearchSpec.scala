@@ -899,6 +899,35 @@ class SearchSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
   }
 
+  test("analyzedFacetCounts recovers damaged docs the raw facet route misses; pages partition the analyzed ranking") {
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_facet_an_idx").toString
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_facet_an_store").toString
+    val docs = Seq(
+      (1L, "CAT DOG", "en"),     // uppercased damage
+      (2L, "cat dog", "de"),     // clean
+      (3L, "[cat] [dog]", "fr"), // bracket damage
+      (4L, "cat only", "en")     // one term — excluded either way
+    ).toDF("doc_id", "text", "lang")
+    Search.saveSearchIndex(docs, "doc_id", "text", idxDir, analyzed = true)
+    Search.saveDocStore(docs, "doc_id", "text", storeDir, metaCols = Seq("lang"))
+    val an = Search.analyzedFacetCounts(spark, idxDir, storeDir, Seq("CAT", "dog"), "lang")
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_hits")).toMap
+    assert(an == Map("en" -> 1L, "de" -> 1L, "fr" -> 1L), an.toString)
+    val raw = Search.facetCounts(spark, idxDir, storeDir, Seq("cat", "dog"), "lang")
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_hits")).toMap
+    assert(raw == Map("de" -> 1L), s"raw route must miss the damaged docs: $raw")
+    // analyzed pages partition the analyzed ranking exactly
+    val all = Search.analyzedBm25FromIndex(spark, idxDir, Seq("CAT"), 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_milli"))).toSeq
+    val p1 = Search.analyzedBm25FromIndex(spark, idxDir, Seq("CAT"), 2)
+    val last = p1.orderBy(col("rank").desc).limit(1).head()
+    val p2 = Search.analyzedBm25PageAfter(
+      spark, idxDir, Seq("CAT"), 2, last.getAs[Long]("score_milli"), last.getAs[Long]("doc_id"))
+    val walked = (p1.orderBy("rank").collect() ++ p2.orderBy("rank").collect())
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_milli"))).toSeq
+    assert(walked == all, s"$walked vs $all")
+  }
+
   test("doc-store upserts: kwicPage renders the NEW text, replay idempotent, purge physical") {
     val idxDir = java.nio.file.Files.createTempDirectory("graft_store_up_idx").toString
     val storeDir = java.nio.file.Files.createTempDirectory("graft_store_up").toString
