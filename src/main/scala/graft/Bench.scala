@@ -149,6 +149,8 @@ object Bench {
       // share the analyzed demo index (+ doc store) builds
       "search_facets_analyzed" -> "first_run",
       "search_page_after_analyzed" -> "first_run",
+      // shares the analyzed index + builds the damaged doc store
+      "search_kwic_page_analyzed" -> "first_run",
       // each builds its once-per-process tombstoned / purged demo index
       "search_delete_serve" -> "first_run",
       "search_delete_bm25" -> "first_run",

@@ -2864,6 +2864,79 @@ object Search {
       saveDocStore(documents(s, d), "doc_id", "text", _, metaCols = Seq("lang", "source"))
     )
 
+  /** Doc store over the DAMAGED corpus — the analyzed serving gates'
+    * rendering source (snippets must show the document's ACTUAL,
+    * damaged text).
+    */
+  private[ops] def demoDamagedDocStoreDir(s: SparkSession, d: String): String =
+    Fixtures.demoIndexDir(s, "docstore_dmg", d)(
+      saveDocStore(damagedFixtureDocs(s, d), "doc_id", "text", _)
+    )
+
+  /** ANALYZED KWIC for a RESULT PAGE from the persisted doc store —
+    * the analyzed rendering pass at page cost: no positional index is
+    * needed at all, because the page's token arrays are already in
+    * hand (the store read, pruned to the hits' dbucket dirs) and the
+    * hit test analyzes each RAW token in-plan with the index's chain
+    * — position-aligned with NO pure-punct filtering, since display
+    * wants the document's actual indices. Work is page-sized: ≤ k docs
+    * exploded, each ≤ its own length.
+    */
+  def analyzedKwicPage(
+      s: SparkSession,
+      storeDir: String,
+      hits: DataFrame, // (rank, doc_id) — request-sized
+      rawTerm: String,
+      window: Int
+  ): DataFrame = {
+    import s.implicits._
+    val term = analyzeTerm(rawTerm)
+    require(term.nonEmpty, s"analyzed kwic page: term '$rawTerm' does not survive the analyzer")
+    val hitRows = hits
+      .select(col("rank").cast("long"), col("doc_id").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ids = hitRows.map(_._2).toSeq
+    if (ids.isEmpty) {
+      return Seq.empty[(Long, Long, Long, String)].toDF("rank", "doc_id", "pos", "snippet")
+    }
+    val dbuckets = ids.map(docBucket).distinct
+    val ranks = hitRows.toSeq.toDF("rank", "doc_id")
+    docStoreLive(s, storeDir)
+      .filter(col("dbucket").isin(dbuckets: _*) && col("doc_id").isin(ids: _*))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .join(broadcast(ranks), "doc_id")
+      .select(col("rank"), col("doc_id"), col("toks"), posexplode(col("toks")).as(Seq("p", "tok")))
+      .filter(analyzeCol(col("tok")) === term)
+      .select(
+        col("rank"),
+        col("doc_id"),
+        (col("p") + 1).cast("long").as("pos"),
+        expr(
+          s"""array_join(slice(toks,
+             |  greatest(1, p + 1 - $window),
+             |  least(size(toks), p + 1 + $window) - greatest(1, p + 1 - $window) + 1), ' ')""".stripMargin
+        ).as("snippet")
+      )
+  }
+
+  /** The analyzed rendered page: hits from the persisted ANALYZED
+    * index (uppercased raw term — the analyzer folds both sides),
+    * snippets from the damaged-corpus doc store pruned to the page —
+    * raw damaged text, analyzed hit test, page-sized I/O.
+    */
+  val searchKwicPageAnalyzed: Q = (s, d) => {
+    val hits = analyzedFromIndex(
+      s,
+      demoAnalyzedIndexDir(s, d),
+      Seq(fixturePhrase._1.toUpperCase),
+      kwicPageK,
+      requireAll = true
+    ).select(col("rank"), col("doc_id"))
+    analyzedKwicPage(s, demoDamagedDocStoreDir(s, d), hits, fixturePhrase._1.toUpperCase, 3)
+      .orderBy("rank", "pos")
+  }
+
   private val kwicPageK = 5
 
   /** Facet gate: lang counts over the conjunctive match set, index +
@@ -3131,6 +3204,7 @@ object Search {
     "search_kwic" -> searchKwic,
     "search_kwic_analyzed" -> searchKwicAnalyzed,
     "search_kwic_page" -> searchKwicPage,
+    "search_kwic_page_analyzed" -> searchKwicPageAnalyzed,
     "search_facets" -> searchFacets,
     "search_page_after" -> searchPageAfter,
     "search_facets_analyzed" -> searchFacetsAnalyzed,
@@ -3666,6 +3740,23 @@ object Search {
          |  array_to_string(toks[greatest(1, pos - 3):least(len(toks), pos + 3)], ' ') AS snippet
          |FROM hit ORDER BY rank, pos""".stripMargin
     },
+    // the analyzed page: the analyzed chain re-derives the page, the
+    // damaged corpus provides the raw toks, the hit test analyzes the
+    // raw token at each position — exactly the plan's arithmetic
+    "search_kwic_page_analyzed" -> {
+      val t = sqlLit(analyzeTerm(fixturePhrase._1))
+      s"""WITH ${oracleAnalyzedChainFor(Seq(analyzeTerm(fixturePhrase._1)), requireAll = true)},
+         |page AS (SELECT doc_id, rank FROM aranked WHERE rank <= $kwicPageK),
+         |pt AS (
+         |  SELECT p.rank, d.doc_id, string_split(d.text, ' ') AS toks
+         |  FROM dd d JOIN page p ON p.doc_id = d.doc_id),
+         |ps AS (SELECT rank, doc_id, toks, unnest(generate_series(1, len(toks), 1)) AS pos FROM pt),
+         |hit AS (SELECT rank, doc_id, pos, toks FROM ps
+         |        WHERE regexp_replace(lower(toks[pos]), '^[^a-z0-9]+|[^a-z0-9]+$$', '', 'g') = $t)
+         |SELECT CAST(rank AS BIGINT) AS rank, doc_id, CAST(pos AS BIGINT) AS pos,
+         |  array_to_string(toks[greatest(1, pos - 3):least(len(toks), pos + 3)], ' ') AS snippet
+         |FROM hit ORDER BY rank, pos""".stripMargin
+    },
     "search_kwic_analyzed" -> {
       // the damaged-corpus chain; the hit test analyzes the RAW token
       // at each position (position-aligned, no filtering), snippets
@@ -3855,10 +3946,19 @@ object Search {
        |FROM f WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
-  private lazy val oracleAnalyzed: String = {
-      val terms = fixtureAndTerms.map(analyzeTerm)
+  private lazy val oracleAnalyzed: String =
+    s"""WITH ${oracleAnalyzedChainFor(fixtureAndTerms.map(analyzeTerm), requireAll = true)}
+       |SELECT rank, doc_id, score_micro FROM aranked WHERE rank <= $topK ORDER BY rank""".stripMargin
+
+  /** The analyzed term-search CTE chain up to `aranked` over the
+    * DAMAGED corpus — reusable inside composite oracles (the analyzed
+    * KWIC page re-derives its page from it). Takes the ANALYZED terms.
+    */
+  private def oracleAnalyzedChainFor(terms: Seq[String], requireAll: Boolean): String = {
       val termList = terms.map(sqlLit).mkString(", ")
-      val containsAll = terms.map(t => s"contains(lower(text), ${sqlLit(t)})").mkString(" AND ")
+      val containsAll =
+        terms.map(t => s"contains(lower(text), ${sqlLit(t)})").mkString(if (requireAll) " AND " else " OR ")
+      val matchGate = if (requireAll) s"count(*) = ${terms.size}" else "count(*) >= 1"
       val dfArms = terms
         .map(t =>
           s"""SELECT token, CAST(count(*) AS BIGINT) AS df FROM (
@@ -3870,7 +3970,7 @@ object Search {
              |    WHERE token = ${sqlLit(t)} GROUP BY token, doc_id) GROUP BY token""".stripMargin
         )
         .mkString("\n  UNION ALL\n  ")
-      s"""WITH dd AS (
+      s"""dd AS (
          |  SELECT doc_id,
          |    CASE WHEN doc_id % 7 = 0 THEN upper(text)
          |         WHEN doc_id % 11 = 0 THEN
@@ -3895,11 +3995,10 @@ object Search {
          |  SELECT cp.doc_id, count(*) AS n_matched,
          |    CAST(sum(cp.tf * m.idf_micro) AS BIGINT) AS score_micro
          |  FROM cp JOIN model m ON m.token = cp.token
-         |  GROUP BY cp.doc_id HAVING count(*) = ${terms.size}),
+         |  GROUP BY cp.doc_id HAVING $matchGate),
          |aranked AS (
          |  SELECT doc_id, score_micro,
          |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rank
-         |  FROM scored)
-         |SELECT rank, doc_id, score_micro FROM aranked WHERE rank <= $topK ORDER BY rank""".stripMargin
+         |  FROM scored)""".stripMargin
   }
 }

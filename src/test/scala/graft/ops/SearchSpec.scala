@@ -928,6 +928,30 @@ class SearchSpec extends SparkSpec {
     assert(walked == all, s"$walked vs $all")
   }
 
+  test("analyzedKwicPage: analyzed hit test over raw damaged tokens, page-pruned store scan") {
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_akwic_idx").toString
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_akwic_store").toString
+    val docs = Seq(
+      (1L, "CAT x CAT"),  // uppercase damage, two occurrences
+      (2L, "[cat] y z"),  // bracket damage
+      (3L, "dog only")    // no hit
+    ).toDF("doc_id", "text")
+    Search.saveSearchIndex(docs, "doc_id", "text", idxDir, analyzed = true)
+    Search.saveDocStore(docs, "doc_id", "text", storeDir)
+    val hits = Search.analyzedFromIndex(spark, idxDir, Seq("Cat"), 5, requireAll = true)
+      .select(col("rank"), col("doc_id"))
+    val page = Search.analyzedKwicPage(spark, storeDir, hits, "Cat", 1)
+    val got = page.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos"), r.getAs[String]("snippet")))
+      .toSet
+    assert(
+      got == Set((1L, 1L, "CAT x"), (1L, 3L, "x CAT"), (2L, 1L, "[cat] y")),
+      got.toString
+    )
+    val plan = page.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("dbucket"), plan.take(2000))
+  }
+
   test("doc-store upserts: kwicPage renders the NEW text, replay idempotent, purge physical") {
     val idxDir = java.nio.file.Files.createTempDirectory("graft_store_up_idx").toString
     val storeDir = java.nio.file.Files.createTempDirectory("graft_store_up").toString
