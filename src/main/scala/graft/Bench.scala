@@ -151,6 +151,8 @@ object Bench {
       "search_page_after_analyzed" -> "first_run",
       // shares the analyzed index + builds the damaged doc store
       "search_kwic_page_analyzed" -> "first_run",
+      // shares the postings-index build; the probe is footer metadata
+      "search_index_stats" -> "first_run",
       // each builds its once-per-process tombstoned / purged demo index
       "search_delete_serve" -> "first_run",
       "search_delete_bm25" -> "first_run",

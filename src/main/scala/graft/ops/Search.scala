@@ -2462,6 +2462,55 @@ object Search {
       compactSearchIndex(s, dir)
     }
 
+  /** INDEX INTROSPECTION — the monitoring row an operator dashboards
+    * and alerting keys on: the two meta scalars next to the PHYSICAL
+    * row counts of each relation plus live-tombstone and ledger
+    * state. Row counts are parquet FOOTER metadata (count() with no
+    * projected columns never scans data pages), so the whole probe is
+    * metadata-cost at any index size. The invariants it exposes are
+    * the ones that drift when maintenance misbehaves: doclen_rows =
+    * n_docs and positions_rows = total_toks on a tombstone-free index
+    * (both oracle-gated), dead rows > 0 = purge backlog, ledger_rows
+    * = applied increments since the last fold.
+    */
+  def searchIndexStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fs = fsFor(s, dir)
+    val (nDocs, totalToks) = readMeta(s, dir)
+    def rowsOf(rel: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$rel")
+      if (fs.exists(p)) s.read.parquet(s"$dir/$rel").count() else 0L
+    }
+    val ledger = ledgerFiles(fs, dir).length.toLong
+    Seq(
+      (
+        nDocs,
+        totalToks,
+        rowsOf("postings"),
+        rowsOf("positions"),
+        rowsOf("doclen"),
+        rowsOf("tombstones"),
+        ledger
+      )
+    ).toDF(
+      "n_docs",
+      "total_toks",
+      "postings_rows",
+      "positions_rows",
+      "doclen_rows",
+      "tombstone_rows",
+      "ledger_files"
+    )
+  }
+
+  /** Monitoring gate: the stats row of the fixture index — the oracle
+    * recomputes every engine-portable invariant from the corpus
+    * (n_docs, total_toks, postings = distinct (token, doc) pairs,
+    * positions = token occurrences, doclen = docs) and pins the
+    * tombstone-free/unfolded-ledger state.
+    */
+  val searchIndexStatsQ: Q = (s, d) => searchIndexStats(s, demoSearchIndexDir(s, d))
+
   /** ANALYZED facet gate on the damaged corpus, UPPERCASED raw terms:
     * the analyzer must fold both sides and recover the damaged docs
     * into the counts (the raw facet route would miss them).
@@ -3209,6 +3258,7 @@ object Search {
     "search_page_after" -> searchPageAfter,
     "search_facets_analyzed" -> searchFacetsAnalyzed,
     "search_page_after_analyzed" -> searchPageAfterAnalyzed,
+    "search_index_stats" -> searchIndexStatsQ,
     "search_analyzed" -> searchAnalyzed,
     "search_analyzed_index" -> searchAnalyzedIndex,
     "search_phrase_analyzed" -> searchPhraseAnalyzed,
@@ -3666,6 +3716,18 @@ object Search {
     // damaged corpus — production search is always analyzed
     "search_facets_analyzed" -> oracleAnalyzedFacets,
     "search_page_after_analyzed" -> oracleAnalyzedPageAfter,
+    // index monitoring: every engine-portable invariant recomputed
+    // from the corpus; doclen = docs, positions = token occurrences
+    "search_index_stats" ->
+      s"""WITH $postingsSql
+         |SELECT
+         |  (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM documents) AS n_docs,
+         |  (SELECT CAST(sum(len(string_split(text, ' '))) AS BIGINT) FROM documents) AS total_toks,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS postings_rows,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM p0) AS positions_rows,
+         |  (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM documents) AS doclen_rows,
+         |  CAST(0 AS BIGINT) AS tombstone_rows,
+         |  CAST(0 AS BIGINT) AS ledger_files""".stripMargin,
 
     // DELETE gates: the tombstoned (uncompacted) index and the
     // purged (compacted) index both serve the LIVE-corpus chain

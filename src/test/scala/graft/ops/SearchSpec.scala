@@ -983,6 +983,27 @@ class SearchSpec extends SparkSpec {
     assert(after == snippets)
   }
 
+  test("searchIndexStats: invariants hold fresh, expose purge backlog, heal after compaction") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats_idx").toString
+    val docs = Seq((1L, "a b c"), (2L, "a"), (3L, "b c")).toDF("doc_id", "text")
+    Search.saveSearchIndex(docs, "doc_id", "text", dir)
+    def stats() = Search.searchIndexStats(spark, dir).head()
+    val s0 = stats()
+    assert(s0.getAs[Long]("n_docs") == 3L && s0.getAs[Long]("total_toks") == 6L)
+    assert(s0.getAs[Long]("doclen_rows") == 3L && s0.getAs[Long]("positions_rows") == 6L)
+    assert(s0.getAs[Long]("postings_rows") == 6L) // distinct (token, doc) pairs
+    assert(s0.getAs[Long]("tombstone_rows") == 0L)
+    Search.deleteFromSearchIndex(spark, dir, Seq(2L))
+    val s1 = stats()
+    assert(s1.getAs[Long]("tombstone_rows") == 1L, "live tombstones = purge backlog")
+    assert(s1.getAs[Long]("doclen_rows") == 3L, "physical rows untouched before the purge")
+    assert(s1.getAs[Long]("n_docs") == 2L, "stats decremented exactly at delete")
+    Search.compactSearchIndex(spark, dir)
+    val s2 = stats()
+    assert(s2.getAs[Long]("tombstone_rows") == 0L && s2.getAs[Long]("doclen_rows") == 2L)
+    assert(s2.getAs[Long]("n_docs") == 2L && s2.getAs[Long]("total_toks") == 5L)
+  }
+
   test("no tombstones → probe plans untouched (zero-cost fast path)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_searchidx_notomb").toString
     Search.saveSearchIndex(Seq((1L, "cat dog")).toDF("doc_id", "text"), "doc_id", "text", dir)
