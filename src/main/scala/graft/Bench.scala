@@ -139,6 +139,8 @@ object Bench {
       // shares the postings-index + IVF-index demo builds
       "search_rrf_index" -> "first_run",
       "search_rrf_recall" -> "first_run",
+      // shares the analyzed demo index + IVF index builds
+      "search_rrf_analyzed" -> "first_run",
       // builds the once-per-process persisted cluster map (LSH + CC)
       "search_dedup_results_graph" -> "first_run",
       // shares the postings-index build + builds the bucketed doc store

@@ -3109,6 +3109,30 @@ object Search {
       .orderBy(desc("rrf_micro"), asc("id"))
   }
 
+  /** The hybrid page with the lexical leg ANALYZED — the combination
+    * production actually ships (real queries carry case and
+    * punctuation; the raw lexical leg would drop the damaged docs the
+    * analyzer recovers): analyzed BM25 from the persisted apostings
+    * index ⊕ the exhaustive IVF vector leg, fused with the same exact
+    * integer RRF. Oracle recomputes BOTH legs (the analyzed chain over
+    * the damaged corpus, brute-force cosine) and the fusion.
+    */
+  val searchRrfAnalyzed: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val lex =
+      analyzedBm25FromIndex(s, demoAnalyzedIndexDir(s, d), fixtureOrTerms.map(_.toUpperCase), topK)
+        .select(col("doc_id").as("id"), col("rank"))
+    val vec = Similarity
+      .ivfTopKFromIndex(s, Similarity.demoIvfIndexDir(s, d), queryId = 0L, k = topK, nProbe = 16)
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(desc("cos_sim"), asc("vec_id"))).cast("bigint")
+      )
+      .select(col("vec_id").as("id"), col("rank"))
+    rrfFuse(Seq("lex" -> lex, "vec" -> vec))
+      .orderBy(desc("rrf_micro"), asc("id"))
+  }
+
   /** The hybrid page at the PRODUCTION recall configuration:
     * nProbe = 4 of 16 lists, so the vector leg accepts ANN recall
     * (reads 1/4 of the index) while the lexical leg and the exact
@@ -3248,6 +3272,7 @@ object Search {
     "search_rrf_hybrid" -> searchRrfHybrid,
     "search_rrf_index" -> searchRrfIndex,
     "search_rrf_recall" -> searchRrfRecall,
+    "search_rrf_analyzed" -> searchRrfAnalyzed,
     "search_dedup_results" -> searchDedupResults,
     "search_dedup_results_graph" -> searchDedupResultsGraph,
     "search_kwic" -> searchKwic,
@@ -3759,6 +3784,8 @@ object Search {
     // the nProbe < nLists production configuration, vector leg replayed
     // from the ann_ivf_topk_index golden pin
     "search_rrf_recall" -> oracleRrfRecall,
+    // analyzed lexical leg ⊕ exhaustive vector leg — both recomputed
+    "search_rrf_analyzed" -> oracleRrfAnalyzed,
     "search_dedup_results" -> oracleDedupResults,
     // hits from the persisted search index, labels from the persisted
     // cluster map pruned to the hits' buckets — same page, from bytes
@@ -3910,6 +3937,35 @@ object Search {
        |    CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id ASC) AS BIGINT) AS rank
        |  FROM sc)""".stripMargin
   }
+
+  /** Hybrid page with the ANALYZED lexical leg: the damaged-corpus
+    * analyzed chain and the brute-force cosine leg both recomputed,
+    * fused with the exact integer RRF arithmetic.
+    */
+  private lazy val oracleRrfAnalyzed: String =
+    s"""$oracleAnalyzedBm25Body,
+       |lx AS (SELECT doc_id AS id, rank AS lex_rank FROM abmranked WHERE rank <= $topK),
+       |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |qe AS (SELECT v AS qv FROM ev WHERE vec_id = 0),
+       |cs AS (
+       |  SELECT vec_id,
+       |    round(list_dot_product(v, qv) /
+       |          (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+       |  FROM ev, qe),
+       |vr AS (
+       |  SELECT vec_id AS id, vec_rank FROM (
+       |    SELECT vec_id,
+       |      CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS vec_rank
+       |    FROM cs) WHERE vec_rank <= $topK),
+       |fu AS (
+       |  SELECT COALESCE(lx.id, vr.id) AS id, lx.lex_rank, vr.vec_rank
+       |  FROM lx FULL OUTER JOIN vr ON vr.id = lx.id)
+       |SELECT id,
+       |  CAST(COALESCE(lex_rank, 0) AS BIGINT) AS lex_rank,
+       |  CAST(COALESCE(vec_rank, 0) AS BIGINT) AS vec_rank,
+       |  CAST(COALESCE(1000000 // (60 + lex_rank), 0)
+       |     + COALESCE(1000000 // (60 + vec_rank), 0) AS BIGINT) AS rrf_micro
+       |FROM fu ORDER BY rrf_micro DESC, id""".stripMargin
 
   /** Analyzed keyset pagination: one global analyzed ranking,
     * renumbered to the second page.
