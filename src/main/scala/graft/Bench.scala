@@ -132,6 +132,7 @@ object Bench {
       // shares the analyzed demo index build (apostings + ameta)
       "search_analyzed_bm25_index" -> "first_run",
       "search_batch_analyzed_bm25" -> "first_run",
+      "search_batch_analyzed_serve" -> "first_run",
       // shares the append+compact lifecycle demo index build
       "search_phrase3_index" -> "first_run",
       // shares the analyzed demo index build (apositions)

@@ -2571,6 +2571,69 @@ object Search {
       3L -> "Window.", 3L -> "dup"
     )
 
+  /** BATCHED analyzed search with per-query MATCH MODES from the
+    * persisted index — the analyzed twin of [[batchedSearchFromIndex]]
+    * that completes the batch tier: raw variants of one analyzed term
+    * collapse before scoring (so a query's AND gate counts ANALYZED
+    * terms), the batch's analyzed-term union prunes the apostings
+    * buckets, and the scoring/mode/rank-limit tail is [[scoreBatch]]
+    * verbatim.
+    */
+  def analyzedBatchFromIndex(
+      s: SparkSession,
+      indexDir: String,
+      queries: DataFrame, // (query_id, term) — raw terms
+      k: Int,
+      modes: Option[DataFrame] = None
+  ): DataFrame = {
+    val aQueries = queries
+      .select(col("query_id"), analyzeCol(col("term")).as("term"))
+      .filter(col("term") =!= "")
+      .distinct()
+    val terms = aQueries.select(col("term")).distinct().collect().map(_.getString(0)).toSeq
+    require(terms.nonEmpty, "batched analyzed search needs at least one non-empty term")
+    val buckets = terms.map(tokenBucket).distinct
+    val p = liveRows(
+      s,
+      indexDir,
+      s.read
+        .schema(apostingsSchema)
+        .parquet(s"$indexDir/apostings")
+        .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
+    ).select(col("token"), col("doc_id"), col("tf"))
+    val nDocs = readMeta(s, indexDir)._1
+    val dfModel = p
+      .groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("df"))
+      .withColumn(
+        "idf_micro",
+        floor(log(lit(nDocs + 1).cast("double") / (col("df") + 1)) * 1000000L).cast("bigint")
+      )
+      .select(col("token"), col("idf_micro"))
+    scoreBatch(p, aQueries, dfModel, k, modes)
+  }
+
+  /** Modes for [[fixtureAnalyzedBatch]] — query 3 exercises the OR
+    * gate through the analyzer.
+    */
+  private[ops] val fixtureAnalyzedModes: Seq[(Long, String)] =
+    Seq(1L -> "AND", 2L -> "AND", 3L -> "OR")
+
+  /** The analyzed batch tier with modes, served from the damaged-
+    * corpus index — raw case/punct variants fold in-plan, the OR
+    * member admits single-term docs.
+    */
+  val searchBatchAnalyzedServe: Q = (s, d) => {
+    import s.implicits._
+    analyzedBatchFromIndex(
+      s,
+      demoAnalyzedIndexDir(s, d),
+      fixtureAnalyzedBatch.toDF("query_id", "term"),
+      k = 5,
+      modes = Some(fixtureAnalyzedModes.toDF("query_id", "mode"))
+    ).orderBy("query_id", "rank")
+  }
+
   val searchBatchAnalyzedBm25: Q = (s, d) => {
     import s.implicits._
     analyzedBm25BatchFromIndex(
@@ -3290,7 +3353,8 @@ object Search {
     "search_phrase_analyzed_index" -> searchPhraseAnalyzedIndex,
     "search_analyzed_bm25" -> searchAnalyzedBm25,
     "search_analyzed_bm25_index" -> searchAnalyzedBm25Index,
-    "search_batch_analyzed_bm25" -> searchBatchAnalyzedBm25
+    "search_batch_analyzed_bm25" -> searchBatchAnalyzedBm25,
+    "search_batch_analyzed_serve" -> searchBatchAnalyzedServe
   )
 
   // ---- DuckDB oracles ------------------------------------------------
@@ -3803,6 +3867,8 @@ object Search {
     // rows, ameta avgdl) must equal the corpus analyzed-BM25 pass
     "search_analyzed_bm25_index" -> oracleAnalyzedBm25,
     "search_batch_analyzed_bm25" -> oracleBatchAnalyzedBm25,
+    // the analyzed batch tier with per-query AND/OR modes
+    "search_batch_analyzed_serve" -> oracleBatchAnalyzed,
     "search_kwic" -> {
       val t = sqlLit(fixturePhrase._1)
       s"""WITH pt AS (
@@ -3936,6 +4002,68 @@ object Search {
        |  SELECT doc_id, score_milli,
        |    CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id ASC) AS BIGINT) AS rank
        |  FROM sc)""".stripMargin
+  }
+
+  /** Batched analyzed search-with-modes oracle: the damaged-corpus
+    * analyzed token stream, the batch's terms pre-analyzed (the same
+    * deterministic [[analyzeTerm]] the plan applies, so variants of
+    * one analyzed term collapse in the VALUES relation too), df over
+    * the term-restricted postings, the tf·idf_micro scoring of the raw
+    * batch route, per-query AND/OR gate.
+    */
+  private lazy val oracleBatchAnalyzed: String = {
+    val aPairs = fixtureAnalyzedBatch
+      .map { case (q, t) => (q, analyzeTerm(t)) }
+      .filter(_._2.nonEmpty)
+      .distinct
+    val valuesRows = aPairs.map { case (q, t) => s"($q, ${sqlLit(t)})" }.mkString(", ")
+    val modeRows = fixtureAnalyzedModes.map { case (q, m) => s"($q, ${sqlLit(m)})" }.mkString(", ")
+    s"""WITH dd AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN upper(text)
+       |         WHEN doc_id % 11 = 0 THEN
+       |           array_to_string(list_transform(string_split(text, ' '), t -> '[' || t || ']'), ' ')
+       |         ELSE text END AS text
+       |  FROM documents),
+       |at AS (
+       |  SELECT doc_id,
+       |    list_filter(
+       |      list_transform(string_split(text, ' '),
+       |                     t -> regexp_replace(lower(t), '^[^a-z0-9]+|[^a-z0-9]+$$', '', 'g')),
+       |      t -> t <> '') AS atoks
+       |  FROM dd),
+       |qs AS (
+       |  SELECT CAST(v.q AS BIGINT) AS query_id, v.t AS term
+       |  FROM (VALUES $valuesRows) v(q, t)),
+       |qm AS (
+       |  SELECT CAST(v.q AS BIGINT) AS query_id, v.m AS mode
+       |  FROM (VALUES $modeRows) v(q, m)),
+       |p0 AS (SELECT doc_id, unnest(atoks) AS token FROM at),
+       |p AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf FROM p0
+       |      WHERE token IN (SELECT term FROM qs) GROUP BY token, doc_id),
+       |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM dd),
+       |dfm AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY token),
+       |model AS (
+       |  SELECT token,
+       |    CAST(floor(ln(((SELECT n_docs FROM nd) + 1) / CAST(df + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS idf_micro
+       |  FROM dfm),
+       |qn AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_terms FROM qs GROUP BY query_id),
+       |sc AS (
+       |  SELECT q.query_id, p.doc_id, count(*) AS n_matched,
+       |    CAST(sum(p.tf * m.idf_micro) AS BIGINT) AS score_micro
+       |  FROM p JOIN qs q ON q.term = p.token JOIN model m ON m.token = p.token
+       |  GROUP BY q.query_id, p.doc_id),
+       |f AS (
+       |  SELECT s.query_id, s.doc_id, s.score_micro,
+       |    CAST(row_number() OVER (PARTITION BY s.query_id
+       |                            ORDER BY s.score_micro DESC, s.doc_id ASC) AS BIGINT) AS rank
+       |  FROM sc s
+       |  JOIN qn ON qn.query_id = s.query_id
+       |  JOIN qm ON qm.query_id = s.query_id
+       |    AND ((qm.mode = 'OR' AND s.n_matched >= 1)
+       |         OR (qm.mode <> 'OR' AND s.n_matched = qn.n_terms)))
+       |SELECT query_id, rank, doc_id, score_micro
+       |FROM f WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
   /** Hybrid page with the ANALYZED lexical leg: the damaged-corpus

@@ -1004,6 +1004,43 @@ class SearchSpec extends SparkSpec {
     assert(s2.getAs[Long]("n_docs") == 2L && s2.getAs[Long]("total_toks") == 5L)
   }
 
+  test("analyzedBatchFromIndex: AND queries equal their single-query analyzed route, OR member matches disjunctive") {
+    val d = "/root/testdata/sf0.001"
+    val dir = Search.demoAnalyzedIndexDir(spark, d)
+    val served = Search
+      .analyzedBatchFromIndex(
+        spark,
+        dir,
+        Search.fixtureAnalyzedBatch.toDF("query_id", "term"),
+        5,
+        Some(Search.fixtureAnalyzedModes.toDF("query_id", "mode"))
+      )
+      .orderBy("query_id", "rank")
+      .collect()
+      .map(r =>
+        (r.getAs[Long]("query_id"), r.getAs[Long]("rank"), r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro"))
+      )
+      .groupBy(_._1)
+      .view
+      .mapValues(_.map(t => (t._2, t._3, t._4)).toSeq)
+      .toMap
+    def single(terms: Seq[String], requireAll: Boolean) = Search
+      .analyzedFromIndex(spark, dir, terms, 5, requireAll)
+      .orderBy("rank")
+      .collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro")))
+      .toSeq
+    for (q <- Seq(1L, 2L)) {
+      val terms = Search.fixtureAnalyzedBatch.filter(_._1 == q).map(_._2)
+      assert(served.getOrElse(q, Nil) == single(terms, requireAll = true), s"AND query $q")
+    }
+    assert(
+      served.getOrElse(3L, Nil) == single(Seq("Window.", "dup"), requireAll = false),
+      "OR member must match the single-query disjunctive analyzed route"
+    )
+    assert(served.values.map(_.size).sum > 0)
+  }
+
   test("no tombstones → probe plans untouched (zero-cost fast path)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_searchidx_notomb").toString
     Search.saveSearchIndex(Seq((1L, "cat dog")).toDF("doc_id", "text"), "doc_id", "text", dir)
