@@ -123,6 +123,8 @@ object Bench {
       "search_batch_bm25" -> "first_run",
       // shares the once-per-process postings index build
       "search_disjunctive_index" -> "first_run",
+      // shares the once-per-process postings index build
+      "search_min_match_index" -> "first_run",
       // shares the once-per-process postings index build (its screen)
       "decontaminate_via_index" -> "first_run",
       // shares the append+compact lifecycle demo index build

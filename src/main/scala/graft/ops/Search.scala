@@ -51,6 +51,12 @@ object Search {
   /** Fixture query knobs (oracle-pinned). */
   private[graft] val fixtureAndTerms = Seq("dup", "spark")
   private[graft] val fixtureOrTerms = Seq("dup", "window")
+
+  /** Min-should-match fixture: three terms, gate at 2 — chosen so the
+    * result differs from BOTH the AND (all 3) and OR (any 1) gates.
+    */
+  private[ops] val fixtureMinTerms = Seq("dup", "spark", "window")
+  private[ops] val fixtureMinMatch = 2
   private[ops] val fixturePhrase = ("hash", "join")
   private val topK = 10
 
@@ -244,9 +250,14 @@ object Search {
       textCol: String,
       terms: Seq[String],
       k: Int,
-      requireAll: Boolean
+      requireAll: Boolean,
+      minMatched: Int = 1
   ): DataFrame = {
     require(terms.nonEmpty, "term search needs at least one term")
+    require(
+      minMatched >= 1 && minMatched <= terms.size,
+      s"minMatched must be in [1, ${terms.size}], got $minMatched"
+    )
     // coarse prune: a substring hit is a necessary condition for the
     // exact token match — AND of contains for conjunctive queries, OR
     // for disjunctive — and pushes to the scan, keeping the explode
@@ -285,9 +296,32 @@ object Search {
         count(lit(1)).cast("long").as("n_matched"),
         sum(col("tf") * col("idf_micro")).cast("long").as("score_micro")
       )
-      .filter(if (requireAll) col("n_matched") === terms.size.toLong else col("n_matched") >= 1L)
+      .filter(
+        if (requireAll) col("n_matched") === terms.size.toLong
+        else col("n_matched") >= minMatched.toLong
+      )
     rankTop(scored, "score_micro", k)
   }
+
+  /** MIN-SHOULD-MATCH search (the `minimum_should_match` knob every
+    * production engine exposes between AND and OR): a document
+    * qualifies iff it matches at least `minMatched` of the query's
+    * terms; scoring is the standard disjunctive accumulation over the
+    * terms it does match. minMatched = 1 IS [[disjunctiveSearch]] and
+    * minMatched = |terms| IS [[conjunctiveSearch]] (n_matched is
+    * bounded by |terms|, so >= collapses to =) — the spec pins both
+    * ends. The coarse prune stays the OR of contains (any term admits
+    * a candidate; the exact n_matched gate runs after the token
+    * match), so the scan cost is the disjunctive route's.
+    */
+  def minShouldMatchSearch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      minMatched: Int,
+      k: Int
+  ): DataFrame = termSearch(docs, idCol, textCol, terms, k, requireAll = false, minMatched)
 
   val searchConjunctive: Q = (s, d) =>
     conjunctiveSearch(documents(s, d), "doc_id", "text", fixtureAndTerms, topK)
@@ -295,6 +329,10 @@ object Search {
 
   val searchDisjunctive: Q = (s, d) =>
     disjunctiveSearch(documents(s, d), "doc_id", "text", fixtureOrTerms, topK)
+      .orderBy("rank")
+
+  val searchMinMatch: Q = (s, d) =>
+    minShouldMatchSearch(documents(s, d), "doc_id", "text", fixtureMinTerms, fixtureMinMatch, topK)
       .orderBy("rank")
 
   /** BM25 ranking (the standard retrieval scoring function), made
@@ -588,9 +626,14 @@ object Search {
       indexDir: String,
       terms: Seq[String],
       k: Int,
-      requireAll: Boolean
+      requireAll: Boolean,
+      minMatched: Int = 1
   ): DataFrame = {
     require(terms.nonEmpty, "term search needs at least one term")
+    require(
+      minMatched >= 1 && minMatched <= terms.size,
+      s"minMatched must be in [1, ${terms.size}], got $minMatched"
+    )
     val buckets = terms.map(tokenBucket).distinct
     val p = liveRows(
       s,
@@ -616,9 +659,25 @@ object Search {
         count(lit(1)).cast("long").as("n_matched"),
         sum(col("tf") * col("idf_micro")).cast("long").as("score_micro")
       )
-      .filter(if (requireAll) col("n_matched") === terms.size.toLong else col("n_matched") >= 1L)
+      .filter(
+        if (requireAll) col("n_matched") === terms.size.toLong
+        else col("n_matched") >= minMatched.toLong
+      )
     rankTop(scored, "score_micro", k)
   }
+
+  /** [[minShouldMatchSearch]] served from the persisted index: the
+    * terms' bucket dirs are statically pruned like every index route,
+    * the ≥ minMatched gate runs on the per-doc matched-term count —
+    * must land on the corpus route's exact rows (shared oracle).
+    */
+  def minShouldMatchFromIndex(
+      s: SparkSession,
+      indexDir: String,
+      terms: Seq[String],
+      minMatched: Int,
+      k: Int
+  ): DataFrame = termSearchFromIndex(s, indexDir, terms, k, requireAll = false, minMatched)
 
   /** BM25 served from the PERSISTED index — the ranked-retrieval
     * serving shape: the terms' bucket dirs are statically pruned
@@ -1926,6 +1985,13 @@ object Search {
   /** OR twin of [[searchIndexProbe]], sharing search_disjunctive's
     * oracle.
     */
+  /** Min-should-match served from the index, sharing search_min_match's
+    * oracle — the equality IS the gate.
+    */
+  val searchMinMatchIndex: Q = (s, d) =>
+    minShouldMatchFromIndex(s, demoSearchIndexDir(s, d), fixtureMinTerms, fixtureMinMatch, topK)
+      .orderBy("rank")
+
   val searchDisjunctiveIndex: Q = (s, d) =>
     disjunctiveFromIndex(s, demoSearchIndexDir(s, d), fixtureOrTerms, topK)
       .orderBy("rank")
@@ -3317,6 +3383,8 @@ object Search {
     "search_postings" -> searchPostings,
     "search_conjunctive" -> searchConjunctive,
     "search_disjunctive" -> searchDisjunctive,
+    "search_min_match" -> searchMinMatch,
+    "search_min_match_index" -> searchMinMatchIndex,
     "search_bm25" -> searchBm25,
     "search_bm25_index" -> searchBm25Index,
     "search_batch_serve" -> searchBatchServe,
@@ -3376,12 +3444,13 @@ object Search {
   private def oracleTermSearchChain(
       terms: Seq[String],
       requireAll: Boolean,
-      src: String = "documents"
+      src: String = "documents",
+      minMatch: Int = 1
   ): String = {
     val termList = terms.map(sqlLit).mkString(", ")
     val containsAll =
       terms.map(t => s"contains(text, ${sqlLit(t)})").mkString(if (requireAll) " AND " else " OR ")
-    val matchGate = if (requireAll) s"count(*) = ${terms.size}" else "count(*) >= 1"
+    val matchGate = if (requireAll) s"count(*) = ${terms.size}" else s"count(*) >= $minMatch"
     val dfArms = terms
       .map(t =>
         s"""SELECT token, CAST(count(*) AS BIGINT) AS df FROM (
@@ -3413,8 +3482,8 @@ object Search {
        |  FROM scored)""".stripMargin
   }
 
-  private def oracleTermSearch(terms: Seq[String], requireAll: Boolean): String =
-    s"""WITH ${oracleTermSearchChain(terms, requireAll)}
+  private def oracleTermSearch(terms: Seq[String], requireAll: Boolean, minMatch: Int = 1): String =
+    s"""WITH ${oracleTermSearchChain(terms, requireAll, minMatch = minMatch)}
        |SELECT rank, doc_id, score_micro FROM ranked WHERE rank <= $topK ORDER BY rank""".stripMargin
 
   private lazy val oracleBatch: String = {
@@ -3779,6 +3848,12 @@ object Search {
          |ORDER BY s.token""".stripMargin,
     "search_conjunctive" -> oracleTermSearch(fixtureAndTerms, requireAll = true),
     "search_disjunctive" -> oracleTermSearch(fixtureOrTerms, requireAll = false),
+    // minimum_should_match: ≥ 2 of 3 terms — between AND and OR; the
+    // index-served twin shares the oracle so corpus ≡ index is the gate
+    "search_min_match" ->
+      oracleTermSearch(fixtureMinTerms, requireAll = false, minMatch = fixtureMinMatch),
+    "search_min_match_index" ->
+      oracleTermSearch(fixtureMinTerms, requireAll = false, minMatch = fixtureMinMatch),
     "search_bm25" -> oracleBm25,
     // BM25 served from the persisted index must land on the corpus
     // route's exact rows — sharing the oracle makes that the gate

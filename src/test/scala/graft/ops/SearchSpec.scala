@@ -86,6 +86,39 @@ class SearchSpec extends SparkSpec {
     assert(got(1L)._2 > got(2L)._2 && got(1L)._2 > got(3L)._2)
   }
 
+  test("minShouldMatchSearch: ≥m gate between AND and OR; ends collapse to the named routes; index route equal") {
+    val docs = Seq(
+      (1L, "cat dog bird"), // 3 of 3
+      (2L, "cat dog"),      // 2 of 3
+      (3L, "cat only"),     // 1 of 3
+      (4L, "dog bird"),     // 2 of 3
+      (5L, "fish")          // 0 of 3
+    ).toDF("doc_id", "text")
+    val terms = Seq("cat", "dog", "bird")
+    def ids(m: Int) = Search
+      .minShouldMatchSearch(docs, "doc_id", "text", terms, m, 10)
+      .collect()
+      .map(_.getAs[Long]("doc_id"))
+      .toSet
+    assert(ids(2) == Set(1L, 2L, 4L), "m=2 admits exactly the ≥2-term docs")
+    // m = 1 IS disjunctive, m = |terms| IS conjunctive — rows included
+    val dis = Search.disjunctiveSearch(docs, "doc_id", "text", terms, 10).collect().toSeq
+    val m1 = Search.minShouldMatchSearch(docs, "doc_id", "text", terms, 1, 10).collect().toSeq
+    assert(m1 == dis)
+    val con = Search.conjunctiveSearch(docs, "doc_id", "text", terms, 10).collect().toSeq
+    val m3 = Search.minShouldMatchSearch(docs, "doc_id", "text", terms, 3, 10).collect().toSeq
+    assert(m3 == con)
+    // index-served twin equals the corpus route on the fixture corpus
+    val d = "/root/testdata/sf0.001"
+    val corpus = Search.queries("search_min_match")(spark, d).collect().toSeq
+    val index = Search.queries("search_min_match_index")(spark, d).collect().toSeq
+    assert(corpus.nonEmpty && corpus == index)
+    // out-of-range gates fail loudly
+    intercept[IllegalArgumentException] {
+      Search.minShouldMatchSearch(docs, "doc_id", "text", terms, 4, 10).collect()
+    }
+  }
+
   test("conjunctive plan: top-k is TakeOrderedAndProject; contains-prune reaches the scan") {
     val q = Search.queries("search_conjunctive")(spark, "/root/testdata/sf0.001")
     q.collect()
