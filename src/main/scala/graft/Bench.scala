@@ -125,6 +125,13 @@ object Bench {
       "search_disjunctive_index" -> "first_run",
       // shares the once-per-process postings index build
       "search_min_match_index" -> "first_run",
+      // dictionary tier: all serve from the demo index's vocab relation
+      "search_autocomplete" -> "first_run",
+      "search_prefix_index" -> "first_run",
+      "search_did_you_mean" -> "first_run",
+      "search_fuzzy_index" -> "first_run",
+      // builds its own evens+odds-append (uncompacted) demo index
+      "search_prefix_appended" -> "first_run",
       // shares the once-per-process postings index build (its screen)
       "decontaminate_via_index" -> "first_run",
       // shares the append+compact lifecycle demo index build

@@ -57,6 +57,20 @@ object Search {
     */
   private[ops] val fixtureMinTerms = Seq("dup", "spark", "window")
   private[ops] val fixtureMinMatch = 2
+
+  /** Dictionary-route fixtures: prefix "s" matches 6 corpus tokens so
+    * the maxExpand = 4 cap BINDS (the cap logic is gated, not idle);
+    * "quey" is distance 1 from "query" and 2 from "key" (dist-primary
+    * ordering gated); "scat" expands to scan (1) and sort (2).
+    */
+  private[ops] val fixturePrefix = "s"
+  private[ops] val fixturePrefixExpand = 4
+  private[ops] val fixtureAutoN = 10
+  private[ops] val fixtureTypo = "quey"
+  private[ops] val fixtureFuzzyTerm = "scat"
+  private[ops] val fixtureFuzzyDist = 2
+  private[ops] val fixtureFuzzyExpand = 8
+  private[ops] val fixtureDymN = 5
   private[ops] val fixturePhrase = ("hash", "join")
   private val topK = 10
 
@@ -592,6 +606,9 @@ object Search {
     }
     docLengths(docs, idCol, textCol).write.mode("overwrite").parquet(s"$dir/doclen")
     writeMeta(docs.sparkSession, dir, corpusScalars(docs, idCol, textCol))
+    // the term dictionary, derived from the just-written postings (a
+    // types-scale aggregate over data the build materialized anyway)
+    writeVocabFromPostings(docs.sparkSession, dir)
   }
 
   /** Sum of analyzed doc lengths over a document relation. */
@@ -937,6 +954,20 @@ object Search {
       writeAmeta(s, dir, readAmeta(s, dir) + analyzedTotal(newDocs, textCol))
     }
     docLengths(newDocs, idCol, textCol).write.mode("append").parquet(s"$dir/doclen")
+    // vocab increment: the new docs' term stats land as one types-of-
+    // the-increment-scale file; readers fold base ⊕ increments (the
+    // append contract is new doc ids only, so the group-sum is exact).
+    // A pre-vocab index skips it — compaction backfills from postings,
+    // which now include these rows.
+    if (fsFor(s, dir).exists(new org.apache.hadoop.fs.Path(vocabDir(dir))))
+      writeVocabIncrement(
+        s,
+        dir,
+        vocabFromPostingRows(
+          postingsWithDl(newDocs, idCol, textCol).select(col("token"), col("doc_id"), col("tf"))
+        ),
+        s"append-${java.util.UUID.randomUUID().toString.take(8)}"
+      )
     val (n0, t0) = readMeta(s, dir)
     val (n1, t1) = corpusScalars(newDocs, idCol, textCol)
     writeMeta(s, dir, (n0 + n1, t0 + t1))
@@ -1158,6 +1189,296 @@ object Search {
       )
       .head()
     (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  // ---- term dictionary (the vocab relation) ---------------------------
+  //
+  // `dir/vocab` is the TYPES-scale term dictionary: one row per
+  // distinct raw token with its document frequency and total term
+  // frequency, range-partitioned and SORTED by token so a prefix probe
+  // prunes to the matching token range via parquet min/max stats (the
+  // StringStartsWith filter pushes to the scan — spec-pinned). It
+  // exists because every dictionary-shaped serving feature
+  // (autocomplete, prefix and fuzzy matching, did-you-mean) needs "all
+  // terms matching a predicate": asking the postings relation would
+  // scan corpus-token-scale rows across all bucket dirs, while the
+  // vocab is orders smaller (Heaps' law) and range-pruned.
+  //
+  // Lifecycle and staleness contract (Lucene's): save and compaction
+  // (re)derive the vocab EXACTLY from the live postings on disk;
+  // appends and streaming batch applies land types-of-the-increment-
+  // scale files under `dir/vocab_inc` (deterministic gbatch-<gen>
+  // names on the streaming path, so a replayed batch overwrites its
+  // own increment), and readers fold base ⊕ increments with a
+  // group-sum — the prefix filter pushes through the fold to both
+  // scans because token is the grouping key. Tombstoned deletes do
+  // NOT decrement the vocab: dead docs keep counting until the next
+  // compaction (exactly Lucene's deleted-docs-in-term-stats window),
+  // so under live tombstones the vocab is an UPPER BOUND and serving
+  // routes treat it as CANDIDATE GENERATION only — scoring df always
+  // recomputes from live postings, and a fully-deleted term yields no
+  // live postings and drops out downstream. Compaction also BACKFILLS
+  // the vocab onto indexes persisted before this relation existed.
+
+  private val vocabSchema = new org.apache.spark.sql.types.StructType()
+    .add("token", "string")
+    .add("df", "long")
+    .add("tf_total", "long")
+
+  private def vocabDir(dir: String) = s"$dir/vocab"
+  private def vocabIncDir(dir: String) = s"$dir/vocab_inc"
+
+  /** Range partitions of the base vocab. Sized for the fixture here;
+    * at 100 TB this scales with type count (still a metadata-relative
+    * write: the vocab rewrite rides a build/compaction that already
+    * rewrote corpus-token-scale relations).
+    */
+  private val vocabParts = 8
+
+  /** (token, df, tf_total) over a postings-shaped relation — df is the
+    * per-token posting count (postings are distinct per (token, doc)),
+    * tf_total the summed term frequency.
+    */
+  private def vocabFromPostingRows(p: DataFrame): DataFrame =
+    p.groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("df"), sum(col("tf")).cast("long").as("tf_total"))
+
+  /** (Re)derive `dir/vocab` from the LIVE postings on disk — the save/
+    * compaction form (exact), staged behind the crash-safe marker-
+    * commit swap; increments are consumed (the base now counts them).
+    */
+  private def writeVocabFromPostings(s: SparkSession, dir: String): Unit = {
+    graft.core.Compaction.replaceWith(s, vocabDir(dir)) { staged =>
+      vocabFromPostingRows(
+        liveRows(
+          s,
+          dir,
+          s.read.schema(postingsSchema).parquet(s"$dir/postings")
+        ).select(col("token"), col("doc_id"), col("tf"))
+      )
+        .repartitionByRange(vocabParts, col("token"))
+        .sortWithinPartitions("token")
+        .write
+        .mode("overwrite")
+        .parquet(staged)
+    }
+    fsFor(s, dir).delete(new org.apache.hadoop.fs.Path(vocabIncDir(dir)), true)
+  }
+
+  /** Stage one vocab increment and rename it under `<tag>-<i>.parquet`
+    * names — deterministic for the streaming path (tag = gbatch-<gen>,
+    * replay overwrites after the caller's cleanup), UUID-tagged for
+    * plain appends (never replayed).
+    */
+  private def writeVocabIncrement(s: SparkSession, dir: String, inc: DataFrame, tag: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsFor(s, dir)
+    val staged = s"$dir/_stage_vocab_$tag"
+    inc.coalesce(1).write.mode("overwrite").parquet(staged)
+    val files = fs.globStatus(new Path(s"$staged/part-*")).map(_.getPath).sortBy(_.toString)
+    fs.mkdirs(new Path(vocabIncDir(dir)))
+    files.zipWithIndex.foreach { case (src, i) =>
+      val dest = new Path(vocabIncDir(dir), s"$tag-$i.parquet")
+      if (fs.exists(dest)) fs.delete(dest, false)
+      if (!fs.rename(src, dest))
+        throw new java.io.IOException(s"vocab increment write: rename $src -> $dest failed")
+    }
+    fs.delete(new Path(staged), true)
+  }
+
+  /** The folded vocab relation: base ⊕ increments group-summed (token
+    * is the grouping key, so callers' token predicates push through to
+    * both scans). Fails loudly on an index persisted before the vocab
+    * existed — compaction backfills it.
+    */
+  private def vocabRows(s: SparkSession, dir: String): DataFrame = {
+    val fs = fsFor(s, dir)
+    require(
+      fs.exists(new org.apache.hadoop.fs.Path(vocabDir(dir))),
+      s"search index at $dir has no vocab relation (pre-vocab layout) — " +
+        "run compactSearchIndex to backfill it"
+    )
+    val base = s.read.schema(vocabSchema).parquet(vocabDir(dir))
+    if (!fs.exists(new org.apache.hadoop.fs.Path(vocabIncDir(dir)))) base
+    else
+      base
+        .unionAll(s.read.schema(vocabSchema).parquet(vocabIncDir(dir)))
+        .groupBy(col("token"))
+        .agg(sum(col("df")).cast("long").as("df"), sum(col("tf_total")).cast("long").as("tf_total"))
+  }
+
+  // ---- dictionary-served routes: autocomplete, prefix, fuzzy ----------
+
+  /** Empty hit page with the term-search result schema — what an
+    * expansion that matched no dictionary term serves.
+    */
+  private def emptyHits(s: SparkSession): DataFrame = {
+    import s.implicits._
+    Seq.empty[(Long, Long, Long)].toDF("rank", "doc_id", "score_micro")
+  }
+
+  /** AUTOCOMPLETE: the top-n completions of a prefix ranked by
+    * document frequency (df desc, token asc — a total order), served
+    * entirely from the vocab relation: the startsWith filter pushes to
+    * the range-sorted parquet scan (spec-pinned), so the probe reads
+    * the prefix's token range and never touches the postings. Under
+    * live tombstones df is as-of-the-last-compaction (the documented
+    * Lucene window).
+    */
+  def autocomplete(s: SparkSession, indexDir: String, prefix: String, n: Int): DataFrame = {
+    require(prefix.nonEmpty, "autocomplete needs a non-empty prefix")
+    import org.apache.spark.sql.expressions.Window
+    vocabRows(s, indexDir)
+      .filter(col("token").startsWith(prefix))
+      .orderBy(col("df").desc, col("token").asc)
+      .limit(n)
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(col("df").desc, col("token").asc)).cast("bigint")
+      )
+      .select(col("rank"), col("token"), col("df"))
+  }
+
+  /** Prefix terms ranked (df desc, token asc), top maxExpand — the
+    * dictionary half of the prefix route (Lucene's capped multi-term
+    * rewrite). Request-sized, so the collect is the standard probe-id
+    * driver step every index route here uses.
+    */
+  private def prefixExpansion(s: SparkSession, dir: String, prefix: String, maxExpand: Int): Seq[String] =
+    vocabRows(s, dir)
+      .filter(col("token").startsWith(prefix))
+      .orderBy(col("df").desc, col("token").asc)
+      .limit(maxExpand)
+      .select("token")
+      .collect()
+      .map(_.getString(0))
+      .toSeq
+
+  /** PREFIX search served from the persisted index: the vocab expands
+    * the prefix to its top-maxExpand terms (df desc, token asc — the
+    * capped expansion every production engine applies to multi-term
+    * rewrites), then the standard disjunctive scoring runs over those
+    * terms' pruned bucket dirs. Scoring df recomputes from live
+    * postings — the vocab only SELECTS terms, so a tombstone window
+    * can reorder a stale expansion but never mis-score a term.
+    */
+  def prefixSearchFromIndex(
+      s: SparkSession,
+      indexDir: String,
+      prefix: String,
+      maxExpand: Int,
+      k: Int
+  ): DataFrame = {
+    require(prefix.nonEmpty, "prefix search needs a non-empty prefix")
+    val terms = prefixExpansion(s, indexDir, prefix, maxExpand)
+    if (terms.isEmpty) emptyHits(s)
+    else termSearchFromIndex(s, indexDir, terms, k, requireAll = false)
+  }
+
+  /** [[prefixSearchFromIndex]]'s corpus-pass twin (the oracle-shaped
+    * route): a document containing a token with this prefix
+    * necessarily contains the prefix as a SUBSTRING, so one pushable
+    * contains(prefix) prune is sound for the whole expansion at once —
+    * the route is two corpus passes total regardless of expansion
+    * size, never per-term passes. df over the pruned set IS the corpus
+    * df (every doc holding the token survives the prune).
+    */
+  def prefixSearch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      prefix: String,
+      maxExpand: Int,
+      k: Int
+  ): DataFrame = {
+    require(prefix.nonEmpty, "prefix search needs a non-empty prefix")
+    val pruned = docs.filter(col(textCol).contains(prefix))
+    val cp = postings(pruned, idCol, textCol).filter(col("token").startsWith(prefix))
+    val nDocs = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+    val expansion = cp
+      .groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("df"))
+      .orderBy(col("df").desc, col("token").asc)
+      .limit(maxExpand)
+    val model = expansion
+      .crossJoin(broadcast(nDocs))
+      .withColumn(
+        "idf_micro",
+        floor(log((col("n_docs") + 1).cast("double") / (col("df") + 1)) * 1000000L).cast("bigint")
+      )
+      .select(col("token"), col("idf_micro"))
+    val scored = cp
+      .join(broadcast(model), "token")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_matched"),
+        sum(col("tf") * col("idf_micro")).cast("long").as("score_micro")
+      )
+    rankTop(scored, "score_micro", k)
+  }
+
+  /** Dictionary terms within edit distance maxDist of `term`, ranked
+    * (dist asc, df desc, token asc), top maxExpand. The length band
+    * |len(token) − len(term)| ≤ maxDist is a NECESSARY condition for
+    * the distance bound, so it prunes most of the dictionary before
+    * the DP runs; the scan is one pass over the types-scale vocab
+    * (the linear-scan baseline — a deletion-neighborhood index is the
+    * known refinement if the dictionary outgrows it).
+    */
+  private def fuzzyExpansion(
+      s: SparkSession,
+      dir: String,
+      term: String,
+      maxDist: Int,
+      maxExpand: Int
+  ): DataFrame = {
+    require(term.nonEmpty, "fuzzy matching needs a non-empty term")
+    require(maxDist >= 1, "fuzzy matching needs maxDist >= 1")
+    vocabRows(s, dir)
+      .filter(abs(length(col("token")) - lit(term.length)) <= maxDist)
+      .withColumn("dist", levenshtein(col("token"), lit(term)).cast("bigint"))
+      .filter(col("dist") <= maxDist)
+      .orderBy(col("dist").asc, col("df").desc, col("token").asc)
+      .limit(maxExpand)
+  }
+
+  /** DID-YOU-MEAN: the top-n dictionary terms nearest the (possibly
+    * misspelled) input — distance first, then document frequency (the
+    * standard spell-correction ranking: prefer the closest, break ties
+    * toward the commoner word). Served from the vocab alone.
+    */
+  def didYouMean(s: SparkSession, indexDir: String, term: String, maxDist: Int, n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    fuzzyExpansion(s, indexDir, term, maxDist, n)
+      .withColumn(
+        "rank",
+        row_number()
+          .over(Window.orderBy(col("dist").asc, col("df").desc, col("token").asc))
+          .cast("bigint")
+      )
+      .select(col("rank"), col("token"), col("dist"), col("df"))
+  }
+
+  /** FUZZY search served from the persisted index: the vocab expands
+    * the term to its nearest dictionary terms (dist asc, df desc —
+    * capped, Lucene's fuzzy rewrite), then the standard disjunctive
+    * scoring runs over those terms' pruned bucket dirs with live df.
+    */
+  def fuzzySearchFromIndex(
+      s: SparkSession,
+      indexDir: String,
+      term: String,
+      maxDist: Int,
+      maxExpand: Int,
+      k: Int
+  ): DataFrame = {
+    val terms = fuzzyExpansion(s, indexDir, term, maxDist, maxExpand)
+      .select("token")
+      .collect()
+      .map(_.getString(0))
+      .toSeq
+    if (terms.isEmpty) emptyHits(s)
+    else termSearchFromIndex(s, indexDir, terms, k, requireAll = false)
   }
 
   // ---- tombstone deletes & upserts -----------------------------------
@@ -1432,7 +1753,8 @@ object Search {
       s"$dir/apositions/tbucket=*",
       s"$dir/doclen",
       tombstonesDir(dir),
-      ledgerDir(dir)
+      ledgerDir(dir),
+      vocabIncDir(dir)
     )
       .foreach { d =>
         Option(fs.globStatus(new Path(s"$d/gbatch-$gen-*")))
@@ -1504,6 +1826,19 @@ object Search {
     val (nb, tb) = corpusScalars(batch, idCol, textCol)
     val ab = if (analyzed) analyzedTotal(batch, textCol) else 0L
     writeLedgerRow(s, dir, (nb, tb, ab), s"gbatch-$gen")
+    // the batch's vocab increment under its deterministic gbatch name
+    // (the replay cleanup above already removed a prior attempt's);
+    // upsert batches leave the OLD versions' vocab counts in place —
+    // the documented Lucene stale-stats window, healed at compaction
+    if (fs.exists(new Path(vocabDir(dir))))
+      writeVocabIncrement(
+        s,
+        dir,
+        vocabFromPostingRows(
+          postingsWithDl(batch, idCol, textCol).select(col("token"), col("doc_id"), col("tf"))
+        ),
+        s"gbatch-$gen"
+      )
     val (n, t, a) = ledgerSums(s, dir)
     writeMeta(s, dir, (n, t))
     if (analyzed) writeAmeta(s, dir, a)
@@ -1551,6 +1886,10 @@ object Search {
     }
     rewriteRel(s"$dir/postings", Some("tbucket"))
     rewriteRel(s"$dir/positions", Some("tbucket"))
+    // re-derive the term dictionary from the (now purged) live
+    // postings — exact again after any tombstone window — consuming
+    // the increment files; also BACKFILLS pre-vocab indexes
+    writeVocabFromPostings(spark, dir)
     // the analyzed twin exists only on analyzed-enabled indexes; its
     // meta scalar repairs from the compacted rows like the main meta
     val hasAnalyzed = fs.exists(new org.apache.hadoop.fs.Path(s"$dir/apostings"))
@@ -1913,6 +2252,17 @@ object Search {
       saveSearchIndex(documents(s, d), "doc_id", "text", dir)
     }
 
+  /** Build on evens, append odds, NO compaction: probes against this
+    * dir fold the base vocab with the append's increment file — that
+    * fold is exactly what sharing the full-corpus oracle gates.
+    */
+  private[ops] def demoVocabAppendIndexDir(s: SparkSession, d: String): String =
+    Fixtures.demoIndexDir(s, "searchidx_vapp", d) { dir =>
+      val docs = documents(s, d)
+      saveSearchIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", dir)
+      appendToSearchIndex(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", dir)
+    }
+
   /** Once-per-process demo of the MAINTAINED lifecycle: build on the
     * even docs, append the odds, compact — probes must then equal the
     * one-shot full-corpus index (the shared oracle IS that equality).
@@ -1985,6 +2335,40 @@ object Search {
   /** OR twin of [[searchIndexProbe]], sharing search_disjunctive's
     * oracle.
     */
+  val searchAutocomplete: Q = (s, d) =>
+    autocomplete(s, demoSearchIndexDir(s, d), fixturePrefix, fixtureAutoN).orderBy("rank")
+
+  val searchPrefix: Q = (s, d) =>
+    prefixSearch(documents(s, d), "doc_id", "text", fixturePrefix, fixturePrefixExpand, topK)
+      .orderBy("rank")
+
+  /** Index-served prefix page, sharing search_prefix's oracle. */
+  val searchPrefixIndex: Q = (s, d) =>
+    prefixSearchFromIndex(s, demoSearchIndexDir(s, d), fixturePrefix, fixturePrefixExpand, topK)
+      .orderBy("rank")
+
+  /** Prefix page against the UNCOMPACTED appended index: the vocab
+    * read folds base ⊕ the append's increment file — sharing the
+    * full-corpus oracle gates the fold exactly.
+    */
+  val searchPrefixAppended: Q = (s, d) =>
+    prefixSearchFromIndex(s, demoVocabAppendIndexDir(s, d), fixturePrefix, fixturePrefixExpand, topK)
+      .orderBy("rank")
+
+  val searchDidYouMean: Q = (s, d) =>
+    didYouMean(s, demoSearchIndexDir(s, d), fixtureTypo, fixtureFuzzyDist, fixtureDymN)
+      .orderBy("rank")
+
+  val searchFuzzyIndex: Q = (s, d) =>
+    fuzzySearchFromIndex(
+      s,
+      demoSearchIndexDir(s, d),
+      fixtureFuzzyTerm,
+      fixtureFuzzyDist,
+      fixtureFuzzyExpand,
+      topK
+    ).orderBy("rank")
+
   /** Min-should-match served from the index, sharing search_min_match's
     * oracle — the equality IS the gate.
     */
@@ -3385,6 +3769,12 @@ object Search {
     "search_disjunctive" -> searchDisjunctive,
     "search_min_match" -> searchMinMatch,
     "search_min_match_index" -> searchMinMatchIndex,
+    "search_autocomplete" -> searchAutocomplete,
+    "search_prefix" -> searchPrefix,
+    "search_prefix_index" -> searchPrefixIndex,
+    "search_prefix_appended" -> searchPrefixAppended,
+    "search_did_you_mean" -> searchDidYouMean,
+    "search_fuzzy_index" -> searchFuzzyIndex,
     "search_bm25" -> searchBm25,
     "search_bm25_index" -> searchBm25Index,
     "search_batch_serve" -> searchBatchServe,
@@ -3485,6 +3875,47 @@ object Search {
   private def oracleTermSearch(terms: Seq[String], requireAll: Boolean, minMatch: Int = 1): String =
     s"""WITH ${oracleTermSearchChain(terms, requireAll, minMatch = minMatch)}
        |SELECT rank, doc_id, score_micro FROM ranked WHERE rank <= $topK ORDER BY rank""".stripMargin
+
+  /** Scoring chain over a DYNAMICALLY-expanded term set: `expCte` must
+    * define exp(token, df) over the corpus dictionary CTE v(token, df)
+    * — the expansion — and the chain replays the standard disjunctive
+    * accumulation (tf · micro-idf from corpus df) over those terms.
+    */
+  private def oracleExpansionSearch(expCte: String): String =
+    s"""WITH $postingsSql,
+       |v AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY token),
+       |$expCte,
+       |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       |model AS (
+       |  SELECT token,
+       |    CAST(floor(ln(((SELECT n_docs FROM nd) + 1) / CAST(df + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS idf_micro
+       |  FROM exp),
+       |scored AS (
+       |  SELECT p.doc_id, CAST(sum(p.tf * m.idf_micro) AS BIGINT) AS score_micro
+       |  FROM p JOIN model m ON m.token = p.token
+       |  GROUP BY p.doc_id),
+       |ranked AS (
+       |  SELECT doc_id, score_micro,
+       |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT rank, doc_id, score_micro FROM ranked WHERE rank <= $topK ORDER BY rank""".stripMargin
+
+  private lazy val oraclePrefixSearch: String =
+    oracleExpansionSearch(
+      s"""exp AS (
+         |  SELECT token, df FROM v WHERE starts_with(token, ${sqlLit(fixturePrefix)})
+         |  ORDER BY df DESC, token LIMIT $fixturePrefixExpand)""".stripMargin
+    )
+
+  private lazy val oracleFuzzySearch: String =
+    oracleExpansionSearch(
+      s"""exp AS (
+         |  SELECT token, df FROM (
+         |    SELECT token, df, CAST(levenshtein(token, ${sqlLit(fixtureFuzzyTerm)}) AS BIGINT) AS dist
+         |    FROM v WHERE abs(length(token) - ${fixtureFuzzyTerm.length}) <= $fixtureFuzzyDist) x
+         |  WHERE dist <= $fixtureFuzzyDist
+         |  ORDER BY dist, df DESC, token LIMIT $fixtureFuzzyExpand)""".stripMargin
+    )
 
   private lazy val oracleBatch: String = {
       val valuesRows = fixtureBatch.map { case (q, t) => s"($q, ${sqlLit(t)})" }.mkString(", ")
@@ -3854,6 +4285,37 @@ object Search {
       oracleTermSearch(fixtureMinTerms, requireAll = false, minMatch = fixtureMinMatch),
     "search_min_match_index" ->
       oracleTermSearch(fixtureMinTerms, requireAll = false, minMatch = fixtureMinMatch),
+
+    // dictionary tier: autocomplete/did-you-mean serve from the vocab
+    // relation alone; the oracle recomputes the dictionary from the
+    // corpus, so vocab correctness is gated transitively
+    "search_autocomplete" ->
+      s"""WITH $postingsSql,
+         |v AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS df FROM p
+         |  WHERE starts_with(token, ${sqlLit(fixturePrefix)}) GROUP BY token),
+         |top AS (SELECT token, df FROM v ORDER BY df DESC, token LIMIT $fixtureAutoN)
+         |SELECT CAST(row_number() OVER (ORDER BY df DESC, token) AS BIGINT) AS rank, token, df
+         |FROM top ORDER BY rank""".stripMargin,
+    "search_did_you_mean" ->
+      s"""WITH $postingsSql,
+         |v AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY token),
+         |c AS (
+         |  SELECT token, df, CAST(levenshtein(token, ${sqlLit(fixtureTypo)}) AS BIGINT) AS dist
+         |  FROM v WHERE abs(length(token) - ${fixtureTypo.length}) <= $fixtureFuzzyDist),
+         |f AS (
+         |  SELECT token, dist, df FROM c WHERE dist <= $fixtureFuzzyDist
+         |  ORDER BY dist, df DESC, token LIMIT $fixtureDymN)
+         |SELECT CAST(row_number() OVER (ORDER BY dist, df DESC, token) AS BIGINT) AS rank,
+         |  token, dist, df
+         |FROM f ORDER BY rank""".stripMargin,
+    // the prefix page: corpus route, index-served route, and the
+    // UNCOMPACTED appended index (vocab base ⊕ increment fold) all
+    // share one oracle — the three-way equality is the gate
+    "search_prefix" -> oraclePrefixSearch,
+    "search_prefix_index" -> oraclePrefixSearch,
+    "search_prefix_appended" -> oraclePrefixSearch,
+    "search_fuzzy_index" -> oracleFuzzySearch,
     "search_bm25" -> oracleBm25,
     // BM25 served from the persisted index must land on the corpus
     // route's exact rows — sharing the oracle makes that the gate

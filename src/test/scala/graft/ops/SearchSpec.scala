@@ -119,6 +119,76 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("vocab lifecycle: append increments fold exactly, replayed batch idempotent, delete stales UP, compaction heals") {
+    val docs = Seq(
+      (1L, "alpha beta beta"),
+      (2L, "alpha gamma"),
+      (3L, "beta delta"),
+      (4L, "alpha beta gamma")
+    ).toDF("doc_id", "text")
+    def vocabOf(dir: String): Map[String, (Long, Long)] = {
+      // the folded dictionary as the autocomplete route reads it —
+      // a prefix broad enough to cover every fixture token
+      Seq("a", "b", "g", "d").flatMap { p =>
+        Search.autocomplete(spark, dir, p, 100).collect()
+      }.map(r => r.getAs[String]("token") -> ((r.getAs[Long]("df"), 0L))).toMap
+    }
+    val full = java.nio.file.Files.createTempDirectory("graft_vocab_full").toString + "/idx"
+    Search.saveSearchIndex(docs, "doc_id", "text", full)
+    val appended = java.nio.file.Files.createTempDirectory("graft_vocab_app").toString + "/idx"
+    Search.saveSearchIndex(docs.filter(col("doc_id") <= 2), "doc_id", "text", appended)
+    Search.appendToSearchIndex(docs.filter(col("doc_id") > 2), "doc_id", "text", appended)
+    // base ⊕ increment fold equals the one-shot dictionary
+    assert(vocabOf(appended) == vocabOf(full))
+    assert(vocabOf(full)("beta")._1 == 3L && vocabOf(full)("alpha")._1 == 3L)
+    // a REPLAYED batch apply overwrites its own increment (no double count)
+    val streamed = java.nio.file.Files.createTempDirectory("graft_vocab_str").toString + "/idx"
+    Search.saveSearchIndex(docs.filter(col("doc_id") <= 2), "doc_id", "text", streamed)
+    Search.applySearchIndexBatch(docs.filter(col("doc_id") > 2), "doc_id", "text", streamed, 0L)
+    val once = vocabOf(streamed)
+    Search.applySearchIndexBatch(docs.filter(col("doc_id") > 2), "doc_id", "text", streamed, 0L)
+    assert(vocabOf(streamed) == once && once == vocabOf(full))
+    // tombstoned delete leaves the vocab an UPPER BOUND (Lucene's
+    // deleted-docs window) — candidates only; compaction heals exact
+    Search.deleteFromSearchIndex(spark, full, Seq(3L))
+    assert(vocabOf(full)("delta")._1 == 1L, "dead doc still counted before compaction")
+    Search.compactSearchIndex(spark, full)
+    val healed = vocabOf(full)
+    assert(!healed.contains("delta"), "fully-deleted term drops out at compaction")
+    assert(healed("beta")._1 == 2L, "df healed to live count")
+  }
+
+  test("autocomplete/didYouMean/fuzzy: ordering, caps, empty expansion; prefix pushes to the vocab scan") {
+    val docs = Seq(
+      (1L, "car card card cart dog"),
+      (2L, "car card care"),
+      (3L, "car dog dig dug")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_vocab_ac").toString + "/idx"
+    Search.saveSearchIndex(docs, "doc_id", "text", dir)
+    // df-desc, token-asc: car(3) card(2) then care/cart(1 each, alpha)
+    val ac = Search.autocomplete(spark, dir, "car", 3).collect()
+    assert(ac.map(r => (r.getAs[Long]("rank"), r.getAs[String]("token"), r.getAs[Long]("df"))).toSeq ==
+      Seq((1L, "car", 3L), (2L, "card", 2L), (3L, "care", 1L)))
+    // the prefix filter reaches the vocab parquet scan as a pushed filter
+    val plan = Search.autocomplete(spark, dir, "car", 3).queryExecution.executedPlan.toString
+    assert(plan.contains("StartsWith"), plan.take(2000))
+    // did-you-mean: dist primary, df breaks ties, term itself at dist 0
+    val dym = Search.didYouMean(spark, dir, "dob", 2, 10).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("dist"))).toSeq
+    assert(dym.head == ("dog", 1L), dym.toString)
+    assert(dym.contains(("dig", 2L)) && dym.contains(("dug", 2L)))
+    // fuzzy search: expansion scores standard disjunctive over pruned buckets
+    val hits = Search.fuzzySearchFromIndex(spark, dir, "dob", 1, 8, 10).collect()
+    assert(hits.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 3L), "docs holding 'dog'")
+    // no dictionary term within reach → the empty page, not an error
+    assert(Search.fuzzySearchFromIndex(spark, dir, "zzzzzz", 1, 8, 10).collect().isEmpty)
+    assert(Search.prefixSearchFromIndex(spark, dir, "zz", 4, 10).collect().isEmpty)
+    // prefix cap binds: maxExpand=1 keeps only the highest-df term
+    val capped = Search.prefixSearchFromIndex(spark, dir, "d", 1, 10).collect()
+    assert(capped.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 3L), "only 'dog' expands")
+  }
+
   test("conjunctive plan: top-k is TakeOrderedAndProject; contains-prune reaches the scan") {
     val q = Search.queries("search_conjunctive")(spark, "/root/testdata/sf0.001")
     q.collect()
