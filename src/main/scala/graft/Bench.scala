@@ -132,6 +132,11 @@ object Bench {
       "search_fuzzy_index" -> "first_run",
       // builds its own evens+odds-append (uncompacted) demo index
       "search_prefix_appended" -> "first_run",
+      // analyzed dictionary tier: share the analyzed demo index build
+      "search_autocomplete_analyzed" -> "first_run",
+      "search_did_you_mean_analyzed" -> "first_run",
+      "search_prefix_analyzed_index" -> "first_run",
+      "search_fuzzy_analyzed_index" -> "first_run",
       // shares the once-per-process postings index build (its screen)
       "decontaminate_via_index" -> "first_run",
       // shares the append+compact lifecycle demo index build

@@ -607,8 +607,11 @@ object Search {
     docLengths(docs, idCol, textCol).write.mode("overwrite").parquet(s"$dir/doclen")
     writeMeta(docs.sparkSession, dir, corpusScalars(docs, idCol, textCol))
     // the term dictionary, derived from the just-written postings (a
-    // types-scale aggregate over data the build materialized anyway)
+    // types-scale aggregate over data the build materialized anyway);
+    // analyzed indexes carry the analyzed twin — the dictionary real
+    // prefix/fuzzy/autocomplete queries consult
     writeVocabFromPostings(docs.sparkSession, dir)
+    if (analyzed) writeVocabFromPostings(docs.sparkSession, dir, analyzed = true)
   }
 
   /** Sum of analyzed doc lengths over a document relation. */
@@ -959,6 +962,7 @@ object Search {
     // append contract is new doc ids only, so the group-sum is exact).
     // A pre-vocab index skips it — compaction backfills from postings,
     // which now include these rows.
+    val appendTag = s"append-${java.util.UUID.randomUUID().toString.take(8)}"
     if (fsFor(s, dir).exists(new org.apache.hadoop.fs.Path(vocabDir(dir))))
       writeVocabIncrement(
         s,
@@ -966,7 +970,18 @@ object Search {
         vocabFromPostingRows(
           postingsWithDl(newDocs, idCol, textCol).select(col("token"), col("doc_id"), col("tf"))
         ),
-        s"append-${java.util.UUID.randomUUID().toString.take(8)}"
+        appendTag
+      )
+    if (analyzed && fsFor(s, dir).exists(new org.apache.hadoop.fs.Path(vocabDir(dir, analyzed = true))))
+      writeVocabIncrement(
+        s,
+        dir,
+        vocabFromPostingRows(
+          analyzedPostingsWithDl(newDocs, idCol, textCol)
+            .select(col("token"), col("doc_id"), col("tf"))
+        ),
+        appendTag,
+        analyzed = true
       )
     val (n0, t0) = readMeta(s, dir)
     val (n1, t1) = corpusScalars(newDocs, idCol, textCol)
@@ -1225,8 +1240,10 @@ object Search {
     .add("df", "long")
     .add("tf_total", "long")
 
-  private def vocabDir(dir: String) = s"$dir/vocab"
-  private def vocabIncDir(dir: String) = s"$dir/vocab_inc"
+  private def vocabDir(dir: String, analyzed: Boolean = false) =
+    if (analyzed) s"$dir/avocab" else s"$dir/vocab"
+  private def vocabIncDir(dir: String, analyzed: Boolean = false) =
+    if (analyzed) s"$dir/avocab_inc" else s"$dir/vocab_inc"
 
   /** Range partitions of the base vocab. Sized for the fixture here;
     * at 100 TB this scales with type count (still a metadata-relative
@@ -1247,14 +1264,13 @@ object Search {
     * compaction form (exact), staged behind the crash-safe marker-
     * commit swap; increments are consumed (the base now counts them).
     */
-  private def writeVocabFromPostings(s: SparkSession, dir: String): Unit = {
-    graft.core.Compaction.replaceWith(s, vocabDir(dir)) { staged =>
+  private def writeVocabFromPostings(s: SparkSession, dir: String, analyzed: Boolean = false): Unit = {
+    val (rel, schema) =
+      if (analyzed) (s"$dir/apostings", apostingsSchema) else (s"$dir/postings", postingsSchema)
+    graft.core.Compaction.replaceWith(s, vocabDir(dir, analyzed)) { staged =>
       vocabFromPostingRows(
-        liveRows(
-          s,
-          dir,
-          s.read.schema(postingsSchema).parquet(s"$dir/postings")
-        ).select(col("token"), col("doc_id"), col("tf"))
+        liveRows(s, dir, s.read.schema(schema).parquet(rel))
+          .select(col("token"), col("doc_id"), col("tf"))
       )
         .repartitionByRange(vocabParts, col("token"))
         .sortWithinPartitions("token")
@@ -1262,7 +1278,7 @@ object Search {
         .mode("overwrite")
         .parquet(staged)
     }
-    fsFor(s, dir).delete(new org.apache.hadoop.fs.Path(vocabIncDir(dir)), true)
+    fsFor(s, dir).delete(new org.apache.hadoop.fs.Path(vocabIncDir(dir, analyzed)), true)
   }
 
   /** Stage one vocab increment and rename it under `<tag>-<i>.parquet`
@@ -1270,15 +1286,21 @@ object Search {
     * replay overwrites after the caller's cleanup), UUID-tagged for
     * plain appends (never replayed).
     */
-  private def writeVocabIncrement(s: SparkSession, dir: String, inc: DataFrame, tag: String): Unit = {
+  private def writeVocabIncrement(
+      s: SparkSession,
+      dir: String,
+      inc: DataFrame,
+      tag: String,
+      analyzed: Boolean = false
+  ): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = fsFor(s, dir)
-    val staged = s"$dir/_stage_vocab_$tag"
+    val staged = s"$dir/_stage_${if (analyzed) "avocab" else "vocab"}_$tag"
     inc.coalesce(1).write.mode("overwrite").parquet(staged)
     val files = fs.globStatus(new Path(s"$staged/part-*")).map(_.getPath).sortBy(_.toString)
-    fs.mkdirs(new Path(vocabIncDir(dir)))
+    fs.mkdirs(new Path(vocabIncDir(dir, analyzed)))
     files.zipWithIndex.foreach { case (src, i) =>
-      val dest = new Path(vocabIncDir(dir), s"$tag-$i.parquet")
+      val dest = new Path(vocabIncDir(dir, analyzed), s"$tag-$i.parquet")
       if (fs.exists(dest)) fs.delete(dest, false)
       if (!fs.rename(src, dest))
         throw new java.io.IOException(s"vocab increment write: rename $src -> $dest failed")
@@ -1291,18 +1313,18 @@ object Search {
     * both scans). Fails loudly on an index persisted before the vocab
     * existed — compaction backfills it.
     */
-  private def vocabRows(s: SparkSession, dir: String): DataFrame = {
+  private def vocabRows(s: SparkSession, dir: String, analyzed: Boolean = false): DataFrame = {
     val fs = fsFor(s, dir)
     require(
-      fs.exists(new org.apache.hadoop.fs.Path(vocabDir(dir))),
-      s"search index at $dir has no vocab relation (pre-vocab layout) — " +
-        "run compactSearchIndex to backfill it"
+      fs.exists(new org.apache.hadoop.fs.Path(vocabDir(dir, analyzed))),
+      s"search index at $dir has no ${if (analyzed) "analyzed " else ""}vocab relation " +
+        "(pre-vocab layout) — run compactSearchIndex to backfill it"
     )
-    val base = s.read.schema(vocabSchema).parquet(vocabDir(dir))
-    if (!fs.exists(new org.apache.hadoop.fs.Path(vocabIncDir(dir)))) base
+    val base = s.read.schema(vocabSchema).parquet(vocabDir(dir, analyzed))
+    if (!fs.exists(new org.apache.hadoop.fs.Path(vocabIncDir(dir, analyzed)))) base
     else
       base
-        .unionAll(s.read.schema(vocabSchema).parquet(vocabIncDir(dir)))
+        .unionAll(s.read.schema(vocabSchema).parquet(vocabIncDir(dir, analyzed)))
         .groupBy(col("token"))
         .agg(sum(col("df")).cast("long").as("df"), sum(col("tf_total")).cast("long").as("tf_total"))
   }
@@ -1325,10 +1347,20 @@ object Search {
     * live tombstones df is as-of-the-last-compaction (the documented
     * Lucene window).
     */
-  def autocomplete(s: SparkSession, indexDir: String, prefix: String, n: Int): DataFrame = {
+  def autocomplete(
+      s: SparkSession,
+      indexDir: String,
+      rawPrefix: String,
+      n: Int,
+      analyzed: Boolean = false
+  ): DataFrame = {
+    // analyzed mode folds the user's raw prefix through the same
+    // analyzer the dictionary was built with (case/punct-insensitive
+    // completion — what a search box actually does)
+    val prefix = if (analyzed) analyzeTerm(rawPrefix) else rawPrefix
     require(prefix.nonEmpty, "autocomplete needs a non-empty prefix")
     import org.apache.spark.sql.expressions.Window
-    vocabRows(s, indexDir)
+    vocabRows(s, indexDir, analyzed)
       .filter(col("token").startsWith(prefix))
       .orderBy(col("df").desc, col("token").asc)
       .limit(n)
@@ -1344,8 +1376,14 @@ object Search {
     * rewrite). Request-sized, so the collect is the standard probe-id
     * driver step every index route here uses.
     */
-  private def prefixExpansion(s: SparkSession, dir: String, prefix: String, maxExpand: Int): Seq[String] =
-    vocabRows(s, dir)
+  private def prefixExpansion(
+      s: SparkSession,
+      dir: String,
+      prefix: String,
+      maxExpand: Int,
+      analyzed: Boolean = false
+  ): Seq[String] =
+    vocabRows(s, dir, analyzed)
       .filter(col("token").startsWith(prefix))
       .orderBy(col("df").desc, col("token").asc)
       .limit(maxExpand)
@@ -1365,13 +1403,19 @@ object Search {
   def prefixSearchFromIndex(
       s: SparkSession,
       indexDir: String,
-      prefix: String,
+      rawPrefix: String,
       maxExpand: Int,
-      k: Int
+      k: Int,
+      analyzed: Boolean = false
   ): DataFrame = {
+    val prefix = if (analyzed) analyzeTerm(rawPrefix) else rawPrefix
     require(prefix.nonEmpty, "prefix search needs a non-empty prefix")
-    val terms = prefixExpansion(s, indexDir, prefix, maxExpand)
+    val terms = prefixExpansion(s, indexDir, prefix, maxExpand, analyzed)
     if (terms.isEmpty) emptyHits(s)
+    // avocab tokens are analyzer FIXPOINTS (lowercase, alnum-edged),
+    // so feeding them back through the analyzed route's analyzeTerm
+    // is the identity — one scoring path per mode, no duplication
+    else if (analyzed) analyzedFromIndex(s, indexDir, terms, k, requireAll = false)
     else termSearchFromIndex(s, indexDir, terms, k, requireAll = false)
   }
 
@@ -1428,13 +1472,15 @@ object Search {
   private def fuzzyExpansion(
       s: SparkSession,
       dir: String,
-      term: String,
+      rawTerm: String,
       maxDist: Int,
-      maxExpand: Int
+      maxExpand: Int,
+      analyzed: Boolean = false
   ): DataFrame = {
+    val term = if (analyzed) analyzeTerm(rawTerm) else rawTerm
     require(term.nonEmpty, "fuzzy matching needs a non-empty term")
     require(maxDist >= 1, "fuzzy matching needs maxDist >= 1")
-    vocabRows(s, dir)
+    vocabRows(s, dir, analyzed)
       .filter(abs(length(col("token")) - lit(term.length)) <= maxDist)
       .withColumn("dist", levenshtein(col("token"), lit(term)).cast("bigint"))
       .filter(col("dist") <= maxDist)
@@ -1447,9 +1493,16 @@ object Search {
     * standard spell-correction ranking: prefer the closest, break ties
     * toward the commoner word). Served from the vocab alone.
     */
-  def didYouMean(s: SparkSession, indexDir: String, term: String, maxDist: Int, n: Int): DataFrame = {
+  def didYouMean(
+      s: SparkSession,
+      indexDir: String,
+      term: String,
+      maxDist: Int,
+      n: Int,
+      analyzed: Boolean = false
+  ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    fuzzyExpansion(s, indexDir, term, maxDist, n)
+    fuzzyExpansion(s, indexDir, term, maxDist, n, analyzed)
       .withColumn(
         "rank",
         row_number()
@@ -1470,14 +1523,16 @@ object Search {
       term: String,
       maxDist: Int,
       maxExpand: Int,
-      k: Int
+      k: Int,
+      analyzed: Boolean = false
   ): DataFrame = {
-    val terms = fuzzyExpansion(s, indexDir, term, maxDist, maxExpand)
+    val terms = fuzzyExpansion(s, indexDir, term, maxDist, maxExpand, analyzed)
       .select("token")
       .collect()
       .map(_.getString(0))
       .toSeq
     if (terms.isEmpty) emptyHits(s)
+    else if (analyzed) analyzedFromIndex(s, indexDir, terms, k, requireAll = false)
     else termSearchFromIndex(s, indexDir, terms, k, requireAll = false)
   }
 
@@ -1754,7 +1809,8 @@ object Search {
       s"$dir/doclen",
       tombstonesDir(dir),
       ledgerDir(dir),
-      vocabIncDir(dir)
+      vocabIncDir(dir),
+      vocabIncDir(dir, analyzed = true)
     )
       .foreach { d =>
         Option(fs.globStatus(new Path(s"$d/gbatch-$gen-*")))
@@ -1839,6 +1895,17 @@ object Search {
         ),
         s"gbatch-$gen"
       )
+    if (analyzed && fs.exists(new Path(vocabDir(dir, analyzed = true))))
+      writeVocabIncrement(
+        s,
+        dir,
+        vocabFromPostingRows(
+          analyzedPostingsWithDl(batch, idCol, textCol)
+            .select(col("token"), col("doc_id"), col("tf"))
+        ),
+        s"gbatch-$gen",
+        analyzed = true
+      )
     val (n, t, a) = ledgerSums(s, dir)
     writeMeta(s, dir, (n, t))
     if (analyzed) writeAmeta(s, dir, a)
@@ -1895,6 +1962,8 @@ object Search {
     val hasAnalyzed = fs.exists(new org.apache.hadoop.fs.Path(s"$dir/apostings"))
     val repairedAtoks = if (hasAnalyzed) {
       rewriteRel(s"$dir/apostings", Some("tbucket"))
+      // analyzed dictionary re-derived (and backfilled) like the raw one
+      writeVocabFromPostings(spark, dir, analyzed = true)
       val a = ametaFromApostings(spark, dir)
       writeAmeta(spark, dir, a)
       a
@@ -2367,6 +2436,39 @@ object Search {
       fixtureFuzzyDist,
       fixtureFuzzyExpand,
       topK
+    ).orderBy("rank")
+
+  // the ANALYZED dictionary tier over the damaged corpus: raw inputs
+  // carry case/punct damage, the analyzer folds both sides, and the
+  // avocab rides the demo index's full build→append→compact lifecycle
+
+  val searchAutocompleteAnalyzed: Q = (s, d) =>
+    autocomplete(s, demoAnalyzedIndexDir(s, d), fixturePrefix.toUpperCase, fixtureAutoN, analyzed = true)
+      .orderBy("rank")
+
+  val searchDidYouMeanAnalyzed: Q = (s, d) =>
+    didYouMean(s, demoAnalyzedIndexDir(s, d), s"[${fixtureTypo.toUpperCase}]", fixtureFuzzyDist, fixtureDymN, analyzed = true)
+      .orderBy("rank")
+
+  val searchPrefixAnalyzedIndex: Q = (s, d) =>
+    prefixSearchFromIndex(
+      s,
+      demoAnalyzedIndexDir(s, d),
+      fixturePrefix.toUpperCase,
+      fixturePrefixExpand,
+      topK,
+      analyzed = true
+    ).orderBy("rank")
+
+  val searchFuzzyAnalyzedIndex: Q = (s, d) =>
+    fuzzySearchFromIndex(
+      s,
+      demoAnalyzedIndexDir(s, d),
+      s"${fixtureFuzzyTerm.toUpperCase}!",
+      fixtureFuzzyDist,
+      fixtureFuzzyExpand,
+      topK,
+      analyzed = true
     ).orderBy("rank")
 
   /** Min-should-match served from the index, sharing search_min_match's
@@ -3775,6 +3877,10 @@ object Search {
     "search_prefix_appended" -> searchPrefixAppended,
     "search_did_you_mean" -> searchDidYouMean,
     "search_fuzzy_index" -> searchFuzzyIndex,
+    "search_autocomplete_analyzed" -> searchAutocompleteAnalyzed,
+    "search_did_you_mean_analyzed" -> searchDidYouMeanAnalyzed,
+    "search_prefix_analyzed_index" -> searchPrefixAnalyzedIndex,
+    "search_fuzzy_analyzed_index" -> searchFuzzyAnalyzedIndex,
     "search_bm25" -> searchBm25,
     "search_bm25_index" -> searchBm25Index,
     "search_batch_serve" -> searchBatchServe,
@@ -3909,6 +4015,66 @@ object Search {
 
   private lazy val oracleFuzzySearch: String =
     oracleExpansionSearch(
+      s"""exp AS (
+         |  SELECT token, df FROM (
+         |    SELECT token, df, CAST(levenshtein(token, ${sqlLit(fixtureFuzzyTerm)}) AS BIGINT) AS dist
+         |    FROM v WHERE abs(length(token) - ${fixtureFuzzyTerm.length}) <= $fixtureFuzzyDist) x
+         |  WHERE dist <= $fixtureFuzzyDist
+         |  ORDER BY dist, df DESC, token LIMIT $fixtureFuzzyExpand)""".stripMargin
+    )
+
+  /** The ANALYZED dictionary over the damaged corpus: damage, analyze
+    * every token (the Spark analyzer's regexp chain verbatim), drop
+    * pure-punct empties, build ap(token, doc_id, tf) and the
+    * dictionary v(token, df) — what `dir/avocab` must equal through
+    * the demo index's build→append→compact lifecycle.
+    */
+  private val analyzedDictSql =
+    s"""dd AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN upper(text)
+       |         WHEN doc_id % 11 = 0 THEN
+       |           array_to_string(list_transform(string_split(text, ' '), t -> '[' || t || ']'), ' ')
+       |         ELSE text END AS text
+       |  FROM documents),
+       |a00 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS raw FROM dd),
+       |a0 AS (
+       |  SELECT doc_id, regexp_replace(lower(raw), '^[^a-z0-9]+|[^a-z0-9]+$$', '', 'g') AS token
+       |  FROM a00),
+       |ap AS (SELECT token, doc_id, count(*) AS tf FROM a0 WHERE token <> '' GROUP BY token, doc_id),
+       |v AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM ap GROUP BY token)""".stripMargin
+
+  /** [[oracleExpansionSearch]]'s analyzed twin: scoring over the
+    * damaged-corpus ANALYZED postings, mirroring analyzedFromIndex's
+    * disjunctive accumulation (df = analyzed corpus df, N = doc count).
+    */
+  private def oracleAnalyzedExpansionSearch(expCte: String): String =
+    s"""WITH $analyzedDictSql,
+       |$expCte,
+       |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       |model AS (
+       |  SELECT token,
+       |    CAST(floor(ln(((SELECT n_docs FROM nd) + 1) / CAST(df + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS idf_micro
+       |  FROM exp),
+       |scored AS (
+       |  SELECT ap.doc_id, CAST(sum(ap.tf * m.idf_micro) AS BIGINT) AS score_micro
+       |  FROM ap JOIN model m ON m.token = ap.token
+       |  GROUP BY ap.doc_id),
+       |ranked AS (
+       |  SELECT doc_id, score_micro,
+       |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT rank, doc_id, score_micro FROM ranked WHERE rank <= $topK ORDER BY rank""".stripMargin
+
+  private lazy val oracleAnalyzedPrefixSearch: String =
+    oracleAnalyzedExpansionSearch(
+      s"""exp AS (
+         |  SELECT token, df FROM v WHERE starts_with(token, ${sqlLit(fixturePrefix)})
+         |  ORDER BY df DESC, token LIMIT $fixturePrefixExpand)""".stripMargin
+    )
+
+  private lazy val oracleAnalyzedFuzzySearch: String =
+    oracleAnalyzedExpansionSearch(
       s"""exp AS (
          |  SELECT token, df FROM (
          |    SELECT token, df, CAST(levenshtein(token, ${sqlLit(fixtureFuzzyTerm)}) AS BIGINT) AS dist
@@ -4316,6 +4482,28 @@ object Search {
     "search_prefix_index" -> oraclePrefixSearch,
     "search_prefix_appended" -> oraclePrefixSearch,
     "search_fuzzy_index" -> oracleFuzzySearch,
+    // analyzed dictionary tier on the damaged corpus: raw inputs carry
+    // case/punct damage ("S", "[QUEY]", "SCAT!"), the analyzer folds
+    // both sides, avocab rides build→append→compact
+    "search_autocomplete_analyzed" ->
+      s"""WITH $analyzedDictSql,
+         |pv AS (SELECT token, df FROM v WHERE starts_with(token, ${sqlLit(fixturePrefix)})),
+         |top AS (SELECT token, df FROM pv ORDER BY df DESC, token LIMIT $fixtureAutoN)
+         |SELECT CAST(row_number() OVER (ORDER BY df DESC, token) AS BIGINT) AS rank, token, df
+         |FROM top ORDER BY rank""".stripMargin,
+    "search_did_you_mean_analyzed" ->
+      s"""WITH $analyzedDictSql,
+         |c AS (
+         |  SELECT token, df, CAST(levenshtein(token, ${sqlLit(fixtureTypo)}) AS BIGINT) AS dist
+         |  FROM v WHERE abs(length(token) - ${fixtureTypo.length}) <= $fixtureFuzzyDist),
+         |f AS (
+         |  SELECT token, dist, df FROM c WHERE dist <= $fixtureFuzzyDist
+         |  ORDER BY dist, df DESC, token LIMIT $fixtureDymN)
+         |SELECT CAST(row_number() OVER (ORDER BY dist, df DESC, token) AS BIGINT) AS rank,
+         |  token, dist, df
+         |FROM f ORDER BY rank""".stripMargin,
+    "search_prefix_analyzed_index" -> oracleAnalyzedPrefixSearch,
+    "search_fuzzy_analyzed_index" -> oracleAnalyzedFuzzySearch,
     "search_bm25" -> oracleBm25,
     // BM25 served from the persisted index must land on the corpus
     // route's exact rows — sharing the oracle makes that the gate

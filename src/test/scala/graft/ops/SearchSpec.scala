@@ -189,6 +189,32 @@ class SearchSpec extends SparkSpec {
     assert(capped.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 3L), "only 'dog' expands")
   }
 
+  test("analyzed dictionary: damaged raw inputs fold, avocab rides append+compact, raw/analyzed dictionaries separate") {
+    val docs = Seq(
+      (1L, "Card CARD card!"),  // analyzer folds all three to 'card'
+      (2L, "[card] care"),
+      (3L, "dog")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_avocab").toString + "/idx"
+    Search.saveSearchIndex(docs.filter(col("doc_id") === 1L), "doc_id", "text", dir, analyzed = true)
+    Search.appendToSearchIndex(docs.filter(col("doc_id") =!= 1L), "doc_id", "text", dir, analyzed = true)
+    // analyzed autocomplete on a DAMAGED prefix: base ⊕ increment fold
+    val ac = Search.autocomplete(spark, dir, "CAR", 10, analyzed = true).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("df"))).toSeq
+    assert(ac == Seq(("card", 2L), ("care", 1L)), ac.toString)
+    // the RAW dictionary keeps the damaged forms distinct
+    val raw = Search.autocomplete(spark, dir, "Car", 10).collect().map(_.getAs[String]("token")).toSeq
+    assert(raw == Seq("Card"), raw.toString)
+    // compaction folds the increment and the probes don't move
+    Search.compactSearchIndex(spark, dir)
+    val ac2 = Search.autocomplete(spark, dir, "CAR", 10, analyzed = true).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("df"))).toSeq
+    assert(ac2 == ac)
+    // analyzed fuzzy: damaged term "DOB!" reaches 'dog' at dist 1
+    val hits = Search.fuzzySearchFromIndex(spark, dir, "DOB!", 1, 8, 10, analyzed = true).collect()
+    assert(hits.map(_.getAs[Long]("doc_id")).toSet == Set(3L))
+  }
+
   test("conjunctive plan: top-k is TakeOrderedAndProject; contains-prune reaches the scan") {
     val q = Search.queries("search_conjunctive")(spark, "/root/testdata/sf0.001")
     q.collect()
