@@ -132,6 +132,10 @@ object Bench {
       "search_fuzzy_index" -> "first_run",
       // builds its own evens+odds-append (uncompacted) demo index
       "search_prefix_appended" -> "first_run",
+      // build three shard indexes + merge them once per process
+      "search_merged_probe" -> "first_run",
+      "search_merged_bm25" -> "first_run",
+      "search_merged_prefix" -> "first_run",
       // analyzed dictionary tier: share the analyzed demo index build
       "search_autocomplete_analyzed" -> "first_run",
       "search_did_you_mean_analyzed" -> "first_run",

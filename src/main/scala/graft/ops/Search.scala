@@ -1990,6 +1990,90 @@ object Search {
     }
   }
 
+  /** MERGE independently-built shard indexes into ONE (the distributed
+    * build story: at 100 TB the index is not one job — it is P bounded
+    * per-shard builds over disjoint corpus partitions run in parallel,
+    * then a merge; Lucene's segment merge, re-expressed for the
+    * bucketed-parquet layout). Because every shard uses the SAME
+    * token-hash bucketing, a shard's file under `postings/tbucket=N`
+    * belongs VERBATIM under the destination's `tbucket=N`: the merge
+    * is pure file-system renames (metadata ops — ZERO data pass over
+    * corpus-scale relations) plus scalar meta sums and one types-scale
+    * vocab fold. Parts are CONSUMED (renamed away, then deleted), like
+    * Lucene segments after a merge.
+    *
+    * Preconditions (fail loudly): ≥ 2 parts that agree on
+    * analyzed-ness, carry no live tombstones (merge compacted shards)
+    * and no stream markers (quiesce maintainers first). Data files
+    * land under neutral `merged-<part>-<i>` names, so their generation
+    * parses as −1 (base rows) — correct because nothing tombstoned
+    * survives in the inputs — and the destination is a fully
+    * functional index: append, delete, stream-adopt and compact all
+    * work on it afterwards.
+    */
+  def mergeSearchIndexes(s: SparkSession, parts: Seq[String], dest: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(parts.size >= 2, "mergeSearchIndexes needs at least two parts")
+    val fs = fsFor(s, dest)
+    require(!fs.exists(new Path(dest)), s"merge destination $dest already exists")
+    parts.foreach { p =>
+      require(fs.exists(new Path(s"$p/postings")), s"merge part $p is not a search index")
+      require(!hasTombstones(s, p), s"merge part $p has live tombstones — compactSearchIndex it first")
+      require(
+        !fs.exists(new Path(p, "_last_batch")) && !fs.exists(new Path(p, "_stream_id")),
+        s"merge part $p is stream-maintained — quiesce it (compact + drop its markers) first"
+      )
+    }
+    val analyzedFlags = parts.map(p => fs.exists(new Path(s"$p/apostings")))
+    require(
+      analyzedFlags.distinct.size == 1,
+      s"cannot merge analyzed with raw-only parts: ${parts.zip(analyzedFlags)}"
+    )
+    val analyzed = analyzedFlags.head
+    // scalar + dictionary artifacts FIRST, while the parts are intact
+    val metas = parts.map(p => readMeta(s, p))
+    val atoks = if (analyzed) parts.map(p => readAmeta(s, p)).sum else 0L
+    def mergeVocab(an: Boolean): Unit =
+      if (parts.forall(p => fs.exists(new Path(vocabDir(p, an)))))
+        parts
+          .map(p => vocabRows(s, p, an))
+          .reduce(_ unionAll _)
+          .groupBy(col("token"))
+          .agg(sum(col("df")).cast("long").as("df"), sum(col("tf_total")).cast("long").as("tf_total"))
+          .repartitionByRange(vocabParts, col("token"))
+          .sortWithinPartitions("token")
+          .write
+          .mode("overwrite")
+          .parquet(vocabDir(dest, an))
+    mergeVocab(an = false)
+    if (analyzed) mergeVocab(an = true)
+    // data relations: rename every shard file into the destination's
+    // matching bucket dir — metadata operations only
+    val partitionedRels = Seq("postings", "positions") ++
+      (if (analyzed) Seq("apostings", "apositions") else Nil)
+    def moveRel(rel: String, partitioned: Boolean): Unit =
+      parts.zipWithIndex.foreach { case (p, i) =>
+        val glob =
+          if (partitioned) new Path(s"$p/$rel/tbucket=*/*.parquet")
+          else new Path(s"$p/$rel/*.parquet")
+        Option(fs.globStatus(glob)).getOrElse(Array.empty).map(_.getPath).sortBy(_.toString)
+          .zipWithIndex.foreach { case (f, j) =>
+            val destDir =
+              if (partitioned) new Path(s"$dest/$rel/${f.getParent.getName}")
+              else new Path(s"$dest/$rel")
+            fs.mkdirs(destDir)
+            val d = new Path(destDir, s"merged-$i-$j.parquet")
+            if (!fs.rename(f, d))
+              throw new java.io.IOException(s"index merge: rename $f -> $d failed")
+          }
+      }
+    partitionedRels.foreach(moveRel(_, partitioned = true))
+    moveRel("doclen", partitioned = false)
+    writeMeta(s, dest, (metas.map(_._1).sum, metas.map(_._2).sum))
+    if (analyzed) writeAmeta(s, dest, atoks)
+    parts.foreach(p => fs.delete(new Path(p), true))
+  }
+
   /** Tombstone-applying rewrite of one index relation (the physical
     * purge half of [[compactSearchIndex]]): survivors only, one file
     * per bucket dir (the usual compaction contract), each file renamed
@@ -2332,6 +2416,24 @@ object Search {
       appendToSearchIndex(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", dir)
     }
 
+  /** Once-per-process demo of the DISTRIBUTED build: three shard
+    * indexes over doc_id % 3 partitions built independently, then
+    * merged (file renames + meta sums + vocab fold) — every probe
+    * against the merged dir must equal the one-shot full-corpus index,
+    * which is exactly what sharing the corpus oracles gates.
+    */
+  private[ops] def demoMergedIndexDir(s: SparkSession, d: String): String =
+    Fixtures.demoIndexDir(s, "searchidx_merged", d) { dir =>
+      val docs = documents(s, d)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_shards").toString
+      val parts = (0 until 3).map { i =>
+        val p = s"$tmp/shard$i"
+        saveSearchIndex(docs.filter(col("doc_id") % 3 === i), "doc_id", "text", p)
+        p
+      }
+      mergeSearchIndexes(s, parts, dir)
+    }
+
   /** Once-per-process demo of the MAINTAINED lifecycle: build on the
     * even docs, append the odds, compact — probes must then equal the
     * one-shot full-corpus index (the shared oracle IS that equality).
@@ -2437,6 +2539,22 @@ object Search {
       fixtureFuzzyExpand,
       topK
     ).orderBy("rank")
+
+  /** Probes against the MERGED shard index, sharing the corpus
+    * routes' oracles: conjunctive gates the posting moves, BM25 gates
+    * the meta sums (avgdl = summed toks div summed docs must be
+    * corpus-exact) and the denormalized dl, prefix gates the vocab
+    * fold.
+    */
+  val searchMergedProbe: Q = (s, d) =>
+    conjunctiveFromIndex(s, demoMergedIndexDir(s, d), fixtureAndTerms, topK).orderBy("rank")
+
+  val searchMergedBm25: Q = (s, d) =>
+    bm25FromIndex(s, demoMergedIndexDir(s, d), fixtureOrTerms, topK).orderBy("rank")
+
+  val searchMergedPrefix: Q = (s, d) =>
+    prefixSearchFromIndex(s, demoMergedIndexDir(s, d), fixturePrefix, fixturePrefixExpand, topK)
+      .orderBy("rank")
 
   // the ANALYZED dictionary tier over the damaged corpus: raw inputs
   // carry case/punct damage, the analyzer folds both sides, and the
@@ -3877,6 +3995,9 @@ object Search {
     "search_prefix_appended" -> searchPrefixAppended,
     "search_did_you_mean" -> searchDidYouMean,
     "search_fuzzy_index" -> searchFuzzyIndex,
+    "search_merged_probe" -> searchMergedProbe,
+    "search_merged_bm25" -> searchMergedBm25,
+    "search_merged_prefix" -> searchMergedPrefix,
     "search_autocomplete_analyzed" -> searchAutocompleteAnalyzed,
     "search_did_you_mean_analyzed" -> searchDidYouMeanAnalyzed,
     "search_prefix_analyzed_index" -> searchPrefixAnalyzedIndex,
@@ -4482,6 +4603,12 @@ object Search {
     "search_prefix_index" -> oraclePrefixSearch,
     "search_prefix_appended" -> oraclePrefixSearch,
     "search_fuzzy_index" -> oracleFuzzySearch,
+    // the MERGED shard index serves the corpus routes' exact pages:
+    // conjunctive gates the posting moves, BM25 the meta sums + dl,
+    // prefix the vocab fold — three-shard build ≡ one-shot build
+    "search_merged_probe" -> oracleTermSearch(fixtureAndTerms, requireAll = true),
+    "search_merged_bm25" -> oracleBm25,
+    "search_merged_prefix" -> oraclePrefixSearch,
     // analyzed dictionary tier on the damaged corpus: raw inputs carry
     // case/punct damage ("S", "[QUEY]", "SCAT!"), the analyzer folds
     // both sides, avocab rides build→append→compact

@@ -215,6 +215,58 @@ class SearchSpec extends SparkSpec {
     assert(hits.map(_.getAs[Long]("doc_id")).toSet == Set(3L))
   }
 
+  test("mergeSearchIndexes: parts consumed, merged ≡ one-shot, guards fail loudly, post-merge lifecycle works") {
+    val docs = Seq(
+      (1L, "cat dog"),
+      (2L, "cat fish"),
+      (3L, "dog dog bird"),
+      (4L, "cat bird")
+    ).toDF("doc_id", "text")
+    def freshShards(): (String, Seq[String]) = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_merge").toString
+      val parts = (0 until 2).map { i =>
+        val p = s"$tmp/shard$i"
+        Search.saveSearchIndex(docs.filter(col("doc_id") % 2 === i), "doc_id", "text", p)
+        p
+      }
+      (tmp, parts)
+    }
+    val (tmp, parts) = freshShards()
+    val dest = s"$tmp/merged"
+    Search.mergeSearchIndexes(spark, parts, dest)
+    // parts are consumed (Lucene segments after a merge)
+    assert(!new java.io.File(parts.head).exists() && !new java.io.File(parts(1)).exists())
+    // every probe equals the one-shot index: scoring, stats, dictionary
+    val oneShot = s"$tmp/oneshot"
+    Search.saveSearchIndex(docs, "doc_id", "text", oneShot)
+    def page(dir: String) = Search.bm25FromIndex(spark, dir, Seq("cat", "dog"), 10).collect().toSeq
+    assert(page(dest) == page(oneShot) && page(dest).nonEmpty)
+    def dict(dir: String) = Search.autocomplete(spark, dir, "b", 10).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("df"))).toSeq
+    assert(dict(dest) == dict(oneShot) && dict(dest) == Seq(("bird", 2L)))
+    // the merged dir is a live index: append then probe reflects it
+    Search.appendToSearchIndex(Seq((9L, "bird bird")).toDF("doc_id", "text"), "doc_id", "text", dest)
+    assert(dict(dest) == Seq(("bird", 3L)))
+    // guards: < 2 parts, existing dest, tombstoned part, mixed analyzed
+    intercept[IllegalArgumentException] {
+      Search.mergeSearchIndexes(spark, Seq(dest), s"$tmp/x1")
+    }
+    val (tmp2, parts2) = freshShards()
+    intercept[IllegalArgumentException] {
+      Search.mergeSearchIndexes(spark, parts2, dest) // dest exists
+    }
+    Search.deleteFromSearchIndex(spark, parts2.head, Seq(2L))
+    intercept[IllegalArgumentException] {
+      Search.mergeSearchIndexes(spark, parts2, s"$tmp2/x2") // tombstones live
+    }
+    val (tmp3, parts3) = freshShards()
+    val an = s"$tmp3/an"
+    Search.saveSearchIndex(docs, "doc_id", "text", an, analyzed = true)
+    intercept[IllegalArgumentException] {
+      Search.mergeSearchIndexes(spark, Seq(parts3.head, an), s"$tmp3/x3") // mixed analyzed
+    }
+  }
+
   test("conjunctive plan: top-k is TakeOrderedAndProject; contains-prune reaches the scan") {
     val q = Search.queries("search_conjunctive")(spark, "/root/testdata/sf0.001")
     q.collect()
