@@ -132,6 +132,8 @@ object Bench {
       "search_fuzzy_index" -> "first_run",
       // builds its own evens+odds-append (uncompacted) demo index
       "search_prefix_appended" -> "first_run",
+      // shares the demo index + doc store builds
+      "search_more_like_this" -> "first_run",
       // build three shard indexes + merge them once per process
       "search_merged_probe" -> "first_run",
       "search_merged_bm25" -> "first_run",

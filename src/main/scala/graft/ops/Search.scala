@@ -1536,6 +1536,53 @@ object Search {
     else termSearchFromIndex(s, indexDir, terms, k, requireAll = false)
   }
 
+  /** MORE-LIKE-THIS, served end-to-end from persisted artifacts
+    * (Lucene's MLT shape): the source document's text comes from the
+    * doc store PRUNED to its one bucket dir; its terms rank by
+    * tf · micro-idf (idf from the vocab — the term-selection pass
+    * never touches postings) and the top maxQueryTerms become a BM25
+    * query against the index with the source excluded AFTER scoring
+    * (the df model keeps counting it, as the corpus does). Per-request
+    * I/O: one store bucket + one types-scale vocab pass +
+    * ≤ maxQueryTerms posting buckets — never the corpus.
+    */
+  def moreLikeThisFromIndex(
+      s: SparkSession,
+      indexDir: String,
+      storeDir: String,
+      docId: Long,
+      maxQueryTerms: Int,
+      k: Int
+  ): DataFrame = {
+    require(maxQueryTerms >= 1, "moreLikeThis needs maxQueryTerms >= 1")
+    val srcBucket = docBucket(docId)
+    val dt = docStoreLive(s, storeDir)
+      .filter(col("dbucket") === lit(srcBucket) && col("doc_id") === lit(docId))
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val nDocs = readMeta(s, indexDir)._1
+    val sel = vocabRows(s, indexDir)
+      .join(broadcast(dt), "token")
+      .withColumn(
+        "sc",
+        floor(log(lit(nDocs + 1).cast("double") / (col("df") + 1)) * 1000000L).cast("bigint") *
+          col("tf")
+      )
+      .orderBy(col("sc").desc, col("token").asc)
+      .limit(maxQueryTerms)
+      .select("token")
+      .collect()
+      .map(_.getString(0))
+      .toSeq
+    require(sel.nonEmpty, s"moreLikeThis: document $docId not found in the store at $storeDir")
+    rankTop(
+      bm25ScoredFromIndex(s, indexDir, sel).filter(col("doc_id") =!= lit(docId)),
+      "score_milli",
+      k
+    )
+  }
+
   // ---- tombstone deletes & upserts -----------------------------------
   //
   // Deleting (or replacing) documents in a corpus-scale inverted index
@@ -2546,6 +2593,20 @@ object Search {
     * corpus-exact) and the denormalized dl, prefix gates the vocab
     * fold.
     */
+  /** MLT fixtures: source doc 1 (exists at every SF), Lucene-ish caps. */
+  private[ops] val fixtureMltDoc = 1L
+  private[ops] val fixtureMltTerms = 5
+
+  val searchMoreLikeThis: Q = (s, d) =>
+    moreLikeThisFromIndex(
+      s,
+      demoSearchIndexDir(s, d),
+      demoDocStoreDir(s, d),
+      fixtureMltDoc,
+      fixtureMltTerms,
+      topK
+    ).orderBy("rank")
+
   val searchMergedProbe: Q = (s, d) =>
     conjunctiveFromIndex(s, demoMergedIndexDir(s, d), fixtureAndTerms, topK).orderBy("rank")
 
@@ -3995,6 +4056,7 @@ object Search {
     "search_prefix_appended" -> searchPrefixAppended,
     "search_did_you_mean" -> searchDidYouMean,
     "search_fuzzy_index" -> searchFuzzyIndex,
+    "search_more_like_this" -> searchMoreLikeThis,
     "search_merged_probe" -> searchMergedProbe,
     "search_merged_bm25" -> searchMergedBm25,
     "search_merged_prefix" -> searchMergedPrefix,
@@ -4186,6 +4248,50 @@ object Search {
        |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rank
        |  FROM scored)
        |SELECT rank, doc_id, score_micro FROM ranked WHERE rank <= $topK ORDER BY rank""".stripMargin
+
+  /** More-like-this oracle: the source doc's terms rank by tf · the
+    * SAME micro-idf the selection pass uses, the top maxQueryTerms
+    * feed the exact rational BM25 over the corpus with the source
+    * excluded from candidates but NOT from the df model — mirroring
+    * the Spark route's filter-after-scoring.
+    */
+  private lazy val oracleMoreLikeThis: String =
+    s"""WITH $postingsSql,
+       |st AS (
+       |  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_toks
+       |  FROM documents),
+       |av AS (SELECT n_docs, total_toks // n_docs AS avgdl FROM st),
+       |v AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY token),
+       |dt AS (
+       |  SELECT token, CAST(count(*) AS BIGINT) AS tf FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS token
+       |    FROM documents WHERE doc_id = $fixtureMltDoc) x GROUP BY token),
+       |sel AS (
+       |  SELECT dt.token,
+       |    CAST(floor(ln(((SELECT n_docs FROM av) + 1) / CAST(v.df + 1 AS DOUBLE)) * 1000000) AS BIGINT) * dt.tf AS sc
+       |  FROM dt JOIN v USING (token)
+       |  ORDER BY sc DESC, dt.token LIMIT $fixtureMltTerms),
+       |dl AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+       |cp AS (
+       |  SELECT p.token, p.doc_id, p.tf FROM p
+       |  WHERE p.token IN (SELECT token FROM sel) AND p.doc_id <> $fixtureMltDoc),
+       |model AS (
+       |  SELECT token,
+       |    CAST(floor(ln(((SELECT n_docs FROM av) + 1) / CAST(df + 1 AS DOUBLE)) * 1000) AS BIGINT) AS idf_milli
+       |  FROM v WHERE token IN (SELECT token FROM sel)),
+       |sc AS (
+       |  SELECT cp.doc_id,
+       |    CAST(sum((44 * m.idf_milli * cp.tf * (SELECT avgdl FROM av))
+       |         // (20 * (SELECT avgdl FROM av) * cp.tf + 6 * (SELECT avgdl FROM av) + 18 * d.dl)) AS BIGINT) AS score_milli
+       |  FROM cp JOIN model m ON m.token = cp.token
+       |  JOIN dl d ON d.doc_id = cp.doc_id
+       |  GROUP BY cp.doc_id),
+       |bmranked AS (
+       |  SELECT doc_id, score_milli,
+       |    CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM sc)
+       |SELECT rank, doc_id, score_milli FROM bmranked WHERE rank <= $topK ORDER BY rank""".stripMargin
 
   private lazy val oracleAnalyzedPrefixSearch: String =
     oracleAnalyzedExpansionSearch(
@@ -4606,6 +4712,7 @@ object Search {
     // the MERGED shard index serves the corpus routes' exact pages:
     // conjunctive gates the posting moves, BM25 the meta sums + dl,
     // prefix the vocab fold — three-shard build ≡ one-shot build
+    "search_more_like_this" -> oracleMoreLikeThis,
     "search_merged_probe" -> oracleTermSearch(fixtureAndTerms, requireAll = true),
     "search_merged_bm25" -> oracleBm25,
     "search_merged_prefix" -> oraclePrefixSearch,

@@ -267,6 +267,33 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("moreLikeThisFromIndex: rare terms drive selection, source excluded, store read bucket-pruned") {
+    val docs = Seq(
+      (1L, "zebra quark common common"), // source: two rare terms + a stopword
+      (2L, "zebra quark common"),        // shares both rare terms — must rank first
+      (3L, "zebra filler filler common"),// shares one
+      (4L, "common common common"),      // stopword only — idf 0, never selected
+      (5L, "nothing here common")
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mlt").toString
+    val (idx, store) = (s"$tmp/idx", s"$tmp/store")
+    Search.saveSearchIndex(docs, "doc_id", "text", idx)
+    Search.saveDocStore(docs, "doc_id", "text", store)
+    // maxQueryTerms = 2 keeps only the highest tf·idf terms: zebra and
+    // quark (idf beats the common term's tf advantage at 5 docs)
+    val got = Search.moreLikeThisFromIndex(spark, idx, store, 1L, 2, 10).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id")))
+    assert(!got.map(_._2).contains(1L), "source doc excluded")
+    assert(got.head == ((1L, 2L)), s"both-rare-terms doc first: ${got.mkString(",")}")
+    assert(got.map(_._2).toSet == Set(2L, 3L), "only rare-term sharers qualify")
+    // an absent source doc fails loudly at request time (the term
+    // selection is eager), never an empty page masquerading as one
+    val e = intercept[IllegalArgumentException] {
+      Search.moreLikeThisFromIndex(spark, idx, store, 999L, 2, 10)
+    }
+    assert(e.getMessage.contains("not found"), e.getMessage)
+  }
+
   test("conjunctive plan: top-k is TakeOrderedAndProject; contains-prune reaches the scan") {
     val q = Search.queries("search_conjunctive")(spark, "/root/testdata/sf0.001")
     q.collect()
