@@ -1583,6 +1583,70 @@ object Search {
     )
   }
 
+  /** RETRIEVAL EVALUATION (the trec_eval core): per-query recall@k,
+    * precision@k, MRR@k and nDCG@k of a run against graded relevance
+    * judgments. `runs` carries (query_id, doc_id, rank) — any route
+    * here produces it — and `qrels` (query_id, doc_id, rel) with
+    * rel ≥ 1 relevant and rel = 0 judged-irrelevant (counts toward
+    * nothing, exactly trec_eval's convention). Queries with no
+    * relevant judgment are dropped (recall undefined — trec_eval's
+    * rule); judged queries with zero hits report zeros.
+    *
+    * Integer-exact in micro units: each DCG term floors
+    * (2^rel − 1) · 10⁶ / log2(rank + 1) before the integer sum, and
+    * nDCG = DCG_micro · 10⁶ div IDCG_micro — one BIGINT division, so
+    * the gate hash-compares engines digit for digit. Joins are
+    * eval-set-scale (runs are pages, qrels are judgments), never
+    * corpus-scale; the per-query window partitions by query_id.
+    */
+  def retrievalEval(runs: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "retrievalEval needs k >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val rel = qrels.select(
+      col("query_id").cast("long").as("query_id"),
+      col("doc_id").cast("long").as("doc_id"),
+      col("rel").cast("long").as("rel")
+    )
+    val relevant = rel.filter(col("rel") >= 1L)
+    val basis = relevant.groupBy("query_id").agg(count(lit(1)).cast("long").as("n_rel"))
+    def dcgTerm(relCol: org.apache.spark.sql.Column, posCol: org.apache.spark.sql.Column) =
+      floor((pow(lit(2.0), relCol) - 1.0) * 1000000.0 / log2(posCol + 1.0)).cast("bigint")
+    val hitAgg = runs
+      .select(
+        col("query_id").cast("long").as("query_id"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("rank").cast("long").as("rank")
+      )
+      .filter(col("rank") <= k.toLong)
+      .join(relevant, Seq("query_id", "doc_id"))
+      .groupBy("query_id")
+      .agg(
+        count(lit(1)).cast("long").as("n_rel_at_k"),
+        min(col("rank")).cast("long").as("first_rel_rank"),
+        sum(dcgTerm(col("rel"), col("rank"))).cast("long").as("dcg_micro")
+      )
+    val ideal = relevant
+      .withColumn(
+        "i",
+        row_number().over(Window.partitionBy(col("query_id")).orderBy(col("rel").desc, col("doc_id").asc))
+      )
+      .filter(col("i") <= k)
+      .groupBy("query_id")
+      .agg(sum(dcgTerm(col("rel"), col("i"))).cast("long").as("idcg_micro"))
+    basis
+      .join(hitAgg, Seq("query_id"), "left")
+      .join(ideal, Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        col("n_rel"),
+        coalesce(col("n_rel_at_k"), lit(0L)).as("n_rel_at_k"),
+        expr(s"coalesce(n_rel_at_k, 0) * 1000000 div n_rel").as("recall_micro"),
+        expr(s"coalesce(n_rel_at_k, 0) * 1000000 div $k").as("precision_micro"),
+        coalesce(expr("1000000 div first_rel_rank"), lit(0L)).as("mrr_micro"),
+        expr("coalesce(dcg_micro, 0) * 1000000 div idcg_micro").as("ndcg_micro")
+      )
+  }
+
   // ---- tombstone deletes & upserts -----------------------------------
   //
   // Deleting (or replacing) documents in a corpus-scale inverted index
@@ -2593,6 +2657,34 @@ object Search {
     * corpus-exact) and the denormalized dl, prefix gates the vocab
     * fold.
     */
+  /** Retrieval-eval fixture: a 3-query run against graded judgments
+    * covering every metric edge — a perfect first hit, a judged-
+    * irrelevant (rel = 0) retrieved doc, a missed relevant doc, a
+    * rank-2-only query, a judged query with ZERO hits, and a query
+    * with only rel = 0 judgments (dropped, trec_eval's rule).
+    */
+  private[ops] val fixtureEvalRuns = Seq(
+    (1L, 101L, 1L), (1L, 102L, 2L), (1L, 103L, 3L), (1L, 110L, 4L),
+    (2L, 201L, 1L), (2L, 202L, 2L),
+    (3L, 301L, 1L)
+  )
+  private[ops] val fixtureEvalQrels = Seq(
+    (1L, 101L, 3L), (1L, 102L, 0L), (1L, 103L, 1L), (1L, 110L, 2L),
+    (2L, 202L, 1L), (2L, 210L, 2L), (2L, 211L, 1L),
+    (3L, 310L, 1L),
+    (4L, 101L, 0L)
+  )
+  private[ops] val fixtureEvalK = 3
+
+  val searchRetrievalEval: Q = (s, _) => {
+    import s.implicits._
+    retrievalEval(
+      fixtureEvalRuns.toDF("query_id", "doc_id", "rank"),
+      fixtureEvalQrels.toDF("query_id", "doc_id", "rel"),
+      fixtureEvalK
+    ).orderBy("query_id")
+  }
+
   /** MLT fixtures: source doc 1 (exists at every SF), Lucene-ish caps. */
   private[ops] val fixtureMltDoc = 1L
   private[ops] val fixtureMltTerms = 5
@@ -4056,6 +4148,7 @@ object Search {
     "search_prefix_appended" -> searchPrefixAppended,
     "search_did_you_mean" -> searchDidYouMean,
     "search_fuzzy_index" -> searchFuzzyIndex,
+    "search_retrieval_eval" -> searchRetrievalEval,
     "search_more_like_this" -> searchMoreLikeThis,
     "search_merged_probe" -> searchMergedProbe,
     "search_merged_bm25" -> searchMergedBm25,
@@ -4712,6 +4805,38 @@ object Search {
     // the MERGED shard index serves the corpus routes' exact pages:
     // conjunctive gates the posting moves, BM25 the meta sums + dl,
     // prefix the vocab fold — three-shard build ≡ one-shot build
+    "search_retrieval_eval" -> {
+      val runsVals = fixtureEvalRuns.map { case (q, dd, r) => s"($q, $dd, $r)" }.mkString(", ")
+      val qrelVals = fixtureEvalQrels.map { case (q, dd, r) => s"($q, $dd, $r)" }.mkString(", ")
+      s"""WITH runs(query_id, doc_id, rank) AS (VALUES $runsVals),
+         |qrels(query_id, doc_id, rel) AS (VALUES $qrelVals),
+         |relv AS (SELECT query_id, doc_id, rel FROM qrels WHERE rel >= 1),
+         |basis AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel FROM relv GROUP BY query_id),
+         |hits AS (
+         |  SELECT r.query_id, r.rank, v.rel FROM runs r
+         |  JOIN relv v USING (query_id, doc_id) WHERE r.rank <= $fixtureEvalK),
+         |ha AS (
+         |  SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel_at_k,
+         |    CAST(min(rank) AS BIGINT) AS first_rel_rank,
+         |    CAST(sum(CAST(floor((pow(2, rel) - 1) * 1000000 / log2(rank + 1)) AS BIGINT)) AS BIGINT) AS dcg_micro
+         |  FROM hits GROUP BY query_id),
+         |ideal0 AS (
+         |  SELECT query_id, rel,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id) AS i
+         |  FROM relv),
+         |ideal AS (
+         |  SELECT query_id,
+         |    CAST(sum(CAST(floor((pow(2, rel) - 1) * 1000000 / log2(i + 1)) AS BIGINT)) AS BIGINT) AS idcg_micro
+         |  FROM ideal0 WHERE i <= $fixtureEvalK GROUP BY query_id)
+         |SELECT CAST(b.query_id AS BIGINT) AS query_id, b.n_rel,
+         |  CAST(coalesce(h.n_rel_at_k, 0) AS BIGINT) AS n_rel_at_k,
+         |  CAST(coalesce(h.n_rel_at_k, 0) * 1000000 // b.n_rel AS BIGINT) AS recall_micro,
+         |  CAST(coalesce(h.n_rel_at_k, 0) * 1000000 // $fixtureEvalK AS BIGINT) AS precision_micro,
+         |  CAST(coalesce(1000000 // h.first_rel_rank, 0) AS BIGINT) AS mrr_micro,
+         |  CAST(coalesce(h.dcg_micro, 0) * 1000000 // i.idcg_micro AS BIGINT) AS ndcg_micro
+         |FROM basis b LEFT JOIN ha h USING (query_id) LEFT JOIN ideal i USING (query_id)
+         |ORDER BY query_id""".stripMargin
+    },
     "search_more_like_this" -> oracleMoreLikeThis,
     "search_merged_probe" -> oracleTermSearch(fixtureAndTerms, requireAll = true),
     "search_merged_bm25" -> oracleBm25,

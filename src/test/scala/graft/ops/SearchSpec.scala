@@ -294,6 +294,32 @@ class SearchSpec extends SparkSpec {
     assert(e.getMessage.contains("not found"), e.getMessage)
   }
 
+  test("retrievalEval: hand-computed recall/precision/MRR/nDCG; rel=0 never counts; no-rel queries dropped") {
+    val runs = Seq((1L, 101L, 1L), (1L, 102L, 2L), (1L, 103L, 3L), (1L, 110L, 4L)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((1L, 101L, 3L), (1L, 102L, 0L), (1L, 103L, 1L), (1L, 110L, 2L), (9L, 5L, 0L))
+      .toDF("query_id", "doc_id", "rel")
+    val r = Search.retrievalEval(runs, qrels, 3).collect()
+    assert(r.length == 1, "only-rel-0 query 9 dropped")
+    val row = r.head
+    assert(row.getAs[Long]("n_rel") == 3L)       // 101, 103, 110 (110 at rank 4 > k missed)
+    assert(row.getAs[Long]("n_rel_at_k") == 2L)
+    assert(row.getAs[Long]("recall_micro") == 2000000L / 3L)
+    assert(row.getAs[Long]("precision_micro") == 2000000L / 3L)
+    assert(row.getAs[Long]("mrr_micro") == 1000000L)
+    // DCG = floor(7e6/log2(2)) + floor(1e6/log2(4)) = 7_000_000 + 500_000
+    // IDCG (rels 3,2,1 at i=1,2,3) = 7_000_000 + floor(3e6/log2(3)) + 500_000
+    val idcg = 7000000L + math.floor(3000000.0 / (math.log(3.0) / math.log(2.0))).toLong + 500000L
+    assert(row.getAs[Long]("ndcg_micro") == 7500000L * 1000000L / idcg)
+    // a judged query with zero hits reports zeros, not absence
+    val r3 = Search.retrievalEval(
+      Seq((7L, 1L, 1L)).toDF("query_id", "doc_id", "rank"),
+      Seq((7L, 2L, 2L)).toDF("query_id", "doc_id", "rel"),
+      3
+    ).collect().head
+    assert(r3.getAs[Long]("recall_micro") == 0L && r3.getAs[Long]("mrr_micro") == 0L &&
+      r3.getAs[Long]("ndcg_micro") == 0L)
+  }
+
   test("conjunctive plan: top-k is TakeOrderedAndProject; contains-prune reaches the scan") {
     val q = Search.queries("search_conjunctive")(spark, "/root/testdata/sf0.001")
     q.collect()
