@@ -49,6 +49,62 @@ object Similarity {
       .limit(k)
   }
 
+  /** ROCCHIO relevance feedback (the classic query rewrite, SMART
+    * weights α/β/γ = 1.0/0.75/0.15): q' = α·q + β·centroid(relevant)
+    * − γ·centroid(non-relevant), then cosine top-k of q' with the
+    * query and feedback vectors excluded (rank the residual
+    * collection). Feedback sets are REQUEST-sized (one page of
+    * clicks), so the centroids compute driver-side in vec_id order —
+    * query-layer work, like every probe-id collect here — and q'
+    * ships into the scan as ONE typed literal; the corpus pass is the
+    * single cosine scan [[cosineTopK]] already pays. At 100 TB swap
+    * the brute-force leg for the IVF route with q' as the probe
+    * vector (the scan seam is identical).
+    */
+  def rocchioTopK(
+      emb: DataFrame,
+      queryId: Long,
+      relIds: Seq[Long],
+      nonRelIds: Seq[Long],
+      k: Int
+  ): DataFrame = {
+    require(relIds.nonEmpty, "rocchio needs at least one relevant vector")
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val e = withVec(emb)
+    def fetch(ids: Seq[Long]): Seq[Array[Double]] =
+      e.filter(col("vec_id").isin(ids: _*))
+        .orderBy("vec_id")
+        .select("v")
+        .collect()
+        .map(_.getSeq[Double](0).toArray)
+        .toSeq
+    val q = fetch(Seq(queryId))
+    require(q.nonEmpty, s"rocchio: query vector $queryId not found")
+    // dimension-wise mean in vec_id order — the one float-op order the
+    // oracle replays (left-to-right sum, one division)
+    def centroid(vs: Seq[Array[Double]]): Array[Double] =
+      Array.tabulate(dims)(i => vs.map(_(i)).sum / vs.size)
+    val rc = centroid(fetch(relIds.sorted))
+    val nc = if (nonRelIds.isEmpty) None else Some(centroid(fetch(nonRelIds.sorted)))
+    val qv = q.head
+    val qp = Array.tabulate(dims) { i =>
+      qv(i) + 0.75 * rc(i) - (nc match { case Some(c) => 0.15 * c(i); case None => 0.0 })
+    }
+    val excluded = (queryId +: (relIds ++ nonRelIds)).distinct
+    e.filter(!col("vec_id").isin(excluded: _*))
+      .withColumn("qv", array(qp.map(lit(_)): _*))
+      .withColumn("cos_sim", round(expr("cosine_sim(v, qv)"), 6))
+      .select(col("vec_id"), col("label"), col("cos_sim"))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(k)
+  }
+
+  private[ops] val fixtureRocchioRel = Seq(3L, 5L)
+  private[ops] val fixtureRocchioNonRel = Seq(7L)
+
+  val annRocchio: Q = (s, d) =>
+    rocchioTopK(embeddings(s, d), 0L, fixtureRocchioRel, fixtureRocchioNonRel, 20)
+
   /** Deterministic hyperplane component (j = plane, k = dimension):
     * integer formula, identical in the DuckDB oracle.
     */
@@ -1731,6 +1787,7 @@ object Similarity {
     "embedding_quality" -> embeddingQuality,
     "dedup_semantic" -> dedupSemantic,
     "ann_cosine_topk" -> annCosineTopk,
+    "ann_rocchio" -> annRocchio,
     "ann_lsh_buckets" -> annLshBuckets,
     "ann_lsh_topk" -> annLshTopk,
     "ann_hard_negatives" -> annHardNegatives,
@@ -1873,6 +1930,30 @@ object Similarity {
          |  round(list_dot_product(v, qv) /
          |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
          |FROM e, q ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+    // Rocchio: q' rebuilt in SQL with the same float-op order (vec_id-
+    // ordered centroid sums, same α/β/γ term order), feedback excluded
+    "ann_rocchio" -> {
+      val rel = fixtureRocchioRel.sorted
+      val non = fixtureRocchioNonRel.sorted
+      val relCtes = rel.zipWithIndex.map { case (id, j) => s"rv$j AS (SELECT v AS r$j FROM e WHERE vec_id = $id)" }
+      val nonCtes = non.zipWithIndex.map { case (id, j) => s"nv$j AS (SELECT v AS n$j FROM e WHERE vec_id = $id)" }
+      val relSum = rel.indices.map(j => s"r$j[i]").mkString(" + ")
+      val nonSum = non.indices.map(j => s"n$j[i]").mkString(" + ")
+      val nonTerm = if (non.isEmpty) "" else s" - 0.15 * (($nonSum) / ${non.size}.0)"
+      val fromAll = (Seq("q") ++ rel.indices.map(j => s"rv$j") ++ non.indices.map(j => s"nv$j")).mkString(", ")
+      val excl = (0L +: (rel ++ non)).distinct.mkString(", ")
+      s"""$cosSqlBase,
+         |${(relCtes ++ nonCtes).mkString(",\n")},
+         |qp AS (
+         |  SELECT list_transform(range(1, ${dims + 1}),
+         |    i -> qv[i] + 0.75 * (($relSum) / ${rel.size}.0)$nonTerm) AS pv
+         |  FROM $fromAll)
+         |SELECT vec_id, label,
+         |  round(list_dot_product(v, pv) /
+         |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(pv, pv))), 6) AS cos_sim
+         |FROM e, qp WHERE vec_id NOT IN ($excl)
+         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin
+    },
     // vector deletes: brute force over the LIVE vectors only — shared
     // by the tombstone-served and the post-purge probe
     "ann_delete_topk" -> oracleDeleteCosineTopk,

@@ -16,6 +16,27 @@ class SimilarityIvfSpec extends SparkSpec {
     assert(lists.map(_.getAs[Long]("count")).sum == total)
   }
 
+  test("rocchioTopK: feedback pulls the ranking toward the relevant centroid, feedback ids excluded") {
+    val emb = Fixtures.embeddings(spark, dir)
+    val fed = Similarity.rocchioTopK(emb, 0L, Seq(3L, 5L), Seq(7L), 20).collect()
+    val ids = fed.map(_.getAs[Long]("vec_id"))
+    // the query and every feedback vector are excluded from the page
+    assert(Set(0L, 3L, 5L, 7L).intersect(ids.toSet).isEmpty)
+    assert(ids.length == 20)
+    // cosines are sorted desc with the deterministic id tiebreak
+    val sims = fed.map(_.getAs[Double]("cos_sim"))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    // feedback MOVES the ranking: q' differs from q unless the
+    // centroids cancel exactly (they don't on real vectors)
+    val plain = Similarity.cosineTopK(emb, 0L, 24).collect()
+      .map(_.getAs[Long]("vec_id")).filterNot(Set(0L, 3L, 5L, 7L)).take(20)
+    assert(!(ids.toSeq == plain.toSeq), "feedback must re-rank, not echo the plain page")
+    // with no relevant vectors the rewrite is undefined — loud failure
+    intercept[IllegalArgumentException] {
+      Similarity.rocchioTopK(emb, 0L, Nil, Seq(7L), 5)
+    }
+  }
+
   test("IVF top-k recall vs brute force is reasonable at nProbe=4/8") {
     val emb = Fixtures.embeddings(spark, dir)
     val brute = Similarity
