@@ -1536,6 +1536,130 @@ object Search {
     else termSearchFromIndex(s, indexDir, terms, k, requireAll = false)
   }
 
+  /** SYNONYM-GROUP search (Lucene's query-time SynonymGraphFilter
+    * semantics): the query is a sequence of GROUPS of interchangeable
+    * terms, and each group scores as ONE logical term — per doc the
+    * group tf is the SUM over member tokens, the group df counts docs
+    * containing ANY member, idf comes from the group df, and the
+    * AND/OR gate counts GROUPS matched, not tokens. The synonym table
+    * is config-scale (query-layer data); the corpus pays the ordinary
+    * coarse-then-exact pass with the prune = AND-over-groups of
+    * OR-over-members contains predicates (conjunctive) — still
+    * scan-level pushdown. Group df passes are group-count-bounded,
+    * like [[termSearch]]'s per-term df passes.
+    */
+  def synonymSearch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      groups: Seq[Seq[String]],
+      k: Int,
+      requireAll: Boolean
+  ): DataFrame = {
+    val (gmap, all) = synonymGroupMap(docs.sparkSession, groups)
+    val groupContains =
+      groups.map(g => g.map(t => col(textCol).contains(t)).reduce(_ || _))
+    val pruned = docs.filter(
+      if (requireAll) groupContains.reduce(_ && _) else groupContains.reduce(_ || _)
+    )
+    val cp = postings(pruned, idCol, textCol)
+      .filter(col("token").isin(all: _*))
+      .join(broadcast(gmap), "token")
+      .groupBy(col("gid"), col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("tf"))
+    val nDocs = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+    val dfModel = groups.zipWithIndex
+      .map { case (g, gid) =>
+        postings(docs.filter(g.map(t => col(textCol).contains(t)).reduce(_ || _)), idCol, textCol)
+          .filter(col("token").isin(g: _*))
+          .agg(countDistinct(col("doc_id")).cast("long").as("df"))
+          .select(lit(gid.toLong).as("gid"), col("df"))
+      }
+      .reduce(_ union _)
+      .crossJoin(broadcast(nDocs))
+      .withColumn(
+        "idf_micro",
+        floor(log((col("n_docs") + 1).cast("double") / (col("df") + 1)) * 1000000L).cast("bigint")
+      )
+      .select(col("gid"), col("idf_micro"))
+    scoreSynonymGroups(cp, dfModel, groups.size, k, requireAll)
+  }
+
+  /** [[synonymSearch]] served from the persisted index: bucket dirs
+    * pruned to the UNION of every group's members, tokens mapped to
+    * their group in-plan, group df = distinct docs over the pruned
+    * live rows (= corpus group df), N from meta — same page, index
+    * I/O.
+    */
+  def synonymSearchFromIndex(
+      s: SparkSession,
+      indexDir: String,
+      groups: Seq[Seq[String]],
+      k: Int,
+      requireAll: Boolean
+  ): DataFrame = {
+    val (gmap, all) = synonymGroupMap(s, groups)
+    val buckets = all.map(tokenBucket).distinct
+    val p = liveRows(
+      s,
+      indexDir,
+      s.read
+        .schema(postingsSchema)
+        .parquet(s"$indexDir/postings")
+        .filter(col("tbucket").isin(buckets: _*) && col("token").isin(all: _*))
+    ).join(broadcast(gmap), "token")
+    val cp = p
+      .groupBy(col("gid"), col("doc_id"))
+      .agg(sum(col("tf")).cast("long").as("tf"))
+    val nDocs = readMeta(s, indexDir)._1
+    val dfModel = p
+      .groupBy(col("gid"))
+      .agg(countDistinct(col("doc_id")).cast("long").as("df"))
+      .withColumn(
+        "idf_micro",
+        floor(log(lit(nDocs + 1).cast("double") / (col("df") + 1)) * 1000000L).cast("bigint")
+      )
+      .select(col("gid"), col("idf_micro"))
+    scoreSynonymGroups(cp, dfModel, groups.size, k, requireAll)
+  }
+
+  /** (token → gid) mapping relation + flat member list; fails loudly
+    * on a term in two groups (the mapping would be ambiguous).
+    */
+  private def synonymGroupMap(
+      s: SparkSession,
+      groups: Seq[Seq[String]]
+  ): (DataFrame, Seq[String]) = {
+    require(groups.nonEmpty && groups.forall(_.nonEmpty), "synonym search needs non-empty groups")
+    val all = groups.flatten
+    require(all.distinct.size == all.size, s"a term appears in two synonym groups: $groups")
+    import s.implicits._
+    val gmap = groups.zipWithIndex
+      .flatMap { case (g, gid) => g.map(t => (t, gid.toLong)) }
+      .toDF("token", "gid")
+    (gmap, all)
+  }
+
+  private def scoreSynonymGroups(
+      cp: DataFrame,
+      dfModel: DataFrame,
+      nGroups: Int,
+      k: Int,
+      requireAll: Boolean
+  ): DataFrame = {
+    val scored = cp
+      .join(broadcast(dfModel), "gid")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_matched"),
+        sum(col("tf") * col("idf_micro")).cast("long").as("score_micro")
+      )
+      .filter(
+        if (requireAll) col("n_matched") === nGroups.toLong else col("n_matched") >= 1L
+      )
+    rankTop(scored, "score_micro", k)
+  }
+
   /** MORE-LIKE-THIS, served end-to-end from persisted artifacts
     * (Lucene's MLT shape): the source document's text comes from the
     * doc store PRUNED to its one bucket dir; its terms rank by
@@ -2657,6 +2781,21 @@ object Search {
     * corpus-exact) and the denormalized dl, prefix gates the vocab
     * fold.
     */
+  /** Synonym fixture: {fast, slow} fold into one logical term (both
+    * corpus tokens, so the group ACTUALLY merges tf and df) AND-ed
+    * with the singleton {big}.
+    */
+  private[ops] val fixtureSynGroups = Seq(Seq("fast", "slow"), Seq("big"))
+
+  val searchSynonym: Q = (s, d) =>
+    synonymSearch(documents(s, d), "doc_id", "text", fixtureSynGroups, topK, requireAll = true)
+      .orderBy("rank")
+
+  /** Index twin, sharing search_synonym's oracle. */
+  val searchSynonymIndex: Q = (s, d) =>
+    synonymSearchFromIndex(s, demoSearchIndexDir(s, d), fixtureSynGroups, topK, requireAll = true)
+      .orderBy("rank")
+
   /** Retrieval-eval fixture: a 3-query run against graded judgments
     * covering every metric edge — a perfect first hit, a judged-
     * irrelevant (rel = 0) retrieved doc, a missed relevant doc, a
@@ -4148,6 +4287,8 @@ object Search {
     "search_prefix_appended" -> searchPrefixAppended,
     "search_did_you_mean" -> searchDidYouMean,
     "search_fuzzy_index" -> searchFuzzyIndex,
+    "search_synonym" -> searchSynonym,
+    "search_synonym_index" -> searchSynonymIndex,
     "search_retrieval_eval" -> searchRetrievalEval,
     "search_more_like_this" -> searchMoreLikeThis,
     "search_merged_probe" -> searchMergedProbe,
@@ -4341,6 +4482,52 @@ object Search {
        |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rank
        |  FROM scored)
        |SELECT rank, doc_id, score_micro FROM ranked WHERE rank <= $topK ORDER BY rank""".stripMargin
+
+  /** Synonym-group oracle: each group scores as one logical term —
+    * member tf summed, df = docs containing ANY member, gate counts
+    * groups — replayed with explicit member lists.
+    */
+  private lazy val oracleSynonym: String = {
+    val groups = fixtureSynGroups
+    val caseArms = groups.zipWithIndex
+      .map { case (g, gid) => s"WHEN token IN (${g.map(sqlLit).mkString(", ")}) THEN $gid" }
+      .mkString(" ")
+    val allList = groups.flatten.map(sqlLit).mkString(", ")
+    val prune = groups
+      .map(g => "(" + g.map(t => s"contains(text, ${sqlLit(t)})").mkString(" OR ") + ")")
+      .mkString(" AND ")
+    val dfArms = groups.zipWithIndex
+      .map { case (g, gid) =>
+        val orC = g.map(t => s"contains(text, ${sqlLit(t)})").mkString(" OR ")
+        s"""SELECT $gid AS gid, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           |    FROM documents WHERE $orC) x
+           |  WHERE token IN (${g.map(sqlLit).mkString(", ")})""".stripMargin
+      }
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH cand AS (SELECT doc_id, text FROM documents WHERE $prune),
+       |c0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM cand),
+       |cp0 AS (
+       |  SELECT doc_id, CASE $caseArms END AS gid FROM c0 WHERE token IN ($allList)),
+       |cp AS (SELECT gid, doc_id, CAST(count(*) AS BIGINT) AS tf FROM cp0 GROUP BY gid, doc_id),
+       |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       |dfm AS (
+       |  $dfArms),
+       |model AS (
+       |  SELECT gid,
+       |    CAST(floor(ln(((SELECT n_docs FROM nd) + 1) / CAST(df + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS idf_micro
+       |  FROM dfm),
+       |scored AS (
+       |  SELECT cp.doc_id, count(*) AS n_matched,
+       |    CAST(sum(cp.tf * m.idf_micro) AS BIGINT) AS score_micro
+       |  FROM cp JOIN model m USING (gid)
+       |  GROUP BY cp.doc_id HAVING count(*) = ${groups.size}),
+       |ranked AS (
+       |  SELECT doc_id, score_micro,
+       |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT rank, doc_id, score_micro FROM ranked WHERE rank <= $topK ORDER BY rank""".stripMargin
+  }
 
   /** More-like-this oracle: the source doc's terms rank by tf · the
     * SAME micro-idf the selection pass uses, the top maxQueryTerms
@@ -4805,6 +4992,9 @@ object Search {
     // the MERGED shard index serves the corpus routes' exact pages:
     // conjunctive gates the posting moves, BM25 the meta sums + dl,
     // prefix the vocab fold — three-shard build ≡ one-shot build
+    // synonym groups: corpus and index routes share the gate
+    "search_synonym" -> oracleSynonym,
+    "search_synonym_index" -> oracleSynonym,
     "search_retrieval_eval" -> {
       val runsVals = fixtureEvalRuns.map { case (q, dd, r) => s"($q, $dd, $r)" }.mkString(", ")
       val qrelVals = fixtureEvalQrels.map { case (q, dd, r) => s"($q, $dd, $r)" }.mkString(", ")

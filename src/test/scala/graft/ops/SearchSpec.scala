@@ -320,6 +320,35 @@ class SearchSpec extends SparkSpec {
       r3.getAs[Long]("ndcg_micro") == 0L)
   }
 
+  test("synonymSearch: a group scores as one term (tf summed, df = any-member docs), gate counts groups") {
+    val docs = Seq(
+      (1L, "fast big"),       // member 'fast' + group 2
+      (2L, "quick big"),      // member 'quick' + group 2
+      (3L, "fast quick big"), // both members: tf must SUM, not double-count the gate
+      (4L, "fast only"),      // group 1 only — conjunctive drops it
+      (5L, "big only")        // group 2 only
+    ).toDF("doc_id", "text")
+    val groups = Seq(Seq("fast", "quick"), Seq("big"))
+    val got = Search.synonymSearch(docs, "doc_id", "text", groups, 10, requireAll = true).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_micro")).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), got.toString)
+    // group df = 4 docs contain fast OR quick; both single-member docs
+    // share one idf → equal group-1 contributions
+    val idf1 = math.floor(math.log(6.0 / 5.0) * 1000000L).toLong // df=4, N=5
+    val idf2 = math.floor(math.log(6.0 / 5.0) * 1000000L).toLong // 'big' df=4 too
+    assert(got(1L) == idf1 + idf2 && got(1L) == got(2L))
+    assert(got(3L) == 2 * idf1 + idf2, "doc 3's group tf is the SUM over members")
+    // a term in two groups is ambiguous — loud failure
+    intercept[IllegalArgumentException] {
+      Search.synonymSearch(docs, "doc_id", "text", Seq(Seq("fast"), Seq("fast", "big")), 10, requireAll = true)
+    }
+    // index twin equals the corpus route on the fixture corpus
+    val d = "/root/testdata/sf0.001"
+    val corpus = Search.queries("search_synonym")(spark, d).collect().toSeq
+    val index = Search.queries("search_synonym_index")(spark, d).collect().toSeq
+    assert(corpus.nonEmpty && corpus == index)
+  }
+
   test("conjunctive plan: top-k is TakeOrderedAndProject; contains-prune reaches the scan") {
     val q = Search.queries("search_conjunctive")(spark, "/root/testdata/sf0.001")
     q.collect()
