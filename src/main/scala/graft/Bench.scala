@@ -130,6 +130,7 @@ object Bench {
       "search_prefix_index" -> "first_run",
       "search_did_you_mean" -> "first_run",
       "search_fuzzy_index" -> "first_run",
+      "search_wildcard_index" -> "first_run",
       // builds its own evens+odds-append (uncompacted) demo index
       "search_prefix_appended" -> "first_run",
       // shares the demo index + doc store builds

@@ -1461,6 +1461,54 @@ object Search {
     rankTop(scored, "score_micro", k)
   }
 
+  /** WILDCARD search (Lucene's WildcardQuery under the capped
+    * rewrite): the pattern uses `*` (any run) and `?` (one char),
+    * translated to a SQL LIKE over the types-scale vocab — a leading
+    * wildcard is merely a full dictionary pass here, not the
+    * index-killer it is for a term-ordered trie. Expansion ranked
+    * (df desc, token asc) and capped, then the standard pruned-bucket
+    * disjunctive scoring; literal `%`/`_` in the pattern are escaped
+    * so they match themselves.
+    */
+  def wildcardSearchFromIndex(
+      s: SparkSession,
+      indexDir: String,
+      pattern: String,
+      maxExpand: Int,
+      k: Int,
+      analyzed: Boolean = false
+  ): DataFrame = {
+    require(pattern.nonEmpty, "wildcard search needs a non-empty pattern")
+    // analyzed mode applies the analyzer's CASE fold to the pattern
+    // (edge-punct stripping is meaningless across wildcard metachars -
+    // an analyzed dictionary has no edge punctuation to match anyway)
+    val p = if (analyzed) pattern.toLowerCase else pattern
+    val terms = vocabRows(s, indexDir, analyzed)
+      .filter(col("token").like(likePattern(p)))
+      .orderBy(col("df").desc, col("token").asc)
+      .limit(maxExpand)
+      .select("token")
+      .collect()
+      .map(_.getString(0))
+      .toSeq
+    if (terms.isEmpty) emptyHits(s)
+    else if (analyzed) analyzedFromIndex(s, indexDir, terms, k, requireAll = false)
+    else termSearchFromIndex(s, indexDir, terms, k, requireAll = false)
+  }
+
+  /** Glob-style pattern → LIKE pattern: literal %/_/\ escaped (both
+    * engines read backslash as the escape here), * → %, ? → _.
+    */
+  private[ops] def likePattern(p: String): String =
+    p.flatMap {
+      case '\\' => "\\\\"
+      case '%'  => "\\%"
+      case '_'  => "\\_"
+      case '*'  => "%"
+      case '?'  => "_"
+      case c    => c.toString
+    }
+
   /** Dictionary terms within edit distance maxDist of `term`, ranked
     * (dist asc, df desc, token asc), top maxExpand. The length band
     * |len(token) − len(term)| ≤ maxDist is a NECESSARY condition for
@@ -2764,6 +2812,21 @@ object Search {
   val searchDidYouMean: Q = (s, d) =>
     didYouMean(s, demoSearchIndexDir(s, d), fixtureTypo, fixtureFuzzyDist, fixtureDymN)
       .orderBy("rank")
+
+  /** Wildcard fixture: "s*a*" matches scan/small/spark/stream (4
+    * terms) so maxExpand = 3 BINDS the cap.
+    */
+  private[ops] val fixtureWildcard = "s*a*"
+  private[ops] val fixtureWildcardExpand = 3
+
+  val searchWildcardIndex: Q = (s, d) =>
+    wildcardSearchFromIndex(
+      s,
+      demoSearchIndexDir(s, d),
+      fixtureWildcard,
+      fixtureWildcardExpand,
+      topK
+    ).orderBy("rank")
 
   val searchFuzzyIndex: Q = (s, d) =>
     fuzzySearchFromIndex(
@@ -4287,6 +4350,7 @@ object Search {
     "search_prefix_appended" -> searchPrefixAppended,
     "search_did_you_mean" -> searchDidYouMean,
     "search_fuzzy_index" -> searchFuzzyIndex,
+    "search_wildcard_index" -> searchWildcardIndex,
     "search_synonym" -> searchSynonym,
     "search_synonym_index" -> searchSynonymIndex,
     "search_retrieval_eval" -> searchRetrievalEval,
@@ -4438,6 +4502,14 @@ object Search {
          |    FROM v WHERE abs(length(token) - ${fixtureFuzzyTerm.length}) <= $fixtureFuzzyDist) x
          |  WHERE dist <= $fixtureFuzzyDist
          |  ORDER BY dist, df DESC, token LIMIT $fixtureFuzzyExpand)""".stripMargin
+    )
+
+  private lazy val oracleWildcardSearch: String =
+    oracleExpansionSearch(
+      s"""exp AS (
+         |  SELECT token, df FROM v
+         |  WHERE token LIKE ${sqlLit(likePattern(fixtureWildcard))} ESCAPE '\\'
+         |  ORDER BY df DESC, token LIMIT $fixtureWildcardExpand)""".stripMargin
     )
 
   /** The ANALYZED dictionary over the damaged corpus: damage, analyze
@@ -4989,9 +5061,7 @@ object Search {
     "search_prefix_index" -> oraclePrefixSearch,
     "search_prefix_appended" -> oraclePrefixSearch,
     "search_fuzzy_index" -> oracleFuzzySearch,
-    // the MERGED shard index serves the corpus routes' exact pages:
-    // conjunctive gates the posting moves, BM25 the meta sums + dl,
-    // prefix the vocab fold — three-shard build ≡ one-shot build
+    "search_wildcard_index" -> oracleWildcardSearch,
     // synonym groups: corpus and index routes share the gate
     "search_synonym" -> oracleSynonym,
     "search_synonym_index" -> oracleSynonym,
@@ -5028,6 +5098,9 @@ object Search {
          |ORDER BY query_id""".stripMargin
     },
     "search_more_like_this" -> oracleMoreLikeThis,
+    // the MERGED shard index serves the corpus routes' exact pages:
+    // conjunctive gates the posting moves, BM25 the meta sums + dl,
+    // prefix the vocab fold — three-shard build ≡ one-shot build
     "search_merged_probe" -> oracleTermSearch(fixtureAndTerms, requireAll = true),
     "search_merged_bm25" -> oracleBm25,
     "search_merged_prefix" -> oraclePrefixSearch,

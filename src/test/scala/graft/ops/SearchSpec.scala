@@ -349,6 +349,25 @@ class SearchSpec extends SparkSpec {
     assert(corpus.nonEmpty && corpus == index)
   }
 
+  test("wildcardSearchFromIndex: * and ? translate, literal % matches itself, cap binds") {
+    val docs = Seq(
+      (1L, "ca5t cat coat c%t"),
+      (2L, "cat cut"),
+      (3L, "dog")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_wild").toString + "/idx"
+    Search.saveSearchIndex(docs, "doc_id", "text", dir)
+    def ids(pattern: String, maxExpand: Int = 8) =
+      Search.wildcardSearchFromIndex(spark, dir, pattern, maxExpand, 10).collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+    assert(ids("c?t") == Set(1L, 2L), "c?t matches cat and cut and c%t")
+    assert(ids("c*t") == Set(1L, 2L), "c*t adds coat and ca5t")
+    assert(ids("c%t") == Set(1L), "literal % escaped: only the c%t token's doc")
+    assert(ids("zz*").isEmpty)
+    // likePattern translation is exact
+    assert(Search.likePattern("a*b?c%d_e\\f") == "a%b_c\\%d\\_e\\\\f")
+  }
+
   test("conjunctive plan: top-k is TakeOrderedAndProject; contains-prune reaches the scan") {
     val q = Search.queries("search_conjunctive")(spark, "/root/testdata/sf0.001")
     q.collect()
