@@ -137,6 +137,8 @@ object Bench {
       "search_more_like_this" -> "first_run",
       // shares the once-per-process postings index build
       "search_synonym_index" -> "first_run",
+      "search_boolean_not_index" -> "first_run",
+      "search_proximity_index" -> "first_run",
       // build three shard indexes + merge them once per process
       "search_merged_probe" -> "first_run",
       "search_merged_bm25" -> "first_run",

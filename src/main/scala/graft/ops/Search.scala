@@ -265,7 +265,8 @@ object Search {
       terms: Seq[String],
       k: Int,
       requireAll: Boolean,
-      minMatched: Int = 1
+      minMatched: Int = 1,
+      exclude: Option[DataFrame] = None
   ): DataFrame = {
     require(terms.nonEmpty, "term search needs at least one term")
     require(
@@ -314,7 +315,10 @@ object Search {
         if (requireAll) col("n_matched") === terms.size.toLong
         else col("n_matched") >= minMatched.toLong
       )
-    rankTop(scored, "score_micro", k)
+    // must-not exclusion BEFORE the page is cut, so rank k+1 can
+    // enter the page (a post-rank anti-join would leave short pages)
+    val gated = exclude.fold(scored)(e => scored.join(broadcast(e), Seq("doc_id"), "left_anti"))
+    rankTop(gated, "score_micro", k)
   }
 
   /** MIN-SHOULD-MATCH search (the `minimum_should_match` knob every
@@ -647,7 +651,8 @@ object Search {
       terms: Seq[String],
       k: Int,
       requireAll: Boolean,
-      minMatched: Int = 1
+      minMatched: Int = 1,
+      exclude: Option[DataFrame] = None
   ): DataFrame = {
     require(terms.nonEmpty, "term search needs at least one term")
     require(
@@ -683,7 +688,8 @@ object Search {
         if (requireAll) col("n_matched") === terms.size.toLong
         else col("n_matched") >= minMatched.toLong
       )
-    rankTop(scored, "score_micro", k)
+    val gated = exclude.fold(scored)(e => scored.join(broadcast(e), Seq("doc_id"), "left_anti"))
+    rankTop(gated, "score_micro", k)
   }
 
   /** [[minShouldMatchSearch]] served from the persisted index: the
@@ -820,6 +826,65 @@ object Search {
         .filter(col("tbucket").isin(buckets: _*) && col("token").isin(distinctTerms: _*))
     ).select(col("token"), col("doc_id"), col("pos"))
     phraseFoldOverPositions(pos, terms)
+  }
+
+  /** PROXIMITY search (the unordered sloppy pair — "hash NEAR/3
+    * join"): documents where the two terms occur within `slop` token
+    * positions of each other, n_pairs counting the qualifying
+    * position pairs (the multiset convention the phrase routes use).
+    * The pair join is per-document over the two terms' OWN positions
+    * — bounded by the terms' occurrence counts, never a corpus
+    * self-join; position-difference semantics are offset-convention-
+    * free, so corpus (0-based) and oracle (1-based) agree by
+    * construction.
+    */
+  def proximitySearch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      first: String,
+      second: String,
+      slop: Int
+  ): DataFrame = {
+    require(first != second, "proximity needs two distinct terms")
+    require(slop >= 1, "proximity needs slop >= 1")
+    val pruned = docs.filter(col(textCol).contains(first) && col(textCol).contains(second))
+    val pos = positionalPostings(pruned, idCol, textCol)
+    proximityPairs(pos, first, second, slop)
+  }
+
+  /** [[proximitySearch]] served from the persisted positional
+    * postings: the two terms' bucket dirs prune the scan statically,
+    * then the identical per-document pair join.
+    */
+  def proximityFromIndex(
+      s: SparkSession,
+      indexDir: String,
+      first: String,
+      second: String,
+      slop: Int
+  ): DataFrame = {
+    require(first != second, "proximity needs two distinct terms")
+    require(slop >= 1, "proximity needs slop >= 1")
+    val buckets = Seq(first, second).map(tokenBucket).distinct
+    val pos = liveRows(
+      s,
+      indexDir,
+      s.read
+        .schema(positionsSchema)
+        .parquet(s"$indexDir/positions")
+        .filter(col("tbucket").isin(buckets: _*) && col("token").isin(first, second))
+    ).select(col("token"), col("doc_id"), col("pos"))
+    proximityPairs(pos, first, second, slop)
+  }
+
+  private def proximityPairs(pos: DataFrame, first: String, second: String, slop: Int): DataFrame = {
+    val p1 = pos.filter(col("token") === first).select(col("doc_id"), col("pos").as("p1"))
+    val p2 = pos.filter(col("token") === second).select(col("doc_id"), col("pos").as("p2"))
+    p1.join(p2, "doc_id")
+      .filter(abs(col("p1") - col("p2")) <= slop.toLong)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"))
   }
 
   /** The rarest-first equi-join fold shared by the raw and ANALYZED
@@ -1582,6 +1647,61 @@ object Search {
     if (terms.isEmpty) emptyHits(s)
     else if (analyzed) analyzedFromIndex(s, indexDir, terms, k, requireAll = false)
     else termSearchFromIndex(s, indexDir, terms, k, requireAll = false)
+  }
+
+  /** BOOLEAN must/must-not search (the NOT clause that completes the
+    * AND/OR/≥m family): a doc qualifies iff it matches EVERY must term
+    * and NO must-not term — exact-token exclusion, so "windowpane"
+    * never wrongly excludes a NOT-"window" query (a NOT-contains prune
+    * would). Scoring is the conjunctive accumulation over the must
+    * terms only; the exclusion is one left-anti join against the
+    * must-not terms' exact-token doc set (contains-pruned, so the
+    * exclusion pass is candidate-sized).
+    */
+  def booleanSearch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      must: Seq[String],
+      mustNot: Seq[String],
+      k: Int
+  ): DataFrame = {
+    require(must.nonEmpty, "boolean search needs at least one must term")
+    require(mustNot.nonEmpty, "boolean search with no must-not terms IS conjunctiveSearch")
+    require(must.intersect(mustNot).isEmpty, s"terms in both must and mustNot: $must vs $mustNot")
+    val excluded = postings(
+      docs.filter(mustNot.map(t => col(textCol).contains(t)).reduce(_ || _)),
+      idCol,
+      textCol
+    ).filter(col("token").isin(mustNot: _*)).select(col("doc_id")).distinct()
+    termSearch(docs, idCol, textCol, must, k, requireAll = true, exclude = Some(excluded))
+  }
+
+  /** [[booleanSearch]] served from the persisted index: the must-not
+    * terms' bucket dirs prune the exclusion read exactly like the
+    * scoring read — the anti-join's build side is
+    * excluded-docs-sized.
+    */
+  def booleanSearchFromIndex(
+      s: SparkSession,
+      indexDir: String,
+      must: Seq[String],
+      mustNot: Seq[String],
+      k: Int
+  ): DataFrame = {
+    require(must.nonEmpty, "boolean search needs at least one must term")
+    require(mustNot.nonEmpty, "boolean search with no must-not terms IS conjunctiveFromIndex")
+    require(must.intersect(mustNot).isEmpty, s"terms in both must and mustNot: $must vs $mustNot")
+    val buckets = mustNot.map(tokenBucket).distinct
+    val excluded = liveRows(
+      s,
+      indexDir,
+      s.read
+        .schema(postingsSchema)
+        .parquet(s"$indexDir/postings")
+        .filter(col("tbucket").isin(buckets: _*) && col("token").isin(mustNot: _*))
+    ).select(col("doc_id")).distinct()
+    termSearchFromIndex(s, indexDir, must, k, requireAll = true, exclude = Some(excluded))
   }
 
   /** SYNONYM-GROUP search (Lucene's query-time SynonymGraphFilter
@@ -2844,6 +2964,34 @@ object Search {
     * corpus-exact) and the denormalized dl, prefix gates the vocab
     * fold.
     */
+  /** Boolean fixture: must both of (dup, spark), must-not merge —
+    * non-degenerate (excludes some but not all) at every fixture SF.
+    */
+  private[ops] val fixtureMustNot = Seq("merge")
+
+  val searchBooleanNot: Q = (s, d) =>
+    booleanSearch(documents(s, d), "doc_id", "text", fixtureAndTerms, fixtureMustNot, topK)
+      .orderBy("rank")
+
+  /** Index twin, sharing search_boolean_not's oracle. */
+  val searchBooleanNotIndex: Q = (s, d) =>
+    booleanSearchFromIndex(s, demoSearchIndexDir(s, d), fixtureAndTerms, fixtureMustNot, topK)
+      .orderBy("rank")
+
+  /** Proximity fixture: the phrase pair at slop 3 — matches strictly
+    * more docs than the exact phrase (adjacency is slop ≤ 1 here),
+    * so the gate differs from search_phrase.
+    */
+  private[ops] val fixtureSlop = 3
+
+  val searchProximity: Q = (s, d) =>
+    proximitySearch(documents(s, d), "doc_id", "text", fixturePhrase._1, fixturePhrase._2, fixtureSlop)
+      .orderBy("doc_id")
+
+  val searchProximityIndex: Q = (s, d) =>
+    proximityFromIndex(s, demoSearchIndexDir(s, d), fixturePhrase._1, fixturePhrase._2, fixtureSlop)
+      .orderBy("doc_id")
+
   /** Synonym fixture: {fast, slow} fold into one logical term (both
     * corpus tokens, so the group ACTUALLY merges tf and df) AND-ed
     * with the singleton {big}.
@@ -4353,6 +4501,10 @@ object Search {
     "search_wildcard_index" -> searchWildcardIndex,
     "search_synonym" -> searchSynonym,
     "search_synonym_index" -> searchSynonymIndex,
+    "search_boolean_not" -> searchBooleanNot,
+    "search_boolean_not_index" -> searchBooleanNotIndex,
+    "search_proximity" -> searchProximity,
+    "search_proximity_index" -> searchProximityIndex,
     "search_retrieval_eval" -> searchRetrievalEval,
     "search_more_like_this" -> searchMoreLikeThis,
     "search_merged_probe" -> searchMergedProbe,
@@ -4554,6 +4706,46 @@ object Search {
        |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rank
        |  FROM scored)
        |SELECT rank, doc_id, score_micro FROM ranked WHERE rank <= $topK ORDER BY rank""".stripMargin
+
+  /** Boolean must-not oracle: the conjunctive chain filtered by an
+    * exact-token NOT EXISTS over the must-not terms, BEFORE the
+    * ranking — so rank k+1 enters the page when an excluded doc
+    * leaves it.
+    */
+  private lazy val oracleBooleanNot: String = {
+    val notList = fixtureMustNot.map(sqlLit).mkString(", ")
+    val notContains = fixtureMustNot.map(t => s"contains(text, ${sqlLit(t)})").mkString(" OR ")
+    s"""WITH ${oracleTermSearchChain(fixtureAndTerms, requireAll = true)},
+       |excl AS (
+       |  SELECT DISTINCT doc_id FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |    FROM documents WHERE $notContains) x
+       |  WHERE token IN ($notList)),
+       |kept AS (SELECT doc_id, score_micro FROM scored WHERE doc_id NOT IN (SELECT doc_id FROM excl)),
+       |reranked AS (
+       |  SELECT doc_id, score_micro,
+       |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM kept)
+       |SELECT rank, doc_id, score_micro FROM reranked WHERE rank <= $topK ORDER BY rank""".stripMargin
+  }
+
+  /** Proximity oracle: the positional chain, pair join with the
+    * |Δpos| ≤ slop gate, pair count per doc.
+    */
+  private lazy val oracleProximity: String = {
+    val (t1, t2) = fixturePhrase
+    s"""WITH pt AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks, len(string_split(text, ' ')) AS n
+       |  FROM documents
+       |  WHERE contains(text, ${sqlLit(t1)}) AND contains(text, ${sqlLit(t2)})),
+       |ps AS (SELECT doc_id, toks, unnest(generate_series(1, n, 1)) AS pos FROM pt),
+       |px AS (SELECT doc_id, pos, toks[pos] AS token FROM ps),
+       |a AS (SELECT doc_id, pos FROM px WHERE token = ${sqlLit(t1)}),
+       |b AS (SELECT doc_id, pos FROM px WHERE token = ${sqlLit(t2)})
+       |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM a JOIN b ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) <= $fixtureSlop
+       |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin
+  }
 
   /** Synonym-group oracle: each group scores as one logical term —
     * member tf summed, df = docs containing ANY member, gate counts
@@ -5065,6 +5257,12 @@ object Search {
     // synonym groups: corpus and index routes share the gate
     "search_synonym" -> oracleSynonym,
     "search_synonym_index" -> oracleSynonym,
+    // boolean NOT: exact-token exclusion before the ranking
+    "search_boolean_not" -> oracleBooleanNot,
+    "search_boolean_not_index" -> oracleBooleanNot,
+    // unordered proximity at slop 3 — strictly wider than the phrase
+    "search_proximity" -> oracleProximity,
+    "search_proximity_index" -> oracleProximity,
     "search_retrieval_eval" -> {
       val runsVals = fixtureEvalRuns.map { case (q, dd, r) => s"($q, $dd, $r)" }.mkString(", ")
       val qrelVals = fixtureEvalQrels.map { case (q, dd, r) => s"($q, $dd, $r)" }.mkString(", ")

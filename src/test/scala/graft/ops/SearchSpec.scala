@@ -368,6 +368,56 @@ class SearchSpec extends SparkSpec {
     assert(Search.likePattern("a*b?c%d_e\\f") == "a%b_c\\%d\\_e\\\\f")
   }
 
+  test("booleanSearch: exact-token NOT, substring non-exclusion, rank k+1 promotion, index twin equal") {
+    val docs = Seq(
+      (1L, "cat dog bird"),       // must both, has the NOT term → excluded
+      (2L, "cat dog"),            // kept
+      (3L, "cat dog birdhouse"),  // 'birdhouse' is NOT the token 'bird' → kept
+      (4L, "cat only")
+    ).toDF("doc_id", "text")
+    val got = Search.booleanSearch(docs, "doc_id", "text", Seq("cat", "dog"), Seq("bird"), 10)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id")))
+    assert(got.map(_._2).toSet == Set(2L, 3L), got.mkString(","))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L), "ranks stay dense after exclusion")
+    // rank k+1 promotion: with k = 1, excluding the top doc must let
+    // the next one in, not return an empty page
+    val hi = Seq(
+      (1L, "cat cat cat dog nope"), // top-scored, excluded
+      (2L, "cat dog")
+    ).toDF("doc_id", "text")
+    val page1 = Search.booleanSearch(hi, "doc_id", "text", Seq("cat", "dog"), Seq("nope"), 1)
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(page1.toSeq == Seq(2L), "exclusion happens BEFORE the page cut")
+    intercept[IllegalArgumentException] {
+      Search.booleanSearch(docs, "doc_id", "text", Seq("cat"), Seq("cat"), 10)
+    }
+    val d = "/root/testdata/sf0.001"
+    val corpus = Search.queries("search_boolean_not")(spark, d).collect().toSeq
+    val index = Search.queries("search_boolean_not_index")(spark, d).collect().toSeq
+    assert(corpus.nonEmpty && corpus == index)
+  }
+
+  test("proximitySearch: pair counting within slop, unordered, multiplicity; index twin equal") {
+    val docs = Seq(
+      (1L, "hash a b join"),        // distance 3: in at slop 3, out at slop 2
+      (2L, "join x hash"),          // reversed, distance 2
+      (3L, "hash a a a a join"),    // distance 5: out at slop 3
+      (4L, "hash join now hash z join") // pairs within 3: (1,2)=1, (2,4)... positions 1,4 hash; 2,6 join → |1-2|=1, |1-6|=5, |4-2|=2, |4-6|=2 → 3 pairs
+    ).toDF("doc_id", "text")
+    def pairs(slop: Int) = Search.proximitySearch(docs, "doc_id", "text", "hash", "join", slop)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_pairs")).toMap
+    assert(pairs(3) == Map(1L -> 1L, 2L -> 1L, 4L -> 3L), pairs(3).toString)
+    assert(pairs(2) == Map(2L -> 1L, 4L -> 3L))
+    val d = "/root/testdata/sf0.001"
+    val corpus = Search.queries("search_proximity")(spark, d).collect().toSeq
+    val index = Search.queries("search_proximity_index")(spark, d).collect().toSeq
+    assert(corpus.nonEmpty && corpus == index)
+    // proximity at slop 3 is strictly wider than the exact phrase
+    val phrase = Search.queries("search_phrase")(spark, d).collect().map(_.getAs[Long]("doc_id")).toSet
+    val prox = corpus.map(_.getAs[Long]("doc_id")).toSet
+    assert(phrase.subsetOf(prox) && prox.size > phrase.size)
+  }
+
   test("conjunctive plan: top-k is TakeOrderedAndProject; contains-prune reaches the scan") {
     val q = Search.queries("search_conjunctive")(spark, "/root/testdata/sf0.001")
     q.collect()
