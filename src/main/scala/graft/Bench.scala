@@ -143,6 +143,8 @@ object Bench {
       "search_merged_probe" -> "first_run",
       "search_merged_bm25" -> "first_run",
       "search_merged_prefix" -> "first_run",
+      // shares the merged index build + builds the merged store once
+      "search_merged_kwic" -> "first_run",
       // analyzed dictionary tier: share the analyzed demo index build
       "search_autocomplete_analyzed" -> "first_run",
       "search_did_you_mean_analyzed" -> "first_run",

@@ -2477,6 +2477,40 @@ object Search {
     parts.foreach(p => fs.delete(new Path(p), true))
   }
 
+  /** MERGE shard doc stores — [[mergeSearchIndexes]]'s doc-store
+    * companion: every shard uses the same `db|`-domain doc-id hash, so
+    * a shard file under `docs/dbucket=N` belongs verbatim under the
+    * destination's — pure renames, parts consumed, tombstone-free
+    * parts required (compactDocStore first). Together the two merges
+    * make the WHOLE SERP stack shard-buildable: P bounded jobs each
+    * produce (index shard, store shard), and the merge is metadata.
+    */
+  def mergeDocStores(s: SparkSession, parts: Seq[String], dest: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    require(parts.size >= 2, "mergeDocStores needs at least two parts")
+    val fs = fsFor(s, dest)
+    require(!fs.exists(new Path(dest)), s"merge destination $dest already exists")
+    parts.foreach { p =>
+      require(fs.exists(new Path(s"$p/docs")), s"merge part $p is not a doc store")
+      require(!hasTombstones(s, p), s"merge part $p has live tombstones — compactDocStore it first")
+    }
+    parts.zipWithIndex.foreach { case (p, i) =>
+      Option(fs.globStatus(new Path(s"$p/docs/dbucket=*/*.parquet")))
+        .getOrElse(Array.empty)
+        .map(_.getPath)
+        .sortBy(_.toString)
+        .zipWithIndex
+        .foreach { case (f, j) =>
+          val destDir = new Path(s"$dest/docs/${f.getParent.getName}")
+          fs.mkdirs(destDir)
+          val d2 = new Path(destDir, s"merged-$i-$j.parquet")
+          if (!fs.rename(f, d2))
+            throw new java.io.IOException(s"doc-store merge: rename $f -> $d2 failed")
+        }
+      fs.delete(new Path(p), true)
+    }
+  }
+
   /** Tombstone-applying rewrite of one index relation (the physical
     * purge half of [[compactSearchIndex]]): survivors only, one file
     * per bucket dir (the usual compaction contract), each file renamed
@@ -3058,6 +3092,33 @@ object Search {
   val searchMergedPrefix: Q = (s, d) =>
     prefixSearchFromIndex(s, demoMergedIndexDir(s, d), fixturePrefix, fixturePrefixExpand, topK)
       .orderBy("rank")
+
+  /** Three shard doc stores merged by renames — the store half of the
+    * distributed SERP build.
+    */
+  private[ops] def demoMergedDocStoreDir(s: SparkSession, d: String): String =
+    Fixtures.demoIndexDir(s, "docstore_merged", d) { dir =>
+      val docs = documents(s, d)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_store_shards").toString
+      val parts = (0 until 3).map { i =>
+        val p = s"$tmp/shard$i"
+        saveDocStore(docs.filter(col("doc_id") % 3 === i), "doc_id", "text", p, metaCols = Seq("lang", "source"))
+        p
+      }
+      mergeDocStores(s, parts, dir)
+    }
+
+  /** The KWIC result page rendered END-TO-END from merged artifacts:
+    * hits from the merged index, snippets from the merged store —
+    * shares search_kwic_page's oracle, so the distributed build must
+    * render the monolithic build's exact page.
+    */
+  val searchMergedKwic: Q = (s, d) => {
+    val hits = conjunctiveFromIndex(s, demoMergedIndexDir(s, d), Seq(fixturePhrase._1), kwicPageK)
+      .select(col("rank"), col("doc_id"))
+    kwicPage(s, demoMergedIndexDir(s, d), demoMergedDocStoreDir(s, d), hits, fixturePhrase._1, 3)
+      .orderBy("rank", "pos")
+  }
 
   // the ANALYZED dictionary tier over the damaged corpus: raw inputs
   // carry case/punct damage, the analyzer folds both sides, and the
@@ -4510,6 +4571,7 @@ object Search {
     "search_merged_probe" -> searchMergedProbe,
     "search_merged_bm25" -> searchMergedBm25,
     "search_merged_prefix" -> searchMergedPrefix,
+    "search_merged_kwic" -> searchMergedKwic,
     "search_autocomplete_analyzed" -> searchAutocompleteAnalyzed,
     "search_did_you_mean_analyzed" -> searchDidYouMeanAnalyzed,
     "search_prefix_analyzed_index" -> searchPrefixAnalyzedIndex,
@@ -4706,6 +4768,23 @@ object Search {
        |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rank
        |  FROM scored)
        |SELECT rank, doc_id, score_micro FROM ranked WHERE rank <= $topK ORDER BY rank""".stripMargin
+
+  /** The raw KWIC result page chain — shared by the monolithic and
+    * the merged-artifact gates.
+    */
+  private lazy val oracleKwicPage: String = {
+    val t = sqlLit(fixturePhrase._1)
+    s"""WITH ${oracleTermSearchChain(Seq(fixturePhrase._1), requireAll = true)},
+       |page AS (SELECT doc_id, rank FROM ranked WHERE rank <= $kwicPageK),
+       |pt AS (
+       |  SELECT p.rank, d.doc_id, string_split(d.text, ' ') AS toks
+       |  FROM documents d JOIN page p ON p.doc_id = d.doc_id),
+       |ps AS (SELECT rank, doc_id, toks, unnest(generate_series(1, len(toks), 1)) AS pos FROM pt),
+       |hit AS (SELECT rank, doc_id, pos, toks FROM ps WHERE toks[pos] = $t)
+       |SELECT CAST(rank AS BIGINT) AS rank, doc_id, CAST(pos AS BIGINT) AS pos,
+       |  array_to_string(toks[greatest(1, pos - 3):least(len(toks), pos + 3)], ' ') AS snippet
+       |FROM hit ORDER BY rank, pos""".stripMargin
+  }
 
   /** Boolean must-not oracle: the conjunctive chain filtered by an
     * exact-token NOT EXISTS over the must-not terms, BEFORE the
@@ -5427,19 +5506,10 @@ object Search {
     },
     // the page-served route must equal the corpus KWIC restricted to
     // the page's documents (the term-search chain re-derives the page)
-    "search_kwic_page" -> {
-      val t = sqlLit(fixturePhrase._1)
-      s"""WITH ${oracleTermSearchChain(Seq(fixturePhrase._1), requireAll = true)},
-         |page AS (SELECT doc_id, rank FROM ranked WHERE rank <= $kwicPageK),
-         |pt AS (
-         |  SELECT p.rank, d.doc_id, string_split(d.text, ' ') AS toks
-         |  FROM documents d JOIN page p ON p.doc_id = d.doc_id),
-         |ps AS (SELECT rank, doc_id, toks, unnest(generate_series(1, len(toks), 1)) AS pos FROM pt),
-         |hit AS (SELECT rank, doc_id, pos, toks FROM ps WHERE toks[pos] = $t)
-         |SELECT CAST(rank AS BIGINT) AS rank, doc_id, CAST(pos AS BIGINT) AS pos,
-         |  array_to_string(toks[greatest(1, pos - 3):least(len(toks), pos + 3)], ' ') AS snippet
-         |FROM hit ORDER BY rank, pos""".stripMargin
-    },
+    "search_kwic_page" -> oracleKwicPage,
+    // the same page rendered from the MERGED index + MERGED store —
+    // sharing the oracle gates the whole distributed SERP stack
+    "search_merged_kwic" -> oracleKwicPage,
     // the analyzed page: the analyzed chain re-derives the page, the
     // damaged corpus provides the raw toks, the hit test analyzes the
     // raw token at each position — exactly the plan's arithmetic

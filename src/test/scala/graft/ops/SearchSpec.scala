@@ -267,6 +267,30 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("mergeDocStores: merged store serves every shard's docs, parts consumed, tombstoned part refused") {
+    val docs = Seq((1L, "alpha one"), (2L, "beta two"), (3L, "gamma three"), (4L, "delta four"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_smerge").toString
+    val parts = (0 until 2).map { i =>
+      val p = s"$tmp/s$i"
+      Search.saveDocStore(docs.filter(col("doc_id") % 2 === i), "doc_id", "text", p)
+      p
+    }
+    Search.mergeDocStores(spark, parts, s"$tmp/merged")
+    assert(!new java.io.File(parts.head).exists())
+    val got = spark.read.parquet(s"$tmp/merged/docs")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "alpha one", 2L -> "beta two", 3L -> "gamma three", 4L -> "delta four"))
+    // a tombstoned shard is refused
+    val p2 = s"$tmp/t0"; val p3 = s"$tmp/t1"
+    Search.saveDocStore(docs, "doc_id", "text", p2)
+    Search.saveDocStore(docs, "doc_id", "text", p3)
+    Search.deleteFromDocStore(spark, p2, Seq((1L, 0)).toDF("doc_id", "x").select("doc_id"))
+    intercept[IllegalArgumentException] {
+      Search.mergeDocStores(spark, Seq(p2, p3), s"$tmp/x")
+    }
+  }
+
   test("moreLikeThisFromIndex: rare terms drive selection, source excluded, store read bucket-pruned") {
     val docs = Seq(
       (1L, "zebra quark common common"), // source: two rare terms + a stopword
