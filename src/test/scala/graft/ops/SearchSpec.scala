@@ -492,6 +492,22 @@ class SearchSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [") && plan.contains("tbucket"), plan.take(2000))
   }
 
+  test("round-14 index routes prune to their terms' bucket dirs (PartitionFilters pins)") {
+    val d = "/root/testdata/sf0.001"
+    val plans = Seq(
+      Search.queries("search_min_match_index")(spark, d),
+      Search.queries("search_boolean_not_index")(spark, d),
+      Search.queries("search_proximity_index")(spark, d),
+      Search.queries("search_synonym_index")(spark, d),
+      Search.queries("search_prefix_index")(spark, d),
+      Search.queries("search_fuzzy_index")(spark, d),
+      Search.queries("search_wildcard_index")(spark, d)
+    ).map(_.queryExecution.executedPlan.toString)
+    plans.foreach { plan =>
+      assert(plan.contains("PartitionFilters: [") && plan.contains("tbucket"), plan.take(2000))
+    }
+  }
+
   test("bm25Search: tf saturates toward (k1+1)·idf and longer docs are penalized") {
     // docs 1/2: same length, tf 1 vs 20 — the 20x tf must NOT score 20x
     // (saturation); docs 3/4: same tf, 4x length — longer scores lower
