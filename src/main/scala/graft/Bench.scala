@@ -139,6 +139,8 @@ object Bench {
       "search_synonym_index" -> "first_run",
       "search_boolean_not_index" -> "first_run",
       "search_proximity_index" -> "first_run",
+      // builds its own base+batch0+upsert-batch1 demo index once
+      "search_asof_probe" -> "first_run",
       // build three shard indexes + merge them once per process
       "search_merged_probe" -> "first_run",
       "search_merged_bm25" -> "first_run",

@@ -668,7 +668,22 @@ object Search {
         .parquet(s"$indexDir/postings")
         .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
     )
-    val nDocs = readMeta(s, indexDir)._1
+    scoreTermRows(p, readMeta(s, indexDir)._1, terms.size, k, requireAll, minMatched, exclude)
+  }
+
+  /** The index-scoring tail shared by the live and AS-OF probes: df
+    * from the pruned posting rows, micro-idf model broadcast,
+    * matched-count gate, optional must-not anti-join, top-k.
+    */
+  private def scoreTermRows(
+      p: DataFrame,
+      nDocs: Long,
+      nTerms: Int,
+      k: Int,
+      requireAll: Boolean,
+      minMatched: Int,
+      exclude: Option[DataFrame]
+  ): DataFrame = {
     val dfModel = p
       .groupBy(col("token"))
       .agg(count(lit(1)).cast("long").as("df"))
@@ -685,7 +700,7 @@ object Search {
         sum(col("tf") * col("idf_micro")).cast("long").as("score_micro")
       )
       .filter(
-        if (requireAll) col("n_matched") === terms.size.toLong
+        if (requireAll) col("n_matched") === nTerms.toLong
         else col("n_matched") >= minMatched.toLong
       )
     val gated = exclude.fold(scored)(e => scored.join(broadcast(e), Seq("doc_id"), "left_anti"))
@@ -2018,6 +2033,111 @@ object Search {
       ).drop("__gen")
     }
 
+  // ---- time-travel (as-of-generation) reads ---------------------------
+  //
+  // The generation machinery already versions every row (file-name
+  // gen) and every delete (tombstone asof) — TIME TRAVEL falls out:
+  // the index as of generation G is the rows with gen ≤ G, minus the
+  // tombstones with asof ≤ G, scored against the ledger sums up to G.
+  // This is the retrieval-provenance primitive a training pipeline
+  // needs ("re-run the exact retrieval that built last week's
+  // dataset"), valid back to the LAST COMPACTION — a purge physically
+  // drops history, exactly Lucene's retention contract. Per-probe
+  // cost is the live probe's plus one tombstone-fold filter.
+
+  /** Tombstones folded per key over asof ≤ G only. */
+  private def tombstoneMaxAsofUpTo(
+      s: SparkSession,
+      dir: String,
+      asOfGen: Long,
+      keyCol: String = "doc_id"
+  ): DataFrame =
+    s.read
+      .schema(tombstonesSchemaFor(keyCol))
+      .parquet(tombstonesDir(dir))
+      .filter(col("asof") <= asOfGen)
+      .groupBy(col(keyCol))
+      .agg(max(col("asof")).as("t_asof"))
+      .select(col(keyCol).as("t_key"), col("t_asof"))
+
+  /** The relation as it stood AFTER generation G: rows with file
+    * generation ≤ G, dead iff a tombstone with asof ≤ G outranks
+    * their generation. Applied directly over the pruned scan (the
+    * input_file_name contract [[liveRows]] documents).
+    */
+  private def rowsAsOf(
+      s: SparkSession,
+      dir: String,
+      rel: DataFrame,
+      asOfGen: Long,
+      keyCol: String = "doc_id"
+  ): DataFrame = {
+    val g = rel.withColumn("__gen", genFromFileCol).filter(col("__gen") <= asOfGen)
+    if (!hasTombstones(s, dir)) g.drop("__gen")
+    else
+      g.join(
+        broadcast(tombstoneMaxAsofUpTo(s, dir, asOfGen, keyCol)),
+        g(keyCol) === col("t_key") && col("__gen") < col("t_asof"),
+        "left_anti"
+      ).drop("__gen")
+  }
+
+  /** The (N, total_toks) scalars at generation G — the ledger rows up
+    * to G (the seed row, gen −1, predates every batch and always
+    * counts). Requires the increment ledger, i.e. a batch-apply/
+    * stream-maintained index: a plain built/appended index has no
+    * per-generation history to reconstruct — fail loudly.
+    */
+  private def metaAsOf(s: SparkSession, dir: String, asOfGen: Long): (Long, Long) = {
+    val fs = fsFor(s, dir)
+    require(
+      ledgerFiles(fs, dir).nonEmpty,
+      s"as-of read at $dir: no increment ledger — only batch-apply/stream-maintained " +
+        "indexes carry per-generation meta history"
+    )
+    val b = regexp_extract(input_file_name(), "gbatch-(\\d+)-", 1)
+    val r = s.read
+      .schema(ledgerSchema)
+      .parquet(ledgerDir(dir))
+      .withColumn("__b", when(b === "", lit(-1L)).otherwise(b.cast("long")))
+      .filter(col("__b") <= asOfGen)
+      .agg(
+        coalesce(sum(col("n_docs")), lit(0L)).cast("long"),
+        coalesce(sum(col("total_toks")), lit(0L)).cast("long")
+      )
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** TIME-TRAVEL conjunctive probe: the exact page the index served
+    * after generation `asOfGen` — later batches' rows invisible,
+    * later tombstones unapplied (an upsert's OLD version serves
+    * again), df and N reconstructed from history. Generations up to
+    * the first UPSERT reconstruct exactly; across an upsert window the
+    * ledger N carries the documented Lucene overcount until
+    * compaction (which also ends the travel horizon).
+    */
+  def conjunctiveFromIndexAsOf(
+      s: SparkSession,
+      indexDir: String,
+      terms: Seq[String],
+      k: Int,
+      asOfGen: Long
+  ): DataFrame = {
+    require(terms.nonEmpty, "term search needs at least one term")
+    val buckets = terms.map(tokenBucket).distinct
+    val p = rowsAsOf(
+      s,
+      indexDir,
+      s.read
+        .schema(postingsSchema)
+        .parquet(s"$indexDir/postings")
+        .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*)),
+      asOfGen
+    )
+    scoreTermRows(p, metaAsOf(s, indexDir, asOfGen)._1, terms.size, k, requireAll = true, 1, None)
+  }
+
   /** High-water generation: max over the applied-batch marker, every
     * data file's parsed `gbatch-<B>` generation, and every tombstone
     * file's `del-<asof>` tag — a driver-side file LISTING, run only at
@@ -2998,6 +3118,34 @@ object Search {
     * corpus-exact) and the denormalized dl, prefix gates the vocab
     * fold.
     */
+  /** Time-travel demo: base build on the evens, batch 0 adds the
+    * doc_id % 4 == 1 docs, batch 1 UPSERTS a rewrite of every
+    * doc_id % 8 == 1 doc. The as-of-0 probe must serve the
+    * pre-rewrite state exactly: original texts, batch-1 rows
+    * invisible, its tombstones unapplied, N from the ledger up to
+    * generation 0.
+    */
+  private[ops] def demoAsOfIndexDir(s: SparkSession, d: String): String =
+    Fixtures.demoIndexDir(s, "searchidx_asof", d) { dir =>
+      val docs = documents(s, d)
+      saveSearchIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", dir)
+      applySearchIndexBatch(docs.filter(col("doc_id") % 4 === 1), "doc_id", "text", dir, 0L)
+      applySearchIndexBatch(
+        docs
+          .filter(col("doc_id") % 8 === 1)
+          .withColumn("text", concat(lit("rewritten "), col("text"))),
+        "doc_id",
+        "text",
+        dir,
+        1L,
+        upsert = true
+      )
+    }
+
+  val searchAsOfProbe: Q = (s, d) =>
+    conjunctiveFromIndexAsOf(s, demoAsOfIndexDir(s, d), fixtureAndTerms, topK, asOfGen = 0L)
+      .orderBy("rank")
+
   /** Boolean fixture: must both of (dup, spark), must-not merge —
     * non-degenerate (excludes some but not all) at every fixture SF.
     */
@@ -4564,6 +4712,7 @@ object Search {
     "search_synonym_index" -> searchSynonymIndex,
     "search_boolean_not" -> searchBooleanNot,
     "search_boolean_not_index" -> searchBooleanNotIndex,
+    "search_asof_probe" -> searchAsOfProbe,
     "search_proximity" -> searchProximity,
     "search_proximity_index" -> searchProximityIndex,
     "search_retrieval_eval" -> searchRetrievalEval,
@@ -5339,6 +5488,15 @@ object Search {
     // boolean NOT: exact-token exclusion before the ranking
     "search_boolean_not" -> oracleBooleanNot,
     "search_boolean_not_index" -> oracleBooleanNot,
+    // time travel: the as-of-generation-0 probe serves the exact
+    // pre-upsert state — original texts, batch-1 rows invisible, its
+    // tombstones unapplied, N from the ledger history
+    "search_asof_probe" ->
+      s"""WITH asofdocs AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id % 2 = 0 OR doc_id % 4 = 1),
+         |${oracleTermSearchChain(fixtureAndTerms, requireAll = true, src = "asofdocs")}
+         |SELECT rank, doc_id, score_micro FROM ranked WHERE rank <= $topK ORDER BY rank""".stripMargin,
     // unordered proximity at slop 3 — strictly wider than the phrase
     "search_proximity" -> oracleProximity,
     "search_proximity_index" -> oracleProximity,

@@ -492,6 +492,41 @@ class SearchSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [") && plan.contains("tbucket"), plan.take(2000))
   }
 
+  test("as-of reads: every generation reconstructs its exact state; plain indexes refuse") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_asof").toString
+    val dir = s"$tmp/idx"
+    val base = Seq((2L, "anchor original two")).toDF("doc_id", "text")
+    Search.saveSearchIndex(base, "doc_id", "text", dir)
+    Search.applySearchIndexBatch(
+      Seq((3L, "anchor original three")).toDF("doc_id", "text"), "doc_id", "text", dir, 0L)
+    Search.applySearchIndexBatch(
+      Seq((3L, "anchor rewritten three")).toDF("doc_id", "text"), "doc_id", "text", dir, 1L,
+      upsert = true)
+    def idsAsOf(term: String, g: Long) =
+      Search.conjunctiveFromIndexAsOf(spark, dir, Seq(term), 10, g).collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+    // generation 0: the original version of doc 3 serves
+    assert(idsAsOf("original", 0L) == Set(2L, 3L))
+    assert(idsAsOf("rewritten", 0L).isEmpty, "batch-1 rows invisible at gen 0")
+    // generation 1 (and the live probe): the rewrite replaced it
+    assert(idsAsOf("original", 1L) == Set(2L))
+    assert(idsAsOf("rewritten", 1L) == Set(3L))
+    val live = Search.conjunctiveFromIndex(spark, dir, Seq("rewritten"), 10).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(live == Set(3L))
+    // a plain built index has no ledger history — loud refusal
+    val plain = s"$tmp/plain"
+    Search.saveSearchIndex(base, "doc_id", "text", plain)
+    intercept[IllegalArgumentException] {
+      Search.conjunctiveFromIndexAsOf(spark, plain, Seq("anchor"), 10, 0L)
+    }
+    // compaction ends the travel horizon: the purged index serves the
+    // live state at every surviving generation
+    Search.compactSearchIndex(spark, dir)
+    assert(Search.conjunctiveFromIndex(spark, dir, Seq("rewritten"), 10).collect()
+      .map(_.getAs[Long]("doc_id")).toSet == Set(3L))
+  }
+
   test("round-14 index routes prune to their terms' bucket dirs (PartitionFilters pins)") {
     val d = "/root/testdata/sf0.001"
     val plans = Seq(
