@@ -141,6 +141,9 @@ object Bench {
       "search_proximity_index" -> "first_run",
       // builds its own base+batch0+upsert-batch1 demo index once
       "search_asof_probe" -> "first_run",
+      "search_asof_bm25" -> "first_run",
+      // reads the demo index's vocab relation
+      "search_term_stats" -> "first_run",
       // build three shard indexes + merge them once per process
       "search_merged_probe" -> "first_run",
       "search_merged_bm25" -> "first_run",

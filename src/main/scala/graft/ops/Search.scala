@@ -741,9 +741,14 @@ object Search {
     * out so keyset pagination ([[bm25PageAfter]]) can cursor-filter
     * BEFORE the top-k instead of ranking the whole result.
     */
-  private def bm25ScoredFromIndex(s: SparkSession, indexDir: String, terms: Seq[String]): DataFrame = {
+  private def bm25ScoredFromIndex(
+      s: SparkSession,
+      indexDir: String,
+      terms: Seq[String],
+      asOf: Option[Long] = None
+  ): DataFrame = {
     require(terms.nonEmpty, "bm25 search needs at least one term")
-    val (nDocs, totalToks) = readMeta(s, indexDir)
+    val (nDocs, totalToks) = asOf.fold(readMeta(s, indexDir))(g => metaAsOf(s, indexDir, g))
     // an empty or all-empty-text index has no meaningful BM25 model:
     // nDocs = 0 divides by zero computing avgdl, and avgdl = 0 zeroes
     // the contrib denominator for dl = 0 docs — fail loudly instead
@@ -751,14 +756,13 @@ object Search {
     val avgdl = totalToks / nDocs
     require(avgdl > 0, s"bm25FromIndex: index at $indexDir has avgdl = 0 (all-empty documents)")
     val buckets = terms.map(tokenBucket).distinct
-    val p = liveRows(
-      s,
-      indexDir,
-      s.read
-        .schema(postingsSchema)
-        .parquet(s"$indexDir/postings")
-        .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
-    ).select(col("token"), col("doc_id"), col("tf"), col("dl"))
+    val scan = s.read
+      .schema(postingsSchema)
+      .parquet(s"$indexDir/postings")
+      .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
+    val p = asOf
+      .fold(liveRows(s, indexDir, scan))(g => rowsAsOf(s, indexDir, scan, g))
+      .select(col("token"), col("doc_id"), col("tf"), col("dl"))
     val dfModel = p
       .groupBy(col("token"))
       .agg(count(lit(1)).cast("long").as("df"))
@@ -1417,6 +1421,26 @@ object Search {
   private def emptyHits(s: SparkSession): DataFrame = {
     import s.implicits._
     Seq.empty[(Long, Long, Long)].toDF("rank", "doc_id", "score_micro")
+  }
+
+  /** Per-term dictionary stats (the termsEnum introspection a
+    * relevance engineer reads before tuning a query): (token, df,
+    * tf_total) for the probe terms from the folded vocab — absent
+    * terms yield no row; the isin predicate pushes to the range-
+    * sorted scan.
+    */
+  def termStats(
+      s: SparkSession,
+      indexDir: String,
+      terms: Seq[String],
+      analyzed: Boolean = false
+  ): DataFrame = {
+    require(terms.nonEmpty, "termStats needs at least one term")
+    val probe =
+      if (analyzed) terms.map(analyzeTerm).filter(_.nonEmpty).distinct else terms.distinct
+    vocabRows(s, indexDir, analyzed)
+      .filter(col("token").isin(probe: _*))
+      .select(col("token"), col("df"), col("tf_total"))
   }
 
   /** AUTOCOMPLETE: the top-n completions of a prefix ranked by
@@ -2108,6 +2132,21 @@ object Search {
       .head()
     (r.getLong(0), r.getLong(1))
   }
+
+  /** TIME-TRAVEL BM25: the ranked page as of generation G — rows,
+    * tombstones, N and avgdl all reconstructed from history (dl rides
+    * each historical posting row, so length normalization needs no
+    * extra state). Same horizon contract as
+    * [[conjunctiveFromIndexAsOf]].
+    */
+  def bm25FromIndexAsOf(
+      s: SparkSession,
+      indexDir: String,
+      terms: Seq[String],
+      k: Int,
+      asOfGen: Long
+  ): DataFrame =
+    rankTop(bm25ScoredFromIndex(s, indexDir, terms, asOf = Some(asOfGen)), "score_milli", k)
 
   /** TIME-TRAVEL conjunctive probe: the exact page the index served
     * after generation `asOfGen` — later batches' rows invisible,
@@ -3145,6 +3184,17 @@ object Search {
   val searchAsOfProbe: Q = (s, d) =>
     conjunctiveFromIndexAsOf(s, demoAsOfIndexDir(s, d), fixtureAndTerms, topK, asOfGen = 0L)
       .orderBy("rank")
+
+  /** Ranked time travel: BM25 as of generation 0 on the same demo. */
+  val searchAsOfBm25: Q = (s, d) =>
+    bm25FromIndexAsOf(s, demoAsOfIndexDir(s, d), fixtureOrTerms, topK, asOfGen = 0L)
+      .orderBy("rank")
+
+  /** Dictionary introspection gate: stats for the OR fixture terms
+    * plus an absent probe (must yield no row, not a zero row).
+    */
+  val searchTermStats: Q = (s, d) =>
+    termStats(s, demoSearchIndexDir(s, d), fixtureOrTerms :+ "zzzabsent").orderBy("token")
 
   /** Boolean fixture: must both of (dup, spark), must-not merge —
     * non-degenerate (excludes some but not all) at every fixture SF.
@@ -4713,6 +4763,8 @@ object Search {
     "search_boolean_not" -> searchBooleanNot,
     "search_boolean_not_index" -> searchBooleanNotIndex,
     "search_asof_probe" -> searchAsOfProbe,
+    "search_asof_bm25" -> searchAsOfBm25,
+    "search_term_stats" -> searchTermStats,
     "search_proximity" -> searchProximity,
     "search_proximity_index" -> searchProximityIndex,
     "search_retrieval_eval" -> searchRetrievalEval,
@@ -5497,6 +5549,23 @@ object Search {
          |  WHERE doc_id % 2 = 0 OR doc_id % 4 = 1),
          |${oracleTermSearchChain(fixtureAndTerms, requireAll = true, src = "asofdocs")}
          |SELECT rank, doc_id, score_micro FROM ranked WHERE rank <= $topK ORDER BY rank""".stripMargin,
+    // ranked time travel: the full BM25 model (N, avgdl, df, dl)
+    // reconstructed at generation 0
+    "search_asof_bm25" ->
+      s"""WITH asofdocs AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id % 2 = 0 OR doc_id % 4 = 1),
+         |${oracleBm25ChainFor(fixtureOrTerms, "asofdocs")}
+         |SELECT rank, doc_id, score_milli FROM bmranked WHERE rank <= $topK ORDER BY rank""".stripMargin,
+    // dictionary introspection: exact df/tf per probe term, absent
+    // term yields NO row
+    "search_term_stats" -> {
+      val termList = (fixtureOrTerms :+ "zzzabsent").map(sqlLit).mkString(", ")
+      s"""WITH $postingsSql
+         |SELECT token, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS tf_total
+         |FROM p WHERE token IN ($termList)
+         |GROUP BY token ORDER BY token""".stripMargin
+    },
     // unordered proximity at slop 3 — strictly wider than the phrase
     "search_proximity" -> oracleProximity,
     "search_proximity_index" -> oracleProximity,

@@ -514,6 +514,17 @@ class SearchSpec extends SparkSpec {
     val live = Search.conjunctiveFromIndex(spark, dir, Seq("rewritten"), 10).collect()
       .map(_.getAs[Long]("doc_id")).toSet
     assert(live == Set(3L))
+    // ranked time travel: BM25 at gen 0 finds the original, not the
+    // rewrite, and at gen 1 the inverse
+    def bm25Ids(term: String, g: Long) =
+      Search.bm25FromIndexAsOf(spark, dir, Seq(term), 10, g).collect()
+        .map(_.getAs[Long]("doc_id")).toSet
+    assert(bm25Ids("original", 0L) == Set(2L, 3L) && bm25Ids("original", 1L) == Set(2L))
+    assert(bm25Ids("rewritten", 1L) == Set(3L))
+    // dictionary introspection: exact stats, absent term yields no row
+    val ts = Search.termStats(spark, dir, Seq("anchor", "nope")).collect()
+      .map(r => r.getAs[String]("token") -> ((r.getAs[Long]("df"), r.getAs[Long]("tf_total")))).toMap
+    assert(ts.keySet == Set("anchor") && ts("anchor")._1 >= 2L)
     // a plain built index has no ledger history — loud refusal
     val plain = s"$tmp/plain"
     Search.saveSearchIndex(base, "doc_id", "text", plain)
