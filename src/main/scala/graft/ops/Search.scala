@@ -317,7 +317,11 @@ object Search {
       )
     // must-not exclusion BEFORE the page is cut, so rank k+1 can
     // enter the page (a post-rank anti-join would leave short pages)
-    val gated = exclude.fold(scored)(e => scored.join(broadcast(e), Seq("doc_id"), "left_anti"))
+    // must-not exclusion BEFORE the page is cut, so rank k+1 can
+    // enter the page. NO broadcast hint: the exclusion set is
+    // must-not-df-sized — a stopword-ish NOT term is corpus-scale at
+    // 100 TB — so the join strategy is AQE's call, not a pinned hint
+    val gated = exclude.fold(scored)(e => scored.join(e, Seq("doc_id"), "left_anti"))
     rankTop(gated, "score_micro", k)
   }
 
@@ -703,7 +707,9 @@ object Search {
         if (requireAll) col("n_matched") === nTerms.toLong
         else col("n_matched") >= minMatched.toLong
       )
-    val gated = exclude.fold(scored)(e => scored.join(broadcast(e), Seq("doc_id"), "left_anti"))
+    // exclusion join unhinted — must-not-df-sized, AQE's call (see
+    // the corpus route's note)
+    val gated = exclude.fold(scored)(e => scored.join(e, Seq("doc_id"), "left_anti"))
     rankTop(gated, "score_micro", k)
   }
 
@@ -2653,6 +2659,13 @@ object Search {
       require(fs.exists(new Path(s"$p/docs")), s"merge part $p is not a doc store")
       require(!hasTombstones(s, p), s"merge part $p has live tombstones — compactDocStore it first")
     }
+    // mixed shard schemas (one store saved with metaCols, one without)
+    // would merge into a silently-null-padded relation — fail loudly
+    val schemas = parts.map(p => s.read.parquet(s"$p/docs").schema.fieldNames.toSeq.sorted)
+    require(
+      schemas.distinct.size == 1,
+      s"doc-store merge: parts carry different schemas: ${parts.zip(schemas)}"
+    )
     parts.zipWithIndex.foreach { case (p, i) =>
       Option(fs.globStatus(new Path(s"$p/docs/dbucket=*/*.parquet")))
         .getOrElse(Array.empty)
