@@ -55,57 +55,6 @@ object Bench {
     // optional comma-separated filter for local iteration; the driver
     // never sets it, so per-round benches always cover every query
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
-    val names = SparkEntry.queries.keys.toSeq.sorted.filter(n => only.forall(_.contains(n)))
-    var medians = Vector.empty[(String, Double)]
-    var firsts = Vector.empty[(String, Double)]
-    var errors = Vector.empty[(String, String)]
-    names.foreach { name =>
-      val fn = SparkEntry.queries(name)
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      try {
-        val first = once()
-        val runs = (1 to reps).map(_ => once()).sorted
-        firsts :+= (name -> first)
-        medians :+= (name -> runs(runs.length / 2))
-      } catch {
-        case e: Throwable =>
-          errors :+= (name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-      }
-    }
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""
-        case '\\' => "\\\\"
-        case c if c < ' ' => " "
-        case c => c.toString
-      } + "\""
-    // millisecond precision keeps the line short — a long line risks
-    // head-truncation in tail-style output capture
-    def r3(v: Double): String = f"$v%.3f"
-    def numMap(xs: Vector[(String, Double)]): String =
-      xs.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
-    val qs = numMap(medians)
-    val fr = numMap(firsts)
-    val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    // queries whose timing reads another query's memoized state — the
-    // named query's first_run carries the shared cost
-    val sharesScanWith = Seq(
-      "agg_metrics_summary" -> "agg_metrics_deviation",
-      "ann_ivf_topk_index" -> "ann_ivf_lists",
-      // read the PQ demo index ann_pq_knn_join built (alphabetically first)
-      "pq_quality" -> "ann_pq_knn_join",
-      "ann_pq_topk_index" -> "ann_pq_knn_join"
-    )
-    val shares = sharesScanWith
-      .filter { case (k, _) => medians.exists(_._1 == k) }
-      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
-      .mkString("{", ",", "}")
-    // index queries whose timing includes building their own demo
-    // index — see the object scaladoc for the first_run/every_run split
     val buildIncluded = Seq(
       "dedup_incremental" -> "first_run",
       "dedup_incremental_embedding" -> "first_run",
@@ -142,6 +91,13 @@ object Bench {
       // builds its own base+batch0+upsert-batch1 demo index once
       "search_asof_probe" -> "first_run",
       "search_asof_bm25" -> "first_run",
+      // shares that as-of demo index + builds its doc-store twin once
+      "search_asof_page" -> "first_run",
+      // builds the once-per-process fielded (title/body) index
+      "search_bm25f" -> "first_run",
+      // share the once-per-process demo index + doc store builds
+      "search_facet_filtered" -> "first_run",
+      "search_kwic_page_multi" -> "first_run",
       // reads the demo index's vocab relation
       "search_term_stats" -> "first_run",
       // build three shard indexes + merge them once per process
@@ -297,6 +253,67 @@ object Bench {
       // dropping stage (the pipeline_full shape)
       "pipeline_provenance" -> "every_run"
     )
+
+    // `every_run` queries (stream replays) pay their FULL source
+    // rewrite + fresh-checkpoint replay on every single run: a median
+    // of three identical replays re-measures the same machinery at 3×
+    // the wall clock (the r14 bench session hit 55 min, ~150 s of it
+    // replay repetition). One cold first_run plus ONE replay rep
+    // reports the same steady number; serving queries keep the full
+    // rep count (their medians denoise real plan timings).
+    val everyRun = buildIncluded.collect { case (n, "every_run") => n }.toSet
+    val names = SparkEntry.queries.keys.toSeq.sorted.filter(n => only.forall(_.contains(n)))
+    var medians = Vector.empty[(String, Double)]
+    var firsts = Vector.empty[(String, Double)]
+    var errors = Vector.empty[(String, String)]
+    names.foreach { name =>
+      val fn = SparkEntry.queries(name)
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      try {
+        val first = once()
+        val effReps = if (everyRun(name)) math.min(1, reps) else reps
+        val runs = (1 to effReps).map(_ => once()).sorted
+        firsts :+= (name -> first)
+        medians :+= (name -> runs(runs.length / 2))
+      } catch {
+        case e: Throwable =>
+          errors :+= (name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+      }
+    }
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => " "
+        case c => c.toString
+      } + "\""
+    // millisecond precision keeps the line short — a long line risks
+    // head-truncation in tail-style output capture
+    def r3(v: Double): String = f"$v%.3f"
+    def numMap(xs: Vector[(String, Double)]): String =
+      xs.map { case (k, v) => s"${jstr(k)}:${r3(v)}" }.mkString("{", ",", "}")
+    val qs = numMap(medians)
+    val fr = numMap(firsts)
+    val es = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    // queries whose timing reads another query's memoized state — the
+    // named query's first_run carries the shared cost
+    val sharesScanWith = Seq(
+      "agg_metrics_summary" -> "agg_metrics_deviation",
+      "ann_ivf_topk_index" -> "ann_ivf_lists",
+      // read the PQ demo index ann_pq_knn_join built (alphabetically first)
+      "pq_quality" -> "ann_pq_knn_join",
+      "ann_pq_topk_index" -> "ann_pq_knn_join"
+    )
+    val shares = sharesScanWith
+      .filter { case (k, _) => medians.exists(_._1 == k) }
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString("{", ",", "}")
+    // index queries whose timing includes building their own demo
+    // index — see the object scaladoc for the first_run/every_run split
     val builds = buildIncluded
       .filter { case (k, _) => medians.exists(_._1 == k) }
       .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }

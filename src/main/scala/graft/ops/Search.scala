@@ -316,8 +316,6 @@ object Search {
         else col("n_matched") >= minMatched.toLong
       )
     // must-not exclusion BEFORE the page is cut, so rank k+1 can
-    // enter the page (a post-rank anti-join would leave short pages)
-    // must-not exclusion BEFORE the page is cut, so rank k+1 can
     // enter the page. NO broadcast hint: the exclusion set is
     // must-not-df-sized — a stopword-ish NOT term is corpus-scale at
     // 100 TB — so the join strategy is AQE's call, not a pinned hint
@@ -816,6 +814,201 @@ object Search {
       "score_milli",
       k
     )
+
+  /** ATTRIBUTE-FILTERED ranked search from persisted artifacts — the
+    * SERP filter click ("only lang=de results"): BM25 scores come from
+    * the postings index exactly as [[bm25FromIndex]] (same model — N,
+    * avgdl, df are corpus-level; a filter narrows the RESULT SET, not
+    * the scoring model, matching every production engine's
+    * filter-vs-query distinction), the filter resolves against the doc
+    * store's META column (parquet column-pruned: only (doc_id,
+    * facetCol, dbucket) leave the footer — the text column never
+    * reads), and the page is cut AFTER the semi-join so rank k+1
+    * enters when a filtered-out doc leaves. The join is deliberately
+    * UNhinted: a selective facet (one source) is a broadcast-sized
+    * build side, but a broad facet (lang=en) is corpus-scale at
+    * 100 TB — AQE picks per run, the boolean-NOT posture. Gate:
+    * search_facet_filtered shares a WHERE-restricted form of
+    * search_bm25's oracle.
+    */
+  def bm25FromIndexFiltered(
+      s: SparkSession,
+      indexDir: String,
+      storeDir: String,
+      terms: Seq[String],
+      facetCol: String,
+      facetValue: String,
+      k: Int
+  ): DataFrame = {
+    val allowed = docStoreLive(s, storeDir)
+      .filter(col(facetCol) === facetValue)
+      .select(col("doc_id"))
+    rankTop(
+      bm25ScoredFromIndex(s, indexDir, terms).join(allowed, Seq("doc_id"), "left_semi"),
+      "score_milli",
+      k
+    )
+  }
+
+  // ---- Fielded index + BM25F (title-vs-body boosts) --------------------
+
+  /** Save a FIELDED search index — the layout under [[bm25fFromIndex]]:
+    * postings carry a FIELD tag so title-vs-body boosts become
+    * expressible (plain postings collapse the document to one bag of
+    * words, making fielded scoring impossible — the round-14 gap).
+    *
+    *   - `fpostings/tbucket=N`: (token, doc_id, field, tf,
+    *     dl_<field1>, dl_<field2>, …) — one row per (token, doc,
+    *     field), with EVERY field's token length denormalized onto
+    *     every row: BM25F's per-field normalizers need all lengths
+    *     even for fields where the term is absent, and carrying them
+    *     on the posting row keeps the probe zero-doc-keyed (the same
+    *     denormalization argument as [[postingsWithDl]], × fields).
+    *   - `fmeta`: (field, n_docs, total_toks) — per-field scalars.
+    *
+    * Token-hash bucketing is identical to the unfielded index, so
+    * probes prune to their terms' bucket dirs the same way.
+    */
+  def saveFieldedSearchIndex(
+      docs: DataFrame,
+      idCol: String,
+      fieldCols: Seq[String],
+      dir: String
+  ): Unit = {
+    require(fieldCols.nonEmpty, "fielded index needs at least one field")
+    require(fieldCols.distinct.size == fieldCols.size, s"duplicate fields: $fieldCols")
+    val s = docs.sparkSession
+    val base = docs
+      .select(
+        col(idCol).cast("long").as("doc_id") +:
+          fieldCols.map(f => split(col(f), " ").as(s"__toks_$f")): _*
+      )
+      .select(
+        col("doc_id") +:
+          fieldCols.flatMap(f =>
+            Seq(col(s"__toks_$f"), size(col(s"__toks_$f")).cast("long").as(s"dl_$f"))
+          ): _*
+      )
+    val dlCols = fieldCols.map(f => col(s"dl_$f"))
+    val perField = fieldCols.map { f =>
+      base
+        .select(
+          col("doc_id") +: explode(col(s"__toks_$f")).as("token") +: lit(f).as("field") +: dlCols: _*
+        )
+        .groupBy(Seq(col("token"), col("doc_id"), col("field")) ++ dlCols: _*)
+        .agg(count(lit(1)).cast("long").as("tf"))
+    }
+    perField
+      .reduce(_ unionByName _)
+      .withColumn("tbucket", tokenBucketCol)
+      .repartition(col("tbucket"))
+      .write
+      .mode("overwrite")
+      .partitionBy("tbucket")
+      .parquet(s"$dir/fpostings")
+    val aggs = countDistinct(col("doc_id")).cast("long") +:
+      fieldCols.map(f => coalesce(sum(col(s"dl_$f")), lit(0L)).cast("long"))
+    val r = base.agg(aggs.head, aggs.tail: _*).head()
+    import s.implicits._
+    fieldCols.zipWithIndex
+      .map { case (f, i) => (f, r.getLong(0), r.getLong(i + 1)) }
+      .toDF("field", "n_docs", "total_toks")
+      .coalesce(1)
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/fmeta")
+  }
+
+  /** BM25F — fielded ranked retrieval with per-field boosts and
+    * per-field length normalization (Zaragoza et al.'s field-weighted
+    * BM25, the tf-LEVEL combination — not a per-field score sum):
+    *
+    *   tf̃(t,d) = Σ_f w_f · tf_{t,f} / B_f,   B_f = (1−b) + b·dl_f/avgdl_f
+    *   score(d) = Σ_t idf(t) · (k1+1) · tf̃ / (k1 + tf̃)
+    *
+    * with the repo's BM25 constants (k1 = 6/5, b = 3/4) and ONE
+    * integer rational form: with a_f = avgdl_f, B_f = (a_f + 3·dl_f)
+    * / (4·a_f), so tf̃ = X/D where
+    *
+    *   D = Π_f (a_f + 3·dl_f)
+    *   X = 4 · Σ_f w_f · tf_{t,f} · a_f · Π_{g≠f}(a_g + 3·dl_g)
+    *
+    * and score_t = (11 · idf_milli · X) div (5·X + 6·D) — exact BIGINT
+    * arithmetic end to end (DuckDB replays it), and for ONE field with
+    * w = 1 it reduces ALGEBRAICALLY to [[bm25FromIndex]]'s formula
+    * (44·idf·tf·a div (20·a·tf + 6·a + 18·dl)) — spec-pinned. idf is
+    * document-level (df = docs where the term occurs in ANY indexed
+    * field), the BM25F convention. The probe prunes to its terms'
+    * bucket dirs and reads nothing doc-keyed (all field lengths ride
+    * the posting rows); candidates collapse to one row per (token,
+    * doc) with the per-field tfs pivoted by conditional aggregation.
+    * Products stay far inside BIGINT for realistic field counts
+    * (2–3 fields × 10⁴-token docs ≈ 10¹⁶ < 2⁶³).
+    */
+  def bm25fFromIndex(
+      s: SparkSession,
+      dir: String,
+      terms: Seq[String],
+      boosts: Seq[(String, Long)],
+      k: Int
+  ): DataFrame = {
+    require(terms.nonEmpty, "bm25f needs at least one term")
+    require(boosts.nonEmpty, "bm25f needs at least one boosted field")
+    require(boosts.map(_._1).distinct.size == boosts.size, s"duplicate boost fields: $boosts")
+    val meta = s.read
+      .parquet(s"$dir/fmeta")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    boosts.foreach { case (f, w) =>
+      require(
+        meta.contains(f),
+        s"bm25f: field '$f' not in the index at $dir (fields: ${meta.keys.toSeq.sorted.mkString(", ")})"
+      )
+      require(w > 0, s"bm25f: boost for field '$f' must be positive, got $w")
+    }
+    val n = meta.values.head._1
+    require(n > 0, s"bm25f: index at $dir is empty (n_docs = 0)")
+    val fields = boosts.map(_._1)
+    val w = boosts.toMap
+    val avg: Map[String, Long] = fields.map(f => f -> meta(f)._2 / n).toMap
+    avg.foreach { case (f, a) =>
+      require(a > 0, s"bm25f: field '$f' has avgdl = 0 (all-empty field)")
+    }
+    val buckets = terms.map(tokenBucket).distinct
+    val scan = s.read
+      .parquet(s"$dir/fpostings")
+      .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
+    val aggCols =
+      fields.map(f =>
+        coalesce(sum(when(col("field") === f, col("tf"))), lit(0L)).cast("long").as(s"tf_$f")
+      ) ++ fields.map(f => max(col(s"dl_$f")).cast("long").as(s"len_$f"))
+    val pivoted = scan.groupBy(col("token"), col("doc_id")).agg(aggCols.head, aggCols.tail: _*)
+    val dfModel = pivoted
+      .groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("df"))
+      .withColumn(
+        "idf_milli",
+        floor(log(lit(n + 1).cast("double") / (col("df") + 1)) * 1000L).cast("bigint")
+      )
+      .select(col("token"), col("idf_milli"))
+    val dExpr = fields.map(f => s"(${avg(f)} + 3 * len_$f)").mkString(" * ")
+    val xSum = fields
+      .map { f =>
+        val others = fields.filterNot(_ == f).map(g => s"(${avg(g)} + 3 * len_$g)")
+        (s"${w(f)} * tf_$f * ${avg(f)}" +: others).mkString(" * ")
+      }
+      .mkString(" + ")
+    val scored = pivoted
+      .join(broadcast(dfModel), "token")
+      .withColumn(
+        "contrib",
+        expr(s"(11 * idf_milli * 4 * ($xSum)) div (5 * 4 * ($xSum) + 6 * ($dExpr))")
+      )
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib")).cast("long").as("score_milli"))
+    rankTop(scored, "score_milli", k)
+  }
 
   /** Two-term convenience overload of the n-term [[phraseFromIndex]]. */
   def phraseFromIndex(s: SparkSession, indexDir: String, first: String, second: String): DataFrame =
@@ -1355,8 +1548,19 @@ object Search {
     * commit swap; increments are consumed (the base now counts them).
     */
   private def writeVocabFromPostings(s: SparkSession, dir: String, analyzed: Boolean = false): Unit = {
+    import org.apache.hadoop.fs.Path
     val (rel, schema) =
       if (analyzed) (s"$dir/apostings", apostingsSchema) else (s"$dir/postings", postingsSchema)
+    val fs = fsFor(s, dir)
+    // repair first: a prior crash between the swap and the delete
+    // below left increments the then-new base already counted —
+    // excluded by name since, physically dropped now
+    deleteConsumedIncrements(s, dir, analyzed)
+    val incNames =
+      Option(fs.globStatus(new Path(s"${vocabIncDir(dir, analyzed)}/*.parquet")))
+        .getOrElse(Array.empty)
+        .map(_.getPath.getName)
+        .sorted
     graft.core.Compaction.replaceWith(s, vocabDir(dir, analyzed)) { staged =>
       vocabFromPostingRows(
         liveRows(s, dir, s.read.schema(schema).parquet(rel))
@@ -1367,8 +1571,49 @@ object Search {
         .write
         .mode("overwrite")
         .parquet(staged)
+      // increment consumption rides the SAME marker-committed swap:
+      // the new base counts every increment on disk (it derives from
+      // the live postings those increments shadow), so their NAMES
+      // land inside the staged generation — a crash between the swap
+      // and the physical delete leaves them excluded by name
+      // ([[vocabRows]]), never double-counted, and the next entry here
+      // (or [[deleteConsumedIncrements]]) finishes the delete
+      if (incNames.nonEmpty)
+        graft.core.Compaction.writeTextFile(
+          s,
+          s"$staged/$consumedIncMarker",
+          incNames.mkString("\n") + "\n"
+        )
     }
-    fsFor(s, dir).delete(new org.apache.hadoop.fs.Path(vocabIncDir(dir, analyzed)), true)
+    deleteConsumedIncrements(s, dir, analyzed)
+    // only unconsumed (post-swap) increments may remain; drop the dir
+    // when it emptied so the no-increment fast path stays a dir probe
+    val incPath = new Path(vocabIncDir(dir, analyzed))
+    if (fs.exists(incPath) && !fs.listFiles(incPath, false).hasNext) fs.delete(incPath, true)
+  }
+
+  private val consumedIncMarker = "_consumed_inc"
+
+  /** Increment file names the CURRENT base vocab already counts — the
+    * list its committed swap carried ([[writeVocabFromPostings]]).
+    * Empty when no marker (no crash window pending).
+    */
+  private def consumedIncNames(s: SparkSession, dir: String, analyzed: Boolean): Set[String] =
+    graft.core.Compaction
+      .readTextFile(s, s"${vocabDir(dir, analyzed)}/$consumedIncMarker")
+      .map(_.split("\n").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
+  /** Physically drop consumed increments (crash repair; a replayed
+    * batch may legitimately have re-written one — its counts are in
+    * the base via the relation files the replay also rewrote, so the
+    * drop stays correct).
+    */
+  private def deleteConsumedIncrements(s: SparkSession, dir: String, analyzed: Boolean): Unit = {
+    val fs = fsFor(s, dir)
+    consumedIncNames(s, dir, analyzed).foreach { n =>
+      fs.delete(new org.apache.hadoop.fs.Path(vocabIncDir(dir, analyzed), n), false)
+    }
   }
 
   /** Stage one vocab increment and rename it under `<tag>-<i>.parquet`
@@ -1412,11 +1657,26 @@ object Search {
     )
     val base = s.read.schema(vocabSchema).parquet(vocabDir(dir, analyzed))
     if (!fs.exists(new org.apache.hadoop.fs.Path(vocabIncDir(dir, analyzed)))) base
-    else
-      base
-        .unionAll(s.read.schema(vocabSchema).parquet(vocabIncDir(dir, analyzed)))
-        .groupBy(col("token"))
-        .agg(sum(col("df")).cast("long").as("df"), sum(col("tf_total")).cast("long").as("tf_total"))
+    else {
+      // skip increments the base's committed swap already consumed —
+      // present on disk only inside the crash window between that swap
+      // and their physical delete (or re-written by a batch replay);
+      // reading them would double-count df/tf_total
+      val consumed = consumedIncNames(s, dir, analyzed)
+      val incFiles =
+        Option(
+          fs.globStatus(new org.apache.hadoop.fs.Path(s"${vocabIncDir(dir, analyzed)}/*.parquet"))
+        )
+          .getOrElse(Array.empty)
+          .map(_.getPath)
+          .filter(p => !consumed.contains(p.getName))
+      if (incFiles.isEmpty) base
+      else
+        base
+          .unionAll(s.read.schema(vocabSchema).parquet(incFiles.map(_.toString).sorted: _*))
+          .groupBy(col("token"))
+          .agg(sum(col("df")).cast("long").as("df"), sum(col("tf_total")).cast("long").as("tf_total"))
+    }
   }
 
   // ---- dictionary-served routes: autocomplete, prefix, fuzzy ----------
@@ -2095,6 +2355,28 @@ object Search {
     * their generation. Applied directly over the pruned scan (the
     * input_file_name contract [[liveRows]] documents).
     */
+  /** The last compaction's travel horizon (−1 if never compacted):
+    * compaction folds the ledger to one seed row and renames survivors
+    * to the purge generation (or −1 on the pure-compact path), so any
+    * as-of read at a generation BELOW it would silently serve empty
+    * pages or the live state — the guards in [[rowsAsOf]]/[[metaAsOf]]
+    * fail loudly instead.
+    */
+  private def asOfHorizon(s: SparkSession, dir: String): Long =
+    graft.core.Compaction
+      .readTextFile(s, s"$dir/_asof_horizon")
+      .map(_.trim.toLong)
+      .getOrElse(-1L)
+
+  private def requireAsOfInsideHorizon(s: SparkSession, dir: String, asOfGen: Long): Unit = {
+    val h = asOfHorizon(s, dir)
+    require(
+      asOfGen >= h,
+      s"as-of read at $dir: generation $asOfGen predates the last compaction " +
+        s"(horizon $h) — compaction ends the travel horizon"
+    )
+  }
+
   private def rowsAsOf(
       s: SparkSession,
       dir: String,
@@ -2102,6 +2384,7 @@ object Search {
       asOfGen: Long,
       keyCol: String = "doc_id"
   ): DataFrame = {
+    requireAsOfInsideHorizon(s, dir, asOfGen)
     val g = rel.withColumn("__gen", genFromFileCol).filter(col("__gen") <= asOfGen)
     if (!hasTombstones(s, dir)) g.drop("__gen")
     else
@@ -2120,6 +2403,7 @@ object Search {
     */
   private def metaAsOf(s: SparkSession, dir: String, asOfGen: Long): (Long, Long) = {
     val fs = fsFor(s, dir)
+    requireAsOfInsideHorizon(s, dir, asOfGen)
     require(
       ledgerFiles(fs, dir).nonEmpty,
       s"as-of read at $dir: no increment ledger — only batch-apply/stream-maintained " +
@@ -2386,97 +2670,150 @@ object Search {
           .foreach(f => fs.delete(f.getPath, false))
       }
     val staged = s"$dir/_stage_$batchId"
-    // UPSERT: tombstone the batch's ids at asof = gen BEFORE the new
-    // rows land — every OLDER version of these docs dies (its
-    // file-name generation < gen) while the batch's own gbatch-<gen>
-    // rows survive (gen < gen is false). Same deterministic-name
-    // replay contract as every other per-batch file. The old versions'
-    // meta contributions stay counted until compaction purges them —
-    // the documented Lucene stale-stats window, bounded by
-    // compactEvery (exact-match serving is unaffected: dead rows never
-    // score).
-    if (upsert)
+    // ---- one materialization of the batch and its grouped postings --
+    // The apply launches ~8 jobs per micro-batch (relations, scalars,
+    // vocab increments, ledger); each used to re-read the micro-batch
+    // source and re-tokenize from scratch — postingsWithDl was derived
+    // TWICE (relation write at the top, vocab increment at the bottom)
+    // and corpusScalars/analyzedTotal re-tokenized the batch two more
+    // times. Persist the batch and the grouped postings once, derive
+    // doclen/vocab/scalars from the persisted forms, and fuse the
+    // ledger scalars into ONE aggregate: every job after the first
+    // reads memory, not the source — the per-batch fixed-cost floor,
+    // not the asymptotics (those are already batch/ledger-sized).
+    // cache decisions, measured at fixture scale and reasoned at 100 TB:
+    // the minimal raw path (no upsert, no analyzed twin, no vocab yet)
+    // reads the at-rest micro-batch four times through cheap
+    // projections — caching it there costs more than the re-scans
+    // save; every heavier path (upsert tombstones, analyzed twins,
+    // vocab increments) multiplies the consumers and the persist wins
+    // outright (isolated A/B: upsert replay 23.9 → 14.5 s)
+    val hasVocab = fs.exists(new Path(vocabDir(dir)))
+    val hasAvocab = analyzed && fs.exists(new Path(vocabDir(dir, analyzed = true)))
+    val persistBatch = analyzed || upsert || hasVocab || tombstoneIds.isDefined
+    val b =
+      if (persistBatch) batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else batch
+    val pwd0 = postingsWithDl(b, idCol, textCol)
+    val pwd =
+      if (hasVocab) pwd0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else pwd0
+    val apwd =
+      if (analyzed) {
+        val a0 = analyzedPostingsWithDl(b, idCol, textCol)
+        Some(
+          if (hasAvocab) a0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else a0
+        )
+      } else None
+    try {
+      // UPSERT: tombstone the batch's ids at asof = gen BEFORE the new
+      // rows land — every OLDER version of these docs dies (its
+      // file-name generation < gen) while the batch's own gbatch-<gen>
+      // rows survive (gen < gen is false). Same deterministic-name
+      // replay contract as every other per-batch file. The old
+      // versions' meta contributions stay counted until compaction
+      // purges them — the documented Lucene stale-stats window,
+      // bounded by compactEvery (exact-match serving is unaffected:
+      // dead rows never score).
+      if (upsert)
+        stageAndMove(
+          tombstoneIds
+            .getOrElse(b.select(col(idCol).cast("long").as("doc_id")))
+            .select(col(idCol).cast("long").as("doc_id"))
+            .distinct()
+            .withColumn("asof", lit(gen)),
+          s"$staged/tombstones",
+          tombstonesDir(dir),
+          partitionCol = None,
+          gen
+        )
       stageAndMove(
-        tombstoneIds
-          .getOrElse(batch.select(col(idCol).cast("long").as("doc_id")))
-          .select(col(idCol).cast("long").as("doc_id"))
-          .distinct()
-          .withColumn("asof", lit(gen)),
-        s"$staged/tombstones",
-        tombstonesDir(dir),
+        pwd.withColumn("tbucket", tokenBucketCol).repartition(col("tbucket")),
+        s"$staged/postings",
+        s"$dir/postings",
+        partitionCol = Some("tbucket"),
+        gen
+      )
+      stageAndMove(
+        positionalPostings(b, idCol, textCol)
+          .withColumn("tbucket", tokenBucketCol)
+          .repartition(col("tbucket")),
+        s"$staged/positions",
+        s"$dir/positions",
+        partitionCol = Some("tbucket"),
+        gen
+      )
+      apwd.foreach { a =>
+        stageAndMove(
+          a.withColumn("tbucket", tokenBucketCol).repartition(col("tbucket")),
+          s"$staged/apostings",
+          s"$dir/apostings",
+          partitionCol = Some("tbucket"),
+          gen
+        )
+        stageAndMove(
+          analyzedPositionalPostings(b, idCol, textCol)
+            .withColumn("tbucket", tokenBucketCol)
+            .repartition(col("tbucket")),
+          s"$staged/apositions",
+          s"$dir/apositions",
+          partitionCol = Some("tbucket"),
+          gen
+        )
+      }
+      // doclen straight off the persisted batch — a pure projection
+      // (deriving it from the grouped postings would ADD a distinct
+      // shuffle to save a tokenize of in-memory rows: a bad trade)
+      stageAndMove(
+        docLengths(b, idCol, textCol),
+        s"$staged/doclen",
+        s"$dir/doclen",
         partitionCol = None,
         gen
       )
-    stageAndMove(
-      postingsWithDl(batch, idCol, textCol).withColumn("tbucket", tokenBucketCol).repartition(col("tbucket")),
-      s"$staged/postings",
-      s"$dir/postings",
-      partitionCol = Some("tbucket"),
-      gen
-    )
-    stageAndMove(
-      positionalPostings(batch, idCol, textCol)
-        .withColumn("tbucket", tokenBucketCol)
-        .repartition(col("tbucket")),
-      s"$staged/positions",
-      s"$dir/positions",
-      partitionCol = Some("tbucket"),
-      gen
-    )
-    if (analyzed) {
-      stageAndMove(
-        analyzedPostingsWithDl(batch, idCol, textCol)
-          .withColumn("tbucket", tokenBucketCol)
-          .repartition(col("tbucket")),
-        s"$staged/apostings",
-        s"$dir/apostings",
-        partitionCol = Some("tbucket"),
-        gen
-      )
-      stageAndMove(
-        analyzedPositionalPostings(batch, idCol, textCol)
-          .withColumn("tbucket", tokenBucketCol)
-          .repartition(col("tbucket")),
-        s"$staged/apositions",
-        s"$dir/apositions",
-        partitionCol = Some("tbucket"),
-        gen
-      )
+      fs.delete(new Path(staged), true)
+      // the batch's scalar deltas — increment-sized, in ONE fused
+      // aggregate over the persisted batch (was two jobs, each
+      // re-tokenizing the source: corpusScalars + analyzedTotal)
+      val scalarAggs = Seq(
+        countDistinct(col(idCol)).cast("long"),
+        coalesce(sum(size(split(col(textCol), " ")).cast("long")), lit(0L)).cast("long")
+      ) ++ (if (analyzed)
+              Seq(coalesce(sum(size(atoksCol(textCol)).cast("long")), lit(0L)).cast("long"))
+            else Nil)
+      val r = b.agg(scalarAggs.head, scalarAggs.tail: _*).head()
+      val (nb, tb) = (r.getLong(0), r.getLong(1))
+      val ab = if (analyzed) r.getLong(2) else 0L
+      writeLedgerRow(s, dir, (nb, tb, ab), s"gbatch-$gen")
+      // the batch's vocab increment under its deterministic gbatch name
+      // (the replay cleanup above already removed a prior attempt's),
+      // derived from the ALREADY-grouped persisted postings; upsert
+      // batches leave the OLD versions' vocab counts in place — the
+      // documented Lucene stale-stats window, healed at compaction
+      if (hasVocab)
+        writeVocabIncrement(
+          s,
+          dir,
+          vocabFromPostingRows(pwd.select(col("token"), col("doc_id"), col("tf"))),
+          s"gbatch-$gen"
+        )
+      if (hasAvocab)
+        apwd.foreach { a =>
+          writeVocabIncrement(
+            s,
+            dir,
+            vocabFromPostingRows(a.select(col("token"), col("doc_id"), col("tf"))),
+            s"gbatch-$gen",
+            analyzed = true
+          )
+        }
+      val (n, t, a) = ledgerSums(s, dir)
+      writeMeta(s, dir, (n, t))
+      if (analyzed) writeAmeta(s, dir, a)
+    } finally {
+      if (hasVocab) pwd.unpersist(false)
+      if (hasAvocab) apwd.foreach(_.unpersist(false))
+      if (persistBatch) b.unpersist(false)
     }
-    stageAndMove(docLengths(batch, idCol, textCol), s"$staged/doclen", s"$dir/doclen", partitionCol = None, gen)
-    fs.delete(new Path(staged), true)
-    // the batch's three scalar deltas — increment-sized aggregates over
-    // the BATCH, never a read of the accumulated relations
-    val (nb, tb) = corpusScalars(batch, idCol, textCol)
-    val ab = if (analyzed) analyzedTotal(batch, textCol) else 0L
-    writeLedgerRow(s, dir, (nb, tb, ab), s"gbatch-$gen")
-    // the batch's vocab increment under its deterministic gbatch name
-    // (the replay cleanup above already removed a prior attempt's);
-    // upsert batches leave the OLD versions' vocab counts in place —
-    // the documented Lucene stale-stats window, healed at compaction
-    if (fs.exists(new Path(vocabDir(dir))))
-      writeVocabIncrement(
-        s,
-        dir,
-        vocabFromPostingRows(
-          postingsWithDl(batch, idCol, textCol).select(col("token"), col("doc_id"), col("tf"))
-        ),
-        s"gbatch-$gen"
-      )
-    if (analyzed && fs.exists(new Path(vocabDir(dir, analyzed = true))))
-      writeVocabIncrement(
-        s,
-        dir,
-        vocabFromPostingRows(
-          analyzedPostingsWithDl(batch, idCol, textCol)
-            .select(col("token"), col("doc_id"), col("tf"))
-        ),
-        s"gbatch-$gen",
-        analyzed = true
-      )
-    val (n, t, a) = ledgerSums(s, dir)
-    writeMeta(s, dir, (n, t))
-    if (analyzed) writeAmeta(s, dir, a)
   }
 
   /** Rewrite the postings/positions back to one file per bucket dir
@@ -2515,6 +2852,11 @@ object Search {
     // exact automatically
     val tomb = if (hasTombstones(spark, dir)) Some(tombstoneMaxAsof(spark, dir)) else None
     val purgeGen = tomb.map(_.agg(max(col("t_asof"))).head().getLong(0)).getOrElse(-1L)
+    // the travel horizon this compaction creates: every generation on
+    // disk BEFORE the rewrite destroys per-row history (pure-compact
+    // survivors re-parse as gen −1, purge survivors as purgeGen) —
+    // captured NOW, committed as `_asof_horizon` after the fold below
+    val horizon = currentHighGen(spark, dir)
     def rewriteRel(path: String, pc: Option[String]): Unit = tomb match {
       case Some(t) => purgeRewrite(spark, path, pc, t, purgeGen)
       case None    => graft.core.Compaction.compact(spark, path, pc, 1)
@@ -2555,6 +2897,11 @@ object Search {
     if (ledgerFiles(fs, dir).nonEmpty) {
       fs.delete(new org.apache.hadoop.fs.Path(ledgerDir(dir)), true)
       writeLedgerRow(spark, dir, (r.getLong(0), r.getLong(1), repairedAtoks), "seed")
+      // as-of reads BELOW this generation would now silently serve the
+      // live state (the seed ledger row parses as gen −1 and the
+      // rewritten rows lost their history) — record the horizon so
+      // metaAsOf/rowsAsOf fail loudly instead of answering wrong
+      graft.core.Compaction.writeTextFile(spark, s"$dir/_asof_horizon", s"$horizon\n")
     }
   }
 
@@ -2579,66 +2926,220 @@ object Search {
     * functional index: append, delete, stream-adopt and compact all
     * work on it afterwards.
     */
+  // ---- crash-safe merge protocol --------------------------------------
+  //
+  // Both merges consume their parts by FILE RENAMES — metadata ops, no
+  // data pass — which used to mean a crash mid-move left the corpus
+  // split between half-emptied parts and a half-populated destination
+  // with no automated way forward (the rerun hit the "dest already
+  // exists" guard). The staged protocol makes every crash point
+  // decidable and the rerun the only repair:
+  //
+  //   1. ARTIFACTS: scalars/vocab (and the part list + layout) are
+  //      written into `dest__merging` while the parts are still
+  //      intact, then `_artifacts_done` commits the phase. A crash
+  //      before the marker deletes the staged dir and restarts — no
+  //      part file has moved yet.
+  //   2. MOVE: part files rename INTO the staged dir under names
+  //      derived from their SOURCE identity (not listing position), so
+  //      a resumed move just moves whatever remains — already-moved
+  //      files are simply absent from the part globs, and no name can
+  //      collide.
+  //   3. SWAP: one atomic `rename(staged, dest)` — the destination
+  //      either doesn't exist or is complete; probes never see a
+  //      partial merge.
+  //   4. CLEANUP: parts (now data-less husks) are deleted. A crash
+  //      here is detected by `_merged_from` inside the committed dest
+  //      naming exactly these parts AND the parts holding no data
+  //      files — the rerun finishes the delete and returns.
+
+  private[ops] val mergedFromMarker = "_merged_from"
+  private[ops] val artifactsDoneMarker = "_artifacts_done"
+
+  /** Destination file name for a moved shard file: deterministic from
+    * the SOURCE identity (so a resumed move is idempotent) and
+    * neutralized so [[genFromFileCol]] parses it as generation −1
+    * (parts are tombstone-free, so every surviving row is a base row —
+    * but their file names may still carry `gbatch-`/`del-` prefixes
+    * the gen regex would match unanchored).
+    */
+  private[ops] def mergedName(partIdx: Int, srcName: String): String =
+    s"merged-$partIdx-${srcName.replace("gbatch-", "g").replace("del-", "d")}"
+
+  /** Read the staged/committed merge manifest: first line `analyzed`
+    * or `raw`, remaining lines the part paths.
+    */
+  private def readMergeManifest(s: SparkSession, dir: String): Option[(Boolean, Seq[String])] =
+    graft.core.Compaction.readTextFile(s, s"$dir/$mergedFromMarker").map { t =>
+      val lines = t.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+      (lines.head == "analyzed", lines.tail)
+    }
+
+  /** True iff the part holds no data files under `rel` — the husk
+    * signature a finished-but-uncleaned merge leaves behind.
+    */
+  private def partIsHusk(fs: org.apache.hadoop.fs.FileSystem, p: String, rel: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    Option(fs.globStatus(new Path(s"$p/$rel/*/*.parquet"))).getOrElse(Array.empty).isEmpty &&
+    Option(fs.globStatus(new Path(s"$p/$rel/*.parquet"))).getOrElse(Array.empty).isEmpty
+  }
+
+  /** Shared entry/recovery decision for both merges. Returns true when
+    * the caller should RESUME the move phase against an existing
+    * staged dir (artifacts committed), false when it should start
+    * fresh (any non-artifact-committed staging was discarded). When
+    * the merge already COMMITTED (dest exists with a matching
+    * manifest and the parts are husks), finishes the part cleanup and
+    * returns None — the merge is done.
+    */
+  private def mergeRecoveryState(
+      s: SparkSession,
+      parts: Seq[String],
+      dest: String,
+      staged: String,
+      dataRel: String
+  ): Option[Boolean] = {
+    import org.apache.hadoop.fs.Path
+    val fs = fsFor(s, dest)
+    if (fs.exists(new Path(dest))) {
+      val manifest = readMergeManifest(s, dest)
+      require(
+        manifest.exists(_._2.toSet == parts.toSet),
+        s"merge destination $dest already exists"
+      )
+      // same merge, crashed between the committed swap and the part
+      // cleanup — but NEVER delete a part that still holds data (the
+      // caller may have rebuilt it): that is a conflict, not a resume
+      parts.filter(p => fs.exists(new Path(p))).foreach { p =>
+        require(
+          partIsHusk(fs, p, dataRel),
+          s"merge destination $dest exists and part $p still holds data — " +
+            "refusing to treat it as a crashed cleanup; move or rebuild under a new destination"
+        )
+        fs.delete(new Path(p), true)
+      }
+      fs.delete(new Path(staged), true)
+      None
+    } else if (fs.exists(new Path(staged))) {
+      if (fs.exists(new Path(staged, artifactsDoneMarker))) {
+        val manifest = readMergeManifest(s, staged)
+        require(
+          manifest.exists(_._2.toSet == parts.toSet),
+          s"staged merge at $staged was for different parts " +
+            s"(${manifest.map(_._2).getOrElse(Nil)}) — remove it manually to proceed"
+        )
+        Some(true) // artifacts committed, moves may be partial — resume
+      } else {
+        // artifacts phase crashed: nothing has moved, restart clean
+        fs.delete(new Path(staged), true)
+        Some(false)
+      }
+    } else Some(false)
+  }
+
   def mergeSearchIndexes(s: SparkSession, parts: Seq[String], dest: String): Unit = {
     import org.apache.hadoop.fs.Path
     require(parts.size >= 2, "mergeSearchIndexes needs at least two parts")
     val fs = fsFor(s, dest)
-    require(!fs.exists(new Path(dest)), s"merge destination $dest already exists")
-    parts.foreach { p =>
-      require(fs.exists(new Path(s"$p/postings")), s"merge part $p is not a search index")
-      require(!hasTombstones(s, p), s"merge part $p has live tombstones — compactSearchIndex it first")
-      require(
-        !fs.exists(new Path(p, "_last_batch")) && !fs.exists(new Path(p, "_stream_id")),
-        s"merge part $p is stream-maintained — quiesce it (compact + drop its markers) first"
-      )
+    val staged = dest + "__merging"
+    val resume = mergeRecoveryState(s, parts, dest, staged, dataRel = "postings") match {
+      case None    => return // committed merge, cleanup finished
+      case Some(r) => r
     }
-    val analyzedFlags = parts.map(p => fs.exists(new Path(s"$p/apostings")))
-    require(
-      analyzedFlags.distinct.size == 1,
-      s"cannot merge analyzed with raw-only parts: ${parts.zip(analyzedFlags)}"
-    )
-    val analyzed = analyzedFlags.head
-    // scalar + dictionary artifacts FIRST, while the parts are intact
-    val metas = parts.map(p => readMeta(s, p))
-    val atoks = if (analyzed) parts.map(p => readAmeta(s, p)).sum else 0L
-    def mergeVocab(an: Boolean): Unit =
-      if (parts.forall(p => fs.exists(new Path(vocabDir(p, an)))))
-        parts
-          .map(p => vocabRows(s, p, an))
-          .reduce(_ unionAll _)
-          .groupBy(col("token"))
-          .agg(sum(col("df")).cast("long").as("df"), sum(col("tf_total")).cast("long").as("tf_total"))
-          .repartitionByRange(vocabParts, col("token"))
-          .sortWithinPartitions("token")
-          .write
-          .mode("overwrite")
-          .parquet(vocabDir(dest, an))
-    mergeVocab(an = false)
-    if (analyzed) mergeVocab(an = true)
-    // data relations: rename every shard file into the destination's
-    // matching bucket dir — metadata operations only
+    val analyzed: Boolean =
+      if (resume) readMergeManifest(s, staged).get._1
+      else {
+        parts.foreach { p =>
+          require(fs.exists(new Path(s"$p/postings")), s"merge part $p is not a search index")
+          require(
+            !hasTombstones(s, p),
+            s"merge part $p has live tombstones — compactSearchIndex it first"
+          )
+          require(
+            !fs.exists(new Path(p, "_last_batch")) && !fs.exists(new Path(p, "_stream_id")),
+            s"merge part $p is stream-maintained — quiesce it (compact + drop its markers) first"
+          )
+        }
+        val analyzedFlags = parts.map(p => fs.exists(new Path(s"$p/apostings")))
+        require(
+          analyzedFlags.distinct.size == 1,
+          s"cannot merge analyzed with raw-only parts: ${parts.zip(analyzedFlags)}"
+        )
+        val an = analyzedFlags.head
+        // a silently vocab-less destination would serve every probe but
+        // fail its first DICTIONARY query — if the parts disagree, say
+        // so now (compaction backfills a missing vocab) instead of
+        // deferring to vocabRows' require at probe time
+        Seq(false -> "vocab", true -> "avocab").foreach { case (av, what) =>
+          if (!av || an) {
+            val flags = parts.map(p => fs.exists(new Path(vocabDir(p, av))))
+            require(
+              flags.distinct.size == 1,
+              s"cannot merge parts with mixed $what state (run compactSearchIndex on the " +
+                s"missing ones to backfill): ${parts.zip(flags)}"
+            )
+          }
+        }
+        // ARTIFACTS phase: scalar + dictionary artifacts land in the
+        // staged dir FIRST, while the parts are intact
+        val metas = parts.map(p => readMeta(s, p))
+        val atoks = if (an) parts.map(p => readAmeta(s, p)).sum else 0L
+        def mergeVocab(av: Boolean): Unit =
+          if (parts.forall(p => fs.exists(new Path(vocabDir(p, av)))))
+            parts
+              .map(p => vocabRows(s, p, av))
+              .reduce(_ unionAll _)
+              .groupBy(col("token"))
+              .agg(
+                sum(col("df")).cast("long").as("df"),
+                sum(col("tf_total")).cast("long").as("tf_total")
+              )
+              .repartitionByRange(vocabParts, col("token"))
+              .sortWithinPartitions("token")
+              .write
+              .mode("overwrite")
+              .parquet(vocabDir(staged, av))
+        mergeVocab(av = false)
+        if (an) mergeVocab(av = true)
+        writeMeta(s, staged, (metas.map(_._1).sum, metas.map(_._2).sum))
+        if (an) writeAmeta(s, staged, atoks)
+        graft.core.Compaction.writeTextFile(
+          s,
+          s"$staged/$mergedFromMarker",
+          ((if (an) "analyzed" else "raw") +: parts).mkString("\n") + "\n"
+        )
+        fs.create(new Path(staged, artifactsDoneMarker), true).close()
+        an
+      }
+    // MOVE phase: rename every remaining shard file into the staged
+    // dir's matching bucket dir — metadata operations only, idempotent
+    // under resume (dest names derive from source identity; part
+    // indices come from the MANIFEST's order, so a resume with the
+    // parts listed differently still produces the same names)
+    val orderedParts = readMergeManifest(s, staged).get._2
     val partitionedRels = Seq("postings", "positions") ++
       (if (analyzed) Seq("apostings", "apositions") else Nil)
     def moveRel(rel: String, partitioned: Boolean): Unit =
-      parts.zipWithIndex.foreach { case (p, i) =>
+      orderedParts.zipWithIndex.foreach { case (p, i) =>
         val glob =
           if (partitioned) new Path(s"$p/$rel/tbucket=*/*.parquet")
           else new Path(s"$p/$rel/*.parquet")
         Option(fs.globStatus(glob)).getOrElse(Array.empty).map(_.getPath).sortBy(_.toString)
-          .zipWithIndex.foreach { case (f, j) =>
+          .foreach { f =>
             val destDir =
-              if (partitioned) new Path(s"$dest/$rel/${f.getParent.getName}")
-              else new Path(s"$dest/$rel")
+              if (partitioned) new Path(s"$staged/$rel/${f.getParent.getName}")
+              else new Path(s"$staged/$rel")
             fs.mkdirs(destDir)
-            val d = new Path(destDir, s"merged-$i-$j.parquet")
+            val d = new Path(destDir, mergedName(i, f.getName))
             if (!fs.rename(f, d))
               throw new java.io.IOException(s"index merge: rename $f -> $d failed")
           }
       }
     partitionedRels.foreach(moveRel(_, partitioned = true))
     moveRel("doclen", partitioned = false)
-    writeMeta(s, dest, (metas.map(_._1).sum, metas.map(_._2).sum))
-    if (analyzed) writeAmeta(s, dest, atoks)
+    // SWAP: one atomic rename — dest appears complete or not at all
+    if (!fs.rename(new Path(staged), new Path(dest)))
+      throw new java.io.IOException(s"index merge: commit rename $staged -> $dest failed")
     parts.foreach(p => fs.delete(new Path(p), true))
   }
 
@@ -2654,33 +3155,52 @@ object Search {
     import org.apache.hadoop.fs.Path
     require(parts.size >= 2, "mergeDocStores needs at least two parts")
     val fs = fsFor(s, dest)
-    require(!fs.exists(new Path(dest)), s"merge destination $dest already exists")
-    parts.foreach { p =>
-      require(fs.exists(new Path(s"$p/docs")), s"merge part $p is not a doc store")
-      require(!hasTombstones(s, p), s"merge part $p has live tombstones — compactDocStore it first")
+    val staged = dest + "__merging"
+    val resume = mergeRecoveryState(s, parts, dest, staged, dataRel = "docs") match {
+      case None    => return // committed merge, cleanup finished
+      case Some(r) => r
     }
-    // mixed shard schemas (one store saved with metaCols, one without)
-    // would merge into a silently-null-padded relation — fail loudly
-    val schemas = parts.map(p => s.read.parquet(s"$p/docs").schema.fieldNames.toSeq.sorted)
-    require(
-      schemas.distinct.size == 1,
-      s"doc-store merge: parts carry different schemas: ${parts.zip(schemas)}"
-    )
-    parts.zipWithIndex.foreach { case (p, i) =>
+    if (!resume) {
+      parts.foreach { p =>
+        require(fs.exists(new Path(s"$p/docs")), s"merge part $p is not a doc store")
+        require(
+          !hasTombstones(s, p),
+          s"merge part $p has live tombstones — compactDocStore it first"
+        )
+      }
+      // mixed shard schemas (one store saved with metaCols, one
+      // without) would merge into a silently-null-padded relation —
+      // fail loudly while the parts are still fully readable
+      val schemas = parts.map(p => s.read.parquet(s"$p/docs").schema.fieldNames.toSeq.sorted)
+      require(
+        schemas.distinct.size == 1,
+        s"doc-store merge: parts carry different schemas: ${parts.zip(schemas)}"
+      )
+      fs.mkdirs(new Path(staged))
+      graft.core.Compaction.writeTextFile(
+        s,
+        s"$staged/$mergedFromMarker",
+        ("raw" +: parts).mkString("\n") + "\n"
+      )
+      fs.create(new Path(staged, artifactsDoneMarker), true).close()
+    }
+    val orderedParts = readMergeManifest(s, staged).get._2
+    orderedParts.zipWithIndex.foreach { case (p, i) =>
       Option(fs.globStatus(new Path(s"$p/docs/dbucket=*/*.parquet")))
         .getOrElse(Array.empty)
         .map(_.getPath)
         .sortBy(_.toString)
-        .zipWithIndex
-        .foreach { case (f, j) =>
-          val destDir = new Path(s"$dest/docs/${f.getParent.getName}")
+        .foreach { f =>
+          val destDir = new Path(s"$staged/docs/${f.getParent.getName}")
           fs.mkdirs(destDir)
-          val d2 = new Path(destDir, s"merged-$i-$j.parquet")
+          val d2 = new Path(destDir, mergedName(i, f.getName))
           if (!fs.rename(f, d2))
             throw new java.io.IOException(s"doc-store merge: rename $f -> $d2 failed")
         }
-      fs.delete(new Path(p), true)
     }
+    if (!fs.rename(new Path(staged), new Path(dest)))
+      throw new java.io.IOException(s"doc-store merge: commit rename $staged -> $dest failed")
+    parts.foreach(p => fs.delete(new Path(p), true))
   }
 
   /** Tombstone-applying rewrite of one index relation (the physical
@@ -3194,9 +3714,44 @@ object Search {
       )
     }
 
+  /** The as-of demo's RENDERING twin: a doc store maintained through
+    * the same batch/generation history as [[demoAsOfIndexDir]] (base =
+    * even ids, gen 0 adds %4==1, gen 1 upserts %8==1 rewritten), so an
+    * as-of page can render its ERA's snippets from the same
+    * generation the index time-travels to.
+    */
+  private[ops] def demoAsOfDocStoreDir(s: SparkSession, d: String): String =
+    Fixtures.demoIndexDir(s, "docstore_asof", d) { dir =>
+      val docs = documents(s, d)
+      saveDocStore(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", dir)
+      applyDocStoreBatch(docs.filter(col("doc_id") % 4 === 1), "doc_id", "text", dir, 0L)
+      applyDocStoreBatch(
+        docs
+          .filter(col("doc_id") % 8 === 1)
+          .withColumn("text", concat(lit("rewritten "), col("text"))),
+        "doc_id",
+        "text",
+        dir,
+        1L,
+        upsert = true
+      )
+    }
+
   val searchAsOfProbe: Q = (s, d) =>
     conjunctiveFromIndexAsOf(s, demoAsOfIndexDir(s, d), fixtureAndTerms, topK, asOfGen = 0L)
       .orderBy("rank")
+
+  /** As-of SERP gate: hits AND snippets at generation 0 — the gen-1
+    * upsert's "rewritten " prefix must be invisible in both tiers
+    * (index rows via rowsAsOf, store text via the store's rowsAsOf).
+    */
+  val searchAsOfPage: Q = (s, d) => {
+    val idx = demoAsOfIndexDir(s, d)
+    val hits = conjunctiveFromIndexAsOf(s, idx, Seq(fixturePhrase._1), kwicPageK, asOfGen = 0L)
+      .select(col("rank"), col("doc_id"))
+    kwicPageAsOf(s, idx, demoAsOfDocStoreDir(s, d), hits, fixturePhrase._1, 3, asOfGen = 0L)
+      .orderBy("rank", "pos")
+  }
 
   /** Ranked time travel: BM25 as of generation 0 on the same demo. */
   val searchAsOfBm25: Q = (s, d) =>
@@ -4282,21 +4837,27 @@ object Search {
         .getOrElse(Array.empty)
         .foreach(f => fs.delete(f.getPath, false))
     }
-    if (upsert)
+    // upsert reads the batch twice (tombstones + rows) — persist so
+    // the second job reads memory, not the micro-batch source
+    val b =
+      if (upsert) batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else batch
+    try {
+      if (upsert)
+        stageAndMove(
+          b.select(col(idCol).cast("long").as("doc_id")).distinct().withColumn("asof", lit(gen)),
+          s"$dir/_stage_store_tomb_$batchId",
+          tombstonesDir(dir),
+          partitionCol = None,
+          gen
+        )
       stageAndMove(
-        batch.select(col(idCol).cast("long").as("doc_id")).distinct().withColumn("asof", lit(gen)),
-        s"$dir/_stage_store_tomb_$batchId",
-        tombstonesDir(dir),
-        partitionCol = None,
+        docStoreRows(b, idCol, textCol, metaCols).repartition(col("dbucket")),
+        s"$dir/_stage_store_$batchId",
+        s"$dir/docs",
+        partitionCol = Some("dbucket"),
         gen
       )
-    stageAndMove(
-      docStoreRows(batch, idCol, textCol, metaCols).repartition(col("dbucket")),
-      s"$dir/_stage_store_$batchId",
-      s"$dir/docs",
-      partitionCol = Some("dbucket"),
-      gen
-    )
+    } finally if (upsert) b.unpersist(false)
   }
 
   /** Compact the store back to one file per bucket dir; with live
@@ -4305,12 +4866,18 @@ object Search {
     * and the tombstones are consumed.
     */
   def compactDocStore(spark: SparkSession, dir: String): Unit = {
+    // same horizon contract as the index: the rewrite destroys per-row
+    // history, so as-of store reads below this generation must fail
+    // loudly ([[docStoreAsOf]] via rowsAsOf) instead of serving the
+    // live text under an old page
+    val horizon = currentHighGen(spark, dir, rels = Seq("docs", "tombstones"))
     if (hasTombstones(spark, dir)) {
       val tomb = tombstoneMaxAsof(spark, dir)
       val purgeGen = tomb.agg(max(col("t_asof"))).head().getLong(0)
       purgeRewrite(spark, s"$dir/docs", Some("dbucket"), tomb, purgeGen)
       fsFor(spark, dir).delete(new org.apache.hadoop.fs.Path(tombstonesDir(dir)), true)
     } else graft.core.Compaction.compact(spark, s"$dir/docs", Some("dbucket"), 1)
+    graft.core.Compaction.writeTextFile(spark, s"$dir/_asof_horizon", s"$horizon\n")
   }
 
   /** FACET counts over a query's FULL match set, served from persisted
@@ -4373,30 +4940,63 @@ object Search {
       hits: DataFrame, // (rank, doc_id) — a result page, request-sized
       term: String,
       window: Int
+  ): DataFrame =
+    kwicPageMulti(s, indexDir, storeDir, hits, Seq(term), window)
+      .select(col("rank"), col("doc_id"), col("pos"), col("snippet"))
+
+  /** MULTI-TERM page highlighting — a production SERP renders snippets
+    * covering ALL query terms, not one: the generalization of
+    * [[kwicPage]] to a term set, still page-cost end to end — ONE
+    * positional read pruned to the terms' bucket dirs ∪ the page's doc
+    * ids, ONE store read pruned to the hits' dbucket dirs, a snippet
+    * window per (doc, term, occurrence) with the matched term riding
+    * each row. The optional `asOf` generation serves the ERA's
+    * snippets: both the positional read and the store read reconstruct
+    * through [[rowsAsOf]] (same horizon contract as every time-travel
+    * route), so an as-of page renders exactly what the index served
+    * then. Gates: search_kwic_page_multi's oracle is the UNION of the
+    * per-term page oracles; search_asof_page shares the restricted-
+    * corpus form search_asof_probe uses.
+    */
+  def kwicPageMulti(
+      s: SparkSession,
+      indexDir: String,
+      storeDir: String,
+      hits: DataFrame, // (rank, doc_id) — a result page, request-sized
+      terms: Seq[String],
+      window: Int,
+      asOf: Option[Long] = None
   ): DataFrame = {
     import s.implicits._
+    require(terms.nonEmpty, "kwic page needs at least one term")
     val hitRows = hits
       .select(col("rank").cast("long"), col("doc_id").cast("long"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val ids = hitRows.map(_._2).toSeq
     if (ids.isEmpty) {
-      return Seq.empty[(Long, Long, Long, String)].toDF("rank", "doc_id", "pos", "snippet")
+      return Seq
+        .empty[(Long, Long, String, Long, String)]
+        .toDF("rank", "doc_id", "term", "pos", "snippet")
     }
     val dbuckets = ids.map(docBucket).distinct
+    val tbuckets = terms.map(tokenBucket).distinct
     val ranks = hitRows.toSeq.toDF("rank", "doc_id")
-    val pos = liveRows(
-      s,
-      indexDir,
-      s.read
-        .schema(positionsSchema)
-        .parquet(s"$indexDir/positions")
-        .filter(
-          col("tbucket") === tokenBucket(term) && col("token") === term && col("doc_id").isin(ids: _*)
-        )
-    ).select(col("doc_id"), col("pos"))
-    val toks = docStoreLive(s, storeDir)
+    val posScan = s.read
+      .schema(positionsSchema)
+      .parquet(s"$indexDir/positions")
+      .filter(
+        col("tbucket").isin(tbuckets: _*) && col("token").isin(terms: _*) &&
+          col("doc_id").isin(ids: _*)
+      )
+    val pos = asOf
+      .fold(liveRows(s, indexDir, posScan))(g => rowsAsOf(s, indexDir, posScan, g))
+      .select(col("token").as("term"), col("doc_id"), col("pos"))
+    val storeScan = s.read
+      .parquet(s"$storeDir/docs")
       .filter(col("dbucket").isin(dbuckets: _*) && col("doc_id").isin(ids: _*))
+    val toks = asOf
+      .fold(liveRows(s, storeDir, storeScan))(g => rowsAsOf(s, storeDir, storeScan, g))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     pos
       .join(toks, "doc_id") // page-sized both sides
@@ -4404,6 +5004,7 @@ object Search {
       .select(
         col("rank"),
         col("doc_id"),
+        col("term"),
         (col("pos") + 1).cast("long").as("pos"),
         expr(
           s"""array_join(slice(toks,
@@ -4412,6 +5013,30 @@ object Search {
         ).as("snippet")
       )
   }
+
+  /** The doc store as it stood after generation G — the rendering
+    * tier's time-travel read, mirroring the index's [[rowsAsOf]]: rows
+    * with file generation ≤ G survive unless a tombstone with
+    * asof ≤ G outranks them. Same horizon contract (compactDocStore
+    * records `_asof_horizon`; reads below it fail loudly).
+    */
+  def docStoreAsOf(s: SparkSession, storeDir: String, asOfGen: Long): DataFrame =
+    rowsAsOf(s, storeDir, s.read.parquet(s"$storeDir/docs"), asOfGen)
+
+  /** The as-of rendered page: [[kwicPageMulti]] at one term with the
+    * generation pinned — as-of hits plus their ERA's snippets.
+    */
+  def kwicPageAsOf(
+      s: SparkSession,
+      indexDir: String,
+      storeDir: String,
+      hits: DataFrame,
+      term: String,
+      window: Int,
+      asOfGen: Long
+  ): DataFrame =
+    kwicPageMulti(s, indexDir, storeDir, hits, Seq(term), window, asOf = Some(asOfGen))
+      .select(col("rank"), col("doc_id"), col("pos"), col("snippet"))
 
   /** Once-per-process persisted doc store over the fixture corpus —
     * text plus the two facet dimensions the SERP sidebar counts.
@@ -4537,6 +5162,66 @@ object Search {
     kwicPage(s, demoSearchIndexDir(s, d), demoDocStoreDir(s, d), hits, fixturePhrase._1, 3)
       .orderBy("rank", "pos")
   }
+
+  /** Multi-term page rendering gate: the AND page for the phrase
+    * pair, snippets for BOTH terms from one pruned positional read —
+    * the oracle is the union of the per-term page oracles.
+    */
+  val searchKwicPageMulti: Q = (s, d) => {
+    val terms = Seq(fixturePhrase._1, fixturePhrase._2)
+    val hits = conjunctiveFromIndex(s, demoSearchIndexDir(s, d), terms, kwicPageK)
+      .select(col("rank"), col("doc_id"))
+    kwicPageMulti(s, demoSearchIndexDir(s, d), demoDocStoreDir(s, d), hits, terms, 3)
+      .orderBy("rank", "term", "pos")
+  }
+
+  /** SERP filter-click gate: BM25 over the OR terms restricted to the
+    * lang=en facet — scores stay corpus-model (shared with
+    * search_bm25's sc chain), the page re-cuts after the filter.
+    */
+  val searchFacetFiltered: Q = (s, d) =>
+    bm25FromIndexFiltered(
+      s,
+      demoSearchIndexDir(s, d),
+      demoDocStoreDir(s, d),
+      fixtureOrTerms,
+      "lang",
+      "en",
+      topK
+    ).orderBy("rank")
+
+  /** Deterministic two-field fixture for BM25F: title = the first
+    * [[fixtureTitleLen]] tokens, body = the rest — BOTH round-tripped
+    * through strings (array_join then the index re-splits), so a
+    * ≤ 5-token doc gets body = "" which re-splits to [""] (dl 1) on
+    * BOTH engines; the oracle replays the same round-trip.
+    */
+  private[ops] val fixtureTitleLen = 5
+
+  private[ops] def fieldedFixtureDocs(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      expr(s"array_join(slice(split(text, ' '), 1, $fixtureTitleLen), ' ')").as("title"),
+      expr(
+        s"array_join(slice(split(text, ' '), ${fixtureTitleLen + 1}, " +
+          s"greatest(0, size(split(text, ' ')) - $fixtureTitleLen)), ' ')"
+      ).as("body")
+    )
+
+  private[ops] def demoFieldedIndexDir(s: SparkSession, d: String): String =
+    Fixtures.demoIndexDir(s, "searchidx_fielded", d)(dir =>
+      saveFieldedSearchIndex(fieldedFixtureDocs(s, d), "doc_id", Seq("title", "body"), dir)
+    )
+
+  private[ops] val fixtureBoosts = Seq("title" -> 3L, "body" -> 1L)
+
+  /** Fielded-scoring gate: BM25F over (title×3, body×1) — the oracle
+    * recomputes the exact integer rational form over the same
+    * deterministic field split.
+    */
+  val searchBm25f: Q = (s, d) =>
+    bm25fFromIndex(s, demoFieldedIndexDir(s, d), fixtureOrTerms, fixtureBoosts, topK)
+      .orderBy("rank")
 
   // ---- Hybrid retrieval + result diversification ----------------------
 
@@ -4814,7 +5499,11 @@ object Search {
     "search_kwic" -> searchKwic,
     "search_kwic_analyzed" -> searchKwicAnalyzed,
     "search_kwic_page" -> searchKwicPage,
+    "search_kwic_page_multi" -> searchKwicPageMulti,
     "search_kwic_page_analyzed" -> searchKwicPageAnalyzed,
+    "search_facet_filtered" -> searchFacetFiltered,
+    "search_asof_page" -> searchAsOfPage,
+    "search_bm25f" -> searchBm25f,
     "search_facets" -> searchFacets,
     "search_page_after" -> searchPageAfter,
     "search_facets_analyzed" -> searchFacetsAnalyzed,
@@ -4986,18 +5675,114 @@ object Search {
   /** The raw KWIC result page chain — shared by the monolithic and
     * the merged-artifact gates.
     */
-  private lazy val oracleKwicPage: String = {
-    val t = sqlLit(fixturePhrase._1)
-    s"""WITH ${oracleTermSearchChain(Seq(fixturePhrase._1), requireAll = true)},
+  /** The rendered-page oracle, parameterized by the corpus relation
+    * (src) so the as-of page gate can replay it over the restricted
+    * era corpus, and by the term set so the multi-term gate can union
+    * the per-term hits (the `term` column rides each row there).
+    */
+  private def oracleKwicPageFor(
+      terms: Seq[String],
+      src: String = "documents",
+      withTermCol: Boolean = false
+  ): String = {
+    val termList = terms.map(sqlLit).mkString(", ")
+    val termCol = if (withTermCol) "toks[pos] AS term," else ""
+    val termSel = if (withTermCol) "term," else ""
+    val ord = if (withTermCol) "rank, term, pos" else "rank, pos"
+    s"""WITH ${oracleTermSearchChain(terms, requireAll = true, src = src)},
        |page AS (SELECT doc_id, rank FROM ranked WHERE rank <= $kwicPageK),
        |pt AS (
        |  SELECT p.rank, d.doc_id, string_split(d.text, ' ') AS toks
-       |  FROM documents d JOIN page p ON p.doc_id = d.doc_id),
+       |  FROM $src d JOIN page p ON p.doc_id = d.doc_id),
        |ps AS (SELECT rank, doc_id, toks, unnest(generate_series(1, len(toks), 1)) AS pos FROM pt),
-       |hit AS (SELECT rank, doc_id, pos, toks FROM ps WHERE toks[pos] = $t)
-       |SELECT CAST(rank AS BIGINT) AS rank, doc_id, CAST(pos AS BIGINT) AS pos,
+       |hit AS (SELECT rank, doc_id, $termCol pos, toks FROM ps WHERE toks[pos] IN ($termList))
+       |SELECT CAST(rank AS BIGINT) AS rank, doc_id, $termSel CAST(pos AS BIGINT) AS pos,
        |  array_to_string(toks[greatest(1, pos - 3):least(len(toks), pos + 3)], ' ') AS snippet
-       |FROM hit ORDER BY rank, pos""".stripMargin
+       |FROM hit ORDER BY $ord""".stripMargin
+  }
+
+  private lazy val oracleKwicPage: String = oracleKwicPageFor(Seq(fixturePhrase._1))
+
+  /** Multi-term page oracle: the AND page over BOTH phrase terms, hits
+    * for whichever of the two sits at each position — equal to the
+    * union of the per-term page renders.
+    */
+  private lazy val oracleKwicPageMulti: String =
+    oracleKwicPageFor(Seq(fixturePhrase._1, fixturePhrase._2), withTermCol = true)
+
+  /** As-of page oracle: the single-term page oracle replayed over the
+    * generation-0 corpus (even ids ∪ %4==1, the pre-upsert text) —
+    * exactly the restricted corpus search_asof_probe uses.
+    */
+  private lazy val oracleAsOfPage: String =
+    s"""WITH asofdocs AS (
+       |  SELECT doc_id, text FROM documents
+       |  WHERE doc_id % 2 = 0 OR doc_id % 4 = 1),
+       |${oracleKwicPageFor(Seq(fixturePhrase._1), src = "asofdocs").stripPrefix("WITH ")}""".stripMargin
+
+  /** Filter-click oracle: search_bm25's scoring chain (model stays
+    * corpus-level), the match set restricted to the facet value
+    * BEFORE the page is cut.
+    */
+  private lazy val oracleFacetFiltered: String =
+    s"""WITH $oracleBm25Chain,
+       |fhits AS (
+       |  SELECT sc.doc_id, sc.score_milli FROM sc
+       |  JOIN documents dd ON dd.doc_id = sc.doc_id
+       |  WHERE dd.lang = 'en'),
+       |franked AS (
+       |  SELECT doc_id, score_milli,
+       |    CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM fhits)
+       |SELECT rank, doc_id, score_milli FROM franked WHERE rank <= $topK ORDER BY rank""".stripMargin
+
+  /** BM25F oracle: the same deterministic title/body split (string
+    * round-trip included — a ≤ 5-token doc's body re-splits to ['']
+    * on both engines), the same integer rational form
+    * (11·idf·X) // (5·X + 6·D) with X/D as in [[bm25fFromIndex]].
+    */
+  private lazy val oracleBm25f: String = {
+    val termList = fixtureOrTerms.map(sqlLit).mkString(", ")
+    val (wt, wb) = (fixtureBoosts.head._2, fixtureBoosts(1)._2)
+    val tl = fixtureTitleLen
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |fd AS (SELECT doc_id,
+       |  string_split(array_to_string(toks[1:least($tl, len(toks))], ' '), ' ') AS ttoks,
+       |  string_split(array_to_string(toks[${tl + 1}:len(toks)], ' '), ' ') AS btoks
+       | FROM tk),
+       |lens AS (SELECT doc_id, CAST(len(ttoks) AS BIGINT) AS dlt, CAST(len(btoks) AS BIGINT) AS dlb FROM fd),
+       |st AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(sum(len(ttoks)) AS BIGINT) AS tott, CAST(sum(len(btoks)) AS BIGINT) AS totb FROM fd),
+       |av AS (SELECT n_docs, tott // n_docs AS avt, totb // n_docs AS avb FROM st),
+       |tt AS (SELECT doc_id, unnest(ttoks) AS token FROM fd),
+       |bt AS (SELECT doc_id, unnest(btoks) AS token FROM fd),
+       |tpf AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tt
+       |        WHERE token IN ($termList) GROUP BY token, doc_id),
+       |bpf AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf FROM bt
+       |        WHERE token IN ($termList) GROUP BY token, doc_id),
+       |piv AS (
+       |  SELECT coalesce(t.token, b.token) AS token, coalesce(t.doc_id, b.doc_id) AS doc_id,
+       |    coalesce(t.tf, 0) AS tft, coalesce(b.tf, 0) AS tfb
+       |  FROM tpf t FULL OUTER JOIN bpf b ON t.token = b.token AND t.doc_id = b.doc_id),
+       |dfm AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM piv GROUP BY token),
+       |model AS (SELECT token,
+       |  CAST(floor(ln(((SELECT n_docs FROM st) + 1) / CAST(df + 1 AS DOUBLE)) * 1000) AS BIGINT) AS idf_milli
+       | FROM dfm),
+       |x AS (
+       |  SELECT p.token, p.doc_id,
+       |    4 * ($wt * p.tft * (SELECT avt FROM av) * ((SELECT avb FROM av) + 3 * l.dlb)
+       |       + $wb * p.tfb * (SELECT avb FROM av) * ((SELECT avt FROM av) + 3 * l.dlt)) AS xx,
+       |    ((SELECT avt FROM av) + 3 * l.dlt) * ((SELECT avb FROM av) + 3 * l.dlb) AS dd
+       |  FROM piv p JOIN lens l ON l.doc_id = p.doc_id),
+       |sc2 AS (
+       |  SELECT x.doc_id,
+       |    CAST(sum((11 * m.idf_milli * x.xx) // (5 * x.xx + 6 * x.dd)) AS BIGINT) AS score_milli
+       |  FROM x JOIN model m ON m.token = x.token GROUP BY x.doc_id),
+       |ranked2 AS (
+       |  SELECT doc_id, score_milli,
+       |    CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM sc2)
+       |SELECT rank, doc_id, score_milli FROM ranked2 WHERE rank <= $topK ORDER BY rank""".stripMargin
   }
 
   /** Boolean must-not oracle: the conjunctive chain filtered by an
@@ -5747,6 +6532,18 @@ object Search {
     // the page-served route must equal the corpus KWIC restricted to
     // the page's documents (the term-search chain re-derives the page)
     "search_kwic_page" -> oracleKwicPage,
+    // multi-term page rendering: the union of the per-term page hits,
+    // the matched term riding each row
+    "search_kwic_page_multi" -> oracleKwicPageMulti,
+    // SERP filter click: corpus-level scoring model, facet-restricted
+    // match set, page re-cut after the filter
+    "search_facet_filtered" -> oracleFacetFiltered,
+    // as-of page rendering: hits AND snippets replayed over the
+    // generation-0 corpus (the upsert's rewrite invisible)
+    "search_asof_page" -> oracleAsOfPage,
+    // fielded scoring: the exact BM25F integer rational form over the
+    // deterministic title/body split
+    "search_bm25f" -> oracleBm25f,
     // the same page rendered from the MERGED index + MERGED store —
     // sharing the oracle gates the whole distributed SERP stack
     "search_merged_kwic" -> oracleKwicPage,

@@ -69,23 +69,44 @@ object Similarity {
       k: Int
   ): DataFrame = {
     require(relIds.nonEmpty, "rocchio needs at least one relevant vector")
+    // duplicate click ids would skew the centroid (a doc counted
+    // twice); a typo'd id would silently shrink it (fetch returns
+    // fewer vectors, the divisor follows) — validate BOTH feedback
+    // sets the way the query id always was: fail loudly, don't rewrite
+    // the query differently than the user asked
+    require(
+      relIds.distinct.size == relIds.size,
+      s"rocchio: duplicate relevant ids: ${relIds.mkString(",")}"
+    )
+    require(
+      nonRelIds.distinct.size == nonRelIds.size,
+      s"rocchio: duplicate non-relevant ids: ${nonRelIds.mkString(",")}"
+    )
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val e = withVec(emb)
-    def fetch(ids: Seq[Long]): Seq[Array[Double]] =
-      e.filter(col("vec_id").isin(ids: _*))
+    def fetch(ids: Seq[Long], what: String): Seq[Array[Double]] = {
+      val vs = e
+        .filter(col("vec_id").isin(ids: _*))
         .orderBy("vec_id")
         .select("v")
         .collect()
         .map(_.getSeq[Double](0).toArray)
         .toSeq
-    val q = fetch(Seq(queryId))
-    require(q.nonEmpty, s"rocchio: query vector $queryId not found")
+      require(
+        vs.size == ids.size,
+        s"rocchio: ${ids.size - vs.size} $what id(s) of ${ids.mkString(",")} missing " +
+          "from the embedding relation"
+      )
+      vs
+    }
+    val q = fetch(Seq(queryId), "query")
     // dimension-wise mean in vec_id order — the one float-op order the
     // oracle replays (left-to-right sum, one division)
     def centroid(vs: Seq[Array[Double]]): Array[Double] =
       Array.tabulate(dims)(i => vs.map(_(i)).sum / vs.size)
-    val rc = centroid(fetch(relIds.sorted))
-    val nc = if (nonRelIds.isEmpty) None else Some(centroid(fetch(nonRelIds.sorted)))
+    val rc = centroid(fetch(relIds.sorted, "relevant"))
+    val nc =
+      if (nonRelIds.isEmpty) None else Some(centroid(fetch(nonRelIds.sorted, "non-relevant")))
     val qv = q.head
     val qp = Array.tabulate(dims) { i =>
       qv(i) + 0.75 * rc(i) - (nc match { case Some(c) => 0.15 * c(i); case None => 0.0 })

@@ -1467,4 +1467,231 @@ class SearchSpec extends SparkSpec {
     assert(!plan.contains("tombstones"), "no-tombstone probes must not plan the anti-join")
     assert(!plan.contains("input_file_name"), "no-tombstone probes must not derive generations")
   }
+
+  // ---- round 15: crash-safe merges, BM25F, as-of SERP, vocab repair --
+
+  private def mergeFixtureDocs = Seq(
+    (1L, "cat dog"),
+    (2L, "cat fish"),
+    (3L, "dog dog bird"),
+    (4L, "cat bird")
+  ).toDF("doc_id", "text")
+
+  private def freshMergeShards(tag: String): (String, Seq[String]) = {
+    val tmp = java.nio.file.Files.createTempDirectory(tag).toString
+    val parts = (0 until 2).map { i =>
+      val p = s"$tmp/shard$i"
+      Search.saveSearchIndex(mergeFixtureDocs.filter(col("doc_id") % 2 === i), "doc_id", "text", p)
+      p
+    }
+    (tmp, parts)
+  }
+
+  test("merge recovery: stale artifacts-phase staging restarts clean; mid-move crash resumes") {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("/").getFileSystem(spark.sessionState.newHadoopConf())
+    // (a) a crashed ARTIFACTS phase (staged dir, no _artifacts_done):
+    // nothing has moved — the rerun discards it and completes
+    val (tmpA, partsA) = freshMergeShards("graft_mrgrec_a")
+    val destA = s"$tmpA/merged"
+    fs.mkdirs(new Path(s"${destA}__merging/vocab"))
+    Search.mergeSearchIndexes(spark, partsA, destA)
+    val oneShot = s"$tmpA/oneshot"
+    Search.saveSearchIndex(mergeFixtureDocs, "doc_id", "text", oneShot)
+    def page(dir: String) = Search.bm25FromIndex(spark, dir, Seq("cat", "dog"), 10).collect().toSeq
+    assert(page(destA) == page(oneShot) && page(destA).nonEmpty)
+    // (b) a MID-MOVE crash (artifacts committed, one file already
+    // renamed in under its source-derived name): the rerun must
+    // RESUME — move the rest, commit, and serve identically
+    val (tmpB, partsB) = freshMergeShards("graft_mrgrec_b")
+    val destB = s"$tmpB/merged"
+    val staged = s"${destB}__merging"
+    // artifacts phase, replayed by hand exactly as the merge stages it
+    val metas = partsB.map { p =>
+      val r = spark.read.parquet(s"$p/meta").select("n_docs", "total_toks").head()
+      (r.getLong(0), r.getLong(1))
+    }
+    fs.mkdirs(new Path(staged))
+    spark.read.parquet(s"${partsB.head}/vocab") // vocab presence sanity
+    // merged vocab = fold of the parts' vocab rows
+    spark.read
+      .parquet(partsB.map(p => s"$p/vocab"): _*)
+      .groupBy(col("token"))
+      .agg(sum(col("df")).cast("long").as("df"), sum(col("tf_total")).cast("long").as("tf_total"))
+      .repartition(1)
+      .write
+      .parquet(s"$staged/vocab")
+    Seq((metas.map(_._1).sum, metas.map(_._2).sum, 2L))
+      .toDF("n_docs", "total_toks", "format_version")
+      .coalesce(1).write.parquet(s"$staged/meta")
+    graft.core.Compaction.writeTextFile(
+      spark, s"$staged/${Search.mergedFromMarker}", ("raw" +: partsB).mkString("\n") + "\n")
+    fs.create(new Path(staged, Search.artifactsDoneMarker), true).close()
+    // move ONE postings file in, exactly as the merge names it
+    val onePart = partsB.head
+    val f = fs.globStatus(new Path(s"$onePart/postings/tbucket=*/*.parquet")).head.getPath
+    val destDir = new Path(s"$staged/postings/${f.getParent.getName}")
+    fs.mkdirs(destDir)
+    assert(fs.rename(f, new Path(destDir, Search.mergedName(0, f.getName))))
+    // the resume: same call, completes the move and commits
+    Search.mergeSearchIndexes(spark, partsB, destB)
+    assert(page(destB) == page(oneShot))
+    assert(!fs.exists(new Path(staged)))
+    // (c) crashed CLEANUP (dest committed, a husk part left behind):
+    // the rerun deletes the husk and returns; dest untouched
+    val huskPart = new Path(partsB.head)
+    fs.mkdirs(new Path(s"${partsB.head}/postings"))
+    Search.mergeSearchIndexes(spark, partsB, destB)
+    assert(!fs.exists(huskPart) && page(destB) == page(oneShot))
+    // (d) husk GUARD: a part that still holds data is NEVER deleted as
+    // cleanup — rebuilding a consumed part and re-merging must refuse
+    Search.saveSearchIndex(mergeFixtureDocs, "doc_id", "text", partsB.head)
+    intercept[IllegalArgumentException] {
+      Search.mergeSearchIndexes(spark, partsB, destB)
+    }
+    assert(fs.exists(huskPart), "a data-holding part must survive the refusal")
+  }
+
+  test("merge refuses mixed vocab states loudly (compaction backfills the missing one)") {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("/").getFileSystem(spark.sessionState.newHadoopConf())
+    val (tmp, parts) = freshMergeShards("graft_mrgvocab")
+    fs.delete(new Path(s"${parts.head}/vocab"), true)
+    val e = intercept[IllegalArgumentException] {
+      Search.mergeSearchIndexes(spark, parts, s"$tmp/merged")
+    }
+    assert(e.getMessage.contains("mixed vocab"), e.getMessage)
+    // the advertised remedy works: backfill via compaction, merge runs
+    Search.compactSearchIndex(spark, parts.head)
+    Search.mergeSearchIndexes(spark, parts, s"$tmp/merged")
+    val dict = Search.autocomplete(spark, s"$tmp/merged", "b", 10).collect()
+      .map(r => (r.getAs[String]("token"), r.getAs[Long]("df"))).toSeq
+    assert(dict == Seq(("bird", 2L)))
+  }
+
+  test("bm25f: one field at boost 1 reduces algebraically to bm25FromIndex; boosts reorder") {
+    val docs = Seq(
+      (1L, "apple pie recipe", "flour sugar butter and a pinch of salt"),
+      (2L, "weekly baking notes", "the apple harvest was heavy so apple pie again"),
+      (3L, "garden log", "tomatoes and herbs no fruit this week"),
+      (4L, "apple storage", "cellar stays cool apples keep till spring")
+    ).toDF("doc_id", "title", "body")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bm25f").toString
+    // 1-field degeneration: same docs as one 'text' field — scores must
+    // EQUAL the unfielded BM25 integers (the rational form reduces)
+    val flat = docs.select(col("doc_id"), concat_ws(" ", col("title"), col("body")).as("text"))
+    Search.saveFieldedSearchIndex(flat, "doc_id", Seq("text"), s"$tmp/one")
+    Search.saveSearchIndex(flat, "doc_id", "text", s"$tmp/plain")
+    val fielded = Search.bm25fFromIndex(spark, s"$tmp/one", Seq("apple", "pie"), Seq("text" -> 1L), 10)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"), r.getAs[Long]("score_milli"))).toSeq
+    val plain = Search.bm25FromIndex(spark, s"$tmp/plain", Seq("apple", "pie"), 10)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[Long]("doc_id"), r.getAs[Long]("score_milli"))).toSeq
+    assert(fielded == plain && fielded.nonEmpty, s"$fielded vs $plain")
+    // two fields: a strong title boost must outrank title matches over
+    // body matches (doc 1: 'apple' in title; doc 2: only in body)
+    Search.saveFieldedSearchIndex(docs, "doc_id", Seq("title", "body"), s"$tmp/two")
+    def top(boosts: Seq[(String, Long)]) =
+      Search.bm25fFromIndex(spark, s"$tmp/two", Seq("apple"), boosts, 10)
+        .collect().map(_.getAs[Long]("doc_id")).toSeq
+    val titleHeavy = top(Seq("title" -> 20L, "body" -> 1L))
+    assert(titleHeavy.take(2).toSet == Set(1L, 4L), s"title matches must lead: $titleHeavy")
+    val bodyHeavy = top(Seq("title" -> 1L, "body" -> 20L))
+    assert(bodyHeavy.head == 2L, s"the double body match must lead: $bodyHeavy")
+    // guards: unknown field, non-positive boost, duplicate fields
+    intercept[IllegalArgumentException] {
+      Search.bm25fFromIndex(spark, s"$tmp/two", Seq("apple"), Seq("headline" -> 1L), 10)
+    }
+    intercept[IllegalArgumentException] {
+      Search.bm25fFromIndex(spark, s"$tmp/two", Seq("apple"), Seq("title" -> 0L), 10)
+    }
+    intercept[IllegalArgumentException] {
+      Search.bm25fFromIndex(spark, s"$tmp/two", Seq("apple"), Seq("title" -> 1L, "title" -> 2L), 10)
+    }
+  }
+
+  test("as-of doc store: era text serves, kwicPageAsOf renders it, horizon ends travel") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_asofstore").toString
+    val idx = s"$tmp/idx"
+    val store = s"$tmp/store"
+    val base = Seq((2L, "anchor original two")).toDF("doc_id", "text")
+    val b0 = Seq((3L, "anchor original three")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "anchor rewritten three")).toDF("doc_id", "text")
+    Search.saveSearchIndex(base, "doc_id", "text", idx)
+    Search.applySearchIndexBatch(b0, "doc_id", "text", idx, 0L)
+    Search.applySearchIndexBatch(b1, "doc_id", "text", idx, 1L, upsert = true)
+    Search.saveDocStore(base, "doc_id", "text", store)
+    Search.applyDocStoreBatch(b0, "doc_id", "text", store, 0L)
+    Search.applyDocStoreBatch(b1, "doc_id", "text", store, 1L, upsert = true)
+    // the store time-travels: gen 0 has the original, live the rewrite
+    def texts(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val at0 = texts(Search.docStoreAsOf(spark, store, 0L))
+    assert(at0 == Map(2L -> "anchor original two", 3L -> "anchor original three"), at0.toString)
+    // the rendered as-of page shows the ERA's snippets
+    val hits = Search.conjunctiveFromIndexAsOf(spark, idx, Seq("original"), 10, 0L)
+      .select(col("rank"), col("doc_id"))
+    val snips = Search.kwicPageAsOf(spark, idx, store, hits, "original", 1, 0L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("snippet")).toMap
+    assert(snips == Map(2L -> "anchor original two", 3L -> "anchor original three"), snips.toString)
+    // compaction ends the store's travel horizon — loud refusal
+    Search.compactDocStore(spark, store)
+    val e = intercept[IllegalArgumentException] {
+      Search.docStoreAsOf(spark, store, 0L).collect()
+    }
+    assert(e.getMessage.contains("travel horizon"), e.getMessage)
+    // and the INDEX horizon guard likewise (round-14 advice: silently
+    // wrong → loud): pre-compaction generations refuse after compaction
+    Search.compactSearchIndex(spark, idx)
+    val e2 = intercept[IllegalArgumentException] {
+      Search.conjunctiveFromIndexAsOf(spark, idx, Seq("anchor"), 10, 0L).collect()
+    }
+    assert(e2.getMessage.contains("travel horizon"), e2.getMessage)
+    // at-or-above the horizon still serves (the live state)
+    val live = Search.conjunctiveFromIndex(spark, idx, Seq("rewritten"), 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(live == Set(3L))
+  }
+
+  test("vocab increments consumed inside the committed swap: the crash window cannot double-count") {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path("/").getFileSystem(spark.sessionState.newHadoopConf())
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vocabinc").toString
+    val dir = s"$tmp/idx"
+    Search.saveSearchIndex(Seq((1L, "bird cat")).toDF("doc_id", "text"), "doc_id", "text", dir)
+    Search.appendToSearchIndex(Seq((2L, "bird bird")).toDF("doc_id", "text"), "doc_id", "text", dir)
+    def birdStats() = Search.termStats(spark, dir, Seq("bird")).collect()
+      .map(r => (r.getAs[Long]("df"), r.getAs[Long]("tf_total"))).head
+    assert(birdStats() == ((2L, 3L)))
+    // keep a copy of the increment the compaction will consume
+    val inc = fs.globStatus(new Path(s"$dir/vocab_inc/*.parquet")).head.getPath
+    val keep = new Path(s"$tmp/kept_${inc.getName}")
+    org.apache.hadoop.fs.FileUtil.copy(fs, inc, fs, keep, false, spark.sessionState.newHadoopConf())
+    Search.compactSearchIndex(spark, dir)
+    assert(birdStats() == ((2L, 3L)), "compaction must not move the stats")
+    // simulate the crash BETWEEN the vocab swap and the increment
+    // delete: the consumed file reappears on disk — the base already
+    // counts it, and the marker must keep it excluded by name
+    fs.mkdirs(new Path(s"$dir/vocab_inc"))
+    org.apache.hadoop.fs.FileUtil.copy(fs, keep, fs, new Path(s"$dir/vocab_inc/${inc.getName}"),
+      false, spark.sessionState.newHadoopConf())
+    assert(birdStats() == ((2L, 3L)), "a consumed-but-undeleted increment must not double-count")
+    // the next compaction is the physical repair: the stale file goes
+    Search.compactSearchIndex(spark, dir)
+    assert(!fs.exists(new Path(s"$dir/vocab_inc/${inc.getName}")))
+    assert(birdStats() == ((2L, 3L)))
+  }
+
+  test("rocchio guards: duplicate and missing feedback ids fail loudly") {
+    val d = "/root/testdata/sf0.001"
+    val emb = Fixtures.embeddings(spark, d)
+    intercept[IllegalArgumentException] {
+      Similarity.rocchioTopK(emb, 0L, Seq(3L, 3L), Nil, 5)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.rocchioTopK(emb, 0L, Seq(3L, -999999L), Nil, 5)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.rocchioTopK(emb, 0L, Seq(3L), Seq(5L, 5L), 5)
+    }
+  }
 }
