@@ -724,6 +724,58 @@ object Search {
       k: Int
   ): DataFrame = termSearchFromIndex(s, indexDir, terms, k, requireAll = false, minMatched)
 
+  /** PER-TERM QUERY BOOSTS from the persisted index (`dup^1 window^3`
+    * — Lucene's term boost, the knob every query DSL exposes): the
+    * disjunctive tf·idf chain with each term's contribution multiplied
+    * by its integer boost BEFORE the per-document sum, so boosts
+    * reorder the page without touching the corpus model (df/idf stay
+    * boost-free — a boost weights the query side, never the
+    * statistics, matching every production engine). Plan shape is
+    * [[disjunctiveFromIndex]]'s exactly: terms' bucket dirs pruned
+    * statically, df from the pruned rows, the boost map riding the
+    * k-row broadcast model relation.
+    */
+  def boostedSearchFromIndex(
+      s: SparkSession,
+      indexDir: String,
+      boosts: Seq[(String, Long)],
+      k: Int
+  ): DataFrame = {
+    require(boosts.nonEmpty, "boosted search needs at least one term")
+    require(
+      boosts.map(_._1).distinct.size == boosts.size,
+      s"duplicate boost terms: ${boosts.map(_._1).mkString(", ")}"
+    )
+    boosts.foreach { case (t, w) => require(w > 0, s"boost for '$t' must be positive, got $w") }
+    import s.implicits._
+    val terms = boosts.map(_._1)
+    val buckets = terms.map(tokenBucket).distinct
+    val p = liveRows(
+      s,
+      indexDir,
+      s.read
+        .schema(postingsSchema)
+        .parquet(s"$indexDir/postings")
+        .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
+    )
+    val nDocs = readMeta(s, indexDir)._1
+    val boostDf = boosts.toDF("token", "boost")
+    val dfModel = p
+      .groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("df"))
+      .withColumn(
+        "idf_micro",
+        floor(log(lit(nDocs + 1).cast("double") / (col("df") + 1)) * 1000000L).cast("bigint")
+      )
+      .join(boostDf, "token")
+      .select(col("token"), col("idf_micro"), col("boost"))
+    val scored = p
+      .join(broadcast(dfModel), "token")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("boost") * col("tf") * col("idf_micro")).cast("long").as("score_micro"))
+    rankTop(scored, "score_micro", k)
+  }
+
   /** BM25 served from the PERSISTED index — the ranked-retrieval
     * serving shape: the terms' bucket dirs are statically pruned
     * (driver-computed PartitionFilters, spec-pinned), df per term is
@@ -1101,6 +1153,66 @@ object Search {
     val p2 = pos.filter(col("token") === second).select(col("doc_id"), col("pos").as("p2"))
     p1.join(p2, "doc_id")
       .filter(abs(col("p1") - col("p2")) <= slop.toLong)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"))
+  }
+
+  /** ORDERED sloppy phrase (Lucene's sloppy PhraseQuery restricted to
+    * in-order matches — `"hash join"~3` where "hash" must PRECEDE
+    * "join"): qualifying pairs have 1 ≤ pos(second) − pos(first) ≤
+    * slop, so slop = 1 is exact adjacency and the result sits strictly
+    * between the exact phrase (⊆) and the unordered proximity (⊇) —
+    * three gates on one fixture pair pin the lattice. Same cost shape
+    * as [[proximitySearch]]: the pair join is per-document over the
+    * two terms' own positions, and position DIFFERENCES are
+    * offset-convention-free, so the 0-based corpus route and the
+    * 1-based oracle agree by construction.
+    */
+  def orderedSlopSearch(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      first: String,
+      second: String,
+      slop: Int
+  ): DataFrame = {
+    require(first != second, "ordered slop needs two distinct terms")
+    require(slop >= 1, "ordered slop needs slop >= 1")
+    val pruned = docs.filter(col(textCol).contains(first) && col(textCol).contains(second))
+    val pos = positionalPostings(pruned, idCol, textCol)
+    orderedSlopPairs(pos, first, second, slop)
+  }
+
+  /** [[orderedSlopSearch]] served from the persisted positional
+    * postings — bucket-pruned scan, identical pair join; shares the
+    * corpus route's oracle.
+    */
+  def orderedSlopFromIndex(
+      s: SparkSession,
+      indexDir: String,
+      first: String,
+      second: String,
+      slop: Int
+  ): DataFrame = {
+    require(first != second, "ordered slop needs two distinct terms")
+    require(slop >= 1, "ordered slop needs slop >= 1")
+    val buckets = Seq(first, second).map(tokenBucket).distinct
+    val pos = liveRows(
+      s,
+      indexDir,
+      s.read
+        .schema(positionsSchema)
+        .parquet(s"$indexDir/positions")
+        .filter(col("tbucket").isin(buckets: _*) && col("token").isin(first, second))
+    ).select(col("token"), col("doc_id"), col("pos"))
+    orderedSlopPairs(pos, first, second, slop)
+  }
+
+  private def orderedSlopPairs(pos: DataFrame, first: String, second: String, slop: Int): DataFrame = {
+    val p1 = pos.filter(col("token") === first).select(col("doc_id"), col("pos").as("p1"))
+    val p2 = pos.filter(col("token") === second).select(col("doc_id"), col("pos").as("p2"))
+    p1.join(p2, "doc_id")
+      .filter(col("p2") - col("p1") >= 1L && col("p2") - col("p1") <= slop.toLong)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_pairs"))
   }
@@ -3792,6 +3904,71 @@ object Search {
     proximityFromIndex(s, demoSearchIndexDir(s, d), fixturePhrase._1, fixturePhrase._2, fixtureSlop)
       .orderBy("doc_id")
 
+  /** Ordered-slop gates: the same fixture pair at the same slop, but
+    * IN ORDER — sits strictly between search_phrase (⊆) and
+    * search_proximity (⊇) on the result lattice, and the corpus/index
+    * twins share one oracle.
+    */
+  val searchPhraseSlop: Q = (s, d) =>
+    orderedSlopSearch(documents(s, d), "doc_id", "text", fixturePhrase._1, fixturePhrase._2, fixtureSlop)
+      .orderBy("doc_id")
+
+  val searchPhraseSlopIndex: Q = (s, d) =>
+    orderedSlopFromIndex(s, demoSearchIndexDir(s, d), fixturePhrase._1, fixturePhrase._2, fixtureSlop)
+      .orderBy("doc_id")
+
+  /** Term-boost fixture: the OR pair with the RARER term boosted 3× —
+    * chosen so the boosted page ORDER differs from search_disjunctive's
+    * (the boost must actually reorder, not just rescale).
+    */
+  private[ops] val fixtureTermBoosts = Seq("dup" -> 1L, "window" -> 3L)
+
+  val searchTermBoost: Q = (s, d) =>
+    boostedSearchFromIndex(s, demoSearchIndexDir(s, d), fixtureTermBoosts, topK).orderBy("rank")
+
+  /** Range-facet fixture: doc-length histogram at width 32 over the
+    * AND match set.
+    */
+  private[ops] val fixtureRangeWidth = 32L
+
+  val searchRangeFacet: Q = (s, d) =>
+    rangeFacetCounts(s, demoSearchIndexDir(s, d), fixtureAndTerms, fixtureRangeWidth)
+      .orderBy("range_lo")
+
+  /** Grouped-top-k fixture: at most 3 hits per lang on the BM25 OR
+    * page — diversification must actually drop rows (lang cardinality
+    * is 3 in the fixture corpus, so an undiversified top-10 would keep
+    * more than 3 of the dominant lang).
+    */
+  private[ops] val fixturePerGroup = 3
+
+  val searchGroupedTopK: Q = (s, d) =>
+    groupedTopKFromIndex(
+      s,
+      demoSearchIndexDir(s, d),
+      demoDocStoreDir(s, d),
+      fixtureOrTerms,
+      "lang",
+      fixturePerGroup,
+      topK
+    ).orderBy("rank")
+
+  /** Best-passage fixture: the phrase pair over an 8-token window,
+    * top 5 passages.
+    */
+  private[ops] val fixturePassageWindow = 8
+  private[ops] val fixturePassageK = 5
+
+  val searchBestPassage: Q = (s, d) =>
+    bestPassages(
+      s,
+      demoSearchIndexDir(s, d),
+      demoDocStoreDir(s, d),
+      Seq(fixturePhrase._1, fixturePhrase._2),
+      fixturePassageWindow,
+      fixturePassageK
+    ).orderBy("rank")
+
   /** Synonym fixture: {fast, slow} fold into one logical term (both
     * corpus tokens, so the group ACTUALLY merges tf and df) AND-ed
     * with the singleton {big}.
@@ -4920,6 +5097,189 @@ object Search {
       .agg(count(lit(1)).cast("long").as("n_hits"))
   }
 
+  /** NUMERIC RANGE FACETS over the match set — the SERP sidebar's
+    * histogram dimension ("length: 0–31 (12) · 32–63 (8) · …"): the
+    * conjunctive match set comes from the postings index (terms'
+    * pruned bucket dirs), the numeric attribute from the index's OWN
+    * `doclen` relation — the forward index the build already persists,
+    * so no doc-store read and no text column ever loads. Buckets are
+    * fixed-width floors ((dl div width)·width), counts per occupied
+    * bucket. Same hit-set-sized join shape as [[facetCounts]].
+    */
+  def rangeFacetCounts(
+      s: SparkSession,
+      indexDir: String,
+      terms: Seq[String],
+      width: Long
+  ): DataFrame = {
+    require(terms.nonEmpty, "range facets need at least one term")
+    require(width > 0, s"range facet width must be positive, got $width")
+    val buckets = terms.map(tokenBucket).distinct
+    val matched = liveRows(
+      s,
+      indexDir,
+      s.read
+        .schema(postingsSchema)
+        .parquet(s"$indexDir/postings")
+        .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
+    )
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_matched"))
+      .filter(col("n_matched") === terms.size.toLong)
+      .select(col("doc_id"))
+    val dl = liveRows(s, indexDir, s.read.parquet(s"$indexDir/doclen"), keyCol = "doc_id")
+      .select(col("doc_id"), col("dl"))
+    matched
+      .join(dl, "doc_id")
+      .groupBy(((col("dl") / width).cast("long") * width).as("range_lo"))
+      .agg(count(lit(1)).cast("long").as("n_hits"))
+  }
+
+  /** GROUPED TOP-K — the diversified SERP ("at most g results per
+    * source"): BM25 scores from the postings index (corpus model,
+    * exactly [[bm25FromIndex]]'s), the grouping attribute from the doc
+    * store's meta column (parquet column-pruned like [[facetCounts]]),
+    * a per-group window keeps the g best hits of each group value,
+    * then the global page re-ranks the survivors. The window
+    * partitions by the facet over the HIT SET (hit-set-sized, the same
+    * inherent cost as the facet sidebar), never the corpus; per-group
+    * state is a g-deep top-k, so no group — however hot — exceeds g
+    * rows into the final rank.
+    */
+  def groupedTopKFromIndex(
+      s: SparkSession,
+      indexDir: String,
+      storeDir: String,
+      terms: Seq[String],
+      facetCol: String,
+      perGroup: Int,
+      k: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(perGroup >= 1, s"perGroup must be >= 1, got $perGroup")
+    val meta = docStoreLive(s, storeDir).select(col("doc_id"), col(facetCol))
+    val kept = bm25ScoredFromIndex(s, indexDir, terms)
+      .join(meta, "doc_id")
+      .withColumn(
+        "gr",
+        row_number().over(
+          Window.partitionBy(col(facetCol)).orderBy(col("score_milli").desc, col("doc_id").asc)
+        )
+      )
+      .filter(col("gr") <= perGroup)
+    kept
+      .orderBy(col("score_milli").desc, col("doc_id").asc)
+      .limit(k)
+      .withColumn(
+        "rank",
+        row_number()
+          .over(Window.orderBy(col("score_milli").desc, col("doc_id").asc))
+          .cast("bigint")
+      )
+      .select(col("rank"), col("doc_id"), col(facetCol), col("score_milli"))
+  }
+
+  /** BEST-PASSAGE retrieval (the unified-highlighter selection pass):
+    * for every matching document, the W-token window that maximizes
+    * the summed idf of the query-term occurrences inside it — anchored
+    * at match positions (a best window always starts AT some match,
+    * so anchors are the terms' own occurrences, never a per-token
+    * enumeration), ties to the earliest start; then the top-k docs BY
+    * their best passage's score, each rendered from the doc store
+    * pruned to the page. Cost: the anchor×occurrence join is
+    * per-document and bounded by (query-term occurrences)² — the
+    * classic highlighter bound — over the terms' pruned bucket dirs;
+    * the store read is page-sized. idf is the term-search micro model
+    * (df from the pruned postings, N from meta), so passage scores are
+    * exact integers end to end.
+    *
+    * Output: (rank, doc_id, start — 1-based, score_micro, snippet).
+    */
+  def bestPassages(
+      s: SparkSession,
+      indexDir: String,
+      storeDir: String,
+      terms: Seq[String],
+      window: Int,
+      k: Int
+  ): DataFrame = {
+    import s.implicits._
+    require(terms.nonEmpty, "best passage needs at least one term")
+    require(window >= 1, s"passage window must be >= 1, got $window")
+    val distinctTerms = terms.distinct
+    val tbuckets = distinctTerms.map(tokenBucket).distinct
+    val nDocs = readMeta(s, indexDir)._1
+    val p = liveRows(
+      s,
+      indexDir,
+      s.read
+        .schema(postingsSchema)
+        .parquet(s"$indexDir/postings")
+        .filter(col("tbucket").isin(tbuckets: _*) && col("token").isin(distinctTerms: _*))
+    )
+    val idf = p
+      .groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("df"))
+      .withColumn(
+        "idf_micro",
+        floor(log(lit(nDocs + 1).cast("double") / (col("df") + 1)) * 1000000L).cast("bigint")
+      )
+      .select(col("token"), col("idf_micro"))
+    val pos = liveRows(
+      s,
+      indexDir,
+      s.read
+        .schema(positionsSchema)
+        .parquet(s"$indexDir/positions")
+        .filter(col("tbucket").isin(tbuckets: _*) && col("token").isin(distinctTerms: _*))
+    ).select(col("token"), col("doc_id"), col("pos"))
+    val occ = pos
+      .join(broadcast(idf), "token")
+      .select(col("doc_id"), col("pos"), col("idf_micro"))
+    val anchors = occ.select(col("doc_id").as("__d"), col("pos").as("start"))
+    val best = anchors
+      .join(occ, col("__d") === col("doc_id"))
+      .filter(col("pos") >= col("start") && col("pos") < col("start") + window.toLong)
+      .groupBy(col("doc_id"), col("start"))
+      .agg(sum(col("idf_micro")).cast("long").as("w_micro"))
+      // argmax per doc with the earliest-start tie-break: max over the
+      // (score, -start) struct is score-primary, then min start
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("w_micro"), (-col("start")).as("ns"))).as("b"))
+      .select(
+        col("doc_id"),
+        (-col("b.ns")).cast("long").as("start0"),
+        col("b.w_micro").cast("long").as("score_micro")
+      )
+    val page = best
+      .orderBy(col("score_micro").desc, col("doc_id").asc)
+      .limit(k)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    if (page.isEmpty) {
+      return Seq
+        .empty[(Long, Long, Long, Long, String)]
+        .toDF("rank", "doc_id", "start", "score_micro", "snippet")
+    }
+    val ids = page.map(_._1).toSeq
+    val dbuckets = ids.map(docBucket).distinct
+    val ranked = page.zipWithIndex.toSeq
+      .map { case ((id, st, sc), i) => (i + 1L, id, st, sc) }
+      .toDF("rank", "doc_id", "start0", "score_micro")
+    val toks = docStoreLive(s, storeDir)
+      .filter(col("dbucket").isin(dbuckets: _*) && col("doc_id").isin(ids: _*))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    broadcast(ranked)
+      .join(toks, "doc_id")
+      .select(
+        col("rank"),
+        col("doc_id"),
+        (col("start0") + 1).cast("long").as("start"),
+        col("score_micro"),
+        expr(s"array_join(slice(toks, cast(start0 + 1 as int), $window), ' ')").as("snippet")
+      )
+  }
+
   /** KWIC snippets for a RESULT PAGE, served end-to-end from persisted
     * artifacts — the rendering pass production actually runs: a page
     * holds ≤ k hits, so snippets must cost page I/O, not the corpus
@@ -5465,6 +5825,12 @@ object Search {
     "search_term_stats" -> searchTermStats,
     "search_proximity" -> searchProximity,
     "search_proximity_index" -> searchProximityIndex,
+    "search_phrase_slop" -> searchPhraseSlop,
+    "search_phrase_slop_index" -> searchPhraseSlopIndex,
+    "search_term_boost" -> searchTermBoost,
+    "search_range_facet" -> searchRangeFacet,
+    "search_grouped_topk" -> searchGroupedTopK,
+    "search_best_passage" -> searchBestPassage,
     "search_retrieval_eval" -> searchRetrievalEval,
     "search_more_like_this" -> searchMoreLikeThis,
     "search_merged_probe" -> searchMergedProbe,
@@ -5823,6 +6189,147 @@ object Search {
        |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_pairs
        |FROM a JOIN b ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) <= $fixtureSlop
        |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin
+  }
+
+  /** Ordered-slop oracle: the proximity positional chain with the
+    * IN-ORDER gate (1 ≤ Δpos ≤ slop) — slop 1 would reduce to exact
+    * adjacency, slop ∞ to the unordered proximity's b-after-a half.
+    */
+  private lazy val oracleOrderedSlop: String = {
+    val (t1, t2) = fixturePhrase
+    s"""WITH pt AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks, len(string_split(text, ' ')) AS n
+       |  FROM documents
+       |  WHERE contains(text, ${sqlLit(t1)}) AND contains(text, ${sqlLit(t2)})),
+       |ps AS (SELECT doc_id, toks, unnest(generate_series(1, n, 1)) AS pos FROM pt),
+       |px AS (SELECT doc_id, pos, toks[pos] AS token FROM ps),
+       |a AS (SELECT doc_id, pos FROM px WHERE token = ${sqlLit(t1)}),
+       |b AS (SELECT doc_id, pos FROM px WHERE token = ${sqlLit(t2)})
+       |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND $fixtureSlop
+       |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin
+  }
+
+  /** Term-boost oracle: the disjunctive tf·idf chain with each term's
+    * contribution multiplied by its boost before the per-document sum
+    * — idf/df stay boost-free, exactly the query-side-only contract.
+    */
+  private lazy val oracleTermBoost: String = {
+    val terms = fixtureTermBoosts.map(_._1)
+    val termList = terms.map(sqlLit).mkString(", ")
+    val containsAny = terms.map(t => s"contains(text, ${sqlLit(t)})").mkString(" OR ")
+    val boostCase = "CASE cp.token " +
+      fixtureTermBoosts.map { case (t, w) => s"WHEN ${sqlLit(t)} THEN $w" }.mkString(" ") +
+      " END"
+    val dfArms = terms
+      .map(t =>
+        s"""SELECT token, CAST(count(*) AS BIGINT) AS df FROM (
+           |    SELECT token, doc_id FROM (
+           |      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           |      FROM documents WHERE contains(text, ${sqlLit(t)})) x
+           |    WHERE token = ${sqlLit(t)} GROUP BY token, doc_id) GROUP BY token""".stripMargin
+      )
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH cand AS (SELECT doc_id, text FROM documents WHERE $containsAny),
+       |c0 AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM cand),
+       |cp AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf FROM c0
+       |       WHERE token IN ($termList) GROUP BY token, doc_id),
+       |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       |dfm AS (
+       |  $dfArms),
+       |model AS (
+       |  SELECT token,
+       |    CAST(floor(ln(((SELECT n_docs FROM nd) + 1) / CAST(df + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS idf_micro
+       |  FROM dfm),
+       |scored AS (
+       |  SELECT cp.doc_id,
+       |    CAST(sum(($boostCase) * cp.tf * m.idf_micro) AS BIGINT) AS score_micro
+       |  FROM cp JOIN model m ON m.token = cp.token
+       |  GROUP BY cp.doc_id),
+       |branked AS (
+       |  SELECT doc_id, score_micro,
+       |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT rank, doc_id, score_micro FROM branked WHERE rank <= $topK ORDER BY rank""".stripMargin
+  }
+
+  /** Range-facet oracle: the conjunctive match set joined to each
+    * document's token length, histogrammed at the fixture width.
+    */
+  private lazy val oracleRangeFacet: String =
+    s"""WITH ${oracleTermSearchChain(fixtureAndTerms, requireAll = true)},
+       |dls AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents)
+       |SELECT CAST((dls.dl // $fixtureRangeWidth) * $fixtureRangeWidth AS BIGINT) AS range_lo,
+       |  CAST(count(*) AS BIGINT) AS n_hits
+       |FROM scored s JOIN dls ON dls.doc_id = s.doc_id
+       |GROUP BY range_lo ORDER BY range_lo""".stripMargin
+
+  /** Grouped-top-k oracle: the BM25 chain, a per-lang window keeping
+    * the fixture's g best per group, then the global page over the
+    * survivors.
+    */
+  private lazy val oracleGroupedTopK: String =
+    s"""WITH $oracleBm25Chain,
+       |wm AS (
+       |  SELECT sc.doc_id, sc.score_milli, d.lang,
+       |    row_number() OVER (PARTITION BY d.lang ORDER BY sc.score_milli DESC, sc.doc_id ASC) AS gr
+       |  FROM sc JOIN documents d ON d.doc_id = sc.doc_id),
+       |kept AS (SELECT doc_id, lang, score_milli FROM wm WHERE gr <= $fixturePerGroup),
+       |grnk AS (
+       |  SELECT doc_id, lang, score_milli,
+       |    CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM kept)
+       |SELECT rank, doc_id, lang, score_milli FROM grnk WHERE rank <= $topK ORDER BY rank""".stripMargin
+
+  /** Best-passage oracle: per-doc anchored-window argmax over the
+    * query terms' idf-weighted occurrences, global top-k, snippet
+    * sliced from the document's own tokens — the same 1-based slice
+    * arithmetic as the KWIC oracles.
+    */
+  private lazy val oracleBestPassage: String = {
+    val terms = Seq(fixturePhrase._1, fixturePhrase._2)
+    val termList = terms.map(sqlLit).mkString(", ")
+    val containsAny = terms.map(t => s"contains(text, ${sqlLit(t)})").mkString(" OR ")
+    val w = fixturePassageWindow
+    val dfArms = terms
+      .map(t =>
+        s"""SELECT token, CAST(count(*) AS BIGINT) AS df FROM (
+           |    SELECT token, doc_id FROM (
+           |      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           |      FROM documents WHERE contains(text, ${sqlLit(t)})) x
+           |    WHERE token = ${sqlLit(t)} GROUP BY token, doc_id) GROUP BY token""".stripMargin
+      )
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       |dfm AS (
+       |  $dfArms),
+       |model AS (
+       |  SELECT token,
+       |    CAST(floor(ln(((SELECT n_docs FROM nd) + 1) / CAST(df + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS idf_micro
+       |  FROM dfm),
+       |pt AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks, len(string_split(text, ' ')) AS n
+       |  FROM documents WHERE $containsAny),
+       |ps AS (SELECT doc_id, toks, unnest(generate_series(1, n, 1)) AS pos FROM pt),
+       |px AS (SELECT doc_id, pos, toks[pos] AS token FROM ps WHERE toks[pos] IN ($termList)),
+       |occ AS (SELECT px.doc_id, px.pos, m.idf_micro FROM px JOIN model m ON m.token = px.token),
+       |win AS (
+       |  SELECT a.doc_id, a.pos AS start, CAST(sum(o.idf_micro) AS BIGINT) AS w_micro
+       |  FROM occ a JOIN occ o ON o.doc_id = a.doc_id AND o.pos >= a.pos AND o.pos < a.pos + $w
+       |  GROUP BY a.doc_id, a.pos),
+       |bst AS (
+       |  SELECT doc_id, start, w_micro,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY w_micro DESC, start ASC) AS rn
+       |  FROM win),
+       |b1 AS (SELECT doc_id, start, w_micro FROM bst WHERE rn = 1),
+       |pg AS (
+       |  SELECT doc_id, start, w_micro,
+       |    CAST(row_number() OVER (ORDER BY w_micro DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM b1)
+       |SELECT p.rank, p.doc_id, CAST(p.start AS BIGINT) AS start, p.w_micro AS score_micro,
+       |  array_to_string(t.toks[p.start:least(len(t.toks), p.start + ${w - 1})], ' ') AS snippet
+       |FROM pg p JOIN pt t ON t.doc_id = p.doc_id
+       |WHERE p.rank <= $fixturePassageK ORDER BY p.rank""".stripMargin
   }
 
   /** Synonym-group oracle: each group scores as one logical term —
@@ -6367,6 +6874,13 @@ object Search {
     // unordered proximity at slop 3 — strictly wider than the phrase
     "search_proximity" -> oracleProximity,
     "search_proximity_index" -> oracleProximity,
+    // ordered slop: corpus and index twins share the in-order gate
+    "search_phrase_slop" -> oracleOrderedSlop,
+    "search_phrase_slop_index" -> oracleOrderedSlop,
+    "search_term_boost" -> oracleTermBoost,
+    "search_range_facet" -> oracleRangeFacet,
+    "search_grouped_topk" -> oracleGroupedTopK,
+    "search_best_passage" -> oracleBestPassage,
     "search_retrieval_eval" -> {
       val runsVals = fixtureEvalRuns.map { case (q, dd, r) => s"($q, $dd, $r)" }.mkString(", ")
       val qrelVals = fixtureEvalQrels.map { case (q, dd, r) => s"($q, $dd, $r)" }.mkString(", ")

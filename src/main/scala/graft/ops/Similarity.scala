@@ -126,6 +126,132 @@ object Similarity {
   val annRocchio: Q = (s, d) =>
     rocchioTopK(embeddings(s, d), 0L, fixtureRocchioRel, fixtureRocchioNonRel, 20)
 
+  /** RANGE (radius) search — "every vector within cosine ≥ τ of the
+    * query", the dedup/recall-sweep primitive top-k can't express
+    * (top-k bounds the page, a radius bounds the NEIGHBORHOOD: near-
+    * duplicate harvesting and cluster seeding want ALL matches, not
+    * the best k). One embarrassingly-parallel scan with the threshold
+    * pushed into the filter, so only qualifying rows (result-set-
+    * sized, not corpus-sized) ever shuffle — there is NO top-k heap
+    * and no driver involvement; at 100 TB this is the same one-pass
+    * shape as [[cosineTopK]] minus the global ordering bound. The
+    * threshold compares the ROUND-6 cosine (the relation's published
+    * precision), so the result set is engine-portable by construction.
+    */
+  def rangeSearch(emb: DataFrame, queryId: Long, minCos: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val e = withVec(emb)
+    val q = e.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    e.crossJoin(broadcast(q))
+      .withColumn("cos_sim", round(expr("cosine_sim(v, qv)"), 6))
+      .filter(col("cos_sim") >= minCos)
+      .select(col("vec_id"), col("label"), col("cos_sim"))
+  }
+
+  /** [[rangeSearch]] served from the PERSISTED IVF index: the nProbe
+    * nearest centroid lists are chosen driver-side (nLists rows), the
+    * scan reads ONLY those list partitions (partition pruning), and
+    * the radius filter runs inside them. At nProbe = nLists the probe
+    * is EXACT and shares the brute oracle — that equality gates the
+    * persisted layout + tombstone machinery; the recall trade of
+    * nProbe < nLists is the same one ann_lsh_recall and the IVF golden
+    * pin already measure.
+    */
+  def rangeSearchFromIndex(
+      spark: SparkSession,
+      dir: String,
+      queryId: Long,
+      minCos: Double,
+      nProbe: Int
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val assigned =
+      Search.liveRows(spark, dir, spark.read.parquet(s"$dir/assignments"), keyCol = "vec_id")
+    val qv = assigned.filter(col("vec_id") === queryId).select("v").head().getSeq[Double](0).toArray
+    val centroids = spark.read.parquet(s"$dir/centroids").collect().map { r =>
+      (r.getAs[Int]("list_id"), r.getAs[scala.collection.Seq[Double]]("centroid").toArray)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probeLists = centroids.sortBy { case (id, c) => (-cos(qv, c), id) }.take(nProbe).map(_._1)
+    val q = assigned.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    assigned
+      .filter(col("list_id").isin(probeLists.toSeq: _*))
+      .crossJoin(broadcast(q))
+      .withColumn("cos_sim", round(expr("cosine_sim(v, qv)"), 6))
+      .filter(col("cos_sim") >= minCos)
+      .select(col("vec_id"), col("label"), col("cos_sim"))
+  }
+
+  /** MMR (maximal marginal relevance) diversified top-k — the standard
+    * result-diversification re-rank (Carbonell & Goldstein '98):
+    * greedily pick argmax over remaining candidates of
+    * λ·rel(i) − (1−λ)·max_{j∈S} sim(i, j), λ = 7/10 here, in EXACT
+    * integer micro-units scaled ×10 (score10 = 7·rel_micro −
+    * 3·maxsim_micro) so the greedy's comparisons are engine-portable.
+    * The candidate pool is the brute top-m page (query excluded) — the
+    * re-rank is REQUEST-sized (m vectors), so the greedy runs
+    * driver-side like every page-level pass here (Rocchio's posture);
+    * the corpus pays only the one top-m scan, and at 100 TB the
+    * candidate leg swaps for the IVF probe with the re-rank unchanged.
+    * rel and pairwise sims are both round-6 cosines lifted to micro
+    * ints — the relation's published precision — with ties broken by
+    * vec_id asc at every pick.
+    */
+  def mmrTopK(emb: DataFrame, queryId: Long, m: Int, k: Int): DataFrame = {
+    require(m >= k && k >= 1, s"mmr needs m >= k >= 1, got m=$m k=$k")
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val s = emb.sparkSession
+    import s.implicits._
+    val e = withVec(emb)
+    val q = e.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    val cand = e
+      .filter(col("vec_id") =!= queryId)
+      .crossJoin(broadcast(q))
+      .withColumn("cos_sim", round(expr("cosine_sim(v, qv)"), 6))
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+      .limit(m)
+      .select(col("vec_id"), col("label"), col("cos_sim"), col("v"))
+      .collect()
+      .map(r =>
+        (
+          r.getLong(0),
+          r.get(1),
+          math.round(r.getDouble(2) * 1000000L),
+          r.getSeq[Double](3).toArray
+        )
+      )
+    // round-6 cosine between two candidates, identical op order to the
+    // engine expression (left-to-right sums, one divide, HALF_UP at 6)
+    def cos6micro(a: Array[Double], b: Array[Double]): Long = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      val c = if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+      val r6 = BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      math.round(r6 * 1000000L)
+    }
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Any, Long)]
+    val remaining = scala.collection.mutable.ArrayBuffer(cand: _*)
+    while (selected.size < k && remaining.nonEmpty) {
+      val pick = remaining
+        .map { c =>
+          val maxSim =
+            if (selected.isEmpty) 0L
+            else selected.map(sel => cos6micro(c._4, cand.find(_._1 == sel._1).get._4)).max
+          (c, 7L * c._3 - 3L * maxSim)
+        }
+        .minBy { case (c, sc10) => (-sc10, c._1) }
+      selected += ((pick._1._1, pick._1._2, pick._2))
+      remaining -= pick._1
+    }
+    selected.zipWithIndex.toSeq
+      .map { case ((id, label, sc10), i) => (i + 1L, id, label.asInstanceOf[Int], sc10) }
+      .toDF("rank", "vec_id", "label", "mmr10_micro")
+  }
+
   /** Deterministic hyperplane component (j = plane, k = dimension):
     * integer formula, identical in the DuckDB oracle.
     */
@@ -1047,6 +1173,33 @@ object Similarity {
   val annIvfTopkIndex: Q = (s, d) =>
     ivfTopKFromIndex(s, demoIvfIndexDir(s, d), queryId = 0L, k = 10, nProbe = 4)
 
+  /** Range-search fixtures: τ = 0.25 keeps the neighborhood a genuine
+    * SET (larger than any page at sf0.1, small enough to eyeball at
+    * sf0.01); the query row itself qualifies at cos 1.0 — a radius
+    * query over a relation containing the probe returns it, matching
+    * the brute-oracle semantics.
+    */
+  private[ops] val fixtureRangeMinCos = 0.25
+
+  val annRangeSearch: Q = (s, d) =>
+    rangeSearch(embeddings(s, d), 0L, fixtureRangeMinCos)
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+
+  /** Index-served radius probe at nProbe = nLists — exact, so it
+    * shares ann_range_search's brute oracle: the equality gates the
+    * persisted partitioned layout under the radius filter.
+    */
+  val annRangeIvf: Q = (s, d) =>
+    rangeSearchFromIndex(s, demoIvfIndexDir(s, d), 0L, fixtureRangeMinCos, nProbe = 16)
+      .orderBy(desc("cos_sim"), asc("vec_id"))
+
+  /** MMR fixtures: top-12 candidate pool, 4 diversified picks. */
+  private[ops] val fixtureMmrM = 12
+  private[ops] val fixtureMmrK = 4
+
+  val annMmrTopk: Q = (s, d) =>
+    mmrTopK(embeddings(s, d), 0L, fixtureMmrM, fixtureMmrK).orderBy("rank")
+
   /** Tombstoned IVF lifecycle demo: full build, every vec_id % 9 == 2
     * vector deleted — NO compaction, so probes serve through the
     * tombstone anti-join.
@@ -1809,6 +1962,9 @@ object Similarity {
     "dedup_semantic" -> dedupSemantic,
     "ann_cosine_topk" -> annCosineTopk,
     "ann_rocchio" -> annRocchio,
+    "ann_range_search" -> annRangeSearch,
+    "ann_range_ivf" -> annRangeIvf,
+    "ann_mmr_topk" -> annMmrTopk,
     "ann_lsh_buckets" -> annLshBuckets,
     "ann_lsh_topk" -> annLshTopk,
     "ann_hard_negatives" -> annHardNegatives,
@@ -1856,6 +2012,74 @@ object Similarity {
   private val cosSqlBase =
     """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0)""".stripMargin
+
+  /** Radius-search oracle: brute force with the threshold applied to
+    * the ROUND-6 cosine — shared by the exact IVF-served twin.
+    */
+  private lazy val oracleRangeSearch: String =
+    s"""$cosSqlBase,
+       |sc AS (
+       |  SELECT vec_id, label,
+       |    round(list_dot_product(v, qv) /
+       |          (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+       |  FROM e, q)
+       |SELECT vec_id, label, cos_sim FROM sc
+       |WHERE cos_sim >= $fixtureRangeMinCos
+       |ORDER BY cos_sim DESC, vec_id ASC""".stripMargin
+
+  /** MMR oracle, unrolled at the fixture's k = 4: each pick is an
+    * argmax CTE over the remaining candidates with the running
+    * max-similarity-to-selected in integer micro-units — the greedy's
+    * comparisons replayed exactly.
+    */
+  private lazy val oracleMmrTopk: String = {
+    assert(fixtureMmrK == 4, "oracle is hand-unrolled at k = 4")
+    val m = fixtureMmrM
+    s"""$cosSqlBase,
+       |sc AS (
+       |  SELECT vec_id, label, v,
+       |    round(list_dot_product(v, qv) /
+       |          (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+       |  FROM e, q WHERE vec_id <> 0),
+       |cand AS (
+       |  SELECT vec_id, label, v, CAST(round(cos_sim * 1000000, 0) AS BIGINT) AS rel_micro
+       |  FROM sc ORDER BY cos_sim DESC, vec_id ASC LIMIT $m),
+       |pr AS (
+       |  SELECT a.vec_id AS ai, b.vec_id AS bi,
+       |    CAST(round(round(list_dot_product(a.v, b.v) /
+       |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) * 1000000, 0) AS BIGINT) AS sim_micro
+       |  FROM cand a, cand b),
+       |s1 AS (SELECT vec_id, label, 7 * rel_micro AS sc10 FROM cand
+       |       ORDER BY rel_micro DESC, vec_id ASC LIMIT 1),
+       |r2 AS (
+       |  SELECT c.vec_id, c.label, 7 * c.rel_micro - 3 * p1.sim_micro AS sc10
+       |  FROM cand c JOIN pr p1 ON p1.ai = c.vec_id AND p1.bi = (SELECT vec_id FROM s1)
+       |  WHERE c.vec_id <> (SELECT vec_id FROM s1)),
+       |s2 AS (SELECT vec_id, label, sc10 FROM r2 ORDER BY sc10 DESC, vec_id ASC LIMIT 1),
+       |r3 AS (
+       |  SELECT c.vec_id, c.label,
+       |    7 * c.rel_micro - 3 * greatest(p1.sim_micro, p2.sim_micro) AS sc10
+       |  FROM cand c
+       |  JOIN pr p1 ON p1.ai = c.vec_id AND p1.bi = (SELECT vec_id FROM s1)
+       |  JOIN pr p2 ON p2.ai = c.vec_id AND p2.bi = (SELECT vec_id FROM s2)
+       |  WHERE c.vec_id NOT IN ((SELECT vec_id FROM s1), (SELECT vec_id FROM s2))),
+       |s3 AS (SELECT vec_id, label, sc10 FROM r3 ORDER BY sc10 DESC, vec_id ASC LIMIT 1),
+       |r4 AS (
+       |  SELECT c.vec_id, c.label,
+       |    7 * c.rel_micro - 3 * greatest(p1.sim_micro, p2.sim_micro, p3.sim_micro) AS sc10
+       |  FROM cand c
+       |  JOIN pr p1 ON p1.ai = c.vec_id AND p1.bi = (SELECT vec_id FROM s1)
+       |  JOIN pr p2 ON p2.ai = c.vec_id AND p2.bi = (SELECT vec_id FROM s2)
+       |  JOIN pr p3 ON p3.ai = c.vec_id AND p3.bi = (SELECT vec_id FROM s3)
+       |  WHERE c.vec_id NOT IN
+       |    ((SELECT vec_id FROM s1), (SELECT vec_id FROM s2), (SELECT vec_id FROM s3))),
+       |s4 AS (SELECT vec_id, label, sc10 FROM r4 ORDER BY sc10 DESC, vec_id ASC LIMIT 1)
+       |SELECT CAST(1 AS BIGINT) AS rank, vec_id, label, sc10 AS mmr10_micro FROM s1
+       |UNION ALL SELECT CAST(2 AS BIGINT), vec_id, label, sc10 FROM s2
+       |UNION ALL SELECT CAST(3 AS BIGINT), vec_id, label, sc10 FROM s3
+       |UNION ALL SELECT CAST(4 AS BIGINT), vec_id, label, sc10 FROM s4
+       |ORDER BY rank""".stripMargin
+  }
 
   /** Brute-force cosine top-k over the LIVE vectors (the fixture
     * delete drops vec_id % 9 == 2) — ann_delete_topk's oracle, shared
@@ -1951,6 +2175,11 @@ object Similarity {
          |  round(list_dot_product(v, qv) /
          |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
          |FROM e, q ORDER BY cos_sim DESC, vec_id ASC LIMIT 20""".stripMargin,
+    // radius search: brute and the exact (nProbe = nLists) IVF-served
+    // twin share the threshold-over-round-6 semantics
+    "ann_range_search" -> oracleRangeSearch,
+    "ann_range_ivf" -> oracleRangeSearch,
+    "ann_mmr_topk" -> oracleMmrTopk,
     // Rocchio: q' rebuilt in SQL with the same float-op order (vec_id-
     // ordered centroid sums, same α/β/γ term order), feedback excluded
     "ann_rocchio" -> {

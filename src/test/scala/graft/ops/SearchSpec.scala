@@ -1694,4 +1694,107 @@ class SearchSpec extends SparkSpec {
       Similarity.rocchioTopK(emb, 0L, Seq(3L), Seq(5L, 5L), 5)
     }
   }
+
+  test("orderedSlopSearch: order matters, slop bounds, multiplicity; lattice phrase ⊆ slop ⊆ proximity") {
+    val docs = Seq(
+      (1L, "hash a b join"),        // distance 3 in order: in at slop 3
+      (2L, "join x hash"),          // REVERSED only — ordered must exclude
+      (3L, "hash a a a a join"),    // distance 5: out at slop 3
+      (4L, "hash join now hash z join") // ordered within 3: (1,2), (4,6) → 2 pairs (|1→6|=5 out)
+    ).toDF("doc_id", "text")
+    def pairs(slop: Int) = Search.orderedSlopSearch(docs, "doc_id", "text", "hash", "join", slop)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_pairs")).toMap
+    assert(pairs(3) == Map(1L -> 1L, 4L -> 2L), pairs(3).toString)
+    assert(pairs(1) == Map(4L -> 1L), "slop 1 is exact adjacency")
+    val d = "/root/testdata/sf0.001"
+    val corpus = Search.queries("search_phrase_slop")(spark, d).collect().toSeq
+    val index = Search.queries("search_phrase_slop_index")(spark, d).collect().toSeq
+    assert(corpus.nonEmpty && corpus == index)
+    // lattice on the shared fixture pair: exact phrase ⊆ ordered slop ⊆ unordered proximity
+    val phrase = Search.queries("search_phrase")(spark, d).collect().map(_.getAs[Long]("doc_id")).toSet
+    val slop = corpus.map(_.getAs[Long]("doc_id")).toSet
+    val prox = Search.queries("search_proximity")(spark, d).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(phrase.subsetOf(slop) && slop.subsetOf(prox))
+  }
+
+  test("boostedSearchFromIndex: uniform boost 1 ≡ disjunctive ×1; a boost actually reorders") {
+    val docs = Seq(
+      (1L, "rare x"),          // rare once
+      (2L, "common common common"), // common thrice
+      (3L, "common rare")      // both
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_boost").toString + "/idx"
+    Search.saveSearchIndex(docs, "doc_id", "text", dir)
+    val plain = Search.disjunctiveFromIndex(spark, dir, Seq("rare", "common"), 10)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro"))).toMap
+    val unit = Search.boostedSearchFromIndex(spark, dir, Seq("rare" -> 1L, "common" -> 1L), 10)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro"))).toMap
+    assert(unit == plain, "boost 1 everywhere must be the plain disjunctive scores")
+    // boosting the common term 100× must put the common-heavy doc first
+    val boosted = Search.boostedSearchFromIndex(spark, dir, Seq("rare" -> 1L, "common" -> 100L), 10)
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(boosted.head == 2L, boosted.mkString(","))
+    intercept[IllegalArgumentException] {
+      Search.boostedSearchFromIndex(spark, dir, Seq("a" -> 1L, "a" -> 2L), 5)
+    }
+    intercept[IllegalArgumentException] {
+      Search.boostedSearchFromIndex(spark, dir, Seq("a" -> 0L), 5)
+    }
+  }
+
+  test("rangeFacetCounts: histogram buckets and totals; empty-match set yields no rows") {
+    val docs = Seq(
+      (1L, "cat dog " + Seq.fill(30)("pad").mkString(" ")), // dl 32 → bucket 32
+      (2L, "cat dog"),                                      // dl 2 → bucket 0
+      (3L, "cat only here"),                                // not in AND match set
+      (4L, "dog cat x")                                     // dl 3 → bucket 0
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rfacet").toString + "/idx"
+    Search.saveSearchIndex(docs, "doc_id", "text", dir)
+    val got = Search.rangeFacetCounts(spark, dir, Seq("cat", "dog"), 32L)
+      .collect().map(r => r.getAs[Long]("range_lo") -> r.getAs[Long]("n_hits")).toMap
+    assert(got == Map(0L -> 2L, 32L -> 1L), got.toString)
+    assert(Search.rangeFacetCounts(spark, dir, Seq("cat", "zzz"), 32L).collect().isEmpty)
+  }
+
+  test("groupedTopK: per-group cap binds; cap ≥ k reduces to the plain BM25 page") {
+    val d = "/root/testdata/sf0.001"
+    val grouped = Search.queries("search_grouped_topk")(spark, d).collect()
+    assert(grouped.nonEmpty)
+    val perLang = grouped.groupBy(_.getAs[String]("lang")).view.mapValues(_.length)
+    assert(perLang.values.forall(_ <= 3), perLang.toMap.toString)
+    // ranks are 1..n dense and ordered by (score desc, doc_id asc)
+    val ranks = grouped.map(_.getAs[Long]("rank")).toSeq
+    assert(ranks == (1L to ranks.size).toSeq)
+    val scores = grouped.map(r => (-r.getAs[Long]("score_milli"), r.getAs[Long]("doc_id"))).toSeq
+    assert(scores == scores.sorted)
+  }
+
+  test("bestPassages: anchored-window argmax, earliest-start tie, snippet slice") {
+    val docs = Seq(
+      // terms at 0-based 0 and 2: window 4 from start 0 holds both
+      (1L, "cat a dog b e f g h"),
+      // terms far apart: best window holds only one occurrence
+      (2L, "cat a b c d e f g h i j dog"),
+      (3L, "nothing here")
+    ).toDF("doc_id", "text")
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_bp").toString + "/idx"
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_bp").toString + "/store"
+    Search.saveSearchIndex(docs, "doc_id", "text", idxDir)
+    Search.saveDocStore(docs, "doc_id", "text", storeDir)
+    val got = Search.bestPassages(spark, idxDir, storeDir, Seq("cat", "dog"), 4, 5)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start"), r.getAs[String]("snippet")))
+    // doc 1's best window covers both terms (score 2 idf-units) and
+    // starts AT the first match (1-based 1); doc 2's best holds one
+    // term — tie between the two anchors breaks to the earliest
+    val byDoc = got.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byDoc(1L) == ((1L, "cat a dog b")), byDoc.toString)
+    assert(byDoc(2L)._1 == 1L, "equal-score anchors must tie to the earliest start")
+    assert(!byDoc.contains(3L))
+    // rank 1 is the two-term doc (higher summed idf)
+    val ranked = Search.bestPassages(spark, idxDir, storeDir, Seq("cat", "dog"), 4, 5)
+      .orderBy("rank").collect()
+    assert(ranked.head.getAs[Long]("doc_id") == 1L)
+  }
 }

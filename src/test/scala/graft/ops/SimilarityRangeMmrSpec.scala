@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Radius (range) search + MMR diversification — the two page-free ANN
+  * shapes: a radius bounds the NEIGHBORHOOD (result-set-sized output,
+  * no top-k heap), MMR re-ranks a request-sized candidate pool for
+  * diversity.
+  */
+class SimilarityRangeMmrSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("rangeSearch: threshold on the round-6 cosine; query row qualifies at 1.0") {
+    val got = Similarity.rangeSearch(Fixtures.embeddings(spark, d), 0L, 0.25)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos_sim"))
+    assert(got.nonEmpty)
+    assert(got.forall(_._2 >= 0.25), got.filter(_._2 < 0.25).mkString(","))
+    assert(got.toMap.get(0L).contains(1.0), "the probe vector itself is within any radius")
+    // the radius result ⊇ every top-k hit at or above the threshold
+    val topk = Similarity.cosineTopK(Fixtures.embeddings(spark, d), 0L, 20)
+      .collect().filter(_.getAs[Double]("cos_sim") >= 0.25).map(_.getAs[Long]("vec_id")).toSet
+    assert(topk.subsetOf(got.map(_._1).toSet))
+  }
+
+  test("rangeSearchFromIndex at nProbe = nLists equals the brute radius exactly") {
+    val brute = Similarity.rangeSearch(Fixtures.embeddings(spark, d), 0L, 0.25)
+      .orderBy(desc("cos_sim"), asc("vec_id")).collect().toSeq
+    val dir = Similarity.demoIvfIndexDir(spark, d)
+    val served = Similarity.rangeSearchFromIndex(spark, dir, 0L, 0.25, nProbe = 16)
+      .orderBy(desc("cos_sim"), asc("vec_id")).collect().toSeq
+    assert(brute == served)
+    // and the served plan scans the partitioned layout (list dirs), so
+    // a smaller nProbe reads a subset — candidates can only shrink
+    val partial = Similarity.rangeSearchFromIndex(spark, dir, 0L, 0.25, nProbe = 2)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(partial.subsetOf(brute.map(_.getAs[Long]("vec_id")).toSet))
+  }
+
+  test("mmrTopK: first pick is the relevance argmax; a near-dup of it is deferred") {
+    // hand corpus in 2-d lifted to 64 dims: q along (1,1); candidates
+    // 1 ≈ 2 are a near-dup pair along e0 (1 slightly more relevant),
+    // 3 is orthogonal to them at the SAME relevance as 2. Relevance
+    // order is (1, 2, 3) — the 2-vs-3 tie breaks to vec_id — but the
+    // λ = 7/10 penalty (3·sim(2,1) ≈ 3.0 vs 3·sim(3,1) ≈ 0.06 in
+    // score10-micro millions) must defer the dup: MMR order (1, 3, 2).
+    def vec(x: Double, y: Double): Array[Float] = {
+      val a = Array.fill(64)(0f); a(0) = x.toFloat; a(1) = y.toFloat; a
+    }
+    val emb = Seq(
+      (0L, vec(1.0, 1.0), 0),  // query
+      (1L, vec(1.0, 0.02), 1), // rel ≈ 0.721
+      (2L, vec(1.0, 0.0), 1),  // rel ≈ 0.707, near-dup of 1 (sim ≈ 0.9998)
+      (3L, vec(0.0, 1.0), 2)   // rel ≈ 0.707, orthogonal to 1 (sim ≈ 0.02)
+    ).toDF("vec_id", "embedding", "label")
+    val rows = Similarity.mmrTopK(emb, 0L, m = 3, k = 3).orderBy("rank").collect()
+    val order = rows.map(_.getAs[Long]("vec_id")).toSeq
+    assert(order == Seq(1L, 3L, 2L), order.mkString(","))
+    // rank-1 carries the unpenalized score 7·rel_micro (rel from the
+    // engine's own round-6 cosine); the deferred dup's score shows the
+    // subtracted penalty (≈ 3e6 below its 7·rel)
+    val rel = Similarity.cosineTopK(emb, 0L, 4).collect()
+      .map(r => r.getAs[Long]("vec_id") -> math.round(r.getAs[Double]("cos_sim") * 1000000L))
+      .toMap
+    val sc10 = rows.map(_.getAs[Long]("mmr10_micro")).toSeq
+    assert(sc10(0) == 7L * rel(1L), sc10.toString)
+    assert(sc10(2) < 7L * rel(2L) - 2900000L, sc10.toString)
+  }
+
+  test("mmrTopK fixture query: rank-1 equals the brute top-1 (query excluded); k rows out") {
+    val got = Similarity.queries("ann_mmr_topk")(spark, d).orderBy("rank").collect()
+    assert(got.length == 4)
+    val brute = Similarity.cosineTopK(Fixtures.embeddings(spark, d), 0L, 2)
+      .collect().map(_.getAs[Long]("vec_id")).filter(_ != 0L).head
+    assert(got.head.getAs[Long]("vec_id") == brute)
+    // picks are distinct
+    assert(got.map(_.getAs[Long]("vec_id")).distinct.length == 4)
+  }
+}
