@@ -1062,6 +1062,55 @@ object Search {
     rankTop(scored, "score_milli", k)
   }
 
+  /** FIELD-SCOPED term search (`title:hash` — the query-DSL field
+    * restriction): terms must occur in the NAMED field, scored with
+    * the in-field tf·idf (df = docs where the term occurs in THAT
+    * field, N = the fielded index's doc count) — a body-only mention
+    * neither matches nor scores, which is the whole point of the
+    * scope. Served from the fielded index's fpostings with the same
+    * bucket pruning as every probe; OR gate across terms.
+    */
+  def fieldedTermSearch(
+      s: SparkSession,
+      dir: String,
+      field: String,
+      terms: Seq[String],
+      k: Int
+  ): DataFrame = {
+    require(terms.nonEmpty, "field-scoped search needs at least one term")
+    val meta = s.read
+      .parquet(s"$dir/fmeta")
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+      .toMap
+    require(
+      meta.contains(field),
+      s"field '$field' not in the index at $dir (fields: ${meta.keys.toSeq.sorted.mkString(", ")})"
+    )
+    val nDocs = meta(field)
+    val buckets = terms.map(tokenBucket).distinct
+    val p = s.read
+      .parquet(s"$dir/fpostings")
+      .filter(
+        col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*) &&
+          col("field") === field
+      )
+      .select(col("token"), col("doc_id"), col("tf"))
+    val dfModel = p
+      .groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("df"))
+      .withColumn(
+        "idf_micro",
+        floor(log(lit(nDocs + 1).cast("double") / (col("df") + 1)) * 1000000L).cast("bigint")
+      )
+      .select(col("token"), col("idf_micro"))
+    val scored = p
+      .join(broadcast(dfModel), "token")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("idf_micro")).cast("long").as("score_micro"))
+    rankTop(scored, "score_micro", k)
+  }
+
   /** Two-term convenience overload of the n-term [[phraseFromIndex]]. */
   def phraseFromIndex(s: SparkSession, indexDir: String, first: String, second: String): DataFrame =
     phraseFromIndex(s, indexDir, Seq(first, second))
@@ -1967,6 +2016,39 @@ object Search {
     val p = if (analyzed) pattern.toLowerCase else pattern
     val terms = vocabRows(s, indexDir, analyzed)
       .filter(col("token").like(likePattern(p)))
+      .orderBy(col("df").desc, col("token").asc)
+      .limit(maxExpand)
+      .select("token")
+      .collect()
+      .map(_.getString(0))
+      .toSeq
+    if (terms.isEmpty) emptyHits(s)
+    else if (analyzed) analyzedFromIndex(s, indexDir, terms, k, requireAll = false)
+    else termSearchFromIndex(s, indexDir, terms, k, requireAll = false)
+  }
+
+  /** REGEX term search (Lucene's RegexpQuery under the same capped
+    * rewrite as the wildcard): the pattern matches against the
+    * types-scale vocab (one dictionary pass — a regex has no prefix to
+    * seek, the linear-scan baseline every engine falls back to),
+    * expansion ranked (df desc, token asc) and capped, then the
+    * standard pruned-bucket disjunctive scoring. The fixture pattern
+    * sticks to the regex subset both engines implement identically
+    * (anchors, `.`, classes, `*`) — an oracle-shared gate can't use
+    * engine-specific syntax.
+    */
+  def regexSearchFromIndex(
+      s: SparkSession,
+      indexDir: String,
+      pattern: String,
+      maxExpand: Int,
+      k: Int,
+      analyzed: Boolean = false
+  ): DataFrame = {
+    require(pattern.nonEmpty, "regex search needs a non-empty pattern")
+    val p = if (analyzed) pattern.toLowerCase else pattern
+    val terms = vocabRows(s, indexDir, analyzed)
+      .filter(col("token").rlike(p))
       .orderBy(col("df").desc, col("token").asc)
       .limit(maxExpand)
       .select("token")
@@ -3786,6 +3868,22 @@ object Search {
       topK
     ).orderBy("rank")
 
+  /** Regex fixture: "^s.a.*" (anchored head, one any-char, then 'a')
+    * matches scan/spark/stream-like tokens — the engine-portable regex
+    * subset — with the cap at 3 so the capped rewrite BINDS here too.
+    */
+  private[ops] val fixtureRegex = "^s.a.*"
+  private[ops] val fixtureRegexExpand = 3
+
+  val searchRegexIndex: Q = (s, d) =>
+    regexSearchFromIndex(
+      s,
+      demoSearchIndexDir(s, d),
+      fixtureRegex,
+      fixtureRegexExpand,
+      topK
+    ).orderBy("rank")
+
   val searchFuzzyIndex: Q = (s, d) =>
     fuzzySearchFromIndex(
       s,
@@ -5596,20 +5694,32 @@ object Search {
     * full-outer joins is a driver-light broadcast chain at any corpus
     * scale; each list df must carry (id, rank).
     */
-  def rrfFuse(lists: Seq[(String, DataFrame)], rrfK: Int = 60): DataFrame = {
+  def rrfFuse(lists: Seq[(String, DataFrame)], rrfK: Int = 60): DataFrame =
+    rrfFuseWeighted(lists.map { case (n, df) => (n, df, 1L) }, rrfK)
+
+  /** WEIGHTED RRF — the production tuning knob on the hybrid page
+    * ("lexical counts double"): each list's reciprocal-rank
+    * contribution is multiplied by its integer weight BEFORE the sum
+    * (w·(10⁶ div (rrfK + rank))), so the fusion stays exact integer
+    * arithmetic and reduces to plain [[rrfFuse]] at all-ones weights.
+    * Same request-sized join chain — weights change scores, never the
+    * plan.
+    */
+  def rrfFuseWeighted(lists: Seq[(String, DataFrame, Long)], rrfK: Int = 60): DataFrame = {
     require(lists.nonEmpty, "rrf needs at least one ranked list")
-    val tagged = lists.map { case (name, df) =>
+    lists.foreach { case (n, _, w) => require(w > 0, s"rrf weight for '$n' must be positive, got $w") }
+    val tagged = lists.map { case (name, df, _) =>
       df.select(col("id").cast("long").as("id"), col("rank").cast("long").as(s"${name}_rank"))
     }
     val joined = tagged.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
     val contrib = lists
-      .map { case (name, _) => coalesce(expr(s"1000000 div ($rrfK + ${name}_rank)"), lit(0L)) }
+      .map { case (name, _, w) => coalesce(expr(s"$w * (1000000 div ($rrfK + ${name}_rank))"), lit(0L)) }
       .reduce(_ + _)
     joined
       .withColumn("rrf_micro", contrib.cast("long"))
       .select(
         col("id") +:
-          lists.map { case (n, _) => coalesce(col(s"${n}_rank"), lit(0L)).as(s"${n}_rank") } :+
+          lists.map { case (n, _, _) => coalesce(col(s"${n}_rank"), lit(0L)).as(s"${n}_rank") } :+
           col("rrf_micro"): _*
       )
   }
@@ -5661,6 +5771,35 @@ object Search {
     rrfFuse(Seq("lex" -> lex, "vec" -> vec))
       .orderBy(desc("rrf_micro"), asc("id"))
   }
+
+  /** The weighted hybrid page from persisted artifacts — the fusion
+    * tuning production ships ("lexical counts double"): same two legs
+    * as [[searchRrfIndex]] (exhaustive-exact IVF, so both legs stay
+    * engine-recomputable), weights (lex 2, vec 1). The oracle
+    * recomputes both legs and the weighted integer fusion.
+    */
+  val searchRrfWeighted: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25FromIndex(s, demoSearchIndexDir(s, d), fixtureOrTerms, topK)
+      .select(col("doc_id").as("id"), col("rank"))
+    val vec = Similarity
+      .ivfTopKFromIndex(s, Similarity.demoIvfIndexDir(s, d), queryId = 0L, k = topK, nProbe = 16)
+      .withColumn(
+        "rank",
+        row_number().over(Window.orderBy(desc("cos_sim"), asc("vec_id"))).cast("bigint")
+      )
+      .select(col("vec_id").as("id"), col("rank"))
+    rrfFuseWeighted(Seq(("lex", lex, 2L), ("vec", vec, 1L)))
+      .orderBy(desc("rrf_micro"), asc("id"))
+  }
+
+  /** Field-scoped query gate: `title:` restricted OR search over the
+    * fielded fixture index — a body-only mention must neither match
+    * nor score (the oracle recomputes the title-split df/tf chain).
+    */
+  val searchFieldScoped: Q = (s, d) =>
+    fieldedTermSearch(s, demoFieldedIndexDir(s, d), "title", fixtureOrTerms, topK)
+      .orderBy("rank")
 
   /** The hybrid page with the lexical leg ANALYZED — the combination
     * production actually ships (real queries carry case and
@@ -5816,6 +5955,7 @@ object Search {
     "search_did_you_mean" -> searchDidYouMean,
     "search_fuzzy_index" -> searchFuzzyIndex,
     "search_wildcard_index" -> searchWildcardIndex,
+    "search_regex_index" -> searchRegexIndex,
     "search_synonym" -> searchSynonym,
     "search_synonym_index" -> searchSynonymIndex,
     "search_boolean_not" -> searchBooleanNot,
@@ -5859,6 +5999,7 @@ object Search {
     "search_rrf_hybrid" -> searchRrfHybrid,
     "search_rrf_index" -> searchRrfIndex,
     "search_rrf_recall" -> searchRrfRecall,
+    "search_rrf_weighted" -> searchRrfWeighted,
     "search_rrf_analyzed" -> searchRrfAnalyzed,
     "search_dedup_results" -> searchDedupResults,
     "search_dedup_results_graph" -> searchDedupResultsGraph,
@@ -5870,6 +6011,7 @@ object Search {
     "search_facet_filtered" -> searchFacetFiltered,
     "search_asof_page" -> searchAsOfPage,
     "search_bm25f" -> searchBm25f,
+    "search_field_scoped" -> searchFieldScoped,
     "search_facets" -> searchFacets,
     "search_page_after" -> searchPageAfter,
     "search_facets_analyzed" -> searchFacetsAnalyzed,
@@ -5994,6 +6136,77 @@ object Search {
          |  WHERE token LIKE ${sqlLit(likePattern(fixtureWildcard))} ESCAPE '\\'
          |  ORDER BY df DESC, token LIMIT $fixtureWildcardExpand)""".stripMargin
     )
+
+  /** Regex oracle: regexp_matches over the recomputed vocab — partial
+    * match on both engines, so the anchored fixture pattern reads
+    * identically.
+    */
+  private lazy val oracleRegexSearch: String =
+    oracleExpansionSearch(
+      s"""exp AS (
+         |  SELECT token, df FROM v
+         |  WHERE regexp_matches(token, ${sqlLit(fixtureRegex)})
+         |  ORDER BY df DESC, token LIMIT $fixtureRegexExpand)""".stripMargin
+    )
+
+  /** Weighted-RRF oracle: both legs recomputed (BM25 chain,
+    * brute-force cosine — the exhaustive IVF leg is exact), the
+    * weighted integer fusion replayed (lex ×2, vec ×1).
+    */
+  private lazy val oracleRrfWeighted: String =
+    s"""WITH $oracleBm25Chain,
+       |lx AS (SELECT doc_id AS id, rank AS lex_rank FROM bmranked WHERE rank <= $topK),
+       |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |qe AS (SELECT v AS qv FROM ev WHERE vec_id = 0),
+       |cs AS (
+       |  SELECT vec_id,
+       |    round(list_dot_product(v, qv) /
+       |          (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+       |  FROM ev, qe),
+       |vr AS (
+       |  SELECT vec_id AS id, vec_rank FROM (
+       |    SELECT vec_id,
+       |      CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id ASC) AS BIGINT) AS vec_rank
+       |    FROM cs) WHERE vec_rank <= $topK),
+       |fu AS (
+       |  SELECT COALESCE(lx.id, vr.id) AS id, lx.lex_rank, vr.vec_rank
+       |  FROM lx FULL OUTER JOIN vr ON vr.id = lx.id)
+       |SELECT id,
+       |  CAST(COALESCE(lex_rank, 0) AS BIGINT) AS lex_rank,
+       |  CAST(COALESCE(vec_rank, 0) AS BIGINT) AS vec_rank,
+       |  CAST(COALESCE(2 * (1000000 // (60 + lex_rank)), 0)
+       |     + COALESCE(1 * (1000000 // (60 + vec_rank)), 0) AS BIGINT) AS rrf_micro
+       |FROM fu ORDER BY rrf_micro DESC, id""".stripMargin
+
+  /** Field-scoped oracle: the title-split chain (same deterministic
+    * round-trip as the BM25F oracle) with df/tf/idf computed INSIDE
+    * the field — a body-only mention contributes nothing.
+    */
+  private lazy val oracleFieldScoped: String = {
+    val termList = fixtureOrTerms.map(sqlLit).mkString(", ")
+    val tl = fixtureTitleLen
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |fd AS (SELECT doc_id,
+       |  string_split(array_to_string(toks[1:least($tl, len(toks))], ' '), ' ') AS ttoks
+       | FROM tk),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM fd),
+       |tt AS (SELECT doc_id, unnest(ttoks) AS token FROM fd),
+       |tp AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tt
+       |       WHERE token IN ($termList) GROUP BY token, doc_id),
+       |dfm AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tp GROUP BY token),
+       |model AS (
+       |  SELECT token,
+       |    CAST(floor(ln(((SELECT n_docs FROM nd) + 1) / CAST(df + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS idf_micro
+       |  FROM dfm),
+       |scored AS (
+       |  SELECT tp.doc_id, CAST(sum(tp.tf * m.idf_micro) AS BIGINT) AS score_micro
+       |  FROM tp JOIN model m ON m.token = tp.token GROUP BY tp.doc_id),
+       |fsranked AS (
+       |  SELECT doc_id, score_micro,
+       |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT rank, doc_id, score_micro FROM fsranked WHERE rank <= $topK ORDER BY rank""".stripMargin
+  }
 
   /** The ANALYZED dictionary over the damaged corpus: damage, analyze
     * every token (the Spark analyzer's regexp chain verbatim), drop
@@ -6839,6 +7052,9 @@ object Search {
     "search_prefix_appended" -> oraclePrefixSearch,
     "search_fuzzy_index" -> oracleFuzzySearch,
     "search_wildcard_index" -> oracleWildcardSearch,
+    "search_regex_index" -> oracleRegexSearch,
+    "search_rrf_weighted" -> oracleRrfWeighted,
+    "search_field_scoped" -> oracleFieldScoped,
     // synonym groups: corpus and index routes share the gate
     "search_synonym" -> oracleSynonym,
     "search_synonym_index" -> oracleSynonym,

@@ -1770,6 +1770,62 @@ class SearchSpec extends SparkSpec {
     assert(scores == scores.sorted)
   }
 
+  test("regexSearchFromIndex: vocab expansion capped, anchored pattern, no-match is empty") {
+    val docs = Seq(
+      (1L, "scan scan scan"),
+      (2L, "spark here"),
+      (3L, "small stuff"),
+      (4L, "other words")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rx").toString + "/idx"
+    Search.saveSearchIndex(docs, "doc_id", "text", dir)
+    // ^s.a matches scan/spark/small (not stuff: s-t-u); cap 2 keeps the
+    // two commonest (scan df 1, small df 1, spark df 1 — ties to token
+    // asc: scan, small)
+    val hits = Search.regexSearchFromIndex(spark, dir, "^s.a.*", 2, 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(hits == Set(1L, 3L), hits.toString)
+    assert(Search.regexSearchFromIndex(spark, dir, "^zzz", 5, 10).collect().isEmpty)
+  }
+
+  test("rrfFuseWeighted: all-ones reduces to rrfFuse; a weight reorders a conflicted fusion") {
+    val a = Seq((10L, 1L), (20L, 2L)).toDF("id", "rank")
+    val b = Seq((20L, 1L), (10L, 2L)).toDF("id", "rank")
+    val plain = Search.rrfFuse(Seq("x" -> a, "y" -> b))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rrf_micro")).toMap
+    val ones = Search.rrfFuseWeighted(Seq(("x", a, 1L), ("y", b, 1L)))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rrf_micro")).toMap
+    assert(plain == ones)
+    // symmetric ranks → tied fusion; weighting list x must break the
+    // tie toward x's winner
+    assert(plain(10L) == plain(20L))
+    val weighted = Search.rrfFuseWeighted(Seq(("x", a, 2L), ("y", b, 1L)))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rrf_micro")).toMap
+    assert(weighted(10L) > weighted(20L), weighted.toString)
+    intercept[IllegalArgumentException] {
+      Search.rrfFuseWeighted(Seq(("x", a, 0L)))
+    }
+  }
+
+  test("fieldedTermSearch: body-only mentions neither match nor score; unknown field fails") {
+    val docs = Seq(
+      (1L, "hash table", "body words here"),  // hash in title
+      (2L, "other title", "hash in the body"), // hash ONLY in body
+      (3L, "hash hash", "more text")           // hash twice in title
+    ).toDF("doc_id", "title", "body")
+    val dir = java.nio.file.Files.createTempDirectory("graft_fscope").toString + "/idx"
+    Search.saveFieldedSearchIndex(docs, "doc_id", Seq("title", "body"), dir)
+    val got = Search.fieldedTermSearch(spark, dir, "title", Seq("hash"), 10)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro")))
+    assert(got.map(_._1).toSet == Set(1L, 3L), got.mkString(","))
+    // tf 2 in title must outscore tf 1 (same idf)
+    val byDoc = got.toMap
+    assert(byDoc(3L) == 2 * byDoc(1L))
+    intercept[IllegalArgumentException] {
+      Search.fieldedTermSearch(spark, dir, "abstract", Seq("hash"), 5)
+    }
+  }
+
   test("bestPassages: anchored-window argmax, earliest-start tie, snippet slice") {
     val docs = Seq(
       // terms at 0-based 0 and 2: window 4 from start 0 holds both
