@@ -1331,6 +1331,38 @@ object Search {
     phraseFoldOverPositions(pos, terms)
   }
 
+  /** ANALYZED ordered sloppy phrase from the persisted apositions —
+    * the slop mode real users run (`"Hash Join"~3` must match
+    * `HASH ... JOIN.`): raw terms analyze driver-side (both must
+    * survive the analyzer), positions come from the FILTERED analyzed
+    * stream (so the slop distance counts analyzed tokens, not raw
+    * ones), and the pair join is [[orderedSlopFromIndex]]'s exactly —
+    * bucket-pruned, per-document, occurrence-bounded.
+    */
+  def analyzedOrderedSlopFromIndex(
+      s: SparkSession,
+      indexDir: String,
+      rawFirst: String,
+      rawSecond: String,
+      slop: Int
+  ): DataFrame = {
+    val first = analyzeTerm(rawFirst)
+    val second = analyzeTerm(rawSecond)
+    require(first.nonEmpty && second.nonEmpty, "both slop terms must survive the analyzer")
+    require(first != second, "ordered slop needs two distinct terms")
+    require(slop >= 1, "ordered slop needs slop >= 1")
+    val buckets = Seq(first, second).map(tokenBucket).distinct
+    val pos = liveRows(
+      s,
+      indexDir,
+      s.read
+        .schema(positionsSchema)
+        .parquet(s"$indexDir/apositions")
+        .filter(col("tbucket").isin(buckets: _*) && col("token").isin(first, second))
+    ).select(col("token"), col("doc_id"), col("pos"))
+    orderedSlopPairs(pos, first, second, slop)
+  }
+
   /** Index MAINTENANCE twin of Dedup.appendToMinhashIndex: append an
     * increment's postings, positions and doc lengths so later probes
     * see it as part of the corpus. New docs only add rows (their ids
@@ -3884,6 +3916,20 @@ object Search {
       topK
     ).orderBy("rank")
 
+  /** Analyzed regex gate: the uppercased pattern case-folds with the
+    * analyzer, expansion over the AVOCAB (damaged-corpus dictionary),
+    * analyzed disjunctive serve.
+    */
+  val searchRegexAnalyzedIndex: Q = (s, d) =>
+    regexSearchFromIndex(
+      s,
+      demoAnalyzedIndexDir(s, d),
+      fixtureRegex.toUpperCase,
+      fixtureRegexExpand,
+      topK,
+      analyzed = true
+    ).orderBy("rank")
+
   val searchFuzzyIndex: Q = (s, d) =>
     fuzzySearchFromIndex(
       s,
@@ -4014,6 +4060,19 @@ object Search {
   val searchPhraseSlopIndex: Q = (s, d) =>
     orderedSlopFromIndex(s, demoSearchIndexDir(s, d), fixturePhrase._1, fixturePhrase._2, fixtureSlop)
       .orderBy("doc_id")
+
+  /** Analyzed ordered-slop gate on the damaged corpus: uppercased raw
+    * terms, positions in the FILTERED analyzed stream — the oracle
+    * replays the damage + analyzer + in-order pair join.
+    */
+  val searchPhraseSlopAnalyzed: Q = (s, d) =>
+    analyzedOrderedSlopFromIndex(
+      s,
+      demoAnalyzedIndexDir(s, d),
+      fixturePhrase._1.toUpperCase,
+      fixturePhrase._2.toUpperCase,
+      fixtureSlop
+    ).orderBy("doc_id")
 
   /** Term-boost fixture: the OR pair with the RARER term boosted 3× —
     * chosen so the boosted page ORDER differs from search_disjunctive's
@@ -5967,6 +6026,8 @@ object Search {
     "search_proximity_index" -> searchProximityIndex,
     "search_phrase_slop" -> searchPhraseSlop,
     "search_phrase_slop_index" -> searchPhraseSlopIndex,
+    "search_phrase_slop_analyzed" -> searchPhraseSlopAnalyzed,
+    "search_regex_analyzed_index" -> searchRegexAnalyzedIndex,
     "search_term_boost" -> searchTermBoost,
     "search_range_facet" -> searchRangeFacet,
     "search_grouped_topk" -> searchGroupedTopK,
@@ -6148,6 +6209,47 @@ object Search {
          |  WHERE regexp_matches(token, ${sqlLit(fixtureRegex)})
          |  ORDER BY df DESC, token LIMIT $fixtureRegexExpand)""".stripMargin
     )
+
+  /** Analyzed-regex oracle: the same capped expansion over the
+    * damaged-corpus AVOCAB, scored through the analyzed chain.
+    */
+  private lazy val oracleAnalyzedRegexSearch: String =
+    oracleAnalyzedExpansionSearch(
+      s"""exp AS (
+         |  SELECT token, df FROM v
+         |  WHERE regexp_matches(token, ${sqlLit(fixtureRegex.toLowerCase)})
+         |  ORDER BY df DESC, token LIMIT $fixtureRegexExpand)""".stripMargin
+    )
+
+  /** Analyzed ordered-slop oracle: damage + analyzer + the FILTERED
+    * analyzed position numbering, then the in-order pair join.
+    */
+  private lazy val oracleAnalyzedOrderedSlop: String = {
+    val t1 = analyzeTerm(fixturePhrase._1.toUpperCase)
+    val t2 = analyzeTerm(fixturePhrase._2.toUpperCase)
+    s"""WITH dd AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN upper(text)
+       |         WHEN doc_id % 11 = 0 THEN
+       |           array_to_string(list_transform(string_split(text, ' '), t -> '[' || t || ']'), ' ')
+       |         ELSE text END AS text
+       |  FROM documents),
+       |at AS (
+       |  SELECT doc_id,
+       |    list_filter(
+       |      list_transform(string_split(text, ' '),
+       |                     t -> regexp_replace(lower(t), '^[^a-z0-9]+|[^a-z0-9]+$$', '', 'g')),
+       |      t -> t <> '') AS atoks
+       |  FROM dd
+       |  WHERE contains(lower(text), ${sqlLit(t1)}) AND contains(lower(text), ${sqlLit(t2)})),
+       |ps AS (SELECT doc_id, atoks, unnest(generate_series(1, len(atoks), 1)) AS pos FROM at),
+       |px AS (SELECT doc_id, pos, atoks[pos] AS token FROM ps),
+       |a AS (SELECT doc_id, pos FROM px WHERE token = ${sqlLit(t1)}),
+       |b AS (SELECT doc_id, pos FROM px WHERE token = ${sqlLit(t2)})
+       |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_pairs
+       |FROM a JOIN b ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND $fixtureSlop
+       |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin
+  }
 
   /** Weighted-RRF oracle: both legs recomputed (BM25 chain,
     * brute-force cosine — the exhaustive IVF leg is exact), the
@@ -7093,6 +7195,8 @@ object Search {
     // ordered slop: corpus and index twins share the in-order gate
     "search_phrase_slop" -> oracleOrderedSlop,
     "search_phrase_slop_index" -> oracleOrderedSlop,
+    "search_phrase_slop_analyzed" -> oracleAnalyzedOrderedSlop,
+    "search_regex_analyzed_index" -> oracleAnalyzedRegexSearch,
     "search_term_boost" -> oracleTermBoost,
     "search_range_facet" -> oracleRangeFacet,
     "search_grouped_topk" -> oracleGroupedTopK,

@@ -1200,6 +1200,51 @@ object Similarity {
   val annMmrTopk: Q = (s, d) =>
     mmrTopK(embeddings(s, d), 0L, fixtureMmrM, fixtureMmrK).orderBy("rank")
 
+  /** kNN MAJORITY-VOTE classification eval — the label-propagation
+    * quality check a training pipeline runs on its embedding space
+    * ("do neighbors share labels?"): for every probe vector (one per
+    * `every` ids, the ann_lsh_recall sampling convention), predict the
+    * modal label of its k nearest neighbors (self excluded; vote ties
+    * break to the SMALLER label) and compare to the true label. One
+    * scan × broadcast-probes pass — per-probe state is a k-deep heap
+    * (window group-limit), votes are k-sized per probe; at 100 TB the
+    * probe set is the small side by construction.
+    */
+  def knnClassifierEval(emb: DataFrame, k: Int, every: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"knn needs k >= 1, got $k")
+    require(every >= 1, s"every must be >= 1, got $every")
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val e = withVec(emb)
+    val q = e
+      .filter(col("vec_id") % every === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("true_label"), col("v").as("qv"))
+    val top = e
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("cos_sim", round(expr("cosine_sim(v, qv)"), 6))
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy(col("q_id")).orderBy(desc("cos_sim"), asc("vec_id")))
+      )
+      .filter(col("rn") <= k)
+    top
+      .groupBy(col("q_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).cast("long").as("n"))
+      .groupBy(col("q_id"), col("true_label"))
+      .agg(max(struct(col("n"), (-col("label")).cast("long").as("nl"))).as("b"))
+      .select(
+        col("q_id"),
+        col("true_label").cast("long").as("true_label"),
+        (-col("b.nl")).cast("long").as("pred_label"),
+        col("b.n").as("n_votes"),
+        (col("true_label").cast("long") === -col("b.nl")).cast("long").as("correct")
+      )
+  }
+
+  val annKnnClassifier: Q = (s, d) =>
+    knnClassifierEval(embeddings(s, d), k = 10, every = 50L).orderBy("q_id")
+
   /** Tombstoned IVF lifecycle demo: full build, every vec_id % 9 == 2
     * vector deleted — NO compaction, so probes serve through the
     * tombstone anti-join.
@@ -1965,6 +2010,7 @@ object Similarity {
     "ann_range_search" -> annRangeSearch,
     "ann_range_ivf" -> annRangeIvf,
     "ann_mmr_topk" -> annMmrTopk,
+    "ann_knn_classifier" -> annKnnClassifier,
     "ann_lsh_buckets" -> annLshBuckets,
     "ann_lsh_topk" -> annLshTopk,
     "ann_hard_negatives" -> annHardNegatives,
@@ -2026,6 +2072,36 @@ object Similarity {
        |SELECT vec_id, label, cos_sim FROM sc
        |WHERE cos_sim >= $fixtureRangeMinCos
        |ORDER BY cos_sim DESC, vec_id ASC""".stripMargin
+
+  /** kNN-classifier oracle: the same probe sampling, k-deep window,
+    * vote counting and (n desc, label asc) modal pick in SQL.
+    */
+  private lazy val oracleKnnClassifier: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, label AS true_label, v AS qv FROM e WHERE vec_id % 50 = 0),
+      |sc AS (
+      |  SELECT e.vec_id, e.label, q.q_id, q.true_label,
+      |    round(list_dot_product(e.v, q.qv) /
+      |          (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos_sim
+      |  FROM e, q WHERE e.vec_id <> q.q_id),
+      |top AS (
+      |  SELECT q_id, true_label, label FROM (
+      |    SELECT q_id, true_label, label,
+      |      row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, vec_id ASC) AS rn
+      |    FROM sc) WHERE rn <= 10),
+      |votes AS (
+      |  SELECT q_id, true_label, label, CAST(count(*) AS BIGINT) AS n
+      |  FROM top GROUP BY q_id, true_label, label),
+      |pick AS (
+      |  SELECT q_id, true_label, label AS pred_label, n,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY n DESC, label ASC) AS pr
+      |  FROM votes)
+      |SELECT q_id,
+      |  CAST(true_label AS BIGINT) AS true_label,
+      |  CAST(pred_label AS BIGINT) AS pred_label,
+      |  n AS n_votes,
+      |  CAST(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END AS BIGINT) AS correct
+      |FROM pick WHERE pr = 1 ORDER BY q_id""".stripMargin
 
   /** MMR oracle, unrolled at the fixture's k = 4: each pick is an
     * argmax CTE over the remaining candidates with the running
@@ -2180,6 +2256,7 @@ object Similarity {
     "ann_range_search" -> oracleRangeSearch,
     "ann_range_ivf" -> oracleRangeSearch,
     "ann_mmr_topk" -> oracleMmrTopk,
+    "ann_knn_classifier" -> oracleKnnClassifier,
     // Rocchio: q' rebuilt in SQL with the same float-op order (vec_id-
     // ordered centroid sums, same α/β/γ term order), feedback excluded
     "ann_rocchio" -> {

@@ -1826,6 +1826,22 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("analyzedOrderedSlopFromIndex: damaged docs match in order within slop, analyzed positions") {
+    val docs = Seq(
+      (1L, "HASH A B JOIN"),      // uppercased: analyzer folds, distance 3 in order
+      (2L, "[join] [x] [hash]"),  // bracketed AND reversed — must be excluded
+      (3L, "hash, join!")         // edge punct strips, adjacent in the analyzed stream
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_aslop").toString + "/idx"
+    Search.saveSearchIndex(docs, "doc_id", "text", dir, analyzed = true)
+    val got = Search.analyzedOrderedSlopFromIndex(spark, dir, "Hash", "JOIN", 3)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_pairs")).toMap
+    assert(got == Map(1L -> 1L, 3L -> 1L), got.toString)
+    intercept[IllegalArgumentException] {
+      Search.analyzedOrderedSlopFromIndex(spark, dir, "!!!", "join", 3)
+    }
+  }
+
   test("bestPassages: anchored-window argmax, earliest-start tie, snippet slice") {
     val docs = Seq(
       // terms at 0-based 0 and 2: window 4 from start 0 holds both

@@ -70,6 +70,44 @@ class SimilarityRangeMmrSpec extends SparkSpec {
     assert(sc10(2) < 7L * rel(2L) - 2900000L, sc10.toString)
   }
 
+  test("knnClassifierEval: modal vote, self excluded, tie to the smaller label") {
+    def vec(x: Double, y: Double): Array[Float] = {
+      val a = Array.fill(64)(0f); a(0) = x.toFloat; a(1) = y.toFloat; a
+    }
+    val emb = Seq(
+      (0L, vec(1.0, 0.0), 9),   // probe (vec_id % 2 == 0 with every=2... use every=7 below)
+      (7L, vec(0.9, 0.1), 9),   // second probe-aligned id won't exist; neighbors:
+      (1L, vec(1.0, 0.01), 1),  // nearest
+      (2L, vec(1.0, 0.02), 1),  // next
+      (3L, vec(1.0, 0.03), 2)   // third
+    ).toDF("vec_id", "embedding", "label")
+    // every = 7 → probes are vec_id 0 and 7
+    val got = Similarity.knnClassifierEval(emb, k = 3, every = 7L)
+      .collect()
+      .map(r =>
+        r.getAs[Long]("q_id") ->
+          ((r.getAs[Long]("pred_label"), r.getAs[Long]("n_votes"), r.getAs[Long]("correct")))
+      )
+      .toMap
+    // probe 0: neighbors 1,2,3 → labels (1,1,2) → pred 1, votes 2, wrong
+    assert(got(0L) == ((1L, 2L, 0L)), got.toString)
+    // probe 7: nearest three of {0,1,2,3} by cosine — labels contain a
+    // tie pattern; just pin correctness flag consistency
+    assert(got.contains(7L))
+    // k = 2 tie: probe 0's two nearest are labels (1,1) → still 1; with
+    // neighbors (1,2) equal-voted the smaller label wins
+    val tie = Similarity.knnClassifierEval(
+      Seq(
+        (0L, vec(1.0, 0.0), 9),
+        (1L, vec(1.0, 0.01), 2),
+        (2L, vec(1.0, 0.02), 1)
+      ).toDF("vec_id", "embedding", "label"),
+      k = 2,
+      every = 5L
+    ).collect().head
+    assert(tie.getAs[Long]("pred_label") == 1L, "equal votes must break to the smaller label")
+  }
+
   test("mmrTopK fixture query: rank-1 equals the brute top-1 (query excluded); k rows out") {
     val got = Similarity.queries("ann_mmr_topk")(spark, d).orderBy("rank").collect()
     assert(got.length == 4)
