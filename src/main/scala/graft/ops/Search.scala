@@ -711,6 +711,59 @@ object Search {
     rankTop(gated, "score_micro", k)
   }
 
+  /** HIT-COUNT header ("about 1,234 results"): the AND and OR match-set
+    * cardinalities for a term set, from ONE pruned postings read — the
+    * count every SERP renders before its first page. Exact counts (the
+    * match set is enumerated, not sketched): at 100 TB the enumeration
+    * is the same hit-set-sized pass the facet sidebar already pays,
+    * and an approximate variant would ride the existing HLL sketches.
+    */
+  def hitCounts(s: SparkSession, indexDir: String, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "hit counts need at least one term")
+    val buckets = terms.map(tokenBucket).distinct
+    liveRows(
+      s,
+      indexDir,
+      s.read
+        .schema(postingsSchema)
+        .parquet(s"$indexDir/postings")
+        .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
+    )
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_matched"))
+      .agg(
+        count(when(col("n_matched") === terms.size.toLong, lit(1))).cast("long").as("n_and"),
+        count(lit(1)).cast("long").as("n_or")
+      )
+  }
+
+  /** AUTO-CORRECTED search (the suggest-and-retry flow production
+    * ships: zero hits → run the top did-you-mean correction instead,
+    * with the term actually used riding every row): the exact probe is
+    * request-sized (its terms' pruned buckets), the zero-hit test is a
+    * LIMIT-1 probe, and the correction reuses the vocab's
+    * dist-then-df ranking — no new machinery, just the decision seam.
+    */
+  def searchWithAutoCorrect(
+      s: SparkSession,
+      indexDir: String,
+      term: String,
+      maxDist: Int,
+      k: Int
+  ): DataFrame = {
+    val exact = termSearchFromIndex(s, indexDir, Seq(term), k, requireAll = true)
+    if (!exact.limit(1).isEmpty) exact.withColumn("term_used", lit(term))
+    else {
+      didYouMean(s, indexDir, term, maxDist, n = 1).collect().headOption match {
+        case Some(r) =>
+          val corrected = r.getString(1)
+          termSearchFromIndex(s, indexDir, Seq(corrected), k, requireAll = true)
+            .withColumn("term_used", lit(corrected))
+        case None => emptyHits(s).withColumn("term_used", lit(term))
+      }
+    }
+  }
+
   /** [[minShouldMatchSearch]] served from the persisted index: the
     * terms' bucket dirs are statically pruned like every index route,
     * the ≥ minMatched gate runs on the per-doc matched-term count —
@@ -4083,6 +4136,18 @@ object Search {
   val searchTermBoost: Q = (s, d) =>
     boostedSearchFromIndex(s, demoSearchIndexDir(s, d), fixtureTermBoosts, topK).orderBy("rank")
 
+  /** Hit-count gate: the SERP header numbers for the OR fixture pair. */
+  val searchHitCount: Q = (s, d) =>
+    hitCounts(s, demoSearchIndexDir(s, d), fixtureOrTerms)
+
+  /** Auto-correct gate: the fixture typo has ZERO exact hits, so the
+    * retry must serve the top did-you-mean correction with the
+    * corrected term riding every row.
+    */
+  val searchAutoCorrect: Q = (s, d) =>
+    searchWithAutoCorrect(s, demoSearchIndexDir(s, d), fixtureTypo, fixtureFuzzyDist, topK)
+      .orderBy("rank")
+
   /** Range-facet fixture: doc-length histogram at width 32 over the
     * AND match set.
     */
@@ -6029,6 +6094,8 @@ object Search {
     "search_phrase_slop_analyzed" -> searchPhraseSlopAnalyzed,
     "search_regex_analyzed_index" -> searchRegexAnalyzedIndex,
     "search_term_boost" -> searchTermBoost,
+    "search_hit_count" -> searchHitCount,
+    "search_auto_correct" -> searchAutoCorrect,
     "search_range_facet" -> searchRangeFacet,
     "search_grouped_topk" -> searchGroupedTopK,
     "search_best_passage" -> searchBestPassage,
@@ -6567,6 +6634,47 @@ object Search {
        |  FROM scored)
        |SELECT rank, doc_id, score_micro FROM branked WHERE rank <= $topK ORDER BY rank""".stripMargin
   }
+
+  /** Hit-count oracle: exact-token AND/OR cardinalities over the
+    * recomputed postings.
+    */
+  private lazy val oracleHitCount: String = {
+    val termList = fixtureOrTerms.map(sqlLit).mkString(", ")
+    s"""WITH $postingsSql,
+       |m AS (SELECT doc_id, count(*) AS n FROM p WHERE token IN ($termList) GROUP BY doc_id)
+       |SELECT CAST(count(CASE WHEN n = ${fixtureOrTerms.size} THEN 1 END) AS BIGINT) AS n_and,
+       |  CAST(count(*) AS BIGINT) AS n_or
+       |FROM m""".stripMargin
+  }
+
+  /** Auto-correct oracle: the fixture typo's did-you-mean top-1
+    * recomputed from the vocab, then the single-term chain over the
+    * corrected token — the zero-hit retry's expected final state.
+    */
+  private lazy val oracleAutoCorrect: String =
+    s"""WITH $postingsSql,
+       |v AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY token),
+       |cdy AS (
+       |  SELECT token, CAST(levenshtein(token, ${sqlLit(fixtureTypo)}) AS BIGINT) AS dist, df
+       |  FROM v WHERE abs(length(token) - ${fixtureTypo.length}) <= $fixtureFuzzyDist),
+       |corr AS (SELECT token FROM cdy WHERE dist <= $fixtureFuzzyDist
+       |         ORDER BY dist, df DESC, token LIMIT 1),
+       |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       |cp AS (SELECT p.token, p.doc_id, p.tf FROM p JOIN corr ON corr.token = p.token),
+       |dfm AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM cp GROUP BY token),
+       |model AS (
+       |  SELECT token,
+       |    CAST(floor(ln(((SELECT n_docs FROM nd) + 1) / CAST(df + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS idf_micro
+       |  FROM dfm),
+       |scored AS (
+       |  SELECT cp.doc_id, CAST(sum(cp.tf * m.idf_micro) AS BIGINT) AS score_micro
+       |  FROM cp JOIN model m ON m.token = cp.token GROUP BY cp.doc_id),
+       |acr AS (
+       |  SELECT doc_id, score_micro,
+       |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT rank, doc_id, score_micro, (SELECT token FROM corr) AS term_used
+       |FROM acr WHERE rank <= $topK ORDER BY rank""".stripMargin
 
   /** Range-facet oracle: the conjunctive match set joined to each
     * document's token length, histogrammed at the fixture width.
@@ -7198,6 +7306,8 @@ object Search {
     "search_phrase_slop_analyzed" -> oracleAnalyzedOrderedSlop,
     "search_regex_analyzed_index" -> oracleAnalyzedRegexSearch,
     "search_term_boost" -> oracleTermBoost,
+    "search_hit_count" -> oracleHitCount,
+    "search_auto_correct" -> oracleAutoCorrect,
     "search_range_facet" -> oracleRangeFacet,
     "search_grouped_topk" -> oracleGroupedTopK,
     "search_best_passage" -> oracleBestPassage,

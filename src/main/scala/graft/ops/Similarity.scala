@@ -1245,6 +1245,61 @@ object Similarity {
   val annKnnClassifier: Q = (s, d) =>
     knnClassifierEval(embeddings(s, d), k = 10, every = 50L).orderBy("q_id")
 
+  /** NEAREST-CENTROID classification eval (the Rocchio classifier —
+    * the prototype-based sibling of [[knnClassifierEval]]): one
+    * centroid per label (dimension-wise mean, components rounded at 6
+    * — the [[embeddingDrift]] convention that keeps float summation
+    * engine-portable), each probe assigned to the label whose centroid
+    * is nearest by cosine (ties to the smaller label). Centroids are
+    * labels×dims rows — broadcast-sized at any corpus scale — and the
+    * probe×centroid scoring is a pos-join over exploded components,
+    * so the corpus pays ONE centroid pass; the classifier itself costs
+    * probes×labels.
+    */
+  def nearestCentroidEval(emb: DataFrame, every: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(every >= 1, s"every must be >= 1, got $every")
+    val e = withVec(emb)
+    val cent = e
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("x")), 6).as("c"))
+    val qp = e
+      .filter(col("vec_id") % every === 0)
+      .select(
+        col("vec_id").as("q_id"),
+        col("label").as("true_label"),
+        posexplode(col("v")).as(Seq("pos", "qx"))
+      )
+    val scored = qp
+      .join(broadcast(cent), "pos")
+      .groupBy(col("q_id"), col("true_label"), col("label"))
+      .agg(
+        sum(col("qx") * col("c")).as("dot"),
+        sum(col("qx") * col("qx")).as("nq"),
+        sum(col("c") * col("c")).as("nc")
+      )
+      .withColumn("cos_sim", round(col("dot") / (sqrt(col("nq")) * sqrt(col("nc"))), 6))
+    scored
+      .withColumn(
+        "pr",
+        row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(desc("cos_sim"), asc("label"))
+        )
+      )
+      .filter(col("pr") === 1)
+      .select(
+        col("q_id"),
+        col("true_label").cast("long").as("true_label"),
+        col("label").cast("long").as("pred_label"),
+        col("cos_sim"),
+        (col("true_label").cast("long") === col("label").cast("long")).cast("long").as("correct")
+      )
+  }
+
+  val annNearestCentroid: Q = (s, d) =>
+    nearestCentroidEval(embeddings(s, d), every = 50L).orderBy("q_id")
+
   /** Tombstoned IVF lifecycle demo: full build, every vec_id % 9 == 2
     * vector deleted — NO compaction, so probes serve through the
     * tombstone anti-join.
@@ -2011,6 +2066,7 @@ object Similarity {
     "ann_range_ivf" -> annRangeIvf,
     "ann_mmr_topk" -> annMmrTopk,
     "ann_knn_classifier" -> annKnnClassifier,
+    "ann_nearest_centroid" -> annNearestCentroid,
     "ann_lsh_buckets" -> annLshBuckets,
     "ann_lsh_topk" -> annLshTopk,
     "ann_hard_negatives" -> annHardNegatives,
@@ -2100,6 +2156,37 @@ object Similarity {
       |  CAST(true_label AS BIGINT) AS true_label,
       |  CAST(pred_label AS BIGINT) AS pred_label,
       |  n AS n_votes,
+      |  CAST(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END AS BIGINT) AS correct
+      |FROM pick WHERE pr = 1 ORDER BY q_id""".stripMargin
+
+  /** Nearest-centroid oracle: per-label dimension-wise means rounded
+    * at 6 (the embedding_drift convention), probe×centroid cosine via
+    * the same pos-join sums, argmax with the smaller-label tie.
+    */
+  private lazy val oracleNearestCentroid: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |c AS (
+      |  SELECT label, i AS pos, round(avg(v[i]), 6) AS c
+      |  FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i)
+      |  GROUP BY label, i),
+      |qp AS (
+      |  SELECT vec_id AS q_id, label AS true_label, i AS pos, v[i] AS qx
+      |  FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS i)
+      |  WHERE vec_id % 50 = 0),
+      |j AS (
+      |  SELECT qp.q_id, qp.true_label, c.label,
+      |    sum(qp.qx * c.c) AS dot, sum(qp.qx * qp.qx) AS nq, sum(c.c * c.c) AS nc
+      |  FROM qp JOIN c ON c.pos = qp.pos
+      |  GROUP BY qp.q_id, qp.true_label, c.label),
+      |sc AS (SELECT q_id, true_label, label, round(dot / (sqrt(nq) * sqrt(nc)), 6) AS cos_sim FROM j),
+      |pick AS (
+      |  SELECT q_id, true_label, label AS pred_label, cos_sim,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, label ASC) AS pr
+      |  FROM sc)
+      |SELECT q_id,
+      |  CAST(true_label AS BIGINT) AS true_label,
+      |  CAST(pred_label AS BIGINT) AS pred_label,
+      |  cos_sim,
       |  CAST(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END AS BIGINT) AS correct
       |FROM pick WHERE pr = 1 ORDER BY q_id""".stripMargin
 
@@ -2257,6 +2344,7 @@ object Similarity {
     "ann_range_ivf" -> oracleRangeSearch,
     "ann_mmr_topk" -> oracleMmrTopk,
     "ann_knn_classifier" -> oracleKnnClassifier,
+    "ann_nearest_centroid" -> oracleNearestCentroid,
     // Rocchio: q' rebuilt in SQL with the same float-op order (vec_id-
     // ordered centroid sums, same α/β/γ term order), feedback excluded
     "ann_rocchio" -> {

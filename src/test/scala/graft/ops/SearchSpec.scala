@@ -1826,6 +1826,38 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("hitCounts: AND/OR cardinalities from one pruned read") {
+    val docs = Seq(
+      (1L, "cat dog"),
+      (2L, "cat only"),
+      (3L, "dog only"),
+      (4L, "neither")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_hc").toString + "/idx"
+    Search.saveSearchIndex(docs, "doc_id", "text", dir)
+    val r = Search.hitCounts(spark, dir, Seq("cat", "dog")).collect().head
+    assert(r.getAs[Long]("n_and") == 1L && r.getAs[Long]("n_or") == 3L, r.toString)
+  }
+
+  test("searchWithAutoCorrect: hits keep the typed term; zero hits retry the top correction") {
+    val docs = Seq(
+      (1L, "query planner docs"),
+      (2L, "query engine"),
+      (3L, "other words")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ac").toString + "/idx"
+    Search.saveSearchIndex(docs, "doc_id", "text", dir)
+    // exact term with hits: no correction
+    val exact = Search.searchWithAutoCorrect(spark, dir, "query", 2, 10).collect()
+    assert(exact.nonEmpty && exact.forall(_.getAs[String]("term_used") == "query"))
+    // typo: zero exact hits -> corrected to "query" (dist 1)
+    val fixed = Search.searchWithAutoCorrect(spark, dir, "quer", 2, 10).collect()
+    assert(fixed.nonEmpty && fixed.forall(_.getAs[String]("term_used") == "query"))
+    assert(fixed.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L))
+    // hopeless typo: no correction within distance -> empty page
+    assert(Search.searchWithAutoCorrect(spark, dir, "zzzzzzzzzzzz", 2, 10).collect().isEmpty)
+  }
+
   test("analyzedOrderedSlopFromIndex: damaged docs match in order within slop, analyzed positions") {
     val docs = Seq(
       (1L, "HASH A B JOIN"),      // uppercased: analyzer folds, distance 3 in order

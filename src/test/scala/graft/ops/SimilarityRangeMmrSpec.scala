@@ -108,6 +108,27 @@ class SimilarityRangeMmrSpec extends SparkSpec {
     assert(tie.getAs[Long]("pred_label") == 1L, "equal votes must break to the smaller label")
   }
 
+  test("nearestCentroidEval: probe goes to its own cluster's centroid; tie to smaller label") {
+    def vec(x: Double, y: Double): Array[Float] = {
+      val a = Array.fill(64)(0f); a(0) = x.toFloat; a(1) = y.toFloat; a
+    }
+    // two tight clusters along e0 and e1; probe 0 sits in cluster 1
+    val emb = Seq(
+      (0L, vec(1.0, 0.0), 1),
+      (1L, vec(0.9, 0.1), 1),
+      (2L, vec(0.1, 0.9), 2),
+      (3L, vec(0.0, 1.0), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.nearestCentroidEval(emb, every = 7L).collect()
+    // probes: vec_id 0 only (0 % 7 == 0)
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getAs[Long]("q_id") == 0L)
+    assert(r.getAs[Long]("pred_label") == 1L)
+    assert(r.getAs[Long]("correct") == 1L)
+    assert(r.getAs[Double]("cos_sim") > 0.9)
+  }
+
   test("mmrTopK fixture query: rank-1 equals the brute top-1 (query excluded); k rows out") {
     val got = Similarity.queries("ann_mmr_topk")(spark, d).orderBy("rank").collect()
     assert(got.length == 4)
