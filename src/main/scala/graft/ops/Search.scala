@@ -382,6 +382,18 @@ object Search {
       textCol: String,
       terms: Seq[String],
       k: Int
+  ): DataFrame = rankTop(bm25ScoredCorpus(docs, idCol, textCol, terms), "score_milli", k)
+
+  /** The scored-candidate relation under [[bm25Search]] — factored out
+    * so chunk-level retrieval can pool scores per parent document
+    * before its own rank (exactly the [[bm25ScoredFromIndex]] seam on
+    * the corpus side).
+    */
+  private def bm25ScoredCorpus(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String]
   ): DataFrame = {
     require(terms.nonEmpty, "bm25 search needs at least one term")
     // N is countDistinct(id) — the ONE convention every search route
@@ -417,7 +429,7 @@ object Search {
         floor(log(lit(nDocs + 1).cast("double") / (col("df") + 1)) * 1000L).cast("bigint")
       )
       .select(col("token"), col("idf_milli"))
-    val scored = p
+    p
       .join(broadcast(dfModel), "token")
       .join(dl, "doc_id")
       .withColumn(
@@ -429,11 +441,111 @@ object Search {
         count(lit(1)).cast("long").as("n_matched"),
         sum(col("contrib")).cast("long").as("score_milli")
       )
-    rankTop(scored, "score_milli", k)
   }
 
   val searchBm25: Q = (s, d) =>
     bm25Search(documents(s, d), "doc_id", "text", fixtureOrTerms, topK).orderBy("rank")
+
+  // ---- Chunk-level retrieval (the RAG shape) --------------------------
+
+  /** Composite chunk-id convention shared by the chunk routes and
+    * their oracle: cid = doc_id · base + chunk_no. A fixture-scale
+    * convention (docs stay far under base/chunkSize tokens); a
+    * production id would be a struct key — the retrieval algebra is
+    * identical.
+    */
+  private[ops] val chunkIdBase = 1000L
+
+  /** The deterministic chunk relation: fixed `chunkSize`-token
+    * windows, one row per (doc, window), text re-joined so every
+    * downstream route sees ordinary (id, text) rows.
+    */
+  private[ops] def chunkRelation(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int
+  ): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    docs
+      .select(col(idCol).cast("long").as("doc_id"), split(col(textCol), " ").as("toks"))
+      .select(
+        col("doc_id"),
+        col("toks"),
+        explode(sequence(lit(0L), ((size(col("toks")) - 1) / chunkSize).cast("long"))).as("chunk_no")
+      )
+      .select(
+        col("doc_id"),
+        col("chunk_no"),
+        expr(s"array_join(slice(toks, cast(chunk_no * $chunkSize + 1 as int), $chunkSize), ' ')")
+          .as("ctext")
+      )
+  }
+
+  /** CHUNK-LEVEL BM25 with DOC-LEVEL MAX-POOLING — the RAG retrieval
+    * shape (long documents are indexed as fixed windows; a document
+    * ranks by its BEST passage-chunk, so one on-topic window beats a
+    * long document's diluted average — the reason RAG pipelines chunk
+    * at all): the corpus re-expresses as the chunk relation, BM25 runs
+    * over CHUNKS (N/avgdl/df/dl are all chunk-level — the model's
+    * collection IS the chunks), each doc keeps its best chunk (score
+    * desc, chunk_no asc), the page ranks docs. Output carries the
+    * winning chunk_no — the pointer a RAG pipeline feeds the reader.
+    */
+  def chunkBm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      terms: Seq[String],
+      chunkSize: Int,
+      k: Int
+  ): DataFrame = {
+    val ch = chunkRelation(docs, idCol, textCol, chunkSize)
+      .select((col("doc_id") * chunkIdBase + col("chunk_no")).as("cid"), col("ctext"))
+    chunkPool(bm25ScoredCorpus(ch, "cid", "ctext", terms), k)
+  }
+
+  /** [[chunkBm25TopK]] served from a PERSISTED chunk index (the chunk
+    * relation indexed like any corpus — same bucketed layout, probes
+    * prune identically): scores from [[bm25ScoredFromIndex]], the same
+    * per-doc pooling. Shares the corpus route's oracle.
+    */
+  def chunkBm25FromIndex(
+      s: SparkSession,
+      indexDir: String,
+      terms: Seq[String],
+      k: Int
+  ): DataFrame = chunkPool(bm25ScoredFromIndex(s, indexDir, terms), k)
+
+  /** Per-document max-pool + page rank shared by the chunk routes:
+    * best chunk per doc (score desc, chunk_no asc), docs ranked
+    * (score desc, doc_id asc), rank stamped on the ≤ k survivors.
+    */
+  private def chunkPool(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    scored
+      .select(
+        (col("doc_id") / chunkIdBase).cast("long").as("ddoc"),
+        (col("doc_id") % chunkIdBase).cast("long").as("chunk_no"),
+        col("score_milli")
+      )
+      .groupBy(col("ddoc"))
+      .agg(max(struct(col("score_milli"), (-col("chunk_no")).as("nc"))).as("b"))
+      .select(
+        col("ddoc").as("doc_id"),
+        (-col("b.nc")).cast("long").as("chunk_no"),
+        col("b.score_milli").cast("long").as("score_milli")
+      )
+      .orderBy(col("score_milli").desc, col("doc_id").asc)
+      .limit(k)
+      .withColumn(
+        "rank",
+        row_number()
+          .over(Window.orderBy(col("score_milli").desc, col("doc_id").asc))
+          .cast("bigint")
+      )
+      .select(col("rank"), col("doc_id"), col("chunk_no"), col("score_milli"))
+  }
 
   // ---- Persisted index + pruned probe (the serving shape) ------------
 
@@ -4140,6 +4252,31 @@ object Search {
   val searchHitCount: Q = (s, d) =>
     hitCounts(s, demoSearchIndexDir(s, d), fixtureOrTerms)
 
+  /** Chunk-retrieval fixtures: 16-token windows. */
+  private[ops] val fixtureChunkSize = 16
+
+  /** Once-per-process PERSISTED chunk index: the chunk relation under
+    * the ordinary bucketed index layout, composite cids.
+    */
+  private[ops] def demoChunkIndexDir(s: SparkSession, d: String): String =
+    Fixtures.demoIndexDir(s, "searchidx_chunk", d) { dir =>
+      saveSearchIndex(
+        chunkRelation(documents(s, d), "doc_id", "text", fixtureChunkSize)
+          .select((col("doc_id") * chunkIdBase + col("chunk_no")).as("cid"), col("ctext")),
+        "cid",
+        "ctext",
+        dir
+      )
+    }
+
+  val searchChunkBm25: Q = (s, d) =>
+    chunkBm25TopK(documents(s, d), "doc_id", "text", fixtureOrTerms, fixtureChunkSize, topK)
+      .orderBy("rank")
+
+  /** Index twin sharing the corpus chunk oracle. */
+  val searchChunkBm25Index: Q = (s, d) =>
+    chunkBm25FromIndex(s, demoChunkIndexDir(s, d), fixtureOrTerms, topK).orderBy("rank")
+
   /** Auto-correct gate: the fixture typo has ZERO exact hits, so the
     * retry must serve the top did-you-mean correction with the
     * corrected term riding every row.
@@ -6096,6 +6233,8 @@ object Search {
     "search_term_boost" -> searchTermBoost,
     "search_hit_count" -> searchHitCount,
     "search_auto_correct" -> searchAutoCorrect,
+    "search_chunk_bm25" -> searchChunkBm25,
+    "search_chunk_bm25_index" -> searchChunkBm25Index,
     "search_range_facet" -> searchRangeFacet,
     "search_grouped_topk" -> searchGroupedTopK,
     "search_best_passage" -> searchBestPassage,
@@ -6633,6 +6772,33 @@ object Search {
        |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rank
        |  FROM scored)
        |SELECT rank, doc_id, score_micro FROM branked WHERE rank <= $topK ORDER BY rank""".stripMargin
+  }
+
+  /** Chunk-retrieval oracle: the chunk relation rebuilt in SQL (same
+    * composite cids, same window slicing), the BM25 chain over CHUNKS,
+    * per-doc max-pool (score desc, chunk_no asc), page over docs.
+    */
+  private lazy val oracleChunkBm25: String = {
+    val cs = fixtureChunkSize
+    val base = chunkIdBase
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |ch AS (
+       |  SELECT doc_id * $base + cn AS doc_id,
+       |    array_to_string(toks[(cn * $cs + 1):least(len(toks), cn * $cs + $cs)], ' ') AS text
+       |  FROM tk, LATERAL (SELECT unnest(generate_series(0, (len(toks) - 1) // $cs)) AS cn)),
+       |${oracleBm25ChainFor(fixtureOrTerms, "ch")},
+       |pool AS (
+       |  SELECT doc_id // $base AS ddoc, doc_id % $base AS chunk_no, score_milli,
+       |    row_number() OVER (PARTITION BY doc_id // $base
+       |                       ORDER BY score_milli DESC, doc_id % $base ASC) AS pr
+       |  FROM sc),
+       |b1 AS (SELECT ddoc, chunk_no, score_milli FROM pool WHERE pr = 1),
+       |crk AS (
+       |  SELECT ddoc AS doc_id, chunk_no, score_milli,
+       |    CAST(row_number() OVER (ORDER BY score_milli DESC, ddoc ASC) AS BIGINT) AS rank
+       |  FROM b1)
+       |SELECT rank, doc_id, CAST(chunk_no AS BIGINT) AS chunk_no, score_milli
+       |FROM crk WHERE rank <= $topK ORDER BY rank""".stripMargin
   }
 
   /** Hit-count oracle: exact-token AND/OR cardinalities over the
@@ -7308,6 +7474,9 @@ object Search {
     "search_term_boost" -> oracleTermBoost,
     "search_hit_count" -> oracleHitCount,
     "search_auto_correct" -> oracleAutoCorrect,
+    // chunk retrieval: corpus and index twins share the pooled oracle
+    "search_chunk_bm25" -> oracleChunkBm25,
+    "search_chunk_bm25_index" -> oracleChunkBm25,
     "search_range_facet" -> oracleRangeFacet,
     "search_grouped_topk" -> oracleGroupedTopK,
     "search_best_passage" -> oracleBestPassage,

@@ -1858,6 +1858,24 @@ class SearchSpec extends SparkSpec {
     assert(Search.searchWithAutoCorrect(spark, dir, "zzzzzzzzzzzz", 2, 10).collect().isEmpty)
   }
 
+  test("chunkBm25TopK: a doc ranks by its BEST window, not its average; corpus ≡ index") {
+    val doc1 = (Seq.fill(16)("x") ++ Seq("cat", "cat", "cat") ++ Seq.fill(13)("y")).mkString(" ")
+    val doc2 = (Seq("cat") ++ Seq.fill(15)("z") ++ Seq("cat") ++ Seq.fill(15)("w")).mkString(" ")
+    val docs = Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+    val got = Search.chunkBm25TopK(docs, "doc_id", "text", Seq("cat"), 16, 10)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_no")))
+    // doc 1's second window holds tf=3 at dl=16 — beats doc 2's best
+    // (tf=1 windows); the winning chunk pointer is window 1 (0-based)
+    assert(got.head == ((1L, 1L)), got.mkString(","))
+    assert(got.map(_._1).toSet == Set(1L, 2L))
+    // fixture corpus: the index-served route must equal the corpus pass
+    val d = "/root/testdata/sf0.001"
+    val corpus = Search.queries("search_chunk_bm25")(spark, d).collect().toSeq
+    val index = Search.queries("search_chunk_bm25_index")(spark, d).collect().toSeq
+    assert(corpus.nonEmpty && corpus == index)
+  }
+
   test("analyzedOrderedSlopFromIndex: damaged docs match in order within slop, analyzed positions") {
     val docs = Seq(
       (1L, "HASH A B JOIN"),      // uppercased: analyzer folds, distance 3 in order
