@@ -823,6 +823,142 @@ object Search {
     rankTop(gated, "score_micro", k)
   }
 
+  /** The parsed form of a query string — the clause algebra the
+    * serving routes already implement, reunited under one front door.
+    */
+  private[ops] case class ParsedQuery(
+      must: Seq[(String, Long)],
+      should: Seq[(String, Long)],
+      mustNot: Seq[String],
+      phrases: Seq[Seq[String]]
+  )
+
+  /** Mini QUERY-STRING parser (the Lucene QueryParser subset
+    * production front-ends actually send):
+    *
+    *   term        optional (should) clause
+    *   term^N      integer boost on the clause
+    *   +term       must clause (gates AND scores)
+    *   -term       must-not clause (gates only, never scores)
+    *   "a b"       exact-phrase clause (gates only — adjacency)
+    *
+    * Pure driver-side tokenization — the parse is request-sized by
+    * definition; all execution semantics live in [[searchQueryString]].
+    */
+  private[ops] def parseQueryString(q: String): ParsedQuery = {
+    val clause = """[+-]?"[^"]*"|[^\s"]+""".r
+    var must = Vector.empty[(String, Long)]
+    var should = Vector.empty[(String, Long)]
+    var mustNot = Vector.empty[String]
+    var phrases = Vector.empty[Seq[String]]
+    clause.findAllIn(q).foreach { raw =>
+      val (op, body) =
+        if (raw.startsWith("+")) ('+', raw.drop(1))
+        else if (raw.startsWith("-")) ('-', raw.drop(1))
+        else (' ', raw)
+      if (body.startsWith("\"")) {
+        require(op != '-', s"must-not phrases are not supported: $raw")
+        val inner = body.stripPrefix("\"").stripSuffix("\"").trim
+        val terms = inner.split("\\s+").filter(_.nonEmpty).toSeq
+        require(terms.size >= 2, s"phrase clause needs at least two terms: $raw")
+        phrases :+= terms
+      } else {
+        val (term, boost) = body.split("\\^") match {
+          case Array(t)    => (t, 1L)
+          case Array(t, b) => (t, b.toLong)
+          case _           => throw new IllegalArgumentException(s"malformed clause: $raw")
+        }
+        require(term.nonEmpty, s"empty term in clause: $raw")
+        require(boost > 0, s"boost must be positive in clause: $raw")
+        op match {
+          case '+' => must :+= (term -> boost)
+          case '-' =>
+            require(boost == 1L, s"must-not clauses cannot carry boosts: $raw")
+            mustNot :+= term
+          case _ => should :+= (term -> boost)
+        }
+      }
+    }
+    ParsedQuery(must, should, mustNot, phrases)
+  }
+
+  /** QUERY-STRING search from the persisted index — the front door
+    * that reunites the serving algebra: must/should terms score as
+    * boost·tf·idf (the [[boostedSearchFromIndex]] chain; must terms
+    * additionally GATE — all present), must-not terms anti-join (the
+    * boolean-NOT posture: deliberately unhinted, the excluded set can
+    * be corpus-scale), phrase clauses gate through the positional
+    * index ([[phraseFromIndex]]'s rarest-first fold). Every leg reads
+    * only its clauses' pruned bucket dirs; the legs meet doc-keyed at
+    * match-set size.
+    */
+  def searchQueryString(s: SparkSession, indexDir: String, q: String, k: Int): DataFrame = {
+    val pq = parseQueryString(q)
+    val scoreTerms = pq.must ++ pq.should
+    require(
+      scoreTerms.nonEmpty,
+      s"query '$q' has no scoring clause (only must-not/phrase clauses)"
+    )
+    require(
+      scoreTerms.map(_._1).distinct.size == scoreTerms.size,
+      s"duplicate term across clauses in '$q'"
+    )
+    val terms = scoreTerms.map(_._1)
+    val mustTerms = pq.must.map(_._1)
+    val buckets = terms.map(tokenBucket).distinct
+    val p = liveRows(
+      s,
+      indexDir,
+      s.read
+        .schema(postingsSchema)
+        .parquet(s"$indexDir/postings")
+        .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
+    )
+    val nDocs = readMeta(s, indexDir)._1
+    import s.implicits._
+    val boostDf = scoreTerms.toDF("token", "boost")
+    val model = p
+      .groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("df"))
+      .withColumn(
+        "idf_micro",
+        floor(log(lit(nDocs + 1).cast("double") / (col("df") + 1)) * 1000000L).cast("bigint")
+      )
+      .join(boostDf, "token")
+      .select(col("token"), col("idf_micro"), col("boost"))
+    val scored = p
+      .join(broadcast(model), "token")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("boost") * col("tf") * col("idf_micro")).cast("long").as("score_micro"),
+        count(when(col("token").isin(mustTerms: _*), lit(1))).cast("long").as("n_must")
+      )
+      .filter(col("n_must") === mustTerms.size.toLong)
+      .select(col("doc_id"), col("score_micro"))
+    val phraseGated = pq.phrases.foldLeft(scored) { (acc, ph) =>
+      acc.join(
+        phraseFromIndex(s, indexDir, ph).select(col("doc_id")),
+        Seq("doc_id"),
+        "left_semi"
+      )
+    }
+    val gated =
+      if (pq.mustNot.isEmpty) phraseGated
+      else {
+        val nbuckets = pq.mustNot.map(tokenBucket).distinct
+        val excluded = liveRows(
+          s,
+          indexDir,
+          s.read
+            .schema(postingsSchema)
+            .parquet(s"$indexDir/postings")
+            .filter(col("tbucket").isin(nbuckets: _*) && col("token").isin(pq.mustNot: _*))
+        ).select(col("doc_id")).distinct()
+        phraseGated.join(excluded, Seq("doc_id"), "left_anti")
+      }
+    rankTop(gated, "score_micro", k)
+  }
+
   /** HIT-COUNT header ("about 1,234 results"): the AND and OR match-set
     * cardinalities for a term set, from ONE pruned postings read — the
     * count every SERP renders before its first page. Exact counts (the
@@ -4252,6 +4388,14 @@ object Search {
   val searchHitCount: Q = (s, d) =>
     hitCounts(s, demoSearchIndexDir(s, d), fixtureOrTerms)
 
+  /** Query-string fixture: one clause of every kind — a must term, a
+    * boosted should term, a must-not term, and an exact phrase.
+    */
+  private[ops] val fixtureQueryString = "+dup window^3 -merge \"hash join\""
+
+  val searchQueryStringQ: Q = (s, d) =>
+    searchQueryString(s, demoSearchIndexDir(s, d), fixtureQueryString, topK).orderBy("rank")
+
   /** Chunk-retrieval fixtures: 16-token windows. */
   private[ops] val fixtureChunkSize = 16
 
@@ -6233,6 +6377,7 @@ object Search {
     "search_term_boost" -> searchTermBoost,
     "search_hit_count" -> searchHitCount,
     "search_auto_correct" -> searchAutoCorrect,
+    "search_query_string" -> searchQueryStringQ,
     "search_chunk_bm25" -> searchChunkBm25,
     "search_chunk_bm25_index" -> searchChunkBm25Index,
     "search_range_facet" -> searchRangeFacet,
@@ -6799,6 +6944,64 @@ object Search {
        |  FROM b1)
        |SELECT rank, doc_id, CAST(chunk_no AS BIGINT) AS chunk_no, score_milli
        |FROM crk WHERE rank <= $topK ORDER BY rank""".stripMargin
+  }
+
+  /** Query-string oracle (`+dup window^3 -merge "hash join"`): the
+    * must/phrase/must-not gates as exact-token set algebra, scoring as
+    * the boosted chain over the gated candidates, df corpus-wide (the
+    * every-route convention).
+    */
+  private lazy val oracleQueryString: String = {
+    val (mustT, shouldT, notT) = ("dup", "window", "merge")
+    val (ph1, ph2) = fixturePhrase
+    val dfArms = Seq(mustT, shouldT)
+      .map(t =>
+        s"""SELECT token, CAST(count(*) AS BIGINT) AS df FROM (
+           |    SELECT token, doc_id FROM (
+           |      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+           |      FROM documents WHERE contains(text, ${sqlLit(t)})) x
+           |    WHERE token = ${sqlLit(t)} GROUP BY token, doc_id) GROUP BY token""".stripMargin
+      )
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH $postingsSql,
+       |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       |dfm AS (
+       |  $dfArms),
+       |model AS (
+       |  SELECT token,
+       |    CAST(floor(ln(((SELECT n_docs FROM nd) + 1) / CAST(df + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS idf_micro
+       |  FROM dfm),
+       |mustd AS (SELECT DISTINCT doc_id FROM p WHERE token = ${sqlLit(mustT)}),
+       |exd AS (SELECT DISTINCT doc_id FROM p WHERE token = ${sqlLit(notT)}),
+       |pt AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks, len(string_split(text, ' ')) AS n
+       |  FROM documents
+       |  WHERE contains(text, ${sqlLit(ph1)}) AND contains(text, ${sqlLit(ph2)})),
+       |pps AS (SELECT doc_id, toks, unnest(generate_series(1, n, 1)) AS pos FROM pt),
+       |ppx AS (SELECT doc_id, pos, toks[pos] AS token FROM pps),
+       |pa AS (SELECT doc_id, pos FROM ppx WHERE token = ${sqlLit(ph1)}),
+       |pb AS (SELECT doc_id, pos FROM ppx WHERE token = ${sqlLit(ph2)}),
+       |phd AS (
+       |  SELECT DISTINCT pa.doc_id FROM pa JOIN pb
+       |  ON pa.doc_id = pb.doc_id AND pb.pos - pa.pos = 1),
+       |cand AS (
+       |  SELECT doc_id FROM mustd
+       |  WHERE doc_id IN (SELECT doc_id FROM phd)
+       |    AND doc_id NOT IN (SELECT doc_id FROM exd)),
+       |cp AS (
+       |  SELECT token, doc_id, tf FROM p
+       |  WHERE token IN (${sqlLit(mustT)}, ${sqlLit(shouldT)})
+       |    AND doc_id IN (SELECT doc_id FROM cand)),
+       |scored AS (
+       |  SELECT cp.doc_id,
+       |    CAST(sum((CASE cp.token WHEN ${sqlLit(mustT)} THEN 1 WHEN ${sqlLit(shouldT)} THEN 3 END)
+       |             * cp.tf * m.idf_micro) AS BIGINT) AS score_micro
+       |  FROM cp JOIN model m ON m.token = cp.token GROUP BY cp.doc_id),
+       |qsr AS (
+       |  SELECT doc_id, score_micro,
+       |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT rank, doc_id, score_micro FROM qsr WHERE rank <= $topK ORDER BY rank""".stripMargin
   }
 
   /** Hit-count oracle: exact-token AND/OR cardinalities over the
@@ -7474,6 +7677,7 @@ object Search {
     "search_term_boost" -> oracleTermBoost,
     "search_hit_count" -> oracleHitCount,
     "search_auto_correct" -> oracleAutoCorrect,
+    "search_query_string" -> oracleQueryString,
     // chunk retrieval: corpus and index twins share the pooled oracle
     "search_chunk_bm25" -> oracleChunkBm25,
     "search_chunk_bm25_index" -> oracleChunkBm25,

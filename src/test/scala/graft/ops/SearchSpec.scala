@@ -1858,6 +1858,41 @@ class SearchSpec extends SparkSpec {
     assert(Search.searchWithAutoCorrect(spark, dir, "zzzzzzzzzzzz", 2, 10).collect().isEmpty)
   }
 
+  test("parseQueryString: every clause kind parses; malformed clauses fail loudly") {
+    val pq = Search.parseQueryString("+dup window^3 -merge \"hash join\"")
+    assert(pq.must == Seq("dup" -> 1L))
+    assert(pq.should == Seq("window" -> 3L))
+    assert(pq.mustNot == Seq("merge"))
+    assert(pq.phrases == Seq(Seq("hash", "join")))
+    intercept[IllegalArgumentException](Search.parseQueryString("-\"a b\""))
+    intercept[IllegalArgumentException](Search.parseQueryString("term^0"))
+    intercept[IllegalArgumentException](Search.parseQueryString("-merge^2"))
+    intercept[IllegalArgumentException](Search.parseQueryString("\"single\""))
+  }
+
+  test("searchQueryString: must gates, boost scores, must-not excludes, phrase filters") {
+    val docs = Seq(
+      (1L, "dup hash join x"),       // hit: must + phrase, no window
+      (2L, "dup window hash join"),  // hit: window^3 boosts it above doc 1
+      (3L, "dup hash join merge"),   // excluded: must-not
+      (4L, "window hash join"),      // excluded: must term absent
+      (5L, "dup window join hash")   // excluded: phrase reversed
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_qs").toString + "/idx"
+    Search.saveSearchIndex(docs, "doc_id", "text", dir)
+    val got = Search.searchQueryString(spark, dir, "+dup window^3 -merge \"hash join\"", 10)
+      .orderBy("rank").collect().map(_.getAs[Long]("doc_id")).toSeq
+    assert(got == Seq(2L, 1L), got.mkString(","))
+    // a pure should query reduces to the boosted disjunctive route
+    val plain = Search.boostedSearchFromIndex(spark, dir, Seq("dup" -> 1L, "window" -> 3L), 10)
+      .collect().toSeq
+    val qs = Search.searchQueryString(spark, dir, "dup window^3", 10).collect().toSeq
+    assert(qs == plain)
+    intercept[IllegalArgumentException] {
+      Search.searchQueryString(spark, dir, "-merge", 10) // no scoring clause
+    }
+  }
+
   test("chunkBm25TopK: a doc ranks by its BEST window, not its average; corpus ≡ index") {
     val doc1 = (Seq.fill(16)("x") ++ Seq("cat", "cat", "cat") ++ Seq.fill(13)("y")).mkString(" ")
     val doc2 = (Seq("cat") ++ Seq.fill(15)("z") ++ Seq("cat") ++ Seq.fill(15)("w")).mkString(" ")
