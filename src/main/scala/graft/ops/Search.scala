@@ -456,6 +456,22 @@ object Search {
     */
   private[ops] val chunkIdBase = 1000L
 
+  /** The composite cid column WITH the aliasing guard: a document with
+    * ≥ base chunks (≥ 16k tokens at the fixture chunk size) would
+    * silently alias into the NEXT doc_id's id space — max-pooling
+    * chunks across different documents with no error, and the oracle
+    * (sharing the convention) could not catch it. Fail loudly per row
+    * instead (codegen'd CASE + raise_error, zero cost on the good
+    * path).
+    */
+  private def chunkCidCol: org.apache.spark.sql.Column =
+    expr(
+      s"IF(chunk_no >= $chunkIdBase, " +
+        s"raise_error(concat('chunk_no ', chunk_no, ' >= chunkIdBase $chunkIdBase for doc ', " +
+        "doc_id, ' — composite cid would alias into the next doc id; use a larger base or a struct key')), " +
+        s"doc_id * $chunkIdBase + chunk_no)"
+    )
+
   /** The deterministic chunk relation: fixed `chunkSize`-token
     * windows, one row per (doc, window), text re-joined so every
     * downstream route sees ordinary (id, text) rows.
@@ -501,7 +517,7 @@ object Search {
       k: Int
   ): DataFrame = {
     val ch = chunkRelation(docs, idCol, textCol, chunkSize)
-      .select((col("doc_id") * chunkIdBase + col("chunk_no")).as("cid"), col("ctext"))
+      .select(chunkCidCol.as("cid"), col("ctext"))
     chunkPool(bm25ScoredCorpus(ch, "cid", "ctext", terms), k)
   }
 
@@ -846,6 +862,12 @@ object Search {
     * definition; all execution semantics live in [[searchQueryString]].
     */
   private[ops] def parseQueryString(q: String): ParsedQuery = {
+    // the clause regex would silently read an UNTERMINATED phrase
+    // ('"hash join') as bare terms — reject like Lucene's QueryParser
+    require(
+      q.count(_ == '"') % 2 == 0,
+      s"unterminated phrase clause (unbalanced quote) in query: $q"
+    )
     val clause = """[+-]?"[^"]*"|[^\s"]+""".r
     var must = Vector.empty[(String, Long)]
     var should = Vector.empty[(String, Long)]
@@ -966,8 +988,12 @@ object Search {
     * is the same hit-set-sized pass the facet sidebar already pays,
     * and an approximate variant would ride the existing HLL sketches.
     */
-  def hitCounts(s: SparkSession, indexDir: String, terms: Seq[String]): DataFrame = {
-    require(terms.nonEmpty, "hit counts need at least one term")
+  def hitCounts(s: SparkSession, indexDir: String, rawTerms: Seq[String]): DataFrame = {
+    require(rawTerms.nonEmpty, "hit counts need at least one term")
+    // dedupe: a duplicated term would make n_and structurally 0 (the
+    // per-doc matched-row count can never reach a duplicated size —
+    // postings are one row per (token, doc))
+    val terms = rawTerms.distinct
     val buckets = terms.map(tokenBucket).distinct
     liveRows(
       s,
@@ -2365,10 +2391,13 @@ object Search {
     * types-scale vocab (one dictionary pass — a regex has no prefix to
     * seek, the linear-scan baseline every engine falls back to),
     * expansion ranked (df desc, token asc) and capped, then the
-    * standard pruned-bucket disjunctive scoring. The fixture pattern
-    * sticks to the regex subset both engines implement identically
-    * (anchors, `.`, classes, `*`) — an oracle-shared gate can't use
-    * engine-specific syntax.
+    * standard pruned-bucket disjunctive scoring. WHOLE-TERM match,
+    * RegexpQuery's implicit anchoring: the pattern is wrapped as
+    * `^(?:p)$` so `s.a` matches three-char tokens only, never any
+    * token containing that shape. The fixture pattern sticks to the
+    * regex subset both engines implement identically (anchors, `.`,
+    * classes, `*`) — an oracle-shared gate can't use engine-specific
+    * syntax.
     */
   def regexSearchFromIndex(
       s: SparkSession,
@@ -2379,9 +2408,9 @@ object Search {
       analyzed: Boolean = false
   ): DataFrame = {
     require(pattern.nonEmpty, "regex search needs a non-empty pattern")
-    val p = if (analyzed) pattern.toLowerCase else pattern
+    val p = if (analyzed) lowerRegexLiterals(pattern) else pattern
     val terms = vocabRows(s, indexDir, analyzed)
-      .filter(col("token").rlike(p))
+      .filter(col("token").rlike("^(?:" + p + ")$"))
       .orderBy(col("df").desc, col("token").asc)
       .limit(maxExpand)
       .select("token")
@@ -2391,6 +2420,22 @@ object Search {
     if (terms.isEmpty) emptyHits(s)
     else if (analyzed) analyzedFromIndex(s, indexDir, terms, k, requireAll = false)
     else termSearchFromIndex(s, indexDir, terms, k, requireAll = false)
+  }
+
+  /** Analyzer case fold for a REGEX pattern: lowercase LITERAL
+    * characters only, leaving anything a backslash escapes untouched —
+    * naive toLowerCase corrupts escape classes (\W → \w, \S → \s,
+    * \D → \d), silently INVERTING their meaning.
+    */
+  private[ops] def lowerRegexLiterals(p: String): String = {
+    val out = new StringBuilder(p.length)
+    var i = 0
+    while (i < p.length) {
+      if (p.charAt(i) == '\\' && i + 1 < p.length) {
+        out.append('\\').append(p.charAt(i + 1)); i += 2
+      } else { out.append(p.charAt(i).toLower); i += 1 }
+    }
+    out.toString
   }
 
   /** Glob-style pattern → LIKE pattern: literal %/_/\ escaped (both
@@ -4406,7 +4451,7 @@ object Search {
     Fixtures.demoIndexDir(s, "searchidx_chunk", d) { dir =>
       saveSearchIndex(
         chunkRelation(documents(s, d), "doc_id", "text", fixtureChunkSize)
-          .select((col("doc_id") * chunkIdBase + col("chunk_no")).as("cid"), col("ctext")),
+          .select(chunkCidCol.as("cid"), col("ctext")),
         "cid",
         "ctext",
         dir
@@ -6549,15 +6594,15 @@ object Search {
          |  ORDER BY df DESC, token LIMIT $fixtureWildcardExpand)""".stripMargin
     )
 
-  /** Regex oracle: regexp_matches over the recomputed vocab — partial
-    * match on both engines, so the anchored fixture pattern reads
-    * identically.
+  /** Regex oracle: regexp_full_match over the recomputed vocab —
+    * whole-term match on both engines (Lucene RegexpQuery's implicit
+    * anchoring, the Spark side wraps as `^(?:p)$`).
     */
   private lazy val oracleRegexSearch: String =
     oracleExpansionSearch(
       s"""exp AS (
          |  SELECT token, df FROM v
-         |  WHERE regexp_matches(token, ${sqlLit(fixtureRegex)})
+         |  WHERE regexp_full_match(token, ${sqlLit(fixtureRegex)})
          |  ORDER BY df DESC, token LIMIT $fixtureRegexExpand)""".stripMargin
     )
 
@@ -6568,7 +6613,7 @@ object Search {
     oracleAnalyzedExpansionSearch(
       s"""exp AS (
          |  SELECT token, df FROM v
-         |  WHERE regexp_matches(token, ${sqlLit(fixtureRegex.toLowerCase)})
+         |  WHERE regexp_full_match(token, ${sqlLit(lowerRegexLiterals(fixtureRegex))})
          |  ORDER BY df DESC, token LIMIT $fixtureRegexExpand)""".stripMargin
     )
 

@@ -1868,6 +1868,51 @@ class SearchSpec extends SparkSpec {
     intercept[IllegalArgumentException](Search.parseQueryString("term^0"))
     intercept[IllegalArgumentException](Search.parseQueryString("-merge^2"))
     intercept[IllegalArgumentException](Search.parseQueryString("\"single\""))
+    // unterminated phrase: the clause regex would silently read the
+    // tail as bare terms — must reject like Lucene's QueryParser
+    intercept[IllegalArgumentException](Search.parseQueryString("\"hash join"))
+    intercept[IllegalArgumentException](Search.parseQueryString("dup \"hash join -x"))
+  }
+
+  test("lowerRegexLiterals: literals fold, backslash escapes survive") {
+    assert(Search.lowerRegexLiterals("^S.A.*") == "^s.a.*")
+    assert(Search.lowerRegexLiterals("\\Wend\\S\\D") == "\\Wend\\S\\D".replace("end", "end"))
+    assert(Search.lowerRegexLiterals("A\\WB\\SC\\D") == "a\\Wb\\Sc\\D")
+    assert(Search.lowerRegexLiterals("X\\\\Y") == "x\\\\y")
+  }
+
+  test("regexSearchFromIndex: whole-term anchoring (RegexpQuery semantics)") {
+    val docs = Seq((1L, "spa span spanner respan"), (2L, "spa xyz")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rx").toString + "/idx"
+    Search.saveSearchIndex(docs, "doc_id", "text", dir)
+    // 's.a' must match ONLY the three-char token 'spa' — unanchored
+    // rlike would also expand span/spanner/respan
+    val hits = Search.regexSearchFromIndex(spark, dir, "s.a", 10, 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(hits == Set(1L, 2L))
+    val wide = Search.regexSearchFromIndex(spark, dir, "s.an.*", 10, 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(wide == Set(1L)) // span, spanner — doc 1 only; respan does NOT match (anchored)
+  }
+
+  test("hitCounts: duplicate terms dedupe instead of zeroing n_and") {
+    val docs = Seq((1L, "dup spark x"), (2L, "dup y")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_hc").toString + "/idx"
+    Search.saveSearchIndex(docs, "doc_id", "text", dir)
+    val r = Search.hitCounts(spark, dir, Seq("dup", "spark", "dup")).head()
+    assert(r.getAs[Long]("n_and") == 1L && r.getAs[Long]("n_or") == 2L)
+  }
+
+  test("chunk cid composition fails loudly when chunk_no would alias past chunkIdBase") {
+    // 1 token per chunk × 1001 tokens -> chunk_no reaches 1000 = chunkIdBase
+    val long = Seq.fill(1001)("t").mkString(" ")
+    val docs = Seq((7L, long)).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Search.chunkBm25TopK(docs, "doc_id", "text", Seq("t"), 1, 5).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("chunkIdBase")), e.toString)
   }
 
   test("searchQueryString: must gates, boost scores, must-not excludes, phrase filters") {
