@@ -1243,10 +1243,17 @@ object Search {
     *     even for fields where the term is absent, and carrying them
     *     on the posting row keeps the probe zero-doc-keyed (the same
     *     denormalization argument as [[postingsWithDl]], × fields).
+    *   - `fdoclen`: (doc_id, dl_<field>…) — the doc-keyed registry
+    *     compaction re-derives fmeta from (and the exact-decrement
+    *     source for deletes); never read by a probe.
     *   - `fmeta`: (field, n_docs, total_toks) — per-field scalars.
     *
     * Token-hash bucketing is identical to the unfielded index, so
-    * probes prune to their terms' bucket dirs the same way.
+    * probes prune to their terms' bucket dirs the same way. FULL
+    * LIFECYCLE like the unfielded tiers: [[appendToFieldedSearchIndex]],
+    * [[deleteFromFieldedIndex]] (tombstones), the streaming
+    * [[applyFieldedIndexBatch]] (exactly-once, fmeta_inc ledger) and
+    * [[compactFieldedIndex]] (purge + stats heal).
     */
   def saveFieldedSearchIndex(
       docs: DataFrame,
@@ -1257,7 +1264,26 @@ object Search {
     require(fieldCols.nonEmpty, "fielded index needs at least one field")
     require(fieldCols.distinct.size == fieldCols.size, s"duplicate fields: $fieldCols")
     val s = docs.sparkSession
-    val base = docs
+    fieldedPostingRows(docs, idCol, fieldCols)
+      .withColumn("tbucket", tokenBucketCol)
+      .repartition(col("tbucket"))
+      .write
+      .mode("overwrite")
+      .partitionBy("tbucket")
+      .parquet(s"$dir/fpostings")
+    fieldedBase(docs, idCol, fieldCols)
+      .select(col("doc_id") +: fieldCols.map(f => col(s"dl_$f")): _*)
+      .write
+      .mode("overwrite")
+      .parquet(s"$dir/fdoclen")
+    writeFmeta(s, dir, fieldedScalars(docs, idCol, fieldCols))
+  }
+
+  /** (doc_id, __toks_<f>…, dl_<f>…) — the shared projection under the
+    * fielded build, append and batch apply.
+    */
+  private def fieldedBase(docs: DataFrame, idCol: String, fieldCols: Seq[String]): DataFrame =
+    docs
       .select(
         col(idCol).cast("long").as("doc_id") +:
           fieldCols.map(f => split(col(f), " ").as(s"__toks_$f")): _*
@@ -1268,34 +1294,308 @@ object Search {
             Seq(col(s"__toks_$f"), size(col(s"__toks_$f")).cast("long").as(s"dl_$f"))
           ): _*
       )
+
+  /** One row per (token, doc, field) with EVERY field's length
+    * denormalized on (see [[saveFieldedSearchIndex]]'s layout doc).
+    */
+  private def fieldedPostingRows(docs: DataFrame, idCol: String, fieldCols: Seq[String]): DataFrame = {
+    val base = fieldedBase(docs, idCol, fieldCols)
     val dlCols = fieldCols.map(f => col(s"dl_$f"))
-    val perField = fieldCols.map { f =>
-      base
-        .select(
-          col("doc_id") +: explode(col(s"__toks_$f")).as("token") +: lit(f).as("field") +: dlCols: _*
-        )
-        .groupBy(Seq(col("token"), col("doc_id"), col("field")) ++ dlCols: _*)
-        .agg(count(lit(1)).cast("long").as("tf"))
-    }
-    perField
+    fieldCols
+      .map { f =>
+        base
+          .select(
+            col("doc_id") +: explode(col(s"__toks_$f")).as("token") +: lit(f).as("field") +: dlCols: _*
+          )
+          .groupBy(Seq(col("token"), col("doc_id"), col("field")) ++ dlCols: _*)
+          .agg(count(lit(1)).cast("long").as("tf"))
+      }
       .reduce(_ unionByName _)
-      .withColumn("tbucket", tokenBucketCol)
-      .repartition(col("tbucket"))
-      .write
-      .mode("overwrite")
-      .partitionBy("tbucket")
-      .parquet(s"$dir/fpostings")
+  }
+
+  /** Per-field scalar deltas for a doc set: (field, n_docs,
+    * total_toks) — ONE fused aggregate over the base projection.
+    */
+  private def fieldedScalars(docs: DataFrame, idCol: String, fieldCols: Seq[String]): Seq[(String, Long, Long)] = {
+    val base = fieldedBase(docs, idCol, fieldCols)
     val aggs = countDistinct(col("doc_id")).cast("long") +:
       fieldCols.map(f => coalesce(sum(col(s"dl_$f")), lit(0L)).cast("long"))
     val r = base.agg(aggs.head, aggs.tail: _*).head()
+    fieldCols.zipWithIndex.map { case (f, i) => (f, r.getLong(0), r.getLong(i + 1)) }
+  }
+
+  private def writeFmeta(s: SparkSession, dir: String, rows: Seq[(String, Long, Long)]): Unit = {
     import s.implicits._
-    fieldCols.zipWithIndex
-      .map { case (f, i) => (f, r.getLong(0), r.getLong(i + 1)) }
-      .toDF("field", "n_docs", "total_toks")
+    rows.toDF("field", "n_docs", "total_toks")
       .coalesce(1)
       .write
       .mode("overwrite")
       .parquet(s"$dir/fmeta")
+  }
+
+  private def readFmeta(s: SparkSession, dir: String): Map[String, (Long, Long)] =
+    s.read
+      .parquet(s"$dir/fmeta")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+
+  /** The field set already indexed at `dir`, or a loud error when the
+    * maintainer's fields don't match — updating fpostings with a
+    * DIFFERENT field set would silently corrupt every per-field
+    * normalizer (missing dl_<f> columns, half-counted scalars).
+    */
+  private def requireFieldsMatch(
+      s: SparkSession,
+      dir: String,
+      fieldCols: Seq[String],
+      op: String
+  ): Unit = {
+    val have = readFmeta(s, dir).keySet
+    require(
+      have == fieldCols.toSet,
+      s"$op onto $dir: field set ${fieldCols.sorted.mkString(",")} does not match the " +
+        s"index's ${have.toSeq.sorted.mkString(",")} — rebuild or use the index's fields"
+    )
+  }
+
+  // ---- fielded meta-increment ledger (fmeta_inc) ----------------------
+  //
+  // The fielded twin of `meta_inc`: one (field, n_docs, total_toks)
+  // ROW-SET per applied increment under a deterministic tag name, and
+  // fmeta is the per-field SUM over the ledger — exactly-once batch
+  // maintenance at ledger cost (see the meta_inc block), × fields.
+
+  private def fledgerDir(dir: String) = s"$dir/fmeta_inc"
+
+  private def fledgerFiles(fs: org.apache.hadoop.fs.FileSystem, dir: String) =
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"${fledgerDir(dir)}/*.parquet")))
+      .getOrElse(Array.empty[org.apache.hadoop.fs.FileStatus])
+
+  private def writeFledgerRows(
+      s: SparkSession,
+      dir: String,
+      rows: Seq[(String, Long, Long)],
+      tag: String
+  ): Unit = {
+    import org.apache.hadoop.fs.Path
+    import s.implicits._
+    val fs = fsFor(s, dir)
+    val staged = s"$dir/_stage_fledger_$tag"
+    rows.toDF("field", "n_docs", "total_toks")
+      .coalesce(1).write.mode("overwrite").parquet(staged)
+    val src = fs.globStatus(new Path(s"$staged/part-*")).head.getPath
+    fs.mkdirs(new Path(fledgerDir(dir)))
+    val dest = new Path(fledgerDir(dir), s"$tag-0.parquet")
+    if (fs.exists(dest)) fs.delete(dest, false)
+    if (!fs.rename(src, dest))
+      throw new java.io.IOException(s"fielded ledger write: rename $src -> $dest failed")
+    fs.delete(new Path(staged), true)
+  }
+
+  private def seedFledgerIfNeeded(s: SparkSession, dir: String): Unit = {
+    val fs = fsFor(s, dir)
+    if (fledgerFiles(fs, dir).isEmpty && fs.exists(new org.apache.hadoop.fs.Path(s"$dir/fmeta")))
+      writeFledgerRows(
+        s,
+        dir,
+        readFmeta(s, dir).toSeq.sorted.map { case (f, (n, t)) => (f, n, t) },
+        "seed"
+      )
+  }
+
+  private def fledgerSums(s: SparkSession, dir: String): Seq[(String, Long, Long)] =
+    s.read
+      .schema(
+        new org.apache.spark.sql.types.StructType()
+          .add("field", "string").add("n_docs", "long").add("total_toks", "long")
+      )
+      .parquet(fledgerDir(dir))
+      .groupBy(col("field"))
+      .agg(
+        coalesce(sum(col("n_docs")), lit(0L)).cast("long").as("n"),
+        coalesce(sum(col("total_toks")), lit(0L)).cast("long").as("t")
+      )
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+      .sortBy(_._1)
+
+  /** APPEND new documents to a fielded index — fpostings/fdoclen grow
+    * by the increment, fmeta's per-field scalars add the increment's
+    * exactly (same read-then-overwrite contract as the unfielded
+    * [[appendToSearchIndex]]). Same loud guard against appending onto
+    * live tombstones: plain-append files carry generation −1, so a
+    * tombstoned id's re-added rows would be wrongly killed — compact
+    * first or maintain through the streaming apply.
+    */
+  def appendToFieldedSearchIndex(
+      newDocs: DataFrame,
+      idCol: String,
+      fieldCols: Seq[String],
+      dir: String
+  ): Unit = {
+    val s = newDocs.sparkSession
+    requireFieldsMatch(s, dir, fieldCols, "appendToFieldedSearchIndex")
+    require(
+      !hasTombstones(s, dir),
+      s"appendToFieldedSearchIndex onto $dir with live tombstones: plain-append files " +
+        "carry no generation, so a tombstoned id's re-added rows would be wrongly " +
+        "killed — run compactFieldedIndex first or maintain through the streaming apply"
+    )
+    fieldedPostingRows(newDocs, idCol, fieldCols)
+      .withColumn("tbucket", tokenBucketCol)
+      .repartition(col("tbucket"))
+      .write
+      .mode("append")
+      .partitionBy("tbucket")
+      .parquet(s"$dir/fpostings")
+    fieldedBase(newDocs, idCol, fieldCols)
+      .select(col("doc_id") +: fieldCols.map(f => col(s"dl_$f")): _*)
+      .write
+      .mode("append")
+      .parquet(s"$dir/fdoclen")
+    val m0 = readFmeta(s, dir)
+    val inc = fieldedScalars(newDocs, idCol, fieldCols)
+    val merged = inc.map { case (f, n1, t1) => (f, m0(f)._1 + n1, m0(f)._2 + t1) }
+    writeFmeta(s, dir, merged)
+    // keep a maintaining stream's ledger invariant (fmeta = per-field
+    // sum over fmeta_inc): appends are single-writer, never replayed —
+    // a wholesale fold to one seed row-set is safe
+    val fs = fsFor(s, dir)
+    if (fledgerFiles(fs, dir).nonEmpty) {
+      fs.delete(new org.apache.hadoop.fs.Path(fledgerDir(dir)), true)
+      writeFledgerRows(s, dir, merged, "seed")
+    }
+  }
+
+  /** DELETE documents from the fielded index — tombstones at
+    * high-gen + 1 over fpostings/fdoclen, per-field fmeta decremented
+    * EXACTLY from the ids' currently-live fdoclen rows (double-deletes
+    * move nothing), mirroring [[deleteFromSearchIndex]]. Purge at
+    * [[compactFieldedIndex]].
+    */
+  def deleteFromFieldedIndex(s: SparkSession, dir: String, ids: DataFrame): Unit = {
+    val fs = fsFor(s, dir)
+    val fields = readFmeta(s, dir).keys.toSeq.sorted
+    val asof = currentHighGen(s, dir, Seq("fpostings", "fdoclen", "tombstones")) + 1L
+    val idRel = ids.select(col(ids.columns.head).cast("long").as("doc_id")).distinct()
+    val hit = liveRows(s, dir, s.read.parquet(s"$dir/fdoclen")).join(broadcast(idRel), "doc_id")
+    val aggs = count(lit(1)).cast("long") +:
+      fields.map(f => coalesce(sum(col(s"dl_$f")), lit(0L)).cast("long"))
+    val r = hit.agg(aggs.head, aggs.tail: _*).head()
+    val nDel = r.getLong(0)
+    val tDel = fields.zipWithIndex.map { case (f, i) => f -> r.getLong(i + 1) }.toMap
+    // tombstones first, stats second (the [[deleteFromSearchIndex]]
+    // crash ordering: stale stats heal at compaction, never the
+    // reverse)
+    writeTombstones(s, dir, idRel.withColumn("asof", lit(asof)), asof)
+    val m0 = readFmeta(s, dir)
+    val merged = fields.map(f => (f, m0(f)._1 - nDel, m0(f)._2 - tDel(f)))
+    writeFmeta(s, dir, merged)
+    if (fledgerFiles(fs, dir).nonEmpty)
+      writeFledgerRows(s, dir, fields.map(f => (f, -nDel, -tDel(f))), s"del-$asof")
+  }
+
+  /** Apply ONE micro-batch of fielded documents idempotently — the
+    * unit [[graft.streaming.StreamingIngest.fieldedIndexStream]] runs
+    * inside foreachBatch; the exactly-once protocol is
+    * [[applySearchIndexBatch]]'s verbatim (crashed-attempt cleanup →
+    * staged renames under `gbatch-<gen>` names → batch-keyed ledger
+    * rows → fmeta as the ledger sum), with the fielded relations and
+    * the per-field ledger in place of the unfielded ones. Upsert
+    * batches tombstone their own ids at asof = gen first, so every
+    * older version dies while the batch's rows survive; the old
+    * versions' fmeta contributions stay counted until compaction (the
+    * documented Lucene stale-stats window — exact-match serving is
+    * unaffected, dead rows never score).
+    */
+  private[graft] def applyFieldedIndexBatch(
+      batch: DataFrame,
+      idCol: String,
+      fieldCols: Seq[String],
+      dir: String,
+      batchId: Long,
+      upsert: Boolean = false
+  ): Unit = {
+    import org.apache.hadoop.fs.Path
+    val s = batch.sparkSession
+    val fs = fsFor(s, dir)
+    if (fs.exists(new Path(s"$dir/fmeta")))
+      requireFieldsMatch(s, dir, fieldCols, "applyFieldedIndexBatch")
+    seedFledgerIfNeeded(s, dir)
+    val gen = genBase(s, dir, Seq("fpostings", "fdoclen", "tombstones")) + batchId
+    Seq(s"$dir/fpostings/tbucket=*", s"$dir/fdoclen", tombstonesDir(dir), fledgerDir(dir))
+      .foreach { d =>
+        Option(fs.globStatus(new Path(s"$d/gbatch-$gen-*")))
+          .getOrElse(Array.empty)
+          .foreach(f => fs.delete(f.getPath, false))
+      }
+    val staged = s"$dir/_stage_f$batchId"
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (upsert)
+        stageAndMove(
+          b.select(col(idCol).cast("long").as("doc_id")).distinct().withColumn("asof", lit(gen)),
+          s"$staged/tombstones",
+          tombstonesDir(dir),
+          partitionCol = None,
+          gen
+        )
+      stageAndMove(
+        fieldedPostingRows(b, idCol, fieldCols)
+          .withColumn("tbucket", tokenBucketCol)
+          .repartition(col("tbucket")),
+        s"$staged/fpostings",
+        s"$dir/fpostings",
+        partitionCol = Some("tbucket"),
+        gen
+      )
+      stageAndMove(
+        fieldedBase(b, idCol, fieldCols)
+          .select(col("doc_id") +: fieldCols.map(f => col(s"dl_$f")): _*),
+        s"$staged/fdoclen",
+        s"$dir/fdoclen",
+        partitionCol = None,
+        gen
+      )
+      fs.delete(new Path(staged), true)
+      writeFledgerRows(s, dir, fieldedScalars(b, idCol, fieldCols), s"gbatch-$gen")
+      writeFmeta(s, dir, fledgerSums(s, dir))
+    } finally b.unpersist(false)
+  }
+
+  /** Compact the fielded index: fpostings/fdoclen rewritten to one
+    * file per dir (tombstones present → the rewrite IS the physical
+    * purge), tombstones consumed, fmeta re-derived EXACTLY from the
+    * purged fdoclen relation (n_docs = countDistinct, per-field
+    * total_toks = sum dl_<f> — heals the documented upsert
+    * stale-stats window), and the fielded ledger folded back to one
+    * seed row-set. The one fielded maintenance step allowed to scan
+    * doc-keyed relations — amortized cadence, never the per-batch
+    * loop.
+    */
+  def compactFieldedIndex(spark: SparkSession, dir: String): Unit = {
+    val fs = fsFor(spark, dir)
+    val fields = readFmeta(spark, dir).keys.toSeq.sorted
+    val tomb = if (hasTombstones(spark, dir)) Some(tombstoneMaxAsof(spark, dir)) else None
+    val purgeGen = tomb.map(_.agg(max(col("t_asof"))).head().getLong(0)).getOrElse(-1L)
+    def rewriteRel(path: String, pc: Option[String]): Unit = tomb match {
+      case Some(t) => purgeRewrite(spark, path, pc, t, purgeGen)
+      case None    => graft.core.Compaction.compact(spark, path, pc, 1)
+    }
+    rewriteRel(s"$dir/fpostings", Some("tbucket"))
+    rewriteRel(s"$dir/fdoclen", None)
+    if (tomb.isDefined) fs.delete(new org.apache.hadoop.fs.Path(tombstonesDir(dir)), true)
+    val aggs = countDistinct(col("doc_id")).cast("long") +:
+      fields.map(f => coalesce(sum(col(s"dl_$f")), lit(0L)).cast("long"))
+    val r = spark.read.parquet(s"$dir/fdoclen").agg(aggs.head, aggs.tail: _*).head()
+    val repaired = fields.zipWithIndex.map { case (f, i) => (f, r.getLong(0), r.getLong(i + 1)) }
+    writeFmeta(spark, dir, repaired)
+    if (fledgerFiles(fs, dir).nonEmpty) {
+      fs.delete(new org.apache.hadoop.fs.Path(fledgerDir(dir)), true)
+      writeFledgerRows(spark, dir, repaired, "seed")
+    }
   }
 
   /** BM25F — fielded ranked retrieval with per-field boosts and
@@ -1334,11 +1634,7 @@ object Search {
     require(terms.nonEmpty, "bm25f needs at least one term")
     require(boosts.nonEmpty, "bm25f needs at least one boosted field")
     require(boosts.map(_._1).distinct.size == boosts.size, s"duplicate boost fields: $boosts")
-    val meta = s.read
-      .parquet(s"$dir/fmeta")
-      .collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
-      .toMap
+    val meta = readFmeta(s, dir)
     boosts.foreach { case (f, w) =>
       require(
         meta.contains(f),
@@ -1355,9 +1651,15 @@ object Search {
       require(a > 0, s"bm25f: field '$f' has avgdl = 0 (all-empty field)")
     }
     val buckets = terms.map(tokenBucket).distinct
-    val scan = s.read
-      .parquet(s"$dir/fpostings")
-      .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
+    // tombstone gating directly over the pruned scan (liveRows'
+    // input_file_name contract) — a deleted doc's rows never score
+    val scan = liveRows(
+      s,
+      dir,
+      s.read
+        .parquet(s"$dir/fpostings")
+        .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
+    )
     val aggCols =
       fields.map(f =>
         coalesce(sum(when(col("field") === f, col("tf"))), lit(0L)).cast("long").as(s"tf_$f")
@@ -1405,24 +1707,23 @@ object Search {
       k: Int
   ): DataFrame = {
     require(terms.nonEmpty, "field-scoped search needs at least one term")
-    val meta = s.read
-      .parquet(s"$dir/fmeta")
-      .collect()
-      .map(r => r.getString(0) -> r.getLong(1))
-      .toMap
+    val meta = readFmeta(s, dir)
     require(
       meta.contains(field),
       s"field '$field' not in the index at $dir (fields: ${meta.keys.toSeq.sorted.mkString(", ")})"
     )
-    val nDocs = meta(field)
+    val nDocs = meta(field)._1
     val buckets = terms.map(tokenBucket).distinct
-    val p = s.read
-      .parquet(s"$dir/fpostings")
-      .filter(
-        col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*) &&
-          col("field") === field
-      )
-      .select(col("token"), col("doc_id"), col("tf"))
+    val p = liveRows(
+      s,
+      dir,
+      s.read
+        .parquet(s"$dir/fpostings")
+        .filter(
+          col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*) &&
+            col("field") === field
+        )
+    ).select(col("token"), col("doc_id"), col("tf"))
     val dfModel = p
       .groupBy(col("token"))
       .agg(count(lit(1)).cast("long").as("df"))
@@ -6106,8 +6407,12 @@ object Search {
     */
   private[ops] val fixtureTitleLen = 5
 
-  private[ops] def fieldedFixtureDocs(s: SparkSession, d: String): DataFrame =
-    documents(s, d).select(
+  /** The deterministic title/body split of a (doc_id, text) relation —
+    * first [[fixtureTitleLen]] tokens are the title, the rest the
+    * body; shared by the batch fixtures and the streaming gates.
+    */
+  private[graft] def fieldedDocsOf(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id"),
       expr(s"array_join(slice(split(text, ' '), 1, $fixtureTitleLen), ' ')").as("title"),
       expr(
@@ -6116,12 +6421,15 @@ object Search {
       ).as("body")
     )
 
+  private[graft] def fieldedFixtureDocs(s: SparkSession, d: String): DataFrame =
+    fieldedDocsOf(documents(s, d))
+
   private[ops] def demoFieldedIndexDir(s: SparkSession, d: String): String =
     Fixtures.demoIndexDir(s, "searchidx_fielded", d)(dir =>
       saveFieldedSearchIndex(fieldedFixtureDocs(s, d), "doc_id", Seq("title", "body"), dir)
     )
 
-  private[ops] val fixtureBoosts = Seq("title" -> 3L, "body" -> 1L)
+  private[graft] val fixtureBoosts = Seq("title" -> 3L, "body" -> 1L)
 
   /** Fielded-scoring gate: BM25F over (title×3, body×1) — the oracle
     * recomputes the exact integer rational form over the same
@@ -6129,6 +6437,70 @@ object Search {
     */
   val searchBm25f: Q = (s, d) =>
     bm25fFromIndex(s, demoFieldedIndexDir(s, d), fixtureOrTerms, fixtureBoosts, topK)
+      .orderBy("rank")
+
+  /** The fielded APPEND lifecycle demo: half-corpus build, the other
+    * half appended — fpostings/fdoclen grow, fmeta adds the
+    * increment's per-field scalars exactly.
+    */
+  private[ops] def demoAppendedFieldedIndexDir(s: SparkSession, d: String): String =
+    Fixtures.demoIndexDir(s, "searchidx_fld_app", d) { dir =>
+      val docs = fieldedFixtureDocs(s, d)
+      saveFieldedSearchIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", Seq("title", "body"), dir)
+      appendToFieldedSearchIndex(docs.filter(col("doc_id") % 2 =!= 0), "doc_id", Seq("title", "body"), dir)
+    }
+
+  /** The fielded TOMBSTONE demo: full build, every doc_id % 5 == 1
+    * deleted, NO compaction — BM25F must serve through the tombstone
+    * anti-join with exactly-decremented per-field scalars.
+    */
+  private[ops] def demoDeletedFieldedIndexDir(s: SparkSession, d: String): String =
+    Fixtures.demoIndexDir(s, "searchidx_fld_del", d) { dir =>
+      val docs = fieldedFixtureDocs(s, d)
+      saveFieldedSearchIndex(docs, "doc_id", Seq("title", "body"), dir)
+      deleteFromFieldedIndex(s, dir, docs.filter(col("doc_id") % 5 === 1).select("doc_id"))
+    }
+
+  /** [[demoDeletedFieldedIndexDir]] plus the compaction that purges
+    * physically and re-derives fmeta from the surviving fdoclen rows.
+    */
+  private[ops] def demoDeleteCompactedFieldedIndexDir(s: SparkSession, d: String): String =
+    Fixtures.demoIndexDir(s, "searchidx_fld_delc", d) { dir =>
+      val docs = fieldedFixtureDocs(s, d)
+      saveFieldedSearchIndex(docs, "doc_id", Seq("title", "body"), dir)
+      deleteFromFieldedIndex(s, dir, docs.filter(col("doc_id") % 5 === 1).select("doc_id"))
+      compactFieldedIndex(s, dir)
+    }
+
+  /** Fielded append gate — shares search_bm25f's oracle: built-then-
+    * appended must equal one-shot-built bit for bit (union postings,
+    * exact scalar sums).
+    */
+  val searchBm25fAppended: Q = (s, d) =>
+    bm25fFromIndex(s, demoAppendedFieldedIndexDir(s, d), fixtureOrTerms, fixtureBoosts, topK)
+      .orderBy("rank")
+
+  /** Fielded delete gate: BM25F through LIVE tombstones must equal
+    * BM25F over the live corpus (scores included — N and per-field
+    * avgdl decremented exactly, df from live rows only).
+    */
+  val searchBm25fDeleted: Q = (s, d) =>
+    bm25fFromIndex(s, demoDeletedFieldedIndexDir(s, d), fixtureOrTerms, fixtureBoosts, topK)
+      .orderBy("rank")
+
+  /** Post-purge fielded gate (shares [[searchBm25fDeleted]]'s oracle):
+    * after compaction the tombstones are consumed, dead rows are
+    * physically absent, fmeta re-derived — the page must not move.
+    */
+  val searchBm25fDelCompacted: Q = (s, d) =>
+    bm25fFromIndex(s, demoDeleteCompactedFieldedIndexDir(s, d), fixtureOrTerms, fixtureBoosts, topK)
+      .orderBy("rank")
+
+  /** Field-scoped search through live tombstones (shares the deleted
+    * index): in-field df/N semantics must hold over live rows only.
+    */
+  val searchFieldScopedDeleted: Q = (s, d) =>
+    fieldedTermSearch(s, demoDeletedFieldedIndexDir(s, d), "title", fixtureOrTerms, topK)
       .orderBy("rank")
 
   // ---- Hybrid retrieval + result diversification ----------------------
@@ -6468,7 +6840,11 @@ object Search {
     "search_facet_filtered" -> searchFacetFiltered,
     "search_asof_page" -> searchAsOfPage,
     "search_bm25f" -> searchBm25f,
+    "search_bm25f_appended" -> searchBm25fAppended,
+    "search_bm25f_deleted" -> searchBm25fDeleted,
+    "search_bm25f_del_compacted" -> searchBm25fDelCompacted,
     "search_field_scoped" -> searchFieldScoped,
+    "search_field_scoped_deleted" -> searchFieldScopedDeleted,
     "search_facets" -> searchFacets,
     "search_page_after" -> searchPageAfter,
     "search_facets_analyzed" -> searchFacetsAnalyzed,
@@ -6680,10 +7056,12 @@ object Search {
     * round-trip as the BM25F oracle) with df/tf/idf computed INSIDE
     * the field — a body-only mention contributes nothing.
     */
-  private lazy val oracleFieldScoped: String = {
+  private lazy val oracleFieldScoped: String = oracleFieldScopedFrom("documents")
+
+  private def oracleFieldScopedFrom(src: String): String = {
     val termList = fixtureOrTerms.map(sqlLit).mkString(", ")
     val tl = fixtureTitleLen
-    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $src),
        |fd AS (SELECT doc_id,
        |  string_split(array_to_string(toks[1:least($tl, len(toks))], ' '), ' ') AS ttoks
        | FROM tk),
@@ -6818,11 +7196,23 @@ object Search {
     * on both engines), the same integer rational form
     * (11·idf·X) // (5·X + 6·D) with X/D as in [[bm25fFromIndex]].
     */
-  private lazy val oracleBm25f: String = {
+  private lazy val oracleBm25f: String = oracleBm25fFrom("documents")
+
+  /** The live-corpus filter matching the fielded delete fixtures. */
+  private val fieldedLiveSrc = "(SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 1)"
+
+  /** BM25F oracle over an arbitrary (doc_id, text) source relation —
+    * shared by the build/append gates (`documents`) and the delete/
+    * purge gates (the live-docs filter): the whole fielded model
+    * (split, per-field scalars, df, the integer rational form) is
+    * recomputed over the SOURCE, so exactly-decremented stats are
+    * what the gate asserts.
+    */
+  private def oracleBm25fFrom(src: String): String = {
     val termList = fixtureOrTerms.map(sqlLit).mkString(", ")
     val (wt, wb) = (fixtureBoosts.head._2, fixtureBoosts(1)._2)
     val tl = fixtureTitleLen
-    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $src),
        |fd AS (SELECT doc_id,
        |  string_split(array_to_string(toks[1:least($tl, len(toks))], ' '), ' ') AS ttoks,
        |  string_split(array_to_string(toks[${tl + 1}:len(toks)], ' '), ' ') AS btoks
@@ -7474,6 +7864,18 @@ object Search {
        |${oracleBm25ChainFor(fixtureOrTerms, "upd")}
        |SELECT rank, doc_id, score_milli FROM bmranked WHERE rank <= $topK ORDER BY rank""".stripMargin
 
+  /** search_stream_bm25f_upsert's oracle: BM25F over the corpus AFTER
+    * the stream's 5th batch rewrote every doc_id % 7 == 3 document —
+    * the fielded model recomputed over the rewritten source, so dead
+    * old versions, live replacements and healed per-field stats are
+    * all asserted at once.
+    */
+  private[graft] lazy val oracleStreamBm25fUpsert: String =
+    oracleBm25fFrom(
+      "(SELECT doc_id, CASE WHEN doc_id % 7 = 3 THEN replace(text, 'dup', 'dupword') " +
+        "ELSE text END AS text FROM documents)"
+    )
+
   /** RRF fusion oracle: the BM25 chain's top-k and the cosine top-k
     * (the ann_cosine_topk fixture: query vector 0, round-6 cosine, id
     * tie-break) full-outer joined, fused with the exact integer
@@ -7906,6 +8308,15 @@ object Search {
     // fielded scoring: the exact BM25F integer rational form over the
     // deterministic title/body split
     "search_bm25f" -> oracleBm25f,
+    // built-then-appended ≡ one-shot-built, bit for bit
+    "search_bm25f_appended" -> oracleBm25f,
+    // BM25F through LIVE tombstones ≡ BM25F over the live corpus —
+    // the whole fielded model recomputed over the filtered source
+    "search_bm25f_deleted" -> oracleBm25fFrom(fieldedLiveSrc),
+    // post-purge: tombstones consumed, fmeta re-derived — page frozen
+    "search_bm25f_del_compacted" -> oracleBm25fFrom(fieldedLiveSrc),
+    // field-scoped df/N over live rows only
+    "search_field_scoped_deleted" -> oracleFieldScopedFrom(fieldedLiveSrc),
     // the same page rendered from the MERGED index + MERGED store —
     // sharing the oracle gates the whole distributed SERP stack
     "search_merged_kwic" -> oracleKwicPage,

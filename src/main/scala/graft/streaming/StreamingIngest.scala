@@ -973,6 +973,121 @@ object StreamingIngest {
     } finally rmScratch(s, base)
   }
 
+  /** FIELDED (BM25F) index maintenance as a stream — the last index
+    * tier to get the incremental posture every other tier already has
+    * (matching the reference's stance that every load path is
+    * incremental): fielded documents arrive as micro-batches and each
+    * folds into fpostings/fdoclen under the SAME exactly-once protocol
+    * as [[searchIndexStream]] (deterministic `gbatch-<gen>` names with
+    * crashed-attempt pre-delete, the per-field `fmeta_inc` ledger
+    * summed into fmeta, applied-batch marker last, checkpoint-identity
+    * guard). Upsert batches tombstone their own ids first; compaction
+    * purges and heals per-field stats at the `compactEvery` cadence.
+    */
+  def fieldedIndexStream(
+      docs: DataFrame,
+      idCol: String,
+      fieldCols: Seq[String],
+      indexDir: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime(0L),
+      compactEvery: Int = 0,
+      upsert: Boolean = false
+  ): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val bs = batch.sparkSession
+        graft.ops.Search.ensureStreamIdentity(bs, indexDir, checkpoint)
+        if (batchId > graft.ops.Search.lastAppliedSearchBatch(bs, indexDir)) {
+          graft.ops.Search.applyFieldedIndexBatch(batch.toDF(), idCol, fieldCols, indexDir, batchId, upsert)
+          graft.ops.Search.writeLastAppliedSearchBatch(bs, indexDir, batchId)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            graft.ops.Search.compactFieldedIndex(bs, indexDir)
+        }
+      }
+      .start()
+
+  /** The stream-maintained FIELDED index as an ORACLE-GATED query:
+    * the fielded fixture corpus (title/body split) arrives as 4 real
+    * micro-batches with a mid-stream compaction, then the post-drain
+    * BM25F probe must equal the one-shot-built route — it shares
+    * search_bm25f's oracle, so the whole fielded maintenance
+    * lifecycle (batch apply → per-field ledger sums → compaction
+    * fold) is hash-gated end to end.
+    */
+  def searchStreamBm25fProbe(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_search_stream_fld")
+    try {
+      val src = base.resolve("src").toString
+      val idx = base.resolve("index").toString
+      val ckpt = base.resolve("ckpt").toString
+      graft.ops.Search
+        .fieldedFixtureDocs(s, d)
+        .repartition(4, col("doc_id"))
+        .write
+        .parquet(src)
+      val stream = s.readStream
+        .schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+      fieldedIndexStream(stream, "doc_id", Seq("title", "body"), idx, ckpt, Trigger.AvailableNow(), compactEvery = 3)
+        .awaitTermination()
+      graft.ops.Search
+        .bm25fFromIndex(s, idx, graft.ops.Search.fixtureOrTerms, graft.ops.Search.fixtureBoosts, 10)
+        .orderBy("rank")
+        .localCheckpoint(true)
+    } finally rmScratch(s, base)
+  }
+
+  /** Streaming fielded UPSERT — [[searchStreamUpsertProbe]]'s twin on
+    * the BM25F tier: 4 batches build the index, a 5th re-sends every
+    * doc_id % 7 == 3 document with its text rewritten (same
+    * checkpoint, batch ids continue), the upsert apply tombstones the
+    * old versions, compaction purges and heals the per-field stats,
+    * and the post-compaction BM25F probe must equal the fielded model
+    * over the FINAL document versions.
+    */
+  def searchStreamBm25fUpsertProbe(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_search_stream_fldup")
+    try {
+      val src = base.resolve("src").toString
+      val idx = base.resolve("index").toString
+      val ckpt = base.resolve("ckpt").toString
+      val docs = graft.ops.Fixtures.documents(s, d).select(col("doc_id"), col("text"))
+      graft.ops.Search.fieldedDocsOf(docs).repartition(4, col("doc_id")).write.parquet(src)
+      val mkStream = () =>
+        s.readStream
+          .schema(s.read.parquet(src).schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(src)
+      fieldedIndexStream(mkStream(), "doc_id", Seq("title", "body"), idx, ckpt, Trigger.AvailableNow(), upsert = true)
+        .awaitTermination()
+      // the rewritten docs arrive as one more file in the SAME source
+      // dir; restarting on the same checkpoint picks them up as the
+      // next batch — the title/body split applies AFTER the rewrite,
+      // exactly like the oracle's
+      graft.ops.Search
+        .fieldedDocsOf(
+          docs
+            .filter(col("doc_id") % 7 === 3)
+            .select(col("doc_id"), expr("replace(text, 'dup', 'dupword')").as("text"))
+        )
+        .coalesce(1)
+        .write
+        .mode("append")
+        .parquet(src)
+      fieldedIndexStream(mkStream(), "doc_id", Seq("title", "body"), idx, ckpt, Trigger.AvailableNow(), upsert = true)
+        .awaitTermination()
+      graft.ops.Search.compactFieldedIndex(s, idx)
+      graft.ops.Search
+        .bm25fFromIndex(s, idx, graft.ops.Search.fixtureOrTerms, graft.ops.Search.fixtureBoosts, 10)
+        .orderBy("rank")
+        .localCheckpoint(true)
+    } finally rmScratch(s, base)
+  }
+
   /** IVF ANN-INDEX maintenance as a stream — the vector tier's member
     * of the index-maintenance family: embeddings arrive as
     * micro-batches and each batch is assigned to its nearest PERSISTED
@@ -1733,6 +1848,8 @@ object StreamingIngest {
       "search_stream_probe" -> ((s, d) => searchStreamProbe(s, d)),
       "search_stream_analyzed_probe" -> ((s, d) => searchStreamAnalyzedProbe(s, d)),
       "search_stream_upsert" -> ((s, d) => searchStreamUpsertProbe(s, d)),
+      "search_stream_bm25f" -> ((s, d) => searchStreamBm25fProbe(s, d)),
+      "search_stream_bm25f_upsert" -> ((s, d) => searchStreamBm25fUpsertProbe(s, d)),
       "ann_stream_ivf_probe" -> ((s, d) => annStreamIvfProbe(s, d)),
       "search_facets_stream" -> ((s, d) => searchFacetsStreamProbe(s, d)),
       "search_stream_cdc" -> ((s, d) => searchStreamCdcProbe(s, d)),
@@ -1789,6 +1906,12 @@ object StreamingIngest {
       // the upsert-maintained, compacted index must serve BM25 over
       // the FINAL document versions — the oracle replays the rewrite
       "search_stream_upsert" -> graft.ops.Search.oracleUpsertBm25,
+      // the stream-maintained fielded index must answer BM25F exactly
+      // like the one-shot build — shared oracle = gate
+      "search_stream_bm25f" -> graft.ops.Search.oracles("search_bm25f"),
+      // the upsert-maintained, compacted fielded index must serve
+      // BM25F over the FINAL document versions
+      "search_stream_bm25f_upsert" -> graft.ops.Search.oracleStreamBm25fUpsert,
       // exhaustive probe over the stream-maintained IVF index is the
       // exact cosine top-k however vectors were assigned — shares the
       // brute-force oracle, so lost/duplicated/mis-assigned batches

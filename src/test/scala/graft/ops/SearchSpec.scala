@@ -538,6 +538,59 @@ class SearchSpec extends SparkSpec {
       .map(_.getAs[Long]("doc_id")).toSet == Set(3L))
   }
 
+  test("fielded lifecycle: append ≡ one-shot; deletes gate probes; append onto tombstones refuses") {
+    val flds = Seq("title", "body")
+    val docs = Seq(
+      (1L, "cat alpha", "dog runs far"),
+      (2L, "dog beta", "cat sits"),
+      (3L, "cat gamma", "bird flies high"),
+      (4L, "fish delta", "cat dog bird")
+    ).toDF("doc_id", "title", "body")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fld_life").toString
+    val oneShot = s"$tmp/one"
+    val grown = s"$tmp/grown"
+    Search.saveFieldedSearchIndex(docs, "doc_id", flds, oneShot)
+    Search.saveFieldedSearchIndex(docs.filter(col("doc_id") <= 2), "doc_id", flds, grown)
+    Search.appendToFieldedSearchIndex(docs.filter(col("doc_id") > 2), "doc_id", flds, grown)
+    def page(dir: String) = Search
+      .bm25fFromIndex(spark, dir, Seq("cat", "dog"), Seq("title" -> 3L, "body" -> 1L), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(page(grown) == page(oneShot), "built-then-appended must equal one-shot bit for bit")
+    // field-set mismatch refuses before writing
+    intercept[IllegalArgumentException] {
+      Search.appendToFieldedSearchIndex(
+        Seq((9L, "x", "y")).toDF("doc_id", "title", "abstract"), "doc_id",
+        Seq("title", "abstract"), grown)
+    }
+    // delete doc 4: every probe excludes it; fmeta decremented exactly
+    Search.deleteFromFieldedIndex(spark, grown, Seq(4L).toDF("doc_id"))
+    val probe = Search.bm25fFromIndex(spark, grown, Seq("cat", "dog"), Seq("title" -> 3L, "body" -> 1L), 10)
+    assert(!probe.collect().map(_.getAs[Long]("doc_id")).contains(4L))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("tbucket"), plan.take(2000))
+    val m = spark.read.parquet(s"$grown/fmeta").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m("title") == ((3L, 6L)) && m("body") == ((3L, 8L)), m.toString)
+    // double-delete moves nothing
+    Search.deleteFromFieldedIndex(spark, grown, Seq(4L).toDF("doc_id"))
+    val m2 = spark.read.parquet(s"$grown/fmeta").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m2 == m, "deleting an already-deleted id must move nothing")
+    // append onto LIVE tombstones refuses (generation −1 files would
+    // be wrongly killed); compaction purges and re-opens the path
+    intercept[IllegalArgumentException] {
+      Search.appendToFieldedSearchIndex(
+        Seq((5L, "new cat", "late arrival")).toDF("doc_id", "title", "body"), "doc_id", flds, grown)
+    }
+    val before = page(grown)
+    Search.compactFieldedIndex(spark, grown)
+    assert(page(grown) == before, "purge must not move the page")
+    Search.appendToFieldedSearchIndex(
+      Seq((5L, "new cat", "late arrival")).toDF("doc_id", "title", "body"), "doc_id", flds, grown)
+    assert(Search.fieldedTermSearch(spark, grown, "title", Seq("cat"), 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSet == Set(1L, 3L, 5L))
+  }
+
   test("round-14 index routes prune to their terms' bucket dirs (PartitionFilters pins)") {
     val d = "/root/testdata/sf0.001"
     val plans = Seq(

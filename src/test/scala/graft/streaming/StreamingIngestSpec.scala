@@ -725,6 +725,62 @@ class StreamingIngestSpec extends SparkSpec {
     assert(spark.read.parquet(s"$idx/meta_inc").count() == 2L, "replay must not grow the ledger")
   }
 
+  test("fielded batch apply is LEDGER-cost and exactly-once: fmeta from fmeta_inc sums; replay converges") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_fld_ledger").toString + "/idx"
+    val flds = Seq("title", "body")
+    val a = Seq((1L, "big cat", "dog runs fast"), (2L, "small dog", "cat naps"))
+      .toDF("doc_id", "title", "body")
+    val b = Seq((3L, "bird song", "cat dog bird")).toDF("doc_id", "title", "body")
+    graft.ops.Search.applyFieldedIndexBatch(a, "doc_id", flds, idx, 0L)
+    // sabotage the doc-keyed relation BETWEEN batches: if the apply
+    // scanned fdoclen to recompute fmeta, this row would inflate it
+    Seq((999L, 1000L, 1000L)).toDF("doc_id", "dl_title", "dl_body")
+      .write.mode("append").parquet(s"$idx/fdoclen")
+    graft.ops.Search.applyFieldedIndexBatch(b, "doc_id", flds, idx, 1L)
+    def fmeta() = spark.read.parquet(s"$idx/fmeta").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val m = fmeta()
+    assert(m("title") == ((3L, 6L)) && m("body") == ((3L, 8L)),
+      s"fmeta must be the per-field ledger sums, never an fdoclen rescan: $m")
+    assert(spark.read.parquet(s"$idx/fmeta_inc").count() == 4L, "2 batches x 2 field rows")
+    // a REPLAYED batch rewrites its own ledger rows — sums unchanged
+    graft.ops.Search.applyFieldedIndexBatch(b, "doc_id", flds, idx, 1L)
+    assert(fmeta() == m, "replay must converge")
+    assert(spark.read.parquet(s"$idx/fmeta_inc").count() == 4L, "replay must not grow the ledger")
+    // field-set mismatch fails loudly before touching anything
+    intercept[IllegalArgumentException] {
+      graft.ops.Search.applyFieldedIndexBatch(
+        Seq((9L, "x", "y")).toDF("doc_id", "title", "abstract"), "doc_id",
+        Seq("title", "abstract"), idx, 2L)
+    }
+  }
+
+  test("fielded upsert apply: old versions die, per-field stats heal at compaction") {
+    import spark.implicits._
+    val idx = Files.createTempDirectory("graft_fld_upsert").toString + "/idx"
+    val flds = Seq("title", "body")
+    val v1 = Seq((1L, "anchor one", "cat original text"), (2L, "anchor two", "dog keeps this"))
+      .toDF("doc_id", "title", "body")
+    val v2 = Seq((1L, "anchor one", "bird rewritten text longer")).toDF("doc_id", "title", "body")
+    graft.ops.Search.applyFieldedIndexBatch(v1, "doc_id", flds, idx, 0L, upsert = true)
+    graft.ops.Search.applyFieldedIndexBatch(v2, "doc_id", flds, idx, 1L, upsert = true)
+    def hits(term: String) = graft.ops.Search
+      .fieldedTermSearch(spark, idx, "body", Seq(term), 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(hits("cat").isEmpty, "the old version of doc 1 must be dead")
+    assert(hits("bird") == Set(1L) && hits("dog") == Set(2L))
+    // pre-compaction fmeta carries the stale old-version counts (the
+    // documented Lucene window); compaction heals exactly
+    graft.ops.Search.compactFieldedIndex(spark, idx)
+    val m = spark.read.parquet(s"$idx/fmeta").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m("title") == ((2L, 4L)) && m("body") == ((2L, 7L)), m.toString)
+    assert(hits("cat").isEmpty && hits("bird") == Set(1L), "purge must not move the probe")
+    // the fielded ledger folded to one seed row-set
+    assert(spark.read.parquet(s"$idx/fmeta_inc").count() == 2L, "one row per field after fold")
+  }
+
   test("ledger lifecycle: seeded from a saveSearchIndex-built meta; folded to one row by compaction") {
     import spark.implicits._
     val idx = Files.createTempDirectory("graft_search_ledger_seed").toString + "/idx"
