@@ -846,20 +846,37 @@ object Search {
       must: Seq[(String, Long)],
       should: Seq[(String, Long)],
       mustNot: Seq[String],
-      phrases: Seq[Seq[String]]
+      phrases: Seq[Seq[String]],
+      fieldTerms: Seq[(String, String, Long)] = Nil, // (field, term, boost)
+      fuzzy: Seq[(String, Int, Long)] = Nil, // (term, maxDist, boost)
+      wildcards: Seq[(String, Long)] = Nil, // (pattern, boost)
+      ranges: Seq[(Long, Long)] = Nil // len:[lo TO hi] gates
   )
+
+  private val rangeClauseRe = """^len:\[(\d+)\s+TO\s+(\d+)\]$""".r
+  private val someRangeRe = """^([A-Za-z_]\w*):\[.*$""".r
+  private val fieldClauseRe = """^([A-Za-z_]\w*):(.+)$""".r
+  private val fuzzyClauseRe = """^(.+?)~(\d*)$""".r
 
   /** Mini QUERY-STRING parser (the Lucene QueryParser subset
     * production front-ends actually send):
     *
-    *   term        optional (should) clause
-    *   term^N      integer boost on the clause
-    *   +term       must clause (gates AND scores)
-    *   -term       must-not clause (gates only, never scores)
-    *   "a b"       exact-phrase clause (gates only — adjacency)
+    *   term           optional (should) clause
+    *   term^N         integer boost on the clause
+    *   +term          must clause (gates AND scores)
+    *   -term          must-not clause (gates only, never scores)
+    *   "a b"          exact-phrase clause (gates only — adjacency)
+    *   field:term^N   field-scoped clause (scores with in-field idf)
+    *   term~N         fuzzy clause (N ∈ {1,2}; bare `~` means 2 — Lucene's default)
+    *   wi*d?rd^N      wildcard clause (`*` any run, `?` one char)
+    *   len:[a TO b]   doc-length range clause (gates only)
     *
-    * Pure driver-side tokenization — the parse is request-sized by
-    * definition; all execution semantics live in [[searchQueryString]].
+    * `+`/`-` prefixes apply to PLAIN terms only (the subset boundary is
+    * loud, not silent); must-not phrases, boosted ranges and nested
+    * syntax are rejected the way Lucene's parser rejects what it can't
+    * represent. Pure driver-side tokenization — the parse is
+    * request-sized by definition; all execution semantics live in
+    * [[searchQueryString]].
     */
   private[ops] def parseQueryString(q: String): ParsedQuery = {
     // the clause regex would silently read an UNTERMINATED phrase
@@ -868,11 +885,17 @@ object Search {
       q.count(_ == '"') % 2 == 0,
       s"unterminated phrase clause (unbalanced quote) in query: $q"
     )
-    val clause = """[+-]?"[^"]*"|[^\s"]+""".r
+    // bracketed ranges carry spaces, so their alternative must come
+    // before the generic non-space run
+    val clause = """[+-]?"[^"]*"|[A-Za-z_]\w*:\[[^\]]*\]|[^\s"]+""".r
     var must = Vector.empty[(String, Long)]
     var should = Vector.empty[(String, Long)]
     var mustNot = Vector.empty[String]
     var phrases = Vector.empty[Seq[String]]
+    var fieldTerms = Vector.empty[(String, String, Long)]
+    var fuzzy = Vector.empty[(String, Int, Long)]
+    var wildcards = Vector.empty[(String, Long)]
+    var ranges = Vector.empty[(Long, Long)]
     clause.findAllIn(q).foreach { raw =>
       val (op, body) =
         if (raw.startsWith("+")) ('+', raw.drop(1))
@@ -884,80 +907,234 @@ object Search {
         val terms = inner.split("\\s+").filter(_.nonEmpty).toSeq
         require(terms.size >= 2, s"phrase clause needs at least two terms: $raw")
         phrases :+= terms
-      } else {
-        val (term, boost) = body.split("\\^") match {
-          case Array(t)    => (t, 1L)
-          case Array(t, b) => (t, b.toLong)
-          case _           => throw new IllegalArgumentException(s"malformed clause: $raw")
+      } else
+        body match {
+          case rangeClauseRe(lo, hi) =>
+            require(op == ' ', s"range clauses gate only; +/- prefixes are not supported: $raw")
+            val (l, h) = (lo.toLong, hi.toLong)
+            require(l <= h, s"empty range (lo > hi): $raw")
+            ranges :+= (l -> h)
+          case someRangeRe(f) =>
+            throw new IllegalArgumentException(
+              if (f == "len") s"malformed range clause (expected len:[lo TO hi]): $raw"
+              else s"only len: range clauses are supported, got '$f:': $raw"
+            )
+          case _ =>
+            val (core, boost) = body.split("\\^") match {
+              case Array(t)    => (t, 1L)
+              case Array(t, b) => (t, b.toLong)
+              case _           => throw new IllegalArgumentException(s"malformed clause: $raw")
+            }
+            require(core.nonEmpty, s"empty term in clause: $raw")
+            require(boost > 0, s"boost must be positive in clause: $raw")
+            core match {
+              case fieldClauseRe(f, t) =>
+                require(op == ' ', s"+/- prefixes on field clauses are not supported: $raw")
+                require(
+                  !t.exists(c => c == '*' || c == '?' || c == '~' || c == ':' || c == '['),
+                  s"field clause terms must be plain (no wildcards/fuzzy/nesting): $raw"
+                )
+                fieldTerms :+= ((f, t, boost))
+              case fuzzyClauseRe(t, d) =>
+                require(op == ' ', s"+/- prefixes on fuzzy clauses are not supported: $raw")
+                require(
+                  !t.exists(c => c == '*' || c == '?' || c == '~'),
+                  s"fuzzy clause terms must be plain: $raw"
+                )
+                val dist = if (d.isEmpty) 2 else d.toInt
+                require(dist >= 1 && dist <= 2, s"fuzzy distance must be 1 or 2: $raw")
+                fuzzy :+= ((t, dist, boost))
+              case t if t.exists(c => c == '*' || c == '?') =>
+                require(op == ' ', s"+/- prefixes on wildcard clauses are not supported: $raw")
+                wildcards :+= (t -> boost)
+              case t =>
+                op match {
+                  case '+' => must :+= (t -> boost)
+                  case '-' =>
+                    require(boost == 1L, s"must-not clauses cannot carry boosts: $raw")
+                    mustNot :+= t
+                  case _ => should :+= (t -> boost)
+                }
+            }
         }
-        require(term.nonEmpty, s"empty term in clause: $raw")
-        require(boost > 0, s"boost must be positive in clause: $raw")
-        op match {
-          case '+' => must :+= (term -> boost)
-          case '-' =>
-            require(boost == 1L, s"must-not clauses cannot carry boosts: $raw")
-            mustNot :+= term
-          case _ => should :+= (term -> boost)
-        }
-      }
     }
-    ParsedQuery(must, should, mustNot, phrases)
+    ParsedQuery(must, should, mustNot, phrases, fieldTerms, fuzzy, wildcards, ranges)
+  }
+
+  /** The FIELDED scoring leg of the query-string front door: one
+    * pruned fpostings read across ALL the query's (field, term) pairs,
+    * in-field df and the per-field N from fmeta (the
+    * [[fieldedTermSearch]] model, batched), each pair's contribution
+    * multiplied by its clause boost, summed doc-keyed.
+    */
+  private def fieldedLegScores(
+      s: SparkSession,
+      fdir: String,
+      fieldTerms: Seq[(String, String, Long)]
+  ): DataFrame = {
+    require(
+      fieldTerms.map(ft => (ft._1, ft._2)).distinct.size == fieldTerms.size,
+      s"duplicate field:term clause: ${fieldTerms.map(ft => s"${ft._1}:${ft._2}").mkString(", ")}"
+    )
+    val fmeta = readFmeta(s, fdir)
+    fieldTerms.foreach { case (f, _, _) =>
+      require(
+        fmeta.contains(f),
+        s"field '$f' not in the fielded index at $fdir (fields: ${fmeta.keys.toSeq.sorted.mkString(", ")})"
+      )
+    }
+    import s.implicits._
+    val pairs = fieldTerms.toDF("field", "token", "boost")
+    val terms = fieldTerms.map(_._2).distinct
+    val buckets = terms.map(tokenBucket).distinct
+    val pairCond =
+      fieldTerms.map { case (f, t, _) => col("field") === f && col("token") === t }.reduce(_ || _)
+    val fp = liveRows(
+      s,
+      fdir,
+      s.read
+        .parquet(s"$fdir/fpostings")
+        .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
+    )
+      .filter(pairCond)
+      .select(col("field"), col("token"), col("doc_id"), col("tf"))
+    // per-field N riding a CASE chain — the request's fields only
+    val nCol = fieldTerms.map(_._1).distinct.foldLeft(lit(null).cast("long")) { (acc, f) =>
+      when(col("field") === f, lit(fmeta(f)._1)).otherwise(acc)
+    }
+    val model = fp
+      .groupBy(col("field"), col("token"))
+      .agg(count(lit(1)).cast("long").as("df"))
+      .withColumn(
+        "idf_micro",
+        floor(log((nCol + 1).cast("double") / (col("df") + 1)) * 1000000L).cast("bigint")
+      )
+      .join(pairs, Seq("field", "token"))
+      .select(col("field"), col("token"), col("idf_micro"), col("boost"))
+    fp.join(broadcast(model), Seq("field", "token"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("boost") * col("tf") * col("idf_micro")).cast("long").as("score_micro"))
   }
 
   /** QUERY-STRING search from the persisted index — the front door
     * that reunites the serving algebra: must/should terms score as
     * boost·tf·idf (the [[boostedSearchFromIndex]] chain; must terms
-    * additionally GATE — all present), must-not terms anti-join (the
-    * boolean-NOT posture: deliberately unhinted, the excluded set can
-    * be corpus-scale), phrase clauses gate through the positional
-    * index ([[phraseFromIndex]]'s rarest-first fold). Every leg reads
-    * only its clauses' pruned bucket dirs; the legs meet doc-keyed at
+    * additionally GATE — all present), fuzzy and wildcard clauses
+    * rewrite to their capped dictionary expansions (Lucene's
+    * MultiTermQuery rewrite; an expanded term carries its clause's
+    * boost, and a token reached twice — two expansions, or expansion ∩
+    * explicit — merges by SUMMING boosts, exactly the score two
+    * same-token clauses contribute since boost·tf·idf is linear in the
+    * boost), `field:term` clauses score with in-field idf from the
+    * FIELDED index ([[fieldedTermSearch]]'s model — requires
+    * `fieldedDir`), `len:[a TO b]` clauses gate on the index's own
+    * doclen relation, must-not terms anti-join (the boolean-NOT
+    * posture: deliberately unhinted, the excluded set can be
+    * corpus-scale), phrase clauses gate through the positional index
+    * ([[phraseFromIndex]]'s rarest-first fold). Every leg reads only
+    * its clauses' pruned bucket dirs; the legs meet doc-keyed at
     * match-set size.
     */
-  def searchQueryString(s: SparkSession, indexDir: String, q: String, k: Int): DataFrame = {
+  def searchQueryString(
+      s: SparkSession,
+      indexDir: String,
+      q: String,
+      k: Int,
+      fieldedDir: Option[String] = None,
+      maxExpand: Int = 8
+  ): DataFrame = {
     val pq = parseQueryString(q)
-    val scoreTerms = pq.must ++ pq.should
+    val explicitTerms = pq.must ++ pq.should
     require(
-      scoreTerms.nonEmpty,
-      s"query '$q' has no scoring clause (only must-not/phrase clauses)"
-    )
-    require(
-      scoreTerms.map(_._1).distinct.size == scoreTerms.size,
+      explicitTerms.map(_._1).distinct.size == explicitTerms.size,
       s"duplicate term across clauses in '$q'"
     )
-    val terms = scoreTerms.map(_._1)
-    val mustTerms = pq.must.map(_._1)
-    val buckets = terms.map(tokenBucket).distinct
-    val p = liveRows(
-      s,
-      indexDir,
-      s.read
-        .schema(postingsSchema)
-        .parquet(s"$indexDir/postings")
-        .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
+    require(
+      explicitTerms.nonEmpty || pq.fieldTerms.nonEmpty || pq.fuzzy.nonEmpty ||
+        pq.wildcards.nonEmpty,
+      s"query '$q' has no scoring clause (only must-not/phrase/range clauses)"
     )
-    val nDocs = readMeta(s, indexDir)._1
+    require(
+      pq.fieldTerms.isEmpty || fieldedDir.nonEmpty,
+      s"query '$q' has field clauses but no fielded index dir was provided"
+    )
+    require(maxExpand >= 1, s"maxExpand must be >= 1, got $maxExpand")
+    val expanded: Seq[(String, Long)] =
+      pq.fuzzy.flatMap { case (t, dist, b) =>
+        fuzzyExpansion(s, indexDir, t, dist, maxExpand)
+          .select("token")
+          .collect()
+          .map(_.getString(0) -> b)
+          .toSeq
+      } ++
+        pq.wildcards.flatMap { case (p, b) =>
+          wildcardExpansion(s, indexDir, p, maxExpand).map(_ -> b)
+        }
+    val scoreTerms: Seq[(String, Long)] =
+      (explicitTerms ++ expanded)
+        .groupBy(_._1)
+        .map { case (t, xs) => t -> xs.map(_._2).sum }
+        .toSeq
+        .sortBy(_._1)
+    val mustTerms = pq.must.map(_._1)
     import s.implicits._
-    val boostDf = scoreTerms.toDF("token", "boost")
-    val model = p
-      .groupBy(col("token"))
-      .agg(count(lit(1)).cast("long").as("df"))
-      .withColumn(
-        "idf_micro",
-        floor(log(lit(nDocs + 1).cast("double") / (col("df") + 1)) * 1000000L).cast("bigint")
-      )
-      .join(boostDf, "token")
-      .select(col("token"), col("idf_micro"), col("boost"))
-    val scored = p
-      .join(broadcast(model), "token")
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(col("boost") * col("tf") * col("idf_micro")).cast("long").as("score_micro"),
-        count(when(col("token").isin(mustTerms: _*), lit(1))).cast("long").as("n_must")
-      )
-      .filter(col("n_must") === mustTerms.size.toLong)
-      .select(col("doc_id"), col("score_micro"))
-    val phraseGated = pq.phrases.foldLeft(scored) { (acc, ph) =>
+    val unfieldedLeg: Option[DataFrame] =
+      if (scoreTerms.isEmpty) None
+      else
+        Some {
+          val terms = scoreTerms.map(_._1)
+          val buckets = terms.map(tokenBucket).distinct
+          val p = liveRows(
+            s,
+            indexDir,
+            s.read
+              .schema(postingsSchema)
+              .parquet(s"$indexDir/postings")
+              .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
+          )
+          val nDocs = readMeta(s, indexDir)._1
+          val boostDf = scoreTerms.toDF("token", "boost")
+          val model = p
+            .groupBy(col("token"))
+            .agg(count(lit(1)).cast("long").as("df"))
+            .withColumn(
+              "idf_micro",
+              floor(log(lit(nDocs + 1).cast("double") / (col("df") + 1)) * 1000000L).cast("bigint")
+            )
+            .join(boostDf, "token")
+            .select(col("token"), col("idf_micro"), col("boost"))
+          p.join(broadcast(model), "token")
+            .groupBy(col("doc_id"))
+            .agg(
+              sum(col("boost") * col("tf") * col("idf_micro")).cast("long").as("score_micro"),
+              count(when(col("token").isin(mustTerms: _*), lit(1))).cast("long").as("n_must")
+            )
+        }
+    val fieldedLeg: Option[DataFrame] =
+      if (pq.fieldTerms.isEmpty) None
+      else Some(fieldedLegScores(s, fieldedDir.get, pq.fieldTerms).withColumn("n_must", lit(0L)))
+    val legs = unfieldedLeg.toSeq ++ fieldedLeg.toSeq
+    // single-leg queries keep the one-aggregate plan; two legs meet in
+    // a second doc-keyed aggregate over hit-set-sized inputs
+    val combined =
+      (if (legs.size == 1) legs.head
+       else
+         legs
+           .reduce(_ unionByName _)
+           .groupBy(col("doc_id"))
+           .agg(
+             sum(col("score_micro")).cast("long").as("score_micro"),
+             sum(col("n_must")).cast("long").as("n_must")
+           ))
+        .filter(col("n_must") === mustTerms.size.toLong)
+        .select(col("doc_id"), col("score_micro"))
+    val rangeGated = pq.ranges.foldLeft(combined) { case (acc, (lo, hi)) =>
+      val dl = liveRows(s, indexDir, s.read.parquet(s"$indexDir/doclen"), keyCol = "doc_id")
+        .filter(col("dl") >= lo && col("dl") <= hi)
+        .select(col("doc_id"))
+      acc.join(dl, Seq("doc_id"), "left_semi")
+    }
+    val phraseGated = pq.phrases.foldLeft(rangeGated) { (acc, ph) =>
       acc.join(
         phraseFromIndex(s, indexDir, ph).select(col("doc_id")),
         Seq("doc_id"),
@@ -2670,18 +2847,7 @@ object Search {
       analyzed: Boolean = false
   ): DataFrame = {
     require(pattern.nonEmpty, "wildcard search needs a non-empty pattern")
-    // analyzed mode applies the analyzer's CASE fold to the pattern
-    // (edge-punct stripping is meaningless across wildcard metachars -
-    // an analyzed dictionary has no edge punctuation to match anyway)
-    val p = if (analyzed) pattern.toLowerCase else pattern
-    val terms = vocabRows(s, indexDir, analyzed)
-      .filter(col("token").like(likePattern(p)))
-      .orderBy(col("df").desc, col("token").asc)
-      .limit(maxExpand)
-      .select("token")
-      .collect()
-      .map(_.getString(0))
-      .toSeq
+    val terms = wildcardExpansion(s, indexDir, pattern, maxExpand, analyzed)
     if (terms.isEmpty) emptyHits(s)
     else if (analyzed) analyzedFromIndex(s, indexDir, terms, k, requireAll = false)
     else termSearchFromIndex(s, indexDir, terms, k, requireAll = false)
@@ -2737,6 +2903,32 @@ object Search {
       } else { out.append(p.charAt(i).toLower); i += 1 }
     }
     out.toString
+  }
+
+  /** The capped wildcard expansion over the types-scale vocab (the
+    * rewrite [[wildcardSearchFromIndex]] and the query-string front
+    * door share): dictionary terms LIKE-matching the glob, ranked
+    * (df desc, token asc), top maxExpand. Analyzed mode applies the
+    * analyzer's CASE fold to the pattern (edge-punct stripping is
+    * meaningless across wildcard metachars — an analyzed dictionary
+    * has no edge punctuation to match anyway).
+    */
+  private def wildcardExpansion(
+      s: SparkSession,
+      indexDir: String,
+      pattern: String,
+      maxExpand: Int,
+      analyzed: Boolean = false
+  ): Seq[String] = {
+    val p = if (analyzed) pattern.toLowerCase else pattern
+    vocabRows(s, indexDir, analyzed)
+      .filter(col("token").like(likePattern(p)))
+      .orderBy(col("df").desc, col("token").asc)
+      .limit(maxExpand)
+      .select("token")
+      .collect()
+      .map(_.getString(0))
+      .toSeq
   }
 
   /** Glob-style pattern → LIKE pattern: literal %/_/\ escaped (both
@@ -4741,6 +4933,47 @@ object Search {
 
   val searchQueryStringQ: Q = (s, d) =>
     searchQueryString(s, demoSearchIndexDir(s, d), fixtureQueryString, topK).orderBy("rank")
+
+  /** Field-clause front door: a must term scored from the unfielded
+    * index PLUS a `title:`-scoped clause scored with in-field idf from
+    * the fielded index, the legs summed doc-keyed, must + not gates
+    * intact — the oracle recomputes both chains and the merge.
+    */
+  private[ops] val fixtureQueryStringFielded = "+dup title:window^2 -merge"
+
+  val searchQueryStringFielded: Q = (s, d) =>
+    searchQueryString(
+      s,
+      demoSearchIndexDir(s, d),
+      fixtureQueryStringFielded,
+      topK,
+      fieldedDir = Some(demoFieldedIndexDir(s, d))
+    ).orderBy("rank")
+
+  /** Fuzzy + wildcard clauses in ONE query string, with an explicit
+    * boosted term — the capped expansions rewrite onto the same
+    * scoring pass, token collisions merging by boost sum.
+    */
+  private[ops] val fixtureQueryStringFuzzy = s"dup^2 $fixtureTypo~2 $fixtureWildcard"
+  private[ops] val fixtureQsExpand = 3
+
+  val searchQueryStringFuzzy: Q = (s, d) =>
+    searchQueryString(
+      s,
+      demoSearchIndexDir(s, d),
+      fixtureQueryStringFuzzy,
+      topK,
+      maxExpand = fixtureQsExpand
+    ).orderBy("rank")
+
+  /** Doc-length range clause gating a boosted OR page — `len:` reads
+    * the index's own doclen relation, never the store or text.
+    */
+  private[ops] val fixtureQueryStringRange = "dup window^3 len:[32 TO 63]"
+
+  val searchQueryStringRange: Q = (s, d) =>
+    searchQueryString(s, demoSearchIndexDir(s, d), fixtureQueryStringRange, topK)
+      .orderBy("rank")
 
   /** Chunk-retrieval fixtures: 16-token windows. */
   private[ops] val fixtureChunkSize = 16
@@ -6795,6 +7028,9 @@ object Search {
     "search_hit_count" -> searchHitCount,
     "search_auto_correct" -> searchAutoCorrect,
     "search_query_string" -> searchQueryStringQ,
+    "search_query_string_fielded" -> searchQueryStringFielded,
+    "search_query_string_fuzzy" -> searchQueryStringFuzzy,
+    "search_query_string_range" -> searchQueryStringRange,
     "search_chunk_bm25" -> searchChunkBm25,
     "search_chunk_bm25_index" -> searchChunkBm25Index,
     "search_range_facet" -> searchRangeFacet,
@@ -7438,6 +7674,119 @@ object Search {
        |  FROM scored)
        |SELECT rank, doc_id, score_micro FROM qsr WHERE rank <= $topK ORDER BY rank""".stripMargin
   }
+
+  /** Field-clause front-door oracle: the unfielded must leg ('dup',
+    * boost 1) and the title-scoped leg ('window', boost 2, in-field
+    * df/N over the deterministic title split) recomputed independently,
+    * UNION-summed doc-keyed, gated to must-leg membership minus the
+    * excluded set — the engine's two-leg merge replayed exactly.
+    */
+  private lazy val oracleQueryStringFielded: String = {
+    val (mustT, fieldT, notT) = ("dup", "window", "merge")
+    val tl = fixtureTitleLen
+    s"""WITH $postingsSql,
+       |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       |dfu AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM p
+       |        WHERE token = ${sqlLit(mustT)} GROUP BY token),
+       |mu AS (
+       |  SELECT token,
+       |    CAST(floor(ln(((SELECT n_docs FROM nd) + 1) / CAST(df + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS idf_micro
+       |  FROM dfu),
+       |leg1 AS (
+       |  SELECT p.doc_id, CAST(sum(1 * p.tf * m.idf_micro) AS BIGINT) AS sc
+       |  FROM p JOIN mu m ON m.token = p.token GROUP BY p.doc_id),
+       |tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |fd AS (SELECT doc_id,
+       |  string_split(array_to_string(toks[1:least($tl, len(toks))], ' '), ' ') AS ttoks
+       | FROM tk),
+       |nf AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM fd),
+       |tt AS (SELECT doc_id, unnest(ttoks) AS token FROM fd),
+       |tp AS (SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf FROM tt
+       |       WHERE token = ${sqlLit(fieldT)} GROUP BY token, doc_id),
+       |dff AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tp GROUP BY token),
+       |mf AS (
+       |  SELECT token,
+       |    CAST(floor(ln(((SELECT n_docs FROM nf) + 1) / CAST(df + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS idf_micro
+       |  FROM dff),
+       |leg2 AS (
+       |  SELECT tp.doc_id, CAST(sum(2 * tp.tf * m.idf_micro) AS BIGINT) AS sc
+       |  FROM tp JOIN mf m ON m.token = tp.token GROUP BY tp.doc_id),
+       |exd AS (SELECT DISTINCT doc_id FROM p WHERE token = ${sqlLit(notT)}),
+       |uni AS (SELECT doc_id, sc FROM leg1 UNION ALL SELECT doc_id, sc FROM leg2),
+       |agg AS (SELECT doc_id, CAST(sum(sc) AS BIGINT) AS score_micro FROM uni GROUP BY doc_id),
+       |gat AS (
+       |  SELECT doc_id, score_micro FROM agg
+       |  WHERE doc_id IN (SELECT doc_id FROM leg1)
+       |    AND doc_id NOT IN (SELECT doc_id FROM exd)),
+       |qfr AS (
+       |  SELECT doc_id, score_micro,
+       |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM gat)
+       |SELECT rank, doc_id, score_micro FROM qfr WHERE rank <= $topK ORDER BY rank""".stripMargin
+  }
+
+  /** Fuzzy + wildcard front-door oracle: both capped expansions
+    * recomputed from the vocab (dist-then-df and df-then-token ranks),
+    * merged with the explicit boosted term by SUMMING boosts per
+    * token, then the single disjunctive boost·tf·idf pass.
+    */
+  private lazy val oracleQueryStringFuzzy: String =
+    s"""WITH $postingsSql,
+       |v AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY token),
+       |fz AS (
+       |  SELECT token FROM (
+       |    SELECT token, df, CAST(levenshtein(token, ${sqlLit(fixtureTypo)}) AS BIGINT) AS dist
+       |    FROM v WHERE abs(length(token) - ${fixtureTypo.length}) <= 2) x
+       |  WHERE dist <= 2 ORDER BY dist, df DESC, token LIMIT $fixtureQsExpand),
+       |wc AS (
+       |  SELECT token FROM v
+       |  WHERE token LIKE ${sqlLit(likePattern(fixtureWildcard))} ESCAPE '\\'
+       |  ORDER BY df DESC, token LIMIT $fixtureQsExpand),
+       |tb AS (
+       |  SELECT token, CAST(sum(boost) AS BIGINT) AS boost FROM (
+       |    SELECT 'dup' AS token, 2 AS boost
+       |    UNION ALL SELECT token, 1 AS boost FROM fz
+       |    UNION ALL SELECT token, 1 AS boost FROM wc) u
+       |  GROUP BY token),
+       |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       |model AS (
+       |  SELECT tb.token, tb.boost,
+       |    CAST(floor(ln(((SELECT n_docs FROM nd) + 1) / CAST(v.df + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS idf_micro
+       |  FROM tb JOIN v ON v.token = tb.token),
+       |scored AS (
+       |  SELECT p.doc_id, CAST(sum(m.boost * p.tf * m.idf_micro) AS BIGINT) AS score_micro
+       |  FROM p JOIN model m ON m.token = p.token GROUP BY p.doc_id),
+       |qzr AS (
+       |  SELECT doc_id, score_micro,
+       |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT rank, doc_id, score_micro FROM qzr WHERE rank <= $topK ORDER BY rank""".stripMargin
+
+  /** Range-clause front-door oracle: the boosted OR chain gated by
+    * each document's token length between the clause bounds.
+    */
+  private lazy val oracleQueryStringRange: String =
+    s"""WITH $postingsSql,
+       |tb AS (SELECT * FROM (VALUES ('dup', 1), ('window', 3)) t(token, boost)),
+       |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       |dfm AS (SELECT p.token, CAST(count(*) AS BIGINT) AS df FROM p
+       |        JOIN tb ON tb.token = p.token GROUP BY p.token),
+       |model AS (
+       |  SELECT d.token, tb.boost,
+       |    CAST(floor(ln(((SELECT n_docs FROM nd) + 1) / CAST(d.df + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS idf_micro
+       |  FROM dfm d JOIN tb ON tb.token = d.token),
+       |scored AS (
+       |  SELECT p.doc_id, CAST(sum(m.boost * p.tf * m.idf_micro) AS BIGINT) AS score_micro
+       |  FROM p JOIN model m ON m.token = p.token GROUP BY p.doc_id),
+       |dls AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+       |gat AS (
+       |  SELECT s.doc_id, s.score_micro FROM scored s
+       |  JOIN dls ON dls.doc_id = s.doc_id AND dls.dl BETWEEN 32 AND 63),
+       |qrr AS (
+       |  SELECT doc_id, score_micro,
+       |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM gat)
+       |SELECT rank, doc_id, score_micro FROM qrr WHERE rank <= $topK ORDER BY rank""".stripMargin
 
   /** Hit-count oracle: exact-token AND/OR cardinalities over the
     * recomputed postings.
@@ -8125,6 +8474,9 @@ object Search {
     "search_hit_count" -> oracleHitCount,
     "search_auto_correct" -> oracleAutoCorrect,
     "search_query_string" -> oracleQueryString,
+    "search_query_string_fielded" -> oracleQueryStringFielded,
+    "search_query_string_fuzzy" -> oracleQueryStringFuzzy,
+    "search_query_string_range" -> oracleQueryStringRange,
     // chunk retrieval: corpus and index twins share the pooled oracle
     "search_chunk_bm25" -> oracleChunkBm25,
     "search_chunk_bm25_index" -> oracleChunkBm25,

@@ -1927,6 +1927,46 @@ class SearchSpec extends SparkSpec {
     intercept[IllegalArgumentException](Search.parseQueryString("dup \"hash join -x"))
   }
 
+  test("parseQueryString: field/fuzzy/wildcard/range clauses parse; subset boundary is loud") {
+    val pq = Search.parseQueryString("title:spark^2 quey~1 wild*c?rd^3 len:[32 TO 63] dup~")
+    assert(pq.fieldTerms == Seq(("title", "spark", 2L)))
+    assert(pq.fuzzy == Seq(("quey", 1, 1L), ("dup", 2, 1L))) // bare ~ = Lucene's default 2
+    assert(pq.wildcards == Seq("wild*c?rd" -> 3L))
+    assert(pq.ranges == Seq(32L -> 63L))
+    assert(pq.must.isEmpty && pq.should.isEmpty && pq.mustNot.isEmpty)
+    // malformed / out-of-subset clauses fail loudly, never parse as bare terms
+    intercept[IllegalArgumentException](Search.parseQueryString("len:[63 TO 32]")) // empty range
+    intercept[IllegalArgumentException](Search.parseQueryString("len:[32 TO]")) // malformed range
+    intercept[IllegalArgumentException](Search.parseQueryString("dl:[1 TO 2]")) // unknown range field
+    intercept[IllegalArgumentException](Search.parseQueryString("quey~3")) // dist > 2
+    intercept[IllegalArgumentException](Search.parseQueryString("+title:spark")) // +/- on field
+    intercept[IllegalArgumentException](Search.parseQueryString("-quey~1")) // +/- on fuzzy
+    intercept[IllegalArgumentException](Search.parseQueryString("+wi*ld")) // +/- on wildcard
+    intercept[IllegalArgumentException](Search.parseQueryString("title:wi*ld")) // nested wildcard
+    intercept[IllegalArgumentException](Search.parseQueryString("sp?rk~1")) // nested fuzzy
+  }
+
+  test("searchQueryString: field clause without a fielded dir and rangeless scoring guards") {
+    val docs = Seq((1L, "dup alpha beta"), (2L, "window gamma")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_qs").toString + "/idx"
+    Search.saveSearchIndex(docs, "doc_id", "text", dir)
+    val e = intercept[IllegalArgumentException](
+      Search.searchQueryString(spark, dir, "dup title:window", 10)
+    )
+    assert(e.getMessage.contains("no fielded index dir"))
+    // range/not-only queries have nothing to score — loud, not empty
+    intercept[IllegalArgumentException](Search.searchQueryString(spark, dir, "len:[1 TO 9]", 10))
+    // a range clause gates the scored page on the doclen relation:
+    // doc 1 is 3 tokens, doc 2 is 2 tokens
+    assert(Search.searchQueryString(spark, dir, "dup window len:[4 TO 9]", 10).collect().isEmpty)
+    val kept3 = Search.searchQueryString(spark, dir, "dup window len:[3 TO 3]", 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(kept3 == Set(1L))
+    val keptBoth = Search.searchQueryString(spark, dir, "dup window len:[2 TO 3]", 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(keptBoth == Set(1L, 2L))
+  }
+
   test("lowerRegexLiterals: literals fold, backslash escapes survive") {
     assert(Search.lowerRegexLiterals("^S.A.*") == "^s.a.*")
     assert(Search.lowerRegexLiterals("\\Wend\\S\\D") == "\\Wend\\S\\D".replace("end", "end"))
