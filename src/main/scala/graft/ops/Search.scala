@@ -533,6 +533,55 @@ object Search {
       k: Int
   ): DataFrame = chunkPool(bm25ScoredFromIndex(s, indexDir, terms), k)
 
+  /** CHUNK-PAGE rendering — the RAG reader feed that closes the loop
+    * [[chunkBm25FromIndex]] opens: the winning (doc_id, chunk_no)
+    * pointers of the chunk-BM25 page rendered as ACTUAL chunk text
+    * from the doc store. The page is request-sized (collected
+    * driver-side, the deduped-page pattern every rendering route
+    * uses); the store read is pruned to the page's dbucket dirs
+    * (PartitionFilters) AND doc ids; the chunk re-slices by the
+    * [[chunkRelation]] convention (token window [chunk_no·size,
+    * +size)), so the rendered text is byte-identical to what the
+    * index scored. Output: (rank, doc_id, chunk_no, score_milli,
+    * chunk_text).
+    */
+  def chunkPageFromIndex(
+      s: SparkSession,
+      chunkIndexDir: String,
+      storeDir: String,
+      terms: Seq[String],
+      chunkSize: Int,
+      k: Int
+  ): DataFrame = {
+    import s.implicits._
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    val page = chunkBm25FromIndex(s, chunkIndexDir, terms, k)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    if (page.isEmpty) {
+      return Seq
+        .empty[(Long, Long, Long, Long, String)]
+        .toDF("rank", "doc_id", "chunk_no", "score_milli", "chunk_text")
+    }
+    val ids = page.map(_._2).distinct.toSeq
+    val dbuckets = ids.map(docBucket).distinct
+    val ranked = page.toSeq.toDF("rank", "doc_id", "chunk_no", "score_milli")
+    val toks = docStoreLive(s, storeDir)
+      .filter(col("dbucket").isin(dbuckets: _*) && col("doc_id").isin(ids: _*))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    broadcast(ranked)
+      .join(toks, "doc_id")
+      .select(
+        col("rank"),
+        col("doc_id"),
+        col("chunk_no"),
+        col("score_milli"),
+        expr(
+          s"array_join(slice(toks, cast(chunk_no * $chunkSize + 1 as int), $chunkSize), ' ')"
+        ).as("chunk_text")
+      )
+  }
+
   /** Per-document max-pool + page rank shared by the chunk routes:
     * best chunk per doc (score desc, chunk_no asc), docs ranked
     * (score desc, doc_id asc), rank stamped on the ≤ k survivors.
@@ -5000,6 +5049,20 @@ object Search {
   val searchChunkBm25Index: Q = (s, d) =>
     chunkBm25FromIndex(s, demoChunkIndexDir(s, d), fixtureOrTerms, topK).orderBy("rank")
 
+  /** Chunk-page gate — the RAG reader feed: the winning chunks
+    * rendered as text from the doc store; the oracle recomputes the
+    * winner snippets from the chunk relation in SQL.
+    */
+  val searchChunkPage: Q = (s, d) =>
+    chunkPageFromIndex(
+      s,
+      demoChunkIndexDir(s, d),
+      demoDocStoreDir(s, d),
+      fixtureOrTerms,
+      fixtureChunkSize,
+      topK
+    ).orderBy("rank")
+
   /** Auto-correct gate: the fixture typo has ZERO exact hits, so the
     * retry must serve the top did-you-mean correction with the
     * corrected term riding every row.
@@ -7033,6 +7096,7 @@ object Search {
     "search_query_string_range" -> searchQueryStringRange,
     "search_chunk_bm25" -> searchChunkBm25,
     "search_chunk_bm25_index" -> searchChunkBm25Index,
+    "search_chunk_page" -> searchChunkPage,
     "search_range_facet" -> searchRangeFacet,
     "search_grouped_topk" -> searchGroupedTopK,
     "search_best_passage" -> searchBestPassage,
@@ -7594,10 +7658,13 @@ object Search {
     * composite cids, same window slicing), the BM25 chain over CHUNKS,
     * per-doc max-pool (score desc, chunk_no asc), page over docs.
     */
-  private lazy val oracleChunkBm25: String = {
+  /** The chunk-BM25 CTE chain up to `crk` (doc-pooled chunk page) —
+    * shared by the page gate and its rendered twin.
+    */
+  private lazy val oracleChunkChain: String = {
     val cs = fixtureChunkSize
     val base = chunkIdBase
-    s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s"""tk AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
        |ch AS (
        |  SELECT doc_id * $base + cn AS doc_id,
        |    array_to_string(toks[(cn * $cs + 1):least(len(toks), cn * $cs + $cs)], ' ') AS text
@@ -7612,9 +7679,25 @@ object Search {
        |crk AS (
        |  SELECT ddoc AS doc_id, chunk_no, score_milli,
        |    CAST(row_number() OVER (ORDER BY score_milli DESC, ddoc ASC) AS BIGINT) AS rank
-       |  FROM b1)
+       |  FROM b1)""".stripMargin
+  }
+
+  private lazy val oracleChunkBm25: String =
+    s"""WITH $oracleChunkChain
        |SELECT rank, doc_id, CAST(chunk_no AS BIGINT) AS chunk_no, score_milli
        |FROM crk WHERE rank <= $topK ORDER BY rank""".stripMargin
+
+  /** Chunk-page oracle: the pooled chunk page joined back to each
+    * winner's token array, the chunk re-sliced by the shared window
+    * convention.
+    */
+  private lazy val oracleChunkPage: String = {
+    val cs = fixtureChunkSize
+    s"""WITH $oracleChunkChain
+       |SELECT c.rank, c.doc_id, CAST(c.chunk_no AS BIGINT) AS chunk_no, c.score_milli,
+       |  array_to_string(t.toks[(c.chunk_no * $cs + 1):least(len(t.toks), c.chunk_no * $cs + $cs)], ' ') AS chunk_text
+       |FROM crk c JOIN tk t ON t.doc_id = c.doc_id
+       |WHERE c.rank <= $topK ORDER BY c.rank""".stripMargin
   }
 
   /** Query-string oracle (`+dup window^3 -merge "hash join"`): the
@@ -8480,6 +8563,7 @@ object Search {
     // chunk retrieval: corpus and index twins share the pooled oracle
     "search_chunk_bm25" -> oracleChunkBm25,
     "search_chunk_bm25_index" -> oracleChunkBm25,
+    "search_chunk_page" -> oracleChunkPage,
     "search_range_facet" -> oracleRangeFacet,
     "search_grouped_topk" -> oracleGroupedTopK,
     "search_best_passage" -> oracleBestPassage,

@@ -710,6 +710,40 @@ class SearchSpec extends SparkSpec {
     assert(empty.columns.toSeq == Seq("rank", "doc_id", "pos", "snippet") && empty.count() == 0)
   }
 
+  test("chunkPageFromIndex: winners render their OWN chunk text; store read is page-pruned") {
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_chunkpage_idx").toString + "/idx"
+    val storeDir =
+      java.nio.file.Files.createTempDirectory("graft_chunkpage_store").toString + "/docs"
+    // chunkSize 2: doc 1's SECOND chunk carries the term twice (beats
+    // its first), doc 2's first chunk once, doc 3 never matches
+    val docs = Seq(
+      (1L, "x y hash hash"),
+      (2L, "hash z a b"),
+      (3L, "no term here")
+    ).toDF("doc_id", "text")
+    Search.saveSearchIndex(
+      Search.chunkRelation(docs, "doc_id", "text", 2).selectExpr("doc_id * 1000 + chunk_no AS cid", "ctext"),
+      "cid",
+      "ctext",
+      idxDir
+    )
+    Search.saveDocStore(docs, "doc_id", "text", storeDir)
+    val page = Search.chunkPageFromIndex(spark, idxDir, storeDir, Seq("hash"), 2, 10)
+    val got = page.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(4))).toSeq
+    assert(
+      got.sorted == Seq((1L, 1L, 1L, "hash hash"), (2L, 2L, 0L, "hash z")),
+      got.toString
+    )
+    val plan = page.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("dbucket"), plan.take(2000))
+    // an empty page keeps the page schema
+    val empty = Search.chunkPageFromIndex(spark, idxDir, storeDir, Seq("absentterm"), 2, 10)
+    assert(
+      empty.columns.toSeq == Seq("rank", "doc_id", "chunk_no", "score_milli", "chunk_text") &&
+        empty.count() == 0
+    )
+  }
+
   test("pre-dl index format fails LOUDLY: no format_version marker → probes and compaction throw") {
     val dir = java.nio.file.Files.createTempDirectory("graft_searchidx_v1").toString
     val docs = Seq((1L, "cat dog"), (2L, "cat x y")).toDF("doc_id", "text")
