@@ -1264,6 +1264,50 @@ object Search {
     }
   }
 
+  /** MULTI-TERM auto-correct — the generalization of
+    * [[searchWithAutoCorrect]] a real search box needs (one typo'd
+    * term must not kill the whole query): per-term aliveness against
+    * the DICTIONARY (one vocab read pruned to the query's terms — a
+    * term is dead iff it has no dictionary entry, which is exactly the
+    * single-term route's zero-hit condition), only the DEAD terms
+    * retry through did-you-mean's top-1 correction; a dead term with
+    * no correction within maxDist stays as-is and contributes nothing
+    * (the spell-checker posture — never silently drop a clause). The
+    * final disjunctive page rides `terms_used` (the corrected query,
+    * space-joined, input order) on every row. Cost: the aliveness
+    * probe is request-sized, corrections run per dead term only, the
+    * page is the standard pruned-bucket OR chain.
+    */
+  def searchWithAutoCorrectMulti(
+      s: SparkSession,
+      indexDir: String,
+      terms: Seq[String],
+      maxDist: Int,
+      k: Int
+  ): DataFrame = {
+    require(terms.nonEmpty, "auto-correct needs at least one term")
+    require(terms.distinct.size == terms.size, s"duplicate terms: ${terms.mkString(", ")}")
+    val alive = vocabRows(s, indexDir, analyzed = false)
+      .filter(col("token").isin(terms: _*))
+      .select("token")
+      .collect()
+      .map(_.getString(0))
+      .toSet
+    val corrected = terms.map { t =>
+      if (alive(t)) t
+      else
+        didYouMean(s, indexDir, t, maxDist, n = 1)
+          .collect()
+          .headOption
+          .map(_.getString(1))
+          .getOrElse(t)
+    }
+    // two typos may correct onto the same token — the OR page scores
+    // the distinct set; terms_used keeps the per-clause story
+    termSearchFromIndex(s, indexDir, corrected.distinct, k, requireAll = false)
+      .withColumn("terms_used", lit(corrected.mkString(" ")))
+  }
+
   /** [[minShouldMatchSearch]] served from the persisted index: the
     * terms' bucket dirs are statically pruned like every index route,
     * the ≥ minMatched gate runs on the per-doc matched-term count —
@@ -5071,6 +5115,19 @@ object Search {
     searchWithAutoCorrect(s, demoSearchIndexDir(s, d), fixtureTypo, fixtureFuzzyDist, topK)
       .orderBy("rank")
 
+  /** Multi-term auto-correct gate: one alive term + the fixture typo —
+    * only the dead term corrects, the OR page serves both, and
+    * terms_used carries the corrected query on every row.
+    */
+  val searchAutoCorrectMulti: Q = (s, d) =>
+    searchWithAutoCorrectMulti(
+      s,
+      demoSearchIndexDir(s, d),
+      Seq("dup", fixtureTypo),
+      fixtureFuzzyDist,
+      topK
+    ).orderBy("rank")
+
   /** Range-facet fixture: doc-length histogram at width 32 over the
     * AND match set.
     */
@@ -7090,6 +7147,7 @@ object Search {
     "search_term_boost" -> searchTermBoost,
     "search_hit_count" -> searchHitCount,
     "search_auto_correct" -> searchAutoCorrect,
+    "search_auto_correct_multi" -> searchAutoCorrectMulti,
     "search_query_string" -> searchQueryStringQ,
     "search_query_string_fielded" -> searchQueryStringFielded,
     "search_query_string_fuzzy" -> searchQueryStringFuzzy,
@@ -7912,6 +7970,36 @@ object Search {
        |SELECT rank, doc_id, score_micro, (SELECT token FROM corr) AS term_used
        |FROM acr WHERE rank <= $topK ORDER BY rank""".stripMargin
 
+  /** Multi-term auto-correct oracle: the single-term correction chain
+    * per DEAD term ('dup' is alive, the fixture typo corrects through
+    * the vocab's dist-then-df top-1), then the OR chain over the
+    * corrected set with terms_used rebuilt in input order.
+    */
+  private lazy val oracleAutoCorrectMulti: String =
+    s"""WITH $postingsSql,
+       |v AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY token),
+       |cdy AS (
+       |  SELECT token, CAST(levenshtein(token, ${sqlLit(fixtureTypo)}) AS BIGINT) AS dist, df
+       |  FROM v WHERE abs(length(token) - ${fixtureTypo.length}) <= $fixtureFuzzyDist),
+       |corr AS (SELECT token FROM cdy WHERE dist <= $fixtureFuzzyDist
+       |         ORDER BY dist, df DESC, token LIMIT 1),
+       |tset AS (SELECT 'dup' AS token UNION SELECT token FROM corr),
+       |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       |model AS (
+       |  SELECT v.token,
+       |    CAST(floor(ln(((SELECT n_docs FROM nd) + 1) / CAST(v.df + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS idf_micro
+       |  FROM v JOIN tset ON tset.token = v.token),
+       |scored AS (
+       |  SELECT p.doc_id, CAST(sum(p.tf * m.idf_micro) AS BIGINT) AS score_micro
+       |  FROM p JOIN model m ON m.token = p.token GROUP BY p.doc_id),
+       |amr AS (
+       |  SELECT doc_id, score_micro,
+       |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |SELECT rank, doc_id, score_micro,
+       |  'dup ' || (SELECT token FROM corr) AS terms_used
+       |FROM amr WHERE rank <= $topK ORDER BY rank""".stripMargin
+
   /** Range-facet oracle: the conjunctive match set joined to each
     * document's token length, histogrammed at the fixture width.
     */
@@ -8556,6 +8644,7 @@ object Search {
     "search_term_boost" -> oracleTermBoost,
     "search_hit_count" -> oracleHitCount,
     "search_auto_correct" -> oracleAutoCorrect,
+    "search_auto_correct_multi" -> oracleAutoCorrectMulti,
     "search_query_string" -> oracleQueryString,
     "search_query_string_fielded" -> oracleQueryStringFielded,
     "search_query_string_fuzzy" -> oracleQueryStringFuzzy,

@@ -1945,6 +1945,30 @@ class SearchSpec extends SparkSpec {
     assert(Search.searchWithAutoCorrect(spark, dir, "zzzzzzzzzzzz", 2, 10).collect().isEmpty)
   }
 
+  test("searchWithAutoCorrectMulti: only dead terms correct; hopeless terms stay inert") {
+    val docs = Seq(
+      (1L, "query planner cost"),
+      (2L, "query engine"),
+      (3L, "planner only")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_acm").toString + "/idx"
+    Search.saveSearchIndex(docs, "doc_id", "text", dir)
+    // 'planner' alive (must NOT be touched even though 'planter' would
+    // be within distance); 'quer' dead -> corrects to 'query'
+    val got = Search.searchWithAutoCorrectMulti(spark, dir, Seq("planner", "quer"), 2, 10)
+      .collect()
+    assert(got.nonEmpty && got.forall(_.getAs[String]("terms_used") == "planner query"))
+    assert(got.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L, 3L))
+    // a hopeless dead term stays as-is and contributes nothing
+    val inert = Search.searchWithAutoCorrectMulti(spark, dir, Seq("planner", "zzzzzzzzzzzz"), 2, 10)
+      .collect()
+    assert(inert.forall(_.getAs[String]("terms_used") == "planner zzzzzzzzzzzz"))
+    assert(inert.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 3L))
+    intercept[IllegalArgumentException](
+      Search.searchWithAutoCorrectMulti(spark, dir, Seq("a", "a"), 2, 10)
+    )
+  }
+
   test("parseQueryString: every clause kind parses; malformed clauses fail loudly") {
     val pq = Search.parseQueryString("+dup window^3 -merge \"hash join\"")
     assert(pq.must == Seq("dup" -> 1L))
