@@ -5171,6 +5171,40 @@ object Search {
       fixturePassageK
     ).orderBy("rank")
 
+  /** ANALYZED twins of the range-facet / grouped-top-k / best-passage
+    * page surfaces — the damaged corpus served through the analyzed
+    * chain with UPPERCASED raw terms (the established twin pattern:
+    * the analyzer must fold both sides or the gate diverges).
+    */
+  val searchRangeFacetAnalyzed: Q = (s, d) =>
+    rangeFacetCountsAnalyzed(
+      s,
+      demoAnalyzedIndexDir(s, d),
+      fixtureAndTerms.map(_.toUpperCase),
+      fixtureRangeWidth
+    ).orderBy("range_lo")
+
+  val searchGroupedTopKAnalyzed: Q = (s, d) =>
+    groupedTopKAnalyzedFromIndex(
+      s,
+      demoAnalyzedIndexDir(s, d),
+      demoDocStoreDir(s, d),
+      fixtureOrTerms.map(_.toUpperCase),
+      "lang",
+      fixturePerGroup,
+      topK
+    ).orderBy("rank")
+
+  val searchBestPassageAnalyzed: Q = (s, d) =>
+    bestPassagesAnalyzed(
+      s,
+      demoAnalyzedIndexDir(s, d),
+      demoDamagedDocStoreDir(s, d),
+      Seq(fixturePhrase._1.toUpperCase, fixturePhrase._2.toUpperCase),
+      fixturePassageWindow,
+      fixturePassageK
+    ).orderBy("rank")
+
   /** Synonym fixture: {fast, slow} fold into one logical term (both
     * corpus tokens, so the group ACTUALLY merges tf and df) AND-ed
     * with the singleton {big}.
@@ -6337,6 +6371,43 @@ object Search {
       .agg(count(lit(1)).cast("long").as("n_hits"))
   }
 
+  /** [[rangeFacetCounts]]'s ANALYZED twin — the mode real SERPs run
+    * (damaged input must still histogram correctly): the conjunctive
+    * match gate over the ANALYZED postings, with the histogram over
+    * the ANALYZED doc length. Cheaper than the raw route: adl rides
+    * every apostings row ([[analyzedPostingsWithDl]]), so no doclen
+    * relation is read at all — one pruned scan serves gate AND
+    * histogram.
+    */
+  def rangeFacetCountsAnalyzed(
+      s: SparkSession,
+      indexDir: String,
+      rawTerms: Seq[String],
+      width: Long
+  ): DataFrame = {
+    val terms = rawTerms.map(analyzeTerm).filter(_.nonEmpty).distinct
+    require(terms.nonEmpty, "analyzed range facets need at least one non-empty term")
+    require(width > 0, s"range facet width must be positive, got $width")
+    val buckets = terms.map(tokenBucket).distinct
+    liveRows(
+      s,
+      indexDir,
+      s.read
+        .schema(apostingsSchema)
+        .parquet(s"$indexDir/apostings")
+        .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
+    )
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_matched"),
+        // adl is constant per doc — max is just the pick
+        max(col("adl")).cast("long").as("adl")
+      )
+      .filter(col("n_matched") === terms.size.toLong)
+      .groupBy(((col("adl") / width).cast("long") * width).as("range_lo"))
+      .agg(count(lit(1)).cast("long").as("n_hits"))
+  }
+
   /** GROUPED TOP-K — the diversified SERP ("at most g results per
     * source"): BM25 scores from the postings index (corpus model,
     * exactly [[bm25FromIndex]]'s), the grouping attribute from the doc
@@ -6381,6 +6452,45 @@ object Search {
       .select(col("rank"), col("doc_id"), col(facetCol), col("score_milli"))
   }
 
+  /** [[groupedTopKFromIndex]]'s ANALYZED twin: analyzed BM25 scores
+    * from the apostings index ([[analyzedBm25ScoredFromIndex]]'s exact
+    * chain), the grouping attribute from the doc store's meta column
+    * (the facet is analyzer-independent, so the RAW store serves it),
+    * the same g-deep per-group window over the hit set.
+    */
+  def groupedTopKAnalyzedFromIndex(
+      s: SparkSession,
+      indexDir: String,
+      storeDir: String,
+      rawTerms: Seq[String],
+      facetCol: String,
+      perGroup: Int,
+      k: Int
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(perGroup >= 1, s"perGroup must be >= 1, got $perGroup")
+    val meta = docStoreLive(s, storeDir).select(col("doc_id"), col(facetCol))
+    val kept = analyzedBm25ScoredFromIndex(s, indexDir, rawTerms)
+      .join(meta, "doc_id")
+      .withColumn(
+        "gr",
+        row_number().over(
+          Window.partitionBy(col(facetCol)).orderBy(col("score_milli").desc, col("doc_id").asc)
+        )
+      )
+      .filter(col("gr") <= perGroup)
+    kept
+      .orderBy(col("score_milli").desc, col("doc_id").asc)
+      .limit(k)
+      .withColumn(
+        "rank",
+        row_number()
+          .over(Window.orderBy(col("score_milli").desc, col("doc_id").asc))
+          .cast("bigint")
+      )
+      .select(col("rank"), col("doc_id"), col(facetCol), col("score_milli"))
+  }
+
   /** BEST-PASSAGE retrieval (the unified-highlighter selection pass):
     * for every matching document, the W-token window that maximizes
     * the summed idf of the query-term occurrences inside it — anchored
@@ -6405,12 +6515,9 @@ object Search {
       window: Int,
       k: Int
   ): DataFrame = {
-    import s.implicits._
     require(terms.nonEmpty, "best passage needs at least one term")
-    require(window >= 1, s"passage window must be >= 1, got $window")
     val distinctTerms = terms.distinct
     val tbuckets = distinctTerms.map(tokenBucket).distinct
-    val nDocs = readMeta(s, indexDir)._1
     val p = liveRows(
       s,
       indexDir,
@@ -6419,14 +6526,6 @@ object Search {
         .parquet(s"$indexDir/postings")
         .filter(col("tbucket").isin(tbuckets: _*) && col("token").isin(distinctTerms: _*))
     )
-    val idf = p
-      .groupBy(col("token"))
-      .agg(count(lit(1)).cast("long").as("df"))
-      .withColumn(
-        "idf_micro",
-        floor(log(lit(nDocs + 1).cast("double") / (col("df") + 1)) * 1000000L).cast("bigint")
-      )
-      .select(col("token"), col("idf_micro"))
     val pos = liveRows(
       s,
       indexDir,
@@ -6435,6 +6534,82 @@ object Search {
         .parquet(s"$indexDir/positions")
         .filter(col("tbucket").isin(tbuckets: _*) && col("token").isin(distinctTerms: _*))
     ).select(col("token"), col("doc_id"), col("pos"))
+    bestPassagesOver(s, p, pos, readMeta(s, indexDir)._1, window, k) { ids =>
+      val dbuckets = ids.map(docBucket).distinct
+      docStoreLive(s, storeDir)
+        .filter(col("dbucket").isin(dbuckets: _*) && col("doc_id").isin(ids: _*))
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    }
+  }
+
+  /** [[bestPassages]]'s ANALYZED twin: the same anchored-window argmax
+    * over the ANALYZED positional index (apositions — positions index
+    * the analyzer's filtered token stream), idf from the apostings df,
+    * and each snippet rendered as the winner's ANALYZED token window —
+    * the store text re-analyzes in-plan with the index's own chain, so
+    * positions and rendering stay aligned even on damaged documents.
+    * Pass the DAMAGED doc store so the page renders what the index
+    * actually saw.
+    */
+  def bestPassagesAnalyzed(
+      s: SparkSession,
+      indexDir: String,
+      storeDir: String,
+      rawTerms: Seq[String],
+      window: Int,
+      k: Int
+  ): DataFrame = {
+    val terms = rawTerms.map(analyzeTerm).filter(_.nonEmpty).distinct
+    require(terms.nonEmpty, "analyzed best passage needs at least one non-empty term")
+    val tbuckets = terms.map(tokenBucket).distinct
+    val p = liveRows(
+      s,
+      indexDir,
+      s.read
+        .schema(apostingsSchema)
+        .parquet(s"$indexDir/apostings")
+        .filter(col("tbucket").isin(tbuckets: _*) && col("token").isin(terms: _*))
+    )
+    val pos = liveRows(
+      s,
+      indexDir,
+      s.read
+        .schema(positionsSchema)
+        .parquet(s"$indexDir/apositions")
+        .filter(col("tbucket").isin(tbuckets: _*) && col("token").isin(terms: _*))
+    ).select(col("token"), col("doc_id"), col("pos"))
+    bestPassagesOver(s, p, pos, readMeta(s, indexDir)._1, window, k) { ids =>
+      val dbuckets = ids.map(docBucket).distinct
+      docStoreLive(s, storeDir)
+        .filter(col("dbucket").isin(dbuckets: _*) && col("doc_id").isin(ids: _*))
+        .select(col("doc_id"), atoksCol("text").as("toks"))
+    }
+  }
+
+  /** The passage machinery shared by the raw and analyzed routes:
+    * micro-idf from the pruned posting rows, anchored-window argmax
+    * (ties to the earliest start), top-k page collected driver-side
+    * (request-sized), snippets joined from the caller's page-pruned
+    * token arrays.
+    */
+  private def bestPassagesOver(
+      s: SparkSession,
+      p: DataFrame,
+      pos: DataFrame,
+      nDocs: Long,
+      window: Int,
+      k: Int
+  )(toksFor: Seq[Long] => DataFrame): DataFrame = {
+    import s.implicits._
+    require(window >= 1, s"passage window must be >= 1, got $window")
+    val idf = p
+      .groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("df"))
+      .withColumn(
+        "idf_micro",
+        floor(log(lit(nDocs + 1).cast("double") / (col("df") + 1)) * 1000000L).cast("bigint")
+      )
+      .select(col("token"), col("idf_micro"))
     val occ = pos
       .join(broadcast(idf), "token")
       .select(col("doc_id"), col("pos"), col("idf_micro"))
@@ -6464,15 +6639,11 @@ object Search {
         .toDF("rank", "doc_id", "start", "score_micro", "snippet")
     }
     val ids = page.map(_._1).toSeq
-    val dbuckets = ids.map(docBucket).distinct
     val ranked = page.zipWithIndex.toSeq
       .map { case ((id, st, sc), i) => (i + 1L, id, st, sc) }
       .toDF("rank", "doc_id", "start0", "score_micro")
-    val toks = docStoreLive(s, storeDir)
-      .filter(col("dbucket").isin(dbuckets: _*) && col("doc_id").isin(ids: _*))
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
     broadcast(ranked)
-      .join(toks, "doc_id")
+      .join(toksFor(ids), "doc_id")
       .select(
         col("rank"),
         col("doc_id"),
@@ -7158,6 +7329,9 @@ object Search {
     "search_range_facet" -> searchRangeFacet,
     "search_grouped_topk" -> searchGroupedTopK,
     "search_best_passage" -> searchBestPassage,
+    "search_range_facet_analyzed" -> searchRangeFacetAnalyzed,
+    "search_grouped_topk_analyzed" -> searchGroupedTopKAnalyzed,
+    "search_best_passage_analyzed" -> searchBestPassageAnalyzed,
     "search_retrieval_eval" -> searchRetrievalEval,
     "search_more_like_this" -> searchMoreLikeThis,
     "search_merged_probe" -> searchMergedProbe,
@@ -8079,6 +8253,101 @@ object Search {
        |WHERE p.rank <= $fixturePassageK ORDER BY p.rank""".stripMargin
   }
 
+  /** Analyzed range-facet oracle: the conjunctive ANALYZED match set
+    * histogrammed over the analyzed doc length (sum of per-token tf =
+    * the filtered token-stream length, exactly the engine's adl).
+    */
+  private lazy val oracleRangeFacetAnalyzed: String = {
+    val terms = fixtureAndTerms.map(analyzeTerm).filter(_.nonEmpty).distinct
+    val termList = terms.map(sqlLit).mkString(", ")
+    s"""WITH $analyzedDictSql,
+       |adls AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM ap GROUP BY doc_id),
+       |rfm AS (SELECT doc_id, count(*) AS n FROM ap WHERE token IN ($termList) GROUP BY doc_id),
+       |rft AS (SELECT doc_id FROM rfm WHERE n = ${terms.size})
+       |SELECT CAST((a.dl // $fixtureRangeWidth) * $fixtureRangeWidth AS BIGINT) AS range_lo,
+       |  CAST(count(*) AS BIGINT) AS n_hits
+       |FROM rft JOIN adls a ON a.doc_id = rft.doc_id
+       |GROUP BY range_lo ORDER BY range_lo""".stripMargin
+  }
+
+  /** Analyzed grouped-top-k oracle: the analyzed-BM25 scored relation
+    * with the per-lang g-deep window and the global page.
+    */
+  private lazy val oracleGroupedTopKAnalyzed: String =
+    s"""$oracleAnalyzedBm25Body,
+       |wma AS (
+       |  SELECT sc.doc_id, sc.score_milli, d.lang,
+       |    row_number() OVER (PARTITION BY d.lang ORDER BY sc.score_milli DESC, sc.doc_id ASC) AS gr
+       |  FROM sc JOIN documents d ON d.doc_id = sc.doc_id),
+       |kepta AS (SELECT doc_id, lang, score_milli FROM wma WHERE gr <= $fixturePerGroup),
+       |grnka AS (
+       |  SELECT doc_id, lang, score_milli,
+       |    CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM kepta)
+       |SELECT rank, doc_id, lang, score_milli FROM grnka WHERE rank <= $topK ORDER BY rank""".stripMargin
+
+  /** Analyzed best-passage oracle: the anchored-window argmax over the
+    * DAMAGED corpus's analyzed token stream — positions index the
+    * filtered stream, snippets slice the same stream.
+    */
+  private lazy val oracleBestPassageAnalyzed: String = {
+    val terms = Seq(fixturePhrase._1, fixturePhrase._2).map(analyzeTerm)
+    val termList = terms.map(sqlLit).mkString(", ")
+    val containsAny = terms.map(t => s"contains(lower(text), ${sqlLit(t)})").mkString(" OR ")
+    val w = fixturePassageWindow
+    val dfArms = terms
+      .map(t =>
+        s"""SELECT token, CAST(count(*) AS BIGINT) AS df FROM (
+           |    SELECT token, doc_id FROM (
+           |      SELECT doc_id, unnest(atoks) AS token
+           |      FROM bat WHERE contains(lower(text), ${sqlLit(t)})) x
+           |    WHERE token = ${sqlLit(t)} GROUP BY token, doc_id) GROUP BY token""".stripMargin
+      )
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH dd AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN upper(text)
+       |         WHEN doc_id % 11 = 0 THEN
+       |           array_to_string(list_transform(string_split(text, ' '), t -> '[' || t || ']'), ' ')
+       |         ELSE text END AS text
+       |  FROM documents),
+       |bat AS (
+       |  SELECT doc_id, text,
+       |    list_filter(
+       |      list_transform(string_split(text, ' '),
+       |                     t -> regexp_replace(lower(t), '^[^a-z0-9]+|[^a-z0-9]+$$', '', 'g')),
+       |      t -> t <> '') AS atoks
+       |  FROM dd),
+       |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM bat),
+       |dfm AS (
+       |  $dfArms),
+       |model AS (
+       |  SELECT token,
+       |    CAST(floor(ln(((SELECT n_docs FROM nd) + 1) / CAST(df + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS idf_micro
+       |  FROM dfm),
+       |pt AS (SELECT doc_id, atoks AS toks, len(atoks) AS n FROM bat WHERE $containsAny),
+       |ps AS (SELECT doc_id, toks, unnest(generate_series(1, n, 1)) AS pos FROM pt),
+       |px AS (SELECT doc_id, pos, toks[pos] AS token FROM ps WHERE toks[pos] IN ($termList)),
+       |occ AS (SELECT px.doc_id, px.pos, m.idf_micro FROM px JOIN model m ON m.token = px.token),
+       |win AS (
+       |  SELECT a.doc_id, a.pos AS start, CAST(sum(o.idf_micro) AS BIGINT) AS w_micro
+       |  FROM occ a JOIN occ o ON o.doc_id = a.doc_id AND o.pos >= a.pos AND o.pos < a.pos + $w
+       |  GROUP BY a.doc_id, a.pos),
+       |bst AS (
+       |  SELECT doc_id, start, w_micro,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY w_micro DESC, start ASC) AS rn
+       |  FROM win),
+       |b1 AS (SELECT doc_id, start, w_micro FROM bst WHERE rn = 1),
+       |pg AS (
+       |  SELECT doc_id, start, w_micro,
+       |    CAST(row_number() OVER (ORDER BY w_micro DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM b1)
+       |SELECT p.rank, p.doc_id, CAST(p.start AS BIGINT) AS start, p.w_micro AS score_micro,
+       |  array_to_string(t.toks[p.start:least(len(t.toks), p.start + ${w - 1})], ' ') AS snippet
+       |FROM pg p JOIN pt t ON t.doc_id = p.doc_id
+       |WHERE p.rank <= $fixturePassageK ORDER BY p.rank""".stripMargin
+  }
+
   /** Synonym-group oracle: each group scores as one logical term —
     * member tf summed, df = docs containing ANY member, gate counts
     * groups — replayed with explicit member lists.
@@ -8656,6 +8925,9 @@ object Search {
     "search_range_facet" -> oracleRangeFacet,
     "search_grouped_topk" -> oracleGroupedTopK,
     "search_best_passage" -> oracleBestPassage,
+    "search_range_facet_analyzed" -> oracleRangeFacetAnalyzed,
+    "search_grouped_topk_analyzed" -> oracleGroupedTopKAnalyzed,
+    "search_best_passage_analyzed" -> oracleBestPassageAnalyzed,
     "search_retrieval_eval" -> {
       val runsVals = fixtureEvalRuns.map { case (q, dd, r) => s"($q, $dd, $r)" }.mkString(", ")
       val qrelVals = fixtureEvalQrels.map { case (q, dd, r) => s"($q, $dd, $r)" }.mkString(", ")

@@ -710,6 +710,34 @@ class SearchSpec extends SparkSpec {
     assert(empty.columns.toSeq == Seq("rank", "doc_id", "pos", "snippet") && empty.count() == 0)
   }
 
+  test("analyzed page-surface twins: damaged docs recovered; probes pruned to bucket dirs") {
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_antwin_idx").toString + "/idx"
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_antwin_st").toString + "/docs"
+    // doc 2 is 'damaged' (uppercase + bracket punctuation): the raw
+    // routes would miss it, the analyzed chain must recover it
+    val docs = Seq(
+      (1L, "hash join cost model x y"),
+      (2L, "[HASH] [JOIN] noise."),
+      (3L, "unrelated words entirely present")
+    ).toDF("doc_id", "text")
+    Search.saveSearchIndex(docs, "doc_id", "text", idxDir, analyzed = true)
+    Search.saveDocStore(docs, "doc_id", "text", storeDir, metaCols = Seq())
+    // analyzed range facet: both hash∧join docs land in their adl bins
+    // (doc 1: 6 analyzed tokens; doc 2: 3 — 'noise.' folds to 'noise')
+    val rf = Search.rangeFacetCountsAnalyzed(spark, idxDir, Seq("HASH", "join"), 4)
+    val got = rf.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(0L -> 1L, 4L -> 1L), got.toString)
+    assert(
+      rf.queryExecution.executedPlan.toString.contains("PartitionFilters: ["),
+      rf.queryExecution.executedPlan.toString.take(2000)
+    )
+    // analyzed best passage: doc 2's snippet renders the ANALYZED
+    // stream (aligned with apositions), damaged doc included
+    val bp = Search.bestPassagesAnalyzed(spark, idxDir, storeDir, Seq("HASH", "JOIN"), 2, 5)
+    val snippets = bp.collect().map(r => (r.getLong(1), r.getString(4))).toMap
+    assert(snippets(1L) == "hash join" && snippets(2L) == "hash join", snippets.toString)
+  }
+
   test("chunkPageFromIndex: winners render their OWN chunk text; store read is page-pruned") {
     val idxDir = java.nio.file.Files.createTempDirectory("graft_chunkpage_idx").toString + "/idx"
     val storeDir =
