@@ -167,23 +167,96 @@ object Similarity {
     graft.functions.GraftFunctions.register(spark)
     val assigned =
       Search.liveRows(spark, dir, spark.read.parquet(s"$dir/assignments"), keyCol = "vec_id")
-    val qv = assigned.filter(col("vec_id") === queryId).select("v").head().getSeq[Double](0).toArray
-    val centroids = spark.read.parquet(s"$dir/centroids").collect().map { r =>
-      (r.getAs[Int]("list_id"), r.getAs[scala.collection.Seq[Double]]("centroid").toArray)
-    }
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < math.min(a.length, b.length)) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
-    }
-    val probeLists = centroids.sortBy { case (id, c) => (-cos(qv, c), id) }.take(nProbe).map(_._1)
+    val probeLists = probedListsFor(spark, dir, assigned, queryId, nProbe)
     val q = assigned.filter(col("vec_id") === queryId).select(col("v").as("qv"))
     assigned
-      .filter(col("list_id").isin(probeLists.toSeq: _*))
+      .filter(col("list_id").isin(probeLists: _*))
       .crossJoin(broadcast(q))
       .withColumn("cos_sim", round(expr("cosine_sim(v, qv)"), 6))
       .filter(col("cos_sim") >= minCos)
       .select(col("vec_id"), col("label"), col("cos_sim"))
+  }
+
+  /** Driver-side cosine shared by the probe-list pickers. */
+  private def cosArr(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < math.min(a.length, b.length)) {
+      d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** The query's nProbe nearest centroid lists (nLists rows collected
+    * driver-side — the IVF probe-selection step every probe route
+    * runs).
+    */
+  private def probedListsFor(
+      spark: SparkSession,
+      dir: String,
+      assigned: DataFrame,
+      queryId: Long,
+      nProbe: Int
+  ): Seq[Int] = {
+    val qv = assigned.filter(col("vec_id") === queryId).select("v").head().getSeq[Double](0).toArray
+    spark.read
+      .parquet(s"$dir/centroids")
+      .collect()
+      .map(r => (r.getAs[Int]("list_id"), r.getAs[scala.collection.Seq[Double]]("centroid").toArray))
+      .sortBy { case (id, c) => (-cosArr(qv, c), id) }
+      .take(nProbe)
+      .map(_._1)
+      .toSeq
+  }
+
+  /** ANN RADIUS RECALL report — the recall-vs-cost readout for
+    * [[rangeSearchFromIndex]] at nProbe < nLists, the radius analog of
+    * the top-k hybrid's recall gate (search_rrf_recall): for each
+    * threshold, how many of the TRUE radius matches (brute, all lists)
+    * the pruned probe would return. An IVF radius hit set is a SUBSET
+    * of the brute set at the same rounded threshold (same round-6
+    * cosine filter, fewer lists), so recall = n_found / n_true needs
+    * no intersection. ONE corpus scan computes every threshold's both
+    * counts (the probed-list membership is a flag on the same row);
+    * the report itself is thresholds-sized. recall_micro is the exact
+    * integer floor(n_found·10⁶ / n_true) (10⁶ when n_true = 0 —
+    * vacuously full recall).
+    */
+  def rangeRecallReport(
+      spark: SparkSession,
+      dir: String,
+      queryId: Long,
+      thresholds: Seq[Double],
+      nProbe: Int
+  ): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    require(thresholds.nonEmpty, "recall report needs at least one threshold")
+    require(thresholds.distinct.size == thresholds.size, s"duplicate thresholds: $thresholds")
+    val assigned =
+      Search.liveRows(spark, dir, spark.read.parquet(s"$dir/assignments"), keyCol = "vec_id")
+    val probeLists = probedListsFor(spark, dir, assigned, queryId, nProbe)
+    val q = assigned.filter(col("vec_id") === queryId).select(col("v").as("qv"))
+    val scored = assigned
+      .crossJoin(broadcast(q))
+      .withColumn("cos_sim", round(expr("cosine_sim(v, qv)"), 6))
+      .select(col("list_id"), col("cos_sim"))
+    val aggs = thresholds.zipWithIndex.flatMap { case (t, i) =>
+      Seq(
+        sum(when(col("cos_sim") >= t, 1L).otherwise(0L)).cast("long").as(s"nt_$i"),
+        sum(
+          when(col("cos_sim") >= t && col("list_id").isin(probeLists: _*), 1L).otherwise(0L)
+        ).cast("long").as(s"nf_$i")
+      )
+    }
+    val r = scored.agg(aggs.head, aggs.tail: _*).head()
+    import spark.implicits._
+    thresholds.zipWithIndex
+      .map { case (t, i) =>
+        val nt = r.getLong(2 * i)
+        val nf = r.getLong(2 * i + 1)
+        val recall = if (nt == 0) 1000000L else nf * 1000000L / nt
+        (math.round(t * 1000000L).toLong, nt, nf, recall)
+      }
+      .toDF("min_cos_micro", "n_true", "n_found", "recall_micro")
   }
 
   /** MMR (maximal marginal relevance) diversified top-k — the standard
@@ -1193,12 +1266,56 @@ object Similarity {
     rangeSearchFromIndex(s, demoIvfIndexDir(s, d), 0L, fixtureRangeMinCos, nProbe = 16)
       .orderBy(desc("cos_sim"), asc("vec_id"))
 
+  /** Radius-recall fixtures: the production probe config (4 of 16
+    * lists — ann_ivf_topk_index's pin config) swept across three
+    * radius thresholds around the range-search fixture.
+    */
+  private[ops] val fixtureRecallThresholds = Seq(0.15, 0.2, 0.25)
+  private[ops] val fixtureRecallNProbe = 4
+
+  /** Radius recall gate: the oracle recomputes every n_true from the
+    * brute leg and the integer recall arithmetic; n_found (probed-list
+    * membership — seeded-KMeans assignment, not engine-portable) rides
+    * the sf0.01 golden pin, the ann_ivf_topk_index posture.
+    */
+  val annRangeRecall: Q = (s, d) =>
+    rangeRecallReport(
+      s,
+      demoIvfIndexDir(s, d),
+      queryId = 0L,
+      fixtureRecallThresholds,
+      fixtureRecallNProbe
+    ).orderBy("min_cos_micro")
+
   /** MMR fixtures: top-12 candidate pool, 4 diversified picks. */
   private[ops] val fixtureMmrM = 12
   private[ops] val fixtureMmrK = 4
 
   val annMmrTopk: Q = (s, d) =>
     mmrTopK(embeddings(s, d), 0L, fixtureMmrM, fixtureMmrK).orderBy("rank")
+
+  /** Loud guard for the EVAL harnesses: their probe sets broadcast, so
+    * `every = 1` at corpus scale would broadcast the corpus. The count
+    * is one column-pruned pass over the (already filtered) probe
+    * relation — eval-harness cost, not serving cost. Corpus-scale
+    * evals belong on the PQ kNN join ([[pqKnnJoin]]'s shape), which
+    * never broadcasts the probe side.
+    */
+  private def requireBoundedProbes(
+      probes: DataFrame,
+      every: Long,
+      maxProbes: Long,
+      op: String
+  ): Unit = {
+    require(maxProbes >= 1, s"maxProbes must be >= 1, got $maxProbes")
+    val n = probes.count()
+    require(
+      n <= maxProbes,
+      s"$op: probe set has $n vectors (every = $every) > maxProbes = $maxProbes — the probe " +
+        "set BROADCASTS, so this would broadcast corpus-scale data; raise `every` (or " +
+        "maxProbes deliberately), or run corpus-scale evals through the PQ kNN join"
+    )
+  }
 
   /** kNN MAJORITY-VOTE classification eval — the label-propagation
     * quality check a training pipeline runs on its embedding space
@@ -1210,7 +1327,7 @@ object Similarity {
     * (window group-limit), votes are k-sized per probe; at 100 TB the
     * probe set is the small side by construction.
     */
-  def knnClassifierEval(emb: DataFrame, k: Int, every: Long): DataFrame = {
+  def knnClassifierEval(emb: DataFrame, k: Int, every: Long, maxProbes: Long = 65536L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(k >= 1, s"knn needs k >= 1, got $k")
     require(every >= 1, s"every must be >= 1, got $every")
@@ -1219,6 +1336,7 @@ object Similarity {
     val q = e
       .filter(col("vec_id") % every === 0)
       .select(col("vec_id").as("q_id"), col("label").as("true_label"), col("v").as("qv"))
+    requireBoundedProbes(q, every, maxProbes, "knnClassifierEval")
     val top = e
       .crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("q_id"))
@@ -1256,7 +1374,7 @@ object Similarity {
     * so the corpus pays ONE centroid pass; the classifier itself costs
     * probes×labels.
     */
-  def nearestCentroidEval(emb: DataFrame, every: Long): DataFrame = {
+  def nearestCentroidEval(emb: DataFrame, every: Long, maxProbes: Long = 65536L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(every >= 1, s"every must be >= 1, got $every")
     val e = withVec(emb)
@@ -1264,8 +1382,9 @@ object Similarity {
       .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("label"), col("pos"))
       .agg(round(avg(col("x")), 6).as("c"))
-    val qp = e
-      .filter(col("vec_id") % every === 0)
+    val probes = e.filter(col("vec_id") % every === 0)
+    requireBoundedProbes(probes, every, maxProbes, "nearestCentroidEval")
+    val qp = probes
       .select(
         col("vec_id").as("q_id"),
         col("label").as("true_label"),
@@ -2065,6 +2184,7 @@ object Similarity {
     "ann_range_search" -> annRangeSearch,
     "ann_range_ivf" -> annRangeIvf,
     "ann_mmr_topk" -> annMmrTopk,
+    "ann_range_recall" -> annRangeRecall,
     "ann_knn_classifier" -> annKnnClassifier,
     "ann_nearest_centroid" -> annNearestCentroid,
     "ann_lsh_buckets" -> annLshBuckets,
@@ -2128,6 +2248,38 @@ object Similarity {
        |SELECT vec_id, label, cos_sim FROM sc
        |WHERE cos_sim >= $fixtureRangeMinCos
        |ORDER BY cos_sim DESC, vec_id ASC""".stripMargin
+
+  /** Radius-recall oracle: n_true per threshold recomputed from the
+    * brute leg (round-6 cosine over the full corpus), the integer
+    * recall arithmetic recomputed in SQL, and n_found pinned at the
+    * sf0.01 golden (probed-list membership is the seeded-KMeans
+    * assignment — the ann_ivf_topk_index determinism argument).
+    */
+  private lazy val oracleRangeRecall: String = {
+    val thrRows = fixtureRecallThresholds
+      .map(t => s"(${math.round(t * 1000000L)}, $t)")
+      .mkString(", ")
+    // sf0.01 golden n_found at nProbe = 4 of 16 (engine run, committed
+    // with the route; SimilarityRangeMmrSpec re-derives the subset
+    // relation that makes these counts checkable)
+    val pins = "(150000, 31), (200000, 17), (250000, 10)"
+    s"""$cosSqlBase,
+       |sc AS (
+       |  SELECT vec_id,
+       |    round(list_dot_product(v, qv) /
+       |          (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cos_sim
+       |  FROM e, q),
+       |thr AS (SELECT * FROM (VALUES $thrRows) t(min_cos_micro, t)),
+       |nt AS (
+       |  SELECT thr.min_cos_micro, CAST(count(*) AS BIGINT) AS n_true
+       |  FROM thr, sc WHERE sc.cos_sim >= thr.t GROUP BY thr.min_cos_micro),
+       |nf AS (SELECT * FROM (VALUES $pins) t(min_cos_micro, n_found))
+       |SELECT CAST(nt.min_cos_micro AS BIGINT) AS min_cos_micro, nt.n_true,
+       |  CAST(nf.n_found AS BIGINT) AS n_found,
+       |  CAST((nf.n_found * 1000000) // nt.n_true AS BIGINT) AS recall_micro
+       |FROM nt JOIN nf ON nf.min_cos_micro = nt.min_cos_micro
+       |ORDER BY min_cos_micro""".stripMargin
+  }
 
   /** kNN-classifier oracle: the same probe sampling, k-deep window,
     * vote counting and (n desc, label asc) modal pick in SQL.
@@ -2343,6 +2495,7 @@ object Similarity {
     "ann_range_search" -> oracleRangeSearch,
     "ann_range_ivf" -> oracleRangeSearch,
     "ann_mmr_topk" -> oracleMmrTopk,
+    "ann_range_recall" -> oracleRangeRecall,
     "ann_knn_classifier" -> oracleKnnClassifier,
     "ann_nearest_centroid" -> oracleNearestCentroid,
     // Rocchio: q' rebuilt in SQL with the same float-op order (vec_id-

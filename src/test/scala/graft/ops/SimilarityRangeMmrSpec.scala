@@ -40,6 +40,38 @@ class SimilarityRangeMmrSpec extends SparkSpec {
     assert(partial.subsetOf(brute.map(_.getAs[Long]("vec_id")).toSet))
   }
 
+  test("rangeRecallReport: exhaustive probe = full recall; pruned probe bounded by n_true") {
+    val dir = Similarity.demoIvfIndexDir(spark, d)
+    val full = Similarity.rangeRecallReport(spark, dir, 0L, Seq(0.15, 0.25), nProbe = 16)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(full.forall { case (_, nt, nf, rec) => nf == nt && rec == 1000000L }, full.mkString(","))
+    // brute leg agrees with rangeSearch's cardinality at the same radius
+    val nTrue25 = Similarity.rangeSearch(Fixtures.embeddings(spark, d), 0L, 0.25).count()
+    assert(full.find(_._1 == 250000L).map(_._2).contains(nTrue25))
+    val pruned = Similarity.rangeRecallReport(spark, dir, 0L, Seq(0.15, 0.25), nProbe = 2)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(pruned.forall { case (nt, nf, rec) => nf <= nt && rec <= 1000000L })
+    intercept[IllegalArgumentException](
+      Similarity.rangeRecallReport(spark, dir, 0L, Seq(0.2, 0.2), 4) // duplicate thresholds
+    )
+  }
+
+  test("classifier evals refuse an unbounded probe set (the every=1 corpus broadcast)") {
+    val emb = Fixtures.embeddings(spark, d)
+    val eK = intercept[IllegalArgumentException](
+      Similarity.knnClassifierEval(emb, k = 3, every = 1L, maxProbes = 5L).collect()
+    )
+    assert(eK.getMessage.contains("BROADCAST") && eK.getMessage.contains("PQ kNN join"))
+    val eC = intercept[IllegalArgumentException](
+      Similarity.nearestCentroidEval(emb, every = 1L, maxProbes = 5L).collect()
+    )
+    assert(eC.getMessage.contains("BROADCAST"))
+    // the bounded default still serves the sampled eval
+    assert(Similarity.knnClassifierEval(emb, k = 3, every = 50L).count() > 0)
+  }
+
   test("mmrTopK: first pick is the relevance argmax; a near-dup of it is deferred") {
     // hand corpus in 2-d lifted to 64 dims: q along (1,1); candidates
     // 1 ≈ 2 are a near-dup pair along e0 (1 slightly more relevant),
