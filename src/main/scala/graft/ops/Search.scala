@@ -1207,6 +1207,126 @@ object Search {
     rankTop(gated, "score_micro", k)
   }
 
+  /** The ANALYZED query-string front door — the mode a production
+    * search box actually serves (real queries carry case and
+    * punctuation): the same grammar, with every clause's terms folded
+    * through the index's analyzer driver-side ([[analyzeTerm]]), the
+    * scoring/gating legs served from the ANALYZED relations
+    * (apostings, apositions) and fuzzy/wildcard rewrites consulting
+    * the ANALYZED dictionary. A clause whose term analyzes to empty
+    * (pure punctuation) is ill-formed, not silently dropped. Field and
+    * len clauses reject loudly — the fielded index and the doclen
+    * relation are raw artifacts with no analyzed twin to serve them.
+    */
+  def searchQueryStringAnalyzed(
+      s: SparkSession,
+      indexDir: String,
+      q: String,
+      k: Int,
+      maxExpand: Int = 8
+  ): DataFrame = {
+    val pq = parseQueryString(q)
+    require(
+      pq.fieldTerms.isEmpty,
+      s"the analyzed front door has no fielded artifacts to serve field clauses: $q"
+    )
+    require(
+      pq.ranges.isEmpty,
+      s"the analyzed front door has no analyzed doclen relation for len clauses: $q"
+    )
+    require(maxExpand >= 1, s"maxExpand must be >= 1, got $maxExpand")
+    def fold(t: String, what: String): String = {
+      val a = analyzeTerm(t)
+      require(a.nonEmpty, s"$what clause '$t' analyzed to empty (pure punctuation) in: $q")
+      a
+    }
+    val must = pq.must.map { case (t, b) => fold(t, "must") -> b }
+    val should = pq.should.map { case (t, b) => fold(t, "should") -> b }
+    val explicitTerms = must ++ should
+    require(
+      explicitTerms.map(_._1).distinct.size == explicitTerms.size,
+      s"duplicate ANALYZED term across clauses in '$q'"
+    )
+    require(
+      explicitTerms.nonEmpty || pq.fuzzy.nonEmpty || pq.wildcards.nonEmpty,
+      s"query '$q' has no scoring clause (only must-not/phrase clauses)"
+    )
+    val mustNot = pq.mustNot.map(fold(_, "must-not")).distinct
+    val expanded: Seq[(String, Long)] =
+      pq.fuzzy.flatMap { case (t, dist, b) =>
+        fuzzyExpansion(s, indexDir, t, dist, maxExpand, analyzed = true)
+          .select("token")
+          .collect()
+          .map(_.getString(0) -> b)
+          .toSeq
+      } ++
+        pq.wildcards.flatMap { case (p, b) =>
+          wildcardExpansion(s, indexDir, p, maxExpand, analyzed = true).map(_ -> b)
+        }
+    val scoreTerms: Seq[(String, Long)] =
+      (explicitTerms ++ expanded)
+        .groupBy(_._1)
+        .map { case (t, xs) => t -> xs.map(_._2).sum }
+        .toSeq
+        .sortBy(_._1)
+    val mustTerms = must.map(_._1)
+    import s.implicits._
+    val terms = scoreTerms.map(_._1)
+    val buckets = terms.map(tokenBucket).distinct
+    val p = liveRows(
+      s,
+      indexDir,
+      s.read
+        .schema(apostingsSchema)
+        .parquet(s"$indexDir/apostings")
+        .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
+    )
+    val nDocs = readMeta(s, indexDir)._1
+    val boostDf = scoreTerms.toDF("token", "boost")
+    val model = p
+      .groupBy(col("token"))
+      .agg(count(lit(1)).cast("long").as("df"))
+      .withColumn(
+        "idf_micro",
+        floor(log(lit(nDocs + 1).cast("double") / (col("df") + 1)) * 1000000L).cast("bigint")
+      )
+      .join(boostDf, "token")
+      .select(col("token"), col("idf_micro"), col("boost"))
+    val scored = p
+      .join(broadcast(model), "token")
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("boost") * col("tf") * col("idf_micro")).cast("long").as("score_micro"),
+        count(when(col("token").isin(mustTerms: _*), lit(1))).cast("long").as("n_must")
+      )
+      .filter(col("n_must") === mustTerms.size.toLong)
+      .select(col("doc_id"), col("score_micro"))
+    // phrases gate through the ANALYZED positional fold (raw terms in
+    // — analyzedPhraseFromIndex analyzes and validates per term)
+    val phraseGated = pq.phrases.foldLeft(scored) { (acc, ph) =>
+      acc.join(
+        analyzedPhraseFromIndex(s, indexDir, ph).select(col("doc_id")),
+        Seq("doc_id"),
+        "left_semi"
+      )
+    }
+    val gated =
+      if (mustNot.isEmpty) phraseGated
+      else {
+        val nbuckets = mustNot.map(tokenBucket).distinct
+        val excluded = liveRows(
+          s,
+          indexDir,
+          s.read
+            .schema(apostingsSchema)
+            .parquet(s"$indexDir/apostings")
+            .filter(col("tbucket").isin(nbuckets: _*) && col("token").isin(mustNot: _*))
+        ).select(col("doc_id")).distinct()
+        phraseGated.join(excluded, Seq("doc_id"), "left_anti")
+      }
+    rankTop(gated, "score_micro", k)
+  }
+
   /** HIT-COUNT header ("about 1,234 results"): the AND and OR match-set
     * cardinalities for a term set, from ONE pruned postings read — the
     * count every SERP renders before its first page. Exact counts (the
@@ -5068,6 +5188,15 @@ object Search {
     searchQueryString(s, demoSearchIndexDir(s, d), fixtureQueryStringRange, topK)
       .orderBy("rank")
 
+  /** The analyzed front door's fixture: damaged-input casing and a
+    * punctuated phrase — the analyzer must fold every clause.
+    */
+  private[ops] val fixtureQueryStringAnalyzed = "+DUP Window^3 -Merge \"HASH JOIN.\""
+
+  val searchQueryStringAnalyzedQ: Q = (s, d) =>
+    searchQueryStringAnalyzed(s, demoAnalyzedIndexDir(s, d), fixtureQueryStringAnalyzed, topK)
+      .orderBy("rank")
+
   /** Chunk-retrieval fixtures: 16-token windows. */
   private[ops] val fixtureChunkSize = 16
 
@@ -5088,6 +5217,26 @@ object Search {
   val searchChunkBm25: Q = (s, d) =>
     chunkBm25TopK(documents(s, d), "doc_id", "text", fixtureOrTerms, fixtureChunkSize, topK)
       .orderBy("rank")
+
+  /** The chunk-index APPEND lifecycle demo — the claim "the chunk tier
+    * inherits the ordinary index lifecycle" made checkable: half the
+    * corpus' chunks built, the other half appended through the
+    * standard appendToSearchIndex path (chunk ids are ordinary ids to
+    * the index machinery).
+    */
+  private[ops] def demoAppendedChunkIndexDir(s: SparkSession, d: String): String =
+    Fixtures.demoIndexDir(s, "searchidx_chunk_app", d) { dir =>
+      val ch = chunkRelation(documents(s, d), "doc_id", "text", fixtureChunkSize)
+        .select(chunkCidCol.as("cid"), col("ctext"))
+      saveSearchIndex(ch.filter((col("cid") / chunkIdBase) % 2 === 0), "cid", "ctext", dir)
+      appendToSearchIndex(ch.filter((col("cid") / chunkIdBase) % 2 =!= 0), "cid", "ctext", dir)
+    }
+
+  /** Built-then-appended chunk index must serve the one-shot page bit
+    * for bit (shares the corpus chunk oracle).
+    */
+  val searchChunkBm25Appended: Q = (s, d) =>
+    chunkBm25FromIndex(s, demoAppendedChunkIndexDir(s, d), fixtureOrTerms, topK).orderBy("rank")
 
   /** Index twin sharing the corpus chunk oracle. */
   val searchChunkBm25Index: Q = (s, d) =>
@@ -7323,9 +7472,11 @@ object Search {
     "search_query_string_fielded" -> searchQueryStringFielded,
     "search_query_string_fuzzy" -> searchQueryStringFuzzy,
     "search_query_string_range" -> searchQueryStringRange,
+    "search_query_string_analyzed" -> searchQueryStringAnalyzedQ,
     "search_chunk_bm25" -> searchChunkBm25,
     "search_chunk_bm25_index" -> searchChunkBm25Index,
     "search_chunk_page" -> searchChunkPage,
+    "search_chunk_bm25_appended" -> searchChunkBm25Appended,
     "search_range_facet" -> searchRangeFacet,
     "search_grouped_topk" -> searchGroupedTopK,
     "search_best_passage" -> searchBestPassage,
@@ -8253,6 +8404,60 @@ object Search {
        |WHERE p.rank <= $fixturePassageK ORDER BY p.rank""".stripMargin
   }
 
+  /** Analyzed query-string oracle: the same gate algebra as
+    * [[oracleQueryString]] replayed over the DAMAGED corpus's analyzed
+    * token stream — postings/df from the analyzed chain, the phrase
+    * adjacency over analyzed (filtered-stream) positions.
+    */
+  private lazy val oracleQueryStringAnalyzed: String = {
+    val (mustT, shouldT, notT) = ("dup", "window", "merge")
+    val (ph1, ph2) = fixturePhrase
+    s"""WITH $analyzedDictSql,
+       |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       |dfm AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM ap
+       |        WHERE token IN (${sqlLit(mustT)}, ${sqlLit(shouldT)}) GROUP BY token),
+       |model AS (
+       |  SELECT token,
+       |    CAST(floor(ln(((SELECT n_docs FROM nd) + 1) / CAST(df + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS idf_micro
+       |  FROM dfm),
+       |mustd AS (SELECT DISTINCT doc_id FROM ap WHERE token = ${sqlLit(mustT)}),
+       |exd AS (SELECT DISTINCT doc_id FROM ap WHERE token = ${sqlLit(notT)}),
+       |qat AS (
+       |  SELECT doc_id,
+       |    list_filter(
+       |      list_transform(string_split(text, ' '),
+       |                     t -> regexp_replace(lower(t), '^[^a-z0-9]+|[^a-z0-9]+$$', '', 'g')),
+       |      t -> t <> '') AS toks
+       |  FROM dd),
+       |pt AS (SELECT doc_id, toks, len(toks) AS n FROM qat
+       |       WHERE list_contains(toks, ${sqlLit(ph1)}) AND list_contains(toks, ${sqlLit(ph2)})),
+       |pps AS (SELECT doc_id, toks, unnest(generate_series(1, n, 1)) AS pos FROM pt),
+       |ppx AS (SELECT doc_id, pos, toks[pos] AS token FROM pps),
+       |pa AS (SELECT doc_id, pos FROM ppx WHERE token = ${sqlLit(ph1)}),
+       |pb AS (SELECT doc_id, pos FROM ppx WHERE token = ${sqlLit(ph2)}),
+       |phd AS (
+       |  SELECT DISTINCT pa.doc_id FROM pa JOIN pb
+       |  ON pa.doc_id = pb.doc_id AND pb.pos - pa.pos = 1),
+       |cand AS (
+       |  SELECT doc_id FROM mustd
+       |  WHERE doc_id IN (SELECT doc_id FROM phd)
+       |    AND doc_id NOT IN (SELECT doc_id FROM exd)),
+       |cp AS (
+       |  SELECT token, doc_id, tf FROM ap
+       |  WHERE token IN (${sqlLit(mustT)}, ${sqlLit(shouldT)})
+       |    AND doc_id IN (SELECT doc_id FROM cand)),
+       |scoredqa AS (
+       |  SELECT cp.doc_id,
+       |    CAST(sum((CASE cp.token WHEN ${sqlLit(mustT)} THEN 1 WHEN ${sqlLit(shouldT)} THEN 3 END)
+       |             * cp.tf * m.idf_micro) AS BIGINT) AS score_micro
+       |  FROM cp JOIN model m ON m.token = cp.token GROUP BY cp.doc_id),
+       |qsra AS (
+       |  SELECT doc_id, score_micro,
+       |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM scoredqa)
+       |SELECT rank, doc_id, score_micro FROM qsra WHERE rank <= $topK ORDER BY rank""".stripMargin
+  }
+
   /** Analyzed range-facet oracle: the conjunctive ANALYZED match set
     * histogrammed over the analyzed doc length (sum of per-token tf =
     * the filtered token-stream length, exactly the engine's adl).
@@ -8918,10 +9123,12 @@ object Search {
     "search_query_string_fielded" -> oracleQueryStringFielded,
     "search_query_string_fuzzy" -> oracleQueryStringFuzzy,
     "search_query_string_range" -> oracleQueryStringRange,
+    "search_query_string_analyzed" -> oracleQueryStringAnalyzed,
     // chunk retrieval: corpus and index twins share the pooled oracle
     "search_chunk_bm25" -> oracleChunkBm25,
     "search_chunk_bm25_index" -> oracleChunkBm25,
     "search_chunk_page" -> oracleChunkPage,
+    "search_chunk_bm25_appended" -> oracleChunkBm25,
     "search_range_facet" -> oracleRangeFacet,
     "search_grouped_topk" -> oracleGroupedTopK,
     "search_best_passage" -> oracleBestPassage,

@@ -710,6 +710,30 @@ class SearchSpec extends SparkSpec {
     assert(empty.columns.toSeq == Seq("rank", "doc_id", "pos", "snippet") && empty.count() == 0)
   }
 
+  test("searchQueryStringAnalyzed: damaged docs recovered; raw-only clauses reject") {
+    val docs = Seq(
+      (1L, "DUP window alpha"), // damaged casing — analyzer must recover
+      (2L, "dup beta gamma."),
+      (3L, "window merge dup")  // excluded by -merge
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_qsa").toString + "/idx"
+    Search.saveSearchIndex(docs, "doc_id", "text", dir, analyzed = true)
+    val got = Search.searchQueryStringAnalyzed(spark, dir, "+DUP Window^3 -Merge", 10)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(got == Set(1L, 2L), got.toString)
+    // raw-only clauses have no analyzed artifacts to serve — loud
+    intercept[IllegalArgumentException](
+      Search.searchQueryStringAnalyzed(spark, dir, "dup title:window", 10)
+    )
+    intercept[IllegalArgumentException](
+      Search.searchQueryStringAnalyzed(spark, dir, "dup len:[1 TO 9]", 10)
+    )
+    // a clause that analyzes to pure punctuation is ill-formed
+    intercept[IllegalArgumentException](
+      Search.searchQueryStringAnalyzed(spark, dir, "dup +...", 10)
+    )
+  }
+
   test("analyzed page-surface twins: damaged docs recovered; probes pruned to bucket dirs") {
     val idxDir = java.nio.file.Files.createTempDirectory("graft_antwin_idx").toString + "/idx"
     val storeDir = java.nio.file.Files.createTempDirectory("graft_antwin_st").toString + "/docs"
