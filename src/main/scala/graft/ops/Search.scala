@@ -498,6 +498,16 @@ object Search {
       )
   }
 
+  /** The (cid, ctext) chunk relation exactly as the index machinery
+    * sees it — the seam streaming chunk-index maintenance (the RAG
+    * ingestion shape) and the demo builders share: composite chunk ids
+    * are ordinary ids to every index route, and the projection is
+    * stateless (explode over a sequence), so it rides a streaming
+    * micro-batch unchanged.
+    */
+  def chunkedDocs(docs: DataFrame, idCol: String, textCol: String, chunkSize: Int): DataFrame =
+    chunkRelation(docs, idCol, textCol, chunkSize).select(chunkCidCol.as("cid"), col("ctext"))
+
   /** CHUNK-LEVEL BM25 with DOC-LEVEL MAX-POOLING — the RAG retrieval
     * shape (long documents are indexed as fixed windows; a document
     * ranks by its BEST passage-chunk, so one on-topic window beats a
@@ -1091,6 +1101,44 @@ object Search {
       k: Int,
       fieldedDir: Option[String] = None,
       maxExpand: Int = 8
+  ): DataFrame =
+    rankTop(queryStringGated(s, indexDir, q, fieldedDir, maxExpand), "score_micro", k)
+
+  /** KEYSET pagination for the query-string front door — page 2+ of
+    * the one entry point real applications call: the same gated scored
+    * relation, cursor-filtered on the (score_micro, doc_id) keyset
+    * BEFORE the top-k (the [[bm25PageAfter]] convention: page-local
+    * ranks, a top-k plan on every page, no offset scan).
+    */
+  def searchQueryStringPageAfter(
+      s: SparkSession,
+      indexDir: String,
+      q: String,
+      k: Int,
+      afterScoreMicro: Long,
+      afterDocId: Long,
+      fieldedDir: Option[String] = None,
+      maxExpand: Int = 8
+  ): DataFrame =
+    rankTop(
+      queryStringGated(s, indexDir, q, fieldedDir, maxExpand).filter(
+        col("score_micro") < afterScoreMicro ||
+          (col("score_micro") === afterScoreMicro && col("doc_id") > afterDocId)
+      ),
+      "score_micro",
+      k
+    )
+
+  /** The front door's gated scored relation (doc_id, score_micro) —
+    * every clause compiled and applied, no rank/limit yet; shared by
+    * the first page and keyset pagination.
+    */
+  private def queryStringGated(
+      s: SparkSession,
+      indexDir: String,
+      q: String,
+      fieldedDir: Option[String],
+      maxExpand: Int
   ): DataFrame = {
     val pq = parseQueryString(q)
     val explicitTerms = pq.must ++ pq.should
@@ -1204,7 +1252,7 @@ object Search {
         ).select(col("doc_id")).distinct()
         phraseGated.join(excluded, Seq("doc_id"), "left_anti")
       }
-    rankTop(gated, "score_micro", k)
+    gated
   }
 
   /** The ANALYZED query-string front door — the mode a production
@@ -5188,6 +5236,31 @@ object Search {
     searchQueryString(s, demoSearchIndexDir(s, d), fixtureQueryStringRange, topK)
       .orderBy("rank")
 
+  /** Wide OR fixture for front-door pagination (no must/not gates, so
+    * the match set outgrows one page).
+    */
+  private[ops] val fixtureQueryStringWide = "dup window^3"
+
+  /** Front-door keyset pagination gate: page 2 cursored from page 1's
+    * last (score, id) — the oracle recomputes the cursor and the
+    * page-2 window from the same boosted chain.
+    */
+  val searchQueryStringPage: Q = (s, d) => {
+    val dir = demoSearchIndexDir(s, d)
+    val last = searchQueryString(s, dir, fixtureQueryStringWide, topK)
+      .orderBy(desc("rank"))
+      .limit(1)
+      .head()
+    searchQueryStringPageAfter(
+      s,
+      dir,
+      fixtureQueryStringWide,
+      topK,
+      last.getAs[Long]("score_micro"),
+      last.getAs[Long]("doc_id")
+    ).orderBy("rank")
+  }
+
   /** The analyzed front door's fixture: damaged-input casing and a
     * punctuated phrase — the analyzer must fold every clause.
     */
@@ -5198,7 +5271,7 @@ object Search {
       .orderBy("rank")
 
   /** Chunk-retrieval fixtures: 16-token windows. */
-  private[ops] val fixtureChunkSize = 16
+  private[graft] val fixtureChunkSize = 16
 
   /** Once-per-process PERSISTED chunk index: the chunk relation under
     * the ordinary bucketed index layout, composite cids.
@@ -7473,6 +7546,7 @@ object Search {
     "search_query_string_fuzzy" -> searchQueryStringFuzzy,
     "search_query_string_range" -> searchQueryStringRange,
     "search_query_string_analyzed" -> searchQueryStringAnalyzedQ,
+    "search_query_string_page" -> searchQueryStringPage,
     "search_chunk_bm25" -> searchChunkBm25,
     "search_chunk_bm25_index" -> searchChunkBm25Index,
     "search_chunk_page" -> searchChunkPage,
@@ -8404,6 +8478,40 @@ object Search {
        |WHERE p.rank <= $fixturePassageK ORDER BY p.rank""".stripMargin
   }
 
+  /** Front-door pagination oracle: the boosted chain (dup×1,
+    * window×3), the cursor = page 1's last row (max rank ≤ k — robust
+    * to short pages), page 2 re-ranked over the keyset remainder.
+    */
+  private lazy val oracleQueryStringPage: String =
+    s"""WITH $postingsSql,
+       |tb AS (SELECT * FROM (VALUES ('dup', 1), ('window', 3)) t(token, boost)),
+       |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       |dfm AS (SELECT p.token, CAST(count(*) AS BIGINT) AS df FROM p
+       |        JOIN tb ON tb.token = p.token GROUP BY p.token),
+       |model AS (
+       |  SELECT d.token, tb.boost,
+       |    CAST(floor(ln(((SELECT n_docs FROM nd) + 1) / CAST(d.df + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS idf_micro
+       |  FROM dfm d JOIN tb ON tb.token = d.token),
+       |scored AS (
+       |  SELECT p.doc_id, CAST(sum(m.boost * p.tf * m.idf_micro) AS BIGINT) AS score_micro
+       |  FROM p JOIN model m ON m.token = p.token GROUP BY p.doc_id),
+       |r1 AS (
+       |  SELECT doc_id, score_micro,
+       |    row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS rank
+       |  FROM scored),
+       |cur AS (SELECT score_micro, doc_id FROM r1
+       |        WHERE rank = (SELECT max(rank) FROM r1 WHERE rank <= $topK)),
+       |pg2 AS (
+       |  SELECT doc_id, score_micro FROM scored s
+       |  WHERE s.score_micro < (SELECT score_micro FROM cur)
+       |     OR (s.score_micro = (SELECT score_micro FROM cur)
+       |         AND s.doc_id > (SELECT doc_id FROM cur))),
+       |r2 AS (
+       |  SELECT doc_id, score_micro,
+       |    CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM pg2)
+       |SELECT rank, doc_id, score_micro FROM r2 WHERE rank <= $topK ORDER BY rank""".stripMargin
+
   /** Analyzed query-string oracle: the same gate algebra as
     * [[oracleQueryString]] replayed over the DAMAGED corpus's analyzed
     * token stream — postings/df from the analyzed chain, the phrase
@@ -9124,6 +9232,7 @@ object Search {
     "search_query_string_fuzzy" -> oracleQueryStringFuzzy,
     "search_query_string_range" -> oracleQueryStringRange,
     "search_query_string_analyzed" -> oracleQueryStringAnalyzed,
+    "search_query_string_page" -> oracleQueryStringPage,
     // chunk retrieval: corpus and index twins share the pooled oracle
     "search_chunk_bm25" -> oracleChunkBm25,
     "search_chunk_bm25_index" -> oracleChunkBm25,

@@ -886,6 +886,44 @@ object StreamingIngest {
     } finally rmScratch(s, base)
   }
 
+  /** STREAMING RAG INGESTION as an ORACLE-GATED query: documents
+    * arrive as 4 real micro-batches, each batch CHUNKS in-plan
+    * ([[graft.ops.Search.chunkedDocs]] — a stateless projection, so it
+    * rides the micro-batch) and folds into the persisted CHUNK index
+    * through the standard exactly-once apply (gbatch names, meta
+    * ledger, applied marker) with a mid-stream compaction; the
+    * post-drain chunk-BM25 probe must equal the one-shot corpus
+    * route — it shares search_chunk_bm25's oracle, so the whole RAG
+    * ingestion loop (stream → chunk → index → pooled retrieval) is
+    * hash-gated end to end.
+    */
+  def searchStreamChunkProbe(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_chunk_stream")
+    try {
+      val src = base.resolve("src").toString
+      val idx = base.resolve("index").toString
+      val ckpt = base.resolve("ckpt").toString
+      graft.ops.Fixtures
+        .documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .repartition(4, col("doc_id"))
+        .write
+        .parquet(src)
+      val stream = s.readStream
+        .schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+      val chunked =
+        graft.ops.Search.chunkedDocs(stream, "doc_id", "text", graft.ops.Search.fixtureChunkSize)
+      searchIndexStream(chunked, "cid", "ctext", idx, ckpt, Trigger.AvailableNow(), compactEvery = 3)
+        .awaitTermination()
+      graft.ops.Search
+        .chunkBm25FromIndex(s, idx, graft.ops.Search.fixtureOrTerms, 10)
+        .orderBy("rank")
+        .localCheckpoint(true)
+    } finally rmScratch(s, base)
+  }
+
   /** The ANALYZED stream maintenance path as an ORACLE-GATED query —
     * [[searchStreamProbe]]'s twin for the mode real users run: the
     * case/punctuation-DAMAGED fixture corpus arrives as 4 real
@@ -1846,6 +1884,7 @@ object StreamingIngest {
       "dedup_stream_clusters" -> dedupStreamClusters,
       "dedup_stream_exact" -> ((s, d) => dedupStreamExactReplay(s, d)),
       "search_stream_probe" -> ((s, d) => searchStreamProbe(s, d)),
+      "search_stream_chunk" -> ((s, d) => searchStreamChunkProbe(s, d)),
       "search_stream_analyzed_probe" -> ((s, d) => searchStreamAnalyzedProbe(s, d)),
       "search_stream_upsert" -> ((s, d) => searchStreamUpsertProbe(s, d)),
       "search_stream_bm25f" -> ((s, d) => searchStreamBm25fProbe(s, d)),
@@ -1900,6 +1939,7 @@ object StreamingIngest {
       // the stream-maintained index must answer the conjunctive probe
       // exactly like the one-shot corpus pass — shared oracle = gate
       "search_stream_probe" -> graft.ops.Search.oracles("search_conjunctive"),
+      "search_stream_chunk" -> graft.ops.Search.oracles("search_chunk_bm25"),
       // the streamed analyzed maintenance lifecycle must land on the
       // one-shot corpus analyzed-BM25 route's exact rows
       "search_stream_analyzed_probe" -> graft.ops.Search.oracles("search_analyzed_bm25"),
