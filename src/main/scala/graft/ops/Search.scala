@@ -1211,6 +1211,12 @@ object Search {
       if (pq.fieldTerms.isEmpty) None
       else Some(fieldedLegScores(s, fieldedDir.get, pq.fieldTerms).withColumn("n_must", lit(0L)))
     val legs = unfieldedLeg.toSeq ++ fieldedLeg.toSeq
+    // a fuzzy/wildcard-only query whose expansions found no dictionary
+    // term rewrites to nothing — Lucene's empty rewrite matches nothing
+    if (legs.isEmpty) {
+      import s.implicits._
+      return Seq.empty[(Long, Long)].toDF("doc_id", "score_micro")
+    }
     // single-leg queries keep the one-aggregate plan; two legs meet in
     // a second doc-keyed aggregate over hit-set-sized inputs
     val combined =
@@ -1318,6 +1324,9 @@ object Search {
         .toSeq
         .sortBy(_._1)
     val mustTerms = must.map(_._1)
+    // a fuzzy/wildcard-only query whose expansions found no dictionary
+    // term rewrites to nothing — Lucene's empty rewrite matches nothing
+    if (scoreTerms.isEmpty) return emptyHits(s)
     import s.implicits._
     val terms = scoreTerms.map(_._1)
     val buckets = terms.map(tokenBucket).distinct
@@ -3764,6 +3773,32 @@ object Search {
   ): DataFrame =
     rankTop(bm25ScoredFromIndex(s, indexDir, terms, asOf = Some(asOfGen)), "score_milli", k)
 
+  /** POINT-IN-TIME keyset pagination — the search_after + PIT pairing
+    * every deep-pagination API ships (a cursor is only stable against
+    * a FROZEN index; paging a live index skips or repeats rows as
+    * maintenance lands between pages): the as-of scored relation
+    * cursor-filtered on the (score, id) keyset BEFORE the top-k, so
+    * page 2 of generation G is exactly what page 2 was WHEN the index
+    * stood at G. Same horizon contract as every time-travel route.
+    */
+  def bm25PageAfterAsOf(
+      s: SparkSession,
+      indexDir: String,
+      terms: Seq[String],
+      k: Int,
+      afterScoreMilli: Long,
+      afterDocId: Long,
+      asOfGen: Long
+  ): DataFrame =
+    rankTop(
+      bm25ScoredFromIndex(s, indexDir, terms, asOf = Some(asOfGen)).filter(
+        col("score_milli") < afterScoreMilli ||
+          (col("score_milli") === afterScoreMilli && col("doc_id") > afterDocId)
+      ),
+      "score_milli",
+      k
+    )
+
   /** TIME-TRAVEL conjunctive probe: the exact page the index served
     * after generation `asOfGen` — later batches' rows invisible,
     * later tombstones unapplied (an upsert's OLD version serves
@@ -5113,6 +5148,27 @@ object Search {
   val searchAsOfBm25: Q = (s, d) =>
     bm25FromIndexAsOf(s, demoAsOfIndexDir(s, d), fixtureOrTerms, topK, asOfGen = 0L)
       .orderBy("rank")
+
+  /** PIT pagination gate: page 2 of the generation-0 ranking, cursored
+    * from page 1's last row — the oracle recomputes the cursor and the
+    * page-2 window over the pre-upsert corpus.
+    */
+  val searchAsOfPageAfter: Q = (s, d) => {
+    val idx = demoAsOfIndexDir(s, d)
+    val last = bm25FromIndexAsOf(s, idx, fixtureOrTerms, topK, asOfGen = 0L)
+      .orderBy(desc("rank"))
+      .limit(1)
+      .head()
+    bm25PageAfterAsOf(
+      s,
+      idx,
+      fixtureOrTerms,
+      topK,
+      last.getAs[Long]("score_milli"),
+      last.getAs[Long]("doc_id"),
+      asOfGen = 0L
+    ).orderBy("rank")
+  }
 
   /** Dictionary introspection gate: stats for the OR fixture terms
     * plus an absent probe (must yield no row, not a zero row).
@@ -6555,6 +6611,50 @@ object Search {
       .agg(count(lit(1)).cast("long").as("n_hits"))
   }
 
+  /** MULTI-FACET sidebar — every dimension of the real SERP sidebar
+    * ("language" AND "source") counted in ONE hit-set pass: the match
+    * set joins the store's meta columns once, each hit row explodes to
+    * its (facet, value) pairs (hit-set × |facets| rows — the same
+    * volume |facets| separate sidebars would shuffle, in one job with
+    * one store read), counts per pair. Parquet column pruning still
+    * reads only (doc_id, facets, dbucket) — the text column never
+    * loads.
+    */
+  def multiFacetCounts(
+      s: SparkSession,
+      indexDir: String,
+      storeDir: String,
+      terms: Seq[String],
+      facetCols: Seq[String]
+  ): DataFrame = {
+    require(terms.nonEmpty, "facet counts need at least one term")
+    require(facetCols.nonEmpty, "multi-facet counts need at least one facet column")
+    require(facetCols.distinct.size == facetCols.size, s"duplicate facet columns: $facetCols")
+    val buckets = terms.map(tokenBucket).distinct
+    val matched = liveRows(
+      s,
+      indexDir,
+      s.read
+        .schema(postingsSchema)
+        .parquet(s"$indexDir/postings")
+        .filter(col("tbucket").isin(buckets: _*) && col("token").isin(terms: _*))
+    )
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_matched"))
+      .filter(col("n_matched") === terms.size.toLong)
+      .select(col("doc_id"))
+    val meta = docStoreLive(s, storeDir).select(col("doc_id") +: facetCols.map(col): _*)
+    matched
+      .join(meta, "doc_id")
+      .select(
+        explode(
+          map(facetCols.flatMap(f => Seq(lit(f), col(f).cast("string"))): _*)
+        ).as(Seq("facet", "value"))
+      )
+      .groupBy(col("facet"), col("value"))
+      .agg(count(lit(1)).cast("long").as("n_hits"))
+  }
+
   /** NUMERIC RANGE FACETS over the match set — the SERP sidebar's
     * histogram dimension ("length: 0–31 (12) · 32–63 (8) · …"): the
     * conjunctive match set comes from the postings index (terms'
@@ -7084,6 +7184,19 @@ object Search {
     facetCounts(s, demoSearchIndexDir(s, d), demoDocStoreDir(s, d), fixtureAndTerms, "lang")
       .orderBy(desc("n_hits"), col("lang"))
 
+  /** Multi-facet sidebar gate: lang AND source counted in one hit-set
+    * pass — the oracle recomputes each dimension independently and
+    * unions.
+    */
+  val searchFacetsMulti: Q = (s, d) =>
+    multiFacetCounts(
+      s,
+      demoSearchIndexDir(s, d),
+      demoDocStoreDir(s, d),
+      fixtureAndTerms,
+      Seq("lang", "source")
+    ).orderBy(col("facet"), col("value"))
+
   /** Keyset-pagination gate: the page-2 probe cursors from page 1's
     * LAST row (the (score, doc_id) total order) — the oracle ranks the
     * whole chain once and renumbers rows topK+1..2·topK, so a cursor
@@ -7530,6 +7643,7 @@ object Search {
     "search_boolean_not_index" -> searchBooleanNotIndex,
     "search_asof_probe" -> searchAsOfProbe,
     "search_asof_bm25" -> searchAsOfBm25,
+    "search_asof_page_after" -> searchAsOfPageAfter,
     "search_term_stats" -> searchTermStats,
     "search_proximity" -> searchProximity,
     "search_proximity_index" -> searchProximityIndex,
@@ -7603,6 +7717,7 @@ object Search {
     "search_field_scoped" -> searchFieldScoped,
     "search_field_scoped_deleted" -> searchFieldScopedDeleted,
     "search_facets" -> searchFacets,
+    "search_facets_multi" -> searchFacetsMulti,
     "search_page_after" -> searchPageAfter,
     "search_facets_analyzed" -> searchFacetsAnalyzed,
     "search_page_after_analyzed" -> searchPageAfterAnalyzed,
@@ -9206,6 +9321,25 @@ object Search {
          |  WHERE doc_id % 2 = 0 OR doc_id % 4 = 1),
          |${oracleBm25ChainFor(fixtureOrTerms, "asofdocs")}
          |SELECT rank, doc_id, score_milli FROM bmranked WHERE rank <= $topK ORDER BY rank""".stripMargin,
+    // PIT pagination: the as-of ranking's page 2, cursor = page 1's
+    // last row (max rank <= k) over the pre-upsert corpus
+    "search_asof_page_after" ->
+      s"""WITH asofdocs AS (
+         |  SELECT doc_id, text FROM documents
+         |  WHERE doc_id % 2 = 0 OR doc_id % 4 = 1),
+         |${oracleBm25ChainFor(fixtureOrTerms, "asofdocs")},
+         |acur AS (SELECT score_milli, doc_id FROM bmranked
+         |         WHERE rank = (SELECT max(rank) FROM bmranked WHERE rank <= $topK)),
+         |apg2 AS (
+         |  SELECT doc_id, score_milli FROM sc
+         |  WHERE sc.score_milli < (SELECT score_milli FROM acur)
+         |     OR (sc.score_milli = (SELECT score_milli FROM acur)
+         |         AND sc.doc_id > (SELECT doc_id FROM acur))),
+         |ar2 AS (
+         |  SELECT doc_id, score_milli,
+         |    CAST(row_number() OVER (ORDER BY score_milli DESC, doc_id ASC) AS BIGINT) AS rank
+         |  FROM apg2)
+         |SELECT rank, doc_id, score_milli FROM ar2 WHERE rank <= $topK ORDER BY rank""".stripMargin,
     // dictionary introspection: exact df/tf per probe term, absent
     // term yields NO row
     "search_term_stats" -> {
@@ -9321,6 +9455,16 @@ object Search {
          |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_hits
          |FROM scored s JOIN documents d USING (doc_id)
          |GROUP BY d.lang ORDER BY n_hits DESC, d.lang""".stripMargin,
+    // multi-facet sidebar: each dimension recomputed independently,
+    // unioned under the facet tag
+    "search_facets_multi" ->
+      s"""WITH ${oracleTermSearchChain(fixtureAndTerms, requireAll = true)}
+         |SELECT 'lang' AS facet, CAST(d.lang AS VARCHAR) AS value, CAST(count(*) AS BIGINT) AS n_hits
+         |FROM scored s JOIN documents d USING (doc_id) GROUP BY d.lang
+         |UNION ALL
+         |SELECT 'source' AS facet, CAST(d.source AS VARCHAR) AS value, CAST(count(*) AS BIGINT) AS n_hits
+         |FROM scored s JOIN documents d USING (doc_id) GROUP BY d.source
+         |ORDER BY facet, value""".stripMargin,
     // keyset pagination: one global ranking, renumbered to the second
     // page — a cursor that skips or repeats a row hash-mismatches
     "search_page_after" ->

@@ -732,6 +732,9 @@ class SearchSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Search.searchQueryStringAnalyzed(spark, dir, "dup +...", 10)
     )
+    // empty analyzed rewrite (no dictionary match) is an empty page
+    val none = Search.searchQueryStringAnalyzed(spark, dir, "zzzzzzzzzzzzzz~1", 10)
+    assert(none.columns.toSeq == Seq("rank", "doc_id", "score_micro") && none.count() == 0)
   }
 
   test("analyzed page-surface twins: damaged docs recovered; probes pruned to bucket dirs") {
@@ -2075,6 +2078,11 @@ class SearchSpec extends SparkSpec {
     val keptBoth = Search.searchQueryString(spark, dir, "dup window len:[2 TO 3]", 10)
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(keptBoth == Set(1L, 2L))
+    // a fuzzy/wildcard-only query whose expansion finds NO dictionary
+    // term rewrites to nothing (Lucene's empty rewrite): empty page,
+    // page schema intact — not a crash
+    val none = Search.searchQueryString(spark, dir, "zzzzzzzzzzzzzz~1 qqq*zzz", 10)
+    assert(none.columns.toSeq == Seq("rank", "doc_id", "score_micro") && none.count() == 0)
   }
 
   test("lowerRegexLiterals: literals fold, backslash escapes survive") {
