@@ -607,6 +607,34 @@ class SearchSpec extends SparkSpec {
     }
   }
 
+  test("round-16 routes prune to their clauses' bucket dirs (PartitionFilters pins)") {
+    val d = "/root/testdata/sf0.001"
+    val plans = Seq(
+      Search.queries("search_query_string_fielded")(spark, d),
+      Search.queries("search_query_string_fuzzy")(spark, d),
+      Search.queries("search_query_string_range")(spark, d),
+      Search.queries("search_query_string_analyzed")(spark, d),
+      Search.queries("search_query_string_page")(spark, d),
+      Search.queries("search_auto_correct_multi")(spark, d),
+      Search.queries("search_grouped_topk_analyzed")(spark, d),
+      Search.queries("search_facets_multi")(spark, d),
+      Search.queries("search_bm25f_deleted")(spark, d)
+    ).map(_.queryExecution.executedPlan.toString)
+    plans.foreach { plan =>
+      assert(plan.contains("PartitionFilters: [") && plan.contains("tbucket"), plan.take(2000))
+    }
+    // the analyzed passage page's RETURNED plan is the render join —
+    // its store read must prune to the page's dbucket dirs (the
+    // positional tbucket prune runs inside the eager page step)
+    val bpPlan = Search.queries("search_best_passage_analyzed")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(bpPlan.contains("PartitionFilters: [") && bpPlan.contains("dbucket"), bpPlan.take(2000))
+    // the multi-facet store read column-prunes: text must never load
+    val mfPlan = Search.queries("search_facets_multi")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(!mfPlan.contains("text#"), "multi-facet sidebar must not read the text column")
+  }
+
   test("bm25Search: tf saturates toward (k1+1)·idf and longer docs are penalized") {
     // docs 1/2: same length, tf 1 vs 20 — the 20x tf must NOT score 20x
     // (saturation); docs 3/4: same tf, 4x length — longer scores lower
