@@ -1307,11 +1307,18 @@ object Similarity {
       maxProbes: Long,
       op: String
   ): Unit = {
-    require(maxProbes >= 1, s"maxProbes must be >= 1, got $maxProbes")
-    val n = probes.count()
     require(
-      n <= maxProbes,
-      s"$op: probe set has $n vectors (every = $every) > maxProbes = $maxProbes — the probe " +
+      maxProbes >= 1 && maxProbes < Int.MaxValue,
+      s"maxProbes must be in [1, ${Int.MaxValue - 1}], got $maxProbes"
+    )
+    // count THROUGH a limit: the scan short-circuits at maxProbes + 1
+    // rows, so the guard never pays a full corpus count — it only
+    // answers "more than maxProbes?"
+    val over =
+      probes.select(col(probes.columns.head)).limit((maxProbes + 1).toInt).count() > maxProbes
+    require(
+      !over,
+      s"$op: probe set exceeds maxProbes = $maxProbes (every = $every) — the probe " +
         "set BROADCASTS, so this would broadcast corpus-scale data; raise `every` (or " +
         "maxProbes deliberately), or run corpus-scale evals through the PQ kNN join"
     )
