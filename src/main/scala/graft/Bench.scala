@@ -164,6 +164,13 @@ object Bench {
       // every rep rewrites the corpus source and replays the
       // micro-batched index maintenance from a fresh checkpoint
       "search_stream_probe" -> "every_run",
+      // chunked-RAG twin: every rep rewrites the source and replays
+      // the chunk-index maintenance from a fresh checkpoint
+      "search_stream_chunk" -> "every_run",
+      // fielded (BM25F) twins: every rep rewrites the fielded source
+      // and replays the fpostings maintenance from a fresh checkpoint
+      "search_stream_bm25f" -> "every_run",
+      "search_stream_bm25f_upsert" -> "every_run",
       // analyzed twin: every rep rewrites the damaged-corpus source and
       // replays the analyzed index maintenance from a fresh checkpoint
       "search_stream_analyzed_probe" -> "every_run",
