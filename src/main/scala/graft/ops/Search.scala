@@ -686,26 +686,50 @@ object Search {
     */
   private val indexFormatVersion = 2L
 
-  private def writeMeta(s: SparkSession, dir: String, m: (Long, Long)): Unit = {
-    import s.implicits._
-    Seq((m._1, m._2, indexFormatVersion))
-      .toDF("n_docs", "total_toks", "format_version")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
-  }
+  // meta/ameta/ledger scalars move through graft.core.ScalarParquet —
+  // driver-side parquet-mr I/O, zero Spark jobs — because they sit in
+  // the per-micro-batch hot loop and in every probe's prologue; files,
+  // names and schemas are unchanged (Spark still reads them fine).
+  private val metaSchema =
+    "message meta { optional int64 n_docs; optional int64 total_toks; optional int64 format_version; }"
+
+  private def writeMeta(s: SparkSession, dir: String, m: (Long, Long)): Unit =
+    graft.core.ScalarParquet.overwriteDir(
+      s.sessionState.newHadoopConf(),
+      fsFor(s, dir),
+      new org.apache.hadoop.fs.Path(s"$dir/meta"),
+      metaSchema,
+      Seq(Seq(m._1, m._2, indexFormatVersion))
+    )
 
   private def readMeta(s: SparkSession, dir: String): (Long, Long) = {
-    val df = s.read.parquet(s"$dir/meta")
+    var row: Option[(Long, Long, Long)] = None
+    var sawVersion = false
+    graft.core.ScalarParquet.foreachRow(
+      s.sessionState.newHadoopConf(),
+      fsFor(s, dir),
+      new org.apache.hadoop.fs.Path(s"$dir/meta")
+    ) { g =>
+      sawVersion = sawVersion ||
+        (0 until g.getType.getFieldCount).exists(i => g.getType.getFieldName(i) == "format_version")
+      val v = if (sawVersion && g.getFieldRepetitionCount("format_version") > 0)
+        g.getLong("format_version", 0)
+      else 0L
+      row = Some((g.getLong("n_docs", 0), g.getLong("total_toks", 0), v))
+    }
     require(
-      df.columns.contains("format_version"),
+      sawVersion,
       s"search index at $dir has no format_version marker (pre-dl layout): its postings " +
         "lack the denormalized dl column and BM25 would silently mis-score — rebuild the index"
     )
-    val r = df.select("n_docs", "total_toks", "format_version").head()
-    require(
-      r.getLong(2) >= indexFormatVersion,
-      s"search index at $dir has format_version ${r.getLong(2)} < $indexFormatVersion — rebuild the index"
+    val r = row.getOrElse(
+      throw new IllegalStateException(s"search index at $dir: empty meta relation")
     )
-    (r.getLong(0), r.getLong(1))
+    require(
+      r._3 >= indexFormatVersion,
+      s"search index at $dir has format_version ${r._3} < $indexFormatVersion — rebuild the index"
+    )
+    (r._1, r._2)
   }
 
   /** The ANALYZED-total meta scalar (sum of analyzed doc lengths) —
@@ -713,13 +737,24 @@ object Search {
     * doc count is analyzer-independent). Kept in its own relation so
     * raw-only indexes never pay for it.
     */
-  private def writeAmeta(s: SparkSession, dir: String, totalAtoks: Long): Unit = {
-    import s.implicits._
-    Seq(totalAtoks).toDF("total_atoks").coalesce(1).write.mode("overwrite").parquet(s"$dir/ameta")
-  }
+  private def writeAmeta(s: SparkSession, dir: String, totalAtoks: Long): Unit =
+    graft.core.ScalarParquet.overwriteDir(
+      s.sessionState.newHadoopConf(),
+      fsFor(s, dir),
+      new org.apache.hadoop.fs.Path(s"$dir/ameta"),
+      "message ameta { optional int64 total_atoks; }",
+      Seq(Seq(totalAtoks))
+    )
 
-  private def readAmeta(s: SparkSession, dir: String): Long =
-    s.read.parquet(s"$dir/ameta").select("total_atoks").head().getLong(0)
+  private def readAmeta(s: SparkSession, dir: String): Long = {
+    var v = Option.empty[Long]
+    graft.core.ScalarParquet.foreachRow(
+      s.sessionState.newHadoopConf(),
+      fsFor(s, dir),
+      new org.apache.hadoop.fs.Path(s"$dir/ameta")
+    )(g => v = Some(g.getLong("total_atoks", 0)))
+    v.getOrElse(throw new IllegalStateException(s"search index at $dir: empty ameta relation"))
+  }
 
   /** total_atoks recomputed from the apostings relation itself: adl is
     * constant per doc, so the distinct (doc_id, adl) pairs sum to the
@@ -1771,21 +1806,27 @@ object Search {
     fieldCols.zipWithIndex.map { case (f, i) => (f, r.getLong(0), r.getLong(i + 1)) }
   }
 
-  private def writeFmeta(s: SparkSession, dir: String, rows: Seq[(String, Long, Long)]): Unit = {
-    import s.implicits._
-    rows.toDF("field", "n_docs", "total_toks")
-      .coalesce(1)
-      .write
-      .mode("overwrite")
-      .parquet(s"$dir/fmeta")
-  }
+  private val fmetaSchema =
+    "message fmeta { optional binary field (UTF8); optional int64 n_docs; optional int64 total_toks; }"
 
-  private def readFmeta(s: SparkSession, dir: String): Map[String, (Long, Long)] =
-    s.read
-      .parquet(s"$dir/fmeta")
-      .collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
-      .toMap
+  private def writeFmeta(s: SparkSession, dir: String, rows: Seq[(String, Long, Long)]): Unit =
+    graft.core.ScalarParquet.overwriteDir(
+      s.sessionState.newHadoopConf(),
+      fsFor(s, dir),
+      new org.apache.hadoop.fs.Path(s"$dir/fmeta"),
+      fmetaSchema,
+      rows.map { case (f, n, t) => Seq(f, n, t) }
+    )
+
+  private def readFmeta(s: SparkSession, dir: String): Map[String, (Long, Long)] = {
+    val m = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    graft.core.ScalarParquet.foreachRow(
+      s.sessionState.newHadoopConf(),
+      fsFor(s, dir),
+      new org.apache.hadoop.fs.Path(s"$dir/fmeta")
+    )(g => m(g.getString("field", 0)) = (g.getLong("n_docs", 0), g.getLong("total_toks", 0)))
+    m.toMap
+  }
 
   /** The field set already indexed at `dir`, or a loud error when the
     * maintainer's fields don't match — updating fpostings with a
@@ -1824,21 +1865,15 @@ object Search {
       dir: String,
       rows: Seq[(String, Long, Long)],
       tag: String
-  ): Unit = {
-    import org.apache.hadoop.fs.Path
-    import s.implicits._
-    val fs = fsFor(s, dir)
-    val staged = s"$dir/_stage_fledger_$tag"
-    rows.toDF("field", "n_docs", "total_toks")
-      .coalesce(1).write.mode("overwrite").parquet(staged)
-    val src = fs.globStatus(new Path(s"$staged/part-*")).head.getPath
-    fs.mkdirs(new Path(fledgerDir(dir)))
-    val dest = new Path(fledgerDir(dir), s"$tag-0.parquet")
-    if (fs.exists(dest)) fs.delete(dest, false)
-    if (!fs.rename(src, dest))
-      throw new java.io.IOException(s"fielded ledger write: rename $src -> $dest failed")
-    fs.delete(new Path(staged), true)
-  }
+  ): Unit =
+    graft.core.ScalarParquet.writeAtomic(
+      s.sessionState.newHadoopConf(),
+      fsFor(s, dir),
+      new org.apache.hadoop.fs.Path(fledgerDir(dir)),
+      s"$tag-0.parquet",
+      fmetaSchema,
+      rows.map { case (f, n, t) => Seq(f, n, t) }
+    )
 
   private def seedFledgerIfNeeded(s: SparkSession, dir: String): Unit = {
     val fs = fsFor(s, dir)
@@ -1851,22 +1886,19 @@ object Search {
       )
   }
 
-  private def fledgerSums(s: SparkSession, dir: String): Seq[(String, Long, Long)] =
-    s.read
-      .schema(
-        new org.apache.spark.sql.types.StructType()
-          .add("field", "string").add("n_docs", "long").add("total_toks", "long")
-      )
-      .parquet(fledgerDir(dir))
-      .groupBy(col("field"))
-      .agg(
-        coalesce(sum(col("n_docs")), lit(0L)).cast("long").as("n"),
-        coalesce(sum(col("total_toks")), lit(0L)).cast("long").as("t")
-      )
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      .toSeq
-      .sortBy(_._1)
+  private def fledgerSums(s: SparkSession, dir: String): Seq[(String, Long, Long)] = {
+    val m = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    graft.core.ScalarParquet.foreachRow(
+      s.sessionState.newHadoopConf(),
+      fsFor(s, dir),
+      new org.apache.hadoop.fs.Path(fledgerDir(dir))
+    ) { g =>
+      val f = g.getString("field", 0)
+      val (n0, t0) = m.getOrElse(f, (0L, 0L))
+      m(f) = (n0 + g.getLong("n_docs", 0), t0 + g.getLong("total_toks", 0))
+    }
+    m.toSeq.map { case (f, (n, t)) => (f, n, t) }.sortBy(_._1)
+  }
 
   /** APPEND new documents to a fielded index — fpostings/fdoclen grow
     * by the increment, fmeta's per-field scalars add the increment's
@@ -1989,25 +2021,33 @@ object Search {
           partitionCol = None,
           gen
         )
-      stageAndMove(
-        fieldedPostingRows(b, idCol, fieldCols)
-          .withColumn("tbucket", tokenBucketCol)
-          .repartition(col("tbucket")),
-        s"$staged/fpostings",
-        s"$dir/fpostings",
-        partitionCol = Some("tbucket"),
-        gen
-      )
-      stageAndMove(
-        fieldedBase(b, idCol, fieldCols)
-          .select(col("doc_id") +: fieldCols.map(f => col(s"dl_$f")): _*),
-        s"$staged/fdoclen",
-        s"$dir/fdoclen",
-        partitionCol = None,
-        gen
+      // the two relation writes and the scalar aggregate are mutually
+      // independent over the persisted batch — overlap them (§2.6)
+      @volatile var scalars: Seq[(String, Long, Long)] = null
+      graft.core.Par.run(
+        () =>
+          stageAndMove(
+            fieldedPostingRows(b, idCol, fieldCols)
+              .withColumn("tbucket", tokenBucketCol)
+              .repartition(col("tbucket")),
+            s"$staged/fpostings",
+            s"$dir/fpostings",
+            partitionCol = Some("tbucket"),
+            gen
+          ),
+        () =>
+          stageAndMove(
+            fieldedBase(b, idCol, fieldCols)
+              .select(col("doc_id") +: fieldCols.map(f => col(s"dl_$f")): _*),
+            s"$staged/fdoclen",
+            s"$dir/fdoclen",
+            partitionCol = None,
+            gen
+          ),
+        () => scalars = fieldedScalars(b, idCol, fieldCols)
       )
       fs.delete(new Path(staged), true)
-      writeFledgerRows(s, dir, fieldedScalars(b, idCol, fieldCols), s"gbatch-$gen")
+      writeFledgerRows(s, dir, scalars, s"gbatch-$gen")
       writeFmeta(s, dir, fledgerSums(s, dir))
     } finally b.unpersist(false)
   }
@@ -2031,8 +2071,11 @@ object Search {
       case Some(t) => purgeRewrite(spark, path, pc, t, purgeGen)
       case None    => graft.core.Compaction.compact(spark, path, pc, 1)
     }
-    rewriteRel(s"$dir/fpostings", Some("tbucket"))
-    rewriteRel(s"$dir/fdoclen", None)
+    // the two relation rewrites are independent — overlap them (§2.6)
+    graft.core.Par.run(
+      () => rewriteRel(s"$dir/fpostings", Some("tbucket")),
+      () => rewriteRel(s"$dir/fdoclen", None)
+    )
     if (tomb.isDefined) fs.delete(new org.apache.hadoop.fs.Path(tombstonesDir(dir)), true)
     val aggs = countDistinct(col("doc_id")).cast("long") +:
       fields.map(f => coalesce(sum(col(s"dl_$f")), lit(0L)).cast("long"))
@@ -2690,11 +2733,6 @@ object Search {
   // global count exactly when ids never repeat across batches (a
   // repeated id would equally corrupt the relations themselves).
 
-  private val ledgerSchema = new org.apache.spark.sql.types.StructType()
-    .add("n_docs", "long")
-    .add("total_toks", "long")
-    .add("total_atoks", "long")
-
   private def ledgerDir(dir: String) = s"$dir/meta_inc"
 
   /** Ledger files currently on disk (empty array if the dir is absent). */
@@ -2721,40 +2759,36 @@ object Search {
     }
   }
 
-  /** Stage one scalar ledger row and rename it in under a
-    * deterministic `<tag>-0.parquet` name (replay overwrites).
+  /** Write one scalar ledger row under its deterministic
+    * `<tag>-0.parquet` name (replay overwrites) — driver-side
+    * temp+rename, zero Spark jobs.
     */
-  private def writeLedgerRow(s: SparkSession, dir: String, row: (Long, Long, Long), tag: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    import s.implicits._
-    val fs = fsFor(s, dir)
-    val staged = s"$dir/_stage_ledger_$tag"
-    Seq(row).toDF("n_docs", "total_toks", "total_atoks")
-      .coalesce(1).write.mode("overwrite").parquet(staged)
-    val src = fs.globStatus(new Path(s"$staged/part-*")).head.getPath
-    fs.mkdirs(new Path(ledgerDir(dir)))
-    val dest = new Path(ledgerDir(dir), s"$tag-0.parquet")
-    if (fs.exists(dest)) fs.delete(dest, false)
-    if (!fs.rename(src, dest))
-      throw new java.io.IOException(s"search-index ledger write: rename $src -> $dest failed")
-    fs.delete(new Path(staged), true)
-  }
+  private def writeLedgerRow(s: SparkSession, dir: String, row: (Long, Long, Long), tag: String): Unit =
+    graft.core.ScalarParquet.writeAtomic(
+      s.sessionState.newHadoopConf(),
+      fsFor(s, dir),
+      new org.apache.hadoop.fs.Path(ledgerDir(dir)),
+      s"$tag-0.parquet",
+      "message ledger { optional int64 n_docs; optional int64 total_toks; optional int64 total_atoks; }",
+      Seq(Seq(row._1, row._2, row._3))
+    )
 
   /** The three meta scalars as the SUM over the increment ledger —
     * ledger-sized I/O (one row per applied batch), never a corpus
-    * read.
+    * read; summed driver-side with no Spark job.
     */
   private def ledgerSums(s: SparkSession, dir: String): (Long, Long, Long) = {
-    val r = s.read
-      .schema(ledgerSchema)
-      .parquet(ledgerDir(dir))
-      .agg(
-        coalesce(sum(col("n_docs")), lit(0L)).cast("long"),
-        coalesce(sum(col("total_toks")), lit(0L)).cast("long"),
-        coalesce(sum(col("total_atoks")), lit(0L)).cast("long")
-      )
-      .head()
-    (r.getLong(0), r.getLong(1), r.getLong(2))
+    var (n, t, a) = (0L, 0L, 0L)
+    graft.core.ScalarParquet.foreachRow(
+      s.sessionState.newHadoopConf(),
+      fsFor(s, dir),
+      new org.apache.hadoop.fs.Path(ledgerDir(dir))
+    ) { g =>
+      n += g.getLong("n_docs", 0)
+      t += g.getLong("total_toks", 0)
+      if (g.getFieldRepetitionCount("total_atoks") > 0) a += g.getLong("total_atoks", 0)
+    }
+    (n, t, a)
   }
 
   // ---- term dictionary (the vocab relation) ---------------------------
@@ -3744,18 +3778,20 @@ object Search {
       s"as-of read at $dir: no increment ledger — only batch-apply/stream-maintained " +
         "indexes carry per-generation meta history"
     )
-    val b = regexp_extract(input_file_name(), "gbatch-(\\d+)-", 1)
-    val r = s.read
-      .schema(ledgerSchema)
-      .parquet(ledgerDir(dir))
-      .withColumn("__b", when(b === "", lit(-1L)).otherwise(b.cast("long")))
-      .filter(col("__b") <= asOfGen)
-      .agg(
-        coalesce(sum(col("n_docs")), lit(0L)).cast("long"),
-        coalesce(sum(col("total_toks")), lit(0L)).cast("long")
-      )
-      .head()
-    (r.getLong(0), r.getLong(1))
+    // driver-side ledger scan (zero Spark jobs): the file NAME carries
+    // the generation (gbatch-<G>-*), seed rows count as gen −1
+    val genRe = "gbatch-(\\d+)-".r
+    var (n, t) = (0L, 0L)
+    val conf = s.sessionState.newHadoopConf()
+    ledgerFiles(fs, dir).map(_.getPath).sortBy(_.toString).foreach { p =>
+      val gen = genRe.findFirstMatchIn(p.getName).map(_.group(1).toLong).getOrElse(-1L)
+      if (gen <= asOfGen)
+        graft.core.ScalarParquet.foreachRow(conf, fs, p) { g =>
+          n += g.getLong("n_docs", 0)
+          t += g.getLong("total_toks", 0)
+        }
+    }
+    (n, t)
   }
 
   /** TIME-TRAVEL BM25: the ranked page as of generation G — rows,
@@ -4087,51 +4123,6 @@ object Search {
           partitionCol = None,
           gen
         )
-      stageAndMove(
-        pwd.withColumn("tbucket", tokenBucketCol).repartition(col("tbucket")),
-        s"$staged/postings",
-        s"$dir/postings",
-        partitionCol = Some("tbucket"),
-        gen
-      )
-      stageAndMove(
-        positionalPostings(b, idCol, textCol)
-          .withColumn("tbucket", tokenBucketCol)
-          .repartition(col("tbucket")),
-        s"$staged/positions",
-        s"$dir/positions",
-        partitionCol = Some("tbucket"),
-        gen
-      )
-      apwd.foreach { a =>
-        stageAndMove(
-          a.withColumn("tbucket", tokenBucketCol).repartition(col("tbucket")),
-          s"$staged/apostings",
-          s"$dir/apostings",
-          partitionCol = Some("tbucket"),
-          gen
-        )
-        stageAndMove(
-          analyzedPositionalPostings(b, idCol, textCol)
-            .withColumn("tbucket", tokenBucketCol)
-            .repartition(col("tbucket")),
-          s"$staged/apositions",
-          s"$dir/apositions",
-          partitionCol = Some("tbucket"),
-          gen
-        )
-      }
-      // doclen straight off the persisted batch — a pure projection
-      // (deriving it from the grouped postings would ADD a distinct
-      // shuffle to save a tokenize of in-memory rows: a bad trade)
-      stageAndMove(
-        docLengths(b, idCol, textCol),
-        s"$staged/doclen",
-        s"$dir/doclen",
-        partitionCol = None,
-        gen
-      )
-      fs.delete(new Path(staged), true)
       // the batch's scalar deltas — increment-sized, in ONE fused
       // aggregate over the persisted batch (was two jobs, each
       // re-tokenizing the source: corpusScalars + analyzedTotal)
@@ -4141,32 +4132,93 @@ object Search {
       ) ++ (if (analyzed)
               Seq(coalesce(sum(size(atoksCol(textCol)).cast("long")), lit(0L)).cast("long"))
             else Nil)
-      val r = b.agg(scalarAggs.head, scalarAggs.tail: _*).head()
-      val (nb, tb) = (r.getLong(0), r.getLong(1))
-      val ab = if (analyzed) r.getLong(2) else 0L
-      writeLedgerRow(s, dir, (nb, tb, ab), s"gbatch-$gen")
+      // the batch's relation writes, its scalar aggregate and its vocab
+      // increments are mutually independent (distinct staged dirs,
+      // distinct live dirs, all reading the persisted batch/postings) —
+      // overlap them (§2.6) so the per-batch wall approaches the
+      // slowest job instead of the sum of 4-7 tiny jobs' fixed floors
+      @volatile var scalarRow: org.apache.spark.sql.Row = null
+      val writes = Seq.newBuilder[() => Unit]
+      writes += (() =>
+        stageAndMove(
+          pwd.withColumn("tbucket", tokenBucketCol).repartition(col("tbucket")),
+          s"$staged/postings",
+          s"$dir/postings",
+          partitionCol = Some("tbucket"),
+          gen
+        ))
+      writes += (() =>
+        stageAndMove(
+          positionalPostings(b, idCol, textCol)
+            .withColumn("tbucket", tokenBucketCol)
+            .repartition(col("tbucket")),
+          s"$staged/positions",
+          s"$dir/positions",
+          partitionCol = Some("tbucket"),
+          gen
+        ))
+      apwd.foreach { a =>
+        writes += (() =>
+          stageAndMove(
+            a.withColumn("tbucket", tokenBucketCol).repartition(col("tbucket")),
+            s"$staged/apostings",
+            s"$dir/apostings",
+            partitionCol = Some("tbucket"),
+            gen
+          ))
+        writes += (() =>
+          stageAndMove(
+            analyzedPositionalPostings(b, idCol, textCol)
+              .withColumn("tbucket", tokenBucketCol)
+              .repartition(col("tbucket")),
+            s"$staged/apositions",
+            s"$dir/apositions",
+            partitionCol = Some("tbucket"),
+            gen
+          ))
+      }
+      // doclen straight off the persisted batch — a pure projection
+      // (deriving it from the grouped postings would ADD a distinct
+      // shuffle to save a tokenize of in-memory rows: a bad trade)
+      writes += (() =>
+        stageAndMove(
+          docLengths(b, idCol, textCol),
+          s"$staged/doclen",
+          s"$dir/doclen",
+          partitionCol = None,
+          gen
+        ))
+      writes += (() => scalarRow = b.agg(scalarAggs.head, scalarAggs.tail: _*).head())
       // the batch's vocab increment under its deterministic gbatch name
       // (the replay cleanup above already removed a prior attempt's),
       // derived from the ALREADY-grouped persisted postings; upsert
       // batches leave the OLD versions' vocab counts in place — the
       // documented Lucene stale-stats window, healed at compaction
       if (hasVocab)
-        writeVocabIncrement(
-          s,
-          dir,
-          vocabFromPostingRows(pwd.select(col("token"), col("doc_id"), col("tf"))),
-          s"gbatch-$gen"
-        )
-      if (hasAvocab)
-        apwd.foreach { a =>
+        writes += (() =>
           writeVocabIncrement(
             s,
             dir,
-            vocabFromPostingRows(a.select(col("token"), col("doc_id"), col("tf"))),
-            s"gbatch-$gen",
-            analyzed = true
-          )
+            vocabFromPostingRows(pwd.select(col("token"), col("doc_id"), col("tf"))),
+            s"gbatch-$gen"
+          ))
+      if (hasAvocab)
+        apwd.foreach { a =>
+          writes += (() =>
+            writeVocabIncrement(
+              s,
+              dir,
+              vocabFromPostingRows(a.select(col("token"), col("doc_id"), col("tf"))),
+              s"gbatch-$gen",
+              analyzed = true
+            ))
         }
+      graft.core.Par.run(writes.result(): _*)
+      fs.delete(new Path(staged), true)
+      val r = scalarRow
+      val (nb, tb) = (r.getLong(0), r.getLong(1))
+      val ab = if (analyzed) r.getLong(2) else 0L
+      writeLedgerRow(s, dir, (nb, tb, ab), s"gbatch-$gen")
       val (n, t, a) = ledgerSums(s, dir)
       writeMeta(s, dir, (n, t))
       if (analyzed) writeAmeta(s, dir, a)
@@ -4222,36 +4274,50 @@ object Search {
       case Some(t) => purgeRewrite(spark, path, pc, t, purgeGen)
       case None    => graft.core.Compaction.compact(spark, path, pc, 1)
     }
-    rewriteRel(s"$dir/postings", Some("tbucket"))
-    rewriteRel(s"$dir/positions", Some("tbucket"))
-    // re-derive the term dictionary from the (now purged) live
-    // postings — exact again after any tombstone window — consuming
-    // the increment files; also BACKFILLS pre-vocab indexes
-    writeVocabFromPostings(spark, dir)
+    // the per-relation rewrite CHAINS are mutually independent
+    // (distinct dirs; vocab/ameta derive from their own relation's
+    // rewrite) — overlap them (§2.6): compaction wall drops from the
+    // sum of 4-6 rewrites to the slowest chain
+    val hasAnalyzed = fs.exists(new org.apache.hadoop.fs.Path(s"$dir/apostings"))
+    @volatile var repairedAtoks = 0L
+    @volatile var doclenRow: org.apache.spark.sql.Row = null
+    val chains = Seq.newBuilder[() => Unit]
+    chains += (() => {
+      rewriteRel(s"$dir/postings", Some("tbucket"))
+      // re-derive the term dictionary from the (now purged) live
+      // postings — exact again after any tombstone window — consuming
+      // the increment files; also BACKFILLS pre-vocab indexes
+      writeVocabFromPostings(spark, dir)
+    })
+    chains += (() => rewriteRel(s"$dir/positions", Some("tbucket")))
     // the analyzed twin exists only on analyzed-enabled indexes; its
     // meta scalar repairs from the compacted rows like the main meta
-    val hasAnalyzed = fs.exists(new org.apache.hadoop.fs.Path(s"$dir/apostings"))
-    val repairedAtoks = if (hasAnalyzed) {
-      rewriteRel(s"$dir/apostings", Some("tbucket"))
-      // analyzed dictionary re-derived (and backfilled) like the raw one
-      writeVocabFromPostings(spark, dir, analyzed = true)
-      val a = ametaFromApostings(spark, dir)
-      writeAmeta(spark, dir, a)
-      a
-    } else 0L
+    if (hasAnalyzed)
+      chains += (() => {
+        rewriteRel(s"$dir/apostings", Some("tbucket"))
+        // analyzed dictionary re-derived (and backfilled) like the raw one
+        writeVocabFromPostings(spark, dir, analyzed = true)
+        val a = ametaFromApostings(spark, dir)
+        writeAmeta(spark, dir, a)
+        repairedAtoks = a
+      })
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$dir/apositions")))
-      rewriteRel(s"$dir/apositions", Some("tbucket"))
-    rewriteRel(s"$dir/doclen", None)
+      chains += (() => rewriteRel(s"$dir/apositions", Some("tbucket")))
+    chains += (() => {
+      rewriteRel(s"$dir/doclen", None)
+      doclenRow = spark.read
+        .parquet(s"$dir/doclen")
+        .agg(
+          countDistinct(col("doc_id")).cast("long"),
+          coalesce(sum(col("dl")), lit(0L)).cast("long")
+        )
+        .head()
+    })
+    graft.core.Par.run(chains.result(): _*)
     // every relation is purged: the tombstones are consumed (meta below
     // recomputes from the purged doclen, so stats land exact)
     if (tomb.isDefined) fs.delete(new org.apache.hadoop.fs.Path(tombstonesDir(dir)), true)
-    val r = spark.read
-      .parquet(s"$dir/doclen")
-      .agg(
-        countDistinct(col("doc_id")).cast("long"),
-        coalesce(sum(col("dl")), lit(0L)).cast("long")
-      )
-      .head()
+    val r = doclenRow
     writeMeta(spark, dir, (r.getLong(0), r.getLong(1)))
     // fold the increment ledger: per-batch rows collapse to one seed
     // row carrying the repaired scalars

@@ -103,6 +103,38 @@ object StreamingIngest {
     * intra-batch duplicate group survives is partitioning-dependent,
     * and a gate must not depend on it.
     */
+  /** A SESSION CLONE whose shuffle partitioning is derived from the
+    * replay source's byte size instead of the session-wide default —
+    * guide §2's scale-adaptive partitioning, applied to STATEFUL
+    * streaming. Stateful operators (windowed aggs, dropDuplicates,
+    * stream-stream joins) allocate and COMMIT one state store per
+    * shuffle partition per micro-batch — that count is fixed at the
+    * first trigger and checkpointed, AQE never touches it — so an
+    * increment-scale replay on a cluster-scale partition count pays
+    * dozens of empty state-store commits per trigger, while at real
+    * scale the same bytes/32 MB rule lands back on the configured
+    * parallelism (the cap). A clone keeps the derived setting out of
+    * the caller's session (Verify runs queries concurrently on one
+    * session); it shares the SparkContext, so nothing else changes.
+    */
+  private def statefulReplaySession(s: SparkSession, srcDirs: String*): SparkSession = {
+    val conf = s.sessionState.newHadoopConf()
+    val bytes = srcDirs.map { dir =>
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+    }.sum
+    val cap = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val target = math.max(2L, math.min(cap.toLong, bytes / (32L << 20) + 1L)).toInt
+    val s2 = s.newSession()
+    s.conf.getAll.foreach { case (k, v) =>
+      try s2.conf.set(k, v)
+      catch { case _: Throwable => () } // static/non-settable confs keep their values
+    }
+    s2.conf.set("spark.sql.shuffle.partitions", target.toString)
+    s2
+  }
+
   def dedupStreamExactReplay(s: SparkSession, d: String): DataFrame = {
     val base = java.nio.file.Files.createTempDirectory("graft_exact_dedup_stream")
     try {
@@ -115,7 +147,9 @@ object StreamingIngest {
         .repartition(4, col("user_id"))
         .write
         .parquet(src)
-      val q = s.readStream
+      // state-store partition count derived from the replay's size
+      val s2 = statefulReplaySession(s, src)
+      val q = s2.readStream
         .schema(s.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
@@ -477,8 +511,10 @@ object StreamingIngest {
     val ckpt = base.resolve("ckpt").toString
     ev.repartition(4, col("event_type")).write.parquet(src)
     val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    // state-store partition count derived from the replay's size
+    val s2 = statefulReplaySession(s, src)
     def runOnce(): Unit = {
-      val q = s.readStream
+      val q = s2.readStream
         .schema(s.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
@@ -1352,14 +1388,19 @@ object StreamingIngest {
           .schema(s.read.parquet(src).schema)
           .option("maxFilesPerTrigger", 1)
           .parquet(src)
-      def drainBoth(): Unit = {
-        searchIndexStream(mkStream(), "doc_id", "text", idx, ckptIdx, Trigger.AvailableNow(), upsert = true)
-          .awaitTermination()
-        docStoreStream(
-          mkStream(), "doc_id", "text", store, ckptStore, Trigger.AvailableNow(),
-          metaCols = Seq("lang"), upsert = true
-        ).awaitTermination()
-      }
+      // the two sibling maintainers are fully independent (distinct
+      // artifact dirs, distinct checkpoints, read-only source) — drain
+      // them CONCURRENTLY (§2.6), and likewise compact them at the end
+      def drainBoth(): Unit = graft.core.Par.run(
+        () =>
+          searchIndexStream(mkStream(), "doc_id", "text", idx, ckptIdx, Trigger.AvailableNow(), upsert = true)
+            .awaitTermination(),
+        () =>
+          docStoreStream(
+            mkStream(), "doc_id", "text", store, ckptStore, Trigger.AvailableNow(),
+            metaCols = Seq("lang"), upsert = true
+          ).awaitTermination()
+      )
       drainBoth()
       docs
         .filter(col("doc_id") % 7 === 3)
@@ -1369,8 +1410,10 @@ object StreamingIngest {
         .mode("append")
         .parquet(src)
       drainBoth()
-      graft.ops.Search.compactSearchIndex(s, idx)
-      graft.ops.Search.compactDocStore(s, store)
+      graft.core.Par.run(
+        () => graft.ops.Search.compactSearchIndex(s, idx),
+        () => graft.ops.Search.compactDocStore(s, store)
+      )
       graft.ops.Search
         .facetCounts(s, idx, store, graft.ops.Search.fixtureAndTerms, "lang")
         .orderBy(desc("n_hits"), col("lang"))
@@ -1473,8 +1516,10 @@ object StreamingIngest {
         .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts_us").as("cus"))
         .repartition(3, col("click_id"))
         .write.parquet(cDir)
+      // state-store partition count derived from the two sides' size
+      val s2 = statefulReplaySession(s, vDir, cDir)
       def side(dir: String, tsCol: String, timeName: String) =
-        s.readStream
+        s2.readStream
           .schema(s.read.parquet(dir).schema)
           .option("maxFilesPerTrigger", 1)
           .parquet(dir)
@@ -1783,8 +1828,14 @@ object StreamingIngest {
         .select(col("hour_bucket"), col("user_id"))
       ev.repartition(4, col("user_id")).write.parquet(src)
       val sinkName = s"graft_lc_occupancy_${java.util.UUID.randomUUID.toString.replace("-", "")}"
-      val stream = s.readStream
-        .schema(s.read.parquet(src).schema)
+      // state-store partition count derived from the replay's size;
+      // the memory sink registers in the clone, so the serve side
+      // (occupancy + exact recount over the SAME written rows) reads
+      // through the clone too — one session per plan, no cross-session
+      // DataFrame mixing
+      val s2 = statefulReplaySession(s, src)
+      val stream = s2.readStream
+        .schema(s2.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
       stream
@@ -1799,11 +1850,12 @@ object StreamingIngest {
         .trigger(Trigger.AvailableNow())
         .start()
         .awaitTermination()
-      val occ = s
+      val occ = s2
         .table(sinkName)
         .groupBy(col("hour_bucket"))
         .agg(count(lit(1)).cast("long").as("occupied"))
-      val out = ev
+      val out = s2.read
+        .parquet(src)
         .groupBy(col("hour_bucket"))
         .agg(countDistinct(col("user_id")).cast("long").as("exact"))
         .join(occ, "hour_bucket")
@@ -1811,7 +1863,7 @@ object StreamingIngest {
         .select(col("hour_bucket"), col("exact"), col("occupied"), col("est_milli"))
         .orderBy("hour_bucket")
         .localCheckpoint(true)
-      s.catalog.dropTempView(sinkName)
+      s2.catalog.dropTempView(sinkName)
       out
     } finally rmScratch(s, base)
   }
@@ -1826,8 +1878,12 @@ object StreamingIngest {
       val docs = graft.ops.Fixtures.documents(s, d)
       docs.select("doc_id", "text").repartition(4, col("doc_id")).write.parquet(src)
       val sinkName = s"graft_cms_counters_${java.util.UUID.randomUUID.toString.replace("-", "")}"
-      val stream = s.readStream
-        .schema(s.read.parquet(src).schema)
+      // state-store partition count derived from the replay's size;
+      // the counters collect to a driver Seq (depth×width bounded), so
+      // only the stream + its memory sink live on the clone
+      val s2 = statefulReplaySession(s, src)
+      val stream = s2.readStream
+        .schema(s2.read.parquet(src).schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
       graft.ops.CorpusStats
@@ -1840,12 +1896,12 @@ object StreamingIngest {
         .trigger(Trigger.AvailableNow())
         .start()
         .awaitTermination()
-      val counters = s
+      val counters = s2
         .table(sinkName)
         .collect()
         .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
         .toSeq
-      s.catalog.dropTempView(sinkName)
+      s2.catalog.dropTempView(sinkName)
       val toks = docs.select(explode(split(col("text"), " ")).as("token"))
       graft.ops.CorpusStats
         .cmsProbe(toks, counters, minCount = 500L, width = width, depth = depth)
