@@ -799,8 +799,25 @@ object Similarity {
     val coldIdx = nb.select(col("new_id").as("vec_id"), col("vn").as("v"), col("bucket_id")).limit(0)
     val bucketsPath = new org.apache.hadoop.fs.Path(s"$indexDir/buckets")
     val fs = bucketsPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val idx = (if (fs.exists(bucketsPath))
-                 spark.read.schema(coldIdx.schema).parquet(bucketsPath.toString)
+    // list ONLY the occupied buckets' dirs (≤ 256 driver-side exists
+    // probes) instead of letting the read enumerate the whole index
+    // tree: per-batch listing cost tracks the increment's bucket set,
+    // not the index's width — the file-listing twin of the isin
+    // partition filter (guide §6: listing time is driver-side and
+    // grows with the tree; JobProfile showed a ~0.5-1 s "Listing leaf
+    // files ... 200 paths" job per micro-batch)
+    val occupiedDirs =
+      if (fs.exists(bucketsPath))
+        probeBuckets.toSeq.sorted
+          .map(b => new org.apache.hadoop.fs.Path(bucketsPath, s"bucket_id=$b"))
+          .filter(fs.exists(_))
+          .map(_.toString)
+      else Seq.empty
+    val idx = (if (occupiedDirs.nonEmpty)
+                 spark.read
+                   .option("basePath", bucketsPath.toString)
+                   .schema(coldIdx.schema)
+                   .parquet(occupiedDirs: _*)
                else coldIdx)
       .filter(col("bucket_id").isin(probeBuckets.toSeq: _*))
       .select(col("vec_id"), col("v"), col("bucket_id"))

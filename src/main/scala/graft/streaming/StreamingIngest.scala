@@ -219,7 +219,7 @@ object StreamingIngest {
       .trigger(trigger)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val (flags, sigNew) = graft.ops.Dedup
-          .incrementalDedupCached(batch.toDF(), idCol, textCol, indexDir, minMatches)
+          .incrementalDedupCached(spread(batch.toDF(), idCol), idCol, textCol, indexDir, minMatches)
         try {
           flags.write.mode(SaveMode.Append).parquet(outDir)
           graft.ops.Dedup.appendSignaturesToIndex(sigNew, indexDir)
@@ -257,6 +257,26 @@ object StreamingIngest {
     val p = new org.apache.hadoop.fs.Path(base.toString)
     p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
   }
+
+  /** Spread a micro-batch across the cluster before its per-batch
+    * work (guide §2.5/§1.2): a file-source batch arrives with the
+    * source FILE's split count — one task for these replays
+    * (maxFilesPerTrigger = 1 over small files) — so every map-side
+    * stage downstream (shingling, hyperplane dots, tokenizing, model
+    * scoring, cosine verification) runs single-task however many cores
+    * exist; worse, a broadcast join keeps that parallelism all the way
+    * to the sink (JobProfile showed the embedding replay's per-batch
+    * verify as one 5 s task while 31 cores idled). One deterministic
+    * hash repartition to the context's default parallelism makes the
+    * per-batch compute cluster-wide; at 100 TB a real increment
+    * arrives as many splits and the same call is a cheap balancing
+    * pass of increment-sized data (never corpus-sized).
+    */
+  private def spread(batch: DataFrame, idCol: String): DataFrame =
+    batch.repartition(
+      batch.sparkSession.sparkContext.defaultParallelism,
+      col(idCol)
+    )
 
   def dedupStreamReplay(
       s: SparkSession,
@@ -372,7 +392,7 @@ object StreamingIngest {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
         val (flags, sigNew) = graft.ops.Dedup
-          .incrementalDedupCached(batch.toDF(), idCol, textCol, indexDir, minMatches)
+          .incrementalDedupCached(spread(batch.toDF(), idCol), idCol, textCol, indexDir, minMatches)
         try {
           flags.write.mode(SaveMode.Append).parquet(outDir)
           graft.ops.Dedup.appendSignaturesToIndex(sigNew, indexDir)
@@ -721,7 +741,7 @@ object StreamingIngest {
           val bs = batch.sparkSession
           graft.functions.GraftFunctions.register(bs)
           graft.ops.Similarity
-            .pqKnnJoin(bs, indexDir, batch.toDF(), k, nProbe)
+            .pqKnnJoin(bs, indexDir, spread(batch.toDF(), "qid"), k, nProbe)
             .write
             .mode(SaveMode.Append)
             .parquet(out)
@@ -777,7 +797,7 @@ object StreamingIngest {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         import graft.ops.Similarity
         val (flags, nb) = Similarity
-          .incrementalEmbeddingDedupCached(batch.toDF(), indexDir, minCos, sortOutput = false)
+          .incrementalEmbeddingDedupCached(spread(batch.toDF(), "vec_id"), indexDir, minCos, sortOutput = false)
         try {
           flags.write.mode(SaveMode.Append).parquet(outDir)
           Similarity.appendBucketsToIndex(
@@ -879,7 +899,7 @@ object StreamingIngest {
         // would silently drop batches — fail loudly instead
         graft.ops.Search.ensureStreamIdentity(bs, indexDir, checkpoint)
         if (batchId > graft.ops.Search.lastAppliedSearchBatch(bs, indexDir)) {
-          graft.ops.Search.applySearchIndexBatch(batch.toDF(), idCol, textCol, indexDir, batchId, analyzed, upsert)
+          graft.ops.Search.applySearchIndexBatch(spread(batch.toDF(), idCol), idCol, textCol, indexDir, batchId, analyzed, upsert)
           graft.ops.Search.writeLastAppliedSearchBatch(bs, indexDir, batchId)
           if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
             graft.ops.Search.compactSearchIndex(bs, indexDir)
@@ -1075,7 +1095,7 @@ object StreamingIngest {
         val bs = batch.sparkSession
         graft.ops.Search.ensureStreamIdentity(bs, indexDir, checkpoint)
         if (batchId > graft.ops.Search.lastAppliedSearchBatch(bs, indexDir)) {
-          graft.ops.Search.applyFieldedIndexBatch(batch.toDF(), idCol, fieldCols, indexDir, batchId, upsert)
+          graft.ops.Search.applyFieldedIndexBatch(spread(batch.toDF(), idCol), idCol, fieldCols, indexDir, batchId, upsert)
           graft.ops.Search.writeLastAppliedSearchBatch(bs, indexDir, batchId)
           if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
             graft.ops.Search.compactFieldedIndex(bs, indexDir)
@@ -1190,7 +1210,7 @@ object StreamingIngest {
         val bs = batch.sparkSession
         graft.ops.Search.ensureStreamIdentity(bs, indexDir, checkpoint)
         if (batchId > graft.ops.Search.lastAppliedSearchBatch(bs, indexDir)) {
-          graft.ops.Similarity.applyIvfIndexBatch(batch.toDF(), indexDir, batchId, upsert)
+          graft.ops.Similarity.applyIvfIndexBatch(spread(batch.toDF(), "vec_id"), indexDir, batchId, upsert)
           graft.ops.Search.writeLastAppliedSearchBatch(bs, indexDir, batchId)
           if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
             graft.ops.Similarity.compactIvfIndex(bs, indexDir)
@@ -1265,7 +1285,7 @@ object StreamingIngest {
         val bs = batch.sparkSession
         graft.ops.Search.ensureStreamIdentity(bs, indexDir, checkpoint)
         if (batchId > graft.ops.Search.lastAppliedSearchBatch(bs, indexDir)) {
-          val b = batch.toDF()
+          val b = spread(batch.toDF(), idCol)
           graft.ops.Search.applySearchIndexBatch(
             b.filter(col(opCol) =!= "D").drop(opCol),
             idCol,
@@ -1353,7 +1373,7 @@ object StreamingIngest {
         val bs = batch.sparkSession
         graft.ops.Search.ensureStreamIdentity(bs, storeDir, checkpoint)
         if (batchId > graft.ops.Search.lastAppliedSearchBatch(bs, storeDir)) {
-          graft.ops.Search.applyDocStoreBatch(batch.toDF(), idCol, textCol, storeDir, batchId, metaCols, upsert)
+          graft.ops.Search.applyDocStoreBatch(spread(batch.toDF(), idCol), idCol, textCol, storeDir, batchId, metaCols, upsert)
           graft.ops.Search.writeLastAppliedSearchBatch(bs, storeDir, batchId)
           if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
             graft.ops.Search.compactDocStore(bs, storeDir)
@@ -1464,7 +1484,7 @@ object StreamingIngest {
         .writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           QualityClassifier
-            .score(batch, loadedModel, loadedPriors)
+            .score(spread(batch, "doc_id"), loadedModel, loadedPriors)
             .write
             .mode("append")
             .parquet(out)
@@ -1648,7 +1668,7 @@ object StreamingIngest {
         .foreachBatch { (batch: DataFrame, _: Long) =>
           Cdc
             .containmentAgainstIndex(
-              batch, index, "doc_id", "text", Cdc.fixtureDivisor,
+              spread(batch, "doc_id"), index, "doc_id", "text", Cdc.fixtureDivisor,
               minContainmentMicro = 800000L, maxDocsPerChunk = 8)
             .write
             .mode("append")
@@ -1690,7 +1710,7 @@ object StreamingIngest {
         .writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           Decontamination
-            .contaminationAgainstDigests(batch, digests)
+            .contaminationAgainstDigests(spread(batch, "doc_id"), digests)
             .write
             .mode("append")
             .parquet(out)
@@ -1729,7 +1749,7 @@ object StreamingIngest {
         .writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           graft.ops.CorpusStats
-            .scoreWithUnigramModel(batch, model)
+            .scoreWithUnigramModel(spread(batch, "doc_id"), model)
             .write
             .mode("append")
             .parquet(out)
@@ -1772,7 +1792,7 @@ object StreamingIngest {
         .writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
           DataSelection
-            .weightsAgainstModel(batch, model, DataSelection.fixtureBuckets)
+            .weightsAgainstModel(spread(batch, "doc_id"), model, DataSelection.fixtureBuckets)
             .write
             .mode("append")
             .parquet(out)
