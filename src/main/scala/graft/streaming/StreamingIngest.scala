@@ -741,7 +741,7 @@ object StreamingIngest {
           val bs = batch.sparkSession
           graft.functions.GraftFunctions.register(bs)
           graft.ops.Similarity
-            .pqKnnJoin(bs, indexDir, spread(batch.toDF(), "qid"), k, nProbe)
+            .pqKnnJoin(bs, indexDir, batch.toDF(), k, nProbe)
             .write
             .mode(SaveMode.Append)
             .parquet(out)
@@ -1210,7 +1210,7 @@ object StreamingIngest {
         val bs = batch.sparkSession
         graft.ops.Search.ensureStreamIdentity(bs, indexDir, checkpoint)
         if (batchId > graft.ops.Search.lastAppliedSearchBatch(bs, indexDir)) {
-          graft.ops.Similarity.applyIvfIndexBatch(spread(batch.toDF(), "vec_id"), indexDir, batchId, upsert)
+          graft.ops.Similarity.applyIvfIndexBatch(batch.toDF(), indexDir, batchId, upsert)
           graft.ops.Search.writeLastAppliedSearchBatch(bs, indexDir, batchId)
           if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
             graft.ops.Similarity.compactIvfIndex(bs, indexDir)
