@@ -84,13 +84,28 @@ object BpeTrain {
   /** The training loop: merge list + the final merged dict (callers
     * must release the dict's checkpoint when done with it).
     */
+  /** Checkpoint cadence of [[trainLoop]]: between checkpoints the
+    * per-round merge is a LAZY projection chained onto the last pinned
+    * dict, so each round runs ONE Spark job (the pair-count argmax)
+    * instead of two (argmax + eager dict materialization — r16 profile:
+    * 24 jobs for 12 rounds, half of them job-floor-bound dict pins).
+    * The argmax job re-applies at most `cpEvery − 1` codegen'd merge
+    * folds on top of the pinned dict — map-side work over the
+    * word-frequency dict (distinct words: metadata-scale next to the
+    * corpus at any SF), bounded by the cadence so lineage never grows
+    * past a handful of projections.
+    */
+  private val cpEvery = 6
+
   private def trainLoop(
       docs: DataFrame,
       textCol: String,
       numMerges: Int,
       minFreq: Long
   ): (Seq[(Long, String, String, Long)], DataFrame) = {
-    var dict = wordDict(docs, textCol).localCheckpoint(true)
+    var pinned = wordDict(docs, textCol).localCheckpoint(true)
+    var dict = pinned
+    var sinceCp = 0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
     var rank = 1L
     var done = false
@@ -104,16 +119,29 @@ object BpeTrain {
         case Some(r) =>
           val (a, b, f) = (r.getString(0), r.getString(1), r.getLong(2))
           merges += ((rank, a, b, f))
-          val next = dict
-            .withColumn("syms", expr(mergeExpr(a, b)))
-            .localCheckpoint(true)
-          GraphDedup.releaseCheckpoints(dict)
-          dict = next
+          dict = dict.withColumn("syms", expr(mergeExpr(a, b)))
+          sinceCp += 1
+          if (sinceCp >= cpEvery) {
+            val next = dict.localCheckpoint(true)
+            GraphDedup.releaseCheckpoints(pinned)
+            pinned = next
+            dict = next
+            sinceCp = 0
+          }
           rank += 1
         case None => done = true
       }
     }
-    (merges.toSeq, dict)
+    // pin the final dict iff merges are dangling past the last
+    // checkpoint, so callers aggregate bytes, not a re-run fold chain
+    val finalDict =
+      if (sinceCp == 0) dict
+      else {
+        val next = dict.localCheckpoint(true)
+        GraphDedup.releaseCheckpoints(pinned)
+        next
+      }
+    (merges.toSeq, finalDict)
   }
 
   /** Learn `numMerges` merges; stops early when the best pair drops

@@ -101,29 +101,48 @@ object Centrality {
     val e = edges.localCheckpoint(true)
     // edge-sized and reused K+1 times: pin eagerly, release at exit
     val g = loopGraph(nodes, e).localCheckpoint(true)
-    var ranks = startRanks
+    var pinned = startRanks
       .getOrElse(nodes.withColumn("rank_micro", lit(baseMicro)))
       .select(col("node"), col("rank_micro"))
       .localCheckpoint(true)
+    var ranks = pinned
+    var sinceCp = 0
     try {
+      // iterations CHAIN LAZILY and pin every `rankCpEvery` steps (the
+      // BpeTrain.trainLoop cadence): each un-pinned step is one more
+      // join+agg layer in a single plan — referenced exactly once, so
+      // lineage grows linearly — and a pin every few steps bounds the
+      // plan while cutting the per-iteration eager-materialization job
+      // (K jobs → K/cpEvery; the per-iteration agg Exchange is the
+      // fundamental cost and is unchanged)
       for (_ <- 1 to iters) {
-        val prev = ranks
         ranks = g
           .join(ranks, g("src") === ranks("node"))
           .select(col("dst"), expr("rank_micro div deg").as("contrib"))
           .groupBy(col("dst"))
           .agg(expr("CAST(150000 + (17 * sum(contrib)) div 20 AS BIGINT)").as("rank_micro"))
           .withColumnRenamed("dst", "node")
-          .localCheckpoint(true)
-        GraphDedup.releaseCheckpoints(prev)
+        sinceCp += 1
+        if (sinceCp >= rankCpEvery) {
+          val next = ranks.localCheckpoint(true)
+          GraphDedup.releaseCheckpoints(pinned)
+          pinned = next
+          ranks = next
+          sinceCp = 0
+        }
       }
       // self-loops guarantee every node received mass, so this join
       // is total; deg here is the true out-degree incl. the self-loop
       ranks
         .join(g.filter(col("src") === col("dst")).select(col("src").as("node"), col("deg")), "node")
         .localCheckpoint(true)
-    } finally GraphDedup.releaseCheckpoints(e, g, ranks)
+    } finally GraphDedup.releaseCheckpoints(e, g, pinned)
   }
+
+  /** Pin cadence of the power-iteration loops — see the loop comment
+    * in [[pageRankFrom]].
+    */
+  private val rankCpEvery = 3
 
   /** Seeded trust propagation (TrustRank): the restart mass goes to a
     * SEED set of known-good documents instead of uniformly everywhere,
@@ -161,12 +180,14 @@ object Centrality {
       .withColumn("restart_micro", when(col("is_seed"), lit(restartBase)).otherwise(lit(0L)))
       .select(col("node"), col("is_seed"), col("restart_micro"))
       .localCheckpoint(true)
-    var ranks = restart
+    var pinned = restart
       .select(col("node"), col("restart_micro").as("rank_micro"))
       .localCheckpoint(true)
+    var ranks = pinned
+    var sinceCp = 0
     try {
+      // same lazy-chain + periodic-pin loop as [[pageRankFrom]]
       for (_ <- 1 to iterations) {
-        val prev = ranks
         ranks = g
           .join(ranks, g("src") === ranks("node"))
           .select(col("dst"), expr("rank_micro div deg").as("contrib"))
@@ -180,13 +201,19 @@ object Centrality {
             col("node"),
             expr("CAST((3 * restart_micro) div 20 + walk_micro AS BIGINT)").as("rank_micro")
           )
-          .localCheckpoint(true)
-        GraphDedup.releaseCheckpoints(prev)
+        sinceCp += 1
+        if (sinceCp >= rankCpEvery) {
+          val next = ranks.localCheckpoint(true)
+          GraphDedup.releaseCheckpoints(pinned)
+          pinned = next
+          ranks = next
+          sinceCp = 0
+        }
       }
       ranks
         .join(restart.select(col("node"), col("is_seed")), "node")
         .localCheckpoint(true)
-    } finally GraphDedup.releaseCheckpoints(e, g, restart, ranks)
+    } finally GraphDedup.releaseCheckpoints(e, g, restart, pinned)
   }
 
   // ---- Persisted graph + rank serving (the production lifecycle) ----
@@ -365,14 +392,19 @@ object Centrality {
   private val seedEvery = 25L
 
   val centralityTrustrank: Q = (s, d) => {
-    val docs = documents(s, d)
-    trustRank(docs, confirmedEdges(docs), "doc_id", col("doc_id") % seedEvery === 0)
-      .select(
-        col("node").as("doc_id"),
-        col("is_seed").cast("long").as("is_seed"),
-        col("rank_micro").as("trust_micro")
-      )
-      .orderBy("doc_id")
+    // one pinned (doc_id, text) projection feeds the LSH pass's two
+    // corpus scans and the node/seed projection (§2.4/§6)
+    val docs = documents(s, d).select(col("doc_id"), col("text")).localCheckpoint(true)
+    try {
+      trustRank(docs, confirmedEdges(docs), "doc_id", col("doc_id") % seedEvery === 0)
+        .select(
+          col("node").as("doc_id"),
+          col("is_seed").cast("long").as("is_seed"),
+          col("rank_micro").as("trust_micro")
+        )
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+    } finally GraphDedup.releaseCheckpoints(docs)
   }
 
   /** Confirmed near-dup edges at the clustering family's threshold —
@@ -382,14 +414,18 @@ object Centrality {
   private def confirmedEdges(docs: DataFrame): DataFrame =
     Dedup
       .lshCandidatesWithJaccard(docs, "doc_id", "text")
-      .filter(col("jaccard") >= 0.5)
+      .filter(Dedup.jaccardAtLeast(0.5))
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
 
   val centralityPagerank: Q = (s, d) => {
-    val docs = documents(s, d)
-    pageRank(docs, confirmedEdges(docs), "doc_id")
-      .select(col("node").as("doc_id"), col("deg"), col("rank_micro"))
-      .orderBy("doc_id")
+    // same shared-scan pin as centrality_trustrank (§2.4/§6)
+    val docs = documents(s, d).select(col("doc_id"), col("text")).localCheckpoint(true)
+    try {
+      pageRank(docs, confirmedEdges(docs), "doc_id")
+        .select(col("node").as("doc_id"), col("deg"), col("rank_micro"))
+        .orderBy("doc_id")
+        .localCheckpoint(true)
+    } finally GraphDedup.releaseCheckpoints(docs)
   }
 
   /** Per-cluster representative by CENTRALITY: the highest-PageRank
@@ -401,7 +437,9 @@ object Centrality {
     * eagerly pinned once.
     */
   val centralityReps: Q = (s, d) => {
-    val docs = documents(s, d)
+    // shared-scan pin: the LSH pass (2 corpus scans), the rank loop's
+    // node projection and the cluster-map label join all read it
+    val docs = documents(s, d).select(col("doc_id"), col("text")).localCheckpoint(true)
     val edges = confirmedEdges(docs).localCheckpoint(true)
     try {
       val ranks = pageRank(docs, edges, "doc_id")
@@ -422,7 +460,7 @@ object Centrality {
         )
         .orderBy("cluster_id")
         .localCheckpoint(true)
-    } finally GraphDedup.releaseCheckpoints(edges)
+    } finally GraphDedup.releaseCheckpoints(docs, edges)
   }
 
   /** Degree histogram of the near-dup graph (self-loops excluded —

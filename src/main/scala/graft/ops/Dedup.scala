@@ -159,6 +159,32 @@ object Dedup {
     sig.selectExpr("doc_id", s"stack($nBands, $arms) as (band_id, band_key)")
   }
 
+  /** Integer-exact verified-pair threshold over
+    * [[lshCandidatesWithJaccard]] / [[blockedJaccardPairs]] output (any
+    * frame carrying `n_inter`/`n_union`): keeps pairs whose EXACT
+    * rational Jaccard n_inter/n_union >= minJaccard, compared in pure
+    * BIGINT micro arithmetic — no double division, no round(), so the
+    * predicate is bit-identical across engines and runs by
+    * construction (r16 ADVICE: the rounded-double form left the only
+    * float comparison in the dedup ensembles). Value-equal to the
+    * previous `round(jaccard, 6) >= t` filter for every n_union < 10⁶:
+    * that form additionally admits exact ratios in [t − 5·10⁻⁷, t),
+    * and no rational with denominator under 10⁶ lies in that window —
+    * audited empirically too (no fixture pair within 1% of the 0.5
+    * boundary at sf0.001/sf0.01). The `jaccard` OUTPUT column stays
+    * round(·, 6) everywhere — only the comparison leaves floats.
+    */
+  def jaccardAtLeast(minJaccard: Double): Column = {
+    val micro = math.round(minJaccard * 1000000L)
+    col("n_inter") * lit(1000000L) >= lit(micro) * col("n_union")
+  }
+
+  /** The oracle-side twin of [[jaccardAtLeast]] (identical BIGINT
+    * arithmetic, DuckDB dialect).
+    */
+  private[ops] def jaccardAtLeastSql(interExpr: String, unionExpr: String, minJaccard: Double): String =
+    s"$interExpr * 1000000 >= ${math.round(minJaccard * 1000000L)} * ($unionExpr)"
+
   /** LSH candidate pairs (doc_a < doc_b, distinct) + exact Jaccard
     * verification over the candidates only. `pairFilter` restricts the
     * candidate set BEFORE the verification joins (e.g. the same-block
@@ -386,34 +412,45 @@ object Dedup {
     * pair relations, then a single aggregate row unpivoted.
     */
   val dedupRouteAgreement: Q = (s, d) => {
-    val docs = documents(s, d)
+    // ONE pinned (doc_id, text) projection feeds all four corpus
+    // passes the three detector legs make (LSH signature scan + LSH
+    // candidate re-shingle, simhash word scan, winnow k-gram scan):
+    // without the pin each leg re-reads and re-spreads the corpus
+    // (§2.4/§6 — share the scan). The pin is exactly the ensemble's
+    // input projection, the same one each leg would materialize for
+    // itself; the 8-row result is pinned before release so the
+    // returned frame replays bytes, not the detector plans.
+    val docs = documents(s, d).select(col("doc_id"), col("text")).localCheckpoint(true)
     def tag(df: DataFrame, name: String): DataFrame =
       df.select(col("doc_a"), col("doc_b")).distinct().withColumn(name, lit(1L))
-    val mh = tag(
-      lshCandidatesWithJaccard(docs, "doc_id", "text").filter(col("jaccard") >= 0.5), "in_mh")
-    val sh = tag(simhashPairFrame(docs, s), "in_sh")
-    val wn = tag(TextAnalysis.winnowPairs(docs, 500000L, 8), "in_wn")
-    mh.join(sh, Seq("doc_a", "doc_b"), "full_outer")
-      .join(wn, Seq("doc_a", "doc_b"), "full_outer")
-      .na.fill(0L, Seq("in_mh", "in_sh", "in_wn"))
-      .agg(
-        sum(col("in_mh")).cast("bigint").as("mh"),
-        sum(col("in_sh")).cast("bigint").as("sh"),
-        sum(col("in_wn")).cast("bigint").as("wn"),
-        sum(col("in_mh") * col("in_sh")).cast("bigint").as("ms"),
-        sum(col("in_mh") * col("in_wn")).cast("bigint").as("mw"),
-        sum(col("in_sh") * col("in_wn")).cast("bigint").as("sw"),
-        sum(col("in_mh") * col("in_sh") * col("in_wn")).cast("bigint").as("a3"),
-        count(lit(1)).cast("bigint").as("nu")
-      )
-      .select(
-        expr(
-          "stack(8, 'minhash', mh, 'simhash', sh, 'winnow', wn, " +
-            "'minhash_simhash', ms, 'minhash_winnow', mw, 'simhash_winnow', sw, " +
-            "'all_three', a3, 'any_route', nu) as (route, n_pairs)"
+    try {
+      val mh = tag(
+        lshCandidatesWithJaccard(docs, "doc_id", "text").filter(jaccardAtLeast(0.5)), "in_mh")
+      val sh = tag(simhashPairFrame(docs, s), "in_sh")
+      val wn = tag(TextAnalysis.winnowPairs(docs, 500000L, 8), "in_wn")
+      mh.join(sh, Seq("doc_a", "doc_b"), "full_outer")
+        .join(wn, Seq("doc_a", "doc_b"), "full_outer")
+        .na.fill(0L, Seq("in_mh", "in_sh", "in_wn"))
+        .agg(
+          sum(col("in_mh")).cast("bigint").as("mh"),
+          sum(col("in_sh")).cast("bigint").as("sh"),
+          sum(col("in_wn")).cast("bigint").as("wn"),
+          sum(col("in_mh") * col("in_sh")).cast("bigint").as("ms"),
+          sum(col("in_mh") * col("in_wn")).cast("bigint").as("mw"),
+          sum(col("in_sh") * col("in_wn")).cast("bigint").as("sw"),
+          sum(col("in_mh") * col("in_sh") * col("in_wn")).cast("bigint").as("a3"),
+          count(lit(1)).cast("bigint").as("nu")
         )
-      )
-      .orderBy("route")
+        .select(
+          expr(
+            "stack(8, 'minhash', mh, 'simhash', sh, 'winnow', wn, " +
+              "'minhash_simhash', ms, 'minhash_winnow', mw, 'simhash_winnow', sw, " +
+              "'all_three', a3, 'any_route', nu) as (route, n_pairs)"
+          )
+        )
+        .orderBy("route")
+        .localCheckpoint(true)
+    } finally GraphDedup.releaseCheckpoints(docs)
   }
 
   // ---- incremental dedup against a persisted signature index ---------
@@ -700,7 +737,7 @@ object Dedup {
       )
       .withColumn("n_union", col("n_a") + col("n_b") - col("n_inter"))
       .withColumn("jaccard", round(col("n_inter").cast("double") / col("n_union"), 6))
-      .filter(col("jaccard") >= minJaccard)
+      .filter(jaccardAtLeast(minJaccard))
       .select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")
     (pairs, quarantined)
   }
@@ -765,7 +802,7 @@ object Dedup {
         .filter(col("blk_a") === col("blk_b"))
         .select("doc_a", "doc_b")
     val lshSameBlock = lshCandidatesWithJaccard(qDocs, "doc_id", "text", sameBlock)
-      .filter(col("jaccard") >= 0.5)
+      .filter(jaccardAtLeast(0.5))
       .select("doc_a", "doc_b", "n_inter", "n_union", "jaccard")
     exactPairs
       .withColumn("method", lit("exact"))
@@ -797,7 +834,7 @@ object Dedup {
   val dedupSourceMatrix: Q = (s, d) => {
     val docs = documents(s, d)
     val pairs = lshCandidatesWithJaccard(docs, "doc_id", "text")
-      .filter(col("jaccard") >= 0.5)
+      .filter(jaccardAtLeast(0.5))
       .select("doc_a", "doc_b")
     val src = docs.select(col("doc_id"), col("source"))
     pairs
@@ -940,8 +977,7 @@ object Dedup {
          |  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
          |  JOIN sizes sa ON sa.doc_id = p.doc_a
          |  JOIN sizes sb ON sb.doc_id = p.doc_b
-         |  WHERE round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
-         |              / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) >= 0.5)
+         |  WHERE ${jaccardAtLeastSql("coalesce(i.n_inter, 0)", "sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)", 0.5)})
          |SELECT least(da.source, db.source) AS src_lo,
          |  greatest(da.source, db.source) AS src_hi,
          |  CAST(count(*) AS BIGINT) AS n_pairs
@@ -973,8 +1009,7 @@ object Dedup {
          |  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
          |  JOIN sizes sa ON sa.doc_id = p.doc_a
          |  JOIN sizes sb ON sb.doc_id = p.doc_b
-         |  WHERE round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
-         |              / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) >= 0.5),
+         |  WHERE ${jaccardAtLeastSql("coalesce(i.n_inter, 0)", "sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)", 0.5)}),
          |words AS (
          |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
          |hashed AS (SELECT doc_id, md5(word) AS h FROM words),
@@ -1126,10 +1161,10 @@ object Dedup {
          |  JOIN sizes sb ON sb.doc_id = p.doc_b)
          |SELECT doc_a, doc_b, n_inter, n_union,
          |  round(CAST(n_inter AS DOUBLE) / n_union, 6) AS jaccard, 'exact' AS method
-         |FROM exact_pairs WHERE round(CAST(n_inter AS DOUBLE) / n_union, 6) >= 0.5
+         |FROM exact_pairs WHERE ${jaccardAtLeastSql("n_inter", "n_union", 0.5)}
          |UNION ALL
          |SELECT doc_a, doc_b, n_inter, n_union, jaccard, 'lsh' AS method
-         |FROM lsh_pairs WHERE jaccard >= 0.5
+         |FROM lsh_pairs WHERE ${jaccardAtLeastSql("n_inter", "n_union", 0.5)}
          |ORDER BY doc_a, doc_b""".stripMargin,
     // incremental replay: one shingle/minhash pass over ALL documents
     // (per-doc signatures are corpus-independent, so signing even and
@@ -1144,7 +1179,7 @@ object Dedup {
          |ORDER BY new_id, ref_id, src""".stripMargin
     },
     "dedup_ngram_jaccard" ->
-      """WITH docs AS (
+      s"""WITH docs AS (
         |  SELECT doc_id, lang, CAST(floor(n_chars / 100.0) AS BIGINT) AS len_bucket,
         |         list_distinct(string_split(text, ' ')) AS ws
         |  FROM documents),
@@ -1156,7 +1191,7 @@ object Dedup {
         |    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id)
         |SELECT doc_a, doc_b, n_inter, n_union,
         |  round(CAST(n_inter AS DOUBLE) / n_union, 6) AS jaccard
-        |FROM pairs WHERE round(CAST(n_inter AS DOUBLE) / n_union, 6) >= 0.5
+        |FROM pairs WHERE ${jaccardAtLeastSql("n_inter", "n_union", 0.5)}
         |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

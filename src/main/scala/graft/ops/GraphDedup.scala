@@ -59,7 +59,11 @@ object GraphDedup {
     }
   }
 
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(
+      edges: DataFrame,
+      maxIter: Int = 25,
+      maxDriverEdges: Long = defaultMaxDriverRootEdges
+  ): DataFrame = {
     def canon(df: DataFrame): DataFrame =
       df.select(least(col("src"), col("dst")).as("lo"), greatest(col("src"), col("dst")).as("hi"))
         .filter(col("lo") =!= col("hi"))
@@ -73,7 +77,33 @@ object GraphDedup {
       (r.getLong(0), r.getLong(1))
     }
 
-    var e = canon(edges).localCheckpoint(true)
+    val e0 = canon(edges).localCheckpoint(true)
+    // Bounded driver fast path (§1.2 — one limit-fused collect instead
+    // of O(log n) rounds × 4 shuffles + a signature job + a checkpoint
+    // job each): near-dup pair graphs are OUTPUT-sized, so at fixture
+    // scale — and for any daily increment — the whole canonical edge
+    // set fits the same 2²⁰-edge / ~16 MB driver ceiling the
+    // incremental path's root-graph solve already uses
+    // ([[solveRootGraph]], the reference's own FK-graph move). Same
+    // union-by-min arithmetic, same postcondition (min reachable id =
+    // cluster_id; GraphDedupSpec pins the paths equal); a corpus whose
+    // PAIR graph outgrows the ceiling takes the distributed
+    // large-star/small-star loop below, unchanged.
+    if (maxDriverEdges > 0L &&
+        e0.schema.fields.forall(_.dataType == org.apache.spark.sql.types.LongType)) {
+      val probed = e0
+        .limit(math.min(maxDriverEdges + 1, Int.MaxValue.toLong).toInt)
+        .collect()
+      if (probed.length <= maxDriverEdges) {
+        releaseCheckpoints(e0)
+        return driverUnionFind(
+          probed.map(r => (r.getLong(0), r.getLong(1))),
+          edges.sparkSession
+        )
+      }
+    }
+
+    var e = e0
     var sig = signature(e)
     var stable = false
     var iter = 0
@@ -185,23 +215,32 @@ object GraphDedup {
       out
     } else {
       releaseCheckpoints(e) // fully consumed by the probe collect
-      val edges = probed.map(r => (r.getLong(0), r.getLong(1)))
-      val parent = scala.collection.mutable.Map.empty[Long, Long]
-      def find(x: Long): Long = {
-        var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
-        var c = x
-        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      edges.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      val rows = edges.flatMap(t => Seq(t._1, t._2)).distinct.map(n => (n, find(n))).toSeq
-      import s.implicits._
-      rows.toDF("node", "cluster_id")
+      driverUnionFind(probed.map(r => (r.getLong(0), r.getLong(1))), s)
     }
+  }
+
+  /** Union-find over a driver-collected edge array: union always
+    * attaches the larger root under the smaller, so the final root is
+    * the component minimum — [[connectedComponents]]' postcondition.
+    * Shared by [[solveRootGraph]] and the bounded fast path of
+    * [[connectedComponents]].
+    */
+  private def driverUnionFind(edges: Array[(Long, Long)], s: SparkSession): DataFrame = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val rows = edges.flatMap(t => Seq(t._1, t._2)).distinct.map(n => (n, find(n))).toSeq
+    import s.implicits._
+    rows.toDF("node", "cluster_id")
   }
 
   /** @param relabelMembers given the (old_root, new_root) map of roots
@@ -844,12 +883,17 @@ object GraphDedup {
     * produced the pairs.
     */
   val dedupClusters: Q = (s, d) => {
-    val docs = documents(s, d)
-    val edges = Dedup
-      .lshCandidatesWithJaccard(docs, "doc_id", "text")
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    clusterMap(docs, connectedComponents(edges))
+    // one pinned (doc_id, text) projection feeds the LSH pass's two
+    // corpus scans and the cluster-map label join (§2.4/§6 — share
+    // the scan instead of re-reading + re-spreading per consumer)
+    val docs = documents(s, d).select(col("doc_id"), col("text")).localCheckpoint(true)
+    try {
+      val edges = Dedup
+        .lshCandidatesWithJaccard(docs, "doc_id", "text")
+        .filter(Dedup.jaccardAtLeast(0.5))
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      clusterMap(docs, connectedComponents(edges)).localCheckpoint(true)
+    } finally releaseCheckpoints(docs)
   }
 
   /** The incremental route as an oracle-gated query: yesterday's
@@ -860,10 +904,12 @@ object GraphDedup {
     * relation is cached across the split (one LSH pass, two filters).
     */
   val dedupClustersIncremental: Q = (s, d) => {
-    val docs = documents(s, d)
+    // shared (doc_id, text) pin: the LSH pass scans the corpus twice
+    // and the final cluster-map label join once more (§2.4/§6)
+    val docs = documents(s, d).select(col("doc_id"), col("text")).localCheckpoint(true)
     val pairs = Dedup
       .lshCandidatesWithJaccard(docs, "doc_id", "text")
-      .filter(col("jaccard") >= 0.5)
+      .filter(Dedup.jaccardAtLeast(0.5))
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .cache()
     try {
@@ -873,8 +919,11 @@ object GraphDedup {
       // the lazy plan otherwise re-derives touchedRoots (and with it
       // the whole LSH pass) at execution time
       val merged = incrementalComponents(prev, pairs.filter(!bothEven)).localCheckpoint(true)
-      clusterMap(docs, merged)
-    } finally pairs.unpersist(blocking = false)
+      clusterMap(docs, merged).localCheckpoint(true)
+    } finally {
+      pairs.unpersist(blocking = false)
+      releaseCheckpoints(docs)
+    }
   }
 
   /** Per-cluster representative selection by QUALITY instead of the
@@ -909,13 +958,21 @@ object GraphDedup {
       )
 
   val dedupClusterRepsQuality: Q = (s, d) => {
+    // shared (doc_id, lang, text) pin: LSH scans the corpus twice,
+    // the quality-score chain twice more (stats projection + unigram
+    // LM), the cluster map once — 5 corpus scans become 1 (§2.4/§6)
     val docs = documents(s, d)
-    val edges = Dedup
-      .lshCandidatesWithJaccard(docs, "doc_id", "text")
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    qualityReps(clusterMap(docs, connectedComponents(edges)), Pipeline.qualityScores(docs))
-      .orderBy("cluster_id")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .localCheckpoint(true)
+    try {
+      val edges = Dedup
+        .lshCandidatesWithJaccard(docs, "doc_id", "text")
+        .filter(Dedup.jaccardAtLeast(0.5))
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      qualityReps(clusterMap(docs, connectedComponents(edges)), Pipeline.qualityScores(docs))
+        .orderBy("cluster_id")
+        .localCheckpoint(true)
+    } finally releaseCheckpoints(docs)
   }
 
   /** DEDUP SAVINGS datasheet: per source, the token mass reclaimed by
@@ -929,28 +986,35 @@ object GraphDedup {
     * map, then a source-sized aggregate; the only float op is the
     * final floored savings ratio.
     */
-  private[graft] def dedupSavingsFrom(docs: DataFrame): DataFrame = {
-    val edges = Dedup
-      .lshCandidatesWithJaccard(docs, "doc_id", "text")
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    clusterMap(docs, connectedComponents(edges))
-      .join(docs.select(col("doc_id"), col("source"), col("text")), Seq("doc_id"))
-      .withColumn("n_tokens", size(split(col("text"), " ")).cast("bigint"))
-      .groupBy(col("source"))
-      .agg(
-        count(lit(1)).cast("bigint").as("n_docs"),
-        sum(col("is_rep")).cast("bigint").as("n_kept"),
-        sum(col("n_tokens")).cast("bigint").as("tokens"),
-        sum(when(col("is_rep") === 1L, col("n_tokens")).otherwise(0L))
-          .cast("bigint")
-          .as("kept_tokens")
-      )
-      .withColumn(
-        "savings_micro",
-        expr("CAST(floor((tokens - kept_tokens) * 1000000.0 / tokens) AS BIGINT)")
-      )
-      .orderBy("source")
+  private[graft] def dedupSavingsFrom(docs0: DataFrame): DataFrame = {
+    // shared (doc_id, source, text) pin: LSH scans the corpus twice,
+    // the cluster-map label join and the token-mass join once each —
+    // 4 corpus scans become 1 (§2.4/§6)
+    val docs = docs0.select(col("doc_id"), col("source"), col("text")).localCheckpoint(true)
+    try {
+      val edges = Dedup
+        .lshCandidatesWithJaccard(docs, "doc_id", "text")
+        .filter(Dedup.jaccardAtLeast(0.5))
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      clusterMap(docs, connectedComponents(edges))
+        .join(docs.select(col("doc_id"), col("source"), col("text")), Seq("doc_id"))
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("bigint"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).cast("bigint").as("n_docs"),
+          sum(col("is_rep")).cast("bigint").as("n_kept"),
+          sum(col("n_tokens")).cast("bigint").as("tokens"),
+          sum(when(col("is_rep") === 1L, col("n_tokens")).otherwise(0L))
+            .cast("bigint")
+            .as("kept_tokens")
+        )
+        .withColumn(
+          "savings_micro",
+          expr("CAST(floor((tokens - kept_tokens) * 1000000.0 / tokens) AS BIGINT)")
+        )
+        .orderBy("source")
+        .localCheckpoint(true)
+    } finally releaseCheckpoints(docs)
   }
 
   val dedupSavings: Q = (s, d) => dedupSavingsFrom(documents(s, d))
@@ -1029,7 +1093,7 @@ object GraphDedup {
          |  JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
          |  JOIN sizes sa ON sa.doc_id = p.doc_a
          |  JOIN sizes sb ON sb.doc_id = p.doc_b
-         |  WHERE round(CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter), 6) >= 0.5),
+         |  WHERE ${Dedup.jaccardAtLeastSql("i.n_inter", "sa.n_sh + sb.n_sh - i.n_inter", 0.5)}),
          |und AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
          |walk(node, reach) AS (
          |  SELECT DISTINCT src, src FROM und

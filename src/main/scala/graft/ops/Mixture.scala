@@ -109,7 +109,7 @@ object Mixture {
       p.filter((sOf("doc_a") === "train") =!= (sOf("doc_b") === "train"))
     Dedup
       .lshCandidatesWithJaccard(docs, idCol, textCol, straddle)
-      .filter(col("jaccard") >= minJaccard)
+      .filter(Dedup.jaccardAtLeast(minJaccard))
       .withColumn("eval_split", when(sOf("doc_a") === "train", sOf("doc_b")).otherwise(sOf("doc_a")))
       .withColumn("eval_doc", when(sOf("doc_a") === "train", col("doc_b")).otherwise(col("doc_a")))
       .groupBy("eval_split")
@@ -155,7 +155,7 @@ object Mixture {
     val docs = documents(s, d)
     val edges = Dedup
       .lshCandidatesWithJaccard(docs, "doc_id", "text")
-      .filter(col("jaccard") >= 0.5)
+      .filter(Dedup.jaccardAtLeast(0.5))
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val cmap = GraphDedup.clusterMap(docs, GraphDedup.connectedComponents(edges))
     clusterSplit(cmap, 8000, 1000)
@@ -621,13 +621,15 @@ object Mixture {
          |  GROUP BY p.doc_a, p.doc_b),
          |jac AS (
          |  SELECT p.doc_a, p.doc_b,
+         |    coalesce(i.n_inter, 0) AS n_inter,
+         |    sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0) AS n_union,
          |    round(CAST(coalesce(i.n_inter, 0) AS DOUBLE) / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard
          |  FROM pairs p
          |  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
          |  JOIN sizes sa ON sa.doc_id = p.doc_a
          |  JOIN sizes sb ON sb.doc_id = p.doc_b),
          |spl AS (
-         |  SELECT doc_a, doc_b, jaccard,
+         |  SELECT doc_a, doc_b, n_inter, n_union, jaccard,
          |    ${splitSql("doc_a")} AS sa_split, ${splitSql("doc_b")} AS sb_split
          |  FROM jac),
          |leaks AS (
@@ -635,7 +637,8 @@ object Mixture {
          |    CASE WHEN sa_split = 'train' THEN doc_b ELSE doc_a END AS eval_doc,
          |    jaccard
          |  FROM spl
-         |  WHERE (sa_split = 'train') <> (sb_split = 'train') AND jaccard >= 0.5)
+         |  WHERE (sa_split = 'train') <> (sb_split = 'train')
+         |    AND ${Dedup.jaccardAtLeastSql("n_inter", "n_union", 0.5)})
          |SELECT eval_split,
          |  CAST(count(DISTINCT eval_doc) AS BIGINT) AS n_leaked_docs,
          |  CAST(count(*) AS BIGINT) AS n_pairs,

@@ -58,7 +58,7 @@ object Pipeline {
     // exact survivors; keep-earliest (drop the larger id of each pair)
     val dropIds = Dedup
       .lshCandidatesWithJaccard(exactKept, "doc_id", "text")
-      .filter(col("jaccard") >= minJaccard)
+      .filter(Dedup.jaccardAtLeast(minJaccard))
       .select(col("doc_b").as("doc_id"))
       .distinct()
     val finalKept = exactKept.join(dropIds, Seq("doc_id"), "left_anti")
@@ -181,7 +181,7 @@ object Pipeline {
     // stage 4 — near-dup removal: keep-earliest over verified pairs
     val dropIds = Dedup
       .lshCandidatesWithJaccard(exactKept, "doc_id", "text")
-      .filter(col("jaccard") >= minJaccard)
+      .filter(Dedup.jaccardAtLeast(minJaccard))
       .select(col("doc_b").as("doc_id"))
       .distinct()
     val nearKept = pin(exactKept.join(dropIds, Seq("doc_id"), "left_anti"))
@@ -439,7 +439,7 @@ object Pipeline {
       .select(col("keep_id").as("doc_id"), lit(1L).as("is_keeper"))
     val nearDrop = Dedup
       .lshCandidatesWithJaccard(docs, "doc_id", "text")
-      .filter(col("jaccard") >= minJaccard)
+      .filter(Dedup.jaccardAtLeast(minJaccard))
       .select(col("doc_b").as("doc_id"))
       .distinct()
       .withColumn("f_near", lit(1L))
@@ -533,8 +533,7 @@ object Pipeline {
          |  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
          |  JOIN sizes sa ON sa.doc_id = p.doc_a
          |  JOIN sizes sb ON sb.doc_id = p.doc_b
-         |  WHERE round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
-         |              / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) >= $minJaccard),
+         |  WHERE ${Dedup.jaccardAtLeastSql("coalesce(i.n_inter, 0)", "sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)", minJaccard)}),
          |fk AS (SELECT * FROM ek WHERE doc_id NOT IN (SELECT doc_id FROM dropped))""".stripMargin
   }
 
@@ -637,8 +636,7 @@ object Pipeline {
            |  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
            |  JOIN sizes sa ON sa.doc_id = p.doc_a
            |  JOIN sizes sb ON sb.doc_id = p.doc_b
-           |  WHERE round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
-           |              / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) >= $minJaccard),
+           |  WHERE ${Dedup.jaccardAtLeastSql("coalesce(i.n_inter, 0)", "sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)", minJaccard)}),
            |flags AS (
            |  SELECT b.doc_id, b.f_quality, b.f_repetition, b.f_blocklist, e.f_exact_dup,
            |    CASE WHEN nd.doc_id IS NULL THEN 0 ELSE 1 END AS f_near_dup
@@ -701,8 +699,7 @@ object Pipeline {
            |  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
            |  JOIN sizes sa ON sa.doc_id = p.doc_a
            |  JOIN sizes sb ON sb.doc_id = p.doc_b
-           |  WHERE round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
-           |              / (sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)), 6) >= $minJaccard),
+           |  WHERE ${Dedup.jaccardAtLeastSql("coalesce(i.n_inter, 0)", "sa.n_sh + sb.n_sh - coalesce(i.n_inter, 0)", minJaccard)}),
            |fk AS (SELECT * FROM ek WHERE doc_id NOT IN (SELECT doc_id FROM dropped)),
            |a AS (
            |  SELECT lang, CAST(count(*) AS BIGINT) AS n_input,

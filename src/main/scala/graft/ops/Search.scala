@@ -710,20 +710,25 @@ object Search {
       fsFor(s, dir),
       new org.apache.hadoop.fs.Path(s"$dir/meta")
     ) { g =>
-      sawVersion = sawVersion ||
+      // per-ROW schema check: a sticky flag would (a) blame an empty
+      // relation on a missing version marker and (b) call
+      // getFieldRepetitionCount on a file whose schema lacks the field
+      // (InvalidRecordException) in a mixed-schema meta dir
+      val hasVersion =
         (0 until g.getType.getFieldCount).exists(i => g.getType.getFieldName(i) == "format_version")
-      val v = if (sawVersion && g.getFieldRepetitionCount("format_version") > 0)
+      sawVersion = sawVersion || hasVersion
+      val v = if (hasVersion && g.getFieldRepetitionCount("format_version") > 0)
         g.getLong("format_version", 0)
       else 0L
       row = Some((g.getLong("n_docs", 0), g.getLong("total_toks", 0), v))
     }
+    val r = row.getOrElse(
+      throw new IllegalStateException(s"search index at $dir: empty meta relation")
+    )
     require(
       sawVersion,
       s"search index at $dir has no format_version marker (pre-dl layout): its postings " +
         "lack the denormalized dl column and BM25 would silently mis-score — rebuild the index"
-    )
-    val r = row.getOrElse(
-      throw new IllegalStateException(s"search index at $dir: empty meta relation")
     )
     require(
       r._3 >= indexFormatVersion,
@@ -2786,7 +2791,13 @@ object Search {
     ) { g =>
       n += g.getLong("n_docs", 0)
       t += g.getLong("total_toks", 0)
-      if (g.getFieldRepetitionCount("total_atoks") > 0) a += g.getLong("total_atoks", 0)
+      // field-existence check first: a legacy ledger file without the
+      // total_atoks column must read as 0, not throw
+      // InvalidRecordException from getFieldRepetitionCount
+      val hasAtoks =
+        (0 until g.getType.getFieldCount).exists(i => g.getType.getFieldName(i) == "total_atoks")
+      if (hasAtoks && g.getFieldRepetitionCount("total_atoks") > 0)
+        a += g.getLong("total_atoks", 0)
     }
     (n, t, a)
   }
@@ -7626,15 +7637,20 @@ object Search {
   private val dedupResultsK = 50
 
   val searchDedupResults: Q = (s, d) => {
-    val docs = documents(s, d)
-    val hits = disjunctiveSearch(docs, "doc_id", "text", fixtureOrTerms, dedupResultsK)
-      .select(col("rank"), col("doc_id"))
-    val edges = Dedup
-      .lshCandidatesWithJaccard(docs, "doc_id", "text")
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val lab = GraphDedup.clusterMap(docs, GraphDedup.connectedComponents(edges))
-    dedupedResults(hits, lab).orderBy("new_rank")
+    // shared (doc_id, text) pin: the disjunctive search scan, the LSH
+    // pass's two corpus scans and the cluster-map label join all read
+    // it — 4 corpus scans become 1 (§2.4/§6)
+    val docs = documents(s, d).select(col("doc_id"), col("text")).localCheckpoint(true)
+    try {
+      val hits = disjunctiveSearch(docs, "doc_id", "text", fixtureOrTerms, dedupResultsK)
+        .select(col("rank"), col("doc_id"))
+      val edges = Dedup
+        .lshCandidatesWithJaccard(docs, "doc_id", "text")
+        .filter(Dedup.jaccardAtLeast(0.5))
+        .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val lab = GraphDedup.clusterMap(docs, GraphDedup.connectedComponents(edges))
+      dedupedResults(hits, lab).orderBy("new_rank").localCheckpoint(true)
+    } finally GraphDedup.releaseCheckpoints(docs)
   }
 
   /** Bucket count of the demo persisted cluster map (saveClusterMap's
@@ -7653,7 +7669,7 @@ object Search {
       val docs = documents(s, d)
       val edges = Dedup
         .lshCandidatesWithJaccard(docs, "doc_id", "text")
-        .filter(col("jaccard") >= 0.5)
+        .filter(Dedup.jaccardAtLeast(0.5))
         .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val lab = GraphDedup.clusterMap(docs, GraphDedup.connectedComponents(edges))
       GraphDedup.saveClusterMap(lab.select(col("doc_id").as("node"), col("cluster_id")), dir, cmapBuckets)

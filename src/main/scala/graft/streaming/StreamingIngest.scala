@@ -128,8 +128,10 @@ object StreamingIngest {
     val target = math.max(2L, math.min(cap.toLong, bytes / (32L << 20) + 1L)).toInt
     val s2 = s.newSession()
     s.conf.getAll.foreach { case (k, v) =>
+      // static/non-settable confs keep their values; NonFatal (not
+      // Throwable) so fatal JVM errors and interrupts propagate
       try s2.conf.set(k, v)
-      catch { case _: Throwable => () } // static/non-settable confs keep their values
+      catch { case scala.util.control.NonFatal(_) => () }
     }
     s2.conf.set("spark.sql.shuffle.partitions", target.toString)
     s2

@@ -9,6 +9,14 @@ import graft.ops.{Fixtures, Packing, Paragraphs, Relational}
   */
 class PlanShapeSpec extends SparkSpec {
 
+  /** The all-registry cartesian sweep legitimately runs past the base
+    * 10-minute hang guard at local[2] (planning all 339 queries builds
+    * every demo index); keep the guard, just wider — a genuine hang
+    * still fails this suite instead of wedging the run.
+    */
+  override val timeLimit: org.scalatest.time.Span =
+    org.scalatest.time.Span(30, org.scalatest.time.Minutes)
+
   private val sfDir = "/root/testdata/sf0.001"
 
   test("scan_filter_project: filter and projection reach the parquet scan") {

@@ -242,6 +242,24 @@ class DedupSpec extends SparkSpec {
     assert(rows("all_three") > 0L)
   }
 
+  test("jaccardAtLeast: integer predicate ≡ round(jaccard,6) >= t on every n_union < 10^6 grid point near the boundary") {
+    // the r16 hardening replaced round(double)/threshold comparisons
+    // with BIGINT micro arithmetic; this pins the equivalence claim on
+    // a dense sweep of the boundary region (all n_union up to 10k, the
+    // n_inter on both sides of n_union/2) plus random larger unions
+    val cases = (1 to 10000).flatMap { u =>
+      val half = u / 2
+      (math.max(0, half - 1) to math.min(u, half + 2)).map(i => (i.toLong, u.toLong))
+    } ++ Seq((499999L, 999999L), (499999L, 999998L), (500000L, 999999L), (2L, 5L), (1L, 3L))
+    val df = spark.createDataFrame(cases).toDF("n_inter", "n_union")
+    val both = df
+      .withColumn("jaccard", round(col("n_inter").cast("double") / col("n_union"), 6))
+      .withColumn("dbl", col("jaccard") >= 0.5)
+      .withColumn("int_p", Dedup.jaccardAtLeast(0.5))
+      .filter(col("dbl") =!= col("int_p"))
+    assert(both.count() == 0L)
+  }
+
   test("source matrix: cell mass equals the verified pair count") {
     val d = "/root/testdata/sf0.001"
     val docs = Fixtures.documents(spark, d)
